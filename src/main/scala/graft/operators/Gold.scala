@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gold-tier OHLCV + VWAP bar aggregation (reference
+  * spark/jobs/silver_to_gold_bars.py:34-66).
+  *
+  * Semantics preserved exactly:
+  *  - tumbling event-time window per symbol (`window(event_time, bar)`, :38)
+  *  - open/close via the struct-min/max argmin trick
+  *    (`min(struct(event_time, price))`, :42-43) — ties on event_time
+  *    tie-break on price, which we document and mirror in the oracle via
+  *    `row_number() ... ORDER BY event_time, price`
+  *  - high/low/volume/vwap/trades (:44-48, :62-63)
+  *  - `bar_date = to_date(bar_start)` partition column (:65)
+  *
+  * Determinism hardening vs the reference: `sum(double)` is
+  * summation-order-dependent, which breaks exact oracle comparison and is
+  * nondeterministic across cluster runs. We sum exact decimals instead
+  * (Decimal sums are associative) and cast back to double at the boundary,
+  * so `volume`/`vwap` are bit-identical on every run and engine.
+  *
+  * Scale: this is a single hash aggregation keyed (symbol, window) — partial
+  * (map-side) aggregation then one shuffle on the group key. State per group
+  * is O(1); no windowing over sorted data, no skew risk beyond symbol
+  * hot-spotting (mitigate at 100 TB by pre-partitioning on symbol,bar or AQE
+  * skew handling — group count = symbols × minutes, far exceeding executor
+  * count, so parallelism holds).
+  */
+object Gold {
+
+  private def decSum(c: Column, t: DecimalType): Column = sum(c.cast(t))
+
+  /** trades(symbol, event_time, price, size, ...) → 1 row per
+    * (symbol, bar) with OHLCV + VWAP. Pure batch `DataFrame => DataFrame`;
+    * the streaming path wraps the same expressions with a watermark
+    * (graft.streaming.GoldStream).
+    */
+  def bars(trades: DataFrame, barWidth: String = "1 minute"): DataFrame =
+    trades
+      .groupBy(col("symbol"), window(col("event_time"), barWidth).as("w"))
+      .agg(
+        min(struct(col("event_time"), col("price"))).as("open_s"),
+        max(struct(col("event_time"), col("price"))).as("close_s"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        decSum(col("size"), DecimalType(20, 6)).as("vol_d"),
+        decSum(col("price") * col("size"), DecimalType(28, 10)).as("notional_d"),
+        count(lit(1)).as("trades"))
+      .select(
+        col("symbol"),
+        col("w.start").as("bar_start"),
+        col("w.end").as("bar_end"),
+        col("open_s.price").as("open"),
+        col("high"),
+        col("low"),
+        col("close_s.price").as("close"),
+        col("vol_d").cast("double").as("volume"),
+        (col("notional_d").cast("double") / col("vol_d").cast("double")).as("vwap"),
+        col("trades"),
+        to_date(col("w.start")).as("bar_date"))
+}

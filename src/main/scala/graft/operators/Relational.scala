@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General relational query shapes over the TPC-H-ish harness tables —
+  * the batch-analytics capability surface the reference exercises in its
+  * notebooks (scans, filters, multi-way joins, grouped aggregation, top-K;
+  * reference notebooks/analysis.ipynb, notebooks/read_data.ipynb).
+  *
+  * Determinism: all double sums go through exact Decimal accumulation
+  * (associative ⇒ shuffle-order independent) and are cast back to double at
+  * the output boundary; averages are double divisions of those exact sums.
+  *
+  * Scale notes per query are on each method.
+  */
+object Relational {
+
+  // Exact-decimal money arithmetic: prices/discounts/taxes are 2-decimal
+  // quantities, so casting each INPUT to decimal (not the double product —
+  // Spark's double→decimal cast goes through the shortest string repr and
+  // drifts an ulp from DuckDB's) makes every product/sum exact rational
+  // arithmetic: identical on any engine at any parallelism.
+  private def extD  = col("l_extendedprice").cast(DecimalType(12, 2))
+  private def oneMinusDisc = lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))
+  private def onePlusTax   = lit(1).cast(DecimalType(3, 2)) + col("l_tax").cast(DecimalType(4, 2))
+
+  /** Pricing summary (TPC-H Q1 shape): scan-heavy single aggregation.
+    * Scale: predicate + column pruning push to parquet; partial aggregation
+    * means the shuffle carries only |returnflag×linestatus| ≈ 6 groups per
+    * map task. The canonical "is the scan path fast" benchmark.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(24, 6))).cast("double").as("sum_base_price"),
+        sum(extD * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(extD * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue top-K (TPC-H Q3 shape): selective dim filter → 3-way join →
+    * agg → top-K. Scale: customer filter prunes early; orders⋈lineitem is
+    * the big shuffle join on l_orderkey (co-partitioned by key at scale via
+    * bucketing); the filtered customer side is broadcast — no shuffle of
+    * the fact table for it. Top-K plans as TakeOrderedAndProject (no global
+    * sort).
+    */
+  def revenueTopK(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  segment: String = "BUILDING", k: Int = 20): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = orders.filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(extD * oneMinusDisc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Star-join rollup: fact ⋈ 3 broadcast dims, grouped two ways.
+    * Scale: every dim is broadcast (nation/region/customer are tiny
+    * relative to orders at any SF) so the fact table never shuffles for the
+    * joins — only the final group-by shuffles, carrying pre-aggregated
+    * partial rows.
+    */
+  def regionRevenue(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(24, 6))).cast("double").as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("r_name"), col("n_name"))
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate.
+
+NOT part of the library (driver-side python is allowed for dev tooling).
+Usage: python3 tools/compare.py <sfDir> <outDir>
+  after: sbt "runMain graft.Verify <sfDir> <outDir>"
+
+Compares each <outDir>/<name> parquet (Spark result) against the oracle SQL
+from <outDir>/oracle_sql.json run in DuckDB over the sfDir tables.
+Exact value comparison after sorting columns by name (like the driver).
+"""
+import sys, json, glob, os
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_glob = f"{out_dir}/{name}/*.parquet"
+        if not glob.glob(spark_glob):
+            print(f"[FAIL] {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{spark_glob}'").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"[FAIL] {name}: {str(e)[:200]}"); n_fail += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"[FAIL] {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"[FAIL] {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        # exact compare, row by row in given order
+        mism = []
+        for c in got.columns:
+            a, b = got[c].tolist(), want[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                eq = (x == y) or (x is None and y is None)
+                try:
+                    import math
+                    if isinstance(x, float) and isinstance(y, float):
+                        eq = (x == y) or (math.isnan(x) and math.isnan(y))
+                except Exception:
+                    pass
+                # pandas NaT/NaN nulls
+                import pandas as pd
+                if pd.isna(x) and pd.isna(y):
+                    eq = True
+                if not eq:
+                    mism.append((c, i, x, y))
+                    if len(mism) >= 3:
+                        break
+            if len(mism) >= 3:
+                break
+        if mism:
+            print(f"[FAIL] {name}: {len(mism)}+ mismatches, first: {mism[:3]}")
+            n_fail += 1
+        else:
+            print(f"[ok]   {name}: {len(got)} rows exact-match")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
