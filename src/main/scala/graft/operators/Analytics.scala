@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics over gold bars: returns, rolling z-scores, anomalies, gaps,
+  * top-K (reference notebooks/analysis.ipynb cells 3-5).
+  *
+  * Semantics preserved:
+  *  - `lag(close,1)` / `lead(open,1)` over (symbol, time) for returns/gaps
+  *  - trailing N-minute RANGE window over epoch-seconds EXCLUDING the
+  *    current row (`rangeBetween(-60N, -1)`) — load-bearing for z-score
+  *    correctness (SURVEY §2.5 W4)
+  *  - sample stddev (`stddev_samp`), `when` without `otherwise` ⇒ else-NULL
+  *  - anomaly flags: |z_ret| > z two-sided, z_vol > z ONE-sided (the
+  *    reference's asymmetry, analysis.ipynb N4)
+  *
+  * Determinism: window aggregates over doubles are summation-shape-
+  * dependent across engines (Spark folds the frame sequentially, DuckDB
+  * uses segment trees), so every window-aggregate output is rounded to 6
+  * decimals, and z-scores are computed FROM the rounded stats so the
+  * division sees bit-identical operands on both engines. Pure row-local
+  * arithmetic (ret, gap_pct) is IEEE-deterministic and stays unrounded.
+  *
+  * Scale: all window functions share ONE partitioning (symbol) and one sort
+  * (ts_s) — Catalyst collapses them into a single Exchange + Sort + Window
+  * chain, so adding z/vol/gap families costs no extra shuffle. Partition
+  * count = |symbols|; at 100 TB with few symbols, pre-bucket bars by
+  * (symbol, coarse time) or process per-date slices to restore parallelism.
+  */
+object Analytics {
+
+  private val ZERO_SD = 1e-12
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** N3 prep: epoch-second sort key for the RANGE frame. */
+  def withTsSeconds(bars: DataFrame): DataFrame =
+    bars.withColumn("ts_s", unix_timestamp(col("bar_start")))
+
+  private def wOrder = Window.partitionBy("symbol").orderBy("ts_s")
+  private def wTime(nMinutes: Int) = wOrder.rangeBetween(-60L * nMinutes, -1)
+
+  /** prev_close / ret / logret (analysis.ipynb N4, lag family). */
+  def withReturns(bars: DataFrame): DataFrame =
+    bars
+      .withColumn("prev_close", lag(col("close"), 1).over(wOrder))
+      .withColumn("ret",
+        when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
+          col("close") / col("prev_close") - 1.0))
+      .withColumn("logret",
+        when(col("prev_close").isNotNull && col("prev_close") > 0.0,
+          r6(log(col("close") / col("prev_close")))))
+
+  /** Rolling mean/sd + z for returns and volume (N4, rangeBetween family).
+    * `when` guards with no `otherwise` ⇒ null where sd is null/zero.
+    */
+  def withRollingStats(df: DataFrame, nMinutes: Int = 30): DataFrame = {
+    val w = wTime(nMinutes)
+    df
+      .withColumn("ret_mu", r6(avg(col("logret")).over(w)))
+      .withColumn("ret_sd", r6(stddev_samp(col("logret")).over(w)))
+      .withColumn("z_ret",
+        when(col("ret_sd").isNotNull && col("ret_sd") > ZERO_SD,
+          r6((col("logret") - col("ret_mu")) / col("ret_sd"))))
+      .withColumn("vol_mu", r6(avg(col("volume")).over(w)))
+      .withColumn("vol_sd", r6(stddev_samp(col("volume")).over(w)))
+      .withColumn("z_vol",
+        when(col("vol_sd").isNotNull && col("vol_sd") > ZERO_SD,
+          r6((col("volume") - col("vol_mu")) / col("vol_sd"))))
+  }
+
+  /** next_open / gap_pct (N4, lead family). */
+  def withGaps(df: DataFrame): DataFrame =
+    df
+      .withColumn("next_open", lead(col("open"), 1).over(wOrder))
+      .withColumn("gap_pct",
+        when(col("next_open").isNotNull && col("close") =!= 0.0,
+          (col("next_open") - col("close")) / col("close")))
+
+  /** Anomaly flags from the (rounded, hence cross-engine-identical)
+    * z-scores. Volume anomaly is one-sided, mirroring the reference.
+    */
+  def withAnomalies(df: DataFrame, z: Double = 3.0): DataFrame =
+    df
+      .withColumn("is_return_anom",
+        col("z_ret").isNotNull && abs(col("z_ret")) > z)
+      .withColumn("is_volume_anom",
+        col("z_vol").isNotNull && col("z_vol") > z)
+
+  /** Full single-pass analytics frame: one Exchange+Sort, all families. */
+  def enrich(bars: DataFrame, nMinutes: Int = 30, z: Double = 3.0): DataFrame =
+    withAnomalies(withGaps(withRollingStats(withReturns(withTsSeconds(bars)), nMinutes)), z)
+
+  /** The reference's literal join-stitch shape (N4/N5): compute the stat
+    * families as separate frames and LEFT-join them back on
+    * (symbol, bar_start) — J1 in the operator inventory. Semantically
+    * identical to [[enrich]]; kept as the declared join capability.
+    * Scale: each branch re-sorts the same data — [[enrich]] is the plan
+    * you want; this exists to prove join parity.
+    */
+  def enrichViaJoins(bars: DataFrame, nMinutes: Int = 30, z: Double = 3.0): DataFrame = {
+    val base = withTsSeconds(bars)
+    val key = Seq("symbol", "bar_start")
+    val rets = withRollingStats(withReturns(base), nMinutes)
+      .select("symbol", "bar_start", "prev_close", "ret", "logret", "ret_mu", "ret_sd", "z_ret")
+    val vols = withRollingStats(withReturns(base), nMinutes)
+      .select("symbol", "bar_start", "vol_mu", "vol_sd", "z_vol")
+    val gaps = withGaps(base).select("symbol", "bar_start", "next_open", "gap_pct")
+    withAnomalies(
+      base.join(rets, key, "left").join(vols, key, "left").join(gaps, key, "left"), z)
+  }
+
+  /** Top-K most recent rows, re-sorted ascending (N5:
+    * `orderBy(desc).limit(K).orderBy(asc)` — plans as
+    * TakeOrderedAndProject, no global sort).
+    */
+  def lastK(df: DataFrame, k: Int = 180): DataFrame = {
+    val recent = df.orderBy(col("bar_start").desc).limit(k)
+    recent.orderBy(col("bar_start").asc)
+  }
+}

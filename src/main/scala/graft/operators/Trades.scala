@@ -48,7 +48,7 @@ object Trades {
     """SELECT event_id,
       |  'kraken' AS exchange,
       |  'SYM_' || CAST(user_id AS VARCHAR) AS symbol,
-      |  ts AS event_time,
+      |  CAST(ts AS TIMESTAMP) AS event_time,
       |  value AS price,
       |  CAST(1 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS size,
       |  CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
