@@ -97,6 +97,32 @@ object SparkEntry {
       Analytics.lastK(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
           .filter(col("symbol") === "SYM_7"), 180)),
+
+    // ---- training-data pipeline operators (documents/embeddings) ----
+
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "ann_topk" -> ((s, dir) =>
+      Similarity.annBruteForce(Tables.embeddings(s, dir))),
+    "embed_top_pairs" -> ((s, dir) =>
+      Similarity.topPairs(Tables.embeddings(s, dir))),
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(Tables.embeddings(s, dir))),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -158,6 +184,56 @@ object SparkEntry {
        |  (z_ret IS NOT NULL AND abs(z_ret) > 3.0) AS is_return_anom,
        |  (z_vol IS NOT NULL AND z_vol > 3.0) AS is_volume_anom
        |  FROM b6)""".stripMargin
+
+  /** DuckDB 60-bit hash matching TextFunctions.hash60. */
+  private def h60(s: String) =
+    s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** Shared oracle CTEs: tokenized documents + distinct-3-gram shingle
+    * index (mirrors TextFunctions.{tokensCol,shinglesCol}).
+    */
+  private val docsCte =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
+
+  /** MinHash signature CTE (mirrors Dedup.minhashSignatures). */
+  private val sigCte = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(i => s"  min(${h60(s"'$i|' || shingle")}) AS h$i")
+      .mkString(",\n")
+    s"""sig AS (SELECT doc_id,
+       |$mins
+       |FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Jaccard-verification CTE chain over candidate pairs `cand(d1,d2)`
+    * (mirrors Dedup.verifyJaccard).
+    */
+  private val jaccardCte =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS i
+      |          FROM cand c
+      |          JOIN sh s1 ON s1.doc_id = c.d1
+      |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |          GROUP BY c.d1, c.d2),
+      |jac AS (SELECT d1, d2,
+      |          round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard
+      |        FROM inter
+      |        JOIN cnt c1 ON c1.doc_id = d1
+      |        JOIN cnt c2 ON c2.doc_id = d2)""".stripMargin
+
+  /** Shared oracle CTEs: embeddings widened to double + norms (mirrors
+    * Similarity.normed).
+    */
+  private val embCte =
+    """WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -229,6 +305,131 @@ object SparkEntry {
          |r AS (SELECT * FROM bars WHERE symbol = 'SYM_7'
          |      ORDER BY bar_start DESC LIMIT 180)
          |SELECT * FROM r ORDER BY bar_start""".stripMargin,
+
+    "text_stats" ->
+      s"""$docsCte
+         |SELECT doc_id, length(text) AS n_chars_text, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+         |  round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""$docsCte,
+         |s AS (SELECT doc_id,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr
+         |  FROM t)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr,
+         |  CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+         |       WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_de >= score_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprints" ->
+      s"""$docsCte
+         |SELECT doc_id, md5(text) AS fp_exact,
+         |  md5(array_to_string(list_sort(toks), ' ')) AS fp_bag,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, tk -> ${h60("tk")} % 1000000)),
+         |    (acc, h) -> (acc * 131 + h) % 1000000000000) AS fp_roll
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "minhash_signatures" ->
+      s"""$docsCte,
+         |$sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$docsCte,
+         |$sigCte,
+         |bands AS (SELECT doc_id, b,
+         |  md5(CASE b
+         |    WHEN 0 THEN concat_ws(',', h0, h1, h2, h3)
+         |    WHEN 1 THEN concat_ws(',', h4, h5, h6, h7)
+         |    WHEN 2 THEN concat_ws(',', h8, h9, h10, h11)
+         |    ELSE concat_ws(',', h12, h13, h14, h15) END) AS bkey
+         |  FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+         |         FROM bands a JOIN bands b2
+         |           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+         |$jaccardCte
+         |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$docsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM sh x JOIN sh y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |$jaccardCte
+         |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$docsCte,
+         |tok AS (SELECT doc_id, ${h60("u.tk")} AS h
+         |        FROM t, unnest(toks) AS u(tk)),
+         |bits AS (SELECT doc_id, j,
+         |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |         FROM tok, unnest(generate_series(0, 59)) AS g(j)
+         |         GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ann_topk" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |        round(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cosine
+         |      FROM q, n WHERE n.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "embed_top_pairs" ->
+      s"""$embCte,
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id1, id2, cosine FROM p ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "ann_ivf" ->
+      s"""$embCte,
+         |cpos AS (SELECT label, g.pos, avg(v[g.pos]) AS cx
+         |         FROM n, unnest(generate_series(1, len(v))) AS g(pos)
+         |         GROUP BY label, g.pos),
+         |cent AS (SELECT label AS c_label, list(round(cx, 6) ORDER BY pos) AS cv
+         |         FROM cpos GROUP BY label),
+         |cn AS (SELECT c_label, cv,
+         |         sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm FROM cent),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |pc AS (SELECT q.query_id, q.qv, q.qn, cn.c_label,
+         |         round(${dotSql("q.qv", "cn.cv")} / (q.qn * cn.c_nrm), 6) AS c_cos
+         |       FROM q, cn),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, c_label) AS c_rank
+         |       FROM pc),
+         |probe AS (SELECT query_id, qv, qn, c_label FROM pr WHERE c_rank <= 2),
+         |sc AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+         |         round(${dotSql("p.qv", "n.v")} / (p.qn * n.nrm), 6) AS cosine
+         |       FROM probe p JOIN n ON n.label = p.c_label AND n.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-processing Column primitives for the training-data pipeline
+  * operators (tokenization, cross-engine hashing, shingling, stopword /
+  * language-marker sets).
+  *
+  * Every primitive is a native Catalyst expression (string builtins +
+  * higher-order array functions) — no UDFs — so plans stay optimizable and
+  * distributed. The hash is md5-derived rather than Spark's murmur3 so the
+  * DuckDB oracle can reproduce it bit-for-bit (`hash()` differs per engine;
+  * md5 is standardized).
+  */
+object TextFunctions {
+
+  /** Documents are space-separated token streams (FIXTURES.md). */
+  def tokensCol(text: Column): Column = split(text, " ")
+
+  /** 60-bit positive hash from the md5 hex digest: cross-engine exact
+    * (DuckDB: `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`). 60 bits keeps
+    * every derived value (shifts, sums) inside a signed 64-bit long.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash signature rows. */
+  def hash60Seeded(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed|"), c))
+
+  /** Distinct token 3-gram shingles of a token array (MinHash/Jaccard
+    * input). `slice` is 1-based; docs have ≥10 tokens so the sequence is
+    * never empty.
+    */
+  def shinglesCol(tokens: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(tokens) - lit(n - 1)),
+      i => concat_ws(" ", slice(tokens, i, lit(n)))))
+
+  /** English function words used for quality scoring (subset present in
+    * the synthetic corpus vocabulary).
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Order = tie-break priority (first listed wins ties).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** Fraction of tokens contained in `words`, rounded to 6 decimals
+    * (cross-engine determinism boundary).
+    */
+  def tokenRatio(tokens: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    round(
+      size(filter(tokens, t => array_contains(set, t))).cast("double")
+        / size(tokens).cast("double"), 6)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication suite for training-data pipelines over `documents`:
+  * exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one shuffle keyed by content hash — the 100 TB baseline.
+  *  - MinHash+LSH: O(n) signature pass + band-bucket join, so candidate
+  *    generation never goes O(n²); only band-colliding pairs are verified
+  *    with an exact Jaccard. This is the standard web-scale near-dup
+  *    pipeline (shingle → minhash → LSH band → verify).
+  *  - SimHash: one 60-bit signature per doc, O(n) map-only; near-dup =
+  *    small Hamming distance, bucketable by signature prefix at scale.
+  *  - n-gram Jaccard: inverted-index join (pairs must share ≥1 shingle) —
+  *    exact but quadratic in the worst case; the LSH path is the scale
+  *    version of the same semantic.
+  *
+  * Hashes are md5-derived (cross-engine exact, see TextFunctions.hash60);
+  * no UDFs anywhere — shingling and signatures are higher-order array
+  * expressions, the rest is joins + aggregations Catalyst can plan freely.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id as the
+    * canonical representative.
+    */
+  def exact(docs: DataFrame): DataFrame = docs
+    .groupBy(md5(col("text")).as("fp"))
+    .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+    .orderBy(col("fp"))
+
+  /** (doc_id, shingle) pairs — the exploded distinct-3-gram inverted
+    * index shared by MinHash and Jaccard.
+    */
+  def shingled(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    explode(shinglesCol(tokensCol(col("text")))).as("shingle"))
+
+  /** MinHash signatures: one row per doc, h0..h15 = min over shingles of
+    * 16 seeded hashes. Single groupBy — the 16 mins ride one shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(hash60Seeded(i, col("shingle"))).as(s"h$i"))
+    shingled(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs whose signatures collide in ≥1 band of 4
+    * consecutive minhash rows. Returns (d1, d2) with d1 < d2, distinct.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val bandKeys = (0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*))
+    }
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * index; keeps pairs with similarity ≥ threshold.
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                    threshold: Double): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signatures → band collisions →
+    * exact-Jaccard verify ≥ threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(lshCandidates(minhashSignatures(docs)), shingled(docs),
+      threshold).orderBy(col("d1"), col("d2"))
+
+  /** Exact n-gram Jaccard near-dup via the inverted index (no LSH):
+    * every pair sharing ≥1 shingle is scored. The exact-but-quadratic
+    * twin of [[minhashLshPairs]].
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(docs)
+    val cand = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold).orderBy(col("d1"), col("d2"))
+  }
+
+  /** 60-bit SimHash per document: sign-aggregated bit votes of every
+    * token hash (term frequency preserved — duplicate tokens vote twice).
+    * Pure higher-order expressions: no explosion, no shuffle, one pass.
+    * (Bit j of token hash extracted via `div pow(2,j)` — exact for j<60
+    * since pow(2,j) is exactly representable — because the shift builtins
+    * take only literal shift amounts.)
+    */
+  def simhash(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(
+        |      transform(split(text, ' '),
+        |        t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+        |      array_repeat(0L, 60),
+        |      (acc, h) -> zip_with(acc,
+        |        transform(sequence(0, 59),
+        |          j -> if(((h div cast(pow(2, j) as bigint)) % 2) = 1, 1L, -1L)),
+        |        (a, b) -> a + b)),
+        |    sequence(0, 59),
+        |    (c, j) -> if(c > 0, cast(pow(2, j) as bigint), 0L)),
+        |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All pure Column expressions (no UDFs) — each operator is a map-only
+  * stage that fuses into the parquet scan under whole-stage codegen; at
+  * 100 TB these parallelize embarrassingly with zero shuffle.
+  *
+  * Determinism: every ratio is rounded to 6 decimals at the output
+  * boundary; decisions (lang_pred) are made FROM the rounded scores so
+  * both engines branch on bit-identical operands.
+  */
+object TextAnalysis {
+
+  /** Token/char statistics + quality score per document.
+    * quality = distinct_ratio × (1 − stopword_ratio) × min(n_tokens/50, 1)
+    * — repetition-, boilerplate- and length-penalized, the standard shape
+    * of heuristic quality filters for LLM corpora.
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nTok = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio =
+      size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
+        .cast("double") / nTok
+    val lengthFactor = least(nTok / lit(50.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_text"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round((length(col("text")) - (size(toks) - lit(1))).cast("double")
+        / nTok, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(distinctRatio * (lit(1.0) - stopRatio) * lengthFactor, 6)
+        .as("quality_score"))
+  }
+
+  /** Stopword-lexicon language ID: score per language = marker-token
+    * ratio; argmax with declaration-order tie-break; all-zero → "und".
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: langMarkers.map { case (lang, words) =>
+        tokenRatio(toks, words).as(s"score_$lang")
+      }: _*)
+    val scores = langMarkers.map { case (lang, _) => col(s"score_$lang") }
+    val allZero = scores.map(_ === 0.0).reduce(_ && _)
+    // each language wins if its (rounded) score >= all later languages'
+    val pred = langMarkers.zipWithIndex.init.foldLeft(when(allZero, "und")) {
+      case (acc, ((lang, _), i)) =>
+        val beatsRest = scores.drop(i + 1).map(col(s"score_$lang") >= _)
+          .reduce(_ && _)
+        acc.when(beatsRest, lang)
+    }.otherwise(langMarkers.last._1)
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Three fingerprints per document:
+    *  - fp_exact: md5 of the raw text (byte-exact dup detection)
+    *  - fp_bag: md5 of the sorted token multiset (order-insensitive)
+    *  - fp_roll: polynomial rolling hash over token hashes, modular so it
+    *    never overflows a signed 64-bit long on any engine
+    */
+  def fingerprints(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    md5(col("text")).as("fp_exact"),
+    md5(concat_ws(" ", array_sort(tokensCol(col("text"))))).as("fp_bag"),
+    expr(
+      """aggregate(
+        |  transform(split(text, ' '),
+        |    t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000),
+        |  0L, (acc, h) -> (acc * 131 + h) % 1000000000000)""".stripMargin)
+      .as("fp_roll"))
+}
