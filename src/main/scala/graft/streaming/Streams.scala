@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.Schemas
+import graft.operators.{Bronze, Gold, Silver}
+
+/** Structured-Streaming wiring for the three lakehouse hops (reference
+  * spark/jobs/{kafka_to_bronze,bronze_to_silver,silver_to_gold}*.py).
+  *
+  * Each hop reuses the SAME pure DataFrame=>DataFrame transform as the
+  * batch path (Bronze.fromKafkaLike / Silver.projectToSilver / Gold.bars) —
+  * the structural split the reference already has (`project_to_silver`
+  * used by both backfill :82 and stream :100). Streaming adds only:
+  * watermarks, stateful dedup, sinks, checkpoints, triggers.
+  *
+  * Semantics preserved (SURVEY §2.9): 2-minute watermark on BOTH the
+  * silver dedup and the gold aggregation; append output mode everywhere
+  * (bars emit once, finalized, when the watermark passes bar_end);
+  * `maxFilesPerTrigger` backpressure; per-query checkpoints.
+  *
+  * Scale: state per dedup key is O(1) and expires with the watermark;
+  * gold agg state is one row per (symbol, window). The shuffle keyed by
+  * dedup-keys / (symbol, window) is the same one the batch plan needs —
+  * no extra exchanges. At 100 TB/day the knobs that matter are
+  * maxFilesPerTrigger (ingest batch sizing) and shuffle partitions;
+  * the operators themselves are unchanged.
+  */
+object Streams {
+
+  val DefaultWatermark = "2 minutes"
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  // ---- sources (S2: schema-required parquet file streams) ----
+
+  def bronzeStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(Schemas.bronze)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(dir)
+  }
+
+  def silverStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(Schemas.silver)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(dir)
+  }
+
+  // ---- stateful transforms (A8, A1) ----
+
+  /** Streaming dedup: watermark bounds the key state; duplicates within
+    * the watermark are suppressed, later ones may re-emit (state evicted)
+    * — exact reference semantics (bronze_to_silver_trades.py:100-102).
+    */
+  def dedupStreaming(silver: DataFrame,
+                     watermark: String = DefaultWatermark): DataFrame =
+    silver.withWatermark("event_time", watermark)
+      .dropDuplicates(Silver.dedupKeys)
+
+  /** Streaming OHLCV bars: same aggregation expressions as the batch
+    * Gold.bars, preceded by a watermark (silver_to_gold_bars.py:34-49).
+    */
+  def goldBarsStream(silver: DataFrame, barWidth: String = "1 minute",
+                     watermark: String = DefaultWatermark): DataFrame =
+    Gold.bars(silver.withWatermark("event_time", watermark), barWidth)
+
+  // ---- sinks (K1-K3) ----
+
+  /** Append-mode snappy-parquet streaming sink with optional partition
+    * columns — the shape all three hops share.
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  partitionCols: Seq[String] = Nil,
+                  trigger: Trigger = DefaultTrigger): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "snappy")
+      .outputMode("append")
+      .trigger(trigger)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
+  // ---- the three hops (K5 lifecycle; call .awaitTermination() on the
+  //      returned query in a real deployment) ----
+
+  /** Hop 1: Kafka-shaped stream → bronze parquet (kafka_to_bronze_trades.py).
+    * `kafkaFrame` is any streaming DataFrame with the 7 standard Kafka
+    * columns (a real Kafka source drops in unchanged; see TradeSource).
+    */
+  def kafkaLikeToBronze(kafkaFrame: DataFrame, bronzeDir: String,
+                        checkpoint: String,
+                        trigger: Trigger = DefaultTrigger): StreamingQuery =
+    parquetSink(Bronze.fromKafkaLike(kafkaFrame), bronzeDir, checkpoint,
+      trigger = trigger).start()
+
+  /** Hop 2: bronze dir → parsed, deduped silver parquet partitioned by
+    * event_date (bronze_to_silver_trades.py; backfill = the batch path
+    * with the same projectToSilver).
+    */
+  def bronzeToSilver(spark: SparkSession, bronzeDir: String, silverDir: String,
+                     checkpoint: String, watermark: String = DefaultWatermark,
+                     trigger: Trigger = DefaultTrigger,
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    parquetSink(
+      dedupStreaming(
+        Silver.projectToSilver(bronzeStream(spark, bronzeDir, maxFilesPerTrigger)),
+        watermark),
+      silverDir, checkpoint, partitionCols = Seq("event_date"),
+      trigger = trigger).start()
+
+  /** Hop 3: silver dir → finalized 1-minute bars partitioned by
+    * (bar_date, symbol) (silver_to_gold_bars.py; partition values with
+    * `/` in symbols are URL-escaped by Spark, round-trip tested).
+    */
+  def silverToGold(spark: SparkSession, silverDir: String, goldDir: String,
+                   checkpoint: String, barWidth: String = "1 minute",
+                   watermark: String = DefaultWatermark,
+                   trigger: Trigger = DefaultTrigger,
+                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    parquetSink(
+      goldBarsStream(silverStream(spark, silverDir, maxFilesPerTrigger),
+        barWidth, watermark),
+      goldDir, checkpoint, partitionCols = Seq("bar_date", "symbol"),
+      trigger = trigger).start()
+
+  /** Batch backfill for hop 2 (bronze_to_silver_trades.py:79-88): same
+    * transform, batch write, append + partitionBy.
+    */
+  def backfillSilver(spark: SparkSession, bronzeDir: String,
+                     silverDir: String): Unit =
+    Silver.dedup(Silver.projectToSilver(
+        spark.read.schema(Schemas.bronze).parquet(bronzeDir)))
+      .write.mode("append").partitionBy("event_date")
+      .option("compression", "snappy").parquet(silverDir)
+}

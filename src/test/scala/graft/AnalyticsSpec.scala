@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.Schemas.Bar
+import graft.operators.Analytics
+
+/** Window-analytics semantics (reference notebooks/analysis.ipynb N3-N5). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bar(sym: String, minute: Int, close: Double,
+                  volume: Double = 1.0, open: Double = 0.0): Bar = {
+    val start = ts(f"2024-01-01 10:$minute%02d:00")
+    Bar(sym, start, new Timestamp(start.getTime + 60000),
+      if (open == 0.0) close else open, close, close, close,
+      volume, close, 1L, Date.valueOf("2024-01-01"))
+  }
+
+  test("prev_close/ret via lag; first bar has null ret") {
+    val rows = Analytics.withReturns(Analytics.withTsSeconds(
+      Seq(bar("B", 0, 100.0), bar("B", 1, 110.0)).toDS.toDF))
+      .orderBy("bar_start").collect()
+    assert(rows(0).getAs[Any]("prev_close") == null)
+    assert(rows(0).getAs[Any]("ret") == null) // when-without-otherwise => null
+    assert(rows(1).getAs[Double]("prev_close") == 100.0)
+    assert(math.abs(rows(1).getAs[Double]("ret") - 0.1) < 1e-12)
+  }
+
+  test("rolling RANGE window EXCLUDES the current row") {
+    // 3 bars; for the 3rd, mu over window = avg(logret_1, logret_2) must
+    // not include its own logret. With closes 100,110,121 logret_2 and
+    // logret_3 are both ln(1.1); if the current row leaked in, sd would
+    // still be ~0 BUT mu at row 2 would change from null-skipped single
+    // value. Check counts via ret_mu at bar 1: only bar 0's logret (null)
+    // => ret_mu null.
+    val rows = Analytics.withRollingStats(Analytics.withReturns(
+      Analytics.withTsSeconds(
+        Seq(bar("B", 0, 100.0), bar("B", 1, 110.0), bar("B", 2, 121.0))
+          .toDS.toDF)))
+      .orderBy("bar_start").collect()
+    // bar 0: frame is empty => mu null
+    assert(rows(0).getAs[Any]("ret_mu") == null)
+    // bar 1: frame = {bar0.logret = null} => avg skips nulls => null
+    assert(rows(1).getAs[Any]("ret_mu") == null)
+    // bar 2: frame = {bar0: null, bar1: ln(1.1)} => mu = round(ln(1.1),6)
+    assert(rows(2).getAs[Double]("ret_mu") ==
+      BigDecimal(math.log(1.1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // sd over a single value (n-1 denominator) => null; z guarded => null
+    assert(rows(2).getAs[Any]("ret_sd") == null)
+    assert(rows(2).getAs[Any]("z_ret") == null)
+  }
+
+  test("volume anomaly is one-sided, return anomaly two-sided") {
+    // construct z-scores directly through enrich on a crafted series: 40
+    // gently-oscillating bars (sd must exceed the 1e-12 guard or z is
+    // null) then a crash => z_ret large negative, z_vol large positive
+    val flat = (0 to 39).map(i =>
+      bar("B", i, if (i % 2 == 0) 100.0 else 101.0,
+        volume = if (i % 2 == 0) 1.0 else 1.1))
+    val crash = bar("B", 40, 50.0, volume = 100.0)
+    val rows = Analytics.enrich(
+      (flat :+ crash).toDS.toDF).orderBy("bar_start").collect()
+    val last = rows.last
+    assert(last.getAs[Double]("z_ret") < -3.0)
+    assert(last.getAs[Boolean]("is_return_anom"))
+    assert(last.getAs[Double]("z_vol") > 3.0)
+    assert(last.getAs[Boolean]("is_volume_anom"))
+    // a negative-volume-z bar can never be a volume anomaly (one-sided):
+    assert(rows.forall(r => r.getAs[Any]("z_vol") == null ||
+      r.getAs[Double]("z_vol") > 3.0 == r.getAs[Boolean]("is_volume_anom")))
+  }
+
+  test("enrich and enrichViaJoins agree") {
+    val bars = (0 to 35).map(i => bar("B", i, 100.0 + i)) ++
+      (0 to 35).map(i => bar("E", i, 50.0 + 2 * i))
+    val a = Analytics.enrich(bars.toDS.toDF)
+      .select("symbol", "bar_start", "ret", "logret", "z_ret", "z_vol",
+        "next_open", "gap_pct", "is_return_anom", "is_volume_anom")
+      .orderBy("symbol", "bar_start").collect().toSeq
+    val b = Analytics.enrichViaJoins(bars.toDS.toDF)
+      .select("symbol", "bar_start", "ret", "logret", "z_ret", "z_vol",
+        "next_open", "gap_pct", "is_return_anom", "is_volume_anom")
+      .orderBy("symbol", "bar_start").collect().toSeq
+    assert(a == b)
+  }
+
+  test("lastK returns the most recent K in ascending order") {
+    val bars = (0 to 30).map(i => bar("B", i, 100.0 + i))
+    val rows = Analytics.lastK(bars.toDS.toDF, 5).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Timestamp]("bar_start").getTime).toSeq ==
+      rows.map(_.getAs[Timestamp]("bar_start").getTime).toSeq.sorted)
+    assert(rows.last.getAs[Timestamp]("bar_start") == ts("2024-01-01 10:30:00"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Schemas.Trade
+import graft.operators.{Bronze, Gold, Silver}
+import graft.streaming.Streams
+
+/** Streaming semantics: watermarks, append finalization, stateful dedup,
+  * file-to-file pipeline, partition-value escaping (SURVEY §2.9, §5.2.3).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trade(sym: String, t: String, price: Double, size: Double = 1.0) =
+    Trade("kraken", sym, price, size, "buy", "market", ts(t))
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("gold bars emit only after the watermark passes bar_end (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = Streams.goldBarsStream(in.toDF)
+      .writeStream.format("memory").queryName("bars_wm").outputMode("append")
+      .start()
+    try {
+      in.addData(trade("BTC", "2024-01-01 10:00:10", 100.0),
+        trade("BTC", "2024-01-01 10:00:50", 110.0))
+      q.processAllAvailable()
+      // watermark still at 10:00:50 - 2min => nothing finalized
+      assert(spark.table("bars_wm").count() == 0)
+      // sentinel 5 minutes later pushes watermark past 10:01
+      in.addData(trade("BTC", "2024-01-01 10:05:30", 120.0))
+      q.processAllAvailable()
+      in.addData(trade("BTC", "2024-01-01 10:05:40", 121.0))
+      q.processAllAvailable()
+      val bars = spark.table("bars_wm").collect()
+      assert(bars.length == 1)
+      assert(bars.head.getAs[Double]("open") == 100.0)
+      assert(bars.head.getAs[Double]("close") == 110.0)
+      assert(bars.head.getAs[Long]("trades") == 2L)
+    } finally q.stop()
+  }
+
+  test("beyond-watermark late trade is dropped from the aggregation") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = Streams.goldBarsStream(in.toDF)
+      .writeStream.format("memory").queryName("bars_late").outputMode("append")
+      .start()
+    try {
+      in.addData(trade("BTC", "2024-01-01 10:00:10", 100.0))
+      q.processAllAvailable()
+      in.addData(trade("BTC", "2024-01-01 10:10:00", 200.0)) // watermark → 10:08
+      q.processAllAvailable()
+      in.addData(trade("BTC", "2024-01-01 10:00:20", 999.0)) // too late, dropped
+      q.processAllAvailable()
+      in.addData(trade("BTC", "2024-01-01 10:15:00", 201.0))
+      q.processAllAvailable()
+      val bar0 = spark.table("bars_late")
+        .filter(col("bar_start") === ts("2024-01-01 10:00:00")).collect()
+      assert(bar0.length == 1)
+      assert(bar0.head.getAs[Long]("trades") == 1L) // the 999.0 never landed
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses duplicates within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val silverLike = in.toDF // already has the dedup key columns
+    val q = Streams.dedupStreaming(silverLike)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append")
+      .start()
+    try {
+      val t0 = trade("BTC", "2024-01-01 10:00:10", 100.0)
+      in.addData(t0, t0) // duplicate within one batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 1)
+      in.addData(t0) // duplicate across batches, still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 1)
+      in.addData(trade("BTC", "2024-01-01 10:00:10", 101.0)) // different price
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("file pipeline: bronze dir → silver dir → gold dir equals batch result") {
+    val bronzeDir = tmpDir("graft_bronze")
+    val silverDir = tmpDir("graft_silver")
+    val goldDir = tmpDir("graft_gold")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events))
+      .write.mode("overwrite").parquet(bronzeDir)
+
+    val q1 = Streams.bronzeToSilver(spark, bronzeDir, silverDir,
+      tmpDir("graft_ck1"), trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    val q2 = Streams.silverToGold(spark, silverDir, goldDir,
+      tmpDir("graft_ck2"), trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val silverBatch = Silver.dedup(Silver.projectToSilver(
+      spark.read.schema(Schemas.bronze).parquet(bronzeDir)))
+    // silver stream emits everything (dedup emits on arrival)
+    val gotSilver = spark.read.parquet(silverDir)
+    assert(gotSilver.count() == silverBatch.count())
+
+    // gold stream emits only bars finalized by the watermark:
+    // bar_end <= max(event_time) - 2 minutes
+    val maxEt = silverBatch.agg(max(col("event_time"))).collect().head
+      .getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxEt.getTime - 120000L)
+    val expected = Gold.bars(silverBatch)
+      .filter(col("bar_end") <= lit(cutoff))
+      .orderBy("symbol", "bar_start")
+      .collect().toSeq
+    val got = spark.read.parquet(goldDir)
+      .select(expected.headOption.map(_ => Gold.bars(silverBatch).columns)
+        .getOrElse(Array.empty[String]).map(col).toSeq: _*)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("partition values with '/' in symbol round-trip (escaped dirs)") {
+    val dir = tmpDir("graft_part")
+    val df = Seq(("XBT/USDT", 1.0), ("ETH-USD", 2.0)).toDF("symbol", "x")
+    df.write.mode("overwrite").partitionBy("symbol").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("x").collect()
+    assert(back.map(_.getAs[String]("symbol")).toSeq == Seq("XBT/USDT", "ETH-USD"))
+    // the directory itself is URL-escaped
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("symbol="))
+    assert(dirs.exists(_.contains("XBT%2FUSDT")))
+  }
+
+  test("checkpointed restart does not reprocess committed batches") {
+    val bronzeDir = tmpDir("graft_bronze2")
+    val silverDir = tmpDir("graft_silver2")
+    val ck = tmpDir("graft_ck3")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val frame = Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events))
+    frame.limit(100).write.mode("overwrite").parquet(bronzeDir)
+
+    val q1 = Streams.bronzeToSilver(spark, bronzeDir, silverDir, ck,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(silverDir).count()
+
+    // restart with the same checkpoint: no new files => no new rows
+    val q2 = Streams.bronzeToSilver(spark, bronzeDir, silverDir, ck,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(spark.read.parquet(silverDir).count() == n1)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: text stats, dedup, similarity. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("text stats: counts and ratios") {
+    val r = TextAnalysis.stats(docs("the cat sat on the mat")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_distinct_tokens") == 5) // 'the' twice
+    assert(r.getAs[Double]("stopword_ratio") ==
+      BigDecimal(3.0 / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val r = Dedup.exact(docs("a b c", "a b c", "x y z")).collect()
+    assert(r.length == 2)
+    val dup = r.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("rep_doc_id") == 0L)
+  }
+
+  test("identical docs have identical minhash signatures and simhash") {
+    val d = docs("a b c d e f g h", "a b c d e f g h")
+    val sigs = Dedup.minhashSignatures(d).collect()
+    assert(sigs.length == 2)
+    assert(sigs(0).toSeq.tail == sigs(1).toSeq.tail)
+    val sims = Dedup.simhash(d).collect()
+    assert(sims(0).getAs[Long]("simhash") == sims(1).getAs[Long]("simhash"))
+  }
+
+  test("LSH catches near-identical docs; jaccard verified exactly") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 130).map(i => s"other$i").mkString(" ")
+    val pairs = Dedup.minhashLshPairs(docs(base, near, far), threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("d1") == 0L)
+    assert(pairs.head.getAs[Long]("d2") == 1L)
+    // 28 shingles each; the changed LAST token is only in the final
+    // shingle => 27 shared, union 29 => jaccard 27/29
+    assert(pairs.head.getAs[Double]("jaccard") ==
+      BigDecimal(27.0 / 29).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ngram jaccard finds the same verified pairs as LSH on near-dups") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i == 15) "CHANGED" else s"tok$i").mkString(" ")
+    val lsh = Dedup.minhashLshPairs(docs(base, near), 0.5).collect().toSeq
+    val ng = Dedup.ngramJaccardPairs(docs(base, near), 0.5).collect().toSeq
+    assert(ng == lsh)
+  }
+
+  test("vecDot matches manual dot product; norm is L2") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(Vectors.vecDot(col("a"), col("b")).as("d"),
+        Vectors.vecNorm(col("a")).as("n"))
+    val r = df.collect().head
+    assert(r.getAs[Double]("d") == 32.0)
+    assert(r.getAs[Double]("n") == math.sqrt(14.0))
+  }
+
+  test("brute-force ANN: identical vector is the top neighbor with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),  // identical to query 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.7f, 0.7f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.annBruteForce(vecs, nQueries = 1, k = 3).collect()
+    assert(r.head.getAs[Long]("neighbor_id") == 1L)
+    assert(r.head.getAs[Double]("cosine") == 1.0)
+    // ranks are 1..3, cosine non-increasing
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val cosines = r.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+
+  test("IVF ANN with nProbe=all cells matches brute force") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val bf = Similarity.annBruteForce(vecs, nQueries = 3, k = 5).collect().toSeq
+    val ivf = Similarity.annIvf(vecs, nQueries = 3, k = 5, nProbe = 4).collect().toSeq
+    assert(ivf == bf)
+  }
+}
