@@ -123,6 +123,29 @@ object SparkEntry {
       Similarity.topPairs(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir))),
+
+    // ---- multimodal binary columns (media derived from documents) ----
+
+    "media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+    "media_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"), col("frame_idx"))),
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+    "media_decode" -> ((s, dir) =>
+      Multimodal.decodeStub(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+    "media_byte_histogram" -> ((s, dir) =>
+      Multimodal.byteHistogram(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"), col("bin"))),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -406,6 +429,50 @@ object SparkEntry {
          |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id1, id2, cosine FROM p ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "media_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(text) AS n_bytes,
+        |  CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(32 + (doc_id % 5) * 32 AS INT) AS height,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CAST((length(text) + 255) // 256 AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    CAST((length(text) + 255) // 256 AS INT) AS nf
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2)
+        |SELECT media_id, CAST(g.i AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(g.i AS INT) * 256 + 1, 256)) AS frame_md5,
+        |  length(substr(text, CAST(g.i AS INT) * 256 + 1, 256)) AS frame_bytes
+        |FROM m, unnest(generate_series(0, nf - 1, 4)) AS g(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "media_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((32 + (doc_id % 8) * 16) // 2 AS INT) AS width,
+        |  CAST((32 + (doc_id % 5) * 32) // 2 AS INT) AS height,
+        |  md5(substr(text, 1, CAST((length(text) + 3) // 4 AS INT))) AS resized_md5,
+        |  CAST((length(text) + 3) // 4 AS INT) AS resized_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(32 + (doc_id % 5) * 32 AS INT) AS height,
+        |  round(CAST(sum(ascii(substr(text, g.i, 1))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_intensity
+        |FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "media_byte_histogram" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(ascii(substr(text, g.i, 1)) // 4 AS INT) AS bin,
+        |  count(*) AS cnt
+        |FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+        |GROUP BY 1, 2 ORDER BY media_id, bin""".stripMargin,
 
     "ann_ivf" ->
       s"""$embCte,

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling for training-data pipelines: image/audio/
+  * video as opaque `binary` columns with typed metadata.
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (statistics over the raw bytes stand
+  * in for pixel/sample decoding) — but every piece of Spark plumbing
+  * around it is real and tested: the binary+metadata schema, pure-Column
+  * byte slicing for frame sampling, and the per-partition typed
+  * `mapPartitions` batch shape a real decoder plugs into (decoder
+  * contexts are expensive; you initialize one per PARTITION, not per row
+  * — exactly where ffmpeg/ImageIO/JNI handles would live at 100 TB).
+  *
+  * Scale: all ops are map-only over the media table (no shuffle);
+  * binary payloads stay columnar in parquet; frame sampling prunes bytes
+  * BEFORE any downstream shuffle, which is the difference between moving
+  * 100 TB and moving 3 TB of sampled frames.
+  */
+object Multimodal {
+
+  val FrameBytes = 256
+
+  /** Deterministic media table derived from `documents`: content = utf-8
+    * bytes of the text (a stand-in for real image/audio/video payloads),
+    * kind and metadata derived from doc_id. Schema is the real contract:
+    * (media_id long, kind string, content binary,
+    *  meta struct<width int, height int, sample_rate int, format string>).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id").as("media_id"),
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3).cast("int") + 1).as("kind"),
+    col("text").cast("binary").as("content"),
+    struct(
+      (lit(32) + (col("doc_id") % 8).cast("int") * 16).as("width"),
+      (lit(32) + (col("doc_id") % 5).cast("int") * 32).as("height"),
+      lit(16000).as("sample_rate"),
+      element_at(array(lit("png"), lit("wav"), lit("mp4")),
+        (col("doc_id") % 3).cast("int") + 1).as("format")).as("meta"))
+
+  /** Byte-level stats + frame count from metadata — pure Columns. */
+  def mediaStats(media: DataFrame): DataFrame = media.select(
+    col("media_id"), col("kind"),
+    length(col("content")).as("n_bytes"),
+    col("meta.width").as("width"),
+    col("meta.height").as("height"),
+    col("meta.format").as("format"),
+    ((length(col("content")) + lit(FrameBytes - 1)) / lit(FrameBytes))
+      .cast("int").as("n_frames"))
+
+  /** Frame sampling: every `every`-th fixed-size byte window of the
+    * content, fingerprinted. Pure Columns — `substring` slices BinaryType
+    * directly; the explode carries only sampled frames downstream.
+    */
+  def frameSample(media: DataFrame, every: Int = 4): DataFrame = {
+    val nFrames = ((length(col("content")) + lit(FrameBytes - 1))
+      / lit(FrameBytes)).cast("int")
+    media
+      .where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"),
+        col("content"))
+      .select(col("media_id"), col("frame_idx"),
+        md5(substring(col("content"),
+          col("frame_idx") * FrameBytes + 1, lit(FrameBytes))).as("frame_md5"),
+        length(substring(col("content"),
+          col("frame_idx") * FrameBytes + 1, lit(FrameBytes))).as("frame_bytes"))
+  }
+
+  /** Resize STUB: the "resized" payload is deterministically the first
+    * quarter of the bytes (a real implementation decodes, scales with an
+    * image library, re-encodes). Metadata transform + fingerprint are
+    * the real contract being exercised.
+    */
+  def resizeStub(media: DataFrame, factor: Int = 2): DataFrame = media.select(
+    col("media_id"),
+    (col("meta.width") / factor).cast("int").as("width"),
+    (col("meta.height") / factor).cast("int").as("height"),
+    md5(substring(col("content"), lit(1),
+      ((length(col("content")) + lit(3)) / lit(4)).cast("int")))
+      .as("resized_md5"),
+    ((length(col("content")) + lit(3)) / lit(4)).cast("int")
+      .as("resized_bytes"))
+
+  /** Decode STUB over the real per-partition batch shape: one "decoder"
+    * per partition (where an ImageIO/ffmpeg context would be created),
+    * rows streamed through it. The stub "decodes" to mean byte intensity;
+    * a real decoder returns pixel arrays with the same plumbing.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = media.select(col("media_id"), col("content"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+    typed.mapPartitions { rows =>
+      // real impl: val decoder = Decoder.open(...) — once per partition
+      rows.map { case (id, bytes, w, h) =>
+        var s = 0L
+        var i = 0
+        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else BigDecimal(s.toDouble / bytes.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, w, h, mean)
+      }
+    }.toDF("media_id", "width", "height", "mean_intensity")
+  }
+
+  /** 64-bin byte histogram (feature extraction) via the same typed
+    * per-partition shape; emits (media_id, bin, cnt) rows so results are
+    * flat-relational (no array columns in the comparison surface).
+    */
+  def byteHistogram(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+    typed.flatMap { case (id, bytes) =>
+      val hist = new Array[Long](64)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) / 4) += 1; i += 1 }
+      hist.iterator.zipWithIndex.collect {
+        case (n, bin) if n > 0 => (id, bin, n)
+      }
+    }.toDF("media_id", "bin", "cnt")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing: schema, slicing, typed
+  * mapPartitions batch shape.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(
+    Seq((0L, "a" * 300), (1L, "b" * 600), (2L, "c" * 1000))
+      .toDF("doc_id", "text"))
+
+  test("media schema: binary content + typed metadata struct") {
+    val m = media
+    assert(m.schema("content").dataType.typeName == "binary")
+    val meta = m.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("width", "height", "sample_rate", "format"))
+  }
+
+  test("frame sampling slices fixed-size byte windows of videos only") {
+    // doc_id 2 is the only kind='video' (doc_id % 3 == 2); 1000 bytes
+    // => 4 frames, sampled every 4th => frame 0 only
+    val f = Multimodal.frameSample(media).collect()
+    assert(f.map(_.getAs[Long]("media_id")).distinct.toSeq == Seq(2L))
+    assert(f.length == 1)
+    assert(f.head.getAs[Int]("frame_idx") == 0)
+    assert(f.head.getAs[Int]("frame_bytes") == 256)
+  }
+
+  test("decode stub computes per-row mean intensity through mapPartitions") {
+    val d = Multimodal.decodeStub(spark, media).orderBy("media_id").collect()
+    assert(d.length == 3)
+    assert(d(0).getAs[Double]("mean_intensity") == 'a'.toInt.toDouble)
+    assert(d(1).getAs[Double]("mean_intensity") == 'b'.toInt.toDouble)
+    // metadata rode along
+    assert(d(0).getAs[Int]("width") == 32)
+    assert(d(1).getAs[Int]("width") == 48)
+  }
+
+  test("byte histogram counts every byte exactly once") {
+    val h = Multimodal.byteHistogram(spark, media)
+    val totals = h.groupBy("media_id").agg(sum("cnt").as("n"))
+      .orderBy("media_id").collect()
+    assert(totals.map(_.getAs[Long]("n")).toSeq == Seq(300L, 600L, 1000L))
+    // 'a' = 97 => bin 24
+    val binsFor0 = h.filter(col("media_id") === 0L).collect()
+    assert(binsFor0.length == 1)
+    assert(binsFor0.head.getAs[Int]("bin") == 24)
+  }
+
+  test("resize stub quarters the payload and halves dimensions") {
+    val r = Multimodal.resizeStub(media).orderBy("media_id").collect()
+    assert(r(0).getAs[Int]("resized_bytes") == 75)  // ceil(300/4)
+    assert(r(2).getAs[Int]("resized_bytes") == 250)
+    assert(r(0).getAs[Int]("width") == 16)
+  }
+}
