@@ -123,6 +123,8 @@ object SparkEntry {
       Similarity.topPairs(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir))),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
 
     // ---- multimodal binary columns (media derived from documents) ----
 
@@ -332,6 +334,7 @@ object SparkEntry {
     "text_stats" ->
       s"""$docsCte
          |SELECT doc_id, length(text) AS n_chars_text, len(toks) AS n_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_re,
          |  len(list_distinct(toks)) AS n_distinct_tokens,
          |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
          |  round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
@@ -429,6 +432,14 @@ object SparkEntry {
          |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id1, id2, cosine FROM p ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      s"""$embCte,
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.45
+         |ORDER BY id1, id2""".stripMargin,
 
     "media_stats" ->
       """SELECT doc_id AS media_id,

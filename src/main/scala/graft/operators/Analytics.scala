@@ -120,4 +120,13 @@ object Analytics {
     val recent = df.orderBy(col("bar_start").desc).limit(k)
     recent.orderBy(col("bar_start").asc)
   }
+
+  /** Driver-side row streaming for plotting/export (O4 — the reference
+    * N5 `toLocalIterator` loop): rows arrive one partition at a time, so
+    * driver memory stays O(partition), not O(result).
+    */
+  def streamToDriver(df: DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
 }

@@ -42,8 +42,15 @@ object Gold {
     trades
       .groupBy(col("symbol"), window(col("event_time"), barWidth).as("w"))
       .agg(
-        min(struct(col("event_time"), col("price"))).as("open_s"),
-        max(struct(col("event_time"), col("price"))).as("close_s"),
+        // argmin/argmax with the struct-min tie-break (same semantics as
+        // the reference's min/max(struct(event_time, price)) trick) but
+        // hash-aggregable: see org.apache.spark.sql.graft.ArgExtremum —
+        // a struct-typed buffer would force a SortAggregate (two extra
+        // full sorts of the trade stream at scale)
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMin(col("price"), col("event_time")).as("open"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMax(col("price"), col("event_time")).as("close"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
         decSum(col("size"), DecimalType(20, 6)).as("vol_d"),
@@ -53,10 +60,10 @@ object Gold {
         col("symbol"),
         col("w.start").as("bar_start"),
         col("w.end").as("bar_end"),
-        col("open_s.price").as("open"),
+        col("open"),
         col("high"),
         col("low"),
-        col("close_s.price").as("close"),
+        col("close"),
         col("vol_d").cast("double").as("volume"),
         (col("notional_d").cast("double") / col("vol_d").cast("double")).as("vwap"),
         col("trades"),

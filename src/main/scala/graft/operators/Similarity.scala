@@ -70,6 +70,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    * threshold (the last member of the dedup suite — near-dup by
+    * embedding rather than text). Exact O(n²) here; at 100 TB bucket by
+    * coarse quantization (IVF cells / LSH hyperplane signs) first and
+    * compare within buckets only, like [[Dedup.minhashLshPairs]].
+    */
+  def cosineNearDupPairs(embeddings: DataFrame,
+                         threshold: Double = 0.45): DataFrame = {
+    val n = normed(embeddings)
+    val a = n.select(col("vec_id").as("id1"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val b = n.select(col("vec_id").as("id2"), col("v"), col("nrm"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** IVF ANN: centroid per label cell (element-wise mean, rounded to 6
     * decimals so cell assignment is cross-engine deterministic), probe the
     * nProbe closest cells per query, exact top-k within probed cells.

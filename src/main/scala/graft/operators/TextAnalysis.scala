@@ -35,6 +35,11 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).as("n_chars_text"),
       size(toks).as("n_tokens"),
+      // BPE-ish regex tokenization: letter runs, digit runs, and single
+      // punctuation marks each count as one token (subword-style
+      // segmentation without a merges table)
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens_re"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
       round(distinctRatio, 6).as("distinct_ratio"),
       round((length(col("text")) - (size(toks) - lit(1))).cast("double")

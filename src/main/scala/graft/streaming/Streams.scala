@@ -34,6 +34,17 @@ object Streams {
   val DefaultWatermark = "2 minutes"
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 
+  /** Streaming commit tuning (T8, reference kafka_to_bronze_trades.py:
+    * 38-40): manifest-based exactly-once file commits + short metadata
+    * retention for fast local commits. Call once per session before
+    * starting file-sink queries.
+    */
+  def applyCommitTuning(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.commitProtocolClass",
+      "org.apache.spark.sql.execution.streaming.ManifestFileCommitProtocol")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+  }
+
   // ---- sources (S2: schema-required parquet file streams) ----
 
   def bronzeStream(spark: SparkSession, dir: String,
