@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.Schemas.Trade
+import graft.operators.{Gold, Silver}
+
+/** Property-based invariants over random trade sets (SURVEY §5.2.4).
+  * Uses ScalaCheck generators with FIXED seeds (deterministic CI) driven
+  * from a plain FunSuite — the scalatest/scalacheck bridge artifact is
+  * not on the offline classpath.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseMs = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private val genTrade: Gen[Trade] = for {
+    sym <- Gen.oneOf("BTC/USD", "ETH/USD", "SOL/USD")
+    offsetSec <- Gen.choose(0L, 1800L)
+    ms <- Gen.choose(0L, 999L)
+    price <- Gen.choose(1, 99999).map(_ / 100.0) // 2-decimal positive
+    size <- Gen.choose(1, 9999).map(_ / 1000.0)  // 3-decimal positive
+    side <- Gen.oneOf("buy", "sell")
+  } yield Trade("kraken", sym, price, size, side, "market",
+    new Timestamp(baseMs + offsetSec * 1000 + ms))
+
+  private def sampleTrades(seed: Long, n: Int): List[Trade] =
+    Gen.listOfN(n, genTrade).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("OHLCV invariants hold for arbitrary trade sets") {
+    for (seed <- 1L to 8L) {
+      val trades = sampleTrades(seed, 200)
+      val bars = Gold.bars(trades.toDS.toDF).collect()
+      // bars partition the trades: counts sum to input size
+      assert(bars.map(_.getAs[Long]("trades")).sum == trades.size, s"seed=$seed")
+      bars.foreach { b =>
+        val (o, h, l, c, v, vwap) = (b.getAs[Double]("open"),
+          b.getAs[Double]("high"), b.getAs[Double]("low"),
+          b.getAs[Double]("close"), b.getAs[Double]("volume"),
+          b.getAs[Double]("vwap"))
+        assert(l <= o && o <= h, s"open outside [low,high] seed=$seed")
+        assert(l <= c && c <= h, s"close outside [low,high] seed=$seed")
+        assert(l <= vwap + 1e-9 && vwap <= h + 1e-9,
+          s"vwap outside [low,high] seed=$seed")
+        assert(v > 0.0, s"non-positive volume seed=$seed")
+      }
+      // volume equals the exact decimal sum of sizes per (symbol, minute)
+      val bySym = trades.groupBy(t =>
+        (t.symbol, t.event_time.getTime / 60000)).map { case (_, ts) =>
+        ts.map(t => BigDecimal(t.size)).sum.toDouble
+      }.toSeq.sorted
+      assert(bars.map(_.getAs[Double]("volume")).toSeq.sorted == bySym,
+        s"volume mismatch seed=$seed")
+    }
+  }
+
+  test("dedup is idempotent and never increases distinct keys") {
+    for (seed <- 1L to 4L) {
+      // force duplicates by sampling a SMALL trade space
+      val trades = sampleTrades(seed, 300)
+      val dup = (trades ++ trades.take(150)).toDS.toDF
+      val once = Silver.dedup(dup)
+      val distinctKeys = dup.select(Silver.dedupKeys.map(col): _*).distinct()
+      assert(once.count() == distinctKeys.count(), s"seed=$seed")
+      assert(Silver.dedup(once).count() == once.count(), s"seed=$seed")
+    }
+  }
+
+  test("bars are invariant to trade arrival order") {
+    for (seed <- 1L to 4L) {
+      val trades = sampleTrades(seed, 200)
+      val a = Gold.bars(trades.toDS.toDF)
+        .orderBy("symbol", "bar_start").collect().toSeq
+      val b = Gold.bars(scala.util.Random.shuffle(trades).toDS.toDF)
+        .orderBy("symbol", "bar_start").collect().toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
+}
