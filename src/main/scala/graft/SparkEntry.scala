@@ -222,10 +222,13 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
       |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
 
-  /** MinHash signature CTE (mirrors Dedup.minhashSignatures). */
+  /** MinHash signature CTE (mirrors Dedup.minhashSignatures /
+    * TextFunctions.hash60Seeded's universal-hash family).
+    */
   private val sigCte = {
     val mins = (0 until Dedup.NumHashes)
-      .map(i => s"  min(${h60(s"'$i|' || shingle")}) AS h$i")
+      .map(i => s"  min(((${h60("shingle")} % 2147483647) * ${2 * i + 1} " +
+        s"+ ${7919L * (i + 1)}) % 2147483647) AS h$i")
       .mkString(",\n")
     s"""sig AS (SELECT doc_id,
        |$mins
