@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Registered via the standard extension point:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+  * }}}
+  * after which `SELECT vec_dot(a, b)`, `arg_min_tb(value, ord)` and
+  * `arg_max_tb(value, ord)` work from plain SQL. [[GraftExtensions.register]]
+  * adds the same functions to an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  /** (identifier, info, builder) triples for every SQL-exposed function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - sequential-fold dot product of two array<double>"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))),
+    (FunctionIdentifier("arg_min_tb"),
+      info("arg_min_tb", "arg_min_tb(value, ord) - value at min ord; ties take smaller value"),
+      (children: Seq[Expression]) =>
+        ArgExtremum(children(1), children(0), isMin = true)),
+    (FunctionIdentifier("arg_max_tb"),
+      info("arg_max_tb", "arg_max_tb(value, ord) - value at max ord; ties take larger value"),
+      (children: Seq[Expression]) =>
+        ArgExtremum(children(1), children(0), isMin = false)))
+
+  /** Register on an existing session (temp-function registry). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, inf, builder)
+    }
+}

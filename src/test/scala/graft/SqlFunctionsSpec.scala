@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftExtensions
+
+/** SQL registration of the custom Catalyst expressions. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("vec_dot / arg_min_tb / arg_max_tb are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d""")
+      .collect().head
+    assert(r.getAs[Double]("d") == 32.0)
+
+    spark.sql(
+      """SELECT * FROM VALUES ('a', 1, 10.0D), ('a', 1, 5.0D), ('a', 2, 7.0D)
+        |AS t(k, ord, v)""".stripMargin).createOrReplaceTempView("tb")
+    val agg = spark.sql(
+      """SELECT k, arg_min_tb(v, ord) AS first_v, arg_max_tb(v, ord) AS last_v
+        |FROM tb GROUP BY k""".stripMargin).collect().head
+    // tie on ord=1: argmin takes the SMALLER value (struct-min semantics)
+    assert(agg.getAs[Double]("first_v") == 5.0)
+    assert(agg.getAs[Double]("last_v") == 7.0)
+  }
+
+  test("GraftSession builder wires extensions and confs") {
+    // session already exists in tests; just validate the builder shape
+    val b = GraftSession.builder(master = "local[1]", shufflePartitions = 2)
+    assert(b != null)
+  }
+}
