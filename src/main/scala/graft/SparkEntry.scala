@@ -98,6 +98,17 @@ object SparkEntry {
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
           .filter(col("symbol") === "SYM_7"), 180)),
 
+    // As-of join (custom time-series operator): each trade picks up the
+    // close/vwap of the latest COMPLETED bar of its symbol.
+    "trades_asof_bars" -> ((s, dir) => {
+      val trades = Trades.fromEvents(Tables.events(s, dir))
+        .select("event_id", "symbol", "event_time", "price")
+      val bars = Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
+        .select("symbol", "bar_end", "close", "vwap")
+      AsOf.join(trades, bars, "symbol", "event_time", "bar_end",
+        Seq("close", "vwap")).orderBy(col("event_id"))
+    }),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     "text_stats" -> ((s, dir) =>
@@ -333,6 +344,14 @@ object SparkEntry {
          |r AS (SELECT * FROM bars WHERE symbol = 'SYM_7'
          |      ORDER BY bar_start DESC LIMIT 180)
          |SELECT * FROM r ORDER BY bar_start""".stripMargin,
+
+    "trades_asof_bars" ->
+      s"""$barsCte
+         |SELECT t.event_id, t.symbol, t.event_time, t.price,
+         |  b.close AS asof_close, b.vwap AS asof_vwap
+         |FROM trades t ASOF LEFT JOIN bars b
+         |  ON t.symbol = b.symbol AND t.event_time >= b.bar_end
+         |ORDER BY t.event_id""".stripMargin,
 
     "text_stats" ->
       s"""$docsCte

@@ -39,13 +39,17 @@ object Analytics {
   def withTsSeconds(bars: DataFrame): DataFrame =
     bars.withColumn("ts_s", unix_timestamp(col("bar_start")))
 
-  private def wOrder = Window.partitionBy("symbol").orderBy("ts_s")
-  private def wTime(nMinutes: Int) = wOrder.rangeBetween(-60L * nMinutes, -1)
+  private def wOrder(partCols: Seq[String]) =
+    Window.partitionBy(partCols.map(col): _*).orderBy("ts_s")
+  private def wTime(nMinutes: Int, partCols: Seq[String]) =
+    wOrder(partCols).rangeBetween(-60L * nMinutes, -1)
+  private val SymbolPart = Seq("symbol")
 
   /** prev_close / ret / logret (analysis.ipynb N4, lag family). */
-  def withReturns(bars: DataFrame): DataFrame =
+  def withReturns(bars: DataFrame,
+                  partCols: Seq[String] = SymbolPart): DataFrame =
     bars
-      .withColumn("prev_close", lag(col("close"), 1).over(wOrder))
+      .withColumn("prev_close", lag(col("close"), 1).over(wOrder(partCols)))
       .withColumn("ret",
         when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
           col("close") / col("prev_close") - 1.0))
@@ -56,8 +60,9 @@ object Analytics {
   /** Rolling mean/sd + z for returns and volume (N4, rangeBetween family).
     * `when` guards with no `otherwise` ⇒ null where sd is null/zero.
     */
-  def withRollingStats(df: DataFrame, nMinutes: Int = 30): DataFrame = {
-    val w = wTime(nMinutes)
+  def withRollingStats(df: DataFrame, nMinutes: Int = 30,
+                       partCols: Seq[String] = SymbolPart): DataFrame = {
+    val w = wTime(nMinutes, partCols)
     df
       .withColumn("ret_mu", r6(avg(col("logret")).over(w)))
       .withColumn("ret_sd", r6(stddev_samp(col("logret")).over(w)))
@@ -72,9 +77,10 @@ object Analytics {
   }
 
   /** next_open / gap_pct (N4, lead family). */
-  def withGaps(df: DataFrame): DataFrame =
+  def withGaps(df: DataFrame,
+               partCols: Seq[String] = SymbolPart): DataFrame =
     df
-      .withColumn("next_open", lead(col("open"), 1).over(wOrder))
+      .withColumn("next_open", lead(col("open"), 1).over(wOrder(partCols)))
       .withColumn("gap_pct",
         when(col("next_open").isNotNull && col("close") =!= 0.0,
           (col("next_open") - col("close")) / col("close")))
@@ -92,6 +98,40 @@ object Analytics {
   /** Full single-pass analytics frame: one Exchange+Sort, all families. */
   def enrich(bars: DataFrame, nMinutes: Int = 30, z: Double = 3.0): DataFrame =
     withAnomalies(withGaps(withRollingStats(withReturns(withTsSeconds(bars)), nMinutes)), z)
+
+  /** Slice-partitioned analytics for LONG histories of FEW symbols —
+    * the scale shape where partitioning by symbol alone leaves most of a
+    * 1000-executor cluster idle. Each (symbol, day) slice is computed
+    * independently; every row is replicated into the neighboring slice
+    * whose window could need it (trailing `nMinutes` + `ctxSecs` of
+    * back-context for the RANGE frame and lag, `ctxSecs` of forward
+    * context for lead), then context rows are dropped. Parallelism
+    * becomes |symbols| × |days| at the cost of ≤ (overlap/day) extra
+    * rows (~4% for 1h context).
+    *
+    * Equivalent to [[enrich]] whenever consecutive bars of a symbol are
+    * never more than `ctxSecs` apart (continuous markets); verified by
+    * AnalyticsSpec on dense series.
+    */
+  def enrichSliced(bars: DataFrame, nMinutes: Int = 30, z: Double = 3.0,
+                   sliceSecs: Long = 86400L, ctxSecs: Long = 3600L): DataFrame = {
+    val backSecs = 60L * nMinutes + ctxSecs
+    val part = Seq("symbol", "__slice")
+    val base = withTsSeconds(bars)
+      .withColumn("__home", expr(s"ts_s div $sliceSecs"))
+    val cands = array(
+      col("__home"),
+      when(col("ts_s") >= (col("__home") + 1) * sliceSecs - backSecs,
+        col("__home") + 1),
+      when(col("ts_s") < col("__home") * sliceSecs + ctxSecs,
+        col("__home") - 1))
+    val exploded = base.withColumn("__slice",
+      explode(filter(cands, c => c.isNotNull)))
+    val full = withAnomalies(
+      withGaps(
+        withRollingStats(withReturns(exploded, part), nMinutes, part), part), z)
+    full.filter(col("__slice") === col("__home")).drop("__home", "__slice")
+  }
 
   /** The reference's literal join-stitch shape (N4/N5): compute the stat
     * families as separate frames and LEFT-join them back on
