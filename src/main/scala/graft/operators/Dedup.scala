@@ -48,10 +48,13 @@ object Dedup {
   /** MinHash signatures: one row per doc, h0..h15 = min over shingles of
     * 16 seeded hashes. Single groupBy — the 16 mins ride one shuffle.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingled(docs))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(hash60Seeded(i, col("shingle"))).as(s"h$i"))
-    shingled(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs whose signatures collide in ≥1 band of 4
@@ -99,10 +102,18 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: signatures → band collisions →
     * exact-Jaccard verify ≥ threshold.
+    *
+    * The shingle index is referenced three times (signatures, both sides
+    * of the verify join); `localCheckpoint` materializes it once instead
+    * of re-exploding the corpus per reference — at scale you'd persist
+    * the index as a table between pipeline stages, this is the
+    * single-query equivalent.
     */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(lshCandidates(minhashSignatures(docs)), shingled(docs),
-      threshold).orderBy(col("d1"), col("d2"))
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(docs).localCheckpoint(false)
+    verifyJaccard(lshCandidates(minhashSignaturesFrom(sh)), sh, threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
 
   /** Exact n-gram Jaccard near-dup via the inverted index (no LSH):
     * every pair sharing ≥1 shingle is scored. The exact-but-quadratic

@@ -33,15 +33,16 @@ trait TradeSource {
 
 /** JSON-lines directory of wire payloads (the exact producer output,
   * ingestion/kraken_trades_ws.py:96-106), one JSON object per line.
-  * Kafka metadata is synthesized: offset = per-file monotonic id,
-  * timestamp = ingest time (ts_ingest from the payload), key = symbol.
+  * Kafka metadata is synthesized: offset = ingest-time ms (monotonic
+  * surrogate that is also streaming-legal, unlike
+  * monotonically_increasing_id), timestamp = ingest time, key = symbol.
   */
 final class FileTradeSource(dir: String) extends TradeSource {
 
   private def kafkaShape(payload: DataFrame): DataFrame = payload.select(
     lit("crypto.trades").as("topic"),
     lit(0).as("partition"),
-    monotonically_increasing_id().as("offset"),
+    col("ts_ingest").as("offset"),
     timestamp_millis(col("ts_ingest")).as("timestamp"),
     lit(0).as("timestampType"),
     col("symbol").cast("binary").as("key"),
