@@ -109,6 +109,16 @@ object SparkEntry {
         Seq("close", "vwap")).orderBy(col("event_id"))
     }),
 
+    // Sliding-window bars (T2 extension: overlapping windows).
+    "gold_bars_5m_sliding" -> ((s, dir) =>
+      Gold.slidingBars(Trades.fromEvents(Tables.events(s, dir)))
+        .orderBy(col("symbol"), col("bar_start"))),
+
+    // Sessionization (gap-based session windows, batch shape).
+    "trade_sessions" -> ((s, dir) =>
+      Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
+        .orderBy(col("symbol"), col("session_id"))),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     "text_stats" -> ((s, dir) =>
@@ -344,6 +354,46 @@ object SparkEntry {
          |r AS (SELECT * FROM bars WHERE symbol = 'SYM_7'
          |      ORDER BY bar_start DESC LIMIT 180)
          |SELECT * FROM r ORDER BY bar_start""".stripMargin,
+
+    "gold_bars_5m_sliding" ->
+      s"""$tradesCte,
+         |sw AS (SELECT t.*,
+         |         time_bucket(INTERVAL 1 MINUTE, event_time) - g.k * INTERVAL 1 MINUTE AS ws
+         |       FROM trades t, unnest(generate_series(0, 4)) AS g(k)),
+         |t2 AS (SELECT *,
+         |    row_number() OVER (PARTITION BY symbol, ws ORDER BY event_time, price) AS rn_a,
+         |    row_number() OVER (PARTITION BY symbol, ws ORDER BY event_time DESC, price DESC) AS rn_d
+         |  FROM sw)
+         |SELECT symbol, ws AS bar_start, ws + INTERVAL 5 MINUTE AS bar_end,
+         |  max(CASE WHEN rn_a = 1 THEN price END) AS open,
+         |  max(price) AS high, min(price) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN price END) AS close,
+         |  CAST(SUM(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS volume,
+         |  CAST(SUM(CAST(price * size AS DECIMAL(28,10))) AS DOUBLE)
+         |    / CAST(SUM(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS vwap,
+         |  count(*) AS trades,
+         |  CAST(ws AS DATE) AS bar_date
+         |FROM t2 GROUP BY symbol, ws
+         |ORDER BY symbol, bar_start""".stripMargin,
+
+    "trade_sessions" ->
+      s"""$tradesCte,
+         |t2 AS (SELECT symbol, event_time, size,
+         |         lag(event_time) OVER (PARTITION BY symbol ORDER BY event_time) AS prev_ts
+         |       FROM trades),
+         |t3 AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |         OR CAST(floor(epoch(event_time)) AS BIGINT)
+         |          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+         |         THEN 1 ELSE 0 END AS ns FROM t2),
+         |t4 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY symbol ORDER BY event_time
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+         |       FROM t3)
+         |SELECT symbol, session_id,
+         |  min(event_time) AS session_start, max(event_time) AS session_end,
+         |  count(*) AS n_trades,
+         |  CAST(sum(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS volume
+         |FROM t4 GROUP BY symbol, session_id
+         |ORDER BY symbol, session_id""".stripMargin,
 
     "trades_asof_bars" ->
       s"""$barsCte

@@ -39,8 +39,22 @@ object Gold {
     * (graft.streaming.GoldStream).
     */
   def bars(trades: DataFrame, barWidth: String = "1 minute"): DataFrame =
+    barsWindowed(trades, window(col("event_time"), barWidth))
+
+  /** Sliding-window bars (e.g. 5-minute bars advancing every minute):
+    * each trade lands in width/slide windows. Same aggregation; the
+    * explode-into-windows is handled by Spark's window() expression and
+    * the shuffle key stays (symbol, window), so cost scales linearly
+    * with the overlap factor.
+    */
+  def slidingBars(trades: DataFrame, width: String = "5 minutes",
+                  slide: String = "1 minute"): DataFrame =
+    barsWindowed(trades, window(col("event_time"), width, slide))
+
+  private def barsWindowed(trades: DataFrame,
+                           w: org.apache.spark.sql.Column): DataFrame =
     trades
-      .groupBy(col("symbol"), window(col("event_time"), barWidth).as("w"))
+      .groupBy(col("symbol"), w.as("w"))
       .agg(
         // argmin/argmax with the struct-min tie-break (same semantics as
         // the reference's min/max(struct(event_time, price)) trick) but

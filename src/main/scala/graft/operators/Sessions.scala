@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Trade sessionization: consecutive activity runs per symbol separated
+  * by silence gaps > `gapMinutes`.
+  *
+  * Two implementations with identical semantics:
+  *  - [[assign]]/[[stats]]: batch, pure window functions (gap flag via
+  *    lag, session id via running sum) — one shuffle per symbol,
+  *    oracle-able in ANSI SQL.
+  *  - [[streamingStats]]: incremental via `flatMapGroupsWithState` — the
+  *    KeyValueGroupedDataset custom-state API. State per symbol is O(1)
+  *    (current session aggregate only); sessions are emitted when the
+  *    gap closes them or the event-time timeout fires. This is the shape
+  *    session-windowing takes at 100 TB: state bounded by |symbols|, not
+  *    by history.
+  */
+object Sessions {
+
+  /** Batch: adds session_id (0-based per symbol, time order). */
+  def assign(trades: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("event_time")
+    val gapSec = gapMinutes * 60L
+    trades
+      .withColumn("__prev_ts", lag(col("event_time"), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col("event_time")) - unix_timestamp(col("__prev_ts"))
+            > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Batch session aggregates. */
+  def stats(trades: DataFrame, gapMinutes: Int = 30): DataFrame =
+    assign(trades, gapMinutes)
+      .groupBy(col("symbol"), col("session_id"))
+      .agg(
+        min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).as("n_trades"),
+        sum(col("size").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("volume"))
+
+  case class SessionState(start: Long, end: Long, n: Long, volume: Double)
+  case class SessionOut(symbol: String, session_start: Timestamp,
+                        session_end: Timestamp, n_trades: Long, volume: Double)
+
+  /** Streaming sessionization over (symbol, event_time µs, size) rows.
+    * Emits a session when a trade arrives more than `gapMinutes` after
+    * the previous one, or when the event-time timeout (watermark past
+    * last activity + gap) closes it.
+    */
+  def streamingStats(spark: SparkSession, trades: DataFrame,
+                     gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    trades
+      .selectExpr("symbol", "event_time", "size")
+      .withWatermark("event_time", s"$gapMinutes minutes")
+      .as[(String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (symbol: String, rows: Iterator[(String, Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(symbol, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.volume))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, size) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    volume = s.volume + size))
+                case Some(s) =>
+                  closed ::= SessionOut(symbol, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.volume)
+                  cur = Some(SessionState(t, t, 1, size))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, size))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

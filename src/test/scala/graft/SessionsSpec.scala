@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Schemas.Trade
+import graft.operators.Sessions
+
+/** Gap-based sessionization: batch window shape vs streaming
+  * flatMapGroupsWithState state machine.
+  */
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trade(sym: String, t: String, size: Double = 1.0) =
+    Trade("kraken", sym, 100.0, size, "buy", "market", ts(t))
+
+  private val trades = Seq(
+    trade("A", "2024-01-01 10:00:00", 1.0),
+    trade("A", "2024-01-01 10:10:00", 2.0),  // same session (gap 10m)
+    trade("A", "2024-01-01 11:00:00", 3.0),  // new session (gap 50m > 30m)
+    trade("B", "2024-01-01 10:05:00", 4.0))
+
+  test("batch: gap > 30min starts a new session; aggregates exact") {
+    val s = Sessions.stats(trades.toDS.toDF)
+      .orderBy("symbol", "session_id").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("session_id") == 0L)
+    assert(s(0).getAs[Long]("n_trades") == 2L)
+    assert(s(0).getAs[Double]("volume") == 3.0)
+    assert(s(1).getAs[Long]("session_id") == 1L)
+    assert(s(1).getAs[Long]("n_trades") == 1L)
+    assert(s(2).getAs[String]("symbol") == "B")
+  }
+
+  test("streaming: sessions emit on gap closure with identical aggregates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = Sessions.streamingStats(spark, in.toDF)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(trades.take(2): _*)
+      q.processAllAvailable()
+      // session still open
+      assert(spark.table("sessions_stream").count() == 0)
+      in.addData(trades(2)) // 50-minute gap closes session 0
+      q.processAllAvailable()
+      val closed = spark.table("sessions_stream").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("n_trades") == 2L)
+      assert(closed.head.getAs[Double]("volume") == 3.0)
+      assert(closed.head.getAs[java.sql.Timestamp]("session_end") ==
+        ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+}
