@@ -42,6 +42,11 @@ object SparkEntry {
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    "region_revenue_rollup" -> ((s, dir) =>
+      Relational.regionRevenueRollup(Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "order_status_pivot" -> ((s, dir) =>
+      Relational.orderStatusPivot(Tables.orders(s, dir))),
 
     // Bronze audit projection (P1/P2): Kafka-shaped frame → raw audit rows.
     "bronze_audit" -> ((s, dir) =>
@@ -354,6 +359,25 @@ object SparkEntry {
          |r AS (SELECT * FROM bars WHERE symbol = 'SYM_7'
          |      ORDER BY bar_start DESC LIMIT 180)
          |SELECT * FROM r ORDER BY bar_start""".stripMargin,
+
+    "region_revenue_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS order_count
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "order_status_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "gold_bars_5m_sliding" ->
       s"""$tradesCte,

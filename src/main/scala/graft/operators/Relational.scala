@@ -87,4 +87,38 @@ object Relational {
         sum(col("o_totalprice").cast(DecimalType(24, 6))).cast("double").as("total_revenue"),
         count(lit(1)).as("order_count"))
       .orderBy(col("r_name"), col("n_name"))
+
+  /** Hierarchical rollup (region → nation → grand total): multi-level
+    * aggregates in ONE pass — Catalyst expands the grouping sets and
+    * still plans a single partial+final hash aggregation, versus three
+    * separate scans.
+    */
+  def regionRevenueRollup(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(24, 6))).cast("double").as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Pivot (orderstatus × orderpriority counts): fixed pivot values so
+    * the plan needs no extra distinct-values job; a single aggregation.
+    */
+  def orderStatusPivot(orders: DataFrame): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+      .na.fill(0L, statuses)
+      .withColumnsRenamed(statuses.map(s => s -> s"n_$s").toMap)
+      .orderBy(col("o_orderpriority"))
+  }
 }
