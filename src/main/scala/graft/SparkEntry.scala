@@ -142,6 +142,9 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
@@ -498,6 +501,23 @@ object SparkEntry {
          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
          |$jaccardCte
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM sh x JOIN sh y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |$jaccardCte,
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""$docsCte,

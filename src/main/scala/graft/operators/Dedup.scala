@@ -143,6 +143,38 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Connected components over near-dup pairs → cluster representative
+    * per document (the step that turns pairwise near-dup detection into
+    * actual dedup groups). Iterative min-label propagation: each round
+    * every node adopts the smallest label among itself and its
+    * neighbors; converges in O(component diameter) rounds. Each round is
+    * one join + one aggregation — the standard large-graph CC shape
+    * (no driver-side graph). Lineage is truncated per round
+    * (localCheckpoint) so plans stay O(1) deep.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .union(p.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("rep")).as("nbr"))
+      val updated = labels.join(nbrMin, col("id") === col("a"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep2"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("rep2") < col("rep")).count()
+      labels = updated.select(col("id"), col("rep2").as("rep"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** 60-bit SimHash per document: sign-aggregated bit votes of every
     * token hash (term frequency preserved — duplicate tokens vote twice).
     * Pure higher-order expressions: no explosion, no shuffle, one pass.
