@@ -119,6 +119,12 @@ object SparkEntry {
       Gold.slidingBars(Trades.fromEvents(Tables.events(s, dir)))
         .orderBy(col("symbol"), col("bar_start"))),
 
+    // Distribution + temporal profiles.
+    "price_quantiles" -> ((s, dir) =>
+      Analytics.priceQuantiles(Trades.fromEvents(Tables.events(s, dir)))),
+    "time_profile" -> ((s, dir) =>
+      Analytics.timeProfile(Trades.fromEvents(Tables.events(s, dir)))),
+
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
       Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
@@ -402,6 +408,23 @@ object SparkEntry {
          |  CAST(ws AS DATE) AS bar_date
          |FROM t2 GROUP BY symbol, ws
          |ORDER BY symbol, bar_start""".stripMargin,
+
+    "price_quantiles" ->
+      s"""$tradesCte
+         |SELECT symbol,
+         |  round(quantile_cont(price, 0.5), 6) AS p50,
+         |  round(quantile_cont(price, 0.95), 6) AS p95,
+         |  round(quantile_cont(price, 0.99), 6) AS p99,
+         |  count(*) AS n
+         |FROM trades GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "time_profile" ->
+      s"""$tradesCte
+         |SELECT CAST(hour(event_time) AS INT) AS hour_of_day,
+         |  CAST(dayofweek(event_time) + 1 AS INT) AS day_of_week,
+         |  count(*) AS n_trades,
+         |  CAST(sum(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS volume
+         |FROM trades GROUP BY 1, 2 ORDER BY hour_of_day, day_of_week""".stripMargin,
 
     "trade_sessions" ->
       s"""$tradesCte,

@@ -161,6 +161,37 @@ object Analytics {
     recent.orderBy(col("bar_start").asc)
   }
 
+  /** Exact interpolated percentiles of price per symbol (distribution
+    * profile). `percentile` is Spark's exact implementation — sorts per
+    * group; for 100 TB switch to `percentile_approx` (t-digest sketch,
+    * mergeable map-side) and accept the approximation.
+    */
+  def priceQuantiles(trades: DataFrame): DataFrame =
+    trades
+      .groupBy(col("symbol"))
+      .agg(
+        round(expr("percentile(price, 0.5)"), 6).as("p50"),
+        round(expr("percentile(price, 0.95)"), 6).as("p95"),
+        round(expr("percentile(price, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("symbol"))
+
+  /** Temporal activity profile: trade counts and volume by (event_type
+    * surrogate) hour-of-day × day-of-week. Exercises the temporal
+    * function family; group count is bounded (24×7) so the shuffle
+    * carries only partial aggregates.
+    */
+  def timeProfile(trades: DataFrame): DataFrame =
+    trades
+      .groupBy(
+        hour(col("event_time")).as("hour_of_day"),
+        dayofweek(col("event_time")).as("day_of_week"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(col("size").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("volume"))
+      .orderBy(col("hour_of_day"), col("day_of_week"))
+
   /** Driver-side row streaming for plotting/export (O4 — the reference
     * N5 `toLocalIterator` loop): rows arrive one partition at a time, so
     * driver memory stays O(partition), not O(result).

@@ -139,6 +139,33 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.exists(_.contains("XBT%2FUSDT")))
   }
 
+  test("streaming dedup runs on the RocksDB state store (scale path)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[Trade]
+      val q = Streams.dedupStreaming(in.toDF)
+        .writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode("append").start()
+      try {
+        val t0 = trade("BTC", "2024-01-01 10:00:10", 100.0)
+        in.addData(t0, t0, trade("ETH", "2024-01-01 10:00:11", 50.0))
+        q.processAllAvailable()
+        in.addData(t0)
+        q.processAllAvailable()
+        assert(spark.table("dedup_rocks").count() == 2)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("checkpointed restart does not reprocess committed batches") {
     val bronzeDir = tmpDir("graft_bronze2")
     val silverDir = tmpDir("graft_silver2")
