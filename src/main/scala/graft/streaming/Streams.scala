@@ -149,4 +149,43 @@ object Streams {
         spark.read.schema(Schemas.bronze).parquet(bronzeDir)))
       .write.mode("append").partitionBy("event_date")
       .option("compression", "snappy").parquet(silverDir)
+
+  /** LIVE bars: update-mode aggregation + foreachBatch upsert via
+    * DYNAMIC partition overwrite. Append mode only emits a bar once the
+    * watermark passes bar_end (§T3) — correct but minutes stale; this
+    * sink keeps the current in-progress bar queryable by rewriting only
+    * the partitions that changed in each micro-batch. The partition key
+    * includes bar_start so one partition == one bar and the overwrite is
+    * a true per-bar upsert (coarser keys would drop sibling bars). This
+    * is the parquet-dir equivalent of a Delta MERGE; per-batch write
+    * cost is bounded by bars-touched-per-trigger, not table size. Meant
+    * for the live tail — the finalized append table remains the
+    * long-term store (compact the tail into it periodically).
+    */
+  def silverToGoldLive(spark: SparkSession, silverDir: String, goldDir: String,
+                       checkpoint: String, barWidth: String = "1 minute",
+                       watermark: String = DefaultWatermark,
+                       trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    goldBarsStream(silverStream(spark, silverDir), barWidth, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val prev = batch.sparkSession.conf
+          .getOption("spark.sql.sources.partitionOverwriteMode")
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode("overwrite")
+          .partitionBy("bar_date", "symbol", "bar_start")
+          .option("compression", "snappy").parquet(goldDir)
+        finally prev match {
+          case Some(v) => batch.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => batch.sparkSession.conf
+            .unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
+  }
 }

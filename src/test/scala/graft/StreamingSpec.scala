@@ -128,6 +128,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("live bars sink upserts in-progress bars (update mode + dynamic overwrite)") {
+    val silverDir = tmpDir("graft_silver_live")
+    val goldDir = tmpDir("graft_gold_live")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val silverBatch = Silver.dedup(Silver.projectToSilver(
+      Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events))))
+    silverBatch.write.mode("overwrite").parquet(silverDir)
+
+    val q = Streams.silverToGoldLive(spark, silverDir, goldDir,
+      tmpDir("graft_ck_live"), trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+
+    // update mode + per-bar overwrite => ALL bars visible, including the
+    // last (never-finalized) ones, with exactly the batch values
+    val expected = Gold.bars(silverBatch)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    val cols = Gold.bars(silverBatch).columns
+    val got = spark.read.parquet(goldDir)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    val dir = tmpDir("graft_compact_in")
+    val out = tmpDir("graft_compact_out")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val silver = Silver.projectToSilver(
+      Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events)))
+    // simulate micro-batch litter: 40 appends
+    (0 until 40).foreach { i =>
+      silver.where(col("offset") % 40 === i)
+        .write.mode("append").partitionBy("event_date").parquet(dir)
+    }
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(dir)
+    graft.operators.Maintenance.compact(spark, dir, out, Seq("event_date"))
+    val after = parquetFiles(out)
+    assert(after < before / 10, s"$before -> $after")
+    assert(spark.read.parquet(out).count() == spark.read.parquet(dir).count())
+  }
+
   test("partition values with '/' in symbol round-trip (escaped dirs)") {
     val dir = tmpDir("graft_part")
     val df = Seq(("XBT/USDT", 1.0), ("ETH-USD", 2.0)).toDF("symbol", "x")
