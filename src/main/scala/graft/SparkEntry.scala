@@ -122,6 +122,20 @@ object SparkEntry {
     // Distribution + temporal profiles.
     "price_quantiles" -> ((s, dir) =>
       Analytics.priceQuantiles(Trades.fromEvents(Tables.events(s, dir)))),
+    // Mergeable-sketch variants (HLL++ / t-digest): engine-specific
+    // sketches can't hash-match a DuckDB oracle, so these are registered
+    // WITHOUT oracleSql -> the driver's weaker rows-only check. They are
+    // the map-side-mergeable scale path for the exact queries above.
+    "approx_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Trades.fromEvents(Tables.events(s, dir))
+        .groupBy(col("symbol"))
+        .agg(
+          approx_count_distinct(col("price"), 0.01).as("approx_price_levels"),
+          percentile_approx(col("price"), lit(0.5), lit(10000)).as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("symbol"))
+    }),
     "time_profile" -> ((s, dir) =>
       Analytics.timeProfile(Trades.fromEvents(Tables.events(s, dir)))),
 
