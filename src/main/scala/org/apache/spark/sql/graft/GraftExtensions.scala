@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * adds the same functions to an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => StructExtremumRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -41,10 +43,16 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         ArgExtremum(children(1), children(0), isMin = false)))
 
-  /** Register on an existing session (temp-function registry). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (temp-function registry + the
+    * struct-extremum optimizer rule).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(StructExtremumRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ StructExtremumRewrite
+  }
 }

@@ -23,6 +23,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(agg.getAs[Double]("last_v") == 7.0)
   }
 
+  test("StructExtremumRewrite: min/max(struct) plans as HashAggregate with identical results") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:05"), 10.0),
+      ("A", ts("2024-01-01 10:00:20"), 30.0),
+      ("A", ts("2024-01-01 10:00:20"), 25.0), // tie on ts: max picks larger price
+      ("B", ts("2024-01-01 10:00:01"), 7.0))
+      .toDF("sym", "t", "price")
+    df.createOrReplaceTempView("rw_trades")
+    val q = spark.sql(
+      """SELECT sym, min(struct(t, price)).price AS open,
+        |       max(struct(t, price)).price AS close
+        |FROM rw_trades GROUP BY sym ORDER BY sym""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    val rows = q.collect()
+    assert(rows(0).getAs[Double]("open") == 10.0)
+    assert(rows(0).getAs[Double]("close") == 30.0)
+    assert(rows(1).getAs[Double]("open") == 7.0)
+    assert(rows(1).getAs[Double]("close") == 7.0)
+  }
+
   test("GraftSession builder wires extensions and confs") {
     // session already exists in tests; just validate the builder shape
     val b = GraftSession.builder(master = "local[1]", shufflePartitions = 2)
