@@ -139,6 +139,30 @@ object SparkEntry {
     "time_profile" -> ((s, dir) =>
       Analytics.timeProfile(Trades.fromEvents(Tables.events(s, dir)))),
 
+    // Coverage counts (analysis.ipynb N4 tail: null-skipping count(col)
+    // as a window warm-up sanity check) — global no-group aggregation.
+    "analytics_coverage" -> ((s, dir) =>
+      Analytics.enrich(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
+        .agg(
+          count(lit(1)).as("n_bars"),
+          count(col("z_ret")).as("n_z_ret"),
+          count(col("z_vol")).as("n_z_vol"),
+          sum(col("is_return_anom").cast("long")).as("n_ret_anom"),
+          sum(col("is_volume_anom").cast("long")).as("n_vol_anom"))),
+
+    // Set operations: symbols present in the first vs last half of the
+    // observed window (EXCEPT / INTERSECT).
+    "symbol_churn" -> ((s, dir) => {
+      val t = Trades.fromEvents(Tables.events(s, dir))
+      val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+      val first = t.filter(col("event_time") < mid).select("symbol").distinct()
+      val last = t.filter(col("event_time") >= mid).select("symbol").distinct()
+      first.except(last).select(lit("first_only").as("bucket"), col("symbol"))
+        .union(last.except(first).select(lit("last_only").as("bucket"), col("symbol")))
+        .union(first.intersect(last).select(lit("both").as("bucket"), col("symbol")))
+        .orderBy(col("bucket"), col("symbol"))
+    }),
+
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
       Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
@@ -422,6 +446,25 @@ object SparkEntry {
          |  CAST(ws AS DATE) AS bar_date
          |FROM t2 GROUP BY symbol, ws
          |ORDER BY symbol, bar_start""".stripMargin,
+
+    "analytics_coverage" ->
+      s"""$analyticsCte
+         |SELECT count(*) AS n_bars, count(z_ret) AS n_z_ret,
+         |  count(z_vol) AS n_z_vol,
+         |  CAST(sum(CASE WHEN is_return_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_ret_anom,
+         |  CAST(sum(CASE WHEN is_volume_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_vol_anom
+         |FROM anom""".stripMargin,
+
+    "symbol_churn" ->
+      s"""$tradesCte,
+         |f AS (SELECT DISTINCT symbol FROM trades WHERE event_time < TIMESTAMP '2024-01-16 00:00:00'),
+         |l AS (SELECT DISTINCT symbol FROM trades WHERE event_time >= TIMESTAMP '2024-01-16 00:00:00')
+         |SELECT 'first_only' AS bucket, symbol FROM (SELECT symbol FROM f EXCEPT SELECT symbol FROM l)
+         |UNION ALL
+         |SELECT 'last_only' AS bucket, symbol FROM (SELECT symbol FROM l EXCEPT SELECT symbol FROM f)
+         |UNION ALL
+         |SELECT 'both' AS bucket, symbol FROM (SELECT symbol FROM f INTERSECT SELECT symbol FROM l)
+         |ORDER BY bucket, symbol""".stripMargin,
 
     "price_quantiles" ->
       s"""$tradesCte
