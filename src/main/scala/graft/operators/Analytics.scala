@@ -143,9 +143,10 @@ object Analytics {
   def enrichViaJoins(bars: DataFrame, nMinutes: Int = 30, z: Double = 3.0): DataFrame = {
     val base = withTsSeconds(bars)
     val key = Seq("symbol", "bar_start")
-    val rets = withRollingStats(withReturns(base), nMinutes)
+    val stats = withRollingStats(withReturns(base), nMinutes)
+    val rets = stats
       .select("symbol", "bar_start", "prev_close", "ret", "logret", "ret_mu", "ret_sd", "z_ret")
-    val vols = withRollingStats(withReturns(base), nMinutes)
+    val vols = stats
       .select("symbol", "bar_start", "vol_mu", "vol_sd", "z_vol")
     val gaps = withGaps(base).select("symbol", "bar_start", "next_open", "gap_pct")
     withAnomalies(
