@@ -44,13 +44,17 @@ object TextFunctions {
   }
 
   /** Distinct token 3-gram shingles of a token array (MinHash/Jaccard
-    * input). `slice` is 1-based; docs have ≥10 tokens so the sequence is
-    * never empty.
+    * input). `slice` is 1-based. Docs shorter than n tokens contribute
+    * their whole token stream as ONE shingle (standard practice — and
+    * load-bearing: `sequence(1, size-n+1)` with size<n builds a
+    * DECREASING sequence whose start=0 makes slice throw).
     */
   def shinglesCol(tokens: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(tokens) - lit(n - 1)),
-      i => concat_ws(" ", slice(tokens, i, lit(n)))))
+    when(size(tokens) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", tokens)))
 
   /** English function words used for quality scoring (subset present in
     * the synthetic corpus vocabulary).

@@ -60,7 +60,7 @@ object Multimodal {
     val nFrames = ((length(col("content")) + lit(FrameBytes - 1))
       / lit(FrameBytes)).cast("int")
     media
-      .where(col("kind") === "video")
+      .where(col("kind") === "video" && length(col("content")) > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), nFrames - 1, lit(every))).as("frame_idx"),
         col("content"))

@@ -59,6 +59,15 @@ class TextDedupSpec extends SparkSpec {
     assert(ng == lsh)
   }
 
+  test("docs shorter than the shingle size still dedup (whole-doc shingle)") {
+    val d = docs("one two", "one two", "three")
+    val sigs = Dedup.minhashSignatures(d).collect()
+    assert(sigs.length == 3)
+    val pairs = Dedup.minhashLshPairs(d, threshold = 0.5).collect()
+    assert(pairs.length == 1) // the two identical 2-token docs
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("vecDot matches manual dot product; norm is L2") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
       .toDF("a", "b")
