@@ -139,6 +139,18 @@ object SparkEntry {
     "time_profile" -> ((s, dir) =>
       Analytics.timeProfile(Trades.fromEvents(Tables.events(s, dir)))),
 
+    // Multi-timeframe resample: 1h bars composed from 1m bars.
+    "bars_resampled_1h" -> ((s, dir) =>
+      Gold.resample(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
+        .orderBy(col("symbol"), col("bar_start"))),
+
+    // Gap filling: dense minute grid with forward-filled close.
+    "bars_gapfilled" -> ((s, dir) =>
+      Analytics.fillGaps(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
+          .filter(col("symbol") === "SYM_7"))
+        .orderBy(col("bar_start"))),
+
     // Coverage counts (analysis.ipynb N4 tail: null-skipping count(col)
     // as a window warm-up sanity check) — global no-group aggregation.
     "analytics_coverage" -> ((s, dir) =>
@@ -446,6 +458,40 @@ object SparkEntry {
          |  CAST(ws AS DATE) AS bar_date
          |FROM t2 GROUP BY symbol, ws
          |ORDER BY symbol, bar_start""".stripMargin,
+
+    "bars_resampled_1h" ->
+      s"""$barsCte,
+         |r2 AS (SELECT *, time_bucket(INTERVAL 1 HOUR, bar_start) AS hs,
+         |    row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 1 HOUR, bar_start)
+         |                       ORDER BY bar_start, open) AS rn_a,
+         |    row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 1 HOUR, bar_start)
+         |                       ORDER BY bar_start DESC, close DESC) AS rn_d
+         |  FROM bars)
+         |SELECT symbol, hs AS bar_start, hs + INTERVAL 1 HOUR AS bar_end,
+         |  max(CASE WHEN rn_a = 1 THEN open END) AS open,
+         |  max(high) AS high, min(low) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN close END) AS close,
+         |  CAST(SUM(CAST(volume AS DECIMAL(20,6))) AS DOUBLE) AS volume,
+         |  CAST(SUM(CAST(round(vwap * volume, 6) AS DECIMAL(28,8))) AS DOUBLE)
+         |    / CAST(SUM(CAST(volume AS DECIMAL(20,6))) AS DOUBLE) AS vwap,
+         |  CAST(sum(trades) AS BIGINT) AS trades,
+         |  CAST(hs AS DATE) AS bar_date
+         |FROM r2 GROUP BY symbol, hs ORDER BY symbol, bar_start""".stripMargin,
+
+    "bars_gapfilled" ->
+      s"""$barsCte,
+         |b7 AS (SELECT * FROM bars WHERE symbol = 'SYM_7'),
+         |lims AS (SELECT min(bar_start) AS t0, max(bar_start) AS t1 FROM b7),
+         |g AS (SELECT 'SYM_7' AS symbol, gs.g AS bar_start
+         |      FROM lims, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS gs(g)),
+         |j AS (SELECT g.symbol, g.bar_start, b.close, b.volume, b.trades
+         |      FROM g LEFT JOIN b7 b ON b.bar_start = g.bar_start)
+         |SELECT symbol, bar_start, close IS NOT NULL AS is_real,
+         |  last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY bar_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+         |  coalesce(volume, 0.0) AS volume,
+         |  CAST(coalesce(trades, 0) AS BIGINT) AS trades
+         |FROM j ORDER BY bar_start""".stripMargin,
 
     "analytics_coverage" ->
       s"""$analyticsCte

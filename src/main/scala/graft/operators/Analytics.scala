@@ -162,6 +162,33 @@ object Analytics {
     recent.orderBy(col("bar_start").asc)
   }
 
+  /** Gap filling / resampling to a dense minute grid: every symbol gets
+    * one row per minute between its first and last bar; missing minutes
+    * carry volume 0, trades 0, and a forward-filled close (the standard
+    * chart/backtest input shape). The grid is generated per symbol with
+    * `sequence` + explode (no cross join against a calendar table) and
+    * filled with one running-last window — a single shuffle by symbol.
+    */
+  def fillGaps(bars: DataFrame): DataFrame = {
+    val grid = bars
+      .groupBy(col("symbol"))
+      .agg(min(col("bar_start")).as("t0"), max(col("bar_start")).as("t1"))
+      .select(col("symbol"),
+        explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 MINUTE"))).as("bar_start"))
+    val w = Window.partitionBy("symbol").orderBy("bar_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(bars.select("symbol", "bar_start", "close", "volume", "trades"),
+        Seq("symbol", "bar_start"), "left")
+      .select(
+        col("symbol"), col("bar_start"),
+        col("close").isNotNull.as("is_real"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ff"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        coalesce(col("trades"), lit(0L)).as("trades"))
+  }
+
   /** Exact interpolated percentiles of price per symbol (distribution
     * profile). `percentile` is Spark's exact implementation — sorts per
     * group; for 100 TB switch to `percentile_approx` (t-digest sketch,

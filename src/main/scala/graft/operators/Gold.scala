@@ -51,6 +51,41 @@ object Gold {
                   slide: String = "1 minute"): DataFrame =
     barsWindowed(trades, window(col("event_time"), width, slide))
 
+  /** Resample fine bars into coarser ones (1m → 1h) FROM BARS — no
+    * re-scan of the trade stream: open/close via ArgExtremum on
+    * bar_start, high/low/volume/trades compose, vwap recomputed from the
+    * exact decimal notional (vwap·volume). At 100 TB the multi-timeframe
+    * ladder (1m→5m→1h→1d) is built tier-from-tier this way, each tier
+    * ~60× smaller than the last.
+    */
+  def resample(bars: DataFrame, width: String = "1 hour"): DataFrame =
+    bars
+      .groupBy(col("symbol"), window(col("bar_start"), width).as("w"))
+      .agg(
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMin(col("open"), col("bar_start")).as("open"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMax(col("close"), col("bar_start")).as("close"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        decSum(col("volume"), DecimalType(20, 6)).as("vol_d"),
+        // vwap·volume reconstructs the bar's notional up to double
+        // rounding; round to 6 decimals BEFORE the decimal cast so the
+        // cast is exact on every engine (a raw double→decimal cast can
+        // differ an ulp between engines at the 10th decimal)
+        decSum(round(col("vwap") * col("volume"), 6), DecimalType(28, 8))
+          .as("notional_d"),
+        sum(col("trades")).as("trades"))
+      .select(
+        col("symbol"),
+        col("w.start").as("bar_start"),
+        col("w.end").as("bar_end"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("vol_d").cast("double").as("volume"),
+        (col("notional_d").cast("double") / col("vol_d").cast("double")).as("vwap"),
+        col("trades"),
+        to_date(col("w.start")).as("bar_date"))
+
   private def barsWindowed(trades: DataFrame,
                            w: org.apache.spark.sql.Column): DataFrame =
     trades
