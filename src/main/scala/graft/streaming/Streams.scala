@@ -79,6 +79,33 @@ object Streams {
                      watermark: String = DefaultWatermark): DataFrame =
     Gold.bars(silver.withWatermark("event_time", watermark), barWidth)
 
+  /** Stream-stream interval join: match each buy with sells of the same
+    * symbol within `within` AFTER the buy. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * size the join state and evict rows as the watermark advances —
+    * state is O(rows inside the watermark window), not O(stream).
+    * Unbounded-state stream-stream joins are rejected by the analyzer;
+    * this is the canonical bounded shape.
+    */
+  def matchOppositeSides(buys: DataFrame, sells: DataFrame,
+                         within: String = "1 minute",
+                         watermark: String = DefaultWatermark): DataFrame = {
+    val b = buys
+      .select(col("symbol"), col("event_time").as("buy_time"),
+        col("price").as("buy_price"), col("size").as("buy_size"))
+      .withWatermark("buy_time", watermark)
+    val s = sells
+      .select(col("symbol").as("sell_symbol"),
+        col("event_time").as("sell_time"),
+        col("price").as("sell_price"), col("size").as("sell_size"))
+      .withWatermark("sell_time", watermark)
+    b.join(s,
+      col("symbol") === col("sell_symbol") &&
+        col("sell_time") >= col("buy_time") &&
+        col("sell_time") <= col("buy_time") + expr(s"INTERVAL $within"))
+      .drop("sell_symbol")
+  }
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition

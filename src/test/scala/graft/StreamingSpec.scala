@@ -186,6 +186,27 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.exists(_.contains("XBT%2FUSDT")))
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val ctx = spark.sqlContext
+    val buys = MemoryStream[Trade]
+    val sells = MemoryStream[Trade]
+    val q = Streams.matchOppositeSides(buys.toDF, sells.toDF)
+      .writeStream.format("memory").queryName("matches").outputMode("append")
+      .start()
+    try {
+      buys.addData(trade("BTC", "2024-01-01 10:00:00", 100.0))
+      sells.addData(
+        trade("BTC", "2024-01-01 10:00:30", 101.0), // within 1 min => match
+        trade("BTC", "2024-01-01 10:05:00", 102.0), // too late => no match
+        trade("ETH", "2024-01-01 10:00:10", 50.0))  // other symbol
+      q.processAllAvailable()
+      val m = spark.table("matches").collect()
+      assert(m.length == 1)
+      assert(m.head.getAs[String]("symbol") == "BTC")
+      assert(m.head.getAs[Double]("sell_price") == 101.0)
+    } finally q.stop()
+  }
+
   test("streaming dedup runs on the RocksDB state store (scale path)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
