@@ -303,16 +303,18 @@ object SparkEntry {
     * index (mirrors TextFunctions.{tokensCol,shinglesCol}).
     */
   private val docsCte =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
-      |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
+       |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
 
   /** MinHash signature CTE (mirrors Dedup.minhashSignatures /
     * TextFunctions.hash60Seeded's universal-hash family).
     */
   private val sigCte = {
+    // `shingle` in sh is already the base hash60
     val mins = (0 until Dedup.NumHashes)
-      .map(i => s"  min(((${h60("shingle")} % 2147483647) * ${2 * i + 1} " +
+      .map(i => s"  min(((shingle % 2147483647) * ${2 * i + 1} " +
         s"+ ${7919L * (i + 1)}) % 2147483647) AS h$i")
       .mkString(",\n")
     s"""sig AS (SELECT doc_id,

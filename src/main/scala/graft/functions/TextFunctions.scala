@@ -37,10 +37,14 @@ object TextFunctions {
     * ~4× cheaper signatures with the same collision behavior; still
     * bit-reproducible in ANSI SQL.
     */
-  def hash60Seeded(seed: Int, c: Column): Column = {
+  def hash60Seeded(seed: Int, c: Column): Column =
+    seededFromHash(seed, hash60(c))
+
+  /** Same family applied to an already-computed base hash60. */
+  def seededFromHash(seed: Int, h: Column): Column = {
     val a = 2L * seed + 1
     val b = 7919L * (seed + 1)
-    ((hash60(c) % HashP) * a + b) % HashP
+    ((h % HashP) * a + b) % HashP
   }
 
   /** Distinct token 3-gram shingles of a token array (MinHash/Jaccard

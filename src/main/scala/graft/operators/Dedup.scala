@@ -38,12 +38,19 @@ object Dedup {
     .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
     .orderBy(col("fp"))
 
-  /** (doc_id, shingle) pairs — the exploded distinct-3-gram inverted
-    * index shared by MinHash and Jaccard.
+  /** (doc_id, shingle-hash) pairs — the exploded distinct-3-gram
+    * inverted index shared by MinHash and Jaccard. Shingles are carried
+    * as their 60-bit hashes, never as strings: one md5 per shingle, and
+    * every downstream join/dedup shuffles 8-byte longs instead of
+    * ~20-byte strings (cross-engine exact — the oracle computes the
+    * same hash; a 60-bit collision merging two shingles has probability
+    * ~|shingles|²/2⁶¹ and would affect both engines identically).
     */
   def shingled(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),
-    explode(shinglesCol(tokensCol(col("text")))).as("shingle"))
+    explode(array_distinct(
+      transform(shinglesCol(tokensCol(col("text"))), s => hash60(s))))
+      .as("shingle"))
 
   /** MinHash signatures: one row per doc, h0..h15 = min over shingles of
     * 16 seeded hashes. Single groupBy — the 16 mins ride one shuffle.
@@ -52,8 +59,9 @@ object Dedup {
     minhashSignaturesFrom(shingled(docs))
 
   private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    // shingle column already carries the base hash60 (see shingled)
     val aggs = (0 until NumHashes).map(i =>
-      min(hash60Seeded(i, col("shingle"))).as(s"h$i"))
+      min(seededFromHash(i, col("shingle"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
