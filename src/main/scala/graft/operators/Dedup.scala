@@ -135,10 +135,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingled(docs)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // co-shingled pairs WITHOUT a self-join: group the inverted index by
+    // shingle once (one shuffle of the index instead of two), generate
+    // each posting list's ordered pairs map-side, count per pair
+    val inter = sh
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
