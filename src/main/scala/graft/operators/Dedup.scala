@@ -76,10 +76,17 @@ object Dedup {
     }
     val bands = sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // same one-shuffle posting-list shape as ngramJaccardPairs: group by
+    // bucket, emit each bucket's ordered pairs map-side, distinct
+    bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
 
