@@ -72,6 +72,17 @@ object Streams {
     silver.withWatermark("event_time", watermark)
       .dropDuplicates(Silver.dedupKeys)
 
+  /** Spark 4 variant: `dropDuplicatesWithinWatermark` guarantees dedup
+    * for duplicates arriving within the watermark delay OF EACH OTHER
+    * even when their event times differ (clock-skewed producers) — the
+    * robust choice for at-least-once upstreams. The reference uses plain
+    * dropDuplicates (exact-key state until watermark); both are exposed.
+    */
+  def dedupStreamingWithinWatermark(silver: DataFrame,
+                                    watermark: String = DefaultWatermark): DataFrame =
+    silver.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Silver.dedupKeys)
+
   /** Streaming OHLCV bars: same aggregation expressions as the batch
     * Gold.bars, preceded by a watermark (silver_to_gold_bars.py:34-49).
     */

@@ -186,6 +186,43 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.exists(_.contains("XBT%2FUSDT")))
   }
 
+  test("rows later than the watermark are dropped by streaming dedup — T4 semantics") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = Streams.dedupStreaming(in.toDF)
+      .writeStream.format("memory").queryName("dedup_late").outputMode("append")
+      .start()
+    try {
+      val t0 = trade("BTC", "2024-01-01 10:00:10", 100.0)
+      in.addData(t0)
+      q.processAllAvailable()
+      // advance the watermark far past t0 (state for t0 evicted too)
+      in.addData(trade("BTC", "2024-01-01 10:30:00", 101.0))
+      q.processAllAvailable()
+      in.addData(t0) // same key again, now beyond the watermark
+      q.processAllAvailable()
+      // the watermark filter drops late INPUT rows before the dedup
+      // state op, so the late duplicate never re-emits: count stays 2
+      assert(spark.table("dedup_late").count() == 2)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark also suppresses in-window duplicates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = Streams.dedupStreamingWithinWatermark(in.toDF)
+      .writeStream.format("memory").queryName("dedup_ww").outputMode("append")
+      .start()
+    try {
+      val t0 = trade("BTC", "2024-01-01 10:00:10", 100.0)
+      in.addData(t0, t0)
+      q.processAllAvailable()
+      in.addData(t0)
+      q.processAllAvailable()
+      assert(spark.table("dedup_ww").count() == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     implicit val ctx = spark.sqlContext
     val buys = MemoryStream[Trade]
