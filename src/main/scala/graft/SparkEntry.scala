@@ -188,6 +188,8 @@ object SparkEntry {
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "top_bigrams" -> ((s, dir) =>
+      TextAnalysis.topBigrams(Tables.documents(s, dir))),
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) =>
@@ -600,6 +602,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "top_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS bigram
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i))
+        |SELECT bigram, count(*) AS doc_freq FROM bg GROUP BY bigram
+        |ORDER BY doc_freq DESC, bigram LIMIT 50""".stripMargin,
 
     "minhash_signatures" ->
       s"""$docsCte,

@@ -70,6 +70,23 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Corpus-wide top-k token bigrams with document frequency — the
+    * n-gram statistics pass of a corpus-analysis pipeline (vocabulary /
+    * boilerplate discovery). One explode + one aggregation; top-k plans
+    * as TakeOrderedAndProject.
+    */
+  def topBigrams(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val bigrams = docs.select(
+      col("doc_id"),
+      explode(shinglesCol(toks, 2)).as("bigram"))
+    bigrams
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)
     *  - fp_bag: md5 of the sorted token multiset (order-insensitive)
