@@ -190,6 +190,9 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(Tables.documents(s, dir))),
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfIdf(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("rank"))),
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) =>
@@ -602,6 +605,21 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |td AS (SELECT doc_id, len(toks) AS doc_len, u.term, count(*) AS tf_raw
+        |       FROM t, unnest(toks) AS u(term) GROUP BY doc_id, len(toks), u.term),
+        |dfq AS (SELECT term, count(*) AS doc_freq FROM td GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT td.doc_id, td.term,
+        |         round((CAST(tf_raw AS DOUBLE) / CAST(doc_len AS DOUBLE))
+        |           * ln(CAST(nn.n AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+        |       FROM td JOIN dfq USING (term), nn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "top_bigrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -87,6 +87,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TF-IDF, top-k terms per document. tf = term count / doc length;
+    * idf = ln(N / df) over DISTINCT doc occurrences; score rounded to 6
+    * decimals (cross-engine boundary) BEFORE ranking so order ties are
+    * resolved identically everywhere (then by term).
+    * Two aggregations (term-doc counts, df) + a broadcast-sized df join:
+    * the standard scalable shape — nothing is collected to the driver.
+    */
+  def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count() // corpus size: a scalar, computed distributed
+    val termDoc = docs.select(
+        col("doc_id"),
+        size(tokensCol(col("text"))).as("doc_len"),
+        explode(tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("doc_len"), col("term"))
+      .agg(count(lit(1)).as("tf_raw"))
+    val df = termDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq")) // termDoc is distinct per (doc, term)
+    val scored = termDoc.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(
+          (col("tf_raw").cast("double") / col("doc_len").cast("double")) *
+            log(lit(n.toDouble) / col("doc_freq").cast("double")), 6)
+          .as("tfidf"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)
     *  - fp_bag: md5 of the sorted token multiset (order-insensitive)
