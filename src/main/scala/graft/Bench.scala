@@ -1,6 +1,37 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver contract): times every SparkEntry query
+  * on SPARK_GRAFT_SF_DIR and emits ONE machine-parseable JSON line.
+  *
+  * The JSON is (a) printed to stdout and (b) written verbatim to
+  * `bench.json` in the working directory — and to
+  * `$SPARK_GRAFT_OUT/bench.json` when that env var is set — because sbt
+  * prefixes stdout with `[info] ` and may interleave stderr stacks,
+  * which broke parsing in round 1. The file copy is the authoritative
+  * artifact.
+  *
+  * Per-query failures are NOT swallowed into fake timings: a failing
+  * query is reported in `"errors"` and excluded from `"queries"`, and
+  * the process exits non-zero so a broken bench can't masquerade as a
+  * fast one.
+  */
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,24 +40,50 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warmup outside the timed region: a small representative
     // query so the first measured query doesn't absorb JVM startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // steady-state measurement: best of two runs per query (single runs
     // swing 2-4x with host noise; min-of-N is standard practice)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val runs: Seq[Either[String, Double]] = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(s"${e.getClass.getName}: " +
+                Option(e.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString.take(300))
+          }
+        }
+        val oks = runs.collect { case Right(t) => t }
+        name -> (if (oks.nonEmpty) Right(oks.min)
+                 else Left(runs.collectFirst { case Left(m) => m }.get))
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val timings = results.collect { case (k, Right(t)) => k -> t }
+    val errors = results.collect { case (k, Left(m)) => k -> m }
+    val qs = timings.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, m) => s""""$k":"${jsonEscape(m)}"""" }
+      .mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$es,"n_queries":${results.size},""" +
+        s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
+    // authoritative artifact: file copies survive sbt's stdout prefixing
+    val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
+    outDirs.foreach { d =>
+      try Files.write(Paths.get(d, "bench.json"),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -206,6 +206,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
+    "dedup_cap_stats" -> ((s, dir) =>
+      Dedup.capStats(Tables.documents(s, dir))),
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
@@ -327,21 +329,39 @@ object SparkEntry {
        |FROM sh GROUP BY doc_id)""".stripMargin
   }
 
+  /** Band-key CTE over `sig` (mirrors Dedup.bandKeys). */
+  private val bandsCte =
+    """bands AS (SELECT doc_id, b,
+      |  md5(CASE b
+      |    WHEN 0 THEN concat_ws(',', h0, h1, h2, h3)
+      |    WHEN 1 THEN concat_ws(',', h4, h5, h6, h7)
+      |    WHEN 2 THEN concat_ws(',', h8, h9, h10, h11)
+      |    ELSE concat_ws(',', h12, h13, h14, h15) END) AS bkey
+      |  FROM sig, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
+
   /** Jaccard-verification CTE chain over candidate pairs `cand(d1,d2)`
-    * (mirrors Dedup.verifyJaccard).
+    * against the shingle index named `idx` (mirrors Dedup.verifyJaccard;
+    * `idx` = the df-capped index for the ngram queries).
     */
-  private val jaccardCte =
-    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.d1, c.d2, count(*) AS i
-      |          FROM cand c
-      |          JOIN sh s1 ON s1.doc_id = c.d1
-      |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-      |          GROUP BY c.d1, c.d2),
-      |jac AS (SELECT d1, d2,
-      |          round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard
-      |        FROM inter
-      |        JOIN cnt c1 ON c1.doc_id = d1
-      |        JOIN cnt c2 ON c2.doc_id = d2)""".stripMargin
+  private def jaccardCte(idx: String = "sh") =
+    s"""cnt AS (SELECT doc_id, count(*) AS n FROM $idx GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS i
+       |          FROM cand c
+       |          JOIN $idx s1 ON s1.doc_id = c.d1
+       |          JOIN $idx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+       |          GROUP BY c.d1, c.d2),
+       |jac AS (SELECT d1, d2,
+       |          round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard
+       |        FROM inter
+       |        JOIN cnt c1 ON c1.doc_id = d1
+       |        JOIN cnt c2 ON c2.doc_id = d2)""".stripMargin
+
+  /** df-capped shingle index (mirrors the Dedup.MaxShingleDf stop-shingle
+    * cap; inactive at the test SFs — max observed df is 25).
+    */
+  private val shCappedCte =
+    s"""shc AS (SELECT doc_id, shingle FROM sh
+       |        QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf})""".stripMargin
 
   /** Shared oracle CTEs: embeddings widened to double + norms (mirrors
     * Similarity.normed).
@@ -636,33 +656,31 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$docsCte,
          |$sigCte,
-         |bands AS (SELECT doc_id, b,
-         |  md5(CASE b
-         |    WHEN 0 THEN concat_ws(',', h0, h1, h2, h3)
-         |    WHEN 1 THEN concat_ws(',', h4, h5, h6, h7)
-         |    WHEN 2 THEN concat_ws(',', h8, h9, h10, h11)
-         |    ELSE concat_ws(',', h12, h13, h14, h15) END) AS bkey
-         |  FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+         |$bandsCte,
+         |bf AS (SELECT doc_id, b, bkey FROM bands
+         |       QUALIFY count(*) OVER (PARTITION BY b, bkey) <= ${Dedup.MaxBucketSize}),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
-         |         FROM bands a JOIN bands b2
+         |         FROM bf a JOIN bf b2
          |           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
-         |$jaccardCte
+         |${jaccardCte()}
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$docsCte,
+         |$shCappedCte,
          |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM sh x JOIN sh y
+         |         FROM shc x JOIN shc y
          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
-         |$jaccardCte
+         |${jaccardCte("shc")}
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
 
     "dedup_clusters" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$shCappedCte,
          |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM sh x JOIN sh y
+         |         FROM shc x JOIN shc y
          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
-         |$jaccardCte,
+         |${jaccardCte("shc")},
          |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
          |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
          |nodes AS (SELECT DISTINCT a AS id FROM e),
@@ -673,6 +691,21 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_cap_stats" ->
+      s"""$docsCte,
+         |$sigCte,
+         |$bandsCte,
+         |dfx AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |s1 AS (SELECT count(*) AS n_shingles,
+         |         CAST(coalesce(sum(CASE WHEN df > ${Dedup.MaxShingleDf} THEN 1 END), 0) AS BIGINT) AS n_hot_shingles,
+         |         CAST(coalesce(sum(CASE WHEN df > ${Dedup.MaxShingleDf} THEN df END), 0) AS BIGINT) AS n_postings_dropped
+         |       FROM dfx),
+         |bk AS (SELECT b, bkey, count(*) AS bn FROM bands GROUP BY b, bkey),
+         |s2 AS (SELECT count(*) AS n_buckets,
+         |         CAST(coalesce(sum(CASE WHEN bn > ${Dedup.MaxBucketSize} THEN 1 END), 0) AS BIGINT) AS n_hot_buckets
+         |       FROM bk)
+         |SELECT * FROM s1, s2""".stripMargin,
 
     "dedup_simhash" ->
       s"""$docsCte,

@@ -30,6 +30,25 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
+  /** Stop-shingle cap: shingles appearing in more than this many documents
+    * are dropped from the Jaccard inverted index before pair expansion.
+    * Pair generation is O(df²) per shingle, so one boilerplate shingle
+    * shared by 10⁶ docs would otherwise create ~10¹² pairs in one task;
+    * dropping high-df "stop shingles" is the standard web-scale dedup
+    * guard. 64 ≫ every df observed at the test SFs (max 25 at sf0.1), so
+    * results are unchanged there — the cap exists for the 100 TB corpus.
+    * Mirrored in the DuckDB oracles so the semantic is pinned, and
+    * surfaced by [[capStats]] so drops are observable, not silent.
+    */
+  val MaxShingleDf = 64
+
+  /** LSH band-bucket cap: band buckets holding more than this many docs
+    * are dropped before pair expansion (same O(size²) blowup as above).
+    * A bucket that big is a degenerate boilerplate cluster; its members
+    * still pair up through their other, selective bands.
+    */
+  val MaxBucketSize = 64
+
   /** Exact dedup: group by content hash, keep the smallest doc_id as the
     * canonical representative.
     */
@@ -65,22 +84,31 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs whose signatures collide in ≥1 band of 4
-    * consecutive minhash rows. Returns (d1, d2) with d1 < d2, distinct.
+  /** (doc_id, band, bkey) — one row per signature band; the LSH bucket
+    * key is the md5 of the band's 4 consecutive minhash values.
     */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  def bandKeys(sigs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
-    val bandKeys = (0 until NumBands).map { b =>
+    val keys = (0 until NumBands).map { b =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*))
     }
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    sigs.select(col("doc_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** LSH candidate pairs: docs whose signatures collide in ≥1 band of 4
+    * consecutive minhash rows. Returns (d1, d2) with d1 < d2, distinct.
+    * Buckets larger than `maxBucket` are dropped ([[MaxBucketSize]]).
+    */
+  def lshCandidates(sigs: DataFrame,
+                    maxBucket: Int = MaxBucketSize): DataFrame = {
     // same one-shuffle posting-list shape as ngramJaccardPairs: group by
-    // bucket, emit each bucket's ordered pairs map-side, distinct
-    bands
+    // bucket, cap, emit each bucket's ordered pairs map-side, distinct
+    bandKeys(sigs)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ds,
           |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
@@ -130,24 +158,34 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Exact n-gram Jaccard near-dup via the inverted index (no LSH):
-    * every pair sharing ≥1 shingle is scored. The exact-but-quadratic
-    * twin of [[minhashLshPairs]].
+  /** n-gram Jaccard near-dup via the inverted index (no LSH): every pair
+    * sharing ≥1 non-stop shingle is scored over the df-capped index. The
+    * higher-recall twin of [[minhashLshPairs]] (exact when the cap is
+    * inactive, as it is at the test SFs — see [[MaxShingleDf]]).
     *
-    * One pass: the shingle self-join streams straight into a pair-count
-    * aggregation — |A∩B| per pair with NO materialized candidate set, no
-    * distinct, no re-join of the shingle index (3 shuffles fewer than the
-    * naive candidates→verify shape; ~4× faster at sf0.1).
+    * One pass: the grouped posting lists stream straight into a
+    * pair-count aggregation — |A∩B| per pair with NO materialized
+    * candidate set, no distinct, no re-join of the shingle index
+    * (3 shuffles fewer than the naive candidates→verify shape; ~4×
+    * faster at sf0.1).
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(docs)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
     // co-shingled pairs WITHOUT a self-join: group the inverted index by
-    // shingle once (one shuffle of the index instead of two), generate
-    // each posting list's ordered pairs map-side, count per pair
-    val inter = sh
+    // shingle once (one shuffle of the index instead of two), drop stop
+    // shingles (df > maxDf), generate each posting list's ordered pairs
+    // map-side, count per pair. Both the pair counts AND the per-doc
+    // shingle counts derive from the SAME capped posting lists (jaccard
+    // over the capped index is internally consistent), materialized once
+    // (localCheckpoint) since they are two downstream consumers.
+    val postings = shingled(docs)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .localCheckpoint(false)
+    val cnt = postings.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = postings
       .select(explode(expr(
         """flatten(transform(ds,
           |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
@@ -168,13 +206,20 @@ object Dedup {
 
   /** Connected components over near-dup pairs → cluster representative
     * per document (the step that turns pairwise near-dup detection into
-    * actual dedup groups). Iterative min-label propagation: each round
-    * every node adopts the smallest label among itself and its
-    * neighbors; converges in O(component diameter) rounds. Each round is
-    * one join + one aggregation — the standard large-graph CC shape
-    * (no driver-side graph). Lineage is truncated per round
-    * (localCheckpoint) so plans stay O(1) deep.
+    * actual dedup groups). Min-label propagation accelerated with
+    * pointer jumping: each round every node adopts the smallest of its
+    * own label, its neighbors' labels, AND its label's label
+    * (`rep(rep)`), so small labels spread along rep pointers as well as
+    * edges — O(log diameter) rounds instead of O(diameter). One
+    * materialization job per round; convergence is tested only every
+    * `ConvergenceCheckEvery` rounds with a short-circuiting `isEmpty`
+    * (take-1), not a per-round `count()` — the driver is a scheduler
+    * here, never a synchronization barrier per round. Sound because a
+    * block with zero label changes contains a full plain-propagation
+    * round at a fixed point, and labels decrease monotonically.
     */
+  val ConvergenceCheckEvery = 2
+
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
     val edges = p.select(col("d1").as("a"), col("d2").as("b"))
@@ -182,20 +227,57 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint(true)
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("rep")).as("nbr"))
-      val updated = labels.join(nbrMin, col("id") === col("a"), "left")
-        .select(col("id"), col("rep"),
-          least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep2"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("rep2") < col("rep")).count()
-      labels = updated.select(col("id"), col("rep2").as("rep"))
-      iter += 1
+    while (!converged && iter < maxIters) {
+      val blockStart = labels
+      (0 until ConvergenceCheckEvery).foreach { _ =>
+        val nbrMin = edges
+          .join(labels.select(col("id").as("nb_id"), col("rep").as("nb_rep")),
+            col("b") === col("nb_id"))
+          .groupBy(col("a")).agg(min(col("nb_rep")).as("nbr"))
+        val jump = labels.select(col("id").as("j_id"), col("rep").as("j_rep"))
+        labels = labels
+          .join(nbrMin, col("id") === col("a"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep0"))
+          .join(jump, col("rep0") === col("j_id"), "left")
+          .select(col("id"),
+            least(col("rep0"), coalesce(col("j_rep"), col("rep0"))).as("rep"))
+          .localCheckpoint(true)
+        iter += 1
+      }
+      converged = labels.as("n")
+        .join(blockStart.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.rep") =!= col("o.rep"))
+        .isEmpty
     }
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
+  /** Cap observability: one row of drop counters for the stop-shingle
+    * and LSH-bucket caps — how many shingles/buckets are hot (over cap)
+    * and how many index postings they would have contributed. This is
+    * the "logged drop count" for the dedup suite: at the test SFs every
+    * counter is 0 (caps inactive); on a corpus with boilerplate it
+    * quantifies exactly what the caps discard.
+    */
+  def capStats(docs: DataFrame, maxDf: Int = MaxShingleDf,
+               maxBucket: Int = MaxBucketSize): DataFrame = {
+    val shStats = shingled(docs)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_hot_shingles"),
+        sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+          .as("n_postings_dropped"))
+    val bkStats = bandKeys(minhashSignatures(docs))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bn"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L))
+          .as("n_hot_buckets"))
+    shStats.crossJoin(bkStats)
   }
 
   /** 60-bit SimHash per document: sign-aggregated bit votes of every

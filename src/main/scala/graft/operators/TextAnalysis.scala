@@ -91,11 +91,17 @@ object TextAnalysis {
     * idf = ln(N / df) over DISTINCT doc occurrences; score rounded to 6
     * decimals (cross-engine boundary) BEFORE ranking so order ties are
     * resolved identically everywhere (then by term).
-    * Two aggregations (term-doc counts, df) + a broadcast-sized df join:
-    * the standard scalable shape — nothing is collected to the driver.
+    *
+    * Scale shape: two aggregations (term-doc counts, df) + a df join the
+    * optimizer sizes itself — no forced broadcast (the term-DF table is
+    * the vocabulary, which can exceed the broadcast limit on a real
+    * corpus; AQE broadcasts it when it actually fits). The corpus size N
+    * rides the plan as a 1-row aggregate cross-joined in (a 1-row
+    * broadcast), NOT a separate `docs.count()` action — one job total,
+    * nothing collected to the driver.
     */
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.count() // corpus size: a scalar, computed distributed
+    val corpusN = docs.agg(count(lit(1)).as("corpus_n"))
     val termDoc = docs.select(
         col("doc_id"),
         size(tokensCol(col("text"))).as("doc_len"),
@@ -104,11 +110,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf_raw"))
     val df = termDoc.groupBy(col("term"))
       .agg(count(lit(1)).as("doc_freq")) // termDoc is distinct per (doc, term)
-    val scored = termDoc.join(broadcast(df), Seq("term"))
+    val scored = termDoc.join(df, Seq("term")).crossJoin(corpusN)
       .select(col("doc_id"), col("term"),
         round(
           (col("tf_raw").cast("double") / col("doc_len").cast("double")) *
-            log(lit(n.toDouble) / col("doc_freq").cast("double")), 6)
+            log(col("corpus_n").cast("double") / col("doc_freq").cast("double")), 6)
           .as("tfidf"))
     scored
       .withColumn("rank", row_number().over(
