@@ -13,6 +13,19 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
+  /** The 7 standard Kafka source columns — what a real
+    * `spark.readStream.format("kafka")` emits, and the schema of the
+    * synthesized wire landing (streaming.Pipeline / TradeSource).
+    */
+  val kafka: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType),
+    StructField("key", BinaryType),
+    StructField("value", BinaryType)))
+
   /** Kafka-frame metadata + raw value (bronze_schema, :30-38). */
   val bronze: StructType = StructType(Seq(
     StructField("topic", StringType),

@@ -175,6 +175,13 @@ object SparkEntry {
         .orderBy(col("bucket"), col("symbol"))
     }),
 
+    // End-to-end streaming parity: gen → (stream) bronze → (stream)
+    // silver → (stream) gold through the real AvailableNow file-stream
+    // hops, gold sink read back and oracle-compared (T1-T8, K1-K5, S2
+    // as one pipeline instead of per-hop tests).
+    "pipeline_gold_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.goldE2E(s, dir)),
+
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
       Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
@@ -217,6 +224,8 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupLsh(Tables.embeddings(s, dir))),
 
     // ---- multimodal binary columns (media derived from documents) ----
 
@@ -245,12 +254,13 @@ object SparkEntry {
   /** Shared oracle CTE: the deterministic events→trades mapping. */
   private val tradesCte = s"WITH trades AS (\n${Trades.sqlCte}\n)"
 
-  /** Shared oracle CTE chain: trades → 1-minute OHLCV bars (mirrors
-    * Gold.bars; struct-min/max argmin via row_number over (ts, price)).
+  /** Oracle CTE body: `trades` → 1-minute OHLCV bars (mirrors Gold.bars;
+    * struct-min/max argmin via row_number over (ts, price)). Generic over
+    * whatever `trades` CTE precedes it (µs batch trades for the batch
+    * queries, ms-truncated wire trades for the e2e pipeline).
     */
-  private val barsCte =
-    s"""$tradesCte,
-       |t2 AS (
+  private val barsBodyCte =
+    s"""t2 AS (
        |  SELECT *, time_bucket(INTERVAL 1 MINUTE, event_time) AS bs,
        |    row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 1 MINUTE, event_time)
        |                       ORDER BY event_time, price) AS rn_a,
@@ -268,6 +278,9 @@ object SparkEntry {
        |    count(*) AS trades,
        |    CAST(bs AS DATE) AS bar_date
        |  FROM t2 GROUP BY symbol, bs)""".stripMargin
+
+  /** Shared oracle CTE chain: µs batch trades → 1-minute bars. */
+  private val barsCte = s"$tradesCte,\n$barsBodyCte"
 
   /** Shared oracle CTE chain: bars → full analytics frame (mirrors
     * Analytics.enrich — lag/lead, trailing-30-min RANGE stats excluding the
@@ -556,6 +569,20 @@ object SparkEntry {
          |  CAST(sum(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS volume
          |FROM trades GROUP BY 1, 2 ORDER BY hour_of_day, day_of_week""".stripMargin,
 
+    // e2e pipeline: everything downstream of the wire is ms-truncated
+    // (the wire serializes ms epochs), so the oracle's trades CTE
+    // truncates event_time to ms before the SAME bars body.
+    "pipeline_gold_e2e" ->
+      s"""WITH trades AS (
+         |  SELECT event_id,
+         |    'SYM_' || CAST(user_id AS VARCHAR) AS symbol,
+         |    make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS event_time,
+         |    value AS price,
+         |    CAST(1 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS size
+         |  FROM events),
+         |$barsBodyCte
+         |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
+
     "trade_sessions" ->
       s"""$tradesCte,
          |t2 AS (SELECT symbol, event_time, size,
@@ -742,6 +769,31 @@ object SparkEntry {
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
          |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.45
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embed_lsh" ->
+      s"""$embCte,
+         |hp AS (SELECT gb.b, gj.j,
+         |         CASE WHEN CAST('0x' || substr(md5('hp' || gb.b || '_' || gj.j), 1, 15) AS BIGINT) % 2 = 0
+         |              THEN 1.0 ELSE -1.0 END AS r
+         |       FROM generate_series(0, 63) gb(b), generate_series(0, 63) gj(j)),
+         |hpl AS (SELECT b, list(r ORDER BY j) AS hv FROM hp GROUP BY b),
+         |bits AS (SELECT n.vec_id, hpl.b,
+         |           CASE WHEN list_sum(list_transform(list_zip(n.v, hpl.hv), z -> z[1] * z[2])) >= 0
+         |                THEN '1' ELSE '0' END AS bit
+         |         FROM n, hpl),
+         |bandk AS (SELECT vec_id, b // 4 AS band,
+         |            string_agg(bit, '' ORDER BY b) AS bkey
+         |          FROM bits GROUP BY vec_id, b // 4),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         |         FROM bandk a JOIN bandk c
+         |           ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id),
+         |p AS (SELECT cand.id1, cand.id2,
+         |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |      FROM cand
+         |      JOIN n x ON x.vec_id = cand.id1
+         |      JOIN n y ON y.vec_id = cand.id2)
          |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.45
          |ORDER BY id1, id2""".stripMargin,
 

@@ -56,33 +56,121 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Global top-k most-similar pairs by cosine (exact, O(n²) self-join;
-    * plans as TakeOrderedAndProject — no global sort materialized).
+  /** Exact all-pairs cosine via 2-D block decomposition (the
+    * "1-bucket-theta" join): every vector is assigned a block
+    * `vec_id mod B`; each unordered block pair (p ≤ q) becomes ONE
+    * equi-join key, rows replicate to the keys they participate in
+    * (row-role to (blk..B-1), column-role to (0..blk)), and the join is
+    * a plain shuffled equi-join with `(n/B)²` work per key. Exact O(n²)
+    * compute — unavoidable for an exact answer — but NO
+    * BroadcastNestedLoopJoin: nothing broadcasts a whole table, no
+    * single task holds the cross product, and B scales with cluster
+    * parallelism (√tasks). Each pair is produced exactly once: a pair in
+    * blocks (p,q), p≠q, meets only at key (min,max) with one role
+    * assignment; a same-block pair meets at (b,b) in both role orders
+    * and the `id_r < id_c` residual keeps one.
     */
-  def topPairs(embeddings: DataFrame, k: Int = 20): DataFrame = {
+  def allPairsCosine(embeddings: DataFrame, numBlocks: Int = 8): DataFrame = {
     val n = normed(embeddings)
-    val a = n.select(col("vec_id").as("id1"), col("v").as("qv"),
-      col("nrm").as("qn"))
-    val b = n.select(col("vec_id").as("id2"), col("v"), col("nrm"))
-    a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine.as("cosine"))
+    val withBlk = n.withColumn("blk", pmod(col("vec_id"), lit(numBlocks)).cast("int"))
+    val rows = withBlk
+      .withColumn("cb", explode(sequence(col("blk"), lit(numBlocks - 1))))
+      .select(col("vec_id").as("id_r"), col("v").as("qv"),
+        col("nrm").as("qn"), col("blk").as("rb"), col("cb"))
+    val cols = withBlk
+      .withColumn("rb", explode(sequence(lit(0), col("blk"))))
+      .select(col("vec_id").as("id_c"), col("v"), col("nrm"),
+        col("rb"), col("blk").as("cb"))
+    rows.join(cols, Seq("rb", "cb"))
+      .filter(col("rb") < col("cb") ||
+        (col("rb") === col("cb") && col("id_r") < col("id_c")))
+      .select(least(col("id_r"), col("id_c")).as("id1"),
+        greatest(col("id_r"), col("id_c")).as("id2"), cosine.as("cosine"))
+  }
+
+  /** Global top-k most-similar pairs by cosine — exact, blocked
+    * ([[allPairsCosine]]); plans as TakeOrderedAndProject on top (no
+    * global sort materialized).
+    */
+  def topPairs(embeddings: DataFrame, k: Int = 20): DataFrame =
+    allPairsCosine(embeddings)
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
       .limit(k)
-  }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
     * threshold (the last member of the dedup suite — near-dup by
-    * embedding rather than text). Exact O(n²) here; at 100 TB bucket by
-    * coarse quantization (IVF cells / LSH hyperplane signs) first and
-    * compare within buckets only, like [[Dedup.minhashLshPairs]].
+    * embedding rather than text). Exact via [[allPairsCosine]]; the
+    * sub-quadratic scale path is [[cosineNearDupLsh]], judged against
+    * this as ground truth.
     */
   def cosineNearDupPairs(embeddings: DataFrame,
-                         threshold: Double = 0.45): DataFrame = {
+                         threshold: Double = 0.45): DataFrame =
+    allPairsCosine(embeddings)
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Deterministic ±1 hyperplane components: parity of the md5-derived
+    * 60-bit hash of "hp<bit>_<dim>" — reproducible in ANY engine with
+    * md5 (the DuckDB oracle re-derives the identical matrix in SQL).
+    */
+  def hyperplane(bit: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp${bit}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+    else -1.0
+  }
+
+  /** Sign-of-random-hyperplane LSH near-dup: project every vector onto
+    * `nBands × bitsPerBand` fixed ±1 hyperplanes, bucket by the sign
+    * pattern of each band, generate candidate pairs per bucket
+    * (posting-list expansion, one shuffle — same shape as
+    * [[Dedup.lshCandidates]]), then verify candidates with the exact
+    * cosine. Precision is exact (every emitted pair passes the real
+    * threshold); recall is 1-(1-pᵇ)ᵏ with p = 1-θ/π per bit.
+    *
+    * Parameter note (measured on the harness data): at this corpus's
+    * weak threshold (0.45 ≈ 63°, p ≈ 0.65) 16×4 bands give full recall
+    * at sf0.01 and ~94% at sf0.1, but candidate selectivity is
+    * necessarily poor — the threshold sits close to the background
+    * similarity, which no LSH family can separate cheaply. At a real
+    * dedup threshold (0.85+, p ≥ 0.9) the same 16×4 structure keeps
+    * recall ≥ 1-10⁻⁴ while bucketing prunes almost everything: THAT is
+    * the 100 TB regime this operator exists for. `maxBucket` caps
+    * degenerate buckets (exact-duplicate floods) like
+    * [[Dedup.MaxBucketSize]]; default ∞ because capping at a weak
+    * threshold costs recall.
+    */
+  def cosineNearDupLsh(embeddings: DataFrame, threshold: Double = 0.45,
+                       nBands: Int = 16, bitsPerBand: Int = 4,
+                       dims: Int = 64,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val n = normed(embeddings)
-    val a = n.select(col("vec_id").as("id1"), col("v").as("qv"),
-      col("nrm").as("qn"))
-    val b = n.select(col("vec_id").as("id2"), col("v"), col("nrm"))
-    a.join(b, col("id1") < col("id2"))
+    val bitCols = (0 until nBands * bitsPerBand).map { b =>
+      val hp = typedLit((0 until dims).map(j => hyperplane(b, j)))
+      when(vecDot(col("v"), hp) >= 0, "1").otherwise("0")
+    }
+    val bandKeyCols = (0 until nBands).map { band =>
+      concat((0 until bitsPerBand).map(i => bitCols(band * bitsPerBand + i)): _*)
+    }
+    val bands = n.select(col("vec_id"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+    val cand = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS id1, y AS id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    cand
+      .join(n.select(col("vec_id").as("id1"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("id1"))
+      .join(n.select(col("vec_id").as("id2"), col("v"), col("nrm")),
+        Seq("id2"))
       .select(col("id1"), col("id2"), cosine.as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("id1"), col("id2"))

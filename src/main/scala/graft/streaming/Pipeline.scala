@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{Schemas, Tables}
+import graft.operators.Bronze
+
+/** End-to-end streaming parity: the full three-hop pipeline (wire →
+  * bronze → silver → gold) run through the REAL file-stream queries
+  * (AvailableNow), then the gold sink read back as a batch table. The
+  * `pipeline_gold_e2e` CORRECTNESS entry compares this against the
+  * DuckDB bars oracle — converting the per-hop streaming tests into one
+  * oracle-backed whole-pipeline guarantee (reference
+  * scripts/collect_data.sh runs the same three jobs back to back).
+  *
+  * Two deliberate semantics:
+  *  - The wire serializes event time as ms epochs
+  *    (kraken_trades_ws.py:101), so everything downstream of the wire is
+  *    ms-truncated; the oracle truncates the same way (silver_parse
+  *    semantics), NOT the µs batch-trades shape.
+  *  - Append-mode bars emit only when the watermark passes bar_end, and
+  *    the watermark never advances past the last real event — so the gen
+  *    step plants one SENTINEL wire row 10 minutes after the last trade.
+  *    It drags the watermark past every real bar_end (flushing them to
+  *    the sink) while its own in-progress bar stays in state; the batch
+  *    read filters the sentinel symbol defensively.
+  */
+object Pipeline {
+
+  val SentinelSymbol = "ZZ_WM_FLUSH"
+
+  def goldE2E(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_e2e_").toString
+    val landing = s"$base/landing"
+    val bronzeDir = s"$base/bronze"
+    val silverDir = s"$base/silver"
+    val goldDir = s"$base/gold"
+
+    // gen: wire-format landing files + the watermark-flush sentinel
+    val events = Tables.events(spark, dir)
+    val wire = Bronze.kafkaWireFromEvents(events)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 10 * 60 * 1000)
+    val sentinel = spark.range(1).select(
+      lit("crypto.trades").as("topic"),
+      lit(0).cast("int").as("partition"),
+      lit(-1L).as("offset"),
+      lit(flushTs).as("timestamp"),
+      lit(0).as("timestampType"),
+      lit(SentinelSymbol).cast("binary").as("key"),
+      to_json(struct(
+        lit("kraken").as("exchange"), lit(SentinelSymbol).as("symbol"),
+        lit(1.0).as("price"), lit(1.0).as("size"),
+        lit("buy").as("side"), lit("limit").as("order_type"),
+        lit(flushTs.getTime).as("ts_event"),
+        lit(flushTs.getTime).as("ts_ingest"))).cast("binary").as("value"))
+    wire.unionByName(sentinel).write.mode("overwrite").parquet(landing)
+
+    // the three hops, each drained to completion (AvailableNow)
+    val an = Trigger.AvailableNow()
+    Streams.kafkaLikeToBronze(
+      spark.readStream.schema(Schemas.kafka).parquet(landing),
+      bronzeDir, s"$base/ck1", trigger = an).awaitTermination()
+    Streams.bronzeToSilver(spark, bronzeDir, silverDir, s"$base/ck2",
+      trigger = an).awaitTermination()
+    Streams.silverToGold(spark, silverDir, goldDir, s"$base/ck3",
+      trigger = an).awaitTermination()
+
+    spark.read.parquet(goldDir)
+      .filter(col("symbol") =!= SentinelSymbol)
+      .select(col("symbol"), col("bar_start"), col("bar_end"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("vwap"),
+        col("trades"), col("bar_date"))
+      .orderBy(col("symbol"), col("bar_start"))
+  }
+}

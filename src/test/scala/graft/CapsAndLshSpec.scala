@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, Trades}
+
+/** Scale-guard semantics: stop-shingle/bucket caps (active on synthetic
+  * hot-key corpora, inactive on the harness data), hyperplane-LSH
+  * agreement with the exact near-dup baseline, blocked all-pairs
+  * correctness, pointer-jumping connected components, and sketch
+  * error-bound checks for the approx profile.
+  */
+class CapsAndLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hotShingleCorpus = (0 until 10)
+    .map(i => (i.toLong, s"a b c x$i y$i"))
+    .toDF("doc_id", "text")
+
+  test("ngramJaccardPairs drops stop shingles over the df cap") {
+    // every doc pair shares exactly one shingle ("a b c", df = 10);
+    // jaccard = 1/5 = 0.2 per pair without the cap
+    val uncapped = Dedup.ngramJaccardPairs(hotShingleCorpus, 0.1, maxDf = 1000)
+    assert(uncapped.count() == 45) // C(10,2), all via the hot shingle
+    val capped = Dedup.ngramJaccardPairs(hotShingleCorpus, 0.1, maxDf = 4)
+    assert(capped.count() == 0) // hot shingle dropped; nothing else shared
+  }
+
+  test("capStats counts hot shingles and dropped postings") {
+    val row = Dedup.capStats(hotShingleCorpus, maxDf = 4, maxBucket = 1000)
+      .collect().head
+    assert(row.getAs[Long]("n_hot_shingles") == 1L)
+    assert(row.getAs[Long]("n_postings_dropped") == 10L)
+    assert(row.getAs[Long]("n_hot_buckets") == 0L)
+    // harness data: caps must be inactive (results unchanged by design)
+    val real = Dedup.capStats(Tables.documents(spark, "/root/testdata/sf0.01"))
+      .collect().head
+    assert(real.getAs[Long]("n_hot_shingles") == 0L)
+    assert(real.getAs[Long]("n_hot_buckets") == 0L)
+  }
+
+  test("lshCandidates drops oversized band buckets") {
+    // identical docs -> identical signatures -> one bucket per band
+    val dups = (0 until 6).map(i => (i.toLong, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(dups)
+    assert(Dedup.lshCandidates(sigs, maxBucket = 4).count() == 0)
+    assert(Dedup.lshCandidates(sigs, maxBucket = 10).count() == 15) // C(6,2)
+  }
+
+  test("embedding LSH agrees with the exact near-dup pairs at sf0.01") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineNearDupPairs(emb).collect().toSeq
+    val lsh = Similarity.cosineNearDupLsh(emb).collect().toSeq
+    assert(exact.size == 14) // known ground truth at sf0.01
+    assert(lsh == exact) // full recall at this SF; precision exact by design
+  }
+
+  test("blocked all-pairs produces each pair exactly once, values exact") {
+    val emb = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 31 + j + 1).toFloat),
+        i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val blocked = Similarity.allPairsCosine(emb, numBlocks = 4)
+      .orderBy("id1", "id2").collect().toSeq
+    assert(blocked.size == 435) // C(30,2) — no dup, no loss
+    // naive reference: plain theta-join
+    val n = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val naive = n.select(col("vec_id").as("id1"), col("v").as("a"))
+      .join(n.select(col("vec_id").as("id2"), col("v").as("b")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (sqrt(expr("aggregate(a, 0D, (acc, x) -> acc + x * x)"))
+            * sqrt(expr("aggregate(b, 0D, (acc, x) -> acc + x * x)"))), 6)
+          .as("cosine"))
+      .orderBy("id1", "id2").collect().toSeq
+    assert(blocked == naive)
+  }
+
+  test("clusters: pointer jumping converges to per-component min labels") {
+    // a 10-node chain (worst case for plain propagation) + a triangle
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val pairs = (chain ++ tri).toDF("d1", "d2")
+    val got = Dedup.clusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (1L to 10L).map(i => (i, 1L)) ++ (20L to 22L).map(i => (i, 20L))
+    assert(got == want)
+  }
+
+  test("approx_profile sketches land within their error bounds") {
+    val t = Trades.fromEvents(Tables.events(spark, "/root/testdata/sf0.01"))
+    val joined = t.groupBy(col("symbol"))
+      .agg(
+        approx_count_distinct(col("price"), 0.01).as("approx_nd"),
+        count_distinct(col("price")).as("exact_nd"),
+        percentile_approx(col("price"), lit(0.5), lit(10000)).as("p50_approx"),
+        expr("percentile(price, 0.45)").as("p45_exact"),
+        expr("percentile(price, 0.55)").as("p55_exact"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx_nd").toDouble,
+        r.getAs[Long]("exact_nd").toDouble)
+      // HLL++ with rsd 0.01: allow 5 sigma
+      assert(math.abs(a - e) / e <= 0.05,
+        s"${r.getString(0)}: HLL $a vs exact $e")
+      // percentile_approx returns a REAL element (rank-based, no
+      // interpolation); the honest bound is a rank bound: the returned
+      // value must sit within the exact 45th..55th percentile band
+      // (guaranteed rank error is 1/accuracy ≪ 5%)
+      val pa = r.getAs[Double]("p50_approx")
+      val (lo, hi) = (r.getAs[Double]("p45_exact"), r.getAs[Double]("p55_exact"))
+      assert(pa >= lo && pa <= hi,
+        s"${r.getString(0)}: approx p50 $pa outside exact rank band [$lo, $hi]")
+    }
+  }
+}
