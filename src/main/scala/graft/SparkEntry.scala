@@ -186,6 +186,10 @@ object SparkEntry {
     "trade_sessions" -> ((s, dir) =>
       Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
         .orderBy(col("symbol"), col("session_id"))),
+    // Same semantics through Spark's native session_window state path.
+    "trade_sessions_native" -> ((s, dir) =>
+      Sessions.statsNative(Trades.fromEvents(Tables.events(s, dir)))
+        .orderBy(col("symbol"), col("session_id"))),
 
     // ---- training-data pipeline operators (documents/embeddings) ----
 
@@ -388,6 +392,28 @@ object SparkEntry {
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
 
+  /** Sessionization oracle (mirrors Sessions.stats AND
+    * Sessions.statsNative — proven identical in SessionsSpec).
+    */
+  private val sessionsOracleSql =
+    s"""$tradesCte,
+       |t2 AS (SELECT symbol, event_time, size,
+       |         lag(event_time) OVER (PARTITION BY symbol ORDER BY event_time) AS prev_ts
+       |       FROM trades),
+       |t3 AS (SELECT *, CASE WHEN prev_ts IS NULL
+       |         OR CAST(floor(epoch(event_time)) AS BIGINT)
+       |          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+       |         THEN 1 ELSE 0 END AS ns FROM t2),
+       |t4 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY symbol ORDER BY event_time
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+       |       FROM t3)
+       |SELECT symbol, session_id,
+       |  min(event_time) AS session_start, max(event_time) AS session_end,
+       |  count(*) AS n_trades,
+       |  CAST(sum(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS volume
+       |FROM t4 GROUP BY symbol, session_id
+       |ORDER BY symbol, session_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -583,24 +609,10 @@ object SparkEntry {
          |$barsBodyCte
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 
-    "trade_sessions" ->
-      s"""$tradesCte,
-         |t2 AS (SELECT symbol, event_time, size,
-         |         lag(event_time) OVER (PARTITION BY symbol ORDER BY event_time) AS prev_ts
-         |       FROM trades),
-         |t3 AS (SELECT *, CASE WHEN prev_ts IS NULL
-         |         OR CAST(floor(epoch(event_time)) AS BIGINT)
-         |          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-         |         THEN 1 ELSE 0 END AS ns FROM t2),
-         |t4 AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY symbol ORDER BY event_time
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
-         |       FROM t3)
-         |SELECT symbol, session_id,
-         |  min(event_time) AS session_start, max(event_time) AS session_end,
-         |  count(*) AS n_trades,
-         |  CAST(sum(CAST(size AS DECIMAL(20,6))) AS DOUBLE) AS volume
-         |FROM t4 GROUP BY symbol, session_id
-         |ORDER BY symbol, session_id""".stripMargin,
+    // both sessionization shapes (window-function and native
+    // session_window) share one oracle — identical semantics by design
+    "trade_sessions" -> sessionsOracleSql,
+    "trade_sessions_native" -> sessionsOracleSql,
 
     "trades_asof_bars" ->
       s"""$barsCte

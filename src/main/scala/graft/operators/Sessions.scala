@@ -50,6 +50,40 @@ object Sessions {
         sum(col("size").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
           .cast("double").as("volume"))
 
+  /** Batch session aggregates via Spark's NATIVE `session_window`
+    * expression (the engine's own merging-session-state path — also the
+    * shape Structured Streaming uses for session state at scale),
+    * row-identical to [[stats]].
+    *
+    * Semantics alignment (why the floor-to-seconds): [[assign]] opens a
+    * new session when `floor_sec(t) - floor_sec(prev) > gap`, i.e.
+    * merges on `floor diff <= gap`. `session_window` merges TOUCHING
+    * windows inclusively (`t <= prev + gap`, µs precision — verified by
+    * the boundary cases in SessionsSpec). Feeding it floor-second
+    * timestamps with the same gap merges exactly when
+    * `floor diff <= gap` — the identical partition. Aggregates still use
+    * the original µs timestamps; the ordinal session_id is recovered by
+    * session order per symbol.
+    */
+  def statsNative(trades: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    trades
+      .withColumn("__ts_s", timestamp_seconds(unix_timestamp(col("event_time"))))
+      .groupBy(col("symbol"),
+        session_window(col("__ts_s"), s"${gapMinutes * 60} seconds").as("sw"))
+      .agg(
+        min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).as("n_trades"),
+        sum(col("size").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("volume"))
+      .withColumn("session_id",
+        (row_number().over(
+          Window.partitionBy("symbol").orderBy(col("sw.start"))) - 1)
+          .cast("long"))
+      .select(col("symbol"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_trades"), col("volume"))
+  }
+
   case class SessionState(start: Long, end: Long, n: Long, volume: Double)
   case class SessionOut(symbol: String, session_start: Timestamp,
                         session_end: Timestamp, n_trades: Long, volume: Double)

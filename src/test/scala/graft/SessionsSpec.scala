@@ -33,6 +33,33 @@ class SessionsSpec extends SparkSpec {
     assert(s(2).getAs[String]("symbol") == "B")
   }
 
+  test("native session_window variant is row-identical to the window shape") {
+    // synthetic boundary cases: exactly-30min gap (same session under the
+    // floor-second > rule), 30min+1s gap (new session), sub-second jitter
+    val edge = trades ++ Seq(
+      trade("C", "2024-01-01 10:00:00", 1.0),
+      trade("C", "2024-01-01 10:30:00", 1.0),  // gap exactly 1800s: merges
+      trade("C", "2024-01-01 11:00:01", 1.0),  // gap 1801s: splits
+      trade("D", "2024-01-01 10:00:00", 1.0))
+    val cols = Seq("symbol", "session_id", "session_start", "session_end",
+      "n_trades", "volume")
+    val a = Sessions.stats(edge.toDS.toDF)
+      .select(cols.map(col): _*).orderBy("symbol", "session_id")
+      .collect().toSeq
+    val b = Sessions.statsNative(edge.toDS.toDF)
+      .select(cols.map(col): _*).orderBy("symbol", "session_id")
+      .collect().toSeq
+    assert(a == b)
+    // and on the real data (µs timestamps, all symbols)
+    val real = operators.Trades.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val ra = Sessions.stats(real).select(cols.map(col): _*)
+      .orderBy("symbol", "session_id").collect().toSeq
+    val rb = Sessions.statsNative(real).select(cols.map(col): _*)
+      .orderBy("symbol", "session_id").collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
   test("streaming: sessions emit on gap closure with identical aggregates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Trade]
