@@ -114,6 +114,11 @@ object SparkEntry {
         Seq("close", "vwap")).orderBy(col("event_id"))
     }),
 
+    // Batch interval join (banded range join; the stream-stream interval
+    // join's batch twin — see IntervalJoin scaladoc).
+    "interval_buy_sells" -> ((s, dir) =>
+      IntervalJoin.buySellMatches(Trades.fromEvents(Tables.events(s, dir)))),
+
     // Sliding-window bars (T2 extension: overlapping windows).
     "gold_bars_5m_sliding" -> ((s, dir) =>
       Gold.slidingBars(Trades.fromEvents(Tables.events(s, dir)))
@@ -226,6 +231,8 @@ object SparkEntry {
       Similarity.topPairs(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir))),
+    "ann_ivf_kmeans" -> ((s, dir) =>
+      Similarity.annIvfKmeans(Tables.embeddings(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "dedup_embed_lsh" -> ((s, dir) =>
@@ -392,6 +399,27 @@ object SparkEntry {
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
 
+  /** k-means oracle steps (mirror Similarity.assignCells /
+    * kmeansCentroids): one Lloyd assignment CTE and one means CTE.
+    */
+  private def kmAssignCte(name: String, cents: String) =
+    s"""${name}_s AS (SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |  round(${dotSql("n.v", "c.cv")} / (n.nrm * c.c_nrm), 6) AS cs
+       |  FROM n, $cents c),
+       |${name}_r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |  FROM ${name}_s),
+       |$name AS (SELECT vec_id, v, nrm, cell FROM ${name}_r WHERE rn = 1)""".stripMargin
+
+  private def kmMeansCte(name: String, assign: String) =
+    s"""${name}_p AS (SELECT cell, g.pos, avg(v[g.pos]) AS cx
+       |  FROM $assign, unnest(generate_series(1, len(v))) AS g(pos)
+       |  GROUP BY cell, g.pos),
+       |${name}_l AS (SELECT cell, list(round(cx, 6) ORDER BY pos) AS cv
+       |  FROM ${name}_p GROUP BY cell),
+       |$name AS (SELECT cell, cv,
+       |  sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm
+       |  FROM ${name}_l)""".stripMargin
+
   /** Sessionization oracle (mirrors Sessions.stats AND
     * Sessions.statsNative — proven identical in SessionsSpec).
     */
@@ -503,6 +531,23 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "interval_buy_sells" ->
+      s"""$tradesCte,
+         |b AS (SELECT symbol, event_id, event_time AS buy_time, price AS buy_price
+         |      FROM trades WHERE side = 'buy'),
+         |s AS (SELECT symbol AS s_symbol, event_time AS sell_time, price AS sell_price
+         |      FROM trades WHERE side = 'sell'),
+         |j AS (SELECT b.symbol, b.event_id, b.buy_time, b.buy_price, s.sell_price
+         |      FROM b JOIN s ON s.s_symbol = b.symbol
+         |        AND s.sell_time >= b.buy_time
+         |        AND s.sell_time <= b.buy_time + INTERVAL 1 MINUTE)
+         |SELECT symbol, event_id, buy_time, buy_price,
+         |  count(*) AS n_sells,
+         |  min(sell_price) AS min_sell_price,
+         |  max(sell_price) AS max_sell_price
+         |FROM j GROUP BY symbol, event_id, buy_time, buy_price
+         |ORDER BY symbol, event_id""".stripMargin,
 
     "gold_bars_5m_sliding" ->
       s"""$tradesCte,
@@ -872,6 +917,31 @@ object SparkEntry {
          |sc AS (SELECT p.query_id, n.vec_id AS neighbor_id,
          |         round(${dotSql("p.qv", "n.v")} / (p.qn * n.nrm), 6) AS cosine
          |       FROM probe p JOIN n ON n.label = p.c_label AND n.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_kmeans" ->
+      s"""$embCte,
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM n WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells", "c2")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM cells WHERE vec_id < 10),
+         |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
+         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |       FROM q, c2 c),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
+         |       FROM pc),
+         |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
+         |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10

@@ -176,6 +176,84 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** One Lloyd assignment step: nearest centroid per vector by rounded
+    * cosine, ties to the smallest cell id (cross-engine deterministic).
+    * Centroids are a k-row aggregate — explicitly broadcast; the corpus
+    * never shuffles for assignment.
+    */
+  def assignCells(n: DataFrame, cents: DataFrame): DataFrame = n
+    .crossJoin(broadcast(cents))
+    .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+      round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm")), 6)
+        .as("cs"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cell"))))
+    .filter(col("rn") === 1)
+    .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
+  /** Distributed k-means (Lloyd, a FIXED number of iterations so the
+    * DuckDB oracle can unroll the same steps): deterministic init
+    * (centroid c = the vector with vec_id c), assignment by rounded
+    * cosine, new centroid = element-wise mean rounded to 6 decimals.
+    * Everything stays in-plan — centroids are k-row aggregates that
+    * broadcast; no driver-side collect loop (MLlib collects centroids
+    * per iteration; this shape keeps the lineage declarative instead).
+    * Corpus cost: iters+1 map-only scans, no corpus shuffle.
+    */
+  def kmeansCentroids(n: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    var cents = n.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"),
+        col("nrm").as("c_nrm"))
+    (1 to iters).foreach { _ =>
+      cents = assignCells(n, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+        .select(col("cell"),
+          expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
+        .withColumn("c_nrm", vecNorm(col("cv")))
+    }
+    cents
+  }
+
+  /** IVF ANN over LEARNED cells: k-means centroids instead of the label
+    * shortcut in [[annIvf]] — the production IVF build path (train
+    * coarse quantizer, assign corpus once, probe nProbe cells per
+    * query). Same probing/scoring shape as [[annIvf]].
+    */
+  def annIvfKmeans(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                   nProbe: Int = 2, kCells: Int = 8,
+                   iters: Int = 2): DataFrame = {
+    val n = normed(embeddings)
+    val cents = kmeansCentroids(n, kCells, iters)
+    val cells = assignCells(n, cents)
+    val q = cells.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        round(vecDot(col("qv"), col("cv")) / (col("qn") * col("c_nrm")), 6)
+          .as("c_cos"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell").as("p_cell"))
+    val scored = broadcast(probed)
+      .join(cells, col("cell") === col("p_cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine.as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF ANN: centroid per label cell (element-wise mean, rounded to 6
     * decimals so cell assignment is cross-engine deterministic), probe the
     * nProbe closest cells per query, exact top-k within probed cells.

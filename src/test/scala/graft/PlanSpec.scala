@@ -50,4 +50,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
     assert(p.contains("BroadcastNestedLoopJoin")) // broadcast query side
   }
+
+  test("blocked all-pairs: equi-join, NO BroadcastNestedLoopJoin") {
+    // the whole point of the 1-bucket-theta decomposition: the n² pair
+    // space rides a shuffled equi-join on block keys, never a broadcast
+    // of a whole table with a non-equi condition
+    Seq("embed_top_pairs", "dedup_embed_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$q")
+    }
+  }
+
+  test("tfIdf: plan construction triggers NO driver-side job") {
+    val sc = spark.sparkContext
+    val docs = Tables.documents(spark, dir)
+    docs.schema // force the parquet footer/schema job outside the window
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    // constructing the frame must not run anything (corpus count rides
+    // the plan as a 1-row aggregate, not a separate .count() action)
+    val df = graft.operators.TextAnalysis.tfIdf(docs)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(df.schema.fieldNames.contains("tfidf"))
+    assert(after == before, s"tfIdf construction ran ${after - before} job(s)")
+  }
+
+  test("embedding LSH: candidate generation is an aggregation, not a self-join") {
+    val p = plan("dedup_embed_lsh")
+    // posting-list expansion: one ObjectHashAggregate/HashAggregate pair
+    // over (band, bkey), then equi-joins back to vectors for the verify
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate")) // the map-side pair explode
+  }
 }
