@@ -19,6 +19,16 @@ import org.apache.spark.sql.SparkSession
   * query is reported in `"errors"` and excluded from `"queries"`, and
   * the process exits non-zero so a broken bench can't masquerade as a
   * fast one.
+  *
+  * Known benign stderr noise: `DAGScheduler ... attempted to access
+  * non-existent accumulator N`. The iterative queries use
+  * `localCheckpoint`, and when the ContextCleaner garbage-collects a
+  * finished query's SQL-metric accumulators while a straggler task of a
+  * checkpointed stage is still reporting, the DAGScheduler logs this
+  * ERROR and continues — task results are unaffected (the accumulators
+  * in question are display metrics, not data), the job completes, and
+  * the bench exit code stays 0. This was the `[error]` stack that broke
+  * round 1's stdout parsing — hence the file artifact.
   */
 object Bench {
   private def jsonEscape(s: String): String =
@@ -45,10 +55,14 @@ object Bench {
     // query so the first measured query doesn't absorb JVM startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // steady-state measurement: best of two runs per query (single runs
-    // swing 2-4x with host noise; min-of-N is standard practice)
+    // swing 2-4x with host noise; min-of-N is standard practice). The
+    // end-to-end pipeline is IO-bound (it materializes three sinks +
+    // checkpoints), so re-running it buys no timing stability — once.
+    val singleRun = Set("pipeline_gold_e2e")
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val runs: Seq[Either[String, Double]] = (1 to 2).map { _ =>
+        val nRuns = if (singleRun(name)) 1 else 2
+        val runs: Seq[Either[String, Double]] = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()

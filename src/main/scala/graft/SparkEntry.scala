@@ -224,6 +224,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "dedup_cap_stats" -> ((s, dir) =>
       Dedup.capStats(Tables.documents(s, dir))),
+    // the REMOVAL step: near-dup clusters -> keep only each cluster's
+    // representative (plus every unclustered doc) — what a training-data
+    // pipeline actually ships downstream.
+    "dedup_keep_reps" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val drop = Dedup.clusters(Dedup.ngramJaccardPairs(docs))
+        .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
@@ -237,6 +247,8 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "dedup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(Tables.embeddings(s, dir))),
+    "embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
     // ---- multimodal binary columns (media derived from documents) ----
 
@@ -775,6 +787,43 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_reps" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropd)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) AS mx
+        |  FROM e),
+        |q AS (SELECT vec_id, v, mx / 127 AS scale,
+        |    list_transform(v, x -> CAST(round(x / (mx / 127)) AS INT)) AS qv
+        |  FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  round(list_aggregate(
+        |    list_transform(list_zip(v, qv), z -> abs(z[1] - z[2] * scale)),
+        |    'max'), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "dedup_cap_stats" ->
       s"""$docsCte,

@@ -34,7 +34,16 @@ object Pipeline {
   val SentinelSymbol = "ZZ_WM_FLUSH"
 
   def goldE2E(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_e2e_").toString
+    val basePath = Files.createTempDirectory("graft_e2e_")
+    val base = basePath.toString
+    // the returned frame reads the gold sink lazily, so the staging dirs
+    // must outlive this call — reclaim them on JVM exit instead
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(basePath.toFile)
+    }
     val landing = s"$base/landing"
     val bronzeDir = s"$base/bronze"
     val silverDir = s"$base/silver"
@@ -61,14 +70,27 @@ object Pipeline {
     wire.unionByName(sentinel).write.mode("overwrite").parquet(landing)
 
     // the three hops, each drained to completion (AvailableNow)
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[pipeline] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
     val an = Trigger.AvailableNow()
-    Streams.kafkaLikeToBronze(
+    timed("hop1 wire->bronze")(Streams.kafkaLikeToBronze(
       spark.readStream.schema(Schemas.kafka).parquet(landing),
-      bronzeDir, s"$base/ck1", trigger = an).awaitTermination()
-    Streams.bronzeToSilver(spark, bronzeDir, silverDir, s"$base/ck2",
-      trigger = an).awaitTermination()
-    Streams.silverToGold(spark, silverDir, goldDir, s"$base/ck3",
-      trigger = an).awaitTermination()
+      bronzeDir, s"$base/ck1", trigger = an).awaitTermination())
+    timed("hop2 bronze->silver")(Streams.bronzeToSilver(spark, bronzeDir,
+      silverDir, s"$base/ck2", trigger = an).awaitTermination())
+    // date-only gold partitioning: the harness has 1356 symbols, far past
+    // the point where per-symbol dirs make sense (see silverToGold's
+    // partitionCols note); parity is about bar CONTENT, and the
+    // (bar_date, symbol) layout incl. `/`-escaping is round-trip tested
+    // in StreamingSpec at small scale.
+    timed("hop3 silver->gold")(Streams.silverToGold(spark, silverDir,
+      goldDir, s"$base/ck3", trigger = an,
+      partitionCols = Seq("bar_date")).awaitTermination())
 
     spark.read.parquet(goldDir)
       .filter(col("symbol") =!= SentinelSymbol)

@@ -90,6 +90,30 @@ object Streams {
                      watermark: String = DefaultWatermark): DataFrame =
     Gold.bars(silver.withWatermark("event_time", watermark), barWidth)
 
+  /** Streaming sessionization via the NATIVE `session_window` state path
+    * (merging-session store) — the built-in alternative to the custom
+    * flatMapGroupsWithState machine in Sessions.streamingStats, with the
+    * same floor-second gap semantics as the batch shapes (see
+    * Sessions.statsNative). Sessions emit finalized (append mode) once
+    * the watermark passes their close; state is one open session per
+    * (symbol, gap-run), evicted on emission.
+    */
+  def sessionWindowStream(trades: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = DefaultWatermark): DataFrame =
+    trades
+      .withColumn("__ts_s", timestamp_seconds(unix_timestamp(col("event_time"))))
+      .withWatermark("__ts_s", watermark)
+      .groupBy(col("symbol"),
+        session_window(col("__ts_s"), s"${gapMinutes * 60} seconds").as("sw"))
+      .agg(
+        min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).as("n_trades"),
+        sum(col("size").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("volume"))
+      .select(col("symbol"), col("session_start"), col("session_end"),
+        col("n_trades"), col("volume"))
+
   /** Stream-stream interval join: match each buy with sells of the same
     * symbol within `within` AFTER the buy. Both sides carry watermarks
     * and the join condition bounds event-time distance, so Spark can
@@ -157,25 +181,45 @@ object Streams {
                      trigger: Trigger = DefaultTrigger,
                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
     parquetSink(
+      // repartition on the sink partition column: without it the deduped
+      // rows stay hash-partitioned by dedup keys, so EVERY task writes a
+      // file into EVERY event_date dir (tasks × dates tiny files per
+      // batch); with it each dir gets one file per batch. Standard
+      // write-amplification control for partitioned streaming sinks —
+      // at 100 TB use repartition(N, col) with N sized to data/128MB.
       dedupStreaming(
         Silver.projectToSilver(bronzeStream(spark, bronzeDir, maxFilesPerTrigger)),
-        watermark),
+        watermark).repartition(col("event_date")),
       silverDir, checkpoint, partitionCols = Seq("event_date"),
       trigger = trigger).start()
 
-  /** Hop 3: silver dir → finalized 1-minute bars partitioned by
-    * (bar_date, symbol) (silver_to_gold_bars.py; partition values with
-    * `/` in symbols are URL-escaped by Spark, round-trip tested).
+  /** Hop 3: silver dir → finalized 1-minute bars, partitioned by
+    * (bar_date, symbol) by default (silver_to_gold_bars.py; partition
+    * values with `/` in symbols are URL-escaped by Spark, round-trip
+    * tested).
+    *
+    * `partitionCols` is a real tuning knob: partitioning by symbol is
+    * only right while |symbols| is small (the reference tracks a handful
+    * of pairs). At high symbol cardinality it becomes the classic
+    * too-many-partitions anti-pattern — every (date, symbol) combo is a
+    * directory with a near-empty file (measured: 1356 symbols × 31 days
+    * = 40k dirs ≈ 400 s of pure file creation at sf0.1). Partition by
+    * date and bucket-or-sort by symbol WITHIN files instead when the
+    * symbol universe is large.
     */
   def silverToGold(spark: SparkSession, silverDir: String, goldDir: String,
                    checkpoint: String, barWidth: String = "1 minute",
                    watermark: String = DefaultWatermark,
                    trigger: Trigger = DefaultTrigger,
-                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+                   maxFilesPerTrigger: Option[Int] = None,
+                   partitionCols: Seq[String] = Seq("bar_date", "symbol")): StreamingQuery =
     parquetSink(
+      // same write-amplification control as the silver hop: one file per
+      // partition dir per batch instead of one per task×dir
       goldBarsStream(silverStream(spark, silverDir, maxFilesPerTrigger),
-        barWidth, watermark),
-      goldDir, checkpoint, partitionCols = Seq("bar_date", "symbol"),
+        barWidth, watermark)
+        .repartition(partitionCols.map(col): _*),
+      goldDir, checkpoint, partitionCols = partitionCols,
       trigger = trigger).start()
 
   /** Batch backfill for hop 2 (bronze_to_silver_trades.py:79-88): same

@@ -60,6 +60,29 @@ class SessionsSpec extends SparkSpec {
     assert(ra.nonEmpty && ra == rb)
   }
 
+  test("streaming native session_window emits the batch sessions") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = graft.streaming.Streams.sessionWindowStream(in.toDF)
+      .writeStream.format("memory").queryName("sessions_native_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(trades: _*)
+      // sentinel far in the future drags the watermark past every session
+      in.addData(trade("ZZ", "2024-01-02 10:00:00", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_native_stream")
+        .filter(col("symbol") =!= "ZZ")
+        .select("symbol", "session_start", "session_end", "n_trades", "volume")
+        .orderBy("symbol", "session_start").collect().toSeq
+      val want = operators.Sessions.stats(trades.toDS.toDF)
+        .select(col("symbol"), col("session_start"), col("session_end"),
+          col("n_trades"), col("volume"))
+        .orderBy("symbol", "session_start").collect().toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming: sessions emit on gap closure with identical aggregates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Trade]
