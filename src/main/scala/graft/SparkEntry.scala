@@ -47,6 +47,9 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "order_status_pivot" -> ((s, dir) =>
       Relational.orderStatusPivot(Tables.orders(s, dir))),
+    "q4_returned_orders" -> ((s, dir) =>
+      Relational.returnedOrdersByPriority(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
 
     // Bronze audit projection (P1/P2): Kafka-shaped frame → raw audit rows.
     "bronze_audit" -> ((s, dir) =>
@@ -219,6 +222,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "dedup_simhash_hamming" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
@@ -364,6 +369,20 @@ object SparkEntry {
        |$mins
        |FROM sh GROUP BY doc_id)""".stripMargin
   }
+
+  /** SimHash CTE chain over `t` → `shh(doc_id, simhash)` (mirrors
+    * Dedup.simhash).
+    */
+  private val simhashCte =
+    s"""tok AS (SELECT doc_id, ${h60("u.tk")} AS h
+       |        FROM t, unnest(toks) AS u(tk)),
+       |bits AS (SELECT doc_id, j,
+       |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |         FROM tok, unnest(generate_series(0, 59)) AS g(j)
+       |         GROUP BY doc_id, j),
+       |shh AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Band-key CTE over `sig` (mirrors Dedup.bandKeys). */
   private val bandsCte =
@@ -535,6 +554,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q4_returned_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "order_status_pivot" ->
       """SELECT o_orderpriority,
@@ -842,15 +869,25 @@ object SparkEntry {
 
     "dedup_simhash" ->
       s"""$docsCte,
-         |tok AS (SELECT doc_id, ${h60("u.tk")} AS h
-         |        FROM t, unnest(toks) AS u(tk)),
-         |bits AS (SELECT doc_id, j,
-         |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
-         |         FROM tok, unnest(generate_series(0, 59)) AS g(j)
-         |         GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |$simhashCte
+         |SELECT doc_id, simhash FROM shh ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_hamming" ->
+      s"""$docsCte,
+         |$simhashCte,
+         |sbands AS (SELECT doc_id, u.b,
+         |             (simhash >> (15 * u.b)) & 32767 AS bval
+         |           FROM shh, unnest([0, 1, 2, 3]) AS u(b)),
+         |sbf AS (SELECT doc_id, b, bval FROM sbands
+         |        QUALIFY count(*) OVER (PARTITION BY b, bval) <= ${Dedup.MaxBucketSize}),
+         |scand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+         |          FROM sbf a JOIN sbf c
+         |            ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id)
+         |SELECT d1, d2,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM scand JOIN shh x ON x.doc_id = d1 JOIN shh y ON y.doc_id = d2
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
 
     "ann_topk" ->
       s"""$embCte,

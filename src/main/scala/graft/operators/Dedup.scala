@@ -255,6 +255,44 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** SimHash near-dup pairs, EXACT and sub-quadratic: pairs with Hamming
+    * distance ≤ `maxHamming` between 60-bit simhashes. The 60 bits split
+    * into 4 bands of 15; by pigeonhole, ≤ 3 differing bits can touch at
+    * most 3 bands, so every qualifying pair collides in ≥ 1 band —
+    * banding here is a COMPLETE filter (unlike probabilistic minhash-LSH
+    * recall), and the verify step just recomputes the true Hamming
+    * distance on the candidates. One posting-list shuffle + two 1-row-
+    * per-doc joins; the signature frame is materialized once
+    * (localCheckpoint) since bands and both verify sides read it.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = MaxBucketSize): DataFrame = {
+    require(maxHamming < 4, "4 bands are complete only for hamming <= 3")
+    val sh = simhash(docs).localCheckpoint(false)
+    val bands = sh.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(simhash >> ${15 * b}) & 32767")): _*))
+        .as(Seq("band", "bval")))
+    val cand = bands
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("simhash").as("s1")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("simhash").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("cast(bit_count(s1 ^ s2) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Cap observability: one row of drop counters for the stop-shingle
     * and LSH-bucket caps — how many shingles/buckets are hot (over cap)
     * and how many index postings they would have contributed. This is

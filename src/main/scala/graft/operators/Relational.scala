@@ -121,4 +121,18 @@ object Relational {
       .withColumnsRenamed(statuses.map(s => s -> s"n_$s").toMap)
       .orderBy(col("o_orderpriority"))
   }
+
+  /** EXISTS-style semi join (TPC-H Q4 shape): orders with ≥1 returned
+    * lineitem, counted by priority. LEFT SEMI keeps the orders side
+    * unduplicated without a distinct — the probe side is reduced to its
+    * join key before the join, so the shuffle carries one column.
+    */
+  def returnedOrdersByPriority(orders: DataFrame,
+                               lineitem: DataFrame): DataFrame =
+    orders.join(
+        lineitem.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
 }
