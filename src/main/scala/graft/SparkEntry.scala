@@ -100,6 +100,11 @@ object SparkEntry {
           "next_open", "gap_pct", "is_return_anom", "is_volume_anom")
         .orderBy(col("symbol"), col("bar_start"))),
 
+    // Technical indicators (Bollinger/RSI/EWMA) over 1m bars.
+    "bar_indicators" -> ((s, dir) =>
+      Analytics.indicators(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
+        .orderBy(col("symbol"), col("bar_start"))),
+
     // Top-K then re-sort (O1/O2): last 180 bars of one symbol, time order.
     "bars_last_k" -> ((s, dir) =>
       Analytics.lastK(
@@ -537,6 +542,46 @@ object SparkEntry {
          |  z_ret, vol_mu, vol_sd, z_vol, next_open, gap_pct,
          |  is_return_anom, is_volume_anom
          |FROM anom ORDER BY symbol, bar_start""".stripMargin,
+
+    "bar_indicators" -> {
+      val ws = graft.operators.Analytics.ewmaWeights(20)
+      val wList = ws.map(w => s"CAST('${java.lang.Double.toString(w)}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      val sumW = s"CAST('${java.lang.Double.toString(ws.sum)}' AS DOUBLE)"
+      s"""$barsCte,
+         |i1 AS (SELECT symbol, bar_start, close,
+         |  CAST(floor(epoch(bar_start)) AS BIGINT) AS ts_s FROM bars),
+         |i2 AS (SELECT symbol, bar_start, ts_s, close,
+         |  count(close) OVER w20 AS n20,
+         |  round(avg(close) OVER w20, 6) AS mid,
+         |  round(stddev_samp(close) OVER w20, 6) AS sd,
+         |  list(close) OVER w20 AS cl,
+         |  close - lag(close) OVER (PARTITION BY symbol ORDER BY ts_s) AS diff
+         |  FROM i1
+         |  WINDOW w20 AS (PARTITION BY symbol ORDER BY ts_s ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |i3 AS (SELECT *,
+         |  CASE WHEN diff IS NOT NULL THEN CASE WHEN diff > 0 THEN diff ELSE 0 END END AS gain,
+         |  CASE WHEN diff IS NOT NULL THEN CASE WHEN diff < 0 THEN -diff ELSE 0 END END AS loss
+         |  FROM i2),
+         |i4 AS (SELECT *,
+         |  count(diff) OVER w14 AS nd,
+         |  round(avg(gain) OVER w14, 6) AS ag,
+         |  round(avg(loss) OVER w14, 6) AS al
+         |  FROM i3
+         |  WINDOW w14 AS (PARTITION BY symbol ORDER BY ts_s ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, bar_start, close,
+         |  CASE WHEN n20 = 20 THEN mid END AS boll_mid,
+         |  CASE WHEN n20 = 20 THEN sd END AS boll_sd,
+         |  CASE WHEN n20 = 20 THEN round(mid + 2 * sd, 6) END AS boll_up,
+         |  CASE WHEN n20 = 20 THEN round(mid - 2 * sd, 6) END AS boll_dn,
+         |  CASE WHEN nd = 14 THEN
+         |    CASE WHEN al > 0 THEN round(100 - 100 / (1 + ag / al), 6)
+         |         ELSE 100.0 END END AS rsi14,
+         |  CASE WHEN n20 = 20 THEN
+         |    round(list_sum(list_transform(list_zip(list_reverse(cl), $wList),
+         |      z -> z[1] * z[2])) / $sumW, 6) END AS ewma20
+         |FROM i4 ORDER BY symbol, bar_start""".stripMargin
+    },
 
     "bars_last_k" ->
       s"""$barsCte,

@@ -157,6 +157,68 @@ object Analytics {
     * `orderBy(desc).limit(K).orderBy(asc)` — plans as
     * TakeOrderedAndProject, no global sort).
     */
+  /** EWMA weights for [[indicators]]: α(1-α)^i, newest-first, α=2/(K+1).
+    * Serialized via Double.toString (shortest round-trip repr) so BOTH
+    * engines parse literals back to bit-identical doubles.
+    */
+  private[graft] def ewmaWeights(k: Int): Seq[Double] = {
+    val alpha = 2.0 / (k + 1)
+    (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+  }
+
+  /** Technical indicators per (symbol, bar) — the classic chart trio,
+    * emitted only where the full lookback exists (else NULL):
+    *  - Bollinger(20): 20-bar rolling mean ± 2σ of close
+    *  - RSI(14): 100 − 100/(1+RS), RS = avg gain / avg loss over the
+    *    last 14 close-to-close moves (all-zero losses → 100)
+    *  - EWMA(20), truncated+normalized: Σ wᵢ·closeᵗ⁻ⁱ / Σ wᵢ with
+    *    wᵢ = α(1−α)ⁱ — a ROWS-window weighted fold (true infinite EWMA
+    *    is a recurrence no window function expresses; the 20-term tail
+    *    carries (1−α)²⁰ ≈ 13% weight error bound, standard practice)
+    *
+    * ALL of it rides ONE symbol partition sort: three frame widths over
+    * the same Exchange+Sort, no extra shuffle (same plan property as
+    * [[enrich]]). Every aggregate is rounded to 6 decimals before any
+    * derived arithmetic, mirrored in the oracle.
+    */
+  def indicators(bars: DataFrame): DataFrame = {
+    val w20 = wOrder(SymbolPart).rowsBetween(-19, 0)
+    val w14 = wOrder(SymbolPart).rowsBetween(-13, 0)
+    val ws = ewmaWeights(20)
+    val wLit = ws.map(w => java.lang.Double.toString(w) + "D")
+      .mkString("array(", ", ", ")")
+    val sumW = java.lang.Double.toString(ws.sum)
+    withTsSeconds(bars)
+      .select(col("symbol"), col("bar_start"), col("ts_s"), col("close"))
+      .withColumn("n20", count(col("close")).over(w20))
+      .withColumn("mid", r6(avg(col("close")).over(w20)))
+      .withColumn("sd", r6(stddev_samp(col("close")).over(w20)))
+      .withColumn("cl", collect_list(col("close")).over(w20))
+      .withColumn("diff",
+        col("close") - lag(col("close"), 1).over(wOrder(SymbolPart)))
+      .withColumn("gain", when(col("diff").isNotNull,
+        when(col("diff") > 0, col("diff")).otherwise(0.0)))
+      .withColumn("loss", when(col("diff").isNotNull,
+        when(col("diff") < 0, -col("diff")).otherwise(0.0)))
+      .withColumn("nd", count(col("diff")).over(w14))
+      .withColumn("ag", r6(avg(col("gain")).over(w14)))
+      .withColumn("al", r6(avg(col("loss")).over(w14)))
+      .select(
+        col("symbol"), col("bar_start"), col("close"),
+        when(col("n20") === 20, col("mid")).as("boll_mid"),
+        when(col("n20") === 20, col("sd")).as("boll_sd"),
+        when(col("n20") === 20, r6(col("mid") + col("sd") * 2)).as("boll_up"),
+        when(col("n20") === 20, r6(col("mid") - col("sd") * 2)).as("boll_dn"),
+        when(col("nd") === 14,
+          when(col("al") > 0,
+            r6(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al"))))
+            .otherwise(100.0)).as("rsi14"),
+        when(col("n20") === 20, r6(expr(
+          s"""aggregate(zip_with(reverse(cl), $wLit, (x, w) -> x * w),
+             |0D, (acc, v) -> acc + v) / ${sumW}D""".stripMargin)))
+          .as("ewma20"))
+  }
+
   def lastK(df: DataFrame, k: Int = 180): DataFrame = {
     val recent = df.orderBy(col("bar_start").desc).limit(k)
     recent.orderBy(col("bar_start").asc)

@@ -51,6 +51,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin")) // broadcast query side
   }
 
+  test("indicators: all three frame widths share one partition sort") {
+    val p = plan("bar_indicators")
+    // exchanges: gold agg shuffle + ONE window partition + final orderBy
+    val exchanges = p.split("\\(\\d+\\) Exchange").length - 1
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+  }
+
   test("blocked all-pairs: equi-join, NO BroadcastNestedLoopJoin") {
     // the whole point of the 1-bucket-theta decomposition: the n² pair
     // space rides a shuffled equi-join on block keys, never a broadcast
