@@ -237,13 +237,9 @@ object SparkEntry {
     // the REMOVAL step: near-dup clusters -> keep only each cluster's
     // representative (plus every unclustered doc) — what a training-data
     // pipeline actually ships downstream.
-    "dedup_keep_reps" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val drop = Dedup.clusters(Dedup.ngramJaccardPairs(docs))
-        .filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
-      docs.join(drop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
+    "dedup_keep_reps" -> ((s, dir) =>
+      Dedup.keepRepresentatives(Tables.documents(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),

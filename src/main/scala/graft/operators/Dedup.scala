@@ -255,6 +255,19 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Near-dup REMOVAL — the step a training pipeline actually ships:
+    * cluster near-dups ([[ngramJaccardPairs]] → [[clusters]]) and keep
+    * only each cluster's representative plus every unclustered doc.
+    * The drop set (cluster members ≠ rep) is tiny relative to the
+    * corpus, so the anti-join broadcasts it.
+    */
+  def keepRepresentatives(docs: DataFrame,
+                          threshold: Double = 0.5): DataFrame = {
+    val drop = clusters(ngramJaccardPairs(docs, threshold))
+      .filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs, EXACT and sub-quadratic: pairs with Hamming
     * distance ≤ `maxHamming` between 60-bit simhashes. The 60 bits split
     * into 4 bands of 15; by pigeonhole, ≤ 3 differing bits can touch at

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  def buySellMatches(trades: DataFrame, withinMinutes: Int = 1): DataFrame = {
+  /** The matched (buy, sell) pairs themselves — row-identical to what
+    * the streaming interval join emits (tested in StreamingSpec).
+    */
+  def pairs(trades: DataFrame, withinMinutes: Int = 1): DataFrame = {
     val bandSec = withinMinutes * 60L
     val buys = trades.filter(col("side") === "buy")
       .select(col("symbol"), col("event_id"),
@@ -37,6 +40,10 @@ object IntervalJoin {
     buys.join(sells, Seq("symbol", "band"))
       .filter(col("sell_time") >= col("buy_time") &&
         col("sell_time") <= col("buy_time") + expr(s"INTERVAL $withinMinutes MINUTE"))
+  }
+
+  def buySellMatches(trades: DataFrame, withinMinutes: Int = 1): DataFrame =
+    pairs(trades, withinMinutes)
       .groupBy(col("symbol"), col("event_id"), col("buy_time"),
         col("buy_price"))
       .agg(
@@ -44,5 +51,4 @@ object IntervalJoin {
         min(col("sell_price")).as("min_sell_price"),
         max(col("sell_price")).as("max_sell_price"))
       .orderBy(col("symbol"), col("event_id"))
-  }
 }

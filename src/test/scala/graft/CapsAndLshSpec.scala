@@ -90,6 +90,21 @@ class CapsAndLshSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2, codes in range") {
+    val q = Similarity.quantizeInt8(
+      Tables.embeddings(spark, "/root/testdata/sf0.01")).collect()
+    assert(q.length == 500)
+    q.foreach { r =>
+      val (scale, err) = (r.getAs[Double]("scale"), r.getAs[Double]("max_err"))
+      // round-to-nearest guarantees |x - q*scale| <= scale/2 per element
+      assert(err <= scale / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: max_err $err > scale/2 ${scale / 2}")
+      // codes are int8-range by construction: |x| <= max|v| => |q| <= 127,
+      // so the L1 norm of 64 codes is bounded by 64*127
+      assert(r.getAs[Long]("q_l1") <= 64L * 127L)
+    }
+  }
+
   test("approx_profile sketches land within their error bounds") {
     val t = Trades.fromEvents(Tables.events(spark, "/root/testdata/sf0.01"))
     val joined = t.groupBy(col("symbol"))

@@ -244,6 +244,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch banded interval join emits the same pairs as the stream-stream join") {
+    implicit val ctx = spark.sqlContext
+    // band-boundary cases: same band, next band at exactly 60s
+    // (inclusive), next band inside bound, 61s (excluded), other symbol
+    val rows = Seq(
+      ("BTC", "buy", "2024-01-01 10:00:00", 100.0),
+      ("BTC", "sell", "2024-01-01 10:00:59", 101.0),
+      ("BTC", "sell", "2024-01-01 10:01:00", 102.0),
+      ("BTC", "buy", "2024-01-01 10:01:30", 103.0),
+      ("BTC", "sell", "2024-01-01 10:02:29", 104.0),
+      ("BTC", "sell", "2024-01-01 10:02:31", 105.0),
+      ("ETH", "sell", "2024-01-01 10:00:10", 50.0))
+    val trades = rows.zipWithIndex.map { case ((s, sd, t, p), i) =>
+      (i.toLong, s, ts(t), p, 1.0, sd)
+    }.toDF("event_id", "symbol", "event_time", "price", "size", "side")
+    val cols = Seq("symbol", "buy_time", "buy_price", "sell_time", "sell_price")
+    val batch = graft.operators.IntervalJoin.pairs(trades)
+      .select(cols.map(col): _*)
+      .orderBy(cols.map(col): _*).collect().toSeq
+    assert(batch.size == 3)
+    val buys = MemoryStream[Trade]
+    val sells = MemoryStream[Trade]
+    val q = Streams.matchOppositeSides(buys.toDF, sells.toDF)
+      .writeStream.format("memory").queryName("interval_parity")
+      .outputMode("append").start()
+    try {
+      rows.foreach { case (s, sd, t, p) =>
+        val tr = Trade("kraken", s, p, 1.0, sd, "market", ts(t))
+        if (sd == "buy") buys.addData(tr) else sells.addData(tr)
+      }
+      q.processAllAvailable()
+      val streamed = spark.table("interval_parity")
+        .select(cols.map(col): _*)
+        .orderBy(cols.map(col): _*).collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup runs on the RocksDB state store (scale path)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
