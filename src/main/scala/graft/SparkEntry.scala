@@ -217,6 +217,22 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfIdf(Tables.documents(s, dir))
         .orderBy(col("doc_id"), col("rank"))),
+    // corpus curation: deterministic sampling, quality gating, language
+    // balancing — the select/filter/mix steps of a training-data pipeline.
+    "sample_hash_10pct" -> ((s, dir) =>
+      TextAnalysis.hashSample(Tables.documents(s, dir))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    "corpus_balance" -> ((s, dir) =>
+      TextAnalysis.balanceByLanguage(Tables.documents(s, dir))
+        .orderBy(col("lang_pred"), col("lang_rank"))),
+    // cross-modal audit: text near-dup pairs annotated with their
+    // embedding cosine (doc_id and vec_id share the id space).
+    "dedup_cross_modal" -> ((s, dir) =>
+      Similarity.crossModalPairs(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "minhash_signatures" -> ((s, dir) =>
@@ -789,6 +805,60 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "sample_hash_10pct" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${h60("'sample_' || doc_id")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      s"""$docsCte,
+         |q AS (SELECT doc_id,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |  FROM t)
+         |SELECT doc_id, quality_score FROM q WHERE quality_score >= 0.35
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_balance" ->
+      s"""$docsCte,
+         |s AS (SELECT doc_id,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr
+         |  FROM t),
+         |l AS (SELECT doc_id, quality_score,
+         |  CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+         |       WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_de >= score_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |  FROM s),
+         |r AS (SELECT doc_id, lang_pred, quality_score,
+         |  CAST(row_number() OVER (PARTITION BY lang_pred ORDER BY quality_score DESC, doc_id) AS INT) AS lang_rank
+         |  FROM l)
+         |SELECT doc_id, lang_pred, quality_score, lang_rank FROM r
+         |WHERE lang_rank <= 50
+         |ORDER BY lang_pred, lang_rank""".stripMargin,
+
+    "dedup_cross_modal" ->
+      s"""$docsCte,
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |jp AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5),
+         |${embCte.replaceFirst("WITH ", "")}
+         |SELECT jp.d1, jp.d2, jp.jaccard,
+         |  round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |FROM jp JOIN n x ON x.vec_id = jp.d1 JOIN n y ON y.vec_id = jp.d2
+         |ORDER BY jp.d1, jp.d2""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

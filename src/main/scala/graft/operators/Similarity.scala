@@ -109,6 +109,24 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .orderBy(col("id1"), col("id2"))
 
+  /** Cross-modal dedup consistency: every TEXT near-dup pair
+    * ([[Dedup.ngramJaccardPairs]]) annotated with its EMBEDDING cosine —
+    * the audit that text-level and vector-level dedup agree (pairs with
+    * high jaccard but low cosine flag embedding-pipeline drift, and vice
+    * versa). Pair set is the capped jaccard output, so this is two
+    * 1-row-per-doc joins on top of the text pipeline.
+    */
+  def crossModalPairs(docs: DataFrame, embeddings: DataFrame,
+                      threshold: Double = 0.5): DataFrame = {
+    val n = normed(embeddings)
+    Dedup.ngramJaccardPairs(docs, threshold)
+      .join(n.select(col("vec_id").as("d1"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("d1"))
+      .join(n.select(col("vec_id").as("d2"), col("v"), col("nrm")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("jaccard"), cosine.as("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Int8 scalar quantization per vector (the standard embedding
     * compression for ANN serving: 4× smaller than float32, 8× smaller
     * than the widened doubles): per-vector scale = max|v|/127,

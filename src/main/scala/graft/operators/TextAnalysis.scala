@@ -23,7 +23,11 @@ object TextAnalysis {
     * — repetition-, boilerplate- and length-penalized, the standard shape
     * of heuristic quality filters for LLM corpora.
     */
-  def stats(docs: DataFrame): DataFrame = {
+  /** quality = distinct_ratio × (1 − stopword_ratio) × min(n_tokens/50, 1)
+    * as a standalone Column (shared by [[stats]] and
+    * [[balanceByLanguage]] so the formula can't diverge).
+    */
+  def qualityScoreCol: Column = {
     val toks = tokensCol(col("text"))
     val nTok = size(toks).cast("double")
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
@@ -31,6 +35,16 @@ object TextAnalysis {
       size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
         .cast("double") / nTok
     val lengthFactor = least(nTok / lit(50.0), lit(1.0))
+    round(distinctRatio * (lit(1.0) - stopRatio) * lengthFactor, 6)
+  }
+
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nTok = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio =
+      size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
+        .cast("double") / nTok
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_text"),
@@ -45,17 +59,16 @@ object TextAnalysis {
       round((length(col("text")) - (size(toks) - lit(1))).cast("double")
         / nTok, 6).as("avg_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(distinctRatio * (lit(1.0) - stopRatio) * lengthFactor, 6)
-        .as("quality_score"))
+      qualityScoreCol.as("quality_score"))
   }
 
   /** Stopword-lexicon language ID: score per language = marker-token
     * ratio; argmax with declaration-order tie-break; all-zero → "und".
     */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = tokensCol(col("text"))
     val scored = docs.select(
-      col("doc_id") +: langMarkers.map { case (lang, words) =>
+      (col("doc_id") +: keep.map(col)) ++ langMarkers.map { case (lang, words) =>
         tokenRatio(toks, words).as(s"score_$lang")
       }: _*)
     val scores = langMarkers.map { case (lang, _) => col(s"score_$lang") }
@@ -122,6 +135,41 @@ object TextAnalysis {
           .orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rank") <= k)
   }
+
+  /** Deterministic fractional sampling: keep the docs whose 60-bit
+    * content-independent id hash lands in the first `pct` of 100
+    * buckets. Unlike `df.sample`, this is reproducible across engines,
+    * runs, and partitionings (the standard way to cut a stable dev
+    * slice of a 100 TB corpus), and it composes with incremental
+    * ingestion — a doc's membership never changes.
+    */
+  def hashSample(docs: DataFrame, pct: Int = 10): DataFrame =
+    docs.filter(
+      pmod(hash60(concat(lit("sample_"), col("doc_id"))), lit(100)) < pct)
+
+  /** Quality gate: the filter step of the corpus pipeline — keep docs
+    * whose [[stats]] quality score clears the threshold. Returns doc_id
+    * + the score so the cut is auditable.
+    */
+  def qualityFilter(docs: DataFrame, minScore: Double = 0.35): DataFrame =
+    stats(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .filter(col("quality_score") >= minScore)
+
+  /** Corpus balancing: cap each predicted language at `maxPerLang`
+    * documents, keeping the highest-quality ones (ties by doc_id). The
+    * data-mixing step before training — per-group top-k via one window
+    * over (language), which plans as WindowGroupLimit (rank cut before
+    * the shuffle's sort materializes the whole group).
+    */
+  def balanceByLanguage(docs: DataFrame, maxPerLang: Int = 50): DataFrame =
+    langId(docs.withColumn("quality_score", qualityScoreCol),
+        keep = Seq("quality_score"))
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+      .withColumn("lang_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang_pred"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("lang_rank") <= maxPerLang)
 
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)
