@@ -275,8 +275,13 @@ object Dedup {
     * banding here is a COMPLETE filter (unlike probabilistic minhash-LSH
     * recall), and the verify step just recomputes the true Hamming
     * distance on the candidates. One posting-list shuffle + two 1-row-
-    * per-doc joins; the signature frame is materialized once
-    * (localCheckpoint) since bands and both verify sides read it.
+    * per-doc joins. The signature frame is lazily localCheckpointed:
+    * not (only) to avoid recomputation — without the barrier,
+    * CollapseProject inlines the large simhash fold expression into
+    * every downstream consumer (4 band extractions + both join sides),
+    * and the blown-up expression tree doubles the query's wall time
+    * (measured 4.7 s → 9.5 s at sf0.1). The checkpoint pins simhash to
+    * a plain materialized column.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
                           maxBucket: Int = MaxBucketSize): DataFrame = {
@@ -333,12 +338,21 @@ object Dedup {
 
   /** 60-bit SimHash per document: sign-aggregated bit votes of every
     * token hash (term frequency preserved — duplicate tokens vote twice).
-    * Pure higher-order expressions: no explosion, no shuffle, one pass.
-    * (Bit j of token hash extracted via `div pow(2,j)` — exact for j<60
-    * since pow(2,j) is exactly representable — because the shift builtins
-    * take only literal shift amounts.)
+    * Map-only, no shuffle, one pass; backed by the codegen'd
+    * [[org.apache.spark.sql.graft.SimHash60]] expression (~8× the
+    * interpreted HOF form, which survives as [[simhashHof]] and is
+    * asserted equal in TextDedupSpec).
     */
   def simhash(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    org.apache.spark.sql.graft.SimHash60.column(col("text")).as("simhash"))
+
+  /** The composable higher-order-function reference form of [[simhash]]
+    * (bit j of the token hash extracted via `div pow(2,j)` — exact for
+    * j<60 since pow(2,j) is exactly representable — because the shift
+    * builtins take only literal shift amounts).
+    */
+  private[graft] def simhashHof(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),
     expr(
       """aggregate(

@@ -27,6 +27,21 @@ class TextDedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("rep_doc_id") == 0L)
   }
 
+  test("codegen SimHash60 equals the higher-order reference form") {
+    // edge cases the byte-slice tokenizer must get right: multi-space
+    // (empty tokens), leading/trailing spaces, unicode multibyte, long
+    // repeated text — plus the real corpus
+    val edge = docs("a b c", "a  b", " a", "b ", "über café émoji",
+      ("tok " * 200).trim, "x")
+    val a = Dedup.simhash(edge).orderBy("doc_id").collect().toSeq
+    val b = Dedup.simhashHof(edge).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ra = Dedup.simhash(real).orderBy("doc_id").collect().toSeq
+    val rb = Dedup.simhashHof(real).orderBy("doc_id").collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
   test("identical docs have identical minhash signatures and simhash") {
     val d = docs("a b c d e f g h", "a b c d e f g h")
     val sigs = Dedup.minhashSignatures(d).collect()
