@@ -100,6 +100,11 @@ object SparkEntry {
           "next_open", "gap_pct", "is_return_anom", "is_volume_anom")
         .orderBy(col("symbol"), col("bar_start"))),
 
+    // Rank window family (ntile / percent_rank / cume_dist).
+    "bar_rank_profile" -> ((s, dir) =>
+      Analytics.rankProfile(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
+        .orderBy(col("symbol"), col("quartile"))),
+
     // Technical indicators (Bollinger/RSI/EWMA) over 1m bars.
     "bar_indicators" -> ((s, dir) =>
       Analytics.indicators(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
@@ -554,6 +559,20 @@ object SparkEntry {
          |  z_ret, vol_mu, vol_sd, z_vol, next_open, gap_pct,
          |  is_return_anom, is_volume_anom
          |FROM anom ORDER BY symbol, bar_start""".stripMargin,
+
+    "bar_rank_profile" ->
+      s"""$barsCte,
+         |p AS (SELECT symbol, close,
+         |        CAST(ntile(4) OVER w AS INT) AS quartile,
+         |        percent_rank() OVER w AS pr,
+         |        cume_dist() OVER w AS cd
+         |      FROM bars
+         |      WINDOW w AS (PARTITION BY symbol ORDER BY close, bar_start))
+         |SELECT symbol, quartile, count(*) AS n_bars,
+         |  min(close) AS close_lo, max(close) AS close_hi,
+         |  round(max(pr), 6) AS pr_hi, round(max(cd), 6) AS cd_hi
+         |FROM p GROUP BY symbol, quartile
+         |ORDER BY symbol, quartile""".stripMargin,
 
     "bar_indicators" -> {
       val ws = graft.operators.Analytics.ewmaWeights(20)

@@ -219,6 +219,28 @@ object Analytics {
           .as("ewma20"))
   }
 
+  /** Per-symbol close-price distribution profile via the rank window
+    * family (ntile / percent_rank / cume_dist — the three ranking
+    * functions no other query exercises): quartile membership counts
+    * with each quartile's price range and rank boundaries. The window
+    * order is (close, bar_start) — a total order, so every ranking
+    * value is deterministic cross-engine.
+    */
+  def rankProfile(bars: DataFrame, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("close"), col("bar_start"))
+    bars.select(col("symbol"), col("close"),
+        ntile(buckets).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy(col("symbol"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        min(col("close")).as("close_lo"),
+        max(col("close")).as("close_hi"),
+        r6(max(col("pr"))).as("pr_hi"),
+        r6(max(col("cd"))).as("cd_hi"))
+  }
+
   def lastK(df: DataFrame, k: Int = 180): DataFrame = {
     val recent = df.orderBy(col("bar_start").desc).limit(k)
     recent.orderBy(col("bar_start").asc)

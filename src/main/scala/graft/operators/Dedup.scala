@@ -64,8 +64,18 @@ object Dedup {
     * ~20-byte strings (cross-engine exact — the oracle computes the
     * same hash; a 60-bit collision merging two shingles has probability
     * ~|shingles|²/2⁶¹ and would affect both engines identically).
+    * Backed by the codegen'd
+    * [[org.apache.spark.sql.graft.ShingleHash60]] expression (byte-slice
+    * hashing, no interpreted lambdas; the HOF reference form survives as
+    * [[shingledHof]] and is asserted equal in TextDedupSpec).
     */
   def shingled(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    explode(org.apache.spark.sql.graft.ShingleHash60.column(col("text")))
+      .as("shingle"))
+
+  /** The composable higher-order-function reference form of [[shingled]]. */
+  private[graft] def shingledHof(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),
     explode(array_distinct(
       transform(shinglesCol(tokensCol(col("text"))), s => hash60(s))))

@@ -41,7 +41,10 @@ object GraftExtensions {
     (FunctionIdentifier("arg_max_tb"),
       info("arg_max_tb", "arg_max_tb(value, ord) - value at max ord; ties take larger value"),
       (children: Seq[Expression]) =>
-        ArgExtremum(children(1), children(0), isMin = false)))
+        ArgExtremum(children(1), children(0), isMin = false)),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit SimHash of space-tokenized text"),
+      (children: Seq[Expression]) => SimHash60(children.head)))
 
   /** Register on an existing session (temp-function registry + the
     * struct-extremum optimizer rule).

@@ -21,6 +21,13 @@ class SqlFunctionsSpec extends SparkSpec {
     // tie on ord=1: argmin takes the SMALLER value (struct-min semantics)
     assert(agg.getAs[Double]("first_v") == 5.0)
     assert(agg.getAs[Double]("last_v") == 7.0)
+
+    // simhash60 from SQL equals the operator path
+    val sh = spark.sql("SELECT simhash60('the cat sat') AS s").collect().head
+    import spark.implicits._
+    val ref = graft.operators.Dedup.simhash(
+      Seq((0L, "the cat sat")).toDF("doc_id", "text")).collect().head
+    assert(sh.getAs[Long]("s") == ref.getAs[Long]("simhash"))
   }
 
   test("StructExtremumRewrite: min/max(struct) plans as HashAggregate with identical results") {

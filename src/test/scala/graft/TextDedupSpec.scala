@@ -42,6 +42,18 @@ class TextDedupSpec extends SparkSpec {
     assert(ra.nonEmpty && ra == rb)
   }
 
+  test("codegen ShingleHash60 equals the higher-order reference form") {
+    val edge = docs("a b c d e", "a b", "a  b c", " a b c", "b c d ",
+      "über café émoji tokens here", "x", "a b c a b c a b c")
+    val a = Dedup.shingled(edge).orderBy("doc_id", "shingle").collect().toSeq
+    val b = Dedup.shingledHof(edge).orderBy("doc_id", "shingle").collect().toSeq
+    assert(a == b)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ra = Dedup.shingled(real).orderBy("doc_id", "shingle").collect().toSeq
+    val rb = Dedup.shingledHof(real).orderBy("doc_id", "shingle").collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
   test("identical docs have identical minhash signatures and simhash") {
     val d = docs("a b c d e f g h", "a b c d e f g h")
     val sigs = Dedup.minhashSignatures(d).collect()
