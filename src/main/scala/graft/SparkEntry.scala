@@ -299,6 +299,13 @@ object SparkEntry {
       Multimodal.byteHistogram(s,
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy(col("media_id"), col("bin"))),
+    "media_phash" -> ((s, dir) =>
+      Multimodal.phash(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy(col("media_id"))),
+    "media_near_dup" -> ((s, dir) =>
+      Multimodal.nearDupPairs(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -405,6 +412,33 @@ object SparkEntry {
        |shh AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Perceptual-hash CTE chain → `ph(media_id, phash)` (mirrors
+    * Multimodal.phash64: 64 integer-exact segment-vs-total mean bits;
+    * documents text is ASCII so per-char ascii() == per-byte value, the
+    * same assumption every media oracle makes).
+    */
+  private val phashCte =
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+      |ch AS (SELECT media_id, g.i - 1 AS pos, ascii(substr(text, g.i, 1)) AS v
+      |       FROM m, unnest(generate_series(1, n)) AS g(i)),
+      |tot AS (SELECT media_id, sum(v) AS total FROM ch GROUP BY media_id),
+      |segs AS (SELECT media_id, n, g.k AS k,
+      |           (g.k * n) // 64 AS f, ((g.k + 1) * n) // 64 AS u
+      |         FROM m, unnest(generate_series(0, 63)) AS g(k)),
+      |ss AS (SELECT s.media_id, s.k, s.f, s.u, s.n,
+      |         coalesce(sum(c.v), 0) AS segsum
+      |       FROM segs s LEFT JOIN ch c
+      |         ON c.media_id = s.media_id AND c.pos >= s.f AND c.pos < s.u
+      |       GROUP BY s.media_id, s.k, s.f, s.u, s.n),
+      |ph AS (SELECT ss.media_id,
+      |         CAST(coalesce(sum(CASE WHEN ss.u > ss.f
+      |             AND ss.segsum * ss.n > t.total * (ss.u - ss.f)
+      |           THEN CASE WHEN ss.k = 63
+      |             THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |             ELSE (CAST(1 AS BIGINT) << ss.k) END END), 0) AS BIGINT) AS phash
+      |       FROM ss JOIN tot t ON t.media_id = ss.media_id
+      |       GROUP BY ss.media_id)""".stripMargin
 
   /** Band-key CTE over `sig` (mirrors Dedup.bandKeys). */
   private val bandsCte =
@@ -1113,6 +1147,25 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM documents, unnest(generate_series(1, length(text))) AS g(i)
         |GROUP BY 1, 2 ORDER BY media_id, bin""".stripMargin,
+
+    "media_phash" ->
+      s"""$phashCte
+         |SELECT media_id, phash FROM ph ORDER BY media_id""".stripMargin,
+
+    "media_near_dup" ->
+      s"""$phashCte,
+         |pbands AS (SELECT media_id, g.b AS b, (phash >> (16 * g.b)) & 65535 AS bval
+         |           FROM ph, unnest(generate_series(0, 3)) AS g(b)),
+         |pbf AS (SELECT media_id, b, bval FROM pbands
+         |        QUALIFY count(*) OVER (PARTITION BY b, bval) <= ${Dedup.MaxBucketSize}),
+         |pcand AS (SELECT DISTINCT a.media_id AS d1, c.media_id AS d2
+         |          FROM pbf a JOIN pbf c
+         |            ON a.b = c.b AND a.bval = c.bval AND a.media_id < c.media_id)
+         |SELECT d1, d2,
+         |  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+         |FROM pcand JOIN ph x ON x.media_id = d1 JOIN ph y ON y.media_id = d2
+         |WHERE bit_count(xor(x.phash, y.phash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
 
     "ann_ivf" ->
       s"""$embCte,

@@ -294,16 +294,33 @@ object Dedup {
     * a plain materialized column.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = MaxBucketSize): DataFrame =
+    hammingNearDupPairs(simhash(docs).localCheckpoint(false),
+      "doc_id", "simhash", bitsPerBand = 15, nBands = 4,
+      maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Generic Hamming near-dup over any (id, 64-bit-or-less hash) frame
+    * via pigeonhole banding: `nBands` bands of `bitsPerBand` bits —
+    * COMPLETE recall for `maxHamming < nBands` differing bits. Shared by
+    * the SimHash text path (60 bits = 4×15) and the perceptual-hash
+    * media path (64 bits = 4×16). `hashes` should be materialized
+    * (checkpointed) by the caller when its computation is expensive —
+    * it is consumed by the band explode AND both verify joins.
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          bitsPerBand: Int, nBands: Int, maxHamming: Int,
                           maxBucket: Int = MaxBucketSize): DataFrame = {
-    require(maxHamming < 4, "4 bands are complete only for hamming <= 3")
-    val sh = simhash(docs).localCheckpoint(false)
-    val bands = sh.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        expr(s"(simhash >> ${15 * b}) & 32767")): _*))
+    require(maxHamming < nBands,
+      s"$nBands bands are complete only for hamming < $nBands")
+    require(bitsPerBand * nBands <= 64, "bands must fit a 64-bit hash")
+    val mask = (1L << bitsPerBand) - 1
+    val bands = hashes.select(col(idCol),
+      posexplode(array((0 until nBands).map(b =>
+        expr(s"($hashCol >> ${bitsPerBand * b}) & $mask")): _*))
         .as(Seq("band", "bval")))
     val cand = bands
       .groupBy(col("band"), col("bval"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(ds,
@@ -313,8 +330,8 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("d1"), col("simhash").as("s1")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("simhash").as("s2")), Seq("d2"))
+      .join(hashes.select(col(idCol).as("d1"), col(hashCol).as("s1")), Seq("d1"))
+      .join(hashes.select(col(idCol).as("d2"), col(hashCol).as("s2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         expr("cast(bit_count(s1 ^ s2) as int)").as("hamming"))
       .filter(col("hamming") <= maxHamming)

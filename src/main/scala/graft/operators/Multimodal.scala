@@ -111,6 +111,59 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "mean_intensity")
   }
 
+  /** 64-bit perceptual hash (aHash shape) over the raw payload bytes:
+    * the payload splits into 64 equal segments (bounds ⌊k·n/64⌋), bit k
+    * set iff segment k's mean byte value exceeds the whole payload's
+    * mean. Every comparison is an integer cross-multiplication
+    * (segSum·n > total·segLen) — no floating point anywhere, so the
+    * DuckDB oracle matches bit-for-bit. On real media this runs on the
+    * DECODED pixels; over the stub payload the plumbing and the hash
+    * algebra are the real contract (same stance as [[decodeStub]]).
+    */
+  def phash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      val from = (k.toLong * n / 64).toInt
+      val until = ((k + 1).toLong * n / 64).toInt
+      if (until > from) {
+        var s = 0L
+        var j = from
+        while (j < until) { s += bytes(j) & 0xff; j += 1 }
+        if (s * n > total * (until - from)) out |= 1L << k
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** (media_id, phash) via the typed per-partition shape. */
+  def phash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => (id, phash64(bytes)) }
+      .toDF("media_id", "phash")
+  }
+
+  /** Media near-duplicates: perceptual-hash pairs within Hamming
+    * distance 3 via the same pigeonhole banding as the SimHash text path
+    * (64 bits = 4×16 bands — complete recall, see
+    * [[Dedup.hammingNearDupPairs]]). The phash frame is materialized
+    * once (localCheckpoint) for its three consumers.
+    */
+  def nearDupPairs(spark: SparkSession, media: DataFrame,
+                   maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairs(
+      phash(spark, media).localCheckpoint(false),
+      "media_id", "phash", bitsPerBand = 16, nBands = 4,
+      maxHamming = maxHamming)
+
   /** 64-bin byte histogram (feature extraction) via the same typed
     * per-partition shape; emits (media_id, bin, cnt) rows so results are
     * flat-relational (no array columns in the comparison surface).

@@ -58,4 +58,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2).getAs[Int]("resized_bytes") == 250)
     assert(r(0).getAs[Int]("width") == 16)
   }
+
+  test("perceptual-hash near-dup finds exactly the close-hamming payload pairs") {
+    val b0 = Array.tabulate[Byte](1024)(i => ((i * 37) % 251).toByte)
+    val b1 = b0.clone() // byte-identical copy => hamming 0, must pair
+    val b2 = b0.clone(); b2(5) = (b2(5) + 1).toByte // near copy
+    val b3 = Array.tabulate[Byte](1024)(i => ((i * 91 + 7) % 251).toByte)
+    val payloads = Seq(b0, b1, b2, b3)
+    val mediaDf = payloads.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("media_id", "content")
+    val got = Multimodal.nearDupPairs(spark, mediaDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // self-consistent expectation from the scalar phash
+    val want = for {
+      i <- 0 until 4; j <- i + 1 until 4
+      h = java.lang.Long.bitCount(
+        Multimodal.phash64(payloads(i)) ^ Multimodal.phash64(payloads(j)))
+      if h <= 3
+    } yield (i.toLong, j.toLong, h)
+    assert(got.sorted == want.sorted)
+    assert(got.contains((0L, 1L, 0))) // the identical pair is guaranteed
+  }
 }
