@@ -58,6 +58,27 @@ class GoldSpec extends SparkSpec {
     assert(bars.length == 3)
   }
 
+  test("typed Aggregator bars are row-identical to the untyped Gold.bars plan") {
+    import graft.operators.{Trades, TypedBars}
+    val trades = Trades.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val cols = Seq("symbol", "bar_start", "open", "high", "low", "close",
+      "volume", "vwap", "trades")
+    val typed = TypedBars.minuteBarsDF(spark,
+        trades.select(org.apache.spark.sql.functions.col("symbol"),
+          org.apache.spark.sql.functions.col("event_time"),
+          org.apache.spark.sql.functions.col("price"),
+          org.apache.spark.sql.functions.col("size"))
+          .as[TypedBars.TradeRow](
+            org.apache.spark.sql.Encoders.product[TypedBars.TradeRow]))
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    val untyped = graft.operators.Gold.bars(trades)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    assert(typed.nonEmpty && typed == untyped)
+  }
+
   test("bar width is parameterizable (5 minutes)") {
     val bars = Gold.bars(Seq(
       trade("BTC", "2024-01-01 10:01:00", 1.0, 1.0),

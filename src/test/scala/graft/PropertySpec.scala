@@ -81,4 +81,46 @@ class PropertySpec extends SparkSpec {
       assert(a == b, s"seed=$seed")
     }
   }
+
+  // random "documents": tokens of varied alphabets and lengths joined by
+  // 1-3 spaces (empty tokens!), with optional leading/trailing spaces —
+  // the adversarial input space for the byte-slicing codegen hashers
+  private val genDocText: Gen[String] = for {
+    nTok <- Gen.choose(0, 12)
+    toks <- Gen.listOfN(nTok,
+      Gen.oneOf(
+        Gen.stringOfN(3, Gen.alphaLowerChar),
+        Gen.stringOfN(1, Gen.numChar),
+        Gen.const("über"),
+        Gen.const(""),
+        Gen.stringOfN(8, Gen.alphaNumChar)))
+    seps <- Gen.listOfN(math.max(nTok - 1, 0), Gen.choose(1, 3))
+    lead <- Gen.oneOf("", " ")
+    trail <- Gen.oneOf("", " ")
+  } yield {
+    val body =
+      if (toks.isEmpty) ""
+      else toks.head + toks.tail.zip(seps).map {
+        case (t, k) => (" " * k) + t
+      }.mkString
+    lead + body + trail
+  }
+
+  private def sampleDocs(seed: Long, n: Int) =
+    Gen.listOfN(n, genDocText)
+      .pureApply(Gen.Parameters.default, Seed(seed))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("codegen shingle/simhash expressions equal HOF forms on random text") {
+    import graft.operators.Dedup
+    for (seed <- 11L to 14L) {
+      val docs = sampleDocs(seed, 60).toDF("doc_id", "text")
+      val sa = Dedup.shingled(docs).orderBy("doc_id", "shingle").collect().toSeq
+      val sb = Dedup.shingledHof(docs).orderBy("doc_id", "shingle").collect().toSeq
+      assert(sa == sb, s"shingles seed=$seed")
+      val ha = Dedup.simhash(docs).orderBy("doc_id").collect().toSeq
+      val hb = Dedup.simhashHof(docs).orderBy("doc_id").collect().toSeq
+      assert(ha == hb, s"simhash seed=$seed")
+    }
+  }
 }
