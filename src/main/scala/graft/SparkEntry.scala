@@ -250,6 +250,8 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir))),
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
@@ -1015,6 +1017,20 @@ object SparkEntry {
         |    list_transform(list_zip(v, qv), z -> abs(z[1] - z[2] * scale)),
         |    'max'), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      s"""$docsCte,
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
+         |SELECT d1, d2,
+         |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT) AS edit_dist
+         |FROM cand
+         |JOIN documents a ON a.doc_id = d1
+         |JOIN documents b ON b.doc_id = d2
+         |WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 10
+         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_cap_stats" ->
       s"""$docsCte,

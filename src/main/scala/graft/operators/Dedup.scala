@@ -265,6 +265,41 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Edit-distance near-dup: shingle-blocked candidate pairs verified by
+    * the levenshtein distance of their `prefixLen`-char prefixes — the
+    * third verification family over the same capped candidate machinery
+    * (set-overlap jaccard, bit-distance simhash, sequence-edit
+    * levenshtein each catch different mutation patterns; edit distance
+    * sees insertions/reorderings that token-set measures blur). The
+    * prefix bound keeps the O(len²) DP constant-time per pair at corpus
+    * scale; levenshtein is a Spark builtin with identical unit-cost
+    * semantics in DuckDB, so the oracle is exact.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 10,
+                        prefixLen: Int = 80,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
+    val cand = shingled(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds,
+          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("d1"),
+        substring(col("text"), 1, prefixLen).as("p1")), Seq("d1"))
+      .join(docs.select(col("doc_id").as("d2"),
+        substring(col("text"), 1, prefixLen).as("p2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("p1"), col("p2")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Near-dup REMOVAL — the step a training pipeline actually ships:
     * cluster near-dups ([[ngramJaccardPairs]] → [[clusters]]) and keep
     * only each cluster's representative plus every unclustered doc.
