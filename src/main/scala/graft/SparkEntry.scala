@@ -1021,9 +1021,10 @@ object SparkEntry {
     "dedup_edit_distance" ->
       s"""$docsCte,
          |$shCappedCte,
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |cand AS (SELECT x.doc_id AS d1, y.doc_id AS d2
          |         FROM shc x JOIN shc y
-         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |         GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT d1, d2,
          |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT) AS edit_dist
          |FROM cand
