@@ -232,13 +232,18 @@ object Dedup {
 
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    // edges = both directions over the materialized pairs — a narrow
+    // union over the checkpoint, cheap to recompute per round (a second
+    // checkpoint here would only add a job)
     val edges = p.select(col("d1").as("a"), col("d2").as("b"))
       .union(p.select(col("d2").as("a"), col("d1").as("b")))
+    // init fused with round 1: every node starts at min(self, neighbors)
+    // — one aggregation instead of a distinct + a first join round
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("nbr"))
+      .select(col("a").as("id"), least(col("a"), col("nbr")).as("rep"))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIters) {
       val blockStart = labels
       (0 until ConvergenceCheckEvery).foreach { _ =>
