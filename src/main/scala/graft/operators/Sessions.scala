@@ -2,10 +2,10 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Trade sessionization: consecutive activity runs per symbol separated
   * by silence gaps > `gapMinutes`.
@@ -87,6 +87,83 @@ object Sessions {
   case class SessionState(start: Long, end: Long, n: Long, volume: Double)
   case class SessionOut(symbol: String, session_start: Timestamp,
                         session_end: Timestamp, n_trades: Long, volume: Double)
+
+  /** The same session machine on Spark 4's `transformWithState` API —
+    * the successor to flatMapGroupsWithState (typed ValueState handles,
+    * explicit event-time TIMERS instead of a single timeout slot, state
+    * TTL support). One open-session ValueState per symbol; a timer at
+    * `end + gap` closes idle sessions when the watermark passes it, and
+    * extending a session re-arms the timer (deleting the stale one).
+    * Emissions are identical to [[streamingStats]] (asserted in
+    * SessionsSpec).
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, Timestamp, Double), SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(symbol: String,
+                                 rows: Iterator[(String, Timestamp, Double)],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_._2.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      val hadTimer = cur.map(_.end + gapMs)
+      sorted.foreach { case (_, ts, size) =>
+        val t = ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+              volume = s.volume + size))
+          case Some(s) =>
+            closed ::= SessionOut(symbol, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.volume)
+            cur = Some(SessionState(t, t, 1, size))
+          case None =>
+            cur = Some(SessionState(t, t, 1, size))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        hadTimer.filter(_ != s.end + gapMs)
+          .foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.end + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(symbol: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists() &&
+          session.get().end + gapMs == expiredTimerInfo.getExpiryTimeInMs) {
+        val s = session.get()
+        session.clear()
+        Iterator(SessionOut(symbol, new Timestamp(s.start),
+          new Timestamp(s.end), s.n, s.volume))
+      } else Iterator.empty // stale timer of an extended session
+  }
+
+  /** [[streamingStats]] semantics through `transformWithState`.
+    * Requires the RocksDB state store provider (the API stores each
+    * state variable in its own column family, which the HDFS-backed
+    * store does not support) — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`.
+    */
+  def streamingStatsTws(spark: SparkSession, trades: DataFrame,
+                        gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    trades
+      .selectExpr("symbol", "event_time", "size")
+      .withWatermark("event_time", s"$gapMinutes minutes")
+      .as[(String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Streaming sessionization over (symbol, event_time µs, size) rows.
     * Emits a session when a trade arrives more than `gapMinutes` after

@@ -104,4 +104,38 @@ class SessionsSpec extends SparkSpec {
         ts("2024-01-01 10:10:00"))
     } finally q.stop()
   }
+
+  test("transformWithState sessionization emits the same sessions") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState needs a multi-column-family store => RocksDB
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Trade]
+    val q = Sessions.streamingStatsTws(spark, in.toDF)
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode("append").start()
+    try {
+      in.addData(trades: _*)
+      // far-future sentinel advances the watermark past every timer
+      in.addData(trade("ZZ", "2024-01-02 10:00:00", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_tws")
+        .filter(col("symbol") =!= "ZZ")
+        .select("symbol", "session_start", "session_end", "n_trades", "volume")
+        .orderBy("symbol", "session_start").collect().toSeq
+      val want = Sessions.stats(trades.toDS.toDF)
+        .select(col("symbol"), col("session_start"), col("session_end"),
+          col("n_trades"), col("volume"))
+        .orderBy("symbol", "session_start").collect().toSeq
+      assert(got == want)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
