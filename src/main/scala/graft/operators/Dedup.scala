@@ -119,12 +119,8 @@ object Dedup {
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("d1", "d2")))
       .distinct()
   }
 
@@ -196,12 +192,9 @@ object Dedup {
     val cnt = postings.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = postings
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("d1", "d2")))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
@@ -291,12 +284,9 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("d1", "d2")))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("d1"), col("d2"))
@@ -368,12 +358,8 @@ object Dedup {
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS d1, y AS d2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("d1", "d2")))
       .distinct()
     cand
       .join(hashes.select(col(idCol).as("d1"), col(hashCol).as("s1")), Seq("d1"))

@@ -203,12 +203,8 @@ object Similarity {
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
       .filter(size(col("ds")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ds,
-          |  (x, i) -> transform(slice(ds, i + 2, size(ds)),
-          |            y -> struct(x AS id1, y AS id2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("id1", "id2")))
       .distinct()
     cand
       .join(n.select(col("vec_id").as("id1"), col("v").as("qv"),
