@@ -115,6 +115,10 @@ object TextAnalysis {
     */
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
     val corpusN = docs.agg(count(lit(1)).as("corpus_n"))
+    // term-doc counts feed BOTH the score join and the doc-frequency
+    // aggregation; the duplicated shuffle is collapsed by ReuseExchange
+    // (a localCheckpoint here would force stage execution at plan
+    // construction under AQE — asserted against in PlanSpec)
     val termDoc = docs.select(
         col("doc_id"),
         size(tokensCol(col("text"))).as("doc_len"),

@@ -111,6 +111,33 @@ class PropertySpec extends SparkSpec {
       .pureApply(Gen.Parameters.default, Seed(seed))
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
+  test("Hamming banding is COMPLETE: finds every pair within distance 3") {
+    import graft.operators.Dedup
+    // random 64-bit hashes + planted near-pairs (flip 0-3 random bits)
+    for (seed <- 21L to 23L) {
+      val base = Gen.listOfN(40, Gen.long)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val flips = Gen.listOfN(20, Gen.zip(Gen.choose(0, 39), Gen.choose(0, 3),
+        Gen.listOfN(3, Gen.choose(0, 63))))
+        .pureApply(Gen.Parameters.default, Seed(seed + 100))
+      val planted = flips.map { case (i, nf, bits) =>
+        bits.take(nf).foldLeft(base(i))((h, b) => h ^ (1L << b))
+      }
+      val all = (base ++ planted).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+      val df = all.toDF("doc_id", "simhash")
+      val got = Dedup.hammingNearDupPairs(df, "doc_id", "simhash",
+          bitsPerBand = 16, nBands = 4, maxHamming = 3, maxBucket = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (i, h1) <- all; (j, h2) <- all if i < j
+        d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+      } yield (i, j, d)).toSet
+      assert(want.nonEmpty, s"seed=$seed planted no pairs")
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("codegen shingle/simhash expressions equal HOF forms on random text") {
     import graft.operators.Dedup
     for (seed <- 11L to 14L) {
