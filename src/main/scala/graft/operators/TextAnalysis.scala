@@ -89,10 +89,12 @@ object TextAnalysis {
     * as TakeOrderedAndProject.
     */
   def topBigrams(docs: DataFrame, k: Int = 50): DataFrame = {
-    val toks = tokensCol(col("text"))
+    // codegen'd byte-slice shingling (ShingleStrings; the HOF reference
+    // form is shinglesCol — asserted equal in TextDedupSpec)
     val bigrams = docs.select(
       col("doc_id"),
-      explode(shinglesCol(toks, 2)).as("bigram"))
+      explode(org.apache.spark.sql.graft.ShingleStrings.column(col("text"), 2))
+        .as("bigram"))
     bigrams
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("doc_freq"))

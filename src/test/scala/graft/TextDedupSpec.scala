@@ -54,6 +54,32 @@ class TextDedupSpec extends SparkSpec {
     assert(ra.nonEmpty && ra == rb)
   }
 
+  test("codegen ShingleStrings equals the HOF shinglesCol for n=2 and n=3") {
+    import graft.functions.TextFunctions
+    val edge = docs("a b c d", "a b", "a  b c", " x", "y ", "solo",
+      "über café naïve", "t t t t")
+    for (n <- Seq(2, 3)) {
+      val a = edge.select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.ShingleStrings.column(col("text"), n))
+            .as("s"))
+        .orderBy("doc_id", "s").collect().toSeq
+      val b = edge.select(col("doc_id"),
+          explode(TextFunctions.shinglesCol(
+            TextFunctions.tokensCol(col("text")), n)).as("s"))
+        .orderBy("doc_id", "s").collect().toSeq
+      assert(a == b, s"n=$n")
+    }
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ra = real.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ShingleStrings.column(col("text"), 2)).as("s"))
+      .orderBy("doc_id", "s").collect().toSeq
+    val rb = real.select(col("doc_id"),
+        explode(TextFunctions.shinglesCol(
+          TextFunctions.tokensCol(col("text")), 2)).as("s"))
+      .orderBy("doc_id", "s").collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
   test("identical docs have identical minhash signatures and simhash") {
     val d = docs("a b c d e f g h", "a b c d e f g h")
     val sigs = Dedup.minhashSignatures(d).collect()
