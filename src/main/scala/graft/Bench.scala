@@ -31,6 +31,17 @@ import org.apache.spark.sql.SparkSession
   * round 1's stdout parsing — hence the file artifact.
   */
 object Bench {
+  /** Shortest JSON number within 0.005 s of `v` (2-decimal rounding,
+    * trailing zeros stripped) — keeps the stdout line inside the
+    * driver's tail-capture window. bench.json keeps full precision.
+    */
+  private def compact(v: Double): String = {
+    val bd = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros()
+    if (bd.scale() <= 0) bd.setScale(0).toPlainString else bd.toPlainString
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -80,23 +91,58 @@ object Bench {
       }
     val timings = results.collect { case (k, Right(t)) => k -> t }
     val errors = results.collect { case (k, Left(m)) => k -> m }
-    val qs = timings.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
     val es = errors.map { case (k, m) => s""""$k":"${jsonEscape(m)}"""" }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$es,"n_queries":${results.size},""" +
+    def render(qs: Seq[(String, Double)], omitted: Int,
+               num: Double => String): String = {
+      val qj = qs.map { case (k, v) => s""""$k":${num(v)}""" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""queries":$qj,$om"errors":$es,"n_queries":${results.size},""" +
         s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
-    // authoritative artifact: file copies survive sbt's stdout prefixing
-    val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
-    outDirs.foreach { d =>
-      try Files.write(Paths.get(d, "bench.json"),
-        (line + "\n").getBytes(StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
     }
-    println(line)
+    // authoritative artifact: file copies survive sbt's stdout prefixing
+    val fileLine = render(timings, 0, _.toString)
+    val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
+    val written = outDirs.map { d =>
+      try {
+        Files.write(Paths.get(d, "bench.json"),
+          (fileLine + "\n").getBytes(StandardCharsets.UTF_8))
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"Bench: failed to write $d/bench.json: $e")
+          false
+      }
+    }
+    if (!written.contains(true))
+      System.err.println("Bench: WARNING — no bench.json copy written; " +
+        "only the stdout line below carries the results")
+    // The driver captures only the LAST 2000 chars of stdout; sbt then
+    // appends its own "[success] Total time ..." trailer (~80 chars).
+    // Round 2's 1.9 KB full-precision line had its head truncated out of
+    // that window -> "parsed": null. Budget the printed line to 1700
+    // chars: rounded timings, and if the query map still doesn't fit,
+    // keep the slowest queries and report how many were omitted (the
+    // full-precision complete map is always in bench.json).
+    val budget = 1700
+    val stdoutLine = {
+      val full = render(timings, 0, compact)
+      if (full.length <= budget) full
+      else {
+        val bySlowest = timings.sortBy(-_._2)
+        var keep = bySlowest.length
+        var line = full
+        while (line.length > budget && keep > 1) {
+          keep -= 1
+          line = render(bySlowest.take(keep), timings.size - keep, compact)
+        }
+        line
+      }
+    }
+    println(stdoutLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
