@@ -33,17 +33,29 @@ object Pipeline {
 
   val SentinelSymbol = "ZZ_WM_FLUSH"
 
-  def goldE2E(spark: SparkSession, dir: String): DataFrame = {
-    val basePath = Files.createTempDirectory("graft_e2e_")
-    val base = basePath.toString
-    // the returned frame reads the gold sink lazily, so the staging dirs
-    // must outlive this call — reclaim them on JVM exit instead
+  /** Staging trees awaiting JVM-exit cleanup. The returned frame reads
+    * the gold sink lazily, so each invocation's dirs must outlive the
+    * call — but ONE shared shutdown hook reclaims all of them (a hook
+    * per invocation would accumulate hook registrations across repeated
+    * runs in one process, e.g. graft.Time or test reruns).
+    */
+  private val stagingDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
     sys.addShutdownHook {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(basePath.toFile)
+      stagingDirs.forEach(p => rm(p.toFile))
     }
+    ()
+  }
+
+  def goldE2E(spark: SparkSession, dir: String): DataFrame = {
+    val basePath = Files.createTempDirectory("graft_e2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
     val landing = s"$base/landing"
     val bronzeDir = s"$base/bronze"
     val silverDir = s"$base/silver"

@@ -28,23 +28,50 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
 
+  /** SQL-callable builders see whatever argument list the user typed, so
+    * every builder validates arity up front — a proper AnalysisException
+    * (standard WRONG_NUM_ARGS error class) instead of the
+    * IndexOutOfBounds/NoSuchElement a bare `children(i)` would throw at
+    * plan time.
+    */
+  private def checkArity(name: String, expected: Int,
+                         children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** (identifier, info, builder) triples for every SQL-exposed function. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - sequential-fold dot product of two array<double>"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        checkArity("vec_dot", 2, children)
+        VecDot(children(0), children(1))
+      }),
     (FunctionIdentifier("arg_min_tb"),
       info("arg_min_tb", "arg_min_tb(value, ord) - value at min ord; ties take smaller value"),
-      (children: Seq[Expression]) =>
-        ArgExtremum(children(1), children(0), isMin = true)),
+      (children: Seq[Expression]) => {
+        checkArity("arg_min_tb", 2, children)
+        ArgExtremum(children(1), children(0), isMin = true)
+      }),
     (FunctionIdentifier("arg_max_tb"),
       info("arg_max_tb", "arg_max_tb(value, ord) - value at max ord; ties take larger value"),
-      (children: Seq[Expression]) =>
-        ArgExtremum(children(1), children(0), isMin = false)),
+      (children: Seq[Expression]) => {
+        checkArity("arg_max_tb", 2, children)
+        ArgExtremum(children(1), children(0), isMin = false)
+      }),
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(text) - 60-bit SimHash of space-tokenized text"),
-      (children: Seq[Expression]) => SimHash60(children.head)))
+      (children: Seq[Expression]) => {
+        checkArity("simhash60", 1, children)
+        SimHash60(children.head)
+      }))
 
   /** Register on an existing session (temp-function registry + the
     * struct-extremum optimizer rule).

@@ -30,6 +30,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(sh.getAs[Long]("s") == ref.getAs[Long]("simhash"))
   }
 
+  test("wrong arity raises AnalysisException, not an index error") {
+    GraftExtensions.register(spark)
+    for (q <- Seq("SELECT simhash60()", "SELECT simhash60('a', 'b')",
+                  "SELECT vec_dot(array(1D))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        s"$q -> ${e.getCondition}")
+    }
+  }
+
   test("StructExtremumRewrite: min/max(struct) plans as HashAggregate with identical results") {
     GraftExtensions.register(spark)
     import spark.implicits._
