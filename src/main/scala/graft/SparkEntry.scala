@@ -50,6 +50,22 @@ object SparkEntry {
     "q4_returned_orders" -> ((s, dir) =>
       Relational.returnedOrdersByPriority(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQtyRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    // salted-join skew mitigation, result-parity proven by the oracle's
+    // PLAIN join: the salt scatters a hot supplier key over 8 reducers
+    // without changing a single output row
+    "skew_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+          Tables.lineitem(s, dir),
+          Tables.supplier(s, dir)
+            .withColumnRenamed("s_suppkey", "l_suppkey"),
+          key = "l_suppkey", scatterCol = "l_orderkey")
+        .groupBy(col("s_nationkey"))
+        .agg(Relational.revenueAgg.as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("s_nationkey"))),
 
     // Bronze audit projection (P1/P2): Kafka-shaped frame → raw audit rows.
     "bronze_audit" -> ((s, dir) =>
@@ -233,6 +249,13 @@ object SparkEntry {
     "corpus_balance" -> ((s, dir) =>
       TextAnalysis.balanceByLanguage(Tables.documents(s, dir))
         .orderBy(col("lang_pred"), col("lang_rank"))),
+    "quality_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    "decontaminate" -> ((s, dir) =>
+      TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "balanced_sample" -> ((s, dir) =>
+      TextAnalysis.balancedSample(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
     // embedding cosine (doc_id and vec_id share the id space).
     "dedup_cross_modal" -> ((s, dir) =>
@@ -675,6 +698,32 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "q17_small_qty_revenue" ->
+      """WITH a AS (SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+        |    / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+        |    AS small_qty_revenue,
+        |  count(*) AS n_small
+        |FROM lineitem
+        |JOIN a USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < 0.2 * avg_qty
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+
     "order_status_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
@@ -901,6 +950,58 @@ object SparkEntry {
          |WHERE lang_rank <= 50
          |ORDER BY lang_pred, lang_rank""".stripMargin,
 
+    "quality_signals" ->
+      s"""$docsCte,
+         |g AS (SELECT doc_id, toks,
+         |  list_transform(generate_series(1, len(toks) - 1),
+         |    i -> concat_ws(' ', toks[i], toks[i+1])) AS bg,
+         |  list_transform(generate_series(1, len(toks) - 2),
+         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    round(CAST(list_max(list_transform(list_distinct(toks),
+         |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE), 6)
+         |    ELSE CAST(0 AS DOUBLE) END AS top_token_frac,
+         |  CASE WHEN len(bg) > 0 THEN
+         |    round(CAST(list_max(list_transform(list_distinct(bg),
+         |      u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
+         |      / CAST(len(bg) AS DOUBLE), 6)
+         |    ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+         |  CASE WHEN len(tg) > 0 THEN
+         |    round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE)
+         |      / CAST(len(tg) AS DOUBLE), 6)
+         |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""$docsCte,
+         |f AS (SELECT doc_id, shingle,
+         |        (${h60("'split_' || doc_id")} % 100) < 10 AS is_test
+         |      FROM sh),
+         |p AS (SELECT shingle,
+         |        count(*) FILTER (WHERE is_test) AS nt,
+         |        count(*) FILTER (WHERE NOT is_test) AS nr
+         |      FROM f GROUP BY shingle
+         |      HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf})
+         |SELECT r.doc_id AS doc_id, count(*) AS n_collisions,
+         |  count(DISTINCT tt.doc_id) AS n_test_docs
+         |FROM f r JOIN p ON p.shingle = r.shingle
+         |JOIN f tt ON tt.shingle = r.shingle
+         |WHERE NOT r.is_test AND tt.is_test
+         |GROUP BY r.doc_id ORDER BY doc_id""".stripMargin,
+
+    "balanced_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('bs_' || doc_id), doc_id) AS INT) AS samp_rank
+        |  FROM documents)
+        |SELECT doc_id, source, samp_rank FROM r
+        |WHERE samp_rank <= 10
+        |ORDER BY source, samp_rank""".stripMargin,
+
     "dedup_cross_modal" ->
       s"""$docsCte,
          |$shCappedCte,
@@ -946,11 +1047,17 @@ object SparkEntry {
       s"""$docsCte,
          |$sigCte,
          |$bandsCte,
-         |bf AS (SELECT doc_id, b, bkey FROM bands
-         |       QUALIFY count(*) OVER (PARTITION BY b, bkey) <= ${Dedup.MaxBucketSize}),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
-         |         FROM bf a JOIN bf b2
-         |           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+         |bst AS (SELECT doc_id, b, bkey,
+         |          count(*) OVER (PARTITION BY b, bkey) AS bn,
+         |          min(doc_id) OVER (PARTITION BY b, bkey) AS bmin
+         |        FROM bands),
+         |cand AS (SELECT a.doc_id AS d1, b2.doc_id AS d2
+         |         FROM bst a JOIN bst b2
+         |           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+         |         WHERE a.bn <= ${Dedup.MaxBucketSize}
+         |         UNION
+         |         SELECT bmin AS d1, doc_id AS d2
+         |         FROM bst WHERE bn > ${Dedup.MaxBucketSize} AND doc_id > bmin),
          |${jaccardCte()}
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
 
@@ -1059,11 +1166,17 @@ object SparkEntry {
          |sbands AS (SELECT doc_id, u.b,
          |             (simhash >> (15 * u.b)) & 32767 AS bval
          |           FROM shh, unnest([0, 1, 2, 3]) AS u(b)),
-         |sbf AS (SELECT doc_id, b, bval FROM sbands
-         |        QUALIFY count(*) OVER (PARTITION BY b, bval) <= ${Dedup.MaxBucketSize}),
-         |scand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
-         |          FROM sbf a JOIN sbf c
-         |            ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id)
+         |sbst AS (SELECT doc_id, b, bval,
+         |           count(*) OVER (PARTITION BY b, bval) AS bn,
+         |           min(doc_id) OVER (PARTITION BY b, bval) AS bmin
+         |         FROM sbands),
+         |scand AS (SELECT a.doc_id AS d1, c.doc_id AS d2
+         |          FROM sbst a JOIN sbst c
+         |            ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id
+         |          WHERE a.bn <= ${Dedup.MaxBucketSize}
+         |          UNION
+         |          SELECT bmin AS d1, doc_id AS d2
+         |          FROM sbst WHERE bn > ${Dedup.MaxBucketSize} AND doc_id > bmin)
          |SELECT d1, d2,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
          |FROM scand JOIN shh x ON x.doc_id = d1 JOIN shh y ON y.doc_id = d2
@@ -1173,11 +1286,17 @@ object SparkEntry {
       s"""$phashCte,
          |pbands AS (SELECT media_id, g.b AS b, (phash >> (16 * g.b)) & 65535 AS bval
          |           FROM ph, unnest(generate_series(0, 3)) AS g(b)),
-         |pbf AS (SELECT media_id, b, bval FROM pbands
-         |        QUALIFY count(*) OVER (PARTITION BY b, bval) <= ${Dedup.MaxBucketSize}),
-         |pcand AS (SELECT DISTINCT a.media_id AS d1, c.media_id AS d2
-         |          FROM pbf a JOIN pbf c
-         |            ON a.b = c.b AND a.bval = c.bval AND a.media_id < c.media_id)
+         |pbst AS (SELECT media_id, b, bval,
+         |           count(*) OVER (PARTITION BY b, bval) AS bn,
+         |           min(media_id) OVER (PARTITION BY b, bval) AS bmin
+         |         FROM pbands),
+         |pcand AS (SELECT a.media_id AS d1, c.media_id AS d2
+         |          FROM pbst a JOIN pbst c
+         |            ON a.b = c.b AND a.bval = c.bval AND a.media_id < c.media_id
+         |          WHERE a.bn <= ${Dedup.MaxBucketSize}
+         |          UNION
+         |          SELECT bmin AS d1, media_id AS d2
+         |          FROM pbst WHERE bn > ${Dedup.MaxBucketSize} AND media_id > bmin)
          |SELECT d1, d2,
          |  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
          |FROM pcand JOIN ph x ON x.media_id = d1 JOIN ph y ON y.media_id = d2

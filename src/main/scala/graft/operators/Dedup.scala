@@ -43,9 +43,16 @@ object Dedup {
   val MaxShingleDf = 64
 
   /** LSH band-bucket cap: band buckets holding more than this many docs
-    * are dropped before pair expansion (same O(size²) blowup as above).
-    * A bucket that big is a degenerate boilerplate cluster; its members
-    * still pair up through their other, selective bands.
+    * generate STAR pairs (every member vs the bucket minimum, O(size))
+    * instead of all pairs (O(size²)) — see
+    * [[org.apache.spark.sql.graft.SortedPairs]]. A bucket that big is a
+    * degenerate boilerplate cluster — typically (near-)identical docs
+    * whose EVERY band collides, so dropping the bucket would disconnect
+    * exactly the duplicates most in need of dedup (identical signatures
+    * leave no other, selective band to catch them). The star keeps the
+    * flood one connected component for [[clusters]] at linear cost;
+    * verification stays exact either way. [[capStats]] surfaces how
+    * many buckets degraded.
     */
   val MaxBucketSize = 64
 
@@ -109,18 +116,19 @@ object Dedup {
 
   /** LSH candidate pairs: docs whose signatures collide in ≥1 band of 4
     * consecutive minhash rows. Returns (d1, d2) with d1 < d2, distinct.
-    * Buckets larger than `maxBucket` are dropped ([[MaxBucketSize]]).
+    * Buckets larger than `maxBucket` degrade to star pairs
+    * ([[MaxBucketSize]]).
     */
   def lshCandidates(sigs: DataFrame,
                     maxBucket: Int = MaxBucketSize): DataFrame = {
     // same one-shuffle posting-list shape as ngramJaccardPairs: group by
-    // bucket, cap, emit each bucket's ordered pairs map-side, distinct
+    // bucket, emit each bucket's ordered pairs map-side (star pairs for
+    // over-cap buckets), distinct
     bandKeys(sigs)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= maxBucket)
-      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
-        .as(Seq("d1", "d2")))
+      .select(org.apache.spark.sql.graft.SortedPairs
+        .column(col("ds"), maxBucket).as(Seq("d1", "d2")))
       .distinct()
   }
 
@@ -342,6 +350,10 @@ object Dedup {
     * media path (64 bits = 4×16). `hashes` should be materialized
     * (checkpointed) by the caller when its computation is expensive —
     * it is consumed by the band explode AND both verify joins.
+    * Completeness caveat: inside a band bucket hotter than `maxBucket`
+    * the star cap keeps only member↔minimum pairs, so two non-minimum
+    * members of a degenerate flood pair up only via the min (fine for
+    * clustering, which is the consumer) or via another band.
     */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           bitsPerBand: Int, nBands: Int, maxHamming: Int,
@@ -357,9 +369,8 @@ object Dedup {
     val cand = bands
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
-      .filter(size(col("ds")) <= maxBucket)
-      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
-        .as(Seq("d1", "d2")))
+      .select(org.apache.spark.sql.graft.SortedPairs
+        .column(col("ds"), maxBucket).as(Seq("d1", "d2")))
       .distinct()
     cand
       .join(hashes.select(col(idCol).as("d1"), col(hashCol).as("s1")), Seq("d1"))
@@ -370,12 +381,13 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Cap observability: one row of drop counters for the stop-shingle
-    * and LSH-bucket caps — how many shingles/buckets are hot (over cap)
-    * and how many index postings they would have contributed. This is
-    * the "logged drop count" for the dedup suite: at the test SFs every
-    * counter is 0 (caps inactive); on a corpus with boilerplate it
-    * quantifies exactly what the caps discard.
+  /** Cap observability: one row of counters for the stop-shingle and
+    * LSH-bucket caps — how many shingles/buckets are hot (over cap) and
+    * how many index postings the stop-shingle cap discards. Hot BUCKETS
+    * are not discarded: they degrade to star pairs (see
+    * [[MaxBucketSize]]), and this counter says how many did. At the
+    * test SFs every counter is 0 (caps inactive); on a corpus with
+    * boilerplate it quantifies exactly what the caps change.
     */
   def capStats(docs: DataFrame, maxDf: Int = MaxShingleDf,
                maxBucket: Int = MaxBucketSize): DataFrame = {

@@ -180,7 +180,7 @@ object Similarity {
     * similarity, which no LSH family can separate cheaply. At a real
     * dedup threshold (0.85+, p ≥ 0.9) the same 16×4 structure keeps
     * recall ≥ 1-10⁻⁴ while bucketing prunes almost everything: THAT is
-    * the 100 TB regime this operator exists for. `maxBucket` caps
+    * the 100 TB regime this operator exists for. `maxBucket` star-caps
     * degenerate buckets (exact-duplicate floods) like
     * [[Dedup.MaxBucketSize]]; default ∞ because capping at a weak
     * threshold costs recall.
@@ -202,8 +202,8 @@ object Similarity {
     val cand = bands
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
-      .filter(size(col("ds")) <= maxBucket)
-      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+      .select(org.apache.spark.sql.graft.SortedPairs
+        .column(col("ds"), if (maxBucket == Int.MaxValue) 0 else maxBucket)
         .as(Seq("id1", "id2")))
       .distinct()
     cand

@@ -39,13 +39,30 @@ class CapsAndLshSpec extends SparkSpec {
     assert(real.getAs[Long]("n_hot_buckets") == 0L)
   }
 
-  test("lshCandidates drops oversized band buckets") {
-    // identical docs -> identical signatures -> one bucket per band
+  test("lshCandidates star-caps oversized band buckets") {
+    // identical docs -> identical signatures -> one bucket per band; a
+    // bucket over the cap degrades to member↔min star pairs instead of
+    // disappearing (identical docs have NO other selective band, so a
+    // drop would disconnect exactly the flood that needs dedup)
     val dups = (0 until 6).map(i => (i.toLong, "p q r s t u v w"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(dups)
-    assert(Dedup.lshCandidates(sigs, maxBucket = 4).count() == 0)
+    val star = Dedup.lshCandidates(sigs, maxBucket = 4)
+      .orderBy("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.toSeq == (1 to 5).map(j => (0L, j.toLong)))
     assert(Dedup.lshCandidates(sigs, maxBucket = 10).count() == 15) // C(6,2)
+  }
+
+  test("a 100-identical-doc flood stays one cluster through the star cap") {
+    val flood = (0 until 100).map(i => (i.toLong, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(flood, threshold = 0.5)
+    // star cap (bucket of 100 > 64): 99 pairs, all through doc 0, every
+    // one passing exact-Jaccard verification at similarity 1.0
+    assert(pairs.count() == 99)
+    val reps = Dedup.clusters(pairs).select("cluster_rep")
+      .distinct().collect().map(_.getLong(0))
+    assert(reps.toSeq == Seq(0L)) // single connected component
   }
 
   test("embedding LSH agrees with the exact near-dup pairs at sf0.01") {
