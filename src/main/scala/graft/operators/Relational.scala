@@ -22,6 +22,13 @@ object Relational {
   // Spark's double→decimal cast goes through the shortest string repr and
   // drifts an ulp from DuckDB's) makes every product/sum exact rational
   // arithmetic: identical on any engine at any parallelism.
+  /** sum(extendedprice × (1 − discount)) — the standard revenue measure,
+    * exact decimal accumulation cast to double at the boundary (shared
+    * with the salted-join parity query in SparkEntry).
+    */
+  def revenueAgg: org.apache.spark.sql.Column =
+    sum(extD * oneMinusDisc).cast("double")
+
   private def extD  = col("l_extendedprice").cast(DecimalType(12, 2))
   private def oneMinusDisc = lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))
   private def onePlusTax   = lit(1).cast(DecimalType(3, 2)) + col("l_tax").cast(DecimalType(4, 2))
@@ -120,6 +127,34 @@ object Relational {
       .na.fill(0L, statuses)
       .withColumnsRenamed(statuses.map(s => s -> s"n_$s").toMap)
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Small-quantity revenue (TPC-H Q17 shape): lineitems whose quantity
+    * is below 20% of their part's average quantity, revenue grouped by
+    * brand — the correlated-aggregate pattern (per-key average joined
+    * back to the fact table). Scale: the per-part average is ONE
+    * aggregation shuffle on l_partkey and the join back is on the same
+    * key, so Exchange reuse co-partitions them (no second fact shuffle);
+    * the part dimension is broadcast. Determinism: the average is an
+    * exact decimal sum divided by a count — identical operands in any
+    * engine at any parallelism — and the 0.2× threshold compare happens
+    * on those bit-identical doubles.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val avgQty = lineitem.groupBy(col("l_partkey")).agg(
+      (sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double")
+        / count(lit(1)).cast("double")).as("avg_qty"))
+    lineitem
+      .join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(24, 6))).cast("double")
+          .as("small_qty_revenue"),
+        count(lit(1)).as("n_small"))
+      .orderBy(col("p_brand"))
   }
 
   /** EXISTS-style semi join (TPC-H Q4 shape): orders with ≥1 returned

@@ -177,6 +177,91 @@ object TextAnalysis {
           .orderBy(col("quality_score").desc, col("doc_id"))))
       .filter(col("lang_rank") <= maxPerLang)
 
+  /** Repetition signals per document — the Gopher-style (Rae et al.
+    * 2021, "Scaling Language Models") duplicate-text heuristics used to
+    * drop low-quality repetitive docs from LLM training corpora:
+    *  - top_token_frac: occurrences of the most frequent token / tokens
+    *  - top_bigram_frac: occurrences of the most frequent bigram / bigrams
+    *  - dup_trigram_frac: 1 − distinct trigrams / total trigrams
+    * All array higher-order expressions — map-only, zero shuffle,
+    * O(tokens × distinct-tokens) per doc (docs here are ≤ ~100 tokens;
+    * a real corpus would bound it the same way it bounds doc length).
+    * Short-doc guards: a 1-token doc has no bigrams (Spark's
+    * `sequence(a, b)` DESCENDS when b < a, so the guard is explicit).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    def ngrams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(toks, i + j + 1)): _*)))
+        .otherwise(array())
+    def topFrac(grams: Column): Column = {
+      val counts = transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))
+      when(size(grams) > 0,
+        round(array_max(counts).cast("double")
+          / size(grams).cast("double"), 6)).otherwise(lit(0.0))
+    }
+    val tri = ngrams(3)
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      topFrac(toks).as("top_token_frac"),
+      topFrac(ngrams(2)).as("top_bigram_frac"),
+      when(size(tri) > 0,
+        round(lit(1.0) - size(array_distinct(tri)).cast("double")
+          / size(tri).cast("double"), 6)).otherwise(lit(0.0))
+        .as("dup_trigram_frac"))
+  }
+
+  /** Train/test decontamination: flag TRAINING docs sharing ≥ 1 content
+    * shingle with any TEST doc (the leakage check run before training —
+    * e.g. Brown et al. 2020 §4 deduplicate eval sets from the corpus by
+    * n-gram overlap). The split is a deterministic doc_id hash (test =
+    * `testPct`% of docs), so membership is stable across runs/engines.
+    * One shuffle of the shingle index; per-shingle postings are split
+    * into test/train member lists whose cross product is the collision
+    * set — stop shingles (df > maxDf) are dropped exactly like the
+    * Jaccard index, so one boilerplate shingle can't flag the corpus.
+    */
+  def decontaminate(docs: DataFrame, testPct: Int = 10,
+                    maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
+    val isTest =
+      pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100)) < testPct
+    val shf = Dedup.shingled(docs).withColumn("is_test", isTest)
+    val posts = shf.groupBy(col("shingle")).agg(
+        sort_array(collect_list(when(col("is_test"), col("doc_id"))))
+          .as("tds"),
+        sort_array(collect_list(when(!col("is_test"), col("doc_id"))))
+          .as("rds"))
+      .filter(size(col("tds")) > 0 && size(col("rds")) > 0 &&
+        size(col("tds")) + size(col("rds")) <= maxDf)
+    posts
+      .select(explode(col("rds")).as("doc_id"), col("tds"))
+      .select(col("doc_id"), explode(col("tds")).as("test_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_collisions"),
+        countDistinct(col("test_doc")).as("n_test_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Balanced per-source sample: keep `perSource` docs per source,
+    * chosen by deterministic content-independent hash order (md5 of a
+    * salted doc_id) — the "uniform random but reproducible" per-stratum
+    * downsample used to flatten source skew in a training mix. One
+    * window shuffle; the rank cut plans as WindowGroupLimit so no
+    * stratum is ever fully sorted.
+    */
+  def balancedSample(docs: DataFrame, perSource: Int = 10): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("samp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("bs_"), col("doc_id"))), col("doc_id"))))
+      .filter(col("samp_rank") <= perSource)
+      .orderBy(col("source"), col("samp_rank"))
+
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)
     *  - fp_bag: md5 of the sorted token multiset (order-insensitive)
