@@ -256,6 +256,8 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "balanced_sample" -> ((s, dir) =>
       TextAnalysis.balancedSample(Tables.documents(s, dir))),
+    "corpus_curate" -> ((s, dir) =>
+      TextAnalysis.curate(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
     // embedding cosine (doc_id and vec_id share the id space).
     "dedup_cross_modal" -> ((s, dir) =>
@@ -295,6 +297,10 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, dir))),
     "ann_ivf_kmeans" -> ((s, dir) =>
       Similarity.annIvfKmeans(Tables.embeddings(s, dir))),
+    "ann_pq_adc" -> ((s, dir) =>
+      Similarity.annPqAdc(Tables.embeddings(s, dir))),
+    "ann_pq_rerank" -> ((s, dir) =>
+      Similarity.annPqRerank(Tables.embeddings(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "dedup_embed_lsh" -> ((s, dir) =>
@@ -410,6 +416,14 @@ object SparkEntry {
        |         ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
        |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
 
+  /** Distinct 8-gram shingle index (mirrors the decontamination ngram;
+    * long shingles = shared passages, not shared vocabulary).
+    */
+  private val sh8Cte =
+    s"""sh8 AS (SELECT DISTINCT doc_id,
+       |          ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7])")} AS shingle
+       |        FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i))""".stripMargin
+
   /** MinHash signature CTE (mirrors Dedup.minhashSignatures /
     * TextFunctions.hash60Seeded's universal-hash family).
     */
@@ -510,6 +524,51 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  /** Squared L2 distance between two lists (mirrors Similarity.l2sq's
+    * sequential zip-fold; caller rounds).
+    */
+  private def pqDistSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+  /** Product-quantization oracle chain (mirrors Similarity.annPqAdc):
+    * 4×16-dim subspaces → K=16 codebooks (init = first vec_ids, one
+    * Lloyd step) → corpus codes → ADC lookup table for queries
+    * vec_id<10 → summed approx distance per (query, neighbor) in `sc`.
+    */
+  private val pqChainCte =
+    s"""$embCte,
+       |subs AS (SELECT vec_id, g.m AS m,
+       |           list_slice(v, g.m * 16 + 1, g.m * 16 + 16) AS sv
+       |         FROM n, unnest(generate_series(0, 3)) AS g(m)),
+       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS cell, sv AS cv
+       |        FROM subs WHERE vec_id < 16),
+       |a0 AS (SELECT s.vec_id, s.m, s.sv, c.cell,
+       |         round(${pqDistSql("s.sv", "c.cv")}, 6) AS d2
+       |       FROM subs s JOIN cb0 c ON c.m = s.m),
+       |a0r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+       |        FROM a0),
+       |a0f AS (SELECT vec_id, m, sv, cell FROM a0r WHERE rn = 1),
+       |cbp AS (SELECT m, cell, g.pos, avg(sv[g.pos]) AS cx
+       |        FROM a0f, unnest(generate_series(1, 16)) AS g(pos)
+       |        GROUP BY m, cell, g.pos),
+       |cb AS (SELECT m, cell, list(round(cx, 6) ORDER BY pos) AS cv
+       |       FROM cbp GROUP BY m, cell),
+       |e1 AS (SELECT s.vec_id, s.m, c.cell,
+       |         round(${pqDistSql("s.sv", "c.cv")}, 6) AS d2
+       |       FROM subs s JOIN cb c ON c.m = s.m),
+       |e1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
+       |        FROM e1),
+       |enc AS (SELECT vec_id, m, cell AS code FROM e1r WHERE rn = 1),
+       |dtab AS (SELECT s.vec_id AS query_id, s.m, c.cell,
+       |           round(${pqDistSql("s.sv", "c.cv")}, 6) AS d2
+       |         FROM subs s JOIN cb c ON c.m = s.m
+       |         WHERE s.vec_id < 10),
+       |sc AS (SELECT d.query_id, e.vec_id AS neighbor_id,
+       |         CAST(sum(CAST(d.d2 AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+       |       FROM enc e JOIN dtab d ON d.m = e.m AND d.cell = e.code
+       |       WHERE e.vec_id <> d.query_id
+       |       GROUP BY d.query_id, e.vec_id)""".stripMargin
 
   /** k-means oracle steps (mirror Similarity.assignCells /
     * kmeansCentroids): one Lloyd assignment CTE and one means CTE.
@@ -978,9 +1037,10 @@ object SparkEntry {
 
     "decontaminate" ->
       s"""$docsCte,
+         |$sh8Cte,
          |f AS (SELECT doc_id, shingle,
          |        (${h60("'split_' || doc_id")} % 100) < 10 AS is_test
-         |      FROM sh),
+         |      FROM sh8),
          |p AS (SELECT shingle,
          |        count(*) FILTER (WHERE is_test) AS nt,
          |        count(*) FILTER (WHERE NOT is_test) AS nr
@@ -1001,6 +1061,58 @@ object SparkEntry {
         |SELECT doc_id, source, samp_rank FROM r
         |WHERE samp_rank <= 10
         |ORDER BY source, samp_rank""".stripMargin,
+
+    // the composed 4-stage pipeline: quality gate -> near-dup removal
+    // (over the filtered corpus) -> decontamination (over the kept
+    // corpus) -> balanced per-source sample. Stage order is semantic
+    // and pinned here.
+    "corpus_curate" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$sh8Cte,
+         |q AS (SELECT doc_id FROM t
+         |  WHERE round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) >= 0.35),
+         |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN q ON q.doc_id = s.doc_id),
+         |shc2 AS (SELECT doc_id, shingle FROM shq
+         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc2 x JOIN shc2 y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc2")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep),
+         |kept AS (SELECT q.doc_id FROM q
+         |         WHERE q.doc_id NOT IN (SELECT doc_id FROM dropd)),
+         |f AS (SELECT s.doc_id, s.shingle,
+         |        (${h60("'split_' || s.doc_id")} % 100) < 10 AS is_test
+         |      FROM sh8 s JOIN kept k ON k.doc_id = s.doc_id),
+         |pp AS (SELECT shingle,
+         |         count(*) FILTER (WHERE is_test) AS nt,
+         |         count(*) FILTER (WHERE NOT is_test) AS nr
+         |       FROM f GROUP BY shingle
+         |       HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf}),
+         |flag AS (SELECT DISTINCT r0.doc_id FROM f r0
+         |         JOIN pp ON pp.shingle = r0.shingle
+         |         WHERE NOT r0.is_test),
+         |fin AS (SELECT k.doc_id FROM kept k
+         |        WHERE (${h60("'split_' || k.doc_id")} % 100) >= 10
+         |          AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
+         |rs AS (SELECT d.doc_id, d.source,
+         |         CAST(row_number() OVER (PARTITION BY d.source
+         |           ORDER BY md5('bs_' || d.doc_id), d.doc_id) AS INT) AS samp_rank
+         |       FROM documents d JOIN fin ON fin.doc_id = d.doc_id)
+         |SELECT doc_id, source, samp_rank FROM rs
+         |WHERE samp_rank <= 10
+         |ORDER BY source, samp_rank""".stripMargin,
 
     "dedup_cross_modal" ->
       s"""$docsCte,
@@ -1350,6 +1462,28 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_pq_adc" ->
+      s"""$pqChainCte,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_dist, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_pq_rerank" ->
+      s"""$pqChainCte,
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS prank
+         |       FROM sc),
+         |cand AS (SELECT query_id, neighbor_id FROM pr WHERE prank <= 30),
+         |rr AS (SELECT c.query_id, c.neighbor_id,
+         |         round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cosine
+         |       FROM cand c
+         |       JOIN n x ON x.vec_id = c.neighbor_id
+         |       JOIN n q ON q.vec_id = c.query_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |       FROM rr)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r2 WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     "q1_pricing_summary" ->

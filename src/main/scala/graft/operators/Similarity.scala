@@ -216,6 +216,123 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Rounded squared L2 distance between two equal-length double arrays
+    * — one sequential zip-fold (bit-identical to DuckDB's
+    * list_sum∘list_transform∘list_zip), rounded to 6 decimals at the
+    * boundary so assignment/ranking ties are cross-engine identical.
+    */
+  private def l2sq(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e), 6)
+
+  /** Product-quantization ANN with asymmetric distance (ADC) — the
+    * billion-vector memory-scale path (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each vector into
+    * `numSub` subspaces, learn a small per-subspace codebook (Lloyd,
+    * fixed iterations, deterministic init = sub-vectors of the first
+    * `codebookK` vec_ids), encode the corpus as `numSub` byte-sized
+    * codes (here 64 doubles → 4 codes: 128× smaller), and score a query
+    * against a corpus vector as the SUM of per-subspace distances from
+    * a precomputed (query × subspace × code) lookup table — the corpus
+    * scan never touches raw vectors.
+    *
+    * Scale shape: the codebook is numSub×codebookK rows (broadcast);
+    * training is fixed map-only scans + tiny aggregations; encoding is
+    * map-only after the broadcast; the ADC lookup table is
+    * queries×numSub×codebookK rows (broadcast); scoring shuffles
+    * (query, neighbor, partial-distance) rows only for the final sum +
+    * top-k. Exact-rerank of the PQ top-k against raw vectors is
+    * [[annBruteForce]] restricted to the candidates (standard two-stage
+    * serving).
+    *
+    * Determinism: per-subspace distances are rounded to 6 decimals, the
+    * cross-vector sum accumulates those exact values as DECIMAL(18,6)
+    * (associative — shuffle-order independent), and every ranking tie
+    * breaks by id.
+    */
+  def annPqAdc(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+               numSub: Int = 4, codebookK: Int = 16, dims: Int = 64,
+               iters: Int = 1): DataFrame = {
+    val dsub = dims / numSub
+    val n = normed(embeddings)
+    // (vec_id, m, sv): the corpus split into per-subspace sub-vectors
+    val subs = n.select(col("vec_id"),
+      posexplode(array((0 until numSub).map(m =>
+        slice(col("v"), m * dsub + 1, dsub)): _*)).as(Seq("m", "sv")))
+    def assign(cb: DataFrame): DataFrame = subs
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"),
+        l2sq(col("sv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"))
+    // deterministic init: sub-vectors of vec_id 0..K-1, then Lloyd means
+    var cb = subs.filter(col("vec_id") < codebookK)
+      .select(col("m"), col("vec_id").cast("int").as("cell"),
+        col("sv").as("cv"))
+    (1 to iters).foreach { _ =>
+      cb = assign(cb)
+        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("m"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
+        .select(col("m"), col("cell"),
+          expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
+    }
+    val codes = assign(cb)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+    // ADC lookup table: query × subspace × code → rounded partial d²
+    val dtab = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        l2sq(col("qsv"), col("cv")).as("d2"))
+    codes
+      .join(broadcast(dtab),
+        codes("m") === dtab("m") && col("code") === dtab("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("approx_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_dist"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_dist"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-stage ANN serving: PQ-ADC shortlist → EXACT cosine rerank of
+    * the `nCandidates` shortlist → top-k. The standard production
+    * pattern (the PQ scan touches only codes; raw vectors are fetched
+    * for ~3k/k candidates per query), giving near-exact quality at
+    * PQ-scan cost. The shortlist join is broadcast (nQueries ×
+    * nCandidates rows); the corpus is touched once for the fetch.
+    */
+  def annPqRerank(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10,
+                  nCandidates: Int = 30): DataFrame = {
+    val n = normed(embeddings)
+    val cand = annPqAdc(embeddings, nQueries, nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    broadcast(cand)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine.as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** One Lloyd assignment step: nearest centroid per vector by rounded
     * cosine, ties to the smallest cell id (cross-engine deterministic).
     * Centroids are a k-row aggregate — explicitly broadcast; the corpus

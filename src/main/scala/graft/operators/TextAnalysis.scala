@@ -217,20 +217,28 @@ object TextAnalysis {
   }
 
   /** Train/test decontamination: flag TRAINING docs sharing ≥ 1 content
-    * shingle with any TEST doc (the leakage check run before training —
+    * n-gram with any TEST doc (the leakage check run before training —
     * e.g. Brown et al. 2020 §4 deduplicate eval sets from the corpus by
-    * n-gram overlap). The split is a deterministic doc_id hash (test =
-    * `testPct`% of docs), so membership is stable across runs/engines.
-    * One shuffle of the shingle index; per-shingle postings are split
-    * into test/train member lists whose cross product is the collision
-    * set — stop shingles (df > maxDf) are dropped exactly like the
-    * Jaccard index, so one boilerplate shingle can't flag the corpus.
+    * n-gram overlap). The n-gram is LONG (`ngram` = 8 tokens, in the
+    * spirit of GPT-3's 13-gram check) because contamination means a
+    * shared PASSAGE — short shingles measure vocabulary overlap and
+    * would flag everything in a narrow domain. The split is a
+    * deterministic doc_id hash (test = `testPct`% of docs), so
+    * membership is stable across runs/engines. One shuffle of the
+    * shingle index; per-shingle postings are split into test/train
+    * member lists whose cross product is the collision set — stop
+    * shingles (df > maxDf) are dropped exactly like the Jaccard index,
+    * so one boilerplate shingle can't flag the corpus.
     */
   def decontaminate(docs: DataFrame, testPct: Int = 10,
-                    maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
+                    maxDf: Int = Dedup.MaxShingleDf,
+                    ngram: Int = 8): DataFrame = {
     val isTest =
       pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100)) < testPct
-    val shf = Dedup.shingled(docs).withColumn("is_test", isTest)
+    val shf = docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.ShingleHash60
+          .column(col("text"), ngram)).as("shingle"))
+      .withColumn("is_test", isTest)
     val posts = shf.groupBy(col("shingle")).agg(
         sort_array(collect_list(when(col("is_test"), col("doc_id"))))
           .as("tds"),
@@ -261,6 +269,36 @@ object TextAnalysis {
           .orderBy(md5(concat(lit("bs_"), col("doc_id"))), col("doc_id"))))
       .filter(col("samp_rank") <= perSource)
       .orderBy(col("source"), col("samp_rank"))
+
+  /** The composed corpus-curation pipeline — the four stages a
+    * training-data pipeline actually ships, chained end to end over one
+    * corpus and verified as ONE query:
+    *   1. quality gate ([[qualityFilter]]): drop low-quality docs;
+    *   2. near-dup removal ([[Dedup.keepRepresentatives]]): cluster
+    *      near-dups over the SURVIVING corpus, keep representatives;
+    *   3. decontamination ([[decontaminate]]): drop the held-out test
+    *      slice and every training doc that shares content shingles
+    *      with it;
+    *   4. balanced mix ([[balancedSample]]): per-source deterministic
+    *      downsample of what remains.
+    * Each stage consumes the previous stage's corpus (so e.g. the dedup
+    * df-cap and the contamination index see post-filter documents —
+    * order matters and is pinned by the oracle). At 100 TB each stage
+    * is a materialized table between jobs; this single-query form is
+    * the semantic contract.
+    */
+  def curate(docs: DataFrame, minScore: Double = 0.35,
+             threshold: Double = 0.5, testPct: Int = 10,
+             perSource: Int = 10): DataFrame = {
+    val d1 = docs.join(
+      qualityFilter(docs, minScore).select(col("doc_id")), Seq("doc_id"))
+    val d2 = Dedup.keepRepresentatives(d1, threshold)
+    val flagged = decontaminate(d2, testPct).select(col("doc_id"))
+    val isTest =
+      pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100)) < testPct
+    val d3 = d2.filter(!isTest).join(flagged, Seq("doc_id"), "left_anti")
+    balancedSample(d3, perSource)
+  }
 
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)

@@ -90,4 +90,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Generate")) // the map-side pair explode
   }
+
+  test("q17: per-part average joins back without a BNLJ; part is broadcast") {
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin")) // the part dimension
+  }
+
+  test("salted join: equi-join on (key, salt), no nested-loop fallback") {
+    val p = plan("skew_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PQ-ADC: codebook and lookup-table joins are all broadcast") {
+    val p = plan("ann_pq_adc")
+    // corpus-side joins against numSub×K codebooks and the
+    // query×subspace×code table must never shuffle the corpus
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("repetition signals: map-only — zero exchanges in the plan") {
+    val p = plan("quality_signals")
+    // the ORDER BY at the query boundary is a Sort, not an aggregation
+    // shuffle; no Exchange hashpartitioning anywhere
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
 }
