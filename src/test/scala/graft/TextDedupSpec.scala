@@ -121,6 +121,81 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("repetition signals: planted repetition moves every fraction") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),             // all-distinct tokens
+      (1L, "x x x x x x x x"),             // one token repeated
+      (2L, "p q p q p q p q"))             // repeated bigram "p q"
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d).orderBy("doc_id").collect()
+    // doc 0: nothing repeats
+    assert(r(0).getAs[Double]("top_token_frac") == 0.125)
+    assert(r(0).getAs[Double]("dup_trigram_frac") == 0.0)
+    // doc 1: a single token everywhere; all 6 trigrams identical -> 5/6 dup
+    assert(r(1).getAs[Double]("top_token_frac") == 1.0)
+    assert(r(1).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(math.abs(r(1).getAs[Double]("dup_trigram_frac") - 5.0 / 6.0) < 1e-6)
+    // doc 2: "p q" appears 4 of 7 bigrams
+    assert(math.abs(r(2).getAs[Double]("top_bigram_frac") - 4.0 / 7.0) < 1e-6)
+    // one-token doc: no bigrams/trigrams, fractions are 0 not null/error
+    val tiny = TextAnalysis.repetitionSignals(Seq((9L, "solo")).toDF("doc_id", "text"))
+      .collect().head
+    assert(tiny.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(tiny.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("decontaminate flags planted passage overlap, ignores vocab overlap") {
+    // find doc_ids on each side of the deterministic split first
+    val ids = (0L until 40L)
+    val isTest = ids.map { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100 < 10)
+    }.toMap
+    val testId = ids.find(isTest).get
+    val trainIds = ids.filterNot(isTest).take(3)
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val rows = Seq(
+      (testId, s"held out eval doc says $passage and more words here"),
+      // train doc 0: contains the full passage -> flagged
+      (trainIds(0), s"training doc copies $passage exactly in the middle"),
+      // train doc 1: shares vocabulary but no 8-token run -> clean
+      (trainIds(1), "quick dog fox brown lazy the over jumps tonight says eval"),
+      // train doc 2: unrelated -> clean
+      (trainIds(2), "completely different content about spark shuffles and joins plans"))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.decontaminate(rows)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(trainIds(0)))
+  }
+
+  test("balancedSample: per-source cap, determinism, and membership") {
+    val d = (0L until 100L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val s1 = TextAnalysis.balancedSample(d, perSource = 10).collect()
+    val s2 = TextAnalysis.balancedSample(d, perSource = 10).collect()
+    assert(s1.toSeq == s2.toSeq) // deterministic
+    val bySource = s1.groupBy(_.getString(1))
+    assert(bySource.keySet == Set("src0", "src1", "src2"))
+    assert(bySource.values.forall(_.length == 10))
+    assert(s1.map(_.getInt(2)).forall(r => r >= 1 && r <= 10))
+  }
+
+  test("curate output is a subset of every stage's survivors") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = SparkEntry.queries("corpus_curate")(spark, "/root/testdata/sf0.01")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quality = TextAnalysis.qualityFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = graft.operators.Dedup.keepRepresentatives(
+        docs.join(TextAnalysis.qualityFilter(docs).select("doc_id"), Seq("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(quality))
+    assert(out.subsetOf(kept))
+    assert(out.nonEmpty)
+  }
+
   test("vecDot matches manual dot product; norm is L2") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
       .toDF("a", "b")
