@@ -53,6 +53,14 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) =>
       Relational.smallQtyRevenue(Tables.lineitem(s, dir),
         Tables.part(s, dir))),
+    "q5_local_supplier" -> ((s, dir) =>
+      Relational.localSupplierVolume(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    "q19_disjunctive" -> ((s, dir) =>
+      Relational.disjunctiveRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
     // salted-join skew mitigation, result-parity proven by the oracle's
     // PLAIN join: the salt scatters a hot supplier key over 8 reducers
     // without changing a single output row
@@ -772,6 +780,37 @@ object SparkEntry {
         |WHERE l_quantity < 0.2 * avg_qty
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT s_nationkey,

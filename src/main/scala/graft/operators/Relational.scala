@@ -157,6 +157,63 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Local-supplier volume (TPC-H Q5 shape): the 6-way join — fact
+    * (lineitem) ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with
+    * the correlation predicate c_nationkey = s_nationkey (both ends of
+    * the trade in the same nation). Scale: region/nation broadcast;
+    * customer and supplier broadcast after the region filter prunes
+    * them; the only big shuffles are orders⋈lineitem on orderkey. The
+    * nationkey equality is a residual on the supplier broadcast join,
+    * not an extra shuffle.
+    */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String = "ASIA"): DataFrame = {
+    val nr = nation.join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = customer.join(broadcast(nr),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = supplier.join(broadcast(nr),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three
+    * (brand × size-range × quantity-band) conjunctions across the
+    * lineitem⋈part join. Scale: the common subexpressions push to the
+    * scans — part prunes on the brand IN list, lineitem on the overall
+    * quantity envelope — and the disjunction evaluates as a residual on
+    * the broadcast join, not three separate scans unioned.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val j = lineitem.join(broadcast(
+        part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      col("l_partkey") === col("p_partkey"))
+    val pred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 40)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 60))
+    j.filter(pred)
+      .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_lineitems"))
+  }
+
   /** EXISTS-style semi join (TPC-H Q4 shape): orders with ≥1 returned
     * lineitem, counted by priority. LEFT SEMI keeps the orders side
     * unduplicated without a distinct — the probe side is reduced to its

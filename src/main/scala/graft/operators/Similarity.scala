@@ -220,9 +220,17 @@ object Similarity {
     * — one sequential zip-fold (bit-identical to DuckDB's
     * list_sum∘list_transform∘list_zip), rounded to 6 decimals at the
     * boundary so assignment/ranking ties are cross-engine identical.
+    * Backed by the codegen'd [[org.apache.spark.sql.graft.VecL2Sq]]
+    * (the HOF reference form survives as [[l2sqHof]] and is asserted
+    * equal in TextDedupSpec).
     */
   private def l2sq(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(org.apache.spark.sql.graft.VecL2Sq.column(a, b), 6)
+
+  /** The composable higher-order-function reference form of [[l2sq]]. */
+  private[graft] def l2sqHof(a: org.apache.spark.sql.Column,
+                             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, e) => acc + e), 6)
 

@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q19: per-side disjunction envelopes push to BOTH parquet scans") {
+    val p = plan("q19_disjunctive")
+    // part scan: the full brand×size disjunction
+    assert(p.contains("EqualTo(p_brand,Brand#1)"))
+    assert(p.contains("EqualTo(p_brand,Brand#5)"))
+    // lineitem scan: the quantity envelope of the three bands
+    assert(p.contains("LessThanOrEqual(l_quantity,60.0)"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q5: six-way join plans as broadcast chain, no nested loop") {
+    val p = plan("q5_local_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4)
+  }
+
   test("repetition signals: map-only — zero exchanges in the plan") {
     val p = plan("quality_signals")
     // the ORDER BY at the query boundary is a Sort, not an aggregation

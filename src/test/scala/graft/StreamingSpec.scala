@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches the stream without extra state") {
+    implicit val ctx = spark.sqlContext
+    // static dimension: per-symbol tick size (the reference's symbol
+    // metadata shape); stream side joins it per micro-batch — no
+    // watermark or state needed for stream-static joins
+    val dim = Seq(("BTC", 0.5), ("ETH", 0.05)).toDF("symbol", "tick")
+    val in = MemoryStream[Trade]
+    val q = in.toDF.join(broadcast(dim), Seq("symbol"))
+      .select(col("symbol"), col("price"), col("tick"),
+        (round(col("price") / col("tick"), 0) * col("tick")).as("px_rounded"))
+      .writeStream.format("memory").queryName("ss_join").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        trade("BTC", "2024-01-01 10:00:10", 100.26),
+        trade("ETH", "2024-01-01 10:00:11", 10.26),
+        trade("SOL", "2024-01-01 10:00:12", 1.23)) // no dim row -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").orderBy("symbol").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("BTC", "ETH"))
+      assert(rows(0).getAs[Double]("px_rounded") == 100.5) // 0.5 is exact
+      assert(math.abs(rows(1).getAs[Double]("px_rounded") - 10.25) < 1e-9)
+    } finally q.stop()
+  }
+
   test("beyond-watermark late trade is dropped from the aggregation") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Trade]

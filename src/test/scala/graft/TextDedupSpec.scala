@@ -196,6 +196,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("codegen VecL2Sq equals the HOF zip-fold, bit for bit") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.5)),
+                 (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, 0.6)))
+      .toDF("a", "b")
+    val rows = df.select(
+      org.apache.spark.sql.graft.VecL2Sq.column(col("a"), col("b")).as("x"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, (acc, e) -> acc + e)")
+        .as("y")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows.head.getDouble(0) == 9.0 + 16.0 + 0.25)
+  }
+
   test("vecDot matches manual dot product; norm is L2") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
       .toDF("a", "b")
