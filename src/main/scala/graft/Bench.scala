@@ -91,20 +91,8 @@ object Bench {
       }
     val timings = results.collect { case (k, Right(t)) => k -> t }
     val errors = results.collect { case (k, Left(m)) => k -> m }
-    val es = errors.map { case (k, m) => s""""$k":"${jsonEscape(m)}"""" }
-      .mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
-    def render(qs: Seq[(String, Double)], omitted: Int,
-               num: Double => String): String = {
-      val qj = qs.map { case (k, v) => s""""$k":${num(v)}""" }
-        .mkString("{", ",", "}")
-      val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qj,$om"errors":$es,"n_queries":${results.size},""" +
-        s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
-    }
     // authoritative artifact: file copies survive sbt's stdout prefixing
-    val fileLine = render(timings, 0, _.toString)
+    val (fileLine, stdoutLine) = renderLines(timings, errors, sfDir)
     val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
     val written = outDirs.map { d =>
       try {
@@ -120,30 +108,54 @@ object Bench {
     if (!written.contains(true))
       System.err.println("Bench: WARNING — no bench.json copy written; " +
         "only the stdout line below carries the results")
-    // The driver captures only the LAST 2000 chars of stdout; sbt then
-    // appends its own "[success] Total time ..." trailer (~80 chars).
-    // Round 2's 1.9 KB full-precision line had its head truncated out of
-    // that window -> "parsed": null. Budget the printed line to 1700
-    // chars: rounded timings, and if the query map still doesn't fit,
-    // keep the slowest queries and report how many were omitted (the
-    // full-precision complete map is always in bench.json).
-    val budget = 1700
+    println(stdoutLine)
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** The driver captures only the LAST 2000 chars of stdout; sbt then
+    * appends its own "[success] Total time ..." trailer (~80 chars).
+    * Round 2's 1.9 KB full-precision line had its head truncated out of
+    * that window -> "parsed": null. The stdout line is therefore
+    * budgeted to [[StdoutBudget]] chars: rounded timings, and if the
+    * query map still doesn't fit, keep the slowest queries and report
+    * how many were omitted. The returned file line keeps every query at
+    * full precision (bench.json, the authoritative artifact).
+    * Exposed for the BenchSpec invariant tests.
+    */
+  private[graft] val StdoutBudget = 1700
+
+  private[graft] def renderLines(timings: Seq[(String, Double)],
+                                 errors: Seq[(String, String)],
+                                 sfDir: String): (String, String) = {
+    val es = errors.map { case (k, m) => s""""$k":"${jsonEscape(m)}"""" }
+      .mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
+    val nAll = timings.size + errors.size
+    def render(qs: Seq[(String, Double)], omitted: Int,
+               num: Double => String): String = {
+      val qj = qs.map { case (k, v) => s""""$k":${num(v)}""" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""queries":$qj,$om"errors":$es,"n_queries":$nAll,""" +
+        s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
+    }
+    val fileLine = render(timings, 0, _.toString)
     val stdoutLine = {
       val full = render(timings, 0, compact)
-      if (full.length <= budget) full
+      if (full.length <= StdoutBudget) full
       else {
         val bySlowest = timings.sortBy(-_._2)
         var keep = bySlowest.length
         var line = full
-        while (line.length > budget && keep > 1) {
+        while (line.length > StdoutBudget && keep > 1) {
           keep -= 1
           line = render(bySlowest.take(keep), timings.size - keep, compact)
         }
         line
       }
     }
-    println(stdoutLine)
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    (fileLine, stdoutLine)
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the bench output contract: the stdout line must ALWAYS
+  * fit the driver's 2000-char tail-capture window (with headroom for
+  * sbt's success trailer) and stay valid JSON, no matter how many
+  * queries the suite grows to — round 2 lost its official perf number
+  * to exactly this (full-precision line truncated by the tail window).
+  * The file line keeps full precision for every query.
+  */
+class BenchSpec extends AnyFunSuite {
+  private val om = new ObjectMapper()
+
+  test("stdout line fits the tail window even with 200 long-named queries") {
+    val timings = (0 until 200).map(i =>
+      (f"very_long_query_name_number_$i%03d", i * 0.123456789))
+    val (fileLine, stdoutLine) =
+      Bench.renderLines(timings, Nil, "/root/testdata/sf0.1")
+    assert(stdoutLine.length <= Bench.StdoutBudget)
+    val parsed = om.readTree(stdoutLine)
+    assert(parsed.get("n_queries").asInt == 200)
+    assert(parsed.get("queries_omitted").asInt > 0)
+    // truncation keeps the SLOWEST queries (the ones worth reading)
+    assert(parsed.get("queries").has("very_long_query_name_number_199"))
+    assert(!parsed.get("queries").has("very_long_query_name_number_000"))
+    // the file artifact keeps everything at full precision
+    val full = om.readTree(fileLine)
+    assert(full.get("queries").size == 200)
+    assert(full.get("queries").get("very_long_query_name_number_001").asDouble
+      == 0.123456789)
+  }
+
+  test("small result: no truncation, compact rounding, errors carried") {
+    val (fileLine, stdoutLine) = Bench.renderLines(
+      Seq("a" -> 1.234567), Seq("b" -> "boom: \"quoted\"\nline2"), "sf")
+    for (line <- Seq(fileLine, stdoutLine)) {
+      val p = om.readTree(line)
+      assert(p.get("n_queries").asInt == 2)
+      assert(p.get("n_failed").asInt == 1)
+      assert(p.get("errors").get("b").asText.startsWith("boom"))
+      assert(p.get("queries_omitted") == null)
+    }
+    assert(om.readTree(stdoutLine).get("queries").get("a").asDouble == 1.23)
+    assert(om.readTree(fileLine).get("queries").get("a").asDouble == 1.234567)
+  }
+}
