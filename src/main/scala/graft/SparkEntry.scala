@@ -195,6 +195,23 @@ object SparkEntry {
 
     // Coverage counts (analysis.ipynb N4 tail: null-skipping count(col)
     // as a window warm-up sanity check) — global no-group aggregation.
+    // semi-structured access: the events table carries a JSON props
+    // column; extract a path, type it, aggregate — the JSON-column
+    // pattern of every telemetry pipeline. Map-only extraction fused
+    // into the scan; only |event_type| groups shuffle.
+    "json_props_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     "analytics_coverage" -> ((s, dir) =>
       Analytics.enrich(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
         .agg(
@@ -901,6 +918,15 @@ object SparkEntry {
          |  coalesce(volume, 0.0) AS volume,
          |  CAST(coalesce(trades, 0) AS BIGINT) AS trades
          |FROM j ORDER BY bar_start""".stripMargin,
+
+    "json_props_profile" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(props::JSON ->> 'k' AS BIGINT)), 6) AS avg_k,
+        |  min(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "analytics_coverage" ->
       s"""$analyticsCte

@@ -71,6 +71,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         checkArity("simhash60", 1, children)
         SimHash60(children.head)
+      }),
+    (FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq", "vec_l2sq(a, b) - sequential-fold squared L2 distance of two array<double>"),
+      (children: Seq[Expression]) => {
+        checkArity("vec_l2sq", 2, children)
+        VecL2Sq(children(0), children(1))
       }))
 
   /** Register on an existing session (temp-function registry + the

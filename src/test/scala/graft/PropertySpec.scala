@@ -138,6 +138,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedPairs: C(n,2) pairs under the cap, n-1 star pairs over it") {
+    val lists = Gen.listOfN(30,
+      Gen.chooseNum(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 1000L)).map(_.distinct.sorted)))
+      .pureApply(Gen.Parameters.default, Seed(7))
+    val df = lists.map(Tuple1(_)).toDF("ds")
+    for (cap <- Seq(0, 5)) {
+      val got = df.select(
+        org.apache.spark.sql.graft.SortedPairs.column(col("ds"), cap)
+          .as(Seq("d1", "d2")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = lists.flatMap { ds =>
+        if (cap > 0 && ds.length > cap) ds.tail.map(j => (ds.head, j))
+        else for (i <- ds.indices; j <- i + 1 until ds.length)
+          yield (ds(i), ds(j))
+      }
+      assert(got.sorted.toSeq == want.sorted,
+        s"cap=$cap: ${got.length} vs ${want.length}")
+      // every emitted pair is ordered — the d1 < d2 contract
+      assert(got.forall { case (a, b) => a < b })
+    }
+  }
+
   test("codegen shingle/simhash expressions equal HOF forms on random text") {
     import graft.operators.Dedup
     for (seed <- 11L to 14L) {

@@ -22,6 +22,11 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(agg.getAs[Double]("first_v") == 5.0)
     assert(agg.getAs[Double]("last_v") == 7.0)
 
+    // vec_l2sq from SQL
+    val l2 = spark.sql(
+      "SELECT vec_l2sq(array(1D, 2D), array(4D, 6D)) AS d").collect().head
+    assert(l2.getAs[Double]("d") == 25.0)
+
     // simhash60 from SQL equals the operator path
     val sh = spark.sql("SELECT simhash60('the cat sat') AS s").collect().head
     import spark.implicits._
