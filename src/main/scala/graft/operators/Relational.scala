@@ -147,7 +147,10 @@ object Relational {
     lineitem
       .join(avgQty, Seq("l_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      // no forced broadcast: part is a data-scale table (SF-proportional),
+      // so the hint would overflow the broadcast limit on a real corpus —
+      // AQE broadcasts the 2-column projection when it actually fits
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
@@ -170,6 +173,11 @@ object Relational {
                           customer: DataFrame, supplier: DataFrame,
                           nation: DataFrame, region: DataFrame,
                           regionName: String = "ASIA"): DataFrame = {
+    // nation⋈region is genuinely constant-size (≤25 rows) — broadcast
+    // hint is safe at any SF. customer/supplier are data-scale tables:
+    // no forced broadcast (the region filter keeps ~1/5 of them, which
+    // still grows with SF); AQE broadcasts the pruned projections when
+    // they actually fit, and falls back to shuffle joins when not.
     val nr = nation.join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
@@ -184,8 +192,8 @@ object Relational {
           col("o_orderdate") < lit("1998-01-01"))
           .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_lineitems"))
