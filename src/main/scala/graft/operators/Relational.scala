@@ -66,7 +66,10 @@ object Relational {
     val ord = orders.filter(col("o_orderdate") < lit("1998-01-01"))
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     ord
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer is SF-proportional — no forced broadcast; AQE
+      // broadcasts the segment-filtered single-column projection while
+      // it fits and degrades to a shuffle join when it doesn't
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(extD * oneMinusDisc).cast("double").as("revenue"))
@@ -83,7 +86,9 @@ object Relational {
   def regionRevenue(orders: DataFrame, customer: DataFrame,
                     nation: DataFrame, region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      // nation/region are constant-size (hinted); customer grows with
+      // SF, so its broadcast is AQE's call, not a hint
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -103,7 +108,7 @@ object Relational {
   def regionRevenueRollup(orders: DataFrame, customer: DataFrame,
                           nation: DataFrame, region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+      .join(customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
