@@ -136,4 +136,23 @@ class PlanSpec extends SparkSpec {
     // shuffle; no Exchange hashpartitioning anywhere
     assert(!p.contains("Exchange hashpartitioning"))
   }
+
+  test("suite-wide: nested-loop joins only where the build side is parameter-bounded") {
+    // A BroadcastNestedLoopJoin over a DATA-scale side is the #1
+    // silent 100 TB killer. The only ones allowed are those whose
+    // broadcast side is bounded by a query PARAMETER or is a 1-row
+    // aggregate: the ANN query sets (nQueries rows), the IVF centroid
+    // tables (k cells), and the 1-row corpus/cap-counter cross joins.
+    val allowed = Set("ann_topk", "ann_ivf", "ann_ivf_kmeans",
+      "dedup_cap_stats", "tfidf_top_terms")
+    // pipeline_gold_e2e executes real streaming hops at construction —
+    // it is an execution harness, not a plan shape
+    val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")
+    val offenders = names.filter { n =>
+      val p = plan(n)
+      (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) &&
+        !allowed(n)
+    }
+    assert(offenders.isEmpty, s"data-scale nested-loop joins in: $offenders")
+  }
 }
