@@ -195,6 +195,27 @@ object SparkEntry {
 
     // Coverage counts (analysis.ipynb N4 tail: null-skipping count(col)
     // as a window warm-up sanity check) — global no-group aggregation.
+    // window-function completeness: dense_rank (ties share a rank, no
+    // gaps) + first_value/last_value day anchors over the bar frame —
+    // the remaining analytic-window family not exercised elsewhere.
+    // One (symbol, bar_date) partition sort shared by all three.
+    "bar_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol"), col("bar_date"))
+      Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
+        .select(col("symbol"), col("bar_date"), col("bar_start"),
+          col("close"), col("volume"))
+        .withColumn("vol_rank",
+          dense_rank().over(w.orderBy(col("volume").desc)))
+        .withColumn("day_first_close",
+          first(col("close")).over(w.orderBy(col("bar_start"))))
+        .withColumn("day_last_close",
+          last(col("close")).over(w.orderBy(col("bar_start"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .orderBy(col("symbol"), col("bar_start"))
+    }),
+
     // semi-structured access: the events table carries a JSON props
     // column; extract a path, type it, aggregate — the JSON-column
     // pattern of every telemetry pipeline. Map-only extraction fused
@@ -918,6 +939,20 @@ object SparkEntry {
          |  coalesce(volume, 0.0) AS volume,
          |  CAST(coalesce(trades, 0) AS BIGINT) AS trades
          |FROM j ORDER BY bar_start""".stripMargin,
+
+    "bar_window_funcs" ->
+      s"""$barsCte
+         |SELECT symbol, bar_date, bar_start, close, volume,
+         |  CAST(dense_rank() OVER (PARTITION BY symbol, bar_date
+         |    ORDER BY volume DESC) AS INT) AS vol_rank,
+         |  first_value(close) OVER (PARTITION BY symbol, bar_date
+         |    ORDER BY bar_start) AS day_first_close,
+         |  last_value(close) OVER (PARTITION BY symbol, bar_date
+         |    ORDER BY bar_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS day_last_close
+         |FROM bars
+         |ORDER BY symbol, bar_start""".stripMargin,
 
     "json_props_profile" ->
       """SELECT event_type, count(*) AS n,
