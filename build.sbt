@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt logs the forked JVM's stdout through its own logger,
+// prefixing every line with "[info] " — which breaks any consumer that
+// expects Bench's one-line JSON to start with '{'. StdoutOutput inherits
+// the parent's stdout so the line passes through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,22 +128,32 @@ object Bench {
   private[graft] def renderLines(timings: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
                                  sfDir: String): (String, String) = {
-    val es = errors.map { case (k, m) => s""""$k":"${jsonEscape(m)}"""" }
-      .mkString("{", ",", "}")
+    def errJson(maxMsg: Int): String =
+      errors.map { case (k, m) =>
+        s""""$k":"${jsonEscape(m.take(maxMsg))}""""
+      }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     val nAll = timings.size + errors.size
     def render(qs: Seq[(String, Double)], omitted: Int,
-               num: Double => String): String = {
+               num: Double => String, es: String,
+               errsOmitted: Boolean): String = {
       val qj = qs.map { case (k, v) => s""""$k":${num(v)}""" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      val eo = if (errsOmitted) s""""errors_omitted":${errors.size},""" else ""
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qj,$om"errors":$es,"n_queries":$nAll,""" +
+        s""""queries":$qj,$om"errors":$es,$eo"n_queries":$nAll,""" +
         s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
     }
-    val fileLine = render(timings, 0, _.toString)
+    // bench.json: full precision, full error messages (authoritative)
+    val fileLine = render(timings, 0, _.toString, errJson(Int.MaxValue), false)
+    // stdout: error messages capped at 80 chars (an unbounded errors map
+    // can blow the budget just like the query map did in round 2); if
+    // shrinking the query map to 1 entry still doesn't fit, drop the
+    // errors map entirely and report errors_omitted instead.
+    val stdoutEs = errJson(80)
     val stdoutLine = {
-      val full = render(timings, 0, compact)
+      val full = render(timings, 0, compact, stdoutEs, false)
       if (full.length <= StdoutBudget) full
       else {
         val bySlowest = timings.sortBy(-_._2)
@@ -151,8 +161,12 @@ object Bench {
         var line = full
         while (line.length > StdoutBudget && keep > 1) {
           keep -= 1
-          line = render(bySlowest.take(keep), timings.size - keep, compact)
+          line = render(bySlowest.take(keep), timings.size - keep, compact,
+            stdoutEs, false)
         }
+        if (line.length > StdoutBudget)
+          line = render(bySlowest.take(keep), timings.size - keep, compact,
+            "{}", true)
         line
       }
     }

@@ -228,7 +228,11 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),
-          round(avg(col("k")), 6).as("avg_k"),
+          // exact-decimal sum / count, not bare avg(): double partial
+          // sums are order-dependent once |sum| exceeds 2^53 (repo
+          // determinism convention, same as q17's avg_qty)
+          round(sum(col("k").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+            .cast("double") / count(col("k")).cast("double"), 6).as("avg_k"),
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
@@ -957,7 +961,8 @@ object SparkEntry {
     "json_props_profile" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
-        |  round(avg(CAST(props::JSON ->> 'k' AS BIGINT)), 6) AS avg_k,
+        |  round(CAST(sum(CAST(props::JSON ->> 'k' AS DECIMAL(20,0))) AS DOUBLE)
+        |    / CAST(count(props::JSON ->> 'k') AS DOUBLE), 6) AS avg_k,
         |  min(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
         |  max(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type

@@ -28,12 +28,19 @@ case class VecL2Sq(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch (below), even for non-nullable inputs.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_l2sq"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Match the HOF form on ragged inputs too: zip_with pads the shorter
+    // array with nulls and null propagates through the fold, so
+    // aggregate(zip_with(...)) yields NULL — not a min-length sum.
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -51,13 +58,17 @@ case class VecL2Sq(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -45,4 +45,27 @@ class BenchSpec extends AnyFunSuite {
     assert(om.readTree(stdoutLine).get("queries").get("a").asDouble == 1.23)
     assert(om.readTree(fileLine).get("queries").get("a").asDouble == 1.234567)
   }
+
+  test("verbose failures cannot blow the stdout budget") {
+    // 50 failing queries with 300-char messages: stdout caps each message
+    // at 80 chars, and if even the 1-query line doesn't fit it drops the
+    // errors map with an errors_omitted count. bench.json keeps the full
+    // messages either way.
+    val errors = (0 until 50).map(i =>
+      (f"failing_query_$i%02d", "x" * 300))
+    val timings = Seq("ok_query" -> 1.0)
+    val (fileLine, stdoutLine) =
+      Bench.renderLines(timings, errors, "sf")
+    assert(stdoutLine.length <= Bench.StdoutBudget)
+    val p = om.readTree(stdoutLine)
+    assert(p.get("n_failed").asInt == 50)
+    assert(p.get("errors_omitted").asInt == 50)
+    val full = om.readTree(fileLine)
+    assert(full.get("errors").get("failing_query_00").asText == "x" * 300)
+
+    // a handful of failures: messages survive on stdout, capped at 80
+    val (_, line2) = Bench.renderLines(timings, Seq("b" -> ("y" * 300)), "sf")
+    assert(line2.length <= Bench.StdoutBudget)
+    assert(om.readTree(line2).get("errors").get("b").asText == "y" * 80)
+  }
 }

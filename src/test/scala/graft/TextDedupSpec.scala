@@ -208,6 +208,20 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.head.getDouble(0) == 9.0 + 16.0 + 0.25)
   }
 
+  test("VecL2Sq and VecDot are NULL on ragged inputs, like the HOF form") {
+    // zip_with pads the shorter array with nulls and null propagates
+    // through the fold, so the HOF form returns NULL on a length
+    // mismatch; the codegen expressions pin the same semantics.
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      org.apache.spark.sql.graft.VecL2Sq.column(col("a"), col("b")).as("l2"),
+      org.apache.spark.sql.graft.VecDot.column(col("a"), col("b")).as("dot"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, (acc, e) -> acc + e)")
+        .as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("vecDot matches manual dot product; norm is L2") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
       .toDF("a", "b")
