@@ -61,6 +61,29 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, dir) =>
       Relational.disjunctiveRevenue(Tables.lineitem(s, dir),
         Tables.part(s, dir))),
+    "q7_volume_shipping" -> ((s, dir) =>
+      Relational.volumeShipping(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q10_returned_customers" -> ((s, dir) =>
+      Relational.returnedCustomerRevenue(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))),
+    "q12_priority_class" -> ((s, dir) =>
+      Relational.priorityClassByStatus(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "q14_promo_revenue" -> ((s, dir) =>
+      Relational.promoRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    "q18_large_orders" -> ((s, dir) =>
+      Relational.largeOrders(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q21_sole_fail_supplier" -> ((s, dir) =>
+      Relational.soleFailingSupplier(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q22_idle_rich_customers" -> ((s, dir) =>
+      Relational.idleRichCustomers(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     // salted-join skew mitigation, result-parity proven by the oracle's
     // PLAIN join: the salt scatters a hot supplier key over 8 reducers
     // without changing a single output row
@@ -853,6 +876,120 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 40)
         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q10_returned_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE) AS revenue,
+        |    count(*) AS n_returned
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, c_acctbal, n_name, revenue, n_returned
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE), 6) AS promo_revenue_pct,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q21_sole_fail_supplier" ->
+      """WITH fails AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |blamed AS (
+        |  SELECT f.l_orderkey, f.l_suppkey FROM fails f
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |                WHERE o_orderkey = f.l_orderkey
+        |                  AND o_orderstatus = 'F')
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = f.l_orderkey
+        |                  AND l2.l_suppkey <> f.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM fails f2
+        |                    WHERE f2.l_orderkey = f.l_orderkey
+        |                      AND f2.l_suppkey <> f.l_suppkey))
+        |SELECT s_name, s_suppkey, numwait
+        |FROM (SELECT l_suppkey, count(*) AS numwait
+        |      FROM blamed GROUP BY l_suppkey) b
+        |JOIN supplier ON s_suppkey = b.l_suppkey
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+
+    "q22_idle_rich_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= '2001-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT s_nationkey,

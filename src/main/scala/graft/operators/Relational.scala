@@ -240,4 +240,206 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
+
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue flowing between a
+    * nation PAIR in both directions, by shipment year. Scale: both
+    * nation maps prune to 2/25 of customers/suppliers BEFORE the fact
+    * joins (filters composed under the joins, AQE broadcasts the pruned
+    * sides); the symmetric pair predicate is a residual on the joined
+    * row, not a union of two plans; the only big shuffle is
+    * lineitem⋈orders on orderkey.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame,
+                     n1: String = "NATION_1",
+                     n2: String = "NATION_2"): DataFrame = {
+    val pairNations = broadcast(
+      nation.filter(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey"), col("n_name")))
+    val supp = supplier.join(pairNations,
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(pairNations,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_lineitems"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Returned-item customer ranking (TPC-H Q10 shape): which customers
+    * drove the most returned revenue in a window. Scale: revenue is
+    * aggregated per custkey BEFORE the customer/nation dimension joins
+    * (classic TPC-H plans join first and group by five customer
+    * attributes — aggregating early shrinks the join input from
+    * |lineitem| to |customers-with-returns| and the wide attributes
+    * never shuffle); top-k plans as TakeOrderedAndProject.
+    */
+  def returnedCustomerRevenue(customer: DataFrame, orders: DataFrame,
+                              lineitem: DataFrame, nation: DataFrame,
+                              k: Int = 20): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_returned"))
+      .join(customer.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"), col("revenue"), col("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Priority-class line counts (TPC-H Q12 shape, adapted: the harness
+    * lineitem has no shipmode, so the CASE classifies order priority by
+    * line status). One fact⋈fact join on orderkey + a single
+    * conditional aggregation — the shuffle carries two small longs per
+    * group, fully partial-aggregated map-side.
+    */
+  def priorityClassByStatus(orders: DataFrame,
+                            lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** Promo revenue share (TPC-H Q14 shape): percentage of a month's
+    * revenue from PROMO-type parts. Both the conditional and total sums
+    * are exact decimal accumulations; the ratio is one double division
+    * of two engine-identical operands (then rounded) so the percentage
+    * is deterministic at any parallelism. Part joins via AQE broadcast
+    * of its 2-column projection.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = extD * oneMinusDisc
+    val zero = lit(0).cast(DecimalType(16, 4))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(zero))
+          .cast("double") * 100.0).as("promo_num"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(
+        round(col("promo_num") / col("total_revenue"), 6)
+          .as("promo_revenue_pct"),
+        col("total_revenue"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+    * clears a threshold, with their customer. The HAVING filter runs on
+    * the per-orderkey aggregate BEFORE any dimension join — the join
+    * input is |qualifying orders| (hundreds), not |lineitem|; the
+    * aggregate's shuffle and the orders join share the orderkey
+    * partitioning (Exchange reuse), and top-k plans as
+    * TakeOrderedAndProject.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame, minQty: Double = 250.0,
+                  k: Int = 100): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double")
+        .as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Sole-failing supplier (TPC-H Q21 shape, adapted: the harness has
+    * no commit/receipt dates, so "failed" = shipped a returned line).
+    * For each (order, supplier) failure in a finished multi-supplier
+    * order, keep it only when NO other supplier failed the same order —
+    * the classic semi + anti self-join pair:
+    *   - left_semi vs lineitem: another supplier exists in the order;
+    *   - left_anti vs failures: no OTHER failing supplier in the order.
+    * Scale: all three self-join legs reduce to (orderkey, suppkey)
+    * pairs before shuffling and hash-join on orderkey — the wide
+    * lineitem row is never replicated; the final count is per supplier
+    * (top-k by blame count).
+    */
+  def soleFailingSupplier(supplier: DataFrame, lineitem: DataFrame,
+                          orders: DataFrame, k: Int = 20): DataFrame = {
+    val fails = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val finished = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val blamed = fails
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(lineitem.select(col("l_orderkey").as("lo2"),
+          col("l_suppkey").as("ls2")),
+        col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+        "left_semi")
+      .join(fails.select(col("l_orderkey").as("lo3"),
+          col("l_suppkey").as("ls3")),
+        col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
+        "left_anti")
+    blamed.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Idle rich customers (TPC-H Q22 shape, adapted: no phone prefixes
+    * in the harness, so the cohort is above-average-balance customers
+    * with no RECENT orders, by market segment). The global average is
+    * computed in-plan and cross-joined as a 1-row broadcast (no
+    * separate driver action — the repo convention since the tfIdf scale
+    * fix); "no recent orders" is a left_anti against the date-filtered
+    * orders keys.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+                        cutoff: String = "2001-01-01"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0).agg(
+      (sum(col("c_acctbal").cast(DecimalType(20, 6))).cast("double")
+        / count(lit(1)).cast("double")).as("avg_bal"))
+    customer
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(20, 6))).cast("double")
+          .as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

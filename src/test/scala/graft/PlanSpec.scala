@@ -137,14 +137,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("q21: plans hash semi + anti joins, never a nested loop") {
+    val p = plan("q21_sole_fail_supplier")
+    // the non-equi suppkey<>suppkey legs must ride as residual
+    // conditions on orderkey hash joins, not degrade to BNLJ
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject after pre-join aggregation") {
+    val p = plan("q10_returned_customers")
+    assert(p.contains("TakeOrderedAndProject"))
+    // revenue aggregates BEFORE the customer join: the HashAggregate on
+    // o_custkey must appear under the customer-side join, i.e. there is
+    // an aggregate at all (pre-agg) and no global Sort node
+    assert(p.contains("HashAggregate"))
+  }
+
   test("suite-wide: nested-loop joins only where the build side is parameter-bounded") {
     // A BroadcastNestedLoopJoin over a DATA-scale side is the #1
     // silent 100 TB killer. The only ones allowed are those whose
     // broadcast side is bounded by a query PARAMETER or is a 1-row
     // aggregate: the ANN query sets (nQueries rows), the IVF centroid
     // tables (k cells), and the 1-row corpus/cap-counter cross joins.
+    // q22: the broadcast side is the 1-row global-average aggregate
+    // (the in-plan scalar-subquery pattern) — bounded by construction
     val allowed = Set("ann_topk", "ann_ivf", "ann_ivf_kmeans",
-      "dedup_cap_stats", "tfidf_top_terms")
+      "dedup_cap_stats", "tfidf_top_terms", "q22_idle_rich_customers")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")
