@@ -331,6 +331,13 @@ object SparkEntry {
       TextAnalysis.balancedSample(Tables.documents(s, dir))),
     "corpus_curate" -> ((s, dir) =>
       TextAnalysis.curate(Tables.documents(s, dir))),
+    "scrub_denylist" -> ((s, dir) =>
+      TextAnalysis.scrubDenylist(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    "doc_shards" -> ((s, dir) =>
+      TextAnalysis.docShards(Tables.documents(s, dir))),
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
     // embedding cosine (doc_id and vec_id share the id space).
     "dedup_cross_modal" -> ((s, dir) =>
@@ -1215,6 +1222,35 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          |WHERE ${h60("'sample_' || doc_id")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
+
+    "scrub_denylist" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b'))
+        |    AS INT) AS n_hits,
+        |  md5(regexp_replace(text, '\b(customer|vector)\b', '[REDACTED]',
+        |    'g')) AS scrub_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_shards" ->
+      s"""SELECT ${h60("'shard_' || doc_id")} % 64 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT ${h60("'shard_' || doc_id")} % 8 AS shard, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM d)
+         |SELECT shard, CAST((cum_tok - n_tok) // 512 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY shard, (cum_tok - n_tok) // 512
+         |ORDER BY shard, pack_id""".stripMargin,
 
     "quality_filter" ->
       s"""$docsCte,

@@ -316,4 +316,72 @@ object TextAnalysis {
         |    t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000),
         |  0L, (acc, h) -> (acc * 131 + h) % 1000000000000)""".stripMargin)
       .as("fp_roll"))
+
+  /** Denylist scrub: redact every whole-word occurrence of the listed
+    * terms and count the hits — the dictionary-based removal step of a
+    * privacy/contamination pass (PII name lists, known-leaked strings,
+    * eval-set markers). Regex is anchored with `\b` word boundaries so
+    * substrings inside longer tokens survive. Map-only, codegen'd; the
+    * md5 of the scrubbed text lets the oracle verify the REPLACEMENT
+    * byte-for-byte without shipping full redacted bodies around.
+    */
+  def scrubDenylist(docs: DataFrame,
+                    terms: Seq[String] = Seq("customer", "vector"))
+      : DataFrame = {
+    val pattern = terms.mkString("\\b(", "|", ")\\b")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pattern)).as("n_hits"),
+      md5(regexp_replace(col("text"), pattern, "[REDACTED]"))
+        .as("scrub_md5"))
+  }
+
+  /** Deterministic shard assignment: every doc lands in one of
+    * `nShards` output shards by salted content-independent hash —
+    * the write-partitioning step before a training run (shard =
+    * `partitionBy` directory; readers stream shards independently).
+    * Reports per-shard document count and byte mass so shard balance
+    * is auditable. One aggregation shuffle of (shard, count, bytes)
+    * partials; the assignment itself is map-only and stable across
+    * runs, engines and cluster sizes (md5-derived, not JVM hashCode).
+    */
+  def docShards(docs: DataFrame, nShards: Int = 64): DataFrame =
+    docs.select(
+        pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
+          .as("shard"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("shard"))
+
+  /** Sequence packing: greedily pack documents (in deterministic
+    * doc_id order) into fixed-capacity token windows — the step that
+    * turns a ragged document corpus into fixed-length training
+    * sequences. A doc starts a new pack when its START offset crosses
+    * a capacity boundary (docs are not split). Packing runs WITHIN a
+    * hash shard (`partitionBy(shard)` window), exactly like a real
+    * pipeline packs per output shard so no global order/sort exists at
+    * 100 TB — the window shuffle is on the shard key, and each shard's
+    * cumulative sum is independent. Returns per-(shard, pack) doc and
+    * token counts.
+    */
+  def packSequences(docs: DataFrame, packTokens: Int = 512,
+                    nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(
+        pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
+          .as("shard"),
+        col("doc_id"),
+        size(tokensCol(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        ((col("cum_tok") - col("n_tok")) / packTokens).cast("long"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
 }

@@ -208,6 +208,50 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.head.getDouble(0) == 9.0 + 16.0 + 0.25)
   }
 
+  test("scrubDenylist: whole words only, hit counts, idempotent md5") {
+    val d = Seq(
+      (0L, "customer data and vector math"),      // 2 whole-word hits
+      (1L, "customers vectorize accustomed"),     // substrings only: 0 hits
+      (2L, "customer customer customer"),         // repeated term
+      (3L, "clean text")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubDenylist(d).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Int]("n_hits")).toSeq == Seq(2, 0, 3, 0))
+    // unhit docs keep their original text byte-for-byte
+    assert(r(3).getAs[String]("scrub_md5") ==
+      d.filter($"doc_id" === 3L).select(md5($"text")).collect().head.getString(0))
+    // scrubbed text really replaces the terms
+    val scrubbed = Seq((9L, "customer one")).toDF("doc_id", "text")
+    assert(TextAnalysis.scrubDenylist(scrubbed).collect().head
+      .getAs[String]("scrub_md5") ==
+      Seq("x").toDF("x").select(md5(lit("[REDACTED] one"))).collect().head.getString(0))
+  }
+
+  test("docShards: every doc lands in exactly one shard, totals preserved") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val shards = TextAnalysis.docShards(d, nShards = 16).collect()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == d.count())
+    assert(shards.map(_.getAs[Long]("sum_chars")).sum ==
+      d.agg(sum("n_chars")).collect().head.getLong(0))
+    assert(shards.forall(r => r.getAs[Long]("shard") >= 0 &&
+      r.getAs[Long]("shard") < 16))
+  }
+
+  test("packSequences: docs never split, packs bounded by start offset") {
+    // single shard so the packing order is fully deterministic here
+    val d = Seq(
+      (1L, ("t " * 300).trim),   // 300 tokens
+      (2L, ("t " * 300).trim),   // starts at 300 -> pack 0 (starts < 512)
+      (3L, ("t " * 10).trim),    // starts at 600 -> pack 1
+      (4L, ("t " * 700).trim)    // oversized doc: own pack, not split
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.packSequences(d, packTokens = 512, nShards = 1)
+      .orderBy("pack_id").collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 4)
+    assert(r.map(_.getAs[Long]("n_tokens")).sum == 1310)
+    val byPack = r.map(x => x.getAs[Long]("pack_id") -> x.getAs[Long]("n_docs"))
+    assert(byPack.toSeq == Seq(0L -> 2L, 1L -> 2L))
+  }
+
   test("VecL2Sq and VecDot are NULL on ragged inputs, like the HOF form") {
     // zip_with pads the shorter array with nulls and null propagates
     // through the fold, so the HOF form returns NULL on a length
