@@ -47,6 +47,8 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "order_status_pivot" -> ((s, dir) =>
       Relational.orderStatusPivot(Tables.orders(s, dir))),
+    "status_priority_cube" -> ((s, dir) =>
+      Relational.statusPriorityCube(Tables.orders(s, dir))),
     "q4_returned_orders" -> ((s, dir) =>
       Relational.returnedOrdersByPriority(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
@@ -828,6 +830,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "status_priority_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE)
+        |    AS total_revenue,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q4_returned_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders

@@ -120,6 +120,25 @@ object Relational {
         count(lit(1)).as("order_count"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
+  /** Full CUBE over (status, priority): all four grouping sets —
+    * (s,p), (s), (p), () — in ONE pass. Like [[regionRevenueRollup]],
+    * Catalyst expands the sets into a single partial+final hash
+    * aggregation (each input row fans out to 4 grouping keys map-side),
+    * versus four separate scans. `grouping()` flags disambiguate a
+    * genuine NULL group member from a rolled-up one.
+    */
+  def statusPriorityCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(24, 6))).cast("double")
+          .as("total_revenue"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Pivot (orderstatus × orderpriority counts): fixed pivot values so
     * the plan needs no extra distinct-values job; a single aggregation.
     */
