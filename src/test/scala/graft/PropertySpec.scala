@@ -173,4 +173,47 @@ class PropertySpec extends SparkSpec {
       assert(ha == hb, s"simhash seed=$seed")
     }
   }
+
+  test("packSequences invariants on random corpora") {
+    import graft.operators.TextAnalysis
+    val genDoc = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "tok", "xyz")).map(_.mkString(" ")))
+    for (seed <- 1L to 5L) {
+      val texts = Gen.listOfN(60, genDoc)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val cap = 64
+      val packs = TextAnalysis.packSequences(docs, packTokens = cap,
+        nShards = 4).collect()
+      // partition property: every doc in exactly one pack
+      assert(packs.map(_.getAs[Long]("n_docs")).sum == 60, s"seed=$seed")
+      // token mass preserved
+      val totalToks = texts.map(_.split(" ").length.toLong).sum
+      assert(packs.map(_.getAs[Long]("n_tokens")).sum == totalToks,
+        s"seed=$seed")
+      // a pack never holds more than cap tokens of START offsets: each
+      // pack's token count is < cap + its last doc's length ≤ cap + 40
+      packs.foreach(p => assert(p.getAs[Long]("n_tokens") < cap + 40,
+        s"overfull pack seed=$seed"))
+      // pack ids are contiguous from 0 within each shard
+      packs.groupBy(_.getAs[Long]("shard")).foreach { case (sh, ps) =>
+        val ids = ps.map(_.getAs[Long]("pack_id")).sorted.toSeq
+        assert(ids == (0L until ids.size).toSeq,
+          s"non-contiguous packs shard=$sh seed=$seed")
+      }
+    }
+  }
+
+  test("docShards is a stable partition for any shard count") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = docs.count()
+    for (n <- Seq(1, 7, 64)) {
+      val shards = TextAnalysis.docShards(docs, nShards = n).collect()
+      assert(shards.map(_.getAs[Long]("n_docs")).sum == total, s"n=$n")
+      assert(shards.forall(r => (0L until n.toLong)
+        .contains(r.getAs[Long]("shard"))), s"n=$n")
+    }
+  }
 }
