@@ -338,6 +338,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "doc_shards" -> ((s, dir) =>
       TextAnalysis.docShards(Tables.documents(s, dir))),
+    "mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
@@ -1242,6 +1244,14 @@ object SparkEntry {
         |  md5(regexp_replace(text, '\b(customer|vector)\b', '[REDACTED]',
         |    'g')) AS scrub_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mixture_sample" ->
+      s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc
+         |FROM documents
+         |WHERE ${h60("'mix_' || doc_id")} % 10000 <
+         |  CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |        WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000 AS BIGINT)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_shards" ->
       s"""SELECT ${h60("'shard_' || doc_id")} % 64 AS shard,

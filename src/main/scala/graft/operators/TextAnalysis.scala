@@ -355,6 +355,33 @@ object TextAnalysis {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("shard"))
 
+  /** Mixture sampling: per-source Bernoulli keep rates — the data-mixing
+    * step that reweights domains toward target proportions (e.g. keep
+    * all of a high-value source, 10% of a crawl). Membership is a
+    * deterministic salted doc_id hash compared against the source's
+    * rate, so it is content-stable (incremental ingestion never
+    * resamples old docs), engine-independent, and exact at any
+    * parallelism — unlike `df.sample`, whose output depends on
+    * partitioning. The rate table rides the plan as a broadcast map
+    * literal; unlisted sources get `defaultRate`. Map-only scan +
+    * per-source count audit.
+    */
+  def mixtureSample(docs: DataFrame,
+                    rates: Map[String, Double] =
+                      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+                    defaultRate: Double = 0.1): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    docs
+      .filter(pmod(hash60(concat(lit("mix_"), col("doc_id"))), lit(10000))
+        < (rateCol * 10000).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing: greedily pack documents (in deterministic
     * doc_id order) into fixed-capacity token windows — the step that
     * turns a ragged document corpus into fixed-length training
