@@ -90,6 +90,25 @@ object Streams {
                      watermark: String = DefaultWatermark): DataFrame =
     Gold.bars(silver.withWatermark("event_time", watermark), barWidth)
 
+  /** Pipeline observability: attach `observe` data-quality metrics to a
+    * silver frame — per-micro-batch row count, null-price count, and
+    * min/max event time, computed INSIDE the existing plan (observe
+    * metrics ride the already-running aggregation physically for free;
+    * no second action, no extra scan). Read them per batch from
+    * `StreamingQueryProgress.observedMetrics("silver_quality")` (or via
+    * a StreamingQueryListener in production) — the monitoring hook a
+    * lakehouse runs on every hop. Batch callers can use the same frame
+    * with `org.apache.spark.sql.Observation`.
+    */
+  val QualityObservation = "silver_quality"
+  def withQualityMetrics(silver: DataFrame): DataFrame =
+    silver.observe(QualityObservation,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("price").isNull || col("price") <= 0, 1L).otherwise(0L))
+        .as("n_bad_price"),
+      min(col("event_time")).as("min_event_time"),
+      max(col("event_time")).as("max_event_time"))
+
   /** Streaming sessionization via the NATIVE `session_window` state path
     * (merging-session store) — the built-in alternative to the custom
     * flatMapGroupsWithState machine in Sessions.streamingStats, with the

@@ -47,6 +47,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe metrics report per-batch data quality, streaming and batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Trade]
+    val q = Streams.withQualityMetrics(in.toDF)
+      .writeStream.format("memory").queryName("obs_q").outputMode("append")
+      .start()
+    try {
+      in.addData(trade("BTC", "2024-01-01 10:00:10", 100.0),
+        trade("BTC", "2024-01-01 10:00:50", -1.0), // bad price
+        trade("ETH", "2024-01-01 10:01:00", 50.0))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics
+        .get(Streams.QualityObservation)
+      assert(m != null)
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Long]("n_bad_price") == 1L)
+      assert(m.getAs[java.sql.Timestamp]("max_event_time")
+        == ts("2024-01-01 10:01:00"))
+    } finally q.stop()
+    // the same frame works on the batch path via Observation
+    val obs = new org.apache.spark.sql.Observation("batch_quality")
+    val batch = Seq(trade("BTC", "2024-01-01 10:00:10", 100.0),
+      trade("BTC", "2024-01-01 10:00:11", 0.0)).toDF
+    batch.observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("price") <= 0, 1L).otherwise(0L)).as("n_bad_price"))
+      .count()
+    assert(obs.get("n_rows") == 2L && obs.get("n_bad_price") == 1L)
+  }
+
   test("stream-static join enriches the stream without extra state") {
     implicit val ctx = spark.sqlContext
     // static dimension: per-symbol tick size (the reference's symbol
