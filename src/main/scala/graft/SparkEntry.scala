@@ -113,6 +113,12 @@ object SparkEntry {
           "price", "size", "event_time", "ingest_time", "event_date")
         .orderBy(col("offset"))),
 
+    // Reject-channel audit: classify every wire row by first parse
+    // defect (dead-letter gate beside the silver hop).
+    "silver_reject_audit" -> ((s, dir) =>
+      Silver.rejectAudit(
+        Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(Tables.events(s, dir))))),
+
     // Exact dedup (A7) + union: duplicate every trade, dedup back down.
     "silver_dedup" -> ((s, dir) => {
       val t = Trades.fromEvents(Tables.events(s, dir))
@@ -733,6 +739,30 @@ object SparkEntry {
          |SELECT DISTINCT symbol, event_time, price, size, side
          |FROM trades
          |ORDER BY symbol, event_time, price, size, side""".stripMargin,
+
+    // mirrors the wire construction (kafkaWireFromEvents): symbol/ts are
+    // never null by construction and to_json output is always valid, so
+    // the oracle's cascade evaluates the same buckets over the source
+    // columns the wire serializes
+    "silver_reject_audit" ->
+      """WITH c AS (SELECT CASE
+        |    WHEN 'SYM_' || CAST(user_id AS VARCHAR) IS NULL
+        |      THEN 'missing_symbol'
+        |    WHEN ts IS NULL THEN 'missing_event_time'
+        |    WHEN value IS NULL OR value <= 0 THEN 'bad_price'
+        |    WHEN (CAST(1 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE)
+        |      / CAST(100 AS DOUBLE)) <= 0 THEN 'bad_size'
+        |    ELSE 'ok' END AS reason
+        |  FROM events),
+        |r(severity, reason) AS (VALUES
+        |  (0, 'malformed_json'), (1, 'missing_symbol'),
+        |  (2, 'missing_event_time'), (3, 'bad_price'),
+        |  (4, 'bad_size'), (5, 'ok'))
+        |SELECT severity, reason, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM r LEFT JOIN
+        |  (SELECT reason, count(*) AS n FROM c GROUP BY reason) g
+        |  USING (reason)
+        |ORDER BY severity""".stripMargin,
 
     "symbol_normalize" ->
       """WITH s AS (SELECT DISTINCT CASE CAST(user_id % 6 AS INT)

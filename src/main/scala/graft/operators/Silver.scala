@@ -66,4 +66,48 @@ object Silver {
     * (reference bronze_to_silver_trades.py:82-84).
     */
   def dedup(silver: DataFrame): DataFrame = silver.dropDuplicates(dedupKeys)
+
+  /** Reject-channel audit: classify every bronze row by the FIRST parse
+    * defect (or 'ok') — the dead-letter gate a lakehouse runs beside
+    * the silver hop so malformed wire data is counted and quarantined,
+    * never silently dropped. `from_json` yields a NULL struct for
+    * malformed JSON, and NULL fields for absent/mistyped keys; the
+    * classification cascades in severity order so each row lands in
+    * exactly one bucket. Map-only over the scan; the aggregate carries
+    * one row per reason.
+    */
+  val RejectReasons: Seq[String] =
+    Seq("malformed_json", "missing_symbol", "missing_event_time",
+      "bad_price", "bad_size", "ok")
+  def rejectAudit(bronze: DataFrame): DataFrame = {
+    // PERMISSIVE from_json yields a struct of NULL fields for broken
+    // JSON (not a null struct), so malformed rows are detected the
+    // idiomatic way: a corrupt-record column in the parse schema, which
+    // Spark populates with the raw text exactly when parsing failed.
+    val auditSchema = payloadSchema.add(StructField("_corrupt", StringType))
+    val p = from_json(col("value_raw"), auditSchema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    val reason =
+      when(p.getField("_corrupt").isNotNull, "malformed_json")
+        .when(p.getField("symbol").isNull, "missing_symbol")
+        .when(p.getField("ts_event").isNull, "missing_event_time")
+        .when(p.getField("price").isNull || p.getField("price") <= 0,
+          "bad_price")
+        .when(p.getField("size").isNull || p.getField("size") <= 0,
+          "bad_size")
+        .otherwise("ok")
+    // left-join a literal reason table so every bucket reports (zero
+    // counts included) — the audit schema is stable run to run
+    val counts = bronze.select(reason.as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.active
+    import spark.implicits._
+    RejectReasons.zipWithIndex.map { case (r, i) => (r, i) }
+      .toDF("reason", "severity")
+      .join(counts, Seq("reason"), "left")
+      .select(col("severity"), col("reason"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("severity"))
+  }
 }

@@ -62,4 +62,29 @@ class SilverSpec extends SparkSpec {
     val df = Silver.projectToSilver(bronzeDf(bronzeRow(1, wire)))
     assert(df.schema.fieldNames.toSeq == Schemas.silver.fieldNames.toSeq)
   }
+
+  test("reject audit classifies each row by FIRST defect, zero buckets included") {
+    def payload(sym: String, price: String, size: String,
+                tsEvent: String) =
+      s"""{"exchange":"kraken","symbol":$sym,"price":$price,"size":$size,
+         |"side":"buy","order_type":"market","ts_event":$tsEvent,
+         |"ts_ingest":1718000000456}""".stripMargin.replace("\n", "")
+    val rows = bronzeDf(
+      bronzeRow(1, wire),                                        // ok
+      bronzeRow(2, "{definitely not json"),                      // malformed
+      bronzeRow(3, payload("null", "1.0", "1.0", "1718000000123")), // no symbol
+      bronzeRow(4, payload("\"X\"", "1.0", "1.0", "null")),      // no ts
+      bronzeRow(5, payload("\"X\"", "-3.0", "1.0", "1718000000123")), // bad price
+      bronzeRow(6, payload("\"X\"", "1.0", "0.0", "1718000000123")),  // bad size
+      // null symbol AND bad price -> counts ONLY as missing_symbol
+      bronzeRow(7, payload("null", "-1.0", "1.0", "1718000000123")))
+    val audit = Silver.rejectAudit(rows).collect()
+    assert(audit.map(_.getAs[String]("reason")).toSeq ==
+      Silver.RejectReasons)
+    val byReason = audit.map(r =>
+      r.getAs[String]("reason") -> r.getAs[Long]("n")).toMap
+    assert(byReason == Map("malformed_json" -> 1L, "missing_symbol" -> 2L,
+      "missing_event_time" -> 1L, "bad_price" -> 1L, "bad_size" -> 1L,
+      "ok" -> 1L))
+  }
 }
