@@ -29,4 +29,24 @@ object Maintenance {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(outDir)
   }
+
+  /** Data-skipping layout (Z-order lite): range-partition the table on
+    * `skipCols` and sort rows within each file on the same key, so every
+    * file covers a DISJOINT key range and parquet row-group min/max
+    * statistics prune point/range queries to one file instead of all of
+    * them. This is the single-dimension case of what Delta/Iceberg call
+    * OPTIMIZE ZORDER; for the gold table the right key is (symbol) —
+    * date is already the directory partition. `nFiles` sizes the output
+    * (data / 128 MB on a real table). Cost: ONE range-exchange (sampled
+    * bounds) + in-task sort.
+    */
+  def sortForSkipping(spark: SparkSession, dir: String, outDir: String,
+                      skipCols: Seq[String], nFiles: Int = 8): Unit = {
+    val df = spark.read.parquet(dir)
+    df.repartitionByRange(nFiles, skipCols.map(col): _*)
+      .sortWithinPartitions(skipCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(outDir)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Schemas.Trade
-import graft.operators.{Bronze, Gold, Silver}
+import graft.operators.{Bronze, Gold, Silver, Trades}
 import graft.streaming.Streams
 
 /** Streaming semantics: watermarks, append finalization, stateful dedup,
@@ -227,6 +227,32 @@ class StreamingSpec extends SparkSpec {
     val after = parquetFiles(out)
     assert(after < before / 10, s"$before -> $after")
     assert(spark.read.parquet(out).count() == spark.read.parquet(dir).count())
+  }
+
+  test("sortForSkipping: every file covers a disjoint symbol range") {
+    val dir = tmpDir("graft_skip_in")
+    val out = tmpDir("graft_skip_out")
+    Trades.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select("symbol", "event_time", "price", "size")
+      .write.mode("overwrite").parquet(dir)
+    graft.operators.Maintenance.sortForSkipping(spark, dir, out,
+      Seq("symbol"), nFiles = 6)
+    // row preservation
+    assert(spark.read.parquet(out).count() == spark.read.parquet(dir).count())
+    // per-file (min, max) symbol ranges must not overlap — that is what
+    // lets parquet row-group stats prune a point query to ONE file
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("symbol")), max(col("symbol"))).collect().head
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"$hi1 > $lo2")
+      case _ => ()
+    }
   }
 
   test("partition values with '/' in symbol round-trip (escaped dirs)") {
