@@ -328,6 +328,10 @@ object TextAnalysis {
   def scrubDenylist(docs: DataFrame,
                     terms: Seq[String] = Seq("customer", "vector"))
       : DataFrame = {
+    // plain-word terms only: metacharacters would change the regex (and
+    // Java-vs-RE2 escaping rules differ, breaking oracle parity)
+    require(terms.nonEmpty && terms.forall(_.matches("\\w+")),
+      s"scrubDenylist terms must be non-empty \\w+ words, got: $terms")
     val pattern = terms.mkString("\\b(", "|", ")\\b")
     docs.select(
       col("doc_id"),
@@ -345,7 +349,8 @@ object TextAnalysis {
     * partials; the assignment itself is map-only and stable across
     * runs, engines and cluster sizes (md5-derived, not JVM hashCode).
     */
-  def docShards(docs: DataFrame, nShards: Int = 64): DataFrame =
+  def docShards(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     docs.select(
         pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
           .as("shard"),
@@ -354,6 +359,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("shard"))
+  }
 
   /** Mixture sampling: per-source Bernoulli keep rates — the data-mixing
     * step that reweights domains toward target proportions (e.g. keep
@@ -370,6 +376,8 @@ object TextAnalysis {
                     rates: Map[String, Double] =
                       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
                     defaultRate: Double = 0.1): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"keep rates must be in [0,1], got: $rates default=$defaultRate")
     val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col("source") === s, lit(r)).otherwise(acc)
     }
