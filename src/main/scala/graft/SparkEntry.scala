@@ -63,10 +63,19 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, dir) =>
       Relational.disjunctiveRevenue(Tables.lineitem(s, dir),
         Tables.part(s, dir))),
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir))),
     "q7_volume_shipping" -> ((s, dir) =>
       Relational.volumeShipping(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q8_market_share" -> ((s, dir) =>
+      Relational.marketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir), Tables.part(s, dir))),
+    "q13_order_count_dist" -> ((s, dir) =>
+      Relational.orderCountDistribution(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     "q10_returned_customers" -> ((s, dir) =>
       Relational.returnedCustomerRevenue(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -927,6 +936,49 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 40)
         |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(
+        |    CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE), 6) AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS total_volume
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q13_order_count_dist" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -260,6 +260,90 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
+  /** Banded-filter revenue (TPC-H Q6 shape): pure scan-side predicate
+    * band (date window × discount band × quantity cap) + global agg —
+    * the "did every filter push to parquet" probe. No join, no group
+    * key: the shuffle is one partial-agg row per task.
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.02, 0.04) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(extD * col("l_discount").cast(DecimalType(4, 2))).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+
+  /** National market share (TPC-H Q8 shape): one nation's share of a
+    * region's revenue in a part segment, by order year. The share is a
+    * conditional ratio of two exact decimal sums per year — the same
+    * deterministic ratio discipline as Q14. Scale: part prunes to the
+    * segment FIRST (smallest selectivity), then lineitem joins orders
+    * on the only fact-fact shuffle; customer/nation/region prune the
+    * demand side, supplier+nation tag the supply side; both dimension
+    * chains are AQE-broadcast after pruning.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame, part: DataFrame,
+                  suppNation: String = "NATION_3",
+                  regionName: String = "EUROPE",
+                  partType: String = "PROMO"): DataFrame = {
+    val seg = part.filter(col("p_type") === partType).select(col("p_partkey"))
+    val demandNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = customer.join(broadcast(demandNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = extD * oneMinusDisc
+    val zero = lit(0).cast(DecimalType(16, 4))
+    lineitem
+      .join(seg, col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === suppNation, vol).otherwise(zero))
+            .cast("double")
+          / sum(vol).cast("double"), 6).as("mkt_share"),
+        sum(vol).cast("double").as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join so zero-order customers keep a 0 (an inner join would
+    * silently drop them), then a second aggregation over the first —
+    * the histogram-of-aggregates pattern. Scale: first agg shuffles on
+    * custkey (the join reuses the same partitioning); the second
+    * shuffles |distinct counts| rows, essentially nothing.
+    */
+  def orderCountDistribution(customer: DataFrame,
+                             orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Bilateral trade volume (TPC-H Q7 shape): revenue flowing between a
     * nation PAIR in both directions, by shipment year. Scale: both
     * nation maps prune to 2/25 of customers/suppliers BEFORE the fact
