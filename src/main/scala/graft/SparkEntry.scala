@@ -76,6 +76,9 @@ object SparkEntry {
     "q13_order_count_dist" -> ((s, dir) =>
       Relational.orderCountDistribution(Tables.customer(s, dir),
         Tables.orders(s, dir))),
+    "q15_top_supplier" -> ((s, dir) =>
+      Relational.topSupplier(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir))),
     "q10_returned_customers" -> ((s, dir) =>
       Relational.returnedCustomerRevenue(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -969,6 +972,20 @@ object SparkEntry {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q13_order_count_dist" ->
       """WITH c AS (

@@ -520,6 +520,29 @@ object Relational {
       .limit(k)
   }
 
+  /** Top supplier(s) (TPC-H Q15 shape): suppliers whose quarterly
+    * revenue equals the maximum — the aggregate-of-aggregate pattern
+    * with the max riding the plan as a 1-row broadcast (same in-plan
+    * scalar convention as [[idleRichCustomers]]; no view, no second
+    * driver action). The revenue aggregate feeds both the max and the
+    * filter, sharing one exchange; the equality compare is safe on
+    * doubles because both sides come from the SAME exact decimal sums.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(revenueAgg.as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Idle rich customers (TPC-H Q22 shape, adapted: no phone prefixes
     * in the harness, so the cohort is above-average-balance customers
     * with no RECENT orders, by market segment). The global average is

@@ -162,10 +162,11 @@ class PlanSpec extends SparkSpec {
     // broadcast side is bounded by a query PARAMETER or is a 1-row
     // aggregate: the ANN query sets (nQueries rows), the IVF centroid
     // tables (k cells), and the 1-row corpus/cap-counter cross joins.
-    // q22: the broadcast side is the 1-row global-average aggregate
-    // (the in-plan scalar-subquery pattern) — bounded by construction
+    // q22/q15: the broadcast side is a 1-row global aggregate (the
+    // in-plan scalar-subquery pattern) — bounded by construction
     val allowed = Set("ann_topk", "ann_ivf", "ann_ivf_kmeans",
-      "dedup_cap_stats", "tfidf_top_terms", "q22_idle_rich_customers")
+      "dedup_cap_stats", "tfidf_top_terms", "q22_idle_rich_customers",
+      "q15_top_supplier")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")
