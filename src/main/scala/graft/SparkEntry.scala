@@ -79,6 +79,27 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, dir) =>
       Relational.topSupplier(Tables.supplier(s, dir),
         Tables.lineitem(s, dir))),
+    // the partsupp-dependent TPC-H shapes run over the DETERMINISTIC
+    // derived relation (Relational.derivedPartSupp; oracle mirrors the
+    // same CTE — a view over real tables, not synthesized inputs)
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Relational.minCostSupplier(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    "q9_product_profit" -> ((s, dir) =>
+      Relational.productProfit(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.part(s, dir))),
+    "q11_important_stock" -> ((s, dir) =>
+      Relational.importantStock(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q16_supplier_count" -> ((s, dir) =>
+      Relational.supplierCountByPart(Tables.part(s, dir),
+        Tables.supplier(s, dir))),
+    "q20_excess_stock" -> ((s, dir) =>
+      Relational.excessStockSuppliers(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir))),
     "q10_returned_customers" -> ((s, dir) =>
       Relational.returnedCustomerRevenue(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir),
@@ -508,6 +529,19 @@ object SparkEntry {
   /** DuckDB 60-bit hash matching TextFunctions.hash60. */
   private def h60(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** Oracle mirror of [[graft.operators.Relational.derivedPartSupp]]:
+    * the deterministic part-supplier relation (4 suppliers per part by
+    * modular assignment; integer-cent costs).
+    */
+  private val psCte =
+    """ps AS (SELECT p_partkey AS ps_partkey,
+      |  (p_partkey * 7 + k * 13) % (SELECT count(*) FROM supplier)
+      |    AS ps_suppkey,
+      |  CAST((p_partkey * 13 + k * 29) % 9999 + 1 AS INT) AS ps_availqty,
+      |  CAST((p_partkey * 31 + k * 17) % 9000 + 1000 AS BIGINT)
+      |    AS ps_supplycost_cents
+      |FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)""".stripMargin
 
   /** Shared oracle CTEs: tokenized documents + distinct-3-gram shingle
     * index (mirrors TextFunctions.{tokensCol,shinglesCol}).
@@ -986,6 +1020,92 @@ object SparkEntry {
         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH $psCte,
+         |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |       FROM supplier
+         |       JOIN nation ON s_nationkey = n_nationkey
+         |       JOIN region ON n_regionkey = r_regionkey
+         |         AND r_name = 'EUROPE'),
+         |ir AS (SELECT * FROM ps JOIN rs ON ps_suppkey = s_suppkey),
+         |mc AS (SELECT ps_partkey AS mc_partkey,
+         |         min(ps_supplycost_cents) AS min_cost_cents
+         |       FROM ir GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         |  CAST(min_cost_cents AS DOUBLE) / 100.0 AS supplycost
+         |FROM ir
+         |JOIN mc ON ps_partkey = mc_partkey
+         |  AND ps_supplycost_cents = min_cost_cents
+         |JOIN part ON ps_partkey = p_partkey AND p_size = 15
+         |ORDER BY s_acctbal DESC, p_partkey, s_name
+         |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""WITH $psCte
+         |SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+         |    AS DOUBLE)
+         |  - CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+         |    AS DOUBLE) / 100.0 AS profit,
+         |  count(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN part ON ps_partkey = p_partkey AND p_type = 'LARGE'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH $psCte,
+         |ns AS (SELECT s_suppkey FROM supplier
+         |       JOIN nation ON s_nationkey = n_nationkey
+         |         AND n_name = 'NATION_5'),
+         |st AS (SELECT ps_partkey,
+         |         ps_supplycost_cents * ps_availqty AS value_cents
+         |       FROM ps JOIN ns ON ps_suppkey = s_suppkey),
+         |pp AS (SELECT ps_partkey,
+         |         CAST(sum(value_cents) AS BIGINT) AS part_value_cents
+         |       FROM st GROUP BY 1)
+         |SELECT ps_partkey,
+         |  CAST(part_value_cents AS DOUBLE) / 100.0 AS stock_value
+         |FROM pp
+         |WHERE CAST(part_value_cents AS DOUBLE) >
+         |  (SELECT CAST(sum(part_value_cents) AS DOUBLE) FROM pp) * 0.001
+         |ORDER BY stock_value DESC, ps_partkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps
+         |JOIN part ON ps_partkey = p_partkey
+         |  AND p_size IN (5, 15, 25, 35, 45)
+         |WHERE ps_suppkey NOT IN
+         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_stock" ->
+      s"""WITH $psCte,
+         |sh AS (SELECT l_partkey, l_suppkey,
+         |         CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE)
+         |           AS shipped_qty
+         |       FROM lineitem
+         |       WHERE l_shipdate >= '1996-01-01'
+         |         AND l_shipdate < '1997-01-01'
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT ps_suppkey
+         |       FROM ps JOIN sh ON ps_partkey = l_partkey
+         |         AND ps_suppkey = l_suppkey
+         |       WHERE CAST(ps_availqty AS DOUBLE) > shipped_qty * 0.5)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         |WHERE s_suppkey IN (SELECT ps_suppkey FROM ex)
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q13_order_count_dist" ->
       """WITH c AS (

@@ -246,6 +246,191 @@ object Relational {
       .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_lineitems"))
   }
 
+  /** Derived part-supplier relation: the harness ships no partsupp
+    * table, so the five TPC-H shapes that need one (Q2/Q9/Q11/Q16/Q20)
+    * run over a DETERMINISTIC derivation — 4 suppliers per part by
+    * modular assignment over the (contiguous, 0-based) supplier keys,
+    * with availqty/supplycost as fixed modular functions of the keys.
+    * Both engines derive it identically (the oracle mirrors this CTE),
+    * so it is a view over real tables, not synthesized input data.
+    * Supply cost is kept in integer CENTS so downstream cost×qty sums
+    * are exact integer/decimal arithmetic on any engine.
+    * The supplier count rides the plan as a 1-row broadcast (in-plan
+    * scalar convention).
+    */
+  def derivedPartSupp(part: DataFrame, supplier: DataFrame): DataFrame = {
+    val n = supplier.agg(count(lit(1)).as("n_supp"))
+    part.select(col("p_partkey"))
+      .join(broadcast(n))
+      .select(col("p_partkey"), col("n_supp"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        pmod(col("p_partkey") * 7 + col("k") * 13, col("n_supp"))
+          .as("ps_suppkey"),
+        (pmod(col("p_partkey") * 13 + col("k") * 29, lit(9999L)) + 1)
+          .cast("int").as("ps_availqty"),
+        (pmod(col("p_partkey") * 31 + col("k") * 17, lit(9000L)) + 1000)
+          .as("ps_supplycost_cents"))
+  }
+
+  /** Min-cost supplier per part (TPC-H Q2 shape): for parts of one
+    * size, the region's supplier(s) at the minimum supply cost — the
+    * correlated-min pattern (per-key min joined back, like Q17) over
+    * the derived partsupp, with the region chain pruning suppliers
+    * first. Cost compares are integer cents — exact. Top-k by account
+    * balance plans as TakeOrderedAndProject.
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String = "EUROPE", size: Int = 15,
+                      k: Int = 100): DataFrame = {
+    val ps = derivedPartSupp(part, supplier)
+    val regionSupp = supplier
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val inRegion = ps
+      .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+    val minCost = inRegion.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
+    inRegion
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost_cents") === col("min_cost_cents"))
+      .join(part.filter(col("p_size") === size)
+          .select(col("p_partkey"), col("p_brand")),
+        col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        // cents are exact integers ≤ 9999: double division by 100 is the
+        // same single op in both engines (decimal-division scale rules
+        // are NOT engine-portable; double division of exact ints is)
+        (col("min_cost_cents").cast("double") / 100.0).as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(k)
+  }
+
+  /** Product profit by nation and year (TPC-H Q9 shape): revenue minus
+    * supply cost, the composite-key fact join — lineitem ⋈ partsupp on
+    * (partkey, suppkey). Profit is exact: decimal revenue minus
+    * integer-cents cost×qty scaled at the boundary. One fact-fact
+    * shuffle (lineitem⋈orders); the derived ps joins on the composite
+    * key after its own part-sized build.
+    */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+                    supplier: DataFrame, nation: DataFrame,
+                    part: DataFrame, partType: String = "LARGE"): DataFrame = {
+    val ps = derivedPartSupp(part.filter(col("p_type") === partType),
+      supplier)
+    lineitem
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        // revenue is an exact decimal sum; cost is an exact integer-cent
+        // sum (quantities are integral in this harness, asserted in the
+        // spec) — one double subtraction/scale at the output boundary
+        (sum(extD * oneMinusDisc).cast("double")
+          - (sum(col("ps_supplycost_cents")
+               * col("l_quantity").cast("long")).cast("double") / 100.0))
+          .as("profit"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** Important stock value (TPC-H Q11 shape): per-part stock value
+    * (cost × availqty, exact integer cents) for one nation's
+    * suppliers, keeping parts above a FRACTION of the nation's total —
+    * the HAVING-vs-global-scalar pattern; the total rides the plan as
+    * a 1-row broadcast.
+    */
+  def importantStock(part: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationName: String = "NATION_5",
+                     fraction: Double = 0.001): DataFrame = {
+    val ps = derivedPartSupp(part, supplier)
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val stock = ps.join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+    val perPart = stock.groupBy(col("ps_partkey"))
+      .agg(sum(col("value_cents")).as("part_value_cents"))
+    val total = perPart.agg(sum(col("part_value_cents")).as("total_cents"))
+    perPart.join(broadcast(total))
+      .filter(col("part_value_cents").cast("double") >
+        col("total_cents").cast("double") * fraction)
+      .select(col("ps_partkey"),
+        (col("part_value_cents").cast("double") / 100.0).as("stock_value"))
+      .orderBy(col("stock_value").desc, col("ps_partkey"))
+  }
+
+  /** Supplier counts by part attributes (TPC-H Q16 shape): distinct
+    * suppliers per (brand, type, size) bucket, EXCLUDING a denylisted
+    * supplier set (negative account balance — the "customer
+    * complaints" stand-in) via left_anti. countDistinct plans as two
+    * cascaded aggregations (expand-distinct then count) — no
+    * driver-side distinct.
+    */
+  def supplierCountByPart(part: DataFrame, supplier: DataFrame,
+                          sizes: Seq[Int] = Seq(5, 15, 25, 35, 45)): DataFrame = {
+    val ps = derivedPartSupp(part, supplier)
+    val excluded = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps.join(part.filter(col("p_size").isin(sizes: _*))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")),
+        col("ps_partkey") === col("p_partkey"))
+      .join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Suppliers with excess stock (TPC-H Q20 shape): suppliers in one
+    * nation holding availqty > half of what they actually shipped of
+    * that part in a year — the nested-semi-join pattern: a correlated
+    * per-(part, supplier) shipped-quantity aggregate filters partsupp,
+    * and the surviving partsupp keys SEMI-filter suppliers. Exact:
+    * the 0.5× compare is decimal-sum-derived doubles both engines.
+    */
+  def excessStockSuppliers(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame, nation: DataFrame,
+                           nationName: String = "NATION_7"): DataFrame = {
+    val ps = derivedPartSupp(part, supplier)
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double")
+        .as("shipped_qty"))
+    val excess = ps.join(shipped,
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("double") > col("shipped_qty") * 0.5)
+      .select(col("ps_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** EXISTS-style semi join (TPC-H Q4 shape): orders with ≥1 returned
     * lineitem, counted by priority. LEFT SEMI keeps the orders side
     * unduplicated without a distinct — the probe side is reduced to its

@@ -163,10 +163,13 @@ class PlanSpec extends SparkSpec {
     // aggregate: the ANN query sets (nQueries rows), the IVF centroid
     // tables (k cells), and the 1-row corpus/cap-counter cross joins.
     // q22/q15: the broadcast side is a 1-row global aggregate (the
-    // in-plan scalar-subquery pattern) — bounded by construction
+    // in-plan scalar-subquery pattern) — bounded by construction; the
+    // partsupp-derived queries carry the same 1-row supplier-count
+    // broadcast inside derivedPartSupp (q11 adds the 1-row total too)
     val allowed = Set("ann_topk", "ann_ivf", "ann_ivf_kmeans",
       "dedup_cap_stats", "tfidf_top_terms", "q22_idle_rich_customers",
-      "q15_top_supplier")
+      "q15_top_supplier", "q2_min_cost_supplier", "q9_product_profit",
+      "q11_important_stock", "q16_supplier_count", "q20_excess_stock")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")
