@@ -90,19 +90,30 @@ object Pipeline {
       r
     }
     val an = Trigger.AvailableNow()
-    timed("hop1 wire->bronze")(Streams.kafkaLikeToBronze(
-      spark.readStream.schema(Schemas.kafka).parquet(landing),
-      bronzeDir, s"$base/ck1", trigger = an).awaitTermination())
-    timed("hop2 bronze->silver")(Streams.bronzeToSilver(spark, bronzeDir,
-      silverDir, s"$base/ck2", trigger = an).awaitTermination())
-    // date-only gold partitioning: the harness has 1356 symbols, far past
-    // the point where per-symbol dirs make sense (see silverToGold's
-    // partitionCols note); parity is about bar CONTENT, and the
-    // (bar_date, symbol) layout incl. `/`-escaping is round-trip tested
-    // in StreamingSpec at small scale.
-    timed("hop3 silver->gold")(Streams.silverToGold(spark, silverDir,
-      goldDir, s"$base/ck3", trigger = an,
-      partitionCols = Seq("bar_date")).awaitTermination())
+    // Fewer shuffle/state partitions for the streaming hops: each
+    // stateful operator keeps one state store per shuffle partition,
+    // and every micro-batch commits every store — at this volume the
+    // 32-store fixed cost (dirs, delta files, commits) dominates the
+    // actual row work. 8 stores cut that fixed cost ~4× with identical
+    // results (dedup/agg are partition-count independent). On a real
+    // cluster this knob is sized to state volume, not CPU count.
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      timed("hop1 wire->bronze")(Streams.kafkaLikeToBronze(
+        spark.readStream.schema(Schemas.kafka).parquet(landing),
+        bronzeDir, s"$base/ck1", trigger = an).awaitTermination())
+      timed("hop2 bronze->silver")(Streams.bronzeToSilver(spark, bronzeDir,
+        silverDir, s"$base/ck2", trigger = an).awaitTermination())
+      // date-only gold partitioning: the harness has 1356 symbols, far past
+      // the point where per-symbol dirs make sense (see silverToGold's
+      // partitionCols note); parity is about bar CONTENT, and the
+      // (bar_date, symbol) layout incl. `/`-escaping is round-trip tested
+      // in StreamingSpec at small scale.
+      timed("hop3 silver->gold")(Streams.silverToGold(spark, silverDir,
+        goldDir, s"$base/ck3", trigger = an,
+        partitionCols = Seq("bar_date")).awaitTermination())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
 
     spark.read.parquet(goldDir)
       .filter(col("symbol") =!= SentinelSymbol)
