@@ -1,27 +1,32 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Dev tool: dump formatted physical plans for selected queries
-  * (usage: runMain graft.Explain <sfDir> [queryName...]).
+/** Dev tool: print the formatted physical plan of registered queries,
+  * plus a one-line operator census (scans/exchanges/join kinds) — the
+  * ".explain(formatted) and iterate" loop as a command.
+  * Usage: runMain graft.Explain <sfDir> <queryName...> [-full]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq
-                else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val full = args.contains("-full")
+    val names = args.tail.filterNot(_ == "-full").toSeq match {
+      case Nil => Seq("gold_bars_1m")
+      case ns  => ns
+    }
+    val spark = GraftSession.builder(master = "local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      println(s"\n===================== $n =====================")
-      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"explain failed: $e") }
+      val p = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      def c(s: String) = s.r.findAllIn(p).length
+      println(s"[explain] $n: scans=${c("Scan parquet")} " +
+        s"exchanges=${c("Exchange")} " +
+        s"wholestage=${c("WholeStageCodegen")} " +
+        s"BHJ=${c("BroadcastHashJoin")} SMJ=${c("SortMergeJoin")} " +
+        s"BNLJ=${c("BroadcastNestedLoopJoin")} " +
+        s"sortAgg=${c("SortAggregate")}")
+      if (full) println(p)
     }
     spark.stop()
   }

@@ -294,13 +294,16 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
         col("n_name"))
-    val inRegion = ps
-      .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
-    val minCost = inRegion.groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
-    inRegion
-      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
-        col("ps_supplycost_cents") === col("min_cost_cents"))
+    // per-part min via a WINDOW over ps_partkey, not groupBy+join-back:
+    // one pass over one build of the joined relation (the join-back
+    // form materializes the whole subtree twice), one shuffle keyed by
+    // partkey, and the filter runs where the rows already are
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ps_partkey"))
+    ps.join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost_cents",
+        min(col("ps_supplycost_cents")).over(w))
+      .filter(col("ps_supplycost_cents") === col("min_cost_cents"))
       .join(part.filter(col("p_size") === size)
           .select(col("p_partkey"), col("p_brand")),
         col("ps_partkey") === col("p_partkey"))
