@@ -280,6 +280,25 @@ object SparkEntry {
         .orderBy(col("symbol"), col("bar_start"))
     }),
 
+    // the last three analytic window functions not exercised elsewhere:
+    // gapped rank, nth_value over the running frame (NULL until the
+    // frame holds n rows), lag with offset + default. bar_start is
+    // unique per (symbol, bar_date) partition so the default RANGE
+    // running frame equals ROWS in both engines.
+    "bar_window_extras" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("symbol"), col("bar_date"))
+      val wt = w.orderBy(col("bar_start"))
+      Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
+        .select(col("symbol"), col("bar_date"), col("bar_start"),
+          col("close"), col("volume"))
+        .withColumn("vol_rank_gapped",
+          rank().over(w.orderBy(col("volume").desc)).cast("int"))
+        .withColumn("third_close", nth_value(col("close"), 3).over(wt))
+        .withColumn("close_lag2", lag(col("close"), 2, -1.0).over(wt))
+        .orderBy(col("symbol"), col("bar_start"))
+    }),
+
     // semi-structured access: the events table carries a JSON props
     // column; extract a path, type it, aggregate — the JSON-column
     // pattern of every telemetry pipeline. Map-only extraction fused
@@ -1332,6 +1351,18 @@ object SparkEntry {
          |    ORDER BY bar_start
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          |    AS day_last_close
+         |FROM bars
+         |ORDER BY symbol, bar_start""".stripMargin,
+
+    "bar_window_extras" ->
+      s"""$barsCte
+         |SELECT symbol, bar_date, bar_start, close, volume,
+         |  CAST(rank() OVER (PARTITION BY symbol, bar_date
+         |    ORDER BY volume DESC) AS INT) AS vol_rank_gapped,
+         |  nth_value(close, 3) OVER (PARTITION BY symbol, bar_date
+         |    ORDER BY bar_start) AS third_close,
+         |  lag(close, 2, -1.0) OVER (PARTITION BY symbol, bar_date
+         |    ORDER BY bar_start) AS close_lag2
          |FROM bars
          |ORDER BY symbol, bar_start""".stripMargin,
 
