@@ -276,10 +276,11 @@ object Relational {
 
   /** Min-cost supplier per part (TPC-H Q2 shape): for parts of one
     * size, the region's supplier(s) at the minimum supply cost — the
-    * correlated-min pattern (per-key min joined back, like Q17) over
-    * the derived partsupp, with the region chain pruning suppliers
-    * first. Cost compares are integer cents — exact. Top-k by account
-    * balance plans as TakeOrderedAndProject.
+    * correlated-min pattern, computed as a per-partkey window min (one
+    * build of the joined relation; the classic groupBy+join-back form
+    * materializes the subtree twice), with the region chain pruning
+    * suppliers first. Cost compares are integer cents — exact. Top-k
+    * by account balance plans as TakeOrderedAndProject.
     */
   def minCostSupplier(part: DataFrame, supplier: DataFrame,
                       nation: DataFrame, region: DataFrame,

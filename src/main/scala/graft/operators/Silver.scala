@@ -70,11 +70,11 @@ object Silver {
   /** Reject-channel audit: classify every bronze row by the FIRST parse
     * defect (or 'ok') — the dead-letter gate a lakehouse runs beside
     * the silver hop so malformed wire data is counted and quarantined,
-    * never silently dropped. `from_json` yields a NULL struct for
-    * malformed JSON, and NULL fields for absent/mistyped keys; the
-    * classification cascades in severity order so each row lands in
-    * exactly one bucket. Map-only over the scan; the aggregate carries
-    * one row per reason.
+    * never silently dropped. Malformed JSON is detected via a
+    * corrupt-record column (see inline note); absent/mistyped keys
+    * surface as NULL fields; the classification cascades in severity
+    * order so each row lands in exactly one bucket. Map-only over the
+    * scan; the aggregate carries one row per reason.
     */
   val RejectReasons: Seq[String] =
     Seq("malformed_json", "missing_symbol", "missing_event_time",
