@@ -19,13 +19,14 @@ object Explain {
       val p = SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-      def c(s: String) = s.r.findAllIn(p).length
+      // count operators in the details section only ("(N) Name" lines) —
+      // formatted mode lists every operator twice (tree + details)
+      def c(s: String) = s"(?m)^\\(\\d+\\) $s".r.findAllIn(p).length
       println(s"[explain] $n: scans=${c("Scan parquet")} " +
         s"exchanges=${c("Exchange")} " +
-        s"wholestage=${c("WholeStageCodegen")} " +
         s"BHJ=${c("BroadcastHashJoin")} SMJ=${c("SortMergeJoin")} " +
         s"BNLJ=${c("BroadcastNestedLoopJoin")} " +
-        s"sortAgg=${c("SortAggregate")}")
+        s"hashAgg=${c("HashAggregate")} sortAgg=${c("SortAggregate")}")
       if (full) println(p)
     }
     spark.stop()
