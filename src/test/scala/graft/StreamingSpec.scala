@@ -229,6 +229,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == spark.read.parquet(dir).count())
   }
 
+  test("schema evolution: mergeSchema reads old and new silver file generations") {
+    val dir = tmpDir("graft_evolve")
+    // generation 1: the original silver schema subset
+    Seq(("BTC", 100.0)).toDF("symbol", "price")
+      .write.mode("append").parquet(dir)
+    // generation 2: a column added later (e.g. venue tagging rolled out)
+    Seq(("ETH", 50.0, "kraken")).toDF("symbol", "price", "venue")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("symbol", "price", "venue"))
+    val rows = merged.orderBy("symbol").collect()
+    assert(rows.length == 2)
+    // old rows surface the new column as NULL, not an error
+    assert(rows.find(_.getString(0) == "BTC").get.getAs[String]("venue") == null)
+    assert(rows.find(_.getString(0) == "ETH").get.getAs[String]("venue") == "kraken")
+    // without mergeSchema Spark picks ONE footer; the union schema is
+    // exactly what mergeSchema adds — document the knob's necessity
+    val single = spark.read.parquet(dir)
+    assert(single.schema.fieldNames.length <= 3)
+  }
+
   test("sortForSkipping: every file covers a disjoint symbol range") {
     val dir = tmpDir("graft_skip_in")
     val out = tmpDir("graft_skip_out")
