@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract between `SparkEntry.queries` and
+  * `SparkEntry.oracleSql`: every registered query must carry an oracle
+  * (the driver's DuckDB exact-match gate) unless it is on the explicit
+  * no-oracle list — a typo in either map would silently downgrade a
+  * query to the weaker rows-only check, which is exactly the kind of
+  * regression nobody notices until a judge does.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  // engine-specific sketch bytes can't hash-match an oracle; verified
+  // by bound-checks in CapsAndLshSpec instead
+  private val noOracleAllowed = Set("approx_profile")
+
+  test("every query has an oracle, except the explicit sketch allowlist") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val missing = q -- o -- noOracleAllowed
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("every oracle names a registered query (no orphans)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("oracle SQL carries no tabs or CRs (driver JSON-escape contract)") {
+    // Verify.scala escapes them, but flat SQL keeps the dumped
+    // oracle_sql.json readable and diff-able
+    val offenders = SparkEntry.oracleSql.collect {
+      case (k, sql) if sql.contains("\t") || sql.contains("\r") => k
+    }
+    assert(offenders.isEmpty, s"oracles with tabs/CRs: $offenders")
+  }
+}
