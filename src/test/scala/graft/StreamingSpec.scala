@@ -229,6 +229,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == spark.read.parquet(dir).count())
   }
 
+  test("backpressure: maxFilesPerTrigger splits AvailableNow into bounded batches") {
+    val dir = tmpDir("graft_bp_in")
+    val out = tmpDir("graft_bp_out")
+    // three separate files in the source dir
+    (0 until 3).foreach { i =>
+      Seq((s"SYM_$i", 100.0 + i)).toDF("symbol", "price")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream
+      .schema("symbol STRING, price DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$out/_ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // all rows arrive, and the run took one micro-batch PER FILE —
+    // the ingest-rate bound a 100 TB backfill relies on (without it,
+    // AvailableNow would load the whole backlog into one giant batch)
+    assert(spark.read.parquet(out).count() == 3)
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length == 3, s"batches=${progress.length}")
+    assert(progress.forall(_.numInputRows == 1))
+  }
+
   test("schema evolution: mergeSchema reads old and new silver file generations") {
     val dir = tmpDir("graft_evolve")
     // generation 1: the original silver schema subset
