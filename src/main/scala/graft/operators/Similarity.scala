@@ -268,15 +268,24 @@ object Similarity {
     val subs = n.select(col("vec_id"),
       posexplode(array((0 until numSub).map(m =>
         slice(col("v"), m * dsub + 1, dsub)): _*)).as(Seq("m", "sv")))
-    def assign(cb: DataFrame): DataFrame = subs
-      .join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("sv"), col("cell"),
-        l2sq(col("sv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("d2"), col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("sv"), col("cell"))
+    // Nearest codebook cell per sub-vector, fully MAP-SIDE: the K cells
+    // of each subspace are packed into one array row (numSub rows
+    // total, broadcast), and the argmin is an in-row array_min over
+    // struct(d2, cell) — lexicographic struct ordering gives exactly
+    // the (d2 ASC, cell ASC) total order a row_number window would,
+    // with zero shuffle and no K× replication of sub-vector arrays
+    // through an exchange. At 10⁹ vectors assignment cost is one corpus
+    // scan, full stop.
+    def assign(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy(col("m"))
+        .agg(collect_list(struct(col("cell"), col("cv"))).as("cbs"))
+      subs.join(broadcast(packed), Seq("m"))
+        .withColumn("best", array_min(transform(col("cbs"), c =>
+          struct(l2sq(col("sv"), c.getField("cv")).as("d2"),
+            c.getField("cell").as("cell")))))
+        .select(col("vec_id"), col("m"), col("sv"),
+          col("best").getField("cell").as("cell"))
+    }
     // deterministic init: sub-vectors of vec_id 0..K-1, then Lloyd means
     var cb = subs.filter(col("vec_id") < codebookK)
       .select(col("m"), col("vec_id").cast("int").as("cell"),
@@ -290,6 +299,12 @@ object Similarity {
         .select(col("m"), col("cell"),
           expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
     }
+    // Pin the trained codebook (numSub×K tiny rows): corpus encoding and
+    // the ADC table both consume it, and without the checkpoint each
+    // broadcast would re-run the whole training chain (its lineage holds
+    // `iters`+1 corpus scans). Train once, persist the codebook — the
+    // same thing a production PQ build does.
+    cb = cb.localCheckpoint(true)
     val codes = assign(cb)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
     // ADC lookup table: query × subspace × code → rounded partial d²
@@ -342,20 +357,28 @@ object Similarity {
   }
 
   /** One Lloyd assignment step: nearest centroid per vector by rounded
-    * cosine, ties to the smallest cell id (cross-engine deterministic).
-    * Centroids are a k-row aggregate — explicitly broadcast; the corpus
-    * never shuffles for assignment.
+    * cosine, ties to the smallest cell id (cross-engine deterministic),
+    * fully MAP-SIDE: the k centroids collapse to ONE array row that
+    * broadcasts, and each vector picks its cell with an in-row
+    * array_min over struct(-cs, cell) — lexicographic struct ordering
+    * reproduces ORDER BY cs DESC, cell ASC exactly. Zero shuffle: no k×
+    * replication of vector arrays through a window sort, no join-back
+    * to re-attach vectors. Assignment at 10⁹ vectors is one corpus
+    * scan.
     */
-  def assignCells(n: DataFrame, cents: DataFrame): DataFrame = n
-    .crossJoin(broadcast(cents))
-    .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-      round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm")), 6)
-        .as("cs"))
-    .withColumn("rn", row_number().over(
-      Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cell"))))
-    .filter(col("rn") === 1)
-    .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cell"), col("cv"), col("c_nrm")))
+        .as("cents"))
+    n.crossJoin(broadcast(packed))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(
+          (-round(vecDot(col("v"), c.getField("cv")) /
+            (col("nrm") * c.getField("c_nrm")), 6)).as("ncs"),
+          c.getField("cell").as("cell")))))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best").getField("cell").as("cell"))
+  }
 
   /** Distributed k-means (Lloyd, a FIXED number of iterations so the
     * DuckDB oracle can unroll the same steps): deterministic init
@@ -379,6 +402,12 @@ object Similarity {
         .select(col("cell"),
           expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
         .withColumn("c_nrm", vecNorm(col("cv")))
+        // Pin each iteration's k tiny centroid rows: the next assignment
+        // broadcasts them, and without the checkpoint that broadcast
+        // re-runs every previous iteration's corpus scan (lineage depth
+        // grows linearly with iters). Train once per step, like any
+        // production coarse-quantizer build.
+        .localCheckpoint(true)
     }
     cents
   }
