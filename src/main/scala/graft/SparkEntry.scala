@@ -228,6 +228,8 @@ object SparkEntry {
     // Distribution + temporal profiles.
     "price_quantiles" -> ((s, dir) =>
       Analytics.priceQuantiles(Trades.fromEvents(Tables.events(s, dir)))),
+    "price_winsorized" -> ((s, dir) =>
+      Analytics.winsorizedStats(Trades.fromEvents(Tables.events(s, dir)))),
     // Mergeable-sketch variants (HLL++ / t-digest): engine-specific
     // sketches can't hash-match a DuckDB oracle, so these are registered
     // WITHOUT oracleSql -> the driver's weaker rows-only check. They are
@@ -385,6 +387,13 @@ object SparkEntry {
     "quality_signals" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    // CCNet-style perplexity filter: unigram LM trained on the lang='en'
+    // slice, every doc scored by avg token log-prob + OOV rate.
+    "lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))),
+    // context-length chunking: overlapping token windows per doc.
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "balanced_sample" -> ((s, dir) =>
@@ -447,6 +456,14 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "dedup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(Tables.embeddings(s, dir))),
+    // SemDeDup: k-means cells bound the pairwise comparisons; per-vector
+    // kept/dropped audit (keep each semantic neighborhood's lowest id).
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir))),
+    // contrastive mining: top-k same-label positives + different-label
+    // high-cosine impostors per query vector.
+    "embed_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
@@ -1395,6 +1412,27 @@ object SparkEntry {
          |SELECT 'both' AS bucket, symbol FROM (SELECT symbol FROM f INTERSECT SELECT symbol FROM l)
          |ORDER BY bucket, symbol""".stripMargin,
 
+    "price_winsorized" ->
+      s"""$tradesCte,
+         |b AS (SELECT symbol,
+         |        round(quantile_cont(price, 0.01), 6) AS p01,
+         |        round(quantile_cont(price, 0.99), 6) AS p99
+         |      FROM trades GROUP BY symbol),
+         |w AS (SELECT t.symbol, b.p01, b.p99, t.price,
+         |        CAST(round(least(greatest(t.price, b.p01), b.p99), 6) AS DECIMAL(18,6)) AS wp
+         |      FROM trades t JOIN b ON t.symbol = b.symbol),
+         |a AS (SELECT symbol, count(*) AS n, max(p01) AS p01, max(p99) AS p99,
+         |        sum(wp) AS s1, sum(wp * wp) AS s2,
+         |        sum(CASE WHEN price < p01 THEN 1 ELSE 0 END) AS n_clipped_low,
+         |        sum(CASE WHEN price > p99 THEN 1 ELSE 0 END) AS n_clipped_high
+         |      FROM w GROUP BY symbol)
+         |SELECT symbol, n, p01, p99,
+         |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS w_mean,
+         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS w_stddev,
+         |  CAST(n_clipped_low AS BIGINT) AS n_clipped_low,
+         |  CAST(n_clipped_high AS BIGINT) AS n_clipped_high
+         |FROM a ORDER BY symbol""".stripMargin,
+
     "price_quantiles" ->
       s"""$tradesCte
          |SELECT symbol,
@@ -1584,6 +1622,38 @@ object SparkEntry {
          |      / CAST(len(tg) AS DOUBLE), 6)
          |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.chunkDocs: chunk starts 1, 1+96, … ≤ n_tokens;
+    // chunk_idx = (start−1)/stride = posexplode ordinal.
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST((g.s - 1) // 96 AS INT) AS chunk_idx,
+        |  len(list_slice(toks, g.s, g.s + 127)) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, g.s, g.s + 127), ' ')) AS chunk_md5
+        |FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors TextAnalysis.lmScore: unigram counts over the lang='en'
+    // slice, Laplace-smoothed log-probs rounded+scaled to exact longs
+    // BEFORE the per-doc sum (order-independent aggregation).
+    "lm_score" ->
+      """WITH k AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |       FROM documents),
+        |tr AS (SELECT t, count(*) AS c FROM k WHERE lang = 'en' GROUP BY t),
+        |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS vv
+        |      FROM tr),
+        |sc AS (SELECT k.doc_id,
+        |         CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov,
+        |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+        |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+        |       FROM k LEFT JOIN tr ON k.t = tr.t, m),
+        |d AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6,
+        |        sum(oov) AS n_oov
+        |      FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob,
+        |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""$docsCte,
@@ -1870,6 +1940,52 @@ object SparkEntry {
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.45
          |ORDER BY id1, id2""".stripMargin,
+
+    // mirrors Similarity.hardNegatives: annBruteForce with a
+    // per-(query, role) top-k split on label match.
+    "embed_hard_negatives" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < 10),
+         |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |        CASE WHEN n.label = q.q_label THEN 'pos' ELSE 'neg' END AS role,
+         |        round(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cosine
+         |      FROM q, n WHERE n.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id, role ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, role, cosine, rank FROM r WHERE rank <= 3
+         |ORDER BY query_id, role, rank""".stripMargin,
+
+    // mirrors Similarity.semanticDedup: the ann_ivf_kmeans centroid
+    // chain, then within-cell pairs (star pairs past the 256 cap), drop
+    // every id2 of a qualifying pair.
+    "dedup_semantic" ->
+      s"""$embCte,
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM n WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells", "c2")},
+         |cs AS (SELECT vec_id, cell, v, nrm,
+         |         count(*) OVER (PARTITION BY cell) AS cn,
+         |         min(vec_id) OVER (PARTITION BY cell) AS cmin
+         |       FROM cells),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |         FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |         WHERE a.cn <= 256
+         |         UNION ALL
+         |         SELECT cmin AS id1, vec_id AS id2
+         |         FROM cs WHERE cn > 256 AND vec_id > cmin),
+         |p AS (SELECT cand.id1, cand.id2,
+         |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |      FROM cand JOIN n x ON x.vec_id = cand.id1
+         |                JOIN n y ON y.vec_id = cand.id2),
+         |dup AS (SELECT DISTINCT id2 FROM p WHERE cosine >= 0.45)
+         |SELECT cs.vec_id, cs.cell, (dup.id2 IS NULL) AS kept
+         |FROM cs LEFT JOIN dup ON cs.vec_id = dup.id2
+         |ORDER BY cs.vec_id""".stripMargin,
 
     "dedup_embed_lsh" ->
       s"""$embCte,

@@ -288,6 +288,50 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("symbol"))
 
+  /** Winsorized per-symbol price statistics: clip prices to the exact
+    * [p01, p99] band before computing mean/stddev — the robust-moments
+    * step an outlier-laden feed (fat-finger prints, bad ticks) needs
+    * before its statistics are usable for feature scaling.
+    *
+    * Scale shape: the per-symbol clip bounds are a symbol-cardinality
+    * aggregate — symbols are a constant-size universe (like the
+    * reference's currency pairs), so the join back to the fact rows is
+    * an explicit broadcast; the facts never shuffle for it. One fact
+    * shuffle total (the final per-symbol aggregate).
+    *
+    * Determinism: bounds are rounded to 6 decimals before clipping;
+    * clipped values are rounded to 6 and cast to DECIMAL(18,6), so the
+    * sum and sum-of-squares accumulate EXACTLY (decimal × decimal is
+    * exact; no order-dependent double partial sums). Mean/variance are
+    * computed from those exact sums in one fixed-order double
+    * expression at the output boundary.
+    */
+  def winsorizedStats(trades: DataFrame): DataFrame = {
+    val bounds = trades.groupBy(col("symbol")).agg(
+      round(expr("percentile(price, 0.01)"), 6).as("p01"),
+      round(expr("percentile(price, 0.99)"), 6).as("p99"))
+    val w = round(least(greatest(col("price"), col("p01")), col("p99")), 6)
+      .cast("decimal(18,6)")
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    trades.join(broadcast(bounds), Seq("symbol"))
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("p01")).as("p01"),
+        max(col("p99")).as("p99"),
+        sum(w).as("s1"),
+        sum(w * w).as("s2"),
+        sum((col("price") < col("p01")).cast("long")).as("n_clipped_low"),
+        sum((col("price") > col("p99")).cast("long")).as("n_clipped_high"))
+      .select(col("symbol"), col("n"), col("p01"), col("p99"),
+        round(s1 / n, 6).as("w_mean"),
+        round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0d))), 6).as("w_stddev"),
+        col("n_clipped_low"), col("n_clipped_high"))
+      .orderBy(col("symbol"))
+  }
+
   /** Temporal activity profile: trade counts and volume by (event_type
     * surrogate) hour-of-day × day-of-week. Exercises the temporal
     * function family; group count is bounded (24×7) so the shuffle

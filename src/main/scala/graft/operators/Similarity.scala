@@ -490,4 +490,90 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the top-k most similar SAME-label vectors (positives)
+    * and the top-k most similar DIFFERENT-label vectors (hard negatives
+    * — high-cosine impostors, the pairs that actually move a contrastive
+    * loss). One corpus scan against the broadcast query set, one
+    * per-(query, role) top-k window — the [[annBruteForce]] scale shape
+    * with a role split; at full-corpus mining the query side becomes the
+    * IVF/PQ candidate chain instead of a broadcast.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 10,
+                    k: Int = 3): DataFrame = {
+    val n = normed(embeddings)
+    val q = n.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("label") === col("q_label"), "pos").otherwise("neg")
+          .as("role"),
+        cosine.as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"), col("role"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the k-means coarse
+    * quantizer, compare embeddings only WITHIN a cell, and drop every
+    * vector whose cosine to a lower-id cell-mate reaches the threshold
+    * (each semantic neighborhood keeps its lowest id). Returns the full
+    * per-vector audit (vec_id, cell, kept) a curation pipeline logs.
+    *
+    * Scale shape: candidate pairs come from an EQUI-join on cell — the
+    * quadratic blowup is bounded by cell size, and kCells grows with the
+    * corpus (SemDeDup uses ~100k clusters at web scale) so cells stay
+    * O(n/kCells). No collect_list of a cell is ever materialized (cells
+    * are far larger than LSH buckets — a posting-list shape would hold a
+    * whole cell in one aggregation buffer); the join streams pairs
+    * instead. Cells that still exceed `maxCell` degrade to star pairs
+    * against the cell's min id — same hot-bucket discipline as
+    * [[Dedup.lshCandidates]], mirrored exactly in the oracle.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.45,
+                    kCells: Int = 8, iters: Int = 2,
+                    maxCell: Int = 256): DataFrame = {
+    val n = normed(embeddings)
+    val cents = kmeansCentroids(n, kCells, iters)
+    // assignment is referenced 4× below (both pair sides, star reps, the
+    // final audit join); materialize it once — Catalyst re-executes a
+    // subplan per reference, and this one holds a corpus scan + the
+    // cell window. At scale this is the persisted cell-assignment table
+    // every SemDeDup build writes between stages.
+    val cells = assignCells(n, cents)
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("cmin", min(col("vec_id")).over(Window.partitionBy(col("cell"))))
+      .localCheckpoint(false)
+    val small = cells.filter(col("cn") <= maxCell)
+    val withinPairs = small.as("a").join(small.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cosine"))
+    // over-cap cells: every member is compared to the cell's min id only
+    // (star pairs) — candidate count degrades from O(cn²) to O(cn)
+    val reps = cells.filter(col("vec_id") === col("cmin") && col("cn") > maxCell)
+      .select(col("cell").as("r_cell"), col("vec_id").as("id1"),
+        col("v").as("rv"), col("nrm").as("rn"))
+    val starPairs = cells.filter(col("cn") > maxCell && col("vec_id") > col("cmin"))
+      .join(reps, col("cell") === col("r_cell"))
+      .select(col("id1"), col("vec_id").as("id2"),
+        round(vecDot(col("rv"), col("v")) / (col("rn") * col("nrm")), 6)
+          .as("cosine"))
+    val dropped = withinPairs.unionByName(starPairs)
+      .filter(col("cosine") >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    cells
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        (!coalesce(col("is_dup"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -142,6 +142,79 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    * train a unigram LM on a reference slice of the corpus (`lang =
+    * trainLang` here; CCNet trains KenLM on Wikipedia) and score EVERY
+    * document by its average token log-probability under that model,
+    * with Laplace smoothing so out-of-vocabulary tokens are finite.
+    * Low avg_logprob = far from the reference distribution — the
+    * perplexity-filter signal used to bucket web crawl into
+    * head/middle/tail quality tiers.
+    *
+    * Scale shape: one aggregation builds the vocabulary (term counts
+    * over the training slice), the corpus joins it on term with NO
+    * broadcast hint (the vocabulary is data-scale; AQE broadcasts it
+    * only when it actually fits), and the model size (total tokens T,
+    * vocab size V) rides the plan as a 1-row aggregate cross-joined in
+    * — one job, nothing collected to the driver.
+    *
+    * Determinism: each token's log-prob is rounded to 6 decimals and
+    * scaled to an exact integer BEFORE the per-doc sum, so the
+    * aggregation is order-independent (a double sum would depend on
+    * partial-sum order); the average divides the exact sum once at the
+    * output boundary.
+    */
+  def lmScore(docs: DataFrame, trainLang: String = "en"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokensCol(col("text"))).as("t"))
+    val train = toks.filter(col("lang") === trainLang)
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val model = train.agg(
+      sum(col("c")).cast("double").as("tt"),
+      count(lit(1)).cast("double").as("vv"))
+    val scored = toks.join(train, Seq("t"), "left_outer").crossJoin(model)
+      .select(col("doc_id"),
+        (coalesce(col("c"), lit(0L)) === 0L).cast("int").as("oov"),
+        round(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0d)) /
+          (col("tt") + col("vv") + lit(1.0d))) * lit(1e6), 0)
+          .cast("long").as("lp6"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp6")).as("s6"),
+        sum(col("oov")).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s6").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"), 6).as("avg_logprob"),
+        round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-length chunking: split each document into overlapping
+    * token windows (size `chunkTokens`, stride `stride`) — the step
+    * between cleaning and [[packSequences]] when documents exceed the
+    * model's context. Chunks never cross documents; the trailing chunk
+    * keeps whatever remains (shorter, never dropped — chunk starts are
+    * `1, 1+stride, …` while ≤ n_tokens, so every token is covered).
+    * Map-only: one `sequence`+`transform` per row, zero shuffle; emits
+    * the chunk md5 + token count (the audit columns) rather than
+    * re-materializing text.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128,
+                stride: Int = 96): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(toks), lit(stride)),
+          i => concat_ws(" ", slice(toks, i, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(tokensCol(col("chunk"))).as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Deterministic fractional sampling: keep the docs whose 60-bit
     * content-independent id hash lands in the first `pct` of 100
     * buckets. Unlike `df.sample`, this is reproducible across engines,

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.{Date, Timestamp}
 
+import org.apache.spark.sql.functions.{col, stddev_samp}
+
 import graft.Schemas.Bar
 import graft.operators.Analytics
 
@@ -83,6 +85,25 @@ class AnalyticsSpec extends SparkSpec {
         "next_open", "gap_pct", "is_return_anom", "is_volume_anom")
       .orderBy("symbol", "bar_start").collect().toSeq
     assert(a == b)
+  }
+
+  test("winsorizedStats clips to the exact [p01,p99] band, decimal-exact mean") {
+    // 1..99 plus one fat-finger print at 1e6
+    val trades = ((1 to 99).map(i => ("A", i.toDouble)) :+ (("A", 1000000.0)))
+      .toDF("symbol", "price")
+    val r = Analytics.winsorizedStats(trades).collect().head
+    assert(r.getAs[Long]("n") == 100)
+    // sorted v[0..99]: p01 = 1 + 0.99·(2−1) = 1.99,
+    // p99 = 99 + 0.01·(1e6−99) = 10098.01
+    assert(r.getAs[Double]("p01") == 1.99)
+    assert(r.getAs[Double]("p99") == 10098.01)
+    assert(r.getAs[Long]("n_clipped_low") == 1)
+    assert(r.getAs[Long]("n_clipped_high") == 1)
+    // exact decimal sum: 1.99 + (2+…+99) + 10098.01 = 15049.0
+    assert(r.getAs[Double]("w_mean") == 150.49)
+    // clipping kills the outlier's variance contribution
+    val rawStd = trades.agg(stddev_samp(col("price"))).collect().head.getDouble(0)
+    assert(r.getAs[Double]("w_stddev") < rawStd / 50)
   }
 
   test("lastK returns the most recent K in ascending order") {

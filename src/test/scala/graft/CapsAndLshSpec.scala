@@ -149,4 +149,36 @@ class CapsAndLshSpec extends SparkSpec {
         s"${r.getString(0)}: approx p50 $pa outside exact rank band [$lo, $hi]")
     }
   }
+
+  test("semanticDedup drops the higher id of a planted duplicate pair") {
+    // vec 15 is vec 10 verbatim; everything else is sin-noise, far from
+    // cosine 1. threshold=1.0 (rounded) isolates the planted pair.
+    val emb = (0 until 20).map { i =>
+      val src = if (i == 15) 10 else i
+      (i.toLong, Array.tabulate(8)(j => math.sin(src * 31 + j + 1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.semanticDedup(emb, threshold = 1.0).collect()
+    assert(r.length == 20) // full per-vector audit
+    assert(r.filterNot(_.getAs[Boolean]("kept")).map(_.getLong(0)).toSet ==
+      Set(15L))
+    // identical vectors must share a k-means cell (same distances, same
+    // tie-break) — the within-cell restriction cannot split them
+    val cellOf = r.map(x => x.getLong(0) -> x.getAs[Int]("cell")).toMap
+    assert(cellOf(10L) == cellOf(15L))
+  }
+
+  test("semanticDedup: identical flood degrades to star pairs, keeps one rep") {
+    // 12 identical vectors collapse to one cell of size 12 > maxCell=4:
+    // pair generation degrades to stars around the cell min, which still
+    // marks every non-rep a duplicate — the flood cannot OOM a task.
+    val emb = (0 until 12)
+      .map(i => (i.toLong, Array.tabulate(8)(j => (j + 1).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity
+      .semanticDedup(emb, threshold = 1.0, kCells = 2, iters = 1, maxCell = 4)
+      .collect()
+    assert(r.length == 12)
+    assert(r.filter(_.getAs[Boolean]("kept")).map(_.getLong(0)).toSeq ==
+      Seq(0L))
+  }
 }

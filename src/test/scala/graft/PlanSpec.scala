@@ -166,10 +166,16 @@ class PlanSpec extends SparkSpec {
     // in-plan scalar-subquery pattern) — bounded by construction; the
     // partsupp-derived queries carry the same 1-row supplier-count
     // broadcast inside derivedPartSupp (q11 adds the 1-row total too)
+    // lm_score: the unigram model size (T, V) is a 1-row aggregate
+    // cross-joined in, like tfidf's corpus count; dedup_semantic: the
+    // k-means assignment broadcasts ONE packed-centroid row (kCells
+    // structs) per Lloyd step; embed_hard_negatives: the broadcast side
+    // is the nQueries-bounded query set, like ann_topk
     val allowed = Set("ann_topk", "ann_ivf", "ann_ivf_kmeans",
       "dedup_cap_stats", "tfidf_top_terms", "q22_idle_rich_customers",
       "q15_top_supplier", "q2_min_cost_supplier", "q9_product_profit",
-      "q11_important_stock", "q16_supplier_count", "q20_excess_stock")
+      "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
+      "lm_score", "dedup_semantic", "embed_hard_negatives")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")

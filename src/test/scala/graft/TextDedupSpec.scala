@@ -276,6 +276,57 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Double]("n") == math.sqrt(14.0))
   }
 
+  test("lmScore: Laplace-smoothed unigram log-probs, exact averages") {
+    val corpus = Seq(
+      (0L, "the cat sat", "en"),
+      (1L, "the the the", "en"),
+      (2L, "zebra quux corge", "de")) // every token OOV for the en model
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.lmScore(corpus).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(r.forall(_.getAs[Long]("n_tokens") == 3))
+    // train slice (docs 0,1): the=4, cat=1, sat=1 → T=6, V=3
+    // p(the)=(4+1)/10=0.5, p(cat)=p(sat)=0.2, p(OOV)=1/10=0.1;
+    // per-token ln rounded to 6 dp and scaled before the exact sum:
+    // ln(.5)→−0.693147, ln(.2)→−1.609438, ln(.1)→−2.302585
+    val lp = r.map(_.getAs[Double]("avg_logprob")).toSeq
+    assert(lp == Seq(-1.304008, -0.693147, -2.302585))
+    assert(r.map(_.getAs[Double]("oov_rate")).toSeq == Seq(0.0, 0.0, 1.0))
+    // the reference-like doc scores above the repetitive one? No —
+    // repetition of a HIGH-probability token scores higher; the OOV doc
+    // is the one a perplexity filter cuts
+    assert(lp(2) < lp(0))
+  }
+
+  test("chunkDocs: overlapping windows cover every token, trailing chunk kept") {
+    // 5 tokens, chunk 3, stride 2 → starts 1,3,5 → windows of 3,3,1
+    val r = TextAnalysis.chunkDocs(docs("t0 t1 t2 t3 t4"),
+      chunkTokens = 3, stride = 2).collect()
+    assert(r.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(r.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(3, 3, 1))
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.map(_.getAs[String]("chunk_md5")).toSeq ==
+      Seq(hex("t0 t1 t2"), hex("t2 t3 t4"), hex("t4")))
+  }
+
+  test("hardNegatives: wrong-label impostor is the top negative") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // query
+      (1L, Array(0.9f, 0.1f), 0), // positive, cos≈0.994
+      (2L, Array(1.0f, 0.0f), 1), // identical impostor → top neg, cos=1
+      (3L, Array(0.0f, 1.0f), 1), // orthogonal negative
+      (4L, Array(0.5f, 0.5f), 0)) // positive, cos≈0.707
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(vecs, nQueries = 1, k = 2).collect()
+    val negs = r.filter(_.getAs[String]("role") == "neg")
+    assert(negs.head.getAs[Long]("neighbor_id") == 2L)
+    assert(negs.head.getAs[Double]("cosine") == 1.0)
+    assert(r.filter(_.getAs[String]("role") == "pos")
+      .map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L))
+    assert(r.forall(_.getAs[Int]("rank") <= 2))
+  }
+
   test("brute-force ANN: identical vector is the top neighbor with cosine 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
