@@ -407,6 +407,12 @@ object SparkEntry {
       TextAnalysis.docShards(Tables.documents(s, dir))),
     "mixture_sample" -> ((s, dir) =>
       TextAnalysis.mixtureSample(Tables.documents(s, dir))),
+    // α-sampling: keep rates computed in-plan from source sizes.
+    "mixture_temperature" -> ((s, dir) =>
+      TextAnalysis.mixtureTemperature(Tables.documents(s, dir))),
+    // tokenizer-sizing curve: top-k tokens with cumulative corpus share.
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
@@ -433,6 +439,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "dedup_cap_stats" -> ((s, dir) =>
       Dedup.capStats(Tables.documents(s, dir))),
+    // provenance audit: rare-shingle overlap between source feeds.
+    "source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir))),
     // the REMOVAL step: near-dup clusters -> keep only each cluster's
     // representative (plus every unclustered doc) — what a training-data
     // pipeline actually ships downstream.
@@ -1541,6 +1550,40 @@ object SparkEntry {
          |        WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000 AS BIGINT)
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // mirrors TextAnalysis.mixtureTemperature: α=0.5 keep rates from
+    // source sizes, 6-decimal rounded before the hash-fraction compare.
+    "mixture_temperature" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n_s) AS DOUBLE) AS nn,
+         |        sum(sqrt(CAST(n_s AS DOUBLE))) AS sq FROM s),
+         |r AS (SELECT source, n_s,
+         |        round(least(1.0, 0.5 * t.nn * (sqrt(CAST(n_s AS DOUBLE)) / t.sq)
+         |          / CAST(n_s AS DOUBLE)), 6) AS keep_rate
+         |      FROM s, t),
+         |k AS (SELECT d.source, count(*) AS n_kept
+         |      FROM documents d JOIN r ON d.source = r.source
+         |      WHERE CAST(${h60("'mixt_' || doc_id")} % 1000000 AS DOUBLE)
+         |        / 1000000.0 < r.keep_rate
+         |      GROUP BY d.source)
+         |SELECT r.source, CAST(r.n_s AS BIGINT) AS n_total, r.keep_rate,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM r LEFT JOIN k ON r.source = k.source
+         |ORDER BY r.source""".stripMargin,
+
+    // mirrors TextAnalysis.vocabCoverage: top-k vocabulary with
+    // cumulative share of all token occurrences.
+    "vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |top AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 50),
+        |r AS (SELECT t, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, t) AS rank,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, t ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM top)
+        |SELECT rank, t, cnt, round(CAST(cum AS DOUBLE) / tot.total, 6) AS cum_frac
+        |FROM r, tot ORDER BY rank""".stripMargin,
+
     "doc_shards" ->
       s"""SELECT ${h60("'shard_' || doc_id")} % 64 AS shard,
          |  count(*) AS n_docs,
@@ -1886,6 +1929,21 @@ object SparkEntry {
          |         CAST(coalesce(sum(CASE WHEN bn > ${Dedup.MaxBucketSize} THEN 1 END), 0) AS BIGINT) AS n_hot_buckets
          |       FROM bk)
          |SELECT * FROM s1, s2""".stripMargin,
+
+    // mirrors Dedup.sourceOverlap: rare-shingle (df ≤ cap) overlap per
+    // source pair.
+    "source_overlap" ->
+      s"""$docsCte,
+         |dfx AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |ss AS (SELECT DISTINCT sh.shingle, d.source
+         |       FROM sh JOIN documents d USING (doc_id)),
+         |k AS (SELECT ss.shingle, ss.source FROM ss
+         |      JOIN dfx ON ss.shingle = dfx.shingle
+         |        AND dfx.df <= ${Dedup.MaxShingleDf})
+         |SELECT a.source AS source1, b.source AS source2,
+         |  count(*) AS n_shared_shingles
+         |FROM k a JOIN k b ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source1, source2""".stripMargin,
 
     "dedup_simhash" ->
       s"""$docsCte,

@@ -81,6 +81,35 @@ object Dedup {
     explode(org.apache.spark.sql.graft.ShingleHash60.column(col("text")))
       .as("shingle"))
 
+  /** Cross-source duplication audit: for each source pair, how many
+    * rare 3-gram shingles both feeds contain — the provenance signal a
+    * curation pipeline uses to spot mirroring feeds and pick a
+    * canonical one BEFORE document-level dedup. Shingles above the
+    * stop-shingle df cap are excluded (high-df shingles signal a shared
+    * template, not shared content).
+    *
+    * Scale shape: the per-shingle pair fan-out is bounded by the SOURCE
+    * universe (≤ C(|sources|, 2) rows per shingle, independent of
+    * document count), so unlike doc-pair expansion this self-join
+    * cannot blow up; two aggregations + one equi-join on the 8-byte
+    * shingle hash, output is |source-pairs| rows.
+    */
+  def sourceOverlap(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val sh = shingled(docs)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ss = sh.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("shingle"), col("source")).distinct()
+    val kept = ss.join(df.filter(col("df") <= maxDf), Seq("shingle"))
+      .select(col("shingle"), col("source"))
+    kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("source1"), col("b.source").as("source2"))
+      .groupBy(col("source1"), col("source2"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
   /** The composable higher-order-function reference form of [[shingled]]. */
   private[graft] def shingledHof(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),

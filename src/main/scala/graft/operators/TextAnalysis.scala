@@ -463,6 +463,74 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled dataset mixing — the α-sampling of multilingual
+    * and multi-source LM training (XLM-R's α=0.3; modern data recipes):
+    * per-source keep probability ∝ n_s^(α−1) with α = 0.5, normalized so
+    * the expected output is `targetFrac` of the corpus — small sources
+    * are up-weighted, dominant sources down-weighted. Unlike
+    * [[mixtureSample]]'s fixed rate table, the rates are COMPUTED
+    * IN-PLAN from the source sizes: one source-cardinality aggregate,
+    * one 1-row normalizer cross-joined in, then the same content-stable
+    * salted-hash Bernoulli per doc. α=0.5 keeps the power a `sqrt`
+    * (IEEE-exact, cross-engine); the keep decision compares the hash
+    * fraction against the 6-decimal-rounded rate so both engines branch
+    * on identical operands.
+    */
+  def mixtureTemperature(docs: DataFrame,
+                         targetFrac: Double = 0.5): DataFrame = {
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val norm = sizes.agg(
+      sum(col("n_s")).cast("double").as("nn"),
+      sum(sqrt(col("n_s").cast("double"))).as("sq"))
+    // keep_s = min(1, targetFrac · N · p_s / n_s), p_s = √n_s / Σ√n_t
+    val rates = sizes.crossJoin(norm)
+      .select(col("source"), col("n_s"),
+        round(least(lit(1.0d),
+          lit(targetFrac) * col("nn") *
+            (sqrt(col("n_s").cast("double")) / col("sq")) /
+            col("n_s").cast("double")), 6).as("keep_rate"))
+    // source universe is catalog-bounded (dozens of feeds at 100 TB, not
+    // data-scale) — broadcast back to the facts
+    val kept = docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(hash60(concat(lit("mixt_"), col("doc_id"))), lit(1000000))
+        .cast("double") / lit(1000000.0d) < col("keep_rate"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_s").as("n_total"), col("keep_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Corpus vocabulary coverage: the top-k tokens by frequency with
+    * their cumulative share of all token occurrences — the "how many
+    * vocabulary entries cover 95% of the corpus" curve that sizes
+    * tokenizer vocabularies and stopword lists.
+    *
+    * Scale shape: one vocabulary aggregation (its shuffle is reused by
+    * the 1-row total via ReuseExchange), a top-k cut that plans as
+    * TakeOrderedAndProject, and a cumulative window over ONLY the k
+    * surviving rows — the single-partition window is bounded by the
+    * parameter, never by the data.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("t"))
+    val counts = docs
+      .select(explode(tokensCol(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    counts.orderBy(col("cnt").desc, col("t")).limit(k)
+      .crossJoin(total)
+      .select(
+        row_number().over(w).as("rank"),
+        col("t"), col("cnt"),
+        round(sum(col("cnt")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double") / col("total"), 6).as("cum_frac"))
+      .orderBy(col("rank"))
+  }
+
   /** Sequence packing: greedily pack documents (in deterministic
     * doc_id order) into fixed-capacity token windows — the step that
     * turns a ragged document corpus into fixed-length training

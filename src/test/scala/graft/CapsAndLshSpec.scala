@@ -150,6 +150,21 @@ class CapsAndLshSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap counts rare shared shingles per pair, drops hot ones") {
+    val corpus = Seq(
+      (0L, "p q r unique0", "A"), // shares shingle "p q r" with doc 2
+      (1L, "x y z unique1", "A"),
+      (2L, "p q r unique2", "B"),
+      (3L, "no overlap here at all", "C"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(corpus).collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getString(1), r.head.getLong(2)) ==
+      (("A", "B", 1L)))
+    // df cap: at maxDf=1 the shared shingle counts as boilerplate
+    assert(Dedup.sourceOverlap(corpus, maxDf = 1).count() == 0)
+  }
+
   test("semanticDedup drops the higher id of a planted duplicate pair") {
     // vec 15 is vec 10 verbatim; everything else is sin-noise, far from
     // cosine 1. threshold=1.0 (rounded) isolates the planted pair.

@@ -175,7 +175,9 @@ class PlanSpec extends SparkSpec {
       "dedup_cap_stats", "tfidf_top_terms", "q22_idle_rich_customers",
       "q15_top_supplier", "q2_min_cost_supplier", "q9_product_profit",
       "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
-      "lm_score", "dedup_semantic", "embed_hard_negatives")
+      "lm_score", "dedup_semantic", "embed_hard_negatives",
+      // 1-row normalizer / corpus-total cross joins, same pattern
+      "mixture_temperature", "vocab_coverage")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")

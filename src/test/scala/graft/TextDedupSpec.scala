@@ -298,6 +298,32 @@ class TextDedupSpec extends SparkSpec {
     assert(lp(2) < lp(0))
   }
 
+  test("mixtureTemperature: α=0.5 up-weights small sources, exact rates") {
+    // A: 400 docs, B: 100 → √: 20 + 10 = 30; N = 500, targetFrac = 0.5
+    // keep_A = 0.5·500·(20/30)/400 = 0.416667, keep_B = …(10/30)/100 = 0.833333
+    val corpus = ((0 until 400).map(i => (i.toLong, s"tok$i", "A")) ++
+      (400 until 500).map(i => (i.toLong, s"tok$i", "B")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixtureTemperature(corpus).collect()
+    val bySrc = r.map(x => x.getString(0) ->
+      ((x.getAs[Long]("n_total"), x.getAs[Double]("keep_rate"),
+        x.getAs[Long]("n_kept")))).toMap
+    assert(bySrc("A")._1 == 400 && bySrc("A")._2 == 0.416667)
+    assert(bySrc("B")._1 == 100 && bySrc("B")._2 == 0.833333)
+    // the Bernoulli is content-stable; counts land near n·rate
+    assert(bySrc("A")._3 > 100 && bySrc("A")._3 < 300)
+    assert(bySrc("B")._3 > 50 && bySrc("B")._3 <= 100)
+  }
+
+  test("vocabCoverage: cumulative fractions over the top-k vocabulary") {
+    val r = TextAnalysis.vocabCoverage(docs("a a a b b c"), k = 2).collect()
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    assert(r.map(_.getAs[String]("t")).toSeq == Seq("a", "b"))
+    assert(r.map(_.getAs[Long]("cnt")).toSeq == Seq(3L, 2L))
+    // 3/6 and 5/6 of all token occurrences
+    assert(r.map(_.getAs[Double]("cum_frac")).toSeq == Seq(0.5, 0.833333))
+  }
+
   test("chunkDocs: overlapping windows cover every token, trailing chunk kept") {
     // 5 tokens, chunk 3, stride 2 → starts 1,3,5 → windows of 3,3,1
     val r = TextAnalysis.chunkDocs(docs("t0 t1 t2 t3 t4"),
