@@ -230,6 +230,11 @@ object SparkEntry {
       Analytics.priceQuantiles(Trades.fromEvents(Tables.events(s, dir)))),
     "price_winsorized" -> ((s, dir) =>
       Analytics.winsorizedStats(Trades.fromEvents(Tables.events(s, dir)))),
+    "price_mad_outliers" -> ((s, dir) =>
+      Analytics.madOutliers(Trades.fromEvents(Tables.events(s, dir)))),
+    // strict-order conversion funnel over the raw event stream.
+    "event_funnel" -> ((s, dir) =>
+      Sessions.eventFunnel(Tables.events(s, dir))),
     // Mergeable-sketch variants (HLL++ / t-digest): engine-specific
     // sketches can't hash-match a DuckDB oracle, so these are registered
     // WITHOUT oracleSql -> the driver's weaker rows-only check. They are
@@ -473,6 +478,9 @@ object SparkEntry {
     // high-cosine impostors per query vector.
     "embed_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    // k-means compactness audit: per-cell size + mean/worst centroid cos.
+    "cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(Tables.embeddings(s, dir))),
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
@@ -1442,6 +1450,50 @@ object SparkEntry {
          |  CAST(n_clipped_high AS BIGINT) AS n_clipped_high
          |FROM a ORDER BY symbol""".stripMargin,
 
+    // mirrors Sessions.eventFunnel: strict-order staged mins, ns ts
+    // truncated to µs by CAST (same as the engine's events reader).
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |       FROM events),
+        |v AS (SELECT user_id, min(ts) AS t0 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, max(v.t0) AS t0, min(e.ts) AS t1
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+        |s AS (SELECT e.user_id, max(c.t1) AS t1, min(e.ts) AS t2
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'signup' AND e.ts > c.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, max(s.t2) AS t2, min(e.ts) AS t3
+        |      FROM e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > s.t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users,
+        |    CAST(NULL AS DOUBLE) AS median_secs_from_prev FROM v
+        |  UNION ALL
+        |  SELECT '2_click', count(*),
+        |    round(quantile_cont(CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE), 0.5) / 1000000.0, 6) FROM c
+        |  UNION ALL
+        |  SELECT '3_signup', count(*),
+        |    round(quantile_cont(CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE), 0.5) / 1000000.0, 6) FROM s
+        |  UNION ALL
+        |  SELECT '4_purchase', count(*),
+        |    round(quantile_cont(CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE), 0.5) / 1000000.0, 6) FROM p
+        |) ORDER BY stage""".stripMargin,
+
+    // mirrors Analytics.madOutliers: k=8 robust deviation gate.
+    "price_mad_outliers" ->
+      s"""$tradesCte,
+         |med AS (SELECT symbol, round(quantile_cont(price, 0.5), 6) AS med
+         |        FROM trades GROUP BY symbol),
+         |mad AS (SELECT t.symbol, max(m.med) AS med,
+         |          round(quantile_cont(round(abs(t.price - m.med), 6), 0.5), 6) AS mad
+         |        FROM trades t JOIN med m ON t.symbol = m.symbol
+         |        GROUP BY t.symbol)
+         |SELECT t.symbol, t.event_id, t.price, mad.med, mad.mad
+         |FROM trades t JOIN mad ON t.symbol = mad.symbol
+         |WHERE round(abs(t.price - mad.med), 6) > 8.0 * mad.mad
+         |ORDER BY t.symbol, t.event_id""".stripMargin,
+
     "price_quantiles" ->
       s"""$tradesCte
          |SELECT symbol,
@@ -2013,6 +2065,26 @@ object SparkEntry {
          |      FROM p)
          |SELECT query_id, neighbor_id, role, cosine, rank FROM r WHERE rank <= 3
          |ORDER BY query_id, role, rank""".stripMargin,
+
+    // mirrors Similarity.clusterProfile: same k-means chain, per-cell
+    // compactness from 6-decimal-scaled exact cosine sums.
+    "cluster_profile" ->
+      s"""$embCte,
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM n WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells", "c2")},
+         |j AS (SELECT cells.cell,
+         |        CAST(round(${dotSql("cells.v", "c2.cv")}
+         |          / (cells.nrm * c2.c_nrm) * 1000000.0, 0) AS BIGINT) AS c6
+         |      FROM cells JOIN c2 ON cells.cell = c2.cell)
+         |SELECT cell, count(*) AS n_vectors,
+         |  round(CAST(sum(c6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS avg_centroid_cos,
+         |  round(CAST(min(c6) AS DOUBLE) / 1000000.0, 6) AS min_centroid_cos
+         |FROM j GROUP BY cell ORDER BY cell""".stripMargin,
 
     // mirrors Similarity.semanticDedup: the ann_ivf_kmeans centroid
     // chain, then within-cell pairs (star pairs past the 256 cap), drop

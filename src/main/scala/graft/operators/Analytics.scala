@@ -332,6 +332,34 @@ object Analytics {
       .orderBy(col("symbol"))
   }
 
+  /** Robust outlier detection via median absolute deviation: per
+    * symbol, median price and MAD (median of |price − median|), then
+    * every print whose absolute deviation exceeds k·MAD — the
+    * breakdown-point-0.5 alternative to z-scores (one fat-finger print
+    * cannot move its own threshold, unlike mean/stddev gates). The
+    * detection companion to [[winsorizedStats]]'s correction.
+    *
+    * Two symbol-cardinality aggregates broadcast back over the facts
+    * (constant-size symbol universe); the fact table is scanned, never
+    * shuffled. Deviations are rounded to 6 decimals before the MAD
+    * percentile and before the final compare, so both engines branch on
+    * identical operands.
+    */
+  def madOutliers(trades: DataFrame, k: Double = 8.0): DataFrame = {
+    val med = trades.groupBy(col("symbol"))
+      .agg(round(expr("percentile(price, 0.5)"), 6).as("med"))
+    val mad = trades.join(broadcast(med), Seq("symbol"))
+      .groupBy(col("symbol"))
+      .agg(max(col("med")).as("med"),
+        round(expr("percentile(round(abs(price - med), 6), 0.5)"), 6)
+          .as("mad"))
+    trades.join(broadcast(mad), Seq("symbol"))
+      .filter(round(abs(col("price") - col("med")), 6) > lit(k) * col("mad"))
+      .select(col("symbol"), col("event_id"), col("price"), col("med"),
+        col("mad"))
+      .orderBy(col("symbol"), col("event_id"))
+  }
+
   /** Temporal activity profile: trade counts and volume by (event_type
     * surrogate) hour-of-day × day-of-week. Exercises the temporal
     * function family; group count is bounded (24×7) so the shuffle

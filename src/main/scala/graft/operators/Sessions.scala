@@ -214,4 +214,56 @@ object Sessions {
           }
       }
   }
+
+  /** Sequential conversion funnel over the raw event stream: per user,
+    * the earliest 'view', the earliest 'click' AFTER that view, the
+    * earliest 'signup' after that click, the earliest 'purchase' after
+    * that signup — strict event-order semantics (a purchase before the
+    * signup does not count), the standard product-analytics funnel.
+    * Output: one row per stage with surviving-user count and the median
+    * seconds from the previous stage.
+    *
+    * Scale shape: each stage is a filtered slice of the fact table
+    * hash-joined on user_id to the (shrinking) previous stage and
+    * re-aggregated — no per-user event list is ever collected (the
+    * one-pass collect_list formulation holds a user's whole history in
+    * one buffer; this one's state is one row per surviving user).
+    * Stage frames are lazily pinned: each is consumed twice (next
+    * stage's build side + its own summary row) — the funnel tables a
+    * product pipeline would persist between steps.
+    */
+  def eventFunnel(events: DataFrame,
+                  stages: Seq[String] =
+                    Seq("view", "click", "signup", "purchase")): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(prev: DataFrame, typ: String, prevT: String,
+                   outT: String): DataFrame =
+      e.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col(prevT)), Seq("user_id"))
+        .filter(col("ts") > col(prevT))
+        .groupBy(col("user_id"))
+        .agg(max(col(prevT)).as(prevT), min(col("ts")).as(outT))
+        .localCheckpoint(false)
+    def summaryRow(df: DataFrame, idx: Int, name: String,
+                   prevT: Option[String], t: String): DataFrame = {
+      val aggs = count(lit(1)).as("n_users") +: prevT.map(pt =>
+        round(expr(s"percentile(unix_micros($t) - unix_micros($pt), 0.5)")
+          / lit(1e6), 6).as("median_secs_from_prev")).toSeq
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(s"${idx + 1}_$name").as("stage"), col("n_users"),
+          prevT.map(_ => col("median_secs_from_prev"))
+            .getOrElse(lit(null).cast("double")
+              .as("median_secs_from_prev")))
+    }
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .localCheckpoint(false)
+    val frames = stages.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (typ, i)) => firstAfter(prev, typ, s"t$i", s"t${i + 1}")
+    }
+    frames.zip(stages).zipWithIndex.map { case ((df, name), i) =>
+      summaryRow(df, i, name,
+        if (i == 0) None else Some(s"t${i - 1}"), s"t$i")
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
 }

@@ -491,6 +491,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Clustering-quality audit for the k-means coarse quantizer: per
+    * cell, the member count and the mean/worst cosine to the cell
+    * centroid — the compactness profile that decides whether kCells is
+    * right before trusting [[semanticDedup]] or IVF probing with it
+    * (sparse cells → over-clustered; low min cosine → under-clustered).
+    *
+    * One assignment scan + a broadcast join back to the k centroids +
+    * one k-row aggregate. Per-vector cosines are rounded to 6 decimals
+    * and scaled to exact longs BEFORE summing, so the mean is
+    * order-independent at any parallelism.
+    */
+  def clusterProfile(embeddings: DataFrame, kCells: Int = 8,
+                     iters: Int = 2): DataFrame = {
+    val n = normed(embeddings)
+    val cents = kmeansCentroids(n, kCells, iters)
+    val cells = assignCells(n, cents)
+    cells.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"),
+        round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))
+          * lit(1e6), 0).cast("long").as("c6"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("c6")).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double"), 6).as("avg_centroid_cos"),
+        round(min(col("c6")).cast("double") / lit(1e6), 6)
+          .as("min_centroid_cos"))
+      .orderBy(col("cell"))
+  }
+
   /** Hard-negative mining for contrastive embedding training: for each
     * query vector, the top-k most similar SAME-label vectors (positives)
     * and the top-k most similar DIFFERENT-label vectors (hard negatives

@@ -140,10 +140,17 @@ object Streams {
     * state is O(rows inside the watermark window), not O(stream).
     * Unbounded-state stream-stream joins are rejected by the analyzer;
     * this is the canonical bounded shape.
+    *
+    * `joinType = "left_outer"` additionally emits every UNMATCHED buy
+    * (null sell columns) once the watermark passes its match window —
+    * the fill-detection variant ("which orders never crossed") — using
+    * the same bounded state; Spark holds a buy only until
+    * buy_time + within drops below the watermark.
     */
   def matchOppositeSides(buys: DataFrame, sells: DataFrame,
                          within: String = "1 minute",
-                         watermark: String = DefaultWatermark): DataFrame = {
+                         watermark: String = DefaultWatermark,
+                         joinType: String = "inner"): DataFrame = {
     val b = buys
       .select(col("symbol"), col("event_time").as("buy_time"),
         col("price").as("buy_price"), col("size").as("buy_size"))
@@ -156,7 +163,8 @@ object Streams {
     b.join(s,
       col("symbol") === col("sell_symbol") &&
         col("sell_time") >= col("buy_time") &&
-        col("sell_time") <= col("buy_time") + expr(s"INTERVAL $within"))
+        col("sell_time") <= col("buy_time") + expr(s"INTERVAL $within"),
+      joinType)
       .drop("sell_symbol")
   }
 

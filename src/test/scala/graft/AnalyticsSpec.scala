@@ -106,6 +106,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("w_stddev") < rawStd / 50)
   }
 
+  test("madOutliers flags only deviations beyond k·MAD") {
+    // 1..101 (median 51, MAD 25) plus one print at 1000:
+    // |1000−51| = 949 > 8·25 = 200 → exactly one outlier
+    val trades = ((1 to 101).map(i => (i.toLong, "A", i.toDouble))
+      :+ ((102L, "A", 1000.0)))
+      .toDF("event_id", "symbol", "price")
+    val r = Analytics.madOutliers(trades).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("event_id") == 102L)
+    assert(r.head.getAs[Double]("med") == 51.5) // 102 rows: (51+52)/2
+    // deviations |x−51.5|: 0.5,0.5,1.5,…,50.5,948.5 → median 25.5
+    assert(r.head.getAs[Double]("mad") == 25.5)
+  }
+
   test("lastK returns the most recent K in ascending order") {
     val bars = (0 to 30).map(i => bar("B", i, 100.0 + i))
     val rows = Analytics.lastK(bars.toDS.toDF, 5).collect()

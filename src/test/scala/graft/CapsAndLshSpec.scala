@@ -182,6 +182,20 @@ class CapsAndLshSpec extends SparkSpec {
     assert(cellOf(10L) == cellOf(15L))
   }
 
+  test("clusterProfile: planted clusters profile as perfectly compact") {
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // init centroids = vec 0 (e1) and vec 1 (e2); members split 3/3
+    val emb = Seq((0L, e1, 0), (1L, e2, 0), (2L, e1, 0), (3L, e1, 0),
+      (4L, e2, 0), (5L, e2, 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterProfile(emb, kCells = 2, iters = 1).collect()
+    assert(r.map(_.getAs[Int]("cell")).toSeq == Seq(0, 1))
+    assert(r.map(_.getAs[Long]("n_vectors")).toSeq == Seq(3L, 3L))
+    // identical members ⇒ centroid = the member vector, cosine exactly 1
+    assert(r.forall(_.getAs[Double]("avg_centroid_cos") == 1.0))
+    assert(r.forall(_.getAs[Double]("min_centroid_cos") == 1.0))
+  }
+
   test("semanticDedup: identical flood degrades to star pairs, keeps one rep") {
     // 12 identical vectors collapse to one cell of size 12 > maxCell=4:
     // pair generation degrades to stars around the cell min, which still

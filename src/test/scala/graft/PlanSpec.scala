@@ -177,7 +177,9 @@ class PlanSpec extends SparkSpec {
       "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
       "lm_score", "dedup_semantic", "embed_hard_negatives",
       // 1-row normalizer / corpus-total cross joins, same pattern
-      "mixture_temperature", "vocab_coverage")
+      "mixture_temperature", "vocab_coverage",
+      // packed-centroid broadcast, same as dedup_semantic
+      "cluster_profile")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")

@@ -138,4 +138,31 @@ class SessionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("eventFunnel: strict event order, median stage latencies") {
+    // user 1 converts in order; user 2's purchase comes BEFORE its
+    // signup (must not count); user 3 only views
+    val events = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:10"),
+      (1L, "signup", "2024-01-01 10:00:30"),
+      (1L, "purchase", "2024-01-01 10:01:00"),
+      (2L, "view", "2024-01-01 09:00:00"),
+      (2L, "purchase", "2024-01-01 09:00:05"), // before its signup
+      (2L, "click", "2024-01-01 09:00:10"),
+      (2L, "signup", "2024-01-01 09:00:20"),
+      (3L, "view", "2024-01-01 08:00:00"))
+      .map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val r = Sessions.eventFunnel(events).collect()
+    assert(r.map(x => (x.getString(0), x.getAs[Long]("n_users"))).toSeq ==
+      Seq(("1_view", 3L), ("2_click", 2L), ("3_signup", 2L),
+        ("4_purchase", 1L)))
+    assert(r.head.isNullAt(r.head.fieldIndex("median_secs_from_prev")))
+    val med = r.tail.map(x =>
+      x.getString(0) -> x.getAs[Double]("median_secs_from_prev")).toMap
+    // click deltas {10,10} → 10; signup {20,10} → 15; purchase {30} → 30
+    assert(med == Map("2_click" -> 10.0, "3_signup" -> 15.0,
+      "4_purchase" -> 30.0))
+  }
 }

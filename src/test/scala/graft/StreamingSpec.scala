@@ -371,6 +371,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched buys after watermark") {
+    implicit val ctx = spark.sqlContext
+    val buys = MemoryStream[Trade]
+    val sells = MemoryStream[Trade]
+    val q = Streams.matchOppositeSides(buys.toDF, sells.toDF,
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("outer_matches")
+      .outputMode("append").start()
+    try {
+      // BTC buy with no sell inside its 1-minute window
+      buys.addData(trade("BTC", "2024-01-01 10:00:00", 100.0))
+      sells.addData(trade("ETH", "2024-01-01 10:00:10", 50.0))
+      q.processAllAvailable()
+      // nothing can be emitted yet: the buy's window is still open
+      assert(!spark.table("outer_matches").collect()
+        .exists(_.getAs[Double]("buy_price") == 100.0))
+      // advance BOTH watermarks far past buy_time + within
+      buys.addData(trade("BTC", "2024-01-01 10:30:00", 110.0))
+      sells.addData(trade("ETH", "2024-01-01 10:30:00", 55.0))
+      q.processAllAvailable()
+      val unmatched = spark.table("outer_matches").collect()
+        .filter(_.getAs[Double]("buy_price") == 100.0)
+      assert(unmatched.length == 1)
+      assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("sell_time")))
+      assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("sell_price")))
+    } finally q.stop()
+  }
+
   test("batch banded interval join emits the same pairs as the stream-stream join") {
     implicit val ctx = spark.sqlContext
     // band-boundary cases: same band, next band at exactly 60s
