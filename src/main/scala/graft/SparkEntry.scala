@@ -235,6 +235,8 @@ object SparkEntry {
     // strict-order conversion funnel over the raw event stream.
     "event_funnel" -> ((s, dir) =>
       Sessions.eventFunnel(Tables.events(s, dir))),
+    "price_histogram" -> ((s, dir) =>
+      Analytics.priceHistogram(Trades.fromEvents(Tables.events(s, dir)))),
     // Mergeable-sketch variants (HLL++ / t-digest): engine-specific
     // sketches can't hash-match a DuckDB oracle, so these are registered
     // WITHOUT oracleSql -> the driver's weaker rows-only check. They are
@@ -396,6 +398,9 @@ object SparkEntry {
     // slice, every doc scored by avg token log-prob + OOV rate.
     "lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
+    // stupid-backoff bigram upgrade of lm_score.
+    "lm_score_bigram" -> ((s, dir) =>
+      TextAnalysis.lmScoreBigram(Tables.documents(s, dir))),
     // context-length chunking: overlapping token windows per doc.
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir))),
@@ -1471,14 +1476,29 @@ object SparkEntry {
         |    CAST(NULL AS DOUBLE) AS median_secs_from_prev FROM v
         |  UNION ALL
         |  SELECT '2_click', count(*),
-        |    round(quantile_cont(CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE), 0.5) / 1000000.0, 6) FROM c
+        |    quantile_cont(CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE), 0.5) / 1000000.0 FROM c
         |  UNION ALL
         |  SELECT '3_signup', count(*),
-        |    round(quantile_cont(CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE), 0.5) / 1000000.0, 6) FROM s
+        |    quantile_cont(CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE), 0.5) / 1000000.0 FROM s
         |  UNION ALL
         |  SELECT '4_purchase', count(*),
-        |    round(quantile_cont(CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE), 0.5) / 1000000.0, 6) FROM p
+        |    quantile_cont(CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE), 0.5) / 1000000.0 FROM p
         |) ORDER BY stage""".stripMargin,
+
+    // mirrors Analytics.priceHistogram: 20 equi-width bins per symbol,
+    // both edges clamped.
+    "price_histogram" ->
+      s"""$tradesCte,
+         |b AS (SELECT symbol, round(min(price), 6) AS lo, round(max(price), 6) AS hi
+         |      FROM trades GROUP BY symbol),
+         |x AS (SELECT t.symbol, b.lo, b.hi,
+         |        CAST(CASE WHEN b.hi = b.lo THEN 0
+         |          ELSE greatest(least(floor((t.price - b.lo) / ((b.hi - b.lo) / 20.0)), 19.0), 0.0) END AS INT) AS bin
+         |      FROM trades t JOIN b ON t.symbol = b.symbol)
+         |SELECT symbol, bin,
+         |  round(max(lo) + bin * (max(hi) - max(lo)) / 20.0, 6) AS bin_lo,
+         |  count(*) AS n
+         |FROM x GROUP BY symbol, bin ORDER BY symbol, bin""".stripMargin,
 
     // mirrors Analytics.madOutliers: k=8 robust deviation gate.
     "price_mad_outliers" ->
@@ -1607,10 +1627,11 @@ object SparkEntry {
     "mixture_temperature" ->
       s"""WITH s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
          |t AS (SELECT CAST(sum(n_s) AS DOUBLE) AS nn,
-         |        sum(sqrt(CAST(n_s AS DOUBLE))) AS sq FROM s),
+         |        CAST(sum(CAST(round(sqrt(CAST(n_s AS DOUBLE)) * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sq
+         |      FROM s),
          |r AS (SELECT source, n_s,
-         |        round(least(1.0, 0.5 * t.nn * (sqrt(CAST(n_s AS DOUBLE)) / t.sq)
-         |          / CAST(n_s AS DOUBLE)), 6) AS keep_rate
+         |        least(1.0, 0.5 * t.nn * (sqrt(CAST(n_s AS DOUBLE)) / t.sq)
+         |          / CAST(n_s AS DOUBLE)) AS keep_rate
          |      FROM s, t),
          |k AS (SELECT d.source, count(*) AS n_kept
          |      FROM documents d JOIN r ON d.source = r.source
@@ -1633,7 +1654,7 @@ object SparkEntry {
         |        row_number() OVER (ORDER BY cnt DESC, t) AS rank,
         |        sum(cnt) OVER (ORDER BY cnt DESC, t ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM top)
-        |SELECT rank, t, cnt, round(CAST(cum AS DOUBLE) / tot.total, 6) AS cum_frac
+        |SELECT rank, t, cnt, CAST(cum AS DOUBLE) / tot.total AS cum_frac
         |FROM r, tot ORDER BY rank""".stripMargin,
 
     "doc_shards" ->
@@ -1718,6 +1739,34 @@ object SparkEntry {
          |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.lmScoreBigram: stupid-backoff bigram scores,
+    // exact scaled-long sums; 1-token docs excluded in both engines.
+    "lm_score_bigram" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |pr AS (SELECT doc_id, lang, toks[g.i - 1] AS t1, toks[g.i] AS t2
+        |       FROM t, unnest(generate_series(2, len(toks))) AS g(i)
+        |       WHERE len(toks) >= 2),
+        |bi AS (SELECT t1, t2, count(*) AS cb FROM pr WHERE lang = 'en' GROUP BY t1, t2),
+        |toku AS (SELECT unnest(toks) AS tk FROM t WHERE lang = 'en'),
+        |uni AS (SELECT tk, count(*) AS c FROM toku GROUP BY tk),
+        |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS vv FROM uni),
+        |sc AS (SELECT pr.doc_id,
+        |         CASE WHEN bi.cb IS NULL THEN 1 ELSE 0 END AS backoff,
+        |         CAST(round(ln(CASE WHEN coalesce(bi.cb, 0) > 0
+        |             THEN CAST(bi.cb AS DOUBLE) / CAST(u1.c AS DOUBLE)
+        |             ELSE 0.4 * (CAST(coalesce(u2.c, 0) AS DOUBLE) + 1.0) / (m.tt + m.vv + 1.0) END) * 1000000.0, 0) AS BIGINT) AS lp6
+        |       FROM pr
+        |       LEFT JOIN bi ON pr.t1 = bi.t1 AND pr.t2 = bi.t2
+        |       LEFT JOIN uni u1 ON pr.t1 = u1.tk
+        |       LEFT JOIN uni u2 ON pr.t2 = u2.tk, m),
+        |d AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp6) AS s6,
+        |        sum(backoff) AS n_backoff
+        |      FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE) AS avg_logscore,
+        |  CAST(n_backoff AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS backoff_rate
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // mirrors TextAnalysis.chunkDocs: chunk starts 1, 1+96, … ≤ n_tokens;
     // chunk_idx = (start−1)/stride = posexplode ordinal.
     "doc_chunks" ->
@@ -1746,8 +1795,8 @@ object SparkEntry {
         |        sum(oov) AS n_oov
         |      FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
-        |  round(CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob,
-        |  round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+        |  CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS avg_logprob,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
@@ -2082,8 +2131,8 @@ object SparkEntry {
          |          / (cells.nrm * c2.c_nrm) * 1000000.0, 0) AS BIGINT) AS c6
          |      FROM cells JOIN c2 ON cells.cell = c2.cell)
          |SELECT cell, count(*) AS n_vectors,
-         |  round(CAST(sum(c6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS avg_centroid_cos,
-         |  round(CAST(min(c6) AS DOUBLE) / 1000000.0, 6) AS min_centroid_cos
+         |  CAST(sum(c6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS avg_centroid_cos,
+         |  CAST(min(c6) AS DOUBLE) / 1000000.0 AS min_centroid_cos
          |FROM j GROUP BY cell ORDER BY cell""".stripMargin,
 
     // mirrors Similarity.semanticDedup: the ann_ivf_kmeans centroid

@@ -360,6 +360,39 @@ object Analytics {
       .orderBy(col("symbol"), col("event_id"))
   }
 
+  /** Equi-width price histogram per symbol: `bins` buckets over the
+    * symbol's [min, max] (rounded to 6 decimals), sparse output (empty
+    * bins omitted) — the distribution-profiling pass behind data-quality
+    * dashboards and histogram-based join/filter selectivity estimates.
+    *
+    * Bounds are one symbol-cardinality aggregate broadcast back; the
+    * binning itself is a map-only floor-division (top bin clamps the
+    * x = max edge; a zero-width symbol collapses to bin 0), and the
+    * final aggregate carries only (symbol, bin) partials.
+    */
+  def priceHistogram(trades: DataFrame, bins: Int = 20): DataFrame = {
+    val b = trades.groupBy(col("symbol")).agg(
+      round(min(col("price")), 6).as("lo"),
+      round(max(col("price")), 6).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(bins.toDouble)
+    // clamp BOTH edges: round(min,6) can land just above the true min
+    // (negative raw bin), and x = max divides to exactly `bins`
+    val bin = when(col("hi") === col("lo"), lit(0))
+      .otherwise(greatest(least(
+        floor((col("price") - col("lo")) / width),
+        lit((bins - 1).toDouble)), lit(0.0d)))
+      .cast("int")
+    trades.join(broadcast(b), Seq("symbol"))
+      .select(col("symbol"), col("lo"), col("hi"), bin.as("bin"))
+      .groupBy(col("symbol"), col("bin"))
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        count(lit(1)).as("n"))
+      .select(col("symbol"), col("bin"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / lit(bins.toDouble), 6).as("bin_lo"),
+        col("n"))
+      .orderBy(col("symbol"), col("bin"))
+  }
+
   /** Temporal activity profile: trade counts and volume by (event_type
     * surrogate) hour-of-day × day-of-week. Exercises the temporal
     * function family; group count is bounded (24×7) so the shuffle

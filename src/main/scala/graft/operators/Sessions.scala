@@ -246,9 +246,13 @@ object Sessions {
         .localCheckpoint(false)
     def summaryRow(df: DataFrame, idx: Int, name: String,
                    prevT: Option[String], t: String): DataFrame = {
+      // raw quotient, NOT rounded: the percentile interpolates exact
+      // integer µs (medians land on half-µs values), and rounding an
+      // integer-derived quotient can hit the half-micro boundary where
+      // engine round()s disagree
       val aggs = count(lit(1)).as("n_users") +: prevT.map(pt =>
-        round(expr(s"percentile(unix_micros($t) - unix_micros($pt), 0.5)")
-          / lit(1e6), 6).as("median_secs_from_prev")).toSeq
+        (expr(s"percentile(unix_micros($t) - unix_micros($pt), 0.5)")
+          / lit(1e6)).as("median_secs_from_prev")).toSeq
       df.agg(aggs.head, aggs.tail: _*)
         .select(lit(s"${idx + 1}_$name").as("stage"), col("n_users"),
           prevT.map(_ => col("median_secs_from_prev"))

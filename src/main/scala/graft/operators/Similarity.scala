@@ -514,10 +514,11 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(sum(col("c6")).cast("double") / lit(1e6) /
-          count(lit(1)).cast("double"), 6).as("avg_centroid_cos"),
-        round(min(col("c6")).cast("double") / lit(1e6), 6)
-          .as("min_centroid_cos"))
+        // raw exact-integer quotients, NOT re-rounded (half-micro
+        // boundary — see TextAnalysis.lmScore)
+        (sum(col("c6")).cast("double") / lit(1e6) /
+          count(lit(1)).cast("double")).as("avg_centroid_cos"),
+        (min(col("c6")).cast("double") / lit(1e6)).as("min_centroid_cos"))
       .orderBy(col("cell"))
   }
 

@@ -178,15 +178,19 @@ object TextAnalysis {
         round(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0d)) /
           (col("tt") + col("vv") + lit(1.0d))) * lit(1e6), 0)
           .cast("long").as("lp6"))
+    // NO final round: s6 and n are exact integers, so the quotient is
+    // the same IEEE double in every engine — rounding it would
+    // reintroduce the half-micro boundary (s6/n CAN land exactly on
+    // k + 0.5e-6, where Spark's and DuckDB's round() disagree)
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lp6")).as("s6"),
         sum(col("oov")).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s6").cast("double") / lit(1e6) /
-          col("n_tokens").cast("double"), 6).as("avg_logprob"),
-        round(col("n_oov").cast("double") /
-          col("n_tokens").cast("double"), 6).as("oov_rate"))
+        (col("s6").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double")).as("avg_logprob"),
+        (col("n_oov").cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("doc_id"))
   }
 
@@ -213,6 +217,82 @@ object TextAnalysis {
         size(tokensCol(col("chunk"))).as("n_chunk_tokens"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): the bigram upgrade of
+    * [[lmScore]]. Each adjacent token pair scores
+    * `s(t2|t1) = c(t1 t2) / c(t1)` when the training slice saw the
+    * bigram, else `α · p_laplace(t2)` with α = 0.4 — no normalization
+    * of the backoff (that is what makes it "stupid" and exactly what
+    * web-scale LM filters ship, because it needs only two count
+    * tables). Emits per-doc mean bigram log-score and the backoff rate
+    * (share of pairs the bigram table missed — high = unlike the
+    * reference corpus).
+    *
+    * Scale shape: two count aggregations over the training slice
+    * (bigrams, unigrams), each joined to the corpus pair stream on its
+    * own key with no broadcast hints (both tables are vocabulary-scale;
+    * AQE decides), totals ride as a 1-row cross join. Per-pair
+    * log-scores round+scale to exact longs before the per-doc sum —
+    * order-independent at any parallelism, like every score in this
+    * file.
+    */
+  def lmScoreBigram(docs: DataFrame, trainLang: String = "en",
+                    alpha: Double = 0.4): DataFrame = {
+    // guard: sequence(2, n) with n < 2 builds a DESCENDING sequence
+    // (same trap as shinglesCol) — 1-token docs carry no bigram and are
+    // excluded in both engines (oracle: WHERE len(toks) >= 2)
+    val pairs = docs
+      .filter(size(tokensCol(col("text"))) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(2, size(split(text, ' '))),
+            |  i -> struct(split(text, ' ')[i - 2] AS t1,
+            |              split(text, ' ')[i - 1] AS t2))""".stripMargin))
+          .as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val train = pairs.filter(col("lang") === trainLang)
+    val bi = train.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
+    // unigram counts over the SAME pair stream's prefix position plus
+    // the final token of each doc = plain token counts; recount from
+    // tokens to keep the model identical to lmScore's unigram table
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokensCol(col("text"))).as("t"))
+    val uni = toks.filter(col("lang") === trainLang)
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val model = uni.agg(
+      sum(col("c")).cast("double").as("tt"),
+      count(lit(1)).cast("double").as("vv"))
+    val scored = pairs
+      .join(bi, Seq("t1", "t2"), "left_outer")
+      .join(uni.select(col("t").as("t1"), col("c").as("c1")), Seq("t1"), "left_outer")
+      .join(uni.select(col("t").as("t2"), col("c").as("c2")), Seq("t2"), "left_outer")
+      .crossJoin(model)
+      .select(col("doc_id"),
+        (coalesce(col("cb"), lit(0L)) === 0L).cast("int").as("backoff"),
+        round(log(
+          when(coalesce(col("cb"), lit(0L)) > 0L,
+            col("cb").cast("double") / col("c1").cast("double"))
+            .otherwise(lit(alpha) *
+              (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0d)) /
+              (col("tt") + col("vv") + lit(1.0d)))) * lit(1e6), 0)
+          .cast("long").as("lp6"))
+    // NO final round (see lmScore): exact-integer quotients are already
+    // cross-engine bit-identical; rounding them hits the half-micro
+    // boundary — observed live on this very query (s6/n = −3.4871915
+    // exactly, Spark → …191, DuckDB → …192)
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp6")).as("s6"),
+        sum(col("backoff")).as("n_backoff"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s6").cast("double") / lit(1e6) /
+          col("n_bigrams").cast("double")).as("avg_logscore"),
+        (col("n_backoff").cast("double") /
+          col("n_bigrams").cast("double")).as("backoff_rate"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic fractional sampling: keep the docs whose 60-bit
@@ -472,23 +552,32 @@ object TextAnalysis {
     * IN-PLAN from the source sizes: one source-cardinality aggregate,
     * one 1-row normalizer cross-joined in, then the same content-stable
     * salted-hash Bernoulli per doc. α=0.5 keeps the power a `sqrt`
-    * (IEEE-exact, cross-engine); the keep decision compares the hash
-    * fraction against the 6-decimal-rounded rate so both engines branch
-    * on identical operands.
+    * (IEEE-exact, cross-engine); the normalizer Σ√n_s accumulates as
+    * scaled exact longs (a raw double sum is partial-sum-order
+    * dependent) and every remaining op is IEEE-deterministic, so both
+    * engines branch on bit-identical keep rates.
     */
   def mixtureTemperature(docs: DataFrame,
                          targetFrac: Double = 0.5): DataFrame = {
     val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // Σ√n_s accumulates as 6-decimal-scaled exact longs — a raw double
+    // sum would be partial-sum-order dependent (√ of an integer is
+    // irrational, so the scaled rounding never sits on a tie boundary)
     val norm = sizes.agg(
       sum(col("n_s")).cast("double").as("nn"),
-      sum(sqrt(col("n_s").cast("double"))).as("sq"))
+      (sum(round(sqrt(col("n_s").cast("double")) * lit(1e6), 0)
+        .cast("long")).cast("double") / lit(1e6)).as("sq"))
     // keep_s = min(1, targetFrac · N · p_s / n_s), p_s = √n_s / Σ√n_t
+    // — raw double, NOT rounded: every input is an exact integer and
+    // sqrt/· / are IEEE-exact-rounded, so the rate is bit-identical
+    // across engines; a 6-decimal round could land on the half-micro
+    // boundary where engine round()s disagree
     val rates = sizes.crossJoin(norm)
       .select(col("source"), col("n_s"),
-        round(least(lit(1.0d),
+        least(lit(1.0d),
           lit(targetFrac) * col("nn") *
             (sqrt(col("n_s").cast("double")) / col("sq")) /
-            col("n_s").cast("double")), 6).as("keep_rate"))
+            col("n_s").cast("double")).as("keep_rate"))
     // source universe is catalog-bounded (dozens of feeds at 100 TB, not
     // data-scale) — broadcast back to the facts
     val kept = docs.join(broadcast(rates), Seq("source"))
@@ -524,10 +613,12 @@ object TextAnalysis {
       .select(
         row_number().over(w).as("rank"),
         col("t"), col("cnt"),
-        round(sum(col("cnt")).over(w.rowsBetween(
+        // exact-integer quotient, NOT rounded (half-micro boundary —
+        // see lmScore)
+        (sum(col("cnt")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow))
-          .cast("double") / col("total"), 6).as("cum_frac"))
+          .cast("double") / col("total")).as("cum_frac"))
       .orderBy(col("rank"))
   }
 

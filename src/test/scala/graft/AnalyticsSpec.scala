@@ -120,6 +120,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("mad") == 25.5)
   }
 
+  test("priceHistogram: equi-width bins, max edge clamps into the top bin") {
+    // prices 0..20, one symbol → lo=0, hi=20, width=1
+    val trades = (0 to 20).map(i => ("A", i.toDouble)).toDF("symbol", "price")
+    val r = Analytics.priceHistogram(trades).collect()
+    assert(r.map(_.getAs[Int]("bin")).toSeq == (0 to 19))
+    // bin 19 holds price 19 AND the max edge 20
+    assert(r.map(_.getAs[Long]("n")).toSeq == (Seq.fill(19)(1L) :+ 2L))
+    assert(r.head.getAs[Double]("bin_lo") == 0.0)
+    assert(r.last.getAs[Double]("bin_lo") == 19.0)
+  }
+
   test("lastK returns the most recent K in ascending order") {
     val bars = (0 to 30).map(i => bar("B", i, 100.0 + i))
     val rows = Analytics.lastK(bars.toDS.toDF, 5).collect()

@@ -179,7 +179,9 @@ class PlanSpec extends SparkSpec {
       // 1-row normalizer / corpus-total cross joins, same pattern
       "mixture_temperature", "vocab_coverage",
       // packed-centroid broadcast, same as dedup_semantic
-      "cluster_profile")
+      "cluster_profile",
+      // 1-row LM-model cross join, same as lm_score
+      "lm_score_bigram")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")

@@ -289,13 +289,34 @@ class TextDedupSpec extends SparkSpec {
     // p(the)=(4+1)/10=0.5, p(cat)=p(sat)=0.2, p(OOV)=1/10=0.1;
     // per-token ln rounded to 6 dp and scaled before the exact sum:
     // ln(.5)→−0.693147, ln(.2)→−1.609438, ln(.1)→−2.302585
+    // raw exact-integer quotients (no final round — the half-micro
+    // boundary where engine round()s disagree): s6 / 1e6 / n
     val lp = r.map(_.getAs[Double]("avg_logprob")).toSeq
-    assert(lp == Seq(-1.304008, -0.693147, -2.302585))
+    assert(lp == Seq(-3912023.0 / 1e6 / 3.0, -2079441.0 / 1e6 / 3.0,
+      -6907755.0 / 1e6 / 3.0))
     assert(r.map(_.getAs[Double]("oov_rate")).toSeq == Seq(0.0, 0.0, 1.0))
     // the reference-like doc scores above the repetitive one? No —
     // repetition of a HIGH-probability token scores higher; the OOV doc
     // is the one a perplexity filter cuts
     assert(lp(2) < lp(0))
+  }
+
+  test("lmScoreBigram: seen bigrams score c(b)/c(prefix), unseen back off") {
+    val corpus = Seq(
+      (0L, "a b a b", "en"), // train bigrams: (a,b)×2, (b,a)×1
+      (1L, "a b", "en"),     // train: (a,b) → bigram (a,b) total 3
+      (2L, "a z", "de"))     // unseen bigram → stupid backoff
+      .toDF("doc_id", "text", "lang")
+    // train unigrams: a=3, b=3 → T=6, V=2
+    val r = TextAnalysis.lmScoreBigram(corpus).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("n_bigrams")).toSeq == Seq(3L, 1L, 1L))
+    val lp = r.map(_.getAs[Double]("avg_logscore")).toSeq
+    // doc0: ln(3/3)=0 twice + ln(1/3)→−1098612 → s6/1e6/3
+    // doc1: ln(3/3) = 0
+    // doc2: ln(0.4 · (0+1)/(6+2+1)) = ln(0.044444…) → −3113515
+    assert(lp == Seq(-1098612.0 / 1e6 / 3.0, 0.0, -3113515.0 / 1e6))
+    assert(r.map(_.getAs[Double]("backoff_rate")).toSeq == Seq(0.0, 0.0, 1.0))
   }
 
   test("mixtureTemperature: α=0.5 up-weights small sources, exact rates") {
@@ -308,8 +329,11 @@ class TextDedupSpec extends SparkSpec {
     val bySrc = r.map(x => x.getString(0) ->
       ((x.getAs[Long]("n_total"), x.getAs[Double]("keep_rate"),
         x.getAs[Long]("n_kept")))).toMap
-    assert(bySrc("A")._1 == 400 && bySrc("A")._2 == 0.416667)
-    assert(bySrc("B")._1 == 100 && bySrc("B")._2 == 0.833333)
+    // raw rate doubles (no final round), same op order as the Column
+    assert(bySrc("A")._1 == 400 &&
+      bySrc("A")._2 == 0.5 * 500 * (20.0 / 30.0) / 400)
+    assert(bySrc("B")._1 == 100 &&
+      bySrc("B")._2 == 0.5 * 500 * (10.0 / 30.0) / 100)
     // the Bernoulli is content-stable; counts land near n·rate
     assert(bySrc("A")._3 > 100 && bySrc("A")._3 < 300)
     assert(bySrc("B")._3 > 50 && bySrc("B")._3 <= 100)
@@ -320,8 +344,9 @@ class TextDedupSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
     assert(r.map(_.getAs[String]("t")).toSeq == Seq("a", "b"))
     assert(r.map(_.getAs[Long]("cnt")).toSeq == Seq(3L, 2L))
-    // 3/6 and 5/6 of all token occurrences
-    assert(r.map(_.getAs[Double]("cum_frac")).toSeq == Seq(0.5, 0.833333))
+    // 3/6 and 5/6 of all token occurrences (raw quotients)
+    assert(r.map(_.getAs[Double]("cum_frac")).toSeq ==
+      Seq(3.0 / 6.0, 5.0 / 6.0))
   }
 
   test("chunkDocs: overlapping windows cover every token, trailing chunk kept") {
