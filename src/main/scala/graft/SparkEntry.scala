@@ -388,6 +388,9 @@ object SparkEntry {
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    // relative per-source gate beside the absolute one above.
+    "quality_top_decile" -> ((s, dir) =>
+      TextAnalysis.qualityTopDecile(Tables.documents(s, dir))),
     "corpus_balance" -> ((s, dir) =>
       TextAnalysis.balanceByLanguage(Tables.documents(s, dir))
         .orderBy(col("lang_pred"), col("lang_rank"))),
@@ -486,6 +489,19 @@ object SparkEntry {
     // k-means compactness audit: per-cell size + mean/worst centroid cos.
     "cluster_profile" -> ((s, dir) =>
       Similarity.clusterProfile(Tables.embeddings(s, dir))),
+    // prototype subsample: perCell closest-to-centroid per k-means cell.
+    "diversity_sample" -> ((s, dir) =>
+      Similarity.diversitySample(Tables.embeddings(s, dir))),
+    // the REMOVAL step of semantic dedup applied to the document table
+    // (doc_id and vec_id share the id space): the corpus a pipeline
+    // ships after SemDeDup.
+    "dedup_semantic_docs" -> ((s, dir) =>
+      Tables.documents(s, dir).join(
+        Similarity.semanticDedup(Tables.embeddings(s, dir))
+          .filter(col("kept"))
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
     "embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
@@ -1688,6 +1704,21 @@ object SparkEntry {
          |SELECT doc_id, quality_score FROM q WHERE quality_score >= 0.35
          |ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.qualityTopDecile: per-source ntile(10) cut
+    // (rank-based — no percentile interpolation to drift cross-engine).
+    "quality_top_decile" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks, text
+        |       FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+        |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+        |  FROM t),
+        |r AS (SELECT *, ntile(10) OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS dec
+        |      FROM q)
+        |SELECT source, doc_id, quality_score FROM r WHERE dec = 10
+        |ORDER BY source, doc_id""".stripMargin,
+
     "corpus_balance" ->
       s"""$docsCte,
          |s AS (SELECT doc_id,
@@ -2135,6 +2166,27 @@ object SparkEntry {
          |  CAST(min(c6) AS DOUBLE) / 1000000.0 AS min_centroid_cos
          |FROM j GROUP BY cell ORDER BY cell""".stripMargin,
 
+    // mirrors Similarity.diversitySample: cluster_profile's chain with a
+    // per-cell rank cut.
+    "diversity_sample" ->
+      s"""$embCte,
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM n WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells", "c2")},
+         |j AS (SELECT cells.cell, cells.vec_id,
+         |        CAST(round(${dotSql("cells.v", "c2.cv")}
+         |          / (cells.nrm * c2.c_nrm) * 1000000.0, 0) AS BIGINT) AS c6
+         |      FROM cells JOIN c2 ON cells.cell = c2.cell),
+         |r AS (SELECT cell, vec_id, c6,
+         |        row_number() OVER (PARTITION BY cell ORDER BY c6 DESC, vec_id) AS rk
+         |      FROM j)
+         |SELECT cell, rk, vec_id, CAST(c6 AS DOUBLE) / 1000000.0 AS centroid_cos
+         |FROM r WHERE rk <= 4 ORDER BY cell, rk""".stripMargin,
+
     // mirrors Similarity.semanticDedup: the ann_ivf_kmeans centroid
     // chain, then within-cell pairs (star pairs past the 256 cap), drop
     // every id2 of a qualifying pair.
@@ -2165,6 +2217,38 @@ object SparkEntry {
          |SELECT cs.vec_id, cs.cell, (dup.id2 IS NULL) AS kept
          |FROM cs LEFT JOIN dup ON cs.vec_id = dup.id2
          |ORDER BY cs.vec_id""".stripMargin,
+
+    // mirrors the dedup_semantic chain, then ships the surviving docs.
+    "dedup_semantic_docs" ->
+      s"""$embCte,
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM n WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells", "c2")},
+         |cs AS (SELECT vec_id, cell, v, nrm,
+         |         count(*) OVER (PARTITION BY cell) AS cn,
+         |         min(vec_id) OVER (PARTITION BY cell) AS cmin
+         |       FROM cells),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |         FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |         WHERE a.cn <= 256
+         |         UNION ALL
+         |         SELECT cmin AS id1, vec_id AS id2
+         |         FROM cs WHERE cn > 256 AND vec_id > cmin),
+         |p AS (SELECT cand.id1, cand.id2,
+         |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |      FROM cand JOIN n x ON x.vec_id = cand.id1
+         |                JOIN n y ON y.vec_id = cand.id2),
+         |dup AS (SELECT DISTINCT id2 FROM p WHERE cosine >= 0.45)
+         |SELECT d.doc_id, d.source, d.lang
+         |FROM documents d
+         |JOIN cs ON cs.vec_id = d.doc_id
+         |LEFT JOIN dup ON cs.vec_id = dup.id2
+         |WHERE dup.id2 IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_embed_lsh" ->
       s"""$embCte,

@@ -522,6 +522,33 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Prototype (diversity-aware) subsampling: keep the `perCell`
+    * vectors CLOSEST to each k-means centroid — one prototype set per
+    * semantic region, so the sample spans the embedding space instead
+    * of oversampling its dense core (the SSL-prototypes/D4 family of
+    * curation steps; ordering by cosine ASC instead gives the
+    * hard-example variant). One assignment scan + a per-cell top-k that
+    * plans as WindowGroupLimit — rank cut before any full-cell sort
+    * materializes.
+    */
+  def diversitySample(embeddings: DataFrame, perCell: Int = 4,
+                      kCells: Int = 8, iters: Int = 2): DataFrame = {
+    val n = normed(embeddings)
+    val cents = kmeansCentroids(n, kCells, iters)
+    val cells = assignCells(n, cents)
+    cells.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))
+          * lit(1e6), 0).cast("long").as("c6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("c6").desc, col("vec_id"))))
+      .filter(col("rk") <= perCell)
+      .select(col("cell"), col("rk"), col("vec_id"),
+        (col("c6").cast("double") / lit(1e6)).as("centroid_cos"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
   /** Hard-negative mining for contrastive embedding training: for each
     * query vector, the top-k most similar SAME-label vectors (positives)
     * and the top-k most similar DIFFERENT-label vectors (hard negatives

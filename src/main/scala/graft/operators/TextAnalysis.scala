@@ -306,6 +306,25 @@ object TextAnalysis {
     docs.filter(
       pmod(hash60(concat(lit("sample_"), col("doc_id"))), lit(100)) < pct)
 
+  /** Per-source top-decile quality cut: keep each source's best 10% by
+    * quality score — the RELATIVE gate that complements
+    * [[qualityFilter]]'s absolute threshold (an absolute cut starves
+    * low-scoring sources entirely; a per-source decile keeps every
+    * feed's best). Rank-based via ntile (integer bucketing over a
+    * total order — no percentile interpolation, so there is no
+    * floating threshold to drift cross-engine); one window shuffle
+    * keyed by source.
+    */
+  def qualityTopDecile(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"),
+      qualityScoreCol.as("quality_score"))
+    .withColumn("dec", ntile(10).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("quality_score"), col("doc_id"))))
+    .filter(col("dec") === 10)
+    .select(col("source"), col("doc_id"), col("quality_score"))
+    .orderBy(col("source"), col("doc_id"))
+
   /** Quality gate: the filter step of the corpus pipeline — keep docs
     * whose [[stats]] quality score clears the threshold. Returns doc_id
     * + the score so the cut is auditable.

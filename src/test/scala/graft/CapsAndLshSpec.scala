@@ -196,6 +196,20 @@ class CapsAndLshSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("min_centroid_cos") == 1.0))
   }
 
+  test("diversitySample keeps perCell prototypes per cell, min-id ties") {
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val emb = Seq((0L, e1, 0), (1L, e2, 0), (2L, e1, 0), (3L, e1, 0),
+      (4L, e2, 0), (5L, e2, 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity
+      .diversitySample(emb, perCell = 2, kCells = 2, iters = 1).collect()
+    // all members sit ON their centroid (cos 1.0) → ties break by id
+    assert(r.map(x => (x.getAs[Int]("cell"), x.getAs[Int]("rk"),
+      x.getAs[Long]("vec_id"))).toSeq ==
+      Seq((0, 1, 0L), (0, 2, 2L), (1, 1, 1L), (1, 2, 4L)))
+    assert(r.forall(_.getAs[Double]("centroid_cos") == 1.0))
+  }
+
   test("semanticDedup: identical flood degrades to star pairs, keeps one rep") {
     // 12 identical vectors collapse to one cell of size 12 > maxCell=4:
     // pair generation degrades to stars around the cell min, which still

@@ -181,7 +181,9 @@ class PlanSpec extends SparkSpec {
       // packed-centroid broadcast, same as dedup_semantic
       "cluster_profile",
       // 1-row LM-model cross join, same as lm_score
-      "lm_score_bigram")
+      "lm_score_bigram",
+      // packed-centroid broadcast, same as dedup_semantic
+      "diversity_sample", "dedup_semantic_docs")
     // pipeline_gold_e2e executes real streaming hops at construction —
     // it is an execution harness, not a plan shape
     val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")

@@ -301,6 +301,18 @@ class TextDedupSpec extends SparkSpec {
     assert(lp(2) < lp(0))
   }
 
+  test("qualityTopDecile keeps exactly each source's top decile") {
+    // 10 docs, one source, strictly increasing quality (more distinct
+    // non-stop tokens → higher length factor) → ntile(10) puts one doc
+    // per decile and only the best survives
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, (0 to i + 1).map(j => s"w$j").mkString(" "), "A")
+    }.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.qualityTopDecile(corpus).collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getLong(1)) == (("A", 9L)))
+  }
+
   test("lmScoreBigram: seen bigrams score c(b)/c(prefix), unseen back off") {
     val corpus = Seq(
       (0L, "a b a b", "en"), // train bigrams: (a,b)×2, (b,a)×1
