@@ -407,6 +407,9 @@ object SparkEntry {
     // context-length chunking: overlapping token windows per doc.
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir))),
+    // passage-level dedup over the chunk stream.
+    "dedup_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDupes(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "balanced_sample" -> ((s, dir) =>
@@ -1807,6 +1810,17 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(toks, g.s, g.s + 127), ' ')) AS chunk_md5
         |FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors TextAnalysis.chunkDupes: chunk stream grouped by md5.
+    "dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, g.s, g.s + 127), ' ')) AS chunk_md5
+        |      FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s))
+        |SELECT chunk_md5, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc
+        |FROM c GROUP BY chunk_md5 HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin,
 
     // mirrors TextAnalysis.lmScore: unigram counts over the lang='en'
     // slice, Laplace-smoothed log-probs rounded+scaled to exact longs

@@ -295,6 +295,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level (passage) dedup: group [[chunkDocs]] windows by md5
+    * and report every chunk that appears more than once — repeated
+    * PASSAGES across (or within) documents, the granularity document-
+    * level dedup misses (two long docs sharing one boilerplate section
+    * are not near-dups, but the section still trains twice). One
+    * hash-key aggregation over the map-only chunk stream.
+    */
+  def chunkDupes(docs: DataFrame, chunkTokens: Int = 128,
+                 stride: Int = 96): DataFrame =
+    chunkDocs(docs, chunkTokens, stride)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_chunks") > 1)
+      .orderBy(col("chunk_md5"))
+
   /** Deterministic fractional sampling: keep the docs whose 60-bit
     * content-independent id hash lands in the first `pct` of 100
     * buckets. Unlike `df.sample`, this is reproducible across engines,

@@ -373,6 +373,16 @@ class TextDedupSpec extends SparkSpec {
       Seq(hex("t0 t1 t2"), hex("t2 t3 t4"), hex("t4")))
   }
 
+  test("chunkDupes groups repeated passages across documents") {
+    // docs 0 and 1 share their only chunk verbatim; doc 2 is unique
+    val r = TextAnalysis.chunkDupes(docs("x y z", "x y z", "a b c"),
+      chunkTokens = 3, stride = 3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_chunks") == 2)
+    assert(r.head.getAs[Long]("n_docs") == 2)
+    assert(r.head.getAs[Long]("rep_doc") == 0L)
+  }
+
   test("hardNegatives: wrong-label impostor is the top negative") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), // query
