@@ -7,7 +7,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.Schemas.Trade
-import graft.operators.{Gold, Silver}
+import graft.operators.{Gold, Silver, TextAnalysis}
 
 /** Property-based invariants over random trade sets (SURVEY §5.2.4).
   * Uses ScalaCheck generators with FIXED seeds (deterministic CI) driven
@@ -215,5 +215,48 @@ class PropertySpec extends SparkSpec {
       assert(shards.forall(r => (0L until n.toLong)
         .contains(r.getAs[Long]("shard"))), s"n=$n")
     }
+  }
+
+  test("chunkDocs covers every token exactly once per stride window") {
+    // for random doc lengths: chunk count = ⌊(n−1)/stride⌋ + 1,
+    // indices contiguous from 0, every non-trailing chunk full when
+    // n ≥ chunk size, trailing chunk carries the remainder
+    val (c, s) = (16, 12)
+    val lengths = Gen.listOfN(24, Gen.choose(1, 80))
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    val docs = lengths.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(docs, chunkTokens = c, stride = s)
+      .collect().groupBy(_.getLong(0))
+    lengths.zipWithIndex.foreach { case (n, i) =>
+      val chunks = rows(i.toLong).sortBy(_.getAs[Int]("chunk_idx"))
+      val k = (n - 1) / s + 1
+      assert(chunks.length == k, s"doc=$i n=$n")
+      assert(chunks.map(_.getAs[Int]("chunk_idx")).toSeq == (0 until k))
+      chunks.zipWithIndex.foreach { case (ch, j) =>
+        val start = j * s // 0-based
+        val expect = math.min(c, n - start)
+        assert(ch.getAs[Int]("n_chunk_tokens") == expect,
+          s"doc=$i n=$n chunk=$j")
+      }
+    }
+  }
+
+  test("mixtureTemperature: rates in (0,1], kept bounded, totals preserved") {
+    val sizes = Gen.listOfN(6, Gen.choose(5, 400))
+      .pureApply(Gen.Parameters.default, Seed(11L))
+    val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+      (0 until n).map(i => ((s * 10000 + i).toLong, s"tok$i", s"S$s"))
+    }.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixtureTemperature(docs).collect()
+    assert(r.length == sizes.length)
+    r.foreach { row =>
+      val (nTot, rate, nKept) = (row.getAs[Long]("n_total"),
+        row.getAs[Double]("keep_rate"), row.getAs[Long]("n_kept"))
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(nKept >= 0 && nKept <= nTot)
+    }
+    assert(r.map(_.getAs[Long]("n_total")).sum == sizes.map(_.toLong).sum)
   }
 }
