@@ -410,6 +410,9 @@ object SparkEntry {
     // passage-level dedup over the chunk stream.
     "dedup_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDupes(Tables.documents(s, dir))),
+    // train/val/test distribution-parity audit (decontaminate's split).
+    "split_audit" -> ((s, dir) =>
+      TextAnalysis.splitAudit(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "balanced_sample" -> ((s, dir) =>
@@ -1810,6 +1813,19 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(toks, g.s, g.s + 127), ' ')) AS chunk_md5
         |FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors TextAnalysis.splitAudit: same salted-hash split as
+    // decontaminate; shares are raw exact-integer quotients.
+    "split_audit" ->
+      s"""WITH b AS (SELECT lang,
+         |        CASE WHEN ${h60("'split_' || doc_id")} % 100 < 10 THEN 'test'
+         |             WHEN ${h60("'split_' || doc_id")} % 100 < 20 THEN 'val'
+         |             ELSE 'train' END AS split
+         |      FROM documents),
+         |g AS (SELECT split, lang, count(*) AS n FROM b GROUP BY split, lang)
+         |SELECT split, lang, n,
+         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY split) AS DOUBLE) AS share
+         |FROM g ORDER BY split, lang""".stripMargin,
 
     // mirrors TextAnalysis.chunkDupes: chunk stream grouped by md5.
     "dedup_chunks" ->

@@ -295,6 +295,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Split audit: assign every doc to train/val/test by the SAME salted
+    * hash as [[decontaminate]]'s test split (buckets 0-9 = test, 10-19 =
+    * val, rest = train — membership is content-stable and consistent
+    * with the decontamination pass), then report per-(split, language)
+    * counts and within-split shares — the distribution-parity check run
+    * before shipping an eval split (a skewed language mix across splits
+    * invalidates comparisons). One aggregation; shares are exact-integer
+    * quotients (bit-identical cross-engine, no rounding).
+    */
+  def splitAudit(docs: DataFrame): DataFrame = {
+    val bucket = pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100))
+    val split = when(bucket < 10, "test")
+      .when(bucket < 20, "val").otherwise("train")
+    docs.select(split.as("split"), col("lang"))
+      .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("split")))
+          .cast("double"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Chunk-level (passage) dedup: group [[chunkDocs]] windows by md5
     * and report every chunk that appears more than once — repeated
     * PASSAGES across (or within) documents, the granularity document-

@@ -373,6 +373,19 @@ class TextDedupSpec extends SparkSpec {
       Seq(hex("t0 t1 t2"), hex("t2 t3 t4"), hex("t4")))
   }
 
+  test("splitAudit: shares sum to 1 per split, totals preserved") {
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.splitAudit(corpus).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == 200)
+    val bySplit = r.groupBy(_.getString(0))
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    bySplit.values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("chunkDupes groups repeated passages across documents") {
     // docs 0 and 1 share their only chunk verbatim; doc 2 is unique
     val r = TextAnalysis.chunkDupes(docs("x y z", "x y z", "a b c"),
