@@ -39,6 +39,12 @@ object SparkEntry {
     "q3_revenue_topk" -> ((s, dir) =>
       Relational.revenueTopK(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // the bucketed-layout surface: same results as an unbucketed
+    // orders⋈lineitem rollup (bucketing is pure layout — that IS the
+    // oracle check); zero fact-side shuffle, asserted in PlanSpec.
+    "bucketed_order_revenue" -> ((s, dir) =>
+      Relational.bucketedOrderRevenue(s, Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -413,6 +419,8 @@ object SparkEntry {
     // train/val/test distribution-parity audit (decontaminate's split).
     "split_audit" -> ((s, dir) =>
       TextAnalysis.splitAudit(Tables.documents(s, dir))),
+    "quality_drift" -> ((s, dir) =>
+      TextAnalysis.qualityDrift(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "balanced_sample" -> ((s, dir) =>
@@ -467,6 +475,21 @@ object SparkEntry {
     "dedup_keep_reps" -> ((s, dir) =>
       Dedup.keepRepresentatives(Tables.documents(s, dir))
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // incremental dedup: the daily-pipeline shape — a salted-hash 20%
+    // "new batch" checked against the signature index of the other 80%
+    // (standing in for the persisted index table; the persisted-parquet
+    // path with its one-scan-each plan is IncrementalDedupSpec).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      Dedup.incrementalNearDups(
+        Dedup.minhashSignatures(docs.filter(isHist)), docs.filter(!isHist))
+    }),
+    // passage dedup -> document clusters: docs sharing duplicated
+    // chunks, resolved transitively by the pointer-jumping CC.
+    "dedup_chunk_clusters" -> ((s, dir) =>
+      TextAnalysis.chunkClusters(Tables.documents(s, dir))),
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
@@ -704,6 +727,19 @@ object SparkEntry {
       |    WHEN 2 THEN concat_ws(',', h8, h9, h10, h11)
       |    ELSE concat_ws(',', h12, h13, h14, h15) END) AS bkey
       |  FROM sig, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
+
+  /** Band-key CTE over an arbitrary signature CTE `src`, KEEPING the
+    * h0..h15 columns (mirrors Dedup.signatureBands — the payload-
+    * through-LSH shape of the incremental dedup check).
+    */
+  private def sigBandsCte(name: String, src: String) =
+    s"""$name AS (SELECT s_.*, u.b AS b,
+       |  md5(CASE u.b
+       |    WHEN 0 THEN concat_ws(',', h0, h1, h2, h3)
+       |    WHEN 1 THEN concat_ws(',', h4, h5, h6, h7)
+       |    WHEN 2 THEN concat_ws(',', h8, h9, h10, h11)
+       |    ELSE concat_ws(',', h12, h13, h14, h15) END) AS bkey
+       |  FROM $src s_, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
 
   /** Jaccard-verification CTE chain over candidate pairs `cand(d1,d2)`
     * against the shingle index named `idx` (mirrors Dedup.verifyJaccard;
@@ -1472,7 +1508,7 @@ object SparkEntry {
          |      FROM w GROUP BY symbol)
          |SELECT symbol, n, p01, p99,
          |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS w_mean,
-         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS w_stddev,
+         |  CASE WHEN n > 1 THEN round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) END AS w_stddev,
          |  CAST(n_clipped_low AS BIGINT) AS n_clipped_low,
          |  CAST(n_clipped_high AS BIGINT) AS n_clipped_high
          |FROM a ORDER BY symbol""".stripMargin,
@@ -1827,6 +1863,33 @@ object SparkEntry {
          |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY split) AS DOUBLE) AS share
          |FROM g ORDER BY split, lang""".stripMargin,
 
+    // mirrors TextAnalysis.qualityDrift: fixed-width score deciles,
+    // per-source shares of two salted halves, exact-integer quotients.
+    "quality_drift" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |  FROM t),
+         |b AS (SELECT source,
+         |        ${h60("'drift_' || doc_id")} % 2 AS sp,
+         |        least(CAST(floor(quality_score * 10.0) AS INT), 9) AS decile
+         |      FROM q),
+         |g AS (SELECT source, decile,
+         |        CAST(sum(CASE WHEN sp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(sum(CASE WHEN sp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |      FROM b GROUP BY source, decile),
+         |s AS (SELECT source, decile, n_a, n_b,
+         |        CASE WHEN sum(n_a) OVER (PARTITION BY source) > 0
+         |          THEN CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER (PARTITION BY source) AS DOUBLE) END AS share_a,
+         |        CASE WHEN sum(n_b) OVER (PARTITION BY source) > 0
+         |          THEN CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER (PARTITION BY source) AS DOUBLE) END AS share_b
+         |      FROM g)
+         |SELECT source, decile, n_a, n_b, share_a, share_b,
+         |  abs(share_a - share_b) AS abs_drift
+         |FROM s ORDER BY source, decile""".stripMargin,
+
     // mirrors TextAnalysis.chunkDupes: chunk stream grouped by md5.
     "dedup_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2045,6 +2108,59 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropd)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Dedup.incrementalNearDups: 80/20 salted history/delta
+    // split, signatures for both, band-key join, history buckets capped
+    // at the 64 smallest doc_ids, signature-agreement estimate >= 8/16.
+    "dedup_incremental" -> {
+      val matchSum = (0 until Dedup.NumHashes)
+        .map(i => s"(CASE WHEN h.h$i = d.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$docsCte,
+         |$sigCte,
+         |hs AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |dsg AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |${sigBandsCte("hb0", "hs")},
+         |hb AS (SELECT * FROM hb0
+         |       QUALIFY row_number() OVER (PARTITION BY b, bkey ORDER BY doc_id) <= ${Dedup.MaxBucketSize}),
+         |${sigBandsCte("db", "dsg")},
+         |cand AS (SELECT DISTINCT h.doc_id AS hist_doc, d.doc_id AS delta_doc,
+         |           CAST($matchSum AS INT) AS n_matching
+         |         FROM hb h JOIN db d ON h.b = d.b AND h.bkey = d.bkey)
+         |SELECT hist_doc, delta_doc, n_matching,
+         |  CAST(n_matching AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
+         |FROM cand WHERE n_matching >= ${Dedup.NumHashes / 2}
+         |ORDER BY hist_doc, delta_doc""".stripMargin
+    },
+
+    // mirrors TextAnalysis.chunkClusters: docs sharing a duplicated
+    // chunk are edges (hot chunks degrade to star pairs vs the chunk's
+    // minimum doc), connected components assign representatives.
+    "dedup_chunk_clusters" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |c AS (SELECT DISTINCT doc_id,
+         |        md5(array_to_string(list_slice(toks, g.s, g.s + 127), ' ')) AS chunk_md5
+         |      FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s)),
+         |st AS (SELECT doc_id, chunk_md5,
+         |         count(*) OVER (PARTITION BY chunk_md5) AS bn,
+         |         min(doc_id) OVER (PARTITION BY chunk_md5) AS bmin
+         |       FROM c),
+         |p AS (SELECT a.doc_id AS d1, b2.doc_id AS d2
+         |      FROM st a JOIN st b2
+         |        ON a.chunk_md5 = b2.chunk_md5 AND a.doc_id < b2.doc_id
+         |      WHERE a.bn <= ${Dedup.MaxBucketSize}
+         |      UNION
+         |      SELECT bmin AS d1, doc_id AS d2
+         |      FROM st WHERE bn > ${Dedup.MaxBucketSize} AND doc_id > bmin),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id,
@@ -2470,6 +2586,15 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    // bucketed twin: bucketing is pure layout, so the oracle is the
+    // plain unbucketed join — identical results IS the check.
+    "bucketed_order_revenue" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "region_revenue" ->
       """SELECT r_name, n_name,

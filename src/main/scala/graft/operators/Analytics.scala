@@ -327,7 +327,11 @@ object Analytics {
         sum((col("price") > col("p99")).cast("long")).as("n_clipped_high"))
       .select(col("symbol"), col("n"), col("p01"), col("p99"),
         round(s1 / n, 6).as("w_mean"),
-        round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0d))), 6).as("w_stddev"),
+        // n = 1 would divide by zero and emit NaN — a meaningless row
+        // both engines happen to agree on; NULL is the honest value
+        when(col("n") > 1,
+          round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0d))), 6))
+          .as("w_stddev"),
         col("n_clipped_low"), col("n_clipped_high"))
       .orderBy(col("symbol"))
   }

@@ -133,14 +133,24 @@ object Dedup {
   /** (doc_id, band, bkey) — one row per signature band; the LSH bucket
     * key is the md5 of the band's 4 consecutive minhash values.
     */
-  def bandKeys(sigs: DataFrame): DataFrame = {
+  def bandKeys(sigs: DataFrame): DataFrame =
+    signatureBands(sigs).select(col("doc_id"), col("band"), col("bkey"))
+
+  /** Band rows CARRYING the full signature (doc_id, h0..h15, band,
+    * bkey) — the payload-through-LSH shape: downstream verification can
+    * compare signatures directly off the band join with no extra join
+    * back to (= no second scan of) the signature table. Column pruning
+    * reduces this to [[bandKeys]] when the signatures aren't consumed.
+    */
+  def signatureBands(sigs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val keys = (0 until NumBands).map { b =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*))
     }
-    sigs.select(col("doc_id"),
-      posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+    sigs.select(col("doc_id") +:
+      (0 until NumHashes).map(i => col(s"h$i")) :+
+      posexplode(array(keys: _*)).as(Seq("band", "bkey")): _*)
   }
 
   /** LSH candidate pairs: docs whose signatures collide in ≥1 band of 4
@@ -199,6 +209,56 @@ object Dedup {
     val sh = shingled(docs).localCheckpoint(false)
     verifyJaccard(lshCandidates(minhashSignaturesFrom(sh)), sh, threshold)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Incremental near-dup check — the shape a corpus pipeline runs
+    * DAILY: a new batch of documents tested against the persisted
+    * minhash-signature index of the historical corpus, WITHOUT
+    * re-shingling (or even re-reading the text of) the history. Only
+    * the delta is shingled and signed; the history contributes nothing
+    * but its signature table, scanned exactly once (the signatures ride
+    * the band rows — [[signatureBands]] — so verification needs no
+    * second join against the index).
+    *
+    * Verification is the signature-agreement estimate
+    * `est_jaccard = |{i : h_i^hist = h_i^delta}| / NumHashes` — the
+    * standard unbiased minhash estimator — NOT an exact shingle
+    * Jaccard, precisely because exact verification would require
+    * re-shingling history text. Threshold `minMatching` of
+    * [[NumHashes]] components (default half, ≈ Jaccard 0.5).
+    *
+    * Scale shape: one scan of the signature table + one of the delta,
+    * one WindowGroupLimit rank cut capping hot history buckets at
+    * `maxBucket` (keeping the smallest doc_ids — the cluster
+    * representatives exact dedup would keep), one equi-join shuffle on
+    * (band, bkey), and a distinct whose input is pre-filtered by the
+    * match threshold map-side. History size affects only the join's
+    * build traffic — never a re-tokenization.
+    */
+  def incrementalNearDups(histSigs: DataFrame, deltaDocs: DataFrame,
+                          minMatching: Int = NumHashes / 2,
+                          maxBucket: Int = MaxBucketSize): DataFrame = {
+    val hb = signatureBands(histSigs)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+      .filter(col("r") <= maxBucket)
+      .drop("r")
+    val db = signatureBands(minhashSignatures(deltaDocs))
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"h.h$i") === col(s"d.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    hb.as("h").join(db.as("d"),
+        col("h.band") === col("d.band") && col("h.bkey") === col("d.bkey"))
+      .select(col("h.doc_id").as("hist_doc"),
+        col("d.doc_id").as("delta_doc"), matches.as("n_matching"))
+      .filter(col("n_matching") >= minMatching)
+      .distinct()
+      .select(col("hist_doc"), col("delta_doc"), col("n_matching"),
+        // exact: small-int / 16 is IEEE-exact, bit-identical everywhere
+        (col("n_matching").cast("double") / lit(NumHashes.toDouble))
+          .as("est_jaccard"))
+      .orderBy(col("hist_doc"), col("delta_doc"))
   }
 
   /** n-gram Jaccard near-dup via the inverted index (no LSH): every pair

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lakehouse table maintenance.
@@ -28,6 +28,35 @@ object Maintenance {
       .option("compression", "snappy")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(outDir)
+  }
+
+  /** Bucketed table layout: write `df` hash-clustered (and per-file
+    * sorted) on `bucketCol` into `nBuckets` buckets. Two fact tables
+    * bucketed on their join key with the same bucket count join with
+    * ZERO shuffle exchange — the files ARE the shuffle output,
+    * materialized once at write time and reused by every subsequent
+    * join/aggregation on that key (the cluster-scale answer for a
+    * repeated orders⋈lineitem-shape join; SortMergeJoin reads the
+    * per-bucket sorted files directly). On a real cluster `nBuckets`
+    * sizes to data / ~1 GB; the sortBy makes each bucket file
+    * merge-ready so the join skips its sort too.
+    */
+  def bucketize(df: DataFrame, table: String, bucketCol: String,
+                nBuckets: Int = 8, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a stale warehouse directory left by a PREVIOUS session is not in
+    // this session's catalog, so mode("overwrite") alone would fail the
+    // write with locationAlreadyExists — remove the orphan explicitly
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
   }
 
   /** Data-skipping layout (Z-order lite): range-partition the table on

@@ -52,6 +52,35 @@ object Relational {
       .withColumn("avg_price", col("sum_base_price") / col("count_order").cast("double"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** The bucketed fact-fact join surface: [[Maintenance.bucketize]]
+    * both fact tables on the join key, then run the orders⋈lineitem
+    * revenue rollup over the BUCKETED tables — the join consumes the
+    * bucket layout and plans with zero shuffle exchange on either fact
+    * side (only the final tiny group-by shuffles; asserted in
+    * BucketingSpec/PlanSpec). Results are identical to the unbucketed
+    * twin — bucketing is pure layout — which is exactly what the
+    * oracle checks. At 100 TB this is the amortization play: one
+    * bucketized write, then every subsequent orderkey join/aggregation
+    * skips the two biggest shuffles of the workload.
+    */
+  def bucketedOrderRevenue(spark: org.apache.spark.sql.SparkSession,
+                           orders: DataFrame, lineitem: DataFrame,
+                           nBuckets: Int = 8): DataFrame = {
+    Maintenance.bucketize(
+      orders.select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "o_orderkey", nBuckets, Seq("o_orderkey"))
+    Maintenance.bucketize(
+      lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")),
+      "graft_b_lineitem", "l_orderkey", nBuckets, Seq("l_orderkey"))
+    spark.table("graft_b_orders")
+      .join(spark.table("graft_b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), revenueAgg.as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Revenue top-K (TPC-H Q3 shape): selective dim filter → 3-way join →
     * agg → top-K. Scale: customer filter prunes early; orders⋈lineitem is
     * the big shuffle join on l_orderkey (co-partitioned by key at scale via

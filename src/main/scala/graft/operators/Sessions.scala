@@ -243,6 +243,12 @@ object Sessions {
         .filter(col("ts") > col(prevT))
         .groupBy(col("user_id"))
         .agg(max(col(prevT)).as(prevT), min(col("ts")).as(outT))
+        // localCheckpoint truncates lineage to executor-local blocks: an
+        // executor loss makes the frame unrecoverable and FAILS the job
+        // rather than recomputing. Deliberate here (frames are tiny,
+        // per-user rows; a cluster pipeline would persist each stage as
+        // a table between jobs) — use persist() instead if
+        // recompute-on-loss matters more than lineage truncation.
         .localCheckpoint(false)
     def summaryRow(df: DataFrame, idx: Int, name: String,
                    prevT: Option[String], t: String): DataFrame = {

@@ -202,7 +202,11 @@ object TextAnalysis {
     * `1, 1+stride, …` while ≤ n_tokens, so every token is covered).
     * Map-only: one `sequence`+`transform` per row, zero shuffle; emits
     * the chunk md5 + token count (the audit columns) rather than
-    * re-materializing text.
+    * re-materializing text. The token count is ARITHMETIC
+    * (`least(chunkTokens, n − start + 1)` — the slice length by
+    * construction), not a re-split of the joined chunk string, so it
+    * cannot drift if the tokenizer ever stops being a lossless
+    * join/split round-trip.
     */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 128,
                 stride: Int = 96): DataFrame = {
@@ -211,11 +215,15 @@ object TextAnalysis {
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), size(toks), lit(stride)),
-          i => concat_ws(" ", slice(toks, i, lit(chunkTokens)))))
-          .as(Seq("chunk_idx", "chunk")))
+          i => struct(
+            least(lit(chunkTokens), size(toks) - i + lit(1))
+              .as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(toks, i, lit(chunkTokens))))
+              .as("chunk_md5"))))
+          .as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx"),
-        size(tokensCol(col("chunk"))).as("n_chunk_tokens"),
-        md5(col("chunk")).as("chunk_md5"))
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_md5").as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
@@ -333,6 +341,71 @@ object TextAnalysis {
         min(col("doc_id")).as("rep_doc"))
       .filter(col("n_chunks") > 1)
       .orderBy(col("chunk_md5"))
+
+  /** Chunk→document near-dup bridge: turn passage-level duplication
+    * ([[chunkDupes]]) into DOCUMENT-level dedup groups. Docs sharing a
+    * duplicated chunk become edges; [[Dedup.clusters]]'s pointer-jumping
+    * connected components resolve transitive sharing (A shares a chunk
+    * with B, B another with C → one cluster) into a representative per
+    * document — the removal set is then `doc_id ≠ cluster_rep`, exactly
+    * like [[Dedup.keepRepresentatives]]. Catches the case document-level
+    * dedup misses: long docs assembled from the same passages without
+    * being global near-dups.
+    *
+    * Scale shape: the chunk stream is map-only, the posting-list
+    * aggregation shuffles (chunk_md5, doc_id) pairs once, and hot
+    * chunks (boilerplate passages shared by thousands of docs) degrade
+    * to star pairs at `maxShared` (O(size), keeps the flood one
+    * component — same rationale as [[Dedup.MaxBucketSize]]). CC rounds
+    * are O(log diameter).
+    */
+  def chunkClusters(docs: DataFrame, chunkTokens: Int = 128,
+                    stride: Int = 96,
+                    maxShared: Int = Dedup.MaxBucketSize): DataFrame = {
+    val edges = chunkDocs(docs, chunkTokens, stride)
+      .groupBy(col("chunk_md5"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(org.apache.spark.sql.graft.SortedPairs
+        .column(col("ds"), maxShared).as(Seq("d1", "d2")))
+      .distinct()
+    Dedup.clusters(edges).orderBy(col("doc_id"))
+  }
+
+  /** Quality-score distribution drift: the per-snapshot monitoring
+    * query of a curation pipeline — compare the per-source quality
+    * histogram between two content-stable salted halves of the corpus.
+    * On one snapshot the halves are exchangeable, so any per-decile
+    * share gap is sampling noise: the baseline band. Run against
+    * yesterday's snapshot as the other half, the same query turns a
+    * silent scorer/extractor regression into a visible per-source,
+    * per-decile share shift.
+    *
+    * Deciles are FIXED-WIDTH score buckets (`floor(score·10)`, top
+    * bucket closed), not rank-based — rank deciles are drift-blind by
+    * construction (always 10%). Shares are exact-integer quotients per
+    * (source, half); identical doubles cross-engine, and their
+    * difference is IEEE-exact. One aggregation + one source-keyed
+    * window over ≤ |sources|·10 rows.
+    */
+  def qualityDrift(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val sp = pmod(hash60(concat(lit("drift_"), col("doc_id"))), lit(2))
+    val dec = least(floor(qualityScoreCol * lit(10.0d)).cast("int"), lit(9))
+    docs.select(col("source"), sp.as("sp"), dec.as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(sum(when(col("sp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("sp") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("source"), col("decile"), col("n_a"), col("n_b"),
+        when(sum(col("n_a")).over(w) > 0,
+          col("n_a").cast("double") / sum(col("n_a")).over(w).cast("double"))
+          .as("share_a"),
+        when(sum(col("n_b")).over(w) > 0,
+          col("n_b").cast("double") / sum(col("n_b")).over(w).cast("double"))
+          .as("share_b"))
+      .withColumn("abs_drift", abs(col("share_a") - col("share_b")))
+      .orderBy(col("source"), col("decile"))
+  }
 
   /** Deterministic fractional sampling: keep the docs whose 60-bit
     * content-independent id hash lands in the first `pct` of 100

@@ -151,6 +151,11 @@ object Streams {
                          within: String = "1 minute",
                          watermark: String = DefaultWatermark,
                          joinType: String = "inner"): DataFrame = {
+    // fail at construction, not deep inside query start: only these two
+    // types are supported-and-tested with this watermark shape
+    // (full_outer would need both-side state expiry conditions)
+    require(Set("inner", "left_outer")(joinType),
+      s"matchOppositeSides supports inner | left_outer, got '$joinType'")
     val b = buys
       .select(col("symbol"), col("event_time").as("buy_time"),
         col("price").as("buy_price"), col("size").as("buy_size"))

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental dedup: a new batch checked against a PERSISTED minhash
+  * signature index — the daily-pipeline shape where the historical
+  * corpus is never re-shingled (only its signature table is read).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val histDocs = docs(
+    0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    1L -> "completely different content about distributed query engines here",
+    2L -> "a third historical document with its own unique token stream")
+
+  test("identical delta doc matches its history twin with a full signature") {
+    val r = Dedup.incrementalNearDups(
+      Dedup.minhashSignatures(histDocs),
+      docs(10L -> "the quick brown fox jumps over the lazy dog near the river bank",
+           11L -> "totally unrelated new content sharing nothing with history"))
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("hist_doc") == 0L)
+    assert(row.getAs[Long]("delta_doc") == 10L)
+    assert(row.getAs[Int]("n_matching") == Dedup.NumHashes)
+    assert(row.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("near-duplicate delta doc matches with a partial signature") {
+    val r = Dedup.incrementalNearDups(
+      Dedup.minhashSignatures(histDocs),
+      // one token changed vs hist doc 0 — most shingles survive
+      docs(10L -> "the quick brown fox leaps over the lazy dog near the river bank"))
+      .collect()
+    assert(r.length == 1)
+    val m = r.head.getAs[Int]("n_matching")
+    assert(m >= Dedup.NumHashes / 2 && m < Dedup.NumHashes,
+      s"expected partial signature agreement, got $m/${Dedup.NumHashes}")
+  }
+
+  test("persisted index: one scan of the signature table, one of the delta") {
+    val base = Files.createTempDirectory("graft_inc").toString
+    val sigPath = s"$base/hist_sigs.parquet"
+    val deltaPath = s"$base/delta_docs.parquet"
+    // the "nightly" write: signatures persisted once
+    Dedup.minhashSignatures(histDocs).write.mode("overwrite").parquet(sigPath)
+    docs(10L -> "the quick brown fox jumps over the lazy dog near the river bank")
+      .write.mode("overwrite").parquet(deltaPath)
+
+    val out = Dedup.incrementalNearDups(
+      spark.read.parquet(sigPath), spark.read.parquet(deltaPath))
+
+    // the history contract: its TEXT is never touched (only the
+    // signature table is a plan input), and each input is scanned
+    // exactly once — signatures ride the band rows, so verification
+    // needs no second join back to the index
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 2, s"expected 2 scan leaves, got:\n$leaves")
+
+    // hot-bucket cap plans as a rank cut before the join, not a full
+    // bucket sort (WindowGroupLimit pushes the row_number <= cap down)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+
+    val r = out.collect()
+    assert(r.length == 1 && r.head.getAs[Int]("n_matching") == Dedup.NumHashes)
+  }
+
+  test("history bucket cap keeps the smallest doc_ids (representatives)") {
+    // many identical history docs: every band bucket holds all of them;
+    // with a tiny cap only the smallest `cap` doc_ids stay joinable
+    val flood = docs((0L until 6L).map(i => i -> "same boilerplate text repeated here every time"): _*)
+    val r = Dedup.incrementalNearDups(
+      Dedup.minhashSignatures(flood),
+      docs(100L -> "same boilerplate text repeated here every time"),
+      maxBucket = 2)
+      .collect()
+    assert(r.map(_.getAs[Long]("hist_doc")).toSeq == Seq(0L, 1L),
+      s"expected the 2 smallest history docs, got ${r.toSeq}")
+  }
+}

@@ -32,6 +32,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("bucketed fact-fact surface: the join itself never shuffles") {
+    // broadcast disabled so the co-located SortMergeJoin is what's
+    // asserted, not a small-SF broadcast shortcut
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("bucketed_order_revenue")
+      assert(p.contains("SortMergeJoin"))
+      // both fact scans feed the join straight from their bucket layout
+      assert(p.split("Bucketed: true").length - 1 == 2, s"unbucketed scan:\n$p")
+      // the only exchanges are ABOVE the join: the tiny group-by hash
+      // exchange + the output-order range exchange
+      val exchanges = p.split("\\(\\d+\\) Exchange").length - 1
+      assert(exchanges == 2, s"expected 2 exchanges (agg + sort), got $exchanges:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
+
   test("top-K plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q3_revenue_topk")
     assert(p.contains("TakeOrderedAndProject"))

@@ -19,6 +19,27 @@ class PropertySpec extends SparkSpec {
 
   private val baseMs = Timestamp.valueOf("2024-03-01 00:00:00").getTime
 
+  test("decimal-sum average is exact past 2^53 and partitioning-invariant") {
+    // bare avg() over longs accumulates a DOUBLE partial sum — order-
+    // dependent once |sum| exceeds 2^53. The repo convention (q17,
+    // json_props_profile) sums as DECIMAL then divides once: the sum is
+    // exact, the single division is IEEE-deterministic at any
+    // parallelism. 4 × 2^52 + 7 comfortably exceeds 2^53.
+    val big = 4503599627370496L // 2^52
+    val vals = Seq(big, big, big, big, 7L)
+    val expected = BigDecimal(
+      BigDecimal(vals.sum).toDouble / vals.length.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def decAvg(df: org.apache.spark.sql.DataFrame): Double = df
+      .agg(round(
+        sum(col("k").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+          .cast("double") / count(col("k")).cast("double"), 6).as("avg_k"))
+      .head.getDouble(0)
+    val df = vals.toDF("k")
+    assert(decAvg(df.repartition(1)) == expected)
+    assert(decAvg(df.repartition(7)) == expected)
+  }
+
   private val genTrade: Gen[Trade] = for {
     sym <- Gen.oneOf("BTC/USD", "ETH/USD", "SOL/USD")
     offsetSec <- Gen.choose(0L, 1800L)

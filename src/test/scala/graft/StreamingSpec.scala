@@ -464,6 +464,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bronze→silver hop + checkpointed restart run on RocksDB state store") {
+    // SCALING.md names RocksDB as the cluster drop-in for
+    // high-cardinality dedup state (off-heap, incremental-checkpoint);
+    // this runs the REAL file-stream hop — watermark + dropDuplicates
+    // state — plus the restart contract under that provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bronzeDir = tmpDir("graft_bronze_rocks")
+      val silverDir = tmpDir("graft_silver_rocks")
+      val ck = tmpDir("graft_ck_rocks")
+      val events = Tables.events(spark, "/root/testdata/sf0.001")
+      val frame = Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events))
+      frame.limit(100).write.mode("overwrite").parquet(bronzeDir)
+
+      val q1 = Streams.bronzeToSilver(spark, bronzeDir, silverDir, ck,
+        trigger = Trigger.AvailableNow())
+      q1.awaitTermination()
+      val n1 = spark.read.parquet(silverDir).count()
+      assert(n1 > 0)
+
+      // restart on the SAME RocksDB checkpoint: no new files => no new
+      // rows (committed batches are not reprocessed)
+      val q2 = Streams.bronzeToSilver(spark, bronzeDir, silverDir, ck,
+        trigger = Trigger.AvailableNow())
+      q2.awaitTermination()
+      assert(spark.read.parquet(silverDir).count() == n1)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("checkpointed restart does not reprocess committed batches") {
     val bronzeDir = tmpDir("graft_bronze2")
     val silverDir = tmpDir("graft_silver2")

@@ -373,6 +373,43 @@ class TextDedupSpec extends SparkSpec {
       Seq(hex("t0 t1 t2"), hex("t2 t3 t4"), hex("t4")))
   }
 
+  test("chunkClusters: shared passages bridge documents transitively") {
+    // doc0~doc1 share block B, doc1~doc2 share block C (4-token chunks,
+    // stride 4): one transitive cluster {0,1,2} with rep 0; doc3 shares
+    // nothing and stays out of the cluster frame entirely
+    val r = TextAnalysis.chunkClusters(docs(
+        "a1 a2 a3 a4 b1 b2 b3 b4",
+        "b1 b2 b3 b4 c1 c2 c3 c4",
+        "c1 c2 c3 c4 d1 d2 d3 d4",
+        "e1 e2 e3 e4"),
+      chunkTokens = 4, stride = 4).collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("cluster_rep")))
+      .toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L)))
+  }
+
+  test("qualityDrift: halves partition each source, shares are exact") {
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, (("tok" + i % 7 + " ") * (10 + i % 40)).trim, s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.qualityDrift(corpus).collect()
+    // every doc lands in exactly one (source, decile, half) cell
+    assert(r.map(x => x.getAs[Long]("n_a") + x.getAs[Long]("n_b")).sum == 300)
+    r.foreach { x =>
+      val d = x.getAs[Int]("decile")
+      assert(d >= 0 && d <= 9)
+      assert(x.getAs[Double]("abs_drift") >= 0.0)
+    }
+    // per-source shares each sum to 1 (exact-integer quotients)
+    r.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("share_a")).sum - 1.0) < 1e-12)
+      assert(math.abs(rows.map(_.getAs[Double]("share_b")).sum - 1.0) < 1e-12)
+    }
+    // partitioning-invariant: the salted-hash halves and integer
+    // arithmetic cannot depend on physical layout
+    val r2 = TextAnalysis.qualityDrift(corpus.repartition(7)).collect()
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("splitAudit: shares sum to 1 per split, totals preserved") {
     val corpus = (0 until 200)
       .map(i => (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
