@@ -486,6 +486,16 @@ object SparkEntry {
       Dedup.incrementalNearDups(
         Dedup.minhashSignatures(docs.filter(isHist)), docs.filter(!isHist))
     }),
+    // the SHIP step of the daily job: delta docs that survive the
+    // incremental check (the flagged set anti-joined away).
+    "dedup_incremental_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      Dedup.incrementalApply(
+        Dedup.minhashSignatures(docs.filter(isHist)), docs.filter(!isHist))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // passage dedup -> document clusters: docs sharing duplicated
     // chunks, resolved transitively by the pointer-jumping CC.
     "dedup_chunk_clusters" -> ((s, dir) =>
@@ -740,6 +750,30 @@ object SparkEntry {
        |    WHEN 2 THEN concat_ws(',', h8, h9, h10, h11)
        |    ELSE concat_ws(',', h12, h13, h14, h15) END) AS bkey
        |  FROM $src s_, unnest([0, 1, 2, 3]) AS u(b))""".stripMargin
+
+  /** Shared incremental-dedup CTE chain (mirrors
+    * Dedup.incrementalNearDups): 80/20 salted history/delta signature
+    * split → band keys (history hot buckets capped to the
+    * MaxBucketSize smallest doc_ids) → band join → per-pair signature
+    * agreement count. Ends with `cand(hist_doc, delta_doc, n_matching)`
+    * — consumed by both the pair query and the apply (ship) query.
+    */
+  private val incChainCte = {
+    val matchSum = (0 until Dedup.NumHashes)
+      .map(i => s"(CASE WHEN h.h$i = d.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$docsCte,
+       |$sigCte,
+       |hs AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+       |dsg AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+       |${sigBandsCte("hb0", "hs")},
+       |hb AS (SELECT * FROM hb0
+       |       QUALIFY row_number() OVER (PARTITION BY b, bkey ORDER BY doc_id) <= ${Dedup.MaxBucketSize}),
+       |${sigBandsCte("db", "dsg")},
+       |cand AS (SELECT DISTINCT h.doc_id AS hist_doc, d.doc_id AS delta_doc,
+       |           CAST($matchSum AS INT) AS n_matching
+       |         FROM hb h JOIN db d ON h.b = d.b AND h.bkey = d.bkey)""".stripMargin
+  }
 
   /** Jaccard-verification CTE chain over candidate pairs `cand(d1,d2)`
     * against the shingle index named `idx` (mirrors Dedup.verifyJaccard;
@@ -2112,26 +2146,21 @@ object SparkEntry {
     // mirrors Dedup.incrementalNearDups: 80/20 salted history/delta
     // split, signatures for both, band-key join, history buckets capped
     // at the 64 smallest doc_ids, signature-agreement estimate >= 8/16.
-    "dedup_incremental" -> {
-      val matchSum = (0 until Dedup.NumHashes)
-        .map(i => s"(CASE WHEN h.h$i = d.h$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""$docsCte,
-         |$sigCte,
-         |hs AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
-         |dsg AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
-         |${sigBandsCte("hb0", "hs")},
-         |hb AS (SELECT * FROM hb0
-         |       QUALIFY row_number() OVER (PARTITION BY b, bkey ORDER BY doc_id) <= ${Dedup.MaxBucketSize}),
-         |${sigBandsCte("db", "dsg")},
-         |cand AS (SELECT DISTINCT h.doc_id AS hist_doc, d.doc_id AS delta_doc,
-         |           CAST($matchSum AS INT) AS n_matching
-         |         FROM hb h JOIN db d ON h.b = d.b AND h.bkey = d.bkey)
+    "dedup_incremental" ->
+      s"""$incChainCte
          |SELECT hist_doc, delta_doc, n_matching,
          |  CAST(n_matching AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
          |FROM cand WHERE n_matching >= ${Dedup.NumHashes / 2}
-         |ORDER BY hist_doc, delta_doc""".stripMargin
-    },
+         |ORDER BY hist_doc, delta_doc""".stripMargin,
+
+    // mirrors Dedup.incrementalApply: the delta minus the flagged set.
+    "dedup_incremental_apply" ->
+      s"""$incChainCte
+         |SELECT d0.doc_id FROM documents d0
+         |WHERE ${h60("'inc_' || d0.doc_id")} % 100 >= 80
+         |  AND d0.doc_id NOT IN (SELECT delta_doc FROM cand
+         |                        WHERE n_matching >= ${Dedup.NumHashes / 2})
+         |ORDER BY d0.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.chunkClusters: docs sharing a duplicated
     // chunk are edges (hot chunks degrade to star pairs vs the chunk's

@@ -237,14 +237,37 @@ object Dedup {
     */
   def incrementalNearDups(histSigs: DataFrame, deltaDocs: DataFrame,
                           minMatching: Int = NumHashes / 2,
-                          maxBucket: Int = MaxBucketSize): DataFrame = {
-    val hb = signatureBands(histSigs)
+                          maxBucket: Int = MaxBucketSize): DataFrame =
+    signatureJoinPairs(cappedBands(histSigs, maxBucket),
+      signatureBands(minhashSignatures(deltaDocs)), minMatching)
+      .distinct()
+      .select(col("hist_doc"), col("delta_doc"), col("n_matching"),
+        // exact: small-int / 16 is IEEE-exact, bit-identical everywhere
+        (col("n_matching").cast("double") / lit(NumHashes.toDouble))
+          .as("est_jaccard"))
+      .orderBy(col("hist_doc"), col("delta_doc"))
+
+  /** History band rows with hot buckets capped to their `maxBucket`
+    * smallest doc_ids (the representatives exact dedup would keep);
+    * the rank cut plans as WindowGroupLimit. Shared by the batch and
+    * stream-static incremental checks.
+    */
+  private[graft] def cappedBands(histSigs: DataFrame,
+                                 maxBucket: Int): DataFrame =
+    signatureBands(histSigs)
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
       .filter(col("r") <= maxBucket)
       .drop("r")
-    val db = signatureBands(minhashSignatures(deltaDocs))
+
+  /** Band-bucket equi-join of history vs delta signature-band rows with
+    * the row-local signature-agreement count — stateless (no distinct:
+    * a pair colliding in k bands appears k times, identically), so it
+    * is safe on a STREAMING delta side too.
+    */
+  private[graft] def signatureJoinPairs(hb: DataFrame, db: DataFrame,
+                                        minMatching: Int): DataFrame = {
     val matches = (0 until NumHashes)
       .map(i => when(col(s"h.h$i") === col(s"d.h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -253,13 +276,52 @@ object Dedup {
       .select(col("h.doc_id").as("hist_doc"),
         col("d.doc_id").as("delta_doc"), matches.as("n_matching"))
       .filter(col("n_matching") >= minMatching)
-      .distinct()
-      .select(col("hist_doc"), col("delta_doc"), col("n_matching"),
-        // exact: small-int / 16 is IEEE-exact, bit-identical everywhere
-        (col("n_matching").cast("double") / lit(NumHashes.toDouble))
-          .as("est_jaccard"))
-      .orderBy(col("hist_doc"), col("delta_doc"))
   }
+
+  /** Row-wise minhash signatures: the same h0..h15 as
+    * [[minhashSignatures]] computed per ROW with array higher-order
+    * functions — no explode, no shuffle, no aggregation state. This is
+    * the STREAMING-safe form (a stateless map over a micro-batch); the
+    * batch twin's explode+groupBy shape shuffles 8-byte hashes instead
+    * of recomputing per seed, which wins once the corpus outgrows a
+    * micro-batch. Equality is asserted in IncrementalDedupSpec. The 16
+    * seed projections reference one shared shingle-hash subexpression —
+    * whole-stage codegen's subexpression elimination computes the
+    * digests once per row.
+    */
+  def minhashSignaturesRowwise(docs: DataFrame): DataFrame = {
+    val sh = org.apache.spark.sql.graft.ShingleHash60.column(col("text"))
+    docs.select(col("doc_id") +: (0 until NumHashes).map(i =>
+      array_min(transform(sh, h => seededFromHash(i, h))).as(s"h$i")): _*)
+  }
+
+  /** The SHIP step of the daily incremental-dedup job: the delta
+    * documents that survive the check against the persisted index —
+    * everything not flagged by [[incrementalNearDups]]. The flagged set
+    * is tiny relative to the delta (it is the duplicate mass), so the
+    * anti-join broadcasts it. The delta is scanned twice (signatures +
+    * ship); at scale the delta is the small side, and a pipeline that
+    * cares materializes the delta signatures once anyway — see
+    * [[appendSignatures]].
+    */
+  def incrementalApply(histSigs: DataFrame, deltaDocs: DataFrame,
+                       minMatching: Int = NumHashes / 2,
+                       maxBucket: Int = MaxBucketSize): DataFrame = {
+    val flagged = incrementalNearDups(histSigs, deltaDocs,
+      minMatching, maxBucket).select(col("delta_doc").as("doc_id"))
+    deltaDocs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** Close the daily loop: the index after ingesting `survivors` —
+    * history signatures plus the survivors' signatures (what the job
+    * appends to the persisted table). Idempotence follows: re-checking
+    * the same delta against the updated index flags every document
+    * (each survivor now matches its own signature 16/16) — asserted in
+    * IncrementalDedupSpec.
+    */
+  def appendSignatures(histSigs: DataFrame,
+                       survivors: DataFrame): DataFrame =
+    histSigs.unionByName(minhashSignatures(survivors))
 
   /** n-gram Jaccard near-dup via the inverted index (no LSH): every pair
     * sharing ≥1 non-stop shingle is scored over the df-capped index. The

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
 import org.apache.spark.sql.Row
 
 import graft.Schemas
-import graft.operators.{Bronze, Gold, Silver}
+import graft.operators.{Bronze, Dedup, Gold, Silver}
 
 /** Structured-Streaming wiring for the three lakehouse hops (reference
   * spark/jobs/{kafka_to_bronze,bronze_to_silver,silver_to_gold}*.py).
@@ -172,6 +172,33 @@ object Streams {
       joinType)
       .drop("sell_symbol")
   }
+
+  /** Stream-static incremental dedup: flag documents of a STREAMING
+    * delta against the persisted minhash-signature index, in flight —
+    * the streaming twin of [[Dedup.incrementalNearDups]] (same band
+    * join, same signature-agreement verify), and the corpus-scale
+    * counterpart of this file's within-watermark `dropDuplicates`.
+    *
+    * Fully STATELESS: signatures are computed per row
+    * ([[Dedup.minhashSignaturesRowwise]] — map-only, no aggregation
+    * state), bands explode statelessly, and the join is stream-static
+    * (the static side's hot-bucket rank cut is planned per micro-batch
+    * against the index table). Emits (delta_doc, hist_doc, n_matching,
+    * est_jaccard) in append mode; a pair colliding in k bands appears k
+    * times — dedup at the sink or downstream, where state is a choice
+    * rather than a requirement.
+    */
+  def incrementalDedupStream(deltaDocs: DataFrame, histSigs: DataFrame,
+                             minMatching: Int = Dedup.NumHashes / 2,
+                             maxBucket: Int = Dedup.MaxBucketSize)
+      : DataFrame =
+    Dedup.signatureJoinPairs(
+        Dedup.cappedBands(histSigs, maxBucket),
+        Dedup.signatureBands(Dedup.minhashSignaturesRowwise(deltaDocs)),
+        minMatching)
+      .select(col("hist_doc"), col("delta_doc"), col("n_matching"),
+        (col("n_matching").cast("double") /
+          lit(Dedup.NumHashes.toDouble)).as("est_jaccard"))
 
   // ---- sinks (K1-K3) ----
 

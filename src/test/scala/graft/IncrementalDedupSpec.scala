@@ -75,6 +75,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getAs[Int]("n_matching") == Dedup.NumHashes)
   }
 
+  test("row-wise signatures equal the batch explode+groupBy signatures") {
+    val edge = docs(
+      0L -> "a b c d e", 1L -> "a b", 2L -> "solo",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> ("tok " * 150).trim)
+    val a = Dedup.minhashSignatures(edge).orderBy("doc_id").collect().toSeq
+    val b = Dedup.minhashSignaturesRowwise(edge).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ra = Dedup.minhashSignatures(real).orderBy("doc_id").collect().toSeq
+    val rb = Dedup.minhashSignaturesRowwise(real).orderBy("doc_id").collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
+  test("apply ships only unflagged delta docs; append makes the check idempotent") {
+    val histSigs = Dedup.minhashSignatures(histDocs)
+    val delta = docs(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank", // dup of hist 0
+      11L -> "a genuinely new document with content the history never saw")
+    val shipped = Dedup.incrementalApply(histSigs, delta)
+    assert(shipped.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+
+    // close the loop: after appending the survivors' signatures, the
+    // SAME delta re-checked against the updated index is fully flagged
+    // (10 by hist 0, 11 by its own signature) — the idempotence a daily
+    // job relies on to make reruns safe
+    val updated = Dedup.appendSignatures(histSigs, shipped)
+    val reflagged = Dedup.incrementalNearDups(updated, delta)
+      .select("delta_doc").as[Long].collect().toSet
+    assert(reflagged == Set(10L, 11L))
+  }
+
   test("history bucket cap keeps the smallest doc_ids (representatives)") {
     // many identical history docs: every band bucket holds all of them;
     // with a tiny cap only the smallest `cap` doc_ids stay joinable

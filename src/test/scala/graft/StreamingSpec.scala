@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Schemas.Trade
-import graft.operators.{Bronze, Gold, Silver, Trades}
+import graft.operators.{Bronze, Dedup, Gold, Silver, Trades}
 import graft.streaming.Streams
 
 /** Streaming semantics: watermarks, append finalization, stateful dedup,
@@ -462,6 +462,36 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("stream-static incremental dedup flags in flight, parity with batch") {
+    implicit val ctx = spark.sqlContext
+    val hist = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "some other historical content entirely unlike the rest here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "completely novel streaming content sharing nothing with history"))
+    val histSigs = Dedup.minhashSignatures(hist)
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalDedupStream(
+        in.toDF.toDF("doc_id", "text"), histSigs)
+      .writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup_stream")
+        .select("hist_doc", "delta_doc", "n_matching").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = Dedup.incrementalNearDups(histSigs,
+          delta.toDF("doc_id", "text"))
+        .select("hist_doc", "delta_doc", "n_matching")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
   }
 
   test("bronze→silver hop + checkpointed restart run on RocksDB state store") {
