@@ -53,6 +53,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: rank-capped band join, no nested loop, no sort-agg") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("WindowGroupLimit")) // history hot-bucket cap
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("quality drift: one aggregation exchange feeds the source window") {
+    val p = plan("quality_drift")
+    // map-only scoring → partial agg → ONE hash exchange on the group
+    // keys; the per-source window rides a second small exchange; final
+    // sort. Nothing fact-sized shuffles twice.
+    val exchanges = p.split("\\(\\d+\\) Exchange").length - 1
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("top-K plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q3_revenue_topk")
     assert(p.contains("TakeOrderedAndProject"))
