@@ -214,7 +214,11 @@ object Dedup {
   /** Incremental near-dup check — the shape a corpus pipeline runs
     * DAILY: a new batch of documents tested against the persisted
     * minhash-signature index of the historical corpus, WITHOUT
-    * re-shingling (or even re-reading the text of) the history. Only
+    * re-shingling (or even re-reading the text of) the history. The
+    * corpus-scale counterpart of the reference's within-watermark
+    * streaming dedup (bronze_to_silver_trades.py:100-102 — state there
+    * is bounded by the watermark; here the "state" is the persisted
+    * index table, and the check is a batch join against it). Only
     * the delta is shingled and signed; the history contributes nothing
     * but its signature table, scanned exactly once (the signatures ride
     * the band rows — [[signatureBands]] — so verification needs no
