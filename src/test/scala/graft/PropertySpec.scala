@@ -195,6 +195,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup invariants on random corpora") {
+    import graft.operators.Dedup
+    for (seed <- 21L to 23L) {
+      val docs = sampleDocs(seed, 40).toDF("doc_id", "text")
+      // row-wise HOF signatures == batch explode+groupBy signatures
+      val sa = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().toSeq
+      val sb = Dedup.minhashSignaturesRowwise(docs).orderBy("doc_id")
+        .collect().toSeq
+      assert(sa == sb, s"rowwise signatures seed=$seed")
+      // self-check completeness: every doc checked against an index
+      // containing ITSELF matches itself 16/16 — catches any asymmetry
+      // between the history and delta sides of the band join
+      val self = Dedup.incrementalNearDups(Dedup.minhashSignatures(docs), docs)
+        .filter(col("hist_doc") === col("delta_doc")).collect()
+      assert(self.length == docs.select("doc_id").distinct().count(),
+        s"self-match seed=$seed")
+      assert(self.forall(_.getAs[Int]("n_matching") == Dedup.NumHashes))
+    }
+  }
+
   test("packSequences invariants on random corpora") {
     import graft.operators.TextAnalysis
     val genDoc = Gen.choose(1, 40).flatMap(n =>
