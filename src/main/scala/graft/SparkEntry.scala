@@ -416,6 +416,11 @@ object SparkEntry {
     // passage-level dedup over the chunk stream.
     "dedup_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDupes(Tables.documents(s, dir))),
+    // exact-substring dedup: maximal duplicated k-token spans (any offset).
+    "dedup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(Tables.documents(s, dir))),
+    "dedup_span_stats" -> ((s, dir) =>
+      TextAnalysis.spanStats(Tables.documents(s, dir))),
     // train/val/test distribution-parity audit (decontaminate's split).
     "split_audit" -> ((s, dir) =>
       TextAnalysis.splitAudit(Tables.documents(s, dir))),
@@ -1934,6 +1939,53 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc
         |FROM c GROUP BY chunk_md5 HAVING count(*) > 1
         |ORDER BY chunk_md5""".stripMargin,
+
+    // mirrors TextAnalysis.duplicatedSpans (k=8, maxOcc=10000): k-token
+    // positional shingles, per-shingle occurrence count, overlapping
+    // duplicated windows merged into maximal spans (gap ≤ k).
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, g.i AS i,
+        |        CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+        |d AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS cnt FROM p),
+        |f AS (SELECT doc_id, i FROM d WHERE cnt > 1 AND cnt <= 10000),
+        |isl AS (SELECT doc_id, i,
+        |          CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+        |        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |g2 AS (SELECT doc_id, i,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |       FROM isl)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+        |  max(i) + 8 - min(i) AS span_tokens, count(*) AS n_windows
+        |FROM g2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_span_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, g.i AS i,
+        |        CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+        |d AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS cnt FROM p),
+        |f AS (SELECT doc_id, i FROM d WHERE cnt > 1 AND cnt <= 10000),
+        |isl AS (SELECT doc_id, i,
+        |          CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+        |        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |g2 AS (SELECT doc_id, i,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |       FROM isl),
+        |sp AS (SELECT doc_id, max(i) + 8 - min(i) AS span_tokens
+        |       FROM g2 GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, count(*) AS n_spans,
+        |          sum(span_tokens) AS dup_tokens
+        |        FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  coalesce(agg.n_spans, 0) AS n_spans,
+        |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+        |  round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
+        |    / CAST(len(t.toks) AS DOUBLE), 6) AS dup_ratio
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.lmScore: unigram counts over the lang='en'
     // slice, Laplace-smoothed log-probs rounded+scaled to exact longs

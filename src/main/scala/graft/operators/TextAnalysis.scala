@@ -342,6 +342,100 @@ object TextAnalysis {
       .filter(col("n_chunks") > 1)
       .orderBy(col("chunk_md5"))
 
+  /** Exact-substring duplicated-span inventory (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring variant): find every maximal region of every
+    * document that is covered by a `k`-token window occurring more than
+    * once anywhere in the corpus — duplication at ANY offset, the case
+    * both document-level near-dup and fixed-stride passage dedup
+    * ([[chunkDupes]]) miss. The suffix-array formulation of the paper
+    * is replaced by the shuffle-native reduction: positional `k`-token
+    * shingles → per-shingle occurrence count → merge overlapping
+    * duplicated windows into maximal spans.
+    *
+    * Output: one row per (doc, maximal span) — `span_start`/`span_end`
+    * (1-based token indices, inclusive), `span_tokens`, and `n_windows`
+    * (how many duplicated windows merged into it).
+    *
+    * Plan shape (the scale story): the scan fuses with the shingle
+    * build (one `transform` array per doc, map-only); ONE exchange of
+    * position-level rows hashed by shingle partitions the corpus for
+    * the occurrence-count window (sort-based, spillable — no unbounded
+    * agg buffer on a flooded shingle, unlike a `collect_list` posting
+    * list); the surviving duplicated positions (corpus-dedup-rate ×
+    * positions, typically a few %) re-hash by `doc_id` for the island
+    * window, and the span group-by reuses that partitioning
+    * (`HashPartitioning(doc_id)` satisfies the `(doc_id, island)`
+    * clustering — no third exchange, plan-asserted). The shingle key is
+    * the 60-bit long hash, not the md5 hex string — 8 bytes instead of
+    * 32 on every shuffled position row, and the position shuffle IS the
+    * cost of this operator at scale. `maxOcc` excludes
+    * ubiquitous boilerplate shingles (df beyond any real span's
+    * multiplicity) so a header shared by millions of docs caps the
+    * duplicated-position blow-up, mirroring [[Dedup]]'s stop-shingle
+    * cap.
+    *
+    * Islands merge windows that overlap OR touch (`gap ≤ k`), so a
+    * span is a maximal duplicated-coverage region — exactly the bytes
+    * a scrubbing pass would cut.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+                      maxOcc: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokensCol(col("text"))
+    val windows = docs.select(col("doc_id"),
+      explode(when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => struct(i.as("i"),
+            hash60(concat_ws(" ", slice(toks, i, lit(k)))).as("h"))))
+        .otherwise(array().cast("array<struct<i:int,h:bigint>>")))
+        .as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+    val cnt = count(lit(1)).over(Window.partitionBy(col("h")))
+    val dup = windows.withColumn("cnt", cnt)
+      .filter(col("cnt") > 1 && col("cnt") <= maxOcc)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val brk = when(col("i") > lag(col("i"), 1).over(byDoc) + lit(k), 1)
+      .otherwise(0)
+    dup
+      .withColumn("island", sum(brk).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).cast("long").as("span_start"),
+        (max(col("i")) + lit(k - 1)).cast("long").as("span_end"),
+        (max(col("i")) + lit(k) - min(col("i"))).cast("long")
+          .as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .drop("island")
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Corpus-wide duplicated-token coverage audit over
+    * [[duplicatedSpans]]: for EVERY document, how many of its tokens
+    * sit inside a duplicated span (`dup_tokens`, exact — maximal spans
+    * never overlap, so the sum double-counts nothing) and the coverage
+    * ratio — the number Lee et al. report per corpus and the gate a
+    * scrub-or-drop decision keys on (ratio ≈ 1 → drop the doc, mid →
+    * scrub the spans, 0 → keep). Left join from the doc table keeps
+    * zero-coverage docs in the audit; one exact long division per row
+    * at the output boundary.
+    */
+  def spanStats(docs: DataFrame, k: Int = 8,
+                maxOcc: Int = 10000): DataFrame = {
+    val spans = duplicatedSpans(docs, k, maxOcc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk→document near-dup bridge: turn passage-level duplication
     * ([[chunkDupes]]) into DOCUMENT-level dedup groups. Docs sharing a
     * duplicated chunk become edges; [[Dedup.clusters]]'s pointer-jumping

@@ -194,6 +194,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("dedup_spans: two data exchanges; span group-by reuses the island partitioning") {
+    val p = plan("dedup_spans")
+    // exactly three exchanges: hash by shingle (occurrence-count
+    // window), hash by doc_id (island window), range for the output
+    // order. The (doc_id, island) aggregation must NOT add a fourth —
+    // HashPartitioning(doc_id) already satisfies its clustering.
+    val exchanges = p.split("\\(\\d+\\) Exchange").length - 1
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
+    // only doc_id and text leave the scan
+    assert(p.contains("ReadSchema") && !p.contains("source"))
+  }
+
   test("suite-wide: nested-loop joins only where the build side is parameter-bounded") {
     // A BroadcastNestedLoopJoin over a DATA-scale side is the #1
     // silent 100 TB killer. The only ones allowed are those whose

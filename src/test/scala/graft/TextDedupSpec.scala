@@ -433,6 +433,59 @@ class TextDedupSpec extends SparkSpec {
     assert(r.head.getAs[Long]("rep_doc") == 0L)
   }
 
+  test("duplicatedSpans: exact shared substrings become maximal spans") {
+    // doc0 and doc1 share the 5-token run "a b c d e" at DIFFERENT
+    // offsets — the any-offset case fixed-stride chunk dedup misses
+    val r = TextAnalysis.duplicatedSpans(
+      docs("a b c d e x y z", "p q a b c d e r"), k = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("span_start"), x.getAs[Long]("span_end"),
+        x.getAs[Long]("span_tokens"), x.getAs[Long]("n_windows")))
+    assert(r.toSeq == Seq((0L, 1L, 5L, 5L, 3L), (1L, 3L, 7L, 5L, 3L)))
+  }
+
+  test("duplicatedSpans: windows within gap k merge, beyond k break") {
+    // docX's duplicated positions are {1,4} (gap 3 = k → one merged
+    // span over the whole doc); docY's are {1,5} (gap 4 > k → two
+    // separate spans around the unshared middle token)
+    val r = TextAnalysis.duplicatedSpans(
+      docs("a b c d e f", "a b c X d e f"), k = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("span_start"), x.getAs[Long]("span_end"),
+        x.getAs[Long]("n_windows")))
+    assert(r.toSeq == Seq((0L, 1L, 6L, 2L),
+      (1L, 1L, 3L, 1L), (1L, 5L, 7L, 1L)))
+  }
+
+  test("duplicatedSpans: within-doc repetition, short docs, maxOcc cap") {
+    // "r s t u r s t u": positions {1,2} and {5,6} duplicate WITHIN the
+    // doc; 5 ≤ 2+k so everything merges into one whole-doc span
+    val rep = TextAnalysis.duplicatedSpans(docs("r s t u r s t u"), k = 3)
+      .collect()
+    assert(rep.length == 1)
+    assert(rep.head.getAs[Long]("span_start") == 1L &&
+      rep.head.getAs[Long]("span_end") == 8L &&
+      rep.head.getAs[Long]("n_windows") == 4L)
+    // shorter than k → no windows at all (the sequence guard)
+    assert(TextAnalysis.duplicatedSpans(docs("a b", "a b"), k = 3)
+      .collect().isEmpty)
+    // a shingle in 3 places is boilerplate under maxOcc=2 → excluded
+    val capped = docs("h i j", "h i j", "h i j")
+    assert(TextAnalysis.duplicatedSpans(capped, k = 3, maxOcc = 2)
+      .collect().isEmpty)
+    assert(TextAnalysis.duplicatedSpans(capped, k = 3).count() == 3)
+  }
+
+  test("spanStats: exact coverage ratios, zero-coverage docs kept") {
+    val r = TextAnalysis.spanStats(
+      docs("a b c d e x y z", "p q a b c d e r", "u1 u2 u3"), k = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("n_spans"),
+        x.getAs[Long]("dup_tokens"), x.getAs[Double]("dup_ratio")))
+    assert(r.toSeq == Seq((0L, 8L, 1L, 5L, 0.625),
+      (1L, 8L, 1L, 5L, 0.625), (2L, 3L, 0L, 0L, 0.0)))
+  }
+
   test("hardNegatives: wrong-label impostor is the top negative") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), // query
