@@ -421,6 +421,8 @@ object SparkEntry {
       TextAnalysis.duplicatedSpans(Tables.documents(s, dir))),
     "dedup_span_stats" -> ((s, dir) =>
       TextAnalysis.spanStats(Tables.documents(s, dir))),
+    "dedup_span_scrub" -> ((s, dir) =>
+      TextAnalysis.spanScrub(Tables.documents(s, dir))),
     // train/val/test distribution-parity audit (decontaminate's split).
     "split_audit" -> ((s, dir) =>
       TextAnalysis.splitAudit(Tables.documents(s, dir))),
@@ -1960,6 +1962,39 @@ object SparkEntry {
         |  max(i) + 8 - min(i) AS span_tokens, count(*) AS n_windows
         |FROM g2 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // mirrors TextAnalysis.spanScrub: every duplicated span cut from
+    // every copy; md5 of the space-joined kept tokens.
+    "dedup_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, g.i AS i,
+        |        CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+        |d AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS cnt FROM p),
+        |f AS (SELECT doc_id, i FROM d WHERE cnt > 1 AND cnt <= 10000),
+        |isl AS (SELECT doc_id, i,
+        |          CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+        |        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |g2 AS (SELECT doc_id, i,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |       FROM isl),
+        |sp AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+        |       FROM g2 GROUP BY doc_id, island),
+        |pos AS (SELECT doc_id, g.i AS i, toks[g.i] AS tok
+        |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |kept AS (SELECT pos.doc_id, pos.i, pos.tok FROM pos
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |           WHERE sp.doc_id = pos.doc_id
+        |             AND pos.i BETWEEN sp.s AND sp.e)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(tok, ' ' ORDER BY i)) AS scrubbed_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  len(t.toks) - coalesce(agg.n_kept, 0) AS n_cut,
+        |  coalesce(agg.scrubbed_md5, md5('')) AS scrubbed_md5
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_span_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

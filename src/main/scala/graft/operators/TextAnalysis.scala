@@ -436,6 +436,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The action step over [[duplicatedSpans]]: cut every duplicated
+    * span out of every document — Lee et al.'s ExactSubstr cutter,
+    * which removes ALL occurrences of a duplicated substring (the
+    * conservative policy; keep-one-copy at document granularity is
+    * [[graft.operators.Dedup.keepRepresentatives]]'s job). Emits audit
+    * columns in the [[scrubDenylist]] convention — token counts before
+    * / kept / cut and the md5 of the scrubbed text — rather than
+    * re-materializing the corpus; zero-coverage docs pass through with
+    * `n_cut = 0` and a doc that is ONE duplicated span scrubs to the
+    * empty string.
+    *
+    * Scale shape: the span inventory's two position-level exchanges,
+    * then the per-doc span list (a handful of (start, end) pairs)
+    * groups by doc and joins back to the doc table on doc_id; the cut
+    * itself is one map-side higher-order filter per row — no token
+    * explode, no re-shuffle of text.
+    */
+  def spanScrub(docs: DataFrame, k: Int = 8,
+                maxOcc: Int = 10000): DataFrame = {
+    val spans = duplicatedSpans(docs, k, maxOcc)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val toks = tokensCol(col("text"))
+    val indexed = transform(toks, (t, i) =>
+      struct(t.as("t"), (i + lit(1)).cast("long").as("i")))
+    val kept = filter(indexed, s =>
+      !exists(coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>")),
+        sp => s("i") >= sp("span_start") && s("i") <= sp("span_end")))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        (size(toks) - size(kept)).cast("long").as("n_cut"),
+        md5(concat_ws(" ", transform(kept, s => s("t"))))
+          .as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunk→document near-dup bridge: turn passage-level duplication
     * ([[chunkDupes]]) into DOCUMENT-level dedup groups. Docs sharing a
     * duplicated chunk become edges; [[Dedup.clusters]]'s pointer-jumping

@@ -486,6 +486,22 @@ class TextDedupSpec extends SparkSpec {
       (1L, 8L, 1L, 5L, 0.625), (2L, 3L, 0L, 0L, 0.0)))
   }
 
+  test("spanScrub: cuts every copy exactly, empty and untouched edges") {
+    // docs 0/1 share "a b c d e"; doc 2 is untouched; docs 3/4 are
+    // full duplicates of each other (scrub to empty)
+    val r = TextAnalysis.spanScrub(
+      docs("a b c d e x y z", "p q a b c d e r", "u1 u2 u3",
+        "w1 w2 w3 w4", "w1 w2 w3 w4"), k = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("n_kept"), x.getAs[Long]("n_cut"),
+        x.getAs[String]("scrubbed_md5")))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(r.toSeq == Seq(
+      (0L, 3L, 5L, m("x y z")), (1L, 3L, 5L, m("p q r")),
+      (2L, 3L, 0L, m("u1 u2 u3")), (3L, 0L, 4L, m("")),
+      (4L, 0L, 4L, m(""))))
+  }
+
   test("hardNegatives: wrong-label impostor is the top negative") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), // query
