@@ -215,6 +215,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span-dedup family invariants on random corpora") {
+    for (seed <- 31L to 33L) {
+      val docs = sampleDocs(seed, 40).toDF("doc_id", "text")
+      val k = 3
+      val spans = TextAnalysis.duplicatedSpans(docs, k).collect()
+      // every span is at least one whole window; spans within a doc are
+      // disjoint (maximal islands can't touch — that's maximality)
+      spans.foreach(s => assert(s.getAs[Long]("span_tokens") >= k))
+      spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { ss =>
+        ss.sortBy(_.getAs[Long]("span_start")).sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getAs[Long]("span_start") > a.getAs[Long]("span_end"),
+              s"overlapping spans seed=$seed")
+          case _ => ()
+        }
+      }
+      // the scrub cuts EXACTLY the span-covered tokens: n_cut must
+      // equal spanStats' dup_tokens doc-for-doc (spans are disjoint,
+      // so neither side double-counts)
+      val mismatches = TextAnalysis.spanStats(docs, k)
+        .select(col("doc_id"), col("dup_tokens"))
+        .join(TextAnalysis.spanScrub(docs, k)
+          .select(col("doc_id"), col("n_cut")), Seq("doc_id"))
+        .filter(col("dup_tokens") =!= col("n_cut")).count()
+      assert(mismatches == 0, s"n_cut != dup_tokens seed=$seed")
+    }
+  }
+
   test("packSequences invariants on random corpora") {
     import graft.operators.TextAnalysis
     val genDoc = Gen.choose(1, 40).flatMap(n =>
