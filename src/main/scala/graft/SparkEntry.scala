@@ -423,6 +423,16 @@ object SparkEntry {
       TextAnalysis.spanStats(Tables.documents(s, dir))),
     "dedup_span_scrub" -> ((s, dir) =>
       TextAnalysis.spanScrub(Tables.documents(s, dir))),
+    // incremental spans: delta checked against the history hash index
+    // (same salted 80/20 split as dedup_incremental).
+    "dedup_spans_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      TextAnalysis.incrementalSpans(
+        TextAnalysis.spanShingleIndex(docs.filter(isHist)),
+        docs.filter(!isHist))
+    }),
     // train/val/test distribution-parity audit (decontaminate's split).
     "split_audit" -> ((s, dir) =>
       TextAnalysis.splitAudit(Tables.documents(s, dir))),
@@ -1962,6 +1972,30 @@ object SparkEntry {
         |  max(i) + 8 - min(i) AS span_tokens, count(*) AS n_windows
         |FROM g2 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // mirrors TextAnalysis.incrementalSpans: delta windows kept iff
+    // their hash exists in the history index; islands merged per doc.
+    "dedup_spans_incremental" ->
+      s"""WITH hist AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |delta AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |hidx AS (SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |         FROM hist, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |dw AS (SELECT doc_id, g.i AS i,
+         |         CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |       FROM delta, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |f AS (SELECT doc_id, i FROM dw WHERE h IN (SELECT h FROM hidx)),
+         |isl AS (SELECT doc_id, i,
+         |          CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+         |        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |g2 AS (SELECT doc_id, i,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |       FROM isl)
+         |SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+         |  max(i) + 8 - min(i) AS span_tokens, count(*) AS n_windows
+         |FROM g2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     // mirrors TextAnalysis.spanScrub: every duplicated span cut from
     // every copy; md5 of the space-joined kept tokens.

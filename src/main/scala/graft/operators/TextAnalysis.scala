@@ -382,8 +382,19 @@ object TextAnalysis {
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
                       maxOcc: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cnt = count(lit(1)).over(Window.partitionBy(col("h")))
+    mergeSpans(spanWindows(docs, k).withColumn("cnt", cnt)
+      .filter(col("cnt") > 1 && col("cnt") <= maxOcc), k)
+  }
+
+  /** Positional `k`-token shingle windows: one row per (doc, start
+    * position) with the 60-bit hash of the window — the shared front
+    * end of the exact-substring span family. Map-only; docs shorter
+    * than `k` produce no windows.
+    */
+  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
     val toks = tokensCol(col("text"))
-    val windows = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       explode(when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - lit(k - 1)),
           i => struct(i.as("i"),
@@ -391,13 +402,18 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<i:int,h:bigint>>")))
         .as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
-    val cnt = count(lit(1)).over(Window.partitionBy(col("h")))
-    val dup = windows.withColumn("cnt", cnt)
-      .filter(col("cnt") > 1 && col("cnt") <= maxOcc)
+  }
+
+  /** Shared back end of the span family: merge flagged window positions
+    * (any rows with `doc_id`, `i`) into maximal spans — windows within
+    * gap ≤ `k` merge (they overlap or touch), beyond `k` break.
+    */
+  private def mergeSpans(flagged: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val brk = when(col("i") > lag(col("i"), 1).over(byDoc) + lit(k), 1)
       .otherwise(0)
-    dup
+    flagged
       .withColumn("island", sum(brk).over(byDoc))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).cast("long").as("span_start"),
@@ -408,6 +424,37 @@ object TextAnalysis {
       .drop("island")
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  /** The persisted-index side of INCREMENTAL span dedup: the distinct
+    * 60-bit window hashes of a corpus — membership is all the delta
+    * check needs, so the index is at most one long per corpus token
+    * (8 bytes, far smaller than positions or text) and, like the
+    * minhash signature table of [[graft.operators.Dedup
+    * .incrementalNearDups]], is appended per batch without ever
+    * re-reading history text.
+    */
+  def spanShingleIndex(docs: DataFrame, k: Int = 8): DataFrame =
+    spanWindows(docs, k).select(col("h")).distinct()
+
+  /** Incremental exact-substring dedup — the daily-pipeline form of
+    * [[duplicatedSpans]]: flag every maximal span of a NEW batch that
+    * already exists in the historical corpus, consulting only the
+    * persisted hash index ([[spanShingleIndex]]), never history text.
+    * Delta-internal duplication is deliberately out of scope (run the
+    * batch operator within the delta for that); this is the
+    * against-history check, exactly parallel to
+    * [[graft.operators.Dedup.incrementalNearDups]].
+    *
+    * Scale shape: one scan of the delta, one scan of the index; the
+    * semi join shuffles delta positions and index hashes by `h` (the
+    * index side is 8-byte longs); surviving positions re-hash by
+    * doc_id for the island merge. History size affects only the join
+    * build — never a re-tokenization.
+    */
+  def incrementalSpans(histIndex: DataFrame, deltaDocs: DataFrame,
+                       k: Int = 8): DataFrame =
+    mergeSpans(spanWindows(deltaDocs, k)
+      .join(histIndex.select(col("h")), Seq("h"), "left_semi"), k)
 
   /** Corpus-wide duplicated-token coverage audit over
     * [[duplicatedSpans]]: for EVERY document, how many of its tokens

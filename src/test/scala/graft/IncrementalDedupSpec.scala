@@ -107,6 +107,49 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(reflagged == Set(10L, 11L))
   }
 
+  test("incremental spans: only against-history content is flagged") {
+    import graft.operators.TextAnalysis
+    val hist = docs(0L -> "h1 h2 h3 h4 h5 h6", 1L -> "z1 z2 z3 z4")
+    // delta 10 embeds hist-0's token run mid-document; 11/12 duplicate
+    // EACH OTHER but not history — out of scope for the incremental
+    // check (delta-internal dedup is the batch operator's job)
+    val delta = docs(
+      10L -> "n1 n2 h1 h2 h3 h4 h5 h6 n3",
+      11L -> "d1 d2 d3 d4 d5", 12L -> "d1 d2 d3 d4 d5")
+    val r = TextAnalysis.incrementalSpans(
+      TextAnalysis.spanShingleIndex(hist, k = 3), delta, k = 3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("doc_id") == 10L &&
+      r.head.getAs[Long]("span_start") == 3L &&
+      r.head.getAs[Long]("span_end") == 8L &&
+      r.head.getAs[Long]("n_windows") == 4L)
+  }
+
+  test("persisted span index: one scan each, semi join, text never read") {
+    import graft.operators.TextAnalysis
+    val base = Files.createTempDirectory("graft_incspan").toString
+    val idxPath = s"$base/span_idx.parquet"
+    val deltaPath = s"$base/delta_docs.parquet"
+    TextAnalysis.spanShingleIndex(histDocs, k = 3)
+      .write.mode("overwrite").parquet(idxPath)
+    docs(10L -> "prefix the quick brown fox jumps over suffix")
+      .write.mode("overwrite").parquet(deltaPath)
+    val out = TextAnalysis.incrementalSpans(
+      spark.read.parquet(idxPath), spark.read.parquet(deltaPath), k = 3)
+    // the history contract: only the 8-byte hash index is a plan input,
+    // and each input is scanned exactly once
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 2, s"expected 2 scan leaves, got:\n$leaves")
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    val r = out.collect()
+    // "the quick brown fox jumps over" sits at tokens 2-7 of the delta
+    assert(r.length == 1 &&
+      r.head.getAs[Long]("span_start") == 2L &&
+      r.head.getAs[Long]("span_end") == 7L)
+  }
+
   test("history bucket cap keeps the smallest doc_ids (representatives)") {
     // many identical history docs: every band bucket holds all of them;
     // with a tiny cap only the smallest `cap` doc_ids stay joinable
