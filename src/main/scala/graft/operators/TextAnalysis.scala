@@ -392,7 +392,7 @@ object TextAnalysis {
     * end of the exact-substring span family. Map-only; docs shorter
     * than `k` produce no windows.
     */
-  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def spanWindows(docs: DataFrame, k: Int): DataFrame = {
     val toks = tokensCol(col("text"))
     docs.select(col("doc_id"),
       explode(when(size(toks) >= k,
@@ -408,7 +408,7 @@ object TextAnalysis {
     * (any rows with `doc_id`, `i`) into maximal spans — windows within
     * gap ≤ `k` merge (they overlap or touch), beyond `k` break.
     */
-  private def mergeSpans(flagged: DataFrame, k: Int): DataFrame = {
+  private[graft] def mergeSpans(flagged: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val brk = when(col("i") > lag(col("i"), 1).over(byDoc) + lit(k), 1)
@@ -455,6 +455,22 @@ object TextAnalysis {
                        k: Int = 8): DataFrame =
     mergeSpans(spanWindows(deltaDocs, k)
       .join(histIndex.select(col("h")), Seq("h"), "left_semi"), k)
+
+  /** Close the daily loop for the span family (the
+    * [[graft.operators.Dedup.appendSignatures]] analogue): the index
+    * after ingesting a batch — history hashes plus the batch's window
+    * hashes, distinct. Idempotence follows: re-checking the same batch
+    * against the updated index flags every window of every doc (each
+    * now matches its own hashes), so reruns are safe — asserted in
+    * IncrementalDedupSpec. The append is union+distinct on 8-byte
+    * longs; at scale the distinct co-partitions with the existing
+    * index layout (hash-bucketed on `h`).
+    */
+  def appendSpanIndex(histIndex: DataFrame, ingested: DataFrame,
+                      k: Int = 8): DataFrame =
+    histIndex.select(col("h"))
+      .unionByName(spanShingleIndex(ingested, k))
+      .distinct()
 
   /** Corpus-wide duplicated-token coverage audit over
     * [[duplicatedSpans]]: for EVERY document, how many of its tokens

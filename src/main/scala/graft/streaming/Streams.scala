@@ -200,6 +200,25 @@ object Streams {
         (col("n_matching").cast("double") /
           lit(Dedup.NumHashes.toDouble)).as("est_jaccard"))
 
+  /** Stream-static incremental SPAN dedup: flag every `k`-token window
+    * of a STREAMING delta whose hash already exists in the persisted
+    * span index — the streaming twin of
+    * [[graft.operators.TextAnalysis.incrementalSpans]], sharing its
+    * window front end. Fully stateless: the window explode is map-only
+    * and the semi join is stream-static, so — like
+    * [[incrementalDedupStream]] — dedup state is the INDEX TABLE, not
+    * stream state. Emits flagged (doc_id, i) positions in append mode;
+    * the maximal-span merge needs the doc's complete position set (a
+    * per-doc sort), which is a sink-side compaction
+    * (TextAnalysis.mergeSpans over the landed positions — parity
+    * asserted in StreamingSpec), not stream state.
+    */
+  def incrementalSpanStream(deltaDocs: DataFrame, histIndex: DataFrame,
+                            k: Int = 8): DataFrame =
+    graft.operators.TextAnalysis.spanWindows(deltaDocs, k)
+      .join(histIndex.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i"))
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition

@@ -150,6 +150,24 @@ class IncrementalDedupSpec extends SparkSpec {
       r.head.getAs[Long]("span_end") == 7L)
   }
 
+  test("span index append makes the incremental span check idempotent") {
+    import graft.operators.TextAnalysis
+    val hist = docs(0L -> "h1 h2 h3 h4 h5 h6")
+    val delta = docs(10L -> "d1 d2 d3 d4 d5 d6 d7")
+    val idx = TextAnalysis.spanShingleIndex(hist, k = 3)
+    // nothing shared → no spans on first check
+    assert(TextAnalysis.incrementalSpans(idx, delta, k = 3)
+      .collect().isEmpty)
+    // after ingesting the delta, a rerun flags it whole-doc — the
+    // idempotence a daily job relies on to make reruns safe
+    val updated = TextAnalysis.appendSpanIndex(idx, delta, k = 3)
+    val r = TextAnalysis.incrementalSpans(updated, delta, k = 3).collect()
+    assert(r.length == 1 &&
+      r.head.getAs[Long]("span_start") == 1L &&
+      r.head.getAs[Long]("span_end") == 7L &&
+      r.head.getAs[Long]("span_tokens") == 7L)
+  }
+
   test("history bucket cap keeps the smallest doc_ids (representatives)") {
     // many identical history docs: every band bucket holds all of them;
     // with a tiny cap only the smallest `cap` doc_ids stay joinable

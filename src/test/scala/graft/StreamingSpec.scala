@@ -494,6 +494,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static span dedup: flagged windows match batch, merge at sink") {
+    import graft.operators.TextAnalysis
+    implicit val ctx = spark.sqlContext
+    val hist = Seq((0L, "h1 h2 h3 h4 h5 h6"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "n1 n2 h1 h2 h3 h4 h5 h6 n3"),
+      (11L, "fully novel streaming content here"))
+    val idx = TextAnalysis.spanShingleIndex(hist, k = 3)
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalSpanStream(
+        in.toDF.toDF("doc_id", "text"), idx, k = 3)
+      .writeStream.format("memory").queryName("inc_span_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val landed = spark.table("inc_span_stream")
+      // sink-side compaction of the landed positions reproduces the
+      // batch operator's spans exactly
+      val got = TextAnalysis.mergeSpans(landed, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = TextAnalysis.incrementalSpans(idx,
+          delta.toDF("doc_id", "text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.nonEmpty && got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("bronze→silver hop + checkpointed restart run on RocksDB state store") {
     // SCALING.md names RocksDB as the cluster drop-in for
     // high-cardinality dedup state (off-heap, incremental-checkpoint);
