@@ -413,6 +413,15 @@ object SparkEntry {
     // context-length chunking: overlapping token windows per doc.
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir))),
+    // content-defined chunking: gear-hash cut points, insertion-robust.
+    "cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(Tables.documents(s, dir))),
+    // cross-document boilerplate via duplicated CDC chunks.
+    "cdc_dup_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcDupChunks(Tables.documents(s, dir))),
+    // BM25 lexical retrieval: top-k docs for a fixed query-term set.
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir))),
     // passage-level dedup over the chunk stream.
     "dedup_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDupes(Tables.documents(s, dir))),
@@ -430,6 +439,17 @@ object SparkEntry {
       val isHist = pmod(graft.functions.TextFunctions.hash60(
         concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
       TextAnalysis.incrementalSpans(
+        TextAnalysis.spanShingleIndex(docs.filter(isHist)),
+        docs.filter(!isHist))
+    }),
+    // per-doc novelty of the same delta vs the same history index:
+    // fraction of k-token windows not in the corpus (data-selection
+    // priority signal).
+    "novelty_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      TextAnalysis.noveltySpanScores(
         TextAnalysis.spanShingleIndex(docs.filter(isHist)),
         docs.filter(!isHist))
     }),
@@ -1901,6 +1921,76 @@ object SparkEntry {
         |FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // mirrors TextAnalysis.cdcChunks: a token is a cut point when its
+    // salted hash60 ≡ 0 (mod 16); it ENDS its chunk, so a token's
+    // chunk ordinal = 1 + cuts strictly before it.
+    "cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
+        |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |b AS (SELECT doc_id, i, tk,
+        |        CASE WHEN (CAST('0x' || substr(md5('cdc_' || tk), 1, 15) AS BIGINT) % 16) = 0
+        |          THEN 1 ELSE 0 END AS cut
+        |      FROM tok),
+        |c AS (SELECT doc_id, i, tk,
+        |        1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |      FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(min(i) AS INT) AS start_i,
+        |  CAST(count(*) AS INT) AS n_chunk_tokens,
+        |  md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors TextAnalysis.cdcDupChunks over the cdc_chunks stream.
+    "cdc_dup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
+        |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |b AS (SELECT doc_id, i, tk,
+        |        CASE WHEN (CAST('0x' || substr(md5('cdc_' || tk), 1, 15) AS BIGINT) % 16) = 0
+        |          THEN 1 ELSE 0 END AS cut
+        |      FROM tok),
+        |c AS (SELECT doc_id, i, tk,
+        |        1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |      FROM b),
+        |ch AS (SELECT doc_id, chunk_idx, count(*) AS n_chunk_tokens,
+        |         md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+        |       FROM c GROUP BY doc_id, chunk_idx)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc,
+        |  CAST(max(n_chunk_tokens) AS INT) AS n_chunk_tokens
+        |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
+        |ORDER BY chunk_md5""".stripMargin,
+
+    // mirrors TextAnalysis.bm25TopK: Lucene-form idf, k1=1.2 b=0.75;
+    // e0 literals + explicit parens reproduce the engine's exact IEEE
+    // constant folds and operation order; per-term scores scaled to
+    // exact longs before the per-doc sum (order-independent).
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corpus AS (SELECT count(*) AS n, sum(len(toks)) AS tot_len FROM t),
+        |tf AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+        |       FROM t, unnest(toks) AS u(t)
+        |       WHERE u.t IN ('spark', 'window', 'agg')
+        |       GROUP BY doc_id, len(toks), u.t),
+        |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf JOIN dfq USING (t), corpus)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms,
+        |  CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
     // mirrors TextAnalysis.splitAudit: same salted-hash split as
     // decontaminate; shares are raw exact-integer quotients.
     "split_audit" ->
@@ -1996,6 +2086,25 @@ object SparkEntry {
          |  max(i) + 8 - min(i) AS span_tokens, count(*) AS n_windows
          |FROM g2 GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // mirrors TextAnalysis.noveltySpanScores: same split and window
+    // hashes as dedup_spans_incremental; novelty is an exact-integer
+    // quotient (never rounded).
+    "novelty_score" ->
+      s"""WITH hist AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |delta AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |hidx AS (SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |         FROM hist, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |dw AS (SELECT doc_id,
+         |         CASE WHEN CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT)
+         |           IN (SELECT h FROM hidx) THEN 1 ELSE 0 END AS seen
+         |       FROM delta, unnest(generate_series(1, len(toks) - 7)) AS g(i))
+         |SELECT doc_id, count(*) AS n_windows, CAST(sum(seen) AS BIGINT) AS n_seen,
+         |  CAST(count(*) - sum(seen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM dw GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors TextAnalysis.spanScrub: every duplicated span cut from
     // every copy; md5 of the space-joined kept tokens.

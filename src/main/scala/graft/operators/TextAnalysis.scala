@@ -142,6 +142,59 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009; Lucene's
+    * non-negative idf form) for a fixed query-term set — the lexical
+    * retrieval primitive a curation pipeline uses to pull
+    * benchmark-adjacent or topic-adjacent documents out of a corpus
+    * (decontamination triage, targeted sampling). Complements
+    * [[tfIdf]] (per-doc term importance) with per-QUERY document
+    * ranking: BM25 saturates term frequency (k1) and normalizes by
+    * document length (b), which raw tf·idf does not.
+    *
+    * Scale shape: the token explode is filtered to the query terms
+    * BEFORE the tf aggregation, so the shuffled term-frequency table
+    * carries only |Q| terms' postings (data-scale only in matching
+    * docs, not the corpus); corpus stats (N, total length) ride as a
+    * 1-row in-plan aggregate cross-joined in — one pass over the
+    * corpus, nothing collected to the driver; the final top-k is
+    * TakeOrderedAndProject (per-partition k then one k·P merge), never
+    * a global sort.
+    *
+    * Determinism: each term's contribution is rounded to 6 decimals
+    * and scaled to an exact long BEFORE the per-doc sum (the [[lmScore]]
+    * convention — order-independent aggregation); the exact sum divides
+    * by 1e6 once at the output boundary, never re-rounded.
+    */
+  def bm25TopK(docs: DataFrame,
+               queryTerms: Seq[String] = Seq("spark", "window", "agg"),
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val corpus = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("tot_len"))
+    val tf = docs.select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("doc_freq"))
+    val idf = log((col("n").cast("double") - col("doc_freq").cast("double")
+      + lit(0.5d)) / (col("doc_freq").cast("double") + lit(0.5d)) + lit(1.0d))
+    val avgdl = col("tot_len").cast("double") / col("n").cast("double")
+    val tfd = col("tf").cast("double")
+    val scored = tf.join(dfreq, Seq("t")).crossJoin(corpus)
+      .select(col("doc_id"),
+        round(idf * (tfd * lit(k1 + 1.0d)) /
+          (tfd + lit(k1) * (lit(1.0d - b) + lit(b) *
+            col("dl").cast("double") / avgdl)) * lit(1e6), 0)
+          .cast("long").as("s6"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms"), sum(col("s6")).as("s6"))
+      .select(col("doc_id"), col("n_query_terms"),
+        (col("s6").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
     * train a unigram LM on a reference slice of the corpus (`lang =
     * trainLang` here; CCNet trains KenLM on Wikipedia) and score EVERY
@@ -226,6 +279,76 @@ object TextAnalysis {
         col("c.chunk_md5").as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** Content-defined chunking (the Rabin/gear-hash CDC idea of LBFS /
+    * FastCDC, at token granularity): a token is a CUT POINT when its
+    * salted hash60 ≡ 0 (mod `divisor`), and a chunk runs from one cut
+    * point (exclusive) to the next (inclusive) — so chunk boundaries
+    * are decided by CONTENT, not position. Unlike [[chunkDocs]]'s
+    * fixed-stride windows, inserting or deleting a token resynchronizes
+    * after at most one chunk: every chunk not containing the edit keeps
+    * its md5, which is what makes CDC the insertion-robust dedup
+    * chunker (expected chunk length = `divisor` tokens).
+    *
+    * Entirely map-only — boundary test, chunk starts, and per-chunk
+    * md5 are all higher-order array functions on the row's own token
+    * array (no token explode, no window, zero shuffle); at 100 TB this
+    * fuses into the parquet scan like the rest of the chunk family.
+    * Docs shorter than 1 token emit nothing ([[spanWindows]] guard).
+    */
+  /** The unordered chunk stream behind [[cdcChunks]] /
+    * [[cdcDupChunks]] — kept separate so the dup aggregation never
+    * sits on top of a canonical sort.
+    */
+  private def cdcChunkStream(docs: DataFrame, divisor: Int): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val n = size(toks)
+    // starts = position 1 plus every position following a cut point;
+    // when() keeps element_at's index ≥ 1 under ANSI (branch is lazy)
+    val starts = filter(sequence(lit(1), n), i =>
+      when(i === 1, lit(true)).otherwise(
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("cdc_"), element_at(toks, (i - 1).cast("int")))),
+          lit(divisor)) === 0))
+    docs
+      .select(col("doc_id"), toks.as("toks"), n.as("n"), starts.as("starts"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(col("starts"), (s, j) => {
+          val len = coalesce(
+            try_element_at(col("starts"), (j + 2).cast("int")) - s,
+            col("n") - s + 1)
+          struct(s.as("start_i"), len.as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("toks"), s, len))).as("chunk_md5"))
+        })).as(Seq("idx0", "c")))
+      .select(col("doc_id"), (col("idx0") + 1).as("chunk_idx"),
+        col("c.start_i").as("start_i"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_md5").as("chunk_md5"))
+  }
+
+  def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame =
+    cdcChunkStream(docs, divisor)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Dedup audit over [[cdcChunks]]: every chunk content that occurs
+    * more than once corpus-wide — n_copies, distinct docs touched, and
+    * the representative (minimum) location. Because the chunker is
+    * content-defined, a shared passage shows up here even when its
+    * surrounding context differs in every copy — the cross-document
+    * boilerplate detector fixed-stride chunking structurally misses.
+    * One hash-groupBy over the map-only chunk stream (map-side
+    * combine), same shape as exact dedup.
+    */
+  def cdcDupChunks(docs: DataFrame, divisor: Int = 16): DataFrame =
+    cdcChunkStream(docs, divisor)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("n_chunk_tokens")).as("n_chunk_tokens"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("chunk_md5"))
 
   /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): the bigram upgrade of
@@ -471,6 +594,35 @@ object TextAnalysis {
     histIndex.select(col("h"))
       .unionByName(spanShingleIndex(ingested, k))
       .distinct()
+
+  /** Per-document NOVELTY against the historical span index: the
+    * fraction of a delta doc's `k`-token windows whose hash is NOT in
+    * [[spanShingleIndex]] — the ranking signal a data-selection loop
+    * uses to prioritize genuinely new content for ingestion (novelty ≈
+    * 0 → the doc is already in the corpus verbatim or near-verbatim;
+    * [[incrementalSpans]] tells you WHERE the overlap sits, this tells
+    * you HOW MUCH, for every doc in one number). Docs shorter than `k`
+    * tokens carry no windows and are excluded (no denominator).
+    *
+    * Scale shape: identical to [[incrementalSpans]] — one scan of the
+    * delta, one of the index — but with a left join + flag instead of
+    * a semi join so unmatched windows count; the per-doc agg is a
+    * map-side-combine count pair, and novelty is ONE exact long/long
+    * quotient at the output boundary (never rounded — the
+    * [[lmScore]]-convention exact-quotient rule).
+    */
+  def noveltySpanScores(histIndex: DataFrame, deltaDocs: DataFrame,
+                        k: Int = 8): DataFrame =
+    spanWindows(deltaDocs, k)
+      .join(histIndex.select(col("h"), lit(1).as("seen")),
+        Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("seen"), lit(0)).cast("long")).as("n_seen"))
+      .select(col("doc_id"), col("n_windows"), col("n_seen"),
+        ((col("n_windows") - col("n_seen")).cast("double") /
+          col("n_windows").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
 
   /** Corpus-wide duplicated-token coverage audit over
     * [[duplicatedSpans]]: for EVERY document, how many of its tokens

@@ -207,6 +207,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("source"))
   }
 
+  test("cdc chunking: map-only chunk stream; dup audit adds only its own agg exchanges") {
+    // chunk construction is pure array HOFs on each row — the only
+    // hash exchanges in the dup audit are its own two-phase
+    // countDistinct aggregation ((chunk_md5, doc_id) then chunk_md5)
+    val pc = plan("cdc_chunks")
+    assert(!pc.contains("Arguments: hashpartitioning"))
+    val pd = plan("cdc_dup_chunks")
+    val exchanges = pd.split("Arguments: hashpartitioning").length - 1
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$pd")
+    assert(!pd.contains("SortAggregate"))
+  }
+
+  test("bm25: query-term filter before the tf aggregation, top-k not global sort") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the isin(queryTerms) filter must sit BELOW the first aggregate:
+    // the exploded token stream is cut to |Q| terms before shuffling
+    val filterIdx = p.indexOf("spark")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0)
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("suite-wide: nested-loop joins only where the build side is parameter-bounded") {
     // A BroadcastNestedLoopJoin over a DATA-scale side is the #1
     // silent 100 TB killer. The only ones allowed are those whose
@@ -233,6 +256,8 @@ class PlanSpec extends SparkSpec {
       "cluster_profile",
       // 1-row LM-model cross join, same as lm_score
       "lm_score_bigram",
+      // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
+      "bm25_topk",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs")
     // pipeline_gold_e2e executes real streaming hops at construction —

@@ -373,6 +373,92 @@ class TextDedupSpec extends SparkSpec {
       Seq(hex("t0 t1 t2"), hex("t2 t3 t4"), hex("t4")))
   }
 
+  test("cdcChunks: chunks partition the token stream, boundaries are content-defined") {
+    val text = (1 to 64).map(i => s"w$i").mkString(" ")
+    val r = TextAnalysis.cdcChunks(docs(text), divisor = 4).collect()
+    // partition: starts chain (each chunk begins where the previous
+    // ended) and lengths cover every token exactly once
+    assert(r.head.getAs[Int]("start_i") == 1)
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Int]("start_i") ==
+          a.getAs[Int]("start_i") + a.getAs[Int]("n_chunk_tokens"))
+      case _ =>
+    }
+    assert(r.map(_.getAs[Int]("n_chunk_tokens")).sum == 64)
+    assert(r.length > 1) // divisor 4 over 64 tokens must cut somewhere
+  }
+
+  test("cdcChunks resynchronize after an insertion; fixed-stride does not") {
+    val base = (1 to 48).map(i => s"w$i").mkString(" ")
+    val orig = TextAnalysis.cdcChunks(docs(base), divisor = 4)
+      .collect().map(_.getAs[String]("chunk_md5")).toSet
+    val shifted = TextAnalysis.cdcChunks(docs("zz0 zz1 zz2 " + base), divisor = 4)
+      .collect().map(_.getAs[String]("chunk_md5")).toSet
+    // every chunk after the first cut point inside `base` is unchanged
+    // by the 3-token prefix insertion — the CDC property
+    assert((orig intersect shifted).size >= orig.size - 1)
+    // the fixed-stride chunker loses every chunk to the same shift
+    val fsOrig = TextAnalysis.chunkDocs(docs(base),
+        chunkTokens = 8, stride = 8)
+      .collect().map(_.getAs[String]("chunk_md5")).toSet
+    val fsShift = TextAnalysis.chunkDocs(docs("zz0 zz1 zz2 " + base),
+        chunkTokens = 8, stride = 8)
+      .collect().map(_.getAs[String]("chunk_md5")).toSet
+    assert((fsOrig intersect fsShift).isEmpty)
+  }
+
+  test("cdcDupChunks: shared passage found at different offsets") {
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val r = TextAnalysis.cdcDupChunks(docs(
+        "x1 x2 " + shared,
+        "y1 " + shared + " y2"), divisor = 4).collect()
+    // resynchronized chunks inside the shared passage dedup across the
+    // two docs despite the different offsets
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("n_copies") == 2L))
+    assert(r.forall(_.getAs[Long]("first_doc") == 0L))
+  }
+
+  test("bm25TopK: coverage beats repetition, absent terms drop the doc") {
+    val corpus = docs(
+      "spark window agg runs fast",       // all 3 query terms once
+      "spark spark spark spark the the",  // one term, saturated tf
+      "the cat sat on the mat",           // no query terms
+      "window filler filler filler filler filler filler filler")
+    val r = TextAnalysis.bm25TopK(corpus).collect()
+    // doc 2 has no query terms → absent entirely
+    assert(!r.map(_.getAs[Long]("doc_id")).contains(2L))
+    val byId = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(byId(0L).getAs[Long]("n_query_terms") == 3L)
+    assert(byId(1L).getAs[Long]("n_query_terms") == 1L)
+    // 3 distinct terms in a short doc outrank 4 copies of one term
+    assert(r.head.getAs[Long]("doc_id") == 0L)
+    // k1 saturation: 4× tf is worth far less than 4× the single-hit
+    // score of the same term at similar length
+    val single = byId(3L).getAs[Double]("bm25")
+    assert(byId(1L).getAs[Double]("bm25") < 4.0 * single)
+  }
+
+  test("noveltySpanScores: 0 for copies, 1 for new, exact fraction between") {
+    val hist = docs("h1 h2 h3 h4 h5")
+    val idx = TextAnalysis.spanShingleIndex(hist, k = 3)
+    val delta = Seq(
+      (10L, "h1 h2 h3 h4 h5"),   // verbatim copy → novelty 0
+      (11L, "h1 h2 h3 n1 n2"),   // 1 of 3 windows seen → 2/3
+      (12L, "z1 z2 z3 z4"),      // fully new → 1
+      (13L, "q1 q2"))            // < k tokens → excluded
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.noveltySpanScores(idx, delta, k = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_windows"), x.getAs[Long]("n_seen"),
+          x.getAs[Double]("novelty"))).toMap
+    assert(r.keySet == Set(10L, 11L, 12L))
+    assert(r(10L) == ((3L, 3L, 0.0)))
+    assert(r(11L) == ((3L, 1L, 2.0 / 3.0)))
+    assert(r(12L) == ((2L, 0L, 1.0)))
+  }
+
   test("chunkClusters: shared passages bridge documents transitively") {
     // doc0~doc1 share block B, doc1~doc2 share block C (4-token chunks,
     // stride 4): one transitive cluster {0,1,2} with rep 0; doc3 shares
