@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 128-query bench run accumulates Janino-generated classes; when the
+  // default 240 MB code cache fills, the JIT stops compiling and every
+  // stage drops to interpreted bytecode (~10x). Headroom prevents the
+  // episodic whole-process slowdown mode.
+  "-XX:ReservedCodeCacheSize=512m",
 )

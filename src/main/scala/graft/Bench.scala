@@ -70,8 +70,11 @@ object Bench {
     // end-to-end pipeline is IO-bound (it materializes three sinks +
     // checkpoints), so re-running it buys no timing stability — once.
     val singleRun = Set("pipeline_gold_e2e")
-    val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // name-sorted: Map hash order reshuffles whenever the registry grows,
+    // which silently changes each query's warmup context round-over-round
+    // and confounds cross-round per-query comparison
+    val results: Seq[(String, Either[String, (Double, Double)])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val nRuns = if (singleRun(name)) 1 else 2
         val runs: Seq[Either[String, Double]] = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
@@ -86,13 +89,14 @@ object Bench {
           }
         }
         val oks = runs.collect { case Right(t) => t }
-        name -> (if (oks.nonEmpty) Right(oks.min)
+        name -> (if (oks.nonEmpty) Right((oks.min, oks.max))
                  else Left(runs.collectFirst { case Left(m) => m }.get))
       }
-    val timings = results.collect { case (k, Right(t)) => k -> t }
+    val timings = results.collect { case (k, Right((mn, _))) => k -> mn }
+    val maxes = results.collect { case (k, Right((_, mx))) => k -> mx }
     val errors = results.collect { case (k, Left(m)) => k -> m }
     // authoritative artifact: file copies survive sbt's stdout prefixing
-    val (fileLine, stdoutLine) = renderLines(timings, errors, sfDir)
+    val (fileLine, stdoutLine) = renderLines(timings, maxes, errors, sfDir)
     val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
     val written = outDirs.map { d =>
       try {
@@ -125,7 +129,14 @@ object Bench {
     */
   private[graft] val StdoutBudget = 1700
 
+  /** `timings` is best-of-N per query (the headline number); `maxes` is
+    * the worst run of the same N — the spread instantly classifies an
+    * outlier as one-cold-run (max >> min) vs both-runs-slow (a real
+    * pathology). The spread map goes to bench.json ONLY; the stdout line
+    * keeps its fixed budget.
+    */
   private[graft] def renderLines(timings: Seq[(String, Double)],
+                                 maxes: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
                                  sfDir: String): (String, String) = {
     def errJson(maxMsg: Int): String =
@@ -136,17 +147,21 @@ object Bench {
     val nAll = timings.size + errors.size
     def render(qs: Seq[(String, Double)], omitted: Int,
                num: Double => String, es: String,
-               errsOmitted: Boolean): String = {
+               errsOmitted: Boolean, extra: String = ""): String = {
       val qj = qs.map { case (k, v) => s""""$k":${num(v)}""" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       val eo = if (errsOmitted) s""""errors_omitted":${errors.size},""" else ""
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":$qj,$om"errors":$es,$eo"n_queries":$nAll,""" +
+        s""""queries":$qj,$extra$om"errors":$es,$eo"n_queries":$nAll,""" +
         s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
     }
-    // bench.json: full precision, full error messages (authoritative)
-    val fileLine = render(timings, 0, _.toString, errJson(Int.MaxValue), false)
+    // bench.json: full precision, full error messages, plus the per-query
+    // worst-run map (authoritative; spread lives here, never on stdout)
+    val maxJson = maxes.map { case (k, v) => s""""$k":$v""" }
+      .mkString(""""queries_max":{""", ",", "},")
+    val fileLine =
+      render(timings, 0, _.toString, errJson(Int.MaxValue), false, maxJson)
     // stdout: error messages capped at 80 chars (an unbounded errors map
     // can blow the budget just like the query map did in round 2); if
     // shrinking the query map to 1 entry still doesn't fit, drop the

@@ -2160,8 +2160,8 @@ object SparkEntry {
         |SELECT t.doc_id, len(t.toks) AS n_tokens,
         |  coalesce(agg.n_spans, 0) AS n_spans,
         |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
-        |  round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
-        |    / CAST(len(t.toks) AS DOUBLE), 6) AS dup_ratio
+        |  CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
+        |    / CAST(len(t.toks) AS DOUBLE) AS dup_ratio
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 

@@ -646,8 +646,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
-          / col("n_tokens").cast("double"), 6).as("dup_ratio"))
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_ratio"))
       .orderBy(col("doc_id"))
   }
 

@@ -219,6 +219,29 @@ class PlanSpec extends SparkSpec {
     assert(!pd.contains("SortAggregate"))
   }
 
+  test("cdc dup audit: every stage whole-stage-codegens, methods under JIT limit") {
+    // BENCH_r05 drew one 35.9s outlier for cdc_dup_chunks (steady-state
+    // ~2.7s); the suspected nested-HOF codegen blowup is refuted here by
+    // measurement and locked in: the executed plan must contain codegen
+    // stages and every generated method must stay far below the 8000-byte
+    // JIT huge-method threshold (beyond which HotSpot refuses to compile
+    // and the stage runs interpreted, ~10x slower).
+    val df = SparkEntry.queries("cdc_dup_chunks")(spark, dir)
+    df.collect() // finalize the AQE plan — codegen is inserted per stage
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val stages = org.apache.spark.sql.execution.debug.codegenStringSeq(executed)
+    assert(stages.nonEmpty, "no WholeStageCodegen stages in executed plan")
+    stages.foreach { case (subtree, _, stats) =>
+      assert(stats.maxMethodCodeSize < 8000,
+        s"generated method ${stats.maxMethodCodeSize}B exceeds JIT limit in:\n" +
+          subtree.linesIterator.take(4).mkString("\n"))
+    }
+  }
+
   test("bm25: query-term filter before the tf aggregation, top-k not global sort") {
     val p = plan("bm25_topk")
     assert(p.contains("TakeOrderedAndProject"))

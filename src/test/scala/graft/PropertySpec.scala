@@ -234,12 +234,20 @@ class PropertySpec extends SparkSpec {
       // the scrub cuts EXACTLY the span-covered tokens: n_cut must
       // equal spanStats' dup_tokens doc-for-doc (spans are disjoint,
       // so neither side double-counts)
-      val mismatches = TextAnalysis.spanStats(docs, k)
+      val stats = TextAnalysis.spanStats(docs, k)
+      val mismatches = stats
         .select(col("doc_id"), col("dup_tokens"))
         .join(TextAnalysis.spanScrub(docs, k)
           .select(col("doc_id"), col("n_cut")), Seq("doc_id"))
         .filter(col("dup_tokens") =!= col("n_cut")).count()
       assert(mismatches == 0, s"n_cut != dup_tokens seed=$seed")
+      // dup_ratio is the EXACT long/long IEEE quotient (never rounded —
+      // the novelty_score convention; round() is not cross-engine-stable)
+      stats.collect().foreach { r =>
+        assert(r.getAs[Double]("dup_ratio") ==
+          r.getAs[Long]("dup_tokens").toDouble / r.getAs[Long]("n_tokens"),
+          s"dup_ratio not exact quotient seed=$seed")
+      }
     }
   }
 
