@@ -243,17 +243,24 @@ object SparkEntry {
       Sessions.eventFunnel(Tables.events(s, dir))),
     "price_histogram" -> ((s, dir) =>
       Analytics.priceHistogram(Trades.fromEvents(Tables.events(s, dir)))),
-    // Mergeable-sketch variants (HLL++ / t-digest): engine-specific
-    // sketches can't hash-match a DuckDB oracle, so these are registered
-    // WITHOUT oracleSql -> the driver's weaker rows-only check. They are
-    // the map-side-mergeable scale path for the exact queries above.
+    // Cardinality + discrete-percentile profile. percentile_disc returns
+    // an ACTUAL data element (SQL-standard rank rule, no interpolation
+    // arithmetic), so it hash-matches DuckDB's quantile_disc exactly —
+    // no rounding needed. The mergeable-sketch variants of this profile
+    // (HLL++ approx_count_distinct, t-digest percentile_approx) are the
+    // 100 TB map-side path; their engine-specific sketch outputs can't
+    // hash-match any oracle, so they are bound-checked against the exact
+    // values in CapsAndLshSpec instead.
     "approx_profile" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       Trades.fromEvents(Tables.events(s, dir))
         .groupBy(col("symbol"))
         .agg(
-          approx_count_distinct(col("price"), 0.01).as("approx_price_levels"),
-          percentile_approx(col("price"), lit(0.5), lit(10000)).as("p50_approx"),
+          count_distinct(col("price")).as("price_levels"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)")
+            .as("p50_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)")
+            .as("p90_disc"),
           count(lit(1)).as("n"))
         .orderBy(col("symbol"))
     }),
@@ -1649,6 +1656,18 @@ object SparkEntry {
          |  round(quantile_cont(price, 0.5), 6) AS p50,
          |  round(quantile_cont(price, 0.95), 6) AS p95,
          |  round(quantile_cont(price, 0.99), 6) AS p99,
+         |  count(*) AS n
+         |FROM trades GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // quantile_disc == SQL-standard PERCENTILE_DISC (verified rule-for-
+    // rule): both return the element at rank ceil(p*n) — a real data
+    // value, so the hash compare needs no rounding convention.
+    "approx_profile" ->
+      s"""$tradesCte
+         |SELECT symbol,
+         |  count(DISTINCT price) AS price_levels,
+         |  quantile_disc(price, 0.5) AS p50_disc,
+         |  quantile_disc(price, 0.9) AS p90_disc,
          |  count(*) AS n
          |FROM trades GROUP BY symbol ORDER BY symbol""".stripMargin,
 

@@ -11,14 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  // engine-specific sketch bytes can't hash-match an oracle; verified
-  // by bound-checks in CapsAndLshSpec instead
-  private val noOracleAllowed = Set("approx_profile")
-
-  test("every query has an oracle, except the explicit sketch allowlist") {
+  test("every query has an oracle — no exceptions") {
+    // approx_profile was the last no-oracle row: its registered form now
+    // emits exact count_distinct + percentile_disc (oracle-able), and the
+    // mergeable-sketch variants are bound-checked in CapsAndLshSpec
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    val missing = q -- o -- noOracleAllowed
+    val missing = q -- o
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
