@@ -2178,7 +2178,7 @@ object SparkEntry {
         |        FROM sp GROUP BY doc_id)
         |SELECT t.doc_id, len(t.toks) AS n_tokens,
         |  coalesce(agg.n_spans, 0) AS n_spans,
-        |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+        |  CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
         |  CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
         |    / CAST(len(t.toks) AS DOUBLE) AS dup_ratio
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
