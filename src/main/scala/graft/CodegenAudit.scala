@@ -29,11 +29,15 @@ object CodegenAudit {
       println(s"[codegen] $n: ${stages.size} whole-stage subtrees")
       stages.zipWithIndex.foreach { case ((subtree, code, stats), i) =>
         val methodMax = stats.maxMethodCodeSize
-        val flag = if (methodMax > 8000) "  <-- EXCEEDS JIT HugeMethodLimit"
+        // -1 is ByteCodeStats.UNAVAILABLE: Janino failed to compile the
+        // stage (it runs interpreted) — the worst pathology this audit
+        // exists to surface, flagged louder than a huge method
+        val flag = if (methodMax <= 0) "  <-- COMPILE-FAILED/UNAVAILABLE"
+                   else if (methodMax > 8000) "  <-- EXCEEDS JIT HugeMethodLimit"
                    else ""
         println(f"[codegen] $n stage=$i maxMethodBytecode=$methodMax%6d " +
           f"codeLen=${code.length}%8d$flag")
-        if (methodMax > 8000)
+        if (methodMax <= 0 || methodMax > 8000)
           println(subtree.linesIterator.take(8).mkString("\n"))
       }
     }

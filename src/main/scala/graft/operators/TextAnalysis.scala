@@ -176,6 +176,19 @@ object TextAnalysis {
       .filter(col("t").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("t"))
       .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, corpus, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: `tf` is one row per (doc_id, dl, t,
+    * tf) posting restricted to the query terms; `corpus` is the 1-row
+    * (n, tot_len) aggregate. Identical expression tree whether the
+    * postings come from a live token explode ([[bm25TopK]]) or from the
+    * persisted index ([[bm25QueryIndex]]) — which is what makes the
+    * incremental path bitwise-equal to the full recompute (asserted in
+    * TextDedupSpec).
+    */
+  private def bm25Score(tf: DataFrame, corpus: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("doc_freq"))
     val idf = log((col("n").cast("double") - col("doc_freq").cast("double")
       + lit(0.5d)) / (col("doc_freq").cast("double") + lit(0.5d)) + lit(1.0d))
@@ -193,6 +206,55 @@ object TextAnalysis {
         (col("s6").cast("double") / lit(1e6)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The persisted BM25 inverted index: one row per (term, document)
+    * posting with its term frequency and the document's length — the
+    * Lucene postings+norms shape as a table. Everything BM25 needs at
+    * query time derives from it (doc_freq by counting a term's
+    * postings; corpus N and total length from the per-doc lengths), so
+    * retrieval never re-tokenizes the corpus. At 100 TB the index is
+    * O(total tokens) rows but each row is ~30 bytes vs the text's full
+    * bytes, written once, bucketed by `t` so a query's term filter
+    * prunes straight to its postings.
+    */
+  def bm25Index(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(col("doc_id"), size(toks).as("dl"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Daily index refresh — the retrieval analogue of
+    * [[appendCdcChunkIndex]]: history postings plus the postings of
+    * batch docs NOT already indexed. The doc_id anti join (projected to
+    * bare ids before the shuffle) makes re-appending the same batch a
+    * no-op, so reruns are safe; history text is never re-tokenized —
+    * the one property that makes BM25 over a growing corpus affordable
+    * (asserted in TextDedupSpec).
+    */
+  def refreshBm25Index(histIndex: DataFrame, deltaDocs: DataFrame): DataFrame =
+    histIndex.select(col("doc_id"), col("dl"), col("t"), col("tf"))
+      .unionByName(bm25Index(deltaDocs.join(
+        histIndex.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")))
+
+  /** BM25 top-k straight off the persisted index ([[bm25Index]] /
+    * [[refreshBm25Index]]) — no corpus scan at query time. Corpus stats
+    * come from the index itself (one per-doc length roll-up); scoring is
+    * the same [[bm25Score]] tail as [[bm25TopK]], so
+    * index-then-query equals scan-then-score exactly.
+    */
+  def bm25QueryIndex(index: DataFrame,
+                     queryTerms: Seq[String] = Seq("spark", "window", "agg"),
+                     k: Int = 20, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val perDoc = index.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    val corpus = perDoc.agg(count(lit(1)).as("n"),
+      sum(col("dl").cast("long")).as("tot_len"))
+    val tf = index.filter(col("t").isin(queryTerms: _*))
+      .select(col("doc_id"), col("dl"), col("t"), col("tf"))
+    bm25Score(tf, corpus, k, k1, b)
   }
 
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
@@ -291,44 +353,36 @@ object TextAnalysis {
     * chunker (expected chunk length = `divisor` tokens).
     *
     * Entirely map-only — boundary test, chunk starts, and per-chunk
-    * md5 are all higher-order array functions on the row's own token
-    * array (no token explode, no window, zero shuffle); at 100 TB this
-    * fuses into the parquet scan like the rest of the chunk family.
-    * Docs shorter than 1 token emit nothing ([[spanWindows]] guard).
+    * md5 happen in ONE compiled pass over the row's raw UTF-8 bytes
+    * (the codegen'd [[org.apache.spark.sql.graft.CdcChunks]]
+    * expression; no token explode, no window, zero shuffle); at 100 TB
+    * this fuses into the parquet scan like the rest of the chunk
+    * family. Null text emits nothing (posexplode of a null array).
     */
   /** The unordered chunk stream behind [[cdcChunks]] /
     * [[cdcDupChunks]] — kept separate so the dup aggregation never
     * sits on top of a canonical sort.
     */
-  private def cdcChunkStream(docs: DataFrame, divisor: Int): DataFrame = {
-    val toks = tokensCol(col("text"))
-    val n = size(toks)
-    // starts = position 1 plus every position following a cut point;
-    // when() keeps element_at's index ≥ 1 under ANSI (branch is lazy)
-    val starts = filter(sequence(lit(1), n), i =>
-      when(i === 1, lit(true)).otherwise(
-        pmod(graft.functions.TextFunctions.hash60(
-          concat(lit("cdc_"), element_at(toks, (i - 1).cast("int")))),
-          lit(divisor)) === 0))
+  private def cdcChunkStream(docs: DataFrame, divisor: Int): DataFrame =
     docs
-      .select(col("doc_id"), toks.as("toks"), n.as("n"), starts.as("starts"))
-      .filter(col("n") >= 1)
       .select(col("doc_id"),
-        posexplode(transform(col("starts"), (s, j) => {
-          val len = coalesce(
-            try_element_at(col("starts"), (j + 2).cast("int")) - s,
-            col("n") - s + 1)
-          struct(s.as("start_i"), len.as("n_chunk_tokens"),
-            md5(concat_ws(" ", slice(col("toks"), s, len))).as("chunk_md5"))
-        })).as(Seq("idx0", "c")))
+        posexplode(org.apache.spark.sql.graft.CdcChunks
+          .column(col("text"), divisor)).as(Seq("idx0", "c")))
       .select(col("doc_id"), (col("idx0") + 1).as("chunk_idx"),
         col("c.start_i").as("start_i"),
         col("c.n_chunk_tokens").as("n_chunk_tokens"),
         col("c.chunk_md5").as("chunk_md5"))
-  }
 
   def cdcChunks(docs: DataFrame, divisor: Int = 16): DataFrame =
     cdcChunkStream(docs, divisor)
+      // hash-exchange before the canonical sort: under AQE the chunker
+      // map stage materializes ONCE and the sort's range-bounds sampling
+      // reads the shuffled rows instead of re-running the chunker (a
+      // global sort samples its child twice otherwise). The extra
+      // exchange moves the same narrow chunk rows the sort itself
+      // shuffles, and gives the sort full parallelism even off a
+      // single input split.
+      .repartition(col("doc_id"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Dedup audit over [[cdcChunks]]: every chunk content that occurs
@@ -349,6 +403,55 @@ object TextAnalysis {
         max(col("n_chunk_tokens")).as("n_chunk_tokens"))
       .filter(col("n_copies") > 1)
       .orderBy(col("chunk_md5"))
+
+  /** The persisted-index side of INCREMENTAL CDC dedup: the distinct
+    * chunk md5s of a corpus — membership is all the delta check needs,
+    * so the index is one 32-char digest per distinct passage (far
+    * smaller than the text), appended per batch without ever
+    * re-chunking history. The CDC analogue of [[spanShingleIndex]].
+    */
+  def cdcChunkIndex(docs: DataFrame, divisor: Int = 16): DataFrame =
+    cdcChunkStream(docs, divisor).select(col("chunk_md5")).distinct()
+
+  /** Incremental CDC passage dedup — the daily-pipeline form of
+    * [[cdcDupChunks]]: every chunk of a NEW batch whose content already
+    * exists in the historical corpus, consulting only the persisted
+    * chunk index ([[cdcChunkIndex]]), never history text. Because the
+    * chunker is content-defined, a boilerplate passage is caught even
+    * when the delta doc wraps it in brand-new context (boundaries
+    * resynchronize after at most one chunk — asserted in
+    * IncrementalDedupSpec). Delta-internal duplication is deliberately
+    * out of scope (run [[cdcDupChunks]] within the delta for that);
+    * this is the against-history check, exactly parallel to
+    * [[incrementalSpans]].
+    *
+    * Scale shape: one scan of the delta (the map-only codegen'd
+    * chunker), one scan of the index; the semi join shuffles delta
+    * chunk rows and index digests by `chunk_md5`. History size affects
+    * only the join build — never a re-chunk.
+    */
+  def incrementalCdcDups(histIndex: DataFrame, deltaDocs: DataFrame,
+                         divisor: Int = 16): DataFrame =
+    cdcChunkStream(deltaDocs, divisor)
+      .join(histIndex.select(col("chunk_md5")), Seq("chunk_md5"), "left_semi")
+      .select(col("doc_id"), col("chunk_idx"), col("start_i"),
+        col("n_chunk_tokens"), col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Close the daily loop for the CDC family (the [[appendSpanIndex]]
+    * analogue): the chunk index after ingesting a batch — history
+    * digests plus the batch's chunk digests, distinct. Idempotence
+    * follows: re-checking the same batch against the updated index
+    * flags every chunk of every doc (each now matches its own digest),
+    * so reruns are safe — asserted in IncrementalDedupSpec. At scale
+    * the distinct co-partitions with the existing index layout
+    * (hash-bucketed on `chunk_md5`).
+    */
+  def appendCdcChunkIndex(histIndex: DataFrame, ingested: DataFrame,
+                          divisor: Int = 16): DataFrame =
+    histIndex.select(col("chunk_md5"))
+      .unionByName(cdcChunkIndex(ingested, divisor))
+      .distinct()
 
   /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): the bigram upgrade of

@@ -150,6 +150,62 @@ class IncrementalDedupSpec extends SparkSpec {
       r.head.getAs[Long]("span_end") == 7L)
   }
 
+  test("incremental CDC: copied and context-wrapped passages flagged, new content not") {
+    import graft.operators.TextAnalysis
+    val hist = docs(
+      0L -> (1 to 24).map(i => s"h$i").mkString(" "),
+      1L -> "z1 z2 z3 z4 z5 z6 z7 z8")
+    // 10 = verbatim copy of hist 0 (every chunk must match); 11 = hist 0
+    // wrapped in new context (content-defined boundaries resynchronize
+    // after at most one chunk, so interior chunks still match); 12 =
+    // genuinely new (nothing matches)
+    val delta = docs(
+      10L -> (1 to 24).map(i => s"h$i").mkString(" "),
+      11L -> ("prefix0 " + (1 to 24).map(i => s"h$i").mkString(" ") + " suffix0"),
+      12L -> "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")
+    val idx = TextAnalysis.cdcChunkIndex(hist, divisor = 4)
+    val r = TextAnalysis.incrementalCdcDups(idx, delta, divisor = 4)
+    val byDoc = r.collect().groupBy(_.getAs[Long]("doc_id"))
+    // the verbatim copy is fully covered
+    val copyChunks = byDoc(10L).map(_.getAs[Int]("n_chunk_tokens")).sum
+    assert(copyChunks == 24, s"copy coverage $copyChunks/24")
+    // the wrapped copy resynchronizes: interior chunks match even
+    // though its first and last chunks differ
+    assert(byDoc.contains(11L) && byDoc(11L).nonEmpty)
+    assert(byDoc(11L).map(_.getAs[Int]("n_chunk_tokens")).sum < 26)
+    // new content stays unflagged
+    assert(!byDoc.contains(12L))
+    // one scan each side, semi join — history text never re-chunked
+    // when the index comes from parquet
+    val base = Files.createTempDirectory("graft_inccdc").toString
+    idx.write.mode("overwrite").parquet(s"$base/cdc_idx.parquet")
+    delta.write.mode("overwrite").parquet(s"$base/delta.parquet")
+    val out = TextAnalysis.incrementalCdcDups(
+      spark.read.parquet(s"$base/cdc_idx.parquet"),
+      spark.read.parquet(s"$base/delta.parquet"), divisor = 4)
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 2, s"expected 2 scan leaves, got:\n$leaves")
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+  }
+
+  test("CDC index append makes the incremental CDC check idempotent") {
+    import graft.operators.TextAnalysis
+    val hist = docs(0L -> (1 to 16).map(i => s"h$i").mkString(" "))
+    val delta = docs(10L -> (1 to 16).map(i => s"d$i").mkString(" "))
+    val idx = TextAnalysis.cdcChunkIndex(hist, divisor = 4)
+    // nothing shared → no chunks flagged on first check
+    assert(TextAnalysis.incrementalCdcDups(idx, delta, divisor = 4)
+      .collect().isEmpty)
+    // after ingesting the delta, a rerun flags every chunk of the doc —
+    // the idempotence a daily job relies on to make reruns safe
+    val updated = TextAnalysis.appendCdcChunkIndex(idx, delta, divisor = 4)
+    val r = TextAnalysis.incrementalCdcDups(updated, delta, divisor = 4)
+      .collect()
+    assert(r.nonEmpty && r.map(_.getAs[Int]("n_chunk_tokens")).sum == 16)
+  }
+
   test("span index append makes the incremental span check idempotent") {
     import graft.operators.TextAnalysis
     val hist = docs(0L -> "h1 h2 h3 h4 h5 h6")

@@ -208,11 +208,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cdc chunking: map-only chunk stream; dup audit adds only its own agg exchanges") {
-    // chunk construction is pure array HOFs on each row — the only
-    // hash exchanges in the dup audit are its own two-phase
-    // countDistinct aggregation ((chunk_md5, doc_id) then chunk_md5)
+    // chunk construction is one codegen'd expression per row (CdcChunks);
+    // cdc_chunks adds exactly ONE hash exchange — the deliberate
+    // repartition(doc_id) that materializes the chunker once so the
+    // global sort's range-bounds sampling reads shuffle output instead
+    // of re-running the chunker (see TextAnalysis.cdcChunks)
     val pc = plan("cdc_chunks")
-    assert(!pc.contains("Arguments: hashpartitioning"))
+    val pcExchanges = pc.split("Arguments: hashpartitioning").length - 1
+    assert(pcExchanges == 1, s"expected 1 hash exchange, got $pcExchanges:\n$pc")
+    // the dup audit's only hash exchanges are its own two-phase
+    // countDistinct aggregation ((chunk_md5, doc_id) then chunk_md5)
     val pd = plan("cdc_dup_chunks")
     val exchanges = pd.split("Arguments: hashpartitioning").length - 1
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$pd")
@@ -236,6 +241,12 @@ class PlanSpec extends SparkSpec {
     val stages = org.apache.spark.sql.execution.debug.codegenStringSeq(executed)
     assert(stages.nonEmpty, "no WholeStageCodegen stages in executed plan")
     stages.foreach { case (subtree, _, stats) =>
+      // ByteCodeStats.UNAVAILABLE (-1) means Janino failed to compile the
+      // stage — exactly the broken-codegen case this test guards against,
+      // so the sentinel must fail, not pass vacuously
+      assert(stats.maxMethodCodeSize > 0,
+        s"codegen compile failed (maxMethodCodeSize=${stats.maxMethodCodeSize}) in:\n" +
+          subtree.linesIterator.take(4).mkString("\n"))
       assert(stats.maxMethodCodeSize < 8000,
         s"generated method ${stats.maxMethodCodeSize}B exceeds JIT limit in:\n" +
           subtree.linesIterator.take(4).mkString("\n"))
