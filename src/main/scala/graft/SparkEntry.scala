@@ -426,9 +426,32 @@ object SparkEntry {
     // cross-document boilerplate via duplicated CDC chunks.
     "cdc_dup_chunks" -> ((s, dir) =>
       TextAnalysis.cdcDupChunks(Tables.documents(s, dir))),
+    // incremental CDC: delta chunks checked against the history chunk
+    // index (same salted 80/20 split as dedup_incremental).
+    "cdc_dup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      TextAnalysis.incrementalCdcDups(
+        TextAnalysis.cdcChunkIndex(docs.filter(isHist)),
+        docs.filter(!isHist))
+    }),
     // BM25 lexical retrieval: top-k docs for a fixed query-term set.
     "bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    // incremental retrieval: BM25 served from the persisted postings
+    // index, refreshed with the delta batch (same salted 80/20 split as
+    // dedup_incremental) — equals a full-corpus recompute exactly, but
+    // history text is never re-tokenized. Second query-term set.
+    "bm25_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      TextAnalysis.bm25QueryIndex(
+        TextAnalysis.refreshBm25Index(
+          TextAnalysis.bm25Index(docs.filter(isHist)), docs.filter(!isHist)),
+        Seq("stream", "merge", "batch"))
+    }),
     // passage-level dedup over the chunk stream.
     "dedup_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDupes(Tables.documents(s, dir))),
@@ -1985,6 +2008,35 @@ object SparkEntry {
         |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
         |ORDER BY chunk_md5""".stripMargin,
 
+    // mirrors TextAnalysis.incrementalCdcDups: the cdc_chunks chunker
+    // over BOTH sides of the salted 80/20 split; hist contributes only
+    // its distinct chunk_md5 (the persisted index), delta chunks
+    // semi-join it.
+    "cdc_dup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
+         |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |b AS (SELECT doc_id, i, tk,
+         |        CASE WHEN (CAST('0x' || substr(md5('cdc_' || tk), 1, 15) AS BIGINT) % 16) = 0
+         |          THEN 1 ELSE 0 END AS cut
+         |      FROM tok),
+         |c AS (SELECT doc_id, i, tk,
+         |        1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |      FROM b),
+         |ch AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |         CAST(min(i) AS INT) AS start_i,
+         |         CAST(count(*) AS INT) AS n_chunk_tokens,
+         |         md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+         |       FROM c GROUP BY doc_id, chunk_idx),
+         |hidx AS (SELECT DISTINCT chunk_md5 FROM ch
+         |         WHERE ${h60("'inc_' || doc_id")} % 100 < 80)
+         |SELECT doc_id, chunk_idx, start_i, n_chunk_tokens, chunk_md5
+         |FROM ch
+         |WHERE ${h60("'inc_' || doc_id")} % 100 >= 80
+         |  AND chunk_md5 IN (SELECT chunk_md5 FROM hidx)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // mirrors TextAnalysis.bm25TopK: Lucene-form idf, k1=1.2 b=0.75;
     // e0 literals + explicit parens reproduce the engine's exact IEEE
     // constant folds and operation order; per-term scores scaled to
@@ -1995,6 +2047,33 @@ object SparkEntry {
         |tf AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
         |       FROM t, unnest(toks) AS u(t)
         |       WHERE u.t IN ('spark', 'window', 'agg')
+        |       GROUP BY doc_id, len(toks), u.t),
+        |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf JOIN dfq USING (t), corpus)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms,
+        |  CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors TextAnalysis.bm25QueryIndex over the refreshed index:
+    // because refresh(index(hist), delta) reproduces exactly the
+    // full-corpus postings (delta doc_ids are disjoint from history),
+    // the oracle is the same BM25 computation over all documents with
+    // the second query-term set — the strongest possible check that the
+    // incremental path loses nothing.
+    "bm25_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corpus AS (SELECT count(*) AS n, sum(len(toks)) AS tot_len FROM t),
+        |tf AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+        |       FROM t, unnest(toks) AS u(t)
+        |       WHERE u.t IN ('stream', 'merge', 'batch')
         |       GROUP BY doc_id, len(toks), u.t),
         |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
         |sc AS (SELECT tf.doc_id,

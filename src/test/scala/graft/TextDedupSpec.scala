@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
@@ -77,6 +79,49 @@ class TextDedupSpec extends SparkSpec {
         explode(TextFunctions.shinglesCol(
           TextFunctions.tokensCol(col("text")), 2)).as("s"))
       .orderBy("doc_id", "s").collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
+  test("codegen CdcChunks equals the higher-order reference form") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.DataFrame
+    // the original HOF form of cdcChunkStream, kept here as the
+    // executable reference semantics for the byte-slice expression
+    def hof(d: DataFrame, divisor: Int): DataFrame = {
+      val toks = TextFunctions.tokensCol(col("text"))
+      val n = size(toks)
+      val starts = filter(sequence(lit(1), n), i =>
+        when(i === 1, lit(true)).otherwise(
+          pmod(TextFunctions.hash60(
+            concat(lit("cdc_"), element_at(toks, (i - 1).cast("int")))),
+            lit(divisor)) === 0))
+      d.select(col("doc_id"), toks.as("toks"), n.as("n"), starts.as("starts"))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(col("starts"), (s, j) => {
+            val len = coalesce(
+              try_element_at(col("starts"), (j + 2).cast("int")) - s,
+              col("n") - s + 1)
+            struct(s.as("start_i"), len.as("n_chunk_tokens"),
+              md5(concat_ws(" ", slice(col("toks"), s, len))).as("chunk_md5"))
+          })).as(Seq("idx0", "c")))
+        .select(col("doc_id"), (col("idx0") + 1).as("chunk_idx"),
+          col("c.start_i").as("start_i"),
+          col("c.n_chunk_tokens").as("n_chunk_tokens"),
+          col("c.chunk_md5").as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+    val edge = docs("a b c", "a  b", " a", "b ", "über café émoji",
+      ("tok " * 200).trim, "x",
+      (1 to 300).map(i => s"w$i").mkString(" "))
+    for (divisor <- Seq(2, 16)) {
+      val a = TextAnalysis.cdcChunks(edge, divisor).collect().toSeq
+      val b = hof(edge, divisor).collect().toSeq
+      assert(a == b, s"divisor=$divisor")
+    }
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ra = TextAnalysis.cdcChunks(real).collect().toSeq
+    val rb = hof(real, 16).collect().toSeq
     assert(ra.nonEmpty && ra == rb)
   }
 
@@ -438,6 +483,57 @@ class TextDedupSpec extends SparkSpec {
     // score of the same term at similar length
     val single = byId(3L).getAs[Double]("bm25")
     assert(byId(1L).getAs[Double]("bm25") < 4.0 * single)
+  }
+
+  test("bm25TopK: second query set — decontaminate-style passage query ranks its source doc first") {
+    // the decontamination-triage use: tokenize a benchmark passage and
+    // BM25 the corpus with its terms — the doc embedding the passage
+    // must outrank topical chatter that shares only scattered terms
+    val passage = "eval benchmark answer exact match score"
+    val corpus = docs(
+      "intro text then " + passage + " then trailing text",   // embeds it
+      "benchmark the score of the score of the benchmark",     // 2 terms, repeated
+      "eval things answer things match things",                // 3 terms spread
+      "totally unrelated filler tokens here")
+    val terms = passage.split(" ").toSeq
+    val r = TextAnalysis.bm25TopK(corpus, queryTerms = terms, k = 3).collect()
+    assert(r.head.getAs[Long]("doc_id") == 0L)
+    assert(r.head.getAs[Long]("n_query_terms") == 6L)
+    assert(!r.map(_.getAs[Long]("doc_id")).contains(3L))
+    // and the parameterization really changes the ranking: the default
+    // set scores this corpus entirely differently (no spark/window/agg)
+    assert(TextAnalysis.bm25TopK(corpus).collect().isEmpty)
+  }
+
+  test("incremental BM25: refreshed index equals full recompute; refresh is idempotent") {
+    val hist = docs(
+      "spark stream merge runs in a batch window",
+      "merge merge merge batch",
+      "the quick brown fox")
+    val delta = Seq(
+      (10L, "stream batch stream merge"),
+      (11L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val full = hist.unionByName(delta)
+    val terms = Seq("stream", "merge", "batch")
+    val idx = TextAnalysis.bm25Index(hist)
+    val refreshed = TextAnalysis.refreshBm25Index(idx, delta)
+    val viaIndex = TextAnalysis.bm25QueryIndex(refreshed, terms).collect().toSeq
+    val direct = TextAnalysis.bm25TopK(full, terms).collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+    // idempotence: re-appending the same batch must not double-count
+    val twice = TextAnalysis.refreshBm25Index(refreshed, delta)
+    assert(TextAnalysis.bm25QueryIndex(twice, terms).collect().toSeq == direct)
+    // history text is never re-tokenized: with the index from parquet,
+    // the query plan reads exactly the index scan (plus nothing else)
+    val base = Files.createTempDirectory("graft_bm25inc").toString
+    refreshed.write.mode("overwrite").parquet(s"$base/idx.parquet")
+    val out = TextAnalysis.bm25QueryIndex(
+      spark.read.parquet(s"$base/idx.parquet"), terms)
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 3, // corpus stats, tf, dfreq — all off the index
+      s"expected 3 index-scan leaves, got ${leaves.length}")
+    assert(out.collect().toSeq == direct)
   }
 
   test("noveltySpanScores: 0 for copies, 1 for new, exact fraction between") {
