@@ -291,7 +291,7 @@ class PlanSpec extends SparkSpec {
       // 1-row LM-model cross join, same as lm_score
       "lm_score_bigram",
       // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
-      "bm25_topk",
+      "bm25_topk", "bm25_incremental",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs")
     // pipeline_gold_e2e executes real streaming hops at construction —
