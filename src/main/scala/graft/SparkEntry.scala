@@ -384,6 +384,10 @@ object SparkEntry {
 
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    // Gopher repetition profile: dominant n-gram identity + char
+    // fraction, linear-shuffle variant of repetition_signals.
+    "repetition_profile" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "doc_fingerprints" -> ((s, dir) =>
@@ -490,6 +494,21 @@ object SparkEntry {
       TextAnalysis.qualityDrift(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    // fuzzy decontamination: TRAIN docs that MinHash-near-match any TEST
+    // doc (same salted split as decontaminate) — catches the paraphrased
+    // contamination the exact 8-gram check misses. Pure composition:
+    // test signatures ARE the history index of the incremental check.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isTest = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("split_"), col("doc_id"))), lit(100)) < 10
+      Dedup.incrementalNearDups(
+        Dedup.minhashSignatures(docs.filter(isTest)), docs.filter(!isTest))
+        .select(col("hist_doc").as("test_doc"),
+          col("delta_doc").as("doc_id"),
+          col("n_matching"), col("est_jaccard"))
+        .orderBy(col("test_doc"), col("doc_id"))
+    }),
     "balanced_sample" -> ((s, dir) =>
       TextAnalysis.balancedSample(Tables.documents(s, dir))),
     "corpus_curate" -> ((s, dir) =>
@@ -576,6 +595,32 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, dir))),
     "ann_ivf_kmeans" -> ((s, dir) =>
       Similarity.annIvfKmeans(Tables.embeddings(s, dir))),
+    // incremental ANN: coarse quantizer trained on the salted 80%
+    // history slice and FROZEN; the 20% delta is assigned to it and
+    // appended (history never re-clustered); top-k served off the
+    // refreshed index — the retrieval analogue of dedup_incremental.
+    "ann_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ann_"), col("vec_id"))), lit(100)) < 80
+      val hist = Similarity.normed(emb.filter(isHist))
+      val cents = Similarity.kmeansCentroids(hist)
+      Similarity.annQueryIvf(cents,
+        Similarity.refreshIvfAssignments(
+          cents, Similarity.assignCells(hist, cents), emb))
+    }),
+    // the retrain trigger over the same frozen quantizer: per cell,
+    // inverted-list growth and centroid-fit drift of appended members.
+    "ivf_drift_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ann_"), col("vec_id"))), lit(100)) < 80
+      val hist = Similarity.normed(emb.filter(isHist))
+      val cents = Similarity.kmeansCentroids(hist)
+      val histAssign = Similarity.assignCells(hist, cents)
+      Similarity.ivfDriftAudit(cents, histAssign,
+        Similarity.refreshIvfAssignments(cents, histAssign, emb))
+    }),
     "ann_pq_adc" -> ((s, dir) =>
       Similarity.annPqAdc(Tables.embeddings(s, dir))),
     "ann_pq_rerank" -> ((s, dir) =>
@@ -825,14 +870,14 @@ object SparkEntry {
     * agreement count. Ends with `cand(hist_doc, delta_doc, n_matching)`
     * — consumed by both the pair query and the apply (ship) query.
     */
-  private val incChainCte = {
+  private def incChainCteFor(salt: String, histPct: Int) = {
     val matchSum = (0 until Dedup.NumHashes)
       .map(i => s"(CASE WHEN h.h$i = d.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""$docsCte,
        |$sigCte,
-       |hs AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
-       |dsg AS (SELECT * FROM sig WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+       |hs AS (SELECT * FROM sig WHERE ${h60(s"'$salt' || doc_id")} % 100 < $histPct),
+       |dsg AS (SELECT * FROM sig WHERE ${h60(s"'$salt' || doc_id")} % 100 >= $histPct),
        |${sigBandsCte("hb0", "hs")},
        |hb AS (SELECT * FROM hb0
        |       QUALIFY row_number() OVER (PARTITION BY b, bkey ORDER BY doc_id) <= ${Dedup.MaxBucketSize}),
@@ -841,6 +886,8 @@ object SparkEntry {
        |           CAST($matchSum AS INT) AS n_matching
        |         FROM hb h JOIN db d ON h.b = d.b AND h.bkey = d.bkey)""".stripMargin
   }
+
+  private val incChainCte = incChainCteFor("inc_", 80)
 
   /** Jaccard-verification CTE chain over candidate pairs `cand(d1,d2)`
     * against the shingle index named `idx` (mirrors Dedup.verifyJaccard;
@@ -926,10 +973,10 @@ object SparkEntry {
   /** k-means oracle steps (mirror Similarity.assignCells /
     * kmeansCentroids): one Lloyd assignment CTE and one means CTE.
     */
-  private def kmAssignCte(name: String, cents: String) =
+  private def kmAssignCte(name: String, cents: String, src: String = "n") =
     s"""${name}_s AS (SELECT n.vec_id, n.v, n.nrm, c.cell,
        |  round(${dotSql("n.v", "c.cv")} / (n.nrm * c.c_nrm), 6) AS cs
-       |  FROM n, $cents c),
+       |  FROM $src n, $cents c),
        |${name}_r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
        |  FROM ${name}_s),
        |$name AS (SELECT vec_id, v, nrm, cell FROM ${name}_r WHERE rn = 1)""".stripMargin
@@ -1742,6 +1789,48 @@ object SparkEntry {
          |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.repetitionProfile: n-gram occurrence counts
+    // WITH multiplicity per doc; top 2-gram by (cnt DESC, gram ASC);
+    // fractions are exact-integer quotients, no rounding.
+    "repetition_profile" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |            string_split(text, ' ') AS toks FROM documents),
+        |sz AS (SELECT doc_id, n_chars, len(toks) AS n_tokens FROM t),
+        |gt AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS gram
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+        |gd AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram
+        |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)),
+        |gk AS (SELECT doc_id, toks[i] AS gram
+        |       FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+        |ct AS (SELECT doc_id, gram, count(*) AS cnt FROM gt GROUP BY 1, 2),
+        |cd AS (SELECT doc_id, gram, count(*) AS cnt FROM gd GROUP BY 1, 2),
+        |ck AS (SELECT doc_id, gram, count(*) AS cnt FROM gk GROUP BY 1, 2),
+        |top AS (SELECT doc_id, gram, cnt,
+        |          row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY cnt DESC, gram) AS rn
+        |        FROM ct),
+        |dup AS (SELECT doc_id,
+        |          sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_positions,
+        |          sum(cnt) AS n_grams
+        |        FROM cd GROUP BY doc_id),
+        |dtk AS (SELECT doc_id,
+        |          sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_tok
+        |        FROM ck GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  t1.gram AS top_gram, CAST(t1.cnt AS BIGINT) AS top_cnt,
+        |  CASE WHEN t1.gram IS NULL THEN 0.0
+        |       ELSE CAST(t1.cnt AS DOUBLE) * CAST(length(t1.gram) AS DOUBLE)
+        |            / CAST(s.n_chars AS DOUBLE) END AS top_char_frac,
+        |  CASE WHEN coalesce(d.n_grams, 0) > 0
+        |       THEN CAST(d.dup_positions AS DOUBLE) / CAST(d.n_grams AS DOUBLE)
+        |       ELSE 0.0 END AS dup_gram_frac,
+        |  CAST(k.dup_tok AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS dup_token_frac
+        |FROM sz s
+        |LEFT JOIN top t1 ON t1.doc_id = s.doc_id AND t1.rn = 1
+        |LEFT JOIN dup d ON d.doc_id = s.doc_id
+        |JOIN dtk k ON k.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     "lang_id" ->
       s"""$docsCte,
          |s AS (SELECT doc_id,
@@ -2481,6 +2570,14 @@ object SparkEntry {
          |FROM cand WHERE n_matching >= ${Dedup.NumHashes / 2}
          |ORDER BY hist_doc, delta_doc""".stripMargin,
 
+    // same chain, decontaminate's salted split: test docs are the index.
+    "decontaminate_fuzzy" ->
+      s"""${incChainCteFor("split_", 10)}
+         |SELECT hist_doc AS test_doc, delta_doc AS doc_id, n_matching,
+         |  CAST(n_matching AS DOUBLE) / ${Dedup.NumHashes}.0 AS est_jaccard
+         |FROM cand WHERE n_matching >= ${Dedup.NumHashes / 2}
+         |ORDER BY test_doc, doc_id""".stripMargin,
+
     // mirrors Dedup.incrementalApply: the delta minus the flagged set.
     "dedup_incremental_apply" ->
       s"""$incChainCte
@@ -2895,6 +2992,84 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.annQueryIvf over refreshIvfAssignments: kmeans
+    // trained on the salted 80% history slice only (init = hist vectors
+    // with vec_id < 8), every vector assigned to those FROZEN centroids
+    // (history via the index build, delta via the refresh — identical
+    // assignment rule, so the union equals assigning all), then the
+    // standard probe/score tail.
+    "ann_incremental" ->
+      s"""$embCte,
+         |h AS (SELECT * FROM n
+         |      WHERE ${h60("'ann_' || vec_id")} % 100 < 80),
+         |d AS (SELECT * FROM n
+         |      WHERE ${h60("'ann_' || vec_id")} % 100 >= 80),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM h WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0", "h")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1", "h")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("ah", "c2", "h")},
+         |${kmAssignCte("ad", "c2", "d")},
+         |cells AS (SELECT * FROM ah UNION ALL SELECT * FROM ad),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM cells WHERE vec_id < 10),
+         |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
+         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |       FROM q, c2 c),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
+         |       FROM pc),
+         |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
+         |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.ivfDriftAudit over the ann_incremental chain:
+    // per cell, hist/new member counts and scaled-long cosine means.
+    "ivf_drift_audit" ->
+      s"""$embCte,
+         |h AS (SELECT * FROM n
+         |      WHERE ${h60("'ann_' || vec_id")} % 100 < 80),
+         |d AS (SELECT * FROM n
+         |      WHERE ${h60("'ann_' || vec_id")} % 100 >= 80),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM h WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0", "h")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1", "h")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("ah", "c2", "h")},
+         |${kmAssignCte("ad", "c2", "d")},
+         |cells AS (SELECT *, TRUE AS is_hist FROM ah
+         |          UNION ALL SELECT *, FALSE AS is_hist FROM ad),
+         |j AS (SELECT cells.cell, cells.is_hist,
+         |        CAST(round(${dotSql("cells.v", "c2.cv")}
+         |          / (cells.nrm * c2.c_nrm) * 1000000.0, 0) AS BIGINT) AS c6
+         |      FROM cells JOIN c2 ON cells.cell = c2.cell),
+         |g AS (SELECT cell,
+         |        sum(CASE WHEN is_hist THEN 1 ELSE 0 END) AS n_hist,
+         |        sum(CASE WHEN is_hist THEN 0 ELSE 1 END) AS n_new,
+         |        sum(CASE WHEN is_hist THEN c6 ELSE 0 END) AS s6_hist,
+         |        sum(CASE WHEN is_hist THEN 0 ELSE c6 END) AS s6_new
+         |      FROM j GROUP BY cell)
+         |SELECT cell, CAST(n_hist AS BIGINT) AS n_hist,
+         |  CAST(n_new AS BIGINT) AS n_new,
+         |  CASE WHEN n_hist > 0
+         |    THEN CAST(n_new AS DOUBLE) / CAST(n_hist AS DOUBLE) END AS growth_ratio,
+         |  CASE WHEN n_hist > 0
+         |    THEN CAST(s6_hist AS DOUBLE) / 1000000.0 / CAST(n_hist AS DOUBLE) END AS mean_cos_hist,
+         |  CASE WHEN n_new > 0
+         |    THEN CAST(s6_new AS DOUBLE) / 1000000.0 / CAST(n_new AS DOUBLE) END AS mean_cos_new,
+         |  CASE WHEN n_hist > 0 AND n_new > 0
+         |    THEN CAST(s6_hist AS DOUBLE) / 1000000.0 / CAST(n_hist AS DOUBLE)
+         |       - CAST(s6_new AS DOUBLE) / 1000000.0 / CAST(n_new AS DOUBLE) END AS cos_drift
+         |FROM g ORDER BY cell""".stripMargin,
 
     "ann_pq_adc" ->
       s"""$pqChainCte,

@@ -422,7 +422,21 @@ object Similarity {
                    iters: Int = 2): DataFrame = {
     val n = normed(embeddings)
     val cents = kmeansCentroids(n, kCells, iters)
-    val cells = assignCells(n, cents)
+    annQueryIvf(cents, assignCells(n, cents), nQueries, k, nProbe)
+  }
+
+  /** IVF serving straight off a persisted index: `cents` is the k-row
+    * frozen coarse quantizer, `cells` the per-vector assignment table
+    * ([[assignCells]] or [[refreshIvfAssignments]]). Queries (vec_id <
+    * nQueries) probe the nProbe closest centroids (broadcast, k rows)
+    * and search exactly within probed cells only. This is the
+    * [[annIvfKmeans]] tail exposed on its own so an incrementally
+    * refreshed index serves results without re-clustering anything —
+    * index-then-query equals cluster-then-query bitwise (asserted in
+    * SimilaritySpec).
+    */
+  def annQueryIvf(cents: DataFrame, cells: DataFrame, nQueries: Int = 10,
+                  k: Int = 10, nProbe: Int = 2): DataFrame = {
     val q = cells.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -446,6 +460,73 @@ object Similarity {
           .orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Daily refresh of the IVF assignment table — the ANN analogue of
+    * [[graft.operators.TextAnalysis.refreshBm25Index]]: history
+    * assignments are never re-clustered or re-scored; batch vectors not
+    * already indexed are assigned to the FROZEN quantizer (one map-side
+    * scan over the delta, [[assignCells]]) and appended. The anti join
+    * ships bare vec_ids only, so re-appending the same batch is a no-op
+    * (idempotent reruns, spec-asserted). This is production IVF posture:
+    * the coarse quantizer retrains rarely; the inverted lists grow with
+    * every batch. At 100 TB the refresh cost is one scan of the delta
+    * plus one id-projected scan of the index — history vectors are never
+    * touched.
+    */
+  def refreshIvfAssignments(cents: DataFrame, histAssign: DataFrame,
+                            batch: DataFrame): DataFrame = {
+    val delta = normed(batch).join(
+      histAssign.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    histAssign.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .unionByName(assignCells(delta, cents))
+  }
+
+  /** The retrain trigger for a frozen IVF quantizer: per cell, how much
+    * the incrementally appended members ([[refreshIvfAssignments]]) have
+    * grown the inverted list and how much WORSE they fit the frozen
+    * centroid than the members it was trained on. `growth_ratio` high →
+    * the list is unbalancing (probe cost skews); `cos_drift` positive →
+    * the data distribution moved and new vectors land far from every
+    * trained centroid. Either crossing a threshold is the signal to
+    * retrain the quantizer — the audit production ANN serving runs
+    * before trusting a stale index, as a query.
+    *
+    * Scale shape: one id-projected left-anti-style membership join
+    * (bare vec_ids), the k-row centroid broadcast, and a k-row
+    * aggregate. Per-vector cosines scale to exact longs pre-sum
+    * (order-independent, the [[clusterProfile]] convention); the means
+    * and ratios are exact-integer quotients.
+    */
+  def ivfDriftAudit(cents: DataFrame, histAssign: DataFrame,
+                    refreshed: DataFrame): DataFrame = {
+    val histIds = histAssign.select(col("vec_id"))
+      .withColumn("is_hist", lit(true))
+    refreshed.join(broadcast(cents), Seq("cell"))
+      .join(histIds, Seq("vec_id"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("is_hist"), lit(false)).as("is_hist"),
+        round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm"))
+          * lit(1e6), 0).cast("long").as("c6"))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("is_hist"), 1L).otherwise(0L)).as("n_hist"),
+        sum(when(col("is_hist"), 0L).otherwise(1L)).as("n_new"),
+        sum(when(col("is_hist"), col("c6")).otherwise(0L)).as("s6_hist"),
+        sum(when(col("is_hist"), 0L).otherwise(col("c6"))).as("s6_new"))
+      .select(col("cell"), col("n_hist"), col("n_new"),
+        when(col("n_hist") > 0, col("n_new").cast("double") /
+          col("n_hist").cast("double")).as("growth_ratio"),
+        when(col("n_hist") > 0, col("s6_hist").cast("double") / lit(1e6) /
+          col("n_hist").cast("double")).as("mean_cos_hist"),
+        when(col("n_new") > 0, col("s6_new").cast("double") / lit(1e6) /
+          col("n_new").cast("double")).as("mean_cos_new"),
+        when(col("n_hist") > 0 && col("n_new") > 0,
+          (col("s6_hist").cast("double") / lit(1e6) /
+            col("n_hist").cast("double")) -
+          (col("s6_new").cast("double") / lit(1e6) /
+            col("n_new").cast("double"))).as("cos_drift"))
+      .orderBy(col("cell"))
   }
 
   /** IVF ANN: centroid per label cell (element-wise mean, rounded to 6

@@ -62,6 +62,87 @@ object TextAnalysis {
       qualityScoreCol.as("quality_score"))
   }
 
+  /** All n-gram occurrences of a token array WITH multiplicity — unlike
+    * [[shinglesCol]]/ShingleStrings (which dedup for MinHash set
+    * semantics), repetition metrics need every position. Docs shorter
+    * than n carry no n-gram.
+    */
+  private def gramsAll(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - lit(n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+
+  /** The repetition PROFILE per document — [[repetitionSignals]]'s
+    * big-document twin, reporting the identity of the dominant n-gram,
+    * not just its share:
+    *   - `top_gram` / `top_cnt`  — the most frequent topN-gram (ties →
+    *     lexicographically smallest) and its occurrence count;
+    *   - `top_char_frac`         — fraction of the document's characters
+    *     covered by occurrences of that gram (count × gram chars /
+    *     doc chars), Gopher's "top n-gram character fraction" (Rae et
+    *     al. 2021, Table A1);
+    *   - `dup_gram_frac`         — fraction of dupN-gram positions whose
+    *     gram occurs more than once in the doc;
+    *   - `dup_token_frac`        — fraction of token positions holding a
+    *     token that repeats within the doc.
+    * High values = looped/boilerplate text; thresholding composes
+    * exactly like [[qualityFilter]].
+    *
+    * Where [[repetitionSignals]] stays in-row (zero shuffle, but
+    * O(tokens × distinct-grams) per doc — right for bounded docs), this
+    * is LINEAR in corpus tokens: one explode of the three position
+    * streams tagged by family, ONE shuffle keyed (doc_id, family, gram)
+    * with map-side partial counts, a per-doc roll-up on the doc_id
+    * prefix of the same key, and a join back to the doc-level sizes —
+    * no cross-document state, no quadratic in-row scan, so a 1M-token
+    * pathological doc costs 1M rows, not 10¹² comparisons. Fractions
+    * are exact-integer quotients (bit-identical cross-engine, no
+    * rounding); where the two operators measure the same quantity
+    * (top 2-gram position share) they agree exactly (spec-asserted).
+    */
+  def repetitionProfile(docs: DataFrame, topN: Int = 2,
+                        dupN: Int = 3): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val base = docs.select(col("doc_id"),
+      length(col("text")).as("n_chars"), size(toks).as("n_tokens"),
+      gramsAll(toks, topN).as("g_top"), gramsAll(toks, dupN).as("g_dup"),
+      toks.as("g_tok"))
+    val tagged = Seq("top" -> "g_top", "dup" -> "g_dup", "tok" -> "g_tok")
+      .map { case (fam, c) =>
+        base.select(col("doc_id"), lit(fam).as("fam"),
+          explode(col(c)).as("gram"))
+      }.reduce(_ unionByName _)
+    val counts = tagged.groupBy(col("doc_id"), col("fam"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // min over struct(-cnt, gram) = highest count, then smallest gram —
+    // the in-agg argmax, no second window shuffle
+    val perDoc = counts.groupBy(col("doc_id")).agg(
+      min(when(col("fam") === "top",
+        struct((-col("cnt")).as("ncnt"), col("gram").as("g")))).as("best"),
+      sum(when(col("fam") === "dup" && col("cnt") > 1, col("cnt"))
+        .otherwise(0L)).as("dup_positions"),
+      sum(when(col("fam") === "dup", col("cnt")).otherwise(0L)).as("n_grams"),
+      sum(when(col("fam") === "tok" && col("cnt") > 1, col("cnt"))
+        .otherwise(0L)).as("dup_tok_positions"))
+    base.select(col("doc_id"), col("n_chars"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("best").getField("g").as("top_gram"),
+        (-col("best").getField("ncnt")).as("top_cnt"),
+        when(col("best").isNotNull,
+          (-col("best").getField("ncnt")).cast("double") *
+            length(col("best").getField("g")).cast("double") /
+            col("n_chars").cast("double")).otherwise(lit(0.0))
+          .as("top_char_frac"),
+        when(col("n_grams") > 0, col("dup_positions").cast("double") /
+          col("n_grams").cast("double")).otherwise(lit(0.0))
+          .as("dup_gram_frac"),
+        (col("dup_tok_positions").cast("double") /
+          col("n_tokens").cast("double")).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-lexicon language ID: score per language = marker-token
     * ratio; argmax with declaration-order tie-break; all-zero → "und".
     */

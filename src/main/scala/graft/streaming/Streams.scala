@@ -219,6 +219,23 @@ object Streams {
       .join(histIndex.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("i"))
 
+  /** Stream-static incremental ANN assignment: assign a STREAMING delta
+    * of embedding rows to the FROZEN coarse quantizer — the streaming
+    * twin of [[graft.operators.Similarity.refreshIvfAssignments]]'s
+    * assignment step, sharing its [[graft.operators.Similarity
+    * .assignCells]] back end. Fully stateless: the k centroids collapse
+    * to one broadcast row on the static side and each streamed vector
+    * picks its cell with an in-row array_min, so — like every
+    * incremental family here — index state is the SINK table (append
+    * mode), never stream state. Already-indexed vec_ids are the sink
+    * compaction's anti join (or an upstream dropDuplicates), keeping the
+    * per-batch path map-only at any index size. Batch parity asserted in
+    * StreamingSpec.
+    */
+  def annAssignStream(deltaEmbs: DataFrame, cents: DataFrame): DataFrame =
+    graft.operators.Similarity.assignCells(
+      graft.operators.Similarity.normed(deltaEmbs), cents)
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition

@@ -224,6 +224,49 @@ class IncrementalDedupSpec extends SparkSpec {
       r.head.getAs[Long]("span_tokens") == 7L)
   }
 
+  // --- incremental ANN: the IVF index refresh (Similarity) ---
+
+  private def embs(rows: (Long, Seq[Double])*) =
+    rows.map { case (id, v) =>
+      (id, v.map(_.toFloat).toArray, (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+
+  // two obvious clusters in 4 dims plus per-vector jitter, ids 0-11
+  private val allVecs = embs((0L until 12L).map { i =>
+    val base = if (i % 2 == 0) Seq(1.0, 0.05 * i, 0.0, 0.1)
+               else Seq(0.0, 0.1, 1.0, 0.05 * i)
+    i -> base.map(_ + 0.001 * i)
+  }: _*)
+
+  private val annHist = allVecs.filter(col("vec_id") < 9)
+
+  test("IVF refresh: index-then-query equals assigning everything to the frozen quantizer") {
+    val n = operators.Similarity.normed(annHist)
+    val cents = operators.Similarity.kmeansCentroids(n, k = 2, iters = 2)
+    val refreshed = operators.Similarity.refreshIvfAssignments(
+      cents, operators.Similarity.assignCells(n, cents), allVecs)
+    val direct = operators.Similarity.annQueryIvf(
+      cents, operators.Similarity.assignCells(
+        operators.Similarity.normed(allVecs), cents), nProbe = 1)
+    val served = operators.Similarity.annQueryIvf(cents, refreshed, nProbe = 1)
+    assert(served.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("IVF refresh is idempotent and never touches history assignments") {
+    val n = operators.Similarity.normed(annHist)
+    val cents = operators.Similarity.kmeansCentroids(n, k = 2, iters = 2)
+    val hist = operators.Similarity.assignCells(n, cents)
+    val once = operators.Similarity.refreshIvfAssignments(cents, hist, allVecs)
+    val twice = operators.Similarity.refreshIvfAssignments(cents, once, allVecs)
+    val key = Seq("vec_id", "cell")
+    assert(twice.select(key.head, key.tail: _*).orderBy("vec_id").collect().toSeq ==
+      once.select(key.head, key.tail: _*).orderBy("vec_id").collect().toSeq)
+    // history rows pass through byte-identical (never re-assigned)
+    val histRows = hist.orderBy("vec_id").collect().toSeq
+    val histInRefreshed = once.filter(col("vec_id") < 9).orderBy("vec_id").collect().toSeq
+    assert(histInRefreshed == histRows)
+  }
+
   test("history bucket cap keeps the smallest doc_ids (representatives)") {
     // many identical history docs: every band bucket holds all of them;
     // with a tiny cap only the smallest `cap` doc_ids stay joinable

@@ -494,6 +494,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static ANN assignment: streamed delta lands in the same cells as batch") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    // history: two tight clusters; quantizer trained on it and frozen
+    val hist = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.1f), 0),
+      (1L, Seq(0.0f, 0.1f, 1.0f, 0.0f), 1),
+      (2L, Seq(0.9f, 0.05f, 0.0f, 0.1f), 0),
+      (3L, Seq(0.05f, 0.1f, 0.95f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(Similarity.normed(hist), k = 2)
+    val delta = Seq(
+      (10L, Seq(0.95f, 0.0f, 0.05f, 0.1f), 0),
+      (11L, Seq(0.0f, 0.05f, 1.0f, 0.05f), 1))
+
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = Streams.annAssignStream(
+        in.toDF.toDF("vec_id", "embedding", "label"), cents)
+      .writeStream.format("memory").queryName("ann_assign_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_assign_stream")
+        .select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = Similarity.assignCells(
+          Similarity.normed(delta.toDF("vec_id", "embedding", "label")), cents)
+        .select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("stream-static span dedup: flagged windows match batch, merge at sink") {
     import graft.operators.TextAnalysis
     implicit val ctx = spark.sqlContext

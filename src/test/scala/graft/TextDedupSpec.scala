@@ -189,6 +189,42 @@ class TextDedupSpec extends SparkSpec {
     assert(tiny.getAs[Double]("dup_trigram_frac") == 0.0)
   }
 
+  test("repetition profile: dominant gram identified; agrees with the in-row signals") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),             // all-distinct tokens
+      (1L, "x x x x x x x x"),             // one token repeated
+      (2L, "p q p q p q p q"))             // repeated bigram "p q"
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(d).collect()
+    // doc 2: "p q" is the top bigram, 4 occurrences over 15 chars of "p q"(3) = 12/15
+    assert(r(2).getAs[String]("top_gram") == "p q")
+    assert(r(2).getAs[Long]("top_cnt") == 4L)
+    assert(math.abs(r(2).getAs[Double]("top_char_frac") - 12.0 / 15.0) < 1e-9)
+    // doc 0: every bigram unique -> top_cnt 1, no dup trigrams/tokens
+    assert(r(0).getAs[Long]("top_cnt") == 1L)
+    assert(r(0).getAs[Double]("dup_gram_frac") == 0.0)
+    assert(r(0).getAs[Double]("dup_token_frac") == 0.0)
+    // doc 1: everything repeats
+    assert(r(1).getAs[String]("top_gram") == "x x")
+    assert(r(1).getAs[Double]("dup_gram_frac") == 1.0)
+    assert(r(1).getAs[Double]("dup_token_frac") == 1.0)
+    // shared quantity agrees with the in-row operator: top 2-gram
+    // position share == repetitionSignals.top_bigram_frac (rounded 6)
+    val prof = r.map(x => x.getAs[Long]("doc_id") ->
+      (x.getAs[Long]("top_cnt").toDouble / (x.getAs[Int]("n_tokens") - 1))).toMap
+    TextAnalysis.repetitionSignals(d).collect().foreach { row =>
+      val expected = BigDecimal(prof(row.getAs[Long]("doc_id")))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Double]("top_bigram_frac") == expected)
+    }
+    // one-token doc: no bigram exists; fractions 0, gram null, no error
+    val tiny = TextAnalysis.repetitionProfile(Seq((9L, "solo")).toDF("doc_id", "text"))
+      .collect().head
+    assert(tiny.getAs[String]("top_gram") == null)
+    assert(tiny.getAs[Double]("top_char_frac") == 0.0)
+    assert(tiny.getAs[Double]("dup_gram_frac") == 0.0)
+  }
+
   test("decontaminate flags planted passage overlap, ignores vocab overlap") {
     // find doc_ids on each side of the deterministic split first
     val ids = (0L until 40L)
