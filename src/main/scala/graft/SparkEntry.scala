@@ -513,6 +513,9 @@ object SparkEntry {
       TextAnalysis.balancedSample(Tables.documents(s, dir))),
     "corpus_curate" -> ((s, dir) =>
       TextAnalysis.curate(Tables.documents(s, dir))),
+    // PII redaction: emails / IPv4 / long digit runs, counts + md5.
+    "scrub_pii" -> ((s, dir) =>
+      TextAnalysis.scrubPii(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "scrub_denylist" -> ((s, dir) =>
       TextAnalysis.scrubDenylist(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
@@ -550,6 +553,21 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
+    // incremental cluster maintenance: the 20% salted "delta" folded
+    // into the persisted posting index + cluster assignment of the
+    // other 80% — merges, attachments, and new clusters without ever
+    // re-shingling history (parity with the full rerun and the
+    // persisted-parquet path are IncrementalDedupSpec).
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val hist = docs.filter(isHist)
+      Dedup.incrementalClusters(
+        Dedup.shingled(hist),
+        Dedup.clusters(Dedup.ngramJaccardPairs(hist)),
+        docs.filter(!isHist))
+    }),
     "dedup_cap_stats" -> ((s, dir) =>
       Dedup.capStats(Tables.documents(s, dir))),
     // provenance audit: rare-shingle overlap between source feeds.
@@ -1866,6 +1884,29 @@ object SparkEntry {
          |WHERE ${h60("'sample_' || doc_id")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.scrubPii: same lookaround-free patterns,
+    // same fixed application order (email -> ipv4 -> long digits).
+    "scrub_pii" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS no_email FROM documents),
+        |s2 AS (SELECT *, regexp_replace(no_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |    '<IP>', 'g') AS no_ip FROM s)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(no_email,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+        |    AS n_ipv4,
+        |  CAST(len(regexp_extract_all(no_ip, '[0-9]{7,}')) AS INT)
+        |    AS n_long_nums,
+        |  md5(regexp_replace(no_ip, '[0-9]{7,}', '<NUM>', 'g')) AS clean_md5,
+        |  regexp_replace(no_ip, '[0-9]{7,}', '<NUM>', 'g') <> text AS changed
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
     "scrub_denylist" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b'))
@@ -2538,6 +2579,69 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.incrementalClusters: history (80%) clustered over
+    // its own capped index, then the delta's new pairs (combined capped
+    // index, >=1 delta end, exact jaccard) lifted to the contracted
+    // cluster graph, a second CC over that graph, reps remapped.
+    "dedup_clusters_incremental" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |shh AS (SELECT * FROM sh WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |shhc AS (SELECT doc_id, shingle FROM shh
+         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shhc x JOIN shhc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shhc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |assign AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |$shCappedCte,
+         |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM shc x JOIN shc y
+         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          WHERE ${h60("'inc_' || x.doc_id")} % 100 >= 80
+         |             OR ${h60("'inc_' || y.doc_id")} % 100 >= 80),
+         |cnt2 AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |inter2 AS (SELECT c.d1, c.d2, count(*) AS i
+         |           FROM cand2 c
+         |           JOIN shc s1 ON s1.doc_id = c.d1
+         |           JOIN shc s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+         |           GROUP BY c.d1, c.d2),
+         |np AS (SELECT i2.d1, i2.d2
+         |       FROM inter2 i2
+         |       JOIN cnt2 c1 ON c1.doc_id = i2.d1
+         |       JOIN cnt2 c2 ON c2.doc_id = i2.d2
+         |       WHERE round(CAST(i2.i AS DOUBLE)
+         |         / CAST(c1.n + c2.n - i2.i AS DOUBLE), 6) >= 0.5),
+         |lift AS (SELECT coalesce(a1.rep, np.d1) AS e1,
+         |                coalesce(a2.rep, np.d2) AS e2
+         |         FROM np
+         |         LEFT JOIN assign a1 ON a1.doc_id = np.d1
+         |         LEFT JOIN assign a2 ON a2.doc_id = np.d2),
+         |ce AS (SELECT least(e1, e2) AS a, greatest(e1, e2) AS b
+         |       FROM lift WHERE e1 <> e2),
+         |ce2 AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+         |nodes2 AS (SELECT DISTINCT a AS id FROM ce2),
+         |reach2 AS (
+         |  SELECT id, id AS r FROM nodes2
+         |  UNION
+         |  SELECT ce2.a AS id, reach2.r FROM ce2 JOIN reach2 ON reach2.id = ce2.b
+         |),
+         |newrep AS (SELECT id, min(r) AS nr FROM reach2 GROUP BY id),
+         |hist_out AS (SELECT a.doc_id, coalesce(n.nr, a.rep) AS cluster_rep
+         |             FROM assign a LEFT JOIN newrep n ON n.id = a.rep),
+         |new_out AS (SELECT n.id AS doc_id, n.nr AS cluster_rep FROM newrep n
+         |            WHERE n.id NOT IN (SELECT doc_id FROM assign))
+         |SELECT doc_id, cluster_rep FROM hist_out
+         |UNION ALL SELECT doc_id, cluster_rep FROM new_out
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_reps" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -89,35 +89,73 @@ object TextAnalysis {
     * High values = looped/boilerplate text; thresholding composes
     * exactly like [[qualityFilter]].
     *
-    * Where [[repetitionSignals]] stays in-row (zero shuffle, but
-    * O(tokens × distinct-grams) per doc — right for bounded docs), this
-    * is LINEAR in corpus tokens: one explode of the three position
-    * streams tagged by family, ONE shuffle keyed (doc_id, family, gram)
-    * with map-side partial counts, a per-doc roll-up on the doc_id
-    * prefix of the same key, and a join back to the doc-level sizes —
-    * no cross-document state, no quadratic in-row scan, so a 1M-token
-    * pathological doc costs 1M rows, not 10¹² comparisons. Fractions
-    * are exact-integer quotients (bit-identical cross-engine, no
-    * rounding); where the two operators measure the same quantity
-    * (top 2-gram position share) they agree exactly (spec-asserted).
+    * Backed by the codegen'd
+    * [[org.apache.spark.sql.graft.RepetitionProfile]] expression: one
+    * compiled pass per document over the raw bytes, counting gram spans
+    * in an open-addressed map — O(tokens) time, O(distinct grams)
+    * transient memory, ZERO shuffle (the only exchange left is the
+    * output sort). Where [[repetitionSignals]]'s HOF form is O(tokens ×
+    * distinct-grams) per doc, the compiled map is linear, so even a
+    * pathological 1M-token doc stays a single cheap task. The exploded
+    * distributed form survives as [[repetitionProfileExploded]] and is
+    * asserted equal in TextDedupSpec; fractions are exact-integer
+    * quotients (bit-identical cross-engine); where the two operators
+    * measure the same quantity (top 2-gram position share) they agree
+    * exactly (spec-asserted).
     */
   def repetitionProfile(docs: DataFrame, topN: Int = 2,
                         dupN: Int = 3): DataFrame = {
+    val prof = org.apache.spark.sql.graft.RepetitionProfile
+      .column(col("text"), topN, dupN)
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+        size(tokensCol(col("text"))).as("n_tokens"), prof.as("prof"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("prof.top_gram").as("top_gram"),
+        col("prof.top_cnt").as("top_cnt"),
+        when(col("prof.top_gram").isNotNull,
+          col("prof.top_cnt").cast("double") *
+            length(col("prof.top_gram")).cast("double") /
+            col("n_chars").cast("double")).otherwise(lit(0.0))
+          .as("top_char_frac"),
+        when(col("prof.n_grams") > 0,
+          col("prof.dup_positions").cast("double") /
+            col("prof.n_grams").cast("double")).otherwise(lit(0.0))
+          .as("dup_gram_frac"),
+        (col("prof.dup_tok_positions").cast("double") /
+          col("n_tokens").cast("double")).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The distributed reference form of [[repetitionProfile]] — one
+    * explode of the three position streams tagged by family, ONE
+    * shuffle keyed (doc_id, family, gram) with map-side partial counts
+    * (per-doc sizes ride the exploded rows and fold back out with
+    * max(), so there is no join back to a second corpus scan), a
+    * per-doc roll-up on the doc_id prefix of the same key. Linear in
+    * corpus tokens at ~20 shuffle bytes per token; kept as the
+    * parity-asserted spec oracle for the compiled in-row form (and the
+    * shape to fall back to if a corpus ever held single documents too
+    * large for in-row counting).
+    */
+  private[graft] def repetitionProfileExploded(
+      docs: DataFrame, topN: Int = 2, dupN: Int = 3): DataFrame = {
     val toks = tokensCol(col("text"))
-    val base = docs.select(col("doc_id"),
+    def fam(name: String, grams: Column): Column =
+      transform(grams, g => struct(lit(name).as("fam"), g.as("gram")))
+    val tagged = docs.select(col("doc_id"),
       length(col("text")).as("n_chars"), size(toks).as("n_tokens"),
-      gramsAll(toks, topN).as("g_top"), gramsAll(toks, dupN).as("g_dup"),
-      toks.as("g_tok"))
-    val tagged = Seq("top" -> "g_top", "dup" -> "g_dup", "tok" -> "g_tok")
-      .map { case (fam, c) =>
-        base.select(col("doc_id"), lit(fam).as("fam"),
-          explode(col(c)).as("gram"))
-      }.reduce(_ unionByName _)
-    val counts = tagged.groupBy(col("doc_id"), col("fam"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
+      explode(concat(
+        fam("top", gramsAll(toks, topN)),
+        fam("dup", gramsAll(toks, dupN)),
+        fam("tok", toks))).as("fg"))
+    val counts = tagged.groupBy(col("doc_id"), col("fg.fam"), col("fg.gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"),
+        max(col("n_tokens")).as("n_tokens"))
     // min over struct(-cnt, gram) = highest count, then smallest gram —
     // the in-agg argmax, no second window shuffle
     val perDoc = counts.groupBy(col("doc_id")).agg(
+      max(col("n_chars")).as("n_chars"),
+      max(col("n_tokens")).as("n_tokens"),
       min(when(col("fam") === "top",
         struct((-col("cnt")).as("ncnt"), col("gram").as("g")))).as("best"),
       sum(when(col("fam") === "dup" && col("cnt") > 1, col("cnt"))
@@ -125,8 +163,7 @@ object TextAnalysis {
       sum(when(col("fam") === "dup", col("cnt")).otherwise(0L)).as("n_grams"),
       sum(when(col("fam") === "tok" && col("cnt") > 1, col("cnt"))
         .otherwise(0L)).as("dup_tok_positions"))
-    base.select(col("doc_id"), col("n_chars"), col("n_tokens"))
-      .join(perDoc, Seq("doc_id"))
+    perDoc
       .select(col("doc_id"), col("n_tokens"),
         col("best").getField("g").as("top_gram"),
         (-col("best").getField("ncnt")).as("top_cnt"),
@@ -1155,6 +1192,35 @@ object TextAnalysis {
       regexp_count(col("text"), lit(pattern)).as("n_hits"),
       md5(regexp_replace(col("text"), pattern, "[REDACTED]"))
         .as("scrub_md5"))
+  }
+
+  /** PII scrub: redact the three machine-recognizable identifier shapes
+    * every corpus release pipeline strips — email addresses, IPv4
+    * addresses, and long digit runs (phone/account numbers) — and count
+    * each per document. Patterns are deliberately lookaround-free so the
+    * SAME regex means the same thing in Java (Spark) and RE2 (DuckDB,
+    * and the scale-out engines this would port to); application order
+    * matters and is fixed (emails first — they contain dots and digits;
+    * then IPv4 — digits and dots; then bare digit runs) so each later
+    * pattern sees the earlier redactions' placeholders, never their
+    * raw text. Emits counts + the md5 of the scrubbed text (verifiable
+    * without shipping the text twice, like [[scrubDenylist]]).
+    * Map-only, zero shuffle, codegen-fused with the scan.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val longNum = "[0-9]{7,}"
+    val noEmail = regexp_replace(col("text"), email, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4, "<IP>")
+    val clean = regexp_replace(noIp, longNum, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      regexp_count(noEmail, lit(ipv4)).as("n_ipv4"),
+      regexp_count(noIp, lit(longNum)).as("n_long_nums"),
+      md5(clean).as("clean_md5"),
+      (clean =!= col("text")).as("changed"))
   }
 
   /** Deterministic shard assignment: every doc lands in one of

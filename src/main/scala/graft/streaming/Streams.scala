@@ -236,6 +236,33 @@ object Streams {
     graft.operators.Similarity.assignCells(
       graft.operators.Similarity.normed(deltaEmbs), cents)
 
+  /** Stream-static cluster ATTACHMENT: each STREAMING delta doc is
+    * matched against the persisted signature index and mapped to the
+    * existing cluster of every history doc it near-duplicates — the
+    * streaming twin of [[graft.operators.Dedup.incrementalClusters]]'
+    * attachment step, riding [[incrementalDedupStream]]'s stateless
+    * band join plus one more stream-static join against the persisted
+    * assignment (unclustered history matches attach to the match
+    * itself, mirroring the batch operator's coalesce-to-self lift).
+    * Emits (doc_id, cluster_rep, est_jaccard) candidate attachments in
+    * append mode; choosing among multiple candidate clusters and
+    * TRANSITIVE merges (a delta doc bridging two clusters) need the
+    * complete match set, so they are the nightly batch job
+    * ([[graft.operators.Dedup.incrementalClusters]]) or a sink-side
+    * compaction — never stream state, exactly like the span family's
+    * maximal-span merge.
+    */
+  def clusterAttachStream(deltaDocs: DataFrame, histSigs: DataFrame,
+                          histAssign: DataFrame,
+                          minMatching: Int = Dedup.NumHashes / 2,
+                          maxBucket: Int = Dedup.MaxBucketSize): DataFrame =
+    incrementalDedupStream(deltaDocs, histSigs, minMatching, maxBucket)
+      .join(histAssign.select(col("doc_id").as("hist_doc"),
+        col("cluster_rep")), Seq("hist_doc"), "left")
+      .select(col("delta_doc").as("doc_id"),
+        coalesce(col("cluster_rep"), col("hist_doc")).as("cluster_rep"),
+        col("est_jaccard"))
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition

@@ -252,6 +252,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(served.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("persisted IVF index: serving scans only the index tables, refresh only ids+delta") {
+    val base = Files.createTempDirectory("graft_ivf").toString
+    val n = operators.Similarity.normed(annHist)
+    val cents = operators.Similarity.kmeansCentroids(n, k = 2, iters = 2)
+    // the "retrain" write: quantizer + assignments persisted once
+    cents.write.mode("overwrite").parquet(s"$base/cents.parquet")
+    operators.Similarity.assignCells(n, cents)
+      .write.mode("overwrite").parquet(s"$base/assign.parquet")
+    allVecs.write.mode("overwrite").parquet(s"$base/batch.parquet")
+    val centsT = spark.read.parquet(s"$base/cents.parquet")
+    val assignT = spark.read.parquet(s"$base/assign.parquet")
+    val batchT = spark.read.parquet(s"$base/batch.parquet")
+
+    // refresh: history EMBEDDINGS are never a plan input — only the
+    // id-projected assignment table (twice: ids for the anti join, rows
+    // for the union) and the delta batch
+    val refreshed = operators.Similarity.refreshIvfAssignments(
+      centsT, assignT, batchT)
+    val refLeaves = refreshed.queryExecution.optimizedPlan.collectLeaves()
+    assert(refLeaves.length == 4, s"expected 4 scan leaves, got:\n$refLeaves")
+
+    // serving off the persisted index alone: centroids + assignments,
+    // no raw-embedding or document scan anywhere in the plan
+    val served = operators.Similarity.annQueryIvf(centsT, assignT, nProbe = 1)
+    val leaves = served.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 3, // q + probe both read assignT, + cents
+      s"expected 3 scan leaves, got:\n$leaves")
+    assert(!served.queryExecution.optimizedPlan.toString.contains("batch.parquet"))
+    assert(served.collect().nonEmpty)
+  }
+
   test("IVF refresh is idempotent and never touches history assignments") {
     val n = operators.Similarity.normed(annHist)
     val cents = operators.Similarity.kmeansCentroids(n, k = 2, iters = 2)
@@ -265,6 +296,86 @@ class IncrementalDedupSpec extends SparkSpec {
     val histRows = hist.orderBy("vec_id").collect().toSeq
     val histInRefreshed = once.filter(col("vec_id") < 9).orderBy("vec_id").collect().toSeq
     assert(histInRefreshed == histRows)
+  }
+
+  // --- incremental cluster maintenance -------------------------------
+
+  // shared-block construction: TA = C+X, TB = C+Y with block sizes tuned
+  // so jaccard(TA,TB) ≈ 0.40 (< 0.5 → A,B stay separate clusters in
+  // history) while the bridge doc D = C alone has jaccard ≈ 0.57 with
+  // BOTH (≥ 0.5 → delta edges to each) — the transitive-merge case.
+  private val blockC = (1 to 14).map(i => s"c$i").mkString(" ")
+  private val blockX = (1 to 9).map(i => s"x$i").mkString(" ")
+  private val blockY = (1 to 9).map(i => s"y$i").mkString(" ")
+  private val ta = s"$blockC $blockX"
+  private val tb = s"$blockC $blockY"
+  private val tc = "an untouched history cluster keeps its representative forever"
+  private val te = "a brand new duplicated document arriving twice in the delta"
+
+  test("incrementalClusters: delta bridge merges two history clusters; untouched clusters survive") {
+    val hist = docs(0L -> ta, 2L -> ta, 4L -> tb, 6L -> tb,
+      8L -> tc, 9L -> tc, 3L -> "a lone history document matching nothing else at all")
+    val delta = docs(100L -> blockC, // bridges A(0,2) and B(4,6)
+      101L -> te, 102L -> te, // new delta-only cluster
+      103L -> "an unmatched delta document that joins no cluster")
+    val out = Dedup.incrementalClusters(
+      Dedup.shingled(hist),
+      Dedup.clusters(Dedup.ngramJaccardPairs(hist)),
+      delta)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep"))
+    assert(out.toMap == Map(
+      0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 0L, 100L -> 0L, // merged via bridge
+      8L -> 8L, 9L -> 8L, // untouched
+      101L -> 101L, 102L -> 101L), // new cluster
+      s"got ${out.toSeq}")
+    // lone history doc and unmatched delta doc are absent (no edges)
+    assert(!out.map(_._1).toSet(3L) && !out.map(_._1).toSet(103L))
+  }
+
+  test("incrementalClusters equals the full-corpus rerun on real data") {
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isHist = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+    val full = Dedup.clusters(Dedup.ngramJaccardPairs(all))
+      .orderBy("doc_id").collect().toSeq
+    assert(full.nonEmpty, "parity test is vacuous without near-dup clusters")
+    val inc = Dedup.incrementalClusters(
+      Dedup.shingled(all.filter(isHist)),
+      Dedup.clusters(Dedup.ngramJaccardPairs(all.filter(isHist))),
+      all.filter(!isHist))
+      .collect().toSeq
+    assert(inc == full)
+  }
+
+  test("persisted cluster state: history text never read; append+rerun is a fixpoint") {
+    val base = Files.createTempDirectory("graft_incclu").toString
+    val hist = docs(0L -> ta, 2L -> ta, 4L -> tb, 6L -> tb, 8L -> tc, 9L -> tc)
+    val delta = docs(100L -> blockC, 101L -> te, 102L -> te)
+    // the "nightly" write: posting index + assignment persisted once
+    Dedup.shingled(hist).write.mode("overwrite").parquet(s"$base/postings.parquet")
+    Dedup.clusters(Dedup.ngramJaccardPairs(hist))
+      .write.mode("overwrite").parquet(s"$base/assign.parquet")
+    delta.write.mode("overwrite").parquet(s"$base/delta.parquet")
+    val postingsT = spark.read.parquet(s"$base/postings.parquet")
+    val assignT = spark.read.parquet(s"$base/assign.parquet")
+    val deltaT = spark.read.parquet(s"$base/delta.parquet")
+
+    val out = Dedup.incrementalClusters(postingsT, assignT, deltaT)
+    val outRows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(outRows == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 0L,
+      100L -> 0L, 8L -> 8L, 9L -> 8L, 101L -> 101L, 102L -> 101L))
+
+    // close the loop: index absorbs the delta (idempotent append), the
+    // output becomes the new assignment — rerunning the SAME delta
+    // against the updated state changes nothing (the fixpoint a daily
+    // job relies on for safe retries)
+    val updPostings = Dedup.appendPostings(postingsT, deltaT)
+    assert(Dedup.appendPostings(updPostings, deltaT).count() == updPostings.count())
+    val rerun = Dedup.incrementalClusters(updPostings, out, deltaT)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(rerun == outRows)
   }
 
   test("history bucket cap keeps the smallest doc_ids (representatives)") {

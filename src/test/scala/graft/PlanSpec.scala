@@ -175,6 +175,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("repetition profile: compiled in-row pass — no aggregation shuffle") {
+    val p = plan("repetition_profile")
+    // the compiled RepetitionProfile expression replaces the exploded
+    // (doc, fam, gram) aggregation: no hash exchange and no aggregate
+    // may reappear; the only exchange is the output sort's range
+    // partitioning
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("HashAggregate"))
+    assert(p.contains("repetition_profile"))
+  }
+
   test("q21: plans hash semi + anti joins, never a nested loop") {
     val p = plan("q21_sole_fail_supplier")
     // the non-equi suppkey<>suppkey legs must ride as residual

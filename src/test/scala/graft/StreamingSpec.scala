@@ -528,6 +528,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static cluster attachment lands streamed docs in batch clusters") {
+    implicit val ctx = spark.sqlContext
+    // two history clusters (0,1) and (4,5); doc 7 unclustered
+    val sameA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val sameB = "an entirely different boilerplate passage repeated across mirrors daily"
+    val hist = Seq(0L -> sameA, 1L -> sameA, 4L -> sameB, 5L -> sameB,
+      7L -> "a lone historical document matching nothing else in the corpus")
+      .toDF("doc_id", "text")
+    val histSigs = Dedup.minhashSignatures(hist)
+    val histAssign = Dedup.clusters(Dedup.ngramJaccardPairs(hist))
+    val delta = Seq(
+      10L -> sameA, // attaches to cluster rep 0 (via 0 AND 1)
+      11L -> sameB, // attaches to cluster rep 4
+      12L -> "a lone historical document matching nothing else in the corpus",
+      13L -> "fully novel streaming content attaching to no cluster at all")
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.clusterAttachStream(
+        in.toDF.toDF("doc_id", "text"), histSigs, histAssign)
+      .writeStream.format("memory").queryName("cluster_attach_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.table("cluster_attach_stream")
+        .select("doc_id", "cluster_rep").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // both members of each matched cluster map to ONE rep; the
+      // unclustered history match attaches to the match itself
+      assert(got == Set(10L -> 0L, 11L -> 4L, 12L -> 7L), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static span dedup: flagged windows match batch, merge at sink") {
     import graft.operators.TextAnalysis
     implicit val ctx = spark.sqlContext

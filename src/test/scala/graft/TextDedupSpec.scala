@@ -225,6 +225,26 @@ class TextDedupSpec extends SparkSpec {
     assert(tiny.getAs[Double]("dup_gram_frac") == 0.0)
   }
 
+  test("compiled repetition profile equals the exploded distributed form") {
+    val edge = Seq(
+      0L -> "",                               // empty text: one empty token
+      1L -> "solo",                           // no bigram, no trigram
+      2L -> "two tokens",                     // one bigram, no trigram
+      3L -> "a  b",                           // doubled space: empty token kept
+      4L -> " leading and trailing ",         // empty edge tokens
+      5L -> "b a b a b a",                    // tie candidates "b a" vs "a b"
+      6L -> "z z z z z z z z z z",            // degenerate repeat
+      7L -> ("w1 w2 w3 " * 40).trim)          // longer cyclic doc
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.repetitionProfile(edge).collect().toSeq
+    val b = TextAnalysis.repetitionProfileExploded(edge).collect().toSeq
+    assert(a == b)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ra = TextAnalysis.repetitionProfile(real).collect().toSeq
+    val rb = TextAnalysis.repetitionProfileExploded(real).collect().toSeq
+    assert(ra.nonEmpty && ra == rb)
+  }
+
   test("decontaminate flags planted passage overlap, ignores vocab overlap") {
     // find doc_ids on each side of the deterministic split first
     val ids = (0L until 40L)
@@ -305,6 +325,39 @@ class TextDedupSpec extends SparkSpec {
     assert(TextAnalysis.scrubDenylist(scrubbed).collect().head
       .getAs[String]("scrub_md5") ==
       Seq("x").toDF("x").select(md5(lit("[REDACTED] one"))).collect().head.getString(0))
+  }
+
+  test("scrubPii: planted identifiers redacted in order, counts exact, clean text untouched") {
+    val d = Seq(
+      (0L, "contact me at john.doe+spam@example.co.uk today"),
+      (1L, "server at 192.168.100.200 and 10.0.0.1 responded"),
+      (2L, "call 5551234567 or 12345678901 now"),
+      // the order trap: the email's digits/dots must NOT double-count as
+      // IP or number; the IP's octets must not count as digit runs
+      (3L, "mail 12345678@9876543.com from 1.2.3.4 ref 99999990"),
+      (4L, "clean text with no identifiers at all"),
+      (5L, "short digits 123456 stay"))          // 6 digits < threshold
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(d).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Int]("n_emails")).toSeq == Seq(1, 0, 0, 1, 0, 0))
+    assert(r.map(_.getAs[Int]("n_ipv4")).toSeq == Seq(0, 2, 0, 1, 0, 0))
+    assert(r.map(_.getAs[Int]("n_long_nums")).toSeq == Seq(0, 0, 2, 1, 0, 0))
+    assert(r.map(_.getAs[Boolean]("changed")).toSeq ==
+      Seq(true, true, true, true, false, false))
+    // redaction really lands where expected
+    def cleanMd5(s: String) =
+      Seq("x").toDF("x").select(md5(lit(s))).collect().head.getString(0)
+    assert(r(3).getAs[String]("clean_md5") ==
+      cleanMd5("mail <EMAIL> from <IP> ref <NUM>"))
+    assert(r(4).getAs[String]("clean_md5") ==
+      cleanMd5("clean text with no identifiers at all"))
+    // idempotent: scrubbing scrubbed text changes nothing
+    val once = TextAnalysis.scrubPii(d)
+    val redone = TextAnalysis.scrubPii(
+      Seq((9L, "mail <EMAIL> from <IP> ref <NUM>")).toDF("doc_id", "text"))
+      .collect().head
+    assert(!redone.getAs[Boolean]("changed"))
+    assert(once.collect().length == 6)
   }
 
   test("docShards: every doc lands in exactly one shard, totals preserved") {
