@@ -371,6 +371,14 @@ object SparkEntry {
     "pipeline_gold_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.goldE2E(s, dir)),
 
+    // The corpus-side twin: delta docs land as files, quality-gated and
+    // near-dup-flagged against the persisted history index through real
+    // AvailableNow file-stream hops (both stateless), survivors shipped
+    // by the sink-side compaction — streaming qualityFilter ∘
+    // incrementalApply, oracle-compared as one pipeline.
+    "pipeline_corpus_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.corpusE2E(s, dir)),
+
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
       Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
@@ -703,6 +711,17 @@ object SparkEntry {
     "media_near_dup" -> ((s, dir) =>
       Multimodal.nearDupPairs(s,
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+    // incremental media dedup: the salted 20% delta phashed and checked
+    // against the persisted phash index of the other 80% — history
+    // payloads never re-decoded (IncrementalDedupSpec covers the
+    // persisted-parquet path and full-recompute parity).
+    "media_dup_incremental" -> ((s, dir) => {
+      val m = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("minc_"), col("media_id"))), lit(100)) < 80
+      Multimodal.incrementalNearDups(s,
+        Multimodal.phash(s, m.filter(isHist)), m.filter(!isHist))
+    }),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -2682,6 +2701,25 @@ object SparkEntry {
          |FROM cand WHERE n_matching >= ${Dedup.NumHashes / 2}
          |ORDER BY test_doc, doc_id""".stripMargin,
 
+    // mirrors Pipeline.corpusE2E: the streaming corpus path is
+    // qualityFilter ∘ incremental near-dup flag — delta docs passing
+    // the in-row quality gate and not flagged against the persisted
+    // history signature index (same chain as dedup_incremental).
+    "pipeline_corpus_e2e" ->
+      s"""$incChainCte,
+         |qv AS (SELECT doc_id,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |  FROM t)
+         |SELECT qv.doc_id, qv.quality_score
+         |FROM qv
+         |WHERE ${h60("'inc_' || qv.doc_id")} % 100 >= 80
+         |  AND qv.quality_score >= 0.35
+         |  AND qv.doc_id NOT IN (SELECT delta_doc FROM cand
+         |                        WHERE n_matching >= ${Dedup.NumHashes / 2})
+         |ORDER BY qv.doc_id""".stripMargin,
+
     // mirrors Dedup.incrementalApply: the delta minus the flagged set.
     "dedup_incremental_apply" ->
       s"""$incChainCte
@@ -3047,6 +3085,27 @@ object SparkEntry {
          |FROM pcand JOIN ph x ON x.media_id = d1 JOIN ph y ON y.media_id = d2
          |WHERE bit_count(xor(x.phash, y.phash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
+
+    // mirrors Multimodal.incrementalNearDups: salted 80/20 history/delta
+    // phash split, history bands capped to the MaxBucketSize smallest
+    // ids, band join, hamming verify off the joined hashes.
+    "media_dup_incremental" ->
+      s"""$phashCte,
+         |hp AS (SELECT * FROM ph WHERE ${h60("'minc_' || media_id")} % 100 < 80),
+         |dp AS (SELECT * FROM ph WHERE ${h60("'minc_' || media_id")} % 100 >= 80),
+         |hb0 AS (SELECT media_id, phash, g.b AS b,
+         |          (phash >> (16 * g.b)) & 65535 AS bval
+         |        FROM hp, unnest(generate_series(0, 3)) AS g(b)),
+         |hb AS (SELECT * FROM hb0
+         |       QUALIFY row_number() OVER (PARTITION BY b, bval ORDER BY media_id) <= ${Dedup.MaxBucketSize}),
+         |db AS (SELECT media_id, phash, g.b AS b,
+         |         (phash >> (16 * g.b)) & 65535 AS bval
+         |       FROM dp, unnest(generate_series(0, 3)) AS g(b))
+         |SELECT DISTINCT h.media_id AS hist_media, d.media_id AS delta_media,
+         |  CAST(bit_count(xor(h.phash, d.phash)) AS INT) AS hamming
+         |FROM hb h JOIN db d ON h.b = d.b AND h.bval = d.bval
+         |WHERE bit_count(xor(h.phash, d.phash)) <= 3
+         |ORDER BY hist_media, delta_media""".stripMargin,
 
     "ann_ivf" ->
       s"""$embCte,

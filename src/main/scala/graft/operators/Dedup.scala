@@ -639,6 +639,47 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Incremental Hamming near-dup: a delta of (id, ≤64-bit hash) rows
+    * checked against the PERSISTED hash index via the same pigeonhole
+    * banding as [[hammingNearDupPairs]] — history payloads are never
+    * re-hashed (the index table is the only history input, scanned
+    * once; its hash rides the band rows, so verification needs no join
+    * back). Recall stays COMPLETE for `maxHamming < nBands` differing
+    * bits; history hot buckets are capped to their `maxBucket` smallest
+    * ids (the representatives), the same WindowGroupLimit rank cut as
+    * [[cappedBands]]. The band join itself is stateless — the delta
+    * side could be a stream (the `distinct` collapsing multi-band
+    * collisions is the batch/sink-side step, like every family here).
+    * Shared by the media phash path ([[graft.operators.Multimodal
+    * .incrementalNearDups]]) and any future simhash delta check.
+    */
+  def hammingIncrementalPairs(histHashes: DataFrame, deltaHashes: DataFrame,
+                              idCol: String, hashCol: String,
+                              bitsPerBand: Int, nBands: Int, maxHamming: Int,
+                              maxBucket: Int = MaxBucketSize): DataFrame = {
+    require(maxHamming < nBands,
+      s"$nBands bands are complete only for hamming < $nBands")
+    require(bitsPerBand * nBands <= 64, "bands must fit a 64-bit hash")
+    val mask = (1L << bitsPerBand) - 1
+    def bands(df: DataFrame, pfx: String) = df.select(
+      col(idCol).as(s"${pfx}_id"),
+      col(hashCol).as(s"${pfx}_hash"),
+      posexplode(array((0 until nBands).map(b =>
+        expr(s"($hashCol >> ${bitsPerBand * b}) & $mask")): _*))
+        .as(Seq("band", "bval")))
+    val hb = bands(histHashes, "hist")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bval")).orderBy(col("hist_id"))))
+      .filter(col("r") <= maxBucket)
+      .drop("r")
+    hb.join(bands(deltaHashes, "delta"), Seq("band", "bval"))
+      .select(col("hist_id"), col("delta_id"),
+        expr("cast(bit_count(hist_hash ^ delta_hash) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Cap observability: one row of counters for the stop-shingle and
     * LSH-bucket caps — how many shingles/buckets are hot (over cap) and
     * how many index postings the stop-shingle cap discards. Hot BUCKETS

@@ -164,6 +164,26 @@ object Multimodal {
       "media_id", "phash", bitsPerBand = 16, nBands = 4,
       maxHamming = maxHamming)
 
+  /** Incremental media near-dup — the daily-delta shape for the
+    * multimodal column: a new batch of payloads perceptually hashed and
+    * checked against the PERSISTED phash index, without re-decoding (or
+    * even re-reading) any historical payload. Completes the
+    * incremental-form family (text pairs/spans/chunks, BM25, ANN,
+    * clusters — and now media): history contributes only its 8-byte
+    * hash per item, scanned once; the delta pays one decode+hash pass.
+    * Same 4×16 pigeonhole bands as [[nearDupPairs]] (complete recall
+    * for Hamming ≤ 3); emits (hist_media, delta_media, hamming).
+    */
+  def incrementalNearDups(spark: SparkSession, histPhash: DataFrame,
+                          deltaMedia: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = Dedup.MaxBucketSize): DataFrame =
+    Dedup.hammingIncrementalPairs(histPhash, phash(spark, deltaMedia),
+        "media_id", "phash", bitsPerBand = 16, nBands = 4,
+        maxHamming = maxHamming, maxBucket = maxBucket)
+      .select(col("hist_id").as("hist_media"),
+        col("delta_id").as("delta_media"), col("hamming"))
+      .orderBy(col("hist_media"), col("delta_media"))
+
   /** 64-bin byte histogram (feature extraction) via the same typed
     * per-partition shape; emits (media_id, bin, cnt) rows so results are
     * flat-relational (no array columns in the comparison surface).

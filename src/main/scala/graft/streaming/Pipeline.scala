@@ -122,4 +122,89 @@ object Pipeline {
         col("trades"), col("bar_date"))
       .orderBy(col("symbol"), col("bar_start"))
   }
+
+  /** Corpus-side end-to-end streaming parity — the documents curation
+    * pipeline run through REAL file-stream queries, the training-data
+    * twin of [[goldE2E]]. The salted 20% delta lands as parquet files;
+    * hop 1 applies the in-row quality gate (map-only, stateless); hop 2
+    * signs each surviving doc row-wise and flags near-dups against the
+    * PERSISTED history signature index (stream-static band join,
+    * stateless); the ship step is the sink-side compaction — survivors
+    * = quality-passed docs minus flagged ones, the streaming
+    * [[graft.operators.Dedup.incrementalApply]]. The
+    * `pipeline_corpus_e2e` CORRECTNESS entry compares the shipped list
+    * against the DuckDB mirror of qualityFilter ∘ incremental flag —
+    * one oracle-backed guarantee over the whole streaming corpus path.
+    *
+    * Unlike the trades pipeline there is NO watermark machinery: every
+    * stage is stateless (dedup state is the index TABLE, scaling with
+    * the corpus instead of executor state), so AvailableNow drains
+    * everything and a sentinel row is unnecessary. `maxFilesPerTrigger`
+    * forces multiple micro-batches so the drain exercises real
+    * incremental progress, not one big batch.
+    */
+  def corpusE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val basePath = Files.createTempDirectory("graft_ce2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val landing = s"$base/landing"
+    val indexDir = s"$base/sig_index"
+    val silverDir = s"$base/silver"
+    val flagsDir = s"$base/flags"
+
+    val docs = Tables.documents(spark, dir)
+    val isHist = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+    // the "nightly" state: history signature index persisted once;
+    // history text is never read by the streaming side
+    Dedup.minhashSignatures(docs.filter(isHist))
+      .write.mode("overwrite").parquet(indexDir)
+    val histSigsT = spark.read.parquet(indexDir)
+    docs.filter(!isHist).select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(landing)
+
+    val an = Trigger.AvailableNow()
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // hop 1: landing -> quality-passed silver docs (in-row gate)
+    Streams.parquetSink(
+      spark.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 2).parquet(landing)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScoreCol.as("quality_score"))
+        .filter(col("quality_score") >= 0.35),
+      silverDir, s"$base/ck1", trigger = an)
+      .start().awaitTermination()
+    // hop 2: silver -> near-dup flags vs the persisted index
+    val silverSchema = inSchema.add("quality_score",
+      org.apache.spark.sql.types.DoubleType)
+    Streams.parquetSink(
+      Streams.incrementalDedupStream(
+        spark.readStream.schema(silverSchema)
+          .option("maxFilesPerTrigger", 2).parquet(silverDir),
+        histSigsT),
+      flagsDir, s"$base/ck2", trigger = an)
+      .start().awaitTermination()
+    // ship: sink-side compaction — quality survivors minus flagged
+    val silver = spark.read.parquet(silverDir)
+    val flagged = spark.read.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hist_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("delta_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_matching",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("est_jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(flagsDir)
+      .select(col("delta_doc").as("doc_id"))
+    silver.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
 }

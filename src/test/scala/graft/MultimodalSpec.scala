@@ -79,4 +79,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
     assert(got.contains((0L, 1L, 0))) // the identical pair is guaranteed
   }
+
+  test("incremental media near-dup: persisted index only, parity with full recompute") {
+    val b0 = Array.tabulate[Byte](1024)(i => ((i * 37) % 251).toByte)
+    val b1 = b0.clone() // identical to history 0 => hamming 0
+    val bFar = Array.tabulate[Byte](512)(i => ((i * 13 + 3) % 249).toByte)
+    val hist = Seq(0L -> b0,
+      1L -> Array.tabulate[Byte](1024)(i => ((i * 91 + 7) % 251).toByte))
+      .toDF("media_id", "content")
+    val delta = Seq(10L -> b1, 11L -> bFar).toDF("media_id", "content")
+
+    // the "nightly" write: phash index persisted once; history payloads
+    // are never a plan input afterwards (index + delta = 2 scan leaves)
+    val base = java.nio.file.Files.createTempDirectory("graft_minc").toString
+    Multimodal.phash(spark, hist)
+      .write.mode("overwrite").parquet(s"$base/phash.parquet")
+    val idx = spark.read.parquet(s"$base/phash.parquet")
+    val out = Multimodal.incrementalNearDups(spark, idx, delta)
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 2, s"expected 2 scan leaves, got:\n$leaves")
+
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((0L, 10L, 0)), s"got $got")
+
+    // parity: the full recompute over history ∪ delta, restricted to
+    // cross pairs, finds exactly the same matches (caps inactive)
+    val full = Multimodal.nearDupPairs(spark, hist.unionByName(delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => (a < 10L) != (b < 10L) }.toSeq
+    assert(got.toSet == full.toSet)
+  }
 }

@@ -27,4 +27,24 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("e2e streamed corpus curation equals batch quality ∘ incrementalApply") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val got = Pipeline.corpusE2E(spark, dir).collect().toSeq
+    val docs = Tables.documents(spark, dir)
+    val isHist = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+    val want = Dedup.incrementalApply(
+        Dedup.minhashSignatures(docs.filter(isHist)),
+        docs.filter(!isHist)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScoreCol.as("quality_score"))
+          .filter(col("quality_score") >= 0.35))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }

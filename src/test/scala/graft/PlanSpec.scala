@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("scrub_pii: map-only redaction — no aggregation shuffle") {
+    val p = plan("scrub_pii")
+    // counts and the scrubbed-text md5 are all per-row expressions; the
+    // only exchange is the output sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("HashAggregate"))
+  }
+
   test("repetition profile: compiled in-row pass — no aggregation shuffle") {
     val p = plan("repetition_profile")
     // the compiled RepetitionProfile expression replaces the exploded
