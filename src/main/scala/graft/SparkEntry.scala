@@ -561,6 +561,24 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
+    // incremental exact dedup: delta fingerprints vs the persisted
+    // (fp, rep) index — the byte-identical twin of dedup_incremental.
+    "dedup_exact_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      Dedup.exactIncremental(
+        Dedup.exact(docs.filter(isHist)), docs.filter(!isHist))
+    }),
+    // incremental simhash: delta simhashes vs the persisted simhash
+    // index through the generic Hamming band join.
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      Dedup.simhashIncremental(
+        Dedup.simhash(docs.filter(isHist)), docs.filter(!isHist))
+    }),
     // incremental cluster maintenance: the 20% salted "delta" folded
     // into the persisted posting index + cluster assignment of the
     // other 80% — merges, attachments, and new clusters without ever
@@ -1897,6 +1915,38 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    // mirrors Dedup.exactIncremental: delta fingerprints joined to the
+    // history (fp, rep) index.
+    "dedup_exact_incremental" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |h AS (SELECT fp, min(doc_id) AS rep_doc_id FROM d
+         |      WHERE ${h60("'inc_' || doc_id")} % 100 < 80 GROUP BY fp)
+         |SELECT x.doc_id, h.rep_doc_id AS dup_of
+         |FROM d x JOIN h ON h.fp = x.fp
+         |WHERE ${h60("'inc_' || x.doc_id")} % 100 >= 80
+         |ORDER BY x.doc_id""".stripMargin,
+
+    // mirrors Dedup.simhashIncremental: salted 80/20 simhash split,
+    // history bands capped, band join, hamming verify off joined hashes.
+    "dedup_simhash_incremental" ->
+      s"""$docsCte,
+         |$simhashCte,
+         |hsim AS (SELECT * FROM shh WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |dsim AS (SELECT * FROM shh WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |shb0 AS (SELECT doc_id, simhash, u.b AS b,
+         |           (simhash >> (15 * u.b)) & 32767 AS bval
+         |         FROM hsim, unnest([0, 1, 2, 3]) AS u(b)),
+         |shb AS (SELECT * FROM shb0
+         |        QUALIFY row_number() OVER (PARTITION BY b, bval ORDER BY doc_id) <= ${Dedup.MaxBucketSize}),
+         |sdb AS (SELECT doc_id, simhash, u.b AS b,
+         |          (simhash >> (15 * u.b)) & 32767 AS bval
+         |        FROM dsim, unnest([0, 1, 2, 3]) AS u(b))
+         |SELECT DISTINCT h.doc_id AS hist_doc, d.doc_id AS delta_doc,
+         |  CAST(bit_count(xor(h.simhash, d.simhash)) AS INT) AS hamming
+         |FROM shb h JOIN sdb d ON h.b = d.b AND h.bval = d.bval
+         |WHERE bit_count(xor(h.simhash, d.simhash)) <= 3
+         |ORDER BY hist_doc, delta_doc""".stripMargin,
 
     "sample_hash_10pct" ->
       s"""SELECT doc_id FROM documents

@@ -327,6 +327,50 @@ object Dedup {
                        survivors: DataFrame): DataFrame =
     histSigs.unionByName(minhashSignatures(survivors))
 
+  /** Incremental EXACT dedup — the most common production check, now in
+    * the same daily-delta shape as every other family: the delta's
+    * content fingerprints join the PERSISTED fingerprint index (the
+    * [[exact]] output table), flagging each delta doc that byte-
+    * duplicates history together with the canonical doc it duplicates.
+    * History text is never re-hashed — one scan of the (fp, rep) index,
+    * one of the delta; the join key is the 32-byte md5, and the flagged
+    * set is the duplicate mass (tiny), so the ship anti-join broadcasts.
+    */
+  def exactIncremental(histFps: DataFrame, deltaDocs: DataFrame): DataFrame =
+    deltaDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(histFps.select(col("fp"), col("rep_doc_id")), Seq("fp"))
+      .select(col("doc_id"), col("rep_doc_id").as("dup_of"))
+      .orderBy(col("doc_id"))
+
+  /** Close the exact-dedup loop: the fingerprint index after ingesting
+    * `survivors` — group-merged so reps stay each group's minimum
+    * doc_id and counts accumulate; idempotent under re-merge of an
+    * already-ingested batch only at the count column (rep assignment is
+    * a fixpoint), which is why the daily job ships [[exactIncremental]]
+    * survivors, not the raw delta.
+    */
+  def appendExact(histFps: DataFrame, survivors: DataFrame): DataFrame =
+    histFps.unionByName(exact(survivors))
+      .groupBy(col("fp"))
+      .agg(min(col("rep_doc_id")).as("rep_doc_id"),
+        sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("fp"))
+
+  /** Incremental SimHash near-dup: the delta simhashed row-wise and
+    * checked against the PERSISTED simhash index through
+    * [[hammingIncrementalPairs]]' 4×15-bit pigeonhole bands — complete
+    * recall for Hamming ≤ 3, history never re-tokenized.
+    */
+  def simhashIncremental(histSimhash: DataFrame, deltaDocs: DataFrame,
+                         maxHamming: Int = 3,
+                         maxBucket: Int = MaxBucketSize): DataFrame =
+    hammingIncrementalPairs(histSimhash, simhash(deltaDocs),
+        "doc_id", "simhash", bitsPerBand = 15, nBands = 4,
+        maxHamming = maxHamming, maxBucket = maxBucket)
+      .select(col("hist_id").as("hist_doc"),
+        col("delta_id").as("delta_doc"), col("hamming"))
+      .orderBy(col("hist_doc"), col("delta_doc"))
+
   /** n-gram Jaccard near-dup via the inverted index (no LSH): every pair
     * sharing ≥1 non-stop shingle is scored over the df-capped index. The
     * higher-recall twin of [[minhashLshPairs]] (exact when the cap is

@@ -378,6 +378,60 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rerun == outRows)
   }
 
+  test("exactIncremental: delta byte-dups flagged against the fp index; append merges reps") {
+    val base = Files.createTempDirectory("graft_exinc").toString
+    val hist = docs(0L -> "same exact text", 2L -> "same exact text",
+      4L -> "other history content")
+    Dedup.exact(hist).write.mode("overwrite").parquet(s"$base/fps.parquet")
+    val idx = spark.read.parquet(s"$base/fps.parquet")
+    val delta = docs(10L -> "same exact text", // dup of the (0,2) group
+      11L -> "a brand new unseen document")
+    val out = Dedup.exactIncremental(idx, delta)
+    // history text is not a plan input: fp index + delta = 2 scan leaves
+    assert(out.queryExecution.optimizedPlan.collectLeaves().length == 2)
+    val got = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSeq
+    assert(got == Seq(10L -> 0L))
+    // append the survivors: group reps stay minimal, counts accumulate
+    val survivors = delta.join(out.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val upd = Dedup.appendExact(idx, survivors).collect()
+      .map(r => (r.getAs[Long]("rep_doc_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(upd == Set(0L -> 2L, 4L -> 1L, 11L -> 1L))
+    // re-check after append: the ingested survivor now flags itself
+    val re = Dedup.exactIncremental(Dedup.appendExact(idx, survivors), delta)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(re == Set(10L -> 0L, 11L -> 11L))
+  }
+
+  test("simhashIncremental: identical delta doc matches at hamming 0, parity with full pairs") {
+    val hist = histDocs
+    val idxed = Dedup.simhash(hist)
+    val delta = docs(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      11L -> "entirely novel delta content overlapping with no history at all")
+    val got = Dedup.simhashIncremental(idxed, delta).collect()
+      .map(r => (r.getAs[Long]("hist_doc"), r.getAs[Long]("delta_doc"),
+        r.getAs[Int]("hamming"))).toSeq
+    assert(got == Seq((0L, 10L, 0)))
+    // parity on real data: full simhash pairs over the corpus,
+    // restricted to cross-split pairs, equal the incremental check
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isHist = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+    val inc = Dedup.simhashIncremental(
+        Dedup.simhash(all.filter(isHist)), all.filter(!isHist))
+      .collect().map(r => (r.getAs[Long]("hist_doc"),
+        r.getAs[Long]("delta_doc"), r.getAs[Int]("hamming"))).toSet
+    val deltaIds = all.filter(!isHist).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val full = Dedup.simhashNearDupPairs(all).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+      .filter { case (a, b, _) => deltaIds(a) != deltaIds(b) }
+      .map { case (a, b, h) =>
+        if (deltaIds(b)) (a, b, h) else (b, a, h) }.toSet
+    assert(inc == full)
+  }
+
   test("history bucket cap keeps the smallest doc_ids (representatives)") {
     // many identical history docs: every band bucket holds all of them;
     // with a tiny cap only the smallest `cap` doc_ids stay joinable
