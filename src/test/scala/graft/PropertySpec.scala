@@ -251,6 +251,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compiled repetition profile equals the exploded form on random text") {
+    for (seed <- 41L to 44L) {
+      val docs = sampleDocs(seed, 50).toDF("doc_id", "text")
+      val a = TextAnalysis.repetitionProfile(docs).collect().toSeq
+      val b = TextAnalysis.repetitionProfileExploded(docs).collect().toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
+  test("incremental Hamming banding is COMPLETE against the index") {
+    import graft.operators.Dedup
+    for (seed <- 51L to 53L) {
+      val histVals = Gen.listOfN(40, Gen.long)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      // delta = mutated history hashes (0-3 bit flips) + fresh randoms
+      val flips = Gen.listOfN(15, Gen.zip(Gen.choose(0, 39),
+          Gen.choose(0, 3), Gen.listOfN(3, Gen.choose(0, 63))))
+        .pureApply(Gen.Parameters.default, Seed(seed + 9))
+      val fresh = Gen.listOfN(10, Gen.long)
+        .pureApply(Gen.Parameters.default, Seed(seed + 77))
+      val deltaVals = flips.map { case (i, nf, bits) =>
+        bits.take(nf).foldLeft(histVals(i))((x, b) => x ^ (1L << b))
+      } ++ fresh
+      val hist = histVals.zipWithIndex
+        .map { case (x, i) => (i.toLong, x) }.toDF("doc_id", "simhash")
+      val delta = deltaVals.zipWithIndex
+        .map { case (x, j) => ((100 + j).toLong, x) }.toDF("doc_id", "simhash")
+      val got = Dedup.hammingIncrementalPairs(hist, delta,
+          "doc_id", "simhash", bitsPerBand = 16, nBands = 4,
+          maxHamming = 3, maxBucket = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (hh, i) <- histVals.zipWithIndex
+        (dd, j) <- deltaVals.zipWithIndex
+        dist = java.lang.Long.bitCount(hh ^ dd) if dist <= 3
+      } yield (i.toLong, (100 + j).toLong, dist)).toSet
+      assert(want.nonEmpty, s"seed=$seed planted no pairs")
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("packSequences invariants on random corpora") {
     import graft.operators.TextAnalysis
     val genDoc = Gen.choose(1, 40).flatMap(n =>
