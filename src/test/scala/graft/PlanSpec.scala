@@ -175,6 +175,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("incremental hamming checks: history cap plans as a WindowGroupLimit rank cut") {
+    // the maxBucket cap on history band buckets must push down as
+    // WindowGroupLimit (top-N per bucket), not a full bucket sort
+    assert(plan("media_dup_incremental").contains("WindowGroupLimit"))
+    assert(plan("dedup_simhash_incremental").contains("WindowGroupLimit"))
+  }
+
   test("scrub_pii: map-only redaction — no aggregation shuffle") {
     val p = plan("scrub_pii")
     // counts and the scrubbed-text md5 are all per-row expressions; the
