@@ -236,6 +236,23 @@ object Streams {
     graft.operators.Similarity.assignCells(
       graft.operators.Similarity.normed(deltaEmbs), cents)
 
+  /** Stream-static EXACT dedup flag: each STREAMING delta doc whose
+    * content fingerprint already exists in the persisted (fp, rep)
+    * index — the streaming twin of
+    * [[graft.operators.Dedup.exactIncremental]]. One md5 per row plus a
+    * stream-static equi join on the fingerprint: fully stateless, so
+    * exact-dedup state is the index TABLE (like every family here), not
+    * watermarked stream state — the in-flight duplicate window remains
+    * [[graft.operators.Silver.dedup]]'s watermarked dropDuplicates,
+    * and the two compose (watermark catches the replay storm, the index
+    * catches everything ever ingested).
+    */
+  def exactDedupStream(deltaDocs: DataFrame, histFps: DataFrame): DataFrame =
+    deltaDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(histFps.select(col("fp"), col("rep_doc_id").as("dup_of")),
+        Seq("fp"))
+      .select(col("doc_id"), col("dup_of"))
+
   /** Stream-static cluster ATTACHMENT: each STREAMING delta doc is
     * matched against the persisted signature index and mapped to the
     * existing cluster of every history doc it near-duplicates — the

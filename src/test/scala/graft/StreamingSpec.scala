@@ -528,6 +528,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static exact dedup flags streamed byte-dups against the fp index") {
+    implicit val ctx = spark.sqlContext
+    val hist = Seq(0L -> "same exact text", 2L -> "same exact text",
+      4L -> "other history content").toDF("doc_id", "text")
+    val histFps = Dedup.exact(hist)
+    val delta = Seq(10L -> "same exact text", 11L -> "novel streamed text")
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.exactDedupStream(in.toDF.toDF("doc_id", "text"), histFps)
+      .writeStream.format("memory").queryName("exact_dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.table("exact_dedup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set(10L -> 0L), s"got $got")
+      // parity with the batch incremental check
+      val want = Dedup.exactIncremental(histFps, delta.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stream-static cluster attachment lands streamed docs in batch clusters") {
     implicit val ctx = spark.sqlContext
     // two history clusters (0,1) and (4,5); doc 7 unclustered
