@@ -451,6 +451,11 @@ object SparkEntry {
     // BM25 lexical retrieval: top-k docs for a fixed query-term set.
     "bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    // passage-level BM25, MaxP doc scoring: chunk geometry sized so the
+    // test corpus' ~50-token docs actually split into multiple passages.
+    "bm25_passages" -> ((s, dir) =>
+      TextAnalysis.bm25Passages(Tables.documents(s, dir),
+        chunkTokens = 32, stride = 24)),
     // incremental retrieval: BM25 served from the persisted postings
     // index, refreshed with the delta batch (same salted 80/20 split as
     // dedup_incremental) — equals a full-corpus recompute exactly, but
@@ -2259,6 +2264,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms,
         |  CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
         |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors TextAnalysis.bm25Passages (32/24 chunk geometry): each
+    // chunk scored as an independent retrieval unit, document ranks by
+    // its best chunk (MaxP), ties broken by the smaller chunk_idx.
+    "bm25_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, g.c AS chunk_idx,
+        |         toks[g.c * 24 + 1 : least(g.c * 24 + 32, len(toks))] AS ctoks
+        |       FROM t, unnest(generate_series(0, (len(toks) - 1) // 24)) AS g(c)),
+        |corpus AS (SELECT count(*) AS n, sum(len(ctoks)) AS tot_len FROM ch),
+        |tf AS (SELECT doc_id, chunk_idx, len(ctoks) AS dl, u.t, count(*) AS tf
+        |       FROM ch, unnest(ctoks) AS u(t)
+        |       WHERE u.t IN ('spark', 'window', 'agg')
+        |       GROUP BY doc_id, chunk_idx, len(ctoks), u.t),
+        |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.chunk_idx,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf JOIN dfq USING (t), corpus),
+        |agg AS (SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS nqt,
+        |          sum(s6) AS s6 FROM sc GROUP BY doc_id, chunk_idx),
+        |best AS (SELECT doc_id, chunk_idx, nqt, s6,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY s6 DESC, chunk_idx) AS rn
+        |         FROM agg)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS best_chunk,
+        |  nqt AS n_query_terms,
+        |  CAST(s6 AS DOUBLE) / 1000000.0 AS bm25
+        |FROM best WHERE rn = 1
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     // mirrors TextAnalysis.bm25QueryIndex over the refreshed index:

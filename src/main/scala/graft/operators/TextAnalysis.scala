@@ -306,22 +306,94 @@ object TextAnalysis {
     * TextDedupSpec).
     */
   private def bm25Score(tf: DataFrame, corpus: DataFrame, k: Int,
-                        k1: Double, b: Double): DataFrame = {
+                        k1: Double, b: Double): DataFrame =
+    bm25ScoreBy(tf, corpus, Seq("doc_id"), k1, b)
+      .select(col("doc_id"), col("n_query_terms"),
+        (col("s6").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** The key-generic BM25 scoring core: scoring unit = one `keyCols`
+    * tuple (whole documents for [[bm25TopK]]/[[bm25QueryIndex]],
+    * (doc, chunk) passages for [[bm25Passages]]); emits exact scaled-
+    * long partial sums (`s6`) so downstream aggregation stays
+    * order-independent at any parallelism.
+    */
+  private def bm25ScoreBy(tf: DataFrame, corpus: DataFrame,
+                          keyCols: Seq[String], k1: Double,
+                          b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("doc_freq"))
     val idf = log((col("n").cast("double") - col("doc_freq").cast("double")
       + lit(0.5d)) / (col("doc_freq").cast("double") + lit(0.5d)) + lit(1.0d))
     val avgdl = col("tot_len").cast("double") / col("n").cast("double")
     val tfd = col("tf").cast("double")
     val scored = tf.join(dfreq, Seq("t")).crossJoin(corpus)
-      .select(col("doc_id"),
-        round(idf * (tfd * lit(k1 + 1.0d)) /
+      .select(keyCols.map(col) :+
+        (round(idf * (tfd * lit(k1 + 1.0d)) /
           (tfd + lit(k1) * (lit(1.0d - b) + lit(b) *
             col("dl").cast("double") / avgdl)) * lit(1e6), 0)
-          .cast("long").as("s6"))
-    scored.groupBy(col("doc_id"))
+          .cast("long").as("s6")): _*)
+    scored.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_query_terms"), sum(col("s6")).as("s6"))
-      .select(col("doc_id"), col("n_query_terms"),
-        (col("s6").cast("double") / lit(1e6)).as("bm25"))
+  }
+
+  /** Passage-level BM25 with MaxP document scoring (Dai & Callan 2019's
+    * "maximum passage" convention): documents split into overlapping
+    * token chunks (the [[chunkDocs]] geometry), each chunk scored as an
+    * independent retrieval unit — tf, length norm, and "document"
+    * frequency all at chunk granularity — and a document ranks by its
+    * BEST chunk. Long documents stop burying a relevant passage under
+    * their length norm, and the emitted `best_chunk` says WHERE the hit
+    * is — the passage-retrieval shape a RAG pipeline serves.
+    *
+    * Scale shape: the chunk explode multiplies token rows by the
+    * overlap factor C/s (~1.3 at the defaults) BEFORE the query-term
+    * filter cuts the stream to |Q| terms, so the shuffled volume stays
+    * proportional to query-term postings, not the corpus; MaxP is one
+    * in-agg argmax (min over struct(-s6, chunk_idx) — no window pass),
+    * and the final top-k plans as TakeOrderedAndProject.
+    */
+  def bm25Passages(docs: DataFrame,
+                   queryTerms: Seq[String] = Seq("spark", "window", "agg"),
+                   k: Int = 20, chunkTokens: Int = 128, stride: Int = 96,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokensCol(col("text"))
+    def chunks(df: DataFrame) = df
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(stride)).cast("int")))
+          .as("chunk_idx"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * lit(stride) + lit(1),
+          lit(chunkTokens)).as("ctoks"))
+    val corpus = chunks(docs).agg(count(lit(1)).as("n"),
+      sum(size(col("ctoks")).cast("long")).as("tot_len"))
+    val tf = chunks(docs)
+      .select(col("doc_id"), col("chunk_idx"), size(col("ctoks")).as("dl"),
+        explode(col("ctoks")).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    // MaxP argmax via the codegen'd ArgExtremum (primitive buffers →
+    // HashAggregate; a 3-field struct min would fall back to
+    // SortAggregate + two full sorts). chunk_idx and the term count
+    // pack into one atomic value (nqt ≤ |queryTerms| ≪ 1000, so the
+    // packing is exact and ties on the score still resolve to the
+    // smaller chunk_idx — ArgExtremum ties take the smaller value).
+    bm25ScoreBy(tf, corpus, Seq("doc_id", "chunk_idx"), k1, b)
+      .select(col("doc_id"), (-col("s6")).as("ns6"),
+        (col("chunk_idx").cast("long") * lit(1000L) +
+          col("n_query_terms")).as("packed"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("ns6")).as("ns6"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMin(col("packed"), col("ns6")).as("packed"))
+      .select(col("doc_id"),
+        floor(col("packed") / lit(1000L)).cast("int").as("best_chunk"),
+        (col("packed") % lit(1000L)).as("n_query_terms"),
+        ((-col("ns6")).cast("double") / lit(1e6)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

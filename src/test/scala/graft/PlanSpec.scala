@@ -279,6 +279,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 passages: chunk fan-out still filters to query terms pre-shuffle, top-k not global sort") {
+    val p = plan("bm25_passages")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the isin(queryTerms) cut must sit below the first aggregate so
+    // the chunk-exploded token stream shrinks to |Q| terms before the
+    // (doc, chunk, term) shuffle
+    assert(p.indexOf("spark") >= 0 && p.indexOf("HashAggregate") >= 0)
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("bm25: query-term filter before the tf aggregation, top-k not global sort") {
     val p = plan("bm25_topk")
     assert(p.contains("TakeOrderedAndProject"))
@@ -317,7 +327,7 @@ class PlanSpec extends SparkSpec {
       // 1-row LM-model cross join, same as lm_score
       "lm_score_bigram",
       // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
-      "bm25_topk", "bm25_incremental",
+      "bm25_topk", "bm25_incremental", "bm25_passages",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs")
     // pipeline_gold_e2e executes real streaming hops at construction —

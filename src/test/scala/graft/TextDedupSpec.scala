@@ -245,6 +245,36 @@ class TextDedupSpec extends SparkSpec {
     assert(ra.nonEmpty && ra == rb)
   }
 
+  test("bm25Passages: MaxP surfaces a passage buried in a long document") {
+    val filler = (1 to 200).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$filler spark window agg $filler"), // passage at tokens 201-203
+      (1L, "spark something here"),
+      (2L, (1 to 30).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Passages(d, chunkTokens = 32, stride = 24).collect()
+    // the long doc ranks FIRST: its best passage holds all three query
+    // terms under PASSAGE length norm — whole-doc scoring would bury it
+    // under the 403-token document norm
+    assert(r.head.getAs[Long]("doc_id") == 0L)
+    assert(r.head.getAs[Long]("n_query_terms") == 3L)
+    // and best_chunk points at the chunk containing the planted passage
+    // (chunk 8 spans token positions 193..224 ⊇ 201..203)
+    assert(r.head.getAs[Int]("best_chunk") == 8)
+    // the irrelevant doc never appears
+    assert(!r.map(_.getAs[Long]("doc_id")).contains(2L))
+  }
+
+  test("bm25Passages reduces to document BM25 when every doc is one chunk") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = TextAnalysis.bm25Passages(docs,
+        chunkTokens = 100000, stride = 100000)
+      .select("doc_id", "n_query_terms", "bm25").collect().toSeq
+    val d = TextAnalysis.bm25TopK(docs)
+      .select("doc_id", "n_query_terms", "bm25").collect().toSeq
+    assert(p.nonEmpty && p == d)
+  }
+
   test("decontaminate flags planted passage overlap, ignores vocab overlap") {
     // find doc_ids on each side of the deterministic split first
     val ids = (0L until 40L)
