@@ -67,9 +67,9 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // steady-state measurement: best of two runs per query (single runs
     // swing 2-4x with host noise; min-of-N is standard practice). The
-    // end-to-end pipeline is IO-bound (it materializes three sinks +
-    // checkpoints), so re-running it buys no timing stability — once.
-    val singleRun = Set("pipeline_gold_e2e")
+    // end-to-end pipelines are IO-bound (they materialize real sinks +
+    // checkpoints), so re-running them buys no timing stability — once.
+    val singleRun = Set("pipeline_gold_e2e", "pipeline_corpus_e2e")
     // name-sorted: Map hash order reshuffles whenever the registry grows,
     // which silently changes each query's warmup context round-over-round
     // and confounds cross-round per-query comparison
