@@ -16,9 +16,17 @@ import org.apache.spark.sql.SparkSession
   *   - `run2_s`   — steady-state re-run (plan + codegen caches warm);
   *   - `compiles` / `compile_ms` — Janino compilations during run1 and
   *                  their total time, from the
-  *                  [[CodegenMetrics.METRIC_COMPILATION_TIME]] histogram
-  *                  (reservoir-sampled; exact when <1028 compilations,
-  *                  which holds for any single query).
+  *                  [[CodegenMetrics.METRIC_COMPILATION_TIME]] histogram.
+  *                  The `compiles` count delta is always exact; the
+  *                  millisecond sum is a delta of reservoir-snapshot
+  *                  sums, and the reservoir (1028 samples) is
+  *                  JVM-global and cumulative — once the warmup plus
+  *                  audited queries exceed 1028 lifetime compilations,
+  *                  evictions make later `compile_ms` deltas
+  *                  undercount (or go slightly negative). Treat
+  *                  `compile_ms` as exact only per-session while
+  *                  lifetime count ≤ 1028, i.e. audit short query
+  *                  lists per JVM.
   *
   * `run1 − run2 ≈ compile_ms` ⇒ the spread is Janino, irreducible per
   * JVM but proportional to the number of distinct codegen stages;

@@ -107,7 +107,12 @@ object TextAnalysis {
                         dupN: Int = 3): DataFrame = {
     val prof = org.apache.spark.sql.graft.RepetitionProfile
       .column(col("text"), topN, dupN)
-    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+    // null-text docs carry no profile; dropping them (rather than
+    // emitting a null-fraction row) keeps this form and the exploded
+    // parity form identical on any corpus — explode() would drop the
+    // row anyway in the distributed form
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
         size(tokensCol(col("text"))).as("n_tokens"), prof.as("prof"))
       .select(col("doc_id"), col("n_tokens"),
         col("prof.top_gram").as("top_gram"),
@@ -138,7 +143,9 @@ object TextAnalysis {
     * large for in-row counting).
     */
   private[graft] def repetitionProfileExploded(
-      docs: DataFrame, topN: Int = 2, dupN: Int = 3): DataFrame = {
+      docs0: DataFrame, topN: Int = 2, dupN: Int = 3): DataFrame = {
+    // same null-text posture as the compiled form (see above)
+    val docs = docs0.filter(col("text").isNotNull)
     val toks = tokensCol(col("text"))
     def fam(name: String, grams: Column): Column =
       transform(grams, g => struct(lit(name).as("fam"), g.as("gram")))

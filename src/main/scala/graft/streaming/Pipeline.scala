@@ -190,7 +190,9 @@ object Pipeline {
       flagsDir, s"$base/ck2", trigger = an)
       .start().awaitTermination()
     // ship: sink-side compaction — quality survivors minus flagged
-    val silver = spark.read.parquet(silverDir)
+    // (explicit schema like the flags read: if no delta doc passed the
+    // quality gate the sink has no data files and inference would fail)
+    val silver = spark.read.schema(silverSchema).parquet(silverDir)
     val flagged = spark.read.schema(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("hist_doc",

@@ -330,9 +330,10 @@ class PlanSpec extends SparkSpec {
       "bm25_topk", "bm25_incremental", "bm25_passages",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs")
-    // pipeline_gold_e2e executes real streaming hops at construction —
-    // it is an execution harness, not a plan shape
-    val names = SparkEntry.queries.keys.filterNot(_ == "pipeline_gold_e2e")
+    // the e2e pipelines execute real streaming hops at construction —
+    // they are execution harnesses, not plan shapes
+    val names = SparkEntry.queries.keys
+      .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e"))
     val offenders = names.filter { n =>
       val p = plan(n)
       (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) &&

@@ -234,7 +234,8 @@ class TextDedupSpec extends SparkSpec {
       4L -> " leading and trailing ",         // empty edge tokens
       5L -> "b a b a b a",                    // tie candidates "b a" vs "a b"
       6L -> "z z z z z z z z z z",            // degenerate repeat
-      7L -> ("w1 w2 w3 " * 40).trim)          // longer cyclic doc
+      7L -> ("w1 w2 w3 " * 40).trim,          // longer cyclic doc
+      8L -> (null: String))                   // null text: dropped by BOTH forms
       .toDF("doc_id", "text")
     val a = TextAnalysis.repetitionProfile(edge).collect().toSeq
     val b = TextAnalysis.repetitionProfileExploded(edge).collect().toSeq
