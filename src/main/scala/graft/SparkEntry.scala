@@ -636,6 +636,77 @@ object SparkEntry {
     "dedup_chunk_clusters" -> ((s, dir) =>
       TextAnalysis.chunkClusters(Tables.documents(s, dir))),
 
+    // ---- index lifecycle: RETIREMENT (takedowns / opt-outs) ----
+    // A salted 10% "takedown list" (h60('ret_'||doc_id) % 100 >= 90)
+    // retired from indexes built on the full corpus; every query's
+    // contract is full-recompute-minus-retired parity, so each oracle
+    // is simply its family's full-corpus SQL with the retired docs
+    // filtered out — the strongest possible check that deletion
+    // propagates exactly.
+    // signature index: per-doc rows, retire = provenance anti join.
+    "dedup_index_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      Dedup.retireRows(Dedup.minhashSignatures(docs),
+          docs.filter(isRet).select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+    // fingerprint table retire + representative RE-ELECTION: groups
+    // whose rep was taken down elect the smallest survivor.
+    "exact_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      Dedup.retireExact(Dedup.fingerprints(docs),
+        docs.filter(isRet).select(col("doc_id")))
+    }),
+    // cluster assignment retire: rep re-election, bridge splits, and
+    // cap transitions resolved over the blast radius only.
+    "clusters_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      Dedup.retireClusters(Dedup.shingled(docs),
+        Dedup.clusters(Dedup.ngramJaccardPairs(docs)),
+        docs.filter(isRet).select(col("doc_id")))
+    }),
+    // BM25 postings+norms retire, then top-k served off the retired
+    // index — corpus stats (N, avgdl, df) all shift with the deletion.
+    "bm25_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      TextAnalysis.bm25QueryIndex(
+        Dedup.retireRows(TextAnalysis.bm25Index(docs),
+          docs.filter(isRet).select(col("doc_id"))),
+        Seq("stream", "merge", "batch"))
+    }),
+    // span-index retire: the PROVENANCED (h, doc_id) index dropped to
+    // surviving docs, membership re-derived, then the daily delta
+    // check runs against it — spans that only history's retired docs
+    // contained no longer flag.
+    "spans_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val hist = docs.filter(isHist)
+      TextAnalysis.incrementalSpans(
+        TextAnalysis.spanIndexMembership(
+          Dedup.retireRows(TextAnalysis.spanShingleIndexProv(hist),
+            hist.filter(isRet).select(col("doc_id")))),
+        docs.filter(!isHist))
+    }),
+    // compaction audit: how much of the signature index is settled
+    // non-rep duplicates (= safe to drop at the next rewrite).
+    "index_compact_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.compactionStats(Dedup.minhashSignatures(docs),
+        Dedup.clusters(Dedup.ngramJaccardPairs(docs)))
+    }),
+
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "embed_top_pairs" -> ((s, dir) =>
@@ -1931,6 +2002,106 @@ object SparkEntry {
          |FROM d x JOIN h ON h.fp = x.fp
          |WHERE ${h60("'inc_' || x.doc_id")} % 100 >= 80
          |ORDER BY x.doc_id""".stripMargin,
+
+    // ---- retirement oracles: each is its family's full-corpus SQL
+    // with the salted takedown set (ret_ salt, 10%) filtered out —
+    // full-recompute-minus-retired parity, pinned in SQL.
+    "dedup_index_retire" ->
+      s"""$docsCte,
+         |$sigCte
+         |SELECT * FROM sig WHERE ${h60("'ret_' || doc_id")} % 100 < 90
+         |ORDER BY doc_id""".stripMargin,
+
+    "exact_retire" ->
+      s"""SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+         |FROM documents WHERE ${h60("'ret_' || doc_id")} % 100 < 90
+         |GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "clusters_retire" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |shr AS (SELECT * FROM sh WHERE ${h60("'ret_' || doc_id")} % 100 < 90),
+         |shc AS (SELECT doc_id, shingle FROM shr
+         |        QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "bm25_retire" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |       WHERE ${h60("'ret_' || doc_id")} % 100 < 90),
+        |corpus AS (SELECT count(*) AS n, sum(len(toks)) AS tot_len FROM t),
+        |tf AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+        |       FROM t, unnest(toks) AS u(t)
+        |       WHERE u.t IN ('stream', 'merge', 'batch')
+        |       GROUP BY doc_id, len(toks), u.t),
+        |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf JOIN dfq USING (t), corpus)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms,
+        |  CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "spans_retire" ->
+      s"""WITH hist AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 < 80
+         |          AND ${h60("'ret_' || doc_id")} % 100 < 90),
+         |delta AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |hidx AS (SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |         FROM hist, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |dw AS (SELECT doc_id, g.i AS i,
+         |         CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |       FROM delta, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |f AS (SELECT doc_id, i FROM dw WHERE h IN (SELECT h FROM hidx)),
+         |isl AS (SELECT doc_id, i,
+         |          CASE WHEN i > lag(i) OVER w + 8 THEN 1 ELSE 0 END AS brk
+         |        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |g2 AS (SELECT doc_id, i,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |       FROM isl)
+         |SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+         |  max(i) + 8 - min(i) AS span_tokens, count(*) AS n_windows
+         |FROM g2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "index_compact_stats" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |asg AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |b AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_index_rows FROM sh),
+         |d AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM asg WHERE doc_id <> rep)
+         |SELECT n_index_rows, n_index_rows - n_dropped AS n_kept, n_dropped
+         |FROM b, d""".stripMargin,
 
     // mirrors Dedup.simhashIncremental: salted 80/20 simhash split,
     // history bands capped, band join, hamming verify off joined hashes.

@@ -782,4 +782,190 @@ object Dedup {
         |    sequence(0, 59),
         |    (c, j) -> if(c > 0, cast(pow(2, j) as bigint), 0L)),
         |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+
+  // --------------------------------------------------------------------
+  // Index lifecycle: RETIREMENT (the inverse of the incremental-append
+  // family). A real training-data pipeline must also REMOVE documents —
+  // takedowns, licensing opt-outs, quality recalls — and have the
+  // deletion propagate to every persisted index without re-reading the
+  // corpus. The design rule all of these follow: an index that must
+  // support deletion carries PROVENANCE (the doc_id each row came from);
+  // membership-only views derive from the provenanced table. The
+  // correctness contract, mirrored by the oracles and specs, is
+  // FULL-RECOMPUTE-MINUS-RETIRED parity:
+  //   retire(indexOf(docs), R) == indexOf(docs \ R)
+  // with history text never re-read — only index tables are touched.
+  // --------------------------------------------------------------------
+
+  /** Generic per-row retirement: delete an index's rows for retired
+    * ids. Exactly full-recompute parity for every index whose rows are
+    * per-document-decomposable — the MinHash signature index, the
+    * SimHash / pHash Hamming indexes, BM25 postings+norms
+    * ([[graft.operators.TextAnalysis.bm25Index]]), IVF cell
+    * assignments under a frozen quantizer, and the provenanced span /
+    * CDC-chunk indexes. The retired set is the day's takedown list —
+    * tiny — so the anti join broadcasts; one scan of the index, zero
+    * scans of text.
+    */
+  def retireRows(index: DataFrame, retiredIds: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    index.join(
+      retiredIds.select(retiredIds.columns.head).toDF(idCol),
+      Seq(idCol), "left_anti")
+
+  /** The provenanced content-fingerprint table `(doc_id, fp)` — one row
+    * per corpus document (~48 bytes), the table the [[exact]] `(fp,
+    * rep, n)` view derives from. The append-only family can live off
+    * the view alone; DELETION cannot: when a group's representative is
+    * retired the next-smallest surviving member must take over, and
+    * the view has already forgotten the members. Persist this table;
+    * derive the view.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** Exact-dedup retirement WITH representative re-election: drop the
+    * retired rows from the fingerprint table and re-derive the
+    * `(fp, rep_doc_id, n_docs)` view — a group whose rep was retired
+    * elects its smallest surviving member; a group fully retired
+    * disappears (its content may legitimately re-enter the corpus
+    * later — that is what a takedown means). One scan of the
+    * fingerprint table, one shuffle by fp; text never re-hashed.
+    */
+  def retireExact(fps: DataFrame, retiredIds: DataFrame): DataFrame =
+    retireRows(fps, retiredIds)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("fp"))
+
+  /** Near-dup CLUSTER retirement — the hard case, and the exact inverse
+    * of [[incrementalClusters]]: fold a takedown list OUT of the
+    * persisted assignment. Deletion does three things appending never
+    * does:
+    *
+    *  1. **Rep re-election** — a cluster whose representative (= min
+    *     doc_id) is retired needs its smallest survivor as the new rep.
+    *  2. **Cluster splits** — a retired doc may be the BRIDGE holding a
+    *     component together (a–b, b–c, retire b ⇒ a and c part ways,
+    *     possibly back to unclustered singletons).
+    *  3. **Cap transitions** — removing postings lowers shingle dfs, so
+    *     a stop-shingle can drop back under [[MaxShingleDf]] and start
+    *     generating pairs again, adding edges between docs that share
+    *     NO retired neighbor (and shifting their per-doc counts, so
+    *     existing jaccards move too).
+    *
+    * All three resolve inside one blast radius: pairs change only for
+    * docs on a cap-transition shingle (df fell from > maxDf to
+    * ≤ maxDf) or docs sharing a (surviving) cluster with a retired or
+    * transition doc — any new edge needs a shared transition shingle
+    * and any old edge lives inside one cluster, so the post-retire
+    * edge set never crosses the blast-set boundary. The algorithm
+    * recomputes pairs ONLY among that set (with GLOBAL post-retire dfs
+    * and per-doc counts, so the cap semantics match a full rerun
+    * exactly), re-runs [[clusters]] there, and passes every untouched
+    * assignment row through verbatim. Min-label CC then reproduces the
+    * full recompute bit-for-bit — cap active or not (spec-asserted
+    * including an engineered cap-transition corpus).
+    *
+    * Scale shape: the takedown list broadcasts; one flagged scan of the
+    * posting index computes before/after dfs; the CC loop runs on the
+    * retirement's blast radius, not the corpus. History text is never
+    * read — the posting index IS the memory of the corpus.
+    */
+  def retireClusters(histPostings: DataFrame, histAssign: DataFrame,
+                     retiredIds: DataFrame, threshold: Double = 0.5,
+                     maxDf: Int = MaxShingleDf): DataFrame = {
+    val ret = retiredIds.select(retiredIds.columns.head).toDF("r_id")
+    // one pass over the posting index: per-shingle df with and without
+    // the retired docs (three downstream consumers → materialize once)
+    val flagged = histPostings
+      .join(ret, col("doc_id") === col("r_id"), "left")
+      .select(col("shingle"), col("doc_id"), col("r_id").isNotNull.as("is_ret"))
+      .localCheckpoint(false)
+    val dfs = flagged.groupBy(col("shingle")).agg(
+      count(lit(1)).as("df_before"),
+      count(when(!col("is_ret"), 1)).as("df_after"))
+    val uncapped = dfs.filter(col("df_after") <= maxDf)
+    val trans = uncapped.filter(col("df_before") > maxDf).select(col("shingle"))
+    val postAfter = flagged.filter(!col("is_ret"))
+      .select(col("shingle"), col("doc_id"))
+    val transDocs = postAfter.join(trans, Seq("shingle"))
+      .select(col("doc_id")).distinct()
+    // clusters needing relabel: any holding a retired or transition doc
+    val touched = histAssign.join(ret, col("doc_id") === col("r_id"))
+      .select(col("cluster_rep"))
+      .unionByName(histAssign.join(transDocs, Seq("doc_id"))
+        .select(col("cluster_rep")))
+      .distinct()
+    // blast set: surviving members of touched clusters + unassigned docs
+    // on transition shingles (they may newly join a cluster)
+    val members = histAssign.join(touched, Seq("cluster_rep"))
+      .select(col("doc_id"))
+      .join(ret, col("doc_id") === col("r_id"), "left_anti")
+      .unionByName(transDocs
+        .join(histAssign.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .distinct()
+    // recompute pairs among the blast set over the retired re-capped
+    // index; dfs and per-doc counts stay GLOBAL so the cap semantics
+    // equal a full rerun's
+    val cappedPost = postAfter
+      .join(uncapped.select(col("shingle")), Seq("shingle"))
+      .join(members, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val cnt = cappedPost.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cappedPost
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("d1", "d2")))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val relabeled = clusters(pairs)
+      .select(col("doc_id"), col("cluster_rep"))
+    histAssign.join(touched, Seq("cluster_rep"), "left_anti")
+      .select(col("doc_id"), col("cluster_rep"))
+      .unionByName(relabeled)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Index COMPACTION — the periodic maintenance the retire/append loop
+    * needs: signature rows of settled non-representative duplicates are
+    * dead weight (every future delta that would match a member also
+    * matches through the bucket its rep still occupies, and degenerate
+    * hot buckets are precisely where the [[MaxBucketSize]] star cap has
+    * already reduced matching to the representative anyway). Keep reps
+    * and unclustered docs; drop the members the assignment has already
+    * recorded as duplicates. Observability rides
+    * [[compactionStats]] — a compaction that silently dropped live
+    * coverage would show there first.
+    */
+  def compactSignatureIndex(histSigs: DataFrame,
+                            histAssign: DataFrame): DataFrame =
+    histSigs.join(
+      histAssign.filter(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** One-row audit of what [[compactSignatureIndex]] would do: index
+    * rows before/after and the settled-duplicate rows dropped — the
+    * "is compaction worth running" signal (n_dropped / n_index_rows is
+    * the dead fraction). Counts only; nothing is rewritten.
+    */
+  def compactionStats(histSigs: DataFrame,
+                      histAssign: DataFrame): DataFrame = {
+    val before = histSigs.agg(count(lit(1)).as("n_index_rows"))
+    val after = compactSignatureIndex(histSigs, histAssign)
+      .agg(count(lit(1)).as("n_kept"))
+    before.crossJoin(after)
+      .select(col("n_index_rows"), col("n_kept"),
+        (col("n_index_rows") - col("n_kept")).as("n_dropped"))
+  }
 }

@@ -859,6 +859,37 @@ object TextAnalysis {
   def spanShingleIndex(docs: DataFrame, k: Int = 8): DataFrame =
     spanWindows(docs, k).select(col("h")).distinct()
 
+  /** The PROVENANCED span index `(h, doc_id)` — what a pipeline that
+    * must honor takedowns persists instead of the membership-only
+    * [[spanShingleIndex]]: retirement deletes a doc's rows
+    * ([[graft.operators.Dedup.retireRows]]) and a hash stays a member
+    * exactly while ≥1 surviving doc still contains it — equal to
+    * rebuilding the membership index on the surviving corpus
+    * (spec-asserted), with history text never re-read. ~2× the
+    * membership index's bytes; the price of deletability.
+    */
+  def spanShingleIndexProv(docs: DataFrame, k: Int = 8): DataFrame =
+    spanWindows(docs, k).select(col("h"), col("doc_id")).distinct()
+
+  /** Membership view of a (possibly retired) provenanced span index —
+    * feed to [[incrementalSpans]] / [[noveltySpanScores]]. */
+  def spanIndexMembership(prov: DataFrame): DataFrame =
+    prov.select(col("h")).distinct()
+
+  /** The provenanced CDC chunk index `(chunk_md5, doc_id)` — the
+    * deletable form of [[cdcChunkIndex]], same contract as
+    * [[spanShingleIndexProv]]: a digest survives retirement while some
+    * surviving doc still produces it.
+    */
+  def cdcChunkIndexProv(docs: DataFrame, divisor: Int = 16): DataFrame =
+    cdcChunkStream(docs, divisor)
+      .select(col("chunk_md5"), col("doc_id")).distinct()
+
+  /** Membership view of a (possibly retired) provenanced CDC index —
+    * feed to [[incrementalCdcDups]]. */
+  def cdcIndexMembership(prov: DataFrame): DataFrame =
+    prov.select(col("chunk_md5")).distinct()
+
   /** Incremental exact-substring dedup — the daily-pipeline form of
     * [[duplicatedSpans]]: flag every maximal span of a NEW batch that
     * already exists in the historical corpus, consulting only the

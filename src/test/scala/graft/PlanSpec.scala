@@ -321,13 +321,13 @@ class PlanSpec extends SparkSpec {
       "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
       "lm_score", "dedup_semantic", "embed_hard_negatives",
       // 1-row normalizer / corpus-total cross joins, same pattern
-      "mixture_temperature", "vocab_coverage",
+      "mixture_temperature", "vocab_coverage", "index_compact_stats",
       // packed-centroid broadcast, same as dedup_semantic
       "cluster_profile", "ann_incremental", "ivf_drift_audit",
       // 1-row LM-model cross join, same as lm_score
       "lm_score_bigram",
       // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
-      "bm25_topk", "bm25_incremental", "bm25_passages",
+      "bm25_topk", "bm25_incremental", "bm25_passages", "bm25_retire",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs")
     // the e2e pipelines execute real streaming hops at construction —
