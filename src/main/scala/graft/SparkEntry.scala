@@ -544,6 +544,14 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // vocab-constrained greedy subword tokenization (compiled walk):
+    // corpus piece-frequency table incl. OOV fallback characters.
+    "tokenize_vocab" -> ((s, dir) =>
+      TextAnalysis.tokenizeVocab(Tables.documents(s, dir))),
+    // per-doc subword budget: fertility + OOV rate under the vocab —
+    // the counts a training pipeline actually bills by.
+    "token_budget_stats" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetStats(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
     // embedding cosine (doc_id and vec_id share the id space).
     "dedup_cross_modal" -> ((s, dir) =>
@@ -885,6 +893,15 @@ object SparkEntry {
   /** DuckDB 60-bit hash matching TextFunctions.hash60. */
   private def h60(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** The subword vocabulary as a DuckDB list literal, sorted longest
+    * entry first so `list_filter(...)[1]` IS the greedy longest match
+    * (mirrors [[org.apache.spark.sql.graft.VocabTokenize]]'s
+    * bucket-longest-first probe order).
+    */
+  private val vocabSql = org.apache.spark.sql.graft.VocabTokenize.DefaultVocab
+    .sortBy(v => (-v.length, v)).map(v => s"'$v'")
+    .mkString("[", ", ", "]")
 
   /** Oracle mirror of [[graft.operators.Relational.derivedPartSupp]]:
     * the deterministic part-supplier relation (4 suppliers per part by
@@ -2223,6 +2240,66 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM c GROUP BY shard, (cum_tok - n_tok) // 512
          |ORDER BY shard, pack_id""".stripMargin,
+
+    // mirrors TextAnalysis.tokenizeVocab: the greedy longest-match
+    // subword walk as a recursive CTE — each recursive row advances by
+    // the previous piece's length and emits the piece found there; the
+    // vocab literal is sorted longest-first so list_filter(...)[1] IS
+    // the greedy match, and the fallback single character can never
+    // itself be a vocab member (it would have matched).
+    "tokenize_vocab" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, u.word AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+         |       unnest(toks) AS u(word)
+         |  WHERE u.word <> ''),
+         |pieces AS (
+         |  SELECT doc_id, word, 1 AS pos,
+         |    coalesce(list_filter($vocabSql, v -> v = substr(word, 1, len(v)))[1],
+         |             substr(word, 1, 1)) AS piece
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, word, pos + len(piece),
+         |    coalesce(list_filter($vocabSql,
+         |               v -> v = substr(word, pos + len(piece), len(v)))[1],
+         |             substr(word, pos + len(piece), 1))
+         |  FROM pieces WHERE pos + len(piece) <= len(word))
+         |SELECT piece, NOT list_contains($vocabSql, piece) AS is_oov,
+         |  count(*) AS n
+         |FROM pieces GROUP BY piece ORDER BY n DESC, piece""".stripMargin,
+
+    // mirrors TextAnalysis.tokenBudgetStats over the same walk; word
+    // count includes empty split tokens (the corpus-wide convention),
+    // fertility / oov_rate are exact integer quotients.
+    "token_budget_stats" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, u.word AS word FROM t, unnest(toks) AS u(word)
+         |      WHERE u.word <> ''),
+         |pieces AS (
+         |  SELECT doc_id, word, 1 AS pos,
+         |    coalesce(list_filter($vocabSql, v -> v = substr(word, 1, len(v)))[1],
+         |             substr(word, 1, 1)) AS piece
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, word, pos + len(piece),
+         |    coalesce(list_filter($vocabSql,
+         |               v -> v = substr(word, pos + len(piece), len(v)))[1],
+         |             substr(word, pos + len(piece), 1))
+         |  FROM pieces WHERE pos + len(piece) <= len(word)),
+         |per AS (SELECT doc_id, count(*) AS n_sub,
+         |          sum(CASE WHEN NOT list_contains($vocabSql, piece)
+         |              THEN 1 ELSE 0 END) AS n_oov
+         |        FROM pieces GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_words,
+         |  CAST(coalesce(per.n_sub, 0) AS INT) AS n_subtokens,
+         |  CAST(coalesce(per.n_oov, 0) AS INT) AS n_oov,
+         |  CAST(coalesce(per.n_sub, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE)
+         |    AS fertility,
+         |  CASE WHEN coalesce(per.n_sub, 0) > 0
+         |    THEN CAST(per.n_oov AS DOUBLE) / CAST(per.n_sub AS DOUBLE)
+         |    ELSE 0.0 END AS oov_rate
+         |FROM t LEFT JOIN per ON per.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "quality_filter" ->
       s"""$docsCte,

@@ -1491,4 +1491,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("shard"), col("pack_id"))
   }
+
+  /** Corpus piece-frequency table under vocab-constrained greedy
+    * subword tokenization (the compiled
+    * [[org.apache.spark.sql.graft.VocabTokenize]] walk): how often each
+    * vocabulary piece — and each out-of-vocabulary fallback character —
+    * occurs across the corpus. The table a tokenizer owner reads to
+    * see which merges earn their slot and what the fallback mass looks
+    * like. Map-only scan + one count shuffle keyed by the piece (the
+    * piece universe is vocab + observed characters — tiny), so the
+    * aggregation is effectively map-side.
+    */
+  def tokenizeVocab(docs: DataFrame,
+                    vocab: Seq[String] =
+                      org.apache.spark.sql.graft.VocabTokenize.DefaultVocab)
+      : DataFrame =
+    docs.select(explode(
+        org.apache.spark.sql.graft.VocabTokenize.column(col("text"), vocab))
+        .as("p"))
+      .groupBy(col("p.piece").as("piece"), col("p.is_oov").as("is_oov"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+
+  /** Per-document SUBWORD token budget: whitespace-word count, subword
+    * piece count, out-of-vocabulary piece count, plus `fertility`
+    * (pieces per word — how much this vocab inflates the corpus) and
+    * `oov_rate` (exact integer quotients, the [[lmScore]] determinism
+    * convention). This is the number training actually bills by —
+    * whitespace counts under-measure fertile words. One compiled
+    * map-only pass ([[org.apache.spark.sql.graft.TokenBudget]] — no
+    * piece array is ever materialized); the only exchange is the
+    * output sort.
+    */
+  def tokenBudgetStats(docs: DataFrame,
+                       vocab: Seq[String] =
+                         org.apache.spark.sql.graft.VocabTokenize.DefaultVocab)
+      : DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.VocabTokenize
+          .budgetColumn(col("text"), vocab).as("b"))
+      .select(col("doc_id"),
+        col("b.n_words").as("n_words"),
+        col("b.n_subtokens").as("n_subtokens"),
+        col("b.n_oov").as("n_oov"),
+        (col("b.n_subtokens").cast("double") /
+          col("b.n_words").cast("double")).as("fertility"),
+        when(col("b.n_subtokens") > 0,
+          col("b.n_oov").cast("double") /
+            col("b.n_subtokens").cast("double")).otherwise(lit(0.0))
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VocabTokenize
+
+import graft.operators.TextAnalysis
+
+/** Vocab-constrained greedy subword tokenization — the compiled
+  * longest-match walk and its budget fold.
+  */
+class VocabTokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def piecesOf(text: String,
+                       vocab: Seq[String] = VocabTokenize.DefaultVocab) =
+    Seq(Tuple1(text)).toDF("text")
+      .select(explode(VocabTokenize.column(col("text"), vocab)).as("p"))
+      .select(col("p.piece"), col("p.is_oov"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+
+  test("greedy longest match: full word beats prefixes, merges chain") {
+    assert(piecesOf("window") == Seq(("window", false)))
+    // "ba" + "t" + "ch" — never the shorter "a"/"t" path
+    assert(piecesOf("batch") ==
+      Seq(("ba", false), ("t", false), ("ch", false)))
+    // OOV fallback characters interleave with matches
+    assert(piecesOf("merge") == Seq(("m", true), ("er", false),
+      ("g", true), ("e", false)))
+  }
+
+  test("empty text and doubled spaces contribute zero pieces") {
+    assert(piecesOf("") == Seq())
+    assert(piecesOf("the  the") == // empty middle token: no pieces
+      Seq(("the", false), ("the", false)))
+  }
+
+  test("budget equals the piece stream's counts, words count empties") {
+    val d = Seq((1L, "the  batch merge"), (2L, ""), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val st = TextAnalysis.tokenBudgetStats(d).collect()
+    val r1 = st.find(_.getLong(0) == 1L).get
+    // words: "the","","batch","merge" = 4; pieces: 1+0+3+4 = 8; oov: m,g,z?
+    assert(r1.getAs[Int]("n_words") == 4)
+    assert(r1.getAs[Int]("n_subtokens") == 8)
+    assert(r1.getAs[Int]("n_oov") == 2) // m, g
+    assert(r1.getAs[Double]("fertility") == 8.0 / 4.0)
+    assert(r1.getAs[Double]("oov_rate") == 2.0 / 8.0)
+    val r2 = st.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Int]("n_words") == 1 && r2.getAs[Int]("n_subtokens") == 0
+      && r2.getAs[Double]("oov_rate") == 0.0)
+    val r3 = st.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[Int]("n_subtokens") == 3 && r3.getAs[Int]("n_oov") == 3)
+  }
+
+  test("custom vocab: 1-char entries always beat fallback") {
+    val v = Seq("ab", "b", "c")
+    assert(piecesOf("abcb", v) ==
+      Seq(("ab", false), ("c", false), ("b", false)))
+    assert(piecesOf("xb", v) == Seq(("x", true), ("b", false)))
+  }
+
+  test("piece frequencies reconcile with per-doc budgets on the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freq = TextAnalysis.tokenizeVocab(docs)
+    val totalPieces = freq.agg(sum(col("n"))).collect().head.getLong(0)
+    val totalOov = freq.filter(col("is_oov"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val st = TextAnalysis.tokenBudgetStats(docs)
+      .agg(sum(col("n_subtokens")), sum(col("n_oov"))).collect().head
+    assert(st.getLong(0) == totalPieces && st.getLong(1) == totalOov)
+  }
+}
