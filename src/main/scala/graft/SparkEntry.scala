@@ -552,6 +552,10 @@ object SparkEntry {
     // the counts a training pipeline actually bills by.
     "token_budget_stats" -> ((s, dir) =>
       TextAnalysis.tokenBudgetStats(Tables.documents(s, dir))),
+    // deterministic epoch-order shuffle: content-stable seeded
+    // permutation, resumable across partitionings and engines.
+    "epoch_order" -> ((s, dir) =>
+      TextAnalysis.epochOrder(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
     // embedding cosine (doc_id and vec_id share the id space).
     "dedup_cross_modal" -> ((s, dir) =>
@@ -2240,6 +2244,20 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM c GROUP BY shard, (cum_tok - n_tok) // 512
          |ORDER BY shard, pack_id""".stripMargin,
+
+    // mirrors TextAnalysis.epochOrder: salted shard + salted order key,
+    // rank within shard — pure SQL because position derives only from
+    // (epoch, doc_id).
+    "epoch_order" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ${h60("'shard_' || doc_id")} % 8 AS shard,
+         |    ${h60("'epoch0_' || doc_id")} AS okey
+         |  FROM documents)
+         |SELECT shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+         |    AS INT) AS epoch_pos,
+         |  doc_id
+         |FROM b ORDER BY shard, epoch_pos""".stripMargin,
 
     // mirrors TextAnalysis.tokenizeVocab: the greedy longest-match
     // subword walk as a recursive CTE — each recursive row advances by

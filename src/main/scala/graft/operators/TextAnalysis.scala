@@ -1492,6 +1492,36 @@ object TextAnalysis {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** Deterministic EPOCH-ORDER shuffle — the last hop before training
+    * ingestion: a seeded, content-stable permutation of the corpus.
+    * Each document's position derives only from `(epoch, doc_id)`
+    * (salted-hash order key, ranked within its salted shard), so the
+    * order is engine-independent and RESUMABLE — recomputing after a
+    * failure, on different partitioning, or on a different cluster
+    * reproduces byte-identical sample order (spec-asserted across
+    * repartitionings), unlike `rand()`-based shuffles whose order
+    * depends on partition layout. A new epoch re-salts the key: a
+    * fresh permutation with zero state carried.
+    *
+    * Scale shape: map-only key derivation + ONE rank window
+    * partitioned by shard — shards sort independently (no global
+    * sort), and `nShards` spreads the window across the cluster
+    * exactly like [[packSequences]]' per-shard cumulative sums.
+    */
+  def epochOrder(docs: DataFrame, epoch: Int = 0,
+                 nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))
+    docs.select(
+        pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
+          .as("shard"),
+        col("doc_id"),
+        hash60(concat(lit(s"epoch${epoch}_"), col("doc_id"))).as("okey"))
+      .withColumn("epoch_pos", row_number().over(w))
+      .select(col("shard"), col("epoch_pos"), col("doc_id"))
+      .orderBy(col("shard"), col("epoch_pos"))
+  }
+
   /** Corpus piece-frequency table under vocab-constrained greedy
     * subword tokenization (the compiled
     * [[org.apache.spark.sql.graft.VocabTokenize]] walk): how often each

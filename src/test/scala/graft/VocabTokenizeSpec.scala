@@ -59,6 +59,26 @@ class VocabTokenizeSpec extends SparkSpec {
     assert(piecesOf("xb", v) == Seq(("x", true), ("b", false)))
   }
 
+  test("epoch order is identical across partitionings and distinct across epochs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = TextAnalysis.epochOrder(docs).collect().toSeq
+    // content-stable: any physical layout reproduces the same order
+    assert(TextAnalysis.epochOrder(docs.repartition(7)).collect().toSeq
+      == base)
+    assert(TextAnalysis.epochOrder(docs.coalesce(1)).collect().toSeq
+      == base)
+    // a permutation: every doc exactly once, positions 1..n per shard
+    assert(base.map(_.getAs[Long]("doc_id")).distinct.size == base.size)
+    val perShard = base.groupBy(_.getAs[Long]("shard"))
+    assert(perShard.values.forall(rs =>
+      rs.map(_.getAs[Int]("epoch_pos")).sorted == (1 to rs.size)))
+    // a new epoch re-salts: a genuinely different permutation
+    val e1 = TextAnalysis.epochOrder(docs, epoch = 1).collect().toSeq
+    assert(e1 != base &&
+      e1.map(_.getAs[Long]("doc_id")).toSet ==
+        base.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("piece frequencies reconcile with per-doc budgets on the corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val freq = TextAnalysis.tokenizeVocab(docs)
