@@ -364,17 +364,7 @@ object TextAnalysis {
                    queryTerms: Seq[String] = Seq("spark", "window", "agg"),
                    k: Int = 20, chunkTokens: Int = 128, stride: Int = 96,
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokensCol(col("text"))
-    def chunks(df: DataFrame) = df
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0),
-          floor((size(col("toks")) - 1) / lit(stride)).cast("int")))
-          .as("chunk_idx"),
-        col("toks"))
-      .select(col("doc_id"), col("chunk_idx"),
-        slice(col("toks"), col("chunk_idx") * lit(stride) + lit(1),
-          lit(chunkTokens)).as("ctoks"))
+    def chunks(df: DataFrame) = passageChunkStream(df, chunkTokens, stride)
     val corpus = chunks(docs).agg(count(lit(1)).as("n"),
       sum(size(col("ctoks")).cast("long")).as("tot_len"))
     val tf = chunks(docs)
@@ -383,13 +373,38 @@ object TextAnalysis {
       .filter(col("t").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("t"))
       .agg(count(lit(1)).as("tf"))
-    // MaxP argmax via the codegen'd ArgExtremum (primitive buffers →
-    // HashAggregate; a 3-field struct min would fall back to
-    // SortAggregate + two full sorts). chunk_idx and the term count
-    // pack into one atomic value (nqt ≤ |queryTerms| ≪ 1000, so the
-    // packing is exact and ties on the score still resolve to the
-    // smaller chunk_idx — ArgExtremum ties take the smaller value).
-    bm25ScoreBy(tf, corpus, Seq("doc_id", "chunk_idx"), k1, b)
+    maxPTail(bm25ScoreBy(tf, corpus, Seq("doc_id", "chunk_idx"), k1, b), k)
+  }
+
+  /** The overlapping-chunk stream shared by the live and index-served
+    * passage forms: `(doc_id, chunk_idx, ctoks)` with `chunkTokens`-
+    * token windows at `stride` (the [[chunkDocs]] geometry). Every
+    * position belongs to ≥1 chunk; start positions never exceed the
+    * doc length, so every chunk holds ≥1 token.
+    */
+  private def passageChunkStream(df: DataFrame, chunkTokens: Int,
+                                 stride: Int): DataFrame =
+    df.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / lit(stride)).cast("int")))
+          .as("chunk_idx"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * lit(stride) + lit(1),
+          lit(chunkTokens)).as("ctoks"))
+
+  /** The shared MaxP document-scoring tail: per-chunk exact scaled-long
+    * scores fold to each document's best chunk in ONE in-agg argmax —
+    * the codegen'd ArgExtremum (primitive buffers → HashAggregate; a
+    * 3-field struct min would fall back to SortAggregate + two full
+    * sorts). chunk_idx and the term count pack into one atomic value
+    * (nqt ≤ |queryTerms| ≪ 1000, so the packing is exact and ties on
+    * the score still resolve to the smaller chunk_idx — ArgExtremum
+    * ties take the smaller value).
+    */
+  private def maxPTail(scored: DataFrame, k: Int): DataFrame =
+    scored
       .select(col("doc_id"), (-col("s6")).as("ns6"),
         (col("chunk_idx").cast("long") * lit(1000L) +
           col("n_query_terms")).as("packed"))
@@ -403,6 +418,57 @@ object TextAnalysis {
         ((-col("ns6")).cast("double") / lit(1e6)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+
+  /** The persisted CHUNK-level BM25 index — [[bm25Index]] at passage
+    * granularity: one row per (doc, chunk, term) posting with the
+    * chunk's length. Everything passage retrieval needs at query time
+    * derives from it (chunk count and total length by a per-chunk
+    * roll-up — every chunk holds ≥1 token so every chunk has postings;
+    * chunk-frequency by counting a term's rows), so the corpus is
+    * chunked and tokenized exactly ONCE, at index build — the fix for
+    * the live form's double chunk scan, and the passage analogue of
+    * the documents-level postings index.
+    */
+  def bm25PassageIndex(docs: DataFrame, chunkTokens: Int = 128,
+                       stride: Int = 96): DataFrame =
+    passageChunkStream(docs, chunkTokens, stride)
+      .select(col("doc_id"), col("chunk_idx"), size(col("ctoks")).as("dl"),
+        explode(col("ctoks")).as("t"))
+      .groupBy(col("doc_id"), col("chunk_idx"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Daily refresh of the passage index — the [[refreshBm25Index]]
+    * contract at chunk granularity: history chunks are never re-built,
+    * re-appending an already-ingested batch is a no-op.
+    */
+  def refreshBm25PassageIndex(histIndex: DataFrame, deltaDocs: DataFrame,
+                              chunkTokens: Int = 128,
+                              stride: Int = 96): DataFrame =
+    histIndex.select(col("doc_id"), col("chunk_idx"), col("dl"), col("t"),
+        col("tf"))
+      .unionByName(bm25PassageIndex(deltaDocs.join(
+        histIndex.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"), chunkTokens, stride))
+
+  /** Passage top-k with MaxP straight off the persisted chunk index —
+    * no text scan, no chunking at query time: corpus stats roll up
+    * from the index, scoring is the same [[bm25ScoreBy]] ∘ [[maxPTail]]
+    * chain as [[bm25Passages]], so index-then-query equals
+    * chunk-then-score exactly (spec-asserted).
+    */
+  def bm25QueryPassageIndex(index: DataFrame,
+                            queryTerms: Seq[String] =
+                              Seq("spark", "window", "agg"),
+                            k: Int = 20, k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame = {
+    val perChunk = index.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(max(col("dl")).as("dl"))
+    val corpus = perChunk.agg(count(lit(1)).as("n"),
+      sum(col("dl").cast("long")).as("tot_len"))
+    val tf = index.filter(col("t").isin(queryTerms: _*))
+      .select(col("doc_id"), col("chunk_idx"), col("dl"), col("t"),
+        col("tf"))
+    maxPTail(bm25ScoreBy(tf, corpus, Seq("doc_id", "chunk_idx"), k1, b), k)
   }
 
   /** The persisted BM25 inverted index: one row per (term, document)

@@ -656,6 +656,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out.collect().toSeq == direct)
   }
 
+  test("incremental passage BM25: index-served MaxP equals the live form; no text at query time") {
+    val filler = (1 to 80).map(i => s"f$i").mkString(" ")
+    val hist = docs(
+      s"$filler stream merge batch $filler",
+      "stream something here",
+      "the quick brown fox")
+    val delta = Seq(
+      (10L, s"merge batch $filler stream stream"),
+      (11L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val full = hist.unionByName(delta)
+    val terms = Seq("stream", "merge", "batch")
+    val idx = TextAnalysis.bm25PassageIndex(hist, 32, 24)
+    val refreshed = TextAnalysis.refreshBm25PassageIndex(idx, delta, 32, 24)
+    val viaIndex = TextAnalysis.bm25QueryPassageIndex(refreshed, terms)
+      .collect().toSeq
+    val direct = TextAnalysis.bm25Passages(full, terms,
+      chunkTokens = 32, stride = 24).collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+    // idempotence: re-appending the same batch must not double-count
+    val twice = TextAnalysis.refreshBm25PassageIndex(refreshed, delta, 32, 24)
+    assert(TextAnalysis.bm25QueryPassageIndex(twice, terms)
+      .collect().toSeq == direct)
+    // the corpus is chunked exactly ONCE (at index build): with the
+    // index from parquet, query-time leaves are index scans only —
+    // corpus stats, tf, and chunk-frequency all derive from the index
+    val base = Files.createTempDirectory("graft_bm25pinc").toString
+    refreshed.write.mode("overwrite").parquet(s"$base/idx.parquet")
+    val out = TextAnalysis.bm25QueryPassageIndex(
+      spark.read.parquet(s"$base/idx.parquet"), terms)
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 3,
+      s"expected 3 index-scan leaves, got ${leaves.length}")
+    assert(out.collect().toSeq == direct)
+  }
+
   test("noveltySpanScores: 0 for copies, 1 for new, exact fraction between") {
     val hist = docs("h1 h2 h3 h4 h5")
     val idx = TextAnalysis.spanShingleIndex(hist, k = 3)
