@@ -3411,9 +3411,17 @@ object SparkEntry {
          |bandk AS (SELECT vec_id, b // 4 AS band,
          |            string_agg(bit, '' ORDER BY b) AS bkey
          |          FROM bits GROUP BY vec_id, b // 4),
-         |cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
-         |         FROM bandk a JOIN bandk c
-         |           ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id),
+         |bst AS (SELECT vec_id, band, bkey,
+         |          count(*) OVER (PARTITION BY band, bkey) AS bn,
+         |          min(vec_id) OVER (PARTITION BY band, bkey) AS bmin
+         |        FROM bandk),
+         |cand AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+         |         FROM bst a JOIN bst c
+         |           ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id
+         |         WHERE a.bn <= ${Dedup.MaxBucketSize}
+         |         UNION
+         |         SELECT bmin AS id1, vec_id AS id2
+         |         FROM bst WHERE bn > ${Dedup.MaxBucketSize} AND vec_id > bmin),
          |p AS (SELECT cand.id1, cand.id2,
          |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
          |      FROM cand

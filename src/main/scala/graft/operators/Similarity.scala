@@ -181,14 +181,23 @@ object Similarity {
     * dedup threshold (0.85+, p ≥ 0.9) the same 16×4 structure keeps
     * recall ≥ 1-10⁻⁴ while bucketing prunes almost everything: THAT is
     * the 100 TB regime this operator exists for. `maxBucket` star-caps
-    * degenerate buckets (exact-duplicate floods) like
-    * [[Dedup.MaxBucketSize]]; default ∞ because capping at a weak
-    * threshold costs recall.
+    * degenerate buckets like [[Dedup.MaxBucketSize]] — and unlike the
+    * text LSH (whose 60-bit band keys spread non-dups into effectively
+    * unique buckets), the 4-bit hyperplane bands have only 2⁴ buckets
+    * per band, so bucket occupancy grows LINEARLY with the corpus and
+    * uncapped pair generation grows quadratically: measured on the 10×
+    * replica corpus, uncapped shuffle went 9.8 → 694 MB (70×, 34 GB
+    * spill) while the capped run stays linear (SCALING.md round 8).
+    * The cap is therefore the DEFAULT; pass `Int.MaxValue` only for
+    * small-corpus exhaustive sweeps where the lost flood-recall
+    * matters more than the quadratic (the star keeps each flooded
+    * bucket one connected component either way, which is what the
+    * downstream clustering needs).
     */
   def cosineNearDupLsh(embeddings: DataFrame, threshold: Double = 0.45,
                        nBands: Int = 16, bitsPerBand: Int = 4,
                        dims: Int = 64,
-                       maxBucket: Int = Int.MaxValue): DataFrame = {
+                       maxBucket: Int = Dedup.MaxBucketSize): DataFrame = {
     val n = normed(embeddings)
     val bitCols = (0 until nBands * bitsPerBand).map { b =>
       val hp = typedLit((0 until dims).map(j => hyperplane(b, j)))
