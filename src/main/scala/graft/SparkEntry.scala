@@ -570,6 +570,10 @@ object SparkEntry {
     // permutation, resumable across partitionings and engines.
     "epoch_order" -> ((s, dir) =>
       TextAnalysis.epochOrder(Tables.documents(s, dir))),
+    // sequence packing billed in SUBWORD tokens (the compiled budget
+    // walk) instead of whitespace tokens.
+    "pack_sequences_subword" -> ((s, dir) =>
+      TextAnalysis.packSequencesSubword(Tables.documents(s, dir))),
     // cross-modal audit: text near-dup pairs annotated with their
     // embedding cosine (doc_id and vec_id share the id space).
     "dedup_cross_modal" -> ((s, dir) =>
@@ -731,6 +735,36 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.compactionStats(Dedup.minhashSignatures(docs),
         Dedup.clusters(Dedup.ngramJaccardPairs(docs)))
+    }),
+    // CDC-index retire: the provenanced (chunk_md5, doc_id) index
+    // dropped to surviving history docs, then the daily delta check —
+    // passages only retired docs carried stop flagging.
+    "cdc_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val hist = docs.filter(isHist)
+      TextAnalysis.incrementalCdcDups(
+        TextAnalysis.cdcIndexMembership(
+          Dedup.retireRows(TextAnalysis.cdcChunkIndexProv(hist),
+            hist.filter(isRet).select(col("doc_id")))),
+        docs.filter(!isHist))
+    }),
+    // IVF retire: quantizer frozen (trained before the takedown),
+    // inverted lists minus retired vectors, top-k served off the
+    // retired index — full-recompute-minus-retired parity including
+    // query selection.
+    "ann_retire" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nn = Similarity.normed(emb)
+      val cents = Similarity.kmeansCentroids(nn)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("vec_id"))), lit(100)) >= 90
+      Similarity.annQueryIvf(cents,
+        Dedup.retireRows(Similarity.assignCells(nn, cents),
+          emb.filter(isRet).select(col("vec_id")), "vec_id"))
     }),
 
     "ann_topk" -> ((s, dir) =>
@@ -2117,6 +2151,64 @@ object SparkEntry {
          |FROM g2 GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
 
+    // mirrors the CDC retire chain: hidx built from history docs that
+    // survive the takedown filter; chunker and delta check unchanged.
+    "cdc_retire" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
+         |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |b AS (SELECT doc_id, i, tk,
+         |        CASE WHEN (CAST('0x' || substr(md5('cdc_' || tk), 1, 15) AS BIGINT) % 16) = 0
+         |          THEN 1 ELSE 0 END AS cut
+         |      FROM tok),
+         |c AS (SELECT doc_id, i, tk,
+         |        1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |      FROM b),
+         |ch AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |         CAST(min(i) AS INT) AS start_i,
+         |         CAST(count(*) AS INT) AS n_chunk_tokens,
+         |         md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+         |       FROM c GROUP BY doc_id, chunk_idx),
+         |hidx AS (SELECT DISTINCT chunk_md5 FROM ch
+         |         WHERE ${h60("'inc_' || doc_id")} % 100 < 80
+         |           AND ${h60("'ret_' || doc_id")} % 100 < 90)
+         |SELECT doc_id, chunk_idx, start_i, n_chunk_tokens, chunk_md5
+         |FROM ch
+         |WHERE ${h60("'inc_' || doc_id")} % 100 >= 80
+         |  AND chunk_md5 IN (SELECT chunk_md5 FROM hidx)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors the IVF retire chain: the ann_ivf_kmeans quantizer
+    // trained on the FULL corpus (frozen pre-takedown), the serving
+    // cells filtered to survivors.
+    "ann_retire" ->
+      s"""$embCte,
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM n WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells0", "c2")},
+         |cells AS (SELECT * FROM cells0
+         |          WHERE ${h60("'ret_' || vec_id")} % 100 < 90),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM cells WHERE vec_id < 10),
+         |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
+         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |       FROM q, c2 c),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
+         |       FROM pc),
+         |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
+         |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     "index_compact_stats" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$shCappedCte,
@@ -2272,6 +2364,36 @@ object SparkEntry {
          |    AS INT) AS epoch_pos,
          |  doc_id
          |FROM b ORDER BY shard, epoch_pos""".stripMargin,
+
+    // mirrors TextAnalysis.packSequencesSubword: pack_sequences with
+    // n_tok = the recursive greedy walk's per-doc piece count.
+    "pack_sequences_subword" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, u.word AS word FROM t, unnest(toks) AS u(word)
+         |      WHERE u.word <> ''),
+         |pieces AS (
+         |  SELECT doc_id, word, 1 AS pos,
+         |    coalesce(list_filter($vocabSql, v -> v = substr(word, 1, len(v)))[1],
+         |             substr(word, 1, 1)) AS piece
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, word, pos + len(piece),
+         |    coalesce(list_filter($vocabSql,
+         |               v -> v = substr(word, pos + len(piece), len(v)))[1],
+         |             substr(word, pos + len(piece), 1))
+         |  FROM pieces WHERE pos + len(piece) <= len(word)),
+         |per AS (SELECT doc_id, count(*) AS n_sub FROM pieces GROUP BY doc_id),
+         |d AS (SELECT t.doc_id, ${h60("'shard_' || t.doc_id")} % 8 AS shard,
+         |        CAST(coalesce(per.n_sub, 0) AS BIGINT) AS n_tok
+         |      FROM t LEFT JOIN per ON per.doc_id = t.doc_id),
+         |cm AS (SELECT shard, doc_id, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |       FROM d)
+         |SELECT shard, CAST((cum_tok - n_tok) // 512 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM cm GROUP BY shard, (cum_tok - n_tok) // 512
+         |ORDER BY shard, pack_id""".stripMargin,
 
     // mirrors TextAnalysis.tokenizeVocab: the greedy longest-match
     // subword walk as a recursive CTE — each recursive row advances by

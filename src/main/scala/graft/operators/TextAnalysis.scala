@@ -1558,6 +1558,36 @@ object TextAnalysis {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** [[packSequences]] billed in SUBWORD tokens — the packing geometry
+    * training actually sees: per-doc piece counts come from the
+    * compiled [[org.apache.spark.sql.graft.TokenBudget]] walk instead
+    * of the whitespace count, so fertile words cost what they cost.
+    * Same per-shard cumulative-sum shape (no global order at 100 TB).
+    */
+  def packSequencesSubword(docs: DataFrame, packTokens: Int = 512,
+                           nShards: Int = 8,
+                           vocab: Seq[String] =
+                             org.apache.spark.sql.graft.VocabTokenize
+                               .DefaultVocab): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(
+        pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
+          .as("shard"),
+        col("doc_id"),
+        org.apache.spark.sql.graft.VocabTokenize
+          .budgetColumn(col("text"), vocab)
+          .getField("n_subtokens").cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        ((col("cum_tok") - col("n_tok")) / packTokens).cast("long"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
   /** Deterministic EPOCH-ORDER shuffle — the last hop before training
     * ingestion: a seeded, content-stable permutation of the corpus.
     * Each document's position derives only from `(epoch, doc_id)`
