@@ -752,6 +752,37 @@ object SparkEntry {
             hist.filter(isRet).select(col("doc_id")))),
         docs.filter(!isHist))
     }),
+    // the lifecycle SHIP step: day-2 delta checked against the
+    // RETIRED day-1 signature index — survivors of the takedown-aware
+    // check (a delta doc duplicating only retired content now ships).
+    "dedup_retire_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val hist = docs.filter(isHist)
+      Dedup.incrementalApply(
+        Dedup.retireRows(Dedup.minhashSignatures(hist),
+          hist.filter(isRet).select(col("doc_id"))),
+        docs.filter(!isHist))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // novelty against the RETIRED span index: takedowns make their
+    // content novel again — the data-selection signal tracks deletion.
+    "novelty_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val hist = docs.filter(isHist)
+      TextAnalysis.noveltySpanScores(
+        TextAnalysis.spanIndexMembership(
+          Dedup.retireRows(TextAnalysis.spanShingleIndexProv(hist),
+            hist.filter(isRet).select(col("doc_id")))),
+        docs.filter(!isHist))
+    }),
     // IVF retire: quantizer frozen (trained before the takedown),
     // inverted lists minus retired vectors, top-k served off the
     // retired index — full-recompute-minus-retired parity including
@@ -1070,13 +1101,14 @@ object SparkEntry {
     * agreement count. Ends with `cand(hist_doc, delta_doc, n_matching)`
     * — consumed by both the pair query and the apply (ship) query.
     */
-  private def incChainCteFor(salt: String, histPct: Int) = {
+  private def incChainCteFor(salt: String, histPct: Int,
+                             histExtra: String = "") = {
     val matchSum = (0 until Dedup.NumHashes)
       .map(i => s"(CASE WHEN h.h$i = d.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""$docsCte,
        |$sigCte,
-       |hs AS (SELECT * FROM sig WHERE ${h60(s"'$salt' || doc_id")} % 100 < $histPct),
+       |hs AS (SELECT * FROM sig WHERE ${h60(s"'$salt' || doc_id")} % 100 < $histPct$histExtra),
        |dsg AS (SELECT * FROM sig WHERE ${h60(s"'$salt' || doc_id")} % 100 >= $histPct),
        |${sigBandsCte("hb0", "hs")},
        |hb AS (SELECT * FROM hb0
@@ -2178,6 +2210,36 @@ object SparkEntry {
          |WHERE ${h60("'inc_' || doc_id")} % 100 >= 80
          |  AND chunk_md5 IN (SELECT chunk_md5 FROM hidx)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors dedup_retire_apply: the incremental-apply chain with the
+    // history signature set further filtered by the takedown salt.
+    "dedup_retire_apply" ->
+      s"""${incChainCteFor("inc_", 80,
+             s" AND ${h60("'ret_' || doc_id")} % 100 < 90")}
+         |SELECT d0.doc_id FROM documents d0
+         |WHERE ${h60("'inc_' || d0.doc_id")} % 100 >= 80
+         |  AND d0.doc_id NOT IN (SELECT delta_doc FROM cand
+         |                        WHERE n_matching >= ${Dedup.NumHashes / 2})
+         |ORDER BY d0.doc_id""".stripMargin,
+
+    // mirrors novelty_retire: the novelty chain with the history span
+    // index built from surviving (non-retired) history docs only.
+    "novelty_retire" ->
+      s"""WITH hist AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 < 80
+         |          AND ${h60("'ret_' || doc_id")} % 100 < 90),
+         |delta AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |        WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |hidx AS (SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |         FROM hist, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |dw AS (SELECT doc_id,
+         |         CASE WHEN CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT)
+         |           IN (SELECT h FROM hidx) THEN 1 ELSE 0 END AS seen
+         |       FROM delta, unnest(generate_series(1, len(toks) - 7)) AS g(i))
+         |SELECT doc_id, count(*) AS n_windows, CAST(sum(seen) AS BIGINT) AS n_seen,
+         |  CAST(count(*) - sum(seen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM dw GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors the IVF retire chain: the ann_ivf_kmeans quantizer
     // trained on the FULL corpus (frozen pre-takedown), the serving
