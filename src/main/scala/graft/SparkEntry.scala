@@ -752,6 +752,34 @@ object SparkEntry {
             hist.filter(isRet).select(col("doc_id")))),
         docs.filter(!isHist))
     }),
+    // simhash-index retire: the Hamming family's takedown — per-doc
+    // rows, so the anti join is exact parity; the pigeonhole band
+    // check then runs against survivors only.
+    "simhash_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val hist = docs.filter(isHist)
+      Dedup.simhashIncremental(
+        Dedup.retireRows(Dedup.simhash(hist),
+          hist.filter(isRet).select(col("doc_id"))),
+        docs.filter(!isHist))
+    }),
+    // media pHash-index retire: same generic anti join over media_id.
+    "media_retire" -> ((s, dir) => {
+      val m = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("minc_"), col("media_id"))), lit(100)) < 80
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("media_id"))), lit(100)) >= 90
+      val hist = m.filter(isHist)
+      Multimodal.incrementalNearDups(s,
+        Dedup.retireRows(Multimodal.phash(s, hist),
+          hist.filter(isRet).select(col("media_id")), "media_id"),
+        m.filter(!isHist))
+    }),
     // the lifecycle SHIP step: day-2 delta checked against the
     // RETIRED day-1 signature index — survivors of the takedown-aware
     // check (a delta doc duplicating only retired content now ships).
@@ -782,6 +810,19 @@ object SparkEntry {
           Dedup.retireRows(TextAnalysis.spanShingleIndexProv(hist),
             hist.filter(isRet).select(col("doc_id")))),
         docs.filter(!isHist))
+    }),
+    // the RETRAIN that ivf_drift_audit triggers: after a takedown, the
+    // quantizer re-trains on the surviving corpus (fresh k-means; init
+    // = the survivors among vec_id < 8, so a retired seed shrinks k —
+    // deterministic, oracle-mirrored) and every survivor re-assigns:
+    // the full lifecycle build -> drift-audit -> retire -> retrain.
+    "ann_retrain" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("vec_id"))), lit(100)) >= 90
+      val surv = Similarity.normed(emb.filter(!isRet))
+      val cents = Similarity.kmeansCentroids(surv)
+      Similarity.annQueryIvf(cents, Similarity.assignCells(surv, cents))
     }),
     // IVF retire: quantizer frozen (trained before the takedown),
     // inverted lists minus retired vectors, top-k served off the
@@ -2211,6 +2252,49 @@ object SparkEntry {
          |  AND chunk_md5 IN (SELECT chunk_md5 FROM hidx)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // mirrors simhash_retire: the simhash incremental chain with the
+    // history side filtered by the takedown salt.
+    "simhash_retire" ->
+      s"""$docsCte,
+         |$simhashCte,
+         |hsim AS (SELECT * FROM shh WHERE ${h60("'inc_' || doc_id")} % 100 < 80
+         |           AND ${h60("'ret_' || doc_id")} % 100 < 90),
+         |dsim AS (SELECT * FROM shh WHERE ${h60("'inc_' || doc_id")} % 100 >= 80),
+         |shb0 AS (SELECT doc_id, simhash, u.b AS b,
+         |           (simhash >> (15 * u.b)) & 32767 AS bval
+         |         FROM hsim, unnest([0, 1, 2, 3]) AS u(b)),
+         |shb AS (SELECT * FROM shb0
+         |        QUALIFY row_number() OVER (PARTITION BY b, bval ORDER BY doc_id) <= ${Dedup.MaxBucketSize}),
+         |sdb AS (SELECT doc_id, simhash, u.b AS b,
+         |          (simhash >> (15 * u.b)) & 32767 AS bval
+         |        FROM dsim, unnest([0, 1, 2, 3]) AS u(b))
+         |SELECT DISTINCT h.doc_id AS hist_doc, d.doc_id AS delta_doc,
+         |  CAST(bit_count(xor(h.simhash, d.simhash)) AS INT) AS hamming
+         |FROM shb h JOIN sdb d ON h.b = d.b AND h.bval = d.bval
+         |WHERE bit_count(xor(h.simhash, d.simhash)) <= 3
+         |ORDER BY hist_doc, delta_doc""".stripMargin,
+
+    // mirrors media_retire: the media incremental chain with the
+    // history side filtered by the takedown salt.
+    "media_retire" ->
+      s"""$phashCte,
+         |hp AS (SELECT * FROM ph WHERE ${h60("'minc_' || media_id")} % 100 < 80
+         |         AND ${h60("'ret_' || media_id")} % 100 < 90),
+         |dp AS (SELECT * FROM ph WHERE ${h60("'minc_' || media_id")} % 100 >= 80),
+         |hb0 AS (SELECT media_id, phash, g.b AS b,
+         |          (phash >> (16 * g.b)) & 65535 AS bval
+         |        FROM hp, unnest(generate_series(0, 3)) AS g(b)),
+         |hb AS (SELECT * FROM hb0
+         |       QUALIFY row_number() OVER (PARTITION BY b, bval ORDER BY media_id) <= ${Dedup.MaxBucketSize}),
+         |db AS (SELECT media_id, phash, g.b AS b,
+         |         (phash >> (16 * g.b)) & 65535 AS bval
+         |       FROM dp, unnest(generate_series(0, 3)) AS g(b))
+         |SELECT DISTINCT h.media_id AS hist_media, d.media_id AS delta_media,
+         |  CAST(bit_count(xor(h.phash, d.phash)) AS INT) AS hamming
+         |FROM hb h JOIN db d ON h.b = d.b AND h.bval = d.bval
+         |WHERE bit_count(xor(h.phash, d.phash)) <= 3
+         |ORDER BY hist_media, delta_media""".stripMargin,
+
     // mirrors dedup_retire_apply: the incremental-apply chain with the
     // history signature set further filtered by the takedown salt.
     "dedup_retire_apply" ->
@@ -2240,6 +2324,35 @@ object SparkEntry {
          |  CAST(count(*) - sum(seen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
          |FROM dw GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors ann_retrain: the ann_ivf_kmeans chain with every source
+    // (init seeds, Lloyd steps, final assignment, queries) filtered to
+    // takedown survivors.
+    "ann_retrain" ->
+      s"""$embCte,
+         |ns AS (SELECT * FROM n WHERE ${h60("'ret_' || vec_id")} % 100 < 90),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, nrm AS c_nrm
+         |       FROM ns WHERE vec_id < 8),
+         |${kmAssignCte("a1", "c0", "ns")},
+         |${kmMeansCte("c1", "a1")},
+         |${kmAssignCte("a2", "c1", "ns")},
+         |${kmMeansCte("c2", "a2")},
+         |${kmAssignCte("cells", "c2", "ns")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM cells WHERE vec_id < 10),
+         |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
+         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |       FROM q, c2 c),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
+         |       FROM pc),
+         |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
+         |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
+         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // mirrors the IVF retire chain: the ann_ivf_kmeans quantizer
     // trained on the FULL corpus (frozen pre-takedown), the serving

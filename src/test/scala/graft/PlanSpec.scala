@@ -324,6 +324,7 @@ class PlanSpec extends SparkSpec {
       "mixture_temperature", "vocab_coverage", "index_compact_stats",
       // packed-centroid broadcast, same as dedup_semantic
       "cluster_profile", "ann_incremental", "ivf_drift_audit", "ann_retire",
+      "ann_retrain",
       // 1-row LM-model cross join, same as lm_score
       "lm_score_bigram",
       // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
