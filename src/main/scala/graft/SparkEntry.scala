@@ -483,6 +483,16 @@ object SparkEntry {
           docs.filter(!isHist), 32, 24),
         Seq("stream", "merge", "batch"))
     }),
+    // passage-index retire: chunk postings are doc-provenanced, so the
+    // takedown is the generic anti join; MaxP then serves survivors.
+    "bm25_passages_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      TextAnalysis.bm25QueryPassageIndex(
+        Dedup.retireRows(TextAnalysis.bm25PassageIndex(docs, 32, 24),
+          docs.filter(isRet).select(col("doc_id"))))
+    }),
     // passage-level dedup over the chunk stream.
     "dedup_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDupes(Tables.documents(s, dir))),
@@ -2848,6 +2858,40 @@ object SparkEntry {
     // its best chunk (MaxP), ties broken by the smaller chunk_idx.
     "bm25_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, g.c AS chunk_idx,
+        |         toks[g.c * 24 + 1 : least(g.c * 24 + 32, len(toks))] AS ctoks
+        |       FROM t, unnest(generate_series(0, (len(toks) - 1) // 24)) AS g(c)),
+        |corpus AS (SELECT count(*) AS n, sum(len(ctoks)) AS tot_len FROM ch),
+        |tf AS (SELECT doc_id, chunk_idx, len(ctoks) AS dl, u.t, count(*) AS tf
+        |       FROM ch, unnest(ctoks) AS u(t)
+        |       WHERE u.t IN ('spark', 'window', 'agg')
+        |       GROUP BY doc_id, chunk_idx, len(ctoks), u.t),
+        |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+        |sc AS (SELECT tf.doc_id, tf.chunk_idx,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf JOIN dfq USING (t), corpus),
+        |agg AS (SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS nqt,
+        |          sum(s6) AS s6 FROM sc GROUP BY doc_id, chunk_idx),
+        |best AS (SELECT doc_id, chunk_idx, nqt, s6,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY s6 DESC, chunk_idx) AS rn
+        |         FROM agg)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS best_chunk,
+        |  nqt AS n_query_terms,
+        |  CAST(s6 AS DOUBLE) / 1000000.0 AS bm25
+        |FROM best WHERE rn = 1
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors bm25_passages_retire: the passage-MaxP chain over the
+    // takedown survivors (default query-term set).
+    "bm25_passages_retire" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |       WHERE ${h60("'ret_' || doc_id")} % 100 < 90),
         |ch AS (SELECT doc_id, g.c AS chunk_idx,
         |         toks[g.c * 24 + 1 : least(g.c * 24 + 32, len(toks))] AS ctoks
         |       FROM t, unnest(generate_series(0, (len(toks) - 1) // 24)) AS g(c)),

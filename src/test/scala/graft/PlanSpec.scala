@@ -329,7 +329,7 @@ class PlanSpec extends SparkSpec {
       "lm_score_bigram",
       // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
       "bm25_topk", "bm25_incremental", "bm25_passages", "bm25_retire",
-      "bm25_passages_incremental",
+      "bm25_passages_incremental", "bm25_passages_retire",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs")
     // the e2e pipelines execute real streaming hops at construction —
