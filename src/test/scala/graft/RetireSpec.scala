@@ -176,6 +176,26 @@ class RetireSpec extends SparkSpec {
     retireParity(corpus, corpusRetired)
   }
 
+  test("clusters retire parity on random capped corpora (property)") {
+    // tiny vocabulary + tiny df cap = dense shared-shingle structure
+    // with caps ACTIVE and takedowns constantly uncapping shingles —
+    // the adversarial regime for the blast-radius argument. ~25% of
+    // docs retired per seed; parity must be exact every time.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (seed <- 71L to 74L) {
+      val texts = Gen.listOfN(30,
+          Gen.listOfN(6, Gen.oneOf(vocab)).map(_.mkString(" ")))
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val retired = d.filter(pmod(col("doc_id") * 7 + lit(seed), lit(4)) === 0)
+        .select(col("doc_id"))
+      retireParity(d, retired, maxDf = 4)
+    }
+  }
+
   // ---- fixpoints: retire ∘ append = identity ----
 
   test("re-ingesting a retired batch restores the signature index") {
