@@ -250,6 +250,23 @@ class PlanSpec extends SparkSpec {
     assert(!pd.contains("SortAggregate"))
   }
 
+  test("retire family: takedown anti joins broadcast; index-served top-k stays TakeOrdered") {
+    // the takedown list is tiny — the retire anti join must build on
+    // the broadcast side, never shuffle the index
+    val pr = plan("dedup_index_retire")
+    assert(pr.contains("BroadcastHashJoin") && pr.contains("LeftAnti"),
+      s"takedown anti join not broadcast:\n${pr.take(2000)}")
+    assert(!pr.contains("SortMergeJoin"))
+    // retired serving keeps the family's pinned top-k shape
+    assert(plan("bm25_retire").contains("TakeOrderedAndProject"))
+    assert(plan("bm25_passages_incremental").contains("TakeOrderedAndProject"))
+    assert(plan("bm25_passages_retire").contains("TakeOrderedAndProject"))
+    // span retire: the delta check stays a semi join against the
+    // retired membership (no re-tokenization of history text rides the
+    // serving side — the join key is the 8-byte hash)
+    assert(plan("spans_retire").contains("LeftSemi"))
+  }
+
   test("cdc dup audit: every stage whole-stage-codegens, methods under JIT limit") {
     // BENCH_r05 drew one 35.9s outlier for cdc_dup_chunks (steady-state
     // ~2.7s); the suspected nested-HOF codegen blowup is refuted here by

@@ -225,6 +225,34 @@ class RetireSpec extends SparkSpec {
     assert(sortedRows(back) == sortedRows(assign))
   }
 
+  // ---- streaming: takedowns reach the stream-static serving path ----
+
+  test("stream-static dedup serves the retired index: taken-down twins stop flagging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val hist = docs(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      1L -> "some other historical content entirely unlike the rest here")
+    val histSigs = Dedup.minhashSignatures(hist)
+    // takedown: doc 0 — the only doc the delta duplicates
+    val servedIndex = Dedup.retireRows(histSigs, ids(0L))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.incrementalDedupStream(
+        in.toDF.toDF("doc_id", "text"), servedIndex)
+      .writeStream.format("memory").queryName("retired_dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (11L, "completely novel streaming content sharing nothing with history"))
+      q.processAllAvailable()
+      // pre-takedown this flags (0, 10) with a full signature (the
+      // batch spec in StreamingSpec); against the retired index the
+      // duplicate of taken-down content ships clean
+      assert(spark.table("retired_dedup_stream").count() == 0)
+    } finally q.stop()
+  }
+
   // ---- compaction ----
 
   test("compaction keeps reps and unclustered docs; stats add up") {
