@@ -762,6 +762,19 @@ object SparkEntry {
             hist.filter(isRet).select(col("doc_id")))),
         docs.filter(!isHist))
     }),
+    // pre-flight takedown audit: per-index deletion counts incl. the
+    // clusters needing rep re-election — run BEFORE the rewrite.
+    "retire_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      Dedup.retireAudit(docs.filter(isRet).select(col("doc_id")),
+        Dedup.minhashSignatures(docs),
+        TextAnalysis.spanShingleIndexProv(docs),
+        TextAnalysis.cdcChunkIndexProv(docs),
+        TextAnalysis.bm25Index(docs),
+        Dedup.clusters(Dedup.ngramJaccardPairs(docs)))
+    }),
     // simhash-index retire: the Hamming family's takedown — per-doc
     // rows, so the anti join is exact parity; the pigeonhole band
     // check then runs against survivors only.
@@ -2261,6 +2274,69 @@ object SparkEntry {
          |WHERE ${h60("'inc_' || doc_id")} % 100 >= 80
          |  AND chunk_md5 IN (SELECT chunk_md5 FROM hidx)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors Dedup.retireAudit: per-index takedown deletion counts.
+    // "Lost" members are hashes/digests whose every holder is retired;
+    // re-elections are clusters with a retired rep and >=1 survivor.
+    "retire_audit" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ret AS (SELECT doc_id FROM documents
+         |        WHERE ${h60("'ret_' || doc_id")} % 100 >= 90),
+         |sw AS (SELECT doc_id, CAST('0x' || substr(md5(array_to_string(list_slice(toks, g.i, g.i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |       FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+         |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
+         |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |cb AS (SELECT doc_id, i, tk,
+         |        CASE WHEN (CAST('0x' || substr(md5('cdc_' || tk), 1, 15) AS BIGINT) % 16) = 0
+         |          THEN 1 ELSE 0 END AS cut
+         |      FROM tok),
+         |cc AS (SELECT doc_id, i, tk,
+         |        1 + coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |      FROM cb),
+         |chd AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+         |        FROM cc GROUP BY doc_id, chunk_idx),
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |asg AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |x1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_retired FROM ret),
+         |x2 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sig_rows
+         |       FROM sh WHERE doc_id IN (SELECT doc_id FROM ret)),
+         |x3 AS (SELECT CAST(count(*) AS BIGINT) AS n_span_hashes_lost FROM (
+         |       SELECT h FROM sw GROUP BY h
+         |       HAVING max(CASE WHEN doc_id NOT IN (SELECT doc_id FROM ret)
+         |                  THEN 1 ELSE 0 END) = 0)),
+         |x4 AS (SELECT CAST(count(*) AS BIGINT) AS n_cdc_digests_lost FROM (
+         |       SELECT chunk_md5 FROM chd GROUP BY chunk_md5
+         |       HAVING max(CASE WHEN doc_id NOT IN (SELECT doc_id FROM ret)
+         |                  THEN 1 ELSE 0 END) = 0)),
+         |x5 AS (SELECT CAST(count(*) AS BIGINT) AS n_bm25_postings FROM (
+         |       SELECT DISTINCT doc_id, u.t FROM t, unnest(toks) AS u(t)
+         |       WHERE doc_id IN (SELECT doc_id FROM ret))),
+         |x6 AS (SELECT CAST(count(*) AS BIGINT) AS n_cluster_members
+         |       FROM asg WHERE doc_id IN (SELECT doc_id FROM ret)),
+         |x7 AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_reelected FROM (
+         |       SELECT rep FROM asg GROUP BY rep
+         |       HAVING max(CASE WHEN doc_id NOT IN (SELECT doc_id FROM ret)
+         |                  THEN 1 ELSE 0 END) = 1
+         |          AND max(CASE WHEN doc_id = rep
+         |                   AND doc_id IN (SELECT doc_id FROM ret)
+         |                  THEN 1 ELSE 0 END) = 1))
+         |SELECT n_docs_retired, n_sig_rows, n_span_hashes_lost,
+         |  n_cdc_digests_lost, n_bm25_postings, n_cluster_members,
+         |  n_reps_reelected
+         |FROM x1, x2, x3, x4, x5, x6, x7""".stripMargin,
 
     // mirrors simhash_retire: the simhash incremental chain with the
     // history side filtered by the takedown salt.

@@ -954,6 +954,49 @@ object Dedup {
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** Pre-flight TAKEDOWN audit — one row answering "what will retiring
+    * these docs cost each index" BEFORE any rewrite runs: signature
+    * rows to delete, span hashes / CDC digests whose LAST holder is
+    * retired (the actual membership deletions — a hash shared with a
+    * survivor stays), BM25 postings to drop, cluster memberships
+    * touched, and the clusters needing REP RE-ELECTION (rep retired,
+    * survivors remain — the rows a takedown without [[retireClusters]]
+    * would silently corrupt). Each count is one aggregation over an
+    * index already in hand; the 1-row results cross-join into the
+    * audit row (the in-plan scalar pattern).
+    */
+  def retireAudit(retiredIds: DataFrame, sigs: DataFrame,
+                  spanProv: DataFrame, cdcProv: DataFrame,
+                  bm25Idx: DataFrame, assign: DataFrame): DataFrame = {
+    val ret = retiredIds.select(retiredIds.columns.head).toDF("doc_id")
+    def one(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val retFlag = ret.withColumn("r", lit(true))
+    def lostMembers(prov: DataFrame, keyCol: String, as: String) =
+      prov.join(retFlag, Seq("doc_id"), "left")
+        .groupBy(col(keyCol))
+        .agg(max(when(col("r").isNull, 1).otherwise(0)).as("any_surv"))
+        .filter(col("any_surv") === 0)
+        .agg(count(lit(1)).as(as))
+    val reps = assign
+      .join(retFlag, Seq("doc_id"), "left")
+      .groupBy(col("cluster_rep"))
+      .agg(max(when(col("r").isNull, 1).otherwise(0)).as("any_surv"),
+        max(when(col("doc_id") === col("cluster_rep") && col("r"), 1)
+          .otherwise(0)).as("rep_ret"))
+      .filter(col("any_surv") === 1 && col("rep_ret") === 1)
+      .agg(count(lit(1)).as("n_reps_reelected"))
+    one(ret, "n_docs_retired")
+      .crossJoin(one(sigs.join(ret, Seq("doc_id"), "left_semi"),
+        "n_sig_rows"))
+      .crossJoin(lostMembers(spanProv, "h", "n_span_hashes_lost"))
+      .crossJoin(lostMembers(cdcProv, "chunk_md5", "n_cdc_digests_lost"))
+      .crossJoin(one(bm25Idx.join(ret, Seq("doc_id"), "left_semi"),
+        "n_bm25_postings"))
+      .crossJoin(one(assign.join(ret, Seq("doc_id"), "left_semi"),
+        "n_cluster_members"))
+      .crossJoin(reps)
+  }
+
   /** One-row audit of what [[compactSignatureIndex]] would do: index
     * rows before/after and the settled-duplicate rows dropped — the
     * "is compaction worth running" signal (n_dropped / n_index_rows is
