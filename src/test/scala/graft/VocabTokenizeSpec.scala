@@ -79,6 +79,31 @@ class VocabTokenizeSpec extends SparkSpec {
         base.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("tokenizer expressions whole-stage-codegen, methods under JIT limit") {
+    // a Janino failure would silently fall back to interpreted eval —
+    // the exact regression class the compiled walk exists to avoid
+    // (same guard as PlanSpec's cdc_dup_chunks codegen test)
+    for (name <- Seq("token_budget_stats", "tokenize_vocab")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val stages =
+        org.apache.spark.sql.execution.debug.codegenStringSeq(executed)
+      assert(stages.nonEmpty, s"$name: no WholeStageCodegen stages")
+      stages.foreach { case (subtree, _, stats) =>
+        assert(stats.maxMethodCodeSize > 0,
+          s"$name: codegen compile failed in:\n" +
+            subtree.linesIterator.take(4).mkString("\n"))
+        assert(stats.maxMethodCodeSize < 8000,
+          s"$name: ${stats.maxMethodCodeSize}B exceeds JIT limit")
+      }
+    }
+  }
+
   test("piece frequencies reconcile with per-doc budgets on the corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val freq = TextAnalysis.tokenizeVocab(docs)
