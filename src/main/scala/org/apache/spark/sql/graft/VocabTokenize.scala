@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    LONGEST vocabulary entry matching there (the match of a given
   *    length is a fixed substring, so longest-match is unambiguous —
   *    no tie-break needed), else emit the single character as an
-  *    out-of-vocabulary piece and advance one. A 1-char vocab entry
+  *    out-of-vocabulary piece and advance one CHARACTER (the whole
+  *    UTF-8 sequence — never a byte shear). A 1-char vocab entry
   *    always beats fallback, so OOV pieces are never vocab members.
   *
   * Why a pipeline cares: every token-budget number upstream of training
@@ -34,9 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * trap in HOF form (no whole-stage codegen, an expression tree per
   * probe). Here one compiled pass walks the UTF-8 bytes with the vocab
   * held as a per-plan byte-array table (first-byte indexed), emitting
-  * pieces as byte slices — the [[CdcChunks]] pattern. ASCII corpus
-  * assumption (bytes == chars), same as every text oracle in the
-  * suite.
+  * pieces as byte slices — the [[CdcChunks]] pattern. Correct on any
+  * well-formed UTF-8 with an ASCII vocab (matches can only start at
+  * ASCII bytes; multi-byte characters are opaque whole-character
+  * fallbacks), equal to the oracle's per-character walk.
   *
   * [[VocabTokenize]] returns the piece stream
   * (`array<struct<piece, is_oov>>`); [[TokenBudget]] folds the same
@@ -160,6 +162,16 @@ object VocabTokenize {
     0
   }
 
+  /** Fallback width at `pos`: the whole UTF-8 character (one CHAR, not
+    * one byte — a byte-wide fallback would shear multi-byte characters
+    * into invalid pieces; the char-wide one matches the oracle's
+    * per-character `substr`). Clamped to the word end so malformed
+    * input degrades to byte pieces instead of overrunning.
+    */
+  private def fallbackLen(bytes: Array[Byte], pos: Int, we: Int): Int =
+    math.max(1, math.min(
+      UTF8String.numBytesForFirstByte(bytes(pos)), we - pos))
+
   def pieces(text: UTF8String, table: VocabTable): ArrayData = {
     val bytes = text.getBytes
     val out = new java.util.ArrayList[Any](bytes.length / 2 + 4)
@@ -170,7 +182,7 @@ object VocabTokenize {
         var pos = ws
         while (pos < i) {
           val len = matchLen(bytes, pos, i, table)
-          val take = if (len > 0) len else 1
+          val take = if (len > 0) len else fallbackLen(bytes, pos, i)
           out.add(new GenericInternalRow(Array[Any](
             UTF8String.fromBytes(bytes, pos, take), len == 0)))
           pos += take
@@ -196,7 +208,8 @@ object VocabTokenize {
         while (pos < i) {
           val len = matchLen(bytes, pos, i, table)
           nSub += 1
-          if (len == 0) { nOov += 1; pos += 1 } else pos += len
+          if (len == 0) { nOov += 1; pos += fallbackLen(bytes, pos, i) }
+          else pos += len
         }
         ws = i + 1
       }

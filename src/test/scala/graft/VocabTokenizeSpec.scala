@@ -52,6 +52,15 @@ class VocabTokenizeSpec extends SparkSpec {
     assert(r3.getAs[Int]("n_subtokens") == 3 && r3.getAs[Int]("n_oov") == 3)
   }
 
+  test("multi-byte characters fall back as whole characters, never byte shears") {
+    // "über" = 2-byte 'ü' then b, e, r: ü is one OOV piece (valid
+    // UTF-8), then b(oov), then "er" matches — identical to a
+    // per-character oracle walk
+    assert(piecesOf("über") ==
+      Seq(("ü", true), ("b", true), ("er", false)))
+    assert(piecesOf("αβ") == Seq(("α", true), ("β", true)))
+  }
+
   test("custom vocab: 1-char entries always beat fallback") {
     val v = Seq("ab", "b", "c")
     assert(piecesOf("abcb", v) ==
