@@ -272,6 +272,33 @@ object SparkEntry {
       Gold.resample(Gold.bars(Trades.fromEvents(Tables.events(s, dir))))
         .orderBy(col("symbol"), col("bar_start"))),
 
+    // Incremental gold bars: the daily-delta form of the gold tier —
+    // 80% of trades folded into persisted mergeable bar STATE, the 20%
+    // delta folded in via state merge (never re-reading history trades).
+    // Oracle = full recompute over all trades: merge∘state ≡ bars.
+    "bars_incremental" -> ((s, dir) => {
+      val trades = Trades.fromEvents(Tables.events(s, dir))
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("bar_"), col("event_id"))), lit(100)) < 80
+      Gold.finalizeBars(Gold.mergeBarStates(
+        Gold.barState(trades.filter(isHist)),
+        Gold.barState(trades.filter(!isHist))))
+        .orderBy(col("symbol"), col("bar_start"))
+    }),
+
+    // Late-data restatement: a 2% salted "late trade" delta folded into
+    // the persisted bar state, re-aggregating ONLY the touched bars
+    // (broadcast semi/anti join on the delta's key set; untouched bars
+    // pass through unaggregated). Oracle = full recompute.
+    "bars_restate" -> ((s, dir) => {
+      val trades = Trades.fromEvents(Tables.events(s, dir))
+      val isOnTime = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("late_"), col("event_id"))), lit(100)) < 98
+      Gold.restateBars(
+        Gold.barState(trades.filter(isOnTime)), trades.filter(!isOnTime))
+        .orderBy(col("symbol"), col("bar_start"))
+    }),
+
     // Gap filling: dense minute grid with forward-filled close.
     "bars_gapfilled" -> ((s, dir) =>
       Analytics.fillGaps(
@@ -1846,6 +1873,17 @@ object SparkEntry {
          |  CAST(ws AS DATE) AS bar_date
          |FROM t2 GROUP BY symbol, ws
          |ORDER BY symbol, bar_start""".stripMargin,
+
+    // merge-parity oracles: the incremental/restated bar queries must
+    // equal the full one-shot recompute bit-for-bit (decimal sums and
+    // struct-min/max argmins are associative — that IS the claim).
+    "bars_incremental" ->
+      s"""$barsCte
+         |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
+
+    "bars_restate" ->
+      s"""$barsCte
+         |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 
     "bars_resampled_1h" ->
       s"""$barsCte,

@@ -117,4 +117,105 @@ object Gold {
         (col("notional_d").cast("double") / col("vol_d").cast("double")).as("vwap"),
         col("trades"),
         to_date(col("w.start")).as("bar_date"))
+
+  // ------------------------------------------------------------------
+  // Mergeable bar state — the incremental / restatement form of the
+  // gold tier. `bars` is a one-shot fold of the trade stream; a real
+  // deployment lands late or corrected trades AFTER a bar was
+  // finalized, and re-folding 100 TB of history per correction is not
+  // an option. The state rows below carry exactly what makes OHLCV
+  // mergeable: the argmin/argmax KEYS (open_ts/close_ts) alongside the
+  // values, and the exact-decimal volume/notional sums. Merging two
+  // partial states with ArgExtremum over those keys reproduces the
+  // global struct-min/max tie-break bit-for-bit (min over structs is
+  // associative), and decimal sums are associative, so
+  //   finalize(merge(state(A), state(B))) == bars(A ∪ B)
+  // exactly — which is the oracle for both queries built on this.
+  // ------------------------------------------------------------------
+
+  /** Per-(symbol, bar) mergeable aggregation state: the bars columns in
+    * pre-finalized form plus the merge carriers. Same single hash-agg
+    * shuffle as `bars`; the extra columns are O(1) per group.
+    */
+  def barState(trades: DataFrame, barWidth: String = "1 minute"): DataFrame =
+    trades
+      .groupBy(col("symbol"), window(col("event_time"), barWidth).as("w"))
+      .agg(
+        min(col("event_time")).as("open_ts"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMin(col("price"), col("event_time")).as("open"),
+        max(col("event_time")).as("close_ts"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMax(col("price"), col("event_time")).as("close"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        decSum(col("size"), DecimalType(20, 6)).as("vol_d"),
+        decSum(col("price") * col("size"), DecimalType(28, 10)).as("notional_d"),
+        count(lit(1)).as("trades"))
+      .select(col("symbol"), col("w.start").as("bar_start"),
+        col("w.end").as("bar_end"), col("open_ts"), col("open"),
+        col("close_ts"), col("close"), col("high"), col("low"),
+        col("vol_d"), col("notional_d"), col("trades"))
+
+  /** Merge partial states for the same (symbol, bar): one hash-agg over
+    * the unioned state rows. ArgExtremum's tie-break (ties on the ts key
+    * take the smaller open / larger close) is exactly the struct-min/max
+    * convention of `bars`, so the merge commutes with recomputation.
+    */
+  def mergeBarStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("symbol"), col("bar_start"))
+      .agg(
+        max(col("bar_end")).as("bar_end"),
+        min(col("open_ts")).as("open_ts"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMin(col("open"), col("open_ts")).as("open"),
+        max(col("close_ts")).as("close_ts"),
+        org.apache.spark.sql.graft.ArgExtremum
+          .argMax(col("close"), col("close_ts")).as("close"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        sum(col("vol_d")).as("vol_d"),
+        sum(col("notional_d")).as("notional_d"),
+        sum(col("trades")).as("trades"))
+      .select(col("symbol"), col("bar_start"), col("bar_end"),
+        col("open_ts"), col("open"), col("close_ts"), col("close"),
+        col("high"), col("low"), col("vol_d"), col("notional_d"),
+        col("trades"))
+
+  /** State → the public bars schema (same finalization as `bars`: cast
+    * the exact decimal totals to double at the boundary, vwap from the
+    * exact notional). Merged and recomputed states hold identical exact
+    * decimals, so the finalized doubles are bit-identical too.
+    */
+  def finalizeBars(state: DataFrame): DataFrame =
+    state.select(
+      col("symbol"), col("bar_start"), col("bar_end"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("vol_d").cast("double").as("volume"),
+      (col("notional_d").cast("double") / col("vol_d").cast("double"))
+        .as("vwap"),
+      col("trades"),
+      to_date(col("bar_start")).as("bar_date"))
+
+  /** Late-data restatement: fold a (small) delta of late/corrected
+    * trades into the persisted bar state, re-aggregating ONLY the bars
+    * the delta touches. The touched key set is delta-sized, so both the
+    * semi and anti join against history broadcast it — history is
+    * scanned once, never shuffled, and the untouched (overwhelming)
+    * majority of bars passes through without re-aggregation. At 100 TB
+    * the history side additionally partition-prunes on bar_date before
+    * the scan (late trades cluster in recent dates).
+    */
+  def restateBars(histState: DataFrame, deltaTrades: DataFrame,
+                  barWidth: String = "1 minute"): DataFrame = {
+    val deltaState = barState(deltaTrades, barWidth)
+    val touched = deltaState.select(col("symbol"), col("bar_start")).distinct()
+    val touchedHist = histState.join(broadcast(touched),
+      Seq("symbol", "bar_start"), "left_semi")
+    val untouched = histState.join(broadcast(touched),
+      Seq("symbol", "bar_start"), "left_anti")
+    finalizeBars(mergeBarStates(touchedHist, deltaState)
+      .unionByName(untouched))
+  }
 }

@@ -267,6 +267,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("spans_retire").contains("LeftSemi"))
   }
 
+  test("bar restatement: touched-key joins broadcast, merge stays hash-agg, history scanned once per branch") {
+    val p = plan("bars_restate")
+    // the delta's (symbol, bar_start) key set is tiny — both the semi
+    // (touched) and anti (passthrough) joins must broadcast it, never
+    // shuffle the history state
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"restate must semi+anti split history on the touched keys:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoopJoin"))
+    // state merge re-aggregates with ArgExtremum — hash agg, no sort agg
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
+    // incremental merge too
+    val pi = plan("bars_incremental")
+    assert(pi.contains("HashAggregate") && !pi.contains("SortAggregate"))
+  }
+
   test("cdc dup audit: every stage whole-stage-codegens, methods under JIT limit") {
     // BENCH_r05 drew one 35.9s outlier for cdc_dup_chunks (steady-state
     // ~2.7s); the suspected nested-HOF codegen blowup is refuted here by
