@@ -577,6 +577,11 @@ object SparkEntry {
       TextAnalysis.balancedSample(Tables.documents(s, dir))),
     "corpus_curate" -> ((s, dir) =>
       TextAnalysis.curate(Tables.documents(s, dir))),
+    // per-doc audit ledger for the same cascade: every stage's verdict
+    // + the first dropping stage, one row per INPUT doc (shipped set
+    // == corpus_curate's output).
+    "curation_ledger" -> ((s, dir) =>
+      TextAnalysis.curationLedger(Tables.documents(s, dir))),
     // PII redaction: emails / IPv4 / long digit runs, counts + md5.
     "scrub_pii" -> ((s, dir) =>
       TextAnalysis.scrubPii(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -3372,6 +3377,74 @@ object SparkEntry {
          |SELECT doc_id, source, samp_rank FROM rs
          |WHERE samp_rank <= 10
          |ORDER BY source, samp_rank""".stripMargin,
+
+    // per-doc ledger over the same cascade: stage CTEs identical to
+    // corpus_curate's, re-emitted per input doc with NULL verdicts for
+    // stages never reached; 'shipped' rows == corpus_curate's output.
+    "curation_ledger" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$sh8Cte,
+         |q AS (SELECT doc_id,
+         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |  FROM t),
+         |qp AS (SELECT doc_id FROM q WHERE quality_score >= 0.35),
+         |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN qp ON qp.doc_id = s.doc_id),
+         |shc2 AS (SELECT doc_id, shingle FROM shq
+         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc2 x JOIN shc2 y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc2")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep),
+         |kept AS (SELECT qp.doc_id FROM qp
+         |         WHERE qp.doc_id NOT IN (SELECT doc_id FROM dropd)),
+         |f AS (SELECT s.doc_id, s.shingle,
+         |        (${h60("'split_' || s.doc_id")} % 100) < 10 AS is_test
+         |      FROM sh8 s JOIN kept k ON k.doc_id = s.doc_id),
+         |pp AS (SELECT shingle,
+         |         count(*) FILTER (WHERE is_test) AS nt,
+         |         count(*) FILTER (WHERE NOT is_test) AS nr
+         |       FROM f GROUP BY shingle
+         |       HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf}),
+         |flag AS (SELECT DISTINCT r0.doc_id FROM f r0
+         |         JOIN pp ON pp.shingle = r0.shingle
+         |         WHERE NOT r0.is_test),
+         |fin AS (SELECT k.doc_id FROM kept k
+         |        WHERE (${h60("'split_' || k.doc_id")} % 100) >= 10
+         |          AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
+         |rs AS (SELECT d.doc_id,
+         |         CAST(row_number() OVER (PARTITION BY d.source
+         |           ORDER BY md5('bs_' || d.doc_id), d.doc_id) AS INT) AS samp_rank
+         |       FROM documents d JOIN fin ON fin.doc_id = d.doc_id)
+         |SELECT d.doc_id, d.source, q.quality_score,
+         |  q.quality_score >= 0.35 AS quality_pass,
+         |  CASE WHEN q.quality_score >= 0.35
+         |       THEN d.doc_id IN (SELECT doc_id FROM dropd) END AS near_dup,
+         |  (${h60("'split_' || d.doc_id")} % 100) < 10 AS is_test,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM kept)
+         |        AND (${h60("'split_' || d.doc_id")} % 100) >= 10
+         |       THEN d.doc_id IN (SELECT doc_id FROM flag) END AS contaminated,
+         |  rs.samp_rank,
+         |  CASE WHEN q.quality_score < 0.35 THEN 'quality'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM dropd) THEN 'near_dup'
+         |       WHEN (${h60("'split_' || d.doc_id")} % 100) < 10 THEN 'test_split'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM flag) THEN 'contaminated'
+         |       WHEN rs.samp_rank > 10 THEN 'source_cap'
+         |       ELSE 'shipped' END AS status
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN rs ON rs.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_cross_modal" ->
       s"""$docsCte,

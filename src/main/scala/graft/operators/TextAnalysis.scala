@@ -1330,6 +1330,69 @@ object TextAnalysis {
     balancedSample(d3, perSource)
   }
 
+  /** Per-document curation LEDGER — the observability complement of
+    * [[curate]]: one row per INPUT document recording every stage's
+    * verdict and the first stage that dropped it. This is what a real
+    * pipeline owes its auditors (takedown requests, licensing reviews,
+    * "why is doc X (not) in the training set?") and what `curate` alone
+    * cannot answer, since it only emits the survivors.
+    *
+    * Stage verdicts are evaluated on exactly the corpus each stage saw
+    * in the cascade (near-dup clustering over quality survivors, the
+    * contamination index over dedup survivors — same order as
+    * [[curate]], pinned by the oracle), so verdicts for stages a doc
+    * never reached are NULL, not recomputed counterfactuals. The
+    * shipped set (status = 'shipped') is exactly `curate`'s output.
+    *
+    * Scale shape: every verdict table is keyed by doc_id, so the
+    * assembly is a chain of equi joins on one key — the first exchange
+    * hash-partitions on doc_id and every later join reuses it. The
+    * stage internals inherit their own operators' pinned shapes.
+    */
+  def curationLedger(docs: DataFrame, minScore: Double = 0.35,
+                     threshold: Double = 0.5, testPct: Int = 10,
+                     perSource: Int = 10): DataFrame = {
+    val scored = stats(docs).select(col("doc_id"), col("quality_score"))
+    val d1 = docs.join(
+      scored.filter(col("quality_score") >= minScore).select(col("doc_id")),
+      Seq("doc_id"))
+    val keptIds = Dedup.keepRepresentatives(d1, threshold).select(col("doc_id"))
+    val d2 = d1.join(keptIds, Seq("doc_id"))
+    val flagged = decontaminate(d2, testPct).select(col("doc_id"))
+    val isTest =
+      pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100)) < testPct
+    val d3 = d2.filter(!isTest).join(flagged, Seq("doc_id"), "left_anti")
+    // rank over ALL of d3 (no cut) so capped docs carry their rank too
+    val ranks = d3.select(col("doc_id"), col("source"))
+      .withColumn("samp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(md5(concat(lit("bs_"), col("doc_id"))), col("doc_id")))
+        .cast("int"))
+      .select(col("doc_id"), col("samp_rank"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .join(keptIds.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+      .join(flagged.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+      .join(ranks, Seq("doc_id"), "left")
+      .withColumn("quality_pass", col("quality_score") >= minScore)
+      .withColumn("is_test", isTest)
+      .select(
+        col("doc_id"), col("source"), col("quality_score"),
+        col("quality_pass"),
+        when(col("quality_pass"), col("kept").isNull).as("near_dup"),
+        col("is_test"),
+        when(col("quality_pass") && col("kept").isNotNull && !col("is_test"),
+          col("contam").isNotNull).as("contaminated"),
+        col("samp_rank"),
+        when(!col("quality_pass"), "quality")
+          .when(col("kept").isNull, "near_dup")
+          .when(col("is_test"), "test_split")
+          .when(col("contam").isNotNull, "contaminated")
+          .when(col("samp_rank") > perSource, "source_cap")
+          .otherwise("shipped").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)
     *  - fp_bag: md5 of the sorted token multiset (order-insensitive)

@@ -328,6 +328,35 @@ class TextDedupSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("curation ledger: one row per input doc, shipped set == curate output, cascade consistent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val ledger = TextAnalysis.curationLedger(docs).collect()
+    assert(ledger.length == docs.count())
+    val shipped = ledger.filter(_.getString(8) == "shipped")
+      .map(_.getLong(0)).toSet
+    val curated = TextAnalysis.curate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped == curated && shipped.nonEmpty)
+    // cascade: a verdict is NULL iff the doc never reached the stage
+    ledger.foreach { r =>
+      val qualityPass = r.getBoolean(3)
+      val nearDup = if (r.isNullAt(4)) None else Some(r.getBoolean(4))
+      val isTest = r.getBoolean(5)
+      val contam = if (r.isNullAt(6)) None else Some(r.getBoolean(6))
+      val status = r.getString(8)
+      assert(nearDup.isDefined == qualityPass)
+      assert(contam.isDefined == (qualityPass && nearDup.contains(false) && !isTest))
+      status match {
+        case "quality"      => assert(!qualityPass)
+        case "near_dup"     => assert(nearDup.contains(true))
+        case "test_split"   => assert(qualityPass && nearDup.contains(false) && isTest)
+        case "contaminated" => assert(contam.contains(true))
+        case "source_cap"   => assert(r.getInt(7) > 10)
+        case "shipped"      => assert(contam.contains(false) && r.getInt(7) <= 10)
+      }
+    }
+  }
+
   test("codegen VecL2Sq equals the HOF zip-fold, bit for bit") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.5)),
                  (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, 0.6)))
