@@ -24,6 +24,21 @@ object SparkEntry {
     Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
       .orderBy(col("symbol"), col("bar_start"))
 
+  /** Shared membership-ledger fixture for the index-as-of queries:
+    * adds land in batches 0-3 by salted hash; the ret_ 10% takedown
+    * set lands as batch-4 tombstones (op='del').
+    */
+  private def docLedger(docs: DataFrame): DataFrame = {
+    val adds = docs.select(col("doc_id"),
+      pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("b_"), col("doc_id"))), lit(4)).cast("int").as("batch_id"),
+      lit("add").as("op"))
+    val isRet = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+    adds.unionByName(
+      Lifecycle.delBatch(docs.filter(isRet).select(col("doc_id")), 4))
+  }
+
   /** Six exchange-style pair symbols derived deterministically from
     * user_id — exercises every branch of Symbols (slash, dash, suffix,
     * alias). Shared by the query and (as a CASE chain) the oracle.
@@ -771,6 +786,21 @@ object SparkEntry {
             hist.filter(isRet).select(col("doc_id")))),
         docs.filter(!isHist))
     }),
+    // merge-on-read half of the lifecycle: takedowns as tombstone
+    // appends, the signature index reconstructed AS OF batch 2 (adds
+    // land in batches 0-3 by salted hash, the ret_ takedown lands as
+    // batch-4 dels) — payload never rewritten on the takedown path.
+    "index_asof" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Lifecycle.indexAsOf(Dedup.minhashSignatures(docs),
+          docLedger(docs), asOfBatch = 2)
+        .orderBy(col("doc_id"))
+    }),
+    // active-membership time series over the same ledger: growth over
+    // the add batches, then the batch-4 takedown dip.
+    "index_asof_audit" -> ((s, dir) =>
+      Lifecycle.membershipAudit(docLedger(Tables.documents(s, dir)),
+        maxBatch = 4)),
     // compaction audit: how much of the signature index is settled
     // non-rep duplicates (= safe to drop at the next rewrite).
     "index_compact_stats" -> ((s, dir) => {
@@ -2224,6 +2254,45 @@ object SparkEntry {
       s"""SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, count(*) AS n_docs
          |FROM documents WHERE ${h60("'ret_' || doc_id")} % 100 < 90
          |GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    // ---- index time-travel oracles: the ledger CTE mirrors docLedger
+    // (adds in batches 0-3 by salted hash, the ret_ takedown as batch-4
+    // tombstones); "active" = latest op wins, del outranks add within a
+    // batch — the same argmax fold the engine runs.
+    "index_asof" ->
+      s"""$docsCte,
+         |$sigCte,
+         |lg AS (SELECT doc_id,
+         |         CAST(${h60("'b_' || doc_id")} % 4 AS INT) AS batch_id,
+         |         'add' AS op FROM documents
+         |       UNION ALL
+         |       SELECT doc_id, 4, 'del' FROM documents
+         |       WHERE ${h60("'ret_' || doc_id")} % 100 >= 90),
+         |act AS (SELECT doc_id,
+         |          arg_max(CASE WHEN op = 'del' THEN 1 ELSE 0 END,
+         |            batch_id * 2 + CASE WHEN op = 'del' THEN 1 ELSE 0 END)
+         |            AS last_del
+         |        FROM lg WHERE batch_id <= 2 GROUP BY doc_id)
+         |SELECT s.* FROM sig s JOIN act ON act.doc_id = s.doc_id
+         |WHERE act.last_del = 0
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "index_asof_audit" ->
+      s"""WITH lg AS (SELECT doc_id,
+         |         CAST(${h60("'b_' || doc_id")} % 4 AS INT) AS batch_id,
+         |         'add' AS op FROM documents
+         |       UNION ALL
+         |       SELECT doc_id, 4, 'del' FROM documents
+         |       WHERE ${h60("'ret_' || doc_id")} % 100 >= 90),
+         |per AS (SELECT g.b, l.doc_id,
+         |          arg_max(CASE WHEN l.op = 'del' THEN 1 ELSE 0 END,
+         |            l.batch_id * 2 + CASE WHEN l.op = 'del' THEN 1 ELSE 0 END)
+         |            AS last_del
+         |        FROM generate_series(0, 4) AS g(b)
+         |        JOIN lg l ON l.batch_id <= g.b
+         |        GROUP BY g.b, l.doc_id)
+         |SELECT b, count(*) AS n_active FROM per WHERE last_del = 0
+         |GROUP BY b ORDER BY b""".stripMargin,
 
     "clusters_retire" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
