@@ -597,6 +597,12 @@ object SparkEntry {
     // == corpus_curate's output).
     "curation_ledger" -> ((s, dir) =>
       TextAnalysis.curationLedger(Tables.documents(s, dir))),
+    "curation_funnel" -> ((s, dir) =>
+      TextAnalysis.curationFunnel(Tables.documents(s, dir))),
+    // reproducibility contract: per-shard counts + order-independent
+    // bit_xor content fingerprint of the shipped dataset.
+    "ship_manifest" -> ((s, dir) =>
+      TextAnalysis.shipManifest(Tables.documents(s, dir))),
     // PII redaction: emails / IPv4 / long digit runs, counts + md5.
     "scrub_pii" -> ((s, dir) =>
       TextAnalysis.scrubPii(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -1246,6 +1252,75 @@ object SparkEntry {
   }
 
   private val incChainCte = incChainCteFor("inc_", 80)
+
+  /** Shared per-doc curation-ledger CTE chain (mirrors
+    * TextAnalysis.curationLedger — the corpus_curate cascade re-emitted
+    * per input doc as CTE `led`); consumed by the curation_ledger and
+    * curation_funnel oracles.
+    */
+  private lazy val curationLedgerCtes =
+    s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$sh8Cte,
+       |q AS (SELECT doc_id,
+       |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+       |  FROM t),
+       |qp AS (SELECT doc_id FROM q WHERE quality_score >= 0.35),
+       |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN qp ON qp.doc_id = s.doc_id),
+       |shc2 AS (SELECT doc_id, shingle FROM shq
+       |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM shc2 x JOIN shc2 y
+       |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+       |${jaccardCte("shc2")},
+       |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+       |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+       |),
+       |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+       |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep),
+       |kept AS (SELECT qp.doc_id FROM qp
+       |         WHERE qp.doc_id NOT IN (SELECT doc_id FROM dropd)),
+       |f AS (SELECT s.doc_id, s.shingle,
+       |        (${h60("'split_' || s.doc_id")} % 100) < 10 AS is_test
+       |      FROM sh8 s JOIN kept k ON k.doc_id = s.doc_id),
+       |pp AS (SELECT shingle,
+       |         count(*) FILTER (WHERE is_test) AS nt,
+       |         count(*) FILTER (WHERE NOT is_test) AS nr
+       |       FROM f GROUP BY shingle
+       |       HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf}),
+       |flag AS (SELECT DISTINCT r0.doc_id FROM f r0
+       |         JOIN pp ON pp.shingle = r0.shingle
+       |         WHERE NOT r0.is_test),
+       |fin AS (SELECT k.doc_id FROM kept k
+       |        WHERE (${h60("'split_' || k.doc_id")} % 100) >= 10
+       |          AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
+       |rs AS (SELECT d.doc_id,
+       |         CAST(row_number() OVER (PARTITION BY d.source
+       |           ORDER BY md5('bs_' || d.doc_id), d.doc_id) AS INT) AS samp_rank
+       |       FROM documents d JOIN fin ON fin.doc_id = d.doc_id),
+       |led AS (SELECT d.doc_id, d.source, q.quality_score,
+       |  q.quality_score >= 0.35 AS quality_pass,
+       |  CASE WHEN q.quality_score >= 0.35
+       |       THEN d.doc_id IN (SELECT doc_id FROM dropd) END AS near_dup,
+       |  (${h60("'split_' || d.doc_id")} % 100) < 10 AS is_test,
+       |  CASE WHEN d.doc_id IN (SELECT doc_id FROM kept)
+       |        AND (${h60("'split_' || d.doc_id")} % 100) >= 10
+       |       THEN d.doc_id IN (SELECT doc_id FROM flag) END AS contaminated,
+       |  rs.samp_rank,
+       |  CASE WHEN q.quality_score < 0.35 THEN 'quality'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM dropd) THEN 'near_dup'
+       |       WHEN (${h60("'split_' || d.doc_id")} % 100) < 10 THEN 'test_split'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM flag) THEN 'contaminated'
+       |       WHEN rs.samp_rank > 10 THEN 'source_cap'
+       |       ELSE 'shipped' END AS status
+       |FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |LEFT JOIN rs ON rs.doc_id = d.doc_id)""".stripMargin
 
   /** Jaccard-verification CTE chain over candidate pairs `cand(d1,d2)`
     * against the shingle index named `idx` (mirrors Dedup.verifyJaccard;
@@ -2709,6 +2784,16 @@ object SparkEntry {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
+    "ship_manifest" ->
+      s"""SELECT ${h60("'shard_' || doc_id")} % 64 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc,
+         |  max(doc_id) AS max_doc,
+         |  bit_xor(${h60("CAST(doc_id AS VARCHAR) || ':' || md5(text)")})
+         |    AS fingerprint
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH d AS (
          |  SELECT ${h60("'shard_' || doc_id")} % 8 AS shard, doc_id,
@@ -3451,69 +3536,18 @@ object SparkEntry {
     // corpus_curate's, re-emitted per input doc with NULL verdicts for
     // stages never reached; 'shipped' rows == corpus_curate's output.
     "curation_ledger" ->
-      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$sh8Cte,
-         |q AS (SELECT doc_id,
-         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
-         |  FROM t),
-         |qp AS (SELECT doc_id FROM q WHERE quality_score >= 0.35),
-         |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN qp ON qp.doc_id = s.doc_id),
-         |shc2 AS (SELECT doc_id, shingle FROM shq
-         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM shc2 x JOIN shc2 y
-         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
-         |${jaccardCte("shc2")},
-         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
-         |nodes AS (SELECT DISTINCT a AS id FROM e),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
-         |),
-         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
-         |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep),
-         |kept AS (SELECT qp.doc_id FROM qp
-         |         WHERE qp.doc_id NOT IN (SELECT doc_id FROM dropd)),
-         |f AS (SELECT s.doc_id, s.shingle,
-         |        (${h60("'split_' || s.doc_id")} % 100) < 10 AS is_test
-         |      FROM sh8 s JOIN kept k ON k.doc_id = s.doc_id),
-         |pp AS (SELECT shingle,
-         |         count(*) FILTER (WHERE is_test) AS nt,
-         |         count(*) FILTER (WHERE NOT is_test) AS nr
-         |       FROM f GROUP BY shingle
-         |       HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf}),
-         |flag AS (SELECT DISTINCT r0.doc_id FROM f r0
-         |         JOIN pp ON pp.shingle = r0.shingle
-         |         WHERE NOT r0.is_test),
-         |fin AS (SELECT k.doc_id FROM kept k
-         |        WHERE (${h60("'split_' || k.doc_id")} % 100) >= 10
-         |          AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
-         |rs AS (SELECT d.doc_id,
-         |         CAST(row_number() OVER (PARTITION BY d.source
-         |           ORDER BY md5('bs_' || d.doc_id), d.doc_id) AS INT) AS samp_rank
-         |       FROM documents d JOIN fin ON fin.doc_id = d.doc_id)
-         |SELECT d.doc_id, d.source, q.quality_score,
-         |  q.quality_score >= 0.35 AS quality_pass,
-         |  CASE WHEN q.quality_score >= 0.35
-         |       THEN d.doc_id IN (SELECT doc_id FROM dropd) END AS near_dup,
-         |  (${h60("'split_' || d.doc_id")} % 100) < 10 AS is_test,
-         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM kept)
-         |        AND (${h60("'split_' || d.doc_id")} % 100) >= 10
-         |       THEN d.doc_id IN (SELECT doc_id FROM flag) END AS contaminated,
-         |  rs.samp_rank,
-         |  CASE WHEN q.quality_score < 0.35 THEN 'quality'
-         |       WHEN d.doc_id IN (SELECT doc_id FROM dropd) THEN 'near_dup'
-         |       WHEN (${h60("'split_' || d.doc_id")} % 100) < 10 THEN 'test_split'
-         |       WHEN d.doc_id IN (SELECT doc_id FROM flag) THEN 'contaminated'
-         |       WHEN rs.samp_rank > 10 THEN 'source_cap'
-         |       ELSE 'shipped' END AS status
-         |FROM documents d JOIN q ON q.doc_id = d.doc_id
-         |LEFT JOIN rs ON rs.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$curationLedgerCtes
+         |SELECT * FROM led ORDER BY doc_id""".stripMargin,
+
+    // the ledger reduced to per-stage drop counts in cascade order.
+    "curation_funnel" ->
+      s"""$curationLedgerCtes,
+         |fcnt AS (SELECT status, count(*) AS n_docs FROM led GROUP BY status)
+         |SELECT CAST(CASE status WHEN 'quality' THEN 0 WHEN 'near_dup' THEN 1
+         |    WHEN 'test_split' THEN 2 WHEN 'contaminated' THEN 3
+         |    WHEN 'source_cap' THEN 4 ELSE 5 END AS INT) AS stage_order,
+         |  status, n_docs
+         |FROM fcnt ORDER BY stage_order""".stripMargin,
 
     "dedup_cross_modal" ->
       s"""$docsCte,

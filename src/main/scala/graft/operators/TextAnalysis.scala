@@ -1393,6 +1393,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation funnel: the ledger reduced to per-stage drop counts in
+    * cascade order — the one-screen health dashboard of the pipeline
+    * run (and the sanity check that stage counts sum to the corpus).
+    */
+  def curationFunnel(docs: DataFrame, minScore: Double = 0.35,
+                     threshold: Double = 0.5, testPct: Int = 10,
+                     perSource: Int = 10): DataFrame =
+    curationLedger(docs, minScore, threshold, testPct, perSource)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        when(col("status") === "quality", 0)
+          .when(col("status") === "near_dup", 1)
+          .when(col("status") === "test_split", 2)
+          .when(col("status") === "contaminated", 3)
+          .when(col("status") === "source_cap", 4)
+          .otherwise(5).as("stage_order"),
+        col("status"), col("n_docs"))
+      .orderBy(col("stage_order"))
+
+  /** Ship manifest: per training shard, the counts and an
+    * order-independent content fingerprint (bit_xor of a per-doc
+    * 60-bit hash over doc_id + content md5). Two shipped datasets are
+    * byte-equivalent iff their manifests match — the reproducibility
+    * contract a training run records next to its config. The xor
+    * aggregation is commutative/associative, so the fingerprint is
+    * stable under any partitioning or row order at any scale.
+    */
+  def shipManifest(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs.select(
+        pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
+          .as("shard"),
+        col("doc_id"), col("n_chars"),
+        hash60(concat(col("doc_id").cast("string"), lit(":"),
+          md5(col("text")))).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .orderBy(col("shard"))
+  }
+
   /** Three fingerprints per document:
     *  - fp_exact: md5 of the raw text (byte-exact dup detection)
     *  - fp_bag: md5 of the sorted token multiset (order-insensitive)

@@ -357,6 +357,17 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("ship manifest: fingerprint stable under any partitioning/order; funnel sums to corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = TextAnalysis.shipManifest(docs).collect().toSeq.map(_.toString)
+    val b = TextAnalysis.shipManifest(
+      docs.repartition(7, col("source")).sortWithinPartitions(col("text")))
+      .collect().toSeq.map(_.toString)
+    assert(a == b)
+    val funnel = TextAnalysis.curationFunnel(docs).collect()
+    assert(funnel.map(_.getLong(2)).sum == docs.count())
+  }
+
   test("codegen VecL2Sq equals the HOF zip-fold, bit for bit") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.5)),
                  (Seq(0.1, -0.2, 0.3), Seq(-0.4, 0.5, 0.6)))
