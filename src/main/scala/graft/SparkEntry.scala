@@ -616,6 +616,10 @@ object SparkEntry {
     // α-sampling: keep rates computed in-plan from source sizes.
     "mixture_temperature" -> ((s, dir) =>
       TextAnalysis.mixtureTemperature(Tables.documents(s, dir))),
+    // BPE merge learning: 8 merges trained on the word-type table
+    // (one corpus-scale agg; iterations are vocabulary-scale).
+    "bpe_learn" -> ((s, dir) =>
+      TextAnalysis.bpeLearn(Tables.documents(s, dir))),
     // tokenizer-sizing curve: top-k tokens with cumulative corpus share.
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
@@ -1252,6 +1256,48 @@ object SparkEntry {
   }
 
   private val incChainCte = incChainCteFor("inc_", 80)
+
+  /** Unrolled k-stage BPE oracle (mirrors TextAnalysis.bpeLearn):
+    * stage i counts adjacent symbol pairs over the vocabulary table,
+    * picks the (freq DESC, pair ASC) argmax, and applies the merge with
+    * the same greedy left-to-right symbol-walk fold the engine uses
+    * (list_reduce with single-item-list elements as the fold
+    * accumulator; acc[:-2] is DuckDB's inclusive-bound drop-last).
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT u.w AS w, count(*) AS freq
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents) tt,
+        |       unnest(tt.toks) AS u(w)
+        |  WHERE u.w <> '' GROUP BY u.w),
+        |t1 AS (SELECT list_transform(generate_series(1, len(w)),
+        |         i -> substr(w, i, 1)) AS syms, freq
+        |       FROM w0)""".stripMargin
+    val stages = (1 to k).map { i =>
+      val next = if (i < k)
+        s""",
+           |t${i + 1} AS (SELECT list_reduce(list_transform(t.syms, x -> [x]),
+           |    (acc, x) -> CASE WHEN acc[-1] = b.pa AND x[1] = b.pb
+           |                THEN list_append(acc[:-2], b.pa || b.pb)
+           |                ELSE list_concat(acc, x) END) AS syms, t.freq
+           |  FROM t$i t, b$i b)""".stripMargin
+      else ""
+      s""",
+         |p$i AS (SELECT s.syms[g.j] || ' ' || s.syms[g.j + 1] AS pair,
+         |    sum(s.freq) AS f
+         |  FROM t$i s,
+         |       unnest(generate_series(1, len(s.syms) - 1)) AS g(j)
+         |  GROUP BY 1),
+         |b$i AS (SELECT pair, string_split(pair, ' ')[1] AS pa,
+         |    string_split(pair, ' ')[2] AS pb, f
+         |  FROM p$i ORDER BY f DESC, pair LIMIT 1)$next""".stripMargin
+    }.mkString
+    val unions = (1 to k).map(i =>
+      s"SELECT $i AS stage, pair, replace(pair, ' ', '') AS merged, " +
+        s"CAST(f AS BIGINT) AS freq FROM b$i").mkString("\nUNION ALL\n")
+    s"$head$stages\nSELECT CAST(stage AS INT) AS stage, pair, merged, freq " +
+      s"FROM (\n$unions\n) ORDER BY stage"
+  }
 
   /** Shared per-doc curation-ledger CTE chain (mirrors
     * TextAnalysis.curationLedger — the corpus_curate cascade re-emitted
@@ -2766,6 +2812,8 @@ object SparkEntry {
 
     // mirrors TextAnalysis.vocabCoverage: top-k vocabulary with
     // cumulative share of all token occurrences.
+    "bpe_learn" -> bpeOracleSql(8),
+
     "vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
         |c AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),

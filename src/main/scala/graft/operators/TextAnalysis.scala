@@ -1393,6 +1393,71 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge learning (Sennrich et al. 2016): learn `numMerges`
+    * byte-pair merges from the corpus. The corpus-scale work is ONE
+    * aggregation — the word-frequency table; every merge iteration then
+    * runs on that vocabulary table (distinct word types, orders of
+    * magnitude smaller than the corpus), exactly how production BPE
+    * trainers scale. Pair counts are a distributed aggregation; only
+    * the 1-row argmax lands on the driver each round (the same
+    * bounded-driver-loop shape as the k-means trainer in Similarity).
+    *
+    * Determinism: ties on pair frequency break lexicographically on the
+    * pair string; merge application is left-to-right non-overlapping
+    * (space-delimited string `replace`, which both engines implement
+    * identically), so the learned merge table is engine-exact — the
+    * oracle unrolls the same k stages in SQL.
+    *
+    * Returns (stage, pair, merged, freq) — the ordered merge table a
+    * tokenizer ships.
+    */
+  def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val session = docs.sparkSession
+    var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("freq"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to numMerges if !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), j -> concat(syms[j], ' ', syms[j + 1]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val Array(pa, pb) = pair.split(" ", 2)
+        val merged = pa + pb
+        merges += ((i, pair, merged, best(0).getLong(1)))
+        // greedy left-to-right symbol walk: merge (pa, pb) wherever the
+        // PREVIOUS surviving symbol is pa — exactly Sennrich's
+        // non-overlapping single-pass application (a merged symbol can
+        // never be re-consumed in the same pass: pa+pb == pa is
+        // impossible for non-empty pb)
+        vocab = vocab.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                  size(acc) > 0 &&
+                    element_at(acc, -1) === lit(pa) && x === lit(pb),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(x))))
+              .as("syms"),
+            col("freq"))
+          .localCheckpoint(false)
+      }
+    }
+    import session.implicits._
+    merges.toSeq.toDF("stage", "pair", "merged", "freq")
+      .orderBy(col("stage"))
+  }
+
   /** Curation funnel: the ledger reduced to per-stage drop counts in
     * cascade order — the one-screen health dashboard of the pipeline
     * run (and the sanity check that stage counts sum to the corpus).

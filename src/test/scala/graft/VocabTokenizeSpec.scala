@@ -113,6 +113,34 @@ class VocabTokenizeSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge learning: hand-computed merges, greedy non-overlap, exhaustion stop") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab ab"), (1L, "abab")).toDF("doc_id", "text")
+    // vocab: abab(2), ab(1); stage 1: 'a b' = 2*2+1 = 5 beats 'b a' = 2
+    // stage 2: 'ab ab' = 2; then no pairs remain -> stops at 2 of 4
+    val got = TextAnalysis.bpeLearn(docs, numMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1, "a b", "ab", 5L), (2, "ab ab", "abab", 2L)))
+    // greedy left-to-right non-overlap: 'aaa' merges (a,a) once per scan
+    val odd = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.bpeLearn(odd, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // stage 1: 'a a' appears twice per 'aaa' (overlapping pairs both
+    // count in the COUNTING step) * freq 2 = 4; after the merge each
+    // word is 'aa a'; stage 2: 'aa a' = 2
+    assert(g2 == Seq((1, "a a", "aa", 4L), (2, "aa a", "aaa", 2L)))
+  }
+
+  test("BPE learning is partitioning-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextAnalysis.bpeLearn(docs, 4).collect().map(_.toString).toSeq
+    val b = TextAnalysis.bpeLearn(docs.repartition(13), 4)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.length == 4)
+  }
+
   test("piece frequencies reconcile with per-doc budgets on the corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val freq = TextAnalysis.tokenizeVocab(docs)
