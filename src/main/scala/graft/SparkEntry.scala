@@ -421,6 +421,14 @@ object SparkEntry {
     "pipeline_corpus_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.corpusE2E(s, dir)),
 
+    // Streaming late-data restatement: persisted bar_date-partitioned
+    // mergeable bar state + a late-trade file stream folded in per
+    // micro-batch via foreachBatch + dynamic partition overwrite (only
+    // touched dates rewritten); the final state finalized and compared
+    // against the full-recompute bars oracle.
+    "pipeline_restate_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.restateE2E(s, dir)),
+
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
       Sessions.stats(Trades.fromEvents(Tables.events(s, dir)))
@@ -2038,6 +2046,11 @@ object SparkEntry {
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 
     "bars_restate" ->
+      s"""$barsCte
+         |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
+
+    // streaming restatement must equal rebuilding from scratch too
+    "pipeline_restate_e2e" ->
       s"""$barsCte
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 

@@ -198,6 +198,19 @@ object Gold {
       col("trades"),
       to_date(col("bar_start")).as("bar_date"))
 
+  /** Pin the persisted-state decimal types. Spark widens decimal
+    * precision per aggregation (sum(DECIMAL(20,6)) → (30,6); a merge of
+    * merges → (38,6)), so a state TABLE whose partitions are written at
+    * different merge depths would carry conflicting parquet decimal
+    * schemas. Casting to the max-precision types makes every write
+    * byte-compatible; the casts are exact (widening only).
+    */
+  def normalizeState(state: DataFrame): DataFrame =
+    state
+      .withColumn("vol_d", col("vol_d").cast(DecimalType(38, 6)))
+      .withColumn("notional_d", col("notional_d").cast(DecimalType(38, 10)))
+      .withColumn("trades", col("trades").cast("long"))
+
   /** Late-data restatement: fold a (small) delta of late/corrected
     * trades into the persisted bar state, re-aggregating ONLY the bars
     * the delta touches. The touched key set is delta-sized, so both the

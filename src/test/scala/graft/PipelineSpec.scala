@@ -47,4 +47,16 @@ class PipelineSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("e2e streamed restatement equals full batch recompute at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.Pipeline.restateE2E(spark, dir)
+      .collect().toSeq.map(_.toString)
+    val want = graft.operators.Gold.bars(
+        graft.operators.Trades.fromEvents(Tables.events(spark, dir)))
+      .orderBy(col("symbol"), col("bar_start"))
+      .collect().toSeq.map(_.toString)
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }

@@ -369,7 +369,8 @@ class PlanSpec extends SparkSpec {
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
-      .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e"))
+      .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
+        "pipeline_restate_e2e"))
     val offenders = names.filter { n =>
       val p = plan(n)
       (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) &&
