@@ -628,6 +628,10 @@ object SparkEntry {
     // (one corpus-scale agg; iterations are vocabulary-scale).
     "bpe_learn" -> ((s, dir) =>
       TextAnalysis.bpeLearn(Tables.documents(s, dir))),
+    // per-doc subword budgets under the LEARNED merges: segmented
+    // vocab broadcast-joined to the corpus token stream.
+    "bpe_segment" -> ((s, dir) =>
+      TextAnalysis.bpeSegment(Tables.documents(s, dir))),
     // tokenizer-sizing curve: top-k tokens with cumulative corpus share.
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
@@ -1272,24 +1276,16 @@ object SparkEntry {
     * (list_reduce with single-item-list elements as the fold
     * accumulator; acc[:-2] is DuckDB's inclusive-bound drop-last).
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeStagesSql(k: Int): String = {
     val head =
       """WITH w0 AS (SELECT u.w AS w, count(*) AS freq
         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents) tt,
         |       unnest(tt.toks) AS u(w)
         |  WHERE u.w <> '' GROUP BY u.w),
-        |t1 AS (SELECT list_transform(generate_series(1, len(w)),
+        |t1 AS (SELECT w, list_transform(generate_series(1, len(w)),
         |         i -> substr(w, i, 1)) AS syms, freq
         |       FROM w0)""".stripMargin
     val stages = (1 to k).map { i =>
-      val next = if (i < k)
-        s""",
-           |t${i + 1} AS (SELECT list_reduce(list_transform(t.syms, x -> [x]),
-           |    (acc, x) -> CASE WHEN acc[-1] = b.pa AND x[1] = b.pb
-           |                THEN list_append(acc[:-2], b.pa || b.pb)
-           |                ELSE list_concat(acc, x) END) AS syms, t.freq
-           |  FROM t$i t, b$i b)""".stripMargin
-      else ""
       s""",
          |p$i AS (SELECT s.syms[g.j] || ' ' || s.syms[g.j + 1] AS pair,
          |    sum(s.freq) AS f
@@ -1298,14 +1294,41 @@ object SparkEntry {
          |  GROUP BY 1),
          |b$i AS (SELECT pair, string_split(pair, ' ')[1] AS pa,
          |    string_split(pair, ' ')[2] AS pb, f
-         |  FROM p$i ORDER BY f DESC, pair LIMIT 1)$next""".stripMargin
+         |  FROM p$i ORDER BY f DESC, pair LIMIT 1),
+         |t${i + 1} AS (SELECT t.w, list_reduce(list_transform(t.syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN acc[-1] = b.pa AND x[1] = b.pb
+         |                THEN list_append(acc[:-2], b.pa || b.pb)
+         |                ELSE list_concat(acc, x) END) AS syms, t.freq
+         |  FROM t$i t, b$i b)""".stripMargin
     }.mkString
+    head + stages
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map(i =>
       s"SELECT $i AS stage, pair, replace(pair, ' ', '') AS merged, " +
         s"CAST(f AS BIGINT) AS freq FROM b$i").mkString("\nUNION ALL\n")
-    s"$head$stages\nSELECT CAST(stage AS INT) AS stage, pair, merged, freq " +
+    s"${bpeStagesSql(k)}\nSELECT CAST(stage AS INT) AS stage, pair, merged, freq " +
       s"FROM (\n$unions\n) ORDER BY stage"
   }
+
+  /** Per-doc subword budgets under the learned merges (mirrors
+    * TextAnalysis.bpeSegment): the segmented vocabulary joined back to
+    * the corpus token stream.
+    */
+  private def bpeSegmentOracleSql(k: Int): String =
+    s"""${bpeStagesSql(k)},
+       |seg AS (SELECT w, len(syms) AS n_pieces FROM t${k + 1}),
+       |dt AS (SELECT x.doc_id, u.w AS w
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |             FROM documents) x, unnest(x.toks) AS u(w)
+       |       WHERE u.w <> '')
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS fertility
+       |FROM dt JOIN seg USING (w) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared per-doc curation-ledger CTE chain (mirrors
     * TextAnalysis.curationLedger — the corpus_curate cascade re-emitted
@@ -2826,6 +2849,8 @@ object SparkEntry {
     // mirrors TextAnalysis.vocabCoverage: top-k vocabulary with
     // cumulative share of all token occurrences.
     "bpe_learn" -> bpeOracleSql(8),
+
+    "bpe_segment" -> bpeSegmentOracleSql(8),
 
     "vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

@@ -1413,11 +1413,47 @@ object TextAnalysis {
     */
   def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {
     val session = docs.sparkSession
+    import session.implicits._
+    bpeTrain(docs, numMerges)._1
+      .toDF("stage", "pair", "merged", "freq")
+      .orderBy(col("stage"))
+  }
+
+  /** Subword budgets under the LEARNED tokenizer: train `numMerges` BPE
+    * merges ([[bpeLearn]]), segment the word-TYPE table with them, then
+    * join the corpus token stream to the segmented vocabulary — per doc,
+    * whitespace-token count, subword-piece count, and fertility
+    * (pieces/token, the tokenizer-quality metric). The join's build
+    * side is the vocabulary (broadcast-scale at any corpus size), so
+    * the corpus pass is map-only — the learned-tokenizer complement of
+    * `token_budget_stats`' fixed-vocab walk.
+    */
+  def bpeSegment(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val seg = bpeTrain(docs, numMerges)._2
+      .select(col("w"), size(col("syms")).as("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces").cast("double")
+          / col("n_tokens").cast("double"), 6).as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared BPE training loop: returns the ordered merge table and the
+    * final segmented vocabulary (w, syms, freq).
+    */
+  private def bpeTrain(docs: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"), col("freq"))
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"), col("freq"))
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -1441,7 +1477,7 @@ object TextAnalysis {
         // non-overlapping single-pass application (a merged symbol can
         // never be re-consumed in the same pass: pa+pb == pa is
         // impossible for non-empty pb)
-        vocab = vocab.select(
+        vocab = vocab.select(col("w"),
             aggregate(col("syms"), array().cast("array<string>"),
               (acc, x) => when(
                   size(acc) > 0 &&
@@ -1453,9 +1489,7 @@ object TextAnalysis {
           .localCheckpoint(false)
       }
     }
-    import session.implicits._
-    merges.toSeq.toDF("stage", "pair", "merged", "freq")
-      .orderBy(col("stage"))
+    (merges.toSeq, vocab)
   }
 
   /** Curation funnel: the ledger reduced to per-stage drop counts in
