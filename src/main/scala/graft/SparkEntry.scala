@@ -253,6 +253,14 @@ object SparkEntry {
       Analytics.winsorizedStats(Trades.fromEvents(Tables.events(s, dir)))),
     "price_mad_outliers" -> ((s, dir) =>
       Analytics.madOutliers(Trades.fromEvents(Tables.events(s, dir)))),
+    // pairwise log-return correlation over a fixed symbol universe —
+    // exact decimal sums, textbook formula in doubles at the boundary.
+    // hourly bars: minute bars are too sparse for cross-symbol overlap
+    // at test SF; the formula is bar-width-independent.
+    "symbol_correlation" -> ((s, dir) =>
+      Analytics.symbolCorrelation(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"),
+        (1 to 8).map(i => s"SYM_$i"))),
     // strict-order conversion funnel over the raw event stream.
     "event_funnel" -> ((s, dir) =>
       Sessions.eventFunnel(Tables.events(s, dir))),
@@ -2254,6 +2262,41 @@ object SparkEntry {
          |  round(quantile_cont(price, 0.99), 6) AS p99,
          |  count(*) AS n
          |FROM trades GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.symbolCorrelation: exact decimal sums over
+    // 6-decimal returns, the same double formula shape at the end.
+    "symbol_correlation" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |rr AS (SELECT symbol, bar_start, close,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_start)
+         |           AS prev
+         |       FROM bars
+         |       WHERE symbol IN (${(1 to 8).map(i => s"'SYM_$i'").mkString(", ")})),
+         |r AS (SELECT symbol, bar_start,
+         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |g AS (SELECT a.symbol AS s1, b.symbol AS s2, count(*) AS n_bars,
+         |        sum(a.ret) AS sx, sum(b.ret) AS sy,
+         |        sum(CAST(a.ret * b.ret AS DECIMAL(38,12))) AS sxy,
+         |        sum(CAST(a.ret * a.ret AS DECIMAL(38,12))) AS sxx,
+         |        sum(CAST(b.ret * b.ret AS DECIMAL(38,12))) AS syy
+         |      FROM r a JOIN r b
+         |        ON a.bar_start = b.bar_start AND a.symbol < b.symbol
+         |      GROUP BY a.symbol, b.symbol)
+         |SELECT s1, s2, n_bars,
+         |  CASE WHEN (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |        AND (CAST(n_bars AS DOUBLE) * CAST(syy AS DOUBLE)
+         |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |       THEN round((CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / (sqrt(CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |            * sqrt(CAST(n_bars AS DOUBLE) * CAST(syy AS DOUBLE)
+         |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS corr
+         |FROM g ORDER BY s1, s2""".stripMargin,
 
     // quantile_disc == SQL-standard PERCENTILE_DISC (verified rule-for-
     // rule): both return the element at rank ceil(p*n) — a real data

@@ -288,6 +288,55 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("symbol"))
 
+  /** Pairwise log-return correlation matrix over a FIXED symbol
+    * universe — the cross-asset co-movement profile every market
+    * analytics stack ships. Determinism hardening: Spark's `corr`
+    * aggregate merges partial (mean, M2, co-moment) states in
+    * partition order, so its low bits vary run to run and cross-engine;
+    * here every sum (Σx, Σy, Σxy, Σx², Σy²) is an EXACT decimal over
+    * 6-decimal returns (associative — bit-stable under any
+    * partitioning), and only the final textbook formula
+    * (nΣxy − ΣxΣy)/√(nΣx² − (Σx)²)√(nΣy² − (Σy)²) runs in doubles,
+    * with the same expression shape as the oracle.
+    *
+    * Scale shape: returns for the chosen universe are a tiny slice
+    * (symbol pushdown to the scan); the pair join is bounded by
+    * |universe|² — a PARAMETER, not data — and the per-pair sums are
+    * one hash agg. For an all-symbols matrix at scale, block the
+    * universe and reuse the same per-pair aggregation.
+    */
+  def symbolCorrelation(bars: DataFrame,
+                        symbols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val r = bars.filter(col("symbol").isin(symbols: _*))
+      .select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"), col("bar_start"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("ret"))
+    val a = r.toDF("s1", "bar_start", "x")
+    val b = r.toDF("s2", "bar_start", "y")
+    val g = a.join(b, Seq("bar_start"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 12))).as("syy"))
+    val n = col("n_bars").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val denx = n * d("sxx") - d("sx") * d("sx")
+    val deny = n * d("syy") - d("sy") * d("sy")
+    g.select(col("s1"), col("s2"), col("n_bars"),
+        when(denx > 0 && deny > 0,
+          round((n * d("sxy") - d("sx") * d("sy"))
+            / (sqrt(denx) * sqrt(deny)), 6)).as("corr"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Winsorized per-symbol price statistics: clip prices to the exact
     * [p01, p99] band before computing mean/stddev — the robust-moments
     * step an outlier-laden feed (fat-finger prints, bad ticks) needs

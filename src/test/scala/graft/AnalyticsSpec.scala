@@ -2,7 +2,7 @@ package graft
 
 import java.sql.{Date, Timestamp}
 
-import org.apache.spark.sql.functions.{col, stddev_samp}
+import org.apache.spark.sql.functions.{col, lag, log, round, stddev_samp}
 
 import graft.Schemas.Bar
 import graft.operators.Analytics
@@ -129,6 +129,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n")).toSeq == (Seq.fill(19)(1L) :+ 2L))
     assert(r.head.getAs[Double]("bin_lo") == 0.0)
     assert(r.last.getAs[Double]("bin_lo") == 19.0)
+  }
+
+  test("symbolCorrelation: bounded, symmetric universe, agrees with Spark's corr to 1e-6") {
+    val dir = "/root/testdata/sf0.01"
+    val bars = graft.operators.Gold.bars(
+      graft.operators.Trades.fromEvents(Tables.events(spark, dir)), "1 hour")
+    val syms = (1 to 8).map(i => s"SYM_$i")
+    val rows = Analytics.symbolCorrelation(bars, syms).collect()
+    assert(rows.length == 28) // full 8-choose-2 matrix
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+    }
+    // spot-check the exact-decimal formula against Spark's built-in
+    // merge-based corr (which is only stable to ~1e-12 across runs)
+    val r0 = rows.filterNot(_.isNullAt(3)).head
+    val (s1, s2) = (r0.getString(0), r0.getString(1))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val rets = bars.filter(col("symbol").isin(s1, s2))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"), col("bar_start"),
+        round(log(col("close") / col("prev")), 6).as("ret"))
+    val joined = rets.filter(col("symbol") === s1).select(col("bar_start"), col("ret").as("x"))
+      .join(rets.filter(col("symbol") === s2).select(col("bar_start"), col("ret").as("y")),
+        Seq("bar_start"))
+    val builtin = joined.stat.corr("x", "y")
+    assert(math.abs(builtin - r0.getDouble(3)) < 1e-6,
+      s"formula drift: builtin=$builtin exact=${r0.getDouble(3)}")
   }
 
   test("lastK returns the most recent K in ascending order") {
