@@ -261,6 +261,17 @@ object SparkEntry {
       Analytics.symbolCorrelation(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"),
         (1 to 8).map(i => s"SYM_$i"))),
+    // OLS beta of each symbol vs the equal-weight market return.
+    "symbol_beta" -> ((s, dir) =>
+      Analytics.symbolBeta(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // deepest peak-to-trough loss of each symbol's close series.
+    "symbol_drawdown" -> ((s, dir) =>
+      Analytics.maxDrawdown(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // buy/sell pressure per (symbol, hour) with signed imbalance.
+    "flow_imbalance" -> ((s, dir) =>
+      Analytics.flowImbalance(Trades.fromEvents(Tables.events(s, dir)))),
     // strict-order conversion funnel over the raw event stream.
     "event_funnel" -> ((s, dir) =>
       Sessions.eventFunnel(Tables.events(s, dir))),
@@ -2297,6 +2308,76 @@ object SparkEntry {
          |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
          |  END AS corr
          |FROM g ORDER BY s1, s2""".stripMargin,
+
+    // mirrors Analytics.symbolBeta: 6-decimal returns, bar-mean market
+    // factor re-rounded to 6 decimals, exact sums, OLS slope in doubles.
+    "symbol_beta" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |rr AS (SELECT symbol, bar_start, close,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_start)
+         |           AS prev
+         |       FROM bars),
+         |r AS (SELECT symbol, bar_start,
+         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |mkt AS (SELECT bar_start,
+         |          CAST(round(CAST(sum(ret) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mret
+         |        FROM r GROUP BY bar_start),
+         |g AS (SELECT r.symbol, count(*) AS n_bars,
+         |        sum(mkt.mret) AS sx, sum(r.ret) AS sy,
+         |        sum(CAST(mkt.mret * r.ret AS DECIMAL(38,12))) AS sxy,
+         |        sum(CAST(mkt.mret * mkt.mret AS DECIMAL(38,12))) AS sxx
+         |      FROM r JOIN mkt ON mkt.bar_start = r.bar_start
+         |      GROUP BY r.symbol)
+         |SELECT symbol, n_bars,
+         |  CASE WHEN (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |       THEN round((CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |  END AS beta
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    "symbol_drawdown" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |pk AS (SELECT symbol, close,
+         |         max(close) OVER (PARTITION BY symbol ORDER BY bar_start
+         |           ROWS UNBOUNDED PRECEDING) AS peak
+         |       FROM bars)
+         |SELECT symbol, count(*) AS n_bars,
+         |  round(min(close / peak - 1), 6) AS max_drawdown
+         |FROM pk GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    "flow_imbalance" ->
+      s"""$tradesCte
+         |SELECT symbol,
+         |  time_bucket(INTERVAL 1 HOUR, event_time) AS bar_start,
+         |  CAST(sum(CASE WHEN side = 'buy'
+         |    THEN CAST(size AS DECIMAL(20,6))
+         |    ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS buy_vol,
+         |  CAST(sum(CASE WHEN side = 'sell'
+         |    THEN CAST(size AS DECIMAL(20,6))
+         |    ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS sell_vol,
+         |  round((CAST(sum(CASE WHEN side = 'buy'
+         |      THEN CAST(size AS DECIMAL(20,6))
+         |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+         |    - CAST(sum(CASE WHEN side = 'sell'
+         |      THEN CAST(size AS DECIMAL(20,6))
+         |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE))
+         |    / (CAST(sum(CASE WHEN side = 'buy'
+         |      THEN CAST(size AS DECIMAL(20,6))
+         |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+         |    + CAST(sum(CASE WHEN side = 'sell'
+         |      THEN CAST(size AS DECIMAL(20,6))
+         |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)), 6)
+         |    AS imbalance,
+         |  count(*) AS trades
+         |FROM trades GROUP BY symbol, time_bucket(INTERVAL 1 HOUR, event_time)
+         |ORDER BY symbol, bar_start""".stripMargin,
 
     // quantile_disc == SQL-standard PERCENTILE_DISC (verified rule-for-
     // rule): both return the element at rank ceil(p*n) — a real data

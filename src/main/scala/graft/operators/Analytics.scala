@@ -337,6 +337,89 @@ object Analytics {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Per-symbol market beta: each symbol's log returns regressed on the
+    * equal-weight market return (the cross-sectional mean of all
+    * symbols' returns in the same bar). Same determinism discipline as
+    * [[symbolCorrelation]]: returns and the market factor are 6-decimal
+    * decimals, all sums exact, the OLS slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in doubles only at the boundary.
+    *
+    * Scale shape: the market factor is a bar-cardinality aggregate
+    * (one hash agg over returns), broadcast back onto returns by
+    * bar_start; one more hash agg per symbol. Nothing fact-sized
+    * shuffles twice.
+    */
+  def symbolBeta(bars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val r = bars
+      .select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"), col("bar_start"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("ret"))
+    val mkt = r.groupBy(col("bar_start"))
+      .agg(sum(col("ret")).as("sr"), count(lit(1)).as("nr"))
+      .select(col("bar_start"),
+        round(col("sr").cast("double") / col("nr").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("mret"))
+    val g = r.join(broadcast(mkt), Seq("bar_start"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("mret")).as("sx"), sum(col("ret")).as("sy"),
+        sum((col("mret") * col("ret")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("mret") * col("mret")).cast(DecimalType(38, 12))).as("sxx"))
+    val n = col("n_bars").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    g.select(col("symbol"), col("n_bars"),
+        when(den > 0,
+          round((n * d("sxy") - d("sx") * d("sy")) / den, 6)).as("beta"))
+      .orderBy(col("symbol"))
+  }
+
+  /** Maximum drawdown per symbol: the deepest peak-to-trough loss of
+    * the close series — running cumulative max (one window pass), then
+    * the per-symbol min of close/peak − 1. Map-linear; the window
+    * shares the symbol partitioning with every other per-symbol pass.
+    */
+  def maxDrawdown(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars.select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("peak", max(col("close")).over(w))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_bars"),
+        round(min(col("close") / col("peak") - 1), 6).as("max_drawdown"))
+      .orderBy(col("symbol"))
+  }
+
+  /** Order-flow imbalance per (symbol, bar): buy vs sell volume with
+    * the signed imbalance ratio — the microstructure pressure signal.
+    * Exact decimal volume sums; the ratio in doubles at the boundary.
+    * One hash agg, same key as the bar aggregation itself.
+    */
+  def flowImbalance(trades: DataFrame,
+                    barWidth: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def side(s: String) =
+      sum(when(col("side") === s, col("size").cast(DecimalType(20, 6)))
+        .otherwise(lit(0).cast(DecimalType(20, 6))))
+    trades
+      .groupBy(col("symbol"), window(col("event_time"), barWidth).as("w"))
+      .agg(side("buy").as("buy_d"), side("sell").as("sell_d"),
+        count(lit(1)).as("trades"))
+      .select(col("symbol"), col("w.start").as("bar_start"),
+        col("buy_d").cast("double").as("buy_vol"),
+        col("sell_d").cast("double").as("sell_vol"),
+        round((col("buy_d").cast("double") - col("sell_d").cast("double"))
+          / (col("buy_d").cast("double") + col("sell_d").cast("double")), 6)
+          .as("imbalance"),
+        col("trades"))
+      .orderBy(col("symbol"), col("bar_start"))
+  }
+
   /** Winsorized per-symbol price statistics: clip prices to the exact
     * [p01, p99] band before computing mean/stddev — the robust-moments
     * step an outlier-laden feed (fat-finger prints, bad ticks) needs

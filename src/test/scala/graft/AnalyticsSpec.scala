@@ -161,6 +161,30 @@ class AnalyticsSpec extends SparkSpec {
       s"formula drift: builtin=$builtin exact=${r0.getDouble(3)}")
   }
 
+  test("maxDrawdown: hand-computed peak-to-trough; monotone series has zero drawdown") {
+    val up = (0 to 5).map(i => bar("UP", i, 100.0 + i))
+    // DOWN: 100 → 120 (peak) → 90 (trough, -25%) → 110 (recovery)
+    val dn = Seq(bar("DN", 0, 100.0), bar("DN", 1, 120.0),
+      bar("DN", 2, 90.0), bar("DN", 3, 110.0))
+    val rows = Analytics.maxDrawdown((up ++ dn).toDS.toDF)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows("UP") == 0.0)
+    assert(rows("DN") == -0.25)
+  }
+
+  test("flowImbalance: all-buy bar is +1, balanced bar is 0") {
+    import graft.Schemas.Trade
+    def t(sym: String, side: String, size: Double) =
+      Trade("kraken", sym, 10.0, size, side, "limit", ts("2024-01-01 10:00:01"))
+    val rows = Analytics.flowImbalance(Seq(
+        t("A", "buy", 2.0), t("A", "buy", 1.0),
+        t("B", "buy", 3.0), t("B", "sell", 3.0)).toDS.toDF)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("A") == ((3.0, 0.0, 1.0)))
+    assert(rows("B") == ((3.0, 3.0, 0.0)))
+  }
+
   test("lastK returns the most recent K in ascending order") {
     val bars = (0 to 30).map(i => bar("B", i, 100.0 + i))
     val rows = Analytics.lastK(bars.toDS.toDF, 5).collect()
