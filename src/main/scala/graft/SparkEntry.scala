@@ -275,6 +275,9 @@ object SparkEntry {
     // strict-order conversion funnel over the raw event stream.
     "event_funnel" -> ((s, dir) =>
       Sessions.eventFunnel(Tables.events(s, dir))),
+    // cohort retention triangle: first-activity cohorts × day offsets.
+    "user_retention" -> ((s, dir) =>
+      Sessions.cohortRetention(Tables.events(s, dir))),
     "price_histogram" -> ((s, dir) =>
       Analytics.priceHistogram(Trades.fromEvents(Tables.events(s, dir)))),
     // Cardinality + discrete-percentile profile. percentile_disc returns
@@ -2208,6 +2211,23 @@ object SparkEntry {
 
     // mirrors Sessions.eventFunnel: strict-order staged mins, ns ts
     // truncated to µs by CAST (same as the engine's events reader).
+    "user_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |       FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT f.cohort_date,
+        |        CAST(a.d - f.cohort_date AS INT) AS day_offset,
+        |        count(DISTINCT a.user_id) AS n_users
+        |      FROM a JOIN f ON f.user_id = a.user_id
+        |      GROUP BY f.cohort_date, a.d - f.cohort_date),
+        |cs AS (SELECT cohort_date, count(*) AS cohort_size FROM f
+        |       GROUP BY cohort_date)
+        |SELECT g.cohort_date, g.day_offset, g.n_users, cs.cohort_size,
+        |  round(CAST(g.n_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM g JOIN cs ON cs.cohort_date = g.cohort_date
+        |ORDER BY g.cohort_date, g.day_offset""".stripMargin,
+
     "event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |       FROM events),

@@ -276,4 +276,36 @@ object Sessions {
         if (i == 0) None else Some(s"t${i - 1}"), s"t$i")
     }.reduce(_ unionByName _).orderBy(col("stage"))
   }
+
+  /** Cohort retention matrix: users grouped by first-activity date,
+    * retention at each day offset = distinct users of that cohort
+    * active that many days later — the standard product-analytics
+    * triangle, exact (no sampling).
+    *
+    * Scale shape: first-activity is one user-keyed hash agg; the
+    * (user, day) activity set is one distinct (map-side partial);
+    * the cohort join broadcasts nothing data-scale (it's a user-keyed
+    * equi join that reuses the distinct's partitioning); the final agg
+    * is (cohort × offset)-cardinality — calendar-bounded, tiny.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohortSizes = firsts.groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(cohortSizes, Seq("cohort_date"))
+      .select(col("cohort_date"), col("day_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double")
+          / col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
 }
