@@ -278,6 +278,20 @@ object SparkEntry {
     // cohort retention triangle: first-activity cohorts × day offsets.
     "user_retention" -> ((s, dir) =>
       Sessions.cohortRetention(Tables.events(s, dir))),
+    // semi-structured schema inventory: every key observed in the wire
+    // JSON payloads with first/last offset — the drift audit a bronze
+    // ingestion runs to catch producer schema changes before from_json
+    // silently nulls new fields (PERMISSIVE mode hides them).
+    "payload_key_audit" -> ((s, dir) => {
+      val wire = Bronze.kafkaWireFromEvents(Tables.events(s, dir))
+      wire.select(col("offset"),
+          explode(expr("json_object_keys(cast(value as string))")).as("key"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("first_offset"),
+          max(col("offset")).as("last_offset"))
+        .orderBy(col("key"))
+    }),
     "price_histogram" -> ((s, dir) =>
       Analytics.priceHistogram(Trades.fromEvents(Tables.events(s, dir)))),
     // Cardinality + discrete-percentile profile. percentile_disc returns
@@ -2211,6 +2225,24 @@ object SparkEntry {
 
     // mirrors Sessions.eventFunnel: strict-order staged mins, ns ts
     // truncated to µs by CAST (same as the engine's events reader).
+    // mirrors the wire construction: json_keys over the same to_json
+    // payload shape (key ORDER inside the JSON is irrelevant — keys
+    // are exploded and grouped).
+    "payload_key_audit" ->
+      s"""$tradesCte,
+         |w AS (SELECT event_id AS "offset",
+         |        json_keys(to_json(struct_pack(
+         |          exchange := exchange, symbol := symbol, price := price,
+         |          size := size, side := side, order_type := order_type,
+         |          ts_event := epoch_ms(event_time),
+         |          ts_ingest := epoch_ms(event_time) + event_id % 500)))
+         |          AS ks
+         |      FROM trades)
+         |SELECT u.key AS key, count(*) AS n,
+         |  min("offset") AS first_offset, max("offset") AS last_offset
+         |FROM w, unnest(w.ks) AS u(key)
+         |GROUP BY u.key ORDER BY key""".stripMargin,
+
     "user_retention" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |       FROM events GROUP BY user_id),
