@@ -1024,6 +1024,10 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir))),
     "dedup_embed_lsh" -> ((s, dir) =>
       Similarity.cosineNearDupLsh(Tables.embeddings(s, dir))),
+    // graph centrality over the LSH near-neighbor graph: PageRank as a
+    // density/data-selection signal, exact-decimal iteration sums.
+    "knn_pagerank" -> ((s, dir) =>
+      Similarity.knnPagerank(Tables.embeddings(s, dir))),
     // SemDeDup: k-means cells bound the pairwise comparisons; per-vector
     // kept/dropped audit (keep each semantic neighborhood's lowest id).
     "dedup_semantic" -> ((s, dir) =>
@@ -1470,6 +1474,42 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  /** Hyperplane-LSH candidate chain (mirrors Similarity.cosineNearDupLsh):
+    * 64 md5-seeded hyperplane bits → 16 bands of 4 bits → capped bucket
+    * pairs (star fallback) → verified cosines as CTE `p(id1, id2,
+    * cosine)`. Shared by the dedup_embed_lsh and knn_pagerank oracles.
+    */
+  private lazy val embLshPairsCte =
+    s"""$embCte,
+       |hp AS (SELECT gb.b, gj.j,
+       |         CASE WHEN CAST('0x' || substr(md5('hp' || gb.b || '_' || gj.j), 1, 15) AS BIGINT) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END AS r
+       |       FROM generate_series(0, 63) gb(b), generate_series(0, 63) gj(j)),
+       |hpl AS (SELECT b, list(r ORDER BY j) AS hv FROM hp GROUP BY b),
+       |bits AS (SELECT n.vec_id, hpl.b,
+       |           CASE WHEN list_sum(list_transform(list_zip(n.v, hpl.hv), z -> z[1] * z[2])) >= 0
+       |                THEN '1' ELSE '0' END AS bit
+       |         FROM n, hpl),
+       |bandk AS (SELECT vec_id, b // 4 AS band,
+       |            string_agg(bit, '' ORDER BY b) AS bkey
+       |          FROM bits GROUP BY vec_id, b // 4),
+       |bst AS (SELECT vec_id, band, bkey,
+       |          count(*) OVER (PARTITION BY band, bkey) AS bn,
+       |          min(vec_id) OVER (PARTITION BY band, bkey) AS bmin
+       |        FROM bandk),
+       |cand AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+       |         FROM bst a JOIN bst c
+       |           ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id
+       |         WHERE a.bn <= ${Dedup.MaxBucketSize}
+       |         UNION
+       |         SELECT bmin AS id1, vec_id AS id2
+       |         FROM bst WHERE bn > ${Dedup.MaxBucketSize} AND vec_id > bmin),
+       |p AS (SELECT cand.id1, cand.id2,
+       |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+       |      FROM cand
+       |      JOIN n x ON x.vec_id = cand.id1
+       |      JOIN n y ON y.vec_id = cand.id2)""".stripMargin
 
   /** Squared L2 distance between two lists (mirrors Similarity.l2sq's
     * sequential zip-fold; caller rounds).
@@ -4291,37 +4331,44 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_embed_lsh" ->
-      s"""$embCte,
-         |hp AS (SELECT gb.b, gj.j,
-         |         CASE WHEN CAST('0x' || substr(md5('hp' || gb.b || '_' || gj.j), 1, 15) AS BIGINT) % 2 = 0
-         |              THEN 1.0 ELSE -1.0 END AS r
-         |       FROM generate_series(0, 63) gb(b), generate_series(0, 63) gj(j)),
-         |hpl AS (SELECT b, list(r ORDER BY j) AS hv FROM hp GROUP BY b),
-         |bits AS (SELECT n.vec_id, hpl.b,
-         |           CASE WHEN list_sum(list_transform(list_zip(n.v, hpl.hv), z -> z[1] * z[2])) >= 0
-         |                THEN '1' ELSE '0' END AS bit
-         |         FROM n, hpl),
-         |bandk AS (SELECT vec_id, b // 4 AS band,
-         |            string_agg(bit, '' ORDER BY b) AS bkey
-         |          FROM bits GROUP BY vec_id, b // 4),
-         |bst AS (SELECT vec_id, band, bkey,
-         |          count(*) OVER (PARTITION BY band, bkey) AS bn,
-         |          min(vec_id) OVER (PARTITION BY band, bkey) AS bmin
-         |        FROM bandk),
-         |cand AS (SELECT a.vec_id AS id1, c.vec_id AS id2
-         |         FROM bst a JOIN bst c
-         |           ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id
-         |         WHERE a.bn <= ${Dedup.MaxBucketSize}
-         |         UNION
-         |         SELECT bmin AS id1, vec_id AS id2
-         |         FROM bst WHERE bn > ${Dedup.MaxBucketSize} AND vec_id > bmin),
-         |p AS (SELECT cand.id1, cand.id2,
-         |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
-         |      FROM cand
-         |      JOIN n x ON x.vec_id = cand.id1
-         |      JOIN n y ON y.vec_id = cand.id2)
+      s"""$embLshPairsCte
          |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.45
          |ORDER BY id1, id2""".stripMargin,
+
+    // mirrors Similarity.knnPagerank: 5 unrolled bulk-synchronous
+    // iterations over the symmetrized LSH near-dup graph — per-edge
+    // contributions rounded to 12 decimals and summed EXACTLY, the
+    // teleport+damp update in doubles with the engine's expression
+    // shape (0.15e0 / 0.85e0 literals, never 1−d).
+    "knn_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s""",
+           |c$i AS (SELECT ed.dst AS id,
+           |          CAST(round(CAST(r${i - 1}.r AS DOUBLE)
+           |            / CAST(dg.deg AS DOUBLE), 12) AS DECIMAL(28,12)) AS c
+           |        FROM ed JOIN r${i - 1} ON r${i - 1}.id = ed.src
+           |        JOIN dg ON dg.id = ed.src),
+           |r$i AS (SELECT s.id,
+           |          CAST(round(0.15e0 / CAST(nn.n AS DOUBLE)
+           |            + 0.85e0 * CAST(s.sc AS DOUBLE), 12)
+           |            AS DECIMAL(28,12)) AS r
+           |        FROM (SELECT id, sum(c) AS sc FROM c$i GROUP BY id) s
+           |        CROSS JOIN nn)""".stripMargin
+      }.mkString
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),
+         |ed AS (SELECT id1 AS src, id2 AS dst FROM ep
+         |       UNION ALL SELECT id2, id1 FROM ep),
+         |dg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM ed),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, CAST(round(1.0e0 / CAST(nn.n AS DOUBLE), 12)
+         |         AS DECIMAL(28,12)) AS r
+         |       FROM nodes CROSS JOIN nn)$iters
+         |SELECT r5.id AS vec_id, CAST(r5.r AS DOUBLE) AS rank, dg.deg
+         |FROM r5 JOIN dg ON dg.id = r5.id
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "media_stats" ->
       """SELECT doc_id AS media_id,

@@ -724,4 +724,58 @@ object Similarity {
         (!coalesce(col("is_dup"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** PageRank over the embedding near-neighbor graph — graph centrality
+    * as a data-selection signal (high-rank vectors sit in dense
+    * semantic neighborhoods; low-rank ones are fringe). Edges are the
+    * LSH near-dup pairs ([[cosineNearDupLsh]] — banded, capped, never
+    * all-pairs), symmetrized.
+    *
+    * Determinism: double summation is order-dependent, so each
+    * iteration's contributions (rank/degree) are rounded to 12 decimals
+    * and summed as EXACT decimals; only the per-node teleport+damp
+    * update runs in doubles, with the identical expression shape in the
+    * oracle — the unrolled-iteration SQL matches bit for bit. The
+    * damping/teleport pair is passed as two literals (not 1−d: IEEE
+    * 1.0−0.85 ≠ the 0.15 literal by one ulp).
+    *
+    * Scale shape: the edge list is materialized once and reused across
+    * iterations; each iteration is one equi join (edges ⋈ ranks, both
+    * partitioned by src) + one hash agg on dst. Iterations are a fixed
+    * small constant — the classic bulk-synchronous PageRank schedule.
+    */
+  def knnPagerank(embeddings: DataFrame, iterations: Int = 5,
+                  damping: Double = 0.85, teleport: Double = 0.15)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    val pairs = cosineNearDupLsh(embeddings).select(col("id1"), col("id2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"),
+        round(lit(1.0) / col("n").cast("double"), 12).cast(dec).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          round(col("r").cast("double") / col("deg").cast("double"), 12)
+            .cast(dec).as("c"))
+      r = contrib.groupBy(col("id")).agg(sum(col("c")).as("sc"))
+        .crossJoin(broadcast(nRow))
+        .select(col("id"),
+          round(lit(teleport) / col("n").cast("double")
+            + lit(damping) * col("sc").cast("double"), 12).cast(dec).as("r"))
+    }
+    r.join(deg.withColumnRenamed("src", "id"), Seq("id"))
+      .select(col("id").as("vec_id"), col("r").cast("double").as("rank"),
+        col("deg"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -224,4 +224,22 @@ class CapsAndLshSpec extends SparkSpec {
     assert(r.filter(_.getAs[Boolean]("kept")).map(_.getLong(0)).toSeq ==
       Seq(0L))
   }
+
+  test("knnPagerank: ranks positive, total mass ~1, two-node graph splits evenly") {
+    val real = Similarity.knnPagerank(Tables.embeddings(spark, "/root/testdata/sf0.01"))
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(1) > 0))
+    val mass = real.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
+    // a graph of exactly one near-dup pair: both endpoints get 0.5 at
+    // every iteration (teleport/2 + d*0.5 = 0.5)
+    import spark.implicits._
+    val pair = Seq(
+      (0L, Array.fill(64)(1.0f), 0),
+      (1L, Array.fill(64)(1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val two = Similarity.knnPagerank(pair).collect()
+    assert(two.length == 2)
+    two.foreach(r => assert(r.getDouble(1) == 0.5 && r.getLong(2) == 1L))
+  }
 }

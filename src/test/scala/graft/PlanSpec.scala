@@ -358,6 +358,8 @@ class PlanSpec extends SparkSpec {
       "retire_audit",
       // packed-centroid broadcast, same as dedup_semantic
       "cluster_profile", "ann_incremental", "ivf_drift_audit", "ann_retire",
+      // 1-row node-count broadcast per PageRank iteration
+      "knn_pagerank",
       "ann_retrain",
       // 1-row LM-model cross join, same as lm_score
       "lm_score_bigram",
