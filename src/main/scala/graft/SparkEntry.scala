@@ -1095,6 +1095,31 @@ object SparkEntry {
       Multimodal.incrementalNearDups(s,
         Multimodal.phash(s, m.filter(isHist)), m.filter(!isHist))
     }),
+    // declarative data-quality gate: the full standard constraint suite
+    // (completeness / range / domain / regex RowChecks folded into ONE
+    // conditional-agg scan per table, uniqueness via two-stage hash agg,
+    // referential integrity via anti-join) as a diffable report table.
+    "dq_audit" -> ((s, dir) =>
+      DataQuality.audit(
+        Map(
+          "orders" -> Tables.orders(s, dir),
+          "customer" -> Tables.customer(s, dir),
+          "lineitem" -> Tables.lineitem(s, dir),
+          "nation" -> Tables.nation(s, dir),
+          "events" -> Tables.events(s, dir),
+          "documents" -> Tables.documents(s, dir),
+          "embeddings" -> Tables.embeddings(s, dir)),
+        DataQuality.standardChecks)),
+    // KMV distinct sketch: bounded-state cardinality whose ESTIMATE is
+    // oracle-exact (order statistics of a portable hash — see Sketches).
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"),
+        col("user_id"), 64, "kmv_")),
+    // the merge law: daily partial sketches unioned + re-capped must
+    // equal the direct whole-history sketch, row for row.
+    "sketch_kmv_merge" -> ((s, dir) =>
+      Sketches.kmvMergeDaily(Tables.events(s, dir), Seq("event_type"),
+        to_date(col("ts")), col("user_id"), 32, "kmv_")),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -4654,5 +4679,137 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    // mirrors DataQuality.standardChecks one UNION-ALL branch per check:
+    // RowCheck violations use `(valid) IS NOT TRUE` (null-as-violation,
+    // the same semantics as when(valid,0).otherwise(1)); uniqueness is
+    // rows − distinct keys; inclusion counts NOT EXISTS danglers (the
+    // left-anti convention — a NULL parent key never matches).
+    "dq_audit" ->
+      """WITH checks AS (
+        |SELECT 'orders_pk_unique' AS check_id, 'orders' AS table_name,
+        |  (SELECT count(*) FROM orders) AS n_rows,
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS n_violations
+        |UNION ALL SELECT 'orders_custkey_complete', 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE (o_custkey IS NOT NULL) IS NOT TRUE)
+        |UNION ALL SELECT 'orders_totalprice_positive', 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE (o_totalprice > 0) IS NOT TRUE)
+        |UNION ALL SELECT 'orders_status_domain', 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE (o_orderstatus IN ('F','O','P')) IS NOT TRUE)
+        |UNION ALL SELECT 'orders_custkey_in_customer', 'orders',
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+        |  (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL SELECT 'customer_pk_unique', 'customer',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        |UNION ALL SELECT 'customer_name_pattern', 'customer',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer WHERE regexp_matches(c_name, '^Customer#[0-9]+$') IS NOT TRUE)
+        |UNION ALL SELECT 'customer_nation_in_nation', 'customer',
+        |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL),
+        |  (SELECT count(*) FROM customer c WHERE c_nationkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |UNION ALL SELECT 'lineitem_pk_unique', 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem)
+        |    - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |UNION ALL SELECT 'lineitem_discount_range', 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE (l_discount >= 0 AND l_discount <= 1) IS NOT TRUE)
+        |UNION ALL SELECT 'lineitem_quantity_positive', 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE (l_quantity > 0) IS NOT TRUE)
+        |UNION ALL SELECT 'lineitem_ship_after_1990', 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE (l_shipdate >= TIMESTAMP '1990-01-01') IS NOT TRUE)
+        |UNION ALL SELECT 'lineitem_order_in_orders', 'lineitem',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |  (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL SELECT 'events_pk_unique', 'events',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) - count(DISTINCT event_id) FROM events)
+        |UNION ALL SELECT 'events_ts_complete', 'events',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events WHERE (ts IS NOT NULL) IS NOT TRUE)
+        |UNION ALL SELECT 'events_value_complete', 'events',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events WHERE (value IS NOT NULL) IS NOT TRUE)
+        |UNION ALL SELECT 'documents_pk_unique', 'documents',
+        |  (SELECT count(*) FROM documents),
+        |  (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+        |UNION ALL SELECT 'documents_text_complete', 'documents',
+        |  (SELECT count(*) FROM documents),
+        |  (SELECT count(*) FROM documents WHERE (text IS NOT NULL AND length(text) > 0) IS NOT TRUE)
+        |UNION ALL SELECT 'documents_nchars_consistent', 'documents',
+        |  (SELECT count(*) FROM documents),
+        |  (SELECT count(*) FROM documents WHERE (n_chars = length(text)) IS NOT TRUE)
+        |UNION ALL SELECT 'embeddings_pk_unique', 'embeddings',
+        |  (SELECT count(*) FROM embeddings),
+        |  (SELECT count(*) - count(DISTINCT vec_id) FROM embeddings)
+        |UNION ALL SELECT 'embeddings_dim_consistent', 'embeddings',
+        |  (SELECT count(*) FROM embeddings),
+        |  (SELECT count(*) FROM embeddings WHERE (len(embedding) = 64) IS NOT TRUE)
+        |)
+        |SELECT check_id, table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM checks ORDER BY check_id""".stripMargin,
+
+    // mirrors Sketches.kmvDistinct (k=64, salt 'kmv_'): distinct salted
+    // hash60 per type, k smallest via row_number, estimate (k-1)*2^60/h_k
+    // (exact count when fewer than k distinct hashes survive).
+    "sketch_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${h60("'kmv_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |e AS (SELECT event_type,
+         |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |    END AS kmv_est
+         |  FROM r WHERE rn <= 64 GROUP BY event_type),
+         |x AS (SELECT event_type, count(*) AS n_exact FROM h GROUP BY event_type)
+         |SELECT x.event_type, n_exact, kmv_est,
+         |  round(abs(kmv_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // mirrors Sketches.kmvMergeDaily (k=32): per-(type, day) k-min
+    // partials, unioned + deduped + re-capped = merged sketch; compared
+    // against the direct sketch over the whole history.
+    "sketch_kmv_merge" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    ${h60("'kmv_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |p AS (SELECT event_type, h FROM (
+         |    SELECT event_type, day, h,
+         |      row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+         |    FROM h) WHERE rn <= 32),
+         |pd AS (SELECT DISTINCT event_type, h FROM p),
+         |m AS (SELECT event_type,
+         |    CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |    END AS merged_est
+         |  FROM (SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM pd) WHERE rn <= 32 GROUP BY event_type),
+         |hd AS (SELECT DISTINCT event_type, h FROM h),
+         |d AS (SELECT event_type,
+         |    CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |    END AS direct_est
+         |  FROM (SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM hd) WHERE rn <= 32 GROUP BY event_type)
+         |SELECT m.event_type, merged_est, direct_est,
+         |  merged_est = direct_est AS merge_consistent
+         |FROM m JOIN d USING (event_type) ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over the lakehouse tables —
+  * the constraint-suite a 100 TB ingestion runs before promoting a drop
+  * (the Deequ/"expectations" pattern, re-expressed as plain Catalyst
+  * aggregation so the whole audit stays inside whole-stage codegen).
+  *
+  * The reference pipeline validates implicitly (PERMISSIVE `from_json`
+  * nulls + `_rejects` audit, `spark/jobs/kafka_to_bronze_trades.py`);
+  * this makes the contract explicit and *measurable*: every check
+  * yields a (violations, rows, pass) row, so drift is a diffable table
+  * rather than a silent null.
+  *
+  * Scale shape — the audit cost is one pass per table, not per check:
+  *   - All [[RowCheck]]s (null / range / domain / regex) of one table
+  *     fold into a SINGLE conditional-aggregation scan (map-side
+  *     partial agg → 1 row). Adding a check adds a column, not a scan.
+  *   - [[Uniqueness]] is the only per-check shuffle: a two-stage hash
+  *     agg on the key (surplus rows = Σ(group count − 1) = rows −
+  *     distinct keys). At 100 TB this is the same shuffle the dedup
+  *     family already pays; an HLL sketch would make it approximate
+  *     and map-only, at the cost of exactness (see `approx_profile`'s
+  *     note on sketch oracles).
+  *   - [[Inclusion]] (referential integrity) is a left-anti join
+  *     against the DISTINCT parent key; Spark broadcasts it when the
+  *     parent is a dim, and AQE handles the fact-fact case.
+  * The audit result itself is O(checks) rows — union of 1-row aggs.
+  */
+object DataQuality {
+
+  /** One declared expectation; `id` is the stable report key. */
+  sealed trait Check { def id: String; def table: String }
+
+  /** Row-level predicate expectation: a row violates the check when
+    * `valid` evaluates to false OR null (so `isNotNull` completeness,
+    * range, domain-membership, and regex checks are all this shape).
+    */
+  final case class RowCheck(id: String, table: String, valid: Column)
+      extends Check
+
+  /** Key-uniqueness expectation; violations = surplus duplicate rows
+    * (rows − distinct keys), 0 iff `cols` is a candidate key.
+    */
+  final case class Uniqueness(id: String, table: String, cols: Seq[String])
+      extends Check
+
+  /** Referential-integrity expectation: every non-null `col` value in
+    * `table` must appear in `parent(parentCol)`. Null FKs are NOT
+    * violations here — declare a separate completeness [[RowCheck]] if
+    * the FK is also mandatory (SQL's FK semantics, kept separable so
+    * the report distinguishes "missing" from "dangling").
+    */
+  final case class Inclusion(id: String, table: String, col: String,
+      parent: String, parentCol: String) extends Check
+
+  /** Runs every check and returns one row per check:
+    * (check_id, table_name, n_rows, n_violations, pass), sorted by
+    * check_id. `tables` maps the names used in checks to DataFrames.
+    */
+  def audit(tables: Map[String, DataFrame], checks: Seq[Check]): DataFrame = {
+    val row = checks.collect { case c: RowCheck => c }.groupBy(_.table)
+    val perTable: Seq[DataFrame] = row.toSeq.map { case (t, cs) =>
+      val df = tables(t)
+      // one scan: count(*) plus one conditional sum per check
+      val aggs = cs.map(c =>
+        sum(when(c.valid, 0L).otherwise(1L)).as(s"v_${c.id}"))
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cs.map(c => s"'${c.id}', `v_${c.id}`").mkString(", ")
+      one.select(
+        expr(s"stack(${cs.size}, $stackArgs)").as(Seq("check_id", "n_violations")),
+        col("n_rows"))
+        .select(col("check_id"), lit(t).as("table_name"), col("n_rows"),
+          col("n_violations"))
+    }
+    val uniq: Seq[DataFrame] = checks.collect { case c: Uniqueness =>
+      tables(c.table)
+        .groupBy(c.cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(col("cnt") - 1).as("n_violations"))
+        .select(lit(c.id).as("check_id"), lit(c.table).as("table_name"),
+          col("n_rows"), col("n_violations"))
+    }
+    val incl: Seq[DataFrame] = checks.collect { case c: Inclusion =>
+      val child = tables(c.table).select(col(c.col)).where(col(c.col).isNotNull)
+      val parent = tables(c.parent).select(col(c.parentCol).as(c.col)).distinct()
+      val dangling = child.join(parent, Seq(c.col), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val total = child.agg(count(lit(1)).as("n_rows"))
+      total.crossJoin(dangling) // both sides are 1-row aggregates
+        .select(lit(c.id).as("check_id"), lit(c.table).as("table_name"),
+          col("n_rows"), col("n_violations"))
+    }
+    (perTable ++ uniq ++ incl)
+      .reduce(_.unionByName(_))
+      .select(col("check_id"), col("table_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy(col("check_id"))
+  }
+
+  /** The standard constraint suite for the harness tables — the checks
+    * a promotion gate would run on every drop. Uses only deterministic,
+    * ANSI-expressible predicates so the DuckDB oracle mirrors exactly.
+    */
+  def standardChecks: Seq[Check] = Seq(
+    // orders
+    Uniqueness("orders_pk_unique", "orders", Seq("o_orderkey")),
+    RowCheck("orders_custkey_complete", "orders", col("o_custkey").isNotNull),
+    RowCheck("orders_totalprice_positive", "orders", col("o_totalprice") > 0),
+    RowCheck("orders_status_domain", "orders",
+      col("o_orderstatus").isin("F", "O", "P")),
+    Inclusion("orders_custkey_in_customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    // customer
+    Uniqueness("customer_pk_unique", "customer", Seq("c_custkey")),
+    RowCheck("customer_name_pattern", "customer",
+      col("c_name").rlike("^Customer#[0-9]+$")),
+    Inclusion("customer_nation_in_nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    // lineitem
+    Uniqueness("lineitem_pk_unique", "lineitem",
+      Seq("l_orderkey", "l_linenumber")),
+    RowCheck("lineitem_discount_range", "lineitem",
+      col("l_discount") >= 0 && col("l_discount") <= 1),
+    RowCheck("lineitem_quantity_positive", "lineitem", col("l_quantity") > 0),
+    RowCheck("lineitem_ship_after_1990", "lineitem",
+      col("l_shipdate") >= to_timestamp(lit("1990-01-01"))),
+    Inclusion("lineitem_order_in_orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    // events
+    Uniqueness("events_pk_unique", "events", Seq("event_id")),
+    RowCheck("events_ts_complete", "events", col("ts").isNotNull),
+    RowCheck("events_value_complete", "events", col("value").isNotNull),
+    // documents
+    Uniqueness("documents_pk_unique", "documents", Seq("doc_id")),
+    RowCheck("documents_text_complete", "documents",
+      col("text").isNotNull && length(col("text")) > 0),
+    RowCheck("documents_nchars_consistent", "documents",
+      col("n_chars") === length(col("text"))),
+    // embeddings
+    Uniqueness("embeddings_pk_unique", "embeddings", Seq("vec_id")),
+    RowCheck("embeddings_dim_consistent", "embeddings",
+      size(col("embedding")) === 64)
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic mergeable sketches — the map-side path for cardinality
+  * at 100 TB, built so the oracle can verify them EXACTLY.
+  *
+  * Spark's own sketches (HLL++ `approx_count_distinct`, t-digest
+  * `percentile_approx`) are engine-specific: no external oracle can
+  * reproduce their estimates bit-for-bit, so they are bound-checked in
+  * CapsAndLshSpec rather than oracle-gated (see `approx_profile`'s
+  * note). The KMV (k-minimum-values) sketch closes that gap: its state
+  * is the k smallest values of a uniform hash — pure order statistics,
+  * reproducible in ANSI SQL — and its estimator (k−1)·H/h_k [Bar-Yossef
+  * et al. 2002; Beyer et al. SIGMOD'07 "distinct-value synopses"] is a
+  * single arithmetic expression. So the ESTIMATE itself hash-matches
+  * the DuckDB oracle while keeping the properties that matter at scale:
+  *   - bounded state: k longs per group, whatever the cardinality;
+  *   - mergeable: union the k-min sets, re-take the k smallest —
+  *     KMV(A ∪ B) = kmin_k(KMV(A) ∪ KMV(B)), exactly (the property
+  *     `kmvMergeDaily` asserts row-by-row against the direct sketch);
+  *   - exact below k: with fewer than k distinct hashes the sketch IS
+  *     the distinct set, so small groups report exact counts.
+  *
+  * Plan shape: one (group, hash)-distinct two-stage agg, then a
+  * row_number window that Spark 3.5+ rewrites to WindowGroupLimit —
+  * each map task keeps only its local k smallest before the shuffle,
+  * so the shuffle carries O(groups · k) rows, not O(distinct values).
+  */
+object Sketches {
+
+  /** 2^60 — the exclusive upper bound of [[TextFunctions.hash60]]. */
+  val HashRange: Double = 1152921504606846976.0
+
+  private def kminRanked(hashes: DataFrame, groupCols: Seq[String], k: Int) = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    hashes.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** KMV estimate columns over a ranked k-min set: m = retained hashes,
+    * h_k = the largest. Estimate is exact (= m) while m < k.
+    */
+  private def estimate(k: Int): Column = {
+    val m = count(lit(1))
+    val hk = max(col("h"))
+    when(m < k, m.cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(HashRange) / hk.cast("double"), 4))
+  }
+
+  /** Distinct-cardinality sketch report per group:
+    * (group..., n_exact, kmv_est, rel_err). `value` is hashed with a
+    * salted hash60 so the sketch is reproducible anywhere md5 exists.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int, salt: String): DataFrame = {
+    val hashes = df
+      .select(groupCols.map(col) :+
+        TextFunctions.hash60(concat(lit(salt), value)).as("h"): _*)
+      .distinct()
+    val est = kminRanked(hashes, groupCols, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(estimate(k).as("kmv_est"))
+    val exact = hashes.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(est, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("n_exact"), col("kmv_est"),
+        round(abs(col("kmv_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("rel_err")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** The merge path: per-(group, day) partial sketches (the shape a
+    * daily job persists) are unioned per group and re-capped to the k
+    * smallest; the merged estimate is compared against the direct
+    * whole-history sketch. `merge_consistent` must be uniformly true —
+    * that equality is the algebraic property that lets 365 daily
+    * sketch tables answer a yearly cardinality without re-reading the
+    * year (KMV(A ∪ B) = kmin_k(KMV(A) ∪ KMV(B))).
+    */
+  def kmvMergeDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      value: Column, k: Int, salt: String): DataFrame = {
+    val hashes = df
+      .select(groupCols.map(col) ++ Seq(dayCol.as("day"),
+        TextFunctions.hash60(concat(lit(salt), value)).as("h")): _*)
+      .distinct() // distinct within (group, day): the daily sketch input
+    // daily partial sketches: k-min per (group, day)
+    val partials = kminRanked(hashes, groupCols :+ "day", k)
+      .select(groupCols.map(col) :+ col("h"): _*)
+    // merge = union of partials, re-ranked; duplicates across days
+    // collapse first (a value seen on many days is one distinct)
+    val merged = kminRanked(partials.distinct(), groupCols, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(estimate(k).as("merged_est"))
+    // direct sketch over the whole history (day-agnostic)
+    val direct = kminRanked(
+        hashes.select(groupCols.map(col) :+ col("h"): _*).distinct(),
+        groupCols, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(estimate(k).as("direct_est"))
+    merged.join(direct, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("merged_est"), col("direct_est"),
+        (col("merged_est") === col("direct_est")).as("merge_consistent")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** KMV distinct sketch: exactness below k, estimator accuracy, and the
+  * merge law (union of partial sketches == direct sketch).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values(group: String, n: Int) =
+    (1 to n).map(i => (group, s"${group}_v$i"))
+
+  test("below k the sketch reports the exact distinct count") {
+    // 10 distinct values, k=64 -> exact path, rel_err 0
+    val df = (values("a", 10) ++ values("a", 10)).toDF("g", "v")
+    val rep = Sketches.kmvDistinct(df, Seq("g"), col("v"), 64, "t_").collect()
+    assert(rep.length == 1)
+    assert(rep.head.getAs[Long]("n_exact") == 10L)
+    assert(rep.head.getAs[Double]("kmv_est") == 10.0)
+    assert(rep.head.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("above k the estimate lands within the theoretical error band") {
+    // 2000 distinct, k=64: KMV relative error concentrates around
+    // 1/sqrt(k-2) ~ 0.13; assert a generous 3-sigma band
+    val df = values("a", 2000).toDF("g", "v")
+    val rep = Sketches.kmvDistinct(df, Seq("g"), col("v"), 64, "t_").collect()
+    assert(rep.head.getAs[Long]("n_exact") == 2000L)
+    assert(rep.head.getAs[Double]("rel_err") < 0.4,
+      s"rel_err ${rep.head.getAs[Double]("rel_err")}")
+  }
+
+  test("merge law: daily partials re-capped equal the direct sketch") {
+    // values spread over 7 'days' with heavy cross-day overlap
+    val rows = for {
+      d <- 1 to 7; i <- 1 to 300
+    } yield ("g1", d, s"v${(i * d) % 900}")
+    val df = rows.toDF("g", "day", "v")
+    val rep = Sketches.kmvMergeDaily(df, Seq("g"), col("day"), col("v"),
+      32, "t_").collect()
+    assert(rep.length == 1)
+    assert(rep.head.getAs[Boolean]("merge_consistent"),
+      s"merged ${rep.head.getAs[Double]("merged_est")} != " +
+        s"direct ${rep.head.getAs[Double]("direct_est")}")
+  }
+
+  test("merge law holds per group across many random groups") {
+    val rng = new scala.util.Random(42)
+    val rows = for {
+      g <- 1 to 8; d <- 1 to 5; _ <- 1 to 200
+    } yield (s"g$g", d, s"v${rng.nextInt(100 * g)}")
+    val rep = Sketches.kmvMergeDaily(rows.toDF("g", "day", "v"),
+      Seq("g"), col("day"), col("v"), 16, "t_").collect()
+    assert(rep.length == 8)
+    assert(rep.forall(_.getAs[Boolean]("merge_consistent")))
+  }
+
+  test("sketch state is bounded: k-min retains at most k rows per group") {
+    // the registered query at sf0.001: 15 users/type, k=64 -> exact
+    val rep = SparkEntry.queries("sketch_kmv_distinct")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rep.length == 5)
+    assert(rep.forall(r => r.getAs[Double]("kmv_est") ==
+      r.getAs[Long]("n_exact").toDouble))
+    val merge = SparkEntry.queries("sketch_kmv_merge")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(merge.forall(_.getAs[Boolean]("merge_consistent")))
+  }
+}
