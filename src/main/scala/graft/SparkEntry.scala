@@ -1120,6 +1120,11 @@ object SparkEntry {
     "sketch_kmv_merge" -> ((s, dir) =>
       Sketches.kmvMergeDaily(Tables.events(s, dir), Seq("event_type"),
         to_date(col("ts")), col("user_id"), 32, "kmv_")),
+    // Z-order layout audit: how many files a 2-D probe workload must
+    // read under ingest-order vs single-dim-sort vs Morton-interleaved
+    // layouts — the data-layout lever behind OPTIMIZE ZORDER.
+    "layout_zorder" -> ((s, dir) =>
+      Layout.skippingAudit(Tables.events(s, dir))),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -4811,5 +4816,56 @@ object SparkEntry {
          |SELECT m.event_type, merged_est, direct_est,
          |  merged_est = direct_est AS merge_consistent
          |FROM m JOIN d USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // mirrors Layout.skippingAudit (64 files, 16 probes, 8-bit buckets):
+    // identical integer/floor arithmetic, the same ntile file cuts, the
+    // same stats-overlap probe join.
+    "layout_zorder" ->
+      s"""WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS vcents FROM events),
+         |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+         |    min(vcents) AS vmin, max(vcents) AS vmax FROM base),
+         |wb AS (SELECT base.*, umin, umax, vmin, vmax,
+         |    umax - umin + 1 AS uspan, vmax - vmin + 1 AS vspan FROM base, b),
+         |wz AS (SELECT *,
+         |    CAST(floor((user_id - umin) * 256 / uspan) AS BIGINT) AS ub,
+         |    CAST(floor((vcents - vmin) * 256 / vspan) AS BIGINT) AS vb
+         |  FROM wb),
+         |z AS (SELECT *, ${graft.operators.Layout.zValueSql("ub", "vb", 8)} AS z
+         |  FROM wz),
+         |f AS (
+         |  SELECT 'time' AS layout, ntile(64) OVER (ORDER BY ts, event_id) AS file_id,
+         |    user_id, vcents FROM z
+         |  UNION ALL
+         |  SELECT 'user', ntile(64) OVER (ORDER BY user_id, event_id),
+         |    user_id, vcents FROM z
+         |  UNION ALL
+         |  SELECT 'zorder', ntile(64) OVER (ORDER BY z.z, event_id),
+         |    user_id, vcents FROM z),
+         |stats AS (SELECT layout, file_id,
+         |    min(user_id) AS f_umin, max(user_id) AS f_umax,
+         |    min(vcents) AS f_vmin, max(vcents) AS f_vmax,
+         |    count(*) AS f_rows
+         |  FROM f GROUP BY layout, file_id),
+         |probes AS (SELECT g.p,
+         |    CASE WHEN g.p % 2 = 0
+         |      THEN umin + CAST(floor(uspan * (2 * g.p + 1) / 32) AS BIGINT)
+         |      ELSE umin END AS p_ulo,
+         |    CASE WHEN g.p % 2 = 0
+         |      THEN umin + CAST(floor(uspan * (2 * g.p + 3) / 32) AS BIGINT) - 1
+         |      ELSE umax END AS p_uhi,
+         |    vmin + CAST(floor(vspan * (2 * g.p + 1) / 32) AS BIGINT) AS p_vlo,
+         |    vmin + CAST(floor(vspan * (2 * g.p + 3) / 32) AS BIGINT) - 1 AS p_vhi
+         |  FROM generate_series(0, 15) AS g(p),
+         |    (SELECT *, umax - umin + 1 AS uspan, vmax - vmin + 1 AS vspan FROM b)),
+         |tot AS (SELECT layout, sum(f_rows) AS rows_total FROM stats GROUP BY layout),
+         |hits AS (SELECT layout, count(*) AS files_hit, sum(f_rows) AS rows_scanned
+         |  FROM stats JOIN probes ON f_umin <= p_uhi AND f_umax >= p_ulo
+         |    AND f_vmin <= p_vhi AND f_vmax >= p_vlo
+         |  GROUP BY layout)
+         |SELECT h.layout, 64 AS n_files, 16 AS n_probes, files_hit,
+         |  CAST(rows_scanned AS BIGINT) AS rows_scanned,
+         |  CAST(rows_total AS BIGINT) AS rows_total
+         |FROM hits h JOIN tot USING (layout) ORDER BY layout""".stripMargin,
   )
 }

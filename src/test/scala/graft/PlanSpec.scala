@@ -367,7 +367,13 @@ class PlanSpec extends SparkSpec {
       "bm25_topk", "bm25_incremental", "bm25_passages", "bm25_retire",
       "bm25_passages_incremental", "bm25_passages_retire",
       // packed-centroid broadcast, same as dedup_semantic
-      "diversity_sample", "dedup_semantic_docs")
+      "diversity_sample", "dedup_semantic_docs",
+      // parameter-bounded stats×probes overlap join (nFiles·layouts ×
+      // nProbes rows) plus the 1-row bounds cross join
+      "layout_zorder",
+      // Inclusion checks cross-join two 1-row aggregates (n_rows ×
+      // n_violations) per declared FK — bounded by construction
+      "dq_audit")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
