@@ -1125,6 +1125,12 @@ object SparkEntry {
     // layouts — the data-layout lever behind OPTIMIZE ZORDER.
     "layout_zorder" -> ((s, dir) =>
       Layout.skippingAudit(Tables.events(s, dir))),
+    // stream-stream interval join oracle-gated end to end: real file
+    // streams both sides, multi-micro-batch drain with cross-batch buy
+    // state, sink read back and aggregated to the interval_buy_sells
+    // shape — the streaming join must equal the banded batch join.
+    "pipeline_join_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.joinE2E(s, dir)),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -2130,6 +2136,25 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "interval_buy_sells" ->
+      s"""$tradesCte,
+         |b AS (SELECT symbol, event_id, event_time AS buy_time, price AS buy_price
+         |      FROM trades WHERE side = 'buy'),
+         |s AS (SELECT symbol AS s_symbol, event_time AS sell_time, price AS sell_price
+         |      FROM trades WHERE side = 'sell'),
+         |j AS (SELECT b.symbol, b.event_id, b.buy_time, b.buy_price, s.sell_price
+         |      FROM b JOIN s ON s.s_symbol = b.symbol
+         |        AND s.sell_time >= b.buy_time
+         |        AND s.sell_time <= b.buy_time + INTERVAL 1 MINUTE)
+         |SELECT symbol, event_id, buy_time, buy_price,
+         |  count(*) AS n_sells,
+         |  min(sell_price) AS min_sell_price,
+         |  max(sell_price) AS max_sell_price
+         |FROM j GROUP BY symbol, event_id, buy_time, buy_price
+         |ORDER BY symbol, event_id""".stripMargin,
+
+    // the streaming interval join must equal the batch one exactly —
+    // same oracle as interval_buy_sells
+    "pipeline_join_e2e" ->
       s"""$tradesCte,
          |b AS (SELECT symbol, event_id, event_time AS buy_time, price AS buy_price
          |      FROM trades WHERE side = 'buy'),

@@ -287,4 +287,72 @@ object Pipeline {
     Gold.finalizeBars(spark.read.parquet(stateDir).drop("bar_date"))
       .orderBy(col("symbol"), col("bar_start"))
   }
+
+  /** Stream-stream interval join, oracle-gated end to end: buys and
+    * sells land as REAL file streams (two sources into one streaming
+    * query), flow through [[Streams.matchOppositeSides]] with its
+    * event-time range condition, and the matched pairs stream into a
+    * parquet sink in append mode. The sink is read back and aggregated
+    * per buy — the exact `interval_buy_sells` result shape, so the
+    * `pipeline_join_e2e` CORRECTNESS entry hash-matches the batch
+    * interval-join oracle: the streaming join must produce precisely
+    * the pairs the banded batch join produces.
+    *
+    * The sell side lands as 3 files drained one per micro-batch
+    * (`maxFilesPerTrigger`), so later batches join against BUY STATE
+    * buffered in earlier ones — real cross-batch stream-stream state.
+    * The watermark is set wider than the corpus time-span, which makes
+    * the drain order-independent (no row is ever late, no state is
+    * evicted before its partner arrives) — completeness is what the
+    * oracle checks. Tight-watermark semantics (eviction, late drops,
+    * bounded state) are the COMPLEMENTARY property, covered by
+    * StreamingSpec's controlled multi-batch cases; at 100 TB the
+    * watermark is the knob that bounds join state, sized to the
+    * real-world disorder bound, not the corpus span.
+    */
+  def joinE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Trades
+    val basePath = Files.createTempDirectory("graft_je2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val buysDir = s"$base/buys"
+    val sellsDir = s"$base/sells"
+    val pairsDir = s"$base/pairs"
+
+    val trades = Trades.fromEvents(Tables.events(spark, dir))
+    val buys = trades.filter(col("side") === "buy")
+      .select(col("symbol"), col("event_id"), col("event_time"),
+        col("price"), col("size"))
+    val sells = trades.filter(col("side") === "sell")
+      .select(col("symbol"), col("event_time"), col("price"), col("size"))
+    buys.coalesce(1).write.mode("overwrite").parquet(buysDir)
+    sells.repartition(3).write.mode("overwrite").parquet(sellsDir)
+
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val bStream = spark.readStream.schema(buys.schema).parquet(buysDir)
+      val sStream = spark.readStream.schema(sells.schema)
+        .option("maxFilesPerTrigger", 1).parquet(sellsDir)
+      val joined = Streams.matchOppositeSides(bStream, sStream,
+        within = "1 minute", watermark = "45 days",
+        joinType = "inner", buyKeys = Seq("event_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", pairsDir)
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
+
+    spark.read.parquet(pairsDir)
+      .groupBy(col("symbol"), col("event_id"), col("buy_time"),
+        col("buy_price"))
+      .agg(count(lit(1)).as("n_sells"),
+        min(col("sell_price")).as("min_sell_price"),
+        max(col("sell_price")).as("max_sell_price"))
+      .orderBy(col("symbol"), col("event_id"))
+  }
 }

@@ -146,19 +146,25 @@ object Streams {
     * the fill-detection variant ("which orders never crossed") — using
     * the same bounded state; Spark holds a buy only until
     * buy_time + within drops below the watermark.
+    *
+    * `buyKeys`: extra buy-side columns carried through the join
+    * unchanged (e.g. the originating event_id, so downstream sinks can
+    * aggregate per buy — Pipeline.joinE2E's oracle-gated path).
     */
   def matchOppositeSides(buys: DataFrame, sells: DataFrame,
                          within: String = "1 minute",
                          watermark: String = DefaultWatermark,
-                         joinType: String = "inner"): DataFrame = {
+                         joinType: String = "inner",
+                         buyKeys: Seq[String] = Nil): DataFrame = {
     // fail at construction, not deep inside query start: only these two
     // types are supported-and-tested with this watermark shape
     // (full_outer would need both-side state expiry conditions)
     require(Set("inner", "left_outer")(joinType),
       s"matchOppositeSides supports inner | left_outer, got '$joinType'")
     val b = buys
-      .select(col("symbol"), col("event_time").as("buy_time"),
-        col("price").as("buy_price"), col("size").as("buy_size"))
+      .select(Seq(col("symbol")) ++ buyKeys.map(col) ++ Seq(
+        col("event_time").as("buy_time"),
+        col("price").as("buy_price"), col("size").as("buy_size")): _*)
       .withWatermark("buy_time", watermark)
     val s = sells
       .select(col("symbol").as("sell_symbol"),
