@@ -1131,6 +1131,12 @@ object SparkEntry {
     // shape — the streaming join must equal the banded batch join.
     "pipeline_join_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.joinE2E(s, dir)),
+    // pairwise audience overlap (union/intersection/Jaccard) between
+    // event types, estimated from the partial KMV sketches alone —
+    // no raw-data rescan per pair.
+    "sketch_kmv_overlap" -> ((s, dir) =>
+      Sketches.kmvOverlap(Tables.events(s, dir), "event_type",
+        col("user_id"), 64, "kmv_")),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -4841,6 +4847,50 @@ object SparkEntry {
          |SELECT m.event_type, merged_est, direct_est,
          |  merged_est = direct_est AS merge_consistent
          |FROM m JOIN d USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // mirrors Sketches.kmvOverlap (k=64): per-type k-min sketches,
+    // pairwise union-merge + coincidence intersection estimator.
+    "sketch_kmv_overlap" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS t,
+         |    ${h60("'kmv_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |sk AS (SELECT t, h FROM (SELECT t, h,
+         |    row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= 64),
+         |e AS (SELECT t,
+         |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |    END AS est
+         |  FROM sk GROUP BY t),
+         |pairs AS (SELECT a.t AS type_a, b.t AS type_b,
+         |    a.est AS est_a, b.est AS est_b
+         |  FROM e a JOIN e b ON a.t < b.t),
+         |legs AS (SELECT type_a, type_b, type_a AS t FROM pairs
+         |  UNION ALL SELECT type_a, type_b, type_b FROM pairs),
+         |mem AS (SELECT type_a, type_b, h,
+         |    max(CASE WHEN t = type_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN t = type_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM legs JOIN sk USING (t) GROUP BY type_a, type_b, h),
+         |u AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+         |  FROM mem) WHERE rn <= 64),
+         |ag AS (SELECT type_a, type_b, count(*) AS m, max(h) AS hk,
+         |    sum(in_a * in_b) AS n_both
+         |  FROM u GROUP BY type_a, type_b),
+         |f AS (SELECT type_a, type_b, m, n_both,
+         |    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 4)
+         |    END AS est_union
+         |  FROM ag),
+         |g AS (SELECT *,
+         |    CASE WHEN m < 64 THEN CAST(n_both AS DOUBLE)
+         |      ELSE round(CAST(n_both AS DOUBLE) / 64 * est_union, 4)
+         |    END AS est_intersection
+         |  FROM f)
+         |SELECT type_a, type_b, est_a, est_b, est_union, est_intersection,
+         |  round(est_intersection / est_union, 6) AS est_jaccard
+         |FROM g JOIN pairs USING (type_a, type_b)
+         |ORDER BY type_a, type_b""".stripMargin,
 
     // mirrors Layout.skippingAudit (64 files, 16 probes, 8-bit buckets):
     // identical integer/floor arithmetic, the same ntile file cuts, the

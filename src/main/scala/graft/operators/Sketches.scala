@@ -106,4 +106,57 @@ object Sketches {
         (col("merged_est") === col("direct_est")).as("merge_consistent")): _*)
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** Set-operation estimates between every pair of groups, from the
+    * partial sketches alone — union by merging k-min sets, intersection
+    * via the k-min coincidence estimator, Jaccard as their ratio. The
+    * membership flags are computed against the PARTIAL sketches only:
+    * if x ∈ kmin_k(A ∪ B) and x ∈ A, then fewer than k elements of
+    * A ∪ B ⊇ A are below x, so x ∈ kmin_k(A) — union-k-min membership
+    * in A is decidable from A's sketch [Beyer et al. SIGMOD'07]. That is
+    * the 100 TB property: pairwise overlap of any two of 365 daily /
+    * per-source sketch tables without touching raw data. Below k the
+    * union sketch IS the union set, so intersection is exact there.
+    *
+    * Returns (type_a, type_b, est_a, est_b, est_union,
+    * est_intersection, est_jaccard) for every unordered pair.
+    */
+  def kmvOverlap(df: DataFrame, typeCol: String, value: Column,
+      k: Int, salt: String): DataFrame = {
+    val hashes = df
+      .select(col(typeCol).as("t"),
+        TextFunctions.hash60(concat(lit(salt), value)).as("h"))
+      .distinct()
+    val sk = kminRanked(hashes, Seq("t"), k).select(col("t"), col("h"))
+    val est = sk.groupBy(col("t")).agg(estimate(k).as("est"))
+    val pairs = est.select(col("t").as("type_a"), col("est").as("est_a"))
+      .join(est.select(col("t").as("type_b"), col("est").as("est_b")),
+        col("type_a") < col("type_b"))
+    // explode each pair into its two legs -> plain equi-join on t
+    val legs = pairs.select(col("type_a"), col("type_b"),
+      explode(array(col("type_a"), col("type_b"))).as("t"))
+    val merged = broadcast(legs).join(sk, "t")
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(max(when(col("t") === col("type_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("t") === col("type_b"), 1).otherwise(0)).as("in_b"))
+    val w = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val unionK = merged.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    val agg = unionK.groupBy(col("type_a"), col("type_b")).agg(
+      count(lit(1)).as("m"), max(col("h")).as("hk"),
+      sum(col("in_a") * col("in_b")).as("n_both"))
+    val estUnion = when(col("m") < k, col("m").cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(HashRange) / col("hk").cast("double"), 4))
+    agg
+      .withColumn("est_union", estUnion)
+      .withColumn("est_intersection",
+        when(col("m") < k, col("n_both").cast("double"))
+          .otherwise(round(col("n_both").cast("double") / k * col("est_union"), 4)))
+      .withColumn("est_jaccard",
+        round(col("est_intersection") / col("est_union"), 6))
+      .join(pairs, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersection"), col("est_jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -58,6 +58,33 @@ class SketchesSpec extends SparkSpec {
     assert(rep.forall(_.getAs[Boolean]("merge_consistent")))
   }
 
+  test("overlap below k is exact: union, intersection, jaccard") {
+    // A = v1..v30, B = v21..v50 -> |A|=|B|=30, |A∩B|=10, |A∪B|=50, J=0.2
+    val rows = (1 to 30).map(i => ("A", s"v$i")) ++
+      (21 to 50).map(i => ("B", s"v$i"))
+    val rep = Sketches.kmvOverlap(rows.toDF("t", "v"), "t", col("v"),
+      64, "t_").collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    assert(r.getAs[Double]("est_a") == 30.0)
+    assert(r.getAs[Double]("est_b") == 30.0)
+    assert(r.getAs[Double]("est_union") == 50.0)
+    assert(r.getAs[Double]("est_intersection") == 10.0)
+    assert(r.getAs[Double]("est_jaccard") == 0.2)
+  }
+
+  test("overlap above k estimates within a coarse band at J=0.25") {
+    // A = 1..2000, B = 1001..4000: union 4000, intersection 1000, J=0.25
+    val rows = (1 to 2000).map(i => ("A", s"v$i")) ++
+      (1001 to 4000).map(i => ("B", s"v$i"))
+    val r = Sketches.kmvOverlap(rows.toDF("t", "v"), "t", col("v"),
+      128, "t_").collect().head
+    val u = r.getAs[Double]("est_union")
+    val i = r.getAs[Double]("est_intersection")
+    assert(math.abs(u - 4000) / 4000 < 0.35, s"union $u")
+    assert(math.abs(i - 1000) / 1000 < 0.6, s"intersection $i")
+  }
+
   test("sketch state is bounded: k-min retains at most k rows per group") {
     // the registered query at sf0.001: 15 users/type, k=64 -> exact
     val rep = SparkEntry.queries("sketch_kmv_distinct")(
