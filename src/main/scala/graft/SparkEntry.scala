@@ -1137,6 +1137,11 @@ object SparkEntry {
     "sketch_kmv_overlap" -> ((s, dir) =>
       Sketches.kmvOverlap(Tables.events(s, dir), "event_type",
         col("user_id"), 64, "kmv_")),
+    // community detection over the LSH near-neighbor graph:
+    // deterministic synchronous mode-label propagation (dense regions,
+    // not components — the complement of dedup_clusters' CC).
+    "knn_communities" -> ((s, dir) =>
+      Similarity.knnCommunities(Tables.embeddings(s, dir))),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -4429,6 +4434,32 @@ object SparkEntry {
          |SELECT r5.id AS vec_id, CAST(r5.r AS DOUBLE) AS rank, dg.deg
          |FROM r5 JOIN dg ON dg.id = r5.id
          |ORDER BY vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.knnCommunities: 4 unrolled synchronous
+    // mode-label-propagation rounds over the same LSH edge list plus
+    // one self-loop per node, ties broken by smallest label.
+    "knn_communities" -> {
+      val iters = (1 to 4).map { i =>
+        s""",
+           |l$i AS (SELECT dst AS id, label FROM (
+           |    SELECT ed.dst, l.label, count(*) AS n,
+           |      row_number() OVER (PARTITION BY ed.dst
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM ed JOIN l${i - 1} l ON l.id = ed.src
+           |    GROUP BY ed.dst, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM ep
+         |        UNION ALL SELECT id2, id1 FROM ep),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |ed AS (SELECT * FROM sym UNION ALL SELECT id, id FROM nodes),
+         |l0 AS (SELECT id, id AS label FROM nodes)$iters
+         |SELECT id AS vec_id, label AS community,
+         |  count(*) OVER (PARTITION BY label) AS community_size
+         |FROM l4 ORDER BY vec_id""".stripMargin
     },
 
     "media_stats" ->

@@ -778,4 +778,63 @@ object Similarity {
         col("deg"))
       .orderBy(col("vec_id"))
   }
+
+  /** Community detection over the same LSH near-neighbor graph:
+    * synchronous label propagation [Raghavan et al. 2007], made fully
+    * deterministic — every node adopts its neighbors' MODE label each
+    * round, ties broken by smallest label, all nodes updating from the
+    * previous round's labels simultaneously. Unlike the min-label rule
+    * (which converges to connected components — `dedup_clusters`'
+    * territory), the mode rule finds DENSE regions: a bridge edge
+    * between two tight groups cannot outvote either group's internal
+    * majority, so the groups keep distinct labels. Each node's own
+    * label joins the vote (a self-loop per node) — without it,
+    * synchronous LPA oscillates on bipartite-ish structures (a 2-node
+    * component swaps labels every round and lands back on itself after
+    * any even count). A fixed iteration count keeps the result
+    * engine-independent, letting the DuckDB oracle unroll the same k
+    * stages.
+    *
+    * Scale shape: identical to [[knnPagerank]] — the edge list
+    * materializes once and is reused; each round is one edges ⋈ labels
+    * equi-join, one (dst, label) count agg, and one per-dst top-1
+    * window that Spark executes as WindowGroupLimit (partial top-1
+    * before the shuffle).
+    */
+  def knnCommunities(embeddings: DataFrame, iterations: Int = 4): DataFrame =
+    labelPropagation(
+      cosineNearDupLsh(embeddings).select(col("id1"), col("id2")),
+      iterations)
+      .select(col("id").as("vec_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("vec_id"))
+
+  /** The LPA core over an undirected (id1, id2) pair list — see
+    * [[knnCommunities]] for semantics. Returns (id, label,
+    * community_size), unsorted.
+    */
+  def labelPropagation(pairs: DataFrame, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val edges = sym
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint(false)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("n").desc, col("label"))
+    for (_ <- 1 to iterations) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("dst").as("id"), col("label"))
+    }
+    labels.withColumn("community_size",
+      count(lit(1)).over(Window.partitionBy(col("label"))))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Mode-label propagation: community structure the min-label CC rule
+  * cannot express, plus stability and determinism properties.
+  */
+class CommunitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def communities(pairs: Seq[(Long, Long)], iters: Int = 4) =
+    Similarity.labelPropagation(pairs.toDF("id1", "id2"), iters)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+
+  test("two triangles joined by a bridge keep distinct labels") {
+    // CC would merge everything; the mode vote cannot push a label
+    // across the bridge against a triangle's internal majority
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val m = communities(tri1 ++ tri2 ++ Seq((3L, 4L)))
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(4L) == m(5L) && m(5L) == m(6L))
+    assert(m(1L) != m(4L), s"bridge merged the triangles: $m")
+  }
+
+  test("a disjoint pair converges to the smaller id (no oscillation)") {
+    val m = communities(Seq((10L, 20L)))
+    assert(m(10L) == 10L && m(20L) == 10L)
+    // even vs odd iteration counts agree once converged — the
+    // self-loop kills the 2-cycle that pure synchronous LPA has
+    assert(communities(Seq((10L, 20L)), 3) == communities(Seq((10L, 20L)), 4))
+  }
+
+  test("a clique converges to its minimum id in one round") {
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val m = communities(clique, 1)
+    assert(m.values.toSet == Set(1L))
+  }
+
+  test("result is independent of input pair orientation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val flipped = edges.map { case (a, b) => (b, a) }
+    assert(communities(edges) == communities(flipped))
+  }
+
+  test("registered query: every community is a connected, sized group") {
+    val rep = SparkEntry.queries("knn_communities")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // sizes are consistent: each community's size equals its member count
+    val byComm = rep.groupBy(_.getAs[Long]("community"))
+    byComm.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("community_size") == rows.length))
+    }
+  }
+}
