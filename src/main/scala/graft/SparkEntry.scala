@@ -1142,6 +1142,19 @@ object SparkEntry {
     // not components — the complement of dedup_clusters' CC).
     "knn_communities" -> ((s, dir) =>
       Similarity.knnCommunities(Tables.embeddings(s, dir))),
+    // time-weighted average price beside VWAP: piecewise-constant
+    // segments, exact-decimal sums, one window pass + one agg.
+    "symbol_twap" -> ((s, dir) =>
+      Analytics.twap(Trades.fromEvents(Tables.events(s, dir)))),
+    // exact DAU / trailing-7-day WAU per calendar day (the expensive
+    // nightly form; the sketch twin below serves the same board).
+    "user_active_rolling" -> ((s, dir) =>
+      Sessions.rollingActiveUsers(Tables.events(s, dir))),
+    // trailing-window cardinality served from the per-day KMV sketch
+    // table: raw data touched once, every window O(windowDays·k) rows.
+    "sketch_kmv_rolling" -> ((s, dir) =>
+      Sketches.kmvRolling(Tables.events(s, dir), to_date(col("ts")),
+        col("user_id"), 64, "kmv_")),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -4973,5 +4986,69 @@ object SparkEntry {
          |  CAST(rows_scanned AS BIGINT) AS rows_scanned,
          |  CAST(rows_total AS BIGINT) AS rows_total
          |FROM hits h JOIN tot USING (layout) ORDER BY layout""".stripMargin,
+
+    // mirrors Analytics.twap: piecewise-constant segments via lead with
+    // hour-end default, 6-decimal rounded products summed as DECIMAL,
+    // doubles only at the final division (the vwap convention).
+    "symbol_twap" ->
+      s"""$tradesCte,
+         |t2 AS (SELECT symbol, event_id, event_time, price, size,
+         |    time_bucket(INTERVAL 1 HOUR, event_time) AS hour_start
+         |  FROM trades),
+         |t3 AS (SELECT *, coalesce(
+         |    lead(event_time) OVER (PARTITION BY symbol, hour_start
+         |      ORDER BY event_time, event_id),
+         |    hour_start + INTERVAL 1 HOUR) AS seg_end FROM t2),
+         |t4 AS (SELECT *, epoch_us(seg_end) - epoch_us(event_time) AS dt_us
+         |  FROM t3)
+         |SELECT symbol, hour_start, count(*) AS n_trades,
+         |  round(CAST(SUM(CAST(round(price * CAST(dt_us AS DOUBLE) / 1000000.0, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |    / CAST(SUM(CAST(round(CAST(dt_us AS DOUBLE) / 1000000.0, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS twap,
+         |  round(CAST(SUM(CAST(round(price * size, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |    / CAST(SUM(CAST(size AS DECIMAL(20,6))) AS DOUBLE), 6) AS vwap
+         |FROM t4 GROUP BY symbol, hour_start
+         |ORDER BY symbol, hour_start""".stripMargin,
+
+    // mirrors Sessions.rollingActiveUsers: distinct (user, day) set
+    // expanded onto its 7 target days, semi-joined to real days.
+    "user_active_rolling" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY d),
+        |ex AS (SELECT DISTINCT user_id, d + CAST(g.k AS INT) AS day
+        |       FROM ud, unnest(generate_series(0, 6)) AS g(k)),
+        |wau AS (SELECT ex.day, count(DISTINCT user_id) AS wau
+        |        FROM ex JOIN days USING (day) GROUP BY ex.day)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // mirrors Sketches.kmvRolling (k=64): per-day k-min partials
+    // expanded onto their 7 target days, re-capped, estimated.
+    "sketch_kmv_rolling" ->
+      s"""WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS d,
+         |    ${h60("'kmv_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |days AS (SELECT DISTINCT d AS day FROM h),
+         |p AS (SELECT d, h FROM (SELECT d, h,
+         |    row_number() OVER (PARTITION BY d ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= 64),
+         |pe AS (SELECT DISTINCT d + CAST(g.k AS INT) AS day, h
+         |       FROM p, unnest(generate_series(0, 6)) AS g(k)),
+         |pef AS (SELECT pe.day, pe.h FROM pe JOIN days USING (day)),
+         |est AS (SELECT day,
+         |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |    END AS wau_est
+         |  FROM (SELECT day, h,
+         |      row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |    FROM pef) WHERE rn <= 64 GROUP BY day),
+         |he AS (SELECT DISTINCT d + CAST(g.k AS INT) AS day, h
+         |       FROM h, unnest(generate_series(0, 6)) AS g(k)),
+         |hef AS (SELECT he.day, he.h FROM he JOIN days USING (day)),
+         |exact AS (SELECT day, count(*) AS wau_exact FROM hef GROUP BY day)
+         |SELECT day, wau_exact, wau_est,
+         |  round(abs(wau_est - CAST(wau_exact AS DOUBLE)) / CAST(wau_exact AS DOUBLE), 4) AS rel_err
+         |FROM exact JOIN est USING (day) ORDER BY day""".stripMargin,
   )
 }

@@ -553,4 +553,49 @@ object Analytics {
     import scala.jdk.CollectionConverters._
     df.toLocalIterator().asScala
   }
+
+  /** Time-weighted average price per (symbol, hour), beside the
+    * volume-weighted one. Each trade's price holds from its own
+    * timestamp until the next trade in the hour (or the hour end for
+    * the last) — the standard piecewise-constant TWAP segmentation, so
+    * thin illiquid prints don't dominate the way they can in a plain
+    * mean, and bursts don't dominate the way they do in VWAP.
+    *
+    * Determinism: segment durations are exact µs longs; price×duration
+    * products are rounded to 6 decimals and summed as DECIMAL (the
+    * house vwap convention — double sums are merge-order-dependent,
+    * decimal sums are associative), with doubles only at the final
+    * division. Ties on event_time are ordered by event_id so `lead` is
+    * total. One window pass + one hash agg, both on the (symbol, hour)
+    * key — no extra shuffle beyond the grouping itself.
+    */
+  def twap(trades: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hs = date_trunc("hour", col("event_time"))
+    val w = Window.partitionBy(col("symbol"), col("hour_start"))
+      .orderBy(col("event_time"), col("event_id"))
+    trades
+      .withColumn("hour_start", hs)
+      .withColumn("seg_end",
+        coalesce(lead(col("event_time"), 1).over(w),
+          col("hour_start") + expr("INTERVAL 1 HOUR")))
+      .withColumn("dt_us",
+        unix_micros(col("seg_end")) - unix_micros(col("event_time")))
+      .groupBy(col("symbol"), col("hour_start"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(round(col("price") * col("dt_us").cast("double") / 1e6, 6)
+          .cast(DecimalType(28, 6))).as("pxdt"),
+        sum(round(col("dt_us").cast("double") / 1e6, 6)
+          .cast(DecimalType(18, 6))).as("dts"),
+        sum(round(col("price") * col("size"), 6)
+          .cast(DecimalType(28, 6))).as("pxv"),
+        sum(col("size").cast(DecimalType(20, 6))).as("v"))
+      .select(col("symbol"), col("hour_start"), col("n_trades"),
+        round(col("pxdt").cast("double") / col("dts").cast("double"), 6)
+          .as("twap"),
+        round(col("pxv").cast("double") / col("v").cast("double"), 6)
+          .as("vwap"))
+      .orderBy(col("symbol"), col("hour_start"))
+  }
 }

@@ -308,4 +308,36 @@ object Sessions {
           / col("cohort_size").cast("double"), 6).as("retention"))
       .orderBy(col("cohort_date"), col("day_offset"))
   }
+
+  /** Rolling active users — DAU and trailing-7-day WAU per calendar
+    * day. Exact form: the distinct (user, day) activity set expands
+    * each activity day onto the 7 target days it contributes to
+    * (day+0..6), is re-deduped per (user, target), and counted —
+    * standard window-expand distinct. Only days that actually occur in
+    * the data are reported (the semi-join against the day universe).
+    *
+    * Scale shape: the expand is a constant ×7 on the (user, day)
+    * DISTINCT set — users×days, not raw events — and the count is a
+    * two-stage distinct agg per target day. At 100 TB the exact form is
+    * the expensive nightly job; the sketch twin (`kmvRolling` in
+    * [[Sketches]]) answers the same question from the per-day sketch
+    * table with bounded state — that pairing is the point.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .withColumn("k", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(col("user_id"), date_add(col("d"), col("k")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
 }

@@ -107,6 +107,46 @@ object Sketches {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Rolling-window cardinality from the per-day sketch table — the
+    * sketch twin of `Sessions.rollingActiveUsers`: each day's k-min
+    * partial expands onto the `windowDays` target days it contributes
+    * to, the union per target is re-capped to k, and the estimator
+    * reads off trailing-window distinct users. The raw data is touched
+    * once (to build the daily partials); every window after that is
+    * O(windowDays · k) sketch rows — at 100 TB this is how a 7/28/90-
+    * day active-user board is served without re-scanning history, and
+    * the window width can change at QUERY time. The exact count rides
+    * along for the error column (collision-free at 60 hash bits for any
+    * plausible population).
+    *
+    * Returns (day, wau_exact, wau_est, rel_err) for days present in
+    * the data.
+    */
+  def kmvRolling(df: DataFrame, dayCol: Column, value: Column,
+      k: Int, salt: String, windowDays: Int = 7): DataFrame = {
+    val hashes = df
+      .select(dayCol.as("d"),
+        TextFunctions.hash60(concat(lit(salt), value)).as("h"))
+      .distinct()
+    val days = hashes.select(col("d").as("day")).distinct()
+    val partials = kminRanked(hashes, Seq("d"), k)
+      .select(col("d"), col("h"))
+    def expand(src: DataFrame) = src
+      .withColumn("k", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(date_add(col("d"), col("k")).as("day"), col("h"))
+      .join(days, Seq("day"), "left_semi")
+      .distinct()
+    val est = kminRanked(expand(partials), Seq("day"), k)
+      .groupBy(col("day")).agg(estimate(k).as("wau_est"))
+    val exact = expand(hashes)
+      .groupBy(col("day")).agg(count(lit(1)).as("wau_exact"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("wau_exact"), col("wau_est"),
+        round(abs(col("wau_est") - col("wau_exact").cast("double")) /
+          col("wau_exact").cast("double"), 4).as("rel_err"))
+      .orderBy(col("day"))
+  }
+
   /** Set-operation estimates between every pair of groups, from the
     * partial sketches alone — union by merging k-min sets, intersection
     * via the k-min coincidence estimator, Jaccard as their ratio. The

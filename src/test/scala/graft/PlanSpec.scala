@@ -373,7 +373,10 @@ class PlanSpec extends SparkSpec {
       "layout_zorder",
       // Inclusion checks cross-join two 1-row aggregates (n_rows ×
       // n_violations) per declared FK — bounded by construction
-      "dq_audit")
+      "dq_audit",
+      // type_a < type_b pairing of two per-GROUP aggregate tables
+      // (|event types|² rows) — parameter-bounded like the ANN sets
+      "sketch_kmv_overlap")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
