@@ -1155,6 +1155,22 @@ object SparkEntry {
     "sketch_kmv_rolling" -> ((s, dir) =>
       Sketches.kmvRolling(Tables.events(s, dir), to_date(col("ts")),
         col("user_id"), 64, "kmv_")),
+    // first-order Markov transition matrix of user event journeys.
+    "event_transitions" -> ((s, dir) =>
+      Sessions.eventTransitions(Tables.events(s, dir))),
+    // PSI distribution-drift monitor: first vs second half of the
+    // month per event type, Laplace-smoothed equal-width bins.
+    "value_drift_psi" -> ((s, dir) =>
+      DataQuality.psiDrift(Tables.events(s, dir))),
+    // triangle count + local clustering coefficient — the third graph
+    // lens beside centrality (pagerank) and partition (communities).
+    "knn_triangles" -> ((s, dir) =>
+      Similarity.knnTriangles(Tables.embeddings(s, dir))),
+    // mergeable histogram quantiles graded against the exact discrete
+    // percentile — the oracle-able t-digest stand-in.
+    "sketch_quantile_hist" -> ((s, dir) =>
+      Sketches.quantileHistogram(
+        Trades.fromEvents(Tables.events(s, dir)), "symbol", col("price"))),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -5050,5 +5066,119 @@ object SparkEntry {
          |SELECT day, wau_exact, wau_est,
          |  round(abs(wau_est - CAST(wau_exact AS DOUBLE)) / CAST(wau_exact AS DOUBLE), 4) AS rel_err
          |FROM exact JOIN est USING (day) ORDER BY day""".stripMargin,
+
+    // mirrors Sessions.eventTransitions: lead over (user, time) order,
+    // transition counts + within-from-type shares.
+    "event_transitions" ->
+      """WITH tr AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, sum(n) AS n_out FROM p GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE), 6) AS p
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors DataQuality.psiDrift (10 bins, day<=15 split): Laplace-
+    // smoothed shares over the full (type, bin) grid, 12-decimal
+    // rounded terms summed as DECIMAL.
+    "value_drift_psi" ->
+      """WITH base AS (SELECT event_type, value,
+        |    CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+        |      THEN 'ref' ELSE 'cur' END AS side
+        |  FROM events),
+        |b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM base),
+        |binned AS (SELECT event_type, side,
+        |    CAST(least(9, floor((value - vmin) * 10 / (vmax - vmin))) AS BIGINT) AS bin
+        |  FROM base, b),
+        |counts AS (SELECT event_type, side, bin, count(*) AS cnt
+        |  FROM binned GROUP BY event_type, side, bin),
+        |totals AS (SELECT event_type, side, count(*) AS n
+        |  FROM base GROUP BY event_type, side),
+        |grid AS (SELECT DISTINCT event_type, g.b AS bin
+        |  FROM base, generate_series(0, 9) AS g(b)),
+        |rf AS (SELECT g.event_type, g.bin, t.n AS n_ref,
+        |    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE) AS p_ref
+        |  FROM grid g
+        |  JOIN totals t ON t.event_type = g.event_type AND t.side = 'ref'
+        |  LEFT JOIN counts c ON c.event_type = g.event_type
+        |    AND c.bin = g.bin AND c.side = 'ref'),
+        |cu AS (SELECT g.event_type, g.bin, t.n AS n_cur,
+        |    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE) AS p_cur
+        |  FROM grid g
+        |  JOIN totals t ON t.event_type = g.event_type AND t.side = 'cur'
+        |  LEFT JOIN counts c ON c.event_type = g.event_type
+        |    AND c.bin = g.bin AND c.side = 'cur'),
+        |terms AS (SELECT r.event_type, r.n_ref, cu.n_cur,
+        |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS DECIMAL(24,12)) AS term
+        |  FROM rf r JOIN cu ON cu.event_type = r.event_type AND cu.bin = r.bin)
+        |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors Similarity.knnTriangles: ordered edge-iterator wedge
+    // close over the same LSH edge list.
+    "knn_triangles" ->
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),
+         |dg AS (SELECT id, count(*) AS deg FROM (
+         |    SELECT id1 AS id FROM ep UNION ALL SELECT id2 FROM ep)
+         |  GROUP BY id),
+         |wed AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+         |  FROM ep e1 JOIN ep e2 ON e2.id1 = e1.id2),
+         |tri AS (SELECT a, b, c FROM wed
+         |  JOIN ep e3 ON e3.id1 = wed.a AND e3.id2 = wed.c),
+         |pn AS (SELECT id, count(*) AS n_triangles FROM (
+         |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY id)
+         |SELECT dg.id AS vec_id, deg,
+         |  coalesce(n_triangles, 0) AS n_triangles,
+         |  CASE WHEN deg >= 2 THEN
+         |    round(2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+         |      / CAST(deg * (deg - 1) AS DOUBLE), 6)
+         |  ELSE 0.0 END AS clustering
+         |FROM dg LEFT JOIN pn ON pn.id = dg.id ORDER BY vec_id""".stripMargin,
+
+    // mirrors Sketches.quantileHistogram (256 bins, q 0.5/0.9/0.99):
+    // left-edge estimate at the first bin whose cumulative count
+    // reaches ceil(q*n), graded against quantile_disc.
+    "sketch_quantile_hist" ->
+      s"""$tradesCte,
+         |base AS (SELECT symbol AS g, price AS v FROM trades),
+         |b AS (SELECT min(v) AS vmin, max(v) AS vmax FROM base),
+         |bi AS (SELECT g, v,
+         |    CASE WHEN vmax = vmin THEN 0
+         |      ELSE CAST(least(255, floor((v - vmin) * 256 / (vmax - vmin))) AS BIGINT)
+         |    END AS bin,
+         |    vmin, vmax
+         |  FROM base, b),
+         |counts AS (SELECT g, bin, count(*) AS cnt,
+         |    max(vmin) AS vmin, max(vmax) AS vmax
+         |  FROM bi GROUP BY g, bin),
+         |cum AS (SELECT *,
+         |    sum(cnt) OVER (PARTITION BY g ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER (PARTITION BY g) AS n
+         |  FROM counts),
+         |est AS (SELECT g,
+         |    min(CASE WHEN cum >= ceil(n * 0.5) THEN round(vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256, 6) END) AS p50_est,
+         |    min(CASE WHEN cum >= ceil(n * 0.9) THEN round(vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256, 6) END) AS p90_est,
+         |    min(CASE WHEN cum >= ceil(n * 0.99) THEN round(vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256, 6) END) AS p99_est
+         |  FROM cum GROUP BY g),
+         |ex AS (SELECT g,
+         |    quantile_disc(v, 0.5) AS p50_exact,
+         |    quantile_disc(v, 0.9) AS p90_exact,
+         |    quantile_disc(v, 0.99) AS p99_exact
+         |  FROM base GROUP BY g)
+         |SELECT g AS symbol,
+         |  p50_exact, p50_est, p90_exact, p90_est, p99_exact, p99_est,
+         |  round(abs(p50_est - p50_exact), 6) AS p50_abs_err,
+         |  round(abs(p90_est - p90_exact), 6) AS p90_abs_err,
+         |  round(abs(p99_est - p99_exact), 6) AS p99_abs_err
+         |FROM ex JOIN est USING (g) ORDER BY symbol""".stripMargin,
   )
 }

@@ -102,6 +102,59 @@ object DataQuality {
       .orderBy(col("check_id"))
   }
 
+  /** Population-stability-index drift monitor — the numeric complement
+    * of [[audit]]'s boolean gate: compares the `value` distribution of
+    * the month's first half (reference) against the second (current)
+    * per event_type, over `nBins` equal-width bins with Laplace
+    * smoothing (so empty bins contribute finite terms), reporting
+    * PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). The conventional
+    * reading: <0.1 stable, 0.1–0.25 moderate shift, >0.25 drifted.
+    *
+    * Determinism: bin ids are floor arithmetic off the global bounds;
+    * the 10 per-bin terms are rounded to 12 decimals and summed as
+    * DECIMAL (double Σ is merge-order-dependent; decimal Σ is
+    * associative), matching the house vwap/corr convention. The full
+    * (type × bin) grid is materialized so missing bins smooth
+    * identically in both engines.
+    *
+    * Scale shape: one bounds agg (1-row broadcast), one conditional
+    * count per (type, side, bin) — map-side combinable — and
+    * grid-sized (|types|·nBins) arithmetic after that. The monitor
+    * reads the fact table once.
+    */
+  def psiDrift(events: DataFrame, nBins: Int = 10): DataFrame = {
+    val base = events.select(col("event_type"), col("value"),
+      when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("side"))
+    val bounds = base.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
+    val counts = base.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(nBins - 1),
+        floor((col("value") - col("vmin")) * nBins /
+          (col("vmax") - col("vmin")))))
+      .groupBy(col("event_type"), col("side"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = base.groupBy(col("event_type"), col("side"))
+      .agg(count(lit(1)).as("n"))
+    val grid = base.select(col("event_type")).distinct()
+      .crossJoin(broadcast(events.sparkSession.range(nBins.toLong)
+        .select(col("id").as("bin"))))
+    def sideP(s: String) = grid
+      .join(counts.where(col("side") === s).drop("side"),
+        Seq("event_type", "bin"), "left")
+      .join(totals.where(col("side") === s).drop("side"), Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("n").as(s"n_$s"),
+        ((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n") + nBins).cast("double")).as(s"p_$s"))
+    sideP("ref").join(sideP("cur"), Seq("event_type", "bin"))
+      .withColumn("term",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   /** The standard constraint suite for the harness tables — the checks
     * a promotion gate would run on every drop. Uses only deterministic,
     * ANSI-expressible predicates so the DuckDB oracle mirrors exactly.

@@ -323,6 +323,34 @@ object Sessions {
     * [[Sketches]]) answers the same question from the per-day sketch
     * table with bounded state — that pairing is the point.
     */
+  /** First-order event-type transition matrix — the Markov view of user
+    * journeys: for each user's time-ordered event stream, count
+    * (from → to) adjacent pairs and report each transition's share of
+    * its from-type's outgoing edges. One lead() window per user + one
+    * count agg; the matrix itself is |types|² rows. Ties on ts are
+    * ordered by event_id so the sequence is total.
+    *
+    * Scale shape: the window partitions by user_id (naturally parallel,
+    * no global sort), and the agg output is type-vocabulary-sized —
+    * the classic map-heavy/tiny-result funnel-analytics shape.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"))
+    pairs.join(outTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_out").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val ud = events
       .select(col("user_id"), to_date(col("ts")).as("d"))

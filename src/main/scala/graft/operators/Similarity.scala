@@ -837,4 +837,49 @@ object Similarity {
     labels.withColumn("community_size",
       count(lit(1)).over(Window.partitionBy(col("label"))))
   }
+
+  /** Triangle counting + local clustering coefficient over the LSH
+    * near-neighbor graph — the third graph lens beside [[knnPagerank]]
+    * (centrality) and [[knnCommunities]] (partition): how CLIQUISH is
+    * each vector's neighborhood. Classic ordered edge-iterator
+    * enumeration: with every edge stored (a < b), a wedge a–b–c with
+    * a < b < c closes iff (a, c) is an edge — each triangle is counted
+    * exactly once, no direction bookkeeping. coefficient =
+    * 2·T_v / (deg_v·(deg_v−1)), 0 below degree 2.
+    *
+    * Scale shape: two equi-joins on the ordered edge list (the wedge
+    * build shuffles on the middle vertex, the close on the (a, c)
+    * pair); at 100 TB the standard refinement is degree-ordering (store
+    * edges low-degree → high-degree so wedge counts are bounded by
+    * arboricity) — noted here, unnecessary at LSH-graph densities where
+    * the bucket cap already bounds per-node degree.
+    */
+  def knnTriangles(embeddings: DataFrame): DataFrame =
+    triangleStats(cosineNearDupLsh(embeddings).select(col("id1"), col("id2")))
+
+  /** The triangle/clustering core over an ordered (id1 < id2) unique
+    * edge list — see [[knnTriangles]]. Returns (vec_id, deg,
+    * n_triangles, clustering) sorted by vec_id.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id1"), col("id2")).localCheckpoint(false)
+    val deg = e.select(col("id1").as("id"))
+      .unionByName(e.select(col("id2").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val wedges = e.select(col("id1").as("a"), col("id2").as("b"))
+      .join(e.select(col("id1").as("b"), col("id2").as("c")), Seq("b"))
+    val tris = wedges
+      .join(e.select(col("id1").as("a"), col("id2").as("c")), Seq("a", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("vec_id"))
+  }
 }

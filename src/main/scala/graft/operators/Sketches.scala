@@ -107,6 +107,67 @@ object Sketches {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Mergeable histogram quantiles — the oracle-able stand-in for
+    * t-digest (whose sketch bytes no external oracle can reproduce,
+    * see `approx_profile`): a fixed equi-width histogram over the
+    * global value bounds, per-group cumulative counts, and the
+    * quantile estimate read off as the left edge of the first bin
+    * whose cumulative count reaches ⌈q·n⌉. Bin counts are plain sums —
+    * trivially mergeable across partitions, days, or shards (the
+    * property percentile_disc lacks: exact quantiles need a global
+    * sort or full value multiset at query time; histogram state is
+    * nBins longs per group forever). The exact discrete percentile
+    * rides along for the error columns; the estimate's error bound is
+    * one bin width by construction.
+    *
+    * Scale shape: one bounds agg (1-row broadcast), one (group, bin)
+    * count — map-side combinable — then grid-sized arithmetic. The
+    * exact column is the one non-mergeable cost and exists only to
+    * grade the estimate.
+    */
+  def quantileHistogram(df: DataFrame, groupCol: String, value: Column,
+      nBins: Int = 256, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), value.as("v"))
+    val bounds = base.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
+        .otherwise(least(lit(nBins - 1),
+          floor((col("v") - col("vmin")) * nBins / (col("vmax") - col("vmin"))))))
+    val counts = binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    // left bin edge in value units
+    val edge = col("vmin") +
+      col("bin").cast("double") * (col("vmax") - col("vmin")) / nBins
+    val ests = qs.map { q =>
+      min(when(col("cum") >= ceil(col("n") * q), round(edge, 6))).as(estName(q))
+    }
+    val exacts = qs.map { q =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)").as(exactName(q))
+    }
+    val est = cum.groupBy(col("g")).agg(ests.head, ests.tail: _*)
+    val exact = base.groupBy(col("g")).agg(exacts.head, exacts.tail: _*)
+    val errs = qs.map { q =>
+      round(abs(col(estName(q)) - col(exactName(q))), 6).as(errName(q))
+    }
+    exact.join(est, Seq("g"))
+      .select(col("g").as(groupCol) +:
+        qs.flatMap(q => Seq(col(exactName(q)), col(estName(q)))) ++: errs: _*)
+      .orderBy(col(groupCol))
+  }
+
+  private def qTag(q: Double) = (q * 100).round.toString
+  private def estName(q: Double) = s"p${qTag(q)}_est"
+  private def exactName(q: Double) = s"p${qTag(q)}_exact"
+  private def errName(q: Double) = s"p${qTag(q)}_abs_err"
+
   /** Rolling-window cardinality from the per-day sketch table — the
     * sketch twin of `Sessions.rollingActiveUsers`: each day's k-min
     * partial expands onto the `windowDays` target days it contributes

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DataQuality, Sessions, Similarity, Sketches}
+
+/** PSI drift, transition matrix, triangle stats, and histogram
+  * quantiles on crafted fixtures.
+  */
+class DriftAndGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi is ~0 for identical halves and large for a shifted one") {
+    // every day carries the identical value distribution -> psi ~ 0
+    val same = (for (day <- 1 to 30; v <- 0 until 100)
+      yield (ts(f"2024-01-$day%02d 10:00:00"), "t", v.toDouble))
+      .toDF("ts", "event_type", "value")
+    val psiSame = DataQuality.psiDrift(same).collect().head.getAs[Double]("psi")
+    assert(math.abs(psiSame) < 0.05, s"psi $psiSame")
+    // second half shifted into the top bins -> large psi
+    val shifted = (1 to 400).map { i =>
+      val day = i % 30 + 1
+      val v = if (day <= 15) (i % 50).toDouble else 50.0 + (i % 50)
+      (ts(f"2024-01-$day%02d 10:00:00"), "t", v)
+    }.toDF("ts", "event_type", "value")
+    val psiShift = DataQuality.psiDrift(shifted).collect().head.getAs[Double]("psi")
+    assert(psiShift > 0.25, s"psi $psiShift")
+  }
+
+  test("transition shares sum to 1 per from-type and counts are exact") {
+    // user 1: a->b->a  user 2: a->b
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (2L, 4L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 5L, ts("2024-01-01 10:01:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val rep = Sessions.eventTransitions(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    assert(rep(("a", "b")) == ((2L, 1.0)))
+    assert(rep(("b", "a")) == ((1L, 1.0)))
+    assert(rep.size == 2)
+  }
+
+  test("triangle stats: a triangle plus a pendant edge") {
+    // 1-2-3 triangle, 3-4 pendant
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val m = Similarity.triangleStats(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering")))).toMap
+    assert(m(1L) == ((2L, 1L, 1.0)))
+    assert(m(2L) == ((2L, 1L, 1.0)))
+    assert(m(3L) == ((3L, 1L, round3(1.0 / 3))))
+    assert(m(4L) == ((1L, 0L, 0.0)))
+  }
+
+  private def round3(d: Double) =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("a k4 clique has 4 triangles, one per omitted vertex") {
+    val e = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("id1", "id2")
+    val rep = Similarity.triangleStats(e).collect()
+    assert(rep.forall(_.getAs[Long]("n_triangles") == 3L)) // each vertex in 3
+    assert(rep.forall(_.getAs[Double]("clustering") == 1.0))
+  }
+
+  test("histogram quantile estimate is within one bin width of exact") {
+    val df = (1 to 5000).map(i => ("g", i.toDouble)).toDF("symbol", "price")
+    val r = Sketches.quantileHistogram(df, "symbol", col("price")).collect().head
+    val binWidth = (5000.0 - 1.0) / 256
+    Seq("p50", "p90", "p99").foreach { p =>
+      assert(r.getAs[Double](s"${p}_abs_err") <= binWidth + 1e-9,
+        s"$p err ${r.getAs[Double](s"${p}_abs_err")} > $binWidth")
+    }
+  }
+
+  test("histogram quantiles are exact for a single-valued group") {
+    val df = (1 to 100).map(_ => ("g", 42.0)).toDF("symbol", "price")
+    val r = Sketches.quantileHistogram(df, "symbol", col("price")).collect().head
+    assert(r.getAs[Double]("p50_exact") == 42.0)
+    // degenerate span: all mass lands in bin 0, estimate = vmin = 42
+    assert(r.getAs[Double]("p50_est") == 42.0)
+    assert(r.getAs[Double]("p99_abs_err") == 0.0)
+  }
+}

@@ -376,7 +376,9 @@ class PlanSpec extends SparkSpec {
       "dq_audit",
       // type_a < type_b pairing of two per-GROUP aggregate tables
       // (|event types|² rows) — parameter-bounded like the ANN sets
-      "sketch_kmv_overlap")
+      "sketch_kmv_overlap",
+      // 1-row bounds cross joins (and the |types|×nBins grid for PSI)
+      "value_drift_psi", "sketch_quantile_hist")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
