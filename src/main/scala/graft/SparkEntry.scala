@@ -1171,6 +1171,19 @@ object SparkEntry {
     "sketch_quantile_hist" -> ((s, dir) =>
       Sketches.quantileHistogram(
         Trades.fromEvents(Tables.events(s, dir)), "symbol", col("price"))),
+    // k-anonymity audit over (type, day, value-decade) quasi-identifiers:
+    // group-size risk mass per threshold, the pre-ship compliance gate.
+    "k_anonymity_audit" -> ((s, dir) =>
+      Privacy.kAnonymityAudit(Tables.events(s, dir),
+        Seq(col("event_type"), to_date(col("ts")),
+          floor(col("value") / 10)))),
+    // DP-shaped count release with seeded Laplace(1.0) noise — the
+    // mechanism made replayable (committed seed) and oracle-testable.
+    "dp_user_counts" -> ((s, dir) =>
+      Privacy.dpCountRelease(
+        Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day")),
+        Seq("event_type", "day"), 1.0, "dp_")),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -5180,5 +5193,50 @@ object SparkEntry {
          |  round(abs(p90_est - p90_exact), 6) AS p90_abs_err,
          |  round(abs(p99_est - p99_exact), 6) AS p99_abs_err
          |FROM ex JOIN est USING (g) ORDER BY symbol""".stripMargin,
+
+    // mirrors Privacy.kAnonymityAudit over (type, day, value-decade):
+    // one group-size histogram, three threshold rows.
+    "k_anonymity_audit" ->
+      """WITH g AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    floor(value / 10) AS vb, count(*) AS cnt
+        |  FROM events GROUP BY event_type, d, vb),
+        |s AS (SELECT count(*) AS n_groups, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(min(cnt) AS BIGINT) AS min_group FROM g),
+        |t AS (
+        |  SELECT 2 AS k_threshold,
+        |    CAST(sum(CASE WHEN cnt < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+        |    CAST(sum(CASE WHEN cnt < 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_rows_below
+        |  FROM g
+        |  UNION ALL SELECT 5,
+        |    CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |  FROM g
+        |  UNION ALL SELECT 10,
+        |    CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT)
+        |  FROM g)
+        |SELECT k_threshold, n_groups_below, n_rows_below,
+        |  n_groups, n_rows, min_group
+        |FROM t, s ORDER BY k_threshold""".stripMargin,
+
+    // mirrors Privacy.dpCountRelease (eps=1, salt 'dp_'): seeded
+    // inverse-CDF Laplace noise, clamp at 0, true count + error kept
+    // for the audit.
+    "dp_user_counts" ->
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n_true
+         |  FROM events GROUP BY event_type, day),
+         |h AS (SELECT *, ${h60("'dp_' || event_type || '|' || CAST(day AS VARCHAR) || '|'")} AS hv
+         |  FROM c),
+         |u AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 1152921504606846976.0 AS uu
+         |  FROM h),
+         |n AS (SELECT *, round(-1.0 *
+         |    (CASE WHEN uu - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+         |    * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noise
+         |  FROM u)
+         |SELECT event_type, day, n_true,
+         |  greatest(0.0, round(n_true + noise, 4)) AS n_released,
+         |  round(abs(noise), 6) AS abs_err
+         |FROM n ORDER BY event_type, day""".stripMargin,
   )
 }
