@@ -1184,6 +1184,16 @@ object SparkEntry {
         Tables.events(s, dir)
           .select(col("event_type"), to_date(col("ts")).as("day")),
         Seq("event_type", "day"), 1.0, "dp_")),
+    // the drift monitor's incremental form: current slice scored
+    // against the persisted baseline histogram with FROZEN bin edges —
+    // reference data never re-scanned.
+    "value_drift_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ref = ev.filter(dayofmonth(col("ts")) <= 15)
+      DataQuality.psiVsBaseline(
+        DataQuality.referenceHistogram(ref),
+        ev.filter(dayofmonth(col("ts")) > 15))
+    }),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -5238,5 +5248,40 @@ object SparkEntry {
          |  greatest(0.0, round(n_true + noise, 4)) AS n_released,
          |  round(abs(noise), 6) AS abs_err
          |FROM n ORDER BY event_type, day""".stripMargin,
+
+    // mirrors psiVsBaseline ∘ referenceHistogram: bounds frozen from
+    // the reference half, current values clamped into edge bins.
+    "value_drift_incremental" ->
+      """WITH ref AS (SELECT event_type, value FROM events
+        |  WHERE date_part('day', CAST(ts AS TIMESTAMP)) <= 15),
+        |cur AS (SELECT event_type, value FROM events
+        |  WHERE date_part('day', CAST(ts AS TIMESTAMP)) > 15),
+        |b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ref),
+        |rc AS (SELECT event_type,
+        |    CAST(least(9, greatest(0, floor((value - vmin) * 10 / (vmax - vmin)))) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM ref, b GROUP BY event_type, bin),
+        |cc AS (SELECT event_type,
+        |    CAST(least(9, greatest(0, floor((value - vmin) * 10 / (vmax - vmin)))) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM cur, b GROUP BY event_type, bin),
+        |grid AS (SELECT DISTINCT rc.event_type, g.b AS bin
+        |  FROM rc, generate_series(0, 9) AS g(b)),
+        |rt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM rc GROUP BY event_type),
+        |ct AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM cc GROUP BY event_type),
+        |rf AS (SELECT g.event_type, g.bin, t.n AS n_ref,
+        |    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE) AS p_ref
+        |  FROM grid g JOIN rt t ON t.event_type = g.event_type
+        |  LEFT JOIN rc c ON c.event_type = g.event_type AND c.bin = g.bin),
+        |cu AS (SELECT g.event_type, g.bin, t.n AS n_cur,
+        |    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE) AS p_cur
+        |  FROM grid g JOIN ct t ON t.event_type = g.event_type
+        |  LEFT JOIN cc c ON c.event_type = g.event_type AND c.bin = g.bin),
+        |terms AS (SELECT r.event_type, r.n_ref, cu.n_cur,
+        |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS DECIMAL(24,12)) AS term
+        |  FROM rf r JOIN cu ON cu.event_type = r.event_type AND cu.bin = r.bin)
+        |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

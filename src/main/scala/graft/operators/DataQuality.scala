@@ -155,6 +155,69 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  /** The persisted-baseline form of the drift monitor — the family's
+    * incremental shape: [[referenceHistogram]] is the nightly index
+    * (per-(type, bin) counts PLUS the frozen bounds it was built
+    * with), and [[psiVsBaseline]] scores any later slice against it
+    * WITHOUT re-reading reference data. Freezing the bounds matters:
+    * recomputing them over ref∪cur (what [[psiDrift]] does for the
+    * one-shot audit) silently re-bins history; the production monitor
+    * bins today's data with yesterday's committed edges, and values
+    * beyond them clamp into the edge bins — where the drift then
+    * shows up, as it should.
+    */
+  def referenceHistogram(events: DataFrame, nBins: Int = 10): DataFrame = {
+    val bounds = events.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
+    events.crossJoin(broadcast(bounds))
+      .withColumn("bin", least(lit(nBins - 1), greatest(lit(0L),
+        floor((col("value") - col("vmin")) * nBins /
+          (col("vmax") - col("vmin"))))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"), max(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"))
+  }
+
+  /** PSI of `current` against a persisted [[referenceHistogram]] —
+    * same smoothing/summation discipline as [[psiDrift]], but the
+    * reference side is read from the index (never re-scanned) and the
+    * current side is binned with the index's FROZEN bounds, clamped
+    * into the edge bins beyond them.
+    */
+  def psiVsBaseline(baseline: DataFrame, current: DataFrame,
+      nBins: Int = 10): DataFrame = {
+    val meta = baseline.agg(max(col("vmin")).as("vmin"),
+      max(col("vmax")).as("vmax"))
+    val curCounts = current.crossJoin(broadcast(meta))
+      .withColumn("bin", least(lit(nBins - 1), greatest(lit(0L),
+        floor((col("value") - col("vmin")) * nBins /
+          (col("vmax") - col("vmin"))))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = baseline.select(col("event_type")).distinct()
+      .crossJoin(broadcast(baseline.sparkSession.range(nBins.toLong)
+        .select(col("id").as("bin"))))
+    def smooth(counts: DataFrame, tag: String) = {
+      val totals = counts.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"))
+      grid.join(counts.select(col("event_type"), col("bin"), col("cnt")),
+          Seq("event_type", "bin"), "left")
+        .join(totals, Seq("event_type"))
+        .select(col("event_type"), col("bin"), col("n").as(s"n_$tag"),
+          ((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("n") + nBins).cast("double")).as(s"p_$tag"))
+    }
+    smooth(baseline, "ref").join(smooth(curCounts, "cur"),
+        Seq("event_type", "bin"))
+      .withColumn("term",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   /** The standard constraint suite for the harness tables — the checks
     * a promotion gate would run on every drop. Uses only deterministic,
     * ANSI-expressible predicates so the DuckDB oracle mirrors exactly.

@@ -27,6 +27,29 @@ class DriftAndGraphSpec extends SparkSpec {
     assert(psiShift > 0.25, s"psi $psiShift")
   }
 
+  test("psi baseline survives the parquet round trip and freezes its bounds") {
+    val ref = (for (d <- 1 to 15; v <- 0 until 100)
+      yield (ts(f"2024-01-$d%02d 10:00:00"), "t", v.toDouble))
+      .toDF("ts", "event_type", "value")
+    val idx = java.nio.file.Files.createTempDirectory("graft_psiidx_").toString
+    DataQuality.referenceHistogram(ref).write.mode("overwrite").parquet(idx)
+    val baseline = spark.read.parquet(idx)
+    // identical current distribution -> psi ~ 0 (smoothing only)
+    val curSame = (for (d <- 16 to 30; v <- 0 until 100)
+      yield (ts(f"2024-01-$d%02d 10:00:00"), "t", v.toDouble))
+      .toDF("ts", "event_type", "value")
+    val psiSame = DataQuality.psiVsBaseline(baseline, curSame)
+      .collect().head.getAs[Double]("psi")
+    assert(math.abs(psiSame) < 0.05, s"psi $psiSame")
+    // out-of-bounds values clamp into the top bin -> large finite psi
+    val curOob = (for (d <- 16 to 30; v <- 0 until 100)
+      yield (ts(f"2024-01-$d%02d 10:00:00"), "t", 1000.0 + v))
+      .toDF("ts", "event_type", "value")
+    val psiOob = DataQuality.psiVsBaseline(baseline, curOob)
+      .collect().head.getAs[Double]("psi")
+    assert(psiOob > 1.0 && !psiOob.isInfinite, s"psi $psiOob")
+  }
+
   test("transition shares sum to 1 per from-type and counts are exact") {
     // user 1: a->b->a  user 2: a->b
     val ev = Seq(

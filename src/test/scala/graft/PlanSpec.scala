@@ -378,7 +378,7 @@ class PlanSpec extends SparkSpec {
       // (|event types|² rows) — parameter-bounded like the ANN sets
       "sketch_kmv_overlap",
       // 1-row bounds cross joins (and the |types|×nBins grid for PSI)
-      "value_drift_psi", "sketch_quantile_hist")
+      "value_drift_psi", "sketch_quantile_hist", "value_drift_incremental")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
