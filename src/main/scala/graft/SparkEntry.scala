@@ -1194,6 +1194,26 @@ object SparkEntry {
         DataQuality.referenceHistogram(ref),
         ev.filter(dayofmonth(col("ts")) > 15))
     }),
+    // point-in-time-correct training-set assembly: STRICT as-of join
+    // (feature stamped at the prediction instant is invisible — the
+    // leakage guard), forward label, in-row leak audit column. With
+    // identical left/right timestamp sets the generic union-trick
+    // as-of must reduce exactly to lag(1) — which is the oracle.
+    "features_pit" -> ((s, dir) => {
+      val bars = Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour")
+      val left = bars.select(col("symbol"), col("bar_start").as("pred_ts"),
+        round(col("close") / col("open") - 1, 6).as("label_ret"))
+      val right = bars.select(col("symbol"), col("bar_start").as("feat_ts"),
+        col("close"), col("volume"), col("vwap"))
+      AsOf.join(left, right, "symbol", "pred_ts", "feat_ts",
+          Seq("feat_ts", "close", "volume", "vwap"), strict = true)
+        .where(col("asof_close").isNotNull)
+        .select(col("symbol"), col("pred_ts"), col("label_ret"),
+          col("asof_feat_ts"), col("asof_close"), col("asof_volume"),
+          col("asof_vwap"),
+          (col("asof_feat_ts") >= col("pred_ts")).as("leaked"))
+        .orderBy(col("symbol"), col("pred_ts"))
+    }),
   )
 
   /** Shared oracle CTE: the deterministic events→trades mapping. */
@@ -5283,5 +5303,25 @@ object SparkEntry {
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors the strict-as-of reduction: with identical left/right
+    // timestamp sets per key, strict as-of == lag(1) per symbol.
+    "features_pit" -> {
+      val hourBars = barsCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")
+      s"""$hourBars,
+         |b2 AS (SELECT symbol, bar_start,
+         |    round(close / open - 1, 6) AS label_ret,
+         |    lag(bar_start) OVER w AS asof_feat_ts,
+         |    lag(close) OVER w AS asof_close,
+         |    lag(volume) OVER w AS asof_volume,
+         |    lag(vwap) OVER w AS asof_vwap
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_start))
+         |SELECT symbol, bar_start AS pred_ts, label_ret,
+         |  asof_feat_ts, asof_close, asof_volume, asof_vwap,
+         |  asof_feat_ts >= bar_start AS leaked
+         |FROM b2 WHERE asof_close IS NOT NULL
+         |ORDER BY symbol, pred_ts""".stripMargin
+    },
   )
 }

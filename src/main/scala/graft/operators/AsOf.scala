@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics (rightTs == leftTs): the right row stamped exactly
   * leftTs IS visible to that left row (<=) — right rows sort before
-  * left rows at equal timestamps via the side tag.
+  * left rows at equal timestamps via the side tag. With
+  * `strict = true` the tag order flips and equal-timestamp right rows
+  * become INVISIBLE (<) — the point-in-time-correctness knob: a
+  * feature stamped at the prediction timestamp is information from the
+  * present, and joining it is label leakage. Training-set assembly
+  * (`features_pit`) uses strict; stream-stitch backfill uses <=.
   */
 object AsOf {
 
@@ -27,7 +32,7 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val common = (leftCols :+ "__ts" :+ "__side") ++ payload.map("asof_" + _)
 
@@ -40,7 +45,7 @@ object AsOf {
     val rBase = right.select(
       col(key) +: col(rightTs).as("__ts") +:
         payload.map(c => col(c).as(s"asof_$c")): _*)
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(if (strict) 2 else 0))
     val r = leftCols.filterNot(_ == key).foldLeft(rBase) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }

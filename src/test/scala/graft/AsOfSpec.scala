@@ -30,4 +30,35 @@ class AsOfSpec extends SparkSpec {
     // left columns all survive
     assert(out.map(_.getAs[Double]("price")).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
   }
+
+  test("strict mode hides the equal-timestamp right row (the leakage guard)") {
+    val trades = Seq(
+      l("A", "2024-01-01 10:01:00", 1.0),  // == bar ts: <= sees it, < does not
+      l("A", "2024-01-01 10:02:30", 2.0))  // strictly after: both see 10:02
+      .toDF("symbol", "event_time", "price")
+    val bars = Seq(
+      r("A", "2024-01-01 10:01:00", 10.0),
+      r("A", "2024-01-01 10:02:00", 20.0))
+      .toDF("symbol", "bar_end", "close")
+
+    val lax = AsOf.join(trades, bars, "symbol", "event_time", "bar_end",
+      Seq("close")).orderBy("event_time").collect()
+    val strict = AsOf.join(trades, bars, "symbol", "event_time", "bar_end",
+      Seq("close"), strict = true).orderBy("event_time").collect()
+
+    assert(lax.map(_.getAs[Any]("asof_close")).toSeq == Seq(10.0, 20.0))
+    assert(strict.map(_.getAs[Any]("asof_close")).toSeq == Seq(null, 20.0))
+  }
+
+  test("strict as-of onto an identical timestamp set reduces to lag(1)") {
+    val rows = (1 to 20).map(i =>
+      ("A", ts(f"2024-01-01 10:${i % 60}%02d:00"), i.toDouble))
+    val left = rows.toDF("symbol", "t", "v")
+    val out = AsOf.join(left, left.toDF("symbol", "t", "v"),
+        "symbol", "t", "t", Seq("v"), strict = true)
+      .orderBy("t").collect()
+    val sorted = rows.sortBy(_._2.getTime).map(_._3)
+    assert(out.map(_.getAs[Any]("asof_v")).toSeq ==
+      (null +: sorted.init.map(x => x: Any)))
+  }
 }
