@@ -1202,7 +1202,9 @@ object SparkEntry {
     "features_pit" -> ((s, dir) => {
       val bars = Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour")
       val left = bars.select(col("symbol"), col("bar_start").as("pred_ts"),
-        round(col("close") / col("open") - 1, 6).as("label_ret"))
+        // zero-open guard (ANSI division; same convention as bar_analytics)
+        when(col("open") =!= 0, round(col("close") / col("open") - 1, 6))
+          .as("label_ret"))
       val right = bars.select(col("symbol"), col("bar_start").as("feat_ts"),
         col("close"), col("volume"), col("vwap"))
       AsOf.join(left, right, "symbol", "pred_ts", "feat_ts",
@@ -5310,7 +5312,7 @@ object SparkEntry {
       val hourBars = barsCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")
       s"""$hourBars,
          |b2 AS (SELECT symbol, bar_start,
-         |    round(close / open - 1, 6) AS label_ret,
+         |    CASE WHEN open <> 0 THEN round(close / open - 1, 6) END AS label_ret,
          |    lag(bar_start) OVER w AS asof_feat_ts,
          |    lag(close) OVER w AS asof_close,
          |    lag(volume) OVER w AS asof_volume,
