@@ -1194,6 +1194,10 @@ object SparkEntry {
         DataQuality.referenceHistogram(ref),
         ev.filter(dayofmonth(col("ts")) > 15))
     }),
+    // the corpus datasheet: volume / mixes / length percentiles /
+    // exact-dup rate as one long-format card.
+    "corpus_card" -> ((s, dir) =>
+      TextAnalysis.corpusCard(Tables.documents(s, dir))),
     // point-in-time-correct training-set assembly: STRICT as-of join
     // (feature stamped at the prediction instant is invisible — the
     // leakage guard), forward label, in-row leak audit column. With
@@ -5305,6 +5309,31 @@ object SparkEntry {
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors TextAnalysis.corpusCard: one volume agg stacked long,
+    // mixes as group-bys, discrete percentiles for lengths.
+    "corpus_card" ->
+      """WITH v AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT md5(text)) AS distinct_texts,
+        |    quantile_disc(length(text), 0.5) AS p50_chars,
+        |    quantile_disc(length(text), 0.9) AS p90_chars
+        |  FROM documents),
+        |rows AS (
+        |  SELECT 'volume' AS section, 'n_docs' AS metric,
+        |    CAST(n_docs AS DOUBLE) AS value FROM v
+        |  UNION ALL SELECT 'volume', 'total_chars', CAST(total_chars AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'volume', 'total_tokens', CAST(total_tokens AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'dedup', 'exact_dup_docs', CAST(n_docs - distinct_texts AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'length', 'p50_chars', CAST(p50_chars AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'length', 'p90_chars', CAST(p90_chars AS DOUBLE) FROM v
+        |  UNION ALL SELECT 'language_mix', lang, CAST(count(*) AS DOUBLE)
+        |    FROM documents GROUP BY lang
+        |  UNION ALL SELECT 'source_mix', source, CAST(count(*) AS DOUBLE)
+        |    FROM documents GROUP BY source)
+        |SELECT section, metric, value FROM rows
+        |ORDER BY section, metric""".stripMargin,
 
     // mirrors the strict-as-of reduction: with identical left/right
     // timestamp sets per key, strict as-of == lag(1) per symbol.

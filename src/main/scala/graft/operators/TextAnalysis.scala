@@ -1874,4 +1874,43 @@ object TextAnalysis {
             col("b.n_subtokens").cast("double")).otherwise(lit(0.0))
           .as("oov_rate"))
       .orderBy(col("doc_id"))
+
+  /** Corpus datasheet — the "datasheets for datasets" card a shipped
+    * corpus carries [Gebru et al. 2021]: volume, composition, length
+    * distribution, and exact-duplication rate as one long-format table
+    * (section, metric, value). Every number is a composition of
+    * already-established shapes: one corpus agg for the volume block,
+    * two group-bys for the language/source mixes, discrete percentiles
+    * for lengths — so the card's cost is one scan plus vocabulary-sized
+    * aggregation, and the whole thing stays oracle-exact.
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokensCol
+    val vol = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("total_chars"),
+      sum(size(tokensCol(col("text")))).as("total_tokens"),
+      countDistinct(md5(col("text"))).as("distinct_texts"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY length(text))")
+        .as("p50_chars"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY length(text))")
+        .as("p90_chars"))
+    val volRows = vol.select(expr(
+      """stack(6,
+        |  'volume', 'n_docs', CAST(n_docs AS DOUBLE),
+        |  'volume', 'total_chars', CAST(total_chars AS DOUBLE),
+        |  'volume', 'total_tokens', CAST(total_tokens AS DOUBLE),
+        |  'dedup', 'exact_dup_docs', CAST(n_docs - distinct_texts AS DOUBLE),
+        |  'length', 'p50_chars', CAST(p50_chars AS DOUBLE),
+        |  'length', 'p90_chars', CAST(p90_chars AS DOUBLE))"""
+        .stripMargin).as(Seq("section", "metric", "value")))
+    val langRows = docs.groupBy(col("lang").as("metric"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("language_mix").as("section"), col("metric"), col("value"))
+    val sourceRows = docs.groupBy(col("source").as("metric"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("source_mix").as("section"), col("metric"), col("value"))
+    volRows.unionByName(langRows).unionByName(sourceRows)
+      .orderBy(col("section"), col("metric"))
+  }
 }

@@ -60,6 +60,22 @@ class DataQualitySpec extends SparkSpec {
     assert(rep.forall(_.getAs[Boolean]("pass")))
   }
 
+  test("corpus card: sections complete and internally consistent") {
+    val card = SparkEntry.queries("corpus_card")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) ->
+        r.getAs[Double]("value")).toMap
+    val nDocs = card(("volume", "n_docs"))
+    assert(nDocs > 0)
+    // mixes partition the corpus exactly
+    assert(card.collect { case (("language_mix", _), v) => v }.sum == nDocs)
+    assert(card.collect { case (("source_mix", _), v) => v }.sum == nDocs)
+    // length percentiles are ordered; dup count is within range
+    assert(card(("length", "p50_chars")) <= card(("length", "p90_chars")))
+    val dups = card(("dedup", "exact_dup_docs"))
+    assert(dups >= 0 && dups < nDocs)
+  }
+
   test("standard suite runs green on the sf0.001 harness tables") {
     val dir = "/root/testdata/sf0.001"
     val rep = SparkEntry.queries("dq_audit")(spark, dir).collect()
