@@ -823,16 +823,19 @@ object Similarity {
       .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint(false)
     var labels = nodes.select(col("id"), col("id").as("label"))
-    val w = Window.partitionBy(col("dst"))
-      .orderBy(col("n").desc, col("label"))
     for (_ <- 1 to iterations) {
+      // mode-with-min-tiebreak as a struct-max argmax: max(n, −label)
+      // picks the highest count, ties the smallest label. Two hash
+      // aggs with map-side partials instead of a sort + row_number
+      // window — one fewer sort per round, same semantics (the oracle
+      // keeps the row_number formulation; they must agree).
       labels = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("dst").as("id"), col("label"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.neg")).as("label"))
     }
     labels.withColumn("community_size",
       count(lit(1)).over(Window.partitionBy(col("label"))))

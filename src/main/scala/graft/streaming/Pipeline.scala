@@ -298,9 +298,12 @@ object Pipeline {
     * interval-join oracle: the streaming join must produce precisely
     * the pairs the banded batch join produces.
     *
-    * The sell side lands as 3 files drained one per micro-batch
-    * (`maxFilesPerTrigger`), so later batches join against BUY STATE
-    * buffered in earlier ones — real cross-batch stream-stream state.
+    * The sell side lands as 2 files drained one per micro-batch
+    * (`maxFilesPerTrigger`), so the second batch joins against BUY
+    * STATE buffered in the first — real cross-batch stream-stream
+    * state at the minimum batch count that exercises it (a
+    * stream-stream join keeps FOUR state stores per shuffle partition,
+    * so batches × partitions is the fixed-cost product to keep small).
     * The watermark is set wider than the corpus time-span, which makes
     * the drain order-independent (no row is ever late, no state is
     * evicted before its partner arrives) — completeness is what the
@@ -326,10 +329,10 @@ object Pipeline {
     val sells = trades.filter(col("side") === "sell")
       .select(col("symbol"), col("event_time"), col("price"), col("size"))
     buys.coalesce(1).write.mode("overwrite").parquet(buysDir)
-    sells.repartition(3).write.mode("overwrite").parquet(sellsDir)
+    sells.repartition(2).write.mode("overwrite").parquet(sellsDir)
 
     val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val bStream = spark.readStream.schema(buys.schema).parquet(buysDir)
       val sStream = spark.readStream.schema(sells.schema)
