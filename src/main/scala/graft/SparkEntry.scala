@@ -1198,6 +1198,10 @@ object SparkEntry {
     // exact-dup rate as one long-format card.
     "corpus_card" -> ((s, dir) =>
       TextAnalysis.corpusCard(Tables.documents(s, dir))),
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // one-pass mergeable top-k race keyed by ln(u)/w.
+    "weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables.documents(s, dir))),
     // point-in-time-correct training-set assembly: STRICT as-of join
     // (feature stamped at the prediction instant is invisible — the
     // leakage guard), forward label, in-row leak audit column. With
@@ -5309,6 +5313,19 @@ object SparkEntry {
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors TextAnalysis.weightedSample: same seeded uniform, same
+    // 12-decimal-rounded exponential race key, same tiebreak.
+    "weighted_sample" ->
+      s"""WITH k AS (SELECT doc_id, source, n_chars,
+         |    round(ln((CAST(${h60("'ws_' || doc_id")} AS DOUBLE) + 0.5) / 1152921504606846976.0)
+         |      / ln(1.0 + CAST(n_chars AS DOUBLE)), 12) AS samp_key
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY samp_key DESC, doc_id) AS samp_rank FROM k)
+         |SELECT source, samp_rank, doc_id, n_chars, samp_key
+         |FROM r WHERE samp_rank <= 10
+         |ORDER BY source, samp_rank""".stripMargin,
 
     // mirrors TextAnalysis.corpusCard: one volume agg stacked long,
     // mixes as group-bys, discrete percentiles for lengths.

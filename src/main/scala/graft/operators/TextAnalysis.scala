@@ -1292,6 +1292,36 @@ object TextAnalysis {
     * window shuffle; the rank cut plans as WindowGroupLimit so no
     * stratum is ever fully sorted.
     */
+  /** Weighted sampling without replacement — Efraimidis–Spirakis
+    * [IPL 2006]: per source, keep the `perSource` docs with the largest
+    * exponential race keys ln(u)/w (the monotone form of u^(1/w)),
+    * where u is a seeded-hash uniform and w the document's weight.
+    * Heavier docs win proportionally more often, every doc keeps a
+    * nonzero chance, and the top-k is computed per partition then
+    * merged (WindowGroupLimit) — the ONE-PASS mergeable weighted
+    * sampler a mixture pipeline runs at corpus scale, vs
+    * [[balancedSample]]'s uniform hash rank. Keys are rounded to 12
+    * decimals (doc_id tiebreak) so cross-engine libm ulp differences
+    * cannot reorder the race; the weight here is ln(1+n_chars) — favor
+    * long documents — but any positive per-doc score slots in.
+    */
+  def weightedSample(docs: DataFrame, perSource: Int = 10,
+      salt: String = "ws_"): DataFrame = {
+    val u = (graft.functions.TextFunctions.hash60(
+      concat(lit(salt), col("doc_id"))).cast("double") + 0.5) /
+      graft.operators.Sketches.HashRange
+    val w = log(lit(1.0) + col("n_chars").cast("double"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("samp_key", round(log(u) / w, 12))
+      .withColumn("samp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("samp_key").desc, col("doc_id"))))
+      .filter(col("samp_rank") <= perSource)
+      .select(col("source"), col("samp_rank"), col("doc_id"),
+        col("n_chars"), col("samp_key"))
+      .orderBy(col("source"), col("samp_rank"))
+  }
+
   def balancedSample(docs: DataFrame, perSource: Int = 10): DataFrame =
     docs.select(col("doc_id"), col("source"))
       .withColumn("samp_rank", row_number().over(

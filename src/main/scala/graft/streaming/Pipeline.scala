@@ -243,9 +243,13 @@ object Pipeline {
     val isOnTime = pmod(graft.functions.TextFunctions.hash60(
       concat(lit("late_"), col("event_id"))), lit(100)) < 98
     // nightly state: on-time bars persisted as mergeable state,
-    // partitioned by bar_date (the partition-pruning key at scale)
+    // partitioned by bar_date (the partition-pruning key at scale);
+    // repartition on the partition column first — without it every
+    // task writes a file into every date dir (the silver hop's
+    // write-amplification note, applied here too)
     Gold.normalizeState(Gold.barState(trades.filter(isOnTime)))
       .withColumn("bar_date", to_date(col("bar_start")))
+      .repartition(col("bar_date"))
       .write.partitionBy("bar_date").mode("overwrite").parquet(stateDir)
     // the late delta lands as files; 3 files → 3 micro-batches
     val lateCols = trades.filter(!isOnTime)
@@ -275,7 +279,8 @@ object Pipeline {
               Gold.mergeBarStates(histTouched, deltaState))
             .withColumn("bar_date", to_date(col("bar_start")))
             .localCheckpoint(true)
-          merged.write.partitionBy("bar_date").mode("overwrite")
+          merged.repartition(col("bar_date"))
+            .write.partitionBy("bar_date").mode("overwrite")
             .parquet(stateDir)
           ()
         }

@@ -90,6 +90,31 @@ class DriftAndGraphSpec extends SparkSpec {
     assert(rep.forall(_.getAs[Double]("clustering") == 1.0))
   }
 
+  test("weighted sampling: selection tracks the ES inclusion probability") {
+    import graft.operators.TextAnalysis
+    // two docs; w = ln(1+n_chars): 2980 vs 1 chars -> w1 ≈ 8.0, w2 ≈ 0.69,
+    // so P(doc1 wins a 1-of-2 draw) = w1/(w1+w2) ≈ 0.92. One query runs
+    // 500 independent salted races (same key formula as weightedSample).
+    val docs = Seq((1L, 2980L), (2L, 1L)).toDF("doc_id", "n_chars")
+    val races = spark.range(500).select(concat(lit("t"), col("id"), lit("_"))
+      .as("salt")).crossJoin(docs)
+    val u = (graft.functions.TextFunctions.hash60(
+      concat(col("salt"), col("doc_id"))).cast("double") + 0.5) /
+      graft.operators.Sketches.HashRange
+    val keyed = races.withColumn("k",
+      log(u) / log(lit(1.0) + col("n_chars").cast("double")))
+    val wins = keyed.groupBy(col("salt"))
+      .agg(expr("max_by(doc_id, k)").as("winner"))
+      .where(col("winner") === 1L).count()
+    val p = wins / 500.0
+    assert(p > 0.84 && p < 0.98, s"doc1 win rate $p")
+    // and k >= n keeps everything
+    val all = TextAnalysis.weightedSample(
+      Seq((1L, "s", 2980L), (2L, "s", 1L)).toDF("doc_id", "source", "n_chars"),
+      perSource = 5)
+    assert(all.count() == 2)
+  }
+
   test("histogram quantile estimate is within one bin width of exact") {
     val df = (1 to 5000).map(i => ("g", i.toDouble)).toDF("symbol", "price")
     val r = Sketches.quantileHistogram(df, "symbol", col("price")).collect().head
