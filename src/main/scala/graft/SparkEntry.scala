@@ -888,11 +888,17 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val isRet = pmod(graft.functions.TextFunctions.hash60(
         concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      // signatures and BM25 postings are PER-DOC structures, so only
+      // the retired slice needs building for their affected-row counts
+      // (the audit semi-joins on retired ids anyway — identical counts,
+      // ~10x less tokenize/minhash work). The span/CDC provenance and
+      // the cluster assignment genuinely need the full corpus: "hash
+      // lost" / rep re-election are survivor-dependent questions.
       Dedup.retireAudit(docs.filter(isRet).select(col("doc_id")),
-        Dedup.minhashSignatures(docs),
+        Dedup.minhashSignatures(docs.filter(isRet)),
         TextAnalysis.spanShingleIndexProv(docs),
         TextAnalysis.cdcChunkIndexProv(docs),
-        TextAnalysis.bm25Index(docs),
+        TextAnalysis.bm25Index(docs.filter(isRet)),
         Dedup.clusters(Dedup.ngramJaccardPairs(docs)))
     }),
     // simhash-index retire: the Hamming family's takedown — per-doc
