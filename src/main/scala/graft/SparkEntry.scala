@@ -1208,6 +1208,16 @@ object SparkEntry {
     // one-pass mergeable top-k race keyed by ln(u)/w.
     "weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir))),
+    // Bloom membership audit: filter built from the 80% history's
+    // content fingerprints, probed by every doc — no false negatives
+    // (every history doc must hit), measured FP rate vs theory on the
+    // 20%; 63-bit words merged by bit_or.
+    "sketch_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("bfs_"), col("doc_id"))), lit(100)) < 80
+      Sketches.bloomAudit(docs.filter(isHist), docs, 8192, 5)
+    }),
     // point-in-time-correct training-set assembly: STRICT as-of join
     // (feature stamped at the prediction instant is invisible — the
     // leakage guard), forward label, in-row leak audit column. With
@@ -5319,6 +5329,47 @@ object SparkEntry {
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors Sketches.bloomAudit (m=8192, k=5, 63-bit words): same
+    // salted positions, same bit_or word build, same all-bits probe.
+    "sketch_bloom" ->
+      s"""WITH hk AS (SELECT DISTINCT md5(text) AS key,
+         |    ${h60("'bf_' || md5(text)")} AS h
+         |  FROM documents
+         |  WHERE ${h60("'bfs_' || doc_id")} % 100 < 80),
+         |hp AS (SELECT
+         |    ((h % 2147483647) * (2 * g.j + 1) + 7919 * (g.j + 1)) % 2147483647 % 8192 AS pos
+         |  FROM hk, generate_series(0, 4) AS g(j)),
+         |words AS (SELECT CAST(pos // 63 AS BIGINT) AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |  FROM hp GROUP BY word),
+         |pk AS (SELECT doc_id, md5(text) AS key,
+         |    ${h60("'bf_' || md5(text)")} AS h
+         |  FROM documents),
+         |pp AS (SELECT doc_id, key,
+         |    ((h % 2147483647) * (2 * g.j + 1) + 7919 * (g.j + 1)) % 2147483647 % 8192 AS pos
+         |  FROM pk, generate_series(0, 4) AS g(j)),
+         |pm AS (SELECT doc_id, key, CAST(pos // 63 AS BIGINT) AS word,
+         |    CAST(1 AS BIGINT) << CAST(pos % 63 AS INT) AS mask
+         |  FROM pp),
+         |ph AS (SELECT doc_id, key,
+         |    bool_and((coalesce(bits, 0) & mask) = mask) AS bloom_hit
+         |  FROM pm LEFT JOIN words USING (word)
+         |  GROUP BY doc_id, key),
+         |pt AS (SELECT ph.*, (key IN (SELECT key FROM hk)) AS member FROM ph),
+         |nh AS (SELECT count(*) AS n_hist FROM hk),
+         |bs AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set FROM words),
+         |agg AS (SELECT count(*) AS n_probes,
+         |    CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+         |    CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |    CAST(sum(CASE WHEN bloom_hit AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |  FROM pt)
+         |SELECT n_probes, n_true_members, n_bloom_hits, n_false_pos, bits_set,
+         |  CASE WHEN n_probes > n_true_members
+         |    THEN round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_true_members AS DOUBLE), 6)
+         |    ELSE 0.0 END AS fp_rate,
+         |  round(pow(1.0 - exp(-5.0 * CAST(n_hist AS DOUBLE) / 8192), 5), 6) AS fp_theoretical
+         |FROM agg, bs, nh""".stripMargin,
 
     // mirrors TextAnalysis.weightedSample: same seeded uniform, same
     // 12-decimal-rounded exponential race key, same tiebreak.

@@ -47,6 +47,15 @@ object TextFunctions {
     ((h % HashP) * a + b) % HashP
   }
 
+  /** [[seededFromHash]] with the seed as a COLUMN (k exploded seeds in
+    * one plan, e.g. the Bloom positions) — identical arithmetic.
+    */
+  def seededFromHashCol(seed: Column, h: Column): Column = {
+    val a = lit(2L) * seed + 1
+    val b = lit(7919L) * (seed + 1)
+    ((h % HashP) * a + b) % HashP
+  }
+
   /** Distinct token 3-gram shingles of a token array (MinHash/Jaccard
     * input). `slice` is 1-based. Docs shorter than n tokens contribute
     * their whole token stream as ONE shingle (standard practice — and

@@ -163,6 +163,78 @@ object Sketches {
       .orderBy(col(groupCol))
   }
 
+  /** k salted bit positions per fingerprint row (`h` column) →
+    * (word, mask) with 63 usable bits per word.
+    */
+  def bloomPositions(df: DataFrame, mBits: Int, k: Int): DataFrame = df
+    .withColumn("j", explode(array((0 until k).map(lit): _*)))
+    .withColumn("pos", TextFunctions.seededFromHashCol(col("j"), col("h")) % mBits)
+    .withColumn("word", floor(col("pos") / 63).cast("long"))
+    .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"))
+
+  /** The filter itself: (word, bits) rows. Filters over shards/days
+    * merge by `bit_or` per word — union the word tables and re-group
+    * (the algebra BloomSpec asserts: build(A ∪ B) == merge(build(A),
+    * build(B))).
+    */
+  def bloomWords(keys: DataFrame, mBits: Int, k: Int): DataFrame =
+    bloomPositions(keys, mBits, k)
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+
+  /** Bloom-filter membership audit — the third sketch beside KMV
+    * (cardinality) and the histogram (quantiles): a bit array built
+    * from the HISTORY's content fingerprints, probed by the delta, with
+    * the measured false-positive rate reported against the theoretical
+    * (1 − e^(−kn/m))^k. The filter is stored as (word, bits) rows —
+    * 63 usable bits per BIGINT word (the sign bit stays clear so shift
+    * arithmetic is portable; DuckDB checks 1<<63 as overflow) — and
+    * merges across shards/days by plain `bit_or` per word: the property
+    * that makes it the 100 TB pre-join membership gate (probe the
+    * filter BEFORE shuffling a delta against a petabyte index; only
+    * bloom-positive rows pay the join). No false negatives by
+    * construction — spec-asserted, and the audit counts prove it in
+    * every run: every true member must hit.
+    *
+    * Returns one row: (n_probes, n_true_members, n_bloom_hits,
+    * n_false_pos, bits_set, fp_rate, fp_theoretical).
+    */
+  def bloomAudit(hist: DataFrame, delta: DataFrame,
+      mBits: Int = 16384, k: Int = 7): DataFrame = {
+    def fp(df: DataFrame) = df.select(col("doc_id"),
+      md5(col("text")).as("key"),
+      TextFunctions.hash60(concat(lit("bf_"), md5(col("text")))).as("h"))
+    val histKeys = fp(hist).select(col("key"), col("h")).distinct()
+    val words = bloomWords(histKeys, mBits, k)
+    // probe: a delta doc is bloom-positive iff ALL k bits are set
+    val probes = bloomPositions(fp(delta), mBits, k)
+      .join(words, Seq("word"), "left")
+      .withColumn("hit",
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask")))
+      .groupBy(col("doc_id"), col("key"))
+      .agg(min(col("hit")).as("bloom_hit"))
+    val withTruth = probes.join(
+      histKeys.select(col("key"), lit(true).as("is_member")), Seq("key"), "left")
+      .select(col("bloom_hit"), coalesce(col("is_member"), lit(false)).as("member"))
+    val nHist = histKeys.agg(count(lit(1)).as("n_hist"))
+    val bitsSet = words.agg(sum(bit_count(col("bits"))).as("bits_set"))
+    withTruth.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("member"), 1L).otherwise(0L)).as("n_true_members"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("bloom_hit") && !col("member"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(bitsSet))
+      .crossJoin(broadcast(nHist))
+      .select(col("n_probes"), col("n_true_members"), col("n_bloom_hits"),
+        col("n_false_pos"), col("bits_set").cast("long").as("bits_set"),
+        when(col("n_probes") > col("n_true_members"),
+          round(col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_true_members")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("fp_rate"),
+        round(pow(lit(1.0) - exp(lit(-1.0 * k) * col("n_hist").cast("double") / mBits),
+          k), 6).as("fp_theoretical"))
+  }
+
   private def qTag(q: Double) = (q * 100).round.toString
   private def estName(q: Double) = s"p${qTag(q)}_est"
   private def exactName(q: Double) = s"p${qTag(q)}_exact"

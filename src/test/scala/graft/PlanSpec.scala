@@ -378,7 +378,9 @@ class PlanSpec extends SparkSpec {
       // (|event types|² rows) — parameter-bounded like the ANN sets
       "sketch_kmv_overlap",
       // 1-row bounds cross joins (and the |types|×nBins grid for PSI)
-      "value_drift_psi", "sketch_quantile_hist", "value_drift_incremental")
+      "value_drift_psi", "sketch_quantile_hist", "value_drift_incremental",
+      // 1-row bits_set / n_hist cross joins onto the probe aggregate
+      "sketch_bloom")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

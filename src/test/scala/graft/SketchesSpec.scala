@@ -85,6 +85,32 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(i - 1000) / 1000 < 0.6, s"intersection $i")
   }
 
+  test("bloom: no false negatives, and shard filters bit_or-merge exactly") {
+    import graft.functions.TextFunctions
+    def keys(ids: Seq[Int]) = ids.toDF("id").select(
+      col("id").cast("string").as("key"),
+      TextFunctions.hash60(concat(lit("bf_"), col("id"))).as("h"))
+    val a = keys(1 to 50)
+    val b = keys(40 to 90)
+    val m = 512; val k = 4
+    // merge law: build(A ∪ B) == per-word bit_or of build(A), build(B)
+    val direct = Sketches.bloomWords(a.unionByName(b).distinct(), m, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Sketches.bloomWords(a, m, k)
+      .unionByName(Sketches.bloomWords(b, m, k))
+      .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == merged)
+    // no false negatives: every member of A ∪ B probes positive
+    val words = Sketches.bloomWords(a.unionByName(b).distinct(), m, k)
+    val hits = Sketches.bloomPositions(a.unionByName(b).distinct(), m, k)
+      .join(words, Seq("word"), "left")
+      .withColumn("hit",
+        coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask"))
+      .groupBy(col("key")).agg(min(col("hit")).as("all_hit"))
+    assert(hits.collect().forall(_.getAs[Boolean]("all_hit")))
+  }
+
   test("sketch state is bounded: k-min retains at most k rows per group") {
     // the registered query at sf0.001: 15 users/type, k=64 -> exact
     val rep = SparkEntry.queries("sketch_kmv_distinct")(
