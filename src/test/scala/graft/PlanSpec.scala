@@ -60,6 +60,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("kmv sketches: the k-min rank cut plans as WindowGroupLimit") {
+    // each map task keeps its local k smallest before the shuffle —
+    // the property that bounds the sketch shuffle at O(groups·k)
+    for (q <- Seq("sketch_kmv_distinct", "sketch_kmv_merge",
+        "sketch_kmv_rolling")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), q)
+      assert(!p.contains("SortAggregate"), q)
+    }
+  }
+
+  test("weighted sample and bloom: bounded top-k / hash-agg shapes") {
+    val ws = plan("weighted_sample")
+    assert(ws.contains("WindowGroupLimit")) // per-source race top-k
+    val bl = plan("sketch_bloom")
+    // filter build + probe are hash aggs; the only joins are the word
+    // table (tiny) and 1-row stat cross joins
+    assert(!bl.contains("SortAggregate"))
+  }
+
   test("quality drift: one aggregation exchange feeds the source window") {
     val p = plan("quality_drift")
     // map-only scoring → partial agg → ONE hash exchange on the group
