@@ -1152,6 +1152,11 @@ object SparkEntry {
     // segments, exact-decimal sums, one window pass + one agg.
     "symbol_twap" -> ((s, dir) =>
       Analytics.twap(Trades.fromEvents(Tables.events(s, dir)))),
+    // level-shift changepoint scan: sliding two-window mean comparison
+    // over hourly closes — regime changes, not point spikes.
+    "symbol_level_shift" -> ((s, dir) =>
+      Analytics.levelShift(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
     // exact DAU / trailing-7-day WAU per calendar day (the expensive
     // nightly form; the sketch twin below serves the same board).
     "user_active_rolling" -> ((s, dir) =>
@@ -5329,6 +5334,38 @@ object SparkEntry {
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors Analytics.levelShift (w=12 over hourly bars): identical
+    // ROWS frames, 6-decimal DECIMAL sums, pooled-variance z.
+    "symbol_level_shift" -> {
+      val hourBars = barsCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")
+      s"""$hourBars,
+         |b2 AS (SELECT symbol, bar_start, close,
+         |    count(*) OVER wr AS n_r, count(*) OVER wp AS n_p,
+         |    sum(CAST(round(close, 6) AS DECIMAL(28,6))) OVER wr AS s_r,
+         |    sum(CAST(round(close, 6) AS DECIMAL(28,6))) OVER wp AS s_p,
+         |    sum(CAST(round(close, 6) AS DECIMAL(28,6))) OVER wa AS s_all,
+         |    sum(CAST(round(close * close, 6) AS DECIMAL(28,6))) OVER wa AS s2_all
+         |  FROM bars
+         |  WINDOW
+         |    wr AS (PARTITION BY symbol ORDER BY bar_start ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         |    wp AS (PARTITION BY symbol ORDER BY bar_start ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING),
+         |    wa AS (PARTITION BY symbol ORDER BY bar_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |b3 AS (SELECT symbol, bar_start,
+         |    round(CAST(s_p AS DOUBLE) / 12, 6) AS mean_prev,
+         |    round(CAST(s_r AS DOUBLE) / 12, 6) AS mean_recent,
+         |    CAST(s2_all AS DOUBLE) / 24
+         |      - (CAST(s_all AS DOUBLE) / 24) * (CAST(s_all AS DOUBLE) / 24) AS var_all
+         |  FROM b2 WHERE n_r = 12 AND n_p = 12),
+         |b4 AS (SELECT symbol, bar_start, mean_prev, mean_recent,
+         |    CASE WHEN var_all > 0
+         |      THEN round((mean_recent - mean_prev) / sqrt(var_all * (2.0 / 12)), 6)
+         |    END AS shift_z
+         |  FROM b3)
+         |SELECT symbol, bar_start, mean_prev, mean_recent, shift_z,
+         |  abs(coalesce(shift_z, 0.0)) > 4.0 AS shifted
+         |FROM b4 ORDER BY symbol, bar_start""".stripMargin
+    },
 
     // mirrors Sketches.bloomAudit (m=8192, k=5, 63-bit words): same
     // salted positions, same bit_or word build, same all-bits probe.

@@ -598,4 +598,58 @@ object Analytics {
           .as("vwap"))
       .orderBy(col("symbol"), col("hour_start"))
   }
+
+  /** Level-shift (changepoint) scan per symbol — the third monitor
+    * beside distribution drift (`value_drift_psi`) and point outliers
+    * (`bar_analytics` z-scores): a sliding two-window mean comparison
+    * over hourly closes. At each bar, the trailing `w` bars' mean is
+    * compared against the `w` bars before them; the shift statistic is
+    * (mean_recent − mean_prev) / sqrt(var₂w · 2/w) — the two-sample z
+    * under the pooled 2w-window variance. A genuine regime change
+    * moves the recent mean for many consecutive bars (a single spike
+    * cannot — it is diluted by w), which is exactly what the point
+    * z-score can't see.
+    *
+    * Determinism: closes and their squares are 6-decimal-rounded and
+    * summed as DECIMAL over ROWS frames (associative, engine-exact);
+    * sqrt is IEEE-correctly-rounded, so the final round(…, 6) is
+    * stable cross-engine. Only bars with both windows full emit.
+    */
+  def levelShift(bars: DataFrame, w: Int = 12,
+      threshold: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 6)
+    val ts = unix_timestamp(col("bar_start"))
+    def frame(lo: Int, hi: Int) = Window.partitionBy(col("symbol"))
+      .orderBy(ts).rowsBetween(lo, hi)
+    val recent = frame(-(w - 1), 0)
+    val prev = frame(-(2 * w - 1), -w)
+    val both = frame(-(2 * w - 1), 0)
+    val c6 = round(col("close"), 6).cast(dec)
+    val c2 = round(col("close") * col("close"), 6).cast(dec)
+    bars
+      .withColumn("n_r", count(lit(1)).over(recent))
+      .withColumn("n_p", count(lit(1)).over(prev))
+      .withColumn("s_r", sum(c6).over(recent))
+      .withColumn("s_p", sum(c6).over(prev))
+      .withColumn("s_all", sum(c6).over(both))
+      .withColumn("s2_all", sum(c2).over(both))
+      .where(col("n_r") === w && col("n_p") === w)
+      .withColumn("mean_recent",
+        round(col("s_r").cast("double") / w, 6))
+      .withColumn("mean_prev",
+        round(col("s_p").cast("double") / w, 6))
+      .withColumn("var_all",
+        col("s2_all").cast("double") / (2 * w) -
+          (col("s_all").cast("double") / (2 * w)) *
+          (col("s_all").cast("double") / (2 * w)))
+      .withColumn("shift_z",
+        when(col("var_all") > 0,
+          round((col("mean_recent") - col("mean_prev")) /
+            sqrt(col("var_all") * (2.0 / w)), 6)))
+      .select(col("symbol"), col("bar_start"), col("mean_prev"),
+        col("mean_recent"), col("shift_z"),
+        (abs(coalesce(col("shift_z"), lit(0.0))) > threshold).as("shifted"))
+      .orderBy(col("symbol"), col("bar_start"))
+  }
 }

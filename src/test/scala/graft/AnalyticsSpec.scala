@@ -193,4 +193,29 @@ class AnalyticsSpec extends SparkSpec {
       rows.map(_.getAs[Timestamp]("bar_start").getTime).toSeq.sorted)
     assert(rows.last.getAs[Timestamp]("bar_start") == ts("2024-01-01 10:30:00"))
   }
+
+  test("levelShift: sustained step trips, lone spike is diluted, flat var is null z") {
+    def series(sym: String, cs: Seq[Double]) =
+      cs.zipWithIndex.map { case (c, i) => bar(sym, i, c) }
+    val step = series("S",
+      Seq(100.0, 101.0, 100.0, 101.0, 100.0, 101.0, 200.0, 201.0, 200.0, 201.0))
+    val spike = series("P",
+      Seq(100.0, 100.0, 100.0, 100.0, 100.0, 200.0, 100.0, 100.0, 100.0, 100.0))
+    val flat = series("F", Seq.fill(8)(50.0))
+    val rows = Analytics.levelShift((step ++ spike ++ flat).toDS.toDF,
+      w = 3, threshold = 2.0).collect()
+    val bySym = rows.groupBy(_.getString(0))
+    // rows emit only once BOTH w-windows are full: 10 bars -> 5, 8 -> 3
+    assert(bySym("S").length == 5 && bySym("P").length == 5 &&
+      bySym("F").length == 3)
+    // a pure step's max z is sqrt(2w) ~ 2.449 (the pooled variance
+    // contains the step itself) -- exactly one bar has recent fully on
+    // the new level AND prev fully on the old, and only it trips 2.0
+    val tripped = bySym("S").filter(_.getBoolean(5))
+    assert(tripped.length == 1 && tripped.head.getDouble(4) > 2.0)
+    // a lone spike never fills a window: max |z| ~ 1.1 -> never shifted
+    assert(bySym("P").forall(!_.getBoolean(5)))
+    // flat closes: pooled variance 0 -> guarded null z, not shifted
+    assert(bySym("F").forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+  }
 }
