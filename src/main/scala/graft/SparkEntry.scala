@@ -537,6 +537,12 @@ object SparkEntry {
     // BM25 lexical retrieval: top-k docs for a fixed query-term set.
     "bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    // hybrid retrieval: reciprocal-rank fusion of the query-by-document
+    // BM25 leg and the exact dense leg (vec_id ≡ doc_id) — ranks only,
+    // no cross-leg score calibration.
+    "hybrid_search" -> ((s, dir) =>
+      TextAnalysis.hybridSearch(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // passage-level BM25, MaxP doc scoring: chunk geometry sized so the
     // test corpus' ~50-token docs actually split into multiple passages.
     "bm25_passages" -> ((s, dir) =>
@@ -3576,6 +3582,54 @@ object SparkEntry {
     // e0 literals + explicit parens reproduce the engine's exact IEEE
     // constant folds and operation order; per-term scores scaled to
     // exact longs before the per-doc sum (order-independent).
+    // mirrors TextAnalysis.hybridSearch: query-by-document BM25 leg
+    // (query terms = each query doc's distinct tokens, df over the
+    // term-filtered postings) + exact-cosine dense leg, RRF K=60,
+    // top-20 per leg, fused top-10 per query, ties by doc_id.
+    "hybrid_search" ->
+      s"""$embCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |corpus AS (SELECT count(*) AS cn, sum(len(toks)) AS tot_len FROM t),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, u.t
+         |       FROM t, unnest(toks) AS u(t) WHERE doc_id < 10),
+         |tf AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+         |       FROM t, unnest(toks) AS u(t)
+         |       WHERE u.t IN (SELECT DISTINCT t FROM qt)
+         |       GROUP BY doc_id, len(toks), u.t),
+         |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+         |sc AS (SELECT tf.t, tf.doc_id,
+         |         CAST(round(ln((CAST(cn AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+         |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+         |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+         |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+         |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(cn AS DOUBLE))))
+         |           * 1000000.0, 0) AS BIGINT) AS s6
+         |       FROM tf JOIN dfq USING (t), corpus),
+         |lexs AS (SELECT qt.query_id, sc.doc_id, sum(s6) AS s6
+         |         FROM sc JOIN qt USING (t) WHERE sc.doc_id <> qt.query_id
+         |         GROUP BY qt.query_id, sc.doc_id),
+         |lex AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS lex_rank
+         |        FROM lexs QUALIFY lex_rank <= 20),
+         |qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |pc AS (SELECT qv.query_id, n.vec_id AS doc_id,
+         |         round(${dotSql("qv.qv", "n.v")} / (qv.qn * n.nrm), 6) AS cosine
+         |       FROM qv, n WHERE n.vec_id <> qv.query_id),
+         |ann AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS ann_rank
+         |        FROM pc QUALIFY ann_rank <= 20),
+         |f AS (SELECT coalesce(lex.query_id, ann.query_id) AS query_id,
+         |        coalesce(lex.doc_id, ann.doc_id) AS doc_id,
+         |        lex.lex_rank, ann.ann_rank,
+         |        round(coalesce(1.0e0 / (60.0e0 + CAST(lex_rank AS DOUBLE)), 0.0e0)
+         |          + coalesce(1.0e0 / (60.0e0 + CAST(ann_rank AS DOUBLE)), 0.0e0), 6) AS rrf
+         |      FROM lex FULL JOIN ann
+         |        ON lex.query_id = ann.query_id AND lex.doc_id = ann.doc_id)
+         |SELECT query_id, doc_id, lex_rank, ann_rank, rrf,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+         |FROM f QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |corpus AS (SELECT count(*) AS n, sum(len(toks)) AS tot_len FROM t),

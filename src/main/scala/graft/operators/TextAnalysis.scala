@@ -520,6 +520,102 @@ object TextAnalysis {
     bm25Score(tf, corpus, k, k1, b)
   }
 
+  /** Query-by-document BM25: each query document's own distinct token
+    * set is its query, and every OTHER document is scored by the
+    * standard Okapi formula — the "more like this" primitive behind
+    * decontamination triage and topic-targeted sampling, and the
+    * lexical leg of [[hybridSearch]].
+    *
+    * Scale shape: the query docs' union term set is tiny (|Q|·|vocab
+    * per doc|) and rides as a BROADCAST filter on the token explode, so
+    * the shuffled postings carry only terms some query contains — the
+    * [[bm25TopK]] property generalized to a query SET. Document
+    * frequency is computed once per term from those postings (exact:
+    * the term filter keeps every posting of a kept term), never per
+    * query, and the per-(query, doc) fan-out joins the scored postings
+    * against the broadcast query-term table — corpus rows are scored
+    * once per query term that hits them, not once per query.
+    *
+    * Determinism: the [[bm25ScoreBy]] convention — 6-decimal scaled-long
+    * term contributions summed exactly, one divide at the boundary.
+    */
+  def bm25QueryByDoc(docs: DataFrame, nQueries: Int = 10,
+                     k: Int = 20, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val corpus = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("tot_len"))
+    val qterms = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks)).as("t"))
+    val termSet = qterms.select(col("t")).distinct()
+    val tf = docs.select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("t"))
+      .join(broadcast(termSet), Seq("t"))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("doc_freq"))
+    val idf = log((col("n").cast("double") - col("doc_freq").cast("double")
+      + lit(0.5d)) / (col("doc_freq").cast("double") + lit(0.5d)) + lit(1.0d))
+    val avgdl = col("tot_len").cast("double") / col("n").cast("double")
+    val tfd = col("tf").cast("double")
+    val scored = tf.join(dfreq, Seq("t")).crossJoin(corpus)
+      .select(col("t"), col("doc_id"),
+        round(idf * (tfd * lit(k1 + 1.0d)) /
+          (tfd + lit(k1) * (lit(1.0d - b) + lit(b) *
+            col("dl").cast("double") / avgdl)) * lit(1e6), 0)
+          .cast("long").as("s6"))
+    scored.join(broadcast(qterms), Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms"), sum(col("s6")).as("s6"))
+      .withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("s6").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("s6").cast("double") / lit(1e6)).as("bm25"), col("lex_rank"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009 — the standard lexical+dense fusion): for each
+    * query document, the BM25 query-by-document leg ([[bm25QueryByDoc]])
+    * and the exact dense leg ([[Similarity.annBruteForce]] over the
+    * parallel embeddings table, vec_id ≡ doc_id) each contribute
+    * 1/(K + rank) for their top-`legK`, and candidates rank by the sum.
+    * RRF needs no score calibration between legs — only ranks — which
+    * is what makes it robust when one leg's scores are on a different
+    * scale (BM25 sums vs cosines).
+    *
+    * Scale shape: both legs broadcast the query side and keep their
+    * per-query top-k as window-limited shuffles; the fusion itself
+    * joins two ≤ nQueries·legK-row tables — negligible at any corpus
+    * size. Determinism: ranks are exact ints, the two reciprocals are
+    * IEEE doubles summed in a fixed 2-term expression, rounded to 6;
+    * ties (same rrf from mirrored single-leg ranks) break by doc_id.
+    */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame,
+                   nQueries: Int = 10, legK: Int = 20, k: Int = 10,
+                   rrfK: Int = 60): DataFrame = {
+    val lex = bm25QueryByDoc(docs, nQueries, legK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val sem = Similarity.annBruteForce(embeddings, nQueries, legK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("ann_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("ann_rank"),
+        round(
+          coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("lex_rank").cast("double")), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("ann_rank").cast("double")), lit(0.0d)),
+          6).as("rrf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
     * train a unigram LM on a reference slice of the corpus (`lang =
     * trainLang` here; CCNet trains KenLM on Wikipedia) and score EVERY

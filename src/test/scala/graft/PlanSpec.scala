@@ -386,6 +386,8 @@ class PlanSpec extends SparkSpec {
       // 1-row corpus-stats (N, avgdl) cross join, same as tfidf
       "bm25_topk", "bm25_incremental", "bm25_passages", "bm25_retire",
       "bm25_passages_incremental", "bm25_passages_retire",
+      // the BM25 leg's 1-row corpus-stats cross join rides through
+      "hybrid_search",
       // packed-centroid broadcast, same as dedup_semantic
       "diversity_sample", "dedup_semantic_docs",
       // parameter-bounded stats×probes overlap join (nFiles·layouts ×

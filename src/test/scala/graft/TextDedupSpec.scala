@@ -665,6 +665,40 @@ class TextDedupSpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(corpus).collect().isEmpty)
   }
 
+  test("hybridSearch: RRF favors both-leg hits; dense-only and lex-only docs both surface") {
+    val corpus = docs(
+      "alpha beta gamma",         // 0: query doc
+      "delta epsilon zeta",       // 1: query doc
+      "alpha beta gamma",         // 2: full lex match of q0
+      "alpha filler filler",      // 3: partial lex match of q0
+      "nolex tokens here",        // 4: dense-only neighbor of q0
+      "unrelated words entirely") // 5: neither leg
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f), 0),     // cos(q0) ~ .994
+      (3L, Array(0f, 0f, 1f), 0),         // orthogonal to q0
+      (4L, Array(0.95f, 0f, 0.05f), 0),   // cos(q0) ~ .999 -> dense rank 1
+      (5L, Array(0f, 0.1f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val r = TextAnalysis.hybridSearch(corpus, emb, nQueries = 2, legK = 3, k = 4)
+      .collect().filter(_.getAs[Long]("query_id") == 0L)
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 2 hits BOTH legs (lex 1, dense 2) -> fused rank 1, and its
+    // rrf is exactly the two-reciprocal sum
+    assert(r.head.getAs[Long]("doc_id") == 2L)
+    assert(byDoc(2L).getAs[Double]("rrf") ==
+      BigDecimal(1.0 / 61 + 1.0 / 62)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 4 shares no terms: surfaces through the dense leg alone
+    assert(byDoc(4L).isNullAt(byDoc(4L).fieldIndex("lex_rank")))
+    assert(byDoc(4L).getAs[Int]("rank") == 2)
+    // doc 3's embedding is orthogonal: surfaces through lex alone
+    assert(byDoc(3L).isNullAt(byDoc(3L).fieldIndex("ann_rank")))
+    // both-legs beats any single leg; leg rank 1 beats leg rank 2
+    assert(byDoc(2L).getAs[Double]("rrf") > byDoc(4L).getAs[Double]("rrf"))
+    assert(byDoc(4L).getAs[Double]("rrf") > byDoc(3L).getAs[Double]("rrf"))
+  }
+
   test("incremental BM25: refreshed index equals full recompute; refresh is idempotent") {
     val hist = docs(
       "spark stream merge runs in a batch window",
