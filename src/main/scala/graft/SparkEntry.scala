@@ -1188,6 +1188,15 @@ object SparkEntry {
     "sketch_quantile_hist" -> ((s, dir) =>
       Sketches.quantileHistogram(
         Trades.fromEvents(Tables.events(s, dir)), "symbol", col("price"))),
+    // Count-Min frequency sketch: every user's sketch estimate vs its
+    // exact event count, with the sketch-side heavy-hitter cut.
+    "sketch_cms_topk" -> ((s, dir) =>
+      Sketches.cmsTopK(Tables.events(s, dir), col("user_id"))),
+    // CMS linearity audit: per-day sketches summed cell-wise == the
+    // whole-history sketch; each row's L1 mass == total occurrences.
+    "sketch_cms_merge" -> ((s, dir) =>
+      Sketches.cmsMergeDaily(Tables.events(s, dir), to_date(col("ts")),
+        col("user_id"))),
     // k-anonymity audit over (type, day, value-decade) quasi-identifiers:
     // group-size risk mass per threshold, the pre-ship compliance gate.
     "k_anonymity_audit" -> ((s, dir) =>
@@ -5420,6 +5429,44 @@ object SparkEntry {
          |  abs(coalesce(shift_z, 0.0)) > 4.0 AS shifted
          |FROM b4 ORDER BY symbol, bar_start""".stripMargin
     },
+
+    // mirrors Sketches.cmsTopK (d=4, w=64): same salted seeded
+    // positions, min-over-rows estimate, sketch-side heavy cut.
+    "sketch_cms_topk" ->
+      s"""WITH ht AS (SELECT user_id AS k,
+         |    ${h60("'cms_' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |counters AS (SELECT g.r,
+         |    ((h % 2147483647) * (2 * g.r + 1) + 7919 * (g.r + 1)) % 2147483647 % 64 AS c,
+         |    count(*) AS cnt
+         |  FROM ht, generate_series(0, 3) AS g(r) GROUP BY 1, 2),
+         |exact AS (SELECT k, h, count(*) AS n_exact FROM ht GROUP BY k, h),
+         |pos AS (SELECT k, n_exact, g.r,
+         |    ((h % 2147483647) * (2 * g.r + 1) + 7919 * (g.r + 1)) % 2147483647 % 64 AS c
+         |  FROM exact, generate_series(0, 3) AS g(r)),
+         |tot AS (SELECT count(*) AS n_total FROM events),
+         |est AS (SELECT k, n_exact, min(cnt) AS cms_est
+         |  FROM pos JOIN counters USING (r, c) GROUP BY k, n_exact)
+         |SELECT k AS key, n_exact, cms_est, cms_est - n_exact AS overestimate,
+         |  cms_est >= ceil(n_total * 0.01) AS is_heavy
+         |FROM est, tot ORDER BY cms_est DESC, key""".stripMargin,
+
+    // mirrors Sketches.cmsMergeDaily: per-day cell counts summed vs
+    // the direct sketch, per-row L1 == total occurrences.
+    "sketch_cms_merge" ->
+      s"""WITH occ AS (SELECT CAST(ts AS DATE) AS day, user_id AS k,
+         |    ${h60("'cms_' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |pos AS (SELECT day, g.r,
+         |    ((h % 2147483647) * (2 * g.r + 1) + 7919 * (g.r + 1)) % 2147483647 % 64 AS c
+         |  FROM occ, generate_series(0, 3) AS g(r)),
+         |daily AS (SELECT day, r, c, count(*) AS cnt FROM pos GROUP BY 1, 2, 3),
+         |merged AS (SELECT r, c, sum(cnt) AS cnt_merged FROM daily GROUP BY 1, 2),
+         |fullsk AS (SELECT r, c, count(*) AS cnt FROM pos GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS n_total FROM occ)
+         |SELECT r AS row, count(*) AS n_cells, sum(f.cnt) AS l1,
+         |  sum(f.cnt) = max(n_total) AS l1_ok,
+         |  bool_and(coalesce(f.cnt, 0) = coalesce(m.cnt_merged, 0)) AS merge_consistent
+         |FROM fullsk f FULL JOIN merged m USING (r, c), tot
+         |GROUP BY r ORDER BY row""".stripMargin,
 
     // mirrors Sketches.bloomAudit (m=8192, k=5, 63-bit words): same
     // salted positions, same bit_or word build, same all-bits probe.

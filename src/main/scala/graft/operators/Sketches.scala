@@ -235,6 +235,93 @@ object Sketches {
           k), 6).as("fp_theoretical"))
   }
 
+  /** Count-Min counter table (Cormode & Muthukrishnan 2005) — the
+    * frequency sketch beside KMV (cardinality), the histogram
+    * (quantiles) and Bloom (membership): d seeded hash rows × w
+    * counters, each occurrence incrementing one counter per row.
+    * State is d·w longs whatever the key cardinality, and the build is
+    * one map-side-combinable count per (row, col) — at 100 TB every
+    * task reduces its partition to ≤ d·w cells before the shuffle.
+    * Counters are plain sums, so sketches over shards/days merge by
+    * cell-wise addition ([[cmsMergeDaily]] asserts it).
+    */
+  def cmsCounters(df: DataFrame, key: Column, d: Int, w: Int,
+      salt: String): DataFrame =
+    df.select(TextFunctions.hash60(concat(lit(salt), key)).as("h"))
+      .withColumn("r", explode(array((0 until d).map(lit): _*)))
+      .select(col("r"),
+        (TextFunctions.seededFromHashCol(col("r"), col("h")) % w).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+
+  /** Point-query audit over the Count-Min sketch: every distinct key's
+    * estimate (min over the d rows of its counter) against its exact
+    * count. CMS never underestimates — `overestimate` is ≥ 0 by
+    * construction (spec-asserted) and its magnitude is the collision
+    * noise the ε = e/w bound governs; `is_heavy` applies the classic
+    * heavy-hitter cut est ≥ ⌈φ·N⌉ FROM THE SKETCH, the decision a real
+    * pipeline makes when the exact table is too big to keep.
+    *
+    * Scale shape: the sketch is d·w cells — broadcast to the keys' side
+    * of the probe join; the exact counts exist only to grade the
+    * estimate (the one non-mergeable cost, same posture as
+    * [[quantileHistogram]]).
+    */
+  def cmsTopK(df: DataFrame, key: Column, d: Int = 4, w: Int = 64,
+      salt: String = "cms_", heavyFrac: Double = 0.01): DataFrame = {
+    val occ = df.select(key.as("k"))
+    val counters = cmsCounters(occ, col("k"), d, w, salt)
+    val exact = occ.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val pos = exact
+      .withColumn("h", TextFunctions.hash60(concat(lit(salt), col("k"))))
+      .withColumn("r", explode(array((0 until d).map(lit): _*)))
+      .select(col("k"), col("n_exact"), col("r"),
+        (TextFunctions.seededFromHashCol(col("r"), col("h")) % w).as("c"))
+    val total = occ.agg(count(lit(1)).as("n_total"))
+    pos.join(broadcast(counters), Seq("r", "c"))
+      .groupBy(col("k"), col("n_exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .crossJoin(broadcast(total))
+      .select(col("k").as("key"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overestimate"),
+        (col("cms_est") >= ceil(col("n_total") * lit(heavyFrac)))
+          .as("is_heavy"))
+      .orderBy(col("cms_est").desc, col("key"))
+  }
+
+  /** The CMS merge algebra: per-day partial sketches summed cell-wise
+    * must equal the whole-history sketch (counters are linear), and
+    * each row's L1 mass must equal the total occurrence count — the two
+    * invariants that let 365 daily d·w-cell tables answer any
+    * frequency question without re-reading the year. Emits one audit
+    * row per sketch row: (row, n_cells, l1, l1_ok, merge_consistent).
+    */
+  def cmsMergeDaily(df: DataFrame, dayCol: Column, key: Column,
+      d: Int = 4, w: Int = 64, salt: String = "cms_"): DataFrame = {
+    val occ = df.select(dayCol.as("day"), key.as("k"))
+    val daily = occ
+      .select(col("day"),
+        TextFunctions.hash60(concat(lit(salt), col("k"))).as("h"))
+      .withColumn("r", explode(array((0 until d).map(lit): _*)))
+      .select(col("day"), col("r"),
+        (TextFunctions.seededFromHashCol(col("r"), col("h")) % w).as("c"))
+      .groupBy(col("day"), col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val merged = daily.groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt_merged"))
+    val full = cmsCounters(occ.select(col("k")), col("k"), d, w, salt)
+    val total = occ.agg(count(lit(1)).as("n_total"))
+    full.join(merged, Seq("r", "c"), "full_outer")
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("cnt")).as("l1"),
+        min(coalesce(col("cnt"), lit(0L)) ===
+          coalesce(col("cnt_merged"), lit(0L))).as("merge_consistent"))
+      .crossJoin(broadcast(total))
+      .select(col("r").as("row"), col("n_cells"), col("l1"),
+        (col("l1") === col("n_total")).as("l1_ok"),
+        col("merge_consistent"))
+      .orderBy(col("row"))
+  }
+
   private def qTag(q: Double) = (q * 100).round.toString
   private def estName(q: Double) = s"p${qTag(q)}_est"
   private def exactName(q: Double) = s"p${qTag(q)}_exact"

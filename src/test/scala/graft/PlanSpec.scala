@@ -402,7 +402,9 @@ class PlanSpec extends SparkSpec {
       // 1-row bounds cross joins (and the |types|×nBins grid for PSI)
       "value_drift_psi", "sketch_quantile_hist", "value_drift_incremental",
       // 1-row bits_set / n_hist cross joins onto the probe aggregate
-      "sketch_bloom")
+      "sketch_bloom",
+      // 1-row n_total cross join onto the d·w-cell sketch audit
+      "sketch_cms_topk", "sketch_cms_merge")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -122,4 +122,35 @@ class SketchesSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").collect()
     assert(merge.forall(_.getAs[Boolean]("merge_consistent")))
   }
+
+  test("cms: never underestimates; exact when the table out-sizes the keys") {
+    // 3 keys with counts 50/30/20 into a wide sketch (w=256, 3 keys):
+    // collision probability negligible per row, and min-over-4-rows
+    // needs ALL rows collided to overestimate -> exact counts
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    val wide = Sketches.cmsTopK(df, col("k"), d = 4, w = 256).collect()
+    assert(wide.length == 3)
+    assert(wide.forall(_.getAs[Long]("overestimate") == 0L))
+    assert(wide.map(r => r.getAs[String]("key") -> r.getAs[Long]("cms_est"))
+      .toMap == Map("a" -> 50L, "b" -> 30L, "c" -> 20L))
+    // 200 distinct keys into w=8: collisions guaranteed in every row,
+    // but CMS NEVER undercounts — the one-sided error guarantee
+    val crowded = (1 to 200).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).toDF("k")
+    val rep = Sketches.cmsTopK(crowded, col("k"), d = 4, w = 8).collect()
+    assert(rep.forall(_.getAs[Long]("overestimate") >= 0L))
+    assert(rep.exists(_.getAs[Long]("overestimate") > 0L))
+  }
+
+  test("cms merge law: daily cell sums equal the direct sketch, L1 = N") {
+    val rows = for { d <- 1 to 5; i <- 1 to 100 }
+      yield (java.sql.Date.valueOf(f"2024-02-$d%02d"), s"u${i % 37}")
+    val df = rows.toDF("day", "k")
+    val rep = Sketches.cmsMergeDaily(df, col("day"), col("k"),
+      d = 4, w = 32).collect()
+    assert(rep.length == 4)
+    assert(rep.forall(_.getAs[Boolean]("merge_consistent")))
+    assert(rep.forall(_.getAs[Boolean]("l1_ok")))
+    assert(rep.forall(_.getAs[Long]("l1") == 500L))
+  }
 }
