@@ -708,6 +708,11 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    // AllPairs/PPJoin prefix-filtered self-join: exact Jaccard >= tau
+    // with no df cap and no LSH false negatives — candidates come from
+    // rare-first prefixes only.
+    "simjoin_prefix" -> ((s, dir) =>
+      Dedup.prefixSimJoin(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
@@ -4150,6 +4155,23 @@ object SparkEntry {
          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
          |${jaccardCte("shc")}
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    // oracle for Dedup.prefixSimJoin: the EXACT uncapped all-pairs
+    // Jaccard — deliberately not mirroring the prefix technique, so a
+    // green row proves the filter's zero-false-negative guarantee.
+    "simjoin_prefix" ->
+      s"""$docsCte,
+         |sets AS (SELECT doc_id, list_sort(list(shingle)) AS ss
+         |         FROM sh GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |        len(list_intersect(a.ss, b.ss)) AS inter,
+         |        len(a.ss) AS n1, len(b.ss) AS n2
+         |      FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+         |j AS (SELECT d1, d2,
+         |        round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) AS jaccard
+         |      FROM p)
+         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
 
     "dedup_clusters" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -414,6 +414,70 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Prefix-filtered set-similarity self-join (AllPairs: Bayardo, Ma &
+    * Srikant WWW'07; PPJoin length filter: Xiao et al. WWW'08) — the
+    * third pairwise technique beside LSH ([[minhashLshPairs]],
+    * probabilistic recall) and the df-capped inverted index
+    * ([[ngramJaccardPairs]], exact only while the cap is inactive):
+    * EXACT Jaccard ≥ τ with NO cap and NO false negatives, at any
+    * corpus shape.
+    *
+    * The trick: order every doc's shingles by one GLOBAL rare-first
+    * key (df asc, shingle asc) and keep only each doc's first
+    * n − ⌈τ·n⌉ + 1 shingles (its "prefix"). If J(a,b) ≥ τ then their
+    * overlap is ≥ ⌈τ·|a|⌉ and ≥ ⌈τ·|b|⌉, so the globally-smallest
+    * shared shingle must sit inside BOTH prefixes (pigeonhole over the
+    * suffix) — joining prefixes on shingle loses nothing. Because the
+    * ordering is rare-first, boilerplate shingles land in prefixes only
+    * for docs made almost entirely of boilerplate: candidate volume
+    * tracks rare-shingle co-occurrence (≈ true pairs), not df² — which
+    * is why this survives the skewed corpora that force
+    * [[ngramJaccardPairs]]'s cap to start dropping pairs. The PPJoin
+    * length filter (τ·max(n₁,n₂) ≤ min(n₁,n₂), implied by J ≥ τ) prunes
+    * cross-size candidates inside the same join condition.
+    *
+    * Scale shape: one df agg + one per-doc rank window over the
+    * inverted index (both shuffle O(index) rows once), a candidate
+    * equi-join on PREFIX shingles only, then per-candidate verification
+    * against the sorted per-doc shingle arrays (array_intersect is
+    * in-row; the arrays join onto ≈|true pairs| candidate rows). No
+    * driver round-trips, no caps, no sampling.
+    */
+  def prefixSimJoin(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sh = shingled(docs)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+      .join(n, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(lit(tau) * greatest(col("a.n"), col("b.n"))))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("ss").as("s1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("ss").as("s2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+        size(col("s1")).cast("long").as("n1"),
+        size(col("s2")).cast("long").as("n2"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Connected components over near-dup pairs → cluster representative
     * per document (the step that turns pairwise near-dup detection into
     * actual dedup groups). Min-label propagation accelerated with

@@ -665,6 +665,33 @@ class TextDedupSpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(corpus).collect().isEmpty)
   }
 
+  test("prefixSimJoin: exact pairs, and equals uncapped brute force on a random corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base.replace("kappa", "lambda") // differs in 1 of 8 shingles
+    val boiler = (0 until 5).map(i => s"common one two three unique$i tail$i end$i")
+    val corpus = docs(Seq(base, base, near) ++ boiler: _*)
+    val r = Dedup.prefixSimJoin(corpus).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // dup pair at 1.0, near pair at 7/9; boilerplate docs share only
+    // their 2 template shingles (J = 0.25) -> below tau, absent
+    assert(r == Set((0L, 1L, 1.0), (0L, 2L, 0.777778), (1L, 2L, 0.777778)))
+
+    // completeness: prefix filtering must equal the UNCAPPED inverted-
+    // index brute force on an arbitrary corpus (seeded random)
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'p').map(_.toString)
+    val randomDocs = docs((0 until 40).map { _ =>
+      (0 until (8 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }: _*)
+    val pf = Dedup.prefixSimJoin(randomDocs, tau = 0.3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val bf = Dedup.ngramJaccardPairs(randomDocs, threshold = 0.3,
+      maxDf = Int.MaxValue).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(pf == bf)
+  }
+
   test("hybridSearch: RRF favors both-leg hits; dense-only and lex-only docs both surface") {
     val corpus = docs(
       "alpha beta gamma",         // 0: query doc
