@@ -1168,6 +1168,11 @@ object SparkEntry {
     "symbol_level_shift" -> ((s, dir) =>
       Analytics.levelShift(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // return autocorrelation at lags 1..5: momentum / mean-reversion /
+    // microstructure-noise profile per symbol.
+    "symbol_acf" -> ((s, dir) =>
+      Analytics.acf(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 minute"))),
     // exact DAU / trailing-7-day WAU per calendar day (the expensive
     // nightly form; the sketch twin below serves the same board).
     "user_active_rolling" -> ((s, dir) =>
@@ -5419,6 +5424,36 @@ object SparkEntry {
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors Analytics.acf (lags 1..5 over minute bars): same decimal
+    // log returns, post-filter row_number pairing, exact product sums.
+    "symbol_acf" ->
+      s"""$barsCte,
+         |pr AS (SELECT symbol, bar_start, close,
+         |    lag(close) OVER (PARTITION BY symbol ORDER BY bar_start) AS prev
+         |  FROM bars),
+         |ri AS (SELECT symbol,
+         |    CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS x,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY bar_start) AS idx
+         |  FROM pr WHERE prev IS NOT NULL AND prev > 0),
+         |p AS (SELECT a.symbol, g.l AS lag, a.x AS x, b.x AS y
+         |      FROM ri a
+         |      CROSS JOIN generate_series(1, 5) AS g(l)
+         |      JOIN ri b ON b.symbol = a.symbol AND b.idx = a.idx + g.l),
+         |ag AS (SELECT symbol, lag, count(*) AS n_pairs,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+         |  FROM p GROUP BY symbol, lag)
+         |SELECT symbol, CAST(lag AS INT) AS lag, n_pairs,
+         |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |        AND (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |    THEN round((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (sqrt(n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * sqrt(n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS acf
+         |FROM ag ORDER BY symbol, lag""".stripMargin,
 
     // mirrors Analytics.levelShift (w=12 over hourly bars): identical
     // ROWS frames, 6-decimal DECIMAL sums, pooled-variance z.

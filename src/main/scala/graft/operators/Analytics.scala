@@ -599,6 +599,57 @@ object Analytics {
       .orderBy(col("symbol"), col("hour_start"))
   }
 
+  /** Return autocorrelation per symbol at lags 1..maxLag — the
+    * memory-structure profile of a series (momentum at positive ACF,
+    * mean-reversion at negative, microstructure noise at lag 1) that
+    * the point/window monitors can't see. ACF here is the plain
+    * Pearson correlation of the (rₜ, rₜ₊ₗ) pair stream, computed per
+    * (symbol, lag) with the [[symbolCorrelation]] determinism recipe:
+    * 6-decimal DECIMAL log returns, DECIMAL(38,12) product sums (exact,
+    * associative), doubles only in the final correlation boundary.
+    *
+    * Scale shape: the lag explode fans each return into maxLag rows
+    * and joins back on the composite (symbol, idx+lag) = (symbol, idx)
+    * equi-key — shuffle is maxLag·|returns| rows, never a within-
+    * symbol cross product; one hash agg per (symbol, lag) after that.
+    */
+  def acf(bars: DataFrame, maxLag: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val r = bars
+      .select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("x"),
+        row_number().over(w).as("idx"))
+    val a = r.toDF("symbol", "x", "idx")
+      .withColumn("l", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("tidx", col("idx") + col("l")).as("a")
+    val b = r.toDF("symbol", "y", "bidx").as("b")
+    val pairs = a.join(b,
+        col("a.symbol") === col("b.symbol") &&
+          col("a.tidx") === col("b.bidx"))
+      .select(col("a.symbol").as("symbol"), col("a.l").as("lag"),
+        col("a.x").as("x"), col("b.y").as("y"))
+    val g = pairs.groupBy(col("symbol"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 12))).as("syy"))
+    val n = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val denx = n * d("sxx") - d("sx") * d("sx")
+    val deny = n * d("syy") - d("sy") * d("sy")
+    g.select(col("symbol"), col("lag"), col("n_pairs"),
+        when(denx > 0 && deny > 0,
+          round((n * d("sxy") - d("sx") * d("sy"))
+            / (sqrt(denx) * sqrt(deny)), 6)).as("acf"))
+      .orderBy(col("symbol"), col("lag"))
+  }
+
   /** Level-shift (changepoint) scan per symbol — the third monitor
     * beside distribution drift (`value_drift_psi`) and point outliers
     * (`bar_analytics` z-scores): a sliding two-window mean comparison

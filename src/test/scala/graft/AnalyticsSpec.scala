@@ -194,6 +194,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.last.getAs[Timestamp]("bar_start") == ts("2024-01-01 10:30:00"))
   }
 
+  test("acf: alternating returns give -1/+1 at lags 1/2; zero-variance guard nulls") {
+    // closes 100,110,100,110,... -> log returns alternate +/-ln(1.1):
+    // perfectly anti-correlated at lag 1, perfectly correlated at lag 2
+    val alt = (0 until 12).map(i => bar("A", i, if (i % 2 == 0) 100.0 else 110.0))
+    // constant-growth closes -> constant return -> zero variance -> null
+    val trend = (0 until 12).map(i => bar("T", i, 100.0 * math.pow(1.01, i)))
+    val rows = Analytics.acf((alt ++ trend).toDS.toDF, maxLag = 3).collect()
+    val m = rows.map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(m(("A", 1)).getDouble(3) == -1.0)
+    assert(m(("A", 2)).getDouble(3) == 1.0)
+    assert(m(("A", 3)).getDouble(3) == -1.0)
+    // 12 bars -> 11 returns -> 11 - lag pairs
+    assert(m(("A", 1)).getLong(2) == 10L && m(("A", 3)).getLong(2) == 8L)
+    (1 to 3).foreach(l => assert(m(("T", l)).isNullAt(3)))
+  }
+
   test("levelShift: sustained step trips, lone spike is diluted, flat var is null z") {
     def series(sym: String, cs: Seq[Double]) =
       cs.zipWithIndex.map { case (c, i) => bar(sym, i, c) }
