@@ -1116,6 +1116,10 @@ object SparkEntry {
     // (completeness / range / domain / regex RowChecks folded into ONE
     // conditional-agg scan per table, uniqueness via two-stage hash agg,
     // referential integrity via anti-join) as a diffable report table.
+    // Benford first-digit conformity per event type: chi-square + MAD
+    // with the 0.015 acceptability cut — the fabricated-data detector.
+    "dq_benford" -> ((s, dir) =>
+      DataQuality.benfordAudit(Tables.events(s, dir))),
     "dq_audit" -> ((s, dir) =>
       DataQuality.audit(
         Map(
@@ -4945,6 +4949,32 @@ object SparkEntry {
     // the same semantics as when(valid,0).otherwise(1)); uniqueness is
     // rows − distinct keys; inclusion counts NOT EXISTS danglers (the
     // left-anti convention — a NULL parent key never matches).
+    // mirrors DataQuality.benfordAudit: cents-integer first digit via
+    // the string form, full 1..9 grid, 12-decimal DECIMAL term sums.
+    "dq_benford" ->
+      """WITH base AS (SELECT event_type,
+        |    CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM events WHERE value > 0),
+        |counts AS (SELECT event_type, digit, count(*) AS cnt FROM base GROUP BY 1, 2),
+        |totals AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+        |grid AS (SELECT DISTINCT event_type, CAST(g.d AS INT) AS digit
+        |         FROM base, generate_series(1, 9) AS g(d)),
+        |j AS (SELECT g.event_type, g.digit, n,
+        |        CAST(coalesce(cnt, 0) AS DOUBLE) / CAST(n AS DOUBLE) AS obs,
+        |        log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) AS expd
+        |      FROM grid g
+        |      LEFT JOIN counts USING (event_type, digit)
+        |      JOIN totals USING (event_type)),
+        |t AS (SELECT event_type, n,
+        |        CAST(round(pow(obs - expd, 2) / expd, 12) AS DECIMAL(24,12)) AS chi_term,
+        |        CAST(round(abs(obs - expd), 12) AS DECIMAL(24,12)) AS mad_term
+        |      FROM j)
+        |SELECT event_type, max(n) AS n,
+        |  round(CAST(sum(chi_term) * max(n) AS DOUBLE), 6) AS chi2,
+        |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) AS mad,
+        |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) <= 0.015 AS conforms
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "dq_audit" ->
       """WITH checks AS (
         |SELECT 'orders_pk_unique' AS check_id, 'orders' AS table_name,

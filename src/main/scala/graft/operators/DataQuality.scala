@@ -155,6 +155,53 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  /** Benford first-digit conformity audit per event type — the
+    * fabricated-data / instrumentation-bug detector beside schema
+    * checks ([[audit]]) and distribution drift ([[psiDrift]]): natural
+    * multi-scale quantities follow P(d) = log10(1 + 1/d) for their
+    * first significant digit; synthetic, capped, or hand-entered
+    * values do not. Reports the chi-square statistic and Nigrini's
+    * mean-absolute-deviation with the standard 0.015 acceptability
+    * cut — a breached cut on a feed that used to conform is the audit
+    * signal, not absolute conformity.
+    *
+    * Determinism: the first digit comes from the CENTS integer
+    * (round(value·100) → long → leading decimal digit via the string
+    * form) — integer→string is bit-identical across engines, where
+    * floor(log10(value)) is one ulp from flipping digits at powers of
+    * ten. Per-digit terms are 12-decimal rounded and summed as DECIMAL
+    * (the [[psiDrift]] convention). Map-only until a 9-row-per-type
+    * aggregation.
+    */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    val base = events.filter(col("value") > 0)
+      .select(col("event_type"),
+        substring(round(col("value") * 100, 0).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+    val counts = base.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = base.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val grid = base.select(col("event_type")).distinct()
+      .crossJoin(broadcast(events.sparkSession.range(1L, 10L)
+        .select(col("id").cast("int").as("digit"))))
+    val dec = org.apache.spark.sql.types.DecimalType(24, 12)
+    grid.join(counts, Seq("event_type", "digit"), "left")
+      .join(totals, Seq("event_type"))
+      .withColumn("obs",
+        coalesce(col("cnt"), lit(0L)).cast("double") / col("n").cast("double"))
+      .withColumn("expd", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("chi_term",
+        round(pow(col("obs") - col("expd"), 2) / col("expd"), 12).cast(dec))
+      .withColumn("mad_term", round(abs(col("obs") - col("expd")), 12).cast(dec))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round((sum(col("chi_term")) * max(col("n"))).cast("double"), 6)
+          .as("chi2"),
+        round(sum(col("mad_term")).cast("double") / 9, 6).as("mad"))
+      .withColumn("conforms", col("mad") <= 0.015)
+      .orderBy(col("event_type"))
+  }
+
   /** The persisted-baseline form of the drift monitor — the family's
     * incremental shape: [[referenceHistogram]] is the nightly index
     * (per-(type, bin) counts PLUS the frozen bounds it was built

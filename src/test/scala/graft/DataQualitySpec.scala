@@ -91,4 +91,34 @@ class DataQualitySpec extends SparkSpec {
       .map(_.getAs[String]("check_id")).toSet
     assert(failing == Set("lineitem_pk_unique"), failing.mkString(", "))
   }
+
+  test("benford: conforming feed passes, single-digit feed fails, digits from cents") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 'natural': first-digit counts proportional to log10(1 + 1/d)
+    // out of 1000 -> MAD is just the rounding residue, well under 0.015
+    val benfordCounts = (1 to 9).map(d =>
+      d -> math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt)
+    val natural = benfordCounts.flatMap { case (d, c) =>
+      (0 until c).map(i => (1L, t0, 1L, "natural", d * 10.0 + i % 10, ""))
+    }
+    // 'flat': every value starts with digit 4 -> maximal nonconformity
+    val flat = (0 until 500).map(i => (2L, t0, 2L, "flat", 400.0 + i % 100, ""))
+    // digit extraction edge: 0.05 -> cents 5 -> digit 5 (not 0)
+    val tiny = (0 until 100).map(i => (3L, t0, 3L, "tiny", 0.05, ""))
+    val df = (natural ++ flat ++ tiny)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rep = DataQuality.benfordAudit(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rep("natural").getAs[Boolean]("conforms"))
+    assert(rep("natural").getAs[Double]("mad") < 0.002)
+    assert(!rep("flat").getAs[Boolean]("conforms"))
+    assert(rep("flat").getAs[Double]("chi2") >
+      rep("natural").getAs[Double]("chi2"))
+    // all 'tiny' mass lands on digit 5: same as a single-digit feed on
+    // digit 5 -> MAD = (|1 - p5| + sum of the other eight p_d)/9
+    val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expectedMad = ((1.0 - p(4)) + p.patch(4, Nil, 1).sum) / 9
+    assert(math.abs(rep("tiny").getAs[Double]("mad") - expectedMad) < 1e-5)
+  }
 }

@@ -401,6 +401,8 @@ class PlanSpec extends SparkSpec {
       "sketch_kmv_overlap",
       // 1-row bounds cross joins (and the |types|×nBins grid for PSI)
       "value_drift_psi", "sketch_quantile_hist", "value_drift_incremental",
+      // the |types|×9 digit grid, same pattern as PSI's bin grid
+      "dq_benford",
       // 1-row bits_set / n_hist cross joins onto the probe aggregate
       "sketch_bloom",
       // 1-row n_total cross join onto the d·w-cell sketch audit
