@@ -1189,6 +1189,10 @@ object SparkEntry {
     // first-order Markov transition matrix of user event journeys.
     "event_transitions" -> ((s, dir) =>
       Sessions.eventTransitions(Tables.events(s, dir))),
+    // last-touch attribution: purchases credit the latest click/view
+    // within 72h (else "direct"); share + mean touch→conv latency.
+    "attribution_last_touch" -> ((s, dir) =>
+      Sessions.lastTouchAttribution(Tables.events(s, dir))),
     // PSI distribution-drift monitor: first vs second half of the
     // month per event type, Laplace-smoothed equal-width bins.
     "value_drift_psi" -> ((s, dir) =>
@@ -5260,6 +5264,36 @@ object SparkEntry {
          |SELECT day, wau_exact, wau_est,
          |  round(abs(wau_est - CAST(wau_exact AS DOUBLE)) / CAST(wau_exact AS DOUBLE), 4) AS rel_err
          |FROM exact JOIN est USING (day) ORDER BY day""".stripMargin,
+
+    // mirrors Sessions.lastTouchAttribution: last_value IGNORE NULLS
+    // carry of the latest touch, 72h window, decimal latency sums.
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |wt AS (SELECT user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN struct_pack(t_ts := ts, t_type := event_type) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e),
+        |conv AS (SELECT ts, lt,
+        |    lt IS NOT NULL AND lt.t_ts >= ts - INTERVAL 72 HOUR AS in_window
+        |  FROM wt WHERE event_type = 'purchase'),
+        |cr AS (SELECT
+        |    CASE WHEN in_window THEN lt.t_type ELSE 'direct' END AS credited_type,
+        |    CASE WHEN in_window
+        |      THEN CAST(round(CAST(epoch_us(ts) - epoch_us(lt.t_ts) AS DOUBLE) / 6e7, 6) AS DECIMAL(18,6))
+        |    END AS mins
+        |  FROM conv),
+        |g AS (SELECT credited_type, count(*) AS n_conversions,
+        |    sum(mins) AS mins_sum, count(mins) AS n_attributed
+        |  FROM cr GROUP BY 1),
+        |t AS (SELECT sum(n_conversions) AS total FROM g)
+        |SELECT credited_type, n_conversions,
+        |  round(CAST(n_conversions AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  CASE WHEN n_attributed > 0
+        |    THEN round(CAST(mins_sum AS DOUBLE) / CAST(n_attributed AS DOUBLE), 6)
+        |  END AS avg_mins
+        |FROM g, t ORDER BY credited_type""".stripMargin,
 
     // mirrors Sessions.eventTransitions: lead over (user, time) order,
     // transition counts + within-from-type shares.

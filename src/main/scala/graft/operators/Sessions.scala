@@ -351,6 +351,55 @@ object Sessions {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Last-touch conversion attribution: each conversion event credits
+    * the most recent preceding touch event by the same user inside the
+    * lookback window, or "direct" when none exists — the channel-credit
+    * primitive behind every marketing-mix report, and the inverse lens
+    * of [[eventFunnel]] (which walks forward from exposure; this walks
+    * backward from conversion). Emits per credited type: conversions,
+    * share, and the mean touch→conversion latency.
+    *
+    * One window pass carries the latest touch forward per user
+    * (`last(..., ignoreNulls)` over rows-preceding — O(1) running state
+    * per partition, no self-join of conversions against touches);
+    * everything after is a type-cardinality aggregation. Ties on ts are
+    * ordered by event_id so "latest" is total. Latencies are exact µs
+    * diffs, 6-decimal-rounded minutes summed as DECIMAL.
+    */
+  def lastTouchAttribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("click", "view"),
+      convType: String = "purchase", lookbackHours: Int = 72): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin(touchTypes: _*),
+      struct(col("ts").as("t_ts"), col("event_type").as("t_type")))
+    val conv = events
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .withColumn("in_window", col("lt").isNotNull &&
+        col("lt.t_ts") >= col("ts") - expr(s"INTERVAL $lookbackHours HOURS"))
+      .select(
+        when(col("in_window"), col("lt.t_type")).otherwise(lit("direct"))
+          .as("credited_type"),
+        when(col("in_window"),
+          round((unix_micros(col("ts")) - unix_micros(col("lt.t_ts")))
+            .cast("double") / 6e7, 6).cast(DecimalType(18, 6))).as("mins"))
+    val byType = conv.groupBy(col("credited_type"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("mins")).as("mins_sum"),
+        count(col("mins")).as("n_attributed"))
+    byType
+      .withColumn("share", round(col("n_conversions").cast("double") /
+        sum(col("n_conversions")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .select(col("credited_type"), col("n_conversions"), col("share"),
+        when(col("n_attributed") > 0,
+          round(col("mins_sum").cast("double") /
+            col("n_attributed").cast("double"), 6)).as("avg_mins"))
+      .orderBy(col("credited_type"))
+  }
+
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val ud = events
       .select(col("user_id"), to_date(col("ts")).as("d"))

@@ -165,4 +165,36 @@ class SessionsSpec extends SparkSpec {
     assert(med == Map("2_click" -> 10.0, "3_signup" -> 15.0,
       "4_purchase" -> 30.0))
   }
+
+  test("lastTouchAttribution: latest touch wins, lookback expires, no touch = direct") {
+    val events = Seq(
+      // u1: click then purchase 1h later -> click credited, 60 mins
+      (1L, 1L, "click", "2024-01-01 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-01 11:00:00"),
+      // u2: view then click then purchase -> LATEST touch (click) wins
+      (3L, 2L, "view", "2024-01-01 10:00:00"),
+      (4L, 2L, "click", "2024-01-01 10:10:00"),
+      (5L, 2L, "purchase", "2024-01-01 10:30:00"),
+      // u3: click 100h before purchase -> beyond 72h lookback -> direct
+      (6L, 3L, "click", "2024-01-01 00:00:00"),
+      (7L, 3L, "purchase", "2024-01-05 04:00:00"),
+      // u4: purchase with no preceding touch at all -> direct
+      (8L, 4L, "purchase", "2024-01-01 12:00:00"),
+      // u5: view 10m before purchase -> view credited
+      (9L, 5L, "view", "2024-01-01 09:50:00"),
+      (10L, 5L, "purchase", "2024-01-01 10:00:00"))
+      .map { case (id, u, t, s) => (id, u, t, ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sessions.lastTouchAttribution(events).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("click", "view", "direct"))
+    assert(r("click").getAs[Long]("n_conversions") == 2L)
+    assert(r("direct").getAs[Long]("n_conversions") == 2L)
+    assert(r("view").getAs[Long]("n_conversions") == 1L)
+    assert(r("click").getAs[Double]("share") == 0.4)
+    // click latencies {60, 20} -> mean 40; view {10}; direct has none
+    assert(r("click").getAs[Double]("avg_mins") == 40.0)
+    assert(r("view").getAs[Double]("avg_mins") == 10.0)
+    assert(r("direct").isNullAt(r("direct").fieldIndex("avg_mins")))
+  }
 }
