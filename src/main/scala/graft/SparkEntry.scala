@@ -1201,6 +1201,10 @@ object SparkEntry {
     // lens beside centrality (pagerank) and partition (communities).
     "knn_triangles" -> ((s, dir) =>
       Similarity.knnTriangles(Tables.embeddings(s, dir))),
+    // k-core membership by synchronous peeling: the dense-redundant-
+    // region cut (near-dup clusters keep degree; popular nodes don't).
+    "knn_kcore" -> ((s, dir) =>
+      Similarity.knnKcore(Tables.embeddings(s, dir))),
     // mergeable histogram quantiles graded against the exact discrete
     // percentile — the oracle-able t-digest stand-in.
     "sketch_quantile_hist" -> ((s, dir) =>
@@ -5349,6 +5353,35 @@ object SparkEntry {
 
     // mirrors Similarity.knnTriangles: ordered edge-iterator wedge
     // close over the same LSH edge list.
+    // mirrors Similarity.knnKcore (k=3, 4 unrolled synchronous peel
+    // rounds — idempotent once the fixed point is reached). Every
+    // round CTE is MATERIALIZED: each is referenced twice, and DuckDB
+    // 1.0 inlines by default — 4 rounds of double inlining would
+    // otherwise copy the LSH chain 2^4 times.
+    "knn_kcore" -> {
+      val rounds = 4
+      val peels = (1 to rounds).map { i =>
+        val prev = if (i == 1) "nodes" else s"s${i - 1}"
+        s""",
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM sym e
+           |  JOIN $prev a ON a.id = e.src JOIN $prev b ON b.id = e.dst),
+           |s$i AS MATERIALIZED (SELECT src AS id FROM e$i GROUP BY src
+           |        HAVING count(*) >= 3)""".stripMargin
+      }.mkString
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),
+         |sym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM ep
+         |        UNION ALL SELECT id2, id1 FROM ep),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)$peels,
+         |ce AS (SELECT e.src, e.dst FROM sym e
+         |  JOIN s$rounds a ON a.id = e.src JOIN s$rounds b ON b.id = e.dst),
+         |cd AS (SELECT src AS id, count(*) AS core_deg FROM ce GROUP BY src)
+         |SELECT n.id AS vec_id, coalesce(cd.core_deg, 0) AS core_deg,
+         |  cd.core_deg IS NOT NULL AS in_kcore
+         |FROM nodes n LEFT JOIN cd ON cd.id = n.id
+         |ORDER BY vec_id""".stripMargin
+    },
+
     "knn_triangles" ->
       s"""$embLshPairsCte,
          |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),

@@ -860,6 +860,54 @@ object Similarity {
   def knnTriangles(embeddings: DataFrame): DataFrame =
     triangleStats(cosineNearDupLsh(embeddings).select(col("id1"), col("id2")))
 
+  /** k-core membership over the LSH near-neighbor graph — the fourth
+    * graph lens beside centrality ([[knnPagerank]]), partition
+    * ([[knnCommunities]]) and cliquishness ([[knnTriangles]]): the
+    * k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors, the standard "dense redundant region" cut a curation
+    * pipeline uses to find over-represented content (a near-dup CLUSTER
+    * has high pairwise degree; a merely-popular node does not).
+    * Computed by synchronous peeling: each round drops nodes whose
+    * degree among survivors is < k; the k-core is the fixed point.
+    *
+    * `rounds` bounds the peel depth (peeling a fixed point is a no-op,
+    * so extra rounds are idempotent — the fixture and the sf0.001
+    * fixpoint spec assert convergence well inside the default). Each
+    * round is two semi-joins + one count per surviving node,
+    * checkpointed like the CC loop so the plan stays round-sized
+    * (the surviving set is referenced twice per round; without the
+    * lineage cut the logical plan doubles every round).
+    */
+  def kCore(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(false)
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var surv = nodes
+    for (_ <- 1 to rounds) {
+      surv = sym
+        .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint(false)
+    }
+    val coreDeg = sym
+      .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+    nodes.join(coreDeg, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        col("core_deg").isNotNull.as("in_kcore"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[kCore]] over the same LSH edge list as the other knn_* lenses. */
+  def knnKcore(embeddings: DataFrame, k: Int = 3): DataFrame =
+    kCore(cosineNearDupLsh(embeddings).select(col("id1"), col("id2")), k)
+
   /** The triangle/clustering core over an ordered (id1 < id2) unique
     * edge list — see [[knnTriangles]]. Returns (vec_id, deg,
     * n_triangles, clustering) sorted by vec_id.

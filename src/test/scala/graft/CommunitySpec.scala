@@ -53,4 +53,33 @@ class CommunitySpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("community_size") == rows.length))
     }
   }
+
+  test("kCore: K4 survives the 3-core peel, pendant chain and triangle do not") {
+    // K4 on 1-4 (every degree 3), a chain 4-5-6 hanging off it, and a
+    // separate triangle 7-8-9 (degrees 2)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val r = Similarity.kCore(pairs.toDF("id1", "id2"), k = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert((1L to 4L).forall(id => r(id) == ((3L, true))))
+    assert((5L to 9L).forall(id => r(id) == ((0L, false))))
+    // the triangle IS a 2-core: k=2 keeps it (and the K4), sheds 5-6
+    val r2 = Similarity.kCore(pairs.toDF("id1", "id2"), k = 2).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).forall(r2))
+    assert(!r2(5L) && !r2(6L))
+    // idempotence at the fixed point: an extra peel round changes nothing
+    val r5 = Similarity.kCore(pairs.toDF("id1", "id2"), k = 3, rounds = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.view.mapValues(_._1).toMap == r5)
+  }
+
+  test("registered kcore query reaches its fixed point within the default rounds") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = Similarity.cosineNearDupLsh(emb).select("id1", "id2")
+      .localCheckpoint(true)
+    def run(rounds: Int) = Similarity.kCore(pairs, k = 3, rounds = rounds)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSet
+    assert(run(4) == run(5))
+  }
 }
