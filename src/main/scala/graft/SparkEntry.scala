@@ -713,6 +713,14 @@ object SparkEntry {
     // rare-first prefixes only.
     "simjoin_prefix" -> ((s, dir) =>
       Dedup.prefixSimJoin(Tables.documents(s, dir))),
+    // asymmetric containment |A∩B|/min: the quote/excerpt detector
+    // Jaccard misses when sizes differ; emits both measures.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.6)),
+    // Zipf-law OLS fit of the token frequency curve per language —
+    // the distributional sanity check for a corpus slice.
+    "zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
@@ -1120,6 +1128,10 @@ object SparkEntry {
     // with the 0.015 acceptability cut — the fabricated-data detector.
     "dq_benford" -> ((s, dir) =>
       DataQuality.benfordAudit(Tables.events(s, dir))),
+    // seasonal traffic watchdog: hourly counts (silent hours = 0) vs
+    // the same hour's day<=21 baseline, |z| >= 3 flags.
+    "seasonal_anomaly" -> ((s, dir) =>
+      DataQuality.seasonalAnomaly(Tables.events(s, dir))),
     "dq_audit" -> ((s, dir) =>
       DataQuality.audit(
         Map(
@@ -4173,6 +4185,55 @@ object SparkEntry {
          |${jaccardCte("shc")}
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
 
+    // mirrors Dedup.containmentPairs over the capped index: same
+    // posting-pair counts, containment vs min, Jaccard alongside.
+    "dedup_containment" ->
+      s"""$docsCte,
+         |$shCappedCte,
+         |inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+         |          FROM shc x JOIN shc y
+         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |j AS (SELECT d1, d2, c1.n AS n1, c2.n AS n2,
+         |        round(CAST(inter AS DOUBLE) / CAST(least(c1.n, c2.n) AS DOUBLE), 6) AS containment,
+         |        round(CAST(inter AS DOUBLE) / CAST(c1.n + c2.n - inter AS DOUBLE), 6) AS jaccard
+         |      FROM inter
+         |      JOIN cnt c1 ON c1.doc_id = d1
+         |      JOIN cnt c2 ON c2.doc_id = d2)
+         |SELECT d1, d2, n1, n2, containment, jaccard FROM j
+         |WHERE containment >= 0.6 ORDER BY d1, d2""".stripMargin,
+
+    // mirrors TextAnalysis.zipfFit: exact freq/rank, log10 on ints,
+    // 12-decimal DECIMAL OLS term sums, slope/intercept at boundary.
+    "zipf_fit" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |freq AS (SELECT lang, t, count(*) AS f FROM toks GROUP BY 1, 2),
+        |ranked AS (SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, t) AS rank
+        |  FROM freq),
+        |terms AS (SELECT lang, f,
+        |    log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(f AS DOUBLE)) AS y
+        |  FROM ranked),
+        |g AS (SELECT lang, count(*) AS n_types, sum(f) AS n_tokens,
+        |    sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+        |    sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS sy,
+        |    sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy,
+        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx
+        |  FROM terms GROUP BY lang)
+        |SELECT lang, n_types, n_tokens,
+        |  CASE WHEN (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  END AS zipf_slope,
+        |  CASE WHEN (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |      - (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 6)
+        |  END AS zipf_intercept
+        |FROM g ORDER BY lang""".stripMargin,
+
     // oracle for Dedup.prefixSimJoin: the EXACT uncapped all-pairs
     // Jaccard — deliberately not mirroring the prefix technique, so a
     // green row proves the filter's zero-false-negative guarantee.
@@ -4957,6 +5018,41 @@ object SparkEntry {
     // the same semantics as when(valid,0).otherwise(1)); uniqueness is
     // rows − distinct keys; inclusion counts NOT EXISTS danglers (the
     // left-anti convention — a NULL parent key never matches).
+    // mirrors DataQuality.seasonalAnomaly: full type×date×hour grid
+    // (silent hours = 0), exact integer Σc/Σc², same double ops.
+    "seasonal_anomaly" ->
+      """WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hod
+        |  FROM events),
+        |grid AS (SELECT t.event_type, d.day, CAST(g.h AS INT) AS hod
+        |  FROM (SELECT DISTINCT event_type FROM base) t,
+        |       (SELECT DISTINCT day FROM base) d,
+        |       generate_series(0, 23) AS g(h)),
+        |counts AS (SELECT event_type, day, hod, count(*) AS cnt
+        |  FROM base GROUP BY 1, 2, 3),
+        |f AS (SELECT g.event_type, g.day, g.hod, coalesce(cnt, 0) AS c
+        |  FROM grid g LEFT JOIN counts USING (event_type, day, hod)),
+        |bl AS (SELECT event_type, hod, count(*) AS n_slots,
+        |    sum(c) AS sc, sum(c * c) AS sc2
+        |  FROM f WHERE date_part('day', day) <= 21 GROUP BY 1, 2),
+        |sc AS (SELECT f.event_type, f.day, f.hod, f.c,
+        |    CAST(sc AS DOUBLE) / CAST(n_slots AS DOUBLE) AS mu,
+        |    (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |       / CAST(n_slots AS DOUBLE)) / (CAST(n_slots AS DOUBLE) - 1.0) AS var_
+        |  FROM f JOIN bl USING (event_type, hod)
+        |  WHERE date_part('day', f.day) > 21),
+        |zz AS (SELECT event_type, day, hod, c, mu,
+        |    CASE WHEN var_ > 0 THEN sqrt(var_) END AS sd
+        |  FROM sc),
+        |z2 AS (SELECT *,
+        |    CASE WHEN sd IS NOT NULL
+        |      THEN round((CAST(c AS DOUBLE) - mu) / sd, 6) END AS z
+        |  FROM zz)
+        |SELECT event_type, day, hod AS hour, c AS n_events,
+        |  round(mu, 6) AS mu, round(sd, 6) AS sd, z,
+        |  coalesce(abs(z) >= 3.0, false) AS anomalous
+        |FROM z2 ORDER BY event_type, day, hour""".stripMargin,
+
     // mirrors DataQuality.benfordAudit: cents-integer first digit via
     // the string form, full 1..9 grid, 12-decimal DECIMAL term sums.
     "dq_benford" ->

@@ -155,6 +155,57 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  /** Seasonal volume-anomaly monitor: hourly event counts scored
+    * against the same hour-of-day's baseline distribution — the
+    * traffic-shape watchdog beside value drift ([[psiDrift]]) and
+    * digit conformity ([[benfordAudit]]). Days ≤ `baselineDays` train a
+    * per-(type, hour) mean/std over hourly counts; later days score
+    * z = (c − μ)/σ and flag |z| ≥ `zThresh`. The full
+    * type × date × hour grid is materialized so SILENT hours count as
+    * zeros on both sides — a feed that stops emitting is an anomaly,
+    * not a missing row (the failure mode a groupBy-only monitor
+    * cannot see).
+    *
+    * Determinism: counts are exact longs, so Σc and Σc² are exact; μ,
+    * σ and z are fixed double expressions over those integers —
+    * bit-identical cross-engine — rounded to 6 only at the output.
+    * Scale shape: one count agg, a calendar-sized grid join, one
+    * (type, hour)-sized baseline agg broadcast back.
+    */
+  def seasonalAnomaly(events: DataFrame, baselineDays: Int = 21,
+      zThresh: Double = 3.0): DataFrame = {
+    val base = events.select(col("event_type"), to_date(col("ts")).as("day"),
+      hour(col("ts")).as("hod"))
+    val grid = base.select(col("event_type")).distinct()
+      .crossJoin(base.select(col("day")).distinct())
+      .crossJoin(broadcast(events.sparkSession.range(24)
+        .select(col("id").cast("int").as("hod"))))
+    val counts = base.groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val full = grid.join(counts, Seq("event_type", "day", "hod"), "left")
+      .withColumn("c", coalesce(col("cnt"), lit(0L)))
+    val bl = full.filter(dayofmonth(col("day")) <= baselineDays)
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_slots"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val mu = col("sc").cast("double") / col("n_slots").cast("double")
+    val variance = (col("sc2").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") /
+        col("n_slots").cast("double")) /
+      (col("n_slots").cast("double") - lit(1.0d))
+    full.filter(dayofmonth(col("day")) > baselineDays)
+      .join(bl, Seq("event_type", "hod"))
+      .withColumn("mu", mu)
+      .withColumn("sd", when(variance > 0, sqrt(variance)))
+      .withColumn("z", when(col("sd").isNotNull,
+        round((col("c").cast("double") - col("mu")) / col("sd"), 6)))
+      .select(col("event_type"), col("day"), col("hod").as("hour"),
+        col("c").as("n_events"), round(col("mu"), 6).as("mu"),
+        round(col("sd"), 6).as("sd"), col("z"),
+        coalesce(abs(col("z")) >= zThresh, lit(false)).as("anomalous"))
+      .orderBy(col("event_type"), col("day"), col("hour"))
+  }
+
   /** Benford first-digit conformity audit per event type — the
     * fabricated-data / instrumentation-bug detector beside schema
     * checks ([[audit]]) and distribution drift ([[psiDrift]]): natural

@@ -414,6 +414,51 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `threshold`
+    * over the shingle sets — the ASYMMETRIC twin of
+    * [[ngramJaccardPairs]]. A quote, excerpt, or chapter-inside-a-book
+    * has high containment but low Jaccard (the size mismatch swamps the
+    * union), so a Jaccard-only dedup ships the same passage twice;
+    * containment is the standard quote/subset detector (Broder's
+    * original resemblance/containment pair). Emits both measures so the
+    * gap itself is visible.
+    *
+    * Same single-pass inverted-index shape as [[ngramJaccardPairs]]
+    * (posting lists → map-side ordered pairs → one pair-count agg),
+    * including the df cap: containment has no length filter (a 10-token
+    * quote may sit in a 10⁶-token book), so the cap is the one
+    * pair-explosion bound available — drop counts are observable via
+    * [[dedup_cap_stats]]'s machinery.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       maxDf: Int = MaxShingleDf): DataFrame = {
+    val postings = shingled(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .localCheckpoint(false)
+    val cnt = postings.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = postings
+      .select(org.apache.spark.sql.graft.SortedPairs.column(col("ds"))
+        .as(Seq("d1", "d2")))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        col("c1.n").as("n1"), col("c2.n").as("n2"),
+        round(col("inter").cast("double")
+          / least(col("c1.n"), col("c2.n")).cast("double"), 6)
+          .as("containment"),
+        round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Prefix-filtered set-similarity self-join (AllPairs: Bayardo, Ma &
     * Srikant WWW'07; PPJoin length filter: Xiao et al. WWW'08) — the
     * third pairwise technique beside LSH ([[minhashLshPairs]],

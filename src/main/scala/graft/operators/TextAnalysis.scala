@@ -616,6 +616,48 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Zipf-law fit per language: OLS slope of log10(frequency) on
+    * log10(rank) over the token frequency table. Natural language sits
+    * near slope −1; a corpus slice that doesn't (template spam,
+    * generated gibberish, truncated boilerplate) distorts the head or
+    * tail of the curve — the distributional sanity check beside
+    * [[langId]]'s per-document signal and `dq_benford`'s numeric one.
+    *
+    * Determinism: frequencies and ranks are exact (count + row_number
+    * with a total tie-break), log10 runs on identical integer inputs,
+    * and each OLS term is 12-decimal rounded and summed as DECIMAL —
+    * the slope's double arithmetic happens once, at the boundary.
+    * Scale shape: one vocabulary agg, one rank window per language,
+    * one language-sized OLS agg.
+    */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    val freq = docs
+      .select(col("lang"), explode(tokensCol(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("f").desc, col("t"))))
+    val x = log10(col("rank").cast("double"))
+    val y = log10(col("f").cast("double"))
+    val g = ranked.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
+      sum(round(x, 12).cast(dec)).as("sx"),
+      sum(round(y, 12).cast(dec)).as("sy"),
+      sum(round(x * y, 12).cast(dec)).as("sxy"),
+      sum(round(x * x, 12).cast(dec)).as("sxx"))
+    val n = col("n_types").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    g.select(col("lang"), col("n_types"), col("n_tokens"),
+        when(den > 0, round((n * d("sxy") - d("sx") * d("sy")) / den, 6))
+          .as("zipf_slope"),
+        when(den > 0, round((d("sy") - (n * d("sxy") - d("sx") * d("sy"))
+          / den * d("sx")) / n, 6)).as("zipf_intercept"))
+      .orderBy(col("lang"))
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
     * train a unigram LM on a reference slice of the corpus (`lang =
     * trainLang` here; CCNet trains KenLM on Wikipedia) and score EVERY

@@ -121,4 +121,44 @@ class DataQualitySpec extends SparkSpec {
     val expectedMad = ((1.0 - p(4)) + p.patch(4, Nil, 1).sum) / 9
     assert(math.abs(rep("tiny").getAs[Double]("mad") - expectedMad) < 1e-5)
   }
+
+  test("seasonalAnomaly: spike and silence both flag; quiet hours stay quiet") {
+    import java.sql.Timestamp
+    def at(day: Int, hourOfDay: Int, k: Int) = (0 until k).map { i =>
+      (1L, Timestamp.valueOf(f"2024-01-$day%02d $hourOfDay%02d:10:00"),
+        1L, "a", 1.0, s"$i")
+    }
+    // hours 5 and 6 both alternate 9/11 across days 1..21 (sd ~ 1);
+    // hour 7 is a constant 10 (sd = 0, exercises the guard)
+    val baseline = (1 to 21).flatMap(d =>
+      at(d, 5, if (d % 2 == 0) 9 else 11) ++
+        at(d, 6, if (d % 2 == 0) 9 else 11) ++ at(d, 7, 10))
+    // day 22: hour 5 explodes to 100; hour 6 goes SILENT (no rows at
+    // all -> the grid must still score it as 0); hour 7 stays 10
+    val probe = at(22, 5, 100) ++ at(22, 7, 10)
+    val df = (baseline ++ probe)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rep = DataQuality.seasonalAnomaly(df).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Int]("hour")) -> r).toMap
+    val spike = rep(("2024-01-22", 5))
+    assert(spike.getAs[Long]("n_events") == 100L &&
+      spike.getAs[Boolean]("anomalous"))
+    assert(spike.getAs[Double]("z") > 50)
+    // silent hour 6 on day 22 exists in the grid as 0 events and its
+    // z is a LARGE NEGATIVE anomaly — a feed that stops is a flag,
+    // which a groupBy-only monitor (no grid) can never emit
+    val silent = rep(("2024-01-22", 6))
+    assert(silent.getAs[Long]("n_events") == 0L)
+    assert(silent.getAs[Double]("z") < -5 &&
+      silent.getAs[Boolean]("anomalous"))
+    // constant baseline: sd = 0 -> guard nulls z, no division blowup
+    val steady = rep(("2024-01-22", 7))
+    assert(steady.isNullAt(steady.fieldIndex("z")) &&
+      !steady.getAs[Boolean]("anomalous"))
+    // an hour that was always silent: all-zero baseline, sd = 0, quiet
+    val never = rep(("2024-01-22", 3))
+    assert(never.getAs[Long]("n_events") == 0L &&
+      !never.getAs[Boolean]("anomalous"))
+  }
 }

@@ -403,6 +403,8 @@ class PlanSpec extends SparkSpec {
       "value_drift_psi", "sketch_quantile_hist", "value_drift_incremental",
       // the |types|×9 digit grid, same pattern as PSI's bin grid
       "dq_benford",
+      // the type×date×24-hour grid, same pattern
+      "seasonal_anomaly",
       // 1-row bits_set / n_hist cross joins onto the probe aggregate
       "sketch_bloom",
       // 1-row n_total cross join onto the d·w-cell sketch audit

@@ -665,6 +665,38 @@ class TextDedupSpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(corpus).collect().isEmpty)
   }
 
+  test("containmentPairs: a quote inside a long doc is caught where Jaccard misses") {
+    val quote = "q1 q2 q3 q4 q5"
+    val corpus = docs(
+      quote,                                                    // 0: the excerpt
+      s"x1 x2 x3 $quote y1 y2 y3 y4 y5 y6 y7 y8 y9 y10",        // 1: embeds it
+      "totally different words in this one entirely unrelated") // 2
+    val r = Dedup.containmentPairs(corpus, threshold = 0.6).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) == ((0L, 1L)))
+    // every shingle of the quote appears in doc 1 -> containment 1.0,
+    // while the size mismatch keeps Jaccard far below the 0.5 dedup cut
+    assert(row.getAs[Double]("containment") == 1.0)
+    assert(row.getAs[Double]("jaccard") < 0.5)
+  }
+
+  test("zipfFit: exact power-law slope, flat distribution fits slope 0") {
+    // counts 8 and 2 at ranks 1 and 2: slope = log10(2/8)/log10(2) = -2
+    // exactly, intercept = log10(8)
+    val twoPoint = Seq((0L, (("aa " * 8) + ("bb " * 2)).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.zipfFit(twoPoint).collect().head
+    assert(r.getAs[Long]("n_types") == 2L && r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Double]("zipf_slope") == -2.0)
+    assert(r.getAs[Double]("zipf_intercept") ==
+      BigDecimal(math.log10(8)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every type equally frequent -> y constant -> slope exactly 0
+    val flat = Seq((0L, "aa bb cc aa bb cc", "fr")).toDF("doc_id", "text", "lang")
+    val f = TextAnalysis.zipfFit(flat).collect().head
+    assert(f.getAs[Double]("zipf_slope") == 0.0)
+  }
+
   test("prefixSimJoin: exact pairs, and equals uncapped brute force on a random corpus") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val near = base.replace("kappa", "lambda") // differs in 1 of 8 shingles
