@@ -484,6 +484,10 @@ object SparkEntry {
       TextAnalysis.repetitionProfile(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    // evaluation harness for the language family: confusion matrix of
+    // the heuristic vs the labeled lang column; diagonal = recall.
+    "langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "top_bigrams" -> ((s, dir) =>
@@ -717,6 +721,10 @@ object SparkEntry {
     // Jaccard misses when sizes differ; emits both measures.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.6)),
+    // LSH evaluation harness: measured band-candidate recall vs exact
+    // truth per 0.1-Jaccard band, beside the 1-(1-J^4)^4 S-curve.
+    "lsh_recall_audit" -> ((s, dir) =>
+      Dedup.lshRecallAudit(Tables.documents(s, dir))),
     // Zipf-law OLS fit of the token frequency curve per language —
     // the distributional sanity check for a corpus slice.
     "zipf_fit" -> ((s, dir) =>
@@ -2807,6 +2815,31 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.langIdConfusion: same scoring/argmax chain
+    // as lang_id, aggregated into (true, pred) cells with shares.
+    "langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr
+        |  FROM t),
+        |p AS (SELECT lang AS lang_true,
+        |  CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+        |       WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       WHEN score_de >= score_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |  FROM s),
+        |cm AS (SELECT lang_true, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang_true, sum(n) AS n_true FROM cm GROUP BY 1)
+        |SELECT cm.lang_true, cm.lang_pred, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS share,
+        |  cm.lang_true = cm.lang_pred AS correct
+        |FROM cm JOIN tot USING (lang_true)
+        |ORDER BY lang_true, lang_pred""".stripMargin,
+
     "doc_fingerprints" ->
       s"""$docsCte
          |SELECT doc_id, md5(text) AS fp_exact,
@@ -4184,6 +4217,49 @@ object SparkEntry {
          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
          |${jaccardCte("shc")}
          |SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+
+    // mirrors Dedup.lshRecallAudit: uncapped inverted-index truth at
+    // J >= 0.05, the capped minhash band candidates, per-band recall +
+    // 12-decimal DECIMAL S-curve means.
+    "lsh_recall_audit" ->
+      s"""$docsCte,
+         |$sigCte,
+         |$bandsCte,
+         |bst AS (SELECT doc_id, b, bkey,
+         |          count(*) OVER (PARTITION BY b, bkey) AS bn,
+         |          min(doc_id) OVER (PARTITION BY b, bkey) AS bmin
+         |        FROM bands),
+         |cand AS (SELECT a.doc_id AS d1, b2.doc_id AS d2
+         |         FROM bst a JOIN bst b2
+         |           ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+         |         WHERE a.bn <= ${Dedup.MaxBucketSize}
+         |         UNION
+         |         SELECT bmin AS d1, doc_id AS d2
+         |         FROM bst WHERE bn > ${Dedup.MaxBucketSize} AND doc_id > bmin),
+         |tp AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |       FROM sh x JOIN sh y
+         |         ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |tc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ti AS (SELECT t.d1, t.d2, count(*) AS i
+         |       FROM tp t JOIN sh s1 ON s1.doc_id = t.d1
+         |       JOIN sh s2 ON s2.doc_id = t.d2 AND s2.shingle = s1.shingle
+         |       GROUP BY t.d1, t.d2),
+         |tj AS (SELECT ti.d1, ti.d2,
+         |         round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard
+         |       FROM ti JOIN tc c1 ON c1.doc_id = ti.d1
+         |       JOIN tc c2 ON c2.doc_id = ti.d2),
+         |truth AS (SELECT * FROM tj WHERE jaccard >= 0.05),
+         |j AS (SELECT truth.d1, truth.d2, truth.jaccard,
+         |        CAST(least(floor(jaccard * 10), 9) AS INT) AS jband,
+         |        CAST(round(1.0 - pow(1.0 - pow(jaccard, 4), 4), 12) AS DECIMAL(24,12)) AS scurve,
+         |        c.d1 IS NOT NULL AS hit
+         |      FROM truth LEFT JOIN cand c
+         |        ON c.d1 = truth.d1 AND c.d2 = truth.d2)
+         |SELECT jband, count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+         |  round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
+         |  round(CAST(sum(scurve) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall_theoretical
+         |FROM j GROUP BY jband ORDER BY jband""".stripMargin,
 
     // mirrors Dedup.containmentPairs over the capped index: same
     // posting-pair counts, containment vs min, Jaccard alongside.

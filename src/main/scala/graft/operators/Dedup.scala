@@ -523,6 +523,43 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** LSH quality evaluation: measured recall of the minhash band
+    * candidates against EXACT ground truth, per Jaccard band, beside
+    * the theoretical S-curve 1 − (1 − J^r)^b (r = rows per band = 4,
+    * b = [[NumBands]]). This is the harness that justifies the
+    * probabilistic dedup family's parameters: recall should track the
+    * curve (sampling noise aside), sag below it only where the bucket
+    * cap's star fallback drops pairs — making the cap's cost VISIBLE
+    * per similarity band instead of argued. Ground truth is the
+    * uncapped inverted-index Jaccard (complete for J > 0: sharing a
+    * shingle is implied), so the audit needs no all-pairs scan.
+    *
+    * Determinism: truth pairs and candidates are exact sets; the
+    * theoretical column is a per-pair 12-decimal rounded term summed
+    * as DECIMAL. Output is ≤ 10 rows (one per 0.1 Jaccard band).
+    */
+  def lshRecallAudit(docs: DataFrame, minJ: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rowsPerBand = NumHashes / NumBands
+    val truth = ngramJaccardPairs(docs, minJ, Int.MaxValue)
+    val cand = lshCandidates(minhashSignatures(docs))
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("d1", "d2"), "left")
+      .withColumn("jband", least(floor(col("jaccard") * 10), lit(9)).cast("int"))
+      .withColumn("scurve", round(lit(1.0) -
+        pow(lit(1.0) - pow(col("jaccard"), rowsPerBand), NumBands), 12)
+        .cast(DecimalType(24, 12)))
+      .groupBy(col("jband"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_detected"),
+        sum(col("scurve")).as("sc"))
+      .select(col("jband"), col("n_truth"), col("n_detected"),
+        round(col("n_detected").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"),
+        round(col("sc").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall_theoretical"))
+      .orderBy(col("jband"))
+  }
+
   /** Connected components over near-dup pairs → cluster representative
     * per document (the step that turns pairwise near-dup detection into
     * actual dedup groups). Min-label propagation accelerated with

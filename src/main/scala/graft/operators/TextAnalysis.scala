@@ -208,6 +208,28 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Confusion matrix of the [[langId]] heuristic against the labeled
+    * `lang` column — the evaluation harness for the language family,
+    * same posture as `lsh_recall_audit` for the dedup family: measure
+    * the heuristic's error structure instead of asserting it. Each
+    * (true, predicted) cell carries its count and its share of the true
+    * language's documents; the diagonal is per-language recall. At
+    * 100 TB the labeled slice is a sample and this exact shape runs on
+    * it unchanged — one map pass plus a |langs|²-sized agg.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val cm = langId(docs, keep = Seq("lang"))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("lang_true")).agg(sum(col("n")).as("n_true"))
+    cm.join(tot, Seq("lang_true"))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 6)
+          .as("share"),
+        (col("lang_true") === col("lang_pred")).as("correct"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
   /** Corpus-wide top-k token bigrams with document frequency — the
     * n-gram statistics pass of a corpus-analysis pipeline (vocabulary /
     * boilerplate discovery). One explode + one aggregation; top-k plans

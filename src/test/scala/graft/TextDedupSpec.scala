@@ -665,6 +665,51 @@ class TextDedupSpec extends SparkSpec {
     assert(TextAnalysis.bm25TopK(corpus).collect().isEmpty)
   }
 
+  test("langIdConfusion: diagonal is per-language recall, mislabels land off-diagonal") {
+    val corpus = Seq(
+      (0L, "the cat of a house is here", "en"),
+      (1L, "a list of the and to in is", "en"),
+      (2L, "el la de que y en", "es"),
+      (3L, "the dog of a yard is there", "es"), // mislabeled: English text
+      (4L, "zz qq ww rr", "fr"))               // no markers -> 'und'
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langIdConfusion(corpus).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r(("en", "en")).getAs[Long]("n") == 2L)
+    assert(r(("en", "en")).getAs[Double]("share") == 1.0)
+    assert(r(("en", "en")).getAs[Boolean]("correct"))
+    // the mislabeled doc shows up as an es->en cell at share 0.5
+    assert(r(("es", "en")).getAs[Long]("n") == 1L)
+    assert(r(("es", "en")).getAs[Double]("share") == 0.5)
+    assert(!r(("es", "en")).getAs[Boolean]("correct"))
+    assert(r(("es", "es")).getAs[Double]("share") == 0.5)
+    assert(r(("fr", "und")).getAs[Long]("n") == 1L)
+  }
+
+  test("lshRecallAudit: identical docs always detected, theory tracks the S-curve") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    val base = (0 until 30).map { _ =>
+      (0 until (10 + rnd.nextInt(15)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // 5 exact duplicates on top of the random chatter
+    val corpus = docs(base ++ base.take(5): _*)
+    val r = Dedup.lshRecallAudit(corpus).collect()
+    val byBand = r.map(x => x.getInt(0) -> x).toMap
+    // J = 1.0: identical shingle sets -> identical signatures -> every
+    // band collides -> measured recall 1.0, and the S-curve agrees
+    assert(byBand(9).getAs[Double]("recall") == 1.0)
+    assert(byBand(9).getAs[Double]("recall_theoretical") == 1.0)
+    r.foreach { row =>
+      val rec = row.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(row.getAs[Long]("n_detected") <= row.getAs[Long]("n_truth"))
+      val th = row.getAs[Double]("recall_theoretical")
+      assert(th >= 0.0 && th <= 1.0)
+    }
+  }
+
   test("containmentPairs: a quote inside a long doc is caught where Jaccard misses") {
     val quote = "q1 q2 q3 q4 q5"
     val corpus = docs(
