@@ -269,6 +269,11 @@ object SparkEntry {
     "symbol_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // four realized-vol estimators (close-to-close, Parkinson,
+    // Garman-Klass, Rogers-Satchell) side by side per symbol.
+    "symbol_vol_estimators" -> ((s, dir) =>
+      Analytics.volEstimators(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
     // buy/sell pressure per (symbol, hour) with signed imbalance.
     "flow_imbalance" -> ((s, dir) =>
       Analytics.flowImbalance(Trades.fromEvents(Tables.events(s, dir)))),
@@ -1140,6 +1145,10 @@ object SparkEntry {
     // the same hour's day<=21 baseline, |z| >= 3 flags.
     "seasonal_anomaly" -> ((s, dir) =>
       DataQuality.seasonalAnomaly(Tables.events(s, dir))),
+    // grouped k-fold CV assignment (all of a user's events in one
+    // fold) + the data-derived leakage audit.
+    "cv_folds" -> ((s, dir) =>
+      DataQuality.cvFolds(Tables.events(s, dir))),
     "dq_audit" -> ((s, dir) =>
       DataQuality.audit(
         Map(
@@ -2669,6 +2678,47 @@ object SparkEntry {
          |SELECT symbol, count(*) AS n_bars,
          |  round(min(close / peak - 1), 6) AS max_drawdown
          |FROM pk GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.volEstimators: per-bar 6-decimal DECIMAL terms
+    // (ln products, never pow), exact sums, sqrt at the boundary only.
+    "symbol_vol_estimators" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |lagged AS (SELECT symbol, open, high, low, close,
+         |             lag(close) OVER (PARTITION BY symbol
+         |               ORDER BY bar_start) AS prev_close
+         |           FROM bars),
+         |terms AS (SELECT symbol,
+         |    CAST(round(CASE WHEN prev_close > 0
+         |        THEN ln(close / prev_close) * ln(close / prev_close)
+         |        END, 6) AS DECIMAL(18,6)) AS cc,
+         |    CAST(round(ln(high / low) * ln(high / low), 6)
+         |      AS DECIMAL(18,6)) AS pk,
+         |    CAST(round(ln(high / low) * ln(high / low) * 0.5
+         |        - 0.3862943611198906 * ln(close / open)
+         |          * ln(close / open), 6) AS DECIMAL(18,6)) AS gk,
+         |    CAST(round(ln(high / close) * ln(high / open)
+         |        + ln(low / close) * ln(low / open), 6)
+         |      AS DECIMAL(18,6)) AS rs
+         |  FROM lagged WHERE open > 0 AND low > 0),
+         |g AS (SELECT symbol, count(*) AS n_bars, count(cc) AS n_cc,
+         |        sum(cc) AS s_cc, sum(pk) AS s_pk,
+         |        sum(gk) AS s_gk, sum(rs) AS s_rs
+         |      FROM terms GROUP BY symbol)
+         |SELECT symbol, n_bars,
+         |  CASE WHEN n_cc > 0 THEN round(sqrt(
+         |    CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE)), 6) END AS vol_cc,
+         |  CASE WHEN CAST(s_pk AS DOUBLE) / CAST(n_bars AS DOUBLE)
+         |        / 2.772588722239781 >= 0
+         |    THEN round(sqrt(CAST(s_pk AS DOUBLE) / CAST(n_bars AS DOUBLE)
+         |      / 2.772588722239781), 6) END AS vol_parkinson,
+         |  CASE WHEN CAST(s_gk AS DOUBLE) / CAST(n_bars AS DOUBLE) >= 0
+         |    THEN round(sqrt(CAST(s_gk AS DOUBLE)
+         |      / CAST(n_bars AS DOUBLE)), 6) END AS vol_gk,
+         |  CASE WHEN CAST(s_rs AS DOUBLE) / CAST(n_bars AS DOUBLE) >= 0
+         |    THEN round(sqrt(CAST(s_rs AS DOUBLE)
+         |      / CAST(n_bars AS DOUBLE)), 6) END AS vol_rs
+         |FROM g ORDER BY symbol""".stripMargin,
 
     "flow_imbalance" ->
       s"""$tradesCte
@@ -5154,6 +5204,25 @@ object SparkEntry {
         |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) AS mad,
         |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) <= 0.015 AS conforms
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors DataQuality.cvFolds: salted grouped fold hash, exact
+    // integer share quotient, leak count over per-user fold spans.
+    "cv_folds" ->
+      s"""WITH tagged AS (
+         |  SELECT CAST(${h60("'fold_' || user_id")} % 5 AS INT) AS fold,
+         |         user_id
+         |  FROM events),
+         |pf AS (SELECT fold, count(DISTINCT user_id) AS n_users,
+         |         count(*) AS n_events
+         |       FROM tagged GROUP BY fold),
+         |leak AS (SELECT count(*) FILTER (WHERE nf > 1) AS n_leaky_users
+         |         FROM (SELECT user_id, count(DISTINCT fold) AS nf
+         |               FROM tagged GROUP BY user_id)),
+         |tot AS (SELECT sum(n_events) AS tot FROM pf)
+         |SELECT fold, n_users, n_events,
+         |  CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS event_share,
+         |  n_leaky_users
+         |FROM pf, leak, tot ORDER BY fold""".stripMargin,
 
     "dq_audit" ->
       """WITH checks AS (

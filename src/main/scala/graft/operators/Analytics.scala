@@ -703,4 +703,74 @@ object Analytics {
         (abs(coalesce(col("shift_z"), lit(0.0))) > threshold).as("shifted"))
       .orderBy(col("symbol"), col("bar_start"))
   }
+
+  /** Per-symbol realized-volatility estimators from OHLC bars — the
+    * four classical range-based estimators side by side (per-bar
+    * variance terms, aggregated to a per-symbol per-bar vol):
+    *
+    *  - close-to-close: mean (ln C_t/C_{t-1})² — the naive baseline,
+    *    needs the lag;
+    *  - Parkinson (1980): mean (ln H/L)² / (4 ln 2) — range-based,
+    *    ~5× more efficient than close-to-close;
+    *  - Garman–Klass (1980): mean [½(ln H/L)² − (2 ln 2 − 1)(ln C/O)²];
+    *  - Rogers–Satchell (1991): mean [ln(H/C)ln(H/O) + ln(L/C)ln(L/O)]
+    *    — drift-free (the others assume zero drift).
+    *
+    * Determinism: each per-bar term is a row-local IEEE computation,
+    * rounded to 6 decimals and cast to DECIMAL(18,6) BEFORE the
+    * per-symbol sum (double sums are partial-order-dependent; exact
+    * decimal sums are not), then one double division + sqrt at the
+    * output boundary. GK and RS terms can be negative per bar; a
+    * negative MEAN (possible in degenerate series) yields NULL vol
+    * rather than a NaN sqrt.
+    *
+    * Scale shape: one window pass for the close lag (shares the
+    * (symbol, bar_start) sort with every other per-symbol family),
+    * then a single hash aggregation — map-linear in bars.
+    */
+  def volEstimators(bars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    def t6(c: Column) = round(c, 6).cast(dec)
+    val lnHL = log(col("high") / col("low"))
+    val lnCO = log(col("close") / col("open"))
+    val terms = bars
+      .select(col("symbol"), col("bar_start"), col("open"), col("high"),
+        col("low"), col("close"))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .filter(col("open") > 0 && col("low") > 0)
+      .select(col("symbol"),
+        // ln·ln products, never pow(x,2): IEEE multiply is exactly
+        // reproducible across engines; Math.pow need not equal x*x.
+        t6(when(col("prev_close") > 0,
+          log(col("close") / col("prev_close")) *
+            log(col("close") / col("prev_close")))).as("cc"),
+        t6(lnHL * lnHL).as("pk"),
+        // 2·ln2−1 pinned as a decimal literal so the oracle SQL can
+        // carry the bit-identical constant (ln(2.0) may differ by an
+        // ulp between libm and Math.log).
+        t6(lnHL * lnHL * 0.5 - lit(0.3862943611198906) * lnCO * lnCO)
+          .as("gk"),
+        t6(log(col("high") / col("close")) * log(col("high") / col("open")) +
+          log(col("low") / col("close")) * log(col("low") / col("open")))
+          .as("rs"))
+    val g = terms.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_bars"),
+        count(col("cc")).as("n_cc"),
+        sum(col("cc")).as("s_cc"), sum(col("pk")).as("s_pk"),
+        sum(col("gk")).as("s_gk"), sum(col("rs")).as("s_rs"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n_bars").cast("double")
+    def vol(mean: Column) =
+      when(mean >= 0, round(sqrt(mean), 6))
+    g.select(col("symbol"), col("n_bars"),
+        when(col("n_cc") > 0,
+          round(sqrt(d("s_cc") / col("n_cc").cast("double")), 6))
+          .as("vol_cc"),
+        vol(d("s_pk") / n / 2.772588722239781).as("vol_parkinson"),
+        vol(d("s_gk") / n).as("vol_gk"),
+        vol(d("s_rs") / n).as("vol_rs"))
+      .orderBy(col("symbol"))
+  }
 }

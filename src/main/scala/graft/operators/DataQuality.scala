@@ -360,4 +360,50 @@ object DataQuality {
     RowCheck("embeddings_dim_consistent", "embeddings",
       size(col("embedding")) === 64)
   )
+
+  /** Grouped k-fold cross-validation assignment over the event stream:
+    * every event lands in fold `hash60("fold_" ++ user_id) mod k`, so
+    * ALL of a user's events share one fold — the GROUPED k-fold that
+    * keeps correlated rows (one user's behavior) out of both train and
+    * held-out folds simultaneously (row-level random folds leak, a
+    * near-duplicate of the dedup rationale applied to supervised
+    * evaluation). Assignment is content-stable (salted hash of the
+    * group key, the [[graft.operators.TextAnalysis.splitAudit]]
+    * convention), so folds are reproducible across engines, runs, and
+    * repartitionings with no stored fold table.
+    *
+    * Output: one row per fold — user and event counts, the event
+    * share (exact-integer quotient), and `n_leaky_users`, the number
+    * of users observed in more than one fold. Zero by construction
+    * here, but computed FROM THE DATA: in production the fold column
+    * is materialized and can rot (backfills joining stale fold
+    * tables), and this audit is what catches it.
+    *
+    * Scale shape: fold tagging is map-only; the per-fold and per-user
+    * aggregations are two independent hash aggs over the same tagged
+    * stream (the user-level one reuses the shuffle the per-fold
+    * countDistinct already pays); the 1-row leak count rides the plan
+    * as a broadcast cross join — nothing collected.
+    */
+  def cvFolds(events: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val tagged = events.select(
+      pmod(hash60(concat(lit("fold_"), col("user_id"))), lit(k))
+        .cast("int").as("fold"),
+      col("user_id"))
+    val perFold = tagged.groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    val leak = tagged
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(count(when(col("nf") > 1, 1)).as("n_leaky_users"))
+    val total = perFold.agg(sum(col("n_events")).as("tot"))
+    perFold.crossJoin(broadcast(leak)).crossJoin(broadcast(total))
+      .select(col("fold"), col("n_users"), col("n_events"),
+        (col("n_events").cast("double") / col("tot").cast("double"))
+          .as("event_share"),
+        col("n_leaky_users"))
+      .orderBy(col("fold"))
+  }
 }

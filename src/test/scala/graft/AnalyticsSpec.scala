@@ -234,4 +234,45 @@ class AnalyticsSpec extends SparkSpec {
     // flat closes: pooled variance 0 -> guarded null z, not shifted
     assert(bySym("F").forall(r => r.isNullAt(4) && !r.getBoolean(5)))
   }
+
+  test("volEstimators: hand-computed Parkinson/GK/RS/cc terms; " +
+      "negative-mean guard nulls instead of NaN") {
+    def ohlc(sym: String, minute: Int, o: Double, h: Double, l: Double,
+             c: Double): Bar = {
+      val start = ts(f"2024-01-01 10:$minute%02d:00")
+      Bar(sym, start, new Timestamp(start.getTime + 60000),
+        o, h, l, c, 1.0, c, 1L, Date.valueOf("2024-01-01"))
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6 // HALF_EVEN ~ test vals safe
+    val bars = Seq(
+      ohlc("V", 0, 100.0, 110.0, 90.0, 105.0),
+      ohlc("V", 1, 105.0, 120.0, 100.0, 110.0),
+      // H=L collapses the range terms; C!=O makes the GK mean negative
+      ohlc("G", 0, 100.0, 110.0, 110.0, 110.0)).toDS.toDF
+    val out = Analytics.volEstimators(bars).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = out("V")
+    assert(v.getAs[Long]("n_bars") == 2L)
+    // close-to-close: only bar 1 has a prev -> n_cc = 1
+    val cc = { val x = math.log(110.0 / 105.0); r6(x * x) }
+    assert(math.abs(v.getAs[Double]("vol_cc") -
+      math.rint(math.sqrt(cc) * 1e6) / 1e6) < 1e-9)
+    val pks = Seq((110.0, 90.0), (120.0, 100.0)).map { case (h, l) =>
+      val x = math.log(h / l); r6(x * x) }
+    val expPk = math.sqrt(pks.sum / 2 / 2.772588722239781)
+    assert(math.abs(v.getAs[Double]("vol_parkinson") - expPk) < 1e-6)
+    val rss = Seq((100.0, 110.0, 90.0, 105.0), (105.0, 120.0, 100.0, 110.0))
+      .map { case (o, h, l, c) =>
+        r6(math.log(h / c) * math.log(h / o) +
+          math.log(l / c) * math.log(l / o)) }
+    assert(math.abs(v.getAs[Double]("vol_rs") -
+      math.sqrt(rss.sum / 2)) < 1e-6)
+    assert(v.getAs[Double]("vol_gk") > 0)
+    val g = out("G")
+    // zero range, positive ln(C/O): GK mean < 0 -> guarded null
+    assert(g.isNullAt(g.fieldIndex("vol_gk")))
+    assert(g.getAs[Double]("vol_parkinson") == 0.0)
+    // single bar, no prev close -> vol_cc null
+    assert(g.isNullAt(g.fieldIndex("vol_cc")))
+  }
 }

@@ -161,4 +161,29 @@ class DataQualitySpec extends SparkSpec {
     assert(never.getAs[Long]("n_events") == 0L &&
       !never.getAs[Boolean]("anomalous"))
   }
+
+  test("cvFolds: grouped assignment, zero leakage, shares sum to 1, " +
+      "content-stable under repartitioning") {
+    val events = (1L to 200L).flatMap(u =>
+      (1 to (u % 3).toInt + 1).map(i => (u * 10 + i, u)))
+      .toDF("event_id", "user_id")
+    val folds = DataQuality.cvFolds(events, k = 5).collect()
+    assert(folds.length == 5)
+    assert(folds.forall(_.getAs[Long]("n_leaky_users") == 0L))
+    assert(folds.map(_.getAs[Long]("n_events")).sum == events.count())
+    assert(folds.map(_.getAs[Long]("n_users")).sum == 200L)
+    assert(math.abs(folds.map(_.getAs[Double]("event_share")).sum - 1.0)
+      < 1e-12)
+    // content-stable: the fold of a given user is a pure hash, so a
+    // different physical partitioning cannot move it
+    val re = DataQuality.cvFolds(events.repartition(7), k = 5).collect()
+    assert(folds.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      re.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+    // the audit really reads the data: a user duplicated into a second
+    // fold via a poisoned fold column is invisible here (fold is
+    // derived), so instead check the leak counter's mechanics on a
+    // 1-fold degenerate k: every user in fold 0, still zero leaks
+    val one = DataQuality.cvFolds(events, k = 1).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_leaky_users") == 0L)
+  }
 }
