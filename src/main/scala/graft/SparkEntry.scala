@@ -524,6 +524,42 @@ object SparkEntry {
     // stupid-backoff bigram upgrade of lm_score.
     "lm_score_bigram" -> ((s, dir) =>
       TextAnalysis.lmScoreBigram(Tables.documents(s, dir))),
+    // LM scoring served off the persisted postings index: the 20% delta
+    // scored under the FROZEN history LM (the same index table BM25
+    // queries — one index, two consumers).
+    "lm_score_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      TextAnalysis.lmScoreIndexed(
+        TextAnalysis.bm25Index(
+          docs.filter(isHist && col("lang") === "en")),
+        docs.filter(!isHist))
+    }),
+    // LM retirement: the ret_ 10% takedown dropped from the postings
+    // index by the generic per-row retire, surviving docs re-scored —
+    // full-recompute-minus-retired parity like every retire query.
+    "lm_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      TextAnalysis.lmScoreIndexed(
+        Dedup.retireRows(
+          TextAnalysis.bm25Index(docs.filter(col("lang") === "en")),
+          docs.filter(isRet).select(col("doc_id"))),
+        docs.filter(!isRet))
+    }),
+    // perplexity drift: history self-score vs delta score under the
+    // frozen history LM — the retrain trigger for the quality gate.
+    "lm_ppl_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val hist = docs.filter(isHist)
+      TextAnalysis.lmDrift(
+        TextAnalysis.bm25Index(hist.filter(col("lang") === "en")),
+        hist, docs.filter(!isHist))
+    }),
     // context-length chunking: overlapping token windows per doc.
     "doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir))),
@@ -4103,6 +4139,82 @@ object SparkEntry {
         |  CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE) AS avg_logprob,
         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.lmScoreIndexed over the history postings
+    // index: train counts from the 80% 'en' slice, delta docs scored
+    // under the frozen model (Σ tf per term == direct token counts).
+    "lm_score_incremental" ->
+      s"""WITH k AS (SELECT doc_id, lang,
+         |        unnest(string_split(text, ' ')) AS t,
+         |        (${h60("'inc_' || doc_id")} % 100) < 80 AS is_hist
+         |      FROM documents),
+         |tr AS (SELECT t, count(*) AS c FROM k
+         |       WHERE lang = 'en' AND is_hist GROUP BY t),
+         |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt,
+         |        CAST(count(*) AS DOUBLE) AS vv FROM tr),
+         |sc AS (SELECT k.doc_id,
+         |         CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov,
+         |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+         |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+         |       FROM k LEFT JOIN tr ON k.t = tr.t, m
+         |       WHERE NOT k.is_hist),
+         |d AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6,
+         |        sum(oov) AS n_oov
+         |      FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)
+         |    AS avg_logprob,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // full-recompute-minus-retired parity: lm_score over the surviving
+    // 90% only (train slice and scored docs both drop the takedowns).
+    "lm_retire" ->
+      s"""WITH surv AS (SELECT * FROM documents
+         |        WHERE ${h60("'ret_' || doc_id")} % 100 < 90),
+         |k AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |      FROM surv),
+         |tr AS (SELECT t, count(*) AS c FROM k WHERE lang = 'en' GROUP BY t),
+         |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt,
+         |        CAST(count(*) AS DOUBLE) AS vv FROM tr),
+         |sc AS (SELECT k.doc_id,
+         |         CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov,
+         |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+         |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+         |       FROM k LEFT JOIN tr ON k.t = tr.t, m),
+         |d AS (SELECT doc_id, count(*) AS n_tokens, sum(lp6) AS s6,
+         |        sum(oov) AS n_oov
+         |      FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(s6 AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)
+         |    AS avg_logprob,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.lmDrift: both slices' tokens scored under
+    // the frozen history model, slice-level exact-integer roll-up.
+    "lm_ppl_drift" ->
+      s"""WITH k AS (SELECT doc_id, lang,
+         |        unnest(string_split(text, ' ')) AS t,
+         |        (${h60("'inc_' || doc_id")} % 100) < 80 AS is_hist
+         |      FROM documents),
+         |tr AS (SELECT t, count(*) AS c FROM k
+         |       WHERE lang = 'en' AND is_hist GROUP BY t),
+         |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt,
+         |        CAST(count(*) AS DOUBLE) AS vv FROM tr),
+         |sc AS (SELECT CASE WHEN k.is_hist THEN 'history'
+         |           ELSE 'delta' END AS slice,
+         |         k.doc_id,
+         |         CASE WHEN tr.c IS NULL THEN 1 ELSE 0 END AS oov,
+         |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+         |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+         |       FROM k LEFT JOIN tr ON k.t = tr.t, m)
+         |SELECT slice, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(lp6) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+         |    AS avg_logprob,
+         |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM sc GROUP BY slice ORDER BY slice""".stripMargin,
 
     "decontaminate" ->
       s"""$docsCte,

@@ -707,19 +707,39 @@ object TextAnalysis {
       explode(tokensCol(col("text"))).as("t"))
     val train = toks.filter(col("lang") === trainLang)
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    lmDocRollup(lmTokenScores(toks.select(col("doc_id"), col("t")), train))
+  }
+
+  /** Per-token Laplace log-scores of a (carrier…, t) token stream
+    * against a (t, c) vocabulary — the shared scoring stream behind
+    * [[lmScore]] (ad-hoc train slice), [[lmScoreIndexed]] (persisted
+    * postings index), and [[lmDrift]] (slice-level aggregation).
+    * Carrier columns (doc_id, slice, …) pass through untouched; `t`
+    * is consumed. Determinism: the log-prob is rounded to 6 decimals
+    * and scaled to an exact long PER TOKEN, so every downstream sum is
+    * order-independent regardless of how the caller aggregates.
+    */
+  private def lmTokenScores(toks: DataFrame, train: DataFrame): DataFrame = {
     val model = train.agg(
       sum(col("c")).cast("double").as("tt"),
       count(lit(1)).cast("double").as("vv"))
-    val scored = toks.join(train, Seq("t"), "left_outer").crossJoin(model)
-      .select(col("doc_id"),
-        (coalesce(col("c"), lit(0L)) === 0L).cast("int").as("oov"),
+    val carriers = toks.columns.filterNot(_ == "t").map(col).toSeq
+    toks.join(train.select(col("t"), col("c")), Seq("t"), "left_outer")
+      .crossJoin(model)
+      .select(carriers :+
+        (coalesce(col("c"), lit(0L)) === 0L).cast("int").as("oov") :+
         round(log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0d)) /
           (col("tt") + col("vv") + lit(1.0d))) * lit(1e6), 0)
-          .cast("long").as("lp6"))
-    // NO final round: s6 and n are exact integers, so the quotient is
-    // the same IEEE double in every engine — rounding it would
-    // reintroduce the half-micro boundary (s6/n CAN land exactly on
-    // k + 0.5e-6, where Spark's and DuckDB's round() disagree)
+          .cast("long").as("lp6"): _*)
+  }
+
+  /** Per-doc roll-up of [[lmTokenScores]].
+    * NO final round: s6 and n are exact integers, so the quotient is
+    * the same IEEE double in every engine — rounding it would
+    * reintroduce the half-micro boundary (s6/n CAN land exactly on
+    * k + 0.5e-6, where Spark's and DuckDB's round() disagree).
+    */
+  private def lmDocRollup(scored: DataFrame): DataFrame =
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lp6")).as("s6"),
@@ -730,6 +750,57 @@ object TextAnalysis {
         (col("n_oov").cast("double") /
           col("n_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("doc_id"))
+
+  /** [[lmScore]] served off the persisted postings index instead of an
+    * ad-hoc corpus scan — the LM family joining the incremental-index
+    * club: the SAME `(doc_id, dl, t, tf)` postings table that serves
+    * BM25 retrieval ([[bm25Index]] / [[refreshBm25Index]] /
+    * [[graft.operators.Dedup.retireRows]]) doubles as the unigram LM's
+    * count store, so one persisted index carries retrieval AND quality
+    * scoring, and every lifecycle move the index already supports
+    * (idempotent daily append, takedown retirement) propagates to LM
+    * scores for free. The vocabulary is one roll-up of the index
+    * (`Σ tf` per term — identical to counting the train slice's tokens
+    * directly, spec-asserted); model stats ride the plan as a 1-row
+    * cross join; scored docs tokenize map-only and join the vocabulary
+    * with no broadcast hint (vocabulary is data-scale; AQE decides).
+    */
+  def lmScoreIndexed(index: DataFrame, docs: DataFrame): DataFrame = {
+    val train = index.groupBy(col("t")).agg(sum(col("tf")).as("c"))
+    lmDocRollup(lmTokenScores(
+      docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("t")),
+      train))
+  }
+
+  /** Perplexity-drift audit between the history corpus and a delta
+    * batch, both scored under the FROZEN history LM (the postings
+    * index): one row per slice with exact-integer score sums. A delta
+    * whose `avg_logprob` sits well below history's own self-score (or
+    * whose `oov_rate` jumps) is distribution shift arriving in the
+    * ingest — the retrain trigger for the LM quality gate, exactly the
+    * posture [[graft.operators.Similarity.ivfDriftAudit]] takes for
+    * the ANN index. Slice means divide exact long sums once at the
+    * boundary (order-independent, cross-engine bit-identical).
+    */
+  def lmDrift(index: DataFrame, histDocs: DataFrame,
+              deltaDocs: DataFrame): DataFrame = {
+    val train = index.groupBy(col("t")).agg(sum(col("tf")).as("c"))
+    def toks(d: DataFrame, tag: String) =
+      d.select(lit(tag).as("slice"), col("doc_id"),
+        explode(tokensCol(col("text"))).as("t"))
+    val scored = lmTokenScores(
+      toks(histDocs, "history").unionByName(toks(deltaDocs, "delta")), train)
+    scored.groupBy(col("slice"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("lp6")).as("s6"),
+        sum(col("oov")).as("n_oov"))
+      .select(col("slice"), col("n_docs"), col("n_tokens"),
+        (col("s6").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double")).as("avg_logprob"),
+        (col("n_oov").cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("slice"))
   }
 
   /** Context-length chunking: split each document into overlapping

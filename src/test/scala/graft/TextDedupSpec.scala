@@ -506,6 +506,41 @@ class TextDedupSpec extends SparkSpec {
     assert(lp(2) < lp(0))
   }
 
+  test("lmScoreIndexed: index-served scores == ad-hoc lmScore; " +
+      "retire drops counts exactly; drift slices roll up doc scores") {
+    val corpus = Seq(
+      (0L, "the cat sat", "en"),
+      (1L, "the the the", "en"),
+      (2L, "zebra quux corge", "de"))
+      .toDF("doc_id", "text", "lang")
+    // one index, two consumers: the BM25 postings table's Σtf-per-term
+    // roll-up must reproduce the ad-hoc train-slice counts exactly
+    val index = TextAnalysis.bm25Index(corpus.filter($"lang" === "en"))
+    val served = TextAnalysis.lmScoreIndexed(index, corpus).collect()
+    val adhoc = TextAnalysis.lmScore(corpus).collect()
+    assert(served.map(_.toSeq).toSeq == adhoc.map(_.toSeq).toSeq)
+    // retire doc 1 from the index: the model loses 3 'the' counts
+    // (T=3, V=3) and scoring the survivors equals a full recompute
+    // over the surviving corpus — the family's parity contract
+    val surv = corpus.filter($"doc_id" =!= 1L)
+    val retired = graft.operators.Dedup.retireRows(
+      index, Seq(Tuple1(1L)).toDF("doc_id"))
+    val afterRetire = TextAnalysis.lmScoreIndexed(retired, surv).collect()
+    val fullRecompute = TextAnalysis.lmScore(surv).collect()
+    assert(afterRetire.map(_.toSeq).toSeq == fullRecompute.map(_.toSeq).toSeq)
+    // drift: slice sums are the doc-level exact sums re-grouped
+    val drift = TextAnalysis.lmDrift(index,
+      corpus.filter($"lang" === "en"), corpus.filter($"lang" === "de"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(drift("history").getAs[Long]("n_docs") == 2L)
+    assert(drift("history").getAs[Long]("n_tokens") == 6L)
+    assert(drift("delta").getAs[Double]("oov_rate") == 1.0)
+    // all-OOV delta scores strictly below the history self-score —
+    // the signal the drift audit exists to surface
+    assert(drift("delta").getAs[Double]("avg_logprob") <
+      drift("history").getAs[Double]("avg_logprob"))
+  }
+
   test("qualityTopDecile keeps exactly each source's top decile") {
     // 10 docs, one source, strictly increasing quality (more distinct
     // non-stop tokens → higher length factor) → ntile(10) puts one doc
