@@ -927,6 +927,22 @@ object SparkEntry {
     "index_asof_audit" -> ((s, dir) =>
       Lifecycle.membershipAudit(docLedger(Tables.documents(s, dir)),
         maxBatch = 4)),
+    // snapshot diff off the persisted fingerprint tables: added /
+    // removed / changed docs between two simulated corpus versions
+    // (salted 90% memberships; 5% of shared docs get revised text).
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def member(tag: String) = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit(tag), col("doc_id"))), lit(100)) < 90
+      val changed = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("chg_"), col("doc_id"))), lit(100)) < 5
+      val v2 = docs.filter(member("v2_")).withColumn("text",
+        when(changed, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      Lifecycle.snapshotDiff(
+        Dedup.fingerprints(docs.filter(member("v1_"))),
+        Dedup.fingerprints(v2))
+    }),
     // compaction audit: how much of the signature index is settled
     // non-rep duplicates (= safe to drop at the next rewrite).
     "index_compact_stats" -> ((s, dir) => {
@@ -3291,6 +3307,26 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Lifecycle.snapshotDiff over Dedup.fingerprints of the two
+    // simulated snapshot memberships (v2 revises 5% of its texts).
+    "snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, md5(text) AS fp_v1 FROM documents
+         |            WHERE ${h60("'v1_' || doc_id")} % 100 < 90),
+         |v2 AS (SELECT doc_id,
+         |         md5(CASE WHEN ${h60("'chg_' || doc_id")} % 100 < 5
+         |             THEN text || ' [rev2]' ELSE text END) AS fp_v2
+         |       FROM documents
+         |       WHERE ${h60("'v2_' || doc_id")} % 100 < 90),
+         |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |        fp_v1, fp_v2,
+         |        CASE WHEN fp_v1 IS NULL THEN 'added'
+         |             WHEN fp_v2 IS NULL THEN 'removed'
+         |             WHEN fp_v1 <> fp_v2 THEN 'changed'
+         |             ELSE 'unchanged' END AS status
+         |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT doc_id, fp_v1, fp_v2, status FROM j
+         |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
 
     "index_compact_stats" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -98,4 +98,27 @@ object Lifecycle {
       .select(col("doc_id"), col("batch_id"), lit("add").as("op"))
     (newPayload, newLedger)
   }
+
+  /** Content-level diff of two corpus snapshots — the "what changed
+    * between yesterday's drop and today's" primitive behind release
+    * notes, incremental reprocessing scopes, and takedown audits. Both
+    * sides are the persisted per-doc FINGERPRINT tables
+    * ([[graft.operators.Dedup.fingerprints]], ~48 bytes/doc), never
+    * the text: at corpus scale the diff is one full-outer hash join of
+    * two slim index tables. Emits one row per differing doc —
+    * `added` (v2 only), `removed` (v1 only), `changed` (both, content
+    * hash differs); identical rows are filtered before the sort, so
+    * output is O(churn), not O(corpus).
+    */
+  def snapshotDiff(v1Fps: DataFrame, v2Fps: DataFrame): DataFrame =
+    v1Fps.select(col("doc_id"), col("fp").as("fp_v1"))
+      .join(v2Fps.select(col("doc_id"), col("fp").as("fp_v2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("fp_v1"), col("fp_v2"),
+        when(col("fp_v1").isNull, "added")
+          .when(col("fp_v2").isNull, "removed")
+          .when(col("fp_v1") =!= col("fp_v2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
 }

@@ -86,4 +86,23 @@ class LifecycleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((0L, 1L), (1L, 3L), (2L, 2L), (3L, 2L)))
   }
+
+  test("snapshotDiff: added/removed/changed statuses, unchanged " +
+      "filtered, O(churn) output") {
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "new text"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val diff = Lifecycle.snapshotDiff(
+        Dedup.fingerprints(v1), Dedup.fingerprints(v2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("status"), r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(diff.keySet == Set(2L, 3L, 4L)) // doc 1 unchanged -> absent
+    assert(diff(2L) == (("changed", false, false)))
+    assert(diff(3L) == (("removed", false, true)))
+    assert(diff(4L) == (("added", true, false)))
+    // diff of a snapshot with itself is empty
+    assert(Lifecycle.snapshotDiff(
+      Dedup.fingerprints(v1), Dedup.fingerprints(v1)).isEmpty)
+  }
 }
