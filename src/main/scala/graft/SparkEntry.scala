@@ -280,6 +280,13 @@ object SparkEntry {
     // strict-order conversion funnel over the raw event stream.
     "event_funnel" -> ((s, dir) =>
       Sessions.eventFunnel(Tables.events(s, dir))),
+    // top within-session event-type routes (length-3 lead windows).
+    "session_paths" -> ((s, dir) =>
+      Sessions.sessionPaths(Tables.events(s, dir))),
+    // exact rolling-median despike filter over hourly closes.
+    "bar_median_despike" -> ((s, dir) =>
+      Analytics.medianDespike(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
     // cohort retention triangle: first-activity cohorts × day offsets.
     "user_retention" -> ((s, dir) =>
       Sessions.cohortRetention(Tables.events(s, dir))),
@@ -517,6 +524,9 @@ object SparkEntry {
     "quality_signals" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    // Flesch / Flesch-Kincaid readability per doc (heuristic counters).
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
     // CCNet-style perplexity filter: unigram LM trained on the lang='en'
     // slice, every doc scored by avg token log-prob + OOV rate.
     "lm_score" -> ((s, dir) =>
@@ -4157,6 +4167,76 @@ object SparkEntry {
     // mirrors TextAnalysis.lmScore: unigram counts over the lang='en'
     // slice, Laplace-smoothed log-probs rounded+scaled to exact longs
     // BEFORE the per-doc sum (order-independent aggregation).
+    // mirrors Sessions.sessionPaths: same gap rule as the sessions
+    // oracle (floored epoch seconds), trigram leads gated to one session.
+    "session_paths" ->
+      """WITH s AS (SELECT user_id, event_id, ts, event_type,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_ts
+        |      FROM events),
+        |s2 AS (SELECT *, sum(CASE WHEN prev_ts IS NULL
+        |          OR CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |          THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS session_id
+        |       FROM s),
+        |t AS (SELECT user_id, session_id, event_type,
+        |        lead(event_type, 1) OVER w AS t2,
+        |        lead(session_id, 1) OVER w AS sid2,
+        |        lead(event_type, 2) OVER w AS t3,
+        |        lead(session_id, 2) OVER w AS sid3
+        |      FROM s2
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |  count(*) AS n,
+        |  count(DISTINCT (user_id, session_id)) AS n_sessions
+        |FROM t WHERE sid2 = session_id AND sid3 = session_id
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 50""".stripMargin,
+
+    // mirrors Analytics.medianDespike: sorted-window two-middle
+    // average, identical double arithmetic (no quantile interpolation).
+    "bar_median_despike" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |r AS (SELECT symbol, bar_start, close,
+         |        list_sort(list(close) OVER (PARTITION BY symbol
+         |          ORDER BY bar_start
+         |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+         |      FROM bars),
+         |m AS (SELECT symbol, bar_start, close,
+         |        CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+         |          ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+         |          END AS median_close,
+         |        len(arr) AS n_in_window
+         |      FROM r)
+         |SELECT symbol, bar_start, close, median_close,
+         |  CAST(n_in_window AS INT) AS n_in_window,
+         |  abs(close - median_close) / median_close > 0.05 AS spiked
+         |FROM m ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors TextAnalysis.readability: identical regex counters and
+    // association order, raw doubles (exact-integer inputs need no
+    // rounding).
+    "readability" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)) AS flesch_ease,
+        |  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59 AS fk_grade
+        |FROM base WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
     "lm_score" ->
       """WITH k AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
         |       FROM documents),

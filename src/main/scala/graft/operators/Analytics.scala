@@ -773,4 +773,40 @@ object Analytics {
         vol(d("s_rs") / n).as("vol_rs"))
       .orderBy(col("symbol"))
   }
+
+  /** Rolling-median despike filter per symbol: the EXACT median of the
+    * trailing `w` closes (sorted small-array pick, average of the two
+    * middles on even counts — deterministic double arithmetic, no
+    * interpolation ambiguity) plus a flag for bars whose close strays
+    * more than `threshold` from it. The median is the robust
+    * counterpart of [[withRollingStats]]'s mean/σ z-scores: one bad
+    * print CANNOT drag the reference level with it, which is exactly
+    * what makes median filtering the standard tick-cleaning pass
+    * (z-scores self-mask: the spike inflates σ).
+    *
+    * Scale: one window over the shared (symbol, bar_start) sort; the
+    * per-row state is a `w`-element array (w is a small constant —
+    * this is a FILTER kernel, not an aggregation over unbounded
+    * frames), so the pass stays map-linear after the one exchange.
+    */
+  def medianDespike(bars: DataFrame, w: Int = 5,
+                    threshold: Double = 0.05): DataFrame = {
+    val win = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+      .rowsBetween(-(w - 1), 0)
+    val arr = col("arr")
+    val n = col("n")
+    bars.select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("arr", sort_array(collect_list(col("close")).over(win)))
+      .withColumn("n", size(arr))
+      .select(col("symbol"), col("bar_start"), col("close"),
+        when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(arr, (n / 2).cast("int")) +
+            element_at(arr, (n / 2).cast("int") + 1)) / lit(2.0))
+          .as("median_close"),
+        n.as("n_in_window"))
+      .withColumn("spiked",
+        abs(col("close") - col("median_close")) / col("median_close")
+          > threshold)
+      .orderBy(col("symbol"), col("bar_start"))
+  }
 }

@@ -417,4 +417,50 @@ object Sessions {
       .select(col("day"), col("dau"), col("wau"))
       .orderBy(col("day"))
   }
+
+  /** Top event-type PATHS (length-3 windows of consecutive events
+    * inside one user session): the path-mining view of the event
+    * stream — [[eventTransitions]] is its first-order marginal, this
+    * keeps enough order to see *routes* (view>click>purchase vs
+    * click>view>purchase are different products decisions). Sessions
+    * are gap-based per user (same rule as [[assign]], `gapMinutes`);
+    * windows never cross a session boundary. Emits the top `k` paths
+    * with occurrence and distinct-session counts.
+    *
+    * Scale shape: ONE user-partitioned window chain computes the
+    * session ids (running sum over the gap flag) and both leads —
+    * Catalyst collapses them into a single Exchange+Sort+Window — and
+    * the lead-based trigram build is O(events), never an explode of
+    * per-session collect_lists (a whale session would blow an array
+    * agg; leads carry O(1) state). The path roll-up is one
+    * path-cardinality hash agg + TakeOrderedAndProject.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    val sessioned = events
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("__prev_ts"))
+            > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("s2", lead(col("session_id"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("session_id"), 2).over(w))
+    sessioned
+      .where(col("s2") === col("session_id") &&
+        col("s3") === col("session_id"))
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id"), col("session_id")).as("n_sessions"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

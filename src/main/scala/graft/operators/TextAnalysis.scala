@@ -2174,4 +2174,38 @@ object TextAnalysis {
     volRows.unionByName(langRows).unionByName(sourceRows)
       .orderBy(col("section"), col("metric"))
   }
+
+  /** Classical readability scores per document — Flesch reading ease
+    * and Flesch–Kincaid grade, the curriculum-binning signal a
+    * difficulty-staged training mix keys on (and a quality gate's
+    * cheap prose-vs-listicle discriminator). Heuristic counters, all
+    * engine-independent integer counts:
+    * words = the corpus token convention ([[tokensCol]]), sentences =
+    * `[.!?]+` runs (floored at 1 so headline-only docs stay finite),
+    * syllables = vowel-group runs `[aeiouyAEIOUY]+` — the standard
+    * dictionary-free approximation. The scores are fixed-coefficient
+    * double arithmetic over exact integers (identical association
+    * order in the oracle), so no rounding is needed anywhere.
+    * Entirely map-only: three regex counters fused into the scan.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("n_words"),
+      greatest(lit(1L),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+        .as("n_sentences"),
+      regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+        .as("n_syllables"))
+      .where(col("n_words") > 0)
+    val wps = col("n_words").cast("double") /
+      col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .as("flesch_ease"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -275,4 +275,26 @@ class AnalyticsSpec extends SparkSpec {
     // single bar, no prev close -> vol_cc null
     assert(g.isNullAt(g.fieldIndex("vol_cc")))
   }
+
+  test("medianDespike: exact window medians (odd pick, even two-middle " +
+      "average), spike flagged without dragging the reference level") {
+    val closes = Seq(100.0, 101.0, 150.0, 102.0, 103.0, 101.0)
+    val bars = closes.zipWithIndex.map { case (c, i) => bar("M", i, c) }
+      .toDS.toDF
+    val r = Analytics.medianDespike(bars, w = 5, threshold = 0.05)
+      .collect()
+    // row 0: window {100} -> median 100; row 1: {100,101} -> 100.5
+    assert(r(0).getAs[Double]("median_close") == 100.0)
+    assert(r(1).getAs[Double]("median_close") == 100.5)
+    assert(r(1).getAs[Int]("n_in_window") == 2)
+    // row 2 (the 150 spike): window {100,101,150} -> median 101, and
+    // the spike is > 5% away from it -> flagged
+    assert(r(2).getAs[Double]("median_close") == 101.0)
+    assert(r(2).getAs[Boolean]("spiked"))
+    // row 4: {100,101,150,102,103} -> median 102; the spike sits in
+    // the window but CANNOT drag the median -> neighbors stay clean
+    assert(r(4).getAs[Double]("median_close") == 102.0)
+    assert(!r(4).getAs[Boolean]("spiked"))
+    assert(r.count(_.getAs[Boolean]("spiked")) == 1)
+  }
 }

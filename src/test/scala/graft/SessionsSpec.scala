@@ -197,4 +197,29 @@ class SessionsSpec extends SparkSpec {
     assert(r("view").getAs[Double]("avg_mins") == 10.0)
     assert(r("direct").isNullAt(r("direct").fieldIndex("avg_mins")))
   }
+
+  test("sessionPaths: windows never cross the session gap; " +
+      "counts and distinct sessions roll up") {
+    val events = Seq(
+      // u1 session 1: view>click>purchase (one trigram)
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:05:00"),
+      (3L, 1L, "purchase", "2024-01-01 10:10:00"),
+      // u1 session 2 (gap > 30m): view>click>purchase again
+      (4L, 1L, "view", "2024-01-01 12:00:00"),
+      (5L, 1L, "click", "2024-01-01 12:05:00"),
+      (6L, 1L, "purchase", "2024-01-01 12:10:00"),
+      // u2: view>click then a 40m gap, then purchase — the trigram
+      // spanning the gap MUST NOT appear
+      (7L, 2L, "view", "2024-01-01 10:00:00"),
+      (8L, 2L, "click", "2024-01-01 10:05:00"),
+      (9L, 2L, "purchase", "2024-01-01 10:50:00"))
+      .map { case (id, u, t, s) => (id, u, t, ts(s)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sessions.sessionPaths(events).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "view>click>purchase")
+    assert(r.head.getAs[Long]("n") == 2L)
+    assert(r.head.getAs[Long]("n_sessions") == 2L)
+  }
 }

@@ -541,6 +541,27 @@ class TextDedupSpec extends SparkSpec {
       drift("history").getAs[Double]("avg_logprob"))
   }
 
+  test("readability: heuristic counters and fixed-coefficient scores") {
+    val docs = Seq(
+      // 6 words, 2 sentences, syllable groups counted as vowel runs
+      (0L, "the cat sat down. the end!"),
+      // no terminator -> sentence floor of 1
+      (1L, "no punctuation here")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs).collect()
+    val d0 = r(0)
+    assert(d0.getAs[Long]("n_words") == 6L)
+    assert(d0.getAs[Long]("n_sentences") == 2L)
+    // e|a|a|o(w)|e|e -> "the"=1, "cat"=1, "sat"=1, "down"=1 (ow run),
+    // "the"=1, "end"=1 = 6 vowel runs
+    assert(d0.getAs[Long]("n_syllables") == 6L)
+    val wps = 6.0 / 2.0; val spw = 6.0 / 6.0
+    assert(d0.getAs[Double]("flesch_ease") ==
+      206.835 - 1.015 * wps - 84.6 * spw)
+    assert(d0.getAs[Double]("fk_grade") ==
+      0.39 * wps + 11.8 * spw - 15.59)
+    assert(r(1).getAs[Long]("n_sentences") == 1L)
+  }
+
   test("qualityTopDecile keeps exactly each source's top decile") {
     // 10 docs, one source, strictly increasing quality (more distinct
     // non-stop tokens → higher length factor) → ntile(10) puts one doc
