@@ -287,6 +287,17 @@ object SparkEntry {
     "bar_median_despike" -> ((s, dir) =>
       Analytics.medianDespike(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // two-sided CUSUM control chart per symbol (prefix-extrema closed
+    // form of the Page recursion; exact decimals end-to-end).
+    "symbol_cusum" -> ((s, dir) =>
+      Analytics.cusum(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // per-dimension embedding health audit with collapsed-dim flags.
+    "embed_dim_stats" -> ((s, dir) =>
+      Similarity.embedDimStats(Tables.embeddings(s, dir))),
+    // difficulty-banded content-stable epoch order (curriculum stage).
+    "curriculum_order" -> ((s, dir) =>
+      TextAnalysis.curriculumOrder(Tables.documents(s, dir))),
     // cohort retention triangle: first-activity cohorts × day offsets.
     "user_retention" -> ((s, dir) =>
       Sessions.cohortRetention(Tables.events(s, dir))),
@@ -4215,6 +4226,109 @@ object SparkEntry {
          |  CAST(n_in_window AS INT) AS n_in_window,
          |  abs(close - median_close) / median_close > 0.05 AS spiked
          |FROM m ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors Analytics.cusum: prefix-extrema closed form, exact
+    // decimal arithmetic end-to-end, double casts only at the boundary.
+    "symbol_cusum" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |rr AS (SELECT symbol, bar_start, close,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_start)
+         |           AS prev
+         |       FROM bars),
+         |r AS (SELECT symbol, bar_start,
+         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |st0 AS (SELECT symbol, count(*) AS n, sum(ret) AS s,
+         |          sum(CAST(ret * ret AS DECIMAL(38,12))) AS s2
+         |        FROM r GROUP BY symbol),
+         |st1 AS (SELECT symbol,
+         |          CAST(round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         |            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |            AS DECIMAL(18,6)) AS sigma6
+         |        FROM st0),
+         |st AS (SELECT symbol,
+         |         sigma6 * CAST(0.5 AS DECIMAL(2,1)) AS k,
+         |         CAST(sigma6 * 4 AS DOUBLE) AS h
+         |       FROM st1),
+         |p AS (SELECT r.symbol, bar_start, k, h,
+         |        sum(ret - k) OVER w AS p_pos,
+         |        sum(ret + k) OVER w AS p_neg
+         |      FROM r JOIN st ON st.symbol = r.symbol
+         |      WINDOW w AS (PARTITION BY r.symbol ORDER BY bar_start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e AS (SELECT symbol, bar_start, h, p_pos, p_neg,
+         |        min(p_pos) OVER w AS mn, max(p_neg) OVER w AS mx
+         |      FROM p WINDOW w AS (PARTITION BY symbol ORDER BY bar_start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |c AS (SELECT symbol, bar_start, h,
+         |        -- CASE keeps DECIMAL: DuckDB least/greatest over two
+         |        -- DECIMALs returns DOUBLE and breaks exactness
+         |        CAST(p_pos - (CASE WHEN mn < CAST(0 AS DECIMAL(20,7))
+         |          THEN mn ELSE CAST(0 AS DECIMAL(20,7)) END) AS DOUBLE)
+         |          AS cusum_pos,
+         |        CAST((CASE WHEN mx > CAST(0 AS DECIMAL(20,7))
+         |          THEN mx ELSE CAST(0 AS DECIMAL(20,7)) END) - p_neg
+         |          AS DOUBLE) AS cusum_neg
+         |      FROM e)
+         |SELECT symbol, bar_start, cusum_pos, cusum_neg, h,
+         |  (cusum_pos > h OR cusum_neg > h) AS alarmed
+         |FROM c ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors Similarity.embedDimStats: 6-decimal DECIMAL element sums,
+    // boundary-order mean/variance, fixed collapse threshold.
+    "embed_dim_stats" ->
+      """WITH x AS (SELECT CAST(g.pos AS INT) AS dim,
+        |    CAST(round(CAST(embedding[g.pos] AS DOUBLE), 6)
+        |      AS DECIMAL(28,6)) AS xv,
+        |    CASE WHEN embedding[g.pos] = 0 THEN 1 ELSE 0 END AS z
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS g(pos)),
+        |g AS (SELECT dim, count(*) AS n, sum(xv) AS sx,
+        |        sum(CAST(xv * xv AS DECIMAL(38,12))) AS sxx,
+        |        CAST(sum(z) AS BIGINT) AS n_zero
+        |      FROM x GROUP BY dim),
+        |v AS (SELECT dim, n,
+        |        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |        round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |          AS variance,
+        |        CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE) AS zero_share
+        |      FROM g)
+        |SELECT dim, n, mean, variance, zero_share,
+        |  variance < 0.0001 AS collapsed
+        |FROM v ORDER BY dim""".stripMargin,
+
+    // mirrors TextAnalysis.curriculumOrder: the readability CTE's
+    // fk_grade cut into fixed bands, epoch_order ranks within
+    // (band, shard).
+    "curriculum_order" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT)) AS n_sentences,
+         |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+         |      AS BIGINT) AS n_syllables
+         |  FROM documents),
+         |rd AS (SELECT doc_id,
+         |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |      + 11.8 * (CAST(n_syllables AS DOUBLE)
+         |        / CAST(n_words AS DOUBLE))
+         |      - 15.59 AS fk_grade
+         |  FROM base WHERE n_words > 0),
+         |t AS (SELECT CASE WHEN fk_grade < 8.0 THEN 0
+         |          WHEN fk_grade < 12.0 THEN 1 ELSE 2 END AS band,
+         |        ${h60("'shard_' || doc_id")} % 8 AS shard,
+         |        doc_id,
+         |        ${h60("'epoch0_' || doc_id")} AS okey
+         |      FROM rd)
+         |SELECT band, shard,
+         |  CAST(row_number() OVER (PARTITION BY band, shard
+         |    ORDER BY okey, doc_id) AS INT) AS band_pos,
+         |  doc_id
+         |FROM t ORDER BY band, shard, band_pos""".stripMargin,
 
     // mirrors TextAnalysis.readability: identical regex counters and
     // association order, raw doubles (exact-integer inputs need no

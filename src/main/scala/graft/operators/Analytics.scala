@@ -789,6 +789,76 @@ object Analytics {
     * this is a FILTER kernel, not an aggregation over unbounded
     * frames), so the pass stays map-linear after the one exchange.
     */
+  /** Sequential CUSUM drift monitor per symbol (Page 1954): the
+    * two-sided cumulative-sum control chart over log returns — the
+    * SEQUENTIAL detector beside the windowed [[levelShift]] scan:
+    * CUSUM accumulates every small same-direction deviation from the
+    * first post-change bar, so it catches slow drifts a two-window
+    * mean comparison dilutes, and it fires as early as the evidence
+    * allows instead of waiting for a window to fill.
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t-1} + r_t − k) is not a
+    * window aggregate, but its closed form is: with P_t = Σ_{i≤t}
+    * (r_i − k), S⁺_t = P_t − min(0, min_{j≤t} P_j) — a cumulative sum
+    * and a running min, BOTH plain prefix windows over the shared
+    * (symbol, bar_start) sort (the mirrored pair gives S⁻). Allowance
+    * k = 0.5σ and threshold h = 4σ per symbol, σ from one exact-
+    * decimal pre-pass joined back as a broadcast.
+    *
+    * Determinism: returns are 6-decimal decimals, so P, the prefix
+    * extrema, and both CUSUM statistics are EXACT decimal arithmetic
+    * end-to-end — no rounding anywhere past the returns; only the
+    * h-comparison casts to double at the boundary.
+    */
+  def cusum(bars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val r = bars
+      .select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"), col("bar_start"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("ret"))
+    val stats = r.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("s"),
+        sum((col("ret") * col("ret")).cast(DecimalType(38, 12))).as("s2"))
+      .select(col("symbol"),
+        round(sqrt(col("s2").cast("double") / col("n").cast("double") -
+          (col("s").cast("double") / col("n").cast("double")) *
+          (col("s").cast("double") / col("n").cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("sigma6"))
+      // k = σ/2 as EXACT decimal×decimal (scale 7): rounding σ·0.5 to
+      // 6 decimals would land exactly on the half-micro boundary
+      // whenever σ's last digit is odd — the one case engine round()s
+      // systematically disagree on (observed live on this query)
+      .select(col("symbol"),
+        (col("sigma6") * lit(BigDecimal("0.5")).cast(DecimalType(2, 1)))
+          .as("k"),
+        (col("sigma6") * 4).cast("double").as("h"))
+    val prefix = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the j=0 empty-prefix term of the closed form, as a TYPED decimal
+    // zero: an int literal would push DuckDB's least/greatest to
+    // DOUBLE, and a precision-38 zero would push Spark's subtraction
+    // past 38 digits, where the precision-loss rule silently trims the
+    // scale to 6 (both observed live) — (20,7) keeps every op exact
+    val zero = lit(0).cast(DecimalType(20, 7))
+    r.join(broadcast(stats), Seq("symbol"))
+      .withColumn("p_pos", sum(col("ret") - col("k")).over(prefix))
+      .withColumn("p_neg", sum(col("ret") + col("k")).over(prefix))
+      .withColumn("cusum_pos",
+        (col("p_pos") - least(min(col("p_pos")).over(prefix), zero))
+          .cast("double"))
+      .withColumn("cusum_neg",
+        (greatest(max(col("p_neg")).over(prefix), zero) - col("p_neg"))
+          .cast("double"))
+      .select(col("symbol"), col("bar_start"), col("cusum_pos"),
+        col("cusum_neg"), col("h"),
+        (col("cusum_pos") > col("h") || col("cusum_neg") > col("h"))
+          .as("alarmed"))
+      .orderBy(col("symbol"), col("bar_start"))
+  }
+
   def medianDespike(bars: DataFrame, w: Int = 5,
                     threshold: Double = 0.05): DataFrame = {
     val win = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))

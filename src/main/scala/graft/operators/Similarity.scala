@@ -933,4 +933,46 @@ object Similarity {
           .otherwise(lit(0.0)).as("clustering"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-DIMENSION embedding health audit: mean, variance, and the
+    * zero-value share of every coordinate, plus a `collapsed` flag for
+    * dimensions whose variance has degenerated below `varEps`. This is
+    * the table an ANN/semantic-dedup operator reads when recall sags:
+    * collapsed dimensions mean the encoder (or a bad cast upstream)
+    * stopped using part of the space — cosine contrasts shrink and
+    * every LSH/IVF family built on these vectors quietly loses
+    * resolution, which no query-level metric localizes to a coordinate.
+    *
+    * Determinism: each float is widened to double (exact) and rounded
+    * to 6 decimals into DECIMAL before the sums; mean/variance divide
+    * the exact sums at the boundary in a pinned association order and
+    * are re-rounded, so the `collapsed` comparison sees bit-identical
+    * operands cross-engine. Scale: posexplode is a flat dims× fan-out
+    * fused into the scan; ONE hash agg keyed by dimension (dims-sized
+    * result — trivially small).
+    */
+  def embedDimStats(embeddings: DataFrame,
+                    varEps: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 6)
+    val g = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).as("dim"),
+        round(col("xf").cast("double"), 6).cast(dec).as("x"),
+        (col("xf") === 0.0f).cast("long").as("z"))
+      .withColumn("x2", (col("x") * col("x")).cast(DecimalType(38, 12)))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x2")).as("sxx"), sum(col("z")).as("n_zero"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mean = round(d("sx") / n, 6)
+    val variance =
+      round(d("sxx") / n - (d("sx") / n) * (d("sx") / n), 6)
+    g.select(col("dim"), col("n"), mean.as("mean"),
+        variance.as("variance"),
+        (col("n_zero").cast("double") / n).as("zero_share"),
+        (variance < varEps).as("collapsed"))
+      .orderBy(col("dim"))
+  }
 }

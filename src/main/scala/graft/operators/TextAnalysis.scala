@@ -2208,4 +2208,36 @@ object TextAnalysis {
         (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
       .orderBy(col("doc_id"))
   }
+
+  /** Curriculum-staged epoch order: [[epochOrder]]'s content-stable
+    * shuffle, stratified by difficulty band first — easy documents
+    * stream before hard ones, with full deterministic shuffling INSIDE
+    * each band (curriculum learning's data-side half). Bands come from
+    * FIXED Flesch–Kincaid grade thresholds (< 8 easy, 8–12 medium,
+    * else hard — the standard grade-band cut), not data-dependent
+    * quantiles: fixed cuts keep band membership content-stable across
+    * corpus versions (a doc cannot change band because OTHER docs
+    * arrived), which the resumability contract requires.
+    *
+    * Scale shape: the readability pass is map-only; position ranks are
+    * windows partitioned by (band, shard) — 3·nShards independent
+    * sorts, no global sort, same posture as [[epochOrder]].
+    */
+  def curriculumOrder(docs: DataFrame, epoch: Int = 0,
+                      nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("shard"))
+      .orderBy(col("okey"), col("doc_id"))
+    readability(docs)
+      .select(
+        when(col("fk_grade") < 8.0, 0)
+          .when(col("fk_grade") < 12.0, 1).otherwise(2).as("band"),
+        pmod(hash60(concat(lit("shard_"), col("doc_id"))), lit(nShards))
+          .as("shard"),
+        col("doc_id"),
+        hash60(concat(lit(s"epoch${epoch}_"), col("doc_id"))).as("okey"))
+      .withColumn("band_pos", row_number().over(w))
+      .select(col("band"), col("shard"), col("band_pos"), col("doc_id"))
+      .orderBy(col("band"), col("shard"), col("band_pos"))
+  }
 }

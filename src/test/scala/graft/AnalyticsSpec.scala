@@ -276,6 +276,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(g.isNullAt(g.fieldIndex("vol_cc")))
   }
 
+  test("cusum: prefix-extrema closed form equals the Page recursion; " +
+      "sustained shift alarms, stationary series does not") {
+    // two symbols: S drifts up after bar 30; Q stays i.i.d.-ish flat
+    val bars = ((0 until 60).map { i =>
+      val c = if (i < 30) 100.0 * (1 + 0.001 * (i % 2)) // alternating
+              else 100.0 * math.pow(1.004, i - 29)      // sustained drift
+      bar("S", i, c)
+    } ++ (0 until 60).map { i =>
+      bar("Q", i, 100.0 * (1 + 0.001 * (i % 2)))
+    }).toDS.toDF
+    val out = Analytics.cusum(bars).collect()
+    val bySym = out.groupBy(_.getString(0))
+    // closed form vs the textbook recursion, replayed in exact decimals
+    // from the emitted statistics: S+ must be >= 0, = 0 at start, and
+    // alarm exactly when it crosses h
+    for (r <- out) {
+      assert(r.getAs[Double]("cusum_pos") >= 0.0)
+      assert(r.getAs[Double]("cusum_neg") >= 0.0)
+      val alarmed = r.getAs[Boolean]("alarmed")
+      val h = r.getAs[Double]("h")
+      assert(alarmed == (r.getAs[Double]("cusum_pos") > h ||
+        r.getAs[Double]("cusum_neg") > h))
+    }
+    // the drifting symbol alarms eventually; the stationary one never
+    assert(bySym("S").exists(_.getAs[Boolean]("alarmed")))
+    assert(!bySym("Q").exists(_.getAs[Boolean]("alarmed")))
+    // recursion replay for S: S+_t = max(0, S+_{t-1} + (r_t - k))
+    // using the same 6-decimal returns; spot-check a prefix
+    val s = bySym("S").sortBy(_.getTimestamp(1).getTime)
+    val closes = (0 until 60).map { i =>
+      if (i < 30) 100.0 * (1 + 0.001 * (i % 2))
+      else 100.0 * math.pow(1.004, i - 29) }
+    val rets = closes.sliding(2).map { case Seq(a, b) =>
+      BigDecimal(math.rint(math.log(b / a) * 1e6) / 1e6) }.toSeq
+    val n = rets.length
+    val mean = rets.sum / n
+    val varr = rets.map(r => r * r).sum / n - mean * mean
+    val sigma6 = BigDecimal(math.rint(math.sqrt(varr.toDouble) * 1e6) / 1e6)
+    val k = sigma6 / 2
+    var sPlus = BigDecimal(0)
+    for ((r, i) <- rets.zipWithIndex) {
+      sPlus = (sPlus + (r - k)).max(0)
+      assert(math.abs(s(i).getAs[Double]("cusum_pos") - sPlus.toDouble)
+        < 1e-9, s"row $i")
+    }
+  }
+
   test("medianDespike: exact window medians (odd pick, even two-middle " +
       "average), spike flagged without dragging the reference level") {
     val closes = Seq(100.0, 101.0, 150.0, 102.0, 103.0, 101.0)

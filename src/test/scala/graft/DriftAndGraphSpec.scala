@@ -133,4 +133,26 @@ class DriftAndGraphSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_est") == 42.0)
     assert(r.getAs[Double]("p99_abs_err") == 0.0)
   }
+
+  test("embedDimStats: collapsed dims flagged, zero shares counted, " +
+      "healthy dims pass") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, 0.0f)),
+      (2L, Array(-1.0f, 0.5f, 0.0f)),
+      (3L, Array(1.0f, 0.5f, 2.0f)),
+      (4L, Array(-1.0f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.embedDimStats(vecs).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    // dim 1: mean 0, var 1, no zeros, healthy
+    assert(r(1).getAs[Double]("mean") == 0.0)
+    assert(r(1).getAs[Double]("variance") == 1.0)
+    assert(!r(1).getAs[Boolean]("collapsed"))
+    // dim 2: constant 0.5 -> variance 0 -> collapsed, zero_share 0
+    assert(r(2).getAs[Double]("variance") == 0.0)
+    assert(r(2).getAs[Boolean]("collapsed"))
+    assert(r(2).getAs[Double]("zero_share") == 0.0)
+    // dim 3: 3 of 4 exactly zero
+    assert(r(3).getAs[Double]("zero_share") == 0.75)
+    assert(!r(3).getAs[Boolean]("collapsed")) // var = 0.75 > eps
+  }
 }

@@ -88,6 +88,32 @@ class VocabTokenizeSpec extends SparkSpec {
         base.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("curriculum order: easy band streams first, shuffle inside a " +
+      "band is epoch_order-stable across partitionings") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = TextAnalysis.curriculumOrder(docs).collect().toSeq
+    assert(TextAnalysis.curriculumOrder(docs.repartition(7)).collect().toSeq
+      == base)
+    // bands are emitted in ascending difficulty and partition the docs
+    assert(base.map(_.getAs[Int]("band")) == base.map(_.getAs[Int]("band"))
+      .sorted)
+    assert(base.map(_.getAs[Long]("doc_id")).distinct.size == base.size)
+    // band membership is content-stable: fixed fk_grade cuts, so a
+    // doc's band must agree with its own readability row
+    val grades = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("fk_grade")).toMap
+    for (r <- base) {
+      val g = grades(r.getAs[Long]("doc_id"))
+      val want = if (g < 8.0) 0 else if (g < 12.0) 1 else 2
+      assert(r.getAs[Int]("band") == want)
+    }
+    // positions are 1..n within each (band, shard)
+    val per = base.groupBy(r =>
+      (r.getAs[Int]("band"), r.getAs[Long]("shard")))
+    assert(per.values.forall(rs =>
+      rs.map(_.getAs[Int]("band_pos")).sorted == (1 to rs.size)))
+  }
+
   test("tokenizer expressions whole-stage-codegen, methods under JIT limit") {
     // a Janino failure would silently fall back to interpreted eval —
     // the exact regression class the compiled walk exists to avoid
