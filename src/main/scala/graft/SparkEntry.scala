@@ -1222,6 +1222,17 @@ object SparkEntry {
     // fold) + the data-derived leakage audit.
     "cv_folds" -> ((s, dir) =>
       DataQuality.cvFolds(Tables.events(s, dir))),
+    // exact two-sample KS over event values (parallel-prefix CDF form):
+    // purchase-vs-click and purchase-vs-error.
+    "ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      DataQuality.ksTest(ev, "purchase", "click")
+        .unionByName(DataQuality.ksTest(ev, "purchase", "error"))
+        .orderBy(col("type_b"))
+    }),
+    // token-mass Gini per language: corpus concentration audit.
+    "corpus_gini" -> ((s, dir) =>
+      TextAnalysis.corpusGini(Tables.documents(s, dir))),
     "dq_audit" -> ((s, dir) =>
       DataQuality.audit(
         Map(
@@ -5546,6 +5557,54 @@ object SparkEntry {
         |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) AS mad,
         |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) <= 0.015 AS conforms
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors DataQuality.ksTest twice: the oracle uses the simple
+    // single-window pooled-CDF form; the engine's bucketed parallel-
+    // prefix form must produce identical cumulative counts.
+    "ks_drift" -> Seq("click", "error").map { other =>
+      s"""(WITH v AS (SELECT value,
+         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+         |      FROM events WHERE event_type IN ('purchase', '$other')),
+         |d AS (SELECT value, CAST(sum(a) AS BIGINT) AS ca,
+         |        CAST(count(*) - sum(a) AS BIGINT) AS cb
+         |      FROM v GROUP BY value),
+         |c AS (SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+         |      FROM d WINDOW w AS (ORDER BY value
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |        CAST(sum(cb) AS BIGINT) AS nb FROM d)
+         |SELECT 'purchase' AS type_a, '$other' AS type_b,
+         |  na AS n_a, nb AS n_b,
+         |  (SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+         |     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) FROM c)
+         |     AS ks_stat,
+         |  1.358 * sqrt(CAST(na + nb AS DOUBLE)
+         |    / CAST(na * nb AS DOUBLE)) AS ks_crit,
+         |  (SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+         |     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) FROM c)
+         |   > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+         |     / CAST(na * nb AS DOUBLE)) AS rejected
+         |FROM t)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY type_b"),
+
+    // mirrors TextAnalysis.corpusGini: ascending-token-count ranks with
+    // doc_id tie-break, exact integer sums, pinned boundary arithmetic.
+    "corpus_gini" ->
+      """WITH x AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT lang, n_tok,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_tok, doc_id) AS BIGINT) AS i
+        |  FROM x),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(i * n_tok) AS BIGINT) AS swx
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens,
+        |  2.0 * CAST(swx AS DOUBLE) / CAST(n_docs * n_tokens AS DOUBLE)
+        |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
+        |FROM g ORDER BY lang""".stripMargin,
 
     // mirrors DataQuality.cvFolds: salted grouped fold hash, exact
     // integer share quotient, leak count over per-user fold spans.

@@ -385,6 +385,74 @@ object DataQuality {
     * countDistinct already pays); the 1-row leak count rides the plan
     * as a broadcast cross join — nothing collected.
     */
+  /** Exact two-sample Kolmogorov–Smirnov test between the `value`
+    * distributions of two event types — the bin-free companion of
+    * [[psiDrift]]: PSI sees what a fixed grid sees; KS finds the
+    * supremum CDF gap at ANY observed point, so shape changes inside
+    * one PSI bin still register. Emits D, both sample sizes, the
+    * α=0.05 asymptotic critical value c·√((n₁+n₂)/(n₁n₂)) with
+    * c = 1.358, and the rejection flag.
+    *
+    * Scale shape — the textbook "sort and scan the pooled sample" is a
+    * single-partition cumulative window; this is the PARALLEL-PREFIX
+    * form instead: (1) one hash agg to per-distinct-value counts,
+    * (2) fixed-width value buckets from a 1-row min/max broadcast,
+    * (3) per-bucket totals cumulated on the BUCKET table (tiny — one
+    * window over nBuckets rows), (4) within-bucket cumulative windows
+    * partitioned by bucket, offset by the broadcast bucket prefix.
+    * Every fact-sized pass is hash-partitioned; the only ordered scan
+    * is bucket-count-sized. The CDF quotients are exact-integer
+    * divisions (bit-identical cross-engine), and max is
+    * order-independent, so D needs no rounding.
+    */
+  def ksTest(events: DataFrame, typeA: String, typeB: String,
+             nBuckets: Int = 256): DataFrame = {
+    val v = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("value"),
+        (col("event_type") === typeA).cast("long").as("a"))
+    val d = v.groupBy(col("value"))
+      .agg(sum(col("a")).as("ca"),
+        (count(lit(1)) - sum(col("a"))).as("cb"))
+    val rng = d.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bucketed = d.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1),
+          floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / nBuckets + lit(1e-300))))
+          .cast("int"))
+    val bucketTotals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+    val bucketPrefix = bucketTotals
+      .withColumn("off_a",
+        coalesce(sum(col("ba")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("off_b",
+        coalesce(sum(col("bb")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bucket"), col("off_a"), col("off_b"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("value"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = bucketed.join(broadcast(bucketPrefix), Seq("bucket"))
+      .withColumn("cum_a", col("off_a") + sum(col("ca")).over(wIn))
+      .withColumn("cum_b", col("off_b") + sum(col("cb")).over(wIn))
+    val tot = d.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select((abs(col("cum_a").cast("double") / col("na").cast("double") -
+        col("cum_b").cast("double") / col("nb").cast("double")))
+        .as("gap"), col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("gap")).as("ks_stat"))
+      .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("ks_stat"),
+        (lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+          (col("na") * col("nb")).cast("double"))).as("ks_crit"))
+      .withColumn("rejected", col("ks_stat") > col("ks_crit"))
+  }
+
   def cvFolds(events: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.hash60
     val tagged = events.select(

@@ -2209,6 +2209,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gini concentration of token mass per language — the inequality
+    * audit behind corpus-balance decisions: a language whose token
+    * mass concentrates in a few giant documents is fragile (one
+    * takedown moves the mixture; dedup caps bite harder), even when
+    * its DOC count looks healthy in [[splitAudit]]/`corpus_balance`.
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending token counts
+    * (ties broken by doc_id — total order, engine-stable).
+    *
+    * Scale shape: one map-only token count, one rank window
+    * partitioned by language (parallelism = |langs|, the same
+    * few-partition caveat as the per-symbol families — slice by
+    * (lang, shard) with per-shard Σ folding if a single language
+    * dominates), one hash agg. All sums are exact integers; the two
+    * G terms divide once at the boundary in a pinned order.
+    */
+  def corpusGini(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"),
+        size(tokensCol(col("text"))).cast("long").as("n_tok"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("i") * col("n_tok")).as("swx"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (lit(2.0) * col("swx").cast("double") /
+          (col("n_docs") * col("n_tokens")).cast("double") -
+          (col("n_docs") + 1).cast("double") / col("n_docs").cast("double"))
+          .as("gini"))
+      .orderBy(col("lang"))
+  }
+
   /** Curriculum-staged epoch order: [[epochOrder]]'s content-stable
     * shuffle, stratified by difficulty band first — easy documents
     * stream before hard ones, with full deterministic shuffling INSIDE

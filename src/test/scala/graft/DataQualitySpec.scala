@@ -162,6 +162,37 @@ class DataQualitySpec extends SparkSpec {
       !never.getAs[Boolean]("anomalous"))
   }
 
+  test("ksTest: hand-computed D, A/A does not reject, a shifted " +
+      "sample does; bucketed prefix equals the textbook scan") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: D = 1/2 at value 2 (F_A=0.5, F_B=0)
+    val ab = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("b", _)))
+      .toDF("event_type", "value")
+    val r = DataQuality.ksTest(ab, "a", "b").collect().head
+    assert(r.getAs[Double]("ks_stat") == 0.5)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    // A/A: two salted halves of one distribution — D stays under crit
+    val big = (1 to 2000).map(i =>
+      (if (i % 2 == 0) "x" else "y", (i % 97).toDouble + i * 1e-4))
+      .toDF("event_type", "value")
+    val aa = DataQuality.ksTest(big, "x", "y").collect().head
+    assert(!aa.getAs[Boolean]("rejected"))
+    // location shift: same shape, +50 offset — reject
+    val shifted = ((1 to 1000).map(i => ("x", (i % 97).toDouble)) ++
+      (1 to 1000).map(i => ("y", (i % 97).toDouble + 50.0)))
+      .toDF("event_type", "value")
+    assert(DataQuality.ksTest(shifted, "x", "y")
+      .collect().head.getAs[Boolean]("rejected"))
+    // bucketed parallel-prefix == textbook single-scan D, and the
+    // bucket count cannot change the answer (internal detail only)
+    val d1 = DataQuality.ksTest(big, "x", "y", nBuckets = 1)
+      .collect().head.getAs[Double]("ks_stat")
+    val d7 = DataQuality.ksTest(big, "x", "y", nBuckets = 7)
+      .collect().head.getAs[Double]("ks_stat")
+    assert(d1 == aa.getAs[Double]("ks_stat") &&
+      d7 == aa.getAs[Double]("ks_stat"))
+  }
+
   test("cvFolds: grouped assignment, zero leakage, shares sum to 1, " +
       "content-stable under repartitioning") {
     val events = (1L to 200L).flatMap(u =>

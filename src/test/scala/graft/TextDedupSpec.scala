@@ -541,6 +541,27 @@ class TextDedupSpec extends SparkSpec {
       drift("history").getAs[Double]("avg_logprob"))
   }
 
+  test("corpusGini: uniform mass scores ~0, full concentration " +
+      "approaches 1, hand-computed middle case") {
+    def doc(id: Long, lang: String, nTok: Int) =
+      (id, (1 to nTok).map(i => s"w$i").mkString(" "), lang)
+    val docs = (
+      (1L to 4L).map(doc(_, "eq", 10)) ++            // all equal -> G=0
+      (Seq(doc(10L, "cc", 1), doc(11L, "cc", 1),
+        doc(12L, "cc", 1), doc(13L, "cc", 97)) ++    // one whale
+      Seq(doc(20L, "mid", 1), doc(21L, "mid", 2),
+        doc(22L, "mid", 3)))                          // G = 2*... hand
+      ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusGini(docs).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("gini")).toMap
+    assert(r("eq") == 0.0)
+    // whale: x=(1,1,1,97) asc, swx=1+2+3+388=394, n=4, S=100
+    // G = 2*394/400 - 5/4 = 1.97 - 1.25 = 0.72
+    assert(math.abs(r("cc") - 0.72) < 1e-12)
+    // mid: x=(1,2,3), swx=1+4+9=14, G = 28/18 - 4/3 = 2/9
+    assert(math.abs(r("mid") - 2.0 / 9.0) < 1e-12)
+  }
+
   test("readability: heuristic counters and fixed-coefficient scores") {
     val docs = Seq(
       // 6 words, 2 sentences, syllable groups counted as vowel runs
