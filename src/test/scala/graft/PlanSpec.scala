@@ -408,7 +408,14 @@ class PlanSpec extends SparkSpec {
       // 1-row bits_set / n_hist cross joins onto the probe aggregate
       "sketch_bloom",
       // 1-row n_total cross join onto the d·w-cell sketch audit
-      "sketch_cms_topk", "sketch_cms_merge")
+      "sketch_cms_topk", "sketch_cms_merge",
+      // 1-row LM-model cross joins, same as lm_score
+      "lm_score_incremental", "lm_retire", "lm_ppl_drift",
+      // 1-row min/max bounds + 1-row totals cross joins; the bucket
+      // prefix table is broadcast (nBuckets rows, parameter-bounded)
+      "ks_drift",
+      // 1-row leak-count and 1-row total cross joins
+      "cv_folds")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
