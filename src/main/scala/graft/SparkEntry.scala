@@ -603,6 +603,10 @@ object SparkEntry {
     // BM25 lexical retrieval: top-k docs for a fixed query-term set.
     "bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir))),
+    // pseudo-relevance feedback: seed top-10 docs donate integer-ranked
+    // expansion terms, corpus re-ranked with the expanded query.
+    "bm25_prf" -> ((s, dir) =>
+      TextAnalysis.bm25Prf(Tables.documents(s, dir))),
     // hybrid retrieval: reciprocal-rank fusion of the query-by-document
     // BM25 leg and the exact dense leg (vec_id ≡ doc_id) — ranks only,
     // no cross-leg score calibration.
@@ -3859,6 +3863,57 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
          |FROM f QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors TextAnalysis.bm25Prf: seed pass LIMIT 10 (same double
+    // ordering), integer-ranked corpus-rare expansion terms, expanded
+    // rescore. Scoring expression identical to bm25_topk's.
+    "bm25_prf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corpus AS (SELECT count(*) AS n, sum(len(toks)) AS tot_len FROM t),
+        |tf1 AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+        |        FROM t, unnest(toks) AS u(t)
+        |        WHERE u.t IN ('spark', 'window', 'agg')
+        |        GROUP BY doc_id, len(toks), u.t),
+        |dfq1 AS (SELECT t, count(*) AS doc_freq FROM tf1 GROUP BY t),
+        |sc1 AS (SELECT tf1.doc_id,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf1 JOIN dfq1 USING (t), corpus),
+        |fb AS (SELECT doc_id FROM sc1 GROUP BY doc_id
+        |       ORDER BY CAST(sum(s6) AS DOUBLE) / 1000000.0 DESC, doc_id
+        |       LIMIT 10),
+        |dfall AS (SELECT u.t AS t, count(DISTINCT doc_id) AS doc_freq
+        |          FROM t, unnest(toks) AS u(t) GROUP BY u.t),
+        |cand AS (SELECT u.t AS t, count(*) AS cnt
+        |         FROM t JOIN fb USING (doc_id), unnest(toks) AS u(t)
+        |         WHERE u.t NOT IN ('spark', 'window', 'agg')
+        |         GROUP BY u.t),
+        |exp AS (SELECT cand.t FROM cand JOIN dfall USING (t), corpus
+        |        WHERE dfall.doc_freq * 10 <= n
+        |        ORDER BY cnt DESC, dfall.doc_freq, cand.t LIMIT 5),
+        |q AS (SELECT t FROM exp
+        |      UNION SELECT unnest(['spark', 'window', 'agg'])),
+        |tf2 AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+        |        FROM t, unnest(toks) AS u(t)
+        |        WHERE u.t IN (SELECT t FROM q)
+        |        GROUP BY doc_id, len(toks), u.t),
+        |dfq2 AS (SELECT t, count(*) AS doc_freq FROM tf2 GROUP BY t),
+        |sc2 AS (SELECT tf2.doc_id,
+        |         CAST(round(ln((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+        |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+        |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+        |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+        |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(n AS DOUBLE))))
+        |           * 1000000.0, 0) AS BIGINT) AS s6
+        |       FROM tf2 JOIN dfq2 USING (t), corpus)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms,
+        |  CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM sc2 GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "bm25_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -326,6 +326,60 @@ object TextAnalysis {
     bm25Score(tf, corpus, k, k1, b)
   }
 
+  /** BM25 with pseudo-relevance feedback (the RM3 idea, integer-exact):
+    * run the seed query, treat its top `fbDocs` documents as relevant,
+    * harvest the `fbTerms` best expansion terms from them, and re-rank
+    * the corpus with the expanded query. Expansion candidates must be
+    * corpus-rare (`doc_freq ≤ N/10` — the stopword gate) and rank by
+    * the ALL-INTEGER key (feedback count desc, corpus doc-freq asc,
+    * term) rather than a floating tf·idf product: two near-equal
+    * double weights could order differently across engines' `ln`
+    * libms, and the expansion CHOICE discretely changes every
+    * downstream score — exactly the amplification a deterministic
+    * engine cannot tolerate.
+    *
+    * Scale shape: the seed pass is [[bm25TopK]] (query-term-filtered
+    * postings); the harvest explodes ONLY the fbDocs feedback docs
+    * (semi join on the top-k ids, broadcast); the corpus df table is
+    * one vocabulary-scale agg (the [[lmScore]] cost class); the final
+    * pass filters postings by a broadcast ≤(|Q|+fbTerms)-row term
+    * table before the shuffle — both passes stay proportional to
+    * query-term postings, never the corpus.
+    */
+  def bm25Prf(docs: DataFrame,
+              queryTerms: Seq[String] = Seq("spark", "window", "agg"),
+              fbDocs: Int = 10, fbTerms: Int = 5, k: Int = 20,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val fbIds = bm25TopK(docs, queryTerms, fbDocs, k1, b)
+      .select(col("doc_id"))
+    val corpusN = docs.agg(count(lit(1)).as("nn"))
+    val dfTable = docs.select(col("doc_id"), explode(toks).as("t"))
+      .distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("doc_freq"))
+    val expansion = docs.join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+      .select(explode(toks).as("t"))
+      .filter(!col("t").isin(queryTerms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .join(dfTable, Seq("t"))
+      .crossJoin(broadcast(corpusN))
+      .filter(col("doc_freq") * 10 <= col("nn"))
+      .orderBy(col("cnt").desc, col("doc_freq"), col("t"))
+      .limit(fbTerms)
+      .select(col("t"))
+    val allTerms = expansion.unionByName(
+      docs.sparkSession.createDataset(queryTerms)(
+        org.apache.spark.sql.Encoders.STRING).toDF("t")).distinct()
+    val corpus = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("tot_len"))
+    val tf = docs.select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("t"))
+      .join(broadcast(allTerms), Seq("t"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, corpus, k, k1, b)
+  }
+
   /** The shared BM25 scoring tail: `tf` is one row per (doc_id, dl, t,
     * tf) posting restricted to the query terms; `corpus` is the 1-row
     * (n, tot_len) aggregate. Identical expression tree whether the

@@ -415,7 +415,10 @@ class PlanSpec extends SparkSpec {
       // prefix table is broadcast (nBuckets rows, parameter-bounded)
       "ks_drift",
       // 1-row leak-count and 1-row total cross joins
-      "cv_folds")
+      "cv_folds",
+      // two scoring passes' 1-row corpus-stats cross joins, same as
+      // bm25_topk (the expansion term table itself is broadcast-hash)
+      "bm25_prf")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -541,6 +541,49 @@ class TextDedupSpec extends SparkSpec {
       drift("history").getAs[Double]("avg_logprob"))
   }
 
+  test("bm25Prf: feedback docs donate rare terms, expanded ranking " +
+      "surfaces docs the seed query cannot see; stopword gate holds") {
+    // seed query hits docs 1-2; those docs also contain the rare term
+    // "needle", which doc 5 (no seed terms at all) is rich in.
+    // "common" appears everywhere -> df gate must exclude it.
+    val docs = Seq(
+      (1L, "spark window agg needle common one two three"),
+      (2L, "spark window needle common four five six seven"),
+      (3L, "common eight nine ten eleven twelve thirteen x"),
+      (4L, "common fourteen fifteen sixteen seventeen y z w"),
+      (5L, "needle needle needle common a b c d"),
+      (6L, "common e f g h i j kk"),
+      (7L, "common l m nn o p q r"),
+      (8L, "common s tt u v ww xx yy"),
+      (9L, "common z1 z2 z3 z4 z5 z6 z7"),
+      (10L, "common z8 z9 za zb zc zd ze"),
+      (11L, "common zf zg zh zi zj zk zl")
+    ).toDF("doc_id", "text")
+    val prf = TextAnalysis.bm25Prf(docs, fbDocs = 2, fbTerms = 2, k = 5)
+      .collect()
+    val plain = TextAnalysis.bm25TopK(docs, k = 5).collect()
+    // doc 5 has zero seed terms -> invisible to the plain query...
+    assert(!plain.map(_.getLong(0)).contains(5L))
+    // ...and "needle" (df 3) fails the df gate here (3·10 > 11), so
+    // only the feedback docs' singleton terms (df 1) expand — doc 5
+    // STAYS invisible, while a feedback doc gets boosted by its own
+    // donated terms ("common", df 11, must never expand)
+    assert(!prf.map(_.getLong(0)).contains(5L))
+    assert(prf.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L)))
+    // widen the corpus so needle's df clears the gate: 30 filler docs
+    val wide = docs.unionByName((12L to 41L).map(i =>
+      (i, s"common filler$i fa$i fb$i fc$i fd$i fe$i ff$i"))
+      .toDF("doc_id", "text"))
+    val prf2 = TextAnalysis.bm25Prf(wide, fbDocs = 2, fbTerms = 2, k = 5)
+      .collect()
+    // now needle (df 3, 30 <= 41) expands the query and doc 5 surfaces
+    assert(prf2.map(_.getLong(0)).contains(5L))
+    // determinism across partitionings
+    val re = TextAnalysis.bm25Prf(wide.repartition(7),
+      fbDocs = 2, fbTerms = 2, k = 5).collect()
+    assert(re.map(_.toSeq).toSeq == prf2.map(_.toSeq).toSeq)
+  }
+
   test("corpusGini: uniform mass scores ~0, full concentration " +
       "approaches 1, hand-computed middle case") {
     def doc(id: Long, lang: String, nTok: Int) =
