@@ -1263,6 +1263,10 @@ object SparkEntry {
     // layouts — the data-layout lever behind OPTIMIZE ZORDER.
     "layout_zorder" -> ((s, dir) =>
       Layout.skippingAudit(Tables.events(s, dir))),
+    // footer-stats aggregate pushdown: count/min/max answered from
+    // parquet metadata, no data pages decoded (plan-pinned).
+    "scan_pushdown_audit" -> ((s, dir) =>
+      Layout.scanPushdownStats(s, dir)),
     // stream-stream interval join oracle-gated end to end: real file
     // streams both sides, multi-micro-batch drain with cross-batch buy
     // state, sink read back and aggregated to the interval_buy_sells
@@ -5854,6 +5858,14 @@ object SparkEntry {
     // mirrors Layout.skippingAudit (64 files, 16 probes, 8-bit buckets):
     // identical integer/floor arithmetic, the same ntile file cuts, the
     // same stats-overlap probe join.
+    // mirrors Layout.scanPushdownStats — the oracle computes the same
+    // stats the long way; the engine must answer from parquet footers.
+    "scan_pushdown_audit" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  min(l_quantity) AS min_quantity, max(l_quantity) AS max_quantity
+        |FROM lineitem""".stripMargin,
+
     "layout_zorder" ->
       s"""WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
          |    CAST(floor(value * 100) AS BIGINT) AS vcents FROM events),

@@ -126,4 +126,31 @@ object Layout {
         col("rows_scanned"), col("rows_total"))
       .orderBy(col("layout"))
   }
+
+  /** Footer-statistics aggregate pushdown: COUNT/MIN/MAX answered from
+    * parquet metadata without decoding a single data page — at 100 TB
+    * the difference between a sub-second catalog probe ("how many rows
+    * landed yesterday, what key range") and a full-table scan. Needs
+    * the DSv2 parquet reader (`useV1SourceList` minus parquet) plus
+    * `parquet.aggregatePushdown`; both are set on an ISOLATED
+    * `newSession` (shared SparkContext, private conf) so the rest of
+    * the engine keeps its planner behavior byte-identical. The
+    * pushdown is exact — footer stats are written from the data — and
+    * PlanSpec pins `PushedAggregation` in the scan so a silent
+    * fallback to a real scan is a test failure, not a perf mystery.
+    */
+  def scanPushdownStats(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList",
+      s2.conf.get("spark.sql.sources.useV1SourceList", "")
+        .split(",").filterNot(_.trim == "parquet").mkString(","))
+    s2.read.parquet(s"$dir/lineitem.parquet")
+      .agg(expr("count(*)").as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_quantity")).as("min_quantity"),
+        max(col("l_quantity")).as("max_quantity"))
+  }
 }

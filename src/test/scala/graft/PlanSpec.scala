@@ -60,6 +60,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("scan_pushdown_audit answers from parquet footer statistics") {
+    // a silent fallback to a data-page scan would still return correct
+    // rows — only the plan shows whether the pushdown actually engaged
+    val p = plan("scan_pushdown_audit")
+    assert(p.contains("PushedAggregation"))
+    assert(p.contains("COUNT(*)") && p.contains("MAX(l_quantity)"))
+  }
+
   test("kmv sketches: the k-min rank cut plans as WindowGroupLimit") {
     // each map task keeps its local k smallest before the shuffle —
     // the property that bounds the sketch shuffle at O(groups·k)
