@@ -951,6 +951,92 @@ object Similarity {
     * fused into the scan; ONE hash agg keyed by dimension (dims-sized
     * result — trivially small).
     */
+  /** Dominant principal component of the embedding cloud by FIXED-K
+    * power iteration, entirely in-plan — the anisotropy probe beside
+    * [[embedDimStats]]: sentence-embedding spaces are notoriously
+    * dominated by one direction (Mu & Viswanath 2018, "All-but-the-
+    * Top"), and a rising `explained_share` is the drift signal that
+    * cosine contrasts are collapsing into it. Emits the 64 loadings
+    * plus the eigenvalue and its share of total variance.
+    *
+    * The iteration count is a FIXED constant, not a convergence test:
+    * after exactly K steps the result is a well-defined function of
+    * the data, so the DuckDB oracle mirrors it as K unrolled CTE
+    * stages and hash-matches — determinism without requiring
+    * convergence (loadings after K steps ARE the contract; K=6 is
+    * plenty at 64 dims for the drift use).
+    *
+    * Numerics: everything runs in the exploded (vec_id, pos, x) space;
+    * every per-vector score and per-dimension accumulation is an exact
+    * DECIMAL sum re-rounded to 6 decimals (64 doubles summed per group
+    * would be partial-order-dependent); the norm's Σw² stays decimal
+    * (scale 12) until one sqrt at the boundary. v₀ = 1/8 exactly (a
+    * unit vector at 64 dims with an exact binary representation).
+    *
+    * Scale shape: each iteration is one (vec_id)-keyed agg (scores)
+    * and one (pos)-keyed agg (new direction) — 2K shuffles of
+    * vector-count- and dims-sized rows; the direction table (64 rows)
+    * broadcasts into every join. Nothing is collected; the whole
+    * K-step recurrence is one Catalyst plan.
+    */
+  def embedPcaPower(embeddings: DataFrame, iters: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(18, 6)
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"),
+        round(col("xf").cast("double"), 6).cast(d6).as("xr"))
+    val mu = x.groupBy(col("pos"))
+      .agg(round(sum(col("xr")).cast("double") /
+        count(lit(1)).cast("double"), 6).cast(d6).as("mur"))
+    val xc = x.join(broadcast(mu), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("xr") - col("mur")).as("xc"))
+    val v0 = mu.select(col("pos"),
+      lit(BigDecimal("0.125")).cast(d6).as("v"))
+    val vK = (1 to iters).foldLeft(v0) { (v, _) =>
+      val s = xc.join(broadcast(v), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum((col("xc") * col("v"))
+          .cast(DecimalType(38, 12))).cast("double"), 6)
+          .cast(d6).as("s6"))
+      val w = xc.join(broadcast(s), Seq("vec_id"))
+        .groupBy(col("pos"))
+        .agg(round(sum((col("s6") * col("xc"))
+          .cast(DecimalType(38, 12))).cast("double"), 6)
+          // (18,6): w6*w6 must stay within precision 38, or Spark's
+          // precision-loss rule silently trims the square's scale
+          .cast(DecimalType(18, 6)).as("w6"))
+      val nrm = w.agg(
+        sqrt(sum((col("w6") * col("w6")).cast(DecimalType(38, 12)))
+          .cast("double")).as("nrm"))
+      w.crossJoin(broadcast(nrm))
+        .select(col("pos"),
+          when(col("nrm") > 0,
+            round(col("w6").cast("double") / col("nrm"), 6))
+            .otherwise(0.0).cast(d6).as("v"))
+    }
+    val sc = xc.join(broadcast(vK), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum((col("xc") * col("v")).cast(DecimalType(38, 12)))
+        .cast("double"), 6).cast(d6).as("s6"))
+    val n1 = embeddings.agg(count(lit(1)).as("nv"))
+    val lam = sc.crossJoin(broadcast(n1))
+      .agg((sum((col("s6") * col("s6")).cast(DecimalType(38, 12)))
+        .cast("double") / max(col("nv")).cast("double")).as("eigenvalue"))
+    // narrow before squaring: (19,6)x(19,6) would need precision 39
+    // and trip the same precision-loss trim (observed live)
+    val xcn = col("xc").cast(DecimalType(12, 6))
+    val tot = xc.crossJoin(broadcast(n1))
+      .agg((sum((xcn * xcn).cast(DecimalType(38, 12)))
+        .cast("double") / max(col("nv")).cast("double")).as("total_var"))
+    vK.crossJoin(broadcast(lam)).crossJoin(broadcast(tot))
+      .select((col("pos") + 1).as("dim"),
+        col("v").cast("double").as("loading"),
+        col("eigenvalue"),
+        (col("eigenvalue") / col("total_var")).as("explained_share"))
+      .orderBy(col("dim"))
+  }
+
   def embedDimStats(embeddings: DataFrame,
                     varEps: Double = 1e-4): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

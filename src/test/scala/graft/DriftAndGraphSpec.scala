@@ -134,6 +134,31 @@ class DriftAndGraphSpec extends SparkSpec {
     assert(r.getAs[Double]("p99_abs_err") == 0.0)
   }
 
+  test("embedPcaPower: planted dominant direction recovered, loadings " +
+      "unit-norm, share reflects concentration, partitioning-stable") {
+    // 40 vectors in 8 dims: big variance along dim 3 (index 2),
+    // small noise on dim 6 (index 5)
+    val vecs = (0 until 40).map { i =>
+      val a = Array.fill(8)(0.0f)
+      a(2) = (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + (i % 5))
+      a(5) = (if (i % 3 == 0) 0.1f else -0.1f)
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.embedPcaPower(vecs).collect()
+    val byDim = r.map(x => x.getInt(0) -> x.getAs[Double]("loading")).toMap
+    // dominant loading on dim 3 (1-based), near +-1
+    assert(math.abs(byDim(3)) > 0.99)
+    assert(byDim.filterNot(_._1 == 3).values.forall(v => math.abs(v) < 0.1))
+    // unit norm (up to per-component 6-decimal rounding)
+    val norm = math.sqrt(byDim.values.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    // nearly all variance is the planted direction
+    assert(r.head.getAs[Double]("explained_share") > 0.95)
+    // fixed-K recurrence is a pure function of the data
+    val re = Similarity.embedPcaPower(vecs.repartition(7)).collect()
+    assert(re.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+  }
+
   test("embedDimStats: collapsed dims flagged, zero shares counted, " +
       "healthy dims pass") {
     val vecs = Seq(

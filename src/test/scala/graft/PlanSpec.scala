@@ -426,7 +426,10 @@ class PlanSpec extends SparkSpec {
       "cv_folds",
       // two scoring passes' 1-row corpus-stats cross joins, same as
       // bm25_topk (the expansion term table itself is broadcast-hash)
-      "bm25_prf")
+      "bm25_prf",
+      // per-iteration 1-row norm cross joins + the 1-row eigen/total
+      // stats; the direction tables themselves are broadcast-hash
+      "embed_pca_power")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
