@@ -292,6 +292,14 @@ object SparkEntry {
     "symbol_cusum" -> ((s, dir) =>
       Analytics.cusum(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // Donchian channel: trailing-20 extrema (current bar excluded) with
+    // breakout flags.
+    "bar_donchian" -> ((s, dir) =>
+      Analytics.donchian(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // PMI-ranked collocations over adjacent token pairs (min count 5).
+    "token_pmi" -> ((s, dir) =>
+      TextAnalysis.tokenPmi(Tables.documents(s, dir))),
     // per-dimension embedding health audit with collapsed-dim flags.
     "embed_dim_stats" -> ((s, dir) =>
       Similarity.embedDimStats(Tables.embeddings(s, dir))),
@@ -4305,6 +4313,42 @@ object SparkEntry {
          |  CAST(n_in_window AS INT) AS n_in_window,
          |  abs(close - median_close) / median_close > 0.05 AS spiked
          |FROM m ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors Analytics.donchian: trailing-w extrema over stored
+    // doubles (no arithmetic -> no rounding), full windows only.
+    "bar_donchian" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |d AS (SELECT symbol, bar_start, close,
+         |        count(*) OVER w AS n_win,
+         |        max(high) OVER w AS ch_high,
+         |        min(low) OVER w AS ch_low
+         |      FROM bars WINDOW w AS (PARTITION BY symbol
+         |        ORDER BY bar_start ROWS BETWEEN 20 PRECEDING
+         |        AND 1 PRECEDING))
+         |SELECT symbol, bar_start, close, ch_high, ch_low,
+         |  close > ch_high AS breakout_up,
+         |  close < ch_low AS breakout_down
+         |FROM d WHERE n_win = 20 ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors TextAnalysis.tokenPmi: exact counts, one ln rounded to 6
+    // BEFORE the ordering so libm ulps cannot reorder the top-k.
+    "token_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |pr AS (SELECT toks[g.i] AS t1, toks[g.i + 1] AS t2, count(*) AS n_pair
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |       GROUP BY toks[g.i], toks[g.i + 1]),
+        |uni AS (SELECT u.t AS t, count(*) AS c
+        |        FROM t, unnest(toks) AS u(t) GROUP BY u.t),
+        |tot AS (SELECT sum(c) AS n FROM uni)
+        |SELECT pr.t1, pr.t2, pr.n_pair,
+        |  round(ln((CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE))
+        |    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+        |FROM pr
+        |JOIN uni a ON a.t = pr.t1
+        |JOIN uni b ON b.t = pr.t2, tot
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin,
 
     // mirrors Analytics.cusum: prefix-extrema closed form, exact
     // decimal arithmetic end-to-end, double casts only at the boundary.

@@ -774,6 +774,30 @@ object Analytics {
       .orderBy(col("symbol"))
   }
 
+  /** Donchian channel per symbol: rolling `w`-bar high/low extrema
+    * (EXCLUDING the current bar — else a new extreme can never break
+    * its own channel) and the breakout flags, completing the indicator
+    * family beside Bollinger/RSI/EWMA ([[indicators]]). Extrema of
+    * stored doubles are exact (no arithmetic, no rounding needed);
+    * only full windows emit. Shares the one (symbol, bar_start) sort
+    * every per-symbol family rides.
+    */
+  def donchian(bars: DataFrame, w: Int = 20): DataFrame = {
+    val win = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+      .rowsBetween(-w, -1)
+    bars.select(col("symbol"), col("bar_start"), col("high"), col("low"),
+        col("close"))
+      .withColumn("n_win", count(lit(1)).over(win))
+      .withColumn("ch_high", max(col("high")).over(win))
+      .withColumn("ch_low", min(col("low")).over(win))
+      .where(col("n_win") === w)
+      .select(col("symbol"), col("bar_start"), col("close"),
+        col("ch_high"), col("ch_low"),
+        (col("close") > col("ch_high")).as("breakout_up"),
+        (col("close") < col("ch_low")).as("breakout_down"))
+      .orderBy(col("symbol"), col("bar_start"))
+  }
+
   /** Rolling-median despike filter per symbol: the EXACT median of the
     * trailing `w` closes (sorted small-array pick, average of the two
     * middles on even counts — deterministic double arithmetic, no

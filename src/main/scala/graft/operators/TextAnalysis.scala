@@ -2263,6 +2263,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PMI-ranked collocations: adjacent token pairs scored by pointwise
+    * mutual information ln(N·c(ab) / (c(a)·c(b))) — the classic
+    * corpus-linguistics upgrade of [[topBigrams]]: raw bigram counts
+    * surface stopword pairs; PMI surfaces pairs that co-occur far more
+    * than their parts predict (named entities, fixed phrases — the
+    * units a tokenizer owner considers for vocabulary merges, which is
+    * why this sits beside [[bpeLearn]]). `minCount` floors the bigram
+    * count so PMI's low-frequency bias can't rank hapax pairs first.
+    *
+    * Determinism: all counts are exact integers; the single ln sees
+    * bit-identical operands and its result is 6-decimal rounded BEFORE
+    * the ordering, so a one-ulp libm difference cannot reorder the
+    * top-k (ties break on the pair). Map-only pair generation (an
+    * in-row zip_with, no positional explode join), two
+    * vocabulary-scale aggs, TakeOrderedAndProject.
+    */
+  def tokenPmi(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val pairCol = filter(
+      zip_with(toks,
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      p => p.getField("b").isNotNull)
+    val pairs = docs.select(explode(pairCol).as("p"))
+      .groupBy(col("p.a").as("t1"), col("p.b").as("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    pairs.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("t").as("t1"), col("c").as("c1")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("c").as("c2")), Seq("t2"))
+      .crossJoin(broadcast(total))
+      .select(col("t1"), col("t2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("n").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   /** Gini concentration of token mass per language — the inequality
     * audit behind corpus-balance decisions: a language whose token
     * mass concentrates in a few giant documents is fragile (one

@@ -276,6 +276,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(g.isNullAt(g.fieldIndex("vol_cc")))
   }
 
+  test("donchian: trailing extrema exclude the current bar so a new " +
+      "extreme can break out; warm-up rows dropped") {
+    def ohlc(minute: Int, h: Double, l: Double, c: Double): Bar = {
+      val start = ts(f"2024-01-01 10:$minute%02d:00")
+      Bar("D", start, new Timestamp(start.getTime + 60000),
+        c, h, l, c, 1.0, c, 1L, Date.valueOf("2024-01-01"))
+    }
+    // 5-bar channel: 5 warm-ups at high=110/low=90, then a close above
+    // the prior channel high
+    val bars = ((0 until 5).map(i => ohlc(i, 110.0, 90.0, 100.0)) :+
+      ohlc(5, 120.0, 100.0, 115.0)).toDS.toDF
+    val r = Analytics.donchian(bars, w = 5).collect()
+    assert(r.length == 1) // only the 6th bar has a full 5-bar window
+    val b = r.head
+    assert(b.getAs[Double]("ch_high") == 110.0 &&
+      b.getAs[Double]("ch_low") == 90.0)
+    // its own 120 high is NOT in the channel -> 115 close breaks out
+    assert(b.getAs[Boolean]("breakout_up") &&
+      !b.getAs[Boolean]("breakout_down"))
+  }
+
   test("cusum: prefix-extrema closed form equals the Page recursion; " +
       "sustained shift alarms, stationary series does not") {
     // two symbols: S drifts up after bar 30; Q stays i.i.d.-ish flat

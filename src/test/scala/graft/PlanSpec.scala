@@ -429,7 +429,9 @@ class PlanSpec extends SparkSpec {
       "bm25_prf",
       // per-iteration 1-row norm cross joins + the 1-row eigen/total
       // stats; the direction tables themselves are broadcast-hash
-      "embed_pca_power")
+      "embed_pca_power",
+      // 1-row corpus-token-total cross join onto the pair table
+      "token_pmi")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -541,6 +541,26 @@ class TextDedupSpec extends SparkSpec {
       drift("history").getAs[Double]("avg_logprob"))
   }
 
+  test("tokenPmi: a fixed phrase outranks a frequent stopword pair; " +
+      "minCount floors hapax pairs") {
+    // "new york" always co-occurs (8x); "the" pairs with everything;
+    // "rare gem" appears once (below minCount)
+    val docs = (
+      (1L to 8L).map(i => (i, s"new york is the city $i the end")) :+
+      (9L, "rare gem the city the end the a")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenPmi(docs, minCount = 3, k = 10).collect()
+    val byPair = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(byPair.contains(("new", "york")))
+    // perfect collocation beats the stopword-adjacent pair
+    val pmiNy = byPair(("new", "york")).getAs[Double]("pmi")
+    val theCity = byPair.get(("the", "city"))
+    assert(theCity.forall(_.getAs[Double]("pmi") < pmiNy))
+    assert(r.head.getString(0) == "new" && r.head.getString(1) == "york")
+    // hapax pair filtered by the count floor
+    assert(!byPair.contains(("rare", "gem")))
+    assert(r.forall(_.getAs[Long]("n_pair") >= 3))
+  }
+
   test("bm25Prf: feedback docs donate rare terms, expanded ranking " +
       "surfaces docs the seed query cannot see; stopword gate holds") {
     // seed query hits docs 1-2; those docs also contain the rare term
