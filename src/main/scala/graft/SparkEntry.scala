@@ -297,6 +297,10 @@ object SparkEntry {
     "bar_donchian" -> ((s, dir) =>
       Analytics.donchian(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // volume-weighted median price (robust fair price) beside vwap.
+    "symbol_wmedian" -> ((s, dir) =>
+      Analytics.weightedMedianPrice(
+        Trades.fromEvents(Tables.events(s, dir)))),
     // PMI-ranked collocations over adjacent token pairs (min count 5).
     "token_pmi" -> ((s, dir) =>
       TextAnalysis.tokenPmi(Tables.documents(s, dir))),
@@ -4313,6 +4317,27 @@ object SparkEntry {
          |  CAST(n_in_window AS INT) AS n_in_window,
          |  abs(close - median_close) / median_close > 0.05 AS spiked
          |FROM m ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors Analytics.weightedMedianPrice: decimal cumulative sizes,
+    // the 2·cum >= tot half test with no division, min qualifying price.
+    "symbol_wmedian" ->
+      s"""$tradesCte,
+         |c AS (SELECT symbol, price,
+         |        CAST(size AS DECIMAL(20,6)) AS sz,
+         |        sum(CAST(size AS DECIMAL(20,6))) OVER (
+         |          PARTITION BY symbol ORDER BY price, event_time
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS cum,
+         |        sum(CAST(size AS DECIMAL(20,6)))
+         |          OVER (PARTITION BY symbol) AS tot,
+         |        CAST(price * CAST(size AS DECIMAL(20,6))
+         |          AS DECIMAL(28,10)) AS pv
+         |      FROM trades)
+         |SELECT symbol, count(*) AS n_trades,
+         |  CAST(max(tot) AS DOUBLE) AS volume,
+         |  CAST(sum(pv) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS vwap,
+         |  min(CASE WHEN cum * 2 >= tot THEN price END) AS wmedian_price
+         |FROM c GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.donchian: trailing-w extrema over stored
     // doubles (no arithmetic -> no rounding), full windows only.

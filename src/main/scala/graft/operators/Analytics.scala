@@ -774,6 +774,45 @@ object Analytics {
       .orderBy(col("symbol"))
   }
 
+  /** Volume-weighted MEDIAN price per symbol — the robust fair-price
+    * beside [[twap]] and vwap: vwap moves with one whale print at a
+    * bad price; the weighted median (smallest price where cumulative
+    * size reaches half the total) does not. One price-ordered
+    * cumulative window per symbol over EXACT decimal sizes, the
+    * half-total test in decimal (2·cum ≥ total — no division), and an
+    * aggregation picking the smallest qualifying price. Emits vwap
+    * beside it; a wide vwap−median spread is itself a data-quality
+    * signal (heavy prints far from consensus).
+    *
+    * Determinism: the qualifying set's minimum price is invariant to
+    * intra-price row order (cumulative weight at a price's last row =
+    * total weight at ≤ that price), sizes sum as DECIMAL(20,6), and
+    * the vwap is the exact-decimal quotient at the boundary.
+    */
+  def weightedMedianPrice(trades: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(20, 6)
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("price"), col("event_time"))
+    val cum = trades
+      .select(col("symbol"), col("price"), col("event_time"),
+        col("size").cast(dec).as("sz"))
+      .withColumn("cum", sum(col("sz")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("sz")).over(
+        Window.partitionBy(col("symbol"))))
+      .withColumn("pv", (col("price") * col("sz"))
+        .cast(DecimalType(28, 10)))
+    cum.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        max(col("tot")).cast("double").as("volume"),
+        (sum(col("pv")).cast("double") /
+          max(col("tot")).cast("double")).as("vwap"),
+        min(when(col("cum") * 2 >= col("tot"), col("price")))
+          .as("wmedian_price"))
+      .orderBy(col("symbol"))
+  }
+
   /** Donchian channel per symbol: rolling `w`-bar high/low extrema
     * (EXCLUDING the current bar — else a new extreme can never break
     * its own channel) and the breakout flags, completing the indicator

@@ -276,6 +276,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(g.isNullAt(g.fieldIndex("vol_cc")))
   }
 
+  test("weightedMedianPrice: whale print moves vwap but not the " +
+      "weighted median; half-total boundary picks the lower price") {
+    import graft.Schemas.Trade
+    def tr(p: Double, sz: Double, sec: Int) =
+      Trade("x", "W", p, sz, "buy", "market",
+        new Timestamp(ts("2024-01-01 10:00:00").getTime + sec * 1000L))
+    // sizes 1@100, 1@101, 1@102 -> median 101; add a whale 0.5@1000:
+    // total 3.5, half 1.75; cum at 100=1, at 101=2 >= 1.75 -> median
+    // stays 101 while vwap jumps toward 1000
+    val trades = Seq(tr(100.0, 1.0, 0), tr(101.0, 1.0, 1),
+      tr(102.0, 1.0, 2), tr(1000.0, 0.5, 3)).toDS.toDF
+    val r = Analytics.weightedMedianPrice(trades).collect().head
+    assert(r.getAs[Double]("wmedian_price") == 101.0)
+    assert(r.getAs[Double]("vwap") > 180.0) // dragged by the whale
+    assert(r.getAs[Double]("volume") == 3.5)
+    // exact half boundary: weights 1@10, 1@20 -> cum(10)*2 == tot ->
+    // the LOWER price qualifies
+    val even = Seq(tr(10.0, 1.0, 0), tr(20.0, 1.0, 1)).toDS.toDF
+    assert(Analytics.weightedMedianPrice(even).collect().head
+      .getAs[Double]("wmedian_price") == 10.0)
+  }
+
   test("donchian: trailing extrema exclude the current bar so a new " +
       "extreme can break out; warm-up rows dropped") {
     def ohlc(minute: Int, h: Double, l: Double, c: Double): Bar = {
