@@ -304,6 +304,12 @@ object SparkEntry {
     // PMI-ranked collocations over adjacent token pairs (min count 5).
     "token_pmi" -> ((s, dir) =>
       TextAnalysis.tokenPmi(Tables.documents(s, dir))),
+    // association rules over capped per-doc itemsets (support/conf/lift).
+    // dfCapFrac 0.9: the synthetic corpus is a ~31-token near-uniform
+    // vocabulary (df ~0.8N), so the production default 0.3 would empty
+    // every itemset; the spec proves the cap semantics on crafted data.
+    "assoc_rules" -> ((s, dir) =>
+      TextAnalysis.assocRules(Tables.documents(s, dir), dfCapFrac = 0.9)),
     // per-dimension embedding health audit with collapsed-dim flags.
     "embed_dim_stats" -> ((s, dir) =>
       Similarity.embedDimStats(Tables.embeddings(s, dir))),
@@ -4374,6 +4380,42 @@ object SparkEntry {
         |JOIN uni b ON b.t = pr.t2, tot
         |WHERE n_pair >= 5
         |ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin,
+
+    // mirrors TextAnalysis.assocRules: distinct per-doc items, length
+    // + df gates, rarest-12 cap (ties by token), pair/single supports
+    // on the SAME capped itemsets, integer-ordered top-k. The self-join
+    // pair generation equals the in-row sorted-array combinations.
+    "assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT doc_id, u.t AS item
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents) d, unnest(toks) AS u(t)
+        |  WHERE length(u.t) >= 4),
+        |dfreq AS (SELECT item, count(*) AS df FROM it GROUP BY item),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |el AS (SELECT it.doc_id, it.item, dfreq.df
+        |       FROM it JOIN dfreq USING (item), n
+        |       WHERE dfreq.df >= 5 AND dfreq.df <= n.n_docs * 0.9),
+        |cap AS (SELECT doc_id, item FROM (
+        |          SELECT doc_id, item, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY df, item) AS rn
+        |          FROM el) WHERE rn <= 12),
+        |sup AS (SELECT item, count(*) AS supp FROM cap GROUP BY item),
+        |pr AS (SELECT a.item AS item_a, b.item AS item_b,
+        |         count(*) AS supp_ab
+        |       FROM cap a JOIN cap b
+        |         ON a.doc_id = b.doc_id AND a.item < b.item
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, supp_ab,
+        |  sa.supp AS supp_a, sb.supp AS supp_b,
+        |  round(CAST(supp_ab AS DOUBLE) / sa.supp, 6) AS conf_a_b,
+        |  round(CAST(supp_ab AS DOUBLE) / sb.supp, 6) AS conf_b_a,
+        |  round(CAST(supp_ab AS DOUBLE) * n_docs /
+        |        (CAST(sa.supp AS DOUBLE) * sb.supp), 6) AS lift
+        |FROM pr
+        |JOIN sup sa ON sa.item = pr.item_a
+        |JOIN sup sb ON sb.item = pr.item_b, n
+        |ORDER BY supp_ab DESC, item_a, item_b LIMIT 100""".stripMargin,
 
     // mirrors Analytics.cusum: prefix-extrema closed form, exact
     // decimal arithmetic end-to-end, double casts only at the boundary.

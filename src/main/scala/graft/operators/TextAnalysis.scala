@@ -2367,4 +2367,81 @@ object TextAnalysis {
       .select(col("band"), col("shard"), col("band_pos"), col("doc_id"))
       .orderBy(col("band"), col("shard"), col("band_pos"))
   }
+
+  /** Association rules (market-basket mining) over per-document
+    * DISTINCT token itemsets — the frequent-pattern family beside the
+    * co-occurrence families: [[tokenPmi]] ranks ADJACENT pairs, this
+    * ranks ANY-position within-document co-occurrence with
+    * support / confidence / lift, the A-implies-B shape (tag
+    * propagation, topic co-mention, query suggestion) that none of the
+    * existing operators answer.
+    *
+    * Itemsets are bounded BEFORE pair generation — the dedup family's
+    * cap discipline applied to pattern mining: tokens shorter than
+    * `minLen` drop (stopword-ish), a document-frequency gate removes
+    * both rare noise (df < minSupport can never reach pair support —
+    * the Apriori downward-closure prune) and ubiquitous terms
+    * (df > dfCapFrac·N would generate quadratic pairs that rank last
+    * on lift anyway), and each doc keeps only its `itemsPerDoc` RAREST
+    * eligible items (ties by token — total order), so one document
+    * contributes at most C(K,2) pairs regardless of length. Pairs are
+    * generated IN-ROW from the sorted per-doc item array (no
+    * positional self-join); single-item supports are counted on the
+    * SAME capped itemsets, so confidence is internally consistent.
+    *
+    * Scale shape: one vocabulary-sized df aggregation, one doc-keyed
+    * rank window whose exchange the following groupBy reuses (same
+    * key), one pair-keyed aggregation over ≤ C(K,2) rows/doc, two
+    * vocabulary-sized support joins, a 1-row corpus-size cross join,
+    * and a TakeOrderedAndProject top-k. Confidence and lift divide
+    * exact integers once at the boundary (round 6); the top-k orders
+    * by INTEGER support with token tie-breaks, so no libm ulp can
+    * reorder it.
+    */
+  def assocRules(docs: DataFrame, minSupport: Int = 5,
+                 dfCapFrac: Double = 0.3, minLen: Int = 4,
+                 itemsPerDoc: Int = 12, k: Int = 100): DataFrame = {
+    val items = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokensCol(col("text")))).as("item"))
+      .filter(length(col("item")) >= minLen)
+    val dfreq = items.groupBy(col("item")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val eligible = items.join(dfreq, Seq("item"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minSupport &&
+        col("df") <= col("n_docs") * dfCapFrac)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("item"))
+    val capped = eligible.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= itemsPerDoc)
+      .select(col("doc_id"), col("item"))
+    val singles = capped.groupBy(col("item"))
+      .agg(count(lit(1)).as("supp"))
+    val pairs = capped.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(singles.select(col("item").as("item_a"),
+        col("supp").as("supp_a")), Seq("item_a"))
+      .join(singles.select(col("item").as("item_b"),
+        col("supp").as("supp_b")), Seq("item_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("item_a"), col("item_b"), col("supp_ab"),
+        col("supp_a"), col("supp_b"),
+        round(col("supp_ab").cast("double") / col("supp_a"), 6)
+          .as("conf_a_b"),
+        round(col("supp_ab").cast("double") / col("supp_b"), 6)
+          .as("conf_b_a"),
+        round(col("supp_ab").cast("double") * col("n_docs") /
+          (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
+      .orderBy(col("supp_ab").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
 }

@@ -431,7 +431,9 @@ class PlanSpec extends SparkSpec {
       // stats; the direction tables themselves are broadcast-hash
       "embed_pca_power",
       // 1-row corpus-token-total cross join onto the pair table
-      "token_pmi")
+      "token_pmi",
+      // 1-row corpus-size cross joins (df gate + lift), same pattern
+      "assoc_rules")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -604,6 +604,33 @@ class TextDedupSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == prf2.map(_.toSeq).toSeq)
   }
 
+  test("assocRules: co-occurring pair gets confidence/lift; ubiquitous " +
+      "token df-capped; rarest-K itemset cap bounds pairs") {
+    // "ale" and "rye" co-occur in 3 of 6 docs; "common" is in all 6
+    // (df-capped at 0.8*6=4.8); "solo" appears twice but never with a
+    // partner at support >= 2 except via doc 5's capped itemset
+    val docs = Seq(
+      (1L, "common ale rye"), (2L, "common ale rye"),
+      (3L, "common ale rye"), (4L, "common solo"),
+      (5L, "common solo zzzz"), (6L, "common zzzz")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.assocRules(docs, minSupport = 2,
+      dfCapFrac = 0.8, minLen = 3, itemsPerDoc = 12, k = 10).collect()
+    val byPair = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // common is in 6/6 docs -> df 6 > 4.8 -> excluded everywhere
+    assert(!byPair.keys.exists(p => p._1 == "common" || p._2 == "common"))
+    val ar = byPair(("ale", "rye"))
+    assert(ar.getAs[Long]("supp_ab") == 3L)
+    assert(ar.getAs[Double]("conf_a_b") == 1.0) // ale -> rye always
+    // lift = 6*3/(3*3) = 2.0
+    assert(ar.getAs[Double]("lift") == 2.0)
+    // solo+zzzz co-occur once -> below the support floor
+    assert(!byPair.contains(("solo", "zzzz")))
+    // itemset cap: with itemsPerDoc=1 no doc contributes a pair
+    assert(TextAnalysis.assocRules(docs, minSupport = 1,
+      dfCapFrac = 1.0, minLen = 3, itemsPerDoc = 1, k = 10).count() == 0L)
+  }
+
   test("corpusGini: uniform mass scores ~0, full concentration " +
       "approaches 1, hand-computed middle case") {
     def doc(id: Long, lang: String, nTok: Int) =
