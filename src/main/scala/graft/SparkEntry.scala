@@ -328,6 +328,9 @@ object SparkEntry {
     // cohort retention triangle: first-activity cohorts × day offsets.
     "user_retention" -> ((s, dir) =>
       Sessions.cohortRetention(Tables.events(s, dir))),
+    // Nelson–Aalen time-to-conversion hazard, right-censored at 336 h.
+    "conversion_survival" -> ((s, dir) =>
+      Sessions.conversionSurvival(Tables.events(s, dir))),
     // semi-structured schema inventory: every key observed in the wire
     // JSON payloads with first/last offset — the drift audit a bronze
     // ingestion runs to catch producer schema changes before from_json
@@ -2653,6 +2656,46 @@ object SparkEntry {
         |    AS retention
         |FROM g JOIN cs ON cs.cohort_date = g.cohort_date
         |ORDER BY g.cohort_date, g.day_offset""".stripMargin,
+
+    // mirrors Sessions.conversionSurvival: one per-user fold, elapsed
+    // hours via epoch-µs integral division (NOT date_diff, which counts
+    // boundary crossings), integer micro-unit hazards, reverse-cumsum
+    // risk set. CASTs pin DuckDB's HUGEINT sums back to BIGINT.
+    "conversion_survival" ->
+      """WITH per AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |        max(epoch_us(ts)) AS last_us,
+        |        min(CASE WHEN event_type = 'purchase'
+        |              THEN epoch_us(ts) END) AS conv_us
+        |      FROM events GROUP BY user_id),
+        |m AS (SELECT max(last_us) AS corpus_us FROM per),
+        |tm AS (SELECT (conv_us - first_us) // 3600000000 AS t_conv,
+        |         CASE WHEN (corpus_us - first_us) // 3600000000 < 336
+        |              THEN (corpus_us - first_us) // 3600000000
+        |              ELSE 336 END AS obs_h
+        |       FROM per, m),
+        |uu AS (SELECT (t_conv IS NOT NULL AND t_conv <= 336) AS event,
+        |         CASE WHEN t_conv IS NOT NULL AND t_conv <= 336
+        |              THEN t_conv ELSE obs_h END AS t_h
+        |       FROM tm),
+        |bt AS (SELECT t_h AS t_hours, CAST(count(*) AS BIGINT) AS ended,
+        |         CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d_conv
+        |       FROM uu GROUP BY 1),
+        |r AS (SELECT t_hours, d_conv, ended,
+        |        CAST(sum(ended) OVER (ORDER BY t_hours DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS n_risk
+        |      FROM bt),
+        |h AS (SELECT t_hours, n_risk, d_conv,
+        |        ended - d_conv AS c_censored,
+        |        CAST((d_conv * 1000000000000) // n_risk AS BIGINT)
+        |          AS hazard_micro
+        |      FROM r)
+        |SELECT t_hours, n_risk, d_conv, c_censored, hazard_micro,
+        |  CAST(sum(hazard_micro) OVER (ORDER BY t_hours
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_hazard_micro
+        |FROM h WHERE d_conv > 0 ORDER BY t_hours""".stripMargin,
 
     "event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -463,4 +463,66 @@ object Sessions {
       .orderBy(col("n").desc, col("path"))
       .limit(k)
   }
+
+  /** Survival analysis of time-to-conversion: the Nelson–Aalen
+    * cumulative-hazard estimator over hours from a user's FIRST event
+    * to their first `targetType` event, right-censored at
+    * `windowHours` (or at corpus end for late joiners) — the
+    * time-to-event family none of the funnel/retention operators
+    * answer: [[funnel]] says HOW MANY convert, this says WHEN, with
+    * non-converters contributing exactly their observed exposure
+    * instead of being dropped (the bias a naive avg-time-to-convert
+    * has).
+    *
+    * H(t) = Σ_{s ≤ t} d_s / n_s over event times s, where d_s =
+    * conversions at hour s and n_s = users still at risk (not yet
+    * converted, not yet censored). Hazards are EXACT integer
+    * micro-units: d·10¹² DIV n (both engines' integral division
+    * truncates identically on positives), cumulated as plain long
+    * sums — no doubles anywhere, so no libm or rounding trap can
+    * split the engines. (d ≤ 9·10⁶ keeps d·10¹² in a signed long;
+    * widen to DECIMAL(26,0) for corpora beyond that.)
+    *
+    * Scale shape: ONE events scan folded to a per-user row (min ts,
+    * max ts, min conversion ts in the same hash agg), a 1-row
+    * corpus-end broadcast, then everything is tenure-vocabulary-sized
+    * (≤ windowHours rows): the risk set is a reverse cumulative sum,
+    * never a per-user rescan.
+    */
+  def conversionSurvival(events: DataFrame,
+                         targetType: String = "purchase",
+                         windowHours: Long = 336L): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      max(unix_micros(col("ts"))).as("last_us"),
+      min(when(col("event_type") === targetType,
+        unix_micros(col("ts")))).as("conv_us"))
+    val m = per.agg(max(col("last_us")).as("corpus_us"))
+    val timed = per.crossJoin(broadcast(m))
+      .withColumn("t_conv", expr("(conv_us - first_us) div 3600000000"))
+      .withColumn("obs_h",
+        least(expr("(corpus_us - first_us) div 3600000000"),
+          lit(windowHours)))
+      .withColumn("event",
+        col("t_conv").isNotNull && col("t_conv") <= lit(windowHours))
+      .withColumn("t_h",
+        when(col("event"), col("t_conv")).otherwise(col("obs_h")))
+    val byT = timed.groupBy(col("t_h").as("t_hours"))
+      .agg(count(lit(1)).as("ended"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d_conv"))
+    val wRisk = Window.orderBy(col("t_hours"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t_hours"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("ended")).over(wRisk))
+      .withColumn("hazard_micro",
+        expr("(d_conv * 1000000000000) div n_risk"))
+      .withColumn("cum_hazard_micro", sum(col("hazard_micro")).over(wCum))
+      .withColumn("c_censored", col("ended") - col("d_conv"))
+      .filter(col("d_conv") > 0)
+      .select(col("t_hours"), col("n_risk"), col("d_conv"),
+        col("c_censored"), col("hazard_micro"), col("cum_hazard_micro"))
+      .orderBy(col("t_hours"))
+  }
 }

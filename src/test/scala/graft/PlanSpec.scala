@@ -433,7 +433,9 @@ class PlanSpec extends SparkSpec {
       // 1-row corpus-token-total cross join onto the pair table
       "token_pmi",
       // 1-row corpus-size cross joins (df gate + lift), same pattern
-      "assoc_rules")
+      "assoc_rules",
+      // 1-row corpus-end cross join onto the per-user fold
+      "conversion_survival")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

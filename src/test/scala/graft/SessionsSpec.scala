@@ -222,4 +222,33 @@ class SessionsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n") == 2L)
     assert(r.head.getAs[Long]("n_sessions") == 2L)
   }
+
+  test("conversionSurvival: converters enter at their hour, censoring " +
+      "shrinks the risk set, hazards are exact micro-units") {
+    // corpus end = user 3's last event (2024-01-20 00:00). user 1
+    // converts at t=2h; user 4 converts instantly (t=0); user 2
+    // converts at 400h > window 336 -> censored at 336; user 3 never
+    // converts, joins 100h before corpus end -> censored at 100.
+    val events = Seq(
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-01 02:30:00"),
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-17 16:00:00"), // +400 h
+      (3L, "view", "2024-01-15 20:00:00"),     // 100 h before end
+      (3L, "click", "2024-01-20 00:00:00"),    // defines corpus end
+      (4L, "purchase", "2024-01-02 00:00:00"))
+      .map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val r = Sessions.conversionSurvival(events).collect()
+    assert(r.map(_.getAs[Long]("t_hours")).toSeq == Seq(0L, 2L))
+    val at0 = r(0); val at2 = r(1)
+    assert(at0.getAs[Long]("n_risk") == 4L)   // everyone at risk
+    assert(at0.getAs[Long]("d_conv") == 1L)
+    assert(at0.getAs[Long]("hazard_micro") == 250000000000L) // 1/4
+    assert(at2.getAs[Long]("n_risk") == 3L)   // user 4 converted at 0
+    assert(at2.getAs[Long]("hazard_micro") == 333333333333L) // 1/3 floor
+    assert(at2.getAs[Long]("cum_hazard_micro") == 583333333333L)
+    assert(r.map(_.getAs[Long]("c_censored")).sum == 0L) // censored
+    // rows (t=100, t=336) have d_conv=0 and are not emitted
+  }
 }
