@@ -1256,6 +1256,9 @@ object SparkEntry {
     // fold) + the data-derived leakage audit.
     "cv_folds" -> ((s, dir) =>
       DataQuality.cvFolds(Tables.events(s, dir))),
+    // two-proportion z-test per event type between salted A/B arms.
+    "ab_test_z" -> ((s, dir) =>
+      DataQuality.abTestZ(Tables.events(s, dir))),
     // exact two-sample KS over event values (parallel-prefix CDF form):
     // purchase-vs-click and purchase-vs-error.
     "ks_drift" -> ((s, dir) => {
@@ -5901,6 +5904,46 @@ object SparkEntry {
          |  CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS event_share,
          |  n_leaky_users
          |FROM pf, leak, tot ORDER BY fold""".stripMargin,
+
+    // mirrors DataQuality.abTestZ: salted-hash arms, distinct
+    // (user, type) conversions, the pooled z as ONE double expression
+    // over exact integer products in the same order; significance from
+    // the rounded z. CASTs pin DuckDB HUGEINT sums to BIGINT.
+    "ab_test_z" ->
+      s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+         |ua AS (SELECT user_id,
+         |         CAST(${h60("'ab_' || user_id")} % 2 AS BIGINT) AS arm
+         |       FROM users),
+         |arms AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM ua),
+         |x AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS x_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS x_b
+         |  FROM (SELECT DISTINCT user_id, event_type FROM events) ut
+         |  JOIN ua USING (user_id) GROUP BY event_type)
+         |SELECT event_type, n_a, n_b, x_a, x_b,
+         |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+         |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |  CASE WHEN (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
+         |    round(CAST(x_a * n_b - x_b * n_a AS DOUBLE) /
+         |      sqrt(CAST((x_a + x_b) * ((n_a + n_b) - (x_a + x_b))
+         |             AS DOUBLE) *
+         |           CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)), 6)
+         |  END AS z,
+         |  coalesce(abs(CASE WHEN (x_a + x_b) > 0
+         |        AND (x_a + x_b) < (n_a + n_b) THEN
+         |      round(CAST(x_a * n_b - x_b * n_a AS DOUBLE) /
+         |        sqrt(CAST((x_a + x_b) * ((n_a + n_b) - (x_a + x_b))
+         |               AS DOUBLE) *
+         |             CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)), 6)
+         |    END) > 1.96, false) AS significant
+         |FROM x, arms ORDER BY event_type""".stripMargin,
 
     "dq_audit" ->
       """WITH checks AS (

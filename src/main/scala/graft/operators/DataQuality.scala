@@ -474,4 +474,56 @@ object DataQuality {
         col("n_leaky_users"))
       .orderBy(col("fold"))
   }
+
+  /** Two-proportion z-test per event type between salted-hash A/B
+    * arms — the EXPERIMENT readout beside the drift monitors: KS/PSI
+    * ask "did the distribution move over time", this asks "do two
+    * concurrent user populations differ", the primitive behind every
+    * A/B conversion comparison. Arm assignment is the content-stable
+    * salted hash (the [[cvFolds]] discipline: a USER-keyed hash, so
+    * correlated events never straddle arms and reruns are exact).
+    *
+    * z = (x_a·n_b − x_b·n_a) / √(x·(n−x)·n_a·n_b / n) — the pooled
+    * two-proportion statistic algebraically cleared of nested
+    * fractions, so both engines compute ONE double expression over
+    * exact integer products in a pinned order (products stay in
+    * signed-long range up to ~10⁹ users); degenerate pools (x = 0 or
+    * x = n) yield NULL, and significance flags from the ROUNDED z so
+    * both engines branch on identical operands.
+    *
+    * Scale shape: one distinct-user pass for arms (1-row broadcast),
+    * one distinct (user, type) pass for conversions, then the output
+    * is |event types| rows. No per-user state after the two hash aggs.
+    */
+  def abTestZ(events: DataFrame, salt: String = "ab_"): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val users = events.select(col("user_id")).distinct()
+      .withColumn("arm",
+        pmod(hash60(concat(lit(salt), col("user_id"))), lit(2L)))
+    val arms = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val perType = events.select(col("user_id"), col("event_type"))
+      .distinct()
+      .join(users, Seq("user_id"))
+      .groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("x_b"))
+    perType.crossJoin(broadcast(arms))
+      .withColumn("x", col("x_a") + col("x_b"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("z",
+        when(col("x") > 0 && col("x") < col("n"),
+          round((col("x_a") * col("n_b") - col("x_b") * col("n_a"))
+            .cast("double") /
+            sqrt((col("x") * (col("n") - col("x"))).cast("double") *
+              (col("n_a") * col("n_b")).cast("double") / col("n")), 6)))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("x_a"), col("x_b"),
+        round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
+        round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
+        col("z"),
+        (col("z").isNotNull && abs(col("z")) > 1.96).as("significant"))
+      .orderBy(col("event_type"))
+  }
 }

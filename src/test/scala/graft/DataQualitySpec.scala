@@ -217,4 +217,32 @@ class DataQualitySpec extends SparkSpec {
     val one = DataQuality.cvFolds(events, k = 1).collect()
     assert(one.length == 1 && one.head.getAs[Long]("n_leaky_users") == 0L)
   }
+
+  test("abTestZ: pooled z matches the hand formula; universal " +
+      "conversion degenerates to NULL z, not a division blow-up") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (1L to 40L).flatMap { u =>
+      Seq((u, "view", t0)) ++
+        (if (u % 3 == 0) Seq((u, "purchase", t0)) else Nil)
+    }.toDF("user_id", "event_type", "ts")
+    val r = DataQuality.abTestZ(events).collect()
+    val byType = r.map(x => x.getString(0) -> x).toMap
+    // every user views -> x == n -> pooled variance 0 -> NULL z
+    val v = byType("view")
+    assert(v.getAs[Long]("x_a") == v.getAs[Long]("n_a"))
+    assert(v.isNullAt(v.fieldIndex("z")))
+    assert(!v.getAs[Boolean]("significant"))
+    // purchase: recompute z from the emitted integer counts
+    val p = byType("purchase")
+    val (na, nb) = (p.getAs[Long]("n_a"), p.getAs[Long]("n_b"))
+    val (xa, xb) = (p.getAs[Long]("x_a"), p.getAs[Long]("x_b"))
+    assert(na + nb == 40L && xa + xb == 13L)
+    val x = xa + xb; val n = na + nb
+    val expected = BigDecimal((xa * nb - xb * na).toDouble /
+        math.sqrt((x * (n - x)).toDouble * (na * nb).toDouble / n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p.getAs[Double]("z") == expected)
+    // arm assignment is content-stable: rerun gives identical rows
+    assert(DataQuality.abTestZ(events).collect().toSeq == r.toSeq)
+  }
 }

@@ -435,7 +435,9 @@ class PlanSpec extends SparkSpec {
       // 1-row corpus-size cross joins (df gate + lift), same pattern
       "assoc_rules",
       // 1-row corpus-end cross join onto the per-user fold
-      "conversion_survival")
+      "conversion_survival",
+      // 1-row arm-count cross join onto the |types|-row table
+      "ab_test_z")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
