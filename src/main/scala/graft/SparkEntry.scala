@@ -1359,6 +1359,10 @@ object SparkEntry {
     // region cut (near-dup clusters keep degree; popular nodes don't).
     "knn_kcore" -> ((s, dir) =>
       Similarity.knnKcore(Tables.embeddings(s, dir))),
+    // multi-source BFS hop levels from the 5 smallest node ids — the
+    // contamination blast-radius traversal over the same LSH graph.
+    "knn_bfs" -> ((s, dir) =>
+      Similarity.knnBfs(Tables.embeddings(s, dir))),
     // mergeable histogram quantiles graded against the exact discrete
     // percentile — the oracle-able t-digest stand-in.
     "sketch_quantile_hist" -> ((s, dir) =>
@@ -5459,6 +5463,31 @@ object SparkEntry {
          |SELECT r5.id AS vec_id, CAST(r5.r AS DOUBLE) AS rank, dg.deg
          |FROM r5 JOIN dg ON dg.id = r5.id
          |ORDER BY vec_id""".stripMargin
+    },
+
+    // mirrors Similarity.knnBfs: 4 unrolled BFS rounds over the same
+    // LSH edge list; frontier i = distinct neighbors of level i-1 not
+    // yet visited. Seeds = 5 smallest node ids.
+    "knn_bfs" -> {
+      val iters = (1 to 4).map { i =>
+        s""",
+           |f$i AS (SELECT DISTINCT e.dst AS id FROM ed e
+           |        JOIN l${i - 1} v ON v.id = e.src AND v.level = ${i - 1}),
+           |l$i AS (SELECT id, level FROM l${i - 1}
+           |        UNION ALL
+           |        SELECT f$i.id, $i FROM f$i
+           |        WHERE f$i.id NOT IN (SELECT id FROM l${i - 1}))""".stripMargin
+      }.mkString
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),
+         |ed AS (SELECT id1 AS src, id2 AS dst FROM ep
+         |       UNION ALL SELECT id2, id1 FROM ep),
+         |dg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY src),
+         |l0 AS (SELECT id, 0 AS level FROM
+         |        (SELECT DISTINCT src AS id FROM ed)
+         |       ORDER BY id LIMIT 5)$iters
+         |SELECT l4.id AS vec_id, l4.level, dg.deg
+         |FROM l4 JOIN dg ON dg.id = l4.id ORDER BY vec_id""".stripMargin
     },
 
     // mirrors Similarity.knnCommunities: 4 unrolled synchronous

@@ -908,6 +908,65 @@ object Similarity {
   def knnKcore(embeddings: DataFrame, k: Int = 3): DataFrame =
     kCore(cosineNearDupLsh(embeddings).select(col("id1"), col("id2")), k)
 
+  /** Multi-source BFS hop levels over the LSH near-neighbor graph —
+    * the TRAVERSAL lens beside centrality ([[knnPagerank]]), density
+    * ([[knnCommunities]]), cohesion ([[knnTriangles]]) and resilience
+    * ([[knnKcore]]): how far does relatedness propagate from a seed
+    * set, with hop distance as the semantic radius (level 1 = direct
+    * near-neighbors of a seed, level 2 = neighbors-of-neighbors, …;
+    * nodes the wave never reaches are disconnected from the seeds'
+    * region). Seeds are the `nSeeds` smallest node ids — a
+    * deterministic stand-in for "the flagged documents" in the real
+    * use (contamination blast-radius: start from known-bad items, BFS
+    * gives everything within k degrees of association).
+    *
+    * A FIXED `iterations` round count keeps the result a pure data
+    * function (the unrolled-CTE oracle convention — no convergence
+    * test), and levels are minimal by construction: a node joins the
+    * frontier the first round it is seen and is anti-joined away from
+    * all later rounds.
+    *
+    * Scale shape: the edge list materializes once and is reused; each
+    * round is one edges ⋈ FRONTIER equi-join (frontier only — not the
+    * visited set, so per-round cost is frontier-degree-bounded) + one
+    * distinct + one anti join against visited. The classic
+    * bulk-synchronous BFS schedule, the same loop discipline as the
+    * CC/PageRank families.
+    */
+  def knnBfs(embeddings: DataFrame, iterations: Int = 4,
+             nSeeds: Int = 5): DataFrame =
+    bfsLevels(cosineNearDupLsh(embeddings).select(col("id1"), col("id2")),
+      iterations, nSeeds)
+
+  /** The BFS core over an (id1, id2) unique pair list — see
+    * [[knnBfs]]. Returns (vec_id, level, deg) for every node reached
+    * within `iterations` hops of the seed set.
+    */
+  def bfsLevels(pairs: DataFrame, iterations: Int,
+                nSeeds: Int): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seeds = edges.select(col("src").as("id")).distinct()
+      .orderBy(col("id")).limit(nSeeds)
+    var levels = seeds.select(col("id"), lit(0).as("level"))
+      .localCheckpoint(false)
+    for (k <- 1 to iterations) {
+      val frontier = levels.filter(col("level") === lit(k - 1))
+        .select(col("id").as("src"))
+      val next = edges.join(frontier, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(levels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(k).as("level"))
+      levels = levels.unionByName(next).localCheckpoint(false)
+    }
+    levels.join(deg.withColumnRenamed("src", "id"), Seq("id"))
+      .select(col("id").as("vec_id"), col("level"), col("deg"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The triangle/clustering core over an ordered (id1 < id2) unique
     * edge list — see [[knnTriangles]]. Returns (vec_id, deg,
     * n_triangles, clustering) sorted by vec_id.

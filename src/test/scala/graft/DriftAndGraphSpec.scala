@@ -180,4 +180,28 @@ class DriftAndGraphSpec extends SparkSpec {
     assert(r(3).getAs[Double]("zero_share") == 0.75)
     assert(!r(3).getAs[Boolean]("collapsed")) // var = 0.75 > eps
   }
+
+  test("bfsLevels: hop levels are minimal, the wave stops at the " +
+      "iteration budget, disconnected components stay unreached") {
+    // path 1-2-3-4-5-6-7, shortcut 1-4, island 100-101; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (1L, 4L), (100L, 101L)).toDF("id1", "id2")
+    val m = Similarity.bfsLevels(e, iterations = 3, nSeeds = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("level"), r.getAs[Long]("deg")))).toMap
+    assert(m(1L)._1 == 0)
+    assert(m(2L)._1 == 1)
+    assert(m(4L)._1 == 1)          // shortcut beats the 3-hop path
+    assert(m(3L)._1 == 2)          // via 2 or 4, still 2
+    assert(m(5L)._1 == 2)          // via the shortcut
+    assert(m(6L)._1 == 3)
+    assert(!m.contains(7L))        // beyond the 3-hop budget
+    assert(!m.contains(100L) && !m.contains(101L)) // island
+    assert(m(4L)._2 == 3L)         // degree rides along (3,5,1)
+    // two seeds: 1 and 2 both level 0
+    val m2 = Similarity.bfsLevels(e, iterations = 1, nSeeds = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("level")).toMap
+    assert(m2(1L) == 0 && m2(2L) == 0 && m2(3L) == 1 && m2(4L) == 1)
+  }
 }
