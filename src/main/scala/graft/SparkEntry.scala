@@ -1129,6 +1129,10 @@ object SparkEntry {
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
+    // graded rank-quality eval of IVF vs exact: nDCG@10, first-hit
+    // rank, reciprocal rank — the ordering companion of recall audits.
+    "retrieval_eval" -> ((s, dir) =>
+      Similarity.retrievalEval(Tables.embeddings(s, dir))),
     "embed_top_pairs" -> ((s, dir) =>
       Similarity.topPairs(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) =>
@@ -5629,6 +5633,82 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.retrievalEval: brute-force truth with graded
+    // relevance 11-rank, the ann_ivf system ranking, and DCG discounts
+    // / reciprocal ranks joined from VALUES tables built from the SAME
+    // Scala sequences the Spark plan embeds — literal-identical.
+    "retrieval_eval" -> {
+      val discVals = Similarity.dcgDiscounts(10).zipWithIndex.map {
+        case (d, i) =>
+          s"(${i + 1}, CAST(${d.toPlainString} AS DECIMAL(14,12)))"
+      }.mkString(", ")
+      val recipVals = Similarity.recipRanks(10).zipWithIndex.map {
+        case (d, i) =>
+          s"(${i + 1}, CAST(${d.toPlainString} AS DECIMAL(14,12)))"
+      }.mkString(", ")
+      s"""$embCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < 10),
+         |tsc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+         |          round(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm), 6)
+         |            AS cosine
+         |        FROM q JOIN n ON n.vec_id <> q.query_id),
+         |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cosine DESC, neighbor_id) AS rank FROM tsc),
+         |truth AS (SELECT query_id, neighbor_id,
+         |            CAST(11 - rank AS DECIMAL(4,0)) AS rel, rank
+         |          FROM tr WHERE rank <= 10),
+         |disc AS (SELECT * FROM (VALUES $discVals) AS t(r, d)),
+         |recip AS (SELECT * FROM (VALUES $recipVals) AS t(r, rd)),
+         |idcg AS (SELECT query_id, sum(rel * d.d) AS idcg,
+         |           CAST(count(*) AS BIGINT) AS n_truth
+         |         FROM truth JOIN disc d ON d.r = truth.rank
+         |         GROUP BY query_id),
+         |cpos AS (SELECT label, g.pos, avg(v[g.pos]) AS cx
+         |         FROM n, unnest(generate_series(1, len(v))) AS g(pos)
+         |         GROUP BY label, g.pos),
+         |cent AS (SELECT label AS c_label,
+         |           list(round(cx, 6) ORDER BY pos) AS cv
+         |         FROM cpos GROUP BY label),
+         |cn AS (SELECT c_label, cv,
+         |         sqrt(list_sum(list_transform(cv, x -> x * x)))
+         |           AS c_nrm FROM cent),
+         |pc AS (SELECT q.query_id, q.qv, q.qn, cn.c_label,
+         |         round(${dotSql("q.qv", "cn.cv")} / (q.qn * cn.c_nrm), 6)
+         |           AS c_cos
+         |       FROM q, cn),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY c_cos DESC, c_label) AS c_rank
+         |       FROM pc),
+         |probe AS (SELECT query_id, qv, qn, c_label FROM pr
+         |          WHERE c_rank <= 2),
+         |sc AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+         |         round(${dotSql("p.qv", "n.v")} / (p.qn * n.nrm), 6)
+         |           AS cosine
+         |       FROM probe p JOIN n ON n.label = p.c_label
+         |         AND n.vec_id <> p.query_id),
+         |sr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cosine DESC, neighbor_id) AS rank FROM sc),
+         |sys AS (SELECT query_id, neighbor_id, rank AS sys_rank
+         |        FROM sr WHERE rank <= 10),
+         |hits AS (SELECT s.query_id, t.rel, s.sys_rank
+         |         FROM sys s JOIN truth t ON t.query_id = s.query_id
+         |           AND t.neighbor_id = s.neighbor_id),
+         |dcg AS (SELECT query_id, sum(rel * d.d) AS dcg,
+         |          CAST(count(*) AS BIGINT) AS n_hits,
+         |          min(sys_rank) AS first_hit_rank
+         |        FROM hits JOIN disc d ON d.r = hits.sys_rank
+         |        GROUP BY query_id)
+         |SELECT i.query_id, i.n_truth,
+         |  coalesce(g.n_hits, 0) AS n_hits, g.first_hit_rank,
+         |  round(CAST(coalesce(g.dcg, 0) AS DOUBLE)
+         |    / CAST(i.idcg AS DOUBLE), 6) AS ndcg,
+         |  coalesce(CAST(rc.rd AS DOUBLE), 0.0) AS rr
+         |FROM idcg i LEFT JOIN dcg g USING (query_id)
+         |LEFT JOIN recip rc ON rc.r = g.first_hit_rank
+         |ORDER BY query_id""".stripMargin
+    },
 
     "ann_ivf_kmeans" ->
       s"""$embCte,

@@ -581,6 +581,84 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** 12-decimal DCG rank discounts 1/log₂(r+1), r = 1..k — computed
+    * ONCE here and embedded as identical literals in both the Spark
+    * plan and the DuckDB oracle (SparkEntry builds the oracle's VALUES
+    * table from this same sequence), so no libm log2 ulp can split the
+    * engines. */
+  def dcgDiscounts(k: Int): Seq[java.math.BigDecimal] =
+    (1 to k).map { r =>
+      java.math.BigDecimal
+        .valueOf(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** 12-decimal reciprocal ranks 1/r for MRR — the same shared-literal
+    * discipline as [[dcgDiscounts]]. */
+  def recipRanks(k: Int): Seq[java.math.BigDecimal] =
+    (1 to k).map { r =>
+      java.math.BigDecimal.valueOf(1.0 / r)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** Graded retrieval evaluation of the IVF ANN ranking against the
+    * exact brute-force ranking — the RANK-quality companion of the
+    * set-recall audits (`lsh_recall_audit` answers "how much of the
+    * truth did we find"; this answers "did we put what we found in the
+    * right ORDER"): per query, nDCG@k with graded relevance
+    * rel = k+1 − exact_rank, the first-hit rank, and the reciprocal
+    * rank (the MRR contribution). An approximate index can hold 90%
+    * recall while inverting the head of the ranking — exactly what
+    * nDCG catches and recall cannot.
+    *
+    * Determinism: the only irrational constants (1/log₂(r+1), 1/r) are
+    * k pinned 12-decimal literals shared verbatim with the oracle;
+    * rel × discount products and their per-query sums are exact
+    * decimals; the one double division (DCG/IDCG) happens at the
+    * output boundary, rounded to 6.
+    *
+    * Scale shape: inherits the two rankings' pinned plans (broadcast
+    * query sets, per-query top-k windows), then everything is
+    * (nQueries × k)-sized: a hits equi-join and two tiny aggregations.
+    */
+  def retrievalEval(embeddings: DataFrame, nQueries: Int = 10,
+                    k: Int = 10, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d1412 = DecimalType(14, 12)
+    val discArr = array(dcgDiscounts(k).map(d => lit(d).cast(d1412)): _*)
+    val recipArr = array(recipRanks(k).map(d => lit(d).cast(d1412)): _*)
+    val truth = annBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1) - col("rank")).cast(DecimalType(4, 0)).as("rel"),
+        col("rank"))
+    val idcg = truth
+      .select(col("query_id"),
+        (col("rel") * element_at(discArr, col("rank"))).as("t"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).as("idcg"), count(lit(1)).as("n_truth"))
+    val sys = annIvf(embeddings, nQueries, k, nProbe)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("sys_rank"))
+    val hits = sys.join(
+      truth.select(col("query_id"), col("neighbor_id"), col("rel")),
+      Seq("query_id", "neighbor_id"))
+    val dcg = hits
+      .select(col("query_id"), col("sys_rank"),
+        (col("rel") * element_at(discArr, col("sys_rank"))).as("t"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).as("dcg"), count(lit(1)).as("n_hits"),
+        min(col("sys_rank")).as("first_hit_rank"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        round(coalesce(col("dcg"), lit(0)).cast("double") /
+          col("idcg").cast("double"), 6).as("ndcg"),
+        coalesce(element_at(recipArr, col("first_hit_rank"))
+          .cast("double"), lit(0.0)).as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Clustering-quality audit for the k-means coarse quantizer: per
     * cell, the member count and the mean/worst cosine to the cell
     * centroid — the compactness profile that decides whether kCells is

@@ -437,7 +437,10 @@ class PlanSpec extends SparkSpec {
       // 1-row corpus-end cross join onto the per-user fold
       "conversion_survival",
       // 1-row arm-count cross join onto the |types|-row table
-      "ab_test_z")
+      "ab_test_z",
+      // composes ann_topk (truth) + ann_ivf (system): both sides'
+      // broadcasts are the nQueries-bounded query/centroid sets
+      "retrieval_eval")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

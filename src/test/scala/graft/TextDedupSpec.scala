@@ -1225,4 +1225,32 @@ class TextDedupSpec extends SparkSpec {
     val ivf = Similarity.annIvf(vecs, nQueries = 3, k = 5, nProbe = 4).collect().toSeq
     assert(ivf == bf)
   }
+
+  test("retrievalEval: full probing scores perfect nDCG/MRR; a missed " +
+      "cell costs exactly the unreached graded gain") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // the query
+      (1L, Array(2.0f, 0.0f), 0),   // exact rank 1 (cos 1), query's cell
+      (2L, Array(1.0f, 0.2f), 1),   // exact rank 2, the OTHER cell
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val full = Similarity.retrievalEval(vecs,
+      nQueries = 1, k = 2, nProbe = 2).collect()
+    assert(full.length == 1)
+    val f = full.head
+    assert(f.getAs[Long]("n_truth") == 2L && f.getAs[Long]("n_hits") == 2L)
+    assert(f.getAs[Int]("first_hit_rank") == 1)
+    assert(f.getAs[Double]("ndcg") == 1.0 && f.getAs[Double]("rr") == 1.0)
+    // nProbe=1 probes only the query's own cell: rank-2 truth (vec 2)
+    // is unreachable -> DCG loses rel 1 at discount(2)
+    val m = Similarity.retrievalEval(vecs,
+      nQueries = 1, k = 2, nProbe = 1).collect().head
+    assert(m.getAs[Long]("n_hits") == 1L)
+    assert(m.getAs[Double]("rr") == 1.0) // the hit is still rank 1
+    val discs = Similarity.dcgDiscounts(2).map(BigDecimal(_))
+    val idcg = BigDecimal(2) * discs(0) + discs(1)
+    val expected = BigDecimal(
+        (BigDecimal(2) * discs(0)).toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getAs[Double]("ndcg") == expected)
+  }
 }
