@@ -301,6 +301,10 @@ object SparkEntry {
     "symbol_wmedian" -> ((s, dir) =>
       Analytics.weightedMedianPrice(
         Trades.fromEvents(Tables.events(s, dir)))),
+    // Theil-Sen robust trend: median pairwise slope within a 24 h band.
+    "theilsen_trend" -> ((s, dir) =>
+      Analytics.theilSenTrend(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
     // PMI-ranked collocations over adjacent token pairs (min count 5).
     "token_pmi" -> ((s, dir) =>
       TextAnalysis.tokenPmi(Tables.documents(s, dir))),
@@ -4377,6 +4381,30 @@ object SparkEntry {
          |  CAST(n_in_window AS INT) AS n_in_window,
          |  abs(close - median_close) / median_close > 0.05 AS spiked
          |FROM m ORDER BY symbol, bar_start""".stripMargin,
+
+    // mirrors Analytics.theilSenTrend: banded equi-join via exploded
+    // lag offsets on exact µs targets, slopes rounded to 12 before
+    // list_sort, the despike median pick, round 6 at the boundary.
+    "theilsen_trend" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |b AS (SELECT symbol, epoch_us(bar_start) AS u, close FROM bars),
+         |pr AS (SELECT b1.symbol,
+         |         round((b2.close - b1.close) / CAST(g.l AS DOUBLE), 12)
+         |           AS slope
+         |       FROM b b1, unnest(generate_series(1, 24)) AS g(l)
+         |       JOIN b b2 ON b2.symbol = b1.symbol
+         |         AND b2.u = b1.u + g.l * 3600000000),
+         |m AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        list_sort(list(slope)) AS ss
+         |      FROM pr GROUP BY symbol)
+         |SELECT symbol, n_pairs,
+         |  round(CASE WHEN n_pairs % 2 = 1
+         |      THEN ss[CAST((n_pairs + 1) // 2 AS INT)]
+         |      ELSE (ss[CAST(n_pairs // 2 AS INT)]
+         |        + ss[CAST(n_pairs // 2 AS INT) + 1]) / 2.0
+         |    END, 6) AS ts_slope
+         |FROM m ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.weightedMedianPrice: decimal cumulative sizes,
     // the 2·cum >= tot half test with no division, min qualifying price.

@@ -942,4 +942,51 @@ object Analytics {
           > threshold)
       .orderBy(col("symbol"), col("bar_start"))
   }
+
+  /** Theil–Sen robust trend per symbol: the MEDIAN of pairwise
+    * close-to-close slopes over bar pairs within `maxLagHours` — the
+    * slope estimator with a 29% breakdown point, where OLS
+    * ([[symbolBeta]]'s machinery) is dragged arbitrarily far by one
+    * bad print. The lag band bounds pair fan-out to ≤ L per bar (the
+    * dedup cap discipline applied to regression — never all-pairs),
+    * and preferring nearby pairs is itself the robust choice for
+    * drifting series.
+    *
+    * Determinism: slopes round to 12 decimals BEFORE sorting (libm
+    * ulps cannot reorder the array), the median is the exact
+    * sorted-array pick with the two-middle /2 average on even counts
+    * ([[medianDespike]]'s proven mechanics), rounded to 6 at the
+    * boundary.
+    *
+    * Scale shape: the band is a banded EQUI-join — each bar explodes
+    * its ≤ L lag offsets and joins on (symbol, exact target µs), the
+    * same decomposition as the interval join — so no symbol-wide
+    * cross product ever materializes. One per-symbol agg follows; the
+    * slope array is T·L-sized, bounded by the retention window (slice
+    * by (symbol, period) + median-of-medians when T is unbounded).
+    */
+  def theilSenTrend(bars: DataFrame, maxLagHours: Int = 24): DataFrame = {
+    val left = bars.select(col("symbol"),
+        unix_micros(col("bar_start")).as("u1"), col("close").as("c1"))
+      .withColumn("lag_h",
+        explode(sequence(lit(1L), lit(maxLagHours.toLong))))
+      .withColumn("u2", col("u1") + col("lag_h") * lit(3600000000L))
+    val right = bars.select(col("symbol"),
+      unix_micros(col("bar_start")).as("u2"), col("close").as("c2"))
+    val pairs = left.join(right, Seq("symbol", "u2"))
+      .select(col("symbol"),
+        round((col("c2") - col("c1")) / col("lag_h").cast("double"), 12)
+          .as("slope"))
+    val arr = col("ss"); val n = col("n_pairs")
+    pairs.groupBy(col("symbol"))
+      .agg(sort_array(collect_list(col("slope"))).as("ss"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("symbol"), col("n_pairs"),
+        round(when(n % 2 === 1,
+            element_at(arr, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(arr, (n / 2).cast("int")) +
+            element_at(arr, (n / 2).cast("int") + 1)) / lit(2.0)), 6)
+          .as("ts_slope"))
+      .orderBy(col("symbol"))
+  }
 }

@@ -298,6 +298,29 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Double]("wmedian_price") == 10.0)
   }
 
+  test("theilSenTrend: linear series recovers the exact slope; one " +
+      "outlier bar cannot move the median where OLS would be dragged") {
+    def bars(closes: Seq[Double]) = closes.zipWithIndex.map {
+      case (c, h) => ("X", ts(f"2024-01-01 $h%02d:00:00"), c)
+    }.toDF("symbol", "bar_start", "close")
+    // closes 10 + 2h: every pairwise slope is exactly 2
+    val lin = Analytics.theilSenTrend(bars(Seq(10, 12, 14, 16, 18)))
+      .collect().head
+    assert(lin.getAs[Long]("n_pairs") == 10L) // C(5,2), all within 24 h
+    assert(lin.getAs[Double]("ts_slope") == 2.0)
+    // last bar spikes to 1000: the 4 spike pairs land in the upper
+    // tail, the 6 clean pairs still surround the median
+    val rob = Analytics.theilSenTrend(bars(Seq(10, 12, 14, 16, 1000)))
+      .collect().head
+    assert(rob.getAs[Long]("n_pairs") == 10L)
+    assert(rob.getAs[Double]("ts_slope") == 2.0)
+    // lag band: with maxLagHours=1 only the 4 adjacent pairs remain
+    val band = Analytics.theilSenTrend(bars(Seq(10, 12, 14, 16, 18)),
+      maxLagHours = 1).collect().head
+    assert(band.getAs[Long]("n_pairs") == 4L)
+    assert(band.getAs[Double]("ts_slope") == 2.0)
+  }
+
   test("donchian: trailing extrema exclude the current bar so a new " +
       "extreme can break out; warm-up rows dropped") {
     def ohlc(minute: Int, h: Double, l: Double, c: Double): Bar = {
