@@ -308,6 +308,9 @@ object SparkEntry {
     // PMI-ranked collocations over adjacent token pairs (min count 5).
     "token_pmi" -> ((s, dir) =>
       TextAnalysis.tokenPmi(Tables.documents(s, dir))),
+    // RAKE keyphrases: stopword-split runs scored by word degree/freq.
+    "rake_keyphrases" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(Tables.documents(s, dir))),
     // association rules over capped per-doc itemsets (support/conf/lift).
     // dfCapFrac 0.9: the synthetic corpus is a ~31-token near-uniform
     // vocabulary (df ~0.8N), so the production default 0.3 would empty
@@ -4462,6 +4465,54 @@ object SparkEntry {
         |JOIN uni b ON b.t = pr.t2, tot
         |WHERE n_pair >= 5
         |ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin,
+
+    // mirrors TextAnalysis.rakeKeyphrases: stopword-run segmentation
+    // via a positional window cumsum, integer micro-unit word ratios
+    // (deg*1e12 // freq), long-sum phrase scores — no doubles.
+    "rake_keyphrases" -> {
+      val stops = graft.functions.TextFunctions.stopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |tk AS (SELECT doc_id, g.i AS pos, toks[g.i] AS tok
+         |       FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |st AS (SELECT doc_id, pos, tok,
+         |         tok IN ($stops) AS is_stop FROM tk),
+         |sg AS (SELECT doc_id, pos, tok, is_stop,
+         |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS seg
+         |       FROM st),
+         |ph0 AS (SELECT doc_id, seg,
+         |          string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |          CAST(count(*) AS INT) AS n_words
+         |        FROM sg WHERE NOT is_stop AND length(tok) > 0
+         |        GROUP BY doc_id, seg),
+         |ph AS (SELECT phrase, n_words FROM ph0 WHERE n_words <= 4),
+         |wstat AS (SELECT u.wd AS word, CAST(count(*) AS BIGINT) AS freq,
+         |            CAST(sum(n_words) AS BIGINT) AS deg
+         |          FROM (SELECT n_words, string_split(phrase, ' ') AS ws
+         |                FROM ph), unnest(ws) AS u(wd)
+         |          GROUP BY u.wd),
+         |wr AS (SELECT word,
+         |         CAST((deg * 1000000000000) // freq AS BIGINT)
+         |           AS ratio_micro
+         |       FROM wstat),
+         |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |          CAST(min(n_words) AS INT) AS n_words
+         |        FROM ph GROUP BY phrase),
+         |ow AS (SELECT phrase, n_occurrences, n_words, u.wd AS word
+         |       FROM (SELECT phrase, n_occurrences, n_words,
+         |               string_split(phrase, ' ') AS ws FROM occ),
+         |            unnest(ws) AS u(wd)),
+         |sc AS (SELECT ow.phrase, ow.n_occurrences, ow.n_words,
+         |         CAST(sum(wr.ratio_micro) AS BIGINT) AS score_micro
+         |       FROM ow JOIN wr ON wr.word = ow.word
+         |       GROUP BY ow.phrase, ow.n_occurrences, ow.n_words)
+         |SELECT phrase, n_words, n_occurrences, score_micro
+         |FROM sc ORDER BY score_micro DESC, phrase LIMIT 50""".stripMargin
+    },
 
     // mirrors TextAnalysis.assocRules: distinct per-doc items, length
     // + df gates, rarest-12 cap (ties by token), pair/single supports

@@ -2398,6 +2398,72 @@ object TextAnalysis {
     * by INTEGER support with token tie-breaks, so no libm ulp can
     * reorder it.
     */
+  /** RAKE keyphrase extraction [Rose et al. 2010] — PHRASE-level
+    * salience where [[tokenPmi]] ranks pairs and [[tfidfTopTerms]]
+    * ranks single terms: candidate phrases are maximal runs of
+    * non-stopword tokens (split at the fixed function-word list, runs
+    * longer than `maxPhraseLen` dropped as noise), scored by
+    * Σ deg(w)/freq(w) over the phrase's words — degree rewards words
+    * that co-occur inside longer phrases, so multi-word technical
+    * phrases outrank their own constituents.
+    *
+    * Determinism: word ratios are EXACT integer micro-units
+    * (deg·10¹² DIV freq — both engines' integral division truncates
+    * identically), phrase scores are plain long sums of those units,
+    * and the top-k orders by (score_micro, phrase) — no doubles
+    * anywhere.
+    *
+    * Scale shape: one doc-keyed position window (the run id is a
+    * cumulative stopword count), one (doc, run) aggregation, a
+    * vocabulary-sized word-stats aggregation joined back to the
+    * DISTINCT phrase texts (each text scored once, not per
+    * occurrence), TakeOrderedAndProject top-k. Everything after the
+    * two linear passes is vocabulary-sized.
+    */
+  def rakeKeyphrases(docs: DataFrame, maxPhraseLen: Int = 4,
+                     k: Int = 50): DataFrame = {
+    import graft.functions.TextFunctions.stopwords
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokensCol(col("text")))
+        .as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isin(stopwords: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = toks
+      .withColumn("seg",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("is_stop") && length(col("tok")) > 0)
+    val phrases = runs.groupBy(col("doc_id"), col("seg"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("pts"))
+      .select(expr("transform(pts, p -> p.tok)").as("words"))
+      .filter(size(col("words")) <= maxPhraseLen)
+      .withColumn("phrase", concat_ws(" ", col("words")))
+      .withColumn("n_words", size(col("words")))
+    val wordStats = phrases
+      .select(col("n_words"), explode(col("words")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"),
+        sum(col("n_words").cast("long")).as("deg"))
+      .withColumn("ratio_micro",
+        expr("(deg * 1000000000000) div freq"))
+    val occurrences = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        first(col("words")).as("words"), first(col("n_words")).as("n_words"))
+    occurrences
+      .select(col("phrase"), col("n_occurrences"), col("n_words"),
+        explode(col("words")).as("word"))
+      .join(wordStats.select(col("word"), col("ratio_micro")), Seq("word"))
+      .groupBy(col("phrase"))
+      .agg(first(col("n_occurrences")).as("n_occurrences"),
+        first(col("n_words")).as("n_words"),
+        sum(col("ratio_micro")).as("score_micro"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
+
   def assocRules(docs: DataFrame, minSupport: Int = 5,
                  dfCapFrac: Double = 0.3, minLen: Int = 4,
                  itemsPerDoc: Int = 12, k: Int = 100): DataFrame = {

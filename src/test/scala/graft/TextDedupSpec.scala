@@ -604,6 +604,28 @@ class TextDedupSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == prf2.map(_.toSeq).toSeq)
   }
 
+  test("rakeKeyphrases: multi-word phrases outrank constituents via " +
+      "degree; stopwords split runs; long runs dropped") {
+    val docsDf = Seq((1L, "new york is the big apple"),
+      (2L, "big apple pie")).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeyphrases(docsDf).collect()
+    val m = r.map(x => x.getString(0) -> x).toMap
+    // freq/deg: big 2/5, apple 2/5, pie 1/3, new 1/2, york 1/2
+    // -> ratios 2.5, 2.5, 3, 2, 2 (x1e12, exact)
+    assert(r.head.getString(0) == "big apple pie") // 8e12 leads
+    assert(m("big apple pie").getAs[Long]("score_micro") ==
+      8000000000000L)
+    assert(m("big apple").getAs[Long]("score_micro") == 5000000000000L)
+    assert(m("new york").getAs[Long]("score_micro") == 4000000000000L)
+    assert(m("new york").getAs[Int]("n_words") == 2)
+    assert(m("big apple").getAs[Long]("n_occurrences") == 1L)
+    assert(!m.contains("is") && !m.contains("the")) // stop tokens
+    // a 5-word non-stop run exceeds maxPhraseLen and is dropped
+    val long5 = TextAnalysis.rakeKeyphrases(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text")).collect()
+    assert(long5.isEmpty)
+  }
+
   test("assocRules: co-occurring pair gets confidence/lift; ubiquitous " +
       "token df-capped; rarest-K itemset cap bounds pairs") {
     // "ale" and "rye" co-occur in 3 of 6 docs; "common" is in all 6
