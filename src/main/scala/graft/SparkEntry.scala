@@ -416,6 +416,12 @@ object SparkEntry {
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
           .filter(col("symbol") === "SYM_7"))
         .orderBy(col("bar_start"))),
+    // Linear-interpolation imputation beside the forward fill.
+    "bars_interpolated" -> ((s, dir) =>
+      Analytics.interpolateGaps(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)))
+          .filter(col("symbol") === "SYM_7"))
+        .orderBy(col("bar_start"))),
 
     // Coverage counts (analysis.ipynb N4 tail: null-skipping count(col)
     // as a window warm-up sanity check) — global no-group aggregation.
@@ -2561,6 +2567,54 @@ object SparkEntry {
          |  coalesce(volume, 0.0) AS volume,
          |  CAST(coalesce(trades, 0) AS BIGINT) AS trades
          |FROM j ORDER BY bar_start""".stripMargin,
+
+    // mirrors Analytics.interpolateGaps: bracketing real closes from
+    // IGNORE NULLS running windows; the blend is EXACT integer
+    // micro-unit arithmetic (positive weighted terms, so DuckDB's
+    // floor // and Spark's truncating div agree), one double at the
+    // boundary via an exact decimal product.
+    "bars_interpolated" ->
+      s"""$barsCte,
+         |b7 AS (SELECT *, CAST(round(close * 1e6, 0) AS BIGINT)
+         |         AS c_micro
+         |       FROM bars WHERE symbol = 'SYM_7'),
+         |lims AS (SELECT min(bar_start) AS t0, max(bar_start) AS t1 FROM b7),
+         |g AS (SELECT 'SYM_7' AS symbol, gs.g AS bar_start
+         |      FROM lims, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS gs(g)),
+         |j AS (SELECT g.symbol, g.bar_start, epoch_us(g.bar_start) AS u,
+         |        b.close, b.c_micro
+         |      FROM g LEFT JOIN b7 b ON b.bar_start = g.bar_start),
+         |wf AS (SELECT symbol, bar_start, u, close,
+         |  last_value(close IGNORE NULLS) OVER (PARTITION BY symbol
+         |    ORDER BY bar_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+         |  last_value(c_micro IGNORE NULLS) OVER (PARTITION BY symbol
+         |    ORDER BY bar_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_m,
+         |  last_value(CASE WHEN close IS NOT NULL THEN u END IGNORE NULLS)
+         |    OVER (PARTITION BY symbol ORDER BY bar_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_u,
+         |  first_value(c_micro IGNORE NULLS) OVER (PARTITION BY symbol
+         |    ORDER BY bar_start
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_m,
+         |  first_value(CASE WHEN close IS NOT NULL THEN u END IGNORE NULLS)
+         |    OVER (PARTITION BY symbol ORDER BY bar_start
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_u,
+         |  c_micro
+         |  FROM j),
+         |li AS (SELECT symbol, bar_start, close, prev_c,
+         |  (u - prev_u) // 60000000 AS k_min,
+         |  (next_u - prev_u) // 60000000 AS n_min,
+         |  prev_m, next_m, c_micro FROM wf),
+         |lm AS (SELECT symbol, bar_start, close, prev_c,
+         |  CASE WHEN n_min = 0 THEN c_micro
+         |    ELSE (prev_m * (n_min - k_min) + next_m * k_min) // n_min
+         |  END AS li_micro FROM li)
+         |SELECT symbol, bar_start, close IS NOT NULL AS is_real,
+         |  prev_c AS close_ff,
+         |  CAST(CAST(li_micro AS DECIMAL(20,0))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS close_li
+         |FROM lm ORDER BY bar_start""".stripMargin,
 
     "bar_window_funcs" ->
       s"""$barsCte

@@ -273,6 +273,77 @@ object Analytics {
         coalesce(col("trades"), lit(0L)).as("trades"))
   }
 
+  /** Linear-interpolation gap fill — the IMPUTATION companion of
+    * [[fillGaps]]'s forward fill: a missing minute takes the
+    * time-weighted blend of its bracketing real closes instead of a
+    * stale step (forward fill biases every gap toward the past — a
+    * backtest entering mid-gap sees yesterday's price; interpolation
+    * is the standard feature-matrix imputation). Emits BOTH fills so
+    * the spread between them is itself a gap-severity signal.
+    *
+    * The bracket comes from two running windows (last real close+µs
+    * before, first real close+µs after — no self-join against the
+    * real rows). The blend is EXACT integer arithmetic in price
+    * micro-units: li = (prev_µ·(n−k) + next_µ·k) DIV n over gap
+    * minutes k of n — both weighted terms are positive, so truncating
+    * and floor division agree and the two engines' integral divisions
+    * cannot split (a naive prev + (next−prev)·k/n double blend DID
+    * split them: one engine contracts the multiply-add, and values
+    * landing on the half-micro boundary round apart). The one double
+    * appears casting the exact 6-decimal result at the boundary.
+    * Interior gaps always have both brackets (grid endpoints are real
+    * bars by construction).
+    *
+    * Scale: same single symbol-keyed shuffle as [[fillGaps]] — the
+    * grid generates per symbol via sequence+explode, four window
+    * passes share the one sort.
+    */
+  def interpolateGaps(bars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val grid = bars
+      .groupBy(col("symbol"))
+      .agg(min(col("bar_start")).as("t0"), max(col("bar_start")).as("t1"))
+      .select(col("symbol"),
+        explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 MINUTE"))).as("bar_start"))
+    val wPrev = Window.partitionBy("symbol").orderBy("bar_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("symbol").orderBy("bar_start")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(bars.select(col("symbol"), col("bar_start"), col("close")),
+        Seq("symbol", "bar_start"), "left")
+      .withColumn("u", unix_micros(col("bar_start")))
+      .withColumn("c_micro",
+        round(col("close") * lit(1e6), 0).cast("long"))
+      .withColumn("prev_c", last(col("close"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("prev_m", last(col("c_micro"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("prev_u",
+        last(when(col("close").isNotNull, col("u")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("next_m", first(col("c_micro"), ignoreNulls = true)
+        .over(wNext))
+      .withColumn("next_u",
+        first(when(col("close").isNotNull, col("u")), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("k_min",
+        expr("(u - prev_u) div 60000000"))
+      .withColumn("n_min",
+        expr("(next_u - prev_u) div 60000000"))
+      .withColumn("li_micro",
+        when(col("n_min") === 0, col("c_micro")).otherwise(
+          expr("(prev_m * (n_min - k_min) + next_m * k_min) div n_min")))
+      .select(col("symbol"), col("bar_start"),
+        col("close").isNotNull.as("is_real"),
+        col("prev_c").as("close_ff"),
+        (col("li_micro").cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001"))
+            .cast(DecimalType(7, 6)))
+          .cast("double").as("close_li"))
+  }
+
   /** Exact interpolated percentiles of price per symbol (distribution
     * profile). `percentile` is Spark's exact implementation — sorts per
     * group; for 100 TB switch to `percentile_approx` (t-digest sketch,

@@ -298,6 +298,23 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Double]("wmedian_price") == 10.0)
   }
 
+  test("interpolateGaps: missing minutes take the time-weighted blend " +
+      "of their brackets; forward fill stays stale for comparison") {
+    val bars = Seq(
+      ("X", ts("2024-01-01 10:00:00"), 10.0),
+      ("X", ts("2024-01-01 10:03:00"), 16.0))
+      .toDF("symbol", "bar_start", "close")
+    val r = Analytics.interpolateGaps(bars)
+      .orderBy("bar_start").collect()
+    assert(r.length == 4)
+    assert(r.map(_.getAs[Boolean]("is_real")).toSeq ==
+      Seq(true, false, false, true))
+    assert(r.map(_.getAs[Double]("close_li")).toSeq ==
+      Seq(10.0, 12.0, 14.0, 16.0)) // linear ramp
+    assert(r.map(_.getAs[Double]("close_ff")).toSeq ==
+      Seq(10.0, 10.0, 10.0, 16.0)) // the stale step
+  }
+
   test("theilSenTrend: linear series recovers the exact slope; one " +
       "outlier bar cannot move the median where OLS would be dragged") {
     def bars(closes: Seq[Double]) = closes.zipWithIndex.map {
