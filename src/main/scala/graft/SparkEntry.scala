@@ -838,6 +838,9 @@ object SparkEntry {
     // the distributional sanity check for a corpus slice.
     "zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(Tables.documents(s, dir))),
+    // Heaps'-law vocabulary-growth fit: cumulative types vs tokens.
+    "heaps_fit" -> ((s, dir) =>
+      TextAnalysis.heapsFit(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
@@ -1360,6 +1363,9 @@ object SparkEntry {
     // first-order Markov transition matrix of user event journeys.
     "event_transitions" -> ((s, dir) =>
       Sessions.eventTransitions(Tables.events(s, dir))),
+    // Goh-Barabasi inter-arrival burstiness + CV per event type.
+    "event_burstiness" -> ((s, dir) =>
+      Sessions.burstiness(Tables.events(s, dir))),
     // last-touch attribution: purchases credit the latest click/view
     // within 72h (else "direct"); share + mean touch→conv latency.
     "attribution_last_touch" -> ((s, dir) =>
@@ -5106,6 +5112,60 @@ object SparkEntry {
 
     // mirrors TextAnalysis.zipfFit: exact freq/rank, log10 on ints,
     // 12-decimal DECIMAL OLS term sums, slope/intercept at boundary.
+    // mirrors TextAnalysis.heapsFit: per-doc token counts + per-token
+    // first-doc vocabulary contributions, two prefix windows over the
+    // doc-ordered point table, the zipf_fit exact-decimal log-log OLS.
+    "heaps_fit" ->
+      """WITH pd AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents),
+        |ft AS (SELECT u.t AS t, min(doc_id) AS doc_id
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents) d, unnest(toks) AS u(t)
+        |       GROUP BY u.t),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+        |       FROM ft GROUP BY doc_id),
+        |pts0 AS (SELECT pd.doc_id, pd.n_tok,
+        |           coalesce(nt.new_types, 0) AS new_types
+        |         FROM pd LEFT JOIN nt USING (doc_id)),
+        |pts AS (SELECT doc_id,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens,
+        |    CAST(sum(new_types) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_types
+        |  FROM pts0),
+        |terms AS (SELECT cum_tokens, cum_types,
+        |    log10(CAST(cum_tokens AS DOUBLE)) AS x,
+        |    log10(CAST(cum_types AS DOUBLE)) AS y
+        |  FROM pts WHERE cum_tokens > 0 AND cum_types > 0),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    max(cum_tokens) AS n_tokens, max(cum_types) AS n_types,
+        |    sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+        |    sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS sy,
+        |    sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy,
+        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx
+        |  FROM terms)
+        |SELECT n_points, n_tokens, n_types,
+        |  CASE WHEN (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  END AS heaps_beta,
+        |  CASE WHEN (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |      - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE), 6)
+        |  END AS heaps_log10k
+        |FROM g""".stripMargin,
+
     "zipf_fit" ->
       """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
         |freq AS (SELECT lang, t, count(*) AS f FROM toks GROUP BY 1, 2),
@@ -6525,6 +6585,43 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE), 6) AS p
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors Sessions.burstiness: exact µs gap sums (Σg long,
+    // Σg² decimal), the CUSUM double shape for μ/σ rounded 6, CV and
+    // B dividing the ROUNDED values; variance guard nulls NaN sqrt.
+    "event_burstiness" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS u
+        |       FROM events),
+        |gp AS (SELECT event_type,
+        |         u - lag(u) OVER (PARTITION BY event_type
+        |           ORDER BY u, event_id) AS g
+        |       FROM e),
+        |g2 AS (SELECT event_type, g FROM gp WHERE g IS NOT NULL),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(g) AS BIGINT) AS s,
+        |         sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+        |           AS s2
+        |       FROM g2 GROUP BY event_type),
+        |mv AS (SELECT event_type, n_gaps,
+        |         round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+        |           AS mean_gap_us,
+        |         CASE WHEN CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |             - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |               * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) >= 0
+        |           THEN round(sqrt(CAST(s2 AS DOUBLE)
+        |               / CAST(n_gaps AS DOUBLE)
+        |             - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |               * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))), 6)
+        |         END AS sigma_gap_us
+        |       FROM st)
+        |SELECT event_type, n_gaps, mean_gap_us, sigma_gap_us,
+        |  CASE WHEN sigma_gap_us IS NOT NULL AND mean_gap_us > 0
+        |    THEN round(sigma_gap_us / mean_gap_us, 6) END AS cv,
+        |  CASE WHEN sigma_gap_us IS NOT NULL
+        |      AND sigma_gap_us + mean_gap_us > 0
+        |    THEN round((sigma_gap_us - mean_gap_us)
+        |      / (sigma_gap_us + mean_gap_us), 6) END AS burstiness
+        |FROM mv ORDER BY event_type""".stripMargin,
 
     // mirrors DataQuality.psiDrift (10 bins, day<=15 split): Laplace-
     // smoothed shares over the full (type, bin) grid, 12-decimal

@@ -464,6 +464,58 @@ object Sessions {
       .limit(k)
   }
 
+  /** Inter-arrival burstiness per event type: Goh–Barabási
+    * B = (σ−μ)/(σ+μ) over successive gaps, with the coefficient of
+    * variation beside it — the stream-characterization audit that
+    * separates Poisson-like arrivals (B ≈ 0) from bursty ones (B → 1)
+    * and pacemaker-regular ones (B → −1). Capacity planning, anomaly
+    * thresholds and backpressure tuning all key off this, and none of
+    * the drift monitors measures it (they compare distributions of
+    * VALUES; this is the time structure of the arrival process).
+    *
+    * Determinism: gaps are exact µs integers; Σg is a long and Σg² an
+    * exact DECIMAL(18,0)² sum; μ and σ come from those exact sums in
+    * the pinned double shape ([[graft.operators.Analytics]]'s CUSUM
+    * convention), rounded to 6; CV and B divide the ROUNDED values so
+    * both engines branch on identical operands. A non-negative
+    * variance guard nulls instead of NaN-sqrt.
+    *
+    * Scale shape: one type-keyed lag window + one hash agg; output is
+    * |event types| rows.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("u"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("u"))
+      .withColumn("prev_u", lag(col("u"), 1).over(w))
+      .filter(col("prev_u").isNotNull)
+      .select(col("event_type"), (col("u") - col("prev_u")).as("g"))
+    val dec0 = DecimalType(18, 0)
+    val st = gaps.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("g")).as("s"),
+      sum(col("g").cast(dec0) * col("g").cast(dec0)).as("s2"))
+    val mean = col("s").cast("double") / col("n_gaps").cast("double")
+    val varE = col("s2").cast("double") / col("n_gaps").cast("double") -
+      (col("s").cast("double") / col("n_gaps").cast("double")) *
+      (col("s").cast("double") / col("n_gaps").cast("double"))
+    st.select(col("event_type"), col("n_gaps"),
+        round(mean, 6).as("mean_gap_us"),
+        when(varE >= 0, round(sqrt(varE), 6)).as("sigma_gap_us"))
+      .withColumn("cv",
+        when(col("sigma_gap_us").isNotNull && col("mean_gap_us") > 0,
+          round(col("sigma_gap_us") / col("mean_gap_us"), 6)))
+      .withColumn("burstiness",
+        when(col("sigma_gap_us").isNotNull &&
+            col("sigma_gap_us") + col("mean_gap_us") > 0,
+          round((col("sigma_gap_us") - col("mean_gap_us")) /
+            (col("sigma_gap_us") + col("mean_gap_us")), 6)))
+      .orderBy(col("event_type"))
+  }
+
   /** Survival analysis of time-to-conversion: the Nelson–Aalen
     * cumulative-hazard estimator over hours from a user's FIRST event
     * to their first `targetType` event, right-censored at

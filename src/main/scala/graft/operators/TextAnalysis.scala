@@ -734,6 +734,64 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Heaps'-law vocabulary-growth fit V(n) = K·n^β — [[zipfFit]]'s
+    * companion on the OTHER axis: Zipf checks the frequency curve of a
+    * finished corpus, Heaps checks how the vocabulary GROWS as the
+    * corpus accretes (β ≈ 0.4–0.6 for natural text; β near 0 means the
+    * corpus has stopped contributing new types — the
+    * diminishing-returns signal for further crawling; β near 1 means
+    * type-explosion, usually boilerplate ids or encoding junk). One
+    * growth point per document in doc_id order: cumulative tokens vs
+    * cumulative distinct types, then the same exact-decimal log-log
+    * OLS as the Zipf fit.
+    *
+    * The cumulative-type curve needs no rescan: a type's contribution
+    * is its FIRST document (min doc_id per token — one
+    * vocabulary-sized agg), and both cumulatives are prefix windows
+    * over the doc-count-sized point table. The global ordered prefix
+    * is the same parallel-prefix shape as `ks_drift` (bucket offsets +
+    * within-bucket windows) when the doc count is itself data-scale;
+    * at that size you also thin to log-spaced sample points.
+    */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val perDoc = docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("n_tok"))
+    val newTypes = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+    val pts = perDoc.join(newTypes, Seq("doc_id"), "left")
+      .withColumn("cum_tokens", sum(col("n_tok")).over(wDoc))
+      .withColumn("cum_types",
+        sum(coalesce(col("new_types"), lit(0L))).over(wDoc))
+      .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+    val x = log10(col("cum_tokens").cast("double"))
+    val y = log10(col("cum_types").cast("double"))
+    val g = pts.agg(
+      count(lit(1)).as("n_points"),
+      max(col("cum_tokens")).as("n_tokens"),
+      max(col("cum_types")).as("n_types"),
+      sum(round(x, 12).cast(dec)).as("sx"),
+      sum(round(y, 12).cast(dec)).as("sy"),
+      sum(round(x * y, 12).cast(dec)).as("sxy"),
+      sum(round(x * x, 12).cast(dec)).as("sxx"))
+    val n = col("n_points").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    g.select(col("n_points"), col("n_tokens"), col("n_types"),
+      when(den > 0, round((n * d("sxy") - d("sx") * d("sy")) / den, 6))
+        .as("heaps_beta"),
+      when(den > 0, round((d("sy") - (n * d("sxy") - d("sx") * d("sy"))
+        / den * d("sx")) / n, 6)).as("heaps_log10k"))
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
     * train a unigram LM on a reference slice of the corpus (`lang =
     * trainLang` here; CCNet trains KenLM on Wikipedia) and score EVERY

@@ -223,6 +223,35 @@ class SessionsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_sessions") == 2L)
   }
 
+  test("burstiness: pacemaker-regular arrivals score B = -1 with " +
+      "CV 0; a heavy-tailed gap mix scores B > regular") {
+    val events = (
+      // type "reg": every 60 s exactly -> sigma 0
+      (0 until 5).map(i => (100L + i, 1L, "reg",
+        ts("2024-01-01 10:00:00").getTime + i * 60000L)) ++
+      // type "burst": nine 1 s gaps then a 40000 s silence — the
+      // single-spike limit has B -> (sqrt(n)-1)/(sqrt(n)+1), here ~0.52
+      ((0L to 9L) :+ 40009L).zipWithIndex.map { case (s, i) =>
+        (200L + i, 1L, "burst",
+          ts("2024-01-01 10:00:00").getTime + s * 1000L) })
+      .map { case (id, u, t, ms) =>
+        (id, u, t, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val m = Sessions.burstiness(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val reg = m("reg")
+    assert(reg.getAs[Long]("n_gaps") == 4L)
+    assert(reg.getAs[Double]("mean_gap_us") == 6.0e7)
+    assert(reg.getAs[Double]("sigma_gap_us") == 0.0)
+    assert(reg.getAs[Double]("cv") == 0.0)
+    assert(reg.getAs[Double]("burstiness") == -1.0)
+    val b = m("burst")
+    assert(b.getAs[Long]("n_gaps") == 10L)
+    assert(b.getAs[Double]("burstiness") >
+      reg.getAs[Double]("burstiness"))
+    assert(b.getAs[Double]("burstiness") > 0.4) // strongly bursty
+  }
+
   test("conversionSurvival: converters enter at their hour, censoring " +
       "shrinks the risk set, hazards are exact micro-units") {
     // corpus end = user 3's last event (2024-01-20 00:00). user 1

@@ -604,6 +604,37 @@ class TextDedupSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == prf2.map(_.toSeq).toSeq)
   }
 
+  test("heapsFit: growth points accumulate tokens and first-seen " +
+      "types; the log-log OLS recovers the hand-computed slope") {
+    val docsDf = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docsDf).collect().head
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(r.getAs[Long]("n_tokens") == 8L) // 2 + 2 + 4
+    assert(r.getAs[Long]("n_types") == 4L)  // a b c d
+    // points: (2,2) (4,3) (8,4) — recompute with the impl's exact
+    // decimal accumulation and boundary double formula
+    val xs = Seq(2L, 4L, 8L).map(v =>
+      BigDecimal(math.log10(v.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    val ys = Seq(2L, 3L, 4L).map(v =>
+      BigDecimal(math.log10(v.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    val xys = xs.zip(ys).map { case (a, b) =>
+      BigDecimal(a.toDouble * b.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP) }
+    val xxs = xs.map(a => BigDecimal(a.toDouble * a.toDouble)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    val (sx, sy, sxy, sxx) =
+      (xs.sum.toDouble, ys.sum.toDouble, xys.sum.toDouble, xxs.sum.toDouble)
+    val n = 3.0
+    val den = n * sxx - sx * sx
+    val beta = BigDecimal((n * sxy - sx * sy) / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("heaps_beta") == beta)
+    assert(beta > 0 && beta < 1) // sublinear growth
+  }
+
   test("rakeKeyphrases: multi-word phrases outrank constituents via " +
       "degree; stopwords split runs; long runs dropped") {
     val docsDf = Seq((1L, "new york is the big apple"),
