@@ -1386,6 +1386,10 @@ object SparkEntry {
     // contamination blast-radius traversal over the same LSH graph.
     "knn_bfs" -> ((s, dir) =>
       Similarity.knnBfs(Tables.embeddings(s, dir))),
+    // edge/node/degree curve of the LSH graph across cosine thresholds
+    // — the knob audit the whole knn_* family inherits.
+    "lsh_threshold_sweep" -> ((s, dir) =>
+      Similarity.lshThresholdSweep(Tables.embeddings(s, dir))),
     // mergeable histogram quantiles graded against the exact discrete
     // percentile — the oracle-able t-digest stand-in.
     "sketch_quantile_hist" -> ((s, dir) =>
@@ -5661,6 +5665,27 @@ object SparkEntry {
          |FROM r5 JOIN dg ON dg.id = r5.id
          |ORDER BY vec_id""".stripMargin
     },
+
+    // mirrors Similarity.lshThresholdSweep: the shared LSH pair CTE is
+    // threshold-free; each pair explodes to the thresholds it clears.
+    "lsh_threshold_sweep" ->
+      s"""$embLshPairsCte,
+         |sw AS (SELECT p.id1, p.id2, th.t AS threshold FROM p,
+         |        unnest([CAST(0.35 AS DOUBLE), CAST(0.45 AS DOUBLE),
+         |                CAST(0.55 AS DOUBLE), CAST(0.65 AS DOUBLE),
+         |                CAST(0.75 AS DOUBLE)]) AS th(t)
+         |      WHERE p.cosine >= th.t),
+         |ec AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM sw GROUP BY threshold),
+         |nc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM (SELECT DISTINCT threshold, u.id FROM
+         |               (SELECT threshold, [id1, id2] AS ids FROM sw),
+         |               unnest(ids) AS u(id))
+         |       GROUP BY threshold)
+         |SELECT ec.threshold, n_edges, n_nodes,
+         |  round(2.0 * n_edges / n_nodes, 6) AS mean_degree
+         |FROM ec JOIN nc USING (threshold)
+         |ORDER BY threshold""".stripMargin,
 
     // mirrors Similarity.knnBfs: 4 unrolled BFS rounds over the same
     // LSH edge list; frontier i = distinct neighbors of level i-1 not

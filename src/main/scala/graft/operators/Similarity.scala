@@ -225,6 +225,41 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Near-dup graph threshold sweep: edge/node/degree counts of the
+    * LSH near-neighbor graph at each candidate cosine threshold — the
+    * KNOB audit for the whole graph family ([[knnPagerank]],
+    * [[knnCommunities]], [[knnBfs]], dedup clustering all inherit this
+    * one parameter): a threshold where the edge count cliffs is a
+    * phase boundary (slightly lower floods components together,
+    * slightly higher shatters them), and you want to SEE that curve
+    * before trusting any downstream clustering. One candidate-pair
+    * table (built at the LOOSEST threshold — the knob is a pure
+    * post-filter over verified cosines), each pair exploded to the
+    * thresholds it clears, then two vocabulary-sized aggregations;
+    * mean degree = 2E/N rounds once at the boundary.
+    */
+  def lshThresholdSweep(embeddings: DataFrame,
+                        thresholds: Seq[Double] =
+                          Seq(0.35, 0.45, 0.55, 0.65, 0.75)): DataFrame = {
+    val pairs = cosineNearDupLsh(embeddings, threshold = thresholds.min)
+    val e = pairs.select(col("id1"), col("id2"), col("cosine"))
+      .withColumn("threshold",
+        explode(array(thresholds.map(lit): _*)))
+      .filter(col("cosine") >= col("threshold"))
+    val edges = e.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_edges"))
+    val nodes = e
+      .select(col("threshold"),
+        explode(array(col("id1"), col("id2"))).as("id"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_nodes"))
+    edges.join(nodes, Seq("threshold"))
+      .select(col("threshold"), col("n_edges"), col("n_nodes"),
+        round(lit(2.0) * col("n_edges") / col("n_nodes"), 6)
+          .as("mean_degree"))
+      .orderBy(col("threshold"))
+  }
+
   /** Rounded squared L2 distance between two equal-length double arrays
     * — one sequential zip-fold (bit-identical to DuckDB's
     * list_sum∘list_transform∘list_zip), rounded to 6 decimals at the

@@ -1279,6 +1279,21 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("lshThresholdSweep: counts are per-threshold cumulative and a " +
+      "threshold nothing clears yields no row") {
+    // three collinear vectors: every pairwise cosine is exactly 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.lshThresholdSweep(vecs,
+      thresholds = Seq(0.5, 1.5)).collect()
+    assert(r.length == 1) // nothing reaches 1.5
+    assert(r.head.getAs[Double]("threshold") == 0.5)
+    assert(r.head.getAs[Long]("n_edges") == 3L) // all C(3,2) pairs
+    assert(r.head.getAs[Long]("n_nodes") == 3L)
+    assert(r.head.getAs[Double]("mean_degree") == 2.0)
+  }
+
   test("retrievalEval: full probing scores perfect nDCG/MRR; a missed " +
       "cell costs exactly the unreached graded gain") {
     val vecs = Seq(
