@@ -265,6 +265,10 @@ object SparkEntry {
     "symbol_beta" -> ((s, dir) =>
       Analytics.symbolBeta(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // lead-lag cross-correlation vs the market at +-2 hourly lags.
+    "symbol_leadlag" -> ((s, dir) =>
+      Analytics.symbolLeadLag(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
     // deepest peak-to-trough loss of each symbol's close series.
     "symbol_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(
@@ -841,6 +845,9 @@ object SparkEntry {
     // Heaps'-law vocabulary-growth fit: cumulative types vs tokens.
     "heaps_fit" -> ((s, dir) =>
       TextAnalysis.heapsFit(Tables.documents(s, dir))),
+    // exact-quota stratified train/val/test assignment per stratum.
+    "stratified_split" -> ((s, dir) =>
+      TextAnalysis.stratifiedSplit(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
@@ -1279,6 +1286,9 @@ object SparkEntry {
     // two-proportion z-test per event type between salted A/B arms.
     "ab_test_z" -> ((s, dir) =>
       DataQuality.abTestZ(Tables.events(s, dir))),
+    // leakage-safe out-of-fold target encoding on the cv_folds folds.
+    "target_encode_oof" -> ((s, dir) =>
+      DataQuality.targetEncodeOof(Tables.events(s, dir))),
     // exact two-sample KS over event values (parallel-prefix CDF form):
     // purchase-vs-click and purchase-vs-error.
     "ks_drift" -> ((s, dir) => {
@@ -2911,6 +2921,55 @@ object SparkEntry {
          |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
          |  END AS beta
          |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.symbolLeadLag: the beta machinery's exact
+    // decimal returns + market series, lag alignment via exploded µs
+    // offsets, full co-moment correlation in doubles at the boundary,
+    // best flag ranking ROUNDED correlations with smaller-lag ties.
+    "symbol_leadlag" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |rr AS (SELECT symbol, bar_start, close,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_start)
+         |           AS prev
+         |       FROM bars),
+         |r AS (SELECT symbol, epoch_us(bar_start) AS u,
+         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |mkt AS (SELECT u AS mu,
+         |          CAST(round(CAST(sum(ret) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6))
+         |            AS mret
+         |        FROM r GROUP BY u),
+         |lg AS (SELECT r.symbol, r.ret, lh.l AS lag_h,
+         |         r.u + lh.l * 3600000000 AS mu
+         |       FROM r, unnest([-2, -1, 0, 1, 2]) AS lh(l)),
+         |g AS (SELECT lg.symbol, lg.lag_h,
+         |        CAST(count(*) AS BIGINT) AS n_obs,
+         |        sum(mkt.mret) AS sx, sum(lg.ret) AS sy,
+         |        sum(CAST(mkt.mret * lg.ret AS DECIMAL(38,12))) AS sxy,
+         |        sum(CAST(mkt.mret * mkt.mret AS DECIMAL(38,12))) AS sxx,
+         |        sum(CAST(lg.ret * lg.ret AS DECIMAL(38,12))) AS syy
+         |      FROM lg JOIN mkt ON mkt.mu = lg.mu
+         |      GROUP BY lg.symbol, lg.lag_h),
+         |cr AS (SELECT symbol, CAST(lag_h AS INT) AS lag_hours, n_obs,
+         |        CASE WHEN (CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |            * (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |          THEN round((CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |            / sqrt((CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |            * (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |        END AS xcorr
+         |      FROM g)
+         |SELECT symbol, lag_hours, n_obs, xcorr,
+         |  (row_number() OVER (PARTITION BY symbol
+         |     ORDER BY xcorr DESC NULLS LAST, lag_hours) = 1
+         |   AND xcorr IS NOT NULL) AS is_best
+         |FROM cr ORDER BY symbol, lag_hours""".stripMargin,
 
     "symbol_drawdown" ->
       s"""$tradesCte,
@@ -5116,6 +5175,47 @@ object SparkEntry {
 
     // mirrors TextAnalysis.zipfFit: exact freq/rank, log10 on ints,
     // 12-decimal DECIMAL OLS term sums, slope/intercept at boundary.
+    // mirrors TextAnalysis.stratifiedSplit: salted-hash rank within
+    // (lang, source), exact integer quota boundaries (p·n+99)//100.
+    "stratified_split" ->
+      s"""WITH r AS (SELECT doc_id, lang, source,
+         |        ${h60("'split_' || doc_id")} AS okey
+         |      FROM documents),
+         |rk AS (SELECT doc_id, lang, source,
+         |         CAST(row_number() OVER (PARTITION BY lang, source
+         |           ORDER BY okey, doc_id) AS BIGINT) AS rank_in_stratum,
+         |         CAST(count(*) OVER (PARTITION BY lang, source)
+         |           AS BIGINT) AS n
+         |       FROM r)
+         |SELECT doc_id, lang, source, rank_in_stratum,
+         |  CASE WHEN rank_in_stratum <= (80 * n + 99) // 100 THEN 'train'
+         |       WHEN rank_in_stratum <= (90 * n + 99) // 100 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rk ORDER BY lang, source, rank_in_stratum""".stripMargin,
+
+    // mirrors DataQuality.targetEncodeOof: cv_folds' salted user fold,
+    // exact decimal value sums, OOF mean = (S-S_f)/(N-N_f) with one
+    // double division at the boundary.
+    "target_encode_oof" ->
+      s"""WITH t AS (SELECT event_type,
+         |        CAST(${h60("'fold_' || user_id")} % 5 AS INT) AS fold,
+         |        CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+         |      FROM events),
+         |pf AS (SELECT event_type, fold,
+         |         CAST(count(*) AS BIGINT) AS n_f, sum(v) AS s_f
+         |       FROM t GROUP BY event_type, fold),
+         |tt AS (SELECT event_type, fold, n_f, s_f,
+         |         CAST(sum(n_f) OVER (PARTITION BY event_type)
+         |           AS BIGINT) AS n_tot,
+         |         sum(s_f) OVER (PARTITION BY event_type) AS s_tot
+         |       FROM pf)
+         |SELECT event_type, fold, n_f AS n_in_fold,
+         |  n_tot - n_f AS n_oof,
+         |  CASE WHEN n_tot - n_f > 0 THEN
+         |    round(CAST(s_tot - s_f AS DOUBLE)
+         |      / CAST(n_tot - n_f AS DOUBLE), 6) END AS oof_mean
+         |FROM tt ORDER BY event_type, fold""".stripMargin,
+
     // mirrors TextAnalysis.heapsFit: per-doc token counts + per-token
     // first-doc vocabulary contributions, two prefix windows over the
     // doc-ordered point table, the zipf_fit exact-decimal log-log OLS.

@@ -455,6 +455,68 @@ object Analytics {
       .orderBy(col("symbol"))
   }
 
+  /** Lead–lag cross-correlation per symbol: correlation of the
+    * symbol's hourly log return at t against the MARKET return at
+    * t + lag for each lag in ±`maxLagHours` — [[symbolBeta]] answers
+    * "how much does this symbol move with the market"; this answers
+    * "does it move FIRST" (positive-lag peak = the symbol leads,
+    * negative = it follows — the price-discovery question). Exact
+    * decimal co-moments (Σx, Σy, Σxy, Σx², Σy²) per (symbol, lag)
+    * keep the matrix bit-stable under any partitioning; the textbook
+    * correlation evaluates in doubles once at the boundary, and the
+    * best-lag flag ranks the ROUNDED correlations (ties to the
+    * smaller lag).
+    *
+    * Scale shape: the lag alignment is the banded equi-join again —
+    * each return row explodes its 2L+1 lag offsets and equi-joins the
+    * broadcast hours-sized market series on exact µs; one
+    * (symbol, lag)-keyed agg follows.
+    */
+  def symbolLeadLag(bars: DataFrame, maxLagHours: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val r = bars
+      .select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"), unix_micros(col("bar_start")).as("u"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("ret"))
+    val mkt = r.groupBy(col("u"))
+      .agg(sum(col("ret")).as("sr"), count(lit(1)).as("nr"))
+      .select(col("u").as("mu"),
+        round(col("sr").cast("double") / col("nr").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("mret"))
+    val lagged = r.withColumn("lag_h",
+        explode(array((-maxLagHours to maxLagHours).map(l => lit(l)): _*)))
+      .withColumn("mu",
+        col("u") + col("lag_h").cast("long") * lit(3600000000L))
+    val g = lagged.join(broadcast(mkt), Seq("mu"))
+      .groupBy(col("symbol"), col("lag_h"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("mret")).as("sx"), sum(col("ret")).as("sy"),
+        sum((col("mret") * col("ret")).cast(DecimalType(38, 12)))
+          .as("sxy"),
+        sum((col("mret") * col("mret")).cast(DecimalType(38, 12)))
+          .as("sxx"),
+        sum((col("ret") * col("ret")).cast(DecimalType(38, 12)))
+          .as("syy"))
+    val n = col("n_obs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = (n * d("sxx") - d("sx") * d("sx")) *
+      (n * d("syy") - d("sy") * d("sy"))
+    val wBest = Window.partitionBy(col("symbol"))
+      .orderBy(col("xcorr").desc_nulls_last, col("lag_h"))
+    g.withColumn("xcorr",
+        when(den > 0,
+          round((n * d("sxy") - d("sx") * d("sy")) / sqrt(den), 6)))
+      .withColumn("is_best",
+        row_number().over(wBest) === 1 && col("xcorr").isNotNull)
+      .select(col("symbol"), col("lag_h").as("lag_hours"),
+        col("n_obs"), col("xcorr"), col("is_best"))
+      .orderBy(col("symbol"), col("lag_hours"))
+  }
+
   /** Maximum drawdown per symbol: the deepest peak-to-trough loss of
     * the close series — running cumulative max (one window pass), then
     * the per-symbol min of close/peak − 1. Map-linear; the window

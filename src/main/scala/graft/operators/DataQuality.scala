@@ -475,6 +475,46 @@ object DataQuality {
       .orderBy(col("fold"))
   }
 
+  /** Leakage-safe out-of-fold target encoding — the feature-
+    * engineering companion of [[cvFolds]]: encode a categorical
+    * (event_type) by the mean of a target (value) computed WITHOUT the
+    * fold being encoded, so a model trained on fold i never sees a
+    * statistic that contains its own rows (naive whole-corpus target
+    * encoding is one of the classic silent leaks). Folds reuse
+    * [[cvFolds]]'s exact salted USER hash — the same correlated-rows
+    * discipline, and the two operators agree on membership by
+    * construction.
+    *
+    * The OOF mean is (S_type − S_fold)/(N_type − N_fold) over EXACT
+    * decimal sums (values rounded to 6 then summed as DECIMAL — no
+    * order dependence), with one double division at the boundary; a
+    * group-total window rides the same (type, fold) aggregation, so
+    * nothing rescans the facts.
+    */
+  def targetEncodeOof(events: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val wType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    events.select(col("event_type"),
+        pmod(hash60(concat(lit("fold_"), col("user_id"))),
+          lit(k.toLong)).cast("int").as("fold"),
+        round(col("value"), 6).cast(dec).as("v"))
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col("v")).as("s_f"))
+      .withColumn("n_tot", sum(col("n_f")).over(wType))
+      .withColumn("s_tot", sum(col("s_f")).over(wType))
+      .select(col("event_type"), col("fold"),
+        col("n_f").as("n_in_fold"),
+        (col("n_tot") - col("n_f")).as("n_oof"),
+        when(col("n_tot") - col("n_f") > 0,
+          round((col("s_tot") - col("s_f")).cast("double") /
+            (col("n_tot") - col("n_f")).cast("double"), 6))
+          .as("oof_mean"))
+      .orderBy(col("event_type"), col("fold"))
+  }
+
   /** Two-proportion z-test per event type between salted-hash A/B
     * arms — the EXPERIMENT readout beside the drift monitors: KS/PSI
     * ask "did the distribution move over time", this asks "do two

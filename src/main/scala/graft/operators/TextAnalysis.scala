@@ -2456,6 +2456,42 @@ object TextAnalysis {
     * by INTEGER support with token tie-breaks, so no libm ulp can
     * reorder it.
     */
+  /** Stratified train/val/test split with EXACT per-stratum quotas —
+    * the assignment operator behind `split_audit`'s parity check:
+    * within every (lang, source) stratum, docs rank by a content-
+    * stable salted hash and the first ⌈train%·n⌉ go to train, the
+    * next ⌈(train+val)%·n⌉ boundary to val, the rest to test. Unlike
+    * the pure hash-bucket split (whose proportions only hold in
+    * expectation — a small stratum can land 100% in train), quotas
+    * are exact by construction in every stratum; the trade-off,
+    * documented here because it matters operationally: quota
+    * BOUNDARIES move when the corpus grows (rank is relative), so
+    * freeze the assignment table per release rather than recomputing
+    * (the hash split is the stable-under-growth alternative; this is
+    * the exact-proportion one).
+    *
+    * Quota arithmetic is integer-exact: ⌈p·n/100⌉ = (p·n+99) DIV 100
+    * in both engines. One stratum-keyed rank window (the count rides
+    * the same partition), map-only after.
+    */
+  def stratifiedSplit(docs: DataFrame, trainPct: Int = 80,
+                      valPct: Int = 10): DataFrame = {
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+    val w = byStratum.orderBy(col("okey"), col("doc_id"))
+    val valBound = trainPct + valPct
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        hash60(concat(lit("split_"), col("doc_id"))).as("okey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byStratum))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").as("rank_in_stratum"),
+        when(col("rk") <= expr(s"($trainPct * n + 99) div 100"), "train")
+          .when(col("rk") <= expr(s"($valBound * n + 99) div 100"), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("lang"), col("source"), col("rank_in_stratum"))
+  }
+
   /** RAKE keyphrase extraction [Rose et al. 2010] — PHRASE-level
     * salience where [[tokenPmi]] ranks pairs and [[tfidfTopTerms]]
     * ranks single terms: candidate phrases are maximal runs of

@@ -298,6 +298,20 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Double]("wmedian_price") == 10.0)
   }
 
+  test("symbolLeadLag: a single symbol IS the market, so lag 0 " +
+      "correlates exactly 1 and wins the best flag") {
+    val bars = Seq(10.0, 11.0, 10.5, 11.5, 10.8, 12.0).zipWithIndex.map {
+      case (c, h) => ("X", ts(f"2024-01-01 $h%02d:00:00"), c)
+    }.toDF("symbol", "bar_start", "close")
+    val r = Analytics.symbolLeadLag(bars).collect()
+    val byLag = r.map(x => x.getAs[Int]("lag_hours") -> x).toMap
+    assert(byLag(0).getAs[Double]("xcorr") == 1.0)
+    assert(byLag(0).getAs[Boolean]("is_best"))
+    assert(byLag(0).getAs[Long]("n_obs") == 5L)
+    assert(byLag(1).getAs[Long]("n_obs") == 4L) // boundary shrinks
+    assert(r.count(_.getAs[Boolean]("is_best")) == 1)
+  }
+
   test("interpolateGaps: missing minutes take the time-weighted blend " +
       "of their brackets; forward fill stays stale for comparison") {
     val bars = Seq(

@@ -218,6 +218,26 @@ class DataQualitySpec extends SparkSpec {
     assert(one.length == 1 && one.head.getAs[Long]("n_leaky_users") == 0L)
   }
 
+  test("targetEncodeOof: the spike user's own fold never sees its " +
+      "value; constant targets encode to the constant in every fold") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = ((1L to 10L).map(u => (u, "x", 1.0)) :+
+      (99L, "x", 101.0))
+      .map { case (u, ty, v) => (u, ty, v, t0) }
+      .toDF("user_id", "event_type", "value", "ts")
+    val r = DataQuality.targetEncodeOof(events).collect()
+    assert(r.map(_.getAs[Long]("n_in_fold")).sum == 11L)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_oof") ==
+        11L - row.getAs[Long]("n_in_fold"))
+    }
+    // the fold containing user 99 excludes the spike -> exactly 1.0;
+    // every other fold's OOF mean contains it -> strictly above 1.0
+    val means = r.map(_.getAs[Double]("oof_mean"))
+    assert(means.count(_ == 1.0) == 1)
+    assert(means.filter(_ != 1.0).forall(_ > 1.0))
+  }
+
   test("abTestZ: pooled z matches the hand formula; universal " +
       "conversion degenerates to NULL z, not a division blow-up") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

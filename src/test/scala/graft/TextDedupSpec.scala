@@ -604,6 +604,28 @@ class TextDedupSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == prf2.map(_.toSeq).toSeq)
   }
 
+  test("stratifiedSplit: quotas are exact in every stratum, a " +
+      "1-doc stratum lands in train, assignment is rerun-stable") {
+    val docsDf = ((1L to 10L).map(i => (i, "t", "en", "s1")) :+
+      (99L, "t", "zh", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.stratifiedSplit(docsDf).collect()
+    val en = r.filter(_.getAs[String]("lang") == "en")
+    assert(en.count(_.getAs[String]("split") == "train") == 8)
+    assert(en.count(_.getAs[String]("split") == "val") == 1)
+    assert(en.count(_.getAs[String]("split") == "test") == 1)
+    // quota order: train ranks strictly below val below test
+    val bySplit = en.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("rank_in_stratum")).max).toMap
+    assert(bySplit("train") < bySplit("val") &&
+      bySplit("val") < bySplit("test"))
+    // ceil quota puts a singleton stratum entirely in train
+    val zh = r.filter(_.getAs[String]("lang") == "zh")
+    assert(zh.length == 1 && zh.head.getAs[String]("split") == "train")
+    assert(TextAnalysis.stratifiedSplit(docsDf).collect().toSeq ==
+      r.toSeq) // content-stable
+  }
+
   test("heapsFit: growth points accumulate tokens and first-seen " +
       "types; the log-log OLS recovers the hand-computed slope") {
     val docsDf = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
