@@ -269,6 +269,9 @@ object SparkEntry {
     "symbol_leadlag" -> ((s, dir) =>
       Analytics.symbolLeadLag(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // Kyle's lambda: price-impact slope of bar price change on signed flow.
+    "symbol_kyle_lambda" -> ((s, dir) =>
+      Analytics.kyleLambda(Trades.fromEvents(Tables.events(s, dir)))),
     // deepest peak-to-trough loss of each symbol's close series.
     "symbol_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(
@@ -1289,6 +1292,9 @@ object SparkEntry {
     // leakage-safe out-of-fold target encoding on the cv_folds folds.
     "target_encode_oof" -> ((s, dir) =>
       DataQuality.targetEncodeOof(Tables.events(s, dir))),
+    // Cochran-Mantel-Haenszel stratified A/B test over cohort weeks.
+    "ab_test_cmh" -> ((s, dir) =>
+      DataQuality.abTestCmh(Tables.events(s, dir))),
     // exact two-sample KS over event values (parallel-prefix CDF form):
     // purchase-vs-click and purchase-vs-error.
     "ks_drift" -> ((s, dir) => {
@@ -1376,6 +1382,9 @@ object SparkEntry {
     // Goh-Barabasi inter-arrival burstiness + CV per event type.
     "event_burstiness" -> ((s, dir) =>
       Sessions.burstiness(Tables.events(s, dir))),
+    // Markov removal-effect attribution over first-order journeys.
+    "attribution_markov" -> ((s, dir) =>
+      Sessions.attributionMarkov(Tables.events(s, dir))),
     // last-touch attribution: purchases credit the latest click/view
     // within 72h (else "direct"); share + mean touch→conv latency.
     "attribution_last_touch" -> ((s, dir) =>
@@ -2920,6 +2929,42 @@ object SparkEntry {
          |         / (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
          |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
          |  END AS beta
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.kyleLambda: hourly bars for the price change,
+    // side-split exact decimal flow sums on the same bucket, the beta
+    // co-moment OLS; lambda is small so it rounds at 9.
+    "symbol_kyle_lambda" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |dpt AS (SELECT symbol, bar_start,
+         |          CAST(round(close - open, 6) AS DECIMAL(18,6)) AS dp
+         |        FROM bars),
+         |flw AS (SELECT symbol,
+         |          time_bucket(INTERVAL 1 HOUR, event_time) AS bar_start,
+         |          CAST(sum(CASE WHEN side = 'buy'
+         |                THEN CAST(size AS DECIMAL(18,6))
+         |                ELSE CAST(0 AS DECIMAL(18,6)) END)
+         |            - sum(CASE WHEN side = 'sell'
+         |                THEN CAST(size AS DECIMAL(18,6))
+         |                ELSE CAST(0 AS DECIMAL(18,6)) END)
+         |            AS DECIMAL(18,6)) AS sv
+         |        FROM trades GROUP BY symbol, 2),
+         |g AS (SELECT d.symbol, CAST(count(*) AS BIGINT) AS n_bars,
+         |        sum(f.sv) AS sx, sum(d.dp) AS sy,
+         |        sum(CAST(f.sv * d.dp AS DECIMAL(38,12))) AS sxy,
+         |        sum(CAST(f.sv * f.sv AS DECIMAL(38,12))) AS sxx
+         |      FROM dpt d JOIN flw f ON f.symbol = d.symbol
+         |        AND f.bar_start = d.bar_start
+         |      GROUP BY d.symbol)
+         |SELECT symbol, n_bars,
+         |  CASE WHEN (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |       THEN round((CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+         |  END AS kyle_lambda
          |FROM g ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.symbolLeadLag: the beta machinery's exact
@@ -5193,6 +5238,48 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM rk ORDER BY lang, source, rank_in_stratum""".stripMargin,
 
+    // mirrors DataQuality.abTestCmh: per-user fold to (cohort-week
+    // stratum, arm, conv), per-stratum 2x2 counts, E/V as pinned
+    // double expressions rounded 12 summed as DECIMAL, chi2 at the
+    // boundary from the exact sums.
+    "ab_test_cmh" ->
+      s"""WITH per AS (SELECT user_id, min(ts) AS first_ts,
+         |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |          AS conv
+         |      FROM events GROUP BY user_id),
+         |ua AS (SELECT date_trunc('week', first_ts) AS stratum, conv,
+         |         CAST(${h60("'ab_' || user_id")} % 2 AS BIGINT) AS arm
+         |       FROM per),
+         |tab0 AS (SELECT stratum,
+         |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m1
+         |  FROM ua GROUP BY stratum),
+         |tab AS (SELECT *, n1 + n0 AS t, (n1 + n0) - m1 AS m0
+         |        FROM tab0 WHERE n1 + n0 > 1),
+         |ev AS (SELECT *,
+         |    CAST(round(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+         |      / CAST(t AS DOUBLE), 12) AS DECIMAL(28,12)) AS e,
+         |    CAST(round(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |        * CAST(m1 AS DOUBLE) * CAST(m0 AS DOUBLE)
+         |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+         |        * (CAST(t AS DOUBLE) - 1.0)), 12) AS DECIMAL(28,12))
+         |      AS v
+         |  FROM tab),
+         |tot AS (SELECT CAST(sum(a) AS BIGINT) AS sum_a,
+         |          sum(e) AS sum_e, sum(v) AS sum_v FROM ev)
+         |SELECT stratum, a, n1, n0, m1, m0, e, v,
+         |  CASE WHEN CAST(sum_v AS DOUBLE) > 0 THEN
+         |    round((CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
+         |      * (CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
+         |      / CAST(sum_v AS DOUBLE), 6) END AS cmh_chi2
+         |FROM ev, tot ORDER BY stratum""".stripMargin,
+
     // mirrors DataQuality.targetEncodeOof: cv_folds' salted user fold,
     // exact decimal value sums, OOF mean = (S-S_f)/(N-N_f) with one
     // double division at the boundary.
@@ -6710,6 +6797,79 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE), 6) AS p
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors Sessions.attributionMarkov: journeys truncated at the
+    // first conversion, per-rm transition replicas with entry
+    // redirection, 12 unrolled value-iteration stages with the
+    // PageRank decimal discipline, micro-scaled integer shares.
+    "attribution_markov" -> {
+      val iters = (1 to 12).map { i =>
+        s""",
+           |v$i AS (SELECT rm, state, v FROM v0
+           |        UNION ALL
+           |        SELECT tr2.rm, tr2.f AS state,
+           |          CAST(sum(CAST(round(CAST(tr2.p AS DOUBLE)
+           |            * CAST(v${i - 1}.v AS DOUBLE), 12)
+           |            AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS v
+           |        FROM tr2 JOIN v${i - 1}
+           |          ON v${i - 1}.rm = tr2.rm AND v${i - 1}.state = tr2.t
+           |        GROUP BY tr2.rm, tr2.f)""".stripMargin
+      }.mkString
+      s"""WITH u AS (SELECT user_id,
+         |        min(CASE WHEN event_type = 'purchase' THEN ts END)
+         |          AS conv_ts
+         |      FROM events GROUP BY user_id),
+         |b AS (SELECT e.user_id, 1 AS phase, epoch_us(e.ts) AS uu,
+         |        e.event_id AS eid, e.event_type AS state
+         |      FROM events e JOIN u USING (user_id)
+         |      WHERE e.event_type <> 'purchase'
+         |        AND (u.conv_ts IS NULL OR e.ts < u.conv_ts)),
+         |sq AS (SELECT * FROM b
+         |       UNION ALL SELECT user_id, 0, 0, 0, 'start' FROM u
+         |       UNION ALL SELECT user_id, 2, 0, 0,
+         |         CASE WHEN conv_ts IS NOT NULL THEN 'conv'
+         |              ELSE 'null' END
+         |       FROM u),
+         |tt AS (SELECT state AS f, lead(state) OVER (PARTITION BY user_id
+         |         ORDER BY phase, uu, eid) AS t
+         |       FROM sq),
+         |tc AS (SELECT f, t, count(*) AS n FROM tt WHERE t IS NOT NULL
+         |       GROUP BY f, t),
+         |oc AS (SELECT f, sum(n) AS o FROM tc GROUP BY f),
+         |tp AS (SELECT tc.f, tc.t,
+         |         CAST(round(CAST(n AS DOUBLE) / CAST(o AS DOUBLE), 12)
+         |           AS DECIMAL(16,12)) AS p
+         |       FROM tc JOIN oc USING (f)),
+         |rms AS (SELECT DISTINCT state AS rm FROM b
+         |        UNION ALL SELECT '__none__'),
+         |tr2 AS (SELECT r.rm, tp.f,
+         |          CASE WHEN tp.t = r.rm THEN 'null' ELSE tp.t END AS t,
+         |          tp.p
+         |        FROM tp, rms r WHERE tp.f <> r.rm),
+         |v0 AS (SELECT rm, 'conv' AS state,
+         |         CAST(1 AS DECIMAL(28,12)) AS v FROM rms
+         |       UNION ALL
+         |       SELECT rm, 'null', CAST(0 AS DECIMAL(28,12)) FROM rms)$iters,
+         |vs AS (SELECT rm, v FROM v12 WHERE state = 'start'),
+         |p0 AS (SELECT v AS pv FROM vs WHERE rm = '__none__'),
+         |ef AS (SELECT rm AS channel,
+         |         round(CAST(p0.pv AS DOUBLE), 6) AS p_conv_base,
+         |         round(CAST(vs.v AS DOUBLE), 6) AS p_conv_removed,
+         |         CASE WHEN CAST(p0.pv AS DOUBLE) > 0 THEN
+         |           round((CAST(p0.pv AS DOUBLE) - CAST(vs.v AS DOUBLE))
+         |             / CAST(p0.pv AS DOUBLE), 6) END AS removal_effect
+         |       FROM vs, p0 WHERE rm <> '__none__'),
+         |em AS (SELECT *, CASE WHEN removal_effect > 0
+         |           THEN CAST(round(removal_effect * 1e6, 0) AS BIGINT)
+         |           ELSE 0 END AS re_micro
+         |       FROM ef),
+         |tot AS (SELECT CAST(sum(re_micro) AS BIGINT) AS te FROM em)
+         |SELECT channel, p_conv_base, p_conv_removed, removal_effect,
+         |  CASE WHEN te > 0 AND re_micro > 0 THEN
+         |    round(CAST(re_micro AS DOUBLE) / CAST(te AS DOUBLE), 6) END
+         |    AS share
+         |FROM em, tot ORDER BY channel""".stripMargin
+    },
 
     // mirrors Sessions.burstiness: exact µs gap sums (Σg long,
     // Σg² decimal), the CUSUM double shape for μ/σ rounded 6, CV and

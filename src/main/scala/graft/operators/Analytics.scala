@@ -558,6 +558,50 @@ object Analytics {
       .orderBy(col("symbol"), col("bar_start"))
   }
 
+  /** Kyle's lambda per symbol: the OLS slope of within-bar price
+    * change on signed order flow (buy − sell volume) — the PRICE
+    * IMPACT coefficient: how many dollars one unit of net aggression
+    * moves the price. [[flowImbalance]] reports the pressure;
+    * lambda prices it — the microstructure number behind execution
+    * cost models and toxicity monitors. Flow sums are exact decimals,
+    * the price change rounds to 6 then joins the co-moment machinery
+    * of [[symbolBeta]] (products exact DECIMAL(38,12), one double
+    * division at the boundary; λ is small, so it rounds at 9).
+    *
+    * One trades scan each for bars and flow (both on the same
+    * (symbol, window) key), one equi-join, one per-symbol agg.
+    */
+  def kyleLambda(trades: DataFrame,
+                 barWidth: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val bars = Gold.bars(trades, barWidth)
+      .select(col("symbol"), col("bar_start"),
+        round(col("close") - col("open"), 6).cast(dec).as("dp"))
+    def side(s: String) =
+      sum(when(col("side") === s, col("size").cast(dec))
+        .otherwise(lit(0).cast(dec)))
+    val fl = trades
+      .groupBy(col("symbol"), window(col("event_time"), barWidth).as("w"))
+      .agg(side("buy").as("b"), side("sell").as("s"))
+      .select(col("symbol"), col("w.start").as("bar_start"),
+        (col("b") - col("s")).cast(dec).as("sv"))
+    val g = bars.join(fl, Seq("symbol", "bar_start"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("sv")).as("sx"), sum(col("dp")).as("sy"),
+        sum((col("sv") * col("dp")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("sv") * col("sv")).cast(DecimalType(38, 12))).as("sxx"))
+    val n = col("n_bars").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    g.select(col("symbol"), col("n_bars"),
+        when(den > 0,
+          round((n * d("sxy") - d("sx") * d("sy")) / den, 9))
+          .as("kyle_lambda"))
+      .orderBy(col("symbol"))
+  }
+
   /** Winsorized per-symbol price statistics: clip prices to the exact
     * [p01, p99] band before computing mean/stddev — the robust-moments
     * step an outlier-laden feed (fat-finger prints, bad ticks) needs

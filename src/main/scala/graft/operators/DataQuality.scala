@@ -515,6 +515,66 @@ object DataQuality {
       .orderBy(col("event_type"), col("fold"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified A/B test — the
+    * Simpson's-paradox guard beside [[abTestZ]]: the pooled z can
+    * flip sign when arms are imbalanced across strata (here:
+    * first-activity cohort weeks), because a lurking stratum variable
+    * confounds the marginal table. CMH tests the common effect ACROSS
+    * the per-stratum 2×2 tables: χ² = (Σaᵢ − ΣEᵢ)² / ΣVᵢ with
+    * Eᵢ = n1ᵢm1ᵢ/Tᵢ and Vᵢ = n1ᵢn0ᵢm1ᵢm0ᵢ/(Tᵢ²(Tᵢ−1)). Arms reuse
+    * [[abTestZ]]'s salted user hash, so the two tests read the same
+    * experiment.
+    *
+    * Determinism: per-stratum E/V evaluate as ONE pinned double
+    * expression each over exact integer counts, round to 12, and sum
+    * as exact decimals (the PSI convention); the χ² forms once at the
+    * boundary from the exact sums. Scale: one per-user fold, one
+    * |strata|-row table, a 1-row totals broadcast.
+    */
+  def abTestCmh(events: DataFrame,
+                targetType: String = "purchase"): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    val per = events.groupBy(col("user_id")).agg(
+        min(col("ts")).as("first_ts"),
+        max(when(col("event_type") === targetType, 1).otherwise(0))
+          .as("conv"))
+      .select(date_trunc("week", col("first_ts")).as("stratum"),
+        col("conv"),
+        pmod(hash60(concat(lit("ab_"), col("user_id"))), lit(2L))
+          .as("arm"))
+    val tab = per.groupBy(col("stratum")).agg(
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("conv") === 1, 1L).otherwise(0L)).as("m1"))
+      .withColumn("t", col("n1") + col("n0"))
+      .withColumn("m0", col("t") - col("m1"))
+      .filter(col("t") > 1)
+      .withColumn("e",
+        round(col("n1").cast("double") * col("m1").cast("double") /
+          col("t").cast("double"), 12).cast(dec))
+      .withColumn("v",
+        round(col("n1").cast("double") * col("n0").cast("double") *
+          col("m1").cast("double") * col("m0").cast("double") /
+          (col("t").cast("double") * col("t").cast("double") *
+            (col("t").cast("double") - 1.0)), 12).cast(dec))
+    val tot = tab.agg(sum(col("a")).as("sum_a"),
+      sum(col("e")).as("sum_e"), sum(col("v")).as("sum_v"))
+    tab.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("a"), col("n1"), col("n0"),
+        col("m1"), col("m0"), col("e"), col("v"),
+        when(col("sum_v").cast("double") > 0,
+          round((col("sum_a").cast("double") -
+              col("sum_e").cast("double")) *
+            (col("sum_a").cast("double") -
+              col("sum_e").cast("double")) /
+            col("sum_v").cast("double"), 6)).as("cmh_chi2"))
+      .orderBy(col("stratum"))
+  }
+
   /** Two-proportion z-test per event type between salted-hash A/B
     * arms — the EXPERIMENT readout beside the drift monitors: KS/PSI
     * ask "did the distribution move over time", this asks "do two

@@ -464,6 +464,115 @@ object Sessions {
       .limit(k)
   }
 
+  /** Markov removal-effect attribution [Anderl et al. 2014] — the
+    * model-based answer to the question [[lastTouchAttribution]]
+    * answers heuristically: how much conversion does each channel
+    * actually CARRY? Journeys (start → touch types → conv/null,
+    * truncated at the first conversion) define a first-order absorbing
+    * chain; a channel's credit is its removal effect — how much the
+    * start→conv absorption probability drops when every transition
+    * into that channel redirects to null. Last-touch provably
+    * over-credits closers; removal effect counts every path a channel
+    * participates in.
+    *
+    * All removal chains run TOGETHER: the transition table replicates
+    * per removed-channel key (|channels|+1 copies of a
+    * types²-sized table), and `iterations` fixed value-iteration
+    * steps propagate absorption mass — each step one (rm, state)
+    * equi-join + one hash agg, the [[graft.operators.Similarity]]
+    * PageRank schedule with the same determinism discipline:
+    * per-step products in doubles rounded to 12 and SUMMED AS EXACT
+    * DECIMALS, so iterations are bit-stable cross-engine and the
+    * oracle unrolls the same k stages. Shares divide exact
+    * micro-scaled integers, so no double summation order exists
+    * anywhere.
+    *
+    * Scale: journeys are one user-keyed window pass over the events;
+    * everything after is (types²)-sized.
+    */
+  def attributionMarkov(events: DataFrame, convType: String = "purchase",
+                        iterations: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(28, 12)
+    val u = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === convType, col("ts")))
+        .as("conv_ts"))
+    val touches = events.join(u, Seq("user_id"))
+      .filter(col("event_type") =!= convType &&
+        (col("conv_ts").isNull || col("ts") < col("conv_ts")))
+      .select(col("user_id"), lit(1).as("phase"),
+        unix_micros(col("ts")).as("uu"), col("event_id").as("eid"),
+        col("event_type").as("state"))
+    val startRows = u.select(col("user_id"), lit(0).as("phase"),
+      lit(0L).as("uu"), lit(0L).as("eid"), lit("start").as("state"))
+    val termRows = u.select(col("user_id"), lit(2).as("phase"),
+      lit(0L).as("uu"), lit(0L).as("eid"),
+      when(col("conv_ts").isNotNull, lit("conv")).otherwise(lit("null"))
+        .as("state"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("phase"), col("uu"), col("eid"))
+    val trans = touches.unionByName(startRows).unionByName(termRows)
+      .withColumn("to", lead(col("state"), 1).over(wSeq))
+      .filter(col("to").isNotNull)
+      .groupBy(col("state").as("from"), col("to"))
+      .agg(count(lit(1)).as("n"))
+    val outN = trans.groupBy(col("from")).agg(sum(col("n")).as("o"))
+    val t = trans.join(outN, Seq("from"))
+      .select(col("from"), col("to"),
+        round(col("n").cast("double") / col("o").cast("double"), 12)
+          .cast(DecimalType(16, 12)).as("p"))
+    val rms = touches.select(col("state").as("rm")).distinct()
+      .unionByName(Seq("__none__").toDF("rm"))
+    val trm = t.crossJoin(broadcast(rms))
+      .filter(col("from") =!= col("rm"))
+      .select(col("rm"), col("from"),
+        when(col("to") === col("rm"), lit("null")).otherwise(col("to"))
+          .as("to"), col("p"))
+      .localCheckpoint(false)
+    val absorbing = rms
+      .withColumn("sv", explode(array(
+        struct(lit("conv").as("state"), lit(1.0).as("x")),
+        struct(lit("null").as("state"), lit(0.0).as("x")))))
+      .select(col("rm"), col("sv.state").as("state"),
+        col("sv.x").cast(dec).as("v"))
+    var v = absorbing.localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val nv = trm
+        .join(v.select(col("rm"), col("state").as("to"), col("v")),
+          Seq("rm", "to"))
+        .groupBy(col("rm"), col("from").as("state"))
+        .agg(sum(round(col("p").cast("double") * col("v").cast("double"),
+          12).cast(dec)).as("v"))
+      v = absorbing.unionByName(nv).localCheckpoint(false)
+    }
+    val starts = v.filter(col("state") === "start")
+      .select(col("rm"), col("v"))
+    val p0 = starts.filter(col("rm") === "__none__")
+      .select(col("v").as("pv"))
+    val eff = starts.filter(col("rm") =!= "__none__")
+      .crossJoin(broadcast(p0))
+      .select(col("rm").as("channel"),
+        round(col("pv").cast("double"), 6).as("p_conv_base"),
+        round(col("v").cast("double"), 6).as("p_conv_removed"),
+        when(col("pv").cast("double") > 0,
+          round((col("pv").cast("double") - col("v").cast("double")) /
+            col("pv").cast("double"), 6)).as("removal_effect"))
+      .withColumn("re_micro",
+        when(col("removal_effect") > 0,
+          round(col("removal_effect") * lit(1e6), 0).cast("long"))
+          .otherwise(lit(0L)))
+    val tot = eff.agg(sum(col("re_micro")).as("te"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_conv_base"), col("p_conv_removed"),
+        col("removal_effect"),
+        when(col("te") > 0 && col("re_micro") > 0,
+          round(col("re_micro").cast("double") / col("te").cast("double"),
+            6)).as("share"))
+      .orderBy(col("channel"))
+  }
+
   /** Inter-arrival burstiness per event type: Goh–Barabási
     * B = (σ−μ)/(σ+μ) over successive gaps, with the coefficient of
     * variation beside it — the stream-characterization audit that

@@ -298,6 +298,23 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Double]("wmedian_price") == 10.0)
   }
 
+  test("kyleLambda: perfectly collinear impact recovers the exact " +
+      "price-per-unit-flow slope") {
+    import graft.Schemas.Trade
+    def tr(h: Int, m: Int, side: String, sz: Double, p: Double) =
+      Trade("x", "K", p, sz, side, "market",
+        ts(f"2024-01-01 $h%02d:$m%02d:00"))
+    // dp = 0.001 * signed_flow in every bar
+    val trades = Seq(
+      tr(0, 0, "buy", 5.0, 100.00), tr(0, 30, "buy", 5.0, 100.01),
+      tr(1, 0, "sell", 10.0, 100.00), tr(1, 30, "sell", 10.0, 99.98),
+      tr(2, 0, "buy", 2.5, 100.00), tr(2, 30, "buy", 2.5, 100.005)
+    ).toDS.toDF
+    val r = Analytics.kyleLambda(trades).collect().head
+    assert(r.getAs[Long]("n_bars") == 3L)
+    assert(r.getAs[Double]("kyle_lambda") == 0.001)
+  }
+
   test("symbolLeadLag: a single symbol IS the market, so lag 0 " +
       "correlates exactly 1 and wins the best flag") {
     val bars = Seq(10.0, 11.0, 10.5, 11.5, 10.8, 12.0).zipWithIndex.map {

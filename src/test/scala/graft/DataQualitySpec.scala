@@ -238,6 +238,33 @@ class DataQualitySpec extends SparkSpec {
     assert(means.filter(_ != 1.0).forall(_ > 1.0))
   }
 
+  test("abTestCmh: 2x2 margins are consistent, chi2 is shared across " +
+      "strata rows, and zero pooled variance nulls the statistic") {
+    def ev(u: Long, t: String, day: Int) =
+      (u, t, 1.0, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"))
+    // two cohort weeks; roughly a third convert
+    val events = ((1L to 30L).map { u =>
+      ev(u, "view", if (u <= 15) 1 else 10)
+    } ++ (1L to 30L).filter(_ % 3 == 0).map { u =>
+      ev(u, "purchase", if (u <= 15) 2 else 11)
+    }).toDF("user_id", "event_type", "value", "ts")
+    val r = DataQuality.abTestCmh(events).collect()
+    assert(r.length == 2) // two strata
+    r.foreach { row =>
+      assert(row.getAs[Long]("a") <= row.getAs[Long]("n1"))
+      assert(row.getAs[Long]("m0") ==
+        row.getAs[Long]("n1") + row.getAs[Long]("n0") -
+          row.getAs[Long]("m1"))
+      assert(row.getAs[Double]("cmh_chi2") >= 0.0)
+    }
+    assert(r.map(_.getAs[Double]("cmh_chi2")).distinct.length == 1)
+    // universal conversion -> every stratum's V = 0 -> NULL statistic
+    val all = ((1L to 10L).map(ev(_, "purchase", 1)))
+      .toDF("user_id", "event_type", "value", "ts")
+    val r2 = DataQuality.abTestCmh(all).collect()
+    assert(r2.forall(_.isNullAt(r2.head.fieldIndex("cmh_chi2"))))
+  }
+
   test("abTestZ: pooled z matches the hand formula; universal " +
       "conversion degenerates to NULL z, not a division blow-up") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

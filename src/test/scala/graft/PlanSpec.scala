@@ -361,6 +361,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("bars_interpolated: no unbounded-following window frame (the " +
+      "O(n^2) per-row rescan shape, measured 162 s before the fix)") {
+    // the forward bracket must come from the DESC-ordered RUNNING
+    // frame; an ignore-nulls first() over [current, +inf) makes Spark
+    // rescan to partition end per row
+    val p = plan("bars_interpolated").toLowerCase
+    assert(!p.contains("unboundedfollowing"))
+  }
+
   test("suite-wide: nested-loop joins only where the build side is parameter-bounded") {
     // A BroadcastNestedLoopJoin over a DATA-scale side is the #1
     // silent 100 TB killer. The only ones allowed are those whose
@@ -440,7 +449,12 @@ class PlanSpec extends SparkSpec {
       "ab_test_z",
       // composes ann_topk (truth) + ann_ivf (system): both sides'
       // broadcasts are the nQueries-bounded query/centroid sets
-      "retrieval_eval")
+      "retrieval_eval",
+      // 1-row CMH totals cross join onto the |strata|-row table
+      "ab_test_cmh",
+      // |channels|+1-row removal-key replication + 1-row base/total
+      // cross joins, all onto types^2-sized tables
+      "attribution_markov")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -223,6 +223,35 @@ class SessionsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_sessions") == 2L)
   }
 
+  test("attributionMarkov: removal effect counts carried paths, not " +
+      "just closes — the closer gets 1.0, the opener half") {
+    // 10 users: click -> purchase; 10: view -> click -> purchase;
+    // 10: view only. Chain: P(conv)=2/3; removing click kills all
+    // conversion (effect 1); removing view leaves the direct click
+    // path (effect 1/2). Last-touch would credit click 100%.
+    var eid = 0L
+    def ev(u: Long, t: String, minute: Int) = {
+      eid += 1
+      (eid, u, t, ts(f"2024-01-01 10:$minute%02d:00"))
+    }
+    val events = (
+      (1L to 10L).flatMap(u => Seq(ev(u, "click", 0), ev(u, "purchase", 1))) ++
+      (11L to 20L).flatMap(u =>
+        Seq(ev(u, "view", 0), ev(u, "click", 1), ev(u, "purchase", 2))) ++
+      (21L to 30L).map(u => ev(u, "view", 0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sessions.attributionMarkov(events).collect()
+    val m = r.map(x => x.getString(0) -> x).toMap
+    assert(m.keySet == Set("click", "view"))
+    assert(m("click").getAs[Double]("removal_effect") == 1.0)
+    assert(m("view").getAs[Double]("removal_effect") == 0.5)
+    assert(m("click").getAs[Double]("p_conv_base") == 0.666667)
+    assert(m("click").getAs[Double]("p_conv_removed") == 0.0)
+    assert(m("view").getAs[Double]("p_conv_removed") == 0.333333)
+    assert(m("click").getAs[Double]("share") == 0.666667)
+    assert(m("view").getAs[Double]("share") == 0.333333)
+  }
+
   test("burstiness: pacemaker-regular arrivals score B = -1 with " +
       "CV 0; a heavy-tailed gap mix scores B > regular") {
     val events = (
