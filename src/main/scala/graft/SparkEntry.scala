@@ -272,6 +272,10 @@ object SparkEntry {
     // Kyle's lambda: price-impact slope of bar price change on signed flow.
     "symbol_kyle_lambda" -> ((s, dir) =>
       Analytics.kyleLambda(Trades.fromEvents(Tables.events(s, dir)))),
+    // Hurst exponent by R/S analysis over 8/16/32/64-bar chunks.
+    "symbol_hurst" -> ((s, dir) =>
+      Analytics.hurstExponent(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
     // deepest peak-to-trough loss of each symbol's close series.
     "symbol_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(
@@ -851,6 +855,9 @@ object SparkEntry {
     // exact-quota stratified train/val/test assignment per stratum.
     "stratified_split" -> ((s, dir) =>
       TextAnalysis.stratifiedSplit(Tables.documents(s, dir))),
+    // greedy quality-per-token knapsack under a 30% token budget.
+    "budget_select" -> ((s, dir) =>
+      TextAnalysis.budgetSelect(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
@@ -2930,6 +2937,79 @@ object SparkEntry {
          |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
          |  END AS beta
          |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.hurstExponent: decimal returns and prefix
+    // sums, pinned-double Z/R/S rounded 12, exact integer log2 sizes,
+    // the one ln divided by the pinned ln2 literal, decimal OLS sums.
+    "symbol_hurst" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |rr AS (SELECT symbol, bar_start, close,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY bar_start)
+         |           AS prev
+         |       FROM bars),
+         |r0 AS (SELECT symbol, bar_start,
+         |         CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS r
+         |       FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |r AS (SELECT symbol, row_number() OVER (PARTITION BY symbol
+         |         ORDER BY bar_start) AS rn, r
+         |      FROM r0),
+         |sz AS (SELECT r.symbol, r.rn, r.r, u.s,
+         |         (r.rn - 1) // u.s AS chunk
+         |       FROM r, unnest([8, 16, 32, 64]) AS u(s)),
+         |f AS (SELECT * FROM sz
+         |      QUALIFY count(*) OVER (PARTITION BY symbol, s, chunk) = s),
+         |zc AS (SELECT symbol, s, chunk, r, rn,
+         |         sum(r) OVER (PARTITION BY symbol, s, chunk ORDER BY rn
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum,
+         |         row_number() OVER (PARTITION BY symbol, s, chunk
+         |           ORDER BY rn) AS k,
+         |         round(CAST(sum(r) OVER (PARTITION BY symbol, s, chunk)
+         |           AS DOUBLE) / s, 12) AS mu
+         |       FROM f),
+         |z2 AS (SELECT symbol, s, chunk, r,
+         |         round(CAST(cum AS DOUBLE) - k * mu, 12) AS zz
+         |       FROM zc),
+         |ch AS (SELECT symbol, s, chunk, max(zz) AS zmax, min(zz) AS zmin,
+         |         sum(r) AS sr, sum(CAST(r * r AS DECIMAL(38,12))) AS sr2
+         |       FROM z2 GROUP BY symbol, s, chunk),
+         |ch2 AS (SELECT symbol, s, zmax, zmin, sr2,
+         |          round(CAST(sr AS DOUBLE) / s, 12) AS mu
+         |        FROM ch),
+         |ch3 AS (SELECT *, CAST(sr2 AS DOUBLE) / s - mu * mu AS variance
+         |        FROM ch2),
+         |rs AS (SELECT symbol, s,
+         |         CAST(round((greatest(zmax, 0.0) - least(zmin, 0.0))
+         |           / sqrt(variance), 12) AS DECIMAL(28,12)) AS rsv
+         |       FROM ch3 WHERE variance > 0),
+         |bs AS (SELECT symbol, s, CAST(count(*) AS BIGINT) AS nc,
+         |         sum(rsv) AS srs
+         |       FROM rs GROUP BY symbol, s),
+         |bs2 AS (SELECT symbol, s,
+         |          CAST(srs AS DOUBLE) / CAST(nc AS DOUBLE) AS mean_rs
+         |        FROM bs),
+         |yy AS (SELECT symbol,
+         |         CASE s WHEN 8 THEN 3 WHEN 16 THEN 4 WHEN 32 THEN 5
+         |           ELSE 6 END AS x,
+         |         CAST(round(ln(mean_rs) / 0.6931471805599453, 12)
+         |           AS DECIMAL(28,12)) AS y
+         |       FROM bs2 WHERE mean_rs > 0),
+         |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_sizes,
+         |        CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        sum(y) AS sy,
+         |        sum(CAST(x AS DECIMAL(2,0)) * y) AS sxy
+         |      FROM yy GROUP BY symbol)
+         |SELECT symbol, n_sizes,
+         |  CASE WHEN (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |    THEN round((CAST(n_sizes AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |  END AS hurst
+         |FROM g WHERE n_sizes >= 2 ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.kyleLambda: hourly bars for the price change,
     // side-split exact decimal flow sums on the same bucket, the beta
@@ -5220,6 +5300,45 @@ object SparkEntry {
 
     // mirrors TextAnalysis.zipfFit: exact freq/rank, log10 on ints,
     // 12-decimal DECIMAL OLS term sums, slope/intercept at boundary.
+    // mirrors TextAnalysis.budgetSelect: the shared quality formula,
+    // a quality-ranked cumulative token spend per source, integer
+    // budgets (pct*total) // 100, pure integer admission.
+    "budget_select" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE))
+        |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(
+        |        ['the','a','of','and','to','in','is','on','for','with'],
+        |        tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6)
+        |    AS quality_score
+        |  FROM t),
+        |r AS (SELECT *,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT)
+        |      AS tot_tok
+        |  FROM q),
+        |s AS (SELECT *, (30 * tot_tok) // 100 AS budget_tokens,
+        |        cum_tok <= (30 * tot_tok) // 100 AS selected
+        |      FROM r)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(tot_tok) AS total_tokens,
+        |  max(budget_tokens) AS budget_tokens,
+        |  CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(sum(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_selected,
+        |  min(CASE WHEN selected THEN quality_score END) AS quality_bar,
+        |  round(CAST(sum(CASE WHEN selected THEN n_tok ELSE 0 END)
+        |      AS DOUBLE) / CAST(max(budget_tokens) AS DOUBLE), 6)
+        |    AS utilization
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
     // mirrors TextAnalysis.stratifiedSplit: salted-hash rank within
     // (lang, source), exact integer quota boundaries (p·n+99)//100.
     "stratified_split" ->

@@ -558,6 +558,101 @@ object Analytics {
       .orderBy(col("symbol"), col("bar_start"))
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis per symbol — the
+    * long-memory diagnostic none of the variance-family estimators
+    * see: H ≈ 0.5 is a random walk, H > 0.5 persistent trends
+    * (momentum strategies have something to eat), H < 0.5
+    * anti-persistent mean reversion (the spec's alternating series
+    * scores exactly 0). The return series splits into complete chunks
+    * of each window size (8/16/32/64 bars); per chunk
+    * R = range of cumulative mean deviations (0 included, the
+    * convention) and S = population std; H is the log₂-log₂ OLS slope
+    * of the per-size mean R/S.
+    *
+    * Determinism: returns are the 6-decimal decimal convention;
+    * per-chunk Σr and prefix sums stay exact decimals; μ, Z, R/S
+    * evaluate as pinned double expressions rounded to 12; per-size
+    * means sum those 12-decimal values as decimals; log₂(s) is the
+    * EXACT integer exponent (no libm), and the one ln divides by the
+    * pinned ln2 literal. OLS sums are exact (integer x, decimal y),
+    * one boundary division rounded 6.
+    *
+    * Scale shape: sizes are a 4× in-row fan-out, chunks are keyed by
+    * (symbol, size, chunk) — one sort serves the prefix and
+    * full-chunk windows — then everything is chunk-count-sized.
+    */
+  def hurstExponent(bars: DataFrame,
+                    sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    val wSym = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val rets = bars.select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("prev", lag(col("close"), 1).over(wSym))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"),
+        row_number().over(wSym.orderBy(col("bar_start"))).as("rn"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("r"))
+    val sized = rets
+      .withColumn("s", explode(array(sizes.map(lit): _*)))
+      .withColumn("chunk", expr("(rn - 1) div s"))
+    val part = Window.partitionBy(col("symbol"), col("s"), col("chunk"))
+    val wChunk = part.orderBy(col("rn"))
+    val withZ = sized
+      .withColumn("cnt", count(lit(1)).over(part))
+      .filter(col("cnt") === col("s"))
+      .withColumn("cum", sum(col("r")).over(wChunk.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(wChunk))
+      .withColumn("mu",
+        round(sum(col("r")).over(part).cast("double") / col("s"), 12))
+      .withColumn("z",
+        round(col("cum").cast("double") - col("k") * col("mu"), 12))
+    val chunks = withZ
+      .groupBy(col("symbol"), col("s"), col("chunk"))
+      .agg(max(col("z")).as("zmax"), min(col("z")).as("zmin"),
+        sum(col("r")).as("sr"),
+        sum((col("r") * col("r")).cast(DecimalType(38, 12))).as("sr2"))
+      .withColumn("mu", round(col("sr").cast("double") / col("s"), 12))
+      .withColumn("variance",
+        col("sr2").cast("double") / col("s") - col("mu") * col("mu"))
+      .filter(col("variance") > 0)
+      .withColumn("rs",
+        round((greatest(col("zmax"), lit(0.0)) -
+          least(col("zmin"), lit(0.0))) / sqrt(col("variance")), 12)
+          .cast(dec))
+    val bySize = chunks.groupBy(col("symbol"), col("s"))
+      .agg(count(lit(1)).as("nc"), sum(col("rs")).as("srs"))
+      .withColumn("mean_rs",
+        col("srs").cast("double") / col("nc").cast("double"))
+      .filter(col("mean_rs") > 0)
+      .withColumn("y", round(log(col("mean_rs")) /
+        lit(0.6931471805599453), 12).cast(dec))
+      .withColumn("x", {
+        // exact integer log2 per configured size — no libm in x
+        val exps = sizes.map(sz =>
+          sz -> (math.log(sz.toDouble) / math.log(2.0)).round)
+        exps.tail.foldLeft(
+          when(col("s") === exps.head._1, lit(exps.head._2))) {
+          case (acc, (sz, e)) => acc.when(col("s") === sz, lit(e))
+        }
+      })
+    val g = bySize.groupBy(col("symbol")).agg(
+      count(lit(1)).as("n_sizes"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"),
+      // x ≤ 6: a (2,0) cast keeps the product inside 38 digits
+      sum(col("x").cast(DecimalType(2, 0)) * col("y")).as("sxy"))
+    val n = col("n_sizes").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    g.filter(col("n_sizes") >= 2)
+      .select(col("symbol"), col("n_sizes"),
+        when(den > 0,
+          round((n * d("sxy") - d("sx") * d("sy")) / den, 6)).as("hurst"))
+      .orderBy(col("symbol"))
+  }
+
   /** Kyle's lambda per symbol: the OLS slope of within-bar price
     * change on signed order flow (buy − sell volume) — the PRICE
     * IMPACT coefficient: how many dollars one unit of net aggression

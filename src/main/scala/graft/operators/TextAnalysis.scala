@@ -2456,6 +2456,54 @@ object TextAnalysis {
     * by INTEGER support with token tie-breaks, so no libm ulp can
     * reorder it.
     */
+  /** Budget-constrained corpus selection: per source, admit the
+    * highest-quality documents until `budgetPctTokens` percent of the
+    * source's token mass is spent — the greedy quality-per-token
+    * knapsack that turns a quality SCORE into a quality BUDGET.
+    * `quality_filter` asks "is this doc above an absolute bar";
+    * this asks the operational question "given we can only afford 30%
+    * of the tokens, which docs make the cut" — and emits the
+    * admission bar each source actually paid (a high bar = the source
+    * had quality to spare; a bar near zero = the budget admitted
+    * junk, grow the threshold instead).
+    *
+    * One quality/token map pass, one source-keyed rank window (the
+    * cumulative token spend and the source total ride the same
+    * partition), one source-sized aggregation. Budgets are integer
+    * (pct·total) DIV 100; the admission test is a pure integer
+    * prefix comparison, so selection is deterministic at any
+    * parallelism (quality ties break by doc_id).
+    */
+  def budgetSelect(docs: DataFrame,
+                   budgetPctTokens: Int = 30): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val wRank = bySource.orderBy(col("quality_score").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(tokensCol(col("text"))).cast("long").as("n_tok"),
+        qualityScoreCol.as("quality_score"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(wRank.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("tot_tok", sum(col("n_tok")).over(bySource))
+      .withColumn("budget_tokens",
+        expr(s"($budgetPctTokens * tot_tok) div 100"))
+      .withColumn("selected", col("cum_tok") <= col("budget_tokens"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        max(col("tot_tok")).as("total_tokens"),
+        max(col("budget_tokens")).as("budget_tokens"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tok")).otherwise(0L))
+          .as("tokens_selected"),
+        min(when(col("selected"), col("quality_score")))
+          .as("quality_bar"),
+        round(sum(when(col("selected"), col("n_tok")).otherwise(0L))
+          .cast("double") / max(col("budget_tokens")).cast("double"), 6)
+          .as("utilization"))
+      .orderBy(col("source"))
+  }
+
   /** Stratified train/val/test split with EXACT per-stratum quotas —
     * the assignment operator behind `split_audit`'s parity check:
     * within every (lang, source) stratum, docs rank by a content-

@@ -298,6 +298,23 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Double]("wmedian_price") == 10.0)
   }
 
+  test("hurstExponent: a perfectly anti-persistent alternating series " +
+      "has R/S = 1 at every size, so H is exactly 0; a constant " +
+      "series has zero variance and drops out") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def bar(sym: String, h: Int, close: Double) =
+      (sym, new java.sql.Timestamp(base + h * 3600000L), close)
+    // closes 100,101,100,101,... -> returns alternate +-ln(1.01)
+    val alt = (0 to 128).map(h => bar("ALT", h, if (h % 2 == 0) 100.0 else 101.0))
+    // constant closes -> all returns 0 -> variance 0 everywhere
+    val flat = (0 to 128).map(h => bar("FLAT", h, 100.0))
+    val r = Analytics.hurstExponent((alt ++ flat)
+      .toDF("symbol", "bar_start", "close")).collect()
+    assert(r.length == 1 && r.head.getString(0) == "ALT")
+    assert(r.head.getAs[Long]("n_sizes") == 4L)
+    assert(r.head.getAs[Double]("hurst") == 0.0)
+  }
+
   test("kyleLambda: perfectly collinear impact recovers the exact " +
       "price-per-unit-flow slope") {
     import graft.Schemas.Trade

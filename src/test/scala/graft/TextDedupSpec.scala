@@ -604,6 +604,31 @@ class TextDedupSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == prf2.map(_.toSeq).toSeq)
   }
 
+  test("budgetSelect: the best docs are admitted until the token " +
+      "budget is spent; a budget below the best doc admits nothing") {
+    // all docs 10 tokens; qualities 0.2 (all distinct), 0.1 (half
+    // distinct), 0.0 (all stopword)
+    val a = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 5).map(i => s"tok$i tok$i").mkString(" ")
+    val c = Seq.fill(10)("the").mkString(" ")
+    val docsDf = Seq((1L, a, "en", "s1"), (2L, b, "en", "s1"),
+      (3L, c, "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val r40 = TextAnalysis.budgetSelect(docsDf, budgetPctTokens = 40)
+      .collect().head
+    assert(r40.getAs[Long]("budget_tokens") == 12L) // 40% of 30
+    assert(r40.getAs[Long]("n_selected") == 1L)     // only doc 1 fits
+    assert(r40.getAs[Long]("tokens_selected") == 10L)
+    assert(r40.getAs[Double]("quality_bar") == 0.2)
+    assert(r40.getAs[Double]("utilization") ==
+      BigDecimal(10.0 / 12).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // budget 9 < the best doc's 10 tokens -> greedy prefix is empty
+    val r30 = TextAnalysis.budgetSelect(docsDf, budgetPctTokens = 30)
+      .collect().head
+    assert(r30.getAs[Long]("n_selected") == 0L)
+    assert(r30.isNullAt(r30.fieldIndex("quality_bar")))
+  }
+
   test("stratifiedSplit: quotas are exact in every stratum, a " +
       "1-doc stratum lands in train, assignment is rerun-stable") {
     val docsDf = ((1L to 10L).map(i => (i, "t", "en", "s1")) :+
