@@ -1392,6 +1392,9 @@ object SparkEntry {
     // Markov removal-effect attribution over first-order journeys.
     "attribution_markov" -> ((s, dir) =>
       Sessions.attributionMarkov(Tables.events(s, dir))),
+    // deterministic in-engine logistic regression (8 GD steps).
+    "logit_fit" -> ((s, dir) =>
+      Learn.logitFit(Tables.events(s, dir))),
     // last-touch attribution: purchases credit the latest click/view
     // within 72h (else "direct"); share + mean touch→conv latency.
     "attribution_last_touch" -> ((s, dir) =>
@@ -6916,6 +6919,74 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE), 6) AS p
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors Learn.logitFit: 8 unrolled gradient steps — weights as
+    // EXACT 1e-12-unit integers (HUGEINT), exact decimal margins and
+    // gradient sums, floor-division updates (matches the driver's
+    // BigInt floor); the only libm rounding is sigma at 9.
+    "logit_fit" -> {
+      def wDec(u: String) =
+        s"CAST(CAST($u AS DECIMAL(20,0))" +
+          s" * CAST(0.000000000001 AS DECIMAL(13,12)) AS DECIMAL(15,12))"
+      def sig(w: String) =
+        s"CAST(round(1.0 / (1.0 + exp(-(CAST(" +
+          s"CAST(${wDec(s"$w.w1u")} * f.x1 AS DECIMAL(30,18))" +
+          s" + CAST(${wDec(s"$w.w2u")} * f.x2 AS DECIMAL(30,18))" +
+          s" + CAST(${wDec(s"$w.w0u")} AS DECIMAL(30,18))" +
+          s" AS DOUBLE)))), 9) AS DECIMAL(10,9))"
+      val iters = (1 to 8).map { i =>
+        s""",
+           |s$i AS (SELECT f.y, f.x1, f.x2, ${sig("w")} AS sg
+           |        FROM feats f, w${i - 1}t w),
+           |g$i AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(sg - y AS DECIMAL(20,15))) AS g0,
+           |    sum(CAST((sg - y) * x1 AS DECIMAL(20,15))) AS g1,
+           |    sum(CAST((sg - y) * x2 AS DECIMAL(20,15))) AS g2
+           |  FROM s$i),
+           |w${i}t AS (SELECT
+           |    w.w0u - (CAST(g.g0 * 1000000000000000 AS HUGEINT)
+           |      // (2000 * g.n)) AS w0u,
+           |    w.w1u - (CAST(g.g1 * 1000000000000000 AS HUGEINT)
+           |      // (2000 * g.n)) AS w1u,
+           |    w.w2u - (CAST(g.g2 * 1000000000000000 AS HUGEINT)
+           |      // (2000 * g.n)) AS w2u
+           |  FROM w${i - 1}t w, g$i g)""".stripMargin
+      }.mkString
+      s"""WITH feats AS (SELECT
+         |    CAST(round(ln(1.0 + CAST(sum(CASE WHEN event_type <>
+         |      'purchase' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+         |      AS DECIMAL(8,6)) AS x1,
+         |    CAST(round(CAST(count(DISTINCT CASE WHEN event_type <>
+         |      'purchase' THEN CAST(ts AS DATE) END) AS DOUBLE)
+         |      / 30.0, 6) AS DECIMAL(8,6)) AS x2,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS INT) AS y
+         |  FROM events GROUP BY user_id),
+         |w0t AS (SELECT CAST(0 AS HUGEINT) AS w0u,
+         |          CAST(0 AS HUGEINT) AS w1u,
+         |          CAST(0 AS HUGEINT) AS w2u)$iters,
+         |sf AS (SELECT f.y, ${sig("w")} AS sg FROM feats f, w8t w),
+         |scl AS (SELECT y, sg,
+         |          least(greatest(CAST(sg AS DOUBLE), 1e-12),
+         |            1.0 - 1e-12) AS sc
+         |        FROM sf),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |        CAST(sum(CASE WHEN (CASE WHEN sg >= 0.5 THEN 1 ELSE 0
+         |          END) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |        sum(CAST(round(CASE WHEN y = 1 THEN -ln(sc)
+         |          ELSE -ln(1.0 - sc) END, 9) AS DECIMAL(28,12)))
+         |          AS loss_sum
+         |      FROM scl)
+         |SELECT m.n_users,
+         |  CAST(${wDec("w.w0u")} AS DECIMAL(14,12)) AS w0,
+         |  CAST(${wDec("w.w1u")} AS DECIMAL(14,12)) AS w1,
+         |  CAST(${wDec("w.w2u")} AS DECIMAL(14,12)) AS w2,
+         |  round(CAST(n_correct AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         |    AS accuracy,
+         |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         |    AS log_loss
+         |FROM m, w8t w""".stripMargin
+    },
 
     // mirrors Sessions.attributionMarkov: journeys truncated at the
     // first conversion, per-rm transition replicas with entry

@@ -238,6 +238,31 @@ class DataQualitySpec extends SparkSpec {
     assert(means.filter(_ != 1.0).forall(_ > 1.0))
   }
 
+  test("logitFit: separable activity data learns a positive volume " +
+      "weight and beats the uninformed log loss, deterministically") {
+    import graft.operators.Learn
+    def ev(eid: Long, u: Long, t: String, day: Int, hour: Int) =
+      (eid, u, t,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00"))
+    var eid = 0L
+    val events = (
+      // 20 heavy users: 20 events over 10 days, all convert
+      (1L to 20L).flatMap { u =>
+        (0 until 20).map { i =>
+          eid += 1; ev(eid, u, "view", 1 + (i % 10), i % 24)
+        } :+ { eid += 1; ev(eid, u, "purchase", 11, 0) }
+      } ++
+      // 20 light users: one event, never convert
+      (21L to 40L).map { u => eid += 1; ev(eid, u, "view", 1, 0) })
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Learn.logitFit(events).collect().head
+    assert(r.getAs[Long]("n_users") == 40L)
+    assert(r.getDecimal(r.fieldIndex("w1")).doubleValue > 0) // volume
+    assert(r.getAs[Double]("accuracy") >= 0.9)
+    assert(r.getAs[Double]("log_loss") < 0.693147) // beats p=0.5
+    assert(Learn.logitFit(events).collect().head == r) // rerun-stable
+  }
+
   test("abTestCmh: 2x2 margins are consistent, chi2 is shared across " +
       "strata rows, and zero pooled variance nulls the statistic") {
     def ev(u: Long, t: String, day: Int) =
