@@ -28,6 +28,12 @@ object GraftSession {
       // 128 MB scan splits: big enough for vectorized parquet, small
       // enough that a 1000-executor cluster keeps every core busy
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      // the generated-class cache defaults to 100 entries; a workload
+      // with hundreds of distinct plans (this registry: 253) thrashes
+      // it and pays Janino recompiles mid-run — measured as the
+      // lm_score_bigram / dedup_edit_distance bench spread
+      // (SCALING.md). Static conf: must be set before the session.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
 
   /** Build (or reuse) and finish wiring an existing session. */
   def getOrCreate(master: String = "local[*]"): SparkSession = {
