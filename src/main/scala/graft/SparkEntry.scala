@@ -276,6 +276,9 @@ object SparkEntry {
     "symbol_hurst" -> ((s, dir) =>
       Analytics.hurstExponent(
         Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // realized-variance signature across 1/5/15/60-minute sampling.
+    "vol_signature" -> ((s, dir) =>
+      Analytics.volSignature(Trades.fromEvents(Tables.events(s, dir)))),
     // deepest peak-to-trough loss of each symbol's close series.
     "symbol_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(
@@ -2940,6 +2943,47 @@ object SparkEntry {
          |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
          |  END AS beta
          |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.volSignature: coarse closes = last 1m close
+    // per epoch-aligned bucket (rn_d trick == ArgExtremum argmax),
+    // decimal returns, exact decimal sum-of-squares, boundary ratio.
+    "vol_signature" -> {
+      val coarse = Seq(5, 15, 60).map { m =>
+        s"""SELECT symbol,
+           |  time_bucket(INTERVAL $m MINUTE, bar_start) AS bar_start,
+           |  max(CASE WHEN rnd = 1 THEN close END) AS close, $m AS sc
+           |FROM (SELECT symbol, bar_start, close, row_number() OVER (
+           |        PARTITION BY symbol,
+           |          time_bucket(INTERVAL $m MINUTE, bar_start)
+           |        ORDER BY bar_start DESC) AS rnd
+           |      FROM bars) b$m
+           |GROUP BY symbol, time_bucket(INTERVAL $m MINUTE, bar_start)"""
+          .stripMargin
+      }.mkString("\n       UNION ALL\n       ")
+      s"""$barsCte,
+         |allc AS (SELECT symbol, bar_start, close, 1 AS sc FROM bars
+         |       UNION ALL
+         |       $coarse),
+         |rr AS (SELECT symbol, sc, close,
+         |         lag(close) OVER (PARTITION BY symbol, sc
+         |           ORDER BY bar_start) AS prev
+         |       FROM allc),
+         |r AS (SELECT symbol, sc,
+         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS r
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |rv AS (SELECT symbol, CAST(sc AS INT) AS scale_minutes,
+         |         CAST(count(*) AS BIGINT) AS n_rets,
+         |         sum(CAST(r * r AS DECIMAL(38,12))) AS rv
+         |       FROM r GROUP BY symbol, sc),
+         |bs AS (SELECT symbol, rv AS rv_base FROM rv
+         |       WHERE scale_minutes = 60)
+         |SELECT rv.symbol, scale_minutes, n_rets, rv.rv,
+         |  CASE WHEN CAST(rv_base AS DOUBLE) > 0 THEN
+         |    round(CAST(rv.rv AS DOUBLE) / CAST(rv_base AS DOUBLE), 6)
+         |  END AS noise_ratio
+         |FROM rv JOIN bs ON bs.symbol = rv.symbol
+         |ORDER BY rv.symbol, scale_minutes""".stripMargin
+    },
 
     // mirrors Analytics.hurstExponent: decimal returns and prefix
     // sums, pinned-double Z/R/S rounded 12, exact integer log2 sizes,

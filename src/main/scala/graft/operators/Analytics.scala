@@ -558,6 +558,61 @@ object Analytics {
       .orderBy(col("symbol"), col("bar_start"))
   }
 
+  /** Volatility signature per symbol: realized variance (Σ r²) of log
+    * returns sampled at 1/5/15/60-minute scales over the same span —
+    * the microstructure-noise audit [Andersen et al.]: for a clean
+    * price process RV is scale-invariant, while bid-ask bounce and
+    * discreteness INFLATE it at fine scales, so the
+    * `noise_ratio = RV(scale)/RV(60m)` curve tells you the finest
+    * sampling the feed supports before noise dominates — the knob
+    * behind every realized-vol estimator and bar-width choice
+    * upstream of [[symbolVolEstimators]].
+    *
+    * Coarse closes come from the same ArgExtremum argmax the resample
+    * ladder uses (close of the last 1-minute bar in each bucket) —
+    * one 1-minute bar pass, three vocabulary-of-buckets aggregations,
+    * one lag window per (symbol, scale), exact decimal Σr² sums, the
+    * ratio divides doubles once at the boundary.
+    */
+  def volSignature(trades: DataFrame,
+                   scales: Seq[Int] = Seq(1, 5, 15, 60)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val b1 = Gold.bars(trades, "1 minute")
+      .select(col("symbol"), col("bar_start"), col("close"))
+    val perScale = scales.map { m =>
+      val c =
+        if (m == 1) b1
+        else b1
+          .groupBy(col("symbol"),
+            window(col("bar_start"), s"$m minutes").as("w"))
+          .agg(org.apache.spark.sql.graft.ArgExtremum
+            .argMax(col("close"), col("bar_start")).as("close"))
+          .select(col("symbol"), col("w.start").as("bar_start"),
+            col("close"))
+      c.withColumn("scale_minutes", lit(m))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("symbol"), col("scale_minutes"))
+      .orderBy(col("bar_start"))
+    val rv = perScale
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0)
+      .select(col("symbol"), col("scale_minutes"),
+        round(log(col("close") / col("prev")), 6)
+          .cast(DecimalType(18, 6)).as("r"))
+      .groupBy(col("symbol"), col("scale_minutes"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum((col("r") * col("r")).cast(DecimalType(38, 12))).as("rv"))
+    val base = rv.filter(col("scale_minutes") === scales.max)
+      .select(col("symbol"), col("rv").as("rv_base"))
+    rv.join(base, Seq("symbol"))
+      .select(col("symbol"), col("scale_minutes"), col("n_rets"),
+        col("rv"),
+        when(col("rv_base").cast("double") > 0,
+          round(col("rv").cast("double") /
+            col("rv_base").cast("double"), 6)).as("noise_ratio"))
+      .orderBy(col("symbol"), col("scale_minutes"))
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis per symbol — the
     * long-memory diagnostic none of the variance-family estimators
     * see: H ≈ 0.5 is a random walk, H > 0.5 persistent trends

@@ -298,6 +298,28 @@ class AnalyticsSpec extends SparkSpec {
       .getAs[Double]("wmedian_price") == 10.0)
   }
 
+  test("volSignature: a pure bid-ask bounce inflates fine-scale RV " +
+      "and vanishes entirely at the scale that straddles it") {
+    import graft.Schemas.Trade
+    // one trade per minute, price bouncing 100/101 with period 2:
+    // 1-minute RV is all bounce; 2-minute closes are constant 101
+    val trades = (0 until 60).map { m =>
+      Trade("x", "V", 100.0 + (m % 2), 1.0, "buy", "market",
+        new java.sql.Timestamp(
+          ts("2024-01-01 10:00:00").getTime + m * 60000L))
+    }.toDS.toDF
+    val r = Analytics.volSignature(trades, scales = Seq(1, 2)).collect()
+    val byScale = r.map(x => x.getAs[Int]("scale_minutes") -> x).toMap
+    assert(byScale(1).getDecimal(
+      byScale(1).fieldIndex("rv")).doubleValue > 0)
+    assert(byScale(2).getDecimal(
+      byScale(2).fieldIndex("rv")).doubleValue == 0.0)
+    // base scale (max = 2) has zero RV -> ratio guarded to NULL
+    assert(r.forall(_.isNullAt(r.head.fieldIndex("noise_ratio"))))
+    assert(byScale(1).getAs[Long]("n_rets") == 59L)
+    assert(byScale(2).getAs[Long]("n_rets") == 29L)
+  }
+
   test("hurstExponent: a perfectly anti-persistent alternating series " +
       "has R/S = 1 at every size, so H is exactly 0; a constant " +
       "series has zero variance and drops out") {
