@@ -1337,6 +1337,17 @@ object SparkEntry {
     "sketch_kmv_merge" -> ((s, dir) =>
       Sketches.kmvMergeDaily(Tables.events(s, dir), Seq("event_type"),
         to_date(col("ts")), col("user_id"), 32, "kmv_")),
+    // HyperLogLog distinct sketch: m=256 integer registers per group,
+    // harmonic sum kept EXACT by integer scaling (see Sketches) — the
+    // oracle-exact stand-in for approx_count_distinct.
+    "sketch_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(Tables.events(s, dir), Seq("event_type"),
+        col("user_id"), 8, "hll_")),
+    // the HLL merge law: daily register shards re-maxed per (group,
+    // idx) must equal the direct whole-history registers, row for row.
+    "sketch_hll_merge" -> ((s, dir) =>
+      Sketches.hllMergeDaily(Tables.events(s, dir), Seq("event_type"),
+        to_date(col("ts")), col("user_id"), 8, "hll_")),
     // Z-order layout audit: how many files a 2-D probe workload must
     // read under ingest-order vs single-dim-sort vs Morton-interleaved
     // layouts — the data-layout lever behind OPTIMIZE ZORDER.
@@ -6751,6 +6762,88 @@ object SparkEntry {
          |SELECT m.event_type, merged_est, direct_est,
          |  merged_est = direct_est AS merge_consistent
          |FROM m JOIN d USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // mirrors Sketches.hllDistinct (p=8, salt 'hll_'): top-8-bit
+    // register index over hash60, rank = 53 − bitlen of the 52-bit
+    // suffix (ltrim-bin — both engines strip leading zeros), exact
+    // integer harmonic sum via 2^(53−reg) terms, the pinned α·m²·2^53
+    // numerator divided once, linear counting under 2.5·m with zeros.
+    "sketch_hll_distinct" ->
+      s"""WITH h AS (SELECT event_type,
+         |    ${h60("'hll_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |b AS (SELECT event_type, h // 4503599627370496 AS idx,
+         |    h % 4503599627370496 AS w FROM h),
+         |r AS (SELECT event_type, idx,
+         |    max(53 - length(ltrim(bin(w), '0'))) AS reg
+         |  FROM b GROUP BY event_type, idx),
+         |a AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - CAST(reg AS INT)))
+         |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+         |      AS s_scaled,
+         |    CAST(256 - count(*) AS BIGINT) AS v_zero
+         |  FROM r GROUP BY event_type),
+         |e AS (SELECT event_type, v_zero, s_scaled,
+         |    CASE WHEN 4.2399330249068963e20 / CAST(s_scaled AS DOUBLE)
+         |        <= 640.0 AND v_zero > 0
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+         |      ELSE round(4.2399330249068963e20
+         |        / CAST(s_scaled AS DOUBLE), 4) END AS hll_est
+         |  FROM a),
+         |x AS (SELECT event_type, CAST(count(DISTINCT h) AS BIGINT)
+         |    AS n_exact FROM h GROUP BY event_type)
+         |SELECT x.event_type, n_exact, hll_est,
+         |  round(abs(hll_est - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE), 4) AS rel_err, v_zero, s_scaled
+         |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // mirrors Sketches.hllMergeDaily (p=8): per-(type, day) register
+    // shards re-maxed per (type, idx) vs the direct registers; the
+    // estimates AND exact integer sums must agree.
+    "sketch_hll_merge" ->
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    ${h60("'hll_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |b AS (SELECT event_type, day, h // 4503599627370496 AS idx,
+         |    h % 4503599627370496 AS w FROM h),
+         |daily AS (SELECT event_type, day, idx,
+         |    max(53 - length(ltrim(bin(w), '0'))) AS reg
+         |  FROM b GROUP BY event_type, day, idx),
+         |mr AS (SELECT event_type, idx, max(reg) AS reg
+         |  FROM daily GROUP BY event_type, idx),
+         |dr AS (SELECT event_type, idx, max(53 - length(ltrim(bin(w),
+         |    '0'))) AS reg FROM b GROUP BY event_type, idx),
+         |ma AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - CAST(reg AS INT)))
+         |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+         |      AS s_merged,
+         |    CAST(256 - count(*) AS BIGINT) AS v_zero
+         |  FROM mr GROUP BY event_type),
+         |da AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - CAST(reg AS INT)))
+         |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+         |      AS s_direct,
+         |    CAST(256 - count(*) AS BIGINT) AS v_zero
+         |  FROM dr GROUP BY event_type),
+         |me AS (SELECT event_type, s_merged,
+         |    CASE WHEN 4.2399330249068963e20 / CAST(s_merged AS DOUBLE)
+         |        <= 640.0 AND v_zero > 0
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+         |      ELSE round(4.2399330249068963e20
+         |        / CAST(s_merged AS DOUBLE), 4) END AS merged_est
+         |  FROM ma),
+         |de AS (SELECT event_type, s_direct,
+         |    CASE WHEN 4.2399330249068963e20 / CAST(s_direct AS DOUBLE)
+         |        <= 640.0 AND v_zero > 0
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+         |      ELSE round(4.2399330249068963e20
+         |        / CAST(s_direct AS DOUBLE), 4) END AS direct_est
+         |  FROM da)
+         |SELECT me.event_type, merged_est, direct_est,
+         |  merged_est = direct_est AND s_merged = s_direct
+         |    AS merge_consistent
+         |FROM me JOIN de USING (event_type) ORDER BY event_type""".stripMargin,
 
     // mirrors Sketches.kmvOverlap (k=64): per-type k-min sketches,
     // pairwise union-merge + coincidence intersection estimator.

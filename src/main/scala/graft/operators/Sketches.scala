@@ -419,4 +419,121 @@ object Sketches {
         col("est_union"), col("est_intersection"), col("est_jaccard"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  // --------------------------------------------------------------------
+  // HyperLogLog — the industry-standard bounded-state cardinality sketch
+  // [Flajolet et al. 2007], built oracle-exact like KMV above: registers
+  // are pure integer/string arithmetic over the portable hash60, and the
+  // estimator keeps the harmonic-mean sum EXACT by scaling each 2^{-reg}
+  // term to the integer 2^{(wBits+1)-reg} (sum ≤ m·2^{wBits+1} < 2^62,
+  // fits a long — no order-dependent double accumulation anywhere).
+  // State is m=2^p small ints per group FOREVER (vs KMV's k longs), and
+  // the merge is register-wise max — idempotent, commutative,
+  // associative — so daily shards union with a trivial re-max.
+  // --------------------------------------------------------------------
+
+  /** Bucket-bits convention over hash60's 60-bit range: top p bits pick
+    * the register, the remaining wBits form the rank pattern. Rank =
+    * leading zeros of the wBits-wide suffix + 1 ∈ [1, wBits+1], computed
+    * as `wBits + 1 − bitlen(w)`: Spark's `bin` already strips leading
+    * zeros so bitlen = length(bin(w)) with w = 0 (bin '0') special-cased
+    * to the saturated rank; the oracle mirrors it as
+    * `length(ltrim(bin(w),'0'))`, identical on DuckDB's zero-stripped
+    * bin where w = 0 trims to ''.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column,
+      p: Int, salt: String): DataFrame = {
+    val wBits = 60 - p
+    val wMod = 1L << wBits
+    df.select(groupCols.map(col) :+
+        TextFunctions.hash60(concat(lit(salt), value)).as("h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        shiftright(col("h"), wBits).as("idx"),
+        (col("h") % wMod).as("w")): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(when(col("w") === 0, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("w"))))).as("reg"))
+  }
+
+  /** α_m·m²·2^{wBits+1} for p=8 (m=256, wBits=52) — the whole estimator
+    * numerator as ONE pinned double literal (mirrored verbatim in the
+    * oracle SQL) so the only float op is a single division by the exact
+    * integer register sum.
+    */
+  val HllC256: Double = 4.2399330249068963e20
+
+  /** (group..., hll_est, v_zero, s_scaled) from a register table.
+    * s_scaled = Σ 2^{(wBits+1)−reg} over all m registers (absent rows =
+    * empty registers contributing 2^{wBits+1} each) — exact in a long.
+    * Linear counting below the standard 2.5·m threshold when any
+    * register is empty, raw harmonic estimate otherwise; both rounded
+    * at the 4-decimal boundary like the KMV estimate.
+    */
+  def hllReport(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p == 8, "HllC256 is pinned for p=8; add a constant to widen")
+    val m = 1 << p
+    val wBits = 60 - p
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - reg)")) +
+          (lit(m.toLong) - count(lit(1))) * (1L << (wBits + 1)))
+          .cast("long").as("s_scaled"),
+        (lit(m.toLong) - count(lit(1))).cast("long").as("v_zero"))
+    val raw = lit(HllC256) / col("s_scaled").cast("double")
+    agg.select(groupCols.map(col) ++ Seq(
+      when(raw <= lit(2.5 * m) && col("v_zero") > 0,
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v_zero").cast("double")), 4))
+        .otherwise(round(raw, 4)).as("hll_est"),
+      col("v_zero"), col("s_scaled")): _*)
+  }
+
+  /** Distinct-cardinality report per group, HLL flavor:
+    * (group..., n_exact, hll_est, rel_err, v_zero, s_scaled). The exact
+    * count rides along only to grade the estimate (as in [[kmvDistinct]]).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+      p: Int, salt: String): DataFrame = {
+    val regs = hllRegisters(df, groupCols, value, p, salt)
+    val est = hllReport(regs, groupCols, p)
+    val exact = df
+      .select(groupCols.map(col) :+
+        TextFunctions.hash60(concat(lit(salt), value)).as("h"): _*)
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(est, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("n_exact"), col("hll_est"),
+        round(abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("rel_err"),
+        col("v_zero"), col("s_scaled")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** The HLL merge law: per-(group, day) register shards re-maxed per
+    * (group, idx) must equal the direct whole-history registers — so a
+    * year of daily sketch tables answers the yearly cardinality with a
+    * grid-sized re-max instead of a re-read. `merge_consistent` must be
+    * uniformly true (register-wise max is exactly associative — this
+    * asserts the persisted-shard plumbing, as [[kmvMergeDaily]] does).
+    */
+  def hllMergeDaily(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      value: Column, p: Int, salt: String): DataFrame = {
+    val daily = hllRegisters(df.withColumn("day", dayCol),
+      groupCols :+ "day", value, p, salt)
+    val mergedRegs = daily.groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+    val merged = hllReport(mergedRegs, groupCols, p)
+      .select(groupCols.map(col) ++ Seq(col("hll_est").as("merged_est"),
+        col("s_scaled").as("s_merged")): _*)
+    val direct = hllReport(hllRegisters(df, groupCols, value, p, salt),
+        groupCols, p)
+      .select(groupCols.map(col) ++ Seq(col("hll_est").as("direct_est"),
+        col("s_scaled").as("s_direct")): _*)
+    merged.join(direct, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("merged_est"), col("direct_est"),
+        (col("merged_est") === col("direct_est") &&
+          col("s_merged") === col("s_direct")).as("merge_consistent")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
 }

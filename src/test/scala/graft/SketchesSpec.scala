@@ -153,4 +153,57 @@ class SketchesSpec extends SparkSpec {
     assert(rep.forall(_.getAs[Boolean]("l1_ok")))
     assert(rep.forall(_.getAs[Long]("l1") == 500L))
   }
+
+  test("hll small range uses linear counting and stays within its " +
+      "error band (sigma ~ 4.7% at n=100, m=256; assert 3 sigma)") {
+    val df = values("a", 100).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, Seq("g"), col("v"), 8, "t_")
+      .collect().head
+    assert(r.getAs[Long]("n_exact") == 100L)
+    assert(r.getAs[Long]("v_zero") > 0L) // far below m -> zeros exist
+    assert(r.getAs[Double]("rel_err") < 0.15,
+      s"rel_err ${r.getAs[Double]("rel_err")}")
+  }
+
+  test("hll above m the harmonic estimate lands in the 1.04/sqrt(m) " +
+      "error band (generous 4 sigma)") {
+    val df = values("a", 20000).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, Seq("g"), col("v"), 8, "t_")
+      .collect().head
+    assert(r.getAs[Long]("n_exact") == 20000L)
+    // 1.04/sqrt(256) = 0.065 -> 4 sigma = 0.26
+    assert(r.getAs[Double]("rel_err") < 0.26,
+      s"rel_err ${r.getAs[Double]("rel_err")}")
+    // the harmonic sum is exact and bounded by m * 2^53
+    assert(r.getAs[Long]("s_scaled") > 0L &&
+      r.getAs[Long]("s_scaled") <= 256L * (1L << 53))
+  }
+
+  test("hll register sum accounts for every one of the m registers") {
+    // a single value: 1 observed register, 255 empty -> s_scaled =
+    // 2^(53-reg) + 255 * 2^53 and v_zero = 255, exactly
+    val df = Seq(("a", "only")).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, Seq("g"), col("v"), 8, "t_")
+      .collect()
+    assert(regs.length == 1)
+    val reg = regs.head.getAs[Int]("reg")
+    val r = Sketches.hllDistinct(df, Seq("g"), col("v"), 8, "t_")
+      .collect().head
+    assert(r.getAs[Long]("v_zero") == 255L)
+    assert(r.getAs[Long]("s_scaled") ==
+      (1L << (53 - reg)) + 255L * (1L << 53))
+  }
+
+  test("hll merge law: daily register shards re-maxed equal the " +
+      "direct sketch, estimates and exact sums both") {
+    val rows = for {
+      d <- 1 to 7; i <- 1 to 500
+    } yield ("g1", d, s"v${(i * d) % 1500}")
+    val rep = Sketches.hllMergeDaily(rows.toDF("g", "day", "v"),
+      Seq("g"), col("day"), col("v"), 8, "t_").collect()
+    assert(rep.length == 1)
+    assert(rep.head.getAs[Boolean]("merge_consistent"),
+      s"merged ${rep.head.getAs[Double]("merged_est")} != " +
+        s"direct ${rep.head.getAs[Double]("direct_est")}")
+  }
 }
