@@ -279,6 +279,13 @@ object SparkEntry {
     // realized-variance signature across 1/5/15/60-minute sampling.
     "vol_signature" -> ((s, dir) =>
       Analytics.volSignature(Trades.fromEvents(Tables.events(s, dir)))),
+    // SAX motif discovery: rank-quartile letters, top sliding words.
+    "sax_motifs" -> ((s, dir) =>
+      Analytics.saxMotifs(
+        Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour"))),
+    // Hill tail-index over positive event values per type.
+    "tail_index" -> ((s, dir) =>
+      Sessions.hillTailIndex(Tables.events(s, dir))),
     // deepest peak-to-trough loss of each symbol's close series.
     "symbol_drawdown" -> ((s, dir) =>
       Analytics.maxDrawdown(
@@ -861,6 +868,11 @@ object SparkEntry {
     // greedy quality-per-token knapsack under a 30% token budget.
     "budget_select" -> ((s, dir) =>
       TextAnalysis.budgetSelect(Tables.documents(s, dir))),
+    // DSIR importance-resampling selection: raw docs ranked by hashed
+    // n-gram likelihood ratio vs the curated src0-src3 target slice.
+    "dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(Tables.documents(s, dir),
+        Seq("src0", "src1", "src2", "src3"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     "dedup_simhash_hamming" -> ((s, dir) =>
@@ -2995,6 +3007,58 @@ object SparkEntry {
          |FROM rv JOIN bs ON bs.symbol = rv.symbol
          |ORDER BY rv.symbol, scale_minutes""".stripMargin
     },
+
+    // mirrors Analytics.saxMotifs over 1-hour bars: rank-quartile
+    // ntile letters (close, bar_start tie-break), words via || (which
+    // null-propagates like Spark's concat — DuckDB's concat() does
+    // not), integer basis-point support, top-10 per symbol.
+    "sax_motifs" ->
+      s"""$tradesCte,
+         |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
+         |l AS (SELECT symbol, bar_start,
+         |        ntile(4) OVER (PARTITION BY symbol
+         |          ORDER BY close, bar_start) AS letter
+         |      FROM bars),
+         |w AS (SELECT symbol,
+         |        CAST(letter AS VARCHAR)
+         |          || CAST(lead(letter, 1) OVER tw AS VARCHAR)
+         |          || CAST(lead(letter, 2) OVER tw AS VARCHAR)
+         |          || CAST(lead(letter, 3) OVER tw AS VARCHAR) AS word
+         |      FROM l
+         |      WINDOW tw AS (PARTITION BY symbol ORDER BY bar_start)),
+         |c AS (SELECT symbol, word, count(*) AS cnt FROM w
+         |      WHERE word IS NOT NULL GROUP BY symbol, word),
+         |r AS (SELECT symbol, word, cnt,
+         |        sum(cnt) OVER (PARTITION BY symbol) AS n_words,
+         |        row_number() OVER (PARTITION BY symbol
+         |          ORDER BY cnt DESC, word) AS rank
+         |      FROM c)
+         |SELECT symbol, CAST(rank AS INT) AS rank, word, cnt,
+         |  (cnt * 10000) // n_words AS support_bp
+         |FROM r WHERE rank <= 10 ORDER BY symbol, rank""".stripMargin,
+
+    // mirrors Sessions.hillTailIndex (k=100): top order statistics of
+    // positive values, per-term ln pinned at the 9-grid, exact decimal
+    // sum, alpha = k / sum divided once at the boundary.
+    "tail_index" ->
+      """WITH v AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC) AS rn
+        |  FROM events WHERE value > 0),
+        |n AS (SELECT event_type, count(*) AS n_pos FROM v
+        |  GROUP BY event_type),
+        |t AS (SELECT event_type, value AS x_k FROM v WHERE rn = 101),
+        |s AS (SELECT v.event_type,
+        |    CAST(sum(CAST(round(ln(v.value / t.x_k), 9)
+        |      AS DECIMAL(12,9))) AS DECIMAL(38,9)) AS hill_sum
+        |  FROM v JOIN t USING (event_type) WHERE rn <= 100
+        |  GROUP BY v.event_type)
+        |SELECT s.event_type, n_pos, x_k, hill_sum,
+        |  CASE WHEN CAST(hill_sum AS DOUBLE) > 0
+        |    THEN round(100.0 / CAST(hill_sum AS DOUBLE), 6) END
+        |    AS tail_alpha
+        |FROM s JOIN n USING (event_type) JOIN t USING (event_type)
+        |ORDER BY s.event_type""".stripMargin,
 
     // mirrors Analytics.hurstExponent: decimal returns and prefix
     // sums, pinned-double Z/R/S rounded 12, exact integer log2 sizes,
@@ -5358,6 +5422,42 @@ object SparkEntry {
 
     // mirrors TextAnalysis.zipfFit: exact freq/rank, log10 on ints,
     // 12-decimal DECIMAL OLS term sums, slope/intercept at boundary.
+    // mirrors TextAnalysis.dsirSelect (B=64, target src0-src3):
+    // unigram+bigram features WITH multiplicity, hashed buckets, the
+    // Laplace-smoothed lambda grid rounded at the 9-grid per bucket,
+    // exact decimal per-doc sums, top-50 by (logw DESC, doc_id).
+    "dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |uni AS (SELECT doc_id, source, toks[i] AS gram
+         |        FROM t, unnest(generate_series(1, len(toks))) g(i)),
+         |bi AS (SELECT doc_id, source,
+         |         concat_ws(' ', toks[i], toks[i+1]) AS gram
+         |       FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)),
+         |g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         |f AS (SELECT doc_id, source,
+         |        CAST(${h60("'dsir_' || gram")} % 64 AS INT) AS b
+         |      FROM g),
+         |agg AS (SELECT b,
+         |    sum(CASE WHEN source IN ('src0','src1','src2','src3')
+         |      THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN source IN ('src0','src1','src2','src3')
+         |      THEN 0 ELSE 1 END) AS cr
+         |  FROM f GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM agg),
+         |lam AS (SELECT b, CAST(round(ln(((ct + 1) * (tr + 64))
+         |      / ((cr + 1) * (tt + 64))), 9) AS DECIMAL(12,9)) AS lam
+         |  FROM agg, tot),
+         |dc AS (SELECT doc_id, b, count(*) AS n FROM f
+         |  WHERE source NOT IN ('src0','src1','src2','src3')
+         |  GROUP BY doc_id, b),
+         |w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+         |    CAST(sum(n * lam) AS DECIMAL(38,9)) AS logw
+         |  FROM dc JOIN lam USING (b) GROUP BY doc_id)
+         |SELECT w.doc_id, d.source, n_feats, logw
+         |FROM w JOIN documents d ON d.doc_id = w.doc_id
+         |ORDER BY logw DESC, w.doc_id LIMIT 50""".stripMargin,
+
     // mirrors TextAnalysis.budgetSelect: the shared quality formula,
     // a quality-ranked cumulative token spend per source, integer
     // budgets (pct*total) // 100, pure integer admission.

@@ -613,6 +613,51 @@ object Analytics {
       .orderBy(col("symbol"), col("scale_minutes"))
   }
 
+  /** SAX motif discovery per symbol [Lin et al. 2003, "A Symbolic
+    * Representation of Time Series"]: closes are discretized to a
+    * 4-letter alphabet and every `wordLen`-bar sliding word is
+    * counted — the top motifs are the series' recurring shapes
+    * (accumulation ramps, V-reversals, flat shelves) that no
+    * variance-family statistic surfaces. This variant discretizes by
+    * RANK QUARTILE (ntile over the symbol's own closes) instead of
+    * Gaussian breakpoints: distribution-free, and pure integer/string
+    * arithmetic end to end — no z-score, no libm, nothing to pin.
+    *
+    * support_bp = (count · 10000) div n_words keeps the support on an
+    * exact integer basis-point grid (no double division anywhere).
+    *
+    * Scale shape: one value-ranked window + one time-ordered window
+    * per symbol (same partition key, one exchange), a hash agg over
+    * (symbol, word) — at most 4^wordLen words per symbol — and a
+    * WindowGroupLimit top-k. Symbols with fewer than wordLen bars
+    * emit nothing.
+    */
+  def saxMotifs(bars: DataFrame, wordLen: Int = 4,
+                topK: Int = 10): DataFrame = {
+    val byVal = Window.partitionBy(col("symbol"))
+      .orderBy(col("close"), col("bar_start"))
+    val byTime = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+    val worded = bars
+      .select(col("symbol"), col("bar_start"), col("close"))
+      .withColumn("letter", ntile(4).over(byVal).cast("string"))
+      // concat null-propagates in Spark, so trailing partial windows
+      // (any lead null) drop below; the oracle uses || for the same
+      // semantics (DuckDB's concat() swallows NULLs — a trap)
+      .withColumn("word", concat((0 until wordLen).map(i =>
+        lead(col("letter"), i).over(byTime)): _*))
+      .filter(col("word").isNotNull)
+    val bySym = Window.partitionBy(col("symbol"))
+    worded.groupBy(col("symbol"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_words", sum(col("cnt")).over(bySym))
+      .withColumn("rank", row_number().over(
+        bySym.orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rank") <= topK)
+      .select(col("symbol"), col("rank"), col("word"), col("cnt"),
+        expr("(cnt * 10000) div n_words").as("support_bp"))
+      .orderBy(col("symbol"), col("rank"))
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis per symbol — the
     * long-memory diagnostic none of the variance-family estimators
     * see: H ≈ 0.5 is a random walk, H > 0.5 persistent trends

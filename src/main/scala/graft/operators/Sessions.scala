@@ -686,4 +686,51 @@ object Sessions {
         col("c_censored"), col("hazard_micro"), col("cum_hazard_micro"))
       .orderBy(col("t_hours"))
   }
+
+  /** Hill tail-index estimator per event type [Hill 1975]: over the
+    * top k order statistics of positive `value`s,
+    * hill_sum = Σ_{i≤k} ln(x_(i)/x_(k+1)) and α = k / hill_sum — the
+    * heavy-tail diagnostic behind every "can I trust the mean?"
+    * question (α ≤ 2: infinite variance, sample means never settle;
+    * α ≤ 1: infinite MEAN — alerting/SLO arithmetic on such a value
+    * column is meaningless and needs quantiles instead).
+    *
+    * Determinism: each ln is pinned at the 9-grid, the k-term sum is
+    * exact decimal, and k = 100 so the mean is a pure decimal scale
+    * shift — α's single double division rounds once at the boundary.
+    * Ties straddling the k-boundary are harmless: order statistics
+    * are multiset values, identical whichever tied ROW wins.
+    *
+    * Scale shape: one type-keyed rank window that Spark rewrites to
+    * WindowGroupLimit (each map task keeps its local top k+1 before
+    * the shuffle), a |types|-row threshold broadcast, one hash agg.
+    * Types with fewer than k+1 positive values drop out (the
+    * estimator is undefined there).
+    */
+  def hillTailIndex(events: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k % 100 == 0, "k must be a multiple of 100: the Hill mean " +
+      "must stay a pure decimal scale shift (oracle determinism)")
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc)
+    val v = events.filter(col("value") > 0)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(byVal))
+    val n = v.groupBy(col("event_type")).agg(count(lit(1)).as("n_pos"))
+    val thresh = v.filter(col("rn") === k + 1)
+      .select(col("event_type"), col("value").as("x_k"))
+    v.filter(col("rn") <= k)
+      .join(broadcast(thresh), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(round(log(col("value") / col("x_k")), 9)
+          .cast(DecimalType(12, 9)))
+        .cast(DecimalType(38, 9)).as("hill_sum"))
+      .join(broadcast(n), Seq("event_type"))
+      .join(broadcast(thresh), Seq("event_type"))
+      .select(col("event_type"), col("n_pos"), col("x_k"), col("hill_sum"),
+        when(col("hill_sum").cast("double") > 0,
+          round(lit(k.toDouble) / col("hill_sum").cast("double"), 6))
+          .as("tail_alpha"))
+      .orderBy(col("event_type"))
+  }
 }

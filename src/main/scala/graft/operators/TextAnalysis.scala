@@ -2652,4 +2652,63 @@ object TextAnalysis {
       .orderBy(col("supp_ab").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
+
+  /** DSIR data selection [Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"]: rank raw-pool docs
+    * by how much their hashed n-gram profile looks like a curated
+    * target slice. Features are unigrams + bigrams WITH multiplicity
+    * hashed into `buckets` buckets; per-bucket log-likelihood ratios
+    * λ_b = ln((ct_b+1)(Tr+B) / ((cr_b+1)(Tt+B))) (Laplace-smoothed)
+    * come from one bucket-grid aggregation, and each doc's importance
+    * logweight is the EXACT decimal sum Σ n_b·λ_b — λ is the one libm
+    * value, pinned to the coarse 9-grid per bucket (the logit_fit
+    * recipe), so the per-doc sum is order-independent.
+    *
+    * Scale shape: one gram explode → (doc, bucket) counts (map-side
+    * combinable), a B-row λ grid broadcast back, one doc-keyed sum,
+    * TakeOrderedAndProject for the top-k. The λ-grid arithmetic keeps
+    * integer products exact in doubles while (ct+1)·(Tr+B) < 2^53 —
+    * beyond ~10^15 features, build the B-row grid driver-side in
+    * BigDecimal (constant-size work) instead.
+    */
+  def dsirSelect(docs: DataFrame, targetSources: Seq[String],
+                 buckets: Int = 64, k: Int = 50): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs
+      .select(col("doc_id"), col("source"),
+        explode(concat(toks, bigrams)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        pmod(hash60(concat(lit("dsir_"), col("gram"))), lit(buckets))
+          .cast("int").as("b"))
+    val isTgt = col("source").isInCollection(targetSources)
+    val grid = feats.groupBy(col("b")).agg(
+      sum(when(isTgt, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // B-row grid: the global window is free
+    val lam = grid
+      .withColumn("tt", sum(col("ct")).over(all))
+      .withColumn("tr", sum(col("cr")).over(all))
+      .select(col("b"), round(log(
+          ((col("ct") + 1) * (col("tr") + buckets)) /
+            ((col("cr") + 1) * (col("tt") + buckets))), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(12, 9)).as("lam"))
+    val rawCounts = feats.filter(!isTgt)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    val weights = rawCounts.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_feats"),
+        sum(col("n") * col("lam"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 9)).as("logw"))
+    weights
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_feats"), col("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -320,6 +320,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(byScale(2).getAs[Long]("n_rets") == 29L)
   }
 
+  test("saxMotifs: a repeated ramp's words are exactly the cyclic " +
+      "pattern's windows; a 3-bar symbol emits nothing") {
+    // closes 1..8 repeated 4x: rank quartiles map {1,2}->1, {3,4}->2,
+    // {5,6}->3, {7,8}->4 -> letters cycle "11223344"
+    val bars = (0 until 32).map { i =>
+      ("ramp", new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + i * 3600000L),
+        (i % 8 + 1).toDouble)
+    } ++ (0 until 3).map { i =>
+      ("tiny", new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + i * 3600000L), 1.0 + i)
+    }
+    val df = bars.toDF("symbol", "bar_start", "close")
+    val r = Analytics.saxMotifs(df).collect()
+    assert(r.forall(_.getAs[String]("symbol") == "ramp"))
+    // 29 sliding words over the period-8 cycle: 8 distinct windows
+    assert(r.map(_.getAs[Long]("cnt")).sum == 29L)
+    val cyc = "1122334411223344"
+    val windows = (0 until 8).map(i => cyc.substring(i, i + 4)).toSet
+    assert(r.map(_.getAs[String]("word")).toSet.subsetOf(windows))
+    // 29 = 3*8 + 5: the first five cyclic windows appear 4 times
+    val top = r.filter(_.getAs[Long]("cnt") == 4L)
+    assert(top.length == 5)
+    assert(r.head.getAs[Int]("rank") == 1)
+    assert(r.head.getAs[Long]("support_bp") == 4L * 10000 / 29)
+  }
+
   test("hurstExponent: a perfectly anti-persistent alternating series " +
       "has R/S = 1 at every size, so H is exactly 0; a constant " +
       "series has zero variance and drops out") {

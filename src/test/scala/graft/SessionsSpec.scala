@@ -281,6 +281,30 @@ class SessionsSpec extends SparkSpec {
     assert(b.getAs[Double]("burstiness") > 0.4) // strongly bursty
   }
 
+  test("hillTailIndex: a geometric value ladder recovers its exact " +
+      "tail slope; types without k+1 positives drop out") {
+    // values exp(0.01*i), i=1..150: top-100 log-ratios vs x_(101) are
+    // 0.01..1.00 -> hill_sum = 50.5, alpha = 100/50.5 = 1.980198...
+    val events = (1 to 150).map(i => (i.toLong, 1L, "geo",
+        math.exp(0.01 * i),
+        new java.sql.Timestamp(ts("2024-01-01 10:00:00").getTime + i))) ++
+      // 50 positives only -> no 101st order statistic -> no row
+      (1 to 50).map(i => (1000L + i, 1L, "thin", 1.0 + i,
+        new java.sql.Timestamp(ts("2024-01-01 10:00:00").getTime + i))) ++
+      // zero/negative values never enter the ladder
+      Seq((2000L, 1L, "geo", 0.0,
+        new java.sql.Timestamp(ts("2024-01-01 10:00:00").getTime)),
+        (2001L, 1L, "geo", -5.0,
+          new java.sql.Timestamp(ts("2024-01-01 10:00:00").getTime)))
+    val df = events.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = Sessions.hillTailIndex(df).collect()
+    assert(r.length == 1 && r.head.getAs[String]("event_type") == "geo")
+    assert(r.head.getAs[Long]("n_pos") == 150L)
+    assert(math.abs(r.head.getAs[Double]("x_k") - math.exp(0.5)) < 1e-12)
+    val alpha = r.head.getAs[Double]("tail_alpha")
+    assert(math.abs(alpha - 100.0 / 50.5) < 1e-4, s"alpha $alpha")
+  }
+
   test("conversionSurvival: converters enter at their hour, censoring " +
       "shrinks the risk set, hazards are exact micro-units") {
     // corpus end = user 3's last event (2024-01-20 00:00). user 1

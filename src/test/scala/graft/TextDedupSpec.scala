@@ -629,6 +629,29 @@ class TextDedupSpec extends SparkSpec {
     assert(r30.isNullAt(r30.fieldIndex("quality_bar")))
   }
 
+  test("dsirSelect: a raw doc that shares the target slice's grams " +
+      "outranks one that shares none; only raw-pool docs are emitted") {
+    val tgtText = "alpha beta alpha beta gamma alpha"
+    val docsDf = (
+      (1L to 4L).map(i => (i, tgtText, "en", "tgt")) ++ Seq(
+        (10L, "alpha beta alpha beta", "en", "raw"),  // target-like
+        (11L, "zeta eta theta iota", "en", "raw")))   // alien grams
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.dsirSelect(docsDf, Seq("tgt")).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 11L))
+    val byId = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 4 unigrams + 3 bigrams each
+    assert(r.forall(_.getAs[Long]("n_feats") == 7L))
+    val w10 = byId(10L).getDecimal(byId(10L).fieldIndex("logw"))
+    val w11 = byId(11L).getDecimal(byId(11L).fieldIndex("logw"))
+    assert(w10.compareTo(w11) > 0, s"w10=$w10 w11=$w11")
+    assert(r.head.getAs[Long]("doc_id") == 10L) // ordered by logw desc
+    // content-stable across partitionings
+    val re = TextAnalysis.dsirSelect(docsDf.repartition(5), Seq("tgt"))
+      .collect()
+    assert(re.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+  }
+
   test("stratifiedSplit: quotas are exact in every stratum, a " +
       "1-doc stratum lands in train, assignment is rerun-stable") {
     val docsDf = ((1L to 10L).map(i => (i, "t", "en", "s1")) :+
