@@ -356,6 +356,9 @@ object SparkEntry {
     // cohort retention triangle: first-activity cohorts × day offsets.
     "user_retention" -> ((s, dir) =>
       Sessions.cohortRetention(Tables.events(s, dir))),
+    // cohort LTV curves: cumulative revenue per signup-week cohort.
+    "cohort_ltv" -> ((s, dir) =>
+      Sessions.cohortLtv(Tables.events(s, dir))),
     // Nelson–Aalen time-to-conversion hazard, right-censored at 336 h.
     "conversion_survival" -> ((s, dir) =>
       Sessions.conversionSurvival(Tables.events(s, dir))),
@@ -604,6 +607,18 @@ object SparkEntry {
       TextAnalysis.readability(Tables.documents(s, dir))),
     // CCNet-style perplexity filter: unigram LM trained on the lang='en'
     // slice, every doc scored by avg token log-prob + OOV rate.
+    // CCNet-style per-language LM-score terciles with token mass.
+    "ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(Tables.documents(s, dir))),
+    // Spearman rho between the heuristic and LM quality signals.
+    "quality_rank_corr" -> ((s, dir) =>
+      TextAnalysis.qualityRankCorr(Tables.documents(s, dir))),
+    // per-label farthest-from-centroid embedding outliers.
+    "embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.embeddings(s, dir))),
+    // per-source header/footer template audit (boilerplate detector).
+    "boilerplate_audit" -> ((s, dir) =>
+      TextAnalysis.boilerplateAudit(Tables.documents(s, dir))),
     "lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
     // stupid-backoff bigram upgrade of lm_score.
@@ -1421,6 +1436,9 @@ object SparkEntry {
     // deterministic in-engine logistic regression (8 GD steps).
     "logit_fit" -> ((s, dir) =>
       Learn.logitFit(Tables.events(s, dir))),
+    // closed-form OLS by exact integer normal equations + Cramer.
+    "ols_fit" -> ((s, dir) =>
+      Learn.olsFit(Tables.lineitem(s, dir))),
     // last-touch attribution: purchases credit the latest click/view
     // within 72h (else "direct"); share + mean touch→conv latency.
     "attribution_last_touch" -> ((s, dir) =>
@@ -1441,6 +1459,10 @@ object SparkEntry {
     // contamination blast-radius traversal over the same LSH graph.
     "knn_bfs" -> ((s, dir) =>
       Similarity.knnBfs(Tables.embeddings(s, dir))),
+    // link prediction: common-neighbor + Adamic-Adar scores for the
+    // strongest NON-edges — the pairs banded LSH most likely missed.
+    "knn_link_predict" -> ((s, dir) =>
+      Similarity.knnLinkPredict(Tables.embeddings(s, dir))),
     // edge/node/degree curve of the LSH graph across cosine thresholds
     // — the knob audit the whole knn_* family inherits.
     "lsh_threshold_sweep" -> ((s, dir) =>
@@ -2793,6 +2815,36 @@ object SparkEntry {
         |    AS retention
         |FROM g JOIN cs ON cs.cohort_date = g.cohort_date
         |ORDER BY g.cohort_date, g.day_offset""".stripMargin,
+
+    // mirrors Sessions.cohortLtv: Monday-truncated signup cohorts,
+    // integer day-diff // 7 offsets, exact (18,6)-decimal revenue
+    // through the running cumulative, one boundary division per row.
+    "cohort_ltv" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |cs AS (SELECT cohort_week, count(*) AS cohort_size FROM f
+        |  GROUP BY cohort_week),
+        |a AS (SELECT f.cohort_week,
+        |    CAST(datediff('day', f.cohort_week,
+        |      CAST(date_trunc('week', ev.ts) AS DATE)) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    count(DISTINCT ev.user_id) AS n_active,
+        |    CAST(sum(CAST(round(ev.value, 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(38,6)) AS revenue
+        |  FROM events ev JOIN f USING (user_id)
+        |  GROUP BY f.cohort_week, week_offset),
+        |c AS (SELECT *, CAST(sum(revenue) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS DECIMAL(38,6)) AS cum_revenue
+        |  FROM a)
+        |SELECT c.cohort_week, week_offset,
+        |  CAST(n_active AS BIGINT) AS n_active, revenue, cum_revenue,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  round(CAST(cum_revenue AS DOUBLE) / CAST(cohort_size AS DOUBLE),
+        |    6) AS ltv_per_user
+        |FROM c JOIN cs USING (cohort_week)
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
 
     // mirrors Sessions.conversionSurvival: one per-user fold, elapsed
     // hours via epoch-µs integral division (NOT date_diff, which counts
@@ -5026,6 +5078,32 @@ object SparkEntry {
 
     // mirrors Similarity.embedDimStats: 6-decimal DECIMAL element sums,
     // boundary-order mean/variance, fixed collapse threshold.
+    // mirrors Similarity.embedOutliers: per-label scaled-long dim-sum
+    // centroids (cosine is scale-invariant — no mean division), the
+    // shared sequential dot, bottom-20 per label by (cos, vec_id).
+    "embed_outliers" ->
+      s"""$embCte,
+         |cx AS (SELECT label, g.pos AS pos,
+         |    sum(CAST(round(v[g.pos] * 1000000.0, 0) AS BIGINT)) AS sx,
+         |    count(*) AS cn
+         |  FROM n, unnest(generate_series(1, len(v))) AS g(pos)
+         |  GROUP BY label, g.pos),
+         |ct AS (SELECT label, max(cn) AS n_label,
+         |    list(CAST(sx AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM cx GROUP BY label),
+         |c2 AS (SELECT label, n_label, cv,
+         |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm
+         |  FROM ct),
+         |s AS (SELECT n.label, c2.n_label, n.vec_id,
+         |    round(${dotSql("n.v", "c2.cv")} / (n.nrm * c2.c_nrm), 6)
+         |      AS centroid_cos
+         |  FROM n JOIN c2 USING (label)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY centroid_cos, vec_id) AS rank FROM s)
+         |SELECT label, CAST(rank AS INT) AS rank, vec_id, centroid_cos,
+         |  CAST(n_label AS BIGINT) AS n_label
+         |FROM r WHERE rank <= 20 ORDER BY label, rank""".stripMargin,
+
     "embed_dim_stats" ->
       """WITH x AS (SELECT CAST(g.pos AS INT) AS dim,
         |    CAST(round(CAST(embedding[g.pos] AS DOUBLE), 6)
@@ -5098,6 +5176,116 @@ object SparkEntry {
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
         |    - 15.59 AS fk_grade
         |FROM base WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.ccnetBuckets: the lm_score chain, then
+    // per-language ntile(3) terciles over (avg_logprob DESC, doc_id)
+    // and integer basis-point token shares.
+    "ccnet_buckets" ->
+      """WITH k AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |       FROM documents),
+        |tr AS (SELECT t, count(*) AS c FROM k WHERE lang = 'en' GROUP BY t),
+        |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS vv
+        |      FROM tr),
+        |sc AS (SELECT k.doc_id,
+        |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+        |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+        |       FROM k LEFT JOIN tr ON k.t = tr.t, m),
+        |d AS (SELECT doc_id, count(*) AS n_tokens,
+        |        CAST(sum(lp6) AS DOUBLE) / 1000000.0
+        |          / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |      FROM sc GROUP BY doc_id),
+        |b AS (SELECT dd.lang, d.n_tokens, d.avg_logprob,
+        |        ntile(3) OVER (PARTITION BY dd.lang
+        |          ORDER BY d.avg_logprob DESC, d.doc_id) AS bucket_no
+        |      FROM d JOIN documents dd USING (doc_id)),
+        |g AS (SELECT lang, bucket_no, count(*) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |        min(avg_logprob) AS cut_logprob
+        |      FROM b GROUP BY lang, bucket_no)
+        |SELECT lang, bucket_no,
+        |  CASE bucket_no WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |  (n_tokens * 10000)
+        |    // CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS token_share_bp,
+        |  cut_logprob
+        |FROM g ORDER BY lang, bucket_no""".stripMargin,
+
+    // mirrors TextAnalysis.qualityRankCorr: the budget_select quality
+    // expression + the lm_score chain, two row_number rank windows
+    // (doc_id tie-breaks), exact integer sum of squared rank gaps,
+    // one output division.
+    "quality_rank_corr" ->
+      """WITH k AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |       FROM documents),
+        |tr AS (SELECT t, count(*) AS c FROM k WHERE lang = 'en' GROUP BY t),
+        |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt, CAST(count(*) AS DOUBLE) AS vv
+        |      FROM tr),
+        |sc AS (SELECT k.doc_id,
+        |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+        |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+        |       FROM k LEFT JOIN tr ON k.t = tr.t, m),
+        |d AS (SELECT doc_id, CAST(sum(lp6) AS DOUBLE) / 1000000.0
+        |        / CAST(count(*) AS DOUBLE) AS avg_logprob
+        |      FROM sc GROUP BY doc_id),
+        |q AS (SELECT doc_id, lang,
+        |    round((CAST(len(list_distinct(toks)) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE))
+        |      * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(
+        |          ['the','a','of','and','to','in','is','on','for','with'],
+        |          tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+        |      * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6)
+        |      AS quality_score
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |r AS (SELECT q.lang,
+        |    row_number() OVER (PARTITION BY q.lang
+        |      ORDER BY q.quality_score DESC, q.doc_id) AS rq,
+        |    row_number() OVER (PARTITION BY q.lang
+        |      ORDER BY d.avg_logprob DESC, q.doc_id) AS rl
+        |  FROM q JOIN d USING (doc_id)),
+        |a AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS sum_d2
+        |  FROM r GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, sum_d2,
+        |  CASE WHEN n_docs > 1 THEN round(1.0
+        |    - 6.0 * CAST(sum_d2 AS DOUBLE)
+        |      / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |        * CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6)
+        |  END AS spearman_rho
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // mirrors TextAnalysis.boilerplateAudit (nTok=5, topK=3): fixed
+    // 5-token prefix/suffix slices (whole doc when shorter), one
+    // (source, kind, snippet) count, top-3 per (source, kind) by
+    // (cnt DESC, snippet), integer basis-point rates.
+    "boilerplate_audit" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |base AS (SELECT source,
+        |    CASE WHEN len(toks) >= 5
+        |      THEN array_to_string(list_slice(toks, 1, 5), ' ')
+        |      ELSE array_to_string(toks, ' ') END AS header,
+        |    CASE WHEN len(toks) >= 5
+        |      THEN array_to_string(
+        |        list_slice(toks, len(toks) - 4, len(toks)), ' ')
+        |      ELSE array_to_string(toks, ' ') END AS footer
+        |  FROM t),
+        |cand AS (SELECT source, 'header' AS kind, header AS snippet
+        |           FROM base
+        |         UNION ALL
+        |         SELECT source, 'footer', footer FROM base),
+        |nd AS (SELECT source, count(*) AS n_docs FROM t GROUP BY source),
+        |c AS (SELECT source, kind, snippet, count(*) AS cnt,
+        |        row_number() OVER (PARTITION BY source, kind
+        |          ORDER BY count(*) DESC, snippet) AS rank
+        |      FROM cand GROUP BY source, kind, snippet)
+        |SELECT c.source, kind, CAST(rank AS INT) AS rank, snippet, cnt,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  (cnt * 10000) // n_docs AS rate_bp
+        |FROM c JOIN nd USING (source)
+        |WHERE rank <= 3 ORDER BY c.source, kind, rank""".stripMargin,
 
     "lm_score" ->
       """WITH k AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
@@ -6176,6 +6364,30 @@ object SparkEntry {
          |FROM l4 JOIN dg ON dg.id = l4.id ORDER BY vec_id""".stripMargin
     },
 
+    // mirrors Similarity.knnLinkPredict: wedges through each middle
+    // vertex of the symmetric LSH edge list, 1/ln(deg) pinned per
+    // node at the 9-grid, exact decimal Adamic-Adar sums, existing
+    // edges anti-joined away, top-50 by (aa_score, ids).
+    "knn_link_predict" ->
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.35),
+         |ed AS (SELECT id1 AS src, id2 AS dst FROM ep
+         |       UNION ALL SELECT id2, id1 FROM ep),
+         |wt AS (SELECT src AS w, CAST(round(1.0
+         |          / ln(CAST(count(*) AS DOUBLE)), 9) AS DECIMAL(12,9))
+         |          AS aa_w
+         |       FROM ed GROUP BY src HAVING count(*) >= 2),
+         |wg AS (SELECT a.src AS w, a.dst AS u, b.dst AS v
+         |       FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst),
+         |cd AS (SELECT u, v, count(*) AS cn,
+         |         CAST(sum(aa_w) AS DECIMAL(38,9)) AS aa_score
+         |       FROM wg JOIN wt USING (w) GROUP BY u, v),
+         |ne AS (SELECT cd.* FROM cd LEFT JOIN ep
+         |         ON ep.id1 = cd.u AND ep.id2 = cd.v
+         |       WHERE ep.id1 IS NULL)
+         |SELECT u AS id1, v AS id2, cn, aa_score FROM ne
+         |ORDER BY aa_score DESC, id1, id2 LIMIT 50""".stripMargin,
+
     // mirrors Similarity.knnCommunities: 4 unrolled synchronous
     // mode-label-propagation rounds over the same LSH edge list plus
     // one self-loop per node, ties broken by smallest label.
@@ -7161,6 +7373,56 @@ object SparkEntry {
     // EXACT 1e-12-unit integers (HUGEINT), exact decimal margins and
     // gradient sums, floor-division updates (matches the driver's
     // BigInt floor); the only libm rounding is sigma at 9.
+    // mirrors Learn.olsFit: integer cent/point grids, pseudo-means
+    // via //, the ×n computational centering (exact), Cramer with
+    // 1e-6-unit truncated betas, intercept from the SAME truncated
+    // betas, third-pass integer residuals for R². All HUGEINT.
+    "ols_fit" -> {
+      def usd(u: String) =
+        s"CAST(CAST($u AS DECIMAL(26,0))" +
+          s" * CAST(0.00000001 AS DECIMAL(9,8)) AS DECIMAL(24,8))"
+      s"""WITH b AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
+         |    CAST(round(l_discount * 100, 0) AS BIGINT) AS y,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS z
+         |  FROM lineitem),
+         |s1 AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(z) AS sz FROM b),
+         |m AS (SELECT n, sx // n AS mx, sy // n AS my, sz // n AS mz
+         |  FROM s1),
+         |c AS (SELECT b.x - mx AS u, b.y - my AS v, b.z - mz AS w
+         |  FROM b, m),
+         |s2 AS (SELECT sum(u*u) AS suu, sum(v*v) AS svv,
+         |    sum(u*v) AS suv, sum(u*w) AS suw, sum(v*w) AS svw,
+         |    sum(CAST(w AS HUGEINT) * w) AS sww,
+         |    sum(u) AS su, sum(v) AS sv, sum(w) AS sw FROM c),
+         |g AS (SELECT m.n, m.mx, m.my, m.mz, s2.*,
+         |    CAST(m.n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS ca,
+         |    CAST(m.n AS HUGEINT)*suv - CAST(su AS HUGEINT)*sv AS cb,
+         |    CAST(m.n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS cc,
+         |    CAST(m.n AS HUGEINT)*suw - CAST(su AS HUGEINT)*sw AS cd,
+         |    CAST(m.n AS HUGEINT)*svw - CAST(sv AS HUGEINT)*sw AS ce
+         |  FROM s2, m),
+         |t AS (SELECT *,
+         |    ((cd*cc - ce*cb) * 1000000) // (ca*cc - cb*cb) AS b1t,
+         |    ((ca*ce - cb*cd) * 1000000) // (ca*cc - cb*cb) AS b2t
+         |  FROM g),
+         |t2 AS (SELECT *, (CAST(sw AS HUGEINT)*1000000
+         |    - b1t*su - b2t*sv) // n AS ct FROM t),
+         |t3 AS (SELECT *, mz*1000000 + ct - b1t*mx - b2t*my AS b0t
+         |  FROM t2),
+         |r AS (SELECT c.w - CAST((t3.b1t*c.u + t3.b2t*c.v + t3.ct)
+         |    // 1000000 AS BIGINT) AS rr FROM c, t3),
+         |s3 AS (SELECT sum(CAST(rr AS HUGEINT)*rr) AS sse FROM r)
+         |SELECT CAST(t3.n AS BIGINT) AS n_rows,
+         |  ${usd("b0t")} AS intercept_usd,
+         |  ${usd("b1t")} AS beta_qty_usd,
+         |  ${usd("b2t")} AS beta_disc_pt_usd,
+         |  round(1.0 - CAST(t3.n * sse AS DOUBLE)
+         |    / CAST(t3.n * sww - CAST(sw AS HUGEINT)*sw AS DOUBLE), 6)
+         |    AS r2
+         |FROM t3, s3""".stripMargin
+    },
+
     "logit_fit" -> {
       def wDec(u: String) =
         s"CAST(CAST($u AS DECIMAL(20,0))" +

@@ -57,6 +57,100 @@ object Learn {
     * decimal sums is embarrassingly parallel and
     * partitioning-invariant — the determinism is the contribution.
     */
+  /** Deterministic two-feature OLS by exact normal equations —
+    * [[logitFit]]'s closed-form sibling: z = β₀ + β₁·x + β₂·y fit to
+    * lineitem (x = quantity, y = discount in points, z = extended
+    * price in cents), solved by Cramer's rule over EXACT integer
+    * moment sums, so the fitted coefficients are bit-identical on any
+    * cluster layout — the property a float-summing `X'X` never has.
+    *
+    * Numerics (every step mirrored in the DuckDB oracle):
+    *  - inputs land on integer grids (cents / discount points) via
+    *    one round of parquet doubles — identical both engines, no .5
+    *    boundary can exist for 2-decimal money;
+    *  - integer PSEUDO-means first (Σ div n) shrink every residual,
+    *    then the ×n computational correction (n·Σuv − Σu·Σv) makes
+    *    the centering EXACT — pseudo-means alone bias a small-range
+    *    regressor: the first cut read β₁ 1.7% low because discount's
+    *    truncated mean was 4 vs a true 4.99;
+    *  - β's are truncated to exact 1e-6-unit integers (micro-cents):
+    *    the ×1e6 numerators stay under HUGEINT/BigInt-in-plan bounds
+    *    through sf100 where a ×1e12 target overflows at sf0.1;
+    *  - the intercept absorbs the pseudo-mean remainders through the
+    *    SAME truncated β's both engines hold;
+    *  - R² comes from a third pass of exact integer residuals
+    *    (per-row truncating `div` — Spark div ≡ DuckDB ≡ BigInt /,
+    *    all toward zero), one double division at the boundary.
+    *
+    * Scale shape: three map-side scans over a checkpointed projection
+    * with 1-row aggregates — the same embarrassing parallelism as
+    * [[logitFit]], but closed-form: no iteration at all.
+    */
+  def olsFit(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+        round(col("l_quantity"), 0).cast("long").as("x"),
+        round(col("l_discount") * 100, 0).cast("long").as("y"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("z"))
+      .localCheckpoint(false)
+    val s1 = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("z")).as("sz")).collect().head
+    val n = BigInt(s1.getAs[Long]("n"))
+    val (mx, my, mz) = (BigInt(s1.getAs[Long]("sx")) / n,
+      BigInt(s1.getAs[Long]("sy")) / n, BigInt(s1.getAs[Long]("sz")) / n)
+
+    val dec0 = DecimalType(38, 0)
+    val cent = base.select((col("x") - mx.toLong).as("u"),
+        (col("y") - my.toLong).as("v"), (col("z") - mz.toLong).as("w"))
+      .localCheckpoint(false)
+    val s2 = cent.agg(
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("v") * col("v")).as("svv"),
+      sum(col("u") * col("v")).as("suv"),
+      sum(col("u") * col("w")).as("suw"),
+      sum(col("v") * col("w")).as("svw"),
+      sum(col("w").cast(dec0) * col("w")).as("sww"),
+      sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      sum(col("w")).as("sw"),
+      max(abs(col("u"))).as("maxu"), max(abs(col("v"))).as("maxv"))
+      .collect().head
+    def lg(c: String) = BigInt(s2.getAs[Long](c))
+    val (su, sv, sw) = (lg("su"), lg("sv"), lg("sw"))
+    val ca = n * lg("suu") - su * su
+    val cb = n * lg("suv") - su * sv
+    val cc = n * lg("svv") - sv * sv
+    val cd = n * lg("suw") - su * sw
+    val ce = n * lg("svw") - sv * sw
+    val det = ca * cc - cb * cb
+    require(det > 0, "degenerate design: regressors are collinear")
+    val scale = BigInt(1000000) // 1e-6-unit betas
+    // BigInt / truncates toward zero — DuckDB // semantics exactly
+    val b1t = (cd * cc - ce * cb) * scale / det
+    val b2t = (ca * ce - cb * cd) * scale / det
+    val ct = (sw * scale - b1t * su - b2t * sv) / n
+    val b0t = mz * scale + ct - b1t * mx - b2t * my
+    require(b1t.abs * lg("maxu") + b2t.abs * lg("maxv") + ct.abs <
+      BigInt(Long.MaxValue) / 4, "per-row prediction would overflow a long")
+
+    val sst = n * BigInt(s2.getDecimal(s2.fieldIndex("sww"))
+      .toBigInteger) - sw * sw
+    def usd(units: BigInt) = // 1e-6 cent units -> dollars, scale 8
+      lit(new java.math.BigDecimal(units.bigInteger, 8))
+        .cast(DecimalType(24, 8))
+    cent
+      .select((col("w") -
+        expr(s"(${b1t}L * u + ${b2t}L * v + ${ct}L) div 1000000"))
+        .as("rr"))
+      .agg(sum(col("rr").cast(dec0) * col("rr")).as("sse"))
+      .select(lit(n.toLong).as("n_rows"),
+        usd(b0t).as("intercept_usd"),
+        usd(b1t).as("beta_qty_usd"),
+        usd(b2t).as("beta_disc_pt_usd"),
+        round(lit(1.0) -
+          (lit(n.toLong) * col("sse")).cast("double") /
+            lit(new java.math.BigDecimal(sst.bigInteger))
+              .cast(dec0).cast("double"), 6).as("r2"))
+  }
+
   def logitFit(events: DataFrame, convType: String = "purchase",
                iterations: Int = 8): DataFrame = {
     val dW = DecimalType(14, 12)

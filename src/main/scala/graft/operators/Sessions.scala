@@ -687,6 +687,57 @@ object Sessions {
       .orderBy(col("t_hours"))
   }
 
+  /** Cohort lifetime-value curves: users grouped by the week of their
+    * FIRST event, then cumulative revenue per cohort over calendar
+    * weeks since — the "is newer acquisition worth less?" diagnostic
+    * that [[cohortRetention]]'s count-based view can't answer (a
+    * cohort can retain users and still monetize worse). LTV per user
+    * divides by the FULL cohort size, not the week's actives —
+    * inactive users stay in the denominator (the defensible
+    * definition; actives-only inflates late weeks).
+    *
+    * Determinism: values enter on the exact (18,6)-decimal grid and
+    * every sum — including the running cumulative — stays decimal;
+    * the per-user division rounds once at the boundary. Week offsets
+    * are integer day arithmetic on Monday-truncated dates, identical
+    * across engines.
+    *
+    * Scale shape: one user-keyed first-event agg (map-side
+    * combinable), one join back, one (cohort, offset) agg, a
+    * cohort-keyed running window over O(weeks) rows, cohort sizes as
+    * a broadcast.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val first = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val weekly = events.join(first, Seq("user_id"))
+      .select(col("cohort_week"),
+        expr("CAST(datediff(CAST(date_trunc('week', ts) AS DATE), " +
+          "cohort_week) AS BIGINT) div 7").as("week_offset"),
+        col("user_id"),
+        round(col("value"), 6).cast(DecimalType(18, 6)).as("v"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("v")).cast(DecimalType(38, 6)).as("revenue"))
+    val run = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_revenue",
+        sum(col("revenue")).over(run).cast(DecimalType(38, 6)))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("revenue"), col("cum_revenue"), col("cohort_size"),
+        round(col("cum_revenue").cast("double") /
+          col("cohort_size").cast("double"), 6).as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Hill tail-index estimator per event type [Hill 1975]: over the
     * top k order statistics of positive `value`s,
     * hill_sum = Σ_{i≤k} ln(x_(i)/x_(k+1)) and α = k / hill_sum — the

@@ -1266,4 +1266,105 @@ object Similarity {
         (variance < varEps).as("collapsed"))
       .orderBy(col("dim"))
   }
+
+  /** Embedding outlier audit: per label, the `topK` vectors FARTHEST
+    * (lowest cosine) from their label's centroid — mislabeled items,
+    * encoder failures, or genuine edge cases; the per-class sibling of
+    * [[clusterProfile]]'s per-cell compactness view and the screening
+    * step before [[hardNegatives]] mines "impostors" that are really
+    * labeling noise.
+    *
+    * The centroid is the per-dim SUM of 1e-6-scaled exact longs —
+    * cosine is scale-invariant, so the unnormalized sum vector IS the
+    * centroid direction with no order-dependent mean division
+    * anywhere; entries stay < 2^53 so the doubles handed to the dot
+    * product are exact integers in both engines.
+    *
+    * Scale shape: one posexplode agg (map-side combinable) to |labels|
+    * centroid rows, broadcast back, one scoring scan, WindowGroupLimit
+    * bottom-k per label.
+    */
+  def embedOutliers(embeddings: DataFrame, topK: Int = 20): DataFrame = {
+    val n = normed(embeddings)
+    val cents = n
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("sx"),
+        count(lit(1)).as("cn"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pcs"),
+        max(col("cn")).as("n_label"))
+      .select(col("label"), col("n_label"),
+        expr("transform(pcs, p -> cast(p.sx as double))").as("cv"))
+      .withColumn("c_nrm", vecNorm(col("cv")))
+    n.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("n_label"), col("vec_id"),
+        round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm")),
+          6).as("centroid_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("centroid_cos"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("vec_id"),
+        col("centroid_cos"), col("n_label"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  /** Link prediction over the LSH near-neighbor graph — the MISSING-
+    * edge lens beside the five existing knn_* views: which non-
+    * adjacent pairs have the strongest mutual neighborhood and are
+    * therefore the near-dup edges the banded LSH pass most likely
+    * MISSED (or the next semantic merges a curator would review).
+    * Scores are the two classics: common-neighbor count and
+    * Adamic–Adar Σ 1/ln(deg(w)) over shared neighbors w [Adamic &
+    * Adar 2003] — rare shared neighbors count more than hubs.
+    *
+    * Determinism: 1/ln(deg) is pinned per NODE at the 9-grid and the
+    * per-pair score is an exact decimal sum (the λ-grid recipe);
+    * ranking orders by the exact decimal, then ids.
+    *
+    * Scale shape: wedges come from one self-join of the symmetric
+    * edge list on the middle vertex — bounded by the LSH bucket caps
+    * exactly like [[triangleStats]] — then one (u,v) hash agg, one
+    * anti join against existing edges, TakeOrderedAndProject top-k.
+    */
+  def knnLinkPredict(embeddings: DataFrame, threshold: Double = 0.35,
+                     topK: Int = 50): DataFrame =
+    // the LOOSE graph (the sweep's lowest knob): the 0.45 near-dup
+    // graph is a union of isolated cliques by construction, so open
+    // wedges — the whole candidate set — only exist below it
+    linkPredict(
+      cosineNearDupLsh(embeddings, threshold).select(col("id1"), col("id2")),
+      topK)
+
+  /** The link-prediction core over an ordered (id1 < id2) unique pair
+    * list — see [[knnLinkPredict]]. Returns the top-k strongest
+    * non-edges by (aa_score, ids).
+    */
+  def linkPredict(pairList: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = pairList.select(col("id1"), col("id2"))
+      .localCheckpoint(false)
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+    val wgt = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2) // a deg-1 node centers no wedge
+      .select(col("src").as("w"),
+        round(lit(1.0) / log(col("deg").cast("double")), 9)
+          .cast(DecimalType(12, 9)).as("aa_w"))
+    val wedges = edges.select(col("src").as("w"), col("dst").as("u"))
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    wedges.join(wgt, Seq("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(col("aa_w")).cast(DecimalType(38, 9)).as("aa_score"))
+      .join(pairs.select(col("id1").as("u"), col("id2").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u").as("id1"), col("v").as("id2"), col("cn"),
+        col("aa_score"))
+      .orderBy(col("aa_score").desc, col("id1"), col("id2"))
+      .limit(topK)
+  }
 }

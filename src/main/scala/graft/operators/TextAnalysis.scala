@@ -2653,6 +2653,134 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** CCNet-style perplexity bucketing [Wenzek et al. 2020]: per
+    * language, docs split into head/middle/tail TERCILES of the LM
+    * score ([[lmScore]]'s avg log-prob under the train-slice unigram
+    * model) — the standard quality-mixing table: pretraining recipes
+    * oversample the head, keep some middle for coverage, and cap the
+    * tail. Emits each bucket's doc/token mass and its score cut so
+    * the mixing decision is auditable.
+    *
+    * Determinism: avg_logprob is an exact-integer quotient (identical
+    * IEEE double everywhere — see [[lmScore]]), ntile is rank-based
+    * with a doc_id tie-break, and token shares are integer basis
+    * points — no new float boundary anywhere.
+    *
+    * Scale shape: the lmScore pipeline (one vocabulary agg + one
+    * token join), then one lang-keyed rank window over DOC-level rows
+    * and a grid-sized bucket agg.
+    */
+  def ccnetBuckets(docs: DataFrame, trainLang: String = "en"): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    val bucketed = lmScore(docs, trainLang)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("bucket_no", ntile(3).over(
+        byLang.orderBy(col("avg_logprob").desc, col("doc_id"))))
+    bucketed.groupBy(col("lang"), col("bucket_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_logprob")).as("cut_logprob"))
+      .withColumn("lang_tokens", sum(col("n_tokens")).over(byLang))
+      .select(col("lang"), col("bucket_no"),
+        when(col("bucket_no") === 1, "head")
+          .when(col("bucket_no") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div lang_tokens").as("token_share_bp"),
+        col("cut_logprob"))
+      .orderBy(col("lang"), col("bucket_no"))
+  }
+
+  /** Spearman rank correlation between the two quality signals —
+    * heuristic [[qualityScoreCol]] vs the LM [[lmScore]] avg log-prob
+    * — per language: the calibration audit for the whole quality
+    * family. ρ near 1 means the cheap heuristic can gate instead of
+    * the LM pass; near 0 means the two filters select DIFFERENT
+    * corpora and stacking them compounds bias (the
+    * quality-filter-disagreement finding of the curation literature).
+    *
+    * ρ = 1 − 6·Σd²/(n(n²−1)) over row_number ranks with doc_id
+    * tie-breaks — EXACT integers up to the single output division
+    * (Σd² rides along as the exact evidence column).
+    *
+    * Scale shape: the lmScore chain, then two rank windows on the
+    * same lang partition key (one exchange) and a |langs|-row agg.
+    */
+  def qualityRankCorr(docs: DataFrame, trainLang: String = "en")
+      : DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    val ranked = docs
+      .select(col("doc_id"), col("lang"),
+        qualityScoreCol.as("quality_score"))
+      .join(lmScore(docs, trainLang)
+        .select(col("doc_id"), col("avg_logprob")), Seq("doc_id"))
+      .withColumn("rq", row_number().over(
+        byLang.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("rl", row_number().over(
+        byLang.orderBy(col("avg_logprob").desc, col("doc_id"))))
+    ranked
+      .select(col("lang"),
+        (col("rq") - col("rl")).cast("long").as("d"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("lang"), col("n_docs"), col("sum_d2"),
+        when(col("n_docs") > 1, round(lit(1.0) -
+          lit(6.0) * col("sum_d2").cast("double") /
+            (col("n_docs").cast("double") * col("n_docs").cast("double")
+              * col("n_docs").cast("double")
+              - col("n_docs").cast("double")), 6))
+          .as("spearman_rho"))
+      .orderBy(col("lang"))
+  }
+
+  /** Boilerplate template audit [the header/footer half of CCNet's
+    * paragraph dedup]: per source, the most repeated `nTok`-token doc
+    * PREFIXES and SUFFIXES — where crawl boilerplate (nav bars, cookie
+    * banners, footers) concentrates — with their doc-frequency in
+    * basis points. rate_bp near 10000 means the source is templated
+    * and the snippet should be scrubbed before training; rates near
+    * 10000/n_docs mean no template exists. Pure integer/string
+    * arithmetic end to end.
+    *
+    * Scale shape: map-only candidate extraction (two fixed slices per
+    * doc — never the full token stream), one (source, kind, snippet)
+    * hash agg, a WindowGroupLimit top-k per (source, kind), and a
+    * |sources|-row broadcast for the rates.
+    */
+  def boilerplateAudit(docs: DataFrame, nTok: Int = 5,
+                       topK: Int = 3): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val short = concat_ws(" ", toks)
+    val base = docs.select(col("doc_id"), col("source"),
+      when(size(toks) >= nTok,
+        concat_ws(" ", slice(toks, 1, nTok))).otherwise(short)
+        .as("header"),
+      when(size(toks) >= nTok,
+        concat_ws(" ", slice(toks, -nTok, nTok))).otherwise(short)
+        .as("footer"))
+    val cand = base
+      .select(col("source"), lit("header").as("kind"),
+        col("header").as("snippet"))
+      .unionByName(base.select(col("source"), lit("footer").as("kind"),
+        col("footer").as("snippet")))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val byKind = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("kind"))
+      .orderBy(col("cnt").desc, col("snippet"))
+    cand.groupBy(col("source"), col("kind"), col("snippet"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(byKind))
+      .filter(col("rank") <= topK)
+      .join(broadcast(nDocs), Seq("source"))
+      .select(col("source"), col("kind"), col("rank"), col("snippet"),
+        col("cnt"), col("n_docs"),
+        expr("(cnt * 10000) div n_docs").as("rate_bp"))
+      .orderBy(col("source"), col("kind"), col("rank"))
+  }
+
   /** DSIR data selection [Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"]: rank raw-pool docs
     * by how much their hashed n-gram profile looks like a curated

@@ -210,6 +210,26 @@ class CapsAndLshSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("centroid_cos") == 1.0))
   }
 
+  test("embedOutliers: the planted impostor is its label's worst " +
+      "vector and the in-class members outrank it") {
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // label 0 = three e1's plus one mislabeled e2 (the impostor);
+    // centroid points (3e6, 1e6, 0, 0)-ish -> impostor cos lowest
+    val emb = Seq((0L, e1, 0), (1L, e1, 0), (2L, e1, 0), (3L, e2, 0),
+      (10L, e2, 1), (11L, e2, 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.embedOutliers(emb, topK = 10).collect()
+    val l0 = r.filter(_.getAs[Int]("label") == 0)
+    assert(l0.head.getAs[Long]("vec_id") == 3L) // rank 1 = farthest
+    assert(l0.head.getAs[Int]("rank") == 1)
+    assert(l0.forall(_.getAs[Long]("n_label") == 4L))
+    assert(l0.head.getAs[Double]("centroid_cos") <
+      l0.last.getAs[Double]("centroid_cos"))
+    // label 1 is pure: every member sits on the centroid direction
+    val l1 = r.filter(_.getAs[Int]("label") == 1)
+    assert(l1.forall(_.getAs[Double]("centroid_cos") == 1.0))
+  }
+
   test("semanticDedup: identical flood degrades to star pairs, keeps one rep") {
     // 12 identical vectors collapse to one cell of size 12 > maxCell=4:
     // pair generation degrades to stars around the cell min, which still

@@ -82,4 +82,29 @@ class CommunitySpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSet
     assert(run(4) == run(5))
   }
+
+  test("linkPredict: the open wedge of a path scores its endpoints, " +
+      "closed edges never appear, hub wedges score below rare ones") {
+    // path 1-2-3 (open wedge through 2, deg 2) and a star 10-{11..14}
+    // (open wedges through the deg-4 hub 10): the path's non-edge
+    // (1,3) must outscore every star non-edge (1/ln2 > 1/ln4); the
+    // K3 5-6-7 has no open wedge at all
+    val pairs = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L),
+      (5L, 6L), (6L, 7L), (5L, 7L))
+    val r = Similarity.linkPredict(pairs.toDF("id1", "id2"), topK = 50)
+      .collect()
+    val ids = r.map(x => (x.getAs[Long]("id1"), x.getAs[Long]("id2")))
+    // no emitted pair is an existing edge
+    assert(ids.toSet.intersect(pairs.toSet).isEmpty)
+    // (1,3) exists, leads, and carries cn=1 with aa = round(1/ln2, 9)
+    assert(ids.head == ((1L, 3L)))
+    assert(r.head.getAs[Long]("cn") == 1L)
+    assert(r.head.getDecimal(r.head.fieldIndex("aa_score")) ==
+      new java.math.BigDecimal("1.442695041").setScale(9))
+    // all 6 star non-edges follow with the weaker 1/ln4 weight
+    assert(ids.toSet.size == 7)
+    // the triangle contributes nothing (every wedge closed)
+    assert(!ids.exists(p => Set(5L, 6L, 7L)(p._1)))
+  }
 }

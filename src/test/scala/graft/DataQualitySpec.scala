@@ -263,6 +263,24 @@ class DataQualitySpec extends SparkSpec {
     assert(Learn.logitFit(events).collect().head == r) // rerun-stable
   }
 
+  test("olsFit: an exact linear law is recovered to the last " +
+      "micro-unit with R^2 = 1, deterministically") {
+    import graft.operators.Learn
+    // z cents = 500 + 700*qty + 6800*disc_pt, exactly, on a 50x11 grid
+    val rows = for (x <- 1 to 50; y <- 0 to 10) yield
+      (x.toDouble, y / 100.0, (500 + 700 * x + 6800 * y) / 100.0)
+    val df = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = Learn.olsFit(df).collect().head
+    assert(r.getAs[Long]("n_rows") == 550L)
+    assert(r.getDecimal(r.fieldIndex("intercept_usd")).doubleValue == 5.0)
+    assert(r.getDecimal(r.fieldIndex("beta_qty_usd")).doubleValue == 7.0)
+    assert(r.getDecimal(
+      r.fieldIndex("beta_disc_pt_usd")).doubleValue == 68.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // partitioning-invariant: the whole point of exact moment sums
+    assert(Learn.olsFit(df.repartition(13)).collect().head == r)
+  }
+
   test("abTestCmh: 2x2 margins are consistent, chi2 is shared across " +
       "strata rows, and zero pooled variance nulls the statistic") {
     def ev(u: Long, t: String, day: Int) =

@@ -428,6 +428,8 @@ class PlanSpec extends SparkSpec {
       "sketch_cms_topk", "sketch_cms_merge",
       // 1-row LM-model cross joins, same as lm_score
       "lm_score_incremental", "lm_retire", "lm_ppl_drift",
+      // inherit lm_score's 1-row (T, V) model-stats cross join
+      "ccnet_buckets", "quality_rank_corr",
       // 1-row min/max bounds + 1-row totals cross joins; the bucket
       // prefix table is broadcast (nBuckets rows, parameter-bounded)
       "ks_drift",

@@ -281,6 +281,35 @@ class SessionsSpec extends SparkSpec {
     assert(b.getAs[Double]("burstiness") > 0.4) // strongly bursty
   }
 
+  test("cohortLtv: cumulative revenue per signup-week cohort with the " +
+      "full cohort in the denominator") {
+    def e(id: Long, u: Long, day: String, v: Double) =
+      (id, u, "purchase", v, ts(s"$day 12:00:00"))
+    val events = Seq(
+      e(1, 1, "2024-01-01", 10.0), // u1+u2 -> cohort Mon 2024-01-01
+      e(2, 2, "2024-01-03", 20.0),
+      e(3, 1, "2024-01-09", 5.0),  // u1 active in week offset 1
+      e(4, 3, "2024-01-10", 7.0))  // u3 -> cohort Mon 2024-01-08
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = Sessions.cohortLtv(events).collect()
+    assert(r.length == 3)
+    val k = r.map(x => (x.getAs[java.sql.Date]("cohort_week").toString,
+      x.getAs[Long]("week_offset")) -> x).toMap
+    val a0 = k(("2024-01-01", 0L))
+    assert(a0.getAs[Long]("n_active") == 2L)
+    assert(a0.getAs[Long]("cohort_size") == 2L)
+    assert(a0.getDecimal(a0.fieldIndex("cum_revenue")).doubleValue == 30.0)
+    assert(a0.getAs[Double]("ltv_per_user") == 15.0)
+    val a1 = k(("2024-01-01", 1L))
+    assert(a1.getAs[Long]("n_active") == 1L)
+    // inactive u2 stays in the denominator: 35 / 2, not 5 / 1
+    assert(a1.getDecimal(a1.fieldIndex("cum_revenue")).doubleValue == 35.0)
+    assert(a1.getAs[Double]("ltv_per_user") == 17.5)
+    val b0 = k(("2024-01-08", 0L))
+    assert(b0.getAs[Long]("cohort_size") == 1L)
+    assert(b0.getAs[Double]("ltv_per_user") == 7.0)
+  }
+
   test("hillTailIndex: a geometric value ladder recovers its exact " +
       "tail slope; types without k+1 positives drop out") {
     // values exp(0.01*i), i=1..150: top-100 log-ratios vs x_(101) are

@@ -629,6 +629,70 @@ class TextDedupSpec extends SparkSpec {
     assert(r30.isNullAt(r30.fieldIndex("quality_bar")))
   }
 
+  test("qualityRankCorr: perfectly disagreeing signals score rho = -1; " +
+      "a single-doc language nulls out") {
+    // docA: 50x 'the' -> quality 0 (all stopword) but TOP lm score
+    // (the most frequent token); docB: 50 distinct rare tokens ->
+    // quality 1 but the worst lm score. Ranks exactly reversed.
+    val a = Seq.fill(50)("the").mkString(" ")
+    val b = (1 to 50).map(i => s"rare$i").mkString(" ")
+    val docsDf = Seq((1L, a, "en", "s"), (2L, b, "en", "s"),
+      (3L, "solo doc text", "zh", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.qualityRankCorr(docsDf).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    val en = r("en")
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("sum_d2") == 2L) // (1-2)^2 + (2-1)^2
+    assert(en.getAs[Double]("spearman_rho") == -1.0)
+    assert(r("zh").isNullAt(r("zh").fieldIndex("spearman_rho")))
+  }
+
+  test("ccnetBuckets: terciles split 2/2/2 with monotone score cuts " +
+      "and basis-point token shares that cover the language") {
+    // frequency ladder: 'a' x8 beats 'b'/'c' x4 beats four singletons
+    val docsDf = Seq(
+      (1L, "a a a a", "en", "s"), (2L, "a a a a", "en", "s"),
+      (3L, "b c b c", "en", "s"), (4L, "b c b c", "en", "s"),
+      (5L, "q r s t", "en", "s"), (6L, "u v w x", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.ccnetBuckets(docsDf).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[String]("bucket")).toSeq ==
+      Seq("head", "middle", "tail"))
+    assert(r.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(r.forall(_.getAs[Long]("token_share_bp") == 3333L))
+    val cuts = r.map(_.getAs[Double]("cut_logprob"))
+    assert(cuts(0) > cuts(1) && cuts(1) > cuts(2), cuts.toSeq)
+  }
+
+  test("boilerplateAudit: a shared header tops its source at " +
+      "rate 10000 bp; short docs audit their whole text") {
+    val hdr = "h1 h2 h3 h4 h5"
+    val docsDf = Seq(
+      (1L, s"$hdr body one ff1 f2 f3 f4 f5", "en", "s1"),
+      (2L, s"$hdr body two gg1 g2 g3 g4 g5", "en", "s1"),
+      (3L, s"$hdr body three ff1 f2 f3 f4 f5", "en", "s1"),
+      (4L, s"$hdr body four hh1 h2 h3 h4 h5", "en", "s1"),
+      (5L, "tiny doc", "en", "s2")) // < 5 tokens
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.boilerplateAudit(docsDf).collect()
+    val s1h = r.filter(x => x.getAs[String]("source") == "s1" &&
+      x.getAs[String]("kind") == "header")
+    assert(s1h.head.getAs[String]("snippet") == hdr)
+    assert(s1h.head.getAs[Long]("cnt") == 4L)
+    assert(s1h.head.getAs[Long]("rate_bp") == 10000L)
+    val s1f = r.filter(x => x.getAs[String]("source") == "s1" &&
+      x.getAs[String]("kind") == "footer")
+    assert(s1f.head.getAs[String]("snippet") == "ff1 f2 f3 f4 f5")
+    assert(s1f.head.getAs[Long]("cnt") == 2L)
+    assert(s1f.head.getAs[Long]("rate_bp") == 5000L)
+    // the 2-token doc contributes its whole text as both candidates
+    val s2 = r.filter(_.getAs[String]("source") == "s2")
+    assert(s2.length == 2 &&
+      s2.forall(_.getAs[String]("snippet") == "tiny doc"))
+  }
+
   test("dsirSelect: a raw doc that shares the target slice's grams " +
       "outranks one that shares none; only raw-pool docs are emitted") {
     val tgtText = "alpha beta alpha beta gamma alpha"
