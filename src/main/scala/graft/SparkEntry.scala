@@ -1433,12 +1433,20 @@ object SparkEntry {
     // Markov removal-effect attribution over first-order journeys.
     "attribution_markov" -> ((s, dir) =>
       Sessions.attributionMarkov(Tables.events(s, dir))),
-    // deterministic in-engine logistic regression (8 GD steps).
+    // deterministic in-engine logistic regression (8 GD steps) on the
+    // heavy-buyer label (>13 purchases ~ the corpus median; the plain
+    // converted label is one-class on this corpus at every SF).
     "logit_fit" -> ((s, dir) =>
-      Learn.logitFit(Tables.events(s, dir))),
+      Learn.logitFit(Tables.events(s, dir), heavyK = 13)),
     // closed-form OLS by exact integer normal equations + Cramer.
     "ols_fit" -> ((s, dir) =>
       Learn.olsFit(Tables.lineitem(s, dir))),
+    // held-out exact Mann-Whitney AUC / Gini / KS for the logit model.
+    "roc_auc" -> ((s, dir) =>
+      Learn.rocAuc(Tables.events(s, dir))),
+    // held-out reliability table: sigma-decile calibration + Brier.
+    "calibration_bins" -> ((s, dir) =>
+      Learn.calibrationBins(Tables.events(s, dir))),
     // last-touch attribution: purchases credit the latest click/view
     // within 72h (else "direct"); share + mean touch→conv latency.
     "attribution_last_touch" -> ((s, dir) =>
@@ -1613,6 +1621,67 @@ object SparkEntry {
   /** DuckDB 60-bit hash matching TextFunctions.hash60. */
   private def h60(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** 1e-12-unit weight integer → DECIMAL(15,12) (the logit family). */
+  private def logitWDec(u: String) =
+    s"CAST(CAST($u AS DECIMAL(20,0))" +
+      s" * CAST(0.000000000001 AS DECIMAL(13,12)) AS DECIMAL(15,12))"
+
+  /** σ(w·x) pinned to the 1e-9 grid over exact decimal margins —
+    * mirrors Learn.sigma (round(σ·1e9, 0) nano-units, NOT round(σ,9):
+    * the two engines' round algorithms disagree on full-expansion
+    * half boundaries); `w` names the weight CTE, features from `f`.
+    */
+  private def logitSigSql(w: String) =
+    s"CAST(CAST(round((1.0 / (1.0 + exp(-(CAST(" +
+      s"CAST(${logitWDec(s"$w.w1u")} * f.x1 AS DECIMAL(30,18))" +
+      s" + CAST(${logitWDec(s"$w.w2u")} * f.x2 AS DECIMAL(30,18))" +
+      s" + CAST(${logitWDec(s"$w.w0u")} AS DECIMAL(30,18))" +
+      s" AS DOUBLE))))) * 1000000000.0, 0) AS BIGINT)" +
+      s" * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(10,9))"
+
+  /** Shared oracle chain for the logit train/eval family: per-user
+    * features with the salted 20% eval-split flag, train/test views,
+    * and 8 unrolled GD stages training on `trainSrc` ("feats" = the
+    * full corpus, the logit_fit convention; "trainf" = the 80% fold,
+    * the eval convention). Mirrors Learn.logitFeatures/trainLogit.
+    */
+  private def logitChainCte(trainSrc: String): String = {
+    val iters = (1 to 8).map { i =>
+      s""",
+         |s$i AS (SELECT f.y, f.x1, f.x2, ${logitSigSql("w")} AS sg
+         |        FROM $trainSrc f, w${i - 1}t w),
+         |g$i AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(sg - y AS DECIMAL(20,15))) AS g0,
+         |    sum(CAST((sg - y) * x1 AS DECIMAL(20,15))) AS g1,
+         |    sum(CAST((sg - y) * x2 AS DECIMAL(20,15))) AS g2
+         |  FROM s$i),
+         |w${i}t AS (SELECT
+         |    w.w0u - (CAST(g.g0 * 1000000000000000 AS HUGEINT)
+         |      // (2000 * g.n)) AS w0u,
+         |    w.w1u - (CAST(g.g1 * 1000000000000000 AS HUGEINT)
+         |      // (2000 * g.n)) AS w1u,
+         |    w.w2u - (CAST(g.g2 * 1000000000000000 AS HUGEINT)
+         |      // (2000 * g.n)) AS w2u
+         |  FROM w${i - 1}t w, g$i g)""".stripMargin
+    }.mkString
+    s"""WITH feats AS (SELECT
+       |    CAST(round(ln(1.0 + CAST(sum(CASE WHEN event_type <>
+       |      'purchase' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+       |      AS DECIMAL(8,6)) AS x1,
+       |    CAST(round(CAST(count(DISTINCT CASE WHEN event_type <>
+       |      'purchase' THEN CAST(ts AS DATE) END) AS DOUBLE)
+       |      / 30.0, 6) AS DECIMAL(8,6)) AS x2,
+       |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END AS INT) AS y,
+       |    (${h60("'eval_' || user_id")} % 100) >= 80 AS tst
+       |  FROM events GROUP BY user_id),
+       |trainf AS (SELECT * FROM feats WHERE NOT tst),
+       |testf AS (SELECT * FROM feats WHERE tst),
+       |w0t AS (SELECT CAST(0 AS HUGEINT) AS w0u,
+       |          CAST(0 AS HUGEINT) AS w1u,
+       |          CAST(0 AS HUGEINT) AS w2u)$iters""".stripMargin
+  }
 
   /** The subword vocabulary as a DuckDB list literal, sorted longest
     * entry first so `list_filter(...)[1]` IS the greedy longest match
@@ -7423,48 +7492,9 @@ object SparkEntry {
          |FROM t3, s3""".stripMargin
     },
 
-    "logit_fit" -> {
-      def wDec(u: String) =
-        s"CAST(CAST($u AS DECIMAL(20,0))" +
-          s" * CAST(0.000000000001 AS DECIMAL(13,12)) AS DECIMAL(15,12))"
-      def sig(w: String) =
-        s"CAST(round(1.0 / (1.0 + exp(-(CAST(" +
-          s"CAST(${wDec(s"$w.w1u")} * f.x1 AS DECIMAL(30,18))" +
-          s" + CAST(${wDec(s"$w.w2u")} * f.x2 AS DECIMAL(30,18))" +
-          s" + CAST(${wDec(s"$w.w0u")} AS DECIMAL(30,18))" +
-          s" AS DOUBLE)))), 9) AS DECIMAL(10,9))"
-      val iters = (1 to 8).map { i =>
-        s""",
-           |s$i AS (SELECT f.y, f.x1, f.x2, ${sig("w")} AS sg
-           |        FROM feats f, w${i - 1}t w),
-           |g$i AS (SELECT CAST(count(*) AS BIGINT) AS n,
-           |    sum(CAST(sg - y AS DECIMAL(20,15))) AS g0,
-           |    sum(CAST((sg - y) * x1 AS DECIMAL(20,15))) AS g1,
-           |    sum(CAST((sg - y) * x2 AS DECIMAL(20,15))) AS g2
-           |  FROM s$i),
-           |w${i}t AS (SELECT
-           |    w.w0u - (CAST(g.g0 * 1000000000000000 AS HUGEINT)
-           |      // (2000 * g.n)) AS w0u,
-           |    w.w1u - (CAST(g.g1 * 1000000000000000 AS HUGEINT)
-           |      // (2000 * g.n)) AS w1u,
-           |    w.w2u - (CAST(g.g2 * 1000000000000000 AS HUGEINT)
-           |      // (2000 * g.n)) AS w2u
-           |  FROM w${i - 1}t w, g$i g)""".stripMargin
-      }.mkString
-      s"""WITH feats AS (SELECT
-         |    CAST(round(ln(1.0 + CAST(sum(CASE WHEN event_type <>
-         |      'purchase' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
-         |      AS DECIMAL(8,6)) AS x1,
-         |    CAST(round(CAST(count(DISTINCT CASE WHEN event_type <>
-         |      'purchase' THEN CAST(ts AS DATE) END) AS DOUBLE)
-         |      / 30.0, 6) AS DECIMAL(8,6)) AS x2,
-         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
-         |      END) AS INT) AS y
-         |  FROM events GROUP BY user_id),
-         |w0t AS (SELECT CAST(0 AS HUGEINT) AS w0u,
-         |          CAST(0 AS HUGEINT) AS w1u,
-         |          CAST(0 AS HUGEINT) AS w2u)$iters,
-         |sf AS (SELECT f.y, ${sig("w")} AS sg FROM feats f, w8t w),
+    "logit_fit" ->
+      s"""${logitChainCte("feats")},
+         |sf AS (SELECT f.y, ${logitSigSql("w")} AS sg FROM feats f, w8t w),
          |scl AS (SELECT y, sg,
          |          least(greatest(CAST(sg AS DOUBLE), 1e-12),
          |            1.0 - 1e-12) AS sc
@@ -7477,15 +7507,84 @@ object SparkEntry {
          |          AS loss_sum
          |      FROM scl)
          |SELECT m.n_users,
-         |  CAST(${wDec("w.w0u")} AS DECIMAL(14,12)) AS w0,
-         |  CAST(${wDec("w.w1u")} AS DECIMAL(14,12)) AS w1,
-         |  CAST(${wDec("w.w2u")} AS DECIMAL(14,12)) AS w2,
+         |  CAST(${logitWDec("w.w0u")} AS DECIMAL(14,12)) AS w0,
+         |  CAST(${logitWDec("w.w1u")} AS DECIMAL(14,12)) AS w1,
+         |  CAST(${logitWDec("w.w2u")} AS DECIMAL(14,12)) AS w2,
          |  round(CAST(n_correct AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS accuracy,
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
-         |FROM m, w8t w""".stripMargin
-    },
+         |FROM m, w8t w""".stripMargin,
+
+    // mirrors Learn.rocAuc: the shared logit chain trained on the
+    // NOT-tst fold, test rows grouped by the 1e-9-grid sigma, exact
+    // integer 2U rank sum + KS numerator over score-cumulative
+    // windows, truncated micro-unit outputs (// toward zero).
+    "roc_auc" ->
+      s"""${logitChainCte("trainf")},
+         |sf AS (SELECT f.y, ${logitSigSql("w")} AS sg
+         |       FROM testf f, w8t w),
+         |bs AS (SELECT sg, CAST(sum(y) AS BIGINT) AS pos,
+         |         CAST(count(*) - sum(y) AS BIGINT) AS neg
+         |       FROM sf GROUP BY sg),
+         |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+         |          CAST(sum(neg) AS BIGINT) AS nn
+         |        FROM bs),
+         |cum AS (SELECT pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY sg ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS cneg,
+         |    sum(pos) OVER (ORDER BY sg ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS cpos,
+         |    sum(neg) OVER (ORDER BY sg ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS cnegi
+         |  FROM bs),
+         |r AS (SELECT
+         |    CAST(sum(pos * (2 * cneg + neg)) AS HUGEINT) AS u2,
+         |    CAST(max(abs(cpos * tot.nn - cnegi * tot.p)) AS HUGEINT)
+         |      AS ksnum
+         |  FROM cum, tot GROUP BY tot.p, tot.nn)
+         |SELECT CAST(p + nn AS BIGINT) AS n_test,
+         |  CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
+         |    CAST(CAST((u2 * 1000000) // (2 * CAST(p AS HUGEINT) * nn)
+         |      AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+         |      AS DECIMAL(10,6)) END AS auc,
+         |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
+         |    CAST(CAST(((u2 - CAST(p AS HUGEINT) * nn) * 1000000)
+         |      // (CAST(p AS HUGEINT) * nn) AS BIGINT)
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
+         |    END AS gini,
+         |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
+         |    CAST(CAST((ksnum * 1000000) // (CAST(p AS HUGEINT) * nn)
+         |      AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+         |      AS DECIMAL(10,6)) END AS ks
+         |FROM r, tot""".stripMargin,
+
+    // mirrors Learn.calibrationBins: sigma-decile bins by floor (NOT
+    // a decimal->int cast, which DuckDB rounds), nano-unit integer
+    // score sums with truncating // for the two micro rates, exact
+    // DECIMAL(38,18) Brier sums.
+    "calibration_bins" ->
+      s"""${logitChainCte("trainf")},
+         |sf AS (SELECT f.y, ${logitSigSql("w")} AS sg
+         |       FROM testf f, w8t w),
+         |b AS (SELECT CAST(floor(sg * 10) AS INT) AS bin,
+         |        CAST(sg * 1000000000 AS BIGINT) AS nano,
+         |        CAST((sg - y) * (sg - y) AS DECIMAL(30,18)) AS sqerr,
+         |        y
+         |      FROM sf),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(y) AS BIGINT) AS n_pos,
+         |        CAST(sum(nano) AS BIGINT) AS snano,
+         |        CAST(sum(sqerr) AS DECIMAL(38,18)) AS brier_sum
+         |      FROM b GROUP BY bin)
+         |SELECT bin, n, n_pos,
+         |  CAST((snano // (n * 1000)) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(10,6)) AS mean_pred,
+         |  CAST(((n_pos * 1000000) // n) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(10,6)) AS obs_rate,
+         |  brier_sum
+         |FROM g ORDER BY bin""".stripMargin,
 
     // mirrors Sessions.attributionMarkov: journeys truncated at the
     // first conversion, per-rm transition replicas with entry

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -151,34 +151,63 @@ object Learn {
               .cast(dec0).cast("double"), 6).as("r2"))
   }
 
-  def logitFit(events: DataFrame, convType: String = "purchase",
-               iterations: Int = 8): DataFrame = {
-    val dW = DecimalType(14, 12)
-    val dX = DecimalType(8, 6)
-    val dG = DecimalType(20, 15)
-    val feats = events.groupBy(col("user_id")).agg(
+  private val dW = DecimalType(14, 12)
+  private val dX = DecimalType(8, 6)
+  private val dG = DecimalType(20, 15)
+
+  /** The per-user feature fold shared by [[logitFit]] and the eval
+    * family: x₁ = round(ln(1 + non-conversion events), 6),
+    * x₂ = round(active days / 30, 6), y = MORE than `heavyK`
+    * conversion events ("heavy converter"; heavyK = 0 is plain
+    * "converted"). The registry passes heavyK = 13 — the synthetic
+    * corpus gives every user 2–26 purchases at every SF, so the plain
+    * label is one-class and >13 splits near the median. Features
+    * count only NON-conversion events (no label leakage). Keeps
+    * `user_id` so callers can hash-split; checkpointed once per query.
+    */
+  private[operators] def logitFeatures(events: DataFrame,
+                                       convType: String,
+                                       heavyK: Int): DataFrame =
+    events.groupBy(col("user_id")).agg(
         sum(when(col("event_type") =!= convType, 1L).otherwise(0L))
           .as("n_ev"),
         countDistinct(when(col("event_type") =!= convType,
           to_date(col("ts")))).as("n_days"),
-        max(when(col("event_type") === convType, 1).otherwise(0))
-          .as("y"))
-      .select(
+        when(sum(when(col("event_type") === convType, 1L)
+          .otherwise(0L)) > heavyK, 1).otherwise(0).as("y"))
+      .select(col("user_id"),
         round(log(lit(1.0) + col("n_ev").cast("double")), 6)
           .cast(dX).as("x1"),
         round(col("n_days").cast("double") / 30.0, 6).cast(dX).as("x2"),
         col("y"))
       .localCheckpoint(false)
 
-    def wLit(units: BigInt) =
-      lit(new java.math.BigDecimal(units.bigInteger, 12)).cast(dW)
+  private def wLit(units: BigInt) =
+    lit(new java.math.BigDecimal(units.bigInteger, 12)).cast(dW)
 
-    def sigma(w0: BigInt, w1: BigInt, w2: BigInt) = {
-      val z = wLit(w1) * col("x1") + wLit(w2) * col("x2") + wLit(w0)
-      round(lit(1.0) / (lit(1.0) + exp(-z.cast("double"))), 9)
-        .cast(DecimalType(10, 9))
-    }
+  /** σ(w·x) pinned to the 1e-9 grid — the ONLY libm rounding in the
+    * whole train/eval family. Pinned as `round(σ·1e9, 0)` nano-units,
+    * NOT `round(σ, 9)`: Spark's round(v, 9) works on the double's
+    * FULL binary expansion (BigDecimal HALF_UP) while DuckDB's
+    * multiplies first — they disagree whenever the expansion straddles
+    * a 9-decimal half boundary (hit live: a 2e-15 brier_sum split).
+    * Rounding the PRODUCT to an integer makes both engines round the
+    * same IEEE double — the lm_score convention.
+    */
+  private def sigma(w0: BigInt, w1: BigInt, w2: BigInt) = {
+    val z = wLit(w1) * col("x1") + wLit(w2) * col("x2") + wLit(w0)
+    (round((lit(1.0) / (lit(1.0) + exp(-z.cast("double")))) *
+        lit(1000000000.0), 0).cast("long") *
+      lit(new java.math.BigDecimal("0.000000001")))
+      .cast(DecimalType(10, 9))
+  }
 
+  /** The 8-step exact-decimal gradient loop of [[logitFit]], extracted
+    * so the eval family can train on a hash-split subset. Returns the
+    * driver-held 1e-12-unit weight integers.
+    */
+  private def trainLogit(feats: DataFrame,
+                         iterations: Int): (BigInt, BigInt, BigInt) = {
     var (w0, w1, w2) = (BigInt(0), BigInt(0), BigInt(0))
     for (_ <- 1 to iterations) {
       val g = feats.select(sigma(w0, w1, w2).as("sg"), col("x1"),
@@ -199,6 +228,13 @@ object Learn {
       }
       w0 = step(w0, 1); w1 = step(w1, 2); w2 = step(w2, 3)
     }
+    (w0, w1, w2)
+  }
+
+  def logitFit(events: DataFrame, convType: String = "purchase",
+               iterations: Int = 8, heavyK: Int = 0): DataFrame = {
+    val feats = logitFeatures(events, convType, heavyK)
+    val (w0, w1, w2) = trainLogit(feats, iterations)
 
     val sg = sigma(w0, w1, w2)
     val scl = least(greatest(sg.cast("double"), lit(1e-12)),
@@ -216,5 +252,133 @@ object Learn {
           col("n_users").cast("double"), 6).as("accuracy"),
         round(col("loss_sum").cast("double") /
           col("n_users").cast("double"), 6).as("log_loss"))
+  }
+
+  /** The eval family's train/test hash split: a salted 60-bit hash of
+    * user_id sends 20% of users to the held-out fold — content-stable
+    * and partitioning-independent (the stratified_split discipline),
+    * mirrored verbatim in the oracle.
+    */
+  private def isTest =
+    pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("eval_"), col("user_id"))), lit(100)) >= 80
+
+  /** Held-out ROC evaluation of the [[logitFit]] model — the missing
+    * half of the in-engine training loop: train on the 80% hash fold,
+    * score the 20% holdout, and compute the exact Mann–Whitney AUC
+    * with midrank tie handling, plus Gini (2·AUC−1) and the
+    * Kolmogorov–Smirnov statistic.
+    *
+    * Numerics: σ lands on the 1e-9 grid (the one libm rounding), so
+    * ties are well-defined; everything after is INTEGER arithmetic —
+    * 2·U = Σ_s pos_s·(2·cumneg_<s + neg_s) over per-score counts,
+    * KS numerator = max |cumpos_≤s·N − cumneg_≤s·P| (the exact-
+    * integer form of max |TPR−FPR|), and the three outputs are
+    * truncated 1e-6-unit integers (BigInt `/` ≡ DuckDB `//`, both
+    * toward zero — Gini can be negative) emitted as driver literals,
+    * the [[logitFit]] weight discipline.
+    *
+    * Scale shape: the rank statistic is computed from the per-SCORE
+    * aggregate, not a per-row global sort — the shuffle and the one
+    * unpartitioned cumulative window are bounded by distinct σ values
+    * on the 1e-9 grid, not by test rows; training is [[logitFit]]'s
+    * map-side passes.
+    */
+  def rocAuc(events: DataFrame, convType: String = "purchase",
+             iterations: Int = 8, heavyK: Int = 13): DataFrame = {
+    val feats = logitFeatures(events, convType, heavyK)
+    val (w0, w1, w2) = trainLogit(feats.filter(!isTest), iterations)
+
+    val byScore = feats.filter(isTest)
+      .select(sigma(w0, w1, w2).as("sg"), col("y"))
+      .groupBy(col("sg"))
+      .agg(sum(col("y")).cast("long").as("pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("neg"))
+      .localCheckpoint(false)
+
+    val tot = byScore
+      .agg(sum(col("pos")).as("p"), sum(col("neg")).as("nn"))
+      .collect().head
+    val p = BigInt(tot.getAs[Long]("p"))
+    val nn = BigInt(tot.getAs[Long]("nn"))
+
+    def micro(num: BigInt, den: BigInt) =
+      lit(new java.math.BigDecimal((num * 1000000 / den).bigInteger, 6))
+        .cast(DecimalType(10, 6))
+    val metrics = if (p == 0 || nn == 0) {
+      // one-class fold (possible at toy scale: the 20% fold of a
+      // 15-user corpus is one user) — the ranking metrics are
+      // undefined; mirror the oracle's CASE ... NULL
+      val na = lit(null).cast(DecimalType(10, 6))
+      Seq(na.as("auc"), na.as("gini"), na.as("ks"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("sg"))
+      val r = byScore.select(col("pos"), col("neg"),
+          coalesce(sum(col("neg"))
+            .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)).as("cneg"),
+          sum(col("pos")).over(w.rowsBetween(Long.MinValue, 0))
+            .as("cpos"),
+          sum(col("neg")).over(w.rowsBetween(Long.MinValue, 0))
+            .as("cnegi"))
+        .agg(
+          sum(col("pos") * (lit(2L) * col("cneg") + col("neg")))
+            .as("u2"),
+          max(abs(col("cpos") * lit(nn.toLong) -
+            col("cnegi") * lit(p.toLong))).as("ksnum"))
+        .collect().head
+      val u2 = BigInt(r.getAs[Long]("u2"))
+      val ksn = BigInt(r.getAs[Long]("ksnum"))
+      Seq(micro(u2, 2 * p * nn).as("auc"),
+        micro(u2 - p * nn, p * nn).as("gini"),
+        micro(ksn, p * nn).as("ks"))
+    }
+    feats.sparkSession.range(1).select(
+      Seq(lit((p + nn).toLong).as("n_test"),
+        lit(p.toLong).as("n_pos"), lit(nn.toLong).as("n_neg")) ++
+        metrics: _*)
+  }
+
+  /** Reliability table for the [[logitFit]] model on the held-out
+    * fold: fixed-width σ-deciles (floor(σ·10) — σ can round to 1.0 at
+    * the 9-grid, so bin 10 exists by construction in both engines),
+    * per-bin count, positives, mean predicted σ and observed rate as
+    * truncated 1e-6-unit integers, and the exact-decimal Brier sum —
+    * the calibration view [[rocAuc]]'s ranking view can't see (AUC is
+    * invariant to any monotone miscalibration).
+    *
+    * All arithmetic after σ is exact: nano-unit integer score sums,
+    * truncating integer division for the two rates, DECIMAL(38,18)
+    * squared-error sums. Map-side score + one ≤11-group hash agg.
+    */
+  def calibrationBins(events: DataFrame, convType: String = "purchase",
+                      iterations: Int = 8, heavyK: Int = 13): DataFrame = {
+    val feats = logitFeatures(events, convType, heavyK)
+    val (w0, w1, w2) = trainLogit(feats.filter(!isTest), iterations)
+    val dM = DecimalType(10, 6)
+    def micro(c: Column) =
+      (c * lit(new java.math.BigDecimal("0.000001"))).cast(dM)
+    feats.filter(isTest)
+      .select(sigma(w0, w1, w2).as("sg"), col("y"))
+      .select(floor(col("sg") * 10).cast("int").as("bin"),
+        (col("sg") * lit(1000000000L)).cast("long").as("nano"),
+        // narrow the residual to (11,9) BEFORE squaring: Spark's
+        // (sg - y) resolves to (20,9), whose square needs precision
+        // 41 > 38 and silently trims scale (allowPrecisionLoss) —
+        // hit live as a 1e-16 brier_sum split vs the exact oracle
+        {
+          val d = (col("sg") - col("y")).cast(DecimalType(11, 9))
+          (d * d).cast(DecimalType(30, 18)).as("sqerr")
+        },
+        col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(col("nano")).as("snano"),
+        sum(col("sqerr")).cast(DecimalType(38, 18)).as("brier_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        micro(expr("snano div (n * 1000)")).as("mean_pred"),
+        micro(expr("(n_pos * 1000000) div n")).as("obs_rate"),
+        col("brier_sum"))
+      .orderBy(col("bin"))
   }
 }

@@ -263,6 +263,55 @@ class DataQualitySpec extends SparkSpec {
     assert(Learn.logitFit(events).collect().head == r) // rerun-stable
   }
 
+  test("rocAuc + calibrationBins: a separable heavy-buyer corpus " +
+      "evaluates to AUC = KS = 1 on the held-out fold, bins " +
+      "partition the fold, and both are rerun-stable") {
+    import graft.operators.Learn
+    def ev(eid: Long, u: Long, t: String, day: Int, hour: Int) =
+      (eid, u, t,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00"))
+    var eid = 0L
+    val events = (
+      // 100 heavy users: 30 views over 15 days + 14 purchases (y=1
+      // under heavyK=13); 100 light users: 1 view + 2 purchases (y=0)
+      (1L to 100L).flatMap { u =>
+        (0 until 30).map { i =>
+          eid += 1; ev(eid, u, "view", 1 + (i % 15), i % 24)
+        } ++ (0 until 14).map { i =>
+          eid += 1; ev(eid, u, "purchase", 16, i % 24)
+        }
+      } ++
+      (101L to 200L).flatMap { u =>
+        Seq({ eid += 1; ev(eid, u, "view", 1, 0) },
+          { eid += 1; ev(eid, u, "purchase", 2, 0) },
+          { eid += 1; ev(eid, u, "purchase", 3, 0) })
+      })
+      .toDF("event_id", "user_id", "event_type", "ts")
+
+    val r = Learn.rocAuc(events).collect().head
+    val nTest = r.getAs[Long]("n_test")
+    assert(nTest > 0 && nTest < 200) // a real 20% fold
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    // x1 separates the classes perfectly -> perfect ranking
+    assert(r.getDecimal(r.fieldIndex("auc")).doubleValue == 1.0)
+    assert(r.getDecimal(r.fieldIndex("gini")).doubleValue == 1.0)
+    assert(r.getDecimal(r.fieldIndex("ks")).doubleValue == 1.0)
+    assert(Learn.rocAuc(events).collect().head == r) // rerun-stable
+
+    val bins = Learn.calibrationBins(events).collect()
+    assert(bins.map(_.getAs[Long]("n")).sum == nTest)
+    bins.foreach { b =>
+      val mp = b.getDecimal(b.fieldIndex("mean_pred")).doubleValue
+      val or = b.getDecimal(b.fieldIndex("obs_rate")).doubleValue
+      assert(mp >= 0.0 && mp <= 1.0 && or >= 0.0 && or <= 1.0)
+      assert(b.getDecimal(b.fieldIndex("brier_sum")).doubleValue >= 0.0)
+      // bin index brackets its own mean predicted score
+      val bin = b.getAs[Int]("bin")
+      assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6)
+    }
+    assert(Learn.calibrationBins(events).collect().toSeq == bins.toSeq)
+  }
+
   test("olsFit: an exact linear law is recovered to the last " +
       "micro-unit with R^2 = 1, deterministically") {
     import graft.operators.Learn
