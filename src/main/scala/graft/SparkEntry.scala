@@ -359,6 +359,14 @@ object SparkEntry {
     // cohort LTV curves: cumulative revenue per signup-week cohort.
     "cohort_ltv" -> ((s, dir) =>
       Sessions.cohortLtv(Tables.events(s, dir))),
+    // SCD Type-2 dimension build: per-user tier versions with
+    // [valid_from, valid_to) validity and is_current.
+    "scd2_build" -> ((s, dir) =>
+      Scd.build(Tables.events(s, dir))),
+    // point-in-time dimension lookup: purchases join the tier version
+    // valid at purchase time; revenue by tier.
+    "scd2_revenue_by_tier" -> ((s, dir) =>
+      Scd.revenueByTier(Tables.events(s, dir))),
     // Nelson–Aalen time-to-conversion hazard, right-censored at 336 h.
     "conversion_survival" -> ((s, dir) =>
       Sessions.conversionSurvival(Tables.events(s, dir))),
@@ -2884,6 +2892,63 @@ object SparkEntry {
         |    AS retention
         |FROM g JOIN cs ON cs.cohort_date = g.cohort_date
         |ORDER BY g.cohort_date, g.day_offset""".stripMargin,
+
+    // mirrors Scd.build: (ts, event_id)-ordered tier observations,
+    // lag change flags, running version numbers, run collapse, lead()
+    // interval close on the version table.
+    "scd2_build" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(json_extract(props, '$.k') AS INT) // 25 AS INT)
+        |      AS tier
+        |  FROM events),
+        |c AS (SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+        |      OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS version_no
+        |  FROM c),
+        |g AS (SELECT user_id, version_no, min(tier) AS tier,
+        |    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM v GROUP BY user_id, version_no)
+        |SELECT user_id, version_no, tier, valid_from,
+        |  lead(valid_from) OVER vw AS valid_to,
+        |  (lead(valid_from) OVER vw IS NULL) AS is_current, n_obs
+        |FROM g
+        |WINDOW vw AS (PARTITION BY user_id ORDER BY version_no)
+        |ORDER BY user_id, version_no""".stripMargin,
+
+    // mirrors Scd.revenueByTier: the scd2_build chain, purchases
+    // joined on user_id + the validity range, decimal revenue.
+    "scd2_revenue_by_tier" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CAST(CAST(json_extract(props, '$.k') AS INT) // 25 AS INT)
+        |      AS tier
+        |  FROM events),
+        |c AS (SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+        |      OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS version_no
+        |  FROM c),
+        |g AS (SELECT user_id, version_no, min(tier) AS tier,
+        |    min(ts) AS valid_from, count(*) AS n_obs
+        |  FROM v GROUP BY user_id, version_no),
+        |dim AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY version_no) AS valid_to
+        |  FROM g),
+        |p AS (SELECT user_id, ts,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS rev
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT dim.tier, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(p.rev) AS DECIMAL(38,6)) AS revenue
+        |FROM p JOIN dim ON p.user_id = dim.user_id
+        |  AND p.ts >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+        |GROUP BY dim.tier ORDER BY dim.tier""".stripMargin,
 
     // mirrors Sessions.cohortLtv: Monday-truncated signup cohorts,
     // integer day-diff // 7 offsets, exact (18,6)-decimal revenue
