@@ -1452,6 +1452,9 @@ object SparkEntry {
     // held-out exact Mann-Whitney AUC / Gini / KS for the logit model.
     "roc_auc" -> ((s, dir) =>
       Learn.rocAuc(Tables.events(s, dir))),
+    // multinomial Naive Bayes language classifier: held-out confusion.
+    "nb_lang_confusion" -> ((s, dir) =>
+      Learn.nbLangConfusion(Tables.documents(s, dir))),
     // held-out reliability table: sigma-decile calibration + Brier.
     "calibration_bins" -> ((s, dir) =>
       Learn.calibrationBins(Tables.events(s, dir))),
@@ -7580,6 +7583,51 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Learn.nbLangConfusion: 80/20 salted doc fold, per-lang
+    // Laplace token models with ln pinned at round(ln*1e6, 0) per
+    // (token, lang), exact integer log-posteriors, (score DESC, lang)
+    // argmax, confusion counts.
+    "nb_lang_confusion" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, text,
+         |    (${h60("'nb_' || doc_id")} % 100) < 80 AS trn
+         |  FROM documents),
+         |k AS (SELECT doc_id, lang, trn,
+         |    unnest(string_split(text, ' ')) AS t
+         |  FROM d0),
+         |tc AS (SELECT lang, t, count(*) AS c FROM k WHERE trn
+         |  GROUP BY lang, t),
+         |tl AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS tcount FROM tc
+         |  GROUP BY lang),
+         |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM tc),
+         |pr AS (SELECT lang, count(*) AS nd FROM d0 WHERE trn
+         |  GROUP BY lang),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d0 WHERE trn),
+         |langs AS (SELECT tl.lang,
+         |    CAST(round(ln(1.0 / (tcount + v)) * 1000000.0, 0)
+         |      AS BIGINT) AS lp0,
+         |    CAST(round(ln(CAST(nd AS DOUBLE) / n) * 1000000.0, 0)
+         |      AS BIGINT) AS prior6
+         |  FROM tl JOIN pr USING (lang), vv, nt),
+         |m AS (SELECT tc.lang, tc.t,
+         |    CAST(round(ln((CAST(c AS DOUBLE) + 1.0) / (tcount + v))
+         |      * 1000000.0, 0) AS BIGINT) AS lp6
+         |  FROM tc JOIN tl USING (lang), vv),
+         |s AS (SELECT k.doc_id, langs.lang,
+         |    langs.prior6 + sum(coalesce(m.lp6, langs.lp0)) AS score
+         |  FROM k CROSS JOIN langs
+         |    LEFT JOIN m ON m.t = k.t AND m.lang = langs.lang
+         |  WHERE NOT k.trn
+         |  GROUP BY k.doc_id, langs.lang, langs.prior6),
+         |p AS (SELECT doc_id, lang AS pred_lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lang) AS rn
+         |  FROM s)
+         |SELECT d0.lang, p.pred_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p JOIN d0 USING (doc_id) WHERE rn = 1
+         |GROUP BY d0.lang, p.pred_lang
+         |ORDER BY d0.lang, p.pred_lang""".stripMargin,
 
     // mirrors Learn.rocAuc: the shared logit chain trained on the
     // NOT-tst fold, test rows grouped by the 1e-9-grid sigma, exact

@@ -381,4 +381,77 @@ object Learn {
         col("brier_sum"))
       .orderBy(col("bin"))
   }
+
+  /** In-engine multinomial Naive Bayes language classifier with a
+    * held-out confusion matrix — the third trainable model beside
+    * [[logitFit]] and [[olsFit]], and the supervised counterpart of
+    * the heuristic `lang_id`: train Laplace-smoothed per-language
+    * token models on the salted 80% doc fold, classify the 20%
+    * holdout by exact-integer log-posterior, and emit the
+    * (true_lang, pred_lang, n_docs) confusion table.
+    *
+    * Determinism (the lm_score discipline): every log-probability is
+    * pinned PER (token, language) as round(ln·1e6, 0) integer units —
+    * token log-prob ln((c+1)/(T_lang+V)), OOV floor ln(1/(T_lang+V)),
+    * prior ln(n_lang/n_train) — so a document's per-language score is
+    * an exact integer sum, order-independent under any partitioning,
+    * and the argmax (score DESC, lang tie-break) is total.
+    *
+    * Scale shape: training is the lm_score vocabulary aggregation
+    * keyed (lang, token); scoring replicates the test token stream
+    * across the |langs|-row broadcast model header (the ANN
+    * query-set pattern — parameter-bounded, PlanSpec-allowlisted),
+    * hash-joins the vocabulary on (token, lang), and reduces per
+    * (doc, lang). Shuffle = |langs| × test tokens — linear.
+    */
+  def nbLangConfusion(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{hash60, tokensCol}
+    val trn = pmod(hash60(concat(lit("nb_"), col("doc_id"))),
+      lit(100)) < 80
+    val d0 = docs.select(col("doc_id"), col("lang"), col("text"),
+      trn.as("trn"))
+    val toks = d0.select(col("doc_id"), col("lang"), col("trn"),
+      explode(tokensCol(col("text"))).as("t"))
+
+    val tc = toks.filter(col("trn")).groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // train pass shared by model + totals
+    val tl = tc.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("double").as("tcount"))
+    val vv = tc.agg(countDistinct(col("t")).cast("double").as("v"))
+    val pr = d0.filter(col("trn")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"))
+    val nt = d0.filter(col("trn"))
+      .agg(count(lit(1)).cast("double").as("n"))
+
+    def pin6(c: Column) = round(c * lit(1e6), 0).cast("long")
+    val langs = tl.join(pr, Seq("lang")).crossJoin(vv).crossJoin(nt)
+      .select(col("lang"),
+        pin6(log(lit(1.0) / (col("tcount") + col("v")))).as("lp0"),
+        pin6(log(col("nd").cast("double") / col("n"))).as("prior6"))
+    val model = tc.join(tl, Seq("lang")).crossJoin(vv)
+      .select(col("lang"), col("t"),
+        pin6(log((col("c").cast("double") + lit(1.0)) /
+          (col("tcount") + col("v")))).as("lp6"))
+
+    val scores = toks.filter(!col("trn")).select(col("doc_id"), col("t"))
+      .crossJoin(broadcast(langs))
+      .join(model, Seq("t", "lang"), "left_outer")
+      .groupBy(col("doc_id"), col("lang"), col("prior6"))
+      .agg(sum(coalesce(col("lp6"), col("lp0"))).as("tok6"))
+      .select(col("doc_id"), col("lang"),
+        (col("prior6") + col("tok6")).as("score"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    val pred = scores.withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+
+    pred.join(d0.filter(!col("trn")).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
 }

@@ -312,6 +312,24 @@ class DataQualitySpec extends SparkSpec {
     assert(Learn.calibrationBins(events).collect().toSeq == bins.toSeq)
   }
 
+  test("nbLangConfusion: disjoint vocabularies classify the holdout " +
+      "perfectly (diagonal confusion), deterministically") {
+    import graft.operators.Learn
+    // 60 docs per lang, each lang a disjoint vocabulary
+    val docs = (for {
+      (lang, word) <- Seq(("aa", "alpha"), ("bb", "beta"), ("cc", "gamma"))
+      i <- 1 to 60
+    } yield (lang.hashCode.toLong * 1000 + i,
+      s"$word $word$i $word", lang, "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Learn.nbLangConfusion(docs).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getString(0) == x.getString(1))) // diagonal
+    val total = r.map(_.getAs[Long]("n_docs")).sum
+    assert(total > 0 && total < 180) // a real 20% holdout
+    assert(Learn.nbLangConfusion(docs).collect().toSeq == r.toSeq)
+  }
+
   test("olsFit: an exact linear law is recovered to the last " +
       "micro-unit with R^2 = 1, deterministically") {
     import graft.operators.Learn

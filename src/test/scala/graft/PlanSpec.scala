@@ -430,6 +430,9 @@ class PlanSpec extends SparkSpec {
       "lm_score_incremental", "lm_retire", "lm_ppl_drift",
       // inherit lm_score's 1-row (T, V) model-stats cross join
       "ccnet_buckets", "quality_rank_corr",
+      // |langs|-row model-header cross join (parameter-bounded like
+      // the ANN query sets) + the 1-row vocab-size cross joins
+      "nb_lang_confusion",
       // 1-row min/max bounds + 1-row totals cross joins; the bucket
       // prefix table is broadcast (nBuckets rows, parameter-bounded)
       "ks_drift",
