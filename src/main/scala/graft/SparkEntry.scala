@@ -1340,6 +1340,9 @@ object SparkEntry {
     // Cochran-Mantel-Haenszel stratified A/B test over cohort weeks.
     "ab_test_cmh" -> ((s, dir) =>
       DataQuality.abTestCmh(Tables.events(s, dir))),
+    // heterogeneous treatment effect: per-activity-segment uplift.
+    "uplift_by_segment" -> ((s, dir) =>
+      DataQuality.upliftBySegment(Tables.events(s, dir))),
     // exact two-sample KS over event values (parallel-prefix CDF form):
     // purchase-vs-click and purchase-vs-error.
     "ks_drift" -> ((s, dir) => {
@@ -5839,6 +5842,56 @@ object SparkEntry {
          |       WHEN rank_in_stratum <= (90 * n + 99) // 100 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM rk ORDER BY lang, source, rank_in_stratum""".stripMargin,
+
+    // mirrors DataQuality.upliftBySegment: per-user fold with the
+    // heavy-buyer outcome + salted arms, activity segments, truncating
+    // micro-integer rates (exact uplift difference), z pinned as
+    // round(z*1e6, 0).
+    "uplift_by_segment" ->
+      s"""WITH f AS (SELECT user_id,
+         |    count(DISTINCT CASE WHEN event_type <> 'purchase'
+         |      THEN CAST(ts AS DATE) END) AS n_days,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+         |      ELSE 0 END) > 13 THEN 1 ELSE 0 END AS y,
+         |    (${h60("'ab_' || user_id")} % 2) AS arm
+         |  FROM events GROUP BY user_id),
+         |s AS (SELECT CASE WHEN n_days <= 10 THEN 'low'
+         |        WHEN n_days <= 20 THEN 'mid' ELSE 'high' END
+         |        AS segment, arm, y
+         |      FROM f),
+         |g AS (SELECT segment,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_c,
+         |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+         |      AS x_t,
+         |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+         |      AS x_c
+         |  FROM s GROUP BY segment),
+         |t AS (SELECT *, x_t + x_c AS x, n_t + n_c AS n FROM g),
+         |z AS (SELECT *,
+         |    CASE WHEN x > 0 AND x < n AND n_t > 0 AND n_c > 0 THEN
+         |      CAST(round(CAST(x_t * n_c - x_c * n_t AS DOUBLE)
+         |        / sqrt(CAST(x * (n - x) AS DOUBLE)
+         |          * CAST(n_t * n_c AS DOUBLE) / n) * 1000000.0, 0)
+         |        AS BIGINT) END AS z6
+         |  FROM t)
+         |SELECT segment, n_t, n_c, x_t, x_c,
+         |  CASE WHEN n_t > 0 THEN CAST(((x_t * 1000000) // n_t)
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
+         |    AS rate_t,
+         |  CASE WHEN n_c > 0 THEN CAST(((x_c * 1000000) // n_c)
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
+         |    AS rate_c,
+         |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+         |    CAST(((x_t * 1000000) // n_t - (x_c * 1000000) // n_c)
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
+         |    AS uplift,
+         |  CAST(z6 * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+         |    AS z,
+         |  (z6 IS NOT NULL AND abs(z6) > 1960000) AS significant
+         |FROM z ORDER BY segment""".stripMargin,
 
     // mirrors DataQuality.abTestCmh: per-user fold to (cohort-week
     // stratum, arm, conv), per-stratum 2x2 counts, E/V as pinned

@@ -626,4 +626,71 @@ object DataQuality {
         (col("z").isNotNull && abs(col("z")) > 1.96).as("significant"))
       .orderBy(col("event_type"))
   }
+
+  /** Heterogeneous treatment effect by segment — the question the
+    * pooled [[abTestZ]] averages away: the same salted-hash arms, the
+    * heavy-buyer outcome, users segmented by activity (distinct
+    * non-purchase days: low ≤ 10 < mid ≤ 20 < high), and per-segment
+    * uplift = treated rate − control rate. A pooled test can read
+    * zero while the low segment gains exactly what the high segment
+    * loses; this is the table that shows it.
+    *
+    * Numerics: rates are truncating 1e-6-unit integer divisions, so
+    * uplift is an EXACT integer difference (can be negative); the
+    * only libm value is the per-segment two-proportion z, pinned as
+    * round(z·1e6, 0) — the safe product-pin, not round(z, 6).
+    *
+    * Scale shape: one per-user fold (the logit feature shuffle), one
+    * |segments|-row aggregation. No cross joins at all.
+    */
+  def upliftBySegment(events: DataFrame, convType: String = "purchase",
+                      salt: String = "ab_",
+                      heavyK: Int = 13): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    import org.apache.spark.sql.types.DecimalType
+    val f = events.groupBy(col("user_id")).agg(
+        countDistinct(when(col("event_type") =!= convType,
+          to_date(col("ts")))).as("n_days"),
+        when(sum(when(col("event_type") === convType, 1L)
+          .otherwise(0L)) > heavyK, 1L).otherwise(0L).as("y"))
+      .select(
+        when(col("n_days") <= 10, "low")
+          .when(col("n_days") <= 20, "mid")
+          .otherwise("high").as("segment"),
+        pmod(hash60(concat(lit(salt), col("user_id"))), lit(2L))
+          .as("arm"),
+        col("y"))
+    val g = f.groupBy(col("segment")).agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("x_t"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("x_c"))
+    def micro(c: Column) =
+      (c * lit(new java.math.BigDecimal("0.000001")))
+        .cast(DecimalType(12, 6))
+    g.withColumn("x", col("x_t") + col("x_c"))
+      .withColumn("n", col("n_t") + col("n_c"))
+      .withColumn("z6",
+        when(col("x") > 0 && col("x") < col("n") &&
+            col("n_t") > 0 && col("n_c") > 0,
+          round((col("x_t") * col("n_c") - col("x_c") * col("n_t"))
+            .cast("double") /
+            sqrt((col("x") * (col("n") - col("x"))).cast("double") *
+              (col("n_t") * col("n_c")).cast("double") / col("n"))
+            * lit(1e6), 0).cast("long")))
+      .select(col("segment"), col("n_t"), col("n_c"),
+        col("x_t"), col("x_c"),
+        // ANSI div-by-zero guards: an empty arm yields NULL rates
+        micro(when(col("n_t") > 0, expr("(x_t * 1000000) div n_t")))
+          .as("rate_t"),
+        micro(when(col("n_c") > 0, expr("(x_c * 1000000) div n_c")))
+          .as("rate_c"),
+        micro(when(col("n_t") > 0 && col("n_c") > 0,
+          expr("(x_t * 1000000) div n_t - (x_c * 1000000) div n_c")))
+          .as("uplift"),
+        micro(col("z6")).as("z"),
+        (col("z6").isNotNull && abs(col("z6")) > 1960000L)
+          .as("significant"))
+      .orderBy(col("segment"))
+  }
 }

@@ -312,6 +312,44 @@ class DataQualitySpec extends SparkSpec {
     assert(Learn.calibrationBins(events).collect().toSeq == bins.toSeq)
   }
 
+  test("upliftBySegment: fully effective treatment shows uplift " +
+      "exactly 1 in every segment; rates are exact micro-integers") {
+    import graft.operators.DataQuality
+    import graft.functions.TextFunctions.hash60
+    // recover each user's hash arm with the engine's own function,
+    // then make treatment PERFECTLY effective: treated users buy 14
+    // times (y=1 under heavyK=13), control users buy once (y=0)
+    val arms = spark.range(1, 61)
+      .select($"id", pmod(hash60(concat(lit("ab_"), $"id")), lit(2L))
+        .as("arm")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var eid = 0L
+    def ev(u: Long, t: String, day: Int, h: Int) = {
+      eid += 1
+      (eid, u, t,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00"),
+        1.0, "{}")
+    }
+    val events = (1L to 60L).flatMap { u =>
+      val days = if (u <= 30) 5 else 25 // low vs high segment
+      val views = (0 until days).map(d => ev(u, "view", 1 + d, 1))
+      val buys =
+        if (arms(u) == 1L) (1 to 14).map(i => ev(u, "purchase", 28, i % 24))
+        else Seq(ev(u, "purchase", 28, 0))
+      views ++ buys
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = DataQuality.upliftBySegment(events).collect()
+    assert(r.map(_.getAs[String]("segment")).toSet == Set("low", "high"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_t") + row.getAs[Long]("n_c") == 30L)
+      assert(row.getDecimal(row.fieldIndex("rate_t")).doubleValue == 1.0)
+      assert(row.getDecimal(row.fieldIndex("rate_c")).doubleValue == 0.0)
+      assert(row.getDecimal(row.fieldIndex("uplift")).doubleValue == 1.0)
+      assert(row.getAs[Boolean]("significant"))
+    }
+    assert(DataQuality.upliftBySegment(events).collect().toSeq == r.toSeq)
+  }
+
   test("nbLangConfusion: disjoint vocabularies classify the holdout " +
       "perfectly (diagonal confusion), deterministically") {
     import graft.operators.Learn
