@@ -1458,6 +1458,9 @@ object SparkEntry {
     // multinomial Naive Bayes language classifier: held-out confusion.
     "nb_lang_confusion" -> ((s, dir) =>
       Learn.nbLangConfusion(Tables.documents(s, dir))),
+    // TextRank extractive summary: weighted per-doc chunk PageRank.
+    "textrank_chunks" -> ((s, dir) =>
+      TextAnalysis.textrankChunks(Tables.documents(s, dir))),
     // held-out reliability table: sigma-decile calibration + Brier.
     "calibration_bins" -> ((s, dir) =>
       Learn.calibrationBins(Tables.events(s, dir))),
@@ -7636,6 +7639,68 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors TextAnalysis.textrankChunks: 10-token chunk nodes,
+    // shared-distinct-token edge weights, 6 unrolled weighted-PageRank
+    // stages with the knn_pagerank decimal discipline (per-edge
+    // contributions rounded 12 summed exactly, isolated chunks kept
+    // at teleport mass via LEFT JOIN), top-3 per doc.
+    "textrank_chunks" -> {
+      val iters = (1 to 6).map { i =>
+        s""",
+           |c$i AS (SELECT e.doc_id, e.dst AS chunk_no,
+           |    CAST(sum(CAST(round(CAST(r${i - 1}.r AS DOUBLE)
+           |      * CAST(e.w AS DOUBLE) / CAST(wd.wdeg AS DOUBLE)
+           |      * 1000000000000.0, 0) AS BIGINT)
+           |      * CAST(0.000000000001 AS DECIMAL(13,12)))
+           |      AS DECIMAL(38,12)) AS sc
+           |  FROM e JOIN r${i - 1} ON r${i - 1}.doc_id = e.doc_id
+           |    AND r${i - 1}.chunk_no = e.src
+           |  JOIN wd ON wd.doc_id = e.doc_id AND wd.src = e.src
+           |  GROUP BY e.doc_id, e.dst),
+           |r$i AS (SELECT ch.doc_id, ch.chunk_no,
+           |    CAST(CAST(round((0.15e0 / CAST(nd.n AS DOUBLE)
+           |      + 0.85e0 * CAST(coalesce(c$i.sc,
+           |          CAST(0 AS DECIMAL(38,12))) AS DOUBLE))
+           |      * 1000000000000.0, 0) AS BIGINT)
+           |      * CAST(0.000000000001 AS DECIMAL(13,12))
+           |      AS DECIMAL(28,12)) AS r
+           |  FROM ch JOIN nd USING (doc_id)
+           |  LEFT JOIN c$i ON c$i.doc_id = ch.doc_id
+           |    AND c$i.chunk_no = ch.chunk_no)""".stripMargin
+      }.mkString
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |ct AS (SELECT DISTINCT doc_id,
+         |    CAST((g.i - 1) // 10 AS INT) AS chunk_no, toks[g.i] AS t
+         |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |ch AS (SELECT DISTINCT doc_id, chunk_no FROM ct),
+         |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch
+         |  GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id, a.chunk_no AS ca, b.chunk_no AS cb,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM ct a JOIN ct b ON a.doc_id = b.doc_id AND a.t = b.t
+         |    AND a.chunk_no < b.chunk_no
+         |  GROUP BY a.doc_id, a.chunk_no, b.chunk_no),
+         |e AS (SELECT doc_id, ca AS src, cb AS dst, w FROM pr
+         |      UNION ALL SELECT doc_id, cb, ca, w FROM pr),
+         |wd AS (SELECT doc_id, src, sum(w) AS wdeg FROM e
+         |  GROUP BY doc_id, src),
+         |r0 AS (SELECT ch.doc_id, ch.chunk_no,
+         |    CAST(CAST(round(1.0e0 / CAST(nd.n AS DOUBLE)
+         |      * 1000000000000.0, 0) AS BIGINT)
+         |      * CAST(0.000000000001 AS DECIMAL(13,12))
+         |      AS DECIMAL(28,12)) AS r
+         |  FROM ch JOIN nd USING (doc_id))$iters,
+         |rk AS (SELECT doc_id, chunk_no, r,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY r DESC, chunk_no) AS rank
+         |  FROM r6)
+         |SELECT rk.doc_id, CAST(rank AS INT) AS rank, rk.chunk_no,
+         |  CAST(r AS DOUBLE) AS score, nd.n AS n_chunks
+         |FROM rk JOIN nd USING (doc_id) WHERE rank <= 3
+         |ORDER BY rk.doc_id, rank""".stripMargin
+    },
 
     // mirrors Learn.nbLangConfusion: 80/20 salted doc fold, per-lang
     // Laplace token models with ln pinned at round(ln*1e6, 0) per

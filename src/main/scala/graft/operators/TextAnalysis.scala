@@ -2839,4 +2839,94 @@ object TextAnalysis {
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** TextRank extractive summarization [Mihalcea & Tarau 2004] over
+    * fixed 10-token pseudo-sentence chunks (the corpus has no
+    * punctuation; real sentences would swap in at the chunker):
+    * within each document, chunks are graph nodes, edge weight =
+    * shared distinct-token count, and a weighted PageRank (6 fixed
+    * iterations, the [[graft.operators.Similarity.knnPagerank]]
+    * decimal discipline — per-edge contributions rounded to 12
+    * decimals and summed EXACTLY, teleport/damping as separate
+    * literals) ranks the chunks; the top 3 per doc are the summary.
+    *
+    * Isolated chunks (no token shared with any sibling) stay in the
+    * ranking at teleport mass — the contribution join is left-outer,
+    * unlike the near-dup graph where every node has an edge.
+    *
+    * Scale shape: all joins are keyed by doc_id (+ token or chunk) —
+    * per-document graphs never cross documents, so the pairwise step
+    * is bounded by chunks-per-doc (doc length / 10), not corpus size;
+    * the iteration joins reuse one checkpointed edge list. The final
+    * top-3 is a WindowGroupLimit.
+    */
+  def textrankChunks(docs: DataFrame, chunkTokens: Int = 10,
+                     iterations: Int = 6, topK: Int = 3,
+                     damping: Double = 0.85,
+                     teleport: Double = 0.15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    // the safe product-pin (round(v*1e12, 0) pico-units): round(v, 12)
+    // itself disagrees across engines on full-expansion half
+    // boundaries — hit live here at 3 rows / 1400 chunks / 6 rounds
+    def pin12(c: Column) =
+      (round(c * lit(1e12), 0).cast("long") *
+        lit(new java.math.BigDecimal("0.000000000001"))).cast(dec)
+    val ct = docs
+      .select(col("doc_id"), posexplode(tokensCol(col("text")))
+        .as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        expr(s"pos div $chunkTokens").cast("int").as("chunk_no"),
+        col("t"))
+      .distinct()
+      .localCheckpoint(false)
+    val chunksDf = ct.select(col("doc_id"), col("chunk_no")).distinct()
+    val nDoc = chunksDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val pr = ct.select(col("doc_id"), col("chunk_no").as("ca"), col("t"))
+      .join(ct.select(col("doc_id"), col("chunk_no").as("cb"), col("t")),
+        Seq("doc_id", "t"))
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("doc_id"), col("ca"), col("cb"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pr
+      .select(col("doc_id"), col("ca").as("src"), col("cb").as("dst"),
+        col("w"))
+      .unionByName(pr.select(col("doc_id"), col("cb").as("src"),
+        col("ca").as("dst"), col("w")))
+      .localCheckpoint(false)
+    val wdeg = edges.groupBy(col("doc_id"), col("src"))
+      .agg(sum(col("w")).as("wdeg"))
+
+    var r = chunksDf.join(nDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_no"),
+        pin12(lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(r.withColumnRenamed("chunk_no", "src"), Seq("doc_id", "src"))
+        .join(wdeg, Seq("doc_id", "src"))
+        .select(col("doc_id"), col("dst").as("chunk_no"),
+          pin12(col("r").cast("double") * col("w").cast("double") /
+            col("wdeg").cast("double")).as("c"))
+        .groupBy(col("doc_id"), col("chunk_no"))
+        .agg(sum(col("c")).as("sc"))
+      r = chunksDf
+        .join(contrib, Seq("doc_id", "chunk_no"), "left_outer")
+        .join(nDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_no"),
+          pin12(lit(teleport) / col("n").cast("double") +
+            lit(damping) *
+              coalesce(col("sc"), lit(BigDecimal(0)).cast(dec))
+                .cast("double")).as("r"))
+    }
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("r").desc, col("chunk_no"))
+    r.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= topK)
+      .join(nDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("rank"), col("chunk_no"),
+        col("r").cast("double").as("score"), col("n").as("n_chunks"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

@@ -1455,4 +1455,32 @@ class TextDedupSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(m.getAs[Double]("ndcg") == expected)
   }
+
+
+  test("textrankChunks: the hub chunk that bridges otherwise-disjoint " +
+      "chunks ranks first; an edge-free doc falls back to chunk order") {
+    import graft.operators.TextAnalysis
+    // doc 1, 3 chunks of 10: chunk 1 shares 5 tokens with chunk 0 and
+    // 5 with chunk 2; chunks 0 and 2 share nothing -> 1 is the hub.
+    val c0 = (1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"p$i")
+    val c1 = (1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"b$i")
+    val c2 = (1 to 5).map(i => s"b$i") ++ (1 to 5).map(i => s"q$i")
+    // doc 2: 20 all-distinct tokens -> no edges, teleport-only ranks
+    val iso = (1 to 20).map(i => s"z$i")
+    val docs = Seq(
+      (1L, (c0 ++ c1 ++ c2).mkString(" "), "en", "s", 1L),
+      (2L, iso.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.textrankChunks(docs).collect()
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.head.getAs[Int]("chunk_no") == 1) // the hub wins
+    assert(d1.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(d1.head.getAs[Double]("score") >
+      d1.last.getAs[Double]("score"))
+    val d2 = r.filter(_.getLong(0) == 2L)
+    // teleport-only scores tie; chunk_no breaks them
+    assert(d2.map(_.getAs[Int]("chunk_no")).toSeq == Seq(0, 1))
+    assert(d2.map(_.getAs[Double]("score")).distinct.length == 1)
+    assert(TextAnalysis.textrankChunks(docs).collect().toSeq == r.toSeq)
+  }
 }
