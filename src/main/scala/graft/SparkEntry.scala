@@ -1343,6 +1343,9 @@ object SparkEntry {
     // heterogeneous treatment effect: per-activity-segment uplift.
     "uplift_by_segment" -> ((s, dir) =>
       DataQuality.upliftBySegment(Tables.events(s, dir))),
+    // additive seasonal decomposition of per-type hourly counts.
+    "seasonal_decompose" -> ((s, dir) =>
+      DataQuality.seasonalDecompose(Tables.events(s, dir))),
     // exact two-sample KS over event values (parallel-prefix CDF form):
     // purchase-vs-click and purchase-vs-error.
     "ks_drift" -> ((s, dir) => {
@@ -5845,6 +5848,38 @@ object SparkEntry {
          |       WHEN rank_in_stratum <= (90 * n + 99) // 100 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM rk ORDER BY lang, source, rank_in_stratum""".stripMargin,
+
+    // mirrors DataQuality.seasonalDecompose: (type, hour) counts, a
+    // complete-25-point centered RANGE mean, per-(type, hod) detrended
+    // means, all as truncating micro-integer divisions.
+    "seasonal_decompose" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |h2 AS (SELECT *, CAST(floor(epoch(hour_ts)) AS BIGINT) AS ts_s
+        |  FROM h),
+        |t AS (SELECT *,
+        |    CASE WHEN count(*) OVER w = 25
+        |      THEN (sum(n) OVER w * 1000000) // 25 END AS trend6
+        |  FROM h2
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+        |    RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING)),
+        |d AS (SELECT *, n * 1000000 - trend6 AS det6 FROM t),
+        |s AS (SELECT *,
+        |    CASE WHEN count(det6) OVER wh > 0
+        |      THEN sum(det6) OVER wh // count(det6) OVER wh END AS seas6
+        |  FROM d
+        |  WINDOW wh AS (PARTITION BY event_type, hour(hour_ts)))
+        |SELECT event_type, hour_ts, n AS n_events,
+        |  CAST(CAST(trend6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+        |    AS DECIMAL(20,6)) AS trend,
+        |  CAST(CAST(seas6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+        |    AS DECIMAL(20,6)) AS seasonal,
+        |  CAST(CAST(det6 - seas6 AS BIGINT)
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(20,6))
+        |    AS remainder
+        |FROM s WHERE trend6 IS NOT NULL
+        |ORDER BY event_type, hour_ts""".stripMargin,
 
     // mirrors DataQuality.upliftBySegment: per-user fold with the
     // heavy-buyer outcome + salted arms, activity segments, truncating

@@ -627,6 +627,58 @@ object DataQuality {
       .orderBy(col("event_type"))
   }
 
+  /** Additive seasonal decomposition of per-type hourly event counts
+    * — observed = trend + seasonal + remainder, the classical-
+    * decomposition view beside [[seasonalAnomaly]]'s z-scores: trend
+    * is a centered 25-point (±12 h RANGE) moving mean emitted only
+    * where the window is COMPLETE (25 observed hours — a gap leaves
+    * trend NULL rather than silently averaging fewer points),
+    * seasonal is the per-(type, hour-of-day) mean of the detrended
+    * series, remainder is what's left.
+    *
+    * Numerics: counts are integers, both means are truncating
+    * micro-unit integer divisions (Spark `div` ≡ DuckDB `//` ≡ BigInt
+    * `/`, toward zero — detrended values go negative), so every
+    * output is an exact 1e-6-unit integer.
+    *
+    * Scale shape: one (type, hour) count agg, one RANGE window and
+    * one (type, hod) window over the HOURLY table — calendar-bounded
+    * (types × hours), not data-bounded; the raw scan reduces
+    * map-side.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def micro(c: Column) =
+      (c * lit(new java.math.BigDecimal("0.000001")))
+        .cast(DecimalType(20, 6))
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ts_s", col("hour_ts").cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_s"))
+      .rangeBetween(-43200L, 43200L)
+    val t = hourly
+      .withColumn("wsum", sum(col("n")).over(w))
+      .withColumn("wcnt", count(lit(1)).over(w))
+      .withColumn("trend6",
+        when(col("wcnt") === 25, expr("(wsum * 1000000) div 25")))
+      .withColumn("det6", col("n") * lit(1000000L) - col("trend6"))
+    val wh = Window.partitionBy(col("event_type"),
+      hour(col("hour_ts")))
+    t.withColumn("ssum", sum(col("det6")).over(wh))
+      .withColumn("scnt", count(col("det6")).over(wh))
+      .withColumn("seas6",
+        when(col("scnt") > 0, expr("ssum div scnt")))
+      .filter(col("trend6").isNotNull)
+      .select(col("event_type"), col("hour_ts"), col("n").as("n_events"),
+        micro(col("trend6")).as("trend"),
+        micro(col("seas6")).as("seasonal"),
+        micro(col("det6") - col("seas6")).as("remainder"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
   /** Heterogeneous treatment effect by segment — the question the
     * pooled [[abTestZ]] averages away: the same salted-hash arms, the
     * heavy-buyer outcome, users segmented by activity (distinct

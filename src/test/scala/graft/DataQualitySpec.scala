@@ -312,6 +312,41 @@ class DataQualitySpec extends SparkSpec {
     assert(Learn.calibrationBins(events).collect().toSeq == bins.toSeq)
   }
 
+  test("seasonalDecompose: constant series decomposes to zero " +
+      "seasonal/remainder; trend only on complete windows; the " +
+      "additive identity holds exactly") {
+    import graft.operators.DataQuality
+    var eid = 0L
+    // type A: constant 3 events/hour for 49h; type B: 2 + (hod % 2)
+    val events = (0 until 49).flatMap { h =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:30:00")
+      (1 to 3).map { _ => eid += 1; (eid, 1L, "A", ts, 0.0, "{}") } ++
+        (1 to 2 + (h % 24) % 2).map { _ =>
+          eid += 1; (eid, 1L, "B", ts, 0.0, "{}")
+        }
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = DataQuality.seasonalDecompose(events).collect()
+    val a = r.filter(_.getString(0) == "A")
+    // 49 hours -> complete 25-point windows at offsets 12..36
+    assert(a.length == 25)
+    a.foreach { row =>
+      assert(row.getDecimal(row.fieldIndex("trend")).doubleValue == 3.0)
+      assert(row.getDecimal(row.fieldIndex("seasonal")).doubleValue == 0.0)
+      assert(row.getDecimal(row.fieldIndex("remainder")).doubleValue == 0.0)
+    }
+    // additive identity: n = trend + seasonal + remainder, exactly
+    r.foreach { row =>
+      val sum = row.getDecimal(row.fieldIndex("trend"))
+        .add(row.getDecimal(row.fieldIndex("seasonal")))
+        .add(row.getDecimal(row.fieldIndex("remainder")))
+      assert(sum.compareTo(new java.math.BigDecimal(
+        row.getAs[Long]("n_events"))) == 0)
+    }
+    assert(DataQuality.seasonalDecompose(events).collect().toSeq
+      == r.toSeq)
+  }
+
   test("upliftBySegment: fully effective treatment shows uplift " +
       "exactly 1 in every segment; rates are exact micro-integers") {
     import graft.operators.DataQuality
