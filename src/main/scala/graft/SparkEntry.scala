@@ -1461,6 +1461,9 @@ object SparkEntry {
     // multinomial Naive Bayes language classifier: held-out confusion.
     "nb_lang_confusion" -> ((s, dir) =>
       Learn.nbLangConfusion(Tables.documents(s, dir))),
+    // in-engine discrete AdaBoost over decision stumps (5 rounds).
+    "adaboost_stumps" -> ((s, dir) =>
+      Learn.adaboostStumps(Tables.events(s, dir))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7674,6 +7677,90 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Learn.adaboostStumps: 5 unrolled boosting rounds — each
+    // round pins per-row weights as round(exp((logw6-shift6)/1e6)*1e12)
+    // over the prior 1-row stump CTEs, aggregates HUGEINT weighted
+    // errors per grid stump, picks the (e, feat, thr, pol) argmin,
+    // pins alpha as round(ln((S-Ec)/Ec)*500000), and reads staged
+    // ensemble accuracy on both folds.
+    "adaboost_stumps" -> {
+      val gridVals = Learn.stumpGrid.map { case (f, t, p) =>
+        s"('$f', CAST($t AS BIGINT), CAST($p AS INT))"
+      }.mkString(",\n         |    ")
+      def hx(src: String) =
+        s"(CASE WHEN (CASE WHEN $src.feat = 'n_ev' THEN f.n_ev" +
+          s" ELSE f.n_days END) > $src.thr THEN $src.pol" +
+          s" ELSE -$src.pol END)"
+      def logw(r: Int) =
+        if (r == 1) "CAST(0 AS BIGINT)"
+        else (1 until r).map { k =>
+          s"(CASE WHEN ${hx(s"s$k")} <> f.y THEN s$k.a6 ELSE -s$k.a6 END)"
+        }.mkString(" + ")
+      def priorJoins(r: Int) =
+        (1 until r).map(k => s", s$k").mkString
+      def scoreSql(r: Int) =
+        (1 to r).map(k => s"${hx(s"s$k")} * s$k.a6").mkString(" + ")
+      val roundsSql = (1 to 5).map { r =>
+        s""",
+           |lw$r AS (SELECT f.*, (${logw(r)}) AS lw
+           |  FROM f${priorJoins(r)} WHERE NOT f.tst),
+           |sh$r AS (SELECT max(lw) AS m FROM lw$r),
+           |w$r AS (SELECT lw$r.*,
+           |    CAST(round(exp(CAST(lw - m AS DOUBLE) / 1000000.0)
+           |      * 1000000000000.0, 0) AS BIGINT) AS w
+           |  FROM lw$r, sh$r),
+           |e$r AS (SELECT g.feat, g.thr, g.pol,
+           |    CAST(sum(CASE WHEN (CASE WHEN (CASE WHEN g.feat = 'n_ev'
+           |      THEN w.n_ev ELSE w.n_days END) > g.thr THEN g.pol
+           |      ELSE -g.pol END) <> w.y THEN w.w ELSE 0 END)
+           |      AS HUGEINT) AS e,
+           |    CAST(sum(w.w) AS HUGEINT) AS s
+           |  FROM w$r w CROSS JOIN grid g
+           |  GROUP BY g.feat, g.thr, g.pol),
+           |s$r AS (SELECT feat, thr, pol, e, s,
+           |    CAST(round(ln(CAST(s - ec AS DOUBLE) / CAST(ec AS DOUBLE))
+           |      * 500000.0, 0) AS BIGINT) AS a6,
+           |    (e * 1000000) // s AS epsm
+           |  FROM (SELECT *, least(greatest(e, 1), s - 1) AS ec
+           |        FROM e$r ORDER BY e, feat, thr, pol LIMIT 1)),
+           |acc$r AS (SELECT f.tst,
+           |    CAST(sum(CASE WHEN ((${scoreSql(r)}) > 0) = (f.y > 0)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM f${priorJoins(r + 1)} GROUP BY f.tst),
+           |o$r AS (SELECT CAST($r AS INT) AS round_no,
+           |    s$r.feat AS feature, s$r.thr AS threshold,
+           |    s$r.pol AS polarity,
+           |    CAST(s$r.a6 * CAST(0.000001 AS DECIMAL(7,6))
+           |      AS DECIMAL(12,6)) AS alpha,
+           |    CAST(CAST(s$r.epsm AS BIGINT)
+           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+           |      AS weighted_err,
+           |    (SELECT CAST(((c * 1000000) // n)
+           |       * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+           |     FROM acc$r WHERE NOT tst) AS train_acc,
+           |    (SELECT CAST(((c * 1000000) // n)
+           |       * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+           |     FROM acc$r WHERE tst) AS test_acc
+           |  FROM s$r)""".stripMargin
+      }.mkString
+      s"""WITH f AS (SELECT
+         |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_ev,
+         |    CAST(count(DISTINCT CASE WHEN event_type <> 'purchase'
+         |      THEN CAST(ts AS DATE) END) AS BIGINT) AS n_days,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+         |      ELSE 0 END) > 13 THEN 1 ELSE -1 END AS y,
+         |    (${h60("'eval_' || user_id")} % 100) >= 80 AS tst
+         |  FROM events GROUP BY user_id),
+         |grid AS (SELECT * FROM (VALUES
+         |    $gridVals) AS g(feat, thr, pol))$roundsSql
+         |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+         |UNION ALL SELECT * FROM o3 UNION ALL SELECT * FROM o4
+         |UNION ALL SELECT * FROM o5
+         |ORDER BY round_no""".stripMargin
+    },
 
     // mirrors TextAnalysis.textrankChunks: 10-token chunk nodes,
     // shared-distinct-token edge weights, 6 unrolled weighted-PageRank

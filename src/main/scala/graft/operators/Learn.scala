@@ -382,6 +382,156 @@ object Learn {
       .orderBy(col("bin"))
   }
 
+  /** In-engine discrete AdaBoost over decision stumps [Freund &
+    * Schapire 1997] — the fourth trainable model, and the first
+    * ENSEMBLE: `rounds` boosting rounds over a fixed stump grid
+    * (feature ∈ {n_ev, n_days} × threshold grid × polarity) on the
+    * per-user activity features, trained on the salted 80% fold with
+    * staged held-out accuracy per round.
+    *
+    * Full determinism for an exp-reweighting algorithm:
+    *  - a round's per-row weight is exp((logw6 − shift6)/1e6) pinned
+    *    at 1e-12 units, where logw6 = Σ_k ±α6_k over previous rounds
+    *    is an EXACT integer (+α misclassified, −α correct) and
+    *    shift6 = Σ_k α6_k caps the exponent at 0 so the pinned value
+    *    fits a long exactly (≤ 1e12 < 2^53) — exp sees the same IEEE
+    *    double in both engines;
+    *  - weighted errors are exact integer sums of those pinned
+    *    weights (DECIMAL(38,0) accumulators — a 10^7-user corpus
+    *    overflows a long);
+    *  - the round's stump is the lexicographic argmin
+    *    (error, feature, threshold, polarity) — total order;
+    *  - α6 = round(ln((S−Ec)/Ec)·500000, 0) with Ec clamped to
+    *    [1, S−1] weight units (a perfect stump would send α to ∞);
+    *    the ln argument is a quotient of exact integers.
+    *
+    * Scale shape: each round is ONE pass — the feature fold explodes
+    * across the |grid|-row broadcast stump table (parameter-bounded)
+    * into a |grid|-row aggregate — plus two 1-row staged-accuracy
+    * aggregates; the fold itself is checkpointed once. The driver
+    * holds only α's and stump ids (the logitFit discipline).
+    */
+  /** The fixed stump grid shared by [[adaboostStumps]] and its oracle
+    * builder: (feature, threshold, polarity).
+    */
+  val stumpGrid: Seq[(String, Long, Int)] = for {
+    (f, thrs) <- Seq(
+      ("n_days", (2L to 28L by 2).toSeq),
+      ("n_ev", Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)))
+    t <- thrs; p <- Seq(1, -1)
+  } yield (f, t, p)
+
+  def adaboostStumps(events: DataFrame, convType: String = "purchase",
+                     heavyK: Int = 13, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec0 = DecimalType(38, 0)
+    val feats = events.groupBy(col("user_id")).agg(
+        sum(when(col("event_type") =!= convType, 1L).otherwise(0L))
+          .as("n_ev"),
+        countDistinct(when(col("event_type") =!= convType,
+          to_date(col("ts")))).as("n_days"),
+        when(sum(when(col("event_type") === convType, 1L)
+          .otherwise(0L)) > heavyK, 1).otherwise(-1).as("y"))
+      .withColumn("tst", isTest)
+      .select(col("n_ev"), col("n_days"), col("y"), col("tst"))
+      .localCheckpoint(false)
+
+    val grid = stumpGrid
+
+    // h(x) for stump (f, thr, pol): pol * (v > thr ? +1 : -1)
+    def h(f: String, thr: Long, pol: Int): Column =
+      when(col(f) > thr, lit(pol)).otherwise(lit(-pol))
+
+    var chosen = List.empty[(String, Long, Int, Long)] // (f, thr, pol, a6)
+    def logw6: Column = chosen.foldLeft(lit(0L)) {
+      case (acc, (f, thr, pol, a6)) =>
+        acc + when(h(f, thr, pol) =!= col("y"), lit(a6))
+          .otherwise(lit(-a6))
+    }
+    // weights are relative: shift the exponent by the fold's MAX
+    // logw6 (an exact integer aggregate — deterministic) so the
+    // heaviest row pins at exactly 1e12 and exponents stay ≤ 0. A
+    // fixed shift = Σα underflowed the whole fold to zero on
+    // separable data (all-correct rows sit at logw6 = −Σα).
+    def w12(shift6: Long): Column =
+      round(exp((logw6 - lit(shift6)).cast("double") / lit(1e6)) *
+        lit(1e12), 0).cast("long")
+    def maxLogw6(): Long =
+      feats.filter(!col("tst")).agg(max(logw6).as("m"))
+        .collect().head.getAs[Long]("m")
+    // ensemble margin in alpha6 units; sign decides (0 -> negative)
+    def score6: Column = chosen.foldLeft(lit(0L)) {
+      case (acc, (f, thr, pol, a6)) => acc + h(f, thr, pol) * lit(a6)
+    }
+
+    val gridDf = feats.sparkSession
+      .createDataFrame(grid.map(g => (g._1, g._2, g._3)))
+      .toDF("feat", "thr", "pol")
+    val out = Seq.newBuilder[(Int, String, Long, Int, BigInt, BigInt,
+      BigInt, BigInt)]
+    for (r <- 1 to rounds) {
+      val shift6 = maxLogw6()
+      // weighted error per stump, one pass over fold × grid
+      val ge = feats.filter(!col("tst")).select(col("n_ev"),
+          col("n_days"), col("y"), w12(shift6).as("w"))
+        .crossJoin(broadcast(gridDf))
+        .withColumn("v", when(col("feat") === "n_ev", col("n_ev"))
+          .otherwise(col("n_days")))
+        .withColumn("hx",
+          when(col("v") > col("thr"), col("pol")).otherwise(-col("pol")))
+        .groupBy(col("feat"), col("thr"), col("pol"))
+        .agg(sum(when(col("hx") =!= col("y"), col("w")).otherwise(0L)
+            .cast(dec0)).as("e"),
+          sum(col("w").cast(dec0)).as("s"))
+        .collect()
+      val best = ge.map { row =>
+        (BigInt(row.getDecimal(row.fieldIndex("e")).toBigInteger),
+          BigInt(row.getDecimal(row.fieldIndex("s")).toBigInteger),
+          row.getAs[String]("feat"), row.getAs[Long]("thr"),
+          row.getAs[Int]("pol"))
+      }.minBy { case (e, _, f, t, p) => (e, f, t, p) }
+      val (e, sTot, f, thr, pol) = best
+      val ec = e.max(BigInt(1)).min(sTot - 1)
+      val a6 = BigInt(math.round(math.log(
+        ((sTot - ec).toDouble / ec.toDouble)) * 500000.0))
+      chosen = chosen :+ ((f, thr, pol, a6.toLong))
+
+      // staged ensemble accuracy on both folds (exact counts)
+      val acc = feats.select(col("tst"),
+          ((score6 > 0) === (col("y") > 0)).as("ok"))
+        .groupBy(col("tst"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("c"),
+          count(lit(1)).as("n"))
+        .collect().map(x => x.getAs[Boolean]("tst") ->
+          (BigInt(x.getAs[Long]("c")), BigInt(x.getAs[Long]("n"))))
+        .toMap
+      val (trC, trN) = acc(false)
+      val (teC, teN) = acc.getOrElse(true, (BigInt(0), BigInt(0)))
+      out += ((r, f, thr, pol, a6, e * 1000000 / sTot,
+        trC * 1000000 / trN,
+        if (teN > 0) teC * 1000000 / teN else BigInt(-1)))
+    }
+
+    val rows = out.result()
+    import feats.sparkSession.implicits._
+    val df = rows.map { case (r, f, thr, pol, a6, eps, tra, tea) =>
+      (r, f, thr, pol,
+        new java.math.BigDecimal(a6.bigInteger, 6),
+        new java.math.BigDecimal(eps.bigInteger, 6),
+        new java.math.BigDecimal(tra.bigInteger, 6),
+        if (tea < 0) null
+        else new java.math.BigDecimal(tea.bigInteger, 6))
+    }.toDF("round_no", "feature", "threshold", "polarity", "alpha",
+      "weighted_err", "train_acc", "test_acc")
+    df.select(col("round_no"), col("feature"), col("threshold"),
+        col("polarity"),
+        col("alpha").cast(DecimalType(12, 6)).as("alpha"),
+        col("weighted_err").cast(DecimalType(12, 6)).as("weighted_err"),
+        col("train_acc").cast(DecimalType(12, 6)).as("train_acc"),
+        col("test_acc").cast(DecimalType(12, 6)).as("test_acc"))
+      .orderBy(col("round_no"))
+  }
+
   /** In-engine multinomial Naive Bayes language classifier with a
     * held-out confusion matrix — the third trainable model beside
     * [[logitFit]] and [[olsFit]], and the supervised counterpart of

@@ -385,6 +385,38 @@ class DataQualitySpec extends SparkSpec {
     assert(DataQuality.upliftBySegment(events).collect().toSeq == r.toSeq)
   }
 
+  test("adaboostStumps: a single separating stump drives train " +
+      "accuracy to 1 in round 1 and boosting keeps it there") {
+    import graft.operators.Learn
+    var eid = 0L
+    def ev(u: Long, t: String, day: Int, h: Int) = {
+      eid += 1
+      (eid, u, t,
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00"),
+        1.0, "{}")
+    }
+    // heavy buyers are active 25 days, light buyers 5 -> the stump
+    // (n_days > t, t in [6, 24]) separates perfectly
+    val events = (1L to 40L).flatMap { u =>
+      val heavy = u <= 20
+      val days = if (heavy) 25 else 5
+      (1 to days).map(d => ev(u, "view", d, 1)) ++
+        (1 to (if (heavy) 14 else 1)).map(i => ev(u, "purchase", 28, i % 24))
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = Learn.adaboostStumps(events).collect()
+    assert(r.map(_.getAs[Int]("round_no")).toSeq == (1 to 5))
+    val r1 = r.head
+    assert(r1.getAs[String]("feature") == "n_days")
+    assert(r1.getDecimal(r1.fieldIndex("alpha")).doubleValue > 1.0)
+    assert(r1.getDecimal(r1.fieldIndex("weighted_err")).doubleValue
+      < 0.05)
+    r.foreach { row =>
+      assert(row.getDecimal(row.fieldIndex("train_acc"))
+        .doubleValue == 1.0)
+    }
+    assert(Learn.adaboostStumps(events).collect().toSeq == r.toSeq)
+  }
+
   test("nbLangConfusion: disjoint vocabularies classify the holdout " +
       "perfectly (diagonal confusion), deterministically") {
     import graft.operators.Learn
