@@ -1464,6 +1464,9 @@ object SparkEntry {
     // in-engine discrete AdaBoost over decision stumps (5 rounds).
     "adaboost_stumps" -> ((s, dir) =>
       Learn.adaboostStumps(Tables.events(s, dir))),
+    // deterministic cross-sectional momentum backtest (exact ledger).
+    "momentum_backtest" -> ((s, dir) =>
+      Backtest.momentum(Trades.fromEvents(Tables.events(s, dir)))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7677,6 +7680,55 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Backtest.momentum: last-trade daily closes, one pinned
+    // ln per (symbol, day), complete-5 trailing momentum (strictly
+    // prior rows), (m DESC, symbol) top-3, truncating integer
+    // equal-weight means, exact running-sum equity curve.
+    "momentum_backtest" ->
+      s"""$tradesCte,
+         |dc AS (SELECT symbol, event_date AS d, price AS close FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, event_date
+         |      ORDER BY event_time DESC, event_id DESC) AS rn
+         |    FROM trades)
+         |  WHERE rn = 1),
+         |lr AS (SELECT symbol, d,
+         |    CAST(round(ln(close / prev) * 1000000.0, 0) AS BIGINT)
+         |      AS lr6
+         |  FROM (SELECT *, lag(close) OVER (PARTITION BY symbol
+         |      ORDER BY d) AS prev FROM dc)
+         |  WHERE prev IS NOT NULL),
+         |mom AS (SELECT * FROM (SELECT *,
+         |    sum(lr6) OVER w AS m, count(*) OVER w AS mcnt
+         |  FROM lr WINDOW w AS (PARTITION BY symbol ORDER BY d
+         |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+         |  WHERE mcnt = 5),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY d
+         |    ORDER BY m DESC, symbol) AS rk FROM mom),
+         |daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(sum(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_held,
+         |    CAST(sum(CASE WHEN rk <= 3 THEN lr6 ELSE 0 END) AS BIGINT)
+         |      AS port_sum6,
+         |    CAST(sum(lr6) AS BIGINT) AS bench_sum6
+         |  FROM rk GROUP BY d),
+         |f AS (SELECT d, n_candidates, n_held,
+         |    port_sum6 // n_held AS port6,
+         |    bench_sum6 // n_candidates AS bench6
+         |  FROM daily)
+         |SELECT d, n_candidates, n_held,
+         |  CAST(port6 * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(16,6)) AS port_logret,
+         |  CAST(sum(port6) OVER wc * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(16,6)) AS cum_logret,
+         |  CAST(bench6 * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(16,6)) AS bench_logret,
+         |  CAST(sum(bench6) OVER wc * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(16,6)) AS cum_bench
+         |FROM f
+         |WINDOW wc AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+         |  AND CURRENT ROW)
+         |ORDER BY d""".stripMargin,
 
     // mirrors Learn.adaboostStumps: 5 unrolled boosting rounds — each
     // round pins per-row weights as round(exp((logw6-shift6)/1e6)*1e12)

@@ -1,0 +1,78 @@
+package graft
+
+/** Deterministic momentum backtest semantics. */
+class BacktestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Backtest, Trades}
+
+  // price paths: WIN doubles every day, LOSE1/LOSE2 halve — WIN has
+  // the strictly largest trailing momentum from the first eligible day
+  private def events(days: Int) = {
+    var eid = 0L
+    (1 to days).flatMap { d =>
+      Seq(("WIN", math.pow(2.0, d)), ("LOSE1", math.pow(0.5, d)),
+        ("LOSE2", 100.0 * math.pow(0.9, d))).zipWithIndex.map {
+        case ((sym, px), i) =>
+          eid += 1
+          // user_id encodes the symbol (Trades maps user_id -> symbol)
+          (eid, sym.hashCode.toLong.abs % 1000 + i, sym, px, d)
+      }
+    }.map { case (eid, _, sym, px, d) =>
+      (eid, symId(sym), "trade",
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), px, "{}")
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+  }
+  private def symId(s: String): Long =
+    Map("WIN" -> 1L, "LOSE1" -> 2L, "LOSE2" -> 3L)(s)
+
+  test("momentum: the persistent winner is held from the first " +
+      "eligible day; the ledger is an exact running sum") {
+    val r = Backtest.momentum(Trades.fromEvents(events(12)), topK = 1)
+      .collect()
+    // lr needs day 2, momentum needs 5 complete -> first day is day 7
+    assert(r.head.getAs[java.sql.Date]("d").toString == "2024-01-07")
+    assert(r.length == 6) // days 7..12
+    val ln2micro = math.round(math.log(2.0) * 1e6)
+    var cum = BigInt(0)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_candidates") == 3L)
+      assert(row.getAs[Long]("n_held") == 1L)
+      // topK=1 holds WIN, whose daily log return is exactly ln 2
+      val p = row.getDecimal(row.fieldIndex("port_logret"))
+        .movePointRight(6).longValueExact()
+      assert(p == ln2micro)
+      cum += p
+      val c = row.getDecimal(row.fieldIndex("cum_logret"))
+        .movePointRight(6).longValueExact()
+      assert(BigInt(c) == cum)
+      // the benchmark (equal-weight all three) is strictly worse
+      assert(row.getDecimal(row.fieldIndex("bench_logret"))
+        .compareTo(row.getDecimal(row.fieldIndex("port_logret"))) < 0)
+    }
+    assert(Backtest.momentum(Trades.fromEvents(events(12)), topK = 1)
+      .collect().toSeq == r.toSeq)
+  }
+
+  test("momentum: selection uses strictly prior returns (a day-t " +
+      "crash cannot affect day-t holdings)") {
+    // WIN doubles through day 11 then crashes 99% on day 12; with
+    // topK=1 it is still held on day 12 (selection saw only <= day 11)
+    var eid = 0L
+    val ev = (1 to 12).flatMap { d =>
+      val winPx = if (d == 12) math.pow(2.0, 11) * 0.01 else math.pow(2.0, d)
+      Seq((1L, winPx), (2L, math.pow(0.5, d)), (3L, 100.0 * math.pow(0.9, d)))
+        .map { case (u, px) =>
+          eid += 1
+          (eid, u, "trade",
+            java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), px, "{}")
+        }
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = Backtest.momentum(Trades.fromEvents(ev), topK = 1).collect()
+    val last = r.last
+    assert(last.getAs[java.sql.Date]("d").toString == "2024-01-12")
+    // the crash day's portfolio return is the crash itself: the
+    // selection could not see it coming
+    assert(last.getDecimal(last.fieldIndex("port_logret"))
+      .doubleValue < -4.0)
+  }
+}
