@@ -1467,6 +1467,9 @@ object SparkEntry {
     // deterministic cross-sectional momentum backtest (exact ledger).
     "momentum_backtest" -> ((s, dir) =>
       Backtest.momentum(Trades.fromEvents(Tables.events(s, dir)))),
+    // item-item CF: top-5 co-purchase cosine neighbors per part.
+    "part_similarity" -> ((s, dir) =>
+      Relational.partSimilarity(Tables.lineitem(s, dir))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7680,6 +7683,36 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Relational.partSimilarity: distinct baskets, in-order
+    // pair counts, exact-integer popularity product under an IEEE
+    // sqrt, cosine pinned at round(*1e6, 0), per-part top-5.
+    "part_similarity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |pop AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b
+        |  GROUP BY p),
+        |pr AS (SELECT a.p AS pa, b2.p AS pb,
+        |    CAST(count(*) AS BIGINT) AS cab
+        |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY a.p, b2.p),
+        |sym AS (SELECT pa AS part_id, pb AS other_part, cab FROM pr
+        |        UNION ALL SELECT pb, pa, cab FROM pr),
+        |sc AS (SELECT s.part_id, s.other_part, s.cab,
+        |    CAST(round(CAST(s.cab AS DOUBLE)
+        |      / sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT) AS cos6
+        |  FROM sym s JOIN pop ca ON ca.p = s.part_id
+        |    JOIN pop cb ON cb.p = s.other_part),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY part_id
+        |    ORDER BY cos6 DESC, other_part) AS rank
+        |  FROM sc)
+        |SELECT part_id, CAST(rank AS INT) AS rank, other_part,
+        |  cab AS n_co,
+        |  CAST(cos6 * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
+        |    AS cosine
+        |FROM rk WHERE rank <= 5
+        |ORDER BY part_id, rank""".stripMargin,
 
     // mirrors Backtest.momentum: last-trade daily closes, one pinned
     // ln per (symbol, day), complete-5 trailing momentum (strictly

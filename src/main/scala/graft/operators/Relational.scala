@@ -786,4 +786,56 @@ object Relational {
           .as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
+
+
+  /** Item-item collaborative-filtering similarity over order baskets —
+    * the recommender view beside the rule-mining one (assoc_rules
+    * finds directional lift rules; this ranks each part's nearest
+    * neighbors in co-purchase space): cosine(a, b) =
+    * co_orders(a,b) / sqrt(orders(a)·orders(b)), top-5 per part.
+    *
+    * Determinism: counts are exact integers; orders(a)·orders(b) is
+    * an exact integer that converts to double losslessly (< 2^53),
+    * sqrt is IEEE exactly-rounded (identical in every engine), and
+    * the one division is pinned as round(·1e6, 0) micro-units — no
+    * round(v, 6) anywhere.
+    *
+    * Scale shape: the pair table comes from a basket self-join keyed
+    * by order — bounded by basket size (≤ 7 lineitems in TPC-H), so
+    * pairs are linear in orders; one hash agg to co-counts, a
+    * broadcast-sized part-popularity join, and a per-part top-5 that
+    * Spark executes as WindowGroupLimit.
+    */
+  def partSimilarity(lineitem: DataFrame, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val basket = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(false)
+    val pop = basket.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = basket.toDF("o", "pa")
+      .join(basket.toDF("o", "pb"), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+    val sym = pairs
+      .select(col("pa").as("part_id"), col("pb").as("other_part"),
+        col("cab"))
+      .unionByName(pairs.select(col("pb").as("part_id"),
+        col("pa").as("other_part"), col("cab")))
+      .join(pop.toDF("part_id", "ca"), Seq("part_id"))
+      .join(pop.toDF("other_part", "cb"), Seq("other_part"))
+      .select(col("part_id"), col("other_part"), col("cab"),
+        round(col("cab").cast("double") /
+          sqrt((col("ca") * col("cb")).cast("double")) * lit(1e6), 0)
+          .cast("long").as("cos6"))
+    val w = Window.partitionBy(col("part_id"))
+      .orderBy(col("cos6").desc, col("other_part"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("part_id"), col("rank"), col("other_part"),
+        col("cab").as("n_co"),
+        (col("cos6") * lit(new java.math.BigDecimal("0.000001")))
+          .cast(DecimalType(10, 6)).as("cosine"))
+      .orderBy(col("part_id"), col("rank"))
+  }
 }

@@ -43,4 +43,27 @@ class RelationalSpec extends SparkSpec {
     assert(r.nonEmpty)
     assert(r.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
   }
+
+
+  test("partSimilarity: perfectly co-purchased parts read cosine 1 " +
+      "at rank 1; counts and rank order are exact") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // parts 1 and 2 appear together in all 4 orders; part 3 joins
+    // order 1 only -> cos(1,2) = 1.0, cos(1,3) = 1/sqrt(4*1) = 0.5
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 2L)
+    ).toDF("l_orderkey", "l_partkey")
+    val r = Relational.partSimilarity(li).collect()
+    val p1 = r.filter(_.getLong(0) == 1L)
+    assert(p1.map(x => (x.getAs[Int]("rank"),
+      x.getAs[Long]("other_part"),
+      x.getDecimal(x.fieldIndex("cosine")).doubleValue,
+      x.getAs[Long]("n_co"))).toSeq ==
+      Seq((1, 2L, 1.0, 4L), (2, 3L, 0.5, 1L)))
+    assert(Relational.partSimilarity(li).collect().toSeq == r.toSeq)
+  }
 }
