@@ -1470,6 +1470,9 @@ object SparkEntry {
     // item-item CF: top-5 co-purchase cosine neighbors per part.
     "part_similarity" -> ((s, dir) =>
       Relational.partSimilarity(Tables.lineitem(s, dir))),
+    // Matryoshka audit: recall@10 of dim-truncated retrieval vs full.
+    "embed_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaEval(Tables.embeddings(s, dir))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7683,6 +7686,58 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Similarity.matryoshkaEval: full-dim brute-force truth,
+    // per-dim sliced rescoring, hits vs truth, truncating integer
+    // micro recalls.
+    "embed_matryoshka" -> {
+      val dimCtes = Seq(4, 8, 16).map { d =>
+        s""",
+           |nd$d AS (SELECT vec_id, list_slice(v, 1, $d) AS v FROM n),
+           |nn$d AS (SELECT vec_id, v,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           |  FROM nd$d),
+           |sc$d AS (SELECT q.vec_id AS query_id,
+           |    c.vec_id AS neighbor_id,
+           |    round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6)
+           |      AS cosine
+           |  FROM nn$d q, nn$d c
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |rk$d AS (SELECT query_id, neighbor_id FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rank FROM sc$d)
+           |  WHERE rank <= 10),
+           |h$d AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits
+           |  FROM rk$d r JOIN tr USING (query_id, neighbor_id)
+           |  GROUP BY r.query_id),
+           |p$d AS (SELECT q2.query_id, coalesce(h$d.hits, 0) AS hits
+           |  FROM (SELECT DISTINCT query_id FROM tr) q2
+           |  LEFT JOIN h$d USING (query_id)),
+           |o$d AS (SELECT CAST($d AS INT) AS dim,
+           |    CAST(count(*) AS BIGINT) AS n_queries,
+           |    CAST(((sum(hits) * 1000000) // (count(*) * 10))
+           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
+           |      AS mean_recall,
+           |    CAST(((min(hits) * 1000000) // 10)
+           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
+           |      AS min_recall
+           |  FROM p$d)""".stripMargin
+      }.mkString
+      s"""$embCte,
+         |qf AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id < 10),
+         |pf AS (SELECT qf.query_id, n.vec_id AS neighbor_id,
+         |    round(${dotSql("qf.qv", "n.v")} / (qf.qn * n.nrm), 6)
+         |      AS cosine
+         |  FROM qf, n WHERE n.vec_id <> qf.query_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM pf)
+         |  WHERE rank <= 10)$dimCtes
+         |SELECT * FROM o4 UNION ALL SELECT * FROM o8
+         |UNION ALL SELECT * FROM o16
+         |ORDER BY dim""".stripMargin
+    },
 
     // mirrors Relational.partSimilarity: distinct baskets, in-order
     // pair counts, exact-integer popularity product under an IEEE

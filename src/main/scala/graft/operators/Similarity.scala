@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1366,5 +1366,58 @@ object Similarity {
         col("aa_score"))
       .orderBy(col("aa_score").desc, col("id1"), col("id2"))
       .limit(topK)
+  }
+
+
+  /** Matryoshka-style dimension-truncation retrieval audit: how much
+    * of full-dimension brute-force top-k recall survives when queries
+    * and corpus are truncated to the first d dimensions (d ∈ 4/8/16)?
+    * The capacity-planning table for storing short embedding prefixes
+    * (MRL; Kusupati et al. 2022) — if recall@10 at d=16 is already
+    * ~1, the ANN tier can index a quarter of the bytes.
+    *
+    * Per dim: the same broadcast-query brute-force scan as
+    * [[annBruteForce]] on sliced vectors, hits counted against the
+    * full-dim truth set, and exact integer recall (truncating
+    * micro-division over queries × k). Shares the ann family's
+    * query-bounded broadcast shape.
+    */
+  def matryoshkaEval(embeddings: DataFrame, nQueries: Int = 10,
+                     k: Int = 10,
+                     dims: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val truth = annBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val qids = truth.select(col("query_id")).distinct()
+    val n = normed(embeddings)
+    def micro(c: Column) =
+      (c * lit(new java.math.BigDecimal("0.000001")))
+        .cast(DecimalType(10, 6))
+    val perDim = dims.map { d =>
+      val nd = n.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("v"))
+        .withColumn("nrm", vecNorm(col("v")))
+      val q = nd.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val sys = nd.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine.as("cosine"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+      qids
+        .join(sys.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+          Seq("query_id"), "left_outer")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("nq"), sum(col("hits")).as("th"),
+          min(col("hits")).as("mh"))
+        .select(lit(d).as("dim"), col("nq").as("n_queries"),
+          micro(expr(s"(th * 1000000) div (nq * $k)")).as("mean_recall"),
+          micro(expr(s"(mh * 1000000) div $k")).as("min_recall"))
+    }
+    perDim.reduce(_ unionByName _).orderBy(col("dim"))
   }
 }

@@ -262,4 +262,27 @@ class CapsAndLshSpec extends SparkSpec {
     assert(two.length == 2)
     two.foreach(r => assert(r.getDouble(1) == 0.5 && r.getLong(2) == 1L))
   }
+
+
+  test("matryoshkaEval: when all information lives in the first 4 " +
+      "dims, every truncation level has perfect recall") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    // 40 vectors: dims 1-4 carry the direction, dims 5-16 are zero,
+    // so truncated cosines equal full cosines at every d >= 4
+    val embs = (0L until 40L).map { i =>
+      val head = Array.fill(4)(rnd.nextFloat() * 2f - 1f)
+      (i, head ++ Array.fill(12)(0f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.matryoshkaEval(embs).collect()
+    assert(r.map(_.getAs[Int]("dim")).toSeq == Seq(4, 8, 16))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_queries") == 10L)
+      assert(row.getDecimal(row.fieldIndex("mean_recall"))
+        .doubleValue == 1.0)
+      assert(row.getDecimal(row.fieldIndex("min_recall"))
+        .doubleValue == 1.0)
+    }
+    assert(Similarity.matryoshkaEval(embs).collect().toSeq == r.toSeq)
+  }
 }

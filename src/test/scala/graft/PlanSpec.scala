@@ -433,6 +433,9 @@ class PlanSpec extends SparkSpec {
       // |langs|-row model-header cross join (parameter-bounded like
       // the ANN query sets) + the 1-row vocab-size cross joins
       "nb_lang_confusion",
+      // nQueries-bounded query-set broadcasts per truncation dim,
+      // same as ann_topk
+      "embed_matryoshka",
       // 1-row min/max bounds + 1-row totals cross joins; the bucket
       // prefix table is broadcast (nBuckets rows, parameter-bounded)
       "ks_drift",
