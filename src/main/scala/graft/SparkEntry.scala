@@ -7778,7 +7778,7 @@ object SparkEntry {
          |dc AS (SELECT symbol, event_date AS d, price AS close FROM (
          |    SELECT *, row_number() OVER (PARTITION BY symbol, event_date
          |      ORDER BY event_time DESC, event_id DESC) AS rn
-         |    FROM trades)
+         |    FROM trades WHERE price > 0)
          |  WHERE rn = 1),
          |lr AS (SELECT symbol, d,
          |    CAST(round(ln(close / prev) * 1000000.0, 0) AS BIGINT)

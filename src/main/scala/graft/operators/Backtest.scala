@@ -23,7 +23,10 @@ object Backtest {
   private def dailyClose(trades: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol"), col("event_date"))
       .orderBy(col("event_time").desc, col("event_id").desc)
-    trades.withColumn("rn", row_number().over(w))
+    // a nonpositive print is not a price — it would blow up the log
+    // return (a literal 0.0 exists in the sf0.1 corpus)
+    trades.filter(col("price") > 0)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("symbol"), col("event_date").as("d"),
         col("price").as("close"))
