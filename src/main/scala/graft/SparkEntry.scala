@@ -1473,6 +1473,12 @@ object SparkEntry {
     // Matryoshka audit: recall@10 of dim-truncated retrieval vs full.
     "embed_matryoshka" -> ((s, dir) =>
       Similarity.matryoshkaEval(Tables.embeddings(s, dir))),
+    // Amihud illiquidity: |daily logret| per dollar volume, per symbol.
+    "amihud_illiq" -> ((s, dir) =>
+      Analytics.amihudIlliq(Trades.fromEvents(Tables.events(s, dir)))),
+    // Wald-Wolfowitz runs test for trade-sign randomness per symbol.
+    "runs_test" -> ((s, dir) =>
+      Analytics.runsTest(Trades.fromEvents(Tables.events(s, dir)))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7686,6 +7692,81 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Analytics.amihudIlliq: last positive-print close per
+    // day, exact decimal dollar volume, the pinned |ln| over prior
+    // observed close, per-day ratio pinned at 1e12, truncating mean.
+    "amihud_illiq" ->
+      s"""$tradesCte,
+         |dc AS (SELECT symbol, event_date AS d,
+         |    max(CASE WHEN rn = 1 THEN price END) AS close,
+         |    CAST(sum(CAST(price AS DECIMAL(18,8))
+         |      * CAST(size AS DECIMAL(12,6))) AS DECIMAL(38,14)) AS dv
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY symbol,
+         |      event_date ORDER BY event_time DESC, event_id DESC)
+         |      AS rn
+         |    FROM trades WHERE price > 0)
+         |  GROUP BY symbol, event_date),
+         |lr AS (SELECT symbol,
+         |    abs(CAST(round(ln(close / prev) * 1000000.0, 0)
+         |      AS BIGINT)) AS alr6, dv
+         |  FROM (SELECT *, lag(close) OVER (PARTITION BY symbol
+         |      ORDER BY d) AS prev FROM dc)
+         |  WHERE prev IS NOT NULL AND dv > 0),
+         |rt AS (SELECT symbol,
+         |    CAST(round(CAST(alr6 AS DOUBLE) / CAST(dv AS DOUBLE)
+         |      * 1000000.0, 0) AS BIGINT) AS ratio6
+         |  FROM lr),
+         |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(ratio6) AS HUGEINT) AS rs
+         |  FROM rt GROUP BY symbol)
+         |SELECT symbol, n_days,
+         |  CAST(CAST(rs // n_days AS BIGINT)
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+         |    AS illiq
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors Analytics.runsTest: exact integer run counts over the
+    // (event_time, event_id) total order, textbook E/Var in doubles
+    // with identical association, z pinned at round(z*1e6, 0), the
+    // 2*b*s > n positivity guard.
+    "runs_test" ->
+      s"""$tradesCte,
+         |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_buy,
+         |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sell,
+         |    CAST(sum(chg) AS BIGINT) AS runs
+         |  FROM (SELECT symbol, sgn,
+         |      CASE WHEN lag(sgn) OVER w IS NULL
+         |        OR lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS chg
+         |    FROM (SELECT symbol,
+         |        CASE WHEN side = 'buy' THEN 1 ELSE -1 END AS sgn,
+         |        event_time, event_id FROM trades)
+         |    WINDOW w AS (PARTITION BY symbol
+         |      ORDER BY event_time, event_id))
+         |  GROUP BY symbol),
+         |z AS (SELECT *,
+         |    CASE WHEN n_buy > 0 AND n_sell > 0 AND n > 1
+         |        AND 2 * n_buy * n_sell > n THEN
+         |      CAST(round((CAST(runs AS DOUBLE) -
+         |        (2.0 * CAST(n_buy AS DOUBLE) * CAST(n_sell AS DOUBLE)
+         |          / CAST(n AS DOUBLE) + 1.0)) /
+         |        sqrt(2.0 * CAST(n_buy AS DOUBLE)
+         |          * CAST(n_sell AS DOUBLE)
+         |          * (2.0 * CAST(n_buy AS DOUBLE)
+         |            * CAST(n_sell AS DOUBLE) - CAST(n AS DOUBLE)) /
+         |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |            * (CAST(n AS DOUBLE) - 1.0))) * 1000000.0, 0)
+         |        AS BIGINT) END AS z6
+         |  FROM g)
+         |SELECT symbol, n, n_buy, n_sell, runs,
+         |  CAST(z6 * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(14,6))
+         |    AS z,
+         |  (z6 IS NOT NULL AND abs(z6) <= 1960000)
+         |    AS consistent_with_random
+         |FROM z ORDER BY symbol""".stripMargin,
 
     // mirrors Similarity.matryoshkaEval: full-dim brute-force truth,
     // per-dim sliced rescoring, hits vs truth, truncating integer

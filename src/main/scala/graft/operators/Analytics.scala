@@ -1366,4 +1366,103 @@ object Analytics {
           .as("ts_slope"))
       .orderBy(col("symbol"))
   }
+
+
+  /** Amihud (2002) illiquidity: the mean over days of
+    * |daily log return| per dollar of daily volume — the standard
+    * price-impact-per-dollar proxy, the cross-sectional liquidity
+    * ranking [[kyleLambda]]'s regression form estimates per trade.
+    *
+    * Determinism: |lr6| is the one pinned ln per (symbol, day)
+    * (momentum_backtest's convention, nonpositive prints excluded);
+    * dollar volume is an exact decimal sum; the per-day ratio is
+    * pinned once at 1e-12 units (exact-int / exact-decimal under one
+    * IEEE division) and the mean is a truncating integer division.
+    * The ratio is pinned at 1e6 units (a 1e12 pin overflows a long
+    * on penny-volume days: |lr6|/0.01·1e12 ≈ 1e20).
+    */
+  def amihudIlliq(trades: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byDay = Window.partitionBy(col("symbol"), col("event_date"))
+      .orderBy(col("event_time").desc, col("event_id").desc)
+    val bySym = Window.partitionBy(col("symbol")).orderBy(col("d"))
+    val daily = trades.filter(col("price") > 0)
+      .withColumn("rn", row_number().over(byDay))
+      .groupBy(col("symbol"), col("event_date").as("d"))
+      .agg(max(when(col("rn") === 1, col("price"))).as("close"),
+        sum(col("price").cast(DecimalType(18, 8)) *
+          col("size").cast(DecimalType(12, 6)))
+          .cast(DecimalType(38, 14)).as("dv"))
+    val lr = daily
+      .withColumn("prev", lag(col("close"), 1).over(bySym))
+      .filter(col("prev").isNotNull && col("dv") > 0)
+      .select(col("symbol"),
+        abs(round(log(col("close") / col("prev")) * lit(1e6), 0)
+          .cast("long")).as("alr6"),
+        col("dv"))
+      .select(col("symbol"),
+        round(col("alr6").cast("double") / col("dv").cast("double")
+          * lit(1e6), 0).cast("long").as("ratio6"))
+    lr.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        // decimal accumulator: tiny dollar volumes push per-day
+        // ratios near 1e17 — a long sum could overflow
+        sum(col("ratio6").cast(DecimalType(38, 0))).as("rs"))
+      .select(col("symbol"), col("n_days"),
+        (expr("rs div n_days") *
+          lit(new java.math.BigDecimal("0.000001")))
+          .cast(DecimalType(18, 6)).as("illiq"))
+      .orderBy(col("symbol"))
+  }
+
+  /** Wald–Wolfowitz runs test for trade-sign randomness per symbol:
+    * too FEW runs = momentum herding (signs cluster), too MANY =
+    * mean-reverting flow (signs alternate); |z| < 1.96 is consistent
+    * with random order flow. R, n₊, n₋ are exact integers over the
+    * (event_time, event_id) total order; E[R] and Var[R] are the
+    * textbook formulas evaluated in doubles with the identical
+    * expression shape both engines, and z is pinned once at
+    * micro-units.
+    */
+  def runsTest(trades: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bySym = Window.partitionBy(col("symbol"))
+      .orderBy(col("event_time"), col("event_id"))
+    val g = trades
+      .select(col("symbol"),
+        when(col("side") === "buy", 1).otherwise(-1).as("sgn"),
+        col("event_time"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(bySym).isNull ||
+          lag(col("sgn"), 1).over(bySym) =!= col("sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_sell"),
+        sum(col("chg")).as("runs"))
+    g.withColumn("z6",
+        // 2·n₊·n₋ > n keeps Var[R] strictly positive (exact integers)
+        when(col("n_buy") > 0 && col("n_sell") > 0 && col("n") > 1 &&
+            lit(2L) * col("n_buy") * col("n_sell") > col("n"),
+          round((col("runs").cast("double") -
+            (lit(2.0) * col("n_buy").cast("double") *
+              col("n_sell").cast("double") / col("n").cast("double")
+              + lit(1.0))) /
+            sqrt(lit(2.0) * col("n_buy").cast("double") *
+              col("n_sell").cast("double") *
+              (lit(2.0) * col("n_buy").cast("double") *
+                col("n_sell").cast("double") -
+                col("n").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double") *
+                (col("n").cast("double") - lit(1.0)))) *
+            lit(1e6), 0).cast("long")))
+      .select(col("symbol"), col("n"), col("n_buy"), col("n_sell"),
+        col("runs"),
+        (col("z6") * lit(new java.math.BigDecimal("0.000001")))
+          .cast(DecimalType(14, 6)).as("z"),
+        (col("z6").isNotNull && abs(col("z6")) <= 1960000L)
+          .as("consistent_with_random"))
+      .orderBy(col("symbol"))
+  }
 }

@@ -75,4 +75,58 @@ class BacktestSpec extends SparkSpec {
     assert(last.getDecimal(last.fieldIndex("port_logret"))
       .doubleValue < -4.0)
   }
+
+
+  test("runsTest: alternating order flow reads maximal runs and a " +
+      "large positive z; one-sided flow has no defined z") {
+    import graft.operators.Analytics
+    var eid = 0L
+    // symbol 1: strictly alternating buy/sell (even/odd event ids);
+    // symbol 2: buys only (even ids)
+    val ev = ((1 to 40).map { i =>
+      eid = i.toLong // parity alternates -> side alternates
+      (eid, 1L, "t",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        10.0, "{}")
+    } ++ (1 to 20).map { i =>
+      (1000L + 2 * i, 2L, "t",
+        java.sql.Timestamp.valueOf(f"2024-01-02 00:${i % 60}%02d:00"),
+        10.0, "{}")
+    }).toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = Analytics.runsTest(Trades.fromEvents(ev)).collect()
+    val s1 = r.filter(_.getString(0) == "SYM_1").head
+    assert(s1.getAs[Long]("runs") == 40L) // every step is a new run
+    assert(s1.getDecimal(s1.fieldIndex("z")).doubleValue > 1.96)
+    assert(!s1.getAs[Boolean]("consistent_with_random"))
+    val s2 = r.filter(_.getString(0) == "SYM_2").head
+    assert(s2.getAs[Long]("n_sell") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("z")))
+  }
+
+  test("amihudIlliq: equal price moves on 10x the dollar volume read " +
+      "~10x lower illiquidity") {
+    import graft.operators.Analytics
+    var eid = 0L
+    // both symbols double daily; THIN trades once/day, THICK has 10
+    // identical trades/day (10x dollar volume) — sizes are equal
+    // because Trades derives size from event_id: use matching ids
+    def ev(u: Long, d: Int, k: Int, px: Double) = {
+      eid += 1
+      (u * 100000L + d * 100L + k, u, "t",
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:$k%02d:00"),
+        px, "{}")
+    }
+    val rows = (1 to 8).flatMap { d =>
+      ev(1L, d, 0, math.pow(2.0, d)) ::
+        (0 until 10).map(k => ev(2L, d, k, math.pow(2.0, d))).toList
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts",
+      "value", "props")
+    val r = Analytics.amihudIlliq(Trades.fromEvents(df)).collect()
+      .map(x => x.getString(0) ->
+        x.getDecimal(x.fieldIndex("illiq")).doubleValue).toMap
+    assert(r("SYM_1") > 0 && r("SYM_2") > 0)
+    val ratio = r("SYM_1") / r("SYM_2")
+    assert(ratio > 8.0 && ratio < 12.0) // sizes differ slightly by id
+  }
 }
