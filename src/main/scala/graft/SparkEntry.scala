@@ -1479,6 +1479,9 @@ object SparkEntry {
     // Wald-Wolfowitz runs test for trade-sign randomness per symbol.
     "runs_test" -> ((s, dir) =>
       Analytics.runsTest(Trades.fromEvents(Tables.events(s, dir)))),
+    // pairs-trading spread monitor: exact-integer hedge ratio + z.
+    "pairs_trading" -> ((s, dir) =>
+      Backtest.pairsTrading(Trades.fromEvents(Tables.events(s, dir)))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7692,6 +7695,58 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Backtest.pairsTrading: pinned log prices, exact-integer
+    // single-regressor hedge ratio (truncating //), integer spread /
+    // mean / z, sigma from an IEEE sqrt over the exact variance
+    // numerator.
+    "pairs_trading" ->
+      s"""$tradesCte,
+         |dc AS (SELECT symbol, event_date AS d, price AS close FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol,
+         |      event_date ORDER BY event_time DESC, event_id DESC)
+         |      AS rn
+         |    FROM trades
+         |    WHERE price > 0 AND symbol IN ('SYM_1', 'SYM_2'))
+         |  WHERE rn = 1),
+         |lp AS (SELECT symbol, d,
+         |    CAST(round(ln(close) * 1000000.0, 0) AS BIGINT) AS lp6
+         |  FROM dc),
+         |j AS (SELECT a.d, a.lp6 AS pa6, b.lp6 AS pb6
+         |  FROM lp a JOIN lp b ON a.d = b.d
+         |  WHERE a.symbol = 'SYM_1' AND b.symbol = 'SYM_2'),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(pa6) AS HUGEINT) AS sa,
+         |    CAST(sum(pb6) AS HUGEINT) AS sb,
+         |    CAST(sum(pa6 * pb6) AS HUGEINT) AS sab,
+         |    CAST(sum(pb6 * pb6) AS HUGEINT) AS sbb
+         |  FROM j),
+         |bt AS (SELECT n, ((n * sab - sa * sb) * 1000000)
+         |    // (n * sbb - sb * sb) AS b6 FROM m),
+         |sp AS (SELECT j.d, j.pa6, j.pb6,
+         |    j.pa6 - (bt.b6 * j.pb6) // 1000000 AS s6
+         |  FROM j, bt),
+         |st AS (SELECT CAST(sum(s6) AS HUGEINT) AS ss,
+         |    CAST(sum(s6 * s6) AS HUGEINT) AS sss FROM sp),
+         |pars AS (SELECT bt.b6, m.n, st.ss // m.n AS a6,
+         |    CAST(round(sqrt(CAST(m.n * st.sss - st.ss * st.ss
+         |      AS DOUBLE)) / CAST(m.n AS DOUBLE), 0) AS BIGINT) AS sd6
+         |  FROM bt, m, st)
+         |SELECT sp.d,
+         |  CAST(CAST(sp.pa6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(14,6)) AS log_price_a,
+         |  CAST(CAST(sp.pb6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(14,6)) AS log_price_b,
+         |  CAST(CAST(sp.s6 - pars.a6 AS BIGINT)
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(14,6))
+         |    AS spread,
+         |  CAST(CAST(((sp.s6 - pars.a6) * 1000000) // pars.sd6
+         |    AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(12,6)) AS z,
+         |  CAST(CAST(pars.b6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(12,6)) AS beta,
+         |  CAST(pars.n AS BIGINT) AS n_days
+         |FROM sp, pars ORDER BY sp.d""".stripMargin,
 
     // mirrors Analytics.amihudIlliq: last positive-print close per
     // day, exact decimal dollar volume, the pinned |ln| over prior

@@ -57,6 +57,80 @@ object Backtest {
     * cross-section, calendar-bounded), and date-keyed aggregates. No
     * joins beyond the final per-day assembly; no cross joins.
     */
+  /** Pairs-trading spread monitor for a given symbol pair (the
+    * discovery step is the existing symbol_correlation table): hedge
+    * ratio β by single-regressor OLS of log-price A on log-price B
+    * over common observed days, then the demeaned spread
+    * s = lnPa − β·lnPb − α and its z-score per day — the
+    * stat-arb entry/exit signal, with the exact-integer discipline of
+    * [[Learn.olsFit]]:
+    *
+    *  - log prices pinned ONCE per (symbol, day) at 1e-6 units;
+    *  - β from exact integer moment sums via truncating division
+    *    (driver-held BigInt, the logitFit discipline) — days are
+    *    calendar-bounded so the sums stay far inside 2^53;
+    *  - spread, mean, and z all in truncating integer micro-units;
+    *    σ's one sqrt is IEEE exactly-rounded over an exact integer.
+    *
+    * Scale shape: the joined series is calendar-bounded (days), the
+    * heavy work is the same (symbol, day) reduction the backtest
+    * uses; three 1-row driver aggregates, no cross joins in-plan.
+    */
+  def pairsTrading(trades: DataFrame, symA: String = "SYM_1",
+                   symB: String = "SYM_2"): DataFrame = {
+    val lp = dailyClose(
+        trades.filter(col("symbol").isin(symA, symB)))
+      .select(col("symbol"), col("d"),
+        round(log(col("close")) * lit(1e6), 0).cast("long").as("lp6"))
+      .localCheckpoint(false)
+    val joined = lp.filter(col("symbol") === symA)
+      .select(col("d"), col("lp6").as("pa6"))
+      .join(lp.filter(col("symbol") === symB)
+        .select(col("d"), col("lp6").as("pb6")), Seq("d"))
+      .localCheckpoint(false)
+
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum(col("pa6")).as("sa"), sum(col("pb6")).as("sb"),
+      sum(col("pa6") * col("pb6")).as("sab"),
+      sum(col("pb6") * col("pb6")).as("sbb")).collect().head
+    val n = BigInt(m.getAs[Long]("n"))
+    require(n > 1, "pair has fewer than 2 common days")
+    val (sa, sb) = (BigInt(m.getAs[Long]("sa")), BigInt(m.getAs[Long]("sb")))
+    val den = n * BigInt(m.getAs[Long]("sbb")) - sb * sb
+    require(den > 0, "degenerate pair: constant leg B")
+    // β in 1e-6 units, truncating (BigInt / ≡ DuckDB //)
+    val b6 = (n * BigInt(m.getAs[Long]("sab")) - sa * sb) *
+      BigInt(1000000) / den
+
+    val withS = joined.select(col("d"), col("pa6"), col("pb6"),
+      (col("pa6") - expr(s"(${b6}L * pb6) div 1000000")).as("s6"))
+    val t = withS.agg(sum(col("s6")).as("ss"),
+      sum(col("s6") * col("s6")).as("sss")).collect().head
+    val (ss, sss) = (BigInt(t.getAs[Long]("ss")), BigInt(t.getAs[Long]("sss")))
+    val a6 = ss / n // truncating mean
+    // σ of the spread in micro-units: exact integer variance
+    // numerator (< 2^53 by the calendar bound), IEEE sqrt, half-up
+    // round — identical in DuckDB's round(·, 0) for positive values
+    val sd6 = BigInt(math.round(
+      math.sqrt((n * sss - ss * ss).toDouble) / n.toDouble))
+    require(sd6 > 0, "degenerate pair: zero spread variance")
+
+    import org.apache.spark.sql.types.DecimalType
+    def micro(c: org.apache.spark.sql.Column, t: DecimalType) =
+      (c * lit(new java.math.BigDecimal("0.000001"))).cast(t)
+    withS
+      .select(col("d"),
+        micro(col("pa6"), DecimalType(14, 6)).as("log_price_a"),
+        micro(col("pb6"), DecimalType(14, 6)).as("log_price_b"),
+        micro(col("s6") - lit(a6.toLong), DecimalType(14, 6))
+          .as("spread"),
+        micro(expr(s"((s6 - ${a6.toLong}L) * 1000000) div ${sd6.toLong}L"),
+          DecimalType(12, 6)).as("z"),
+        micro(lit(b6.toLong), DecimalType(12, 6)).as("beta"),
+        lit(n.toLong).as("n_days"))
+      .orderBy(col("d"))
+  }
+
   def momentum(trades: DataFrame, lookback: Int = 5,
                topK: Int = 3): DataFrame = {
     val bySym = Window.partitionBy(col("symbol")).orderBy(col("d"))

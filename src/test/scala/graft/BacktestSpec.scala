@@ -129,4 +129,33 @@ class BacktestSpec extends SparkSpec {
     val ratio = r("SYM_1") / r("SYM_2")
     assert(ratio > 8.0 && ratio < 12.0) // sizes differ slightly by id
   }
+
+
+  test("pairsTrading: a log-price relation lnPa = 2 lnPb +/- w " +
+      "recovers beta ~ 2 and an alternating ~unit z-score") {
+    import graft.operators.Backtest
+    var eid = 0L
+    val ev = (1 to 12).flatMap { d =>
+      val pb = 1.0 + d * 0.3                       // drifting leg B
+      val w = if (d % 2 == 0) 0.01 else -0.01      // spread wobble
+      val pa = math.exp(2.0 * math.log(pb) + w)
+      Seq((1L, pa), (2L, pb)).map { case (u, px) =>
+        eid += 1
+        (eid, u, "t",
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+          px, "{}")
+      }
+    }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = Backtest.pairsTrading(Trades.fromEvents(ev)).collect()
+    assert(r.length == 12)
+    val beta = r.head.getDecimal(r.head.fieldIndex("beta")).doubleValue
+    assert(beta > 1.9 && beta < 2.1)
+    assert(r.head.getAs[Long]("n_days") == 12L)
+    // the wobble is the whole spread: z alternates sign ~unit size
+    val zs = r.map(x => x.getDecimal(x.fieldIndex("z")).doubleValue)
+    assert(zs.forall(z => math.abs(math.abs(z) - 1.0) < 0.35))
+    assert(zs.sliding(2).forall { case Array(x, y) => x * y < 0 })
+    assert(Backtest.pairsTrading(Trades.fromEvents(ev)).collect()
+      .toSeq == r.toSeq)
+  }
 }
