@@ -1482,6 +1482,12 @@ object SparkEntry {
     // pairs-trading spread monitor: exact-integer hedge ratio + z.
     "pairs_trading" -> ((s, dir) =>
       Backtest.pairsTrading(Trades.fromEvents(Tables.events(s, dir)))),
+    // degree assortativity of the kNN near-dup graph (global mixing).
+    "knn_assortativity" -> ((s, dir) =>
+      Similarity.knnAssortativity(Tables.embeddings(s, dir))),
+    // daily HHI of dollar volume across symbols (concentration).
+    "volume_hhi" -> ((s, dir) =>
+      Analytics.volumeHhi(Trades.fromEvents(Tables.events(s, dir)))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7695,6 +7701,62 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Similarity.knnAssortativity: symmetrized LSH edges,
+    // integer degree moment sums, IEEE sqrts over exact variances,
+    // Pearson r pinned at micro-units, truncating mean edge degree.
+    "knn_assortativity" ->
+      s"""$embLshPairsCte,
+         |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.45),
+         |ed AS (SELECT id1 AS src, id2 AS dst FROM ep
+         |       UNION ALL SELECT id2, id1 FROM ep),
+         |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM ed GROUP BY src),
+         |mo AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+         |    CAST(sum(a.deg) AS HUGEINT) AS sx,
+         |    CAST(sum(b.deg) AS HUGEINT) AS sy,
+         |    CAST(sum(a.deg * b.deg) AS HUGEINT) AS sxy,
+         |    CAST(sum(a.deg * a.deg) AS HUGEINT) AS sxx,
+         |    CAST(sum(b.deg * b.deg) AS HUGEINT) AS syy
+         |  FROM ed JOIN dg a ON a.id = ed.src
+         |    JOIN dg b ON b.id = ed.dst),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+         |SELECT nn.n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CAST(CAST((sx * 1000000) // m AS BIGINT)
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+         |    AS mean_edge_degree,
+         |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+         |    THEN CAST(CAST(round(CAST(m * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+         |      * 1000000.0, 0) AS BIGINT)
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
+         |    AS assortativity
+         |FROM mo, nn""".stripMargin,
+
+    // mirrors Analytics.volumeHhi: exact decimal dollar volumes, ppm
+    // shares pinned once per (day, symbol), integer HHI.
+    "volume_hhi" ->
+      s"""$tradesCte,
+         |dv AS (SELECT event_date AS d, symbol,
+         |    CAST(sum(CAST(price AS DECIMAL(18,8))
+         |      * CAST(size AS DECIMAL(12,6))) AS DECIMAL(38,14)) AS dv
+         |  FROM trades WHERE price > 0 GROUP BY event_date, symbol),
+         |sh AS (SELECT d,
+         |    CAST(round(CAST(dv AS DOUBLE) / CAST(sum(dv) OVER (
+         |      PARTITION BY d) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+         |      AS s6
+         |  FROM dv),
+         |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_symbols,
+         |    CAST(sum(s6 * s6) AS BIGINT) AS ss,
+         |    CAST(max(s6) AS BIGINT) AS mx
+         |  FROM sh GROUP BY d)
+         |SELECT d, n_symbols,
+         |  CAST((ss // 1000000) * CAST(0.000001 AS DECIMAL(7,6))
+         |    AS DECIMAL(10,6)) AS hhi,
+         |  CAST(mx * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
+         |    AS top_share
+         |FROM g ORDER BY d""".stripMargin,
 
     // mirrors Backtest.pairsTrading: pinned log prices, exact-integer
     // single-regressor hedge ratio (truncating //), integer spread /

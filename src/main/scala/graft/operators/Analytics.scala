@@ -1465,4 +1465,40 @@ object Analytics {
           .as("consistent_with_random"))
       .orderBy(col("symbol"))
   }
+
+
+  /** Daily market concentration: the Herfindahl–Hirschman index of
+    * dollar volume across symbols, per day — the "is flow
+    * concentrating into a few pairs?" regime monitor (HHI → 1 means
+    * one symbol takes the tape; → 1/n means even flow).
+    *
+    * Shares are pinned once per (day, symbol) as ppm integers over
+    * exact decimal dollar-volume sums (decimal→double is an
+    * exact-value cast, the division is one IEEE op); HHI and top
+    * share are then pure integer arithmetic.
+    */
+  def volumeHhi(trades: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byDay = Window.partitionBy(col("d"))
+    def micro(c: Column) =
+      (c * lit(new java.math.BigDecimal("0.000001")))
+        .cast(DecimalType(10, 6))
+    trades.filter(col("price") > 0)
+      .groupBy(col("event_date").as("d"), col("symbol"))
+      .agg(sum(col("price").cast(DecimalType(18, 8)) *
+          col("size").cast(DecimalType(12, 6)))
+        .cast(DecimalType(38, 14)).as("dv"))
+      .withColumn("tot", sum(col("dv")).over(byDay))
+      .select(col("d"),
+        round(col("dv").cast("double") / col("tot").cast("double")
+          * lit(1e6), 0).cast("long").as("s6"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_symbols"),
+        sum(col("s6") * col("s6")).as("ss"),
+        max(col("s6")).as("mx"))
+      .select(col("d"), col("n_symbols"),
+        micro(expr("ss div 1000000")).as("hhi"),
+        micro(col("mx")).as("top_share"))
+      .orderBy(col("d"))
+  }
 }

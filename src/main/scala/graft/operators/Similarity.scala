@@ -1420,4 +1420,62 @@ object Similarity {
     }
     perDim.reduce(_ unionByName _).orderBy(col("dim"))
   }
+
+
+  /** Degree assortativity of the kNN near-dup graph — the
+    * degree-mixing capstone of the graph family (pagerank/kcore/
+    * triangles/communities/bfs/link-predict all read LOCAL structure;
+    * assortativity is the one-number GLOBAL mixing pattern: r > 0 =
+    * hubs link to hubs (a dense duplicated core), r < 0 = hubs link
+    * to leaves (star-shaped near-dup clusters — the common shape when
+    * one canonical doc spawns many variants)).
+    *
+    * r is the Pearson correlation of (deg(src), deg(dst)) over the
+    * symmetrized edge list: degrees are exact integers, all five
+    * moment sums are exact (driver-held BigInt, far inside 2^53 under
+    * the LSH bucket caps), the two sqrts are IEEE exactly-rounded,
+    * and the one division is pinned at micro-units.
+    */
+  def knnAssortativity(embeddings: DataFrame): DataFrame =
+    assortativityOf(
+      cosineNearDupLsh(embeddings).select(col("id1"), col("id2")))
+
+  /** The moment computation over an undirected (id1, id2) pair list —
+    * public so callers (and specs) can drive any edge list (a star is exactly
+    * −1) without steering LSH.
+    */
+  def assortativityOf(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .toDF("src", "dst")
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val m = edges
+      .join(deg.toDF("src", "dx"), Seq("src"))
+      .join(deg.toDF("dst", "dy"), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .collect().head
+    def b(c: String) = BigInt(m.getAs[Long](c))
+    val (mm, sx, sy) = (b("m"), b("sx"), b("sy"))
+    val (vx, vy) = (mm * b("sxx") - sx * sx, mm * b("syy") - sy * sy)
+    val nNodes = deg.count()
+    val dM = DecimalType(12, 6)
+    def microLit(units: BigInt) =
+      lit(new java.math.BigDecimal(units.bigInteger, 6)).cast(dM)
+    val rCol =
+      if (vx > 0 && vy > 0)
+        microLit(BigInt(math.round((mm * b("sxy") - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)) * 1e6)))
+      else lit(null).cast(dM)
+    pairs.sparkSession.range(1).select(
+      lit(nNodes).as("n_nodes"),
+      lit((mm / 2).toLong).as("n_edges"),
+      microLit(sx * 1000000 / mm).as("mean_edge_degree"),
+      rCol.as("assortativity"))
+  }
 }

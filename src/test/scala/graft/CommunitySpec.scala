@@ -107,4 +107,54 @@ class CommunitySpec extends SparkSpec {
     // the triangle contributes nothing (every wedge closed)
     assert(!ids.exists(p => Set(5L, 6L, 7L)(p._1)))
   }
+
+
+  test("assortativityOf: a star graph is exactly -1; a regular ring " +
+      "has undefined (null) assortativity") {
+    import graft.operators.Similarity
+    // star: hub 0 to leaves 1..6
+    val star = (1L to 6L).map(i => (0L, i)).toDF("id1", "id2")
+    val r = Similarity.assortativityOf(star).collect().head
+    assert(r.getAs[Long]("n_nodes") == 7L)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getDecimal(r.fieldIndex("assortativity"))
+      .doubleValue == -1.0)
+    // ring: every degree is 2 -> zero variance -> null r
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6))
+      .toDF("id1", "id2")
+    val r2 = Similarity.assortativityOf(ring).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+    assert(r2.getDecimal(r2.fieldIndex("mean_edge_degree"))
+      .doubleValue == 2.0)
+  }
+
+  test("volumeHhi: a one-symbol day reads HHI = 1; two equal symbols " +
+      "read 0.5") {
+    import graft.operators.{Analytics, Trades}
+    var eid = 0L
+    def ev(u: Long, d: Int, px: Double) = {
+      eid += 2 // even ids -> constant size 1.0 + (eid%100)/100
+      (eid, u, "t",
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), px, "{}")
+    }
+    // day 1: only SYM_1; day 2: SYM_1 and SYM_2 with identical
+    // price and (100-aligned) size -> exactly equal dollar volume
+    val ev1 = (100L, 1L, "t",
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 10.0, "{}")
+    val ev2 = (200L, 1L, "t",
+      java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 10.0, "{}")
+    val ev3 = (300L, 2L, "t",
+      java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 10.0, "{}")
+    val df = Seq(ev1, ev2, ev3)
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = Analytics.volumeHhi(Trades.fromEvents(df)).collect()
+    val d1 = r.head
+    assert(d1.getAs[Long]("n_symbols") == 1L)
+    assert(d1.getDecimal(d1.fieldIndex("hhi")).doubleValue == 1.0)
+    assert(d1.getDecimal(d1.fieldIndex("top_share")).doubleValue == 1.0)
+    val d2 = r.last
+    assert(d2.getAs[Long]("n_symbols") == 2L)
+    assert(d2.getDecimal(d2.fieldIndex("hhi")).doubleValue == 0.5)
+    assert(d2.getDecimal(d2.fieldIndex("top_share")).doubleValue == 0.5)
+  }
 }
