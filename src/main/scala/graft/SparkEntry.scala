@@ -1488,6 +1488,9 @@ object SparkEntry {
     // daily HHI of dollar volume across symbols (concentration).
     "volume_hhi" -> ((s, dir) =>
       Analytics.volumeHhi(Trades.fromEvents(Tables.events(s, dir)))),
+    // Shannon entropy of each user's event-type mix, quarter-nat bins.
+    "user_entropy" -> ((s, dir) =>
+      Sessions.userEntropy(Tables.events(s, dir))),
     // TextRank extractive summary: weighted per-doc chunk PageRank.
     "textrank_chunks" -> ((s, dir) =>
       TextAnalysis.textrankChunks(Tables.documents(s, dir))),
@@ -7701,6 +7704,35 @@ object SparkEntry {
          |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
          |    AS log_loss
          |FROM m, w8t w""".stripMargin,
+
+    // mirrors Sessions.userEntropy: ln(c/n) pinned per (user, type),
+    // exact integer per-user entropy, truncating histogram stats.
+    "user_entropy" ->
+      """WITH tc AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |w AS (SELECT *, CAST(sum(c) OVER (PARTITION BY user_id)
+        |    AS BIGINT) AS n FROM tc),
+        |t AS (SELECT user_id, n,
+        |    c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000.0, 0) AS BIGINT) AS t6
+        |  FROM w),
+        |ue AS (SELECT user_id, (-sum(t6)) // max(n) AS h6
+        |  FROM t GROUP BY user_id),
+        |g AS (SELECT h6 // 250000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(h6) AS BIGINT) AS sh,
+        |    CAST(min(h6) AS BIGINT) AS mn,
+        |    CAST(max(h6) AS BIGINT) AS mx
+        |  FROM ue GROUP BY bin)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_users,
+        |  CAST((sh // n_users) * CAST(0.000001 AS DECIMAL(7,6))
+        |    AS DECIMAL(12,6)) AS mean_entropy,
+        |  CAST(mn * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+        |    AS min_entropy,
+        |  CAST(mx * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+        |    AS max_entropy
+        |FROM g ORDER BY bin""".stripMargin,
 
     // mirrors Similarity.knnAssortativity: symmetrized LSH edges,
     // integer degree moment sums, IEEE sqrts over exact variances,

@@ -784,4 +784,50 @@ object Sessions {
           .as("tail_alpha"))
       .orderBy(col("event_type"))
   }
+
+
+  /** Behavioral-predictability audit: Shannon entropy of each user's
+    * event-type mix (H = −Σ p·ln p, nats), rolled into a corpus
+    * histogram of quarter-nat bins — the "are users specialists or
+    * generalists?" profile that complements [[eventTransitions]]'
+    * pairwise view (a user with H ≈ 0 does one thing; H ≈ ln k uses
+    * all k types evenly).
+    *
+    * Numerics: ln(c/n) is pinned once per (user, type) at 1e-6 units
+    * (exact-integer quotient under one IEEE division), a user's
+    * entropy is the exact integer −(Σ c·lnp6) div n, and the
+    * histogram statistics are truncating integer divisions — no
+    * doubles after the pin.
+    *
+    * Scale shape: one (user, type) count agg, a user-keyed window on
+    * that (types-per-user)-bounded table, one ≤|bins| aggregation.
+    */
+  def userEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def micro(c: org.apache.spark.sql.Column) =
+      (c * lit(new java.math.BigDecimal("0.000001")))
+        .cast(DecimalType(12, 6))
+    val tc = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val ue = tc
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("user_id"))))
+      .select(col("user_id"), col("n"),
+        (col("c") * round(log(col("c").cast("double") /
+            col("n").cast("double")) * lit(1e6), 0).cast("long"))
+          .as("t6"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"), sum(col("t6")).as("s6"))
+      .select(col("user_id"), expr("(-s6) div n").as("h6"))
+    ue.groupBy(expr("h6 div 250000").as("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("h6")).as("sh"), min(col("h6")).as("mn"),
+        max(col("h6")).as("mx"))
+      .select(col("bin"), col("n_users"),
+        micro(expr("sh div n_users")).as("mean_entropy"),
+        micro(col("mn")).as("min_entropy"),
+        micro(col("mx")).as("max_entropy"))
+      .orderBy(col("bin"))
+  }
 }

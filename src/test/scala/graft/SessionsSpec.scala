@@ -362,4 +362,29 @@ class SessionsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("c_censored")).sum == 0L) // censored
     // rows (t=100, t=336) have d_conv=0 and are not emitted
   }
+
+
+  test("userEntropy: a one-type user reads exactly 0 nats; four " +
+      "equally-used types read exactly the pinned ln 4") {
+    import graft.operators.Sessions
+    var eid = 0L
+    def ev(u: Long, t: String) = {
+      eid += 1
+      (eid, u, t,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, "{}")
+    }
+    val events = ((1 to 12).map(_ => ev(1L, "click")) ++
+      Seq("a", "b", "c", "d").flatMap(t => (1 to 3).map(_ => ev(2L, t))))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val r = Sessions.userEntropy(events).collect()
+    val b0 = r.filter(_.getLong(0) == 0L).head
+    assert(b0.getAs[Long]("n_users") == 1L)
+    assert(b0.getDecimal(b0.fieldIndex("mean_entropy"))
+      .doubleValue == 0.0)
+    // H = -(4 * 3 * round(ln(1/4)*1e6)) / 12 = 1386294 micro-nats
+    val b5 = r.filter(_.getLong(0) == 5L).head
+    assert(b5.getDecimal(b5.fieldIndex("mean_entropy"))
+      .movePointRight(6).longValueExact() == 1386294L)
+    assert(Sessions.userEntropy(events).collect().toSeq == r.toSeq)
+  }
 }
