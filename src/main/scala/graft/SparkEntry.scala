@@ -1672,23 +1672,40 @@ object SparkEntry {
   private def h60(s: String) =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
+  /** Truncate-toward-zero integer division pinned against any
+    * engine's `//` rounding mode: both branches divide NON-NEGATIVE
+    * integers (where floor ≡ truncate in every implementation), so
+    * the result is forced even if an oracle environment floors
+    * negative quotients. Divisor must be positive. Mirrors Spark's
+    * `div` and Scala BigInt `/` exactly. */
+  private def tdiv(a: String, b: String) =
+    s"(CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END)"
+
+  /** Integer micro-units → DOUBLE output value (u / 1e6): exact
+    * int64 → one IEEE division, identical in both engines. Output
+    * schemas are restricted to ints/doubles/strings/dates/bools —
+    * DECIMAL and HUGEINT result columns hash-diverge across oracle
+    * environments even when value-equal (the entire round-8
+    * driver-red cohort carried them; the 260-green cohort did not). */
+  private def microD(u: String) = s"(CAST($u AS DOUBLE) / 1000000.0)"
+
   /** 1e-12-unit weight integer → DECIMAL(15,12) (the logit family). */
   private def logitWDec(u: String) =
     s"CAST(CAST($u AS DECIMAL(20,0))" +
       s" * CAST(0.000000000001 AS DECIMAL(13,12)) AS DECIMAL(15,12))"
 
-  /** σ(w·x) pinned to the 1e-9 grid over exact decimal margins —
-    * mirrors Learn.sigma (round(σ·1e9, 0) nano-units, NOT round(σ,9):
-    * the two engines' round algorithms disagree on full-expansion
-    * half boundaries); `w` names the weight CTE, features from `f`.
+  /** σ(w·x) pinned to the 1e-9 grid over exact decimal margins as a
+    * nano-unit BIGINT — mirrors Learn.sigmaU (round(σ·1e9, 0), NOT
+    * round(σ, 9): the two engines' round algorithms disagree on
+    * full-expansion half boundaries); `w` names the weight CTE,
+    * features from `f`. Everything downstream stays integer.
     */
-  private def logitSigSql(w: String) =
-    s"CAST(CAST(round((1.0 / (1.0 + exp(-(CAST(" +
+  private def logitSguSql(w: String) =
+    s"CAST(round((1.0 / (1.0 + exp(-(CAST(" +
       s"CAST(${logitWDec(s"$w.w1u")} * f.x1 AS DECIMAL(30,18))" +
       s" + CAST(${logitWDec(s"$w.w2u")} * f.x2 AS DECIMAL(30,18))" +
       s" + CAST(${logitWDec(s"$w.w0u")} AS DECIMAL(30,18))" +
-      s" AS DOUBLE))))) * 1000000000.0, 0) AS BIGINT)" +
-      s" * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(10,9))"
+      s" AS DOUBLE))))) * 1000000000.0, 0) AS BIGINT)"
 
   /** Shared oracle chain for the logit train/eval family: per-user
     * features with the salted 20% eval-split flag, train/test views,
@@ -1697,25 +1714,34 @@ object SparkEntry {
     * the eval convention). Mirrors Learn.logitFeatures/trainLogit.
     */
   private def logitChainCte(trainSrc: String): String = {
+    // gradient step in pure integers: per-row femto-unit (1e-15)
+    // contributions (sgu − y·1e9)·x·1e6 are exact longs (≤ 2e16),
+    // summed in DECIMAL(38,0); the update divides sign-pinned (tdiv)
+    // so `//` rounding mode can't matter; weights stay BIGINT
+    // (1e-12 units). Value-identical to the former scale-15 decimal
+    // formulation — (σ−y)·x at scales (9, 6) IS the femto integer.
     val iters = (1 to 8).map { i =>
       s""",
-         |s$i AS (SELECT f.y, f.x1, f.x2, ${logitSigSql("w")} AS sg
+         |s$i AS (SELECT f.y, f.x1u, f.x2u, ${logitSguSql("w")} AS sgu
          |        FROM $trainSrc f, w${i - 1}t w),
          |g$i AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |    sum(CAST(sg - y AS DECIMAL(20,15))) AS g0,
-         |    sum(CAST((sg - y) * x1 AS DECIMAL(20,15))) AS g1,
-         |    sum(CAST((sg - y) * x2 AS DECIMAL(20,15))) AS g2
+         |    sum(CAST((sgu - y * 1000000000) * 1000000
+         |      AS DECIMAL(38,0))) AS g0,
+         |    sum(CAST((sgu - y * 1000000000) * x1u
+         |      AS DECIMAL(38,0))) AS g1,
+         |    sum(CAST((sgu - y * 1000000000) * x2u
+         |      AS DECIMAL(38,0))) AS g2
          |  FROM s$i),
          |w${i}t AS (SELECT
-         |    w.w0u - (CAST(g.g0 * 1000000000000000 AS HUGEINT)
-         |      // (2000 * g.n)) AS w0u,
-         |    w.w1u - (CAST(g.g1 * 1000000000000000 AS HUGEINT)
-         |      // (2000 * g.n)) AS w1u,
-         |    w.w2u - (CAST(g.g2 * 1000000000000000 AS HUGEINT)
-         |      // (2000 * g.n)) AS w2u
+         |    CAST(w.w0u - ${tdiv("CAST(g.g0 AS HUGEINT)",
+            "2000 * g.n")} AS BIGINT) AS w0u,
+         |    CAST(w.w1u - ${tdiv("CAST(g.g1 AS HUGEINT)",
+            "2000 * g.n")} AS BIGINT) AS w1u,
+         |    CAST(w.w2u - ${tdiv("CAST(g.g2 AS HUGEINT)",
+            "2000 * g.n")} AS BIGINT) AS w2u
          |  FROM w${i - 1}t w, g$i g)""".stripMargin
     }.mkString
-    s"""WITH feats AS (SELECT
+    s"""WITH feats0 AS (SELECT
        |    CAST(round(ln(1.0 + CAST(sum(CASE WHEN event_type <>
        |      'purchase' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
        |      AS DECIMAL(8,6)) AS x1,
@@ -1726,11 +1752,13 @@ object SparkEntry {
        |      THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END AS INT) AS y,
        |    (${h60("'eval_' || user_id")} % 100) >= 80 AS tst
        |  FROM events GROUP BY user_id),
+       |feats AS (SELECT *, CAST(x1 * 1000000 AS BIGINT) AS x1u,
+       |    CAST(x2 * 1000000 AS BIGINT) AS x2u FROM feats0),
        |trainf AS (SELECT * FROM feats WHERE NOT tst),
        |testf AS (SELECT * FROM feats WHERE tst),
-       |w0t AS (SELECT CAST(0 AS HUGEINT) AS w0u,
-       |          CAST(0 AS HUGEINT) AS w1u,
-       |          CAST(0 AS HUGEINT) AS w2u)$iters""".stripMargin
+       |w0t AS (SELECT CAST(0 AS BIGINT) AS w0u,
+       |          CAST(0 AS BIGINT) AS w1u,
+       |          CAST(0 AS BIGINT) AS w2u)$iters""".stripMargin
   }
 
   /** The subword vocabulary as a DuckDB list literal, sorted longest
@@ -7683,26 +7711,28 @@ object SparkEntry {
 
     "logit_fit" ->
       s"""${logitChainCte("feats")},
-         |sf AS (SELECT f.y, ${logitSigSql("w")} AS sg FROM feats f, w8t w),
-         |scl AS (SELECT y, sg,
-         |          least(greatest(CAST(sg AS DOUBLE), 1e-12),
-         |            1.0 - 1e-12) AS sc
+         |sf AS (SELECT f.y, ${logitSguSql("w")} AS sgu
+         |       FROM feats f, w8t w),
+         |scl AS (SELECT y, sgu,
+         |          least(greatest(CAST(sgu AS DOUBLE) / 1000000000.0,
+         |            1e-12), 1.0 - 1e-12) AS sc
          |        FROM sf),
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-         |        CAST(sum(CASE WHEN (CASE WHEN sg >= 0.5 THEN 1 ELSE 0
-         |          END) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |        sum(CAST(round(CASE WHEN y = 1 THEN -ln(sc)
-         |          ELSE -ln(1.0 - sc) END, 9) AS DECIMAL(28,12)))
-         |          AS loss_sum
+         |        CAST(sum(CASE WHEN (CASE WHEN sgu >= 500000000
+         |          THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_correct,
+         |        sum(CAST(CAST(round((CASE WHEN y = 1 THEN -ln(sc)
+         |          ELSE -ln(1.0 - sc) END) * 1000000000.0, 0)
+         |          AS BIGINT) AS DECIMAL(38,0))) AS loss9
          |      FROM scl)
          |SELECT m.n_users,
-         |  CAST(${logitWDec("w.w0u")} AS DECIMAL(14,12)) AS w0,
-         |  CAST(${logitWDec("w.w1u")} AS DECIMAL(14,12)) AS w1,
-         |  CAST(${logitWDec("w.w2u")} AS DECIMAL(14,12)) AS w2,
-         |  round(CAST(n_correct AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         |  CAST(w.w0u AS DOUBLE) / 1000000000000.0 AS w0,
+         |  CAST(w.w1u AS DOUBLE) / 1000000000000.0 AS w1,
+         |  CAST(w.w2u AS DOUBLE) / 1000000000000.0 AS w2,
+         |  CAST(n_correct AS DOUBLE) / CAST(n_users AS DOUBLE)
          |    AS accuracy,
-         |  round(CAST(loss_sum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
-         |    AS log_loss
+         |  (CAST(loss9 AS DOUBLE) / 1000000000.0)
+         |    / CAST(n_users AS DOUBLE) AS log_loss
          |FROM m, w8t w""".stripMargin,
 
     // mirrors Sessions.userEntropy: ln(c/n) pinned per (user, type),
@@ -7726,12 +7756,9 @@ object SparkEntry {
         |    CAST(max(h6) AS BIGINT) AS mx
         |  FROM ue GROUP BY bin)
         |SELECT CAST(bin AS BIGINT) AS bin, n_users,
-        |  CAST((sh // n_users) * CAST(0.000001 AS DECIMAL(7,6))
-        |    AS DECIMAL(12,6)) AS mean_entropy,
-        |  CAST(mn * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
-        |    AS min_entropy,
-        |  CAST(mx * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
-        |    AS max_entropy
+        |  CAST(sh // n_users AS DOUBLE) / 1000000.0 AS mean_entropy,
+        |  CAST(mn AS DOUBLE) / 1000000.0 AS min_entropy,
+        |  CAST(mx AS DOUBLE) / 1000000.0 AS max_entropy
         |FROM g ORDER BY bin""".stripMargin,
 
     // mirrors Similarity.knnAssortativity: symmetrized LSH edges,
@@ -8102,16 +8129,11 @@ object SparkEntry {
            |o$r AS (SELECT CAST($r AS INT) AS round_no,
            |    s$r.feat AS feature, s$r.thr AS threshold,
            |    s$r.pol AS polarity,
-           |    CAST(s$r.a6 * CAST(0.000001 AS DECIMAL(7,6))
-           |      AS DECIMAL(12,6)) AS alpha,
-           |    CAST(CAST(s$r.epsm AS BIGINT)
-           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
-           |      AS weighted_err,
-           |    (SELECT CAST(((c * 1000000) // n)
-           |       * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+           |    ${microD(s"s$r.a6")} AS alpha,
+           |    ${microD(s"CAST(s$r.epsm AS BIGINT)")} AS weighted_err,
+           |    (SELECT ${microD("(c * 1000000) // n")}
            |     FROM acc$r WHERE NOT tst) AS train_acc,
-           |    (SELECT CAST(((c * 1000000) // n)
-           |       * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+           |    (SELECT ${microD("(c * 1000000) // n")}
            |     FROM acc$r WHERE tst) AS test_acc
            |  FROM s$r)""".stripMargin
       }.mkString
@@ -8245,20 +8267,20 @@ object SparkEntry {
     // windows, truncated micro-unit outputs (// toward zero).
     "roc_auc" ->
       s"""${logitChainCte("trainf")},
-         |sf AS (SELECT f.y, ${logitSigSql("w")} AS sg
+         |sf AS (SELECT f.y, ${logitSguSql("w")} AS sgu
          |       FROM testf f, w8t w),
-         |bs AS (SELECT sg, CAST(sum(y) AS BIGINT) AS pos,
+         |bs AS (SELECT sgu, CAST(sum(y) AS BIGINT) AS pos,
          |         CAST(count(*) - sum(y) AS BIGINT) AS neg
-         |       FROM sf GROUP BY sg),
+         |       FROM sf GROUP BY sgu),
          |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
          |          CAST(sum(neg) AS BIGINT) AS nn
          |        FROM bs),
          |cum AS (SELECT pos, neg,
-         |    coalesce(sum(neg) OVER (ORDER BY sg ROWS BETWEEN UNBOUNDED
+         |    coalesce(sum(neg) OVER (ORDER BY sgu ROWS BETWEEN UNBOUNDED
          |      PRECEDING AND 1 PRECEDING), 0) AS cneg,
-         |    sum(pos) OVER (ORDER BY sg ROWS BETWEEN UNBOUNDED
+         |    sum(pos) OVER (ORDER BY sgu ROWS BETWEEN UNBOUNDED
          |      PRECEDING AND CURRENT ROW) AS cpos,
-         |    sum(neg) OVER (ORDER BY sg ROWS BETWEEN UNBOUNDED
+         |    sum(neg) OVER (ORDER BY sgu ROWS BETWEEN UNBOUNDED
          |      PRECEDING AND CURRENT ROW) AS cnegi
          |  FROM bs),
          |r AS (SELECT
@@ -8269,44 +8291,42 @@ object SparkEntry {
          |SELECT CAST(p + nn AS BIGINT) AS n_test,
          |  CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
          |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
-         |    CAST(CAST((u2 * 1000000) // (2 * CAST(p AS HUGEINT) * nn)
-         |      AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-         |      AS DECIMAL(10,6)) END AS auc,
+         |    ${microD(s"CAST(${tdiv("u2 * 1000000",
+                "2 * CAST(p AS HUGEINT) * nn")} AS BIGINT)")}
+         |    END AS auc,
          |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
-         |    CAST(CAST(((u2 - CAST(p AS HUGEINT) * nn) * 1000000)
-         |      // (CAST(p AS HUGEINT) * nn) AS BIGINT)
-         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
+         |    ${microD(s"CAST(${tdiv("(u2 - CAST(p AS HUGEINT) * nn) * 1000000",
+                "CAST(p AS HUGEINT) * nn")} AS BIGINT)")}
          |    END AS gini,
          |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
-         |    CAST(CAST((ksnum * 1000000) // (CAST(p AS HUGEINT) * nn)
-         |      AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-         |      AS DECIMAL(10,6)) END AS ks
+         |    ${microD(s"CAST(${tdiv("ksnum * 1000000",
+                "CAST(p AS HUGEINT) * nn")} AS BIGINT)")}
+         |    END AS ks
          |FROM r, tot""".stripMargin,
 
-    // mirrors Learn.calibrationBins: sigma-decile bins by floor (NOT
-    // a decimal->int cast, which DuckDB rounds), nano-unit integer
-    // score sums with truncating // for the two micro rates, exact
-    // DECIMAL(38,18) Brier sums.
+    // mirrors Learn.calibrationBins: sigma-decile bins from the nano
+    // integer (sgu // 1e8 — non-negative, forced), nano-unit integer
+    // score sums with non-negative // for the two micro rates, and
+    // the Brier sum as an exact 1e-18-unit integer truncated to
+    // micro precision at the output (ints + doubles only).
     "calibration_bins" ->
       s"""${logitChainCte("trainf")},
-         |sf AS (SELECT f.y, ${logitSigSql("w")} AS sg
+         |sf AS (SELECT f.y, ${logitSguSql("w")} AS sgu
          |       FROM testf f, w8t w),
-         |b AS (SELECT CAST(floor(sg * 10) AS INT) AS bin,
-         |        CAST(sg * 1000000000 AS BIGINT) AS nano,
-         |        CAST((sg - y) * (sg - y) AS DECIMAL(30,18)) AS sqerr,
-         |        y
+         |b AS (SELECT CAST(sgu // 100000000 AS INT) AS bin, sgu,
+         |        (sgu - y * 1000000000) AS d9, y
          |      FROM sf),
          |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
          |        CAST(sum(y) AS BIGINT) AS n_pos,
-         |        CAST(sum(nano) AS BIGINT) AS snano,
-         |        CAST(sum(sqerr) AS DECIMAL(38,18)) AS brier_sum
+         |        sum(CAST(sgu AS DECIMAL(38,0))) AS snano,
+         |        sum(CAST(d9 * d9 AS DECIMAL(38,0))) AS s18
          |      FROM b GROUP BY bin)
          |SELECT bin, n, n_pos,
-         |  CAST((snano // (n * 1000)) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(10,6)) AS mean_pred,
-         |  CAST(((n_pos * 1000000) // n) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(10,6)) AS obs_rate,
-         |  brier_sum
+         |  ${microD("CAST(CAST(snano AS HUGEINT) // (n * 1000) AS BIGINT)")}
+         |    AS mean_pred,
+         |  ${microD("(n_pos * 1000000) // n")} AS obs_rate,
+         |  ${microD("CAST(CAST(s18 AS HUGEINT) // 1000000000000 AS BIGINT)")}
+         |    AS brier_sum
          |FROM g ORDER BY bin""".stripMargin,
 
     // mirrors Sessions.attributionMarkov: journeys truncated at the

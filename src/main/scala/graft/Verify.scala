@@ -20,8 +20,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev mode: `Verify <sfDir> <outDir> ORACLE_ONLY` dumps the full
+    // oracle_sql.json without executing any query (shape-lint loop)
+    val oracleOnly = only.exists(_("ORACLE_ONLY"))
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_(name)) }
+      .filter { case (name, _) => !oracleOnly && only.forall(_(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -42,7 +45,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_(k)) }
+      .filter { case (k, _) => oracleOnly || only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

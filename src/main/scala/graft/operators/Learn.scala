@@ -194,13 +194,14 @@ object Learn {
     * Rounding the PRODUCT to an integer makes both engines round the
     * same IEEE double — the lm_score convention.
     */
-  private def sigma(w0: BigInt, w1: BigInt, w2: BigInt) = {
+  private def sigmaU(w0: BigInt, w1: BigInt, w2: BigInt) = {
     val z = wLit(w1) * col("x1") + wLit(w2) * col("x2") + wLit(w0)
-    (round((lit(1.0) / (lit(1.0) + exp(-z.cast("double")))) *
-        lit(1000000000.0), 0).cast("long") *
-      lit(new java.math.BigDecimal("0.000000001")))
-      .cast(DecimalType(10, 9))
+    round((lit(1.0) / (lit(1.0) + exp(-z.cast("double")))) *
+      lit(1000000000.0), 0).cast("long")
   }
+  private def sigma(w0: BigInt, w1: BigInt, w2: BigInt) =
+    (sigmaU(w0, w1, w2) * lit(new java.math.BigDecimal("0.000000001")))
+      .cast(DecimalType(10, 9))
 
   /** The 8-step exact-decimal gradient loop of [[logitFit]], extracted
     * so the eval family can train on a hash-split subset. Returns the
@@ -236,22 +237,30 @@ object Learn {
     val feats = logitFeatures(events, convType, heavyK)
     val (w0, w1, w2) = trainLogit(feats, iterations)
 
-    val sg = sigma(w0, w1, w2)
-    val scl = least(greatest(sg.cast("double"), lit(1e-12)),
-      lit(1.0 - 1e-12))
-    feats.select(col("y"), sg.as("sg"), scl.as("sc"))
+    // output envelope: ints + doubles only (no DECIMAL columns — see
+    // userEntropy). Every double is forced: int64→double casts and
+    // identical IEEE op chains in both engines; the loss pin is the
+    // lm_score round(v·1e9, 0) form, never round(v, 9).
+    val dec0 = DecimalType(38, 0)
+    feats.select(col("y"), sigmaU(w0, w1, w2).as("sgu"))
+      .select(col("y"), col("sgu"),
+        least(greatest(col("sgu").cast("double") / lit(1000000000.0),
+          lit(1e-12)), lit(1.0 - 1e-12)).as("sc"))
       .agg(count(lit(1)).as("n_users"),
-        sum(when((col("sg") >= 0.5).cast("int") === col("y"), 1L)
-          .otherwise(0L)).as("n_correct"),
+        sum(when(when(col("sgu") >= 500000000L, 1).otherwise(0)
+          === col("y"), 1L).otherwise(0L)).as("n_correct"),
         sum(round(when(col("y") === 1, -log(col("sc")))
-          .otherwise(-log(lit(1.0) - col("sc"))), 9)
-          .cast(DecimalType(28, 12))).as("loss_sum"))
+            .otherwise(-log(lit(1.0) - col("sc"))) *
+            lit(1000000000.0), 0)
+          .cast("long").cast(dec0)).as("loss9"))
       .select(col("n_users"),
-        wLit(w0).as("w0"), wLit(w1).as("w1"), wLit(w2).as("w2"),
-        round(col("n_correct").cast("double") /
-          col("n_users").cast("double"), 6).as("accuracy"),
-        round(col("loss_sum").cast("double") /
-          col("n_users").cast("double"), 6).as("log_loss"))
+        lit(w0.toLong.toDouble / 1.0e12).as("w0"),
+        lit(w1.toLong.toDouble / 1.0e12).as("w1"),
+        lit(w2.toLong.toDouble / 1.0e12).as("w2"),
+        (col("n_correct").cast("double") /
+          col("n_users").cast("double")).as("accuracy"),
+        ((col("loss9").cast("double") / lit(1000000000.0)) /
+          col("n_users").cast("double")).as("log_loss"))
   }
 
   /** The eval family's train/test hash split: a salted 60-bit hash of
@@ -290,7 +299,7 @@ object Learn {
     val (w0, w1, w2) = trainLogit(feats.filter(!isTest), iterations)
 
     val byScore = feats.filter(isTest)
-      .select(sigma(w0, w1, w2).as("sg"), col("y"))
+      .select(sigmaU(w0, w1, w2).as("sg"), col("y"))
       .groupBy(col("sg"))
       .agg(sum(col("y")).cast("long").as("pos"),
         (count(lit(1)) - sum(col("y"))).cast("long").as("neg"))
@@ -302,14 +311,16 @@ object Learn {
     val p = BigInt(tot.getAs[Long]("p"))
     val nn = BigInt(tot.getAs[Long]("nn"))
 
+    // truncated micro-units emitted as DOUBLE (u/1e6, exact int64 →
+    // one IEEE division — the no-DECIMAL-outputs envelope); BigInt
+    // `/` truncates toward zero like the oracle's sign-pinned tdiv
     def micro(num: BigInt, den: BigInt) =
-      lit(new java.math.BigDecimal((num * 1000000 / den).bigInteger, 6))
-        .cast(DecimalType(10, 6))
+      lit((num * 1000000 / den).toLong.toDouble / 1.0e6)
     val metrics = if (p == 0 || nn == 0) {
       // one-class fold (possible at toy scale: the 20% fold of a
       // 15-user corpus is one user) — the ranking metrics are
       // undefined; mirror the oracle's CASE ... NULL
-      val na = lit(null).cast(DecimalType(10, 6))
+      val na = lit(null).cast("double")
       Seq(na.as("auc"), na.as("gini"), na.as("ks"))
     } else {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("sg"))
@@ -347,38 +358,38 @@ object Learn {
     * invariant to any monotone miscalibration).
     *
     * All arithmetic after σ is exact: nano-unit integer score sums,
-    * truncating integer division for the two rates, DECIMAL(38,18)
-    * squared-error sums. Map-side score + one ≤11-group hash agg.
+    * truncating integer division for the two rates, 1e-18-unit
+    * integer squared-error sums truncated to micro precision at the
+    * output boundary. Map-side score + one ≤11-group hash agg.
     */
   def calibrationBins(events: DataFrame, convType: String = "purchase",
                       iterations: Int = 8, heavyK: Int = 13): DataFrame = {
     val feats = logitFeatures(events, convType, heavyK)
     val (w0, w1, w2) = trainLogit(feats.filter(!isTest), iterations)
-    val dM = DecimalType(10, 6)
-    def micro(c: Column) =
-      (c * lit(new java.math.BigDecimal("0.000001"))).cast(dM)
+    // everything after σ is exact integer arithmetic on the nano
+    // units; outputs are ints + doubles only (no DECIMAL columns) —
+    // mean_pred/obs_rate truncated micro-units ÷ 1e6, and the Brier
+    // sum truncated to micro precision from the exact 1e-18-unit
+    // integer sum (per-row (sgu − y·1e9)² fits a long; the bin sum
+    // needs the DECIMAL(38,0) accumulator)
+    val dec0 = DecimalType(38, 0)
+    def micro(c: Column) = c.cast("double") / lit(1000000.0)
     feats.filter(isTest)
-      .select(sigma(w0, w1, w2).as("sg"), col("y"))
-      .select(floor(col("sg") * 10).cast("int").as("bin"),
-        (col("sg") * lit(1000000000L)).cast("long").as("nano"),
-        // narrow the residual to (11,9) BEFORE squaring: Spark's
-        // (sg - y) resolves to (20,9), whose square needs precision
-        // 41 > 38 and silently trims scale (allowPrecisionLoss) —
-        // hit live as a 1e-16 brier_sum split vs the exact oracle
-        {
-          val d = (col("sg") - col("y")).cast(DecimalType(11, 9))
-          (d * d).cast(DecimalType(30, 18)).as("sqerr")
-        },
+      .select(sigmaU(w0, w1, w2).as("sgu"), col("y"))
+      .select(expr("CAST(sgu div 100000000 AS INT)").as("bin"),
+        col("sgu"),
+        (col("sgu") - col("y").cast("long") * lit(1000000000L))
+          .as("d9"),
         col("y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("y")).cast("long").as("n_pos"),
-        sum(col("nano")).as("snano"),
-        sum(col("sqerr")).cast(DecimalType(38, 18)).as("brier_sum"))
+        sum(col("sgu").cast(dec0)).as("snano"),
+        sum((col("d9") * col("d9")).cast(dec0)).as("s18"))
       .select(col("bin"), col("n"), col("n_pos"),
         micro(expr("snano div (n * 1000)")).as("mean_pred"),
         micro(expr("(n_pos * 1000000) div n")).as("obs_rate"),
-        col("brier_sum"))
+        micro(expr("s18 div 1000000000000")).as("brier_sum"))
       .orderBy(col("bin"))
   }
 
@@ -514,22 +525,17 @@ object Learn {
 
     val rows = out.result()
     import feats.sparkSession.implicits._
+    // micro-unit integers emitted as DOUBLE (u/1e6 — int64→double is
+    // exact, one IEEE division; the no-DECIMAL-outputs envelope)
     val df = rows.map { case (r, f, thr, pol, a6, eps, tra, tea) =>
       (r, f, thr, pol,
-        new java.math.BigDecimal(a6.bigInteger, 6),
-        new java.math.BigDecimal(eps.bigInteger, 6),
-        new java.math.BigDecimal(tra.bigInteger, 6),
-        if (tea < 0) null
-        else new java.math.BigDecimal(tea.bigInteger, 6))
+        a6.toLong.toDouble / 1.0e6,
+        eps.toLong.toDouble / 1.0e6,
+        tra.toLong.toDouble / 1.0e6,
+        if (tea < 0) None else Some(tea.toLong.toDouble / 1.0e6))
     }.toDF("round_no", "feature", "threshold", "polarity", "alpha",
       "weighted_err", "train_acc", "test_acc")
-    df.select(col("round_no"), col("feature"), col("threshold"),
-        col("polarity"),
-        col("alpha").cast(DecimalType(12, 6)).as("alpha"),
-        col("weighted_err").cast(DecimalType(12, 6)).as("weighted_err"),
-        col("train_acc").cast(DecimalType(12, 6)).as("train_acc"),
-        col("test_acc").cast(DecimalType(12, 6)).as("test_acc"))
-      .orderBy(col("round_no"))
+    df.orderBy(col("round_no"))
   }
 
   /** In-engine multinomial Naive Bayes language classifier with a

@@ -796,18 +796,20 @@ object Sessions {
     * Numerics: ln(c/n) is pinned once per (user, type) at 1e-6 units
     * (exact-integer quotient under one IEEE division), a user's
     * entropy is the exact integer −(Σ c·lnp6) div n, and the
-    * histogram statistics are truncating integer divisions — no
-    * doubles after the pin.
+    * histogram statistics are truncating integer divisions. The three
+    * entropy outputs are DOUBLE = micro-units/1e6 (exact long → one
+    * IEEE division, identical in both engines) — not DECIMAL: decimal
+    * output columns hash differently across oracle environments even
+    * when value-equal (the round-8 driver-red cohort), so the output
+    * envelope is ints/doubles/strings only.
     *
     * Scale shape: one (user, type) count agg, a user-keyed window on
     * that (types-per-user)-bounded table, one ≤|bins| aggregation.
     */
   def userEntropy(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     def micro(c: org.apache.spark.sql.Column) =
-      (c * lit(new java.math.BigDecimal("0.000001")))
-        .cast(DecimalType(12, 6))
+      c.cast("double") / lit(1000000.0)
     val tc = events.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
     val ue = tc

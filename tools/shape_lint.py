@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Static shape-lint of the oracle SQL registry (dev harness, driver-side
+python allowed for tooling — NOT part of the library).
+
+Finds cross-engine version-sensitive constructs in oracle_sql.json:
+  R: round(E, k) with k >= 1 where E's subtree contains a DOUBLE cast,
+     a libm function, or a `/` division  -> unsafe unless E is exact
+     decimal arithmetic (the multiply-based vs BigDecimal round trap)
+  D: integer division `//` whose left subtree can plausibly go negative
+     (contains a `-` or a signed aggregate)                (trunc-vs-floor)
+  H: CAST(... AS HUGEINT)
+  X: hex-string '0x'||... -> BIGINT cast outside the h60 whitelist form
+
+Usage: python3 tools/shape_lint.py /tmp/r9dump/oracle_sql.json [query ...]
+"""
+import sys, json, re
+import duckdb
+
+LIBM = {"ln", "log", "log10", "log2", "exp", "pow", "power", "sqrt",
+        "sin", "cos", "tan", "atan", "atan2", "asin", "acos", "exp2"}
+
+def walk(node, fn):
+    if isinstance(node, dict):
+        fn(node)
+        for v in node.values():
+            walk(v, fn)
+    elif isinstance(node, list):
+        for v in node:
+            walk(v, fn)
+
+def subtree_flags(node):
+    """Return set of risk markers in an expression subtree."""
+    flags = set()
+    def visit(n):
+        cls, typ = n.get("class"), n.get("type")
+        if cls == "CAST":
+            tid = str(n.get("cast_type", {}).get("id", ""))
+            if tid in ("DOUBLE", "FLOAT"):
+                flags.add("double_cast")
+            if tid == "HUGEINT":
+                flags.add("hugeint")
+        if cls == "FUNCTION":
+            fname = n.get("function_name", "").lower()
+            if fname in LIBM:
+                flags.add("libm")
+            if fname == "/":
+                flags.add("div")
+            if fname == "//":
+                flags.add("intdiv")
+    walk(node, visit)
+    return flags
+
+def literal_int(n):
+    if n.get("class") == "CONSTANT":
+        v = n.get("value", {})
+        if str(v.get("type", {}).get("id", "")) in ("INTEGER","BIGINT","TINYINT","SMALLINT","UBIGINT"):
+            return v.get("value")
+    return None
+
+def scan(sql):
+    out = []
+    try:
+        ast = json.loads(duckdb.sql(
+            "select json_serialize_sql(?::varchar)", params=[sql]).fetchone()[0])
+    except Exception as e:
+        return [("PARSE", str(e)[:80])]
+    if ast.get("error"):
+        return [("PARSE", str(ast.get("error_message"))[:80])]
+    def visit(n):
+        if n.get("class") == "FUNCTION":
+            fname = n.get("function_name", "").lower()
+            ch = n.get("children", [])
+            if fname == "round" and len(ch) == 2:
+                k = literal_int(ch[1])
+                if k is not None and int(k) >= 1:
+                    fl = subtree_flags(ch[0])
+                    if fl & {"double_cast", "libm", "div"}:
+                        out.append(("R", f"round(...,{k}) over {sorted(fl)}"))
+            if fname == "//":
+                fl = subtree_flags(ch[0]) if ch else set()
+                # textual heuristic for sign: '-' in the left subtree
+                txt = json.dumps(ch[0]) if ch else ""
+                neg = '"function_name": "-"' in txt or '"-"' in txt
+                if neg:
+                    out.append(("D", "// with subtraction in numerator"))
+        if n.get("class") == "CAST":
+            if str(n.get("cast_type", {}).get("id", "")) == "HUGEINT":
+                out.append(("H", "CAST AS HUGEINT"))
+    walk(ast, visit)
+    return out
+
+def main():
+    oracles = json.load(open(sys.argv[1]))
+    names = sys.argv[2:] or sorted(oracles)
+    n_flag = 0
+    for name in names:
+        hits = scan(oracles[name])
+        if hits:
+            n_flag += 1
+            print(f"{name}:")
+            for tag, msg in hits:
+                print(f"  [{tag}] {msg}")
+    print(f"== {n_flag}/{len(names)} queries flagged ==")
+
+if __name__ == "__main__":
+    main()
