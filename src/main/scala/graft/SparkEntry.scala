@@ -5838,17 +5838,19 @@ object SparkEntry {
          |  FROM f GROUP BY b),
          |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM agg),
          |lam AS (SELECT b, CAST(round(ln(((ct + 1) * (tr + 64))
-         |      / ((cr + 1) * (tt + 64))), 9) AS DECIMAL(12,9)) AS lam
+         |      / ((cr + 1) * (tt + 64))) * 1000000000.0, 0)
+         |      AS BIGINT) AS lam9
          |  FROM agg, tot),
          |dc AS (SELECT doc_id, b, count(*) AS n FROM f
          |  WHERE source NOT IN ('src0','src1','src2','src3')
          |  GROUP BY doc_id, b),
          |w AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
-         |    CAST(sum(n * lam) AS DECIMAL(38,9)) AS logw
+         |    CAST(sum(n * lam9) AS BIGINT) AS s9
          |  FROM dc JOIN lam USING (b) GROUP BY doc_id)
-         |SELECT w.doc_id, d.source, n_feats, logw
+         |SELECT w.doc_id, d.source, n_feats,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS logw
          |FROM w JOIN documents d ON d.doc_id = w.doc_id
-         |ORDER BY logw DESC, w.doc_id LIMIT 50""".stripMargin,
+         |ORDER BY s9 DESC, w.doc_id LIMIT 50""".stripMargin,
 
     // mirrors TextAnalysis.budgetSelect: the shared quality formula,
     // a quality-ranked cumulative token spend per source, integer
@@ -6108,33 +6110,43 @@ object SparkEntry {
         |  END AS heaps_log10k
         |FROM g""".stripMargin,
 
+    // mirrors TextAnalysis.zipfFit: 1e-6-pinned log10 terms, exact
+    // integer OLS moments, sign-pinned truncating divisions, micro
+    // doubles out (the no-DECIMAL-outputs envelope).
     "zipf_fit" ->
-      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
         |freq AS (SELECT lang, t, count(*) AS f FROM toks GROUP BY 1, 2),
         |ranked AS (SELECT lang, f,
         |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, t) AS rank
         |  FROM freq),
         |terms AS (SELECT lang, f,
-        |    log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(f AS DOUBLE)) AS y
+        |    CAST(round(log10(CAST(rank AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT) AS x6,
+        |    CAST(round(log10(CAST(f AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT) AS y6
         |  FROM ranked),
-        |g AS (SELECT lang, count(*) AS n_types, sum(f) AS n_tokens,
-        |    sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
-        |    sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS sy,
-        |    sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy,
-        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx
-        |  FROM terms GROUP BY lang)
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    CAST(sum(x6) AS HUGEINT) AS sx6,
+        |    CAST(sum(y6) AS HUGEINT) AS sy6,
+        |    CAST(sum(x6 * y6) AS HUGEINT) AS sxy12,
+        |    CAST(sum(x6 * x6) AS HUGEINT) AS sxx12
+        |  FROM terms GROUP BY lang),
+        |d AS (SELECT lang, n_types, n_tokens, sx6, sy6,
+        |    n_types * sxy12 - sx6 * sy6 AS num12,
+        |    n_types * sxx12 - sx6 * sx6 AS den12
+        |  FROM g),
+        |sl AS (SELECT *, CASE WHEN den12 > 0 THEN
+        |      ${tdiv("num12 * 1000000", "den12")} END AS slope_mu
+        |  FROM d),
+        |ic AS (SELECT *, CASE WHEN slope_mu IS NOT NULL THEN
+        |      ${tdiv("sy6 * 1000000 - slope_mu * sx6",
+             "n_types * 1000000")} END AS icept_mu
+        |  FROM sl)
         |SELECT lang, n_types, n_tokens,
-        |  CASE WHEN (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        |    THEN round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |      / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-        |  END AS zipf_slope,
-        |  CASE WHEN (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        |    THEN round((CAST(sy AS DOUBLE)
-        |      - (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |        * CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 6)
-        |  END AS zipf_intercept
-        |FROM g ORDER BY lang""".stripMargin,
+        |  CAST(slope_mu AS DOUBLE) / 1000000.0 AS zipf_slope,
+        |  CAST(icept_mu AS DOUBLE) / 1000000.0 AS zipf_intercept
+        |FROM ic ORDER BY lang""".stripMargin,
 
     // oracle for Dedup.prefixSimJoin: the EXACT uncapped all-pairs
     // Jaccard — deliberately not mirroring the prefix technique, so a
@@ -7664,9 +7676,10 @@ object SparkEntry {
     // 1e-6-unit truncated betas, intercept from the SAME truncated
     // betas, third-pass integer residuals for R². All HUGEINT.
     "ols_fit" -> {
+      // 1e-8-unit integers (micro-cents) → DOUBLE dollars: exact
+      // int64 → one IEEE division, the no-DECIMAL-outputs envelope
       def usd(u: String) =
-        s"CAST(CAST($u AS DECIMAL(26,0))" +
-          s" * CAST(0.00000001 AS DECIMAL(9,8)) AS DECIMAL(24,8))"
+        s"(CAST(CAST($u AS BIGINT) AS DOUBLE) / 100000000.0)"
       s"""WITH b AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x,
          |    CAST(round(l_discount * 100, 0) AS BIGINT) AS y,
          |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS z
@@ -7689,23 +7702,24 @@ object SparkEntry {
          |    CAST(m.n AS HUGEINT)*svw - CAST(sv AS HUGEINT)*sw AS ce
          |  FROM s2, m),
          |t AS (SELECT *,
-         |    ((cd*cc - ce*cb) * 1000000) // (ca*cc - cb*cb) AS b1t,
-         |    ((ca*ce - cb*cd) * 1000000) // (ca*cc - cb*cb) AS b2t
+         |    ${tdiv("(cd*cc - ce*cb) * 1000000", "ca*cc - cb*cb")} AS b1t,
+         |    ${tdiv("(ca*ce - cb*cd) * 1000000", "ca*cc - cb*cb")} AS b2t
          |  FROM g),
-         |t2 AS (SELECT *, (CAST(sw AS HUGEINT)*1000000
-         |    - b1t*su - b2t*sv) // n AS ct FROM t),
+         |t2 AS (SELECT *, ${tdiv(
+            "CAST(sw AS HUGEINT)*1000000 - b1t*su - b2t*sv", "n")}
+         |    AS ct FROM t),
          |t3 AS (SELECT *, mz*1000000 + ct - b1t*mx - b2t*my AS b0t
          |  FROM t2),
-         |r AS (SELECT c.w - CAST((t3.b1t*c.u + t3.b2t*c.v + t3.ct)
-         |    // 1000000 AS BIGINT) AS rr FROM c, t3),
+         |r AS (SELECT c.w - CAST(${tdiv(
+            "t3.b1t*c.u + t3.b2t*c.v + t3.ct", "1000000")}
+         |    AS BIGINT) AS rr FROM c, t3),
          |s3 AS (SELECT sum(CAST(rr AS HUGEINT)*rr) AS sse FROM r)
          |SELECT CAST(t3.n AS BIGINT) AS n_rows,
          |  ${usd("b0t")} AS intercept_usd,
          |  ${usd("b1t")} AS beta_qty_usd,
          |  ${usd("b2t")} AS beta_disc_pt_usd,
-         |  round(1.0 - CAST(t3.n * sse AS DOUBLE)
-         |    / CAST(t3.n * sww - CAST(sw AS HUGEINT)*sw AS DOUBLE), 6)
-         |    AS r2
+         |  ${microD(s"CAST(1000000 - ${tdiv("t3.n * sse * 1000000",
+            "t3.n * sww - CAST(sw AS HUGEINT)*sw")} AS BIGINT)")} AS r2
          |FROM t3, s3""".stripMargin
     },
 

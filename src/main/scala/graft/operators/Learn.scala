@@ -133,22 +133,26 @@ object Learn {
 
     val sst = n * BigInt(s2.getDecimal(s2.fieldIndex("sww"))
       .toBigInteger) - sw * sw
-    def usd(units: BigInt) = // 1e-6 cent units -> dollars, scale 8
-      lit(new java.math.BigDecimal(units.bigInteger, 8))
-        .cast(DecimalType(24, 8))
-    cent
+    val sse = BigInt(cent
       .select((col("w") -
         expr(s"(${b1t}L * u + ${b2t}L * v + ${ct}L) div 1000000"))
         .as("rr"))
       .agg(sum(col("rr").cast(dec0) * col("rr")).as("sse"))
-      .select(lit(n.toLong).as("n_rows"),
-        usd(b0t).as("intercept_usd"),
-        usd(b1t).as("beta_qty_usd"),
-        usd(b2t).as("beta_disc_pt_usd"),
-        round(lit(1.0) -
-          (lit(n.toLong) * col("sse")).cast("double") /
-            lit(new java.math.BigDecimal(sst.bigInteger))
-              .cast(dec0).cast("double"), 6).as("r2"))
+      .collect().head.getDecimal(0).toBigInteger)
+    // R² truncated at micro precision in exact BigInt arithmetic
+    // (mirrors the oracle's sign-pinned tdiv), then one int→double
+    // conversion — never a round(double, 6) of a big-integer ratio.
+    // Outputs are ints + doubles only: the usd betas are exact 1e-8
+    // unit longs ÷ 1e8 (no DECIMAL columns — the driver-hash
+    // envelope; see userEntropy).
+    val r2mu = BigInt(1000000) - (n * sse * 1000000 / sst)
+    def usd(units: BigInt) = lit(units.toLong.toDouble / 1.0e8)
+    lineitem.sparkSession.range(1).select(
+      lit(n.toLong).as("n_rows"),
+      usd(b0t).as("intercept_usd"),
+      usd(b1t).as("beta_qty_usd"),
+      usd(b2t).as("beta_disc_pt_usd"),
+      lit(r2mu.toLong.toDouble / 1.0e6).as("r2"))
   }
 
   private val dW = DecimalType(14, 12)

@@ -700,37 +700,51 @@ object TextAnalysis {
     * [[langId]]'s per-document signal and `dq_benford`'s numeric one.
     *
     * Determinism: frequencies and ranks are exact (count + row_number
-    * with a total tie-break), log10 runs on identical integer inputs,
-    * and each OLS term is 12-decimal rounded and summed as DECIMAL —
-    * the slope's double arithmetic happens once, at the boundary.
+    * with a total tie-break), log10 runs on identical integer inputs
+    * and is pinned ONCE per term at 1e-6 units (round(v·1e6, 0), the
+    * lm_score form — never round(v, k) of a libm double), the OLS
+    * moments are exact integer sums (1e-6² = 1e-12-unit products),
+    * and the slope/intercept are truncating integer divisions emitted
+    * as micro-unit doubles — no decimal output columns, no double
+    * arithmetic anywhere after the pin.
     * Scale shape: one vocabulary agg, one rank window per language,
-    * one language-sized OLS agg.
+    * one language-sized OLS agg; moment magnitudes stay under 38
+    * digits through vocabularies of 1e8 types.
     */
   def zipfFit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(28, 12)
+    val dec0 = DecimalType(38, 0)
     val freq = docs
       .select(col("lang"), explode(tokensCol(col("text"))).as("t"))
       .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("f"))
     val ranked = freq.withColumn("rank", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
         .orderBy(col("f").desc, col("t"))))
-    val x = log10(col("rank").cast("double"))
-    val y = log10(col("f").cast("double"))
-    val g = ranked.groupBy(col("lang")).agg(
-      count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
-      sum(round(x, 12).cast(dec)).as("sx"),
-      sum(round(y, 12).cast(dec)).as("sy"),
-      sum(round(x * y, 12).cast(dec)).as("sxy"),
-      sum(round(x * x, 12).cast(dec)).as("sxx"))
-    val n = col("n_types").cast("double")
-    def d(c: String) = col(c).cast("double")
-    val den = n * d("sxx") - d("sx") * d("sx")
-    g.select(col("lang"), col("n_types"), col("n_tokens"),
-        when(den > 0, round((n * d("sxy") - d("sx") * d("sy")) / den, 6))
-          .as("zipf_slope"),
-        when(den > 0, round((d("sy") - (n * d("sxy") - d("sx") * d("sy"))
-          / den * d("sx")) / n, 6)).as("zipf_intercept"))
+    val x6 = round(log10(col("rank").cast("double")) *
+      lit(1000000.0), 0).cast("long")
+    val y6 = round(log10(col("f").cast("double")) *
+      lit(1000000.0), 0).cast("long")
+    ranked.select(col("lang"), col("f"), x6.as("x6"), y6.as("y6"))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
+        sum(col("x6").cast(dec0)).as("sx6"),
+        sum(col("y6").cast(dec0)).as("sy6"),
+        sum((col("x6") * col("y6")).cast(dec0)).as("sxy12"),
+        sum((col("x6") * col("x6")).cast(dec0)).as("sxx12"))
+      .selectExpr("lang", "n_types", "n_tokens",
+        "CAST(n_types AS DECIMAL(38,0)) * sxy12 - sx6 * sy6 AS num12",
+        "CAST(n_types AS DECIMAL(38,0)) * sxx12 - sx6 * sx6 AS den12",
+        "sx6", "sy6")
+      .selectExpr("lang", "n_types", "n_tokens",
+        "CASE WHEN den12 > 0 THEN (num12 * 1000000) div den12 END" +
+          " AS slope_mu", "sx6", "sy6")
+      .selectExpr("lang", "n_types", "n_tokens", "slope_mu",
+        "CASE WHEN slope_mu IS NOT NULL THEN" +
+          " (sy6 * 1000000 - slope_mu * sx6) div (n_types * 1000000)" +
+          " END AS icept_mu")
+      .selectExpr("lang", "n_types", "n_tokens",
+        "CAST(slope_mu AS DOUBLE) / 1000000.0 AS zipf_slope",
+        "CAST(icept_mu AS DOUBLE) / 1000000.0 AS zipf_intercept")
       .orderBy(col("lang"))
   }
 
@@ -2819,25 +2833,29 @@ object TextAnalysis {
       sum(when(isTgt, 0L).otherwise(1L)).as("cr"))
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)) // B-row grid: the global window is free
+    // λ pinned once per bucket at 1e-9 units (round(ln·1e9, 0), the
+    // lm_score form); a doc's log-weight is the exact integer
+    // Σ n·λ9, ordered as an integer and emitted as a nano double —
+    // no DECIMAL columns, no round(double, k>0) anywhere.
     val lam = grid
       .withColumn("tt", sum(col("ct")).over(all))
       .withColumn("tr", sum(col("cr")).over(all))
       .select(col("b"), round(log(
           ((col("ct") + 1) * (col("tr") + buckets)) /
-            ((col("cr") + 1) * (col("tt") + buckets))), 9)
-        .cast(org.apache.spark.sql.types.DecimalType(12, 9)).as("lam"))
+            ((col("cr") + 1) * (col("tt") + buckets))) *
+          lit(1000000000.0), 0).cast("long").as("lam9"))
     val rawCounts = feats.filter(!isTgt)
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
     val weights = rawCounts.join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("long").as("n_feats"),
-        sum(col("n") * col("lam"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 9)).as("logw"))
+        sum(col("n") * col("lam9")).as("s9"))
     weights
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("n_feats"), col("logw"))
-      .orderBy(col("logw").desc, col("doc_id"))
+      .orderBy(col("s9").desc, col("doc_id"))
       .limit(k)
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("logw"))
   }
 
   /** TextRank extractive summarization [Mihalcea & Tarau 2004] over
