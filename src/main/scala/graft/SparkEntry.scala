@@ -3011,18 +3011,19 @@ object SparkEntry {
         |    ORDER BY version_no) AS valid_to
         |  FROM g),
         |p AS (SELECT user_id, ts,
-        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS rev
+        |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS rev6
         |  FROM events WHERE event_type = 'purchase')
         |SELECT dim.tier, CAST(count(*) AS BIGINT) AS n_purchases,
-        |  CAST(sum(p.rev) AS DECIMAL(38,6)) AS revenue
+        |  CAST(sum(p.rev6) AS DOUBLE) / 1000000.0 AS revenue
         |FROM p JOIN dim ON p.user_id = dim.user_id
         |  AND p.ts >= dim.valid_from
         |  AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
         |GROUP BY dim.tier ORDER BY dim.tier""".stripMargin,
 
     // mirrors Sessions.cohortLtv: Monday-truncated signup cohorts,
-    // integer day-diff // 7 offsets, exact (18,6)-decimal revenue
-    // through the running cumulative, one boundary division per row.
+    // integer day-diff // 7 offsets (non-negative), exact micro-unit
+    // integer revenue through the running cumulative, truncating
+    // per-user division, micro doubles out.
     "cohort_ltv" ->
       """WITH f AS (SELECT user_id,
         |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -3034,19 +3035,21 @@ object SparkEntry {
         |      CAST(date_trunc('week', ev.ts) AS DATE)) // 7 AS BIGINT)
         |      AS week_offset,
         |    count(DISTINCT ev.user_id) AS n_active,
-        |    CAST(sum(CAST(round(ev.value, 6) AS DECIMAL(18,6)))
-        |      AS DECIMAL(38,6)) AS revenue
+        |    sum(CAST(round(ev.value * 1000000.0, 0) AS BIGINT))
+        |      AS rev6
         |  FROM events ev JOIN f USING (user_id)
         |  GROUP BY f.cohort_week, week_offset),
-        |c AS (SELECT *, CAST(sum(revenue) OVER (PARTITION BY cohort_week
+        |c AS (SELECT *, sum(rev6) OVER (PARTITION BY cohort_week
         |    ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |    CURRENT ROW) AS DECIMAL(38,6)) AS cum_revenue
+        |    CURRENT ROW) AS cum6
         |  FROM a)
         |SELECT c.cohort_week, week_offset,
-        |  CAST(n_active AS BIGINT) AS n_active, revenue, cum_revenue,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(rev6 AS DOUBLE) / 1000000.0 AS revenue,
+        |  CAST(cum6 AS DOUBLE) / 1000000.0 AS cum_revenue,
         |  CAST(cohort_size AS BIGINT) AS cohort_size,
-        |  round(CAST(cum_revenue AS DOUBLE) / CAST(cohort_size AS DOUBLE),
-        |    6) AS ltv_per_user
+        |  CAST(cum6 // cohort_size AS DOUBLE) / 1000000.0
+        |    AS ltv_per_user
         |FROM c JOIN cs USING (cohort_week)
         |ORDER BY c.cohort_week, week_offset""".stripMargin,
 
@@ -5913,7 +5916,7 @@ object SparkEntry {
     // complete-25-point centered RANGE mean, per-(type, hod) detrended
     // means, all as truncating micro-integer divisions.
     "seasonal_decompose" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
         |h2 AS (SELECT *, CAST(floor(epoch(hour_ts)) AS BIGINT) AS ts_s
@@ -5927,17 +5930,14 @@ object SparkEntry {
         |d AS (SELECT *, n * 1000000 - trend6 AS det6 FROM t),
         |s AS (SELECT *,
         |    CASE WHEN count(det6) OVER wh > 0
-        |      THEN sum(det6) OVER wh // count(det6) OVER wh END AS seas6
+        |      THEN ${tdiv("sum(det6) OVER wh", "count(det6) OVER wh")}
+        |      END AS seas6
         |  FROM d
         |  WINDOW wh AS (PARTITION BY event_type, hour(hour_ts)))
         |SELECT event_type, hour_ts, n AS n_events,
-        |  CAST(CAST(trend6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-        |    AS DECIMAL(20,6)) AS trend,
-        |  CAST(CAST(seas6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-        |    AS DECIMAL(20,6)) AS seasonal,
-        |  CAST(CAST(det6 - seas6 AS BIGINT)
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(20,6))
-        |    AS remainder
+        |  ${microD("CAST(trend6 AS BIGINT)")} AS trend,
+        |  ${microD("CAST(seas6 AS BIGINT)")} AS seasonal,
+        |  ${microD("CAST(det6 - seas6 AS BIGINT)")} AS remainder
         |FROM s WHERE trend6 IS NOT NULL
         |ORDER BY event_type, hour_ts""".stripMargin,
 
@@ -5976,25 +5976,21 @@ object SparkEntry {
          |        AS BIGINT) END AS z6
          |  FROM t)
          |SELECT segment, n_t, n_c, x_t, x_c,
-         |  CASE WHEN n_t > 0 THEN CAST(((x_t * 1000000) // n_t)
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
-         |    AS rate_t,
-         |  CASE WHEN n_c > 0 THEN CAST(((x_c * 1000000) // n_c)
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
-         |    AS rate_c,
+         |  CASE WHEN n_t > 0 THEN ${microD("(x_t * 1000000) // n_t")}
+         |    END AS rate_t,
+         |  CASE WHEN n_c > 0 THEN ${microD("(x_c * 1000000) // n_c")}
+         |    END AS rate_c,
          |  CASE WHEN n_t > 0 AND n_c > 0 THEN
-         |    CAST(((x_t * 1000000) // n_t - (x_c * 1000000) // n_c)
-         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
-         |    AS uplift,
-         |  CAST(z6 * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
-         |    AS z,
+         |    ${microD("(x_t * 1000000) // n_t - (x_c * 1000000) // n_c")}
+         |    END AS uplift,
+         |  ${microD("z6")} AS z,
          |  (z6 IS NOT NULL AND abs(z6) > 1960000) AS significant
          |FROM z ORDER BY segment""".stripMargin,
 
     // mirrors DataQuality.abTestCmh: per-user fold to (cohort-week
-    // stratum, arm, conv), per-stratum 2x2 counts, E/V as pinned
-    // double expressions rounded 12 summed as DECIMAL, chi2 at the
-    // boundary from the exact sums.
+    // stratum, arm, conv), per-stratum 2x2 counts, E/V as exact
+    // 1e-12-unit truncating integer divisions, chi2 micro-truncated
+    // over the exact integer sums, doubles out.
     "ab_test_cmh" ->
       s"""WITH per AS (SELECT user_id, min(ts) AS first_ts,
          |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -6016,22 +6012,24 @@ object SparkEntry {
          |tab AS (SELECT *, n1 + n0 AS t, (n1 + n0) - m1 AS m0
          |        FROM tab0 WHERE n1 + n0 > 1),
          |ev AS (SELECT *,
-         |    CAST(round(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
-         |      / CAST(t AS DOUBLE), 12) AS DECIMAL(28,12)) AS e,
-         |    CAST(round(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
-         |        * CAST(m1 AS DOUBLE) * CAST(m0 AS DOUBLE)
-         |      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
-         |        * (CAST(t AS DOUBLE) - 1.0)), 12) AS DECIMAL(28,12))
-         |      AS v
+         |    (CAST(n1 AS HUGEINT) * m1 * 1000000000000) // t AS e12,
+         |    (CAST(n1 AS HUGEINT) * n0 * m1 * m0 * 1000000000000)
+         |      // (t * t * (t - 1)) AS v12
          |  FROM tab),
          |tot AS (SELECT CAST(sum(a) AS BIGINT) AS sum_a,
-         |          sum(e) AS sum_e, sum(v) AS sum_v FROM ev)
-         |SELECT stratum, a, n1, n0, m1, m0, e, v,
-         |  CASE WHEN CAST(sum_v AS DOUBLE) > 0 THEN
-         |    round((CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
-         |      * (CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE))
-         |      / CAST(sum_v AS DOUBLE), 6) END AS cmh_chi2
-         |FROM ev, tot ORDER BY stratum""".stripMargin,
+         |          CAST(sum(e12) AS HUGEINT) AS se12,
+         |          CAST(sum(v12) AS HUGEINT) AS sv12 FROM ev),
+         |dd AS (SELECT *, ${tdiv(
+            "CAST(sum_a AS HUGEINT) * 1000000000000 - se12",
+            "1000000")} AS d6
+         |  FROM tot)
+         |SELECT stratum, a, n1, n0, m1, m0,
+         |  CAST(CAST(e12 AS BIGINT) AS DOUBLE) / 1e12 AS e,
+         |  CAST(CAST(v12 AS BIGINT) AS DOUBLE) / 1e12 AS v,
+         |  CASE WHEN sv12 > 0 THEN
+         |    ${microD(s"CAST(${tdiv("d6 * d6 * 1000000", "sv12")} AS BIGINT)")}
+         |    END AS cmh_chi2
+         |FROM ev, dd ORDER BY stratum""".stripMargin,
 
     // mirrors DataQuality.targetEncodeOof: cv_folds' salted user fold,
     // exact decimal value sums, OOF mean = (S-S_f)/(N-N_f) with one

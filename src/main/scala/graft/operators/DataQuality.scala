@@ -525,17 +525,18 @@ object DataQuality {
     * [[abTestZ]]'s salted user hash, so the two tests read the same
     * experiment.
     *
-    * Determinism: per-stratum E/V evaluate as ONE pinned double
-    * expression each over exact integer counts, round to 12, and sum
-    * as exact decimals (the PSI convention); the χ² forms once at the
-    * boundary from the exact sums. Scale: one per-user fold, one
-    * |strata|-row table, a 1-row totals broadcast.
+    * Determinism: per-stratum E/V are exact 1e-12-unit truncating
+    * integer divisions of integer count products (never a
+    * round(double, 12) pin), their sums exact integers, and the χ²
+    * a micro-truncated integer ratio — E/V/χ² emit as doubles from
+    * int64 units (the no-DECIMAL-outputs envelope). Scale: one
+    * per-user fold, one |strata|-row table, a 1-row totals
+    * broadcast.
     */
   def abTestCmh(events: DataFrame,
                 targetType: String = "purchase"): DataFrame = {
     import graft.functions.TextFunctions.hash60
     import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(28, 12)
     val per = events.groupBy(col("user_id")).agg(
         min(col("ts")).as("first_ts"),
         max(when(col("event_type") === targetType, 1).otherwise(0))
@@ -553,25 +554,30 @@ object DataQuality {
       .withColumn("t", col("n1") + col("n0"))
       .withColumn("m0", col("t") - col("m1"))
       .filter(col("t") > 1)
-      .withColumn("e",
-        round(col("n1").cast("double") * col("m1").cast("double") /
-          col("t").cast("double"), 12).cast(dec))
-      .withColumn("v",
-        round(col("n1").cast("double") * col("n0").cast("double") *
-          col("m1").cast("double") * col("m0").cast("double") /
-          (col("t").cast("double") * col("t").cast("double") *
-            (col("t").cast("double") - 1.0)), 12).cast(dec))
+      // E and V as exact 1e-12-unit truncating integer divisions of
+      // integer products — never round(double, 12): a 12-rounded
+      // double cast to DECIMAL re-rounds binary→decimal in
+      // engine-version territory (the round-8 driver-red construct)
+      .withColumn("e12", expr("(CAST(n1 AS DECIMAL(38,0)) * m1 " +
+        "* 1000000000000) div t"))
+      .withColumn("v12", expr("(CAST(n1 AS DECIMAL(38,0)) * n0 " +
+        "* m1 * m0 * 1000000000000) div (t * t * (t - 1))"))
     val tot = tab.agg(sum(col("a")).as("sum_a"),
-      sum(col("e")).as("sum_e"), sum(col("v")).as("sum_v"))
+      sum(col("e12").cast(DecimalType(38, 0))).as("se12"),
+      sum(col("v12").cast(DecimalType(38, 0))).as("sv12"))
     tab.crossJoin(broadcast(tot))
+      // χ² = Δ²/V truncated at micro precision over exact integers:
+      // Δ first reduced to 1e-6 units so Δ² stays within 38 digits
+      .withColumn("d6", expr(
+        "(CAST(sum_a AS DECIMAL(38,0)) * 1000000000000 - se12) " +
+          "div 1000000"))
       .select(col("stratum"), col("a"), col("n1"), col("n0"),
-        col("m1"), col("m0"), col("e"), col("v"),
-        when(col("sum_v").cast("double") > 0,
-          round((col("sum_a").cast("double") -
-              col("sum_e").cast("double")) *
-            (col("sum_a").cast("double") -
-              col("sum_e").cast("double")) /
-            col("sum_v").cast("double"), 6)).as("cmh_chi2"))
+        col("m1"), col("m0"),
+        (col("e12").cast("double") / lit(1.0e12)).as("e"),
+        (col("v12").cast("double") / lit(1.0e12)).as("v"),
+        when(col("sv12") > 0,
+          expr("(CAST(d6 AS DECIMAL(38,0)) * d6 * 1000000) div sv12")
+            .cast("double") / lit(1000000.0)).as("cmh_chi2"))
       .orderBy(col("stratum"))
   }
 
@@ -649,9 +655,7 @@ object DataQuality {
   def seasonalDecompose(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    def micro(c: Column) =
-      (c * lit(new java.math.BigDecimal("0.000001")))
-        .cast(DecimalType(20, 6))
+    def micro(c: Column) = c.cast("double") / lit(1000000.0)
     val hourly = events
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour_ts"))
@@ -717,9 +721,7 @@ object DataQuality {
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
       sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("x_t"),
       sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("x_c"))
-    def micro(c: Column) =
-      (c * lit(new java.math.BigDecimal("0.000001")))
-        .cast(DecimalType(12, 6))
+    def micro(c: Column) = c.cast("double") / lit(1000000.0)
     g.withColumn("x", col("x_t") + col("x_c"))
       .withColumn("n", col("n_t") + col("n_c"))
       .withColumn("z6",

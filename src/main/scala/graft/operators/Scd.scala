@@ -86,16 +86,21 @@ object Scd {
     val dim = build(events)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
-        // round-then-cast: the cohort_ltv money convention (a raw
-        // double->decimal cast can drift an ulp from DuckDB)
-        round(col("value"), 6).cast(DecimalType(18, 6)).as("rev"))
+        // micro-unit pin (round(v·1e6, 0), the lm_score form): both
+        // engines round the same IEEE double to an integer; revenue
+        // sums stay exact integers and the output is a double —
+        // round(v, 6)+decimal-cast pins and DECIMAL output columns
+        // are the round-8 driver-red constructs
+        round(col("value") * lit(1000000.0), 0).cast("long").as("rev6"))
     purchases.join(dim,
         purchases("user_id") === dim("user_id") &&
           purchases("ts") >= dim("valid_from") &&
           (dim("valid_to").isNull || purchases("ts") < dim("valid_to")))
       .groupBy(dim("tier"))
       .agg(count(lit(1)).as("n_purchases"),
-        sum(col("rev")).cast(DecimalType(38, 6)).as("revenue"))
+        sum(col("rev6").cast(DecimalType(38, 0))).as("s6"))
+      .select(col("tier"), col("n_purchases"),
+        (col("s6").cast("double") / lit(1000000.0)).as("revenue"))
       .orderBy(col("tier"))
   }
 }

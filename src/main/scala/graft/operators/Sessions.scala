@@ -696,11 +696,12 @@ object Sessions {
     * inactive users stay in the denominator (the defensible
     * definition; actives-only inflates late weeks).
     *
-    * Determinism: values enter on the exact (18,6)-decimal grid and
-    * every sum — including the running cumulative — stays decimal;
-    * the per-user division rounds once at the boundary. Week offsets
-    * are integer day arithmetic on Monday-truncated dates, identical
-    * across engines.
+    * Determinism: values enter as exact micro-unit integers
+    * (round(v·1e6, 0)) and every sum — including the running
+    * cumulative — stays integer; the per-user LTV is a truncating
+    * integer division and all three money outputs are micro doubles
+    * (u/1e6). Week offsets are integer day arithmetic on
+    * Monday-truncated dates, identical across engines.
     *
     * Scale shape: one user-keyed first-event agg (map-side
     * combinable), one join back, one (cohort, offset) agg, a
@@ -720,21 +721,24 @@ object Sessions {
         expr("CAST(datediff(CAST(date_trunc('week', ts) AS DATE), " +
           "cohort_week) AS BIGINT) div 7").as("week_offset"),
         col("user_id"),
-        round(col("value"), 6).cast(DecimalType(18, 6)).as("v"))
+        // micro-unit money pin (the revenueByTier convention): exact
+        // integer sums, doubles only at the output boundary
+        round(col("value") * lit(1000000.0), 0).cast("long").as("v6"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"),
-        sum(col("v")).cast(DecimalType(38, 6)).as("revenue"))
+        sum(col("v6").cast(DecimalType(38, 0))).as("rev6"))
     val run = Window.partitionBy(col("cohort_week"))
       .orderBy(col("week_offset"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     weekly
-      .withColumn("cum_revenue",
-        sum(col("revenue")).over(run).cast(DecimalType(38, 6)))
+      .withColumn("cum6", sum(col("rev6")).over(run))
       .join(broadcast(sizes), Seq("cohort_week"))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
-        col("revenue"), col("cum_revenue"), col("cohort_size"),
-        round(col("cum_revenue").cast("double") /
-          col("cohort_size").cast("double"), 6).as("ltv_per_user"))
+        (col("rev6").cast("double") / lit(1000000.0)).as("revenue"),
+        (col("cum6").cast("double") / lit(1000000.0)).as("cum_revenue"),
+        col("cohort_size"),
+        (expr("cum6 div cohort_size").cast("double") /
+          lit(1000000.0)).as("ltv_per_user"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
