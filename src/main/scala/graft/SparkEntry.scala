@@ -3251,17 +3251,19 @@ object SparkEntry {
          |           ORDER BY bar_start) AS prev
          |       FROM allc),
          |r AS (SELECT symbol, sc,
-         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS r
+         |        CAST(round(ln(close / prev) * 1000000.0, 0)
+         |          AS BIGINT) AS r6
          |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
          |rv AS (SELECT symbol, CAST(sc AS INT) AS scale_minutes,
          |         CAST(count(*) AS BIGINT) AS n_rets,
-         |         sum(CAST(r * r AS DECIMAL(38,12))) AS rv
+         |         CAST(sum(r6 * r6) AS HUGEINT) AS s12
          |       FROM r GROUP BY symbol, sc),
-         |bs AS (SELECT symbol, rv AS rv_base FROM rv
+         |bs AS (SELECT symbol, s12 AS s12b FROM rv
          |       WHERE scale_minutes = 60)
-         |SELECT rv.symbol, scale_minutes, n_rets, rv.rv,
-         |  CASE WHEN CAST(rv_base AS DOUBLE) > 0 THEN
-         |    round(CAST(rv.rv AS DOUBLE) / CAST(rv_base AS DOUBLE), 6)
+         |SELECT rv.symbol, scale_minutes, n_rets,
+         |  CAST(CAST(rv.s12 AS BIGINT) AS DOUBLE) / 1e12 AS rv,
+         |  CASE WHEN s12b > 0 THEN
+         |    ${microD("CAST((rv.s12 * 1000000) // s12b AS BIGINT)")}
          |  END AS noise_ratio
          |FROM rv JOIN bs ON bs.symbol = rv.symbol
          |ORDER BY rv.symbol, scale_minutes""".stripMargin
@@ -3293,14 +3295,15 @@ object SparkEntry {
          |          ORDER BY cnt DESC, word) AS rank
          |      FROM c)
          |SELECT symbol, CAST(rank AS INT) AS rank, word, cnt,
-         |  (cnt * 10000) // n_words AS support_bp
+         |  CAST((cnt * 10000) // n_words AS BIGINT) AS support_bp
          |FROM r WHERE rank <= 10 ORDER BY symbol, rank""".stripMargin,
 
     // mirrors Sessions.hillTailIndex (k=100): top order statistics of
-    // positive values, per-term ln pinned at the 9-grid, exact decimal
-    // sum, alpha = k / sum divided once at the boundary.
+    // positive values, per-term ln pinned at 1e-9 units (round(v·1e9,
+    // 0)), exact integer sum, alpha a truncating integer division —
+    // micro doubles out, no decimal columns.
     "tail_index" ->
-      """WITH v AS (SELECT event_type, value,
+      s"""WITH v AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC) AS rn
         |  FROM events WHERE value > 0),
@@ -3308,13 +3311,14 @@ object SparkEntry {
         |  GROUP BY event_type),
         |t AS (SELECT event_type, value AS x_k FROM v WHERE rn = 101),
         |s AS (SELECT v.event_type,
-        |    CAST(sum(CAST(round(ln(v.value / t.x_k), 9)
-        |      AS DECIMAL(12,9))) AS DECIMAL(38,9)) AS hill_sum
+        |    CAST(sum(CAST(round(ln(v.value / t.x_k) * 1000000000.0,
+        |      0) AS BIGINT)) AS BIGINT) AS s9
         |  FROM v JOIN t USING (event_type) WHERE rn <= 100
         |  GROUP BY v.event_type)
-        |SELECT s.event_type, n_pos, x_k, hill_sum,
-        |  CASE WHEN CAST(hill_sum AS DOUBLE) > 0
-        |    THEN round(100.0 / CAST(hill_sum AS DOUBLE), 6) END
+        |SELECT s.event_type, n_pos, x_k,
+        |  CAST(s9 AS DOUBLE) / 1000000000.0 AS hill_sum,
+        |  CASE WHEN s9 > 0
+        |    THEN ${microD("100000000000000000 // s9")} END
         |    AS tail_alpha
         |FROM s JOIN n USING (event_type) JOIN t USING (event_type)
         |ORDER BY s.event_type""".stripMargin,
@@ -7805,16 +7809,17 @@ object SparkEntry {
          |    AS assortativity
          |FROM mo, nn""".stripMargin,
 
-    // mirrors Analytics.volumeHhi: exact decimal dollar volumes, ppm
-    // shares pinned once per (day, symbol), integer HHI.
+    // mirrors Analytics.volumeHhi: exact micro-unit integer dollar
+    // volumes (the amihud_illiq pin), ppm shares pinned once per
+    // (day, symbol), integer HHI, micro doubles out.
     "volume_hhi" ->
       s"""$tradesCte,
          |dv AS (SELECT event_date AS d, symbol,
-         |    CAST(sum(CAST(price AS DECIMAL(18,8))
-         |      * CAST(size AS DECIMAL(12,6))) AS DECIMAL(38,14)) AS dv
+         |    sum(CAST(round(price * size * 1000000.0, 0) AS BIGINT))
+         |      AS dv6
          |  FROM trades WHERE price > 0 GROUP BY event_date, symbol),
          |sh AS (SELECT d,
-         |    CAST(round(CAST(dv AS DOUBLE) / CAST(sum(dv) OVER (
+         |    CAST(round(CAST(dv6 AS DOUBLE) / CAST(sum(dv6) OVER (
          |      PARTITION BY d) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
          |      AS s6
          |  FROM dv),
@@ -7823,10 +7828,8 @@ object SparkEntry {
          |    CAST(max(s6) AS BIGINT) AS mx
          |  FROM sh GROUP BY d)
          |SELECT d, n_symbols,
-         |  CAST((ss // 1000000) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(10,6)) AS hhi,
-         |  CAST(mx * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
-         |    AS top_share
+         |  ${microD("ss // 1000000")} AS hhi,
+         |  ${microD("mx")} AS top_share
          |FROM g ORDER BY d""".stripMargin,
 
     // mirrors Backtest.pairsTrading: pinned log prices, exact-integer
@@ -7888,8 +7891,8 @@ object SparkEntry {
       s"""$tradesCte,
          |dc AS (SELECT symbol, event_date AS d,
          |    max(CASE WHEN rn = 1 THEN price END) AS close,
-         |    CAST(sum(CAST(price AS DECIMAL(18,8))
-         |      * CAST(size AS DECIMAL(12,6))) AS DECIMAL(38,14)) AS dv
+         |    sum(CAST(round(price * size * 1000000.0, 0) AS BIGINT))
+         |      AS dv6
          |  FROM (SELECT *, row_number() OVER (PARTITION BY symbol,
          |      event_date ORDER BY event_time DESC, event_id DESC)
          |      AS rn
@@ -7897,21 +7900,20 @@ object SparkEntry {
          |  GROUP BY symbol, event_date),
          |lr AS (SELECT symbol,
          |    abs(CAST(round(ln(close / prev) * 1000000.0, 0)
-         |      AS BIGINT)) AS alr6, dv
+         |      AS BIGINT)) AS alr6, dv6
          |  FROM (SELECT *, lag(close) OVER (PARTITION BY symbol
          |      ORDER BY d) AS prev FROM dc)
-         |  WHERE prev IS NOT NULL AND dv > 0),
+         |  WHERE prev IS NOT NULL AND dv6 > 0),
          |rt AS (SELECT symbol,
-         |    CAST(round(CAST(alr6 AS DOUBLE) / CAST(dv AS DOUBLE)
+         |    CAST(round(CAST(alr6 AS DOUBLE)
+         |      / (CAST(dv6 AS DOUBLE) / 1000000.0)
          |      * 1000000.0, 0) AS BIGINT) AS ratio6
          |  FROM lr),
          |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
          |    CAST(sum(ratio6) AS HUGEINT) AS rs
          |  FROM rt GROUP BY symbol)
          |SELECT symbol, n_days,
-         |  CAST(CAST(rs // n_days AS BIGINT)
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
-         |    AS illiq
+         |  ${microD("CAST(rs // n_days AS BIGINT)")} AS illiq
          |FROM g ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.runsTest: exact integer run counts over the
@@ -7950,8 +7952,7 @@ object SparkEntry {
          |        AS BIGINT) END AS z6
          |  FROM g)
          |SELECT symbol, n, n_buy, n_sell, runs,
-         |  CAST(z6 * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(14,6))
-         |    AS z,
+         |  ${microD("z6")} AS z,
          |  (z6 IS NOT NULL AND abs(z6) <= 1960000)
          |    AS consistent_with_random
          |FROM z ORDER BY symbol""".stripMargin,

@@ -593,23 +593,28 @@ object Analytics {
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("symbol"), col("scale_minutes"))
       .orderBy(col("bar_start"))
+    // log returns pinned once at 1e-6 units (round(v·1e6, 0), never
+    // round(v, 6)+decimal-cast); realized variance is the exact
+    // 1e-12-unit integer Σ r6², the ratio a truncating integer
+    // division — outputs are doubles from int64 units only
     val rv = perScale
       .withColumn("prev", lag(col("close"), 1).over(w))
       .filter(col("prev").isNotNull && col("prev") > 0)
       .select(col("symbol"), col("scale_minutes"),
-        round(log(col("close") / col("prev")), 6)
-          .cast(DecimalType(18, 6)).as("r"))
+        round(log(col("close") / col("prev")) * lit(1000000.0), 0)
+          .cast("long").as("r6"))
       .groupBy(col("symbol"), col("scale_minutes"))
       .agg(count(lit(1)).as("n_rets"),
-        sum((col("r") * col("r")).cast(DecimalType(38, 12))).as("rv"))
+        sum((col("r6") * col("r6")).cast(DecimalType(38, 0)))
+          .as("s12"))
     val base = rv.filter(col("scale_minutes") === scales.max)
-      .select(col("symbol"), col("rv").as("rv_base"))
+      .select(col("symbol"), col("s12").as("s12b"))
     rv.join(base, Seq("symbol"))
       .select(col("symbol"), col("scale_minutes"), col("n_rets"),
-        col("rv"),
-        when(col("rv_base").cast("double") > 0,
-          round(col("rv").cast("double") /
-            col("rv_base").cast("double"), 6)).as("noise_ratio"))
+        (col("s12").cast("double") / lit(1.0e12)).as("rv"),
+        when(col("s12b") > 0,
+          expr("(s12 * 1000000) div s12b").cast("double") /
+            lit(1000000.0)).as("noise_ratio"))
       .orderBy(col("symbol"), col("scale_minutes"))
   }
 
@@ -1375,11 +1380,13 @@ object Analytics {
     *
     * Determinism: |lr6| is the one pinned ln per (symbol, day)
     * (momentum_backtest's convention, nonpositive prints excluded);
-    * dollar volume is an exact decimal sum; the per-day ratio is
-    * pinned once at 1e-12 units (exact-int / exact-decimal under one
-    * IEEE division) and the mean is a truncating integer division.
-    * The ratio is pinned at 1e6 units (a 1e12 pin overflows a long
-    * on penny-volume days: |lr6|/0.01·1e12 ≈ 1e20).
+    * dollar volume is an exact micro-unit integer sum (per-trade
+    * price·size is one IEEE product pinned at round(v·1e6, 0));
+    * the per-day ratio is pinned at 1e6 units from one forced IEEE
+    * division chain (a 1e12 pin overflows a long on penny-volume
+    * days: |lr6|/0.01·1e12 ≈ 1e20); the mean is a truncating
+    * integer division emitted as a micro double — no DECIMAL
+    * output columns.
     */
   def amihudIlliq(trades: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -1390,18 +1397,18 @@ object Analytics {
       .withColumn("rn", row_number().over(byDay))
       .groupBy(col("symbol"), col("event_date").as("d"))
       .agg(max(when(col("rn") === 1, col("price"))).as("close"),
-        sum(col("price").cast(DecimalType(18, 8)) *
-          col("size").cast(DecimalType(12, 6)))
-          .cast(DecimalType(38, 14)).as("dv"))
+        sum(round(col("price") * col("size") * lit(1000000.0), 0)
+          .cast("long").cast(DecimalType(38, 0))).as("dv6"))
     val lr = daily
       .withColumn("prev", lag(col("close"), 1).over(bySym))
-      .filter(col("prev").isNotNull && col("dv") > 0)
+      .filter(col("prev").isNotNull && col("dv6") > 0)
       .select(col("symbol"),
         abs(round(log(col("close") / col("prev")) * lit(1e6), 0)
           .cast("long")).as("alr6"),
-        col("dv"))
+        col("dv6"))
       .select(col("symbol"),
-        round(col("alr6").cast("double") / col("dv").cast("double")
+        round(col("alr6").cast("double") /
+          (col("dv6").cast("double") / lit(1000000.0))
           * lit(1e6), 0).cast("long").as("ratio6"))
     lr.groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_days"),
@@ -1409,9 +1416,8 @@ object Analytics {
         // ratios near 1e17 — a long sum could overflow
         sum(col("ratio6").cast(DecimalType(38, 0))).as("rs"))
       .select(col("symbol"), col("n_days"),
-        (expr("rs div n_days") *
-          lit(new java.math.BigDecimal("0.000001")))
-          .cast(DecimalType(18, 6)).as("illiq"))
+        (expr("rs div n_days").cast("double") / lit(1000000.0))
+          .as("illiq"))
       .orderBy(col("symbol"))
   }
 
@@ -1459,8 +1465,7 @@ object Analytics {
             lit(1e6), 0).cast("long")))
       .select(col("symbol"), col("n"), col("n_buy"), col("n_sell"),
         col("runs"),
-        (col("z6") * lit(new java.math.BigDecimal("0.000001")))
-          .cast(DecimalType(14, 6)).as("z"),
+        (col("z6").cast("double") / lit(1000000.0)).as("z"),
         (col("z6").isNotNull && abs(col("z6")) <= 1960000L)
           .as("consistent_with_random"))
       .orderBy(col("symbol"))
@@ -1473,24 +1478,23 @@ object Analytics {
     * one symbol takes the tape; → 1/n means even flow).
     *
     * Shares are pinned once per (day, symbol) as ppm integers over
-    * exact decimal dollar-volume sums (decimal→double is an
-    * exact-value cast, the division is one IEEE op); HHI and top
-    * share are then pure integer arithmetic.
+    * exact micro-unit integer dollar-volume sums (the amihudIlliq
+    * convention: per-trade price·size is one IEEE product pinned at
+    * round(v·1e6, 0) — a wide-decimal→double cast is oracle-version
+    * territory); HHI and top share are then pure integer arithmetic
+    * emitted as micro doubles.
     */
   def volumeHhi(trades: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val byDay = Window.partitionBy(col("d"))
-    def micro(c: Column) =
-      (c * lit(new java.math.BigDecimal("0.000001")))
-        .cast(DecimalType(10, 6))
+    def micro(c: Column) = c.cast("double") / lit(1000000.0)
     trades.filter(col("price") > 0)
       .groupBy(col("event_date").as("d"), col("symbol"))
-      .agg(sum(col("price").cast(DecimalType(18, 8)) *
-          col("size").cast(DecimalType(12, 6)))
-        .cast(DecimalType(38, 14)).as("dv"))
-      .withColumn("tot", sum(col("dv")).over(byDay))
+      .agg(sum(round(col("price") * col("size") * lit(1000000.0), 0)
+        .cast("long").cast(DecimalType(38, 0))).as("dv6"))
+      .withColumn("tot6", sum(col("dv6")).over(byDay))
       .select(col("d"),
-        round(col("dv").cast("double") / col("tot").cast("double")
+        round(col("dv6").cast("double") / col("tot6").cast("double")
           * lit(1e6), 0).cast("long").as("s6"))
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n_symbols"),

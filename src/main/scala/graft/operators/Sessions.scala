@@ -777,15 +777,17 @@ object Sessions {
     v.filter(col("rn") <= k)
       .join(broadcast(thresh), Seq("event_type"))
       .groupBy(col("event_type"))
-      .agg(sum(round(log(col("value") / col("x_k")), 9)
-          .cast(DecimalType(12, 9)))
-        .cast(DecimalType(38, 9)).as("hill_sum"))
+      // per-term ln pinned at 1e-9 units (round(v·1e9, 0), never
+      // round(v, 9)+decimal-cast); the k-term sum is an exact long
+      .agg(sum(round(log(col("value") / col("x_k")) *
+          lit(1000000000.0), 0).cast("long")).as("s9"))
       .join(broadcast(n), Seq("event_type"))
       .join(broadcast(thresh), Seq("event_type"))
-      .select(col("event_type"), col("n_pos"), col("x_k"), col("hill_sum"),
-        when(col("hill_sum").cast("double") > 0,
-          round(lit(k.toDouble) / col("hill_sum").cast("double"), 6))
-          .as("tail_alpha"))
+      .select(col("event_type"), col("n_pos"), col("x_k"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("hill_sum"),
+        when(col("s9") > 0,
+          expr(s"${k.toLong * 1000000000000000L}L div s9")
+            .cast("double") / lit(1000000.0)).as("tail_alpha"))
       .orderBy(col("event_type"))
   }
 
