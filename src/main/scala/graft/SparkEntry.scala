@@ -6666,27 +6666,30 @@ object SparkEntry {
 
     // mirrors Similarity.knnLinkPredict: wedges through each middle
     // vertex of the symmetric LSH edge list, 1/ln(deg) pinned per
-    // node at the 9-grid, exact decimal Adamic-Adar sums, existing
-    // edges anti-joined away, top-50 by (aa_score, ids).
+    // node at 1e-9 integer units, exact integer Adamic-Adar sums,
+    // existing edges anti-joined away, top-50 by (score, ids),
+    // nano doubles out.
     "knn_link_predict" ->
       s"""$embLshPairsCte,
          |ep AS (SELECT id1, id2 FROM p WHERE cosine >= 0.35),
          |ed AS (SELECT id1 AS src, id2 AS dst FROM ep
          |       UNION ALL SELECT id2, id1 FROM ep),
          |wt AS (SELECT src AS w, CAST(round(1.0
-         |          / ln(CAST(count(*) AS DOUBLE)), 9) AS DECIMAL(12,9))
-         |          AS aa_w
+         |          / ln(CAST(count(*) AS DOUBLE)) * 1000000000.0, 0)
+         |          AS BIGINT) AS aa9
          |       FROM ed GROUP BY src HAVING count(*) >= 2),
          |wg AS (SELECT a.src AS w, a.dst AS u, b.dst AS v
          |       FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst),
          |cd AS (SELECT u, v, count(*) AS cn,
-         |         CAST(sum(aa_w) AS DECIMAL(38,9)) AS aa_score
+         |         CAST(sum(aa9) AS BIGINT) AS s9
          |       FROM wg JOIN wt USING (w) GROUP BY u, v),
          |ne AS (SELECT cd.* FROM cd LEFT JOIN ep
          |         ON ep.id1 = cd.u AND ep.id2 = cd.v
          |       WHERE ep.id1 IS NULL)
-         |SELECT u AS id1, v AS id2, cn, aa_score FROM ne
-         |ORDER BY aa_score DESC, id1, id2 LIMIT 50""".stripMargin,
+         |SELECT u AS id1, v AS id2, cn,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS aa_score
+         |FROM ne
+         |ORDER BY s9 DESC, id1, id2 LIMIT 50""".stripMargin,
 
     // mirrors Similarity.knnCommunities: 4 unrolled synchronous
     // mode-label-propagation rounds over the same LSH edge list plus
@@ -7797,15 +7800,13 @@ object SparkEntry {
          |    JOIN dg b ON b.id = ed.dst),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
          |SELECT nn.n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
-         |  CAST(CAST((sx * 1000000) // m AS BIGINT)
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6))
+         |  ${microD("CAST((sx * 1000000) // m AS BIGINT)")}
          |    AS mean_edge_degree,
          |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-         |    THEN CAST(CAST(round(CAST(m * sxy - sx * sy AS DOUBLE)
+         |    THEN ${microD(s"""CAST(round(CAST(m * sxy - sx * sy AS DOUBLE)
          |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
          |        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
-         |      * 1000000.0, 0) AS BIGINT)
-         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) END
+         |      * 1000000.0, 0) AS BIGINT)""")} END
          |    AS assortativity
          |FROM mo, nn""".stripMargin,
 
@@ -7857,30 +7858,24 @@ object SparkEntry {
          |    CAST(sum(pa6 * pb6) AS HUGEINT) AS sab,
          |    CAST(sum(pb6 * pb6) AS HUGEINT) AS sbb
          |  FROM j),
-         |bt AS (SELECT n, ((n * sab - sa * sb) * 1000000)
-         |    // (n * sbb - sb * sb) AS b6 FROM m),
+         |bt AS (SELECT n, ${tdiv("(n * sab - sa * sb) * 1000000",
+            "n * sbb - sb * sb")} AS b6 FROM m),
          |sp AS (SELECT j.d, j.pa6, j.pb6,
-         |    j.pa6 - (bt.b6 * j.pb6) // 1000000 AS s6
+         |    j.pa6 - ${tdiv("bt.b6 * j.pb6", "1000000")} AS s6
          |  FROM j, bt),
          |st AS (SELECT CAST(sum(s6) AS HUGEINT) AS ss,
          |    CAST(sum(s6 * s6) AS HUGEINT) AS sss FROM sp),
-         |pars AS (SELECT bt.b6, m.n, st.ss // m.n AS a6,
+         |pars AS (SELECT bt.b6, m.n, ${tdiv("st.ss", "m.n")} AS a6,
          |    CAST(round(sqrt(CAST(m.n * st.sss - st.ss * st.ss
          |      AS DOUBLE)) / CAST(m.n AS DOUBLE), 0) AS BIGINT) AS sd6
          |  FROM bt, m, st)
          |SELECT sp.d,
-         |  CAST(CAST(sp.pa6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(14,6)) AS log_price_a,
-         |  CAST(CAST(sp.pb6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(14,6)) AS log_price_b,
-         |  CAST(CAST(sp.s6 - pars.a6 AS BIGINT)
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(14,6))
-         |    AS spread,
-         |  CAST(CAST(((sp.s6 - pars.a6) * 1000000) // pars.sd6
-         |    AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(12,6)) AS z,
-         |  CAST(CAST(pars.b6 AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(12,6)) AS beta,
+         |  ${microD("CAST(sp.pa6 AS BIGINT)")} AS log_price_a,
+         |  ${microD("CAST(sp.pb6 AS BIGINT)")} AS log_price_b,
+         |  ${microD("CAST(sp.s6 - pars.a6 AS BIGINT)")} AS spread,
+         |  ${microD(s"CAST(${tdiv("(sp.s6 - pars.a6) * 1000000",
+            "pars.sd6")} AS BIGINT)")} AS z,
+         |  ${microD("CAST(pars.b6 AS BIGINT)")} AS beta,
          |  CAST(pars.n AS BIGINT) AS n_days
          |FROM sp, pars ORDER BY sp.d""".stripMargin,
 
@@ -7985,12 +7980,10 @@ object SparkEntry {
            |  LEFT JOIN h$d USING (query_id)),
            |o$d AS (SELECT CAST($d AS INT) AS dim,
            |    CAST(count(*) AS BIGINT) AS n_queries,
-           |    CAST(((sum(hits) * 1000000) // (count(*) * 10))
-           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
-           |      AS mean_recall,
-           |    CAST(((min(hits) * 1000000) // 10)
-           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
-           |      AS min_recall
+           |    CAST(CAST((sum(hits) * 1000000) // (count(*) * 10)
+           |      AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_recall,
+           |    CAST(CAST((min(hits) * 1000000) // 10 AS BIGINT)
+           |      AS DOUBLE) / 1000000.0 AS min_recall
            |  FROM p$d)""".stripMargin
       }.mkString
       s"""$embCte,
@@ -8071,18 +8064,14 @@ object SparkEntry {
          |    CAST(sum(lr6) AS BIGINT) AS bench_sum6
          |  FROM rk GROUP BY d),
          |f AS (SELECT d, n_candidates, n_held,
-         |    port_sum6 // n_held AS port6,
-         |    bench_sum6 // n_candidates AS bench6
+         |    ${tdiv("port_sum6", "n_held")} AS port6,
+         |    ${tdiv("bench_sum6", "n_candidates")} AS bench6
          |  FROM daily)
          |SELECT d, n_candidates, n_held,
-         |  CAST(port6 * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(16,6)) AS port_logret,
-         |  CAST(sum(port6) OVER wc * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(16,6)) AS cum_logret,
-         |  CAST(bench6 * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(16,6)) AS bench_logret,
-         |  CAST(sum(bench6) OVER wc * CAST(0.000001 AS DECIMAL(7,6))
-         |    AS DECIMAL(16,6)) AS cum_bench
+         |  ${microD("port6")} AS port_logret,
+         |  ${microD("CAST(sum(port6) OVER wc AS BIGINT)")} AS cum_logret,
+         |  ${microD("bench6")} AS bench_logret,
+         |  ${microD("CAST(sum(bench6) OVER wc AS BIGINT)")} AS cum_bench
          |FROM f
          |WINDOW wc AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
          |  AND CURRENT ROW)

@@ -115,18 +115,18 @@ object Backtest {
       math.sqrt((n * sss - ss * ss).toDouble) / n.toDouble))
     require(sd6 > 0, "degenerate pair: zero spread variance")
 
-    import org.apache.spark.sql.types.DecimalType
-    def micro(c: org.apache.spark.sql.Column, t: DecimalType) =
-      (c * lit(new java.math.BigDecimal("0.000001"))).cast(t)
+    // micro-unit integers emitted as DOUBLE (u/1e6) — the
+    // no-DECIMAL-outputs envelope
+    def micro(c: org.apache.spark.sql.Column) =
+      c.cast("double") / lit(1000000.0)
     withS
       .select(col("d"),
-        micro(col("pa6"), DecimalType(14, 6)).as("log_price_a"),
-        micro(col("pb6"), DecimalType(14, 6)).as("log_price_b"),
-        micro(col("s6") - lit(a6.toLong), DecimalType(14, 6))
-          .as("spread"),
-        micro(expr(s"((s6 - ${a6.toLong}L) * 1000000) div ${sd6.toLong}L"),
-          DecimalType(12, 6)).as("z"),
-        micro(lit(b6.toLong), DecimalType(12, 6)).as("beta"),
+        micro(col("pa6")).as("log_price_a"),
+        micro(col("pb6")).as("log_price_b"),
+        micro(col("s6") - lit(a6.toLong)).as("spread"),
+        micro(expr(s"((s6 - ${a6.toLong}L) * 1000000) div ${sd6.toLong}L"))
+          .as("z"),
+        micro(lit(b6.toLong)).as("beta"),
         lit(n.toLong).as("n_days"))
       .orderBy(col("d"))
   }
@@ -156,8 +156,7 @@ object Backtest {
         .as("port_sum6"),
       sum(col("lr6")).as("bench_sum6"))
     def micro(c: org.apache.spark.sql.Column) =
-      (c * lit(new java.math.BigDecimal("0.000001")))
-        .cast(DecimalType(16, 6))
+      c.cast("double") / lit(1000000.0)
     val byDate = Window.orderBy(col("d"))
       .rowsBetween(Long.MinValue, 0)
     daily

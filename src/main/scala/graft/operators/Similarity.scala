@@ -1351,21 +1351,23 @@ object Similarity {
     val wgt = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2) // a deg-1 node centers no wedge
       .select(col("src").as("w"),
-        round(lit(1.0) / log(col("deg").cast("double")), 9)
-          .cast(DecimalType(12, 9)).as("aa_w"))
+        // 1/ln(deg) pinned at 1e-9 units (round(v*1e9, 0) - the
+        // lm_score form, never round(v, 9) + decimal cast)
+        round(lit(1.0) / log(col("deg").cast("double")) *
+          lit(1000000000.0), 0).cast("long").as("aa9"))
     val wedges = edges.select(col("src").as("w"), col("dst").as("u"))
       .join(edges.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
     wedges.join(wgt, Seq("w"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"),
-        sum(col("aa_w")).cast(DecimalType(38, 9)).as("aa_score"))
+        sum(col("aa9")).cast(DecimalType(38, 0)).as("s9"))
       .join(pairs.select(col("id1").as("u"), col("id2").as("v")),
         Seq("u", "v"), "left_anti")
-      .select(col("u").as("id1"), col("v").as("id2"), col("cn"),
-        col("aa_score"))
-      .orderBy(col("aa_score").desc, col("id1"), col("id2"))
+      .orderBy(col("s9").desc, col("u"), col("v"))
       .limit(topK)
+      .select(col("u").as("id1"), col("v").as("id2"), col("cn"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("aa_score"))
   }
 
 
@@ -1391,9 +1393,7 @@ object Similarity {
       .localCheckpoint(false)
     val qids = truth.select(col("query_id")).distinct()
     val n = normed(embeddings)
-    def micro(c: Column) =
-      (c * lit(new java.math.BigDecimal("0.000001")))
-        .cast(DecimalType(10, 6))
+    def micro(c: Column) = c.cast("double") / lit(1000000.0)
     val perDim = dims.map { d =>
       val nd = n.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("v"))
         .withColumn("nrm", vecNorm(col("v")))
@@ -1464,14 +1464,15 @@ object Similarity {
     val (mm, sx, sy) = (b("m"), b("sx"), b("sy"))
     val (vx, vy) = (mm * b("sxx") - sx * sx, mm * b("syy") - sy * sy)
     val nNodes = deg.count()
-    val dM = DecimalType(12, 6)
+    // micro-unit integers emitted as DOUBLE (u/1e6) - the
+    // no-DECIMAL-outputs envelope
     def microLit(units: BigInt) =
-      lit(new java.math.BigDecimal(units.bigInteger, 6)).cast(dM)
+      lit(units.toLong.toDouble / 1.0e6)
     val rCol =
       if (vx > 0 && vy > 0)
         microLit(BigInt(math.round((mm * b("sxy") - sx * sy).toDouble /
           (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)) * 1e6)))
-      else lit(null).cast(dM)
+      else lit(null).cast("double")
     pairs.sparkSession.range(1).select(
       lit(nNodes).as("n_nodes"),
       lit((mm / 2).toLong).as("n_edges"),
