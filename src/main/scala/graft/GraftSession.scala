@@ -29,7 +29,7 @@ object GraftSession {
       // enough that a 1000-executor cluster keeps every core busy
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       // the generated-class cache defaults to 100 entries; a workload
-      // with hundreds of distinct plans (this registry: 253) thrashes
+      // with hundreds of distinct plans (this registry) thrashes
       // it and pays Janino recompiles mid-run — measured as the
       // lm_score_bigram / dedup_edit_distance bench spread
       // (SCALING.md). Static conf: must be set before the session.

@@ -3171,7 +3171,7 @@ object SparkEntry {
          |       WHERE symbol IN (${(1 to 8).map(i => s"'SYM_$i'").mkString(", ")})),
          |r AS (SELECT symbol, bar_start,
          |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
-         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |g AS (SELECT a.symbol AS s1, b.symbol AS s2, count(*) AS n_bars,
          |        sum(a.ret) AS sx, sum(b.ret) AS sy,
          |        sum(CAST(a.ret * b.ret AS DECIMAL(38,12))) AS sxy,
@@ -3205,7 +3205,7 @@ object SparkEntry {
          |       FROM bars),
          |r AS (SELECT symbol, bar_start,
          |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
-         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |mkt AS (SELECT bar_start,
          |          CAST(round(CAST(sum(ret) AS DOUBLE)
          |            / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mret
@@ -3253,7 +3253,7 @@ object SparkEntry {
          |r AS (SELECT symbol, sc,
          |        CAST(round(ln(close / prev) * 1000000.0, 0)
          |          AS BIGINT) AS r6
-         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |rv AS (SELECT symbol, CAST(sc AS INT) AS scale_minutes,
          |         CAST(count(*) AS BIGINT) AS n_rets,
          |         CAST(sum(r6 * r6) AS HUGEINT) AS s12
@@ -3335,7 +3335,7 @@ object SparkEntry {
          |       FROM bars),
          |r0 AS (SELECT symbol, bar_start,
          |         CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS r
-         |       FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |       FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |r AS (SELECT symbol, row_number() OVER (PARTITION BY symbol
          |         ORDER BY bar_start) AS rn, r
          |      FROM r0),
@@ -3445,7 +3445,7 @@ object SparkEntry {
          |       FROM bars),
          |r AS (SELECT symbol, epoch_us(bar_start) AS u,
          |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
-         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |mkt AS (SELECT u AS mu,
          |          CAST(round(CAST(sum(ret) AS DOUBLE)
          |            / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6))
@@ -5015,7 +5015,9 @@ object SparkEntry {
          |      FROM r)
          |SELECT symbol, bar_start, close, median_close,
          |  CAST(n_in_window AS INT) AS n_in_window,
-         |  abs(close - median_close) / median_close > 0.05 AS spiked
+         |  CASE WHEN median_close > 0
+         |    THEN abs(close - median_close) / median_close > 0.05
+         |  END AS spiked
          |FROM m ORDER BY symbol, bar_start""".stripMargin,
 
     // mirrors Analytics.theilSenTrend: banded equi-join via exploded
@@ -5194,7 +5196,7 @@ object SparkEntry {
          |       FROM bars),
          |r AS (SELECT symbol, bar_start,
          |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
-         |      FROM rr WHERE prev IS NOT NULL AND prev > 0),
+         |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |st0 AS (SELECT symbol, count(*) AS n, sum(ret) AS s,
          |          sum(CAST(ret * ret AS DECIMAL(38,12))) AS s2
          |        FROM r GROUP BY symbol),
@@ -6000,7 +6002,8 @@ object SparkEntry {
          |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
          |          AS conv
          |      FROM events GROUP BY user_id),
-         |ua AS (SELECT date_trunc('week', first_ts) AS stratum, conv,
+         |ua AS (SELECT CAST(date_trunc('week', first_ts) AS DATE)
+         |         AS stratum, conv,
          |         CAST(${h60("'ab_' || user_id")} % 2 AS BIGINT) AS arm
          |       FROM per),
          |tab0 AS (SELECT stratum,
@@ -7161,15 +7164,20 @@ object SparkEntry {
          |        CAST(sum(cb) AS BIGINT) AS nb FROM d)
          |SELECT 'purchase' AS type_a, '$other' AS type_b,
          |  na AS n_a, nb AS n_b,
-         |  (SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
-         |     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) FROM c)
-         |     AS ks_stat,
-         |  1.358 * sqrt(CAST(na + nb AS DOUBLE)
-         |    / CAST(na * nb AS DOUBLE)) AS ks_crit,
-         |  (SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
-         |     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) FROM c)
-         |   > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
-         |     / CAST(na * nb AS DOUBLE)) AS rejected
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    (SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+         |       - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) FROM c)
+         |  END AS ks_stat,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    1.358 * sqrt(CAST(na + nb AS DOUBLE)
+         |      / CAST(na * nb AS DOUBLE))
+         |  END AS ks_crit,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    (SELECT max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+         |       - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) FROM c)
+         |     > 1.358 * sqrt(CAST(na + nb AS DOUBLE)
+         |       / CAST(na * nb AS DOUBLE))
+         |  END AS rejected
          |FROM t)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY type_b"),
 
@@ -8027,8 +8035,7 @@ object SparkEntry {
         |  FROM sc)
         |SELECT part_id, CAST(rank AS INT) AS rank, other_part,
         |  cab AS n_co,
-        |  CAST(cos6 * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(10,6))
-        |    AS cosine
+        |  CAST(cos6 AS DOUBLE) / 1000000.0 AS cosine
         |FROM rk WHERE rank <= 5
         |ORDER BY part_id, rank""".stripMargin,
 
@@ -8659,7 +8666,7 @@ object SparkEntry {
          |ri AS (SELECT symbol,
          |    CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS x,
          |    row_number() OVER (PARTITION BY symbol ORDER BY bar_start) AS idx
-         |  FROM pr WHERE prev IS NOT NULL AND prev > 0),
+         |  FROM pr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |p AS (SELECT a.symbol, g.l AS lag, a.x AS x, b.x AS y
          |      FROM ri a
          |      CROSS JOIN generate_series(1, 5) AS g(l)
@@ -8743,7 +8750,8 @@ object SparkEntry {
          |merged AS (SELECT r, c, sum(cnt) AS cnt_merged FROM daily GROUP BY 1, 2),
          |fullsk AS (SELECT r, c, count(*) AS cnt FROM pos GROUP BY 1, 2),
          |tot AS (SELECT count(*) AS n_total FROM occ)
-         |SELECT r AS row, count(*) AS n_cells, sum(f.cnt) AS l1,
+         |SELECT r AS row, count(*) AS n_cells,
+         |  CAST(sum(f.cnt) AS BIGINT) AS l1,
          |  sum(f.cnt) = max(n_total) AS l1_ok,
          |  bool_and(coalesce(f.cnt, 0) = coalesce(m.cnt_merged, 0)) AS merge_consistent
          |FROM fullsk f FULL JOIN merged m USING (r, c), tot

@@ -388,7 +388,8 @@ object Analytics {
     val r = bars.filter(col("symbol").isin(symbols: _*))
       .select(col("symbol"), col("bar_start"), col("close"))
       .withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"), col("bar_start"),
         round(log(col("close") / col("prev")), 6)
           .cast(DecimalType(18, 6)).as("ret"))
@@ -431,7 +432,8 @@ object Analytics {
     val r = bars
       .select(col("symbol"), col("bar_start"), col("close"))
       .withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"), col("bar_start"),
         round(log(col("close") / col("prev")), 6)
           .cast(DecimalType(18, 6)).as("ret"))
@@ -478,7 +480,8 @@ object Analytics {
     val r = bars
       .select(col("symbol"), col("bar_start"), col("close"))
       .withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"), unix_micros(col("bar_start")).as("u"),
         round(log(col("close") / col("prev")), 6)
           .cast(DecimalType(18, 6)).as("ret"))
@@ -599,7 +602,8 @@ object Analytics {
     // division — outputs are doubles from int64 units only
     val rv = perScale
       .withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"), col("scale_minutes"),
         round(log(col("close") / col("prev")) * lit(1000000.0), 0)
           .cast("long").as("r6"))
@@ -688,12 +692,18 @@ object Analytics {
     */
   def hurstExponent(bars: DataFrame,
                     sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    // the x-axis below is the EXACT integer log2 of each size; a
+    // non-power-of-2 size would silently round to a wrong exponent
+    // and skew the OLS slope
+    require(sizes.nonEmpty && sizes.forall(s => s > 1 &&
+      (s & (s - 1)) == 0), s"sizes must be powers of two > 1: $sizes")
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(28, 12)
     val wSym = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
     val rets = bars.select(col("symbol"), col("bar_start"), col("close"))
       .withColumn("prev", lag(col("close"), 1).over(wSym))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"),
         row_number().over(wSym.orderBy(col("bar_start"))).as("rn"),
         round(log(col("close") / col("prev")), 6)
@@ -1001,7 +1011,8 @@ object Analytics {
     val r = bars
       .select(col("symbol"), col("bar_start"), col("close"))
       .withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"),
         round(log(col("close") / col("prev")), 6)
           .cast(DecimalType(18, 6)).as("x"),
@@ -1261,7 +1272,8 @@ object Analytics {
     val r = bars
       .select(col("symbol"), col("bar_start"), col("close"))
       .withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") > 0)
+      .filter(col("prev").isNotNull && col("prev") > 0 &&
+        col("close") > 0)
       .select(col("symbol"), col("bar_start"),
         round(log(col("close") / col("prev")), 6)
           .cast(DecimalType(18, 6)).as("ret"))
@@ -1319,9 +1331,12 @@ object Analytics {
             element_at(arr, (n / 2).cast("int") + 1)) / lit(2.0))
           .as("median_close"),
         n.as("n_in_window"))
+      // a window of nonpositive closes (a literal 0.0 print exists in
+      // the corpus) must read NULL, not an Infinity/NaN comparison
       .withColumn("spiked",
-        abs(col("close") - col("median_close")) / col("median_close")
-          > threshold)
+        when(col("median_close") > 0,
+          abs(col("close") - col("median_close")) / col("median_close")
+            > threshold))
       .orderBy(col("symbol"), col("bar_start"))
   }
 

@@ -445,11 +445,16 @@ object DataQuality {
         col("cum_b").cast("double") / col("nb").cast("double")))
         .as("gap"), col("na"), col("nb"))
       .groupBy(col("na"), col("nb"))
-      .agg(max(col("gap")).as("ks_stat"))
+      .agg(max(col("gap")).as("gap_max"))
+      // a one-sided pool (na or nb = 0) has no defined KS statistic:
+      // emit NULLs, never the NaN/Infinity the raw CDF division yields
       .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
-        col("na").as("n_a"), col("nb").as("n_b"), col("ks_stat"),
-        (lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
-          (col("na") * col("nb")).cast("double"))).as("ks_crit"))
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0, col("gap_max"))
+          .as("ks_stat"),
+        when(col("na") > 0 && col("nb") > 0,
+          lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+            (col("na") * col("nb")).cast("double"))).as("ks_crit"))
       .withColumn("rejected", col("ks_stat") > col("ks_crit"))
   }
 
@@ -541,7 +546,11 @@ object DataQuality {
         min(col("ts")).as("first_ts"),
         max(when(col("event_type") === targetType, 1).otherwise(0))
           .as("conv"))
-      .select(date_trunc("week", col("first_ts")).as("stratum"),
+      // week bucket pinned to DATE: DuckDB's date_trunc return type
+      // (TIMESTAMP vs DATE) moved across versions, so an unpinned
+      // stratum column is an engine-version output type
+      .select(date_trunc("week", col("first_ts")).cast("date")
+          .as("stratum"),
         col("conv"),
         pmod(hash60(concat(lit("ab_"), col("user_id"))), lit(2L))
           .as("arm"))

@@ -813,9 +813,17 @@ object Relational {
       .distinct()
       .localCheckpoint(false)
     val pop = basket.groupBy(col("p")).agg(count(lit(1)).as("c"))
-    val pairs = basket.toDF("o", "pa")
-      .join(basket.toDF("o", "pb"), Seq("o"))
-      .filter(col("pa") < col("pb"))
+    // pairs expand IN-ROW from the collected basket (sorted, so
+    // pa < pb by construction) instead of a basket self-join: one
+    // shuffle fewer, and the fan-out stays bounded by the basket
+    // size (TPC-H: ≤ 7 parts → ≤ 21 pairs per order)
+    val pairs = basket.groupBy(col("o"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr("flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), " +
+        "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
     val sym = pairs
       .select(col("pa").as("part_id"), col("pb").as("other_part"),
@@ -834,8 +842,7 @@ object Relational {
       .filter(col("rank") <= topK)
       .select(col("part_id"), col("rank"), col("other_part"),
         col("cab").as("n_co"),
-        (col("cos6") * lit(new java.math.BigDecimal("0.000001")))
-          .cast(DecimalType(10, 6)).as("cosine"))
+        (col("cos6").cast("double") / lit(1000000.0)).as("cosine"))
       .orderBy(col("part_id"), col("rank"))
   }
 }

@@ -310,10 +310,8 @@ class AnalyticsSpec extends SparkSpec {
     }.toDS.toDF
     val r = Analytics.volSignature(trades, scales = Seq(1, 2)).collect()
     val byScale = r.map(x => x.getAs[Int]("scale_minutes") -> x).toMap
-    assert(byScale(1).getDecimal(
-      byScale(1).fieldIndex("rv")).doubleValue > 0)
-    assert(byScale(2).getDecimal(
-      byScale(2).fieldIndex("rv")).doubleValue == 0.0)
+    assert(byScale(1).getAs[Double]("rv") > 0)
+    assert(byScale(2).getAs[Double]("rv") == 0.0)
     // base scale (max = 2) has zero RV -> ratio guarded to NULL
     assert(r.forall(_.isNullAt(r.head.fieldIndex("noise_ratio"))))
     assert(byScale(1).getAs[Long]("n_rets") == 59L)

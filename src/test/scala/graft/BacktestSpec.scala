@@ -37,17 +37,17 @@ class BacktestSpec extends SparkSpec {
     r.foreach { row =>
       assert(row.getAs[Long]("n_candidates") == 3L)
       assert(row.getAs[Long]("n_held") == 1L)
-      // topK=1 holds WIN, whose daily log return is exactly ln 2
-      val p = row.getDecimal(row.fieldIndex("port_logret"))
-        .movePointRight(6).longValueExact()
+      // topK=1 holds WIN, whose daily log return is exactly ln 2;
+      // outputs are micro-doubles (n/1e6), so ×1e6+round recovers
+      // the underlying integer units exactly
+      val p = math.round(row.getAs[Double]("port_logret") * 1e6)
       assert(p == ln2micro)
       cum += p
-      val c = row.getDecimal(row.fieldIndex("cum_logret"))
-        .movePointRight(6).longValueExact()
+      val c = math.round(row.getAs[Double]("cum_logret") * 1e6)
       assert(BigInt(c) == cum)
       // the benchmark (equal-weight all three) is strictly worse
-      assert(row.getDecimal(row.fieldIndex("bench_logret"))
-        .compareTo(row.getDecimal(row.fieldIndex("port_logret"))) < 0)
+      assert(row.getAs[Double]("bench_logret") <
+        row.getAs[Double]("port_logret"))
     }
     assert(Backtest.momentum(Trades.fromEvents(events(12)), topK = 1)
       .collect().toSeq == r.toSeq)
@@ -72,8 +72,7 @@ class BacktestSpec extends SparkSpec {
     assert(last.getAs[java.sql.Date]("d").toString == "2024-01-12")
     // the crash day's portfolio return is the crash itself: the
     // selection could not see it coming
-    assert(last.getDecimal(last.fieldIndex("port_logret"))
-      .doubleValue < -4.0)
+    assert(last.getAs[Double]("port_logret") < -4.0)
   }
 
 
@@ -96,7 +95,7 @@ class BacktestSpec extends SparkSpec {
     val r = Analytics.runsTest(Trades.fromEvents(ev)).collect()
     val s1 = r.filter(_.getString(0) == "SYM_1").head
     assert(s1.getAs[Long]("runs") == 40L) // every step is a new run
-    assert(s1.getDecimal(s1.fieldIndex("z")).doubleValue > 1.96)
+    assert(s1.getAs[Double]("z") > 1.96)
     assert(!s1.getAs[Boolean]("consistent_with_random"))
     val s2 = r.filter(_.getString(0) == "SYM_2").head
     assert(s2.getAs[Long]("n_sell") == 0L)
@@ -123,8 +122,7 @@ class BacktestSpec extends SparkSpec {
     val df = rows.toDF("event_id", "user_id", "event_type", "ts",
       "value", "props")
     val r = Analytics.amihudIlliq(Trades.fromEvents(df)).collect()
-      .map(x => x.getString(0) ->
-        x.getDecimal(x.fieldIndex("illiq")).doubleValue).toMap
+      .map(x => x.getString(0) -> x.getAs[Double]("illiq")).toMap
     assert(r("SYM_1") > 0 && r("SYM_2") > 0)
     val ratio = r("SYM_1") / r("SYM_2")
     assert(ratio > 8.0 && ratio < 12.0) // sizes differ slightly by id
@@ -148,11 +146,11 @@ class BacktestSpec extends SparkSpec {
     }.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
     val r = Backtest.pairsTrading(Trades.fromEvents(ev)).collect()
     assert(r.length == 12)
-    val beta = r.head.getDecimal(r.head.fieldIndex("beta")).doubleValue
+    val beta = r.head.getAs[Double]("beta")
     assert(beta > 1.9 && beta < 2.1)
     assert(r.head.getAs[Long]("n_days") == 12L)
     // the wobble is the whole spread: z alternates sign ~unit size
-    val zs = r.map(x => x.getDecimal(x.fieldIndex("z")).doubleValue)
+    val zs = r.map(_.getAs[Double]("z"))
     assert(zs.forall(z => math.abs(math.abs(z) - 1.0) < 0.35))
     assert(zs.sliding(2).forall { case Array(x, y) => x * y < 0 })
     assert(Backtest.pairsTrading(Trades.fromEvents(ev)).collect()

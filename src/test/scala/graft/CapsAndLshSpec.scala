@@ -278,10 +278,8 @@ class CapsAndLshSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("dim")).toSeq == Seq(4, 8, 16))
     r.foreach { row =>
       assert(row.getAs[Long]("n_queries") == 10L)
-      assert(row.getDecimal(row.fieldIndex("mean_recall"))
-        .doubleValue == 1.0)
-      assert(row.getDecimal(row.fieldIndex("min_recall"))
-        .doubleValue == 1.0)
+      assert(row.getAs[Double]("mean_recall") == 1.0)
+      assert(row.getAs[Double]("min_recall") == 1.0)
     }
     assert(Similarity.matryoshkaEval(embs).collect().toSeq == r.toSeq)
   }

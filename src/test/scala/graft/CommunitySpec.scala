@@ -100,8 +100,9 @@ class CommunitySpec extends SparkSpec {
     // (1,3) exists, leads, and carries cn=1 with aa = round(1/ln2, 9)
     assert(ids.head == ((1L, 3L)))
     assert(r.head.getAs[Long]("cn") == 1L)
-    assert(r.head.getDecimal(r.head.fieldIndex("aa_score")) ==
-      new java.math.BigDecimal("1.442695041").setScale(9))
+    // aa_score is a nano-double (n/1e9): recover the integer units
+    assert(math.round(r.head.getAs[Double]("aa_score") * 1e9) ==
+      1442695041L)
     // all 6 star non-edges follow with the weaker 1/ln4 weight
     assert(ids.toSet.size == 7)
     // the triangle contributes nothing (every wedge closed)
@@ -117,15 +118,13 @@ class CommunitySpec extends SparkSpec {
     val r = Similarity.assortativityOf(star).collect().head
     assert(r.getAs[Long]("n_nodes") == 7L)
     assert(r.getAs[Long]("n_edges") == 6L)
-    assert(r.getDecimal(r.fieldIndex("assortativity"))
-      .doubleValue == -1.0)
+    assert(r.getAs[Double]("assortativity") == -1.0)
     // ring: every degree is 2 -> zero variance -> null r
     val ring = (0L until 6L).map(i => (i, (i + 1) % 6))
       .toDF("id1", "id2")
     val r2 = Similarity.assortativityOf(ring).collect().head
     assert(r2.isNullAt(r2.fieldIndex("assortativity")))
-    assert(r2.getDecimal(r2.fieldIndex("mean_edge_degree"))
-      .doubleValue == 2.0)
+    assert(r2.getAs[Double]("mean_edge_degree") == 2.0)
   }
 
   test("volumeHhi: a one-symbol day reads HHI = 1; two equal symbols " +
@@ -150,11 +149,11 @@ class CommunitySpec extends SparkSpec {
     val r = Analytics.volumeHhi(Trades.fromEvents(df)).collect()
     val d1 = r.head
     assert(d1.getAs[Long]("n_symbols") == 1L)
-    assert(d1.getDecimal(d1.fieldIndex("hhi")).doubleValue == 1.0)
-    assert(d1.getDecimal(d1.fieldIndex("top_share")).doubleValue == 1.0)
+    assert(d1.getAs[Double]("hhi") == 1.0)
+    assert(d1.getAs[Double]("top_share") == 1.0)
     val d2 = r.last
     assert(d2.getAs[Long]("n_symbols") == 2L)
-    assert(d2.getDecimal(d2.fieldIndex("hhi")).doubleValue == 0.5)
-    assert(d2.getDecimal(d2.fieldIndex("top_share")).doubleValue == 0.5)
+    assert(d2.getAs[Double]("hhi") == 0.5)
+    assert(d2.getAs[Double]("top_share") == 0.5)
   }
 }

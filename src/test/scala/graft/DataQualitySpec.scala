@@ -257,7 +257,7 @@ class DataQualitySpec extends SparkSpec {
       .toDF("event_id", "user_id", "event_type", "ts")
     val r = Learn.logitFit(events).collect().head
     assert(r.getAs[Long]("n_users") == 40L)
-    assert(r.getDecimal(r.fieldIndex("w1")).doubleValue > 0) // volume
+    assert(r.getAs[Double]("w1") > 0) // volume
     assert(r.getAs[Double]("accuracy") >= 0.9)
     assert(r.getAs[Double]("log_loss") < 0.693147) // beats p=0.5
     assert(Learn.logitFit(events).collect().head == r) // rerun-stable
@@ -293,18 +293,18 @@ class DataQualitySpec extends SparkSpec {
     assert(nTest > 0 && nTest < 200) // a real 20% fold
     assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
     // x1 separates the classes perfectly -> perfect ranking
-    assert(r.getDecimal(r.fieldIndex("auc")).doubleValue == 1.0)
-    assert(r.getDecimal(r.fieldIndex("gini")).doubleValue == 1.0)
-    assert(r.getDecimal(r.fieldIndex("ks")).doubleValue == 1.0)
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Double]("gini") == 1.0)
+    assert(r.getAs[Double]("ks") == 1.0)
     assert(Learn.rocAuc(events).collect().head == r) // rerun-stable
 
     val bins = Learn.calibrationBins(events).collect()
     assert(bins.map(_.getAs[Long]("n")).sum == nTest)
     bins.foreach { b =>
-      val mp = b.getDecimal(b.fieldIndex("mean_pred")).doubleValue
-      val or = b.getDecimal(b.fieldIndex("obs_rate")).doubleValue
+      val mp = b.getAs[Double]("mean_pred")
+      val or = b.getAs[Double]("obs_rate")
       assert(mp >= 0.0 && mp <= 1.0 && or >= 0.0 && or <= 1.0)
-      assert(b.getDecimal(b.fieldIndex("brier_sum")).doubleValue >= 0.0)
+      assert(b.getAs[Double]("brier_sum") >= 0.0)
       // bin index brackets its own mean predicted score
       val bin = b.getAs[Int]("bin")
       assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6)
@@ -331,17 +331,17 @@ class DataQualitySpec extends SparkSpec {
     // 49 hours -> complete 25-point windows at offsets 12..36
     assert(a.length == 25)
     a.foreach { row =>
-      assert(row.getDecimal(row.fieldIndex("trend")).doubleValue == 3.0)
-      assert(row.getDecimal(row.fieldIndex("seasonal")).doubleValue == 0.0)
-      assert(row.getDecimal(row.fieldIndex("remainder")).doubleValue == 0.0)
+      assert(row.getAs[Double]("trend") == 3.0)
+      assert(row.getAs[Double]("seasonal") == 0.0)
+      assert(row.getAs[Double]("remainder") == 0.0)
     }
     // additive identity: n = trend + seasonal + remainder, exactly
     r.foreach { row =>
-      val sum = row.getDecimal(row.fieldIndex("trend"))
-        .add(row.getDecimal(row.fieldIndex("seasonal")))
-        .add(row.getDecimal(row.fieldIndex("remainder")))
-      assert(sum.compareTo(new java.math.BigDecimal(
-        row.getAs[Long]("n_events"))) == 0)
+      // micro-doubles (n/1e6): recover integer units, sum exactly
+      val sum = math.round(row.getAs[Double]("trend") * 1e6) +
+        math.round(row.getAs[Double]("seasonal") * 1e6) +
+        math.round(row.getAs[Double]("remainder") * 1e6)
+      assert(sum == row.getAs[Long]("n_events") * 1000000L)
     }
     assert(DataQuality.seasonalDecompose(events).collect().toSeq
       == r.toSeq)
@@ -377,9 +377,9 @@ class DataQualitySpec extends SparkSpec {
     assert(r.map(_.getAs[String]("segment")).toSet == Set("low", "high"))
     r.foreach { row =>
       assert(row.getAs[Long]("n_t") + row.getAs[Long]("n_c") == 30L)
-      assert(row.getDecimal(row.fieldIndex("rate_t")).doubleValue == 1.0)
-      assert(row.getDecimal(row.fieldIndex("rate_c")).doubleValue == 0.0)
-      assert(row.getDecimal(row.fieldIndex("uplift")).doubleValue == 1.0)
+      assert(row.getAs[Double]("rate_t") == 1.0)
+      assert(row.getAs[Double]("rate_c") == 0.0)
+      assert(row.getAs[Double]("uplift") == 1.0)
       assert(row.getAs[Boolean]("significant"))
     }
     assert(DataQuality.upliftBySegment(events).collect().toSeq == r.toSeq)
@@ -407,12 +407,10 @@ class DataQualitySpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("round_no")).toSeq == (1 to 5))
     val r1 = r.head
     assert(r1.getAs[String]("feature") == "n_days")
-    assert(r1.getDecimal(r1.fieldIndex("alpha")).doubleValue > 1.0)
-    assert(r1.getDecimal(r1.fieldIndex("weighted_err")).doubleValue
-      < 0.05)
+    assert(r1.getAs[Double]("alpha") > 1.0)
+    assert(r1.getAs[Double]("weighted_err") < 0.05)
     r.foreach { row =>
-      assert(row.getDecimal(row.fieldIndex("train_acc"))
-        .doubleValue == 1.0)
+      assert(row.getAs[Double]("train_acc") == 1.0)
     }
     assert(Learn.adaboostStumps(events).collect().toSeq == r.toSeq)
   }
@@ -444,10 +442,9 @@ class DataQualitySpec extends SparkSpec {
     val df = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
     val r = Learn.olsFit(df).collect().head
     assert(r.getAs[Long]("n_rows") == 550L)
-    assert(r.getDecimal(r.fieldIndex("intercept_usd")).doubleValue == 5.0)
-    assert(r.getDecimal(r.fieldIndex("beta_qty_usd")).doubleValue == 7.0)
-    assert(r.getDecimal(
-      r.fieldIndex("beta_disc_pt_usd")).doubleValue == 68.0)
+    assert(r.getAs[Double]("intercept_usd") == 5.0)
+    assert(r.getAs[Double]("beta_qty_usd") == 7.0)
+    assert(r.getAs[Double]("beta_disc_pt_usd") == 68.0)
     assert(r.getAs[Double]("r2") == 1.0)
     // partitioning-invariant: the whole point of exact moment sums
     assert(Learn.olsFit(df.repartition(13)).collect().head == r)

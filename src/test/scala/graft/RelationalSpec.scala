@@ -61,7 +61,7 @@ class RelationalSpec extends SparkSpec {
     val p1 = r.filter(_.getLong(0) == 1L)
     assert(p1.map(x => (x.getAs[Int]("rank"),
       x.getAs[Long]("other_part"),
-      x.getDecimal(x.fieldIndex("cosine")).doubleValue,
+      x.getAs[Double]("cosine"),
       x.getAs[Long]("n_co"))).toSeq ==
       Seq((1, 2L, 1.0, 4L), (2, 3L, 0.5, 1L)))
     assert(Relational.partSimilarity(li).collect().toSeq == r.toSeq)

@@ -52,7 +52,7 @@ class ScdSpec extends SparkSpec {
     ).toDF(cols: _*)
     val r = Scd.revenueByTier(events).collect()
       .map(x => (x.getAs[Int]("tier"), x.getAs[Long]("n_purchases"),
-        x.getDecimal(x.fieldIndex("revenue")).doubleValue))
+        x.getAs[Double]("revenue")))
     // a current-state dim would put all 107.5 on tier 3
     assert(r.toSeq == Seq((0, 1L, 100.0), (3, 1L, 7.5)))
   }

@@ -298,12 +298,12 @@ class SessionsSpec extends SparkSpec {
     val a0 = k(("2024-01-01", 0L))
     assert(a0.getAs[Long]("n_active") == 2L)
     assert(a0.getAs[Long]("cohort_size") == 2L)
-    assert(a0.getDecimal(a0.fieldIndex("cum_revenue")).doubleValue == 30.0)
+    assert(a0.getAs[Double]("cum_revenue") == 30.0)
     assert(a0.getAs[Double]("ltv_per_user") == 15.0)
     val a1 = k(("2024-01-01", 1L))
     assert(a1.getAs[Long]("n_active") == 1L)
     // inactive u2 stays in the denominator: 35 / 2, not 5 / 1
-    assert(a1.getDecimal(a1.fieldIndex("cum_revenue")).doubleValue == 35.0)
+    assert(a1.getAs[Double]("cum_revenue") == 35.0)
     assert(a1.getAs[Double]("ltv_per_user") == 17.5)
     val b0 = k(("2024-01-08", 0L))
     assert(b0.getAs[Long]("cohort_size") == 1L)
@@ -379,12 +379,12 @@ class SessionsSpec extends SparkSpec {
     val r = Sessions.userEntropy(events).collect()
     val b0 = r.filter(_.getLong(0) == 0L).head
     assert(b0.getAs[Long]("n_users") == 1L)
-    assert(b0.getDecimal(b0.fieldIndex("mean_entropy"))
-      .doubleValue == 0.0)
+    assert(b0.getAs[Double]("mean_entropy") == 0.0)
     // H = -(4 * 3 * round(ln(1/4)*1e6)) / 12 = 1386294 micro-nats
     val b5 = r.filter(_.getLong(0) == 5L).head
-    assert(b5.getDecimal(b5.fieldIndex("mean_entropy"))
-      .movePointRight(6).longValueExact() == 1386294L)
+    // mean_entropy is a micro-double (n/1e6): recover integer units
+    assert(math.round(b5.getAs[Double]("mean_entropy") * 1e6)
+      == 1386294L)
     assert(Sessions.userEntropy(events).collect().toSeq == r.toSeq)
   }
 }

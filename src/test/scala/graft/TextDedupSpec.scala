@@ -706,9 +706,9 @@ class TextDedupSpec extends SparkSpec {
     val byId = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
     // 4 unigrams + 3 bigrams each
     assert(r.forall(_.getAs[Long]("n_feats") == 7L))
-    val w10 = byId(10L).getDecimal(byId(10L).fieldIndex("logw"))
-    val w11 = byId(11L).getDecimal(byId(11L).fieldIndex("logw"))
-    assert(w10.compareTo(w11) > 0, s"w10=$w10 w11=$w11")
+    val w10 = byId(10L).getAs[Double]("logw")
+    val w11 = byId(11L).getAs[Double]("logw")
+    assert(w10 > w11, s"w10=$w10 w11=$w11")
     assert(r.head.getAs[Long]("doc_id") == 10L) // ordered by logw desc
     // content-stable across partitionings
     val re = TextAnalysis.dsirSelect(docsDf.repartition(5), Seq("tgt"))
