@@ -3159,8 +3159,9 @@ object SparkEntry {
          |  count(*) AS n
          |FROM trades GROUP BY symbol ORDER BY symbol""".stripMargin,
 
-    // mirrors Analytics.symbolCorrelation: exact decimal sums over
-    // 6-decimal returns, the same double formula shape at the end.
+    // mirrors Analytics.symbolCorrelation: exact int64 sums over
+    // 1e-6-unit integer returns; every n·Σ / Σ·Σ product is its own
+    // column before the subtraction (no contractible a·b − c·d).
     "symbol_correlation" ->
       s"""$tradesCte,
          |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
@@ -3170,32 +3171,37 @@ object SparkEntry {
          |       FROM bars
          |       WHERE symbol IN (${(1 to 8).map(i => s"'SYM_$i'").mkString(", ")})),
          |r AS (SELECT symbol, bar_start,
-         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |        CAST(round(ln(close / prev) * 1000000.0, 0)
+         |          AS BIGINT) AS r6
          |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
-         |g AS (SELECT a.symbol AS s1, b.symbol AS s2, count(*) AS n_bars,
-         |        sum(a.ret) AS sx, sum(b.ret) AS sy,
-         |        sum(CAST(a.ret * b.ret AS DECIMAL(38,12))) AS sxy,
-         |        sum(CAST(a.ret * a.ret AS DECIMAL(38,12))) AS sxx,
-         |        sum(CAST(b.ret * b.ret AS DECIMAL(38,12))) AS syy
+         |g AS (SELECT a.symbol AS s1, b.symbol AS s2,
+         |        CAST(count(*) AS BIGINT) AS n_bars,
+         |        CAST(sum(a.r6) AS BIGINT) AS sx,
+         |        CAST(sum(b.r6) AS BIGINT) AS sy,
+         |        CAST(sum(a.r6 * b.r6) AS BIGINT) AS sxy,
+         |        CAST(sum(a.r6 * a.r6) AS BIGINT) AS sxx,
+         |        CAST(sum(b.r6 * b.r6) AS BIGINT) AS syy
          |      FROM r a JOIN r b
          |        ON a.bar_start = b.bar_start AND a.symbol < b.symbol
-         |      GROUP BY a.symbol, b.symbol)
+         |      GROUP BY a.symbol, b.symbol),
+         |q AS (SELECT s1, s2, n_bars,
+         |        CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE) AS t1,
+         |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS t2,
+         |        CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE) AS t3,
+         |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS t4,
+         |        CAST(n_bars AS DOUBLE) * CAST(syy AS DOUBLE) AS t5,
+         |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS t6
+         |      FROM g)
          |SELECT s1, s2, n_bars,
-         |  CASE WHEN (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-         |        AND (CAST(n_bars AS DOUBLE) * CAST(syy AS DOUBLE)
-         |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-         |       THEN round((CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |         / (sqrt(CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         |            * sqrt(CAST(n_bars AS DOUBLE) * CAST(syy AS DOUBLE)
-         |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  CASE WHEN t3 - t4 > 0 AND t5 - t6 > 0
+         |       THEN (t1 - t2) / (sqrt(t3 - t4) * sqrt(t5 - t6))
          |  END AS corr
-         |FROM g ORDER BY s1, s2""".stripMargin,
+         |FROM q ORDER BY s1, s2""".stripMargin,
 
-    // mirrors Analytics.symbolBeta: 6-decimal returns, bar-mean market
-    // factor re-rounded to 6 decimals, exact sums, OLS slope in doubles.
+    // mirrors Analytics.symbolBeta: 1e-6-unit integer returns, the
+    // bar-mean market factor re-pinned to the same integer grid
+    // (round at scale 0 of one IEEE division), exact int64 sums,
+    // per-product double columns before the subtraction.
     "symbol_beta" ->
       s"""$tradesCte,
          |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
@@ -3204,27 +3210,30 @@ object SparkEntry {
          |           AS prev
          |       FROM bars),
          |r AS (SELECT symbol, bar_start,
-         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |        CAST(round(ln(close / prev) * 1000000.0, 0)
+         |          AS BIGINT) AS r6
          |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |mkt AS (SELECT bar_start,
-         |          CAST(round(CAST(sum(ret) AS DOUBLE)
-         |            / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mret
+         |          CAST(round(CAST(sum(r6) AS DOUBLE)
+         |            / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS m6
          |        FROM r GROUP BY bar_start),
-         |g AS (SELECT r.symbol, count(*) AS n_bars,
-         |        sum(mkt.mret) AS sx, sum(r.ret) AS sy,
-         |        sum(CAST(mkt.mret * r.ret AS DECIMAL(38,12))) AS sxy,
-         |        sum(CAST(mkt.mret * mkt.mret AS DECIMAL(38,12))) AS sxx
+         |g AS (SELECT r.symbol, CAST(count(*) AS BIGINT) AS n_bars,
+         |        CAST(sum(mkt.m6) AS BIGINT) AS sx,
+         |        CAST(sum(r.r6) AS BIGINT) AS sy,
+         |        CAST(sum(mkt.m6 * r.r6) AS BIGINT) AS sxy,
+         |        CAST(sum(mkt.m6 * mkt.m6) AS BIGINT) AS sxx
          |      FROM r JOIN mkt ON mkt.bar_start = r.bar_start
-         |      GROUP BY r.symbol)
+         |      GROUP BY r.symbol),
+         |q AS (SELECT symbol, n_bars,
+         |        CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE) AS t1,
+         |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS t2,
+         |        CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE) AS t3,
+         |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS t4
+         |      FROM g)
          |SELECT symbol, n_bars,
-         |  CASE WHEN (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-         |       THEN round((CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         |         / (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |  CASE WHEN t3 - t4 > 0 THEN (t1 - t2) / (t3 - t4)
          |  END AS beta
-         |FROM g ORDER BY symbol""".stripMargin,
+         |FROM q ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.volSignature: coarse closes = last 1m close
     // per epoch-aligned bucket (rn_d trick == ArgExtremum argmax),

@@ -369,11 +369,12 @@ object Analytics {
     * analytics stack ships. Determinism hardening: Spark's `corr`
     * aggregate merges partial (mean, M2, co-moment) states in
     * partition order, so its low bits vary run to run and cross-engine;
-    * here every sum (Σx, Σy, Σxy, Σx², Σy²) is an EXACT decimal over
-    * 6-decimal returns (associative — bit-stable under any
+    * here every sum (Σx, Σy, Σxy, Σx², Σy²) is an EXACT int64 over
+    * 1e-6-unit integer returns (associative — bit-stable under any
     * partitioning), and only the final textbook formula
     * (nΣxy − ΣxΣy)/√(nΣx² − (Σx)²)√(nΣy² − (Σy)²) runs in doubles,
-    * with the same expression shape as the oracle.
+    * each product materialized separately, with the same expression
+    * shape as the oracle.
     *
     * Scale shape: returns for the chosen universe are a tiny slice
     * (symbol pushdown to the scan); the pair join is bounded by
@@ -383,7 +384,6 @@ object Analytics {
     */
   def symbolCorrelation(bars: DataFrame,
                         symbols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
     val r = bars.filter(col("symbol").isin(symbols: _*))
       .select(col("symbol"), col("bar_start"), col("close"))
@@ -391,35 +391,45 @@ object Analytics {
       .filter(col("prev").isNotNull && col("prev") > 0 &&
         col("close") > 0)
       .select(col("symbol"), col("bar_start"),
-        round(log(col("close") / col("prev")), 6)
-          .cast(DecimalType(18, 6)).as("ret"))
+        round(log(col("close") / col("prev")) * lit(1000000.0), 0)
+          .cast("long").as("r6"))
     val a = r.toDF("s1", "bar_start", "x")
     val b = r.toDF("s2", "bar_start", "y")
+    // 1e-6-unit integer returns: every co-moment sum is an exact
+    // int64 (per-row products ≤ ~1e13, ANSI throws rather than wraps
+    // on a genuine overflow), so the normal-equation terms are the
+    // SAME integers under any partitioning and in any engine. Each
+    // n·Σ / Σ·Σ product is materialized as its own double column
+    // before the subtraction — a single a·b − c·d double expression
+    // can contract to an FMA in one engine and not the other.
     val g = a.join(b, Seq("bar_start"))
       .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("n_bars"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"),
-        sum((col("y") * col("y")).cast(DecimalType(38, 12))).as("syy"))
-    val n = col("n_bars").cast("double")
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
     def d(c: String) = col(c).cast("double")
-    val denx = n * d("sxx") - d("sx") * d("sx")
-    val deny = n * d("syy") - d("sy") * d("sy")
-    g.select(col("s1"), col("s2"), col("n_bars"),
-        when(denx > 0 && deny > 0,
-          round((n * d("sxy") - d("sx") * d("sy"))
-            / (sqrt(denx) * sqrt(deny)), 6)).as("corr"))
+    val q = g.select(col("s1"), col("s2"), col("n_bars"),
+      (d("n_bars") * d("sxy")).as("t1"), (d("sx") * d("sy")).as("t2"),
+      (d("n_bars") * d("sxx")).as("t3"), (d("sx") * d("sx")).as("t4"),
+      (d("n_bars") * d("syy")).as("t5"), (d("sy") * d("sy")).as("t6"))
+    q.select(col("s1"), col("s2"), col("n_bars"),
+        when(col("t3") - col("t4") > 0 && col("t5") - col("t6") > 0,
+          (col("t1") - col("t2")) /
+            (sqrt(col("t3") - col("t4")) * sqrt(col("t5") - col("t6"))))
+          .as("corr"))
       .orderBy(col("s1"), col("s2"))
   }
 
   /** Per-symbol market beta: each symbol's log returns regressed on the
     * equal-weight market return (the cross-sectional mean of all
     * symbols' returns in the same bar). Same determinism discipline as
-    * [[symbolCorrelation]]: returns and the market factor are 6-decimal
-    * decimals, all sums exact, the OLS slope
-    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in doubles only at the boundary.
+    * [[symbolCorrelation]]: returns and the market factor are 1e-6-unit
+    * integers, all sums exact int64, the OLS slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in doubles only at the boundary,
+    * each product a separate column.
     *
     * Scale shape: the market factor is a bar-cardinality aggregate
     * (one hash agg over returns), broadcast back onto returns by
@@ -427,7 +437,6 @@ object Analytics {
     * shuffles twice.
     */
   def symbolBeta(bars: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
     val r = bars
       .select(col("symbol"), col("bar_start"), col("close"))
@@ -435,25 +444,29 @@ object Analytics {
       .filter(col("prev").isNotNull && col("prev") > 0 &&
         col("close") > 0)
       .select(col("symbol"), col("bar_start"),
-        round(log(col("close") / col("prev")), 6)
-          .cast(DecimalType(18, 6)).as("ret"))
+        round(log(col("close") / col("prev")) * lit(1000000.0), 0)
+          .cast("long").as("r6"))
+    // the market factor is the bar-mean return re-pinned to the same
+    // 1e-6 integer grid: one IEEE division of exact int64s, rounded
+    // at scale 0 (both engines round the same double)
     val mkt = r.groupBy(col("bar_start"))
-      .agg(sum(col("ret")).as("sr"), count(lit(1)).as("nr"))
+      .agg(sum(col("r6")).as("sr"), count(lit(1)).as("nr"))
       .select(col("bar_start"),
-        round(col("sr").cast("double") / col("nr").cast("double"), 6)
-          .cast(DecimalType(18, 6)).as("mret"))
+        round(col("sr").cast("double") / col("nr").cast("double"), 0)
+          .cast("long").as("m6"))
     val g = r.join(broadcast(mkt), Seq("bar_start"))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_bars"),
-        sum(col("mret")).as("sx"), sum(col("ret")).as("sy"),
-        sum((col("mret") * col("ret")).cast(DecimalType(38, 12))).as("sxy"),
-        sum((col("mret") * col("mret")).cast(DecimalType(38, 12))).as("sxx"))
-    val n = col("n_bars").cast("double")
+        sum(col("m6")).as("sx"), sum(col("r6")).as("sy"),
+        sum(col("m6") * col("r6")).as("sxy"),
+        sum(col("m6") * col("m6")).as("sxx"))
     def d(c: String) = col(c).cast("double")
-    val den = n * d("sxx") - d("sx") * d("sx")
-    g.select(col("symbol"), col("n_bars"),
-        when(den > 0,
-          round((n * d("sxy") - d("sx") * d("sy")) / den, 6)).as("beta"))
+    val q = g.select(col("symbol"), col("n_bars"),
+      (d("n_bars") * d("sxy")).as("t1"), (d("sx") * d("sy")).as("t2"),
+      (d("n_bars") * d("sxx")).as("t3"), (d("sx") * d("sx")).as("t4"))
+    q.select(col("symbol"), col("n_bars"),
+        when(col("t3") - col("t4") > 0,
+          (col("t1") - col("t2")) / (col("t3") - col("t4"))).as("beta"))
       .orderBy(col("symbol"))
   }
 
