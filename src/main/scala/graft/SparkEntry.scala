@@ -1681,6 +1681,83 @@ object SparkEntry {
   private def tdiv(a: String, b: String) =
     s"(CASE WHEN ($a) < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END)"
 
+  /** One wide truncating division to stage through [[wdivStages]]:
+    * `out` = trunc(num/den), NULL when den <= 0 or the belt trips.
+    * `pq`/`pd` are the DECIMAL precisions of the quotient cast and
+    * the divisor downcast (floored at 19 — see the s0 note) — size
+    * them so 10^pq (resp. 10^pd) comfortably exceeds |num/den|
+    * (resp. den) AND pq + max(pd, 19) <= 38:
+    * the correction products then BIND on engines that reject
+    * decimal multiplies wider than 38 instead of clamping (divisors
+    * that arrive as SUM-typed DECIMAL(38,0) would otherwise fail
+    * there). An out-of-envelope value fails the downcast LOUDLY —
+    * never a silent wrong quotient. */
+  private case class WDiv(num: String, den: String, out: String,
+                          pq: Int, pd: Int)
+
+  /** Exact wide division WITHOUT `HUGEINT`, `//`, or unsafe
+    * `round(...,k)` — the version-invariant replacement for the
+    * `tdiv(CAST(x AS HUGEINT), d)` oracle shape (round-10 burn-down;
+    * every construct used is engine-pinned: IEEE double divide/floor,
+    * exact DECIMAL multiply/subtract, CASE).
+    *
+    * Emits a chain of 7 CTE definitions per call (share one call for
+    * divisions that can run in lockstep): sign/abs split, a double
+    * floor-division seed `q0`, one exact-residual re-division `q1`
+    * (error after it is at most ±2), a CASE fixup to the true floor
+    * quotient, and a belt stage that re-multiplies and yields NULL —
+    * a loud red row, never a silent off-by-one — unless the final
+    * residual lands in [0, den). Validated against exact integer
+    * division over 7k+ adversarial cases in tools/wdiv_check.py
+    * (keep the two templates in lockstep; end-to-end compare.py
+    * gates any drift).
+    *
+    * The final CTE is named `prefix` and carries every column of
+    * `from` plus each division's `out` (BIGINT-valued trunc
+    * quotient as plain integer arithmetic, sign applied). */
+  private def wdivStages(prefix: String, from: String,
+                         divs: Seq[WDiv]): String = {
+    val p = prefix
+    def cols(f: WDiv => String) = divs.map(f).mkString(",\n    ")
+    // the divisor downcast is floored at width 19: DuckDB executes a
+    // decimal multiply in int128 only when an operand's declared
+    // width exceeds 18 — two narrower operands give a DECIMAL(18,0)
+    // result that overflows (loudly) above 1e18, so the q*den
+    // correction products must always see one >=19-wide operand.
+    // The binder budget is therefore pq + max(pd, 19) <= 38.
+    val s0 = cols(d => s"(CASE WHEN (${d.num}) < 0 THEN -(${d.num}) " +
+      s"ELSE (${d.num}) END) AS ${d.out}_a,\n    " +
+      s"(CASE WHEN (${d.num}) < 0 THEN -1 ELSE 1 END) AS ${d.out}_s," +
+      s"\n    CAST((CASE WHEN (${d.den}) > 0 THEN (${d.den}) END) " +
+      s"AS DECIMAL(${math.max(d.pd, 19)},0)) AS ${d.out}_d")
+    val s1 = cols(d => s"CAST(floor(CAST(${d.out}_a AS DOUBLE) " +
+      s"/ CAST(${d.out}_d AS DOUBLE)) AS BIGINT) AS ${d.out}_q0")
+    val s2 = cols(d => s"${d.out}_q0 + CAST(floor(CAST(${d.out}_a " +
+      s"- CAST(${d.out}_q0 AS DECIMAL(${d.pq},0)) * ${d.out}_d AS DOUBLE) " +
+      s"/ CAST(${d.out}_d AS DOUBLE)) AS BIGINT) AS ${d.out}_q1")
+    val s3 = cols(d => s"${d.out}_a " +
+      s"- CAST(${d.out}_q1 AS DECIMAL(${d.pq},0)) * ${d.out}_d AS ${d.out}_r1")
+    val s4 = cols(d => s"${d.out}_q1 + (CASE " +
+      s"WHEN ${d.out}_r1 < -(${d.out}_d) THEN -2 " +
+      s"WHEN ${d.out}_r1 < 0 THEN -1 " +
+      s"WHEN ${d.out}_r1 >= ${d.out}_d + ${d.out}_d THEN 2 " +
+      s"WHEN ${d.out}_r1 >= ${d.out}_d THEN 1 ELSE 0 END) AS ${d.out}_qf")
+    val s5 = cols(d => s"${d.out}_a " +
+      s"- CAST(${d.out}_qf AS DECIMAL(${d.pq},0)) * ${d.out}_d AS ${d.out}_r2")
+    val s6 = cols(d => s"(CASE WHEN ${d.out}_r2 >= 0 " +
+      s"AND ${d.out}_r2 < ${d.out}_d " +
+      s"THEN ${d.out}_s * ${d.out}_qf END) AS ${d.out}")
+    s"""${p}_w0 AS (SELECT *,
+       |    $s0
+       |  FROM $from),
+       |${p}_w1 AS (SELECT *, $s1 FROM ${p}_w0),
+       |${p}_w2 AS (SELECT *, $s2 FROM ${p}_w1),
+       |${p}_w3 AS (SELECT *, $s3 FROM ${p}_w2),
+       |${p}_w4 AS (SELECT *, $s4 FROM ${p}_w3),
+       |${p}_w5 AS (SELECT *, $s5 FROM ${p}_w4),
+       |$p AS (SELECT *, $s6 FROM ${p}_w5)""".stripMargin
+  }
+
   /** Integer micro-units → DOUBLE output value (u / 1e6): exact
     * int64 → one IEEE division, identical in both engines. Output
     * schemas are restricted to ints/doubles/strings/dates/bools —
@@ -1720,6 +1797,10 @@ object SparkEntry {
     // so `//` rounding mode can't matter; weights stay BIGINT
     // (1e-12 units). Value-identical to the former scale-15 decimal
     // formulation — (σ−y)·x at scales (9, 6) IS the femto integer.
+    // per-step update: wdivStages replaces the former
+    // tdiv(CAST(g AS HUGEINT), 2000n) — |g| <= n·1e15 so the
+    // quotient is <= 5e11 (pq=13 leaves 20x headroom; 13 + the
+    // divisor's width stays far inside the 38-digit product budget).
     val iters = (1 to 8).map { i =>
       s""",
          |s$i AS (SELECT f.y, f.x1u, f.x2u, ${logitSguSql("w")} AS sgu
@@ -1732,14 +1813,17 @@ object SparkEntry {
          |    sum(CAST((sgu - y * 1000000000) * x2u
          |      AS DECIMAL(38,0))) AS g2
          |  FROM s$i),
+         |x$i AS (SELECT w.w0u, w.w1u, w.w2u, g.n, g.g0, g.g1, g.g2
+         |  FROM w${i - 1}t w, g$i g),
+         |${wdivStages(s"u$i", s"x$i", Seq(
+              WDiv("g0", "2000 * n", "dg0", 13, 17),
+              WDiv("g1", "2000 * n", "dg1", 13, 17),
+              WDiv("g2", "2000 * n", "dg2", 13, 17)))},
          |w${i}t AS (SELECT
-         |    CAST(w.w0u - ${tdiv("CAST(g.g0 AS HUGEINT)",
-            "2000 * g.n")} AS BIGINT) AS w0u,
-         |    CAST(w.w1u - ${tdiv("CAST(g.g1 AS HUGEINT)",
-            "2000 * g.n")} AS BIGINT) AS w1u,
-         |    CAST(w.w2u - ${tdiv("CAST(g.g2 AS HUGEINT)",
-            "2000 * g.n")} AS BIGINT) AS w2u
-         |  FROM w${i - 1}t w, g$i g)""".stripMargin
+         |    CAST(w0u - dg0 AS BIGINT) AS w0u,
+         |    CAST(w1u - dg1 AS BIGINT) AS w1u,
+         |    CAST(w2u - dg2 AS BIGINT) AS w2u
+         |  FROM u$i)""".stripMargin
     }.mkString
     s"""WITH feats0 AS (SELECT
        |    CAST(round(ln(1.0 + CAST(sum(CASE WHEN event_type <>
@@ -3025,7 +3109,7 @@ object SparkEntry {
     // integer revenue through the running cumulative, truncating
     // per-user division, micro doubles out.
     "cohort_ltv" ->
-      """WITH f AS (SELECT user_id,
+      s"""WITH f AS (SELECT user_id,
         |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
         |  FROM events GROUP BY user_id),
         |cs AS (SELECT cohort_week, count(*) AS cohort_size FROM f
@@ -3048,7 +3132,7 @@ object SparkEntry {
         |  CAST(rev6 AS DOUBLE) / 1000000.0 AS revenue,
         |  CAST(cum6 AS DOUBLE) / 1000000.0 AS cum_revenue,
         |  CAST(cohort_size AS BIGINT) AS cohort_size,
-        |  CAST(cum6 // cohort_size AS DOUBLE) / 1000000.0
+        |  CAST(${tdiv("cum6", "cohort_size")} AS DOUBLE) / 1000000.0
         |    AS ltv_per_user
         |FROM c JOIN cs USING (cohort_week)
         |ORDER BY c.cohort_week, week_offset""".stripMargin,
@@ -3265,17 +3349,19 @@ object SparkEntry {
          |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |rv AS (SELECT symbol, CAST(sc AS INT) AS scale_minutes,
          |         CAST(count(*) AS BIGINT) AS n_rets,
-         |         CAST(sum(r6 * r6) AS HUGEINT) AS s12
+         |         sum(CAST(r6 * r6 AS DECIMAL(38,0))) AS s12
          |       FROM r GROUP BY symbol, sc),
          |bs AS (SELECT symbol, s12 AS s12b FROM rv
-         |       WHERE scale_minutes = 60)
-         |SELECT rv.symbol, scale_minutes, n_rets,
-         |  CAST(CAST(rv.s12 AS BIGINT) AS DOUBLE) / 1e12 AS rv,
-         |  CASE WHEN s12b > 0 THEN
-         |    ${microD("CAST((rv.s12 * 1000000) // s12b AS BIGINT)")}
-         |  END AS noise_ratio
-         |FROM rv JOIN bs ON bs.symbol = rv.symbol
-         |ORDER BY rv.symbol, scale_minutes""".stripMargin
+         |       WHERE scale_minutes = 60),
+         |jn AS (SELECT rv.symbol, scale_minutes, n_rets, rv.s12,
+         |         bs.s12b
+         |       FROM rv JOIN bs ON bs.symbol = rv.symbol),
+         |${wdivStages("wnr", "jn", Seq(
+              WDiv("s12 * 1000000", "s12b", "nr6", 14, 22)))}
+         |SELECT symbol, scale_minutes, n_rets,
+         |  CAST(s12 AS DOUBLE) / 1e12 AS rv,
+         |  ${microD("nr6")} AS noise_ratio
+         |FROM wnr ORDER BY symbol, scale_minutes""".stripMargin
     },
 
     // mirrors Analytics.saxMotifs over 1-hour bars: rank-quartile
@@ -6027,25 +6113,31 @@ object SparkEntry {
          |  FROM ua GROUP BY stratum),
          |tab AS (SELECT *, n1 + n0 AS t, (n1 + n0) - m1 AS m0
          |        FROM tab0 WHERE n1 + n0 > 1),
-         |ev AS (SELECT *,
-         |    (CAST(n1 AS HUGEINT) * m1 * 1000000000000) // t AS e12,
-         |    (CAST(n1 AS HUGEINT) * n0 * m1 * m0 * 1000000000000)
-         |      // (t * t * (t - 1)) AS v12
+         |ev0 AS (SELECT *,
+         |    CAST(n1 AS DECIMAL(8,0)) * m1 * 1000000000000 AS e_num,
+         |    CAST(n1 AS DECIMAL(8,0)) * n0 * m1 * m0
+         |      * 1000000000000 AS v_num,
+         |    t * t * (t - 1) AS v_den
          |  FROM tab),
+         |${wdivStages("ev", "ev0", Seq(
+              WDiv("e_num", "t", "e12", 19, 8),
+              WDiv("v_num", "v_den", "v12", 17, 19)))},
          |tot AS (SELECT CAST(sum(a) AS BIGINT) AS sum_a,
-         |          CAST(sum(e12) AS HUGEINT) AS se12,
-         |          CAST(sum(v12) AS HUGEINT) AS sv12 FROM ev),
-         |dd AS (SELECT *, ${tdiv(
-            "CAST(sum_a AS HUGEINT) * 1000000000000 - se12",
-            "1000000")} AS d6
-         |  FROM tot)
+         |          sum(CAST(e12 AS DECIMAL(38,0))) AS se12,
+         |          sum(CAST(v12 AS DECIMAL(38,0))) AS sv12 FROM ev),
+         |${wdivStages("dd", "tot", Seq(
+              WDiv("CAST(sum_a AS DECIMAL(20,0)) * 1000000000000" +
+                   " - se12", "1000000", "d6", 17, 7)))},
+         |cx AS (SELECT ev.stratum, ev.a, ev.n1, ev.n0, ev.m1,
+         |    ev.m0, ev.e12, ev.v12, dd.d6, dd.sv12 FROM ev, dd),
+         |${wdivStages("cf", "cx", Seq(
+              WDiv("CAST(d6 AS DECIMAL(16,0)) * d6 * 1000000",
+                   "sv12", "chi2u", 12, 24)))}
          |SELECT stratum, a, n1, n0, m1, m0,
-         |  CAST(CAST(e12 AS BIGINT) AS DOUBLE) / 1e12 AS e,
-         |  CAST(CAST(v12 AS BIGINT) AS DOUBLE) / 1e12 AS v,
-         |  CASE WHEN sv12 > 0 THEN
-         |    ${microD(s"CAST(${tdiv("d6 * d6 * 1000000", "sv12")} AS BIGINT)")}
-         |    END AS cmh_chi2
-         |FROM ev, dd ORDER BY stratum""".stripMargin,
+         |  CAST(e12 AS DOUBLE) / 1e12 AS e,
+         |  CAST(v12 AS DOUBLE) / 1e12 AS v,
+         |  ${microD("chi2u")} AS cmh_chi2
+         |FROM cf ORDER BY stratum""".stripMargin,
 
     // mirrors DataQuality.targetEncodeOof: cv_folds' salted user fold,
     // exact decimal value sums, OOF mean = (S-S_f)/(N-N_f) with one
@@ -6125,8 +6217,9 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     // mirrors TextAnalysis.zipfFit: 1e-6-pinned log10 terms, exact
-    // integer OLS moments, sign-pinned truncating divisions, micro
-    // doubles out (the no-DECIMAL-outputs envelope).
+    // integer OLS moments (wide ones in DECIMAL(38,0); envelope:
+    // vocab <= ~1e7 types/lang, |slope| < 1e3 — loud beyond), wide
+    // truncating divisions via wdivStages, micro doubles out.
     "zipf_fit" ->
       s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
         |freq AS (SELECT lang, t, count(*) AS f FROM toks GROUP BY 1, 2),
@@ -6141,22 +6234,24 @@ object SparkEntry {
         |  FROM ranked),
         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
         |    CAST(sum(f) AS BIGINT) AS n_tokens,
-        |    CAST(sum(x6) AS HUGEINT) AS sx6,
-        |    CAST(sum(y6) AS HUGEINT) AS sy6,
-        |    CAST(sum(x6 * y6) AS HUGEINT) AS sxy12,
-        |    CAST(sum(x6 * x6) AS HUGEINT) AS sxx12
+        |    CAST(sum(x6) AS BIGINT) AS sx6,
+        |    CAST(sum(y6) AS BIGINT) AS sy6,
+        |    sum(CAST(x6 * y6 AS DECIMAL(38,0))) AS sxy12,
+        |    sum(CAST(x6 * x6 AS DECIMAL(38,0))) AS sxx12
         |  FROM terms GROUP BY lang),
         |d AS (SELECT lang, n_types, n_tokens, sx6, sy6,
-        |    n_types * sxy12 - sx6 * sy6 AS num12,
-        |    n_types * sxx12 - sx6 * sx6 AS den12
+        |    CAST(n_types AS DECIMAL(9,0)) * sxy12
+        |      - CAST(sx6 AS DECIMAL(16,0)) * sy6 AS num12,
+        |    CAST(n_types AS DECIMAL(9,0)) * sxx12
+        |      - CAST(sx6 AS DECIMAL(16,0)) * sx6 AS den12
         |  FROM g),
-        |sl AS (SELECT *, CASE WHEN den12 > 0 THEN
-        |      ${tdiv("num12 * 1000000", "den12")} END AS slope_mu
-        |  FROM d),
-        |ic AS (SELECT *, CASE WHEN slope_mu IS NOT NULL THEN
-        |      ${tdiv("sy6 * 1000000 - slope_mu * sx6",
-             "n_types * 1000000")} END AS icept_mu
-        |  FROM sl)
+        |${wdivStages("sl", "d", Seq(
+             WDiv("num12 * 1000000", "den12", "slope_mu", 9, 29)))},
+        |${wdivStages("ic", "sl", Seq(
+             WDiv("CAST(sy6 AS DECIMAL(20,0)) * 1000000" +
+                  " - CAST(slope_mu AS DECIMAL(10,0)) * sx6",
+                  "CAST(n_types AS DECIMAL(9,0)) * 1000000",
+                  "icept_mu", 12, 16)))}
         |SELECT lang, n_types, n_tokens,
         |  CAST(slope_mu AS DOUBLE) / 1000000.0 AS zipf_slope,
         |  CAST(icept_mu AS DOUBLE) / 1000000.0 AS zipf_intercept
@@ -7696,7 +7791,10 @@ object SparkEntry {
     // mirrors Learn.olsFit: integer cent/point grids, pseudo-means
     // via //, the ×n computational centering (exact), Cramer with
     // 1e-6-unit truncated betas, intercept from the SAME truncated
-    // betas, third-pass integer residuals for R². All HUGEINT.
+    // betas, third-pass integer residuals for R². HUGEINT-free:
+    // wide intermediates live in DECIMAL(38,0) (value envelopes per
+    // site assume n <= ~2e6 rows — 30x the sf0.01 gate — and fail
+    // LOUDLY beyond), wide divisions go through wdivStages.
     "ols_fit" -> {
       // 1e-8-unit integers (micro-cents) → DOUBLE dollars: exact
       // int64 → one IEEE division, the no-DECIMAL-outputs envelope
@@ -7714,35 +7812,50 @@ object SparkEntry {
          |  FROM b, m),
          |s2 AS (SELECT sum(u*u) AS suu, sum(v*v) AS svv,
          |    sum(u*v) AS suv, sum(u*w) AS suw, sum(v*w) AS svw,
-         |    sum(CAST(w AS HUGEINT) * w) AS sww,
+         |    sum(CAST(w * w AS DECIMAL(38,0))) AS sww,
          |    sum(u) AS su, sum(v) AS sv, sum(w) AS sw FROM c),
          |g AS (SELECT m.n, m.mx, m.my, m.mz, s2.*,
-         |    CAST(m.n AS HUGEINT)*suu - CAST(su AS HUGEINT)*su AS ca,
-         |    CAST(m.n AS HUGEINT)*suv - CAST(su AS HUGEINT)*sv AS cb,
-         |    CAST(m.n AS HUGEINT)*svv - CAST(sv AS HUGEINT)*sv AS cc,
-         |    CAST(m.n AS HUGEINT)*suw - CAST(su AS HUGEINT)*sw AS cd,
-         |    CAST(m.n AS HUGEINT)*svw - CAST(sv AS HUGEINT)*sw AS ce
+         |    m.n*suu - su*su AS ca,
+         |    m.n*suv - su*sv AS cb,
+         |    m.n*svv - sv*sv AS cc,
+         |    CAST(m.n AS DECIMAL(9,0))*suw
+         |      - CAST(su AS DECIMAL(10,0))*sw AS cd,
+         |    CAST(m.n AS DECIMAL(9,0))*svw
+         |      - CAST(sv AS DECIMAL(10,0))*sw AS ce
          |  FROM s2, m),
-         |t AS (SELECT *,
-         |    ${tdiv("(cd*cc - ce*cb) * 1000000", "ca*cc - cb*cb")} AS b1t,
-         |    ${tdiv("(ca*ce - cb*cd) * 1000000", "ca*cc - cb*cb")} AS b2t
-         |  FROM g),
-         |t2 AS (SELECT *, ${tdiv(
-            "CAST(sw AS HUGEINT)*1000000 - b1t*su - b2t*sv", "n")}
-         |    AS ct FROM t),
+         |${wdivStages("t", "g", Seq(
+              WDiv("(CAST(cd AS DECIMAL(20,0))*cc " +
+                   "- CAST(ce AS DECIMAL(20,0))*cb) * 1000000",
+                   "CAST(ca AS DECIMAL(17,0))*cc " +
+                   "- CAST(cb AS DECIMAL(14,0))*cb", "b1t", 10, 28),
+              WDiv("(CAST(ca AS DECIMAL(17,0))*ce " +
+                   "- CAST(cb AS DECIMAL(14,0))*cd) * 1000000",
+                   "CAST(ca AS DECIMAL(17,0))*cc " +
+                   "- CAST(cb AS DECIMAL(14,0))*cb", "b2t", 10, 28)))},
+         |${wdivStages("t2", "t", Seq(
+              WDiv("CAST(sw AS DECIMAL(16,0))*1000000 - b1t*su - b2t*sv",
+                   "n", "ct", 16, 12)))},
          |t3 AS (SELECT *, mz*1000000 + ct - b1t*mx - b2t*my AS b0t
          |  FROM t2),
-         |r AS (SELECT c.w - CAST(${tdiv(
-            "t3.b1t*c.u + t3.b2t*c.v + t3.ct", "1000000")}
-         |    AS BIGINT) AS rr FROM c, t3),
-         |s3 AS (SELECT sum(CAST(rr AS HUGEINT)*rr) AS sse FROM r)
-         |SELECT CAST(t3.n AS BIGINT) AS n_rows,
+         |cr AS (SELECT c.u, c.v, c.w, t3.b1t, t3.b2t, t3.ct
+         |  FROM c, t3),
+         |${wdivStages("rq", "cr", Seq(
+              WDiv("b1t*u + b2t*v + ct", "1000000", "fit6", 14, 7)))},
+         |r AS (SELECT w - fit6 AS rr FROM rq),
+         |s3 AS (SELECT sum(CAST(rr * rr AS DECIMAL(38,0))) AS sse
+         |  FROM r),
+         |rg AS (SELECT t3.n, t3.b0t, t3.b1t, t3.b2t, t3.sw, t3.sww,
+         |    s3.sse FROM t3, s3),
+         |${wdivStages("r2q", "rg", Seq(
+              WDiv("CAST(n AS DECIMAL(9,0)) * sse * 1000000",
+                   "CAST(n AS DECIMAL(9,0)) * sww " +
+                   "- CAST(sw AS DECIMAL(10,0)) * sw", "r2d", 9, 29)))}
+         |SELECT CAST(n AS BIGINT) AS n_rows,
          |  ${usd("b0t")} AS intercept_usd,
          |  ${usd("b1t")} AS beta_qty_usd,
          |  ${usd("b2t")} AS beta_disc_pt_usd,
-         |  ${microD(s"CAST(1000000 - ${tdiv("t3.n * sse * 1000000",
-            "t3.n * sww - CAST(sw AS HUGEINT)*sw")} AS BIGINT)")} AS r2
-         |FROM t3, s3""".stripMargin
+         |  ${microD("CAST(1000000 - r2d AS BIGINT)")} AS r2
+         |FROM r2q""".stripMargin
     },
 
     "logit_fit" ->
@@ -7807,25 +7920,35 @@ object SparkEntry {
          |       UNION ALL SELECT id2, id1 FROM ep),
          |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
          |  FROM ed GROUP BY src),
-         |mo AS (SELECT CAST(count(*) AS HUGEINT) AS m,
-         |    CAST(sum(a.deg) AS HUGEINT) AS sx,
-         |    CAST(sum(b.deg) AS HUGEINT) AS sy,
-         |    CAST(sum(a.deg * b.deg) AS HUGEINT) AS sxy,
-         |    CAST(sum(a.deg * a.deg) AS HUGEINT) AS sxx,
-         |    CAST(sum(b.deg * b.deg) AS HUGEINT) AS syy
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(a.deg) AS BIGINT) AS sx,
+         |    CAST(sum(b.deg) AS BIGINT) AS sy,
+         |    sum(CAST(a.deg * b.deg AS DECIMAL(38,0))) AS sxy,
+         |    sum(CAST(a.deg * a.deg AS DECIMAL(38,0))) AS sxx,
+         |    sum(CAST(b.deg * b.deg AS DECIMAL(38,0))) AS syy
          |  FROM ed JOIN dg a ON a.id = ed.src
          |    JOIN dg b ON b.id = ed.dst),
+         |mw AS (SELECT *,
+         |    CAST(m AS DECIMAL(12,0)) * sxy
+         |      - CAST(sx AS DECIMAL(13,0)) * sy AS cnum,
+         |    CAST(m AS DECIMAL(12,0)) * sxx
+         |      - CAST(sx AS DECIMAL(13,0)) * sx AS cdx,
+         |    CAST(m AS DECIMAL(12,0)) * syy
+         |      - CAST(sy AS DECIMAL(13,0)) * sy AS cdy
+         |  FROM mo),
+         |${wdivStages("md", "mw", Seq(
+              WDiv("CAST(sx AS DECIMAL(20,0)) * 1000000", "m",
+                   "med6", 12, 14)))},
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
          |SELECT nn.n_nodes, CAST(m // 2 AS BIGINT) AS n_edges,
-         |  ${microD("CAST((sx * 1000000) // m AS BIGINT)")}
-         |    AS mean_edge_degree,
-         |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-         |    THEN ${microD(s"""CAST(round(CAST(m * sxy - sx * sy AS DOUBLE)
-         |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-         |        * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+         |  ${microD("med6")} AS mean_edge_degree,
+         |  CASE WHEN cdx > 0 AND cdy > 0
+         |    THEN ${microD(s"""CAST(round(CAST(cnum AS DOUBLE)
+         |      / (sqrt(CAST(cdx AS DOUBLE))
+         |        * sqrt(CAST(cdy AS DOUBLE)))
          |      * 1000000.0, 0) AS BIGINT)""")} END
          |    AS assortativity
-         |FROM mo, nn""".stripMargin,
+         |FROM md, nn""".stripMargin,
 
     // mirrors Analytics.volumeHhi: exact micro-unit integer dollar
     // volumes (the amihud_illiq pin), ppm shares pinned once per
@@ -7869,32 +7992,48 @@ object SparkEntry {
          |j AS (SELECT a.d, a.lp6 AS pa6, b.lp6 AS pb6
          |  FROM lp a JOIN lp b ON a.d = b.d
          |  WHERE a.symbol = 'SYM_1' AND b.symbol = 'SYM_2'),
-         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(pa6) AS HUGEINT) AS sa,
-         |    CAST(sum(pb6) AS HUGEINT) AS sb,
-         |    CAST(sum(pa6 * pb6) AS HUGEINT) AS sab,
-         |    CAST(sum(pb6 * pb6) AS HUGEINT) AS sbb
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pa6) AS BIGINT) AS sa,
+         |    CAST(sum(pb6) AS BIGINT) AS sb,
+         |    sum(CAST(pa6 * pb6 AS DECIMAL(38,0))) AS sab,
+         |    sum(CAST(pb6 * pb6 AS DECIMAL(38,0))) AS sbb
          |  FROM j),
-         |bt AS (SELECT n, ${tdiv("(n * sab - sa * sb) * 1000000",
-            "n * sbb - sb * sb")} AS b6 FROM m),
-         |sp AS (SELECT j.d, j.pa6, j.pb6,
-         |    j.pa6 - ${tdiv("bt.b6 * j.pb6", "1000000")} AS s6
-         |  FROM j, bt),
-         |st AS (SELECT CAST(sum(s6) AS HUGEINT) AS ss,
-         |    CAST(sum(s6 * s6) AS HUGEINT) AS sss FROM sp),
-         |pars AS (SELECT bt.b6, m.n, ${tdiv("st.ss", "m.n")} AS a6,
-         |    CAST(round(sqrt(CAST(m.n * st.sss - st.ss * st.ss
-         |      AS DOUBLE)) / CAST(m.n AS DOUBLE), 0) AS BIGINT) AS sd6
-         |  FROM bt, m, st)
-         |SELECT sp.d,
-         |  ${microD("CAST(sp.pa6 AS BIGINT)")} AS log_price_a,
-         |  ${microD("CAST(sp.pb6 AS BIGINT)")} AS log_price_b,
-         |  ${microD("CAST(sp.s6 - pars.a6 AS BIGINT)")} AS spread,
-         |  ${microD(s"CAST(${tdiv("(sp.s6 - pars.a6) * 1000000",
-            "pars.sd6")} AS BIGINT)")} AS z,
-         |  ${microD("CAST(pars.b6 AS BIGINT)")} AS beta,
-         |  CAST(pars.n AS BIGINT) AS n_days
-         |FROM sp, pars ORDER BY sp.d""".stripMargin,
+         |${wdivStages("bt", "m", Seq(
+              WDiv("(CAST(n AS DECIMAL(7,0)) * sab" +
+                   " - CAST(sa AS DECIMAL(14,0)) * sb) * 1000000",
+                   "CAST(n AS DECIMAL(7,0)) * sbb" +
+                   " - CAST(sb AS DECIMAL(14,0)) * sb",
+                   "b6", 10, 26)))},
+         |jb AS (SELECT j.d, j.pa6, j.pb6, bt.b6, bt.n, bt.sa,
+         |    bt.sb, bt.sab, bt.sbb FROM j, bt),
+         |${wdivStages("sp0", "jb", Seq(
+              WDiv("b6 * pb6", "1000000", "hb6", 10, 7)))},
+         |sp AS (SELECT d, pa6, pb6, b6, n, pa6 - hb6 AS s6
+         |  FROM sp0),
+         |st AS (SELECT CAST(sum(s6) AS BIGINT) AS ss,
+         |    sum(CAST(s6 * s6 AS DECIMAL(38,0))) AS sss FROM sp),
+         |sx AS (SELECT m.n, st.ss, st.sss FROM m, st),
+         |${wdivStages("sa0", "sx", Seq(
+              WDiv("ss", "n", "a6", 14, 7)))},
+         |pars AS (SELECT bt.b6, sa0.n, sa0.a6,
+         |    CAST(round(sqrt(CAST(
+         |        CAST(sa0.n AS DECIMAL(7,0)) * sa0.sss
+         |        - CAST(sa0.ss AS DECIMAL(14,0)) * sa0.ss
+         |      AS DOUBLE)) / CAST(sa0.n AS DOUBLE), 0) AS BIGINT)
+         |      AS sd6
+         |  FROM bt, sa0),
+         |zx AS (SELECT sp.d, sp.pa6, sp.pb6, sp.s6, pars.a6,
+         |    pars.sd6, pars.b6, pars.n FROM sp, pars),
+         |${wdivStages("zf", "zx", Seq(
+              WDiv("(s6 - a6) * 1000000", "sd6", "z6", 12, 10)))}
+         |SELECT d,
+         |  ${microD("pa6")} AS log_price_a,
+         |  ${microD("pb6")} AS log_price_b,
+         |  ${microD("s6 - a6")} AS spread,
+         |  ${microD("z6")} AS z,
+         |  ${microD("b6")} AS beta,
+         |  CAST(n AS BIGINT) AS n_days
+         |FROM zf ORDER BY d""".stripMargin,
 
     // mirrors Analytics.amihudIlliq: last positive-print close per
     // day, exact decimal dollar volume, the pinned |ln| over prior
@@ -7922,10 +8061,10 @@ object SparkEntry {
          |      * 1000000.0, 0) AS BIGINT) AS ratio6
          |  FROM lr),
          |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
-         |    CAST(sum(ratio6) AS HUGEINT) AS rs
+         |    CAST(sum(ratio6) AS BIGINT) AS rs
          |  FROM rt GROUP BY symbol)
          |SELECT symbol, n_days,
-         |  ${microD("CAST(rs // n_days AS BIGINT)")} AS illiq
+         |  ${microD("rs // n_days")} AS illiq
          |FROM g ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.runsTest: exact integer run counts over the
@@ -8095,8 +8234,8 @@ object SparkEntry {
 
     // mirrors Learn.adaboostStumps: 5 unrolled boosting rounds — each
     // round pins per-row weights as round(exp((logw6-shift6)/1e6)*1e12)
-    // over the prior 1-row stump CTEs, aggregates HUGEINT weighted
-    // errors per grid stump, picks the (e, feat, thr, pol) argmin,
+    // over the prior 1-row stump CTEs, aggregates DECIMAL(38,0)
+    // weighted errors per grid stump, picks the (e, feat, thr, pol) argmin,
     // pins alpha as round(ln((S-Ec)/Ec)*500000), and reads staged
     // ensemble accuracy on both folds.
     "adaboost_stumps" -> {
@@ -8126,19 +8265,22 @@ object SparkEntry {
            |      * 1000000000000.0, 0) AS BIGINT) AS w
            |  FROM lw$r, sh$r),
            |e$r AS (SELECT g.feat, g.thr, g.pol,
-           |    CAST(sum(CASE WHEN (CASE WHEN (CASE WHEN g.feat = 'n_ev'
+           |    sum(CAST(CASE WHEN (CASE WHEN (CASE WHEN g.feat = 'n_ev'
            |      THEN w.n_ev ELSE w.n_days END) > g.thr THEN g.pol
-           |      ELSE -g.pol END) <> w.y THEN w.w ELSE 0 END)
-           |      AS HUGEINT) AS e,
-           |    CAST(sum(w.w) AS HUGEINT) AS s
+           |      ELSE -g.pol END) <> w.y THEN w.w ELSE 0 END
+           |      AS DECIMAL(38,0))) AS e,
+           |    sum(CAST(w.w AS DECIMAL(38,0))) AS s
            |  FROM w$r w CROSS JOIN grid g
            |  GROUP BY g.feat, g.thr, g.pol),
-           |s$r AS (SELECT feat, thr, pol, e, s,
+           |sp$r AS (SELECT *, (CASE WHEN e < 1 THEN 1
+           |      WHEN e > s - 1 THEN s - 1 ELSE e END) AS ec
+           |    FROM e$r ORDER BY e, feat, thr, pol LIMIT 1),
+           |${wdivStages(s"sq$r", s"sp$r", Seq(
+                WDiv("e * 1000000", "s", "epsm", 7, 20)))},
+           |s$r AS (SELECT feat, thr, pol, e, s, epsm,
            |    CAST(round(ln(CAST(s - ec AS DOUBLE) / CAST(ec AS DOUBLE))
-           |      * 500000.0, 0) AS BIGINT) AS a6,
-           |    (e * 1000000) // s AS epsm
-           |  FROM (SELECT *, least(greatest(e, 1), s - 1) AS ec
-           |        FROM e$r ORDER BY e, feat, thr, pol LIMIT 1)),
+           |      * 500000.0, 0) AS BIGINT) AS a6
+           |  FROM sq$r),
            |acc$r AS (SELECT f.tst,
            |    CAST(sum(CASE WHEN ((${scoreSql(r)}) > 0) = (f.y > 0)
            |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
@@ -8302,25 +8444,24 @@ object SparkEntry {
          |      PRECEDING AND CURRENT ROW) AS cnegi
          |  FROM bs),
          |r AS (SELECT
-         |    CAST(sum(pos * (2 * cneg + neg)) AS HUGEINT) AS u2,
-         |    CAST(max(abs(cpos * tot.nn - cnegi * tot.p)) AS HUGEINT)
+         |    sum(CAST(pos * (2 * cneg + neg) AS DECIMAL(38,0))) AS u2,
+         |    CAST(max(abs(cpos * tot.nn - cnegi * tot.p)) AS BIGINT)
          |      AS ksnum
-         |  FROM cum, tot GROUP BY tot.p, tot.nn)
+         |  FROM cum, tot GROUP BY tot.p, tot.nn),
+         |rj AS (SELECT r.u2, r.ksnum, tot.p, tot.nn,
+         |    CAST(p AS DECIMAL(12,0)) * nn AS pn FROM r, tot),
+         |${wdivStages("rf", "rj", Seq(
+              WDiv("u2 * 1000000", "pn + pn", "auc6", 8, 26),
+              WDiv("(u2 - CAST(p AS DECIMAL(12,0)) * nn) * 1000000",
+                   "pn", "gini6", 8, 26),
+              WDiv("CAST(ksnum AS DECIMAL(20,0)) * 1000000", "pn",
+                   "ks6", 8, 26)))}
          |SELECT CAST(p + nn AS BIGINT) AS n_test,
          |  CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-         |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
-         |    ${microD(s"CAST(${tdiv("u2 * 1000000",
-                "2 * CAST(p AS HUGEINT) * nn")} AS BIGINT)")}
-         |    END AS auc,
-         |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
-         |    ${microD(s"CAST(${tdiv("(u2 - CAST(p AS HUGEINT) * nn) * 1000000",
-                "CAST(p AS HUGEINT) * nn")} AS BIGINT)")}
-         |    END AS gini,
-         |  CASE WHEN p = 0 OR nn = 0 THEN NULL ELSE
-         |    ${microD(s"CAST(${tdiv("ksnum * 1000000",
-                "CAST(p AS HUGEINT) * nn")} AS BIGINT)")}
-         |    END AS ks
-         |FROM r, tot""".stripMargin,
+         |  ${microD("auc6")} AS auc,
+         |  ${microD("gini6")} AS gini,
+         |  ${microD("ks6")} AS ks
+         |FROM rf""".stripMargin,
 
     // mirrors Learn.calibrationBins: sigma-decile bins from the nano
     // integer (sgu // 1e8 — non-negative, forced), nano-unit integer
@@ -8338,14 +8479,15 @@ object SparkEntry {
          |        CAST(sum(y) AS BIGINT) AS n_pos,
          |        sum(CAST(sgu AS DECIMAL(38,0))) AS snano,
          |        sum(CAST(d9 * d9 AS DECIMAL(38,0))) AS s18
-         |      FROM b GROUP BY bin)
+         |      FROM b GROUP BY bin),
+         |${wdivStages("gq", "g", Seq(
+              WDiv("snano", "n * 1000", "mp6", 8, 16),
+              WDiv("s18", "1000000000000", "bs6", 15, 13)))}
          |SELECT bin, n, n_pos,
-         |  ${microD("CAST(CAST(snano AS HUGEINT) // (n * 1000) AS BIGINT)")}
-         |    AS mean_pred,
+         |  ${microD("mp6")} AS mean_pred,
          |  ${microD("(n_pos * 1000000) // n")} AS obs_rate,
-         |  ${microD("CAST(CAST(s18 AS HUGEINT) // 1000000000000 AS BIGINT)")}
-         |    AS brier_sum
-         |FROM g ORDER BY bin""".stripMargin,
+         |  ${microD("bs6")} AS brier_sum
+         |FROM gq ORDER BY bin""".stripMargin,
 
     // mirrors Sessions.attributionMarkov: journeys truncated at the
     // first conversion, per-rm transition replicas with entry

@@ -145,14 +145,20 @@ object Learn {
     // Outputs are ints + doubles only: the usd betas are exact 1e-8
     // unit longs ÷ 1e8 (no DECIMAL columns — the driver-hash
     // envelope; see userEntropy).
+    require(sst > 0, "constant response: sst == 0, R² undefined " +
+      "(mirrors Backtest.pairsTrading's sd6 guard)")
     val r2mu = BigInt(1000000) - (n * sse * 1000000 / sst)
-    def usd(units: BigInt) = lit(units.toLong.toDouble / 1.0e8)
+    def usd(units: BigInt) = {
+      require(units.isValidLong, s"usd unit overflow: $units")
+      lit(units.toLong.toDouble / 1.0e8)
+    }
     lineitem.sparkSession.range(1).select(
       lit(n.toLong).as("n_rows"),
       usd(b0t).as("intercept_usd"),
       usd(b1t).as("beta_qty_usd"),
       usd(b2t).as("beta_disc_pt_usd"),
-      lit(r2mu.toLong.toDouble / 1.0e6).as("r2"))
+      lit({ require(r2mu.isValidLong, s"r2 unit overflow: $r2mu")
+        r2mu.toLong.toDouble / 1.0e6 }).as("r2"))
   }
 
   private val dW = DecimalType(14, 12)

@@ -32,8 +32,45 @@ def connect(sf_dir):
 
 ROUND_RE = re.compile(r"\bround\s*\(", re.I)
 
+def _arity(sql, open_idx):
+    """Top-level comma count inside the paren starting at open_idx.
+    Returns (n_args, close_idx) or (None, None) on unbalanced text."""
+    depth, commas, i, n = 0, 0, open_idx, len(sql)
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return commas + 1, i
+        elif c == "," and depth == 1:
+            commas += 1
+        i += 1
+    return None, None
+
 def swap_round(sql):
-    return ROUND_RE.sub("__radv(", sql)
+    """Swap only 2-arg round(x, k) sites for __radv — 1-arg round(x)
+    has no scaled-half boundary to flip and would bind-error against
+    the 2-arg macro, polluting the FLIP count (ADVICE round 9)."""
+    out, pos = [], 0
+    for m in ROUND_RE.finditer(sql):
+        open_idx = m.end() - 1
+        if open_idx < pos:
+            continue  # inside an already-emitted span
+        nargs, _ = _arity(sql, open_idx)
+        if nargs == 2:
+            out.append(sql[pos:m.start()])
+            out.append("__radv(")
+            pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 def df_equal(a, b):
     import pandas as pd, math

@@ -50,6 +50,62 @@ def subtree_flags(node):
     walk(node, visit)
     return flags
 
+def _strip(n):
+    """Canonical form of an expression node for structural equality:
+    drop location/alias noise, keep shape + names + values."""
+    if isinstance(n, dict):
+        return {k: _strip(v) for k, v in sorted(n.items())
+                if k not in ("query_location", "alias")}
+    if isinstance(n, list):
+        return [_strip(v) for v in n]
+    return n
+
+def _is_zero_const(n):
+    return (n.get("class") == "CONSTANT"
+            and n.get("value", {}).get("value") == 0)
+
+def _unary_neg(n):
+    ch = n.get("children", [])
+    if (n.get("class") == "FUNCTION" and n.get("function_name") == "-"
+            and len(ch) == 1):
+        return ch[0]
+    return None
+
+def tdiv_safe_intdivs(node):
+    """Collect id()s of `//` nodes inside the sign-pinned tdiv macro
+    CASE WHEN (a)<0 THEN -((-(a))//(b)) ELSE (a)//(b) END — both its
+    numerators are provably non-negative under the branch guards, so
+    trunc-vs-floor `//` semantics cannot differ there."""
+    safe = set()
+    def visit(n):
+        if n.get("class") != "CASE":
+            return
+        checks = n.get("case_checks", [])
+        if len(checks) != 1:
+            return
+        w, t = checks[0].get("when_expr", {}), checks[0].get("then_expr", {})
+        e = n.get("else_expr", {})
+        if (w.get("type") != "COMPARE_LESSTHAN"
+                or not _is_zero_const(w.get("right", {}))):
+            return
+        a = w.get("left", {})
+        inner = _unary_neg(t)
+        if inner is None or inner.get("function_name") != "//":
+            return
+        neg_num = _unary_neg(inner.get("children", [{}])[0] or {})
+        if neg_num is None:
+            return
+        if (e.get("class") != "FUNCTION"
+                or e.get("function_name") != "//"):
+            return
+        ech = e.get("children", [{}, {}])
+        sa, sneg, sea = _strip(a), _strip(neg_num), _strip(ech[0])
+        if sa == sneg == sea and _strip(inner["children"][1]) == _strip(ech[1]):
+            safe.add(id(inner))
+            safe.add(id(e))
+    walk(node, visit)
+    return safe
+
 def literal_int(n):
     if n.get("class") == "CONSTANT":
         v = n.get("value", {})
@@ -66,6 +122,7 @@ def scan(sql):
         return [("PARSE", str(e)[:80])]
     if ast.get("error"):
         return [("PARSE", str(ast.get("error_message"))[:80])]
+    safe_divs = tdiv_safe_intdivs(ast)
     def visit(n):
         if n.get("class") == "FUNCTION":
             fname = n.get("function_name", "").lower()
@@ -76,7 +133,7 @@ def scan(sql):
                     fl = subtree_flags(ch[0])
                     if fl & {"double_cast", "libm", "div"}:
                         out.append(("R", f"round(...,{k}) over {sorted(fl)}"))
-            if fname == "//":
+            if fname == "//" and id(n) not in safe_divs:
                 fl = subtree_flags(ch[0]) if ch else set()
                 # textual heuristic for sign: '-' in the left subtree
                 txt = json.dumps(ch[0]) if ch else ""
