@@ -1649,18 +1649,18 @@ object SparkEntry {
        |  FROM b2),
        |b4 AS (SELECT *,
        |  CASE WHEN prev_close IS NOT NULL AND prev_close <> 0 THEN close / prev_close - 1 END AS ret,
-       |  CASE WHEN prev_close IS NOT NULL AND prev_close > 0 THEN round(ln(close / prev_close), 6) END AS logret
+       |  CASE WHEN prev_close IS NOT NULL AND prev_close > 0 AND close > 0 THEN round(ln(close / prev_close) * 1.0e6, 0) / 1.0e6 END AS logret
        |  FROM b3),
        |b5 AS (SELECT *,
-       |  round(avg(logret) OVER wr, 6) AS ret_mu,
-       |  round(stddev_samp(logret) OVER wr, 6) AS ret_sd,
-       |  round(avg(volume) OVER wr, 6) AS vol_mu,
-       |  round(stddev_samp(volume) OVER wr, 6) AS vol_sd
+       |  round((avg(logret) OVER wr) * 1.0e6, 0) / 1.0e6 AS ret_mu,
+       |  round((stddev_samp(logret) OVER wr) * 1.0e6, 0) / 1.0e6 AS ret_sd,
+       |  round((avg(volume) OVER wr) * 1.0e6, 0) / 1.0e6 AS vol_mu,
+       |  round((stddev_samp(volume) OVER wr) * 1.0e6, 0) / 1.0e6 AS vol_sd
        |  FROM b4
        |  WINDOW wr AS (PARTITION BY symbol ORDER BY ts_s RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING)),
        |b6 AS (SELECT *,
-       |  CASE WHEN ret_sd IS NOT NULL AND ret_sd > 1e-12 THEN round((logret - ret_mu) / ret_sd, 6) END AS z_ret,
-       |  CASE WHEN vol_sd IS NOT NULL AND vol_sd > 1e-12 THEN round((volume - vol_mu) / vol_sd, 6) END AS z_vol,
+       |  CASE WHEN ret_sd IS NOT NULL AND ret_sd > 1e-12 THEN round((logret - ret_mu) / ret_sd * 1.0e6, 0) / 1.0e6 END AS z_ret,
+       |  CASE WHEN vol_sd IS NOT NULL AND vol_sd > 1e-12 THEN round((volume - vol_mu) / vol_sd * 1.0e6, 0) / 1.0e6 END AS z_vol,
        |  CASE WHEN next_open IS NOT NULL AND close <> 0 THEN (next_open - close) / close END AS gap_pct
        |  FROM b5),
        |anom AS (SELECT *,
@@ -1765,6 +1765,19 @@ object SparkEntry {
     * environments even when value-equal (the entire round-8
     * driver-red cohort carried them; the 260-green cohort did not). */
   private def microD(u: String) = s"(CAST($u AS DOUBLE) / 1000000.0)"
+
+  /** Version-safe k-decimal rounding of a DOUBLE expression:
+    * round(e·10^k, 0)/10^k — both engines then round the SAME IEEE
+    * double to an integer (identical for every input, including
+    * exact halves), where round(e, k≥1) lets Spark's BigDecimal
+    * HALF_UP and an oracle's multiply-based round disagree near any
+    * k-decimal half boundary (trap #10; the round-8 red cohort).
+    * The Spark twin must use the same ·10^k / 10^k association. */
+  private def safeRound(e: String, k: Int): String = {
+    val f = s"1.0e$k"
+    s"(round(($e) * $f, 0) / $f)"
+  }
+  private def safe6(e: String) = safeRound(e, 6)
 
   /** 1e-12-unit weight integer → DECIMAL(15,12) (the logit family). */
   private def logitWDec(u: String) =
@@ -2186,7 +2199,7 @@ object SparkEntry {
        |         SELECT bmin AS id1, vec_id AS id2
        |         FROM bst WHERE bn > ${Dedup.MaxBucketSize} AND vec_id > bmin),
        |p AS (SELECT cand.id1, cand.id2,
-       |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+       |        ${safe6(dotSql("x.v", "y.v") + " / (x.nrm * y.nrm)")} AS cosine
        |      FROM cand
        |      JOIN n x ON x.vec_id = cand.id1
        |      JOIN n y ON y.vec_id = cand.id2)""".stripMargin
@@ -2210,7 +2223,7 @@ object SparkEntry {
        |cb0 AS (SELECT m, CAST(vec_id AS INT) AS cell, sv AS cv
        |        FROM subs WHERE vec_id < 16),
        |a0 AS (SELECT s.vec_id, s.m, s.sv, c.cell,
-       |         round(${pqDistSql("s.sv", "c.cv")}, 6) AS d2
+       |         ${safe6(pqDistSql("s.sv", "c.cv"))} AS d2
        |       FROM subs s JOIN cb0 c ON c.m = s.m),
        |a0r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
        |        FROM a0),
@@ -2218,16 +2231,16 @@ object SparkEntry {
        |cbp AS (SELECT m, cell, g.pos, avg(sv[g.pos]) AS cx
        |        FROM a0f, unnest(generate_series(1, 16)) AS g(pos)
        |        GROUP BY m, cell, g.pos),
-       |cb AS (SELECT m, cell, list(round(cx, 6) ORDER BY pos) AS cv
+       |cb AS (SELECT m, cell, list(${safe6("cx")} ORDER BY pos) AS cv
        |       FROM cbp GROUP BY m, cell),
        |e1 AS (SELECT s.vec_id, s.m, c.cell,
-       |         round(${pqDistSql("s.sv", "c.cv")}, 6) AS d2
+       |         ${safe6(pqDistSql("s.sv", "c.cv"))} AS d2
        |       FROM subs s JOIN cb c ON c.m = s.m),
        |e1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rn
        |        FROM e1),
        |enc AS (SELECT vec_id, m, cell AS code FROM e1r WHERE rn = 1),
        |dtab AS (SELECT s.vec_id AS query_id, s.m, c.cell,
-       |           round(${pqDistSql("s.sv", "c.cv")}, 6) AS d2
+       |           ${safe6(pqDistSql("s.sv", "c.cv"))} AS d2
        |         FROM subs s JOIN cb c ON c.m = s.m
        |         WHERE s.vec_id < 10),
        |sc AS (SELECT d.query_id, e.vec_id AS neighbor_id,
@@ -2241,7 +2254,7 @@ object SparkEntry {
     */
   private def kmAssignCte(name: String, cents: String, src: String = "n") =
     s"""${name}_s AS (SELECT n.vec_id, n.v, n.nrm, c.cell,
-       |  round(${dotSql("n.v", "c.cv")} / (n.nrm * c.c_nrm), 6) AS cs
+       |  ${safe6(dotSql("n.v", "c.cv") + " / (n.nrm * c.c_nrm)")} AS cs
        |  FROM $src n, $cents c),
        |${name}_r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
        |  FROM ${name}_s),
@@ -2251,7 +2264,7 @@ object SparkEntry {
     s"""${name}_p AS (SELECT cell, g.pos, avg(v[g.pos]) AS cx
        |  FROM $assign, unnest(generate_series(1, len(v))) AS g(pos)
        |  GROUP BY cell, g.pos),
-       |${name}_l AS (SELECT cell, list(round(cx, 6) ORDER BY pos) AS cv
+       |${name}_l AS (SELECT cell, list(${safe6("cx")} ORDER BY pos) AS cv
        |  FROM ${name}_p GROUP BY cell),
        |$name AS (SELECT cell, cv,
        |  sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm
@@ -2378,7 +2391,7 @@ object SparkEntry {
          |      WINDOW w AS (PARTITION BY symbol ORDER BY close, bar_start))
          |SELECT symbol, quartile, count(*) AS n_bars,
          |  min(close) AS close_lo, max(close) AS close_hi,
-         |  round(max(pr), 6) AS pr_hi, round(max(cd), 6) AS cd_hi
+         |  round(max(pr) * 1.0e6, 0) / 1.0e6 AS pr_hi, round(max(cd) * 1.0e6, 0) / 1.0e6 AS cd_hi
          |FROM p GROUP BY symbol, quartile
          |ORDER BY symbol, quartile""".stripMargin,
 
@@ -2392,8 +2405,8 @@ object SparkEntry {
          |  CAST(floor(epoch(bar_start)) AS BIGINT) AS ts_s FROM bars),
          |i2 AS (SELECT symbol, bar_start, ts_s, close,
          |  count(close) OVER w20 AS n20,
-         |  round(avg(close) OVER w20, 6) AS mid,
-         |  round(stddev_samp(close) OVER w20, 6) AS sd,
+         |  round((avg(close) OVER w20) * 1.0e6, 0) / 1.0e6 AS mid,
+         |  round((stddev_samp(close) OVER w20) * 1.0e6, 0) / 1.0e6 AS sd,
          |  list(close) OVER w20 AS cl,
          |  close - lag(close) OVER (PARTITION BY symbol ORDER BY ts_s) AS diff
          |  FROM i1
@@ -2404,21 +2417,21 @@ object SparkEntry {
          |  FROM i2),
          |i4 AS (SELECT *,
          |  count(diff) OVER w14 AS nd,
-         |  round(avg(gain) OVER w14, 6) AS ag,
-         |  round(avg(loss) OVER w14, 6) AS al
+         |  round((avg(gain) OVER w14) * 1.0e6, 0) / 1.0e6 AS ag,
+         |  round((avg(loss) OVER w14) * 1.0e6, 0) / 1.0e6 AS al
          |  FROM i3
          |  WINDOW w14 AS (PARTITION BY symbol ORDER BY ts_s ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
          |SELECT symbol, bar_start, close,
          |  CASE WHEN n20 = 20 THEN mid END AS boll_mid,
          |  CASE WHEN n20 = 20 THEN sd END AS boll_sd,
-         |  CASE WHEN n20 = 20 THEN round(mid + 2 * sd, 6) END AS boll_up,
-         |  CASE WHEN n20 = 20 THEN round(mid - 2 * sd, 6) END AS boll_dn,
+         |  CASE WHEN n20 = 20 THEN round((mid + 2 * sd) * 1.0e6, 0) / 1.0e6 END AS boll_up,
+         |  CASE WHEN n20 = 20 THEN round((mid - 2 * sd) * 1.0e6, 0) / 1.0e6 END AS boll_dn,
          |  CASE WHEN nd = 14 THEN
-         |    CASE WHEN al > 0 THEN round(100 - 100 / (1 + ag / al), 6)
+         |    CASE WHEN al > 0 THEN round((100 - 100 / (1 + ag / al)) * 1.0e6, 0) / 1.0e6
          |         ELSE 100.0 END END AS rsi14,
          |  CASE WHEN n20 = 20 THEN
          |    round(list_sum(list_transform(list_zip(list_reverse(cl), $wList),
-         |      z -> z[1] * z[2])) / $sumW, 6) END AS ewma20
+         |      z -> z[1] * z[2])) / $sumW * 1.0e6, 0) / 1.0e6 END AS ewma20
          |FROM i4 ORDER BY symbol, bar_start""".stripMargin
     },
 
@@ -3004,8 +3017,9 @@ object SparkEntry {
          |        sum(CASE WHEN price > p99 THEN 1 ELSE 0 END) AS n_clipped_high
          |      FROM w GROUP BY symbol)
          |SELECT symbol, n, p01, p99,
-         |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS w_mean,
-         |  CASE WHEN n > 1 THEN round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) END AS w_stddev,
+         |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |    AS w_mean,
+         |  CASE WHEN n > 1 THEN round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) * 1.0e6, 0) / 1.0e6 END AS w_stddev,
          |  CAST(n_clipped_low AS BIGINT) AS n_clipped_low,
          |  CAST(n_clipped_high AS BIGINT) AS n_clipped_high
          |FROM a ORDER BY symbol""".stripMargin,
@@ -3216,7 +3230,8 @@ object SparkEntry {
          |          ELSE greatest(least(floor((t.price - b.lo) / ((b.hi - b.lo) / 20.0)), 19.0), 0.0) END AS INT) AS bin
          |      FROM trades t JOIN b ON t.symbol = b.symbol)
          |SELECT symbol, bin,
-         |  round(max(lo) + bin * (max(hi) - max(lo)) / 20.0, 6) AS bin_lo,
+         |  round((max(lo) + bin * (max(hi) - max(lo)) / 20.0) * 1.0e6, 0)
+         |    / 1.0e6 AS bin_lo,
          |  count(*) AS n
          |FROM x GROUP BY symbol, bin ORDER BY symbol, bin""".stripMargin,
 
@@ -3429,7 +3444,7 @@ object SparkEntry {
          |           AS prev
          |       FROM bars),
          |r0 AS (SELECT symbol, bar_start,
-         |         CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS r
+         |         CAST(round(ln(close / prev) * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6)) AS r
          |       FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |r AS (SELECT symbol, row_number() OVER (PARTITION BY symbol
          |         ORDER BY bar_start) AS rn, r
@@ -3446,22 +3461,24 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY symbol, s, chunk
          |           ORDER BY rn) AS k,
          |         round(CAST(sum(r) OVER (PARTITION BY symbol, s, chunk)
-         |           AS DOUBLE) / s, 12) AS mu
+         |           AS DOUBLE) / s * 1.0e12, 0) / 1.0e12 AS mu
          |       FROM f),
          |z2 AS (SELECT symbol, s, chunk, r,
-         |         round(CAST(cum AS DOUBLE) - k * mu, 12) AS zz
+         |         round((CAST(cum AS DOUBLE) - k * mu) * 1.0e12, 0)
+         |           / 1.0e12 AS zz
          |       FROM zc),
          |ch AS (SELECT symbol, s, chunk, max(zz) AS zmax, min(zz) AS zmin,
          |         sum(r) AS sr, sum(CAST(r * r AS DECIMAL(38,12))) AS sr2
          |       FROM z2 GROUP BY symbol, s, chunk),
          |ch2 AS (SELECT symbol, s, zmax, zmin, sr2,
-         |          round(CAST(sr AS DOUBLE) / s, 12) AS mu
+         |          round(CAST(sr AS DOUBLE) / s * 1.0e12, 0) / 1.0e12 AS mu
          |        FROM ch),
          |ch3 AS (SELECT *, CAST(sr2 AS DOUBLE) / s - mu * mu AS variance
          |        FROM ch2),
          |rs AS (SELECT symbol, s,
          |         CAST(round((greatest(zmax, 0.0) - least(zmin, 0.0))
-         |           / sqrt(variance), 12) AS DECIMAL(28,12)) AS rsv
+         |           / sqrt(variance) * 1.0e12, 0) / 1.0e12
+         |           AS DECIMAL(28,12)) AS rsv
          |       FROM ch3 WHERE variance > 0),
          |bs AS (SELECT symbol, s, CAST(count(*) AS BIGINT) AS nc,
          |         sum(rsv) AS srs
@@ -3472,8 +3489,8 @@ object SparkEntry {
          |yy AS (SELECT symbol,
          |         CASE s WHEN 8 THEN 3 WHEN 16 THEN 4 WHEN 32 THEN 5
          |           ELSE 6 END AS x,
-         |         CAST(round(ln(mean_rs) / 0.6931471805599453, 12)
-         |           AS DECIMAL(28,12)) AS y
+         |         CAST(round(ln(mean_rs) / 0.6931471805599453 * 1.0e12, 0)
+         |           / 1.0e12 AS DECIMAL(28,12)) AS y
          |       FROM bs2 WHERE mean_rs > 0),
          |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_sizes,
          |        CAST(sum(x) AS BIGINT) AS sx,
@@ -3487,7 +3504,8 @@ object SparkEntry {
          |    THEN round((CAST(n_sizes AS DOUBLE) * CAST(sxy AS DOUBLE)
          |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |      / (CAST(n_sizes AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * 1.0e6, 0) / 1.0e6
          |  END AS hurst
          |FROM g WHERE n_sizes >= 2 ORDER BY symbol""".stripMargin,
 
@@ -3523,7 +3541,8 @@ object SparkEntry {
          |       THEN round((CAST(n_bars AS DOUBLE) * CAST(sxy AS DOUBLE)
          |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |         / (CAST(n_bars AS DOUBLE) * CAST(sxx AS DOUBLE)
-         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+         |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         * 1.0e9, 0) / 1.0e9
          |  END AS kyle_lambda
          |FROM g ORDER BY symbol""".stripMargin,
 
@@ -3539,11 +3558,12 @@ object SparkEntry {
          |           AS prev
          |       FROM bars),
          |r AS (SELECT symbol, epoch_us(bar_start) AS u,
-         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |        CAST(round(ln(close / prev) * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6)) AS ret
          |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |mkt AS (SELECT u AS mu,
          |          CAST(round(CAST(sum(ret) AS DOUBLE)
-         |            / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6))
+         |            / CAST(count(*) AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |            AS DECIMAL(18,6))
          |            AS mret
          |        FROM r GROUP BY u),
          |lg AS (SELECT r.symbol, r.ret, lh.l AS lag_h,
@@ -3567,7 +3587,8 @@ object SparkEntry {
          |            / sqrt((CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
          |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          |            * (CAST(n_obs AS DOUBLE) * CAST(syy AS DOUBLE)
-         |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |            * 1.0e6, 0) / 1.0e6
          |        END AS xcorr
          |      FROM g)
          |SELECT symbol, lag_hours, n_obs, xcorr,
@@ -3584,7 +3605,7 @@ object SparkEntry {
          |           ROWS UNBOUNDED PRECEDING) AS peak
          |       FROM bars)
          |SELECT symbol, count(*) AS n_bars,
-         |  round(min(close / peak - 1), 6) AS max_drawdown
+         |  round(min(close / peak - 1) * 1.0e6, 0) / 1.0e6 AS max_drawdown
          |FROM pk GROUP BY symbol ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.volEstimators: per-bar 6-decimal DECIMAL terms
@@ -3597,17 +3618,18 @@ object SparkEntry {
          |               ORDER BY bar_start) AS prev_close
          |           FROM bars),
          |terms AS (SELECT symbol,
-         |    CAST(round(CASE WHEN prev_close > 0
+         |    CAST(round((CASE WHEN prev_close > 0
          |        THEN ln(close / prev_close) * ln(close / prev_close)
-         |        END, 6) AS DECIMAL(18,6)) AS cc,
-         |    CAST(round(ln(high / low) * ln(high / low), 6)
-         |      AS DECIMAL(18,6)) AS pk,
-         |    CAST(round(ln(high / low) * ln(high / low) * 0.5
+         |        END) * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6)) AS cc,
+         |    CAST(round((ln(high / low) * ln(high / low)) * 1.0e6, 0)
+         |      / 1.0e6 AS DECIMAL(18,6)) AS pk,
+         |    CAST(round((ln(high / low) * ln(high / low) * 0.5
          |        - 0.3862943611198906 * ln(close / open)
-         |          * ln(close / open), 6) AS DECIMAL(18,6)) AS gk,
-         |    CAST(round(ln(high / close) * ln(high / open)
-         |        + ln(low / close) * ln(low / open), 6)
-         |      AS DECIMAL(18,6)) AS rs
+         |          * ln(close / open)) * 1.0e6, 0) / 1.0e6
+         |      AS DECIMAL(18,6)) AS gk,
+         |    CAST(round((ln(high / close) * ln(high / open)
+         |        + ln(low / close) * ln(low / open)) * 1.0e6, 0)
+         |      / 1.0e6 AS DECIMAL(18,6)) AS rs
          |  FROM lagged WHERE open > 0 AND low > 0),
          |g AS (SELECT symbol, count(*) AS n_bars, count(cc) AS n_cc,
          |        sum(cc) AS s_cc, sum(pk) AS s_pk,
@@ -3615,17 +3637,21 @@ object SparkEntry {
          |      FROM terms GROUP BY symbol)
          |SELECT symbol, n_bars,
          |  CASE WHEN n_cc > 0 THEN round(sqrt(
-         |    CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE)), 6) END AS vol_cc,
+         |    CAST(s_cc AS DOUBLE) / CAST(n_cc AS DOUBLE)) * 1.0e6, 0)
+         |    / 1.0e6 END AS vol_cc,
          |  CASE WHEN CAST(s_pk AS DOUBLE) / CAST(n_bars AS DOUBLE)
          |        / 2.772588722239781 >= 0
          |    THEN round(sqrt(CAST(s_pk AS DOUBLE) / CAST(n_bars AS DOUBLE)
-         |      / 2.772588722239781), 6) END AS vol_parkinson,
+         |      / 2.772588722239781) * 1.0e6, 0) / 1.0e6
+         |    END AS vol_parkinson,
          |  CASE WHEN CAST(s_gk AS DOUBLE) / CAST(n_bars AS DOUBLE) >= 0
          |    THEN round(sqrt(CAST(s_gk AS DOUBLE)
-         |      / CAST(n_bars AS DOUBLE)), 6) END AS vol_gk,
+         |      / CAST(n_bars AS DOUBLE)) * 1.0e6, 0) / 1.0e6
+         |    END AS vol_gk,
          |  CASE WHEN CAST(s_rs AS DOUBLE) / CAST(n_bars AS DOUBLE) >= 0
          |    THEN round(sqrt(CAST(s_rs AS DOUBLE)
-         |      / CAST(n_bars AS DOUBLE)), 6) END AS vol_rs
+         |      / CAST(n_bars AS DOUBLE)) * 1.0e6, 0) / 1.0e6
+         |    END AS vol_rs
          |FROM g ORDER BY symbol""".stripMargin,
 
     "flow_imbalance" ->
@@ -3638,7 +3664,7 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN side = 'sell'
          |    THEN CAST(size AS DECIMAL(20,6))
          |    ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS sell_vol,
-         |  round((CAST(sum(CASE WHEN side = 'buy'
+         |  round(((CAST(sum(CASE WHEN side = 'buy'
          |      THEN CAST(size AS DECIMAL(20,6))
          |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
          |    - CAST(sum(CASE WHEN side = 'sell'
@@ -3649,8 +3675,8 @@ object SparkEntry {
          |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
          |    + CAST(sum(CASE WHEN side = 'sell'
          |      THEN CAST(size AS DECIMAL(20,6))
-         |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)), 6)
-         |    AS imbalance,
+         |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE))) * 1.0e6, 0)
+         |    / 1.0e6 AS imbalance,
          |  count(*) AS trades
          |FROM trades GROUP BY symbol, time_bucket(INTERVAL 1 HOUR, event_time)
          |ORDER BY symbol, bar_start""".stripMargin,
@@ -4121,13 +4147,13 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
          |      FROM cells WHERE vec_id < 10),
          |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
-         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |         ${safe6(dotSql("q.qv", "c.cv") + " / (q.qn * c.c_nrm)")} AS c_cos
          |       FROM q, c2 c),
          |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
          |       FROM pc),
          |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
          |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
-         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |         ${safe6(dotSql("p.qv", "cl.v") + " / (p.qn * cl.nrm)")} AS cosine
          |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
@@ -4151,13 +4177,13 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
          |      FROM cells WHERE vec_id < 10),
          |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
-         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |         ${safe6(dotSql("q.qv", "c.cv") + " / (q.qn * c.c_nrm)")} AS c_cos
          |       FROM q, c2 c),
          |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
          |       FROM pc),
          |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
          |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
-         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |         ${safe6(dotSql("p.qv", "cl.v") + " / (p.qn * cl.nrm)")} AS cosine
          |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
@@ -4667,7 +4693,7 @@ object SparkEntry {
          |        FROM lexs QUALIFY lex_rank <= 20),
          |qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
          |pc AS (SELECT qv.query_id, n.vec_id AS doc_id,
-         |         round(${dotSql("qv.qv", "n.v")} / (qv.qn * n.nrm), 6) AS cosine
+         |         ${safe6(dotSql("qv.qv", "n.v") + " / (qv.qn * n.nrm)")} AS cosine
          |       FROM qv, n WHERE n.vec_id <> qv.query_id),
          |ann AS (SELECT query_id, doc_id,
          |          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS ann_rank
@@ -5123,7 +5149,8 @@ object SparkEntry {
          |${barsBodyCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")},
          |b AS (SELECT symbol, epoch_us(bar_start) AS u, close FROM bars),
          |pr AS (SELECT b1.symbol,
-         |         round((b2.close - b1.close) / CAST(g.l AS DOUBLE), 12)
+         |         round((b2.close - b1.close) / CAST(g.l AS DOUBLE)
+         |             * 1.0e12, 0) / 1.0e12
          |           AS slope
          |       FROM b b1, unnest(generate_series(1, 24)) AS g(l)
          |       JOIN b b2 ON b2.symbol = b1.symbol
@@ -5132,11 +5159,11 @@ object SparkEntry {
          |        list_sort(list(slope)) AS ss
          |      FROM pr GROUP BY symbol)
          |SELECT symbol, n_pairs,
-         |  round(CASE WHEN n_pairs % 2 = 1
+         |  round((CASE WHEN n_pairs % 2 = 1
          |      THEN ss[CAST((n_pairs + 1) // 2 AS INT)]
          |      ELSE (ss[CAST(n_pairs // 2 AS INT)]
          |        + ss[CAST(n_pairs // 2 AS INT) + 1]) / 2.0
-         |    END, 6) AS ts_slope
+         |    END) * 1.0e6, 0) / 1.0e6 AS ts_slope
          |FROM m ORDER BY symbol""".stripMargin,
 
     // mirrors Analytics.weightedMedianPrice: decimal cumulative sizes,
@@ -5290,7 +5317,7 @@ object SparkEntry {
          |           AS prev
          |       FROM bars),
          |r AS (SELECT symbol, bar_start,
-         |        CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS ret
+         |        CAST(round(ln(close / prev) * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6)) AS ret
          |      FROM rr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |st0 AS (SELECT symbol, count(*) AS n, sum(ret) AS s,
          |          sum(CAST(ret * ret AS DECIMAL(38,12))) AS s2
@@ -5298,7 +5325,8 @@ object SparkEntry {
          |st1 AS (SELECT symbol,
          |          CAST(round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
          |            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-         |              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         |              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+         |            * 1.0e6, 0) / 1.0e6
          |            AS DECIMAL(18,6)) AS sigma6
          |        FROM st0),
          |st AS (SELECT symbol,
@@ -5345,18 +5373,20 @@ object SparkEntry {
            |nn$i AS (SELECT sqrt(CAST(sum(CAST(w6 * w6 AS DECIMAL(38,12)))
            |    AS DOUBLE)) AS nrm FROM w$i),
            |v$i AS (SELECT j AS pos, CAST(CASE WHEN nrm > 0
-           |    THEN round(CAST(w6 AS DOUBLE) / nrm, 6) ELSE 0.0 END
+           |    THEN round(CAST(w6 AS DOUBLE) / nrm * 1.0e6, 0) / 1.0e6
+           |    ELSE 0.0 END
            |    AS DECIMAL(18,6)) AS v FROM w$i, nn$i)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (SELECT * FROM embeddings
          |  WHERE ${h60("'pca_' || vec_id")} % 100 < 25),
          |x AS (SELECT vec_id, CAST(g.pos AS INT) AS pos,
-         |    CAST(round(CAST(embedding[g.pos] AS DOUBLE), 6)
-         |      AS DECIMAL(18,6)) AS xr
+         |    CAST(round(CAST(embedding[g.pos] AS DOUBLE) * 1.0e6, 0)
+         |      / 1.0e6 AS DECIMAL(18,6)) AS xr
          |  FROM e,
          |    unnest(generate_series(1, len(embedding))) AS g(pos)),
          |mu AS (SELECT pos, CAST(round(CAST(sum(xr) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS mur
+         |    / CAST(count(*) AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |    AS DECIMAL(18,6)) AS mur
          |  FROM x GROUP BY pos),
          |xcu AS (SELECT vec_id, pos,
          |    CAST((xr - mur) * 1000000 AS BIGINT) AS u
@@ -5403,7 +5433,7 @@ object SparkEntry {
          |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm
          |  FROM ct),
          |s AS (SELECT n.label, c2.n_label, n.vec_id,
-         |    round(${dotSql("n.v", "c2.cv")} / (n.nrm * c2.c_nrm), 6)
+         |    ${safe6(dotSql("n.v", "c2.cv") + " / (n.nrm * c2.c_nrm)")}
          |      AS centroid_cos
          |  FROM n JOIN c2 USING (label)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY label
@@ -5414,8 +5444,8 @@ object SparkEntry {
 
     "embed_dim_stats" ->
       """WITH x AS (SELECT CAST(g.pos AS INT) AS dim,
-        |    CAST(round(CAST(embedding[g.pos] AS DOUBLE), 6)
-        |      AS DECIMAL(28,6)) AS xv,
+        |    CAST(round(CAST(embedding[g.pos] AS DOUBLE) * 1.0e6, 0)
+        |      / 1.0e6 AS DECIMAL(28,6)) AS xv,
         |    CASE WHEN embedding[g.pos] = 0 THEN 1 ELSE 0 END AS z
         |  FROM embeddings,
         |    unnest(generate_series(1, len(embedding))) AS g(pos)),
@@ -5424,10 +5454,12 @@ object SparkEntry {
         |        CAST(sum(z) AS BIGINT) AS n_zero
         |      FROM x GROUP BY dim),
         |v AS (SELECT dim, n,
-        |        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-        |        round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * 1.0e6, 0) / 1.0e6 AS mean,
+        |        round((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
         |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |          * 1.0e6, 0) / 1.0e6
         |          AS variance,
         |        CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE) AS zero_share
         |      FROM g)
@@ -5796,7 +5828,7 @@ object SparkEntry {
          |jp AS (SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5),
          |${embCte.replaceFirst("WITH ", "")}
          |SELECT jp.d1, jp.d2, jp.jaccard,
-         |  round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |  ${safe6(dotSql("x.v", "y.v") + " / (x.nrm * y.nrm)")} AS cosine
          |FROM jp JOIN n x ON x.vec_id = jp.d1 JOIN n y ON y.vec_id = jp.d2
          |ORDER BY jp.d1, jp.d2""".stripMargin,
 
@@ -6460,11 +6492,11 @@ object SparkEntry {
         |q AS (SELECT vec_id, v, mx / 127 AS scale,
         |    list_transform(v, x -> CAST(round(x / (mx / 127)) AS INT)) AS qv
         |  FROM m)
-        |SELECT vec_id, round(scale, 6) AS scale,
+        |SELECT vec_id, round(scale * 1.0e6, 0) / 1.0e6 AS scale,
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
         |  round(list_aggregate(
         |    list_transform(list_zip(v, qv), z -> abs(z[1] - z[2] * scale)),
-        |    'max'), 6) AS max_err
+        |    'max') * 1.0e6, 0) / 1.0e6 AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "dedup_edit_distance" ->
@@ -6544,7 +6576,7 @@ object SparkEntry {
       s"""$embCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
          |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-         |        round(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cosine
+         |        ${safe6(dotSql("q.qv", "n.v") + " / (q.qn * n.nrm)")} AS cosine
          |      FROM q, n WHERE n.vec_id <> q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM p)
@@ -6554,14 +6586,14 @@ object SparkEntry {
     "embed_top_pairs" ->
       s"""$embCte,
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+         |        ${safe6(dotSql("a.v", "b.v") + " / (a.nrm * b.nrm)")} AS cosine
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id1, id2, cosine FROM p ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
 
     "dedup_embed_cosine" ->
       s"""$embCte,
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+         |        ${safe6(dotSql("a.v", "b.v") + " / (a.nrm * b.nrm)")} AS cosine
          |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.45
          |ORDER BY id1, id2""".stripMargin,
@@ -6574,7 +6606,7 @@ object SparkEntry {
          |      FROM n WHERE vec_id < 10),
          |p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
          |        CASE WHEN n.label = q.q_label THEN 'pos' ELSE 'neg' END AS role,
-         |        round(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm), 6) AS cosine
+         |        ${safe6(dotSql("q.qv", "n.v") + " / (q.qn * n.nrm)")} AS cosine
          |      FROM q, n WHERE n.vec_id <> q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id, role ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM p)
@@ -6645,7 +6677,7 @@ object SparkEntry {
          |         SELECT cmin AS id1, vec_id AS id2
          |         FROM cs WHERE cn > 256 AND vec_id > cmin),
          |p AS (SELECT cand.id1, cand.id2,
-         |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |        ${safe6(dotSql("x.v", "y.v") + " / (x.nrm * y.nrm)")} AS cosine
          |      FROM cand JOIN n x ON x.vec_id = cand.id1
          |                JOIN n y ON y.vec_id = cand.id2),
          |dup AS (SELECT DISTINCT id2 FROM p WHERE cosine >= 0.45)
@@ -6674,7 +6706,7 @@ object SparkEntry {
          |         SELECT cmin AS id1, vec_id AS id2
          |         FROM cs WHERE cn > 256 AND vec_id > cmin),
          |p AS (SELECT cand.id1, cand.id2,
-         |        round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cosine
+         |        ${safe6(dotSql("x.v", "y.v") + " / (x.nrm * y.nrm)")} AS cosine
          |      FROM cand JOIN n x ON x.vec_id = cand.id1
          |                JOIN n y ON y.vec_id = cand.id2),
          |dup AS (SELECT DISTINCT id2 FROM p WHERE cosine >= 0.45)
@@ -6700,13 +6732,14 @@ object SparkEntry {
         s""",
            |c$i AS (SELECT ed.dst AS id,
            |          CAST(round(CAST(r${i - 1}.r AS DOUBLE)
-           |            / CAST(dg.deg AS DOUBLE), 12) AS DECIMAL(28,12)) AS c
+           |            / CAST(dg.deg AS DOUBLE) * 1.0e12, 0) / 1.0e12
+           |            AS DECIMAL(28,12)) AS c
            |        FROM ed JOIN r${i - 1} ON r${i - 1}.id = ed.src
            |        JOIN dg ON dg.id = ed.src),
            |r$i AS (SELECT s.id,
-           |          CAST(round(0.15e0 / CAST(nn.n AS DOUBLE)
-           |            + 0.85e0 * CAST(s.sc AS DOUBLE), 12)
-           |            AS DECIMAL(28,12)) AS r
+           |          CAST(round((0.15e0 / CAST(nn.n AS DOUBLE)
+           |            + 0.85e0 * CAST(s.sc AS DOUBLE)) * 1.0e12, 0)
+           |            / 1.0e12 AS DECIMAL(28,12)) AS r
            |        FROM (SELECT id, sum(c) AS sc FROM c$i GROUP BY id) s
            |        CROSS JOIN nn)""".stripMargin
       }.mkString
@@ -6717,8 +6750,8 @@ object SparkEntry {
          |dg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY src),
          |nodes AS (SELECT DISTINCT src AS id FROM ed),
          |nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT id, CAST(round(1.0e0 / CAST(nn.n AS DOUBLE), 12)
-         |         AS DECIMAL(28,12)) AS r
+         |r0 AS (SELECT id, CAST(round(1.0e0 / CAST(nn.n AS DOUBLE)
+         |           * 1.0e12, 0) / 1.0e12 AS DECIMAL(28,12)) AS r
          |       FROM nodes CROSS JOIN nn)$iters
          |SELECT r5.id AS vec_id, CAST(r5.r AS DOUBLE) AS rank, dg.deg
          |FROM r5 JOIN dg ON dg.id = r5.id
@@ -6742,7 +6775,7 @@ object SparkEntry {
          |               unnest(ids) AS u(id))
          |       GROUP BY threshold)
          |SELECT ec.threshold, n_edges, n_nodes,
-         |  round(2.0 * n_edges / n_nodes, 6) AS mean_degree
+         |  ${safe6("2.0 * n_edges / n_nodes")} AS mean_degree
          |FROM ec JOIN nc USING (threshold)
          |ORDER BY threshold""".stripMargin,
 
@@ -6925,13 +6958,13 @@ object SparkEntry {
          |         sqrt(list_sum(list_transform(cv, x -> x * x))) AS c_nrm FROM cent),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
          |pc AS (SELECT q.query_id, q.qv, q.qn, cn.c_label,
-         |         round(${dotSql("q.qv", "cn.cv")} / (q.qn * cn.c_nrm), 6) AS c_cos
+         |         ${safe6(dotSql("q.qv", "cn.cv") + " / (q.qn * cn.c_nrm)")} AS c_cos
          |       FROM q, cn),
          |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, c_label) AS c_rank
          |       FROM pc),
          |probe AS (SELECT query_id, qv, qn, c_label FROM pr WHERE c_rank <= 2),
          |sc AS (SELECT p.query_id, n.vec_id AS neighbor_id,
-         |         round(${dotSql("p.qv", "n.v")} / (p.qn * n.nrm), 6) AS cosine
+         |         ${safe6(dotSql("p.qv", "n.v") + " / (p.qn * n.nrm)")} AS cosine
          |       FROM probe p JOIN n ON n.label = p.c_label AND n.vec_id <> p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
@@ -6955,7 +6988,7 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
          |      FROM n WHERE vec_id < 10),
          |tsc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-         |          round(${dotSql("q.qv", "n.v")} / (q.qn * n.nrm), 6)
+         |          ${safe6(dotSql("q.qv", "n.v") + " / (q.qn * n.nrm)")}
          |            AS cosine
          |        FROM q JOIN n ON n.vec_id <> q.query_id),
          |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -6979,7 +7012,7 @@ object SparkEntry {
          |         sqrt(list_sum(list_transform(cv, x -> x * x)))
          |           AS c_nrm FROM cent),
          |pc AS (SELECT q.query_id, q.qv, q.qn, cn.c_label,
-         |         round(${dotSql("q.qv", "cn.cv")} / (q.qn * cn.c_nrm), 6)
+         |         ${safe6(dotSql("q.qv", "cn.cv") + " / (q.qn * cn.c_nrm)")}
          |           AS c_cos
          |       FROM q, cn),
          |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -6988,7 +7021,7 @@ object SparkEntry {
          |probe AS (SELECT query_id, qv, qn, c_label FROM pr
          |          WHERE c_rank <= 2),
          |sc AS (SELECT p.query_id, n.vec_id AS neighbor_id,
-         |         round(${dotSql("p.qv", "n.v")} / (p.qn * n.nrm), 6)
+         |         ${safe6(dotSql("p.qv", "n.v") + " / (p.qn * n.nrm)")}
          |           AS cosine
          |       FROM probe p JOIN n ON n.label = p.c_label
          |         AND n.vec_id <> p.query_id),
@@ -7006,8 +7039,8 @@ object SparkEntry {
          |        GROUP BY query_id)
          |SELECT i.query_id, i.n_truth,
          |  coalesce(g.n_hits, 0) AS n_hits, g.first_hit_rank,
-         |  round(CAST(coalesce(g.dcg, 0) AS DOUBLE)
-         |    / CAST(i.idcg AS DOUBLE), 6) AS ndcg,
+         |  ${safe6("""CAST(coalesce(g.dcg, 0) AS DOUBLE)
+         |    / CAST(i.idcg AS DOUBLE)""")} AS ndcg,
          |  coalesce(CAST(rc.rd AS DOUBLE), 0.0) AS rr
          |FROM idcg i LEFT JOIN dcg g USING (query_id)
          |LEFT JOIN recip rc ON rc.r = g.first_hit_rank
@@ -7026,13 +7059,13 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
          |      FROM cells WHERE vec_id < 10),
          |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
-         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |         ${safe6(dotSql("q.qv", "c.cv") + " / (q.qn * c.c_nrm)")} AS c_cos
          |       FROM q, c2 c),
          |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
          |       FROM pc),
          |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
          |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
-         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |         ${safe6(dotSql("p.qv", "cl.v") + " / (p.qn * cl.nrm)")} AS cosine
          |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
@@ -7063,13 +7096,13 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
          |      FROM cells WHERE vec_id < 10),
          |pc AS (SELECT q.query_id, q.qv, q.qn, c.cell,
-         |         round(${dotSql("q.qv", "c.cv")} / (q.qn * c.c_nrm), 6) AS c_cos
+         |         ${safe6(dotSql("q.qv", "c.cv") + " / (q.qn * c.c_nrm)")} AS c_cos
          |       FROM q, c2 c),
          |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cell) AS c_rank
          |       FROM pc),
          |probe AS (SELECT query_id, qv, qn, cell FROM pr WHERE c_rank <= 2),
          |sc AS (SELECT p.query_id, cl.vec_id AS neighbor_id,
-         |         round(${dotSql("p.qv", "cl.v")} / (p.qn * cl.nrm), 6) AS cosine
+         |         ${safe6(dotSql("p.qv", "cl.v") + " / (p.qn * cl.nrm)")} AS cosine
          |       FROM probe p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
          |      FROM sc)
@@ -7130,7 +7163,7 @@ object SparkEntry {
          |       FROM sc),
          |cand AS (SELECT query_id, neighbor_id FROM pr WHERE prank <= 30),
          |rr AS (SELECT c.query_id, c.neighbor_id,
-         |         round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cosine
+         |         ${safe6(dotSql("q.v", "x.v") + " / (q.nrm * x.nrm)")} AS cosine
          |       FROM cand c
          |       JOIN n x ON x.vec_id = c.neighbor_id
          |       JOIN n q ON q.vec_id = c.query_id),
@@ -7690,10 +7723,14 @@ object SparkEntry {
          |t4 AS (SELECT *, epoch_us(seg_end) - epoch_us(event_time) AS dt_us
          |  FROM t3)
          |SELECT symbol, hour_start, count(*) AS n_trades,
-         |  round(CAST(SUM(CAST(round(price * CAST(dt_us AS DOUBLE) / 1000000.0, 6) AS DECIMAL(28,6))) AS DOUBLE)
-         |    / CAST(SUM(CAST(round(CAST(dt_us AS DOUBLE) / 1000000.0, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS twap,
+         |  round(CAST(SUM(CAST(round(price * CAST(dt_us AS DOUBLE) / 1000000.0
+         |        * 1.0e6, 0) / 1.0e6 AS DECIMAL(28,6))) AS DOUBLE)
+         |    / CAST(SUM(CAST(round(CAST(dt_us AS DOUBLE) / 1000000.0
+         |        * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6))) AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS twap,
          |  round(CAST(SUM(CAST(round(price * size, 6) AS DECIMAL(28,6))) AS DOUBLE)
-         |    / CAST(SUM(CAST(size AS DECIMAL(20,6))) AS DOUBLE), 6) AS vwap
+         |    / CAST(SUM(CAST(size AS DECIMAL(20,6))) AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS vwap
          |FROM t4 GROUP BY symbol, hour_start
          |ORDER BY symbol, hour_start""".stripMargin,
 
@@ -8120,7 +8157,7 @@ object SparkEntry {
            |  FROM nd$d),
            |sc$d AS (SELECT q.vec_id AS query_id,
            |    c.vec_id AS neighbor_id,
-           |    round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6)
+           |    ${safe6(dotSql("q.v", "c.v") + " / (q.nrm * c.nrm)")}
            |      AS cosine
            |  FROM nn$d q, nn$d c
            |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
@@ -8146,7 +8183,7 @@ object SparkEntry {
          |qf AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
          |  WHERE vec_id < 10),
          |pf AS (SELECT qf.query_id, n.vec_id AS neighbor_id,
-         |    round(${dotSql("qf.qv", "n.v")} / (qf.qn * n.nrm), 6)
+         |    ${safe6(dotSql("qf.qv", "n.v") + " / (qf.qn * n.nrm)")}
          |      AS cosine
          |  FROM qf, n WHERE n.vec_id <> qf.query_id),
          |tr AS (SELECT query_id, neighbor_id FROM (SELECT *,
@@ -8684,8 +8721,8 @@ object SparkEntry {
          |SELECT dg.id AS vec_id, deg,
          |  coalesce(n_triangles, 0) AS n_triangles,
          |  CASE WHEN deg >= 2 THEN
-         |    round(2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
-         |      / CAST(deg * (deg - 1) AS DOUBLE), 6)
+         |    ${safe6("""2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+         |      / CAST(deg * (deg - 1) AS DOUBLE)""")}
          |  ELSE 0.0 END AS clustering
          |FROM dg LEFT JOIN pn ON pn.id = dg.id ORDER BY vec_id""".stripMargin,
 
@@ -8815,7 +8852,7 @@ object SparkEntry {
          |    lag(close) OVER (PARTITION BY symbol ORDER BY bar_start) AS prev
          |  FROM bars),
          |ri AS (SELECT symbol,
-         |    CAST(round(ln(close / prev), 6) AS DECIMAL(18,6)) AS x,
+         |    CAST(round(ln(close / prev) * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6)) AS x,
          |    row_number() OVER (PARTITION BY symbol ORDER BY bar_start) AS idx
          |  FROM pr WHERE prev IS NOT NULL AND prev > 0 AND close > 0),
          |p AS (SELECT a.symbol, g.l AS lag, a.x AS x, b.x AS y
@@ -8833,7 +8870,8 @@ object SparkEntry {
          |        AND (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
          |    THEN round((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
          |      / (sqrt(n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         |        * sqrt(n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |        * sqrt(n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |      * 1.0e6, 0) / 1.0e6
          |  END AS acf
          |FROM ag ORDER BY symbol, lag""".stripMargin,
 
@@ -8854,14 +8892,16 @@ object SparkEntry {
          |    wp AS (PARTITION BY symbol ORDER BY bar_start ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING),
          |    wa AS (PARTITION BY symbol ORDER BY bar_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
          |b3 AS (SELECT symbol, bar_start,
-         |    round(CAST(s_p AS DOUBLE) / 12, 6) AS mean_prev,
-         |    round(CAST(s_r AS DOUBLE) / 12, 6) AS mean_recent,
+         |    round(CAST(s_p AS DOUBLE) / 12 * 1.0e6, 0) / 1.0e6 AS mean_prev,
+         |    round(CAST(s_r AS DOUBLE) / 12 * 1.0e6, 0) / 1.0e6
+         |      AS mean_recent,
          |    CAST(s2_all AS DOUBLE) / 24
          |      - (CAST(s_all AS DOUBLE) / 24) * (CAST(s_all AS DOUBLE) / 24) AS var_all
          |  FROM b2 WHERE n_r = 12 AND n_p = 12),
          |b4 AS (SELECT symbol, bar_start, mean_prev, mean_recent,
          |    CASE WHEN var_all > 0
-         |      THEN round((mean_recent - mean_prev) / sqrt(var_all * (2.0 / 12)), 6)
+         |      THEN round((mean_recent - mean_prev) / sqrt(var_all * (2.0 / 12))
+         |        * 1.0e6, 0) / 1.0e6
          |    END AS shift_z
          |  FROM b3)
          |SELECT symbol, bar_start, mean_prev, mean_recent, shift_z,

@@ -33,7 +33,13 @@ object Analytics {
 
   private val ZERO_SD = 1e-12
 
-  private def r6(c: Column): Column = round(c, 6)
+  /** Version-safe 6-decimal pin: round(e·1e6, 0)/1e6 — engine and
+    * DuckDB oracle then round the SAME IEEE double (SCALING.md trap
+    * #10); the oracle twins carry the same ·1e6 association. */
+  private def r6(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
+  private def r9(c: Column): Column = round(c * lit(1.0e9), 0) / lit(1.0e9)
+  private def r12(c: Column): Column =
+    round(c * lit(1.0e12), 0) / lit(1.0e12)
 
   /** N3 prep: epoch-second sort key for the RANGE frame. */
   def withTsSeconds(bars: DataFrame): DataFrame =
@@ -54,7 +60,11 @@ object Analytics {
         when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
           col("close") / col("prev_close") - 1.0))
       .withColumn("logret",
-        when(col("prev_close").isNotNull && col("prev_close") > 0.0,
+        // close > 0 guard: Spark's log(0) is NULL but DuckDB's ln(0)
+        // hard-errors — pin the NULL on both sides explicitly (six
+        // zero-price events exist at sf0.1)
+        when(col("prev_close").isNotNull && col("prev_close") > 0.0 &&
+          col("close") > 0.0,
           r6(log(col("close") / col("prev_close")))))
 
   /** Rolling mean/sd + z for returns and volume (N4, rangeBetween family).
@@ -496,12 +506,12 @@ object Analytics {
       .filter(col("prev").isNotNull && col("prev") > 0 &&
         col("close") > 0)
       .select(col("symbol"), unix_micros(col("bar_start")).as("u"),
-        round(log(col("close") / col("prev")), 6)
+        r6(log(col("close") / col("prev")))
           .cast(DecimalType(18, 6)).as("ret"))
     val mkt = r.groupBy(col("u"))
       .agg(sum(col("ret")).as("sr"), count(lit(1)).as("nr"))
       .select(col("u").as("mu"),
-        round(col("sr").cast("double") / col("nr").cast("double"), 6)
+        r6(col("sr").cast("double") / col("nr").cast("double"))
           .cast(DecimalType(18, 6)).as("mret"))
     val lagged = r.withColumn("lag_h",
         explode(array((-maxLagHours to maxLagHours).map(l => lit(l)): _*)))
@@ -525,7 +535,7 @@ object Analytics {
       .orderBy(col("xcorr").desc_nulls_last, col("lag_h"))
     g.withColumn("xcorr",
         when(den > 0,
-          round((n * d("sxy") - d("sx") * d("sy")) / sqrt(den), 6)))
+          r6((n * d("sxy") - d("sx") * d("sy")) / sqrt(den))))
       .withColumn("is_best",
         row_number().over(wBest) === 1 && col("xcorr").isNotNull)
       .select(col("symbol"), col("lag_h").as("lag_hours"),
@@ -545,7 +555,7 @@ object Analytics {
       .withColumn("peak", max(col("close")).over(w))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_bars"),
-        round(min(col("close") / col("peak") - 1), 6).as("max_drawdown"))
+        r6(min(col("close") / col("peak") - 1)).as("max_drawdown"))
       .orderBy(col("symbol"))
   }
 
@@ -567,8 +577,8 @@ object Analytics {
       .select(col("symbol"), col("w.start").as("bar_start"),
         col("buy_d").cast("double").as("buy_vol"),
         col("sell_d").cast("double").as("sell_vol"),
-        round((col("buy_d").cast("double") - col("sell_d").cast("double"))
-          / (col("buy_d").cast("double") + col("sell_d").cast("double")), 6)
+        r6((col("buy_d").cast("double") - col("sell_d").cast("double"))
+          / (col("buy_d").cast("double") + col("sell_d").cast("double")))
           .as("imbalance"),
         col("trades"))
       .orderBy(col("symbol"), col("bar_start"))
@@ -719,7 +729,7 @@ object Analytics {
         col("close") > 0)
       .select(col("symbol"),
         row_number().over(wSym.orderBy(col("bar_start"))).as("rn"),
-        round(log(col("close") / col("prev")), 6)
+        r6(log(col("close") / col("prev")))
           .cast(DecimalType(18, 6)).as("r"))
     val sized = rets
       .withColumn("s", explode(array(sizes.map(lit): _*)))
@@ -733,29 +743,29 @@ object Analytics {
         Window.unboundedPreceding, Window.currentRow)))
       .withColumn("k", row_number().over(wChunk))
       .withColumn("mu",
-        round(sum(col("r")).over(part).cast("double") / col("s"), 12))
+        r12(sum(col("r")).over(part).cast("double") / col("s")))
       .withColumn("z",
-        round(col("cum").cast("double") - col("k") * col("mu"), 12))
+        r12(col("cum").cast("double") - col("k") * col("mu")))
     val chunks = withZ
       .groupBy(col("symbol"), col("s"), col("chunk"))
       .agg(max(col("z")).as("zmax"), min(col("z")).as("zmin"),
         sum(col("r")).as("sr"),
         sum((col("r") * col("r")).cast(DecimalType(38, 12))).as("sr2"))
-      .withColumn("mu", round(col("sr").cast("double") / col("s"), 12))
+      .withColumn("mu", r12(col("sr").cast("double") / col("s")))
       .withColumn("variance",
         col("sr2").cast("double") / col("s") - col("mu") * col("mu"))
       .filter(col("variance") > 0)
       .withColumn("rs",
-        round((greatest(col("zmax"), lit(0.0)) -
-          least(col("zmin"), lit(0.0))) / sqrt(col("variance")), 12)
+        r12((greatest(col("zmax"), lit(0.0)) -
+          least(col("zmin"), lit(0.0))) / sqrt(col("variance")))
           .cast(dec))
     val bySize = chunks.groupBy(col("symbol"), col("s"))
       .agg(count(lit(1)).as("nc"), sum(col("rs")).as("srs"))
       .withColumn("mean_rs",
         col("srs").cast("double") / col("nc").cast("double"))
       .filter(col("mean_rs") > 0)
-      .withColumn("y", round(log(col("mean_rs")) /
-        lit(0.6931471805599453), 12).cast(dec))
+      .withColumn("y", r12(log(col("mean_rs")) /
+        lit(0.6931471805599453)).cast(dec))
       .withColumn("x", {
         // exact integer log2 per configured size — no libm in x
         val exps = sizes.map(sz =>
@@ -777,7 +787,7 @@ object Analytics {
     g.filter(col("n_sizes") >= 2)
       .select(col("symbol"), col("n_sizes"),
         when(den > 0,
-          round((n * d("sxy") - d("sx") * d("sy")) / den, 6)).as("hurst"))
+          r6((n * d("sxy") - d("sx") * d("sy")) / den)).as("hurst"))
       .orderBy(col("symbol"))
   }
 
@@ -820,7 +830,7 @@ object Analytics {
     val den = n * d("sxx") - d("sx") * d("sx")
     g.select(col("symbol"), col("n_bars"),
         when(den > 0,
-          round((n * d("sxy") - d("sx") * d("sy")) / den, 9))
+          r9((n * d("sxy") - d("sx") * d("sy")) / den))
           .as("kyle_lambda"))
       .orderBy(col("symbol"))
   }
@@ -863,11 +873,11 @@ object Analytics {
         sum((col("price") < col("p01")).cast("long")).as("n_clipped_low"),
         sum((col("price") > col("p99")).cast("long")).as("n_clipped_high"))
       .select(col("symbol"), col("n"), col("p01"), col("p99"),
-        round(s1 / n, 6).as("w_mean"),
+        r6(s1 / n).as("w_mean"),
         // n = 1 would divide by zero and emit NaN — a meaningless row
         // both engines happen to agree on; NULL is the honest value
         when(col("n") > 1,
-          round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0d))), 6))
+          r6(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0d)))))
           .as("w_stddev"),
         col("n_clipped_low"), col("n_clipped_high"))
       .orderBy(col("symbol"))
@@ -929,7 +939,7 @@ object Analytics {
       .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
         count(lit(1)).as("n"))
       .select(col("symbol"), col("bin"),
-        round(col("lo") + col("bin") * (col("hi") - col("lo")) / lit(bins.toDouble), 6).as("bin_lo"),
+        r6(col("lo") + col("bin") * (col("hi") - col("lo")) / lit(bins.toDouble)).as("bin_lo"),
         col("n"))
       .orderBy(col("symbol"), col("bin"))
   }
@@ -989,17 +999,17 @@ object Analytics {
       .groupBy(col("symbol"), col("hour_start"))
       .agg(
         count(lit(1)).as("n_trades"),
-        sum(round(col("price") * col("dt_us").cast("double") / 1e6, 6)
+        sum(r6(col("price") * col("dt_us").cast("double") / 1e6)
           .cast(DecimalType(28, 6))).as("pxdt"),
-        sum(round(col("dt_us").cast("double") / 1e6, 6)
+        sum(r6(col("dt_us").cast("double") / 1e6)
           .cast(DecimalType(18, 6))).as("dts"),
         sum(round(col("price") * col("size"), 6)
           .cast(DecimalType(28, 6))).as("pxv"),
         sum(col("size").cast(DecimalType(20, 6))).as("v"))
       .select(col("symbol"), col("hour_start"), col("n_trades"),
-        round(col("pxdt").cast("double") / col("dts").cast("double"), 6)
+        r6(col("pxdt").cast("double") / col("dts").cast("double"))
           .as("twap"),
-        round(col("pxv").cast("double") / col("v").cast("double"), 6)
+        r6(col("pxv").cast("double") / col("v").cast("double"))
           .as("vwap"))
       .orderBy(col("symbol"), col("hour_start"))
   }
@@ -1027,7 +1037,7 @@ object Analytics {
       .filter(col("prev").isNotNull && col("prev") > 0 &&
         col("close") > 0)
       .select(col("symbol"),
-        round(log(col("close") / col("prev")), 6)
+        r6(log(col("close") / col("prev")))
           .cast(DecimalType(18, 6)).as("x"),
         row_number().over(w).as("idx"))
     val a = r.toDF("symbol", "x", "idx")
@@ -1051,8 +1061,8 @@ object Analytics {
     val deny = n * d("syy") - d("sy") * d("sy")
     g.select(col("symbol"), col("lag"), col("n_pairs"),
         when(denx > 0 && deny > 0,
-          round((n * d("sxy") - d("sx") * d("sy"))
-            / (sqrt(denx) * sqrt(deny)), 6)).as("acf"))
+          r6((n * d("sxy") - d("sx") * d("sy"))
+            / (sqrt(denx) * sqrt(deny)))).as("acf"))
       .orderBy(col("symbol"), col("lag"))
   }
 
@@ -1093,17 +1103,17 @@ object Analytics {
       .withColumn("s2_all", sum(c2).over(both))
       .where(col("n_r") === w && col("n_p") === w)
       .withColumn("mean_recent",
-        round(col("s_r").cast("double") / w, 6))
+        r6(col("s_r").cast("double") / w))
       .withColumn("mean_prev",
-        round(col("s_p").cast("double") / w, 6))
+        r6(col("s_p").cast("double") / w))
       .withColumn("var_all",
         col("s2_all").cast("double") / (2 * w) -
           (col("s_all").cast("double") / (2 * w)) *
           (col("s_all").cast("double") / (2 * w)))
       .withColumn("shift_z",
         when(col("var_all") > 0,
-          round((col("mean_recent") - col("mean_prev")) /
-            sqrt(col("var_all") * (2.0 / w)), 6)))
+          r6((col("mean_recent") - col("mean_prev")) /
+            sqrt(col("var_all") * (2.0 / w)))))
       .select(col("symbol"), col("bar_start"), col("mean_prev"),
         col("mean_recent"), col("shift_z"),
         (abs(coalesce(col("shift_z"), lit(0.0))) > threshold).as("shifted"))
@@ -1138,7 +1148,7 @@ object Analytics {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(18, 6)
     val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
-    def t6(c: Column) = round(c, 6).cast(dec)
+    def t6(c: Column) = r6(c).cast(dec)
     val lnHL = log(col("high") / col("low"))
     val lnCO = log(col("close") / col("open"))
     val terms = bars
@@ -1169,10 +1179,10 @@ object Analytics {
     def d(c: String) = col(c).cast("double")
     val n = col("n_bars").cast("double")
     def vol(mean: Column) =
-      when(mean >= 0, round(sqrt(mean), 6))
+      when(mean >= 0, r6(sqrt(mean)))
     g.select(col("symbol"), col("n_bars"),
         when(col("n_cc") > 0,
-          round(sqrt(d("s_cc") / col("n_cc").cast("double")), 6))
+          r6(sqrt(d("s_cc") / col("n_cc").cast("double"))))
           .as("vol_cc"),
         vol(d("s_pk") / n / 2.772588722239781).as("vol_parkinson"),
         vol(d("s_gk") / n).as("vol_gk"),
@@ -1288,15 +1298,15 @@ object Analytics {
       .filter(col("prev").isNotNull && col("prev") > 0 &&
         col("close") > 0)
       .select(col("symbol"), col("bar_start"),
-        round(log(col("close") / col("prev")), 6)
+        r6(log(col("close") / col("prev")))
           .cast(DecimalType(18, 6)).as("ret"))
     val stats = r.groupBy(col("symbol"))
       .agg(count(lit(1)).as("n"), sum(col("ret")).as("s"),
         sum((col("ret") * col("ret")).cast(DecimalType(38, 12))).as("s2"))
       .select(col("symbol"),
-        round(sqrt(col("s2").cast("double") / col("n").cast("double") -
+        r6(sqrt(col("s2").cast("double") / col("n").cast("double") -
           (col("s").cast("double") / col("n").cast("double")) *
-          (col("s").cast("double") / col("n").cast("double"))), 6)
+          (col("s").cast("double") / col("n").cast("double"))))
           .cast(DecimalType(18, 6)).as("sigma6"))
       // k = σ/2 as EXACT decimal×decimal (scale 7): rounding σ·0.5 to
       // 6 decimals would land exactly on the half-micro boundary
@@ -1385,17 +1395,17 @@ object Analytics {
       unix_micros(col("bar_start")).as("u2"), col("close").as("c2"))
     val pairs = left.join(right, Seq("symbol", "u2"))
       .select(col("symbol"),
-        round((col("c2") - col("c1")) / col("lag_h").cast("double"), 12)
+        r12((col("c2") - col("c1")) / col("lag_h").cast("double"))
           .as("slope"))
     val arr = col("ss"); val n = col("n_pairs")
     pairs.groupBy(col("symbol"))
       .agg(sort_array(collect_list(col("slope"))).as("ss"),
         count(lit(1)).as("n_pairs"))
       .select(col("symbol"), col("n_pairs"),
-        round(when(n % 2 === 1,
+        r6(when(n % 2 === 1,
             element_at(arr, ((n + 1) / 2).cast("int")))
           .otherwise((element_at(arr, (n / 2).cast("int")) +
-            element_at(arr, (n / 2).cast("int") + 1)) / lit(2.0)), 6)
+            element_at(arr, (n / 2).cast("int") + 1)) / lit(2.0)))
           .as("ts_slope"))
       .orderBy(col("symbol"))
   }

@@ -32,8 +32,18 @@ object Similarity {
       expr("transform(embedding, x -> cast(x as double))").as("v"))
     .withColumn("nrm", vecNorm(col("v")))
 
-  private def cosine = round(
-    vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+  /** Version-safe 6-decimal pin: round(e·1e6, 0)/1e6 — the engine and
+    * the DuckDB oracle then round the SAME IEEE double to an integer
+    * (identical for every input), where round(e, 6) lets BigDecimal
+    * HALF_UP and a multiply-based round disagree near any half-micro
+    * boundary (SCALING.md trap #10). Oracle twins use
+    * SparkEntry.safe6 with the same association order. */
+  private def r6(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
+  private def r12(c: Column): Column =
+    round(c * lit(1.0e12), 0) / lit(1.0e12)
+
+  private def cosine = r6(
+    vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")))
 
   /** Exact cosine top-k per query vector (query set = vec_id < nQueries).
     * Broadcast the queries; the corpus is scanned once, scored rows
@@ -146,11 +156,11 @@ object Similarity {
       "transform(v, x -> cast(round(x / scale, 0) as int))"))
     .select(
       col("vec_id"),
-      round(col("scale"), 6).as("scale"),
+      r6(col("scale")).as("scale"),
       expr("aggregate(qv, 0L, (a, q) -> a + abs(q))").as("q_l1"),
-      round(expr(
+      r6(expr(
         """aggregate(zip_with(v, qv, (x, q) -> abs(x - q * scale)),
-          |0D, (a, e) -> greatest(a, e))""".stripMargin), 6).as("max_err"))
+          |0D, (a, e) -> greatest(a, e))""".stripMargin)).as("max_err"))
     .orderBy(col("vec_id"))
 
   /** Deterministic ±1 hyperplane components: parity of the md5-derived
@@ -255,7 +265,7 @@ object Similarity {
       .groupBy(col("threshold")).agg(count(lit(1)).as("n_nodes"))
     edges.join(nodes, Seq("threshold"))
       .select(col("threshold"), col("n_edges"), col("n_nodes"),
-        round(lit(2.0) * col("n_edges") / col("n_nodes"), 6)
+        r6(lit(2.0) * col("n_edges") / col("n_nodes"))
           .as("mean_degree"))
       .orderBy(col("threshold"))
   }
@@ -270,13 +280,13 @@ object Similarity {
     */
   private def l2sq(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(org.apache.spark.sql.graft.VecL2Sq.column(a, b), 6)
+    r6(org.apache.spark.sql.graft.VecL2Sq.column(a, b))
 
   /** The composable higher-order-function reference form of [[l2sq]]. */
   private[graft] def l2sqHof(a: org.apache.spark.sql.Column,
                              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, e) => acc + e), 6)
+    r6(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e))
 
   /** Product-quantization ANN with asymmetric distance (ADC) — the
     * billion-vector memory-scale path (Jégou et al. 2011, "Product
@@ -341,7 +351,7 @@ object Similarity {
         .groupBy(col("m"), col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
         .select(col("m"), col("cell"),
-          expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
+          expr("transform(pcs, p -> round(p.cx * 1.0e6, 0) / 1.0e6)").as("cv"))
     }
     // Pin the trained codebook (numSub×K tiny rows): corpus encoding and
     // the ADC table both consume it, and without the checkpoint each
@@ -417,8 +427,8 @@ object Similarity {
     n.crossJoin(broadcast(packed))
       .withColumn("best", array_min(transform(col("cents"), c =>
         struct(
-          (-round(vecDot(col("v"), c.getField("cv")) /
-            (col("nrm") * c.getField("c_nrm")), 6)).as("ncs"),
+          (-r6(vecDot(col("v"), c.getField("cv")) /
+            (col("nrm") * c.getField("c_nrm")))).as("ncs"),
           c.getField("cell").as("cell")))))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("best").getField("cell").as("cell"))
@@ -444,7 +454,7 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
         .select(col("cell"),
-          expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
+          expr("transform(pcs, p -> round(p.cx * 1.0e6, 0) / 1.0e6)").as("cv"))
         .withColumn("c_nrm", vecNorm(col("cv")))
         // Pin each iteration's k tiny centroid rows: the next assignment
         // broadcasts them, and without the checkpoint that broadcast
@@ -486,7 +496,7 @@ object Similarity {
         col("nrm").as("qn"))
     val probed = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"),
-        round(vecDot(col("qv"), col("cv")) / (col("qn") * col("c_nrm")), 6)
+        r6(vecDot(col("qv"), col("cv")) / (col("qn") * col("c_nrm")))
           .as("c_cos"))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -587,7 +597,7 @@ object Similarity {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pcs"))
       .select(col("label").as("c_label"),
-        expr("transform(pcs, p -> round(p.cx, 6))").as("cv"))
+        expr("transform(pcs, p -> round(p.cx * 1.0e6, 0) / 1.0e6)").as("cv"))
       .withColumn("c_nrm", vecNorm(col("cv")))
     val q = n.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -595,7 +605,7 @@ object Similarity {
     // rank cells per query, keep nProbe closest
     val probed = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("qn"), col("c_label"),
-        round(vecDot(col("qv"), col("cv")) / (col("qn") * col("c_nrm")), 6)
+        r6(vecDot(col("qv"), col("cv")) / (col("qn") * col("c_nrm")))
           .as("c_cos"))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -687,8 +697,8 @@ object Similarity {
       .select(col("query_id"), col("n_truth"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("first_hit_rank"),
-        round(coalesce(col("dcg"), lit(0)).cast("double") /
-          col("idcg").cast("double"), 6).as("ndcg"),
+        r6(coalesce(col("dcg"), lit(0)).cast("double") /
+          col("idcg").cast("double")).as("ndcg"),
         coalesce(element_at(recipArr, col("first_hit_rank"))
           .cast("double"), lit(0.0)).as("rr"))
       .orderBy(col("query_id"))
@@ -815,7 +825,7 @@ object Similarity {
     val withinPairs = small.as("a").join(small.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        round(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+        r6(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cosine"))
     // over-cap cells: every member is compared to the cell's min id only
     // (star pairs) — candidate count degrades from O(cn²) to O(cn)
@@ -825,7 +835,7 @@ object Similarity {
     val starPairs = cells.filter(col("cn") > maxCell && col("vec_id") > col("cmin"))
       .join(reps, col("cell") === col("r_cell"))
       .select(col("id1"), col("vec_id").as("id2"),
-        round(vecDot(col("rv"), col("v")) / (col("rn") * col("nrm")), 6)
+        r6(vecDot(col("rv"), col("v")) / (col("rn") * col("nrm")))
           .as("cosine"))
     val dropped = withinPairs.unionByName(starPairs)
       .filter(col("cosine") >= threshold)
@@ -872,19 +882,19 @@ object Similarity {
     val nRow = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(nRow))
       .select(col("id"),
-        round(lit(1.0) / col("n").cast("double"), 12).cast(dec).as("r"))
+        r12(lit(1.0) / col("n").cast("double")).cast(dec).as("r"))
     for (_ <- 1 to iterations) {
       val contrib = edges
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("id"),
-          round(col("r").cast("double") / col("deg").cast("double"), 12)
+          r12(col("r").cast("double") / col("deg").cast("double"))
             .cast(dec).as("c"))
       r = contrib.groupBy(col("id")).agg(sum(col("c")).as("sc"))
         .crossJoin(broadcast(nRow))
         .select(col("id"),
-          round(lit(teleport) / col("n").cast("double")
-            + lit(damping) * col("sc").cast("double"), 12).cast(dec).as("r"))
+          r12(lit(teleport) / col("n").cast("double")
+            + lit(damping) * col("sc").cast("double")).cast(dec).as("r"))
     }
     r.join(deg.withColumnRenamed("src", "id"), Seq("id"))
       .select(col("id").as("vec_id"), col("r").cast("double").as("rank"),
@@ -1100,8 +1110,8 @@ object Similarity {
       .select(col("id").as("vec_id"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
-          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
-            / (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          r6(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double")))
           .otherwise(lit(0.0)).as("clustering"))
       .orderBy(col("vec_id"))
   }
@@ -1158,10 +1168,10 @@ object Similarity {
     val x = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), col("pos"),
-        round(col("xf").cast("double"), 6).cast(d6).as("xr"))
+        r6(col("xf").cast("double")).cast(d6).as("xr"))
     val mu = x.groupBy(col("pos"))
-      .agg(round(sum(col("xr")).cast("double") /
-        count(lit(1)).cast("double"), 6).cast(d6).as("mur"))
+      .agg(r6(sum(col("xr")).cast("double") /
+        count(lit(1)).cast("double")).cast(d6).as("mur"))
     // the mean vector as ONE array row (dims-sized), broadcast into
     // the centering pass
     val muv = mu.agg(expr(
@@ -1181,7 +1191,8 @@ object Similarity {
     val xcu = embeddings.crossJoin(broadcast(muv))
       .select(col("vec_id"), expr(
         """zip_with(embedding, muv, (x, m) ->
-          |  cast((cast(round(cast(x as double), 6) as decimal(18,6)) - m)
+          |  cast((cast(round(cast(x as double) * 1.0e6, 0) / 1.0e6
+          |          as decimal(18,6)) - m)
           |       * 1000000 as bigint))""".stripMargin).as("u"))
     val gram = xcu.select(explode(expr(
         """flatten(transform(u, (xi, i) ->
@@ -1214,7 +1225,7 @@ object Similarity {
       w.crossJoin(broadcast(nrm))
         .select(col("j").as("pos"),
           when(col("nrm") > 0,
-            round(col("w6").cast("double") / col("nrm"), 6))
+            r6(col("w6").cast("double") / col("nrm")))
             .otherwise(0.0).cast(d6).as("v"))
     }
     val n1 = embeddings.agg(count(lit(1)).as("nv"))
@@ -1249,7 +1260,7 @@ object Similarity {
     val g = embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select((col("pos") + 1).as("dim"),
-        round(col("xf").cast("double"), 6).cast(dec).as("x"),
+        r6(col("xf").cast("double")).cast(dec).as("x"),
         (col("xf") === 0.0f).cast("long").as("z"))
       .withColumn("x2", (col("x") * col("x")).cast(DecimalType(38, 12)))
       .groupBy(col("dim"))
@@ -1257,9 +1268,9 @@ object Similarity {
         sum(col("x2")).as("sxx"), sum(col("z")).as("n_zero"))
     val n = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
-    val mean = round(d("sx") / n, 6)
+    val mean = r6(d("sx") / n)
     val variance =
-      round(d("sxx") / n - (d("sx") / n) * (d("sx") / n), 6)
+      r6(d("sxx") / n - (d("sx") / n) * (d("sx") / n))
     g.select(col("dim"), col("n"), mean.as("mean"),
         variance.as("variance"),
         (col("n_zero").cast("double") / n).as("zero_share"),
@@ -1299,8 +1310,8 @@ object Similarity {
       .withColumn("c_nrm", vecNorm(col("cv")))
     n.join(broadcast(cents), Seq("label"))
       .select(col("label"), col("n_label"), col("vec_id"),
-        round(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm")),
-          6).as("centroid_cos"))
+        r6(vecDot(col("v"), col("cv")) / (col("nrm") * col("c_nrm")))
+          .as("centroid_cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("label"))
           .orderBy(col("centroid_cos"), col("vec_id"))))
