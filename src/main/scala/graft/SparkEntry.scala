@@ -1840,11 +1840,11 @@ object SparkEntry {
     }.mkString
     s"""WITH feats0 AS (SELECT
        |    CAST(round(ln(1.0 + CAST(sum(CASE WHEN event_type <>
-       |      'purchase' THEN 1 ELSE 0 END) AS DOUBLE)), 6)
-       |      AS DECIMAL(8,6)) AS x1,
+       |      'purchase' THEN 1 ELSE 0 END) AS DOUBLE)) * 1.0e6, 0)
+       |      / 1.0e6 AS DECIMAL(8,6)) AS x1,
        |    CAST(round(CAST(count(DISTINCT CASE WHEN event_type <>
        |      'purchase' THEN CAST(ts AS DATE) END) AS DOUBLE)
-       |      / 30.0, 6) AS DECIMAL(8,6)) AS x2,
+       |      / 30.0 * 1.0e6, 0) / 1.0e6 AS DECIMAL(8,6)) AS x2,
        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
        |      THEN 1 ELSE 0 END) > 13 THEN 1 ELSE 0 END AS INT) AS y,
        |    (${h60("'eval_' || user_id")} % 100) >= 80 AS tst
@@ -2074,7 +2074,8 @@ object SparkEntry {
        |q AS (SELECT doc_id,
        |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
        |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-       |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+       |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score
        |  FROM t),
        |qp AS (SELECT doc_id FROM q WHERE quality_score >= 0.35),
        |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN qp ON qp.doc_id = s.doc_id),
@@ -3056,7 +3057,8 @@ object SparkEntry {
         |cs AS (SELECT cohort_date, count(*) AS cohort_size FROM f
         |       GROUP BY cohort_date)
         |SELECT g.cohort_date, g.day_offset, g.n_users, cs.cohort_size,
-        |  round(CAST(g.n_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE), 6)
+        |  round(CAST(g.n_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE)
+        |    * 1.0e6, 0) / 1.0e6
         |    AS retention
         |FROM g JOIN cs ON cs.cohort_date = g.cohort_date
         |ORDER BY g.cohort_date, g.day_offset""".stripMargin,
@@ -3733,12 +3735,13 @@ object SparkEntry {
          |SELECT doc_id, length(text) AS n_chars_text, len(toks) AS n_tokens,
          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_re,
          |  len(list_distinct(toks)) AS n_distinct_tokens,
-         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
-         |  round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS distinct_ratio,
+         |  round(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS avg_token_len,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS stopword_ratio,
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
 
     // mirrors TextAnalysis.repetitionProfile: n-gram occurrence counts
@@ -3786,10 +3789,10 @@ object SparkEntry {
     "lang_id" ->
       s"""$docsCte,
          |s AS (SELECT doc_id,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_en,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_es,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_de,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_fr
          |  FROM t)
          |SELECT doc_id, score_en, score_es, score_de, score_fr,
          |  CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
@@ -3804,10 +3807,10 @@ object SparkEntry {
     "langid_confusion" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
-        |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
-        |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
-        |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
-        |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_en,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_es,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_de,
+        |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_fr
         |  FROM t),
         |p AS (SELECT lang AS lang_true,
         |  CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
@@ -4475,7 +4478,8 @@ object SparkEntry {
          |q AS (SELECT doc_id,
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score
          |  FROM t)
          |SELECT doc_id, quality_score FROM q WHERE quality_score >= 0.35
          |ORDER BY doc_id""".stripMargin,
@@ -4488,7 +4492,8 @@ object SparkEntry {
         |q AS (SELECT doc_id, source,
         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score
         |  FROM t),
         |r AS (SELECT *, ntile(10) OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS dec
         |      FROM q)
@@ -4500,11 +4505,12 @@ object SparkEntry {
          |s AS (SELECT doc_id,
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_en,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_es,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_de,
-         |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS score_fr
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_en,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_es,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_de,
+         |  round(CAST(len(list_filter(toks, tk -> list_contains(['le','la','de','et','est'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_fr
          |  FROM t),
          |l AS (SELECT doc_id, quality_score,
          |  CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
@@ -4933,7 +4939,8 @@ object SparkEntry {
          |q AS (SELECT doc_id, source,
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score
          |  FROM t),
          |b AS (SELECT source,
          |        ${h60("'drift_' || doc_id")} % 2 AS sp,
@@ -6435,7 +6442,8 @@ object SparkEntry {
          |qv AS (SELECT doc_id,
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) AS quality_score
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+    * 1.0e6, 0) / 1.0e6 AS quality_score
          |  FROM t)
          |SELECT qv.doc_id, qv.quality_score
          |FROM qv
@@ -7251,10 +7259,12 @@ object SparkEntry {
         |  FROM sc),
         |z2 AS (SELECT *,
         |    CASE WHEN sd IS NOT NULL
-        |      THEN round((CAST(c AS DOUBLE) - mu) / sd, 6) END AS z
+        |      THEN round((CAST(c AS DOUBLE) - mu) / sd * 1.0e6, 0) / 1.0e6
+        |      END AS z
         |  FROM zz)
         |SELECT event_type, day, hod AS hour, c AS n_events,
-        |  round(mu, 6) AS mu, round(sd, 6) AS sd, z,
+        |  round(mu * 1.0e6, 0) / 1.0e6 AS mu,
+        |  round(sd * 1.0e6, 0) / 1.0e6 AS sd, z,
         |  coalesce(abs(z) >= 3.0, false) AS anomalous
         |FROM z2 ORDER BY event_type, day, hour""".stripMargin,
 
@@ -7483,12 +7493,12 @@ object SparkEntry {
          |  FROM h),
          |e AS (SELECT event_type,
          |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) * 1.0e4, 0) / 1.0e4
          |    END AS kmv_est
          |  FROM r WHERE rn <= 64 GROUP BY event_type),
          |x AS (SELECT event_type, count(*) AS n_exact FROM h GROUP BY event_type)
          |SELECT x.event_type, n_exact, kmv_est,
-         |  round(abs(kmv_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+         |  round(abs(kmv_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1.0e4, 0) / 1.0e4 AS rel_err
          |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
 
     // mirrors Sketches.kmvMergeDaily (k=32): per-(type, day) k-min
@@ -7506,7 +7516,7 @@ object SparkEntry {
          |pd AS (SELECT DISTINCT event_type, h FROM p),
          |m AS (SELECT event_type,
          |    CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
-         |      ELSE round(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |      ELSE round(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) * 1.0e4, 0) / 1.0e4
          |    END AS merged_est
          |  FROM (SELECT event_type, h,
          |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -7514,7 +7524,7 @@ object SparkEntry {
          |hd AS (SELECT DISTINCT event_type, h FROM h),
          |d AS (SELECT event_type,
          |    CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
-         |      ELSE round(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |      ELSE round(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) * 1.0e4, 0) / 1.0e4
          |    END AS direct_est
          |  FROM (SELECT event_type, h,
          |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -7546,15 +7556,16 @@ object SparkEntry {
          |e AS (SELECT event_type, v_zero, s_scaled,
          |    CASE WHEN 4.2399330249068963e20 / CAST(s_scaled AS DOUBLE)
          |        <= 640.0 AND v_zero > 0
-         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) * 1.0e4, 0) / 1.0e4
          |      ELSE round(4.2399330249068963e20
-         |        / CAST(s_scaled AS DOUBLE), 4) END AS hll_est
+         |        / CAST(s_scaled AS DOUBLE) * 1.0e4, 0) / 1.0e4 END AS hll_est
          |  FROM a),
          |x AS (SELECT event_type, CAST(count(DISTINCT h) AS BIGINT)
          |    AS n_exact FROM h GROUP BY event_type)
          |SELECT x.event_type, n_exact, hll_est,
          |  round(abs(hll_est - CAST(n_exact AS DOUBLE))
-         |    / CAST(n_exact AS DOUBLE), 4) AS rel_err, v_zero, s_scaled
+         |    / CAST(n_exact AS DOUBLE) * 1.0e4, 0) / 1.0e4
+         |    AS rel_err, v_zero, s_scaled
          |FROM x JOIN e USING (event_type) ORDER BY event_type""".stripMargin,
 
     // mirrors Sketches.hllMergeDaily (p=8): per-(type, day) register
@@ -7589,16 +7600,16 @@ object SparkEntry {
          |me AS (SELECT event_type, s_merged,
          |    CASE WHEN 4.2399330249068963e20 / CAST(s_merged AS DOUBLE)
          |        <= 640.0 AND v_zero > 0
-         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) * 1.0e4, 0) / 1.0e4
          |      ELSE round(4.2399330249068963e20
-         |        / CAST(s_merged AS DOUBLE), 4) END AS merged_est
+         |        / CAST(s_merged AS DOUBLE) * 1.0e4, 0) / 1.0e4 END AS merged_est
          |  FROM ma),
          |de AS (SELECT event_type, s_direct,
          |    CASE WHEN 4.2399330249068963e20 / CAST(s_direct AS DOUBLE)
          |        <= 640.0 AND v_zero > 0
-         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)), 4)
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) * 1.0e4, 0) / 1.0e4
          |      ELSE round(4.2399330249068963e20
-         |        / CAST(s_direct AS DOUBLE), 4) END AS direct_est
+         |        / CAST(s_direct AS DOUBLE) * 1.0e4, 0) / 1.0e4 END AS direct_est
          |  FROM da)
          |SELECT me.event_type, merged_est, direct_est,
          |  merged_est = direct_est AND s_merged = s_direct
@@ -7616,7 +7627,7 @@ object SparkEntry {
          |  WHERE rn <= 64),
          |e AS (SELECT t,
          |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) * 1.0e4, 0) / 1.0e4
          |    END AS est
          |  FROM sk GROUP BY t),
          |pairs AS (SELECT a.t AS type_a, b.t AS type_b,
@@ -7636,16 +7647,16 @@ object SparkEntry {
          |  FROM u GROUP BY type_a, type_b),
          |f AS (SELECT type_a, type_b, m, n_both,
          |    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
-         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 4)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) * 1.0e4, 0) / 1.0e4
          |    END AS est_union
          |  FROM ag),
          |g AS (SELECT *,
          |    CASE WHEN m < 64 THEN CAST(n_both AS DOUBLE)
-         |      ELSE round(CAST(n_both AS DOUBLE) / 64 * est_union, 4)
+         |      ELSE round(CAST(n_both AS DOUBLE) / 64 * est_union * 1.0e4, 0) / 1.0e4
          |    END AS est_intersection
          |  FROM f)
          |SELECT type_a, type_b, est_a, est_b, est_union, est_intersection,
-         |  round(est_intersection / est_union, 6) AS est_jaccard
+         |  round(est_intersection / est_union * 1.0e6, 0) / 1.0e6 AS est_jaccard
          |FROM g JOIN pairs USING (type_a, type_b)
          |ORDER BY type_a, type_b""".stripMargin,
 
@@ -7763,7 +7774,7 @@ object SparkEntry {
          |pef AS (SELECT pe.day, pe.h FROM pe JOIN days USING (day)),
          |est AS (SELECT day,
          |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) * 1.0e4, 0) / 1.0e4
          |    END AS wau_est
          |  FROM (SELECT day, h,
          |      row_number() OVER (PARTITION BY day ORDER BY h) AS rn
@@ -7773,7 +7784,7 @@ object SparkEntry {
          |hef AS (SELECT he.day, he.h FROM he JOIN days USING (day)),
          |exact AS (SELECT day, count(*) AS wau_exact FROM hef GROUP BY day)
          |SELECT day, wau_exact, wau_est,
-         |  round(abs(wau_est - CAST(wau_exact AS DOUBLE)) / CAST(wau_exact AS DOUBLE), 4) AS rel_err
+         |  round(abs(wau_est - CAST(wau_exact AS DOUBLE)) / CAST(wau_exact AS DOUBLE) * 1.0e4, 0) / 1.0e4 AS rel_err
          |FROM exact JOIN est USING (day) ORDER BY day""".stripMargin,
 
     // mirrors Sessions.lastTouchAttribution: last_value IGNORE NULLS
@@ -7792,7 +7803,7 @@ object SparkEntry {
         |cr AS (SELECT
         |    CASE WHEN in_window THEN lt.t_type ELSE 'direct' END AS credited_type,
         |    CASE WHEN in_window
-        |      THEN CAST(round(CAST(epoch_us(ts) - epoch_us(lt.t_ts) AS DOUBLE) / 6e7, 6) AS DECIMAL(18,6))
+        |      THEN CAST(round(CAST(epoch_us(ts) - epoch_us(lt.t_ts) AS DOUBLE) / 6e7 * 1.0e6, 0) / 1.0e6 AS DECIMAL(18,6))
         |    END AS mins
         |  FROM conv),
         |g AS (SELECT credited_type, count(*) AS n_conversions,
@@ -7800,9 +7811,11 @@ object SparkEntry {
         |  FROM cr GROUP BY 1),
         |t AS (SELECT sum(n_conversions) AS total FROM g)
         |SELECT credited_type, n_conversions,
-        |  round(CAST(n_conversions AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(CAST(n_conversions AS DOUBLE) / CAST(total AS DOUBLE)
+        |    * 1.0e6, 0) / 1.0e6 AS share,
         |  CASE WHEN n_attributed > 0
-        |    THEN round(CAST(mins_sum AS DOUBLE) / CAST(n_attributed AS DOUBLE), 6)
+        |    THEN round(CAST(mins_sum AS DOUBLE) / CAST(n_attributed AS DOUBLE)
+        |      * 1.0e6, 0) / 1.0e6
         |  END AS avg_mins
         |FROM g, t ORDER BY credited_type""".stripMargin,
 
@@ -7817,7 +7830,8 @@ object SparkEntry {
         |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
         |t AS (SELECT from_type, sum(n) AS n_out FROM p GROUP BY from_type)
         |SELECT from_type, to_type, n,
-        |  round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE), 6) AS p
+        |  round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE) * 1.0e6, 0)
+        |    / 1.0e6 AS p
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
 
@@ -8537,7 +8551,7 @@ object SparkEntry {
            |        UNION ALL
            |        SELECT tr2.rm, tr2.f AS state,
            |          CAST(sum(CAST(round(CAST(tr2.p AS DOUBLE)
-           |            * CAST(v${i - 1}.v AS DOUBLE), 12)
+           |            * CAST(v${i - 1}.v AS DOUBLE) * 1.0e12, 0) / 1.0e12
            |            AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS v
            |        FROM tr2 JOIN v${i - 1}
            |          ON v${i - 1}.rm = tr2.rm AND v${i - 1}.state = tr2.t
@@ -8565,7 +8579,8 @@ object SparkEntry {
          |       GROUP BY f, t),
          |oc AS (SELECT f, sum(n) AS o FROM tc GROUP BY f),
          |tp AS (SELECT tc.f, tc.t,
-         |         CAST(round(CAST(n AS DOUBLE) / CAST(o AS DOUBLE), 12)
+         |         CAST(round(CAST(n AS DOUBLE) / CAST(o AS DOUBLE)
+         |             * 1.0e12, 0) / 1.0e12
          |           AS DECIMAL(16,12)) AS p
          |       FROM tc JOIN oc USING (f)),
          |rms AS (SELECT DISTINCT state AS rm FROM b
@@ -8581,11 +8596,14 @@ object SparkEntry {
          |vs AS (SELECT rm, v FROM v12 WHERE state = 'start'),
          |p0 AS (SELECT v AS pv FROM vs WHERE rm = '__none__'),
          |ef AS (SELECT rm AS channel,
-         |         round(CAST(p0.pv AS DOUBLE), 6) AS p_conv_base,
-         |         round(CAST(vs.v AS DOUBLE), 6) AS p_conv_removed,
+         |         round(CAST(p0.pv AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |           AS p_conv_base,
+         |         round(CAST(vs.v AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |           AS p_conv_removed,
          |         CASE WHEN CAST(p0.pv AS DOUBLE) > 0 THEN
          |           round((CAST(p0.pv AS DOUBLE) - CAST(vs.v AS DOUBLE))
-         |             / CAST(p0.pv AS DOUBLE), 6) END AS removal_effect
+         |             / CAST(p0.pv AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |           END AS removal_effect
          |       FROM vs, p0 WHERE rm <> '__none__'),
          |em AS (SELECT *, CASE WHEN removal_effect > 0
          |           THEN CAST(round(removal_effect * 1e6, 0) AS BIGINT)
@@ -8594,7 +8612,8 @@ object SparkEntry {
          |tot AS (SELECT CAST(sum(re_micro) AS BIGINT) AS te FROM em)
          |SELECT channel, p_conv_base, p_conv_removed, removal_effect,
          |  CASE WHEN te > 0 AND re_micro > 0 THEN
-         |    round(CAST(re_micro AS DOUBLE) / CAST(te AS DOUBLE), 6) END
+         |    round(CAST(re_micro AS DOUBLE) / CAST(te AS DOUBLE)
+         |      * 1.0e6, 0) / 1.0e6 END
          |    AS share
          |FROM em, tot ORDER BY channel""".stripMargin
     },
@@ -8616,7 +8635,8 @@ object SparkEntry {
         |           AS s2
         |       FROM g2 GROUP BY event_type),
         |mv AS (SELECT event_type, n_gaps,
-        |         round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+        |         round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |             * 1.0e6, 0) / 1.0e6
         |           AS mean_gap_us,
         |         CASE WHEN CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
         |             - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
@@ -8624,16 +8644,19 @@ object SparkEntry {
         |           THEN round(sqrt(CAST(s2 AS DOUBLE)
         |               / CAST(n_gaps AS DOUBLE)
         |             - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |               * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))), 6)
+        |               * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |             * 1.0e6, 0) / 1.0e6
         |         END AS sigma_gap_us
         |       FROM st)
         |SELECT event_type, n_gaps, mean_gap_us, sigma_gap_us,
         |  CASE WHEN sigma_gap_us IS NOT NULL AND mean_gap_us > 0
-        |    THEN round(sigma_gap_us / mean_gap_us, 6) END AS cv,
+        |    THEN round(sigma_gap_us / mean_gap_us * 1.0e6, 0) / 1.0e6
+        |    END AS cv,
         |  CASE WHEN sigma_gap_us IS NOT NULL
         |      AND sigma_gap_us + mean_gap_us > 0
         |    THEN round((sigma_gap_us - mean_gap_us)
-        |      / (sigma_gap_us + mean_gap_us), 6) END AS burstiness
+        |      / (sigma_gap_us + mean_gap_us) * 1.0e6, 0) / 1.0e6
+        |    END AS burstiness
         |FROM mv ORDER BY event_type""".stripMargin,
 
     // mirrors DataQuality.psiDrift (10 bins, day<=15 split): Laplace-
@@ -8748,9 +8771,9 @@ object SparkEntry {
          |    sum(cnt) OVER (PARTITION BY g) AS n
          |  FROM counts),
          |est AS (SELECT g,
-         |    min(CASE WHEN cum >= ceil(n * 0.5) THEN round(vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256, 6) END) AS p50_est,
-         |    min(CASE WHEN cum >= ceil(n * 0.9) THEN round(vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256, 6) END) AS p90_est,
-         |    min(CASE WHEN cum >= ceil(n * 0.99) THEN round(vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256, 6) END) AS p99_est
+         |    min(CASE WHEN cum >= ceil(n * 0.5) THEN round((vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256) * 1.0e6, 0) / 1.0e6 END) AS p50_est,
+         |    min(CASE WHEN cum >= ceil(n * 0.9) THEN round((vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256) * 1.0e6, 0) / 1.0e6 END) AS p90_est,
+         |    min(CASE WHEN cum >= ceil(n * 0.99) THEN round((vmin + CAST(bin AS DOUBLE) * (vmax - vmin) / 256) * 1.0e6, 0) / 1.0e6 END) AS p99_est
          |  FROM cum GROUP BY g),
          |ex AS (SELECT g,
          |    quantile_disc(v, 0.5) AS p50_exact,
@@ -8759,9 +8782,9 @@ object SparkEntry {
          |  FROM base GROUP BY g)
          |SELECT g AS symbol,
          |  p50_exact, p50_est, p90_exact, p90_est, p99_exact, p99_est,
-         |  round(abs(p50_est - p50_exact), 6) AS p50_abs_err,
-         |  round(abs(p90_est - p90_exact), 6) AS p90_abs_err,
-         |  round(abs(p99_est - p99_exact), 6) AS p99_abs_err
+         |  round(abs(p50_est - p50_exact) * 1.0e6, 0) / 1.0e6 AS p50_abs_err,
+         |  round(abs(p90_est - p90_exact) * 1.0e6, 0) / 1.0e6 AS p90_abs_err,
+         |  round(abs(p99_est - p99_exact) * 1.0e6, 0) / 1.0e6 AS p99_abs_err
          |FROM ex JOIN est USING (g) ORDER BY symbol""".stripMargin,
 
     // mirrors Privacy.kAnonymityAudit over (type, day, value-decade):
@@ -8984,9 +9007,9 @@ object SparkEntry {
          |  FROM pt)
          |SELECT n_probes, n_true_members, n_bloom_hits, n_false_pos, bits_set,
          |  CASE WHEN n_probes > n_true_members
-         |    THEN round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_true_members AS DOUBLE), 6)
+         |    THEN round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_true_members AS DOUBLE) * 1.0e6, 0) / 1.0e6
          |    ELSE 0.0 END AS fp_rate,
-         |  round(pow(1.0 - exp(-5.0 * CAST(n_hist AS DOUBLE) / 8192), 5), 6) AS fp_theoretical
+         |  round(pow(1.0 - exp(-5.0 * CAST(n_hist AS DOUBLE) / 8192), 5) * 1.0e6, 0) / 1.0e6 AS fp_theoretical
          |FROM agg, bs, nh""".stripMargin,
 
     // mirrors TextAnalysis.weightedSample: same seeded uniform, same

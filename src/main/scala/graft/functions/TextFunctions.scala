@@ -89,8 +89,10 @@ object TextFunctions {
     */
   def tokenRatio(tokens: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
+    // round(e*1e6, 0)/1e6, never round(e, 6): both engines then round
+    // the SAME IEEE double (SCALING.md trap #10)
     round(
       size(filter(tokens, t => array_contains(set, t))).cast("double")
-        / size(tokens).cast("double"), 6)
+        / size(tokens).cast("double") * lit(1.0e6), 0) / lit(1.0e6)
   }
 }

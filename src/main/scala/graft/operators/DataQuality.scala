@@ -198,10 +198,12 @@ object DataQuality {
       .withColumn("mu", mu)
       .withColumn("sd", when(variance > 0, sqrt(variance)))
       .withColumn("z", when(col("sd").isNotNull,
-        round((col("c").cast("double") - col("mu")) / col("sd"), 6)))
+        round((col("c").cast("double") - col("mu")) / col("sd")
+          * lit(1.0e6), 0) / lit(1.0e6)))
       .select(col("event_type"), col("day"), col("hod").as("hour"),
-        col("c").as("n_events"), round(col("mu"), 6).as("mu"),
-        round(col("sd"), 6).as("sd"), col("z"),
+        col("c").as("n_events"),
+        (round(col("mu") * lit(1.0e6), 0) / lit(1.0e6)).as("mu"),
+        (round(col("sd") * lit(1.0e6), 0) / lit(1.0e6)).as("sd"), col("z"),
         coalesce(abs(col("z")) >= zThresh, lit(false)).as("anomalous"))
       .orderBy(col("event_type"), col("day"), col("hour"))
   }

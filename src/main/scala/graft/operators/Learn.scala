@@ -186,9 +186,11 @@ object Learn {
         when(sum(when(col("event_type") === convType, 1L)
           .otherwise(0L)) > heavyK, 1).otherwise(0).as("y"))
       .select(col("user_id"),
-        round(log(lit(1.0) + col("n_ev").cast("double")), 6)
+        (round(log(lit(1.0) + col("n_ev").cast("double"))
+          * lit(1.0e6), 0) / lit(1.0e6))
           .cast(dX).as("x1"),
-        round(col("n_days").cast("double") / 30.0, 6).cast(dX).as("x2"),
+        (round(col("n_days").cast("double") / 30.0 * lit(1.0e6), 0)
+          / lit(1.0e6)).cast(dX).as("x2"),
         col("y"))
       .localCheckpoint(false)
 

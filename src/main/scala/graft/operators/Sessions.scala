@@ -304,8 +304,9 @@ object Sessions {
       .join(cohortSizes, Seq("cohort_date"))
       .select(col("cohort_date"), col("day_offset"), col("n_users"),
         col("cohort_size"),
-        round(col("n_users").cast("double")
-          / col("cohort_size").cast("double"), 6).as("retention"))
+        (round(col("n_users").cast("double")
+          / col("cohort_size").cast("double") * lit(1.0e6), 0)
+          / lit(1.0e6)).as("retention"))
       .orderBy(col("cohort_date"), col("day_offset"))
   }
 
@@ -346,7 +347,8 @@ object Sessions {
       .agg(sum(col("n")).as("n_out"))
     pairs.join(outTotals, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("n_out").cast("double"), 6)
+        (round(col("n").cast("double") / col("n_out").cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
@@ -384,19 +386,22 @@ object Sessions {
         when(col("in_window"), col("lt.t_type")).otherwise(lit("direct"))
           .as("credited_type"),
         when(col("in_window"),
-          round((unix_micros(col("ts")) - unix_micros(col("lt.t_ts")))
-            .cast("double") / 6e7, 6).cast(DecimalType(18, 6))).as("mins"))
+          (round((unix_micros(col("ts")) - unix_micros(col("lt.t_ts")))
+            .cast("double") / 6e7 * lit(1.0e6), 0) / lit(1.0e6))
+            .cast(DecimalType(18, 6))).as("mins"))
     val byType = conv.groupBy(col("credited_type"))
       .agg(count(lit(1)).as("n_conversions"), sum(col("mins")).as("mins_sum"),
         count(col("mins")).as("n_attributed"))
     byType
       .withColumn("share", round(col("n_conversions").cast("double") /
         sum(col("n_conversions")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+          org.apache.spark.sql.expressions.Window.partitionBy())
+        * lit(1.0e6), 0) / lit(1.0e6))
       .select(col("credited_type"), col("n_conversions"), col("share"),
         when(col("n_attributed") > 0,
           round(col("mins_sum").cast("double") /
-            col("n_attributed").cast("double"), 6)).as("avg_mins"))
+            col("n_attributed").cast("double") * lit(1.0e6), 0)
+            / lit(1.0e6)).as("avg_mins"))
       .orderBy(col("credited_type"))
   }
 
@@ -521,7 +526,8 @@ object Sessions {
     val outN = trans.groupBy(col("from")).agg(sum(col("n")).as("o"))
     val t = trans.join(outN, Seq("from"))
       .select(col("from"), col("to"),
-        round(col("n").cast("double") / col("o").cast("double"), 12)
+        (round(col("n").cast("double") / col("o").cast("double")
+          * lit(1.0e12), 0) / lit(1.0e12))
           .cast(DecimalType(16, 12)).as("p"))
     val rms = touches.select(col("state").as("rm")).distinct()
       .unionByName(Seq("__none__").toDF("rm"))
@@ -543,8 +549,8 @@ object Sessions {
         .join(v.select(col("rm"), col("state").as("to"), col("v")),
           Seq("rm", "to"))
         .groupBy(col("rm"), col("from").as("state"))
-        .agg(sum(round(col("p").cast("double") * col("v").cast("double"),
-          12).cast(dec)).as("v"))
+        .agg(sum((round(col("p").cast("double") * col("v").cast("double")
+          * lit(1.0e12), 0) / lit(1.0e12)).cast(dec)).as("v"))
       v = absorbing.unionByName(nv).localCheckpoint(false)
     }
     val starts = v.filter(col("state") === "start")
@@ -554,11 +560,14 @@ object Sessions {
     val eff = starts.filter(col("rm") =!= "__none__")
       .crossJoin(broadcast(p0))
       .select(col("rm").as("channel"),
-        round(col("pv").cast("double"), 6).as("p_conv_base"),
-        round(col("v").cast("double"), 6).as("p_conv_removed"),
+        (round(col("pv").cast("double") * lit(1.0e6), 0)
+          / lit(1.0e6)).as("p_conv_base"),
+        (round(col("v").cast("double") * lit(1.0e6), 0)
+          / lit(1.0e6)).as("p_conv_removed"),
         when(col("pv").cast("double") > 0,
-          round((col("pv").cast("double") - col("v").cast("double")) /
-            col("pv").cast("double"), 6)).as("removal_effect"))
+          (round((col("pv").cast("double") - col("v").cast("double")) /
+            col("pv").cast("double") * lit(1.0e6), 0) / lit(1.0e6)))
+          .as("removal_effect"))
       .withColumn("re_micro",
         when(col("removal_effect") > 0,
           round(col("removal_effect") * lit(1e6), 0).cast("long"))
@@ -568,8 +577,8 @@ object Sessions {
       .select(col("channel"), col("p_conv_base"), col("p_conv_removed"),
         col("removal_effect"),
         when(col("te") > 0 && col("re_micro") > 0,
-          round(col("re_micro").cast("double") / col("te").cast("double"),
-            6)).as("share"))
+          (round(col("re_micro").cast("double") / col("te").cast("double")
+            * lit(1.0e6), 0) / lit(1.0e6))).as("share"))
       .orderBy(col("channel"))
   }
 
@@ -612,16 +621,19 @@ object Sessions {
       (col("s").cast("double") / col("n_gaps").cast("double")) *
       (col("s").cast("double") / col("n_gaps").cast("double"))
     st.select(col("event_type"), col("n_gaps"),
-        round(mean, 6).as("mean_gap_us"),
-        when(varE >= 0, round(sqrt(varE), 6)).as("sigma_gap_us"))
+        (round(mean * lit(1.0e6), 0) / lit(1.0e6)).as("mean_gap_us"),
+        when(varE >= 0, round(sqrt(varE) * lit(1.0e6), 0) / lit(1.0e6))
+          .as("sigma_gap_us"))
       .withColumn("cv",
         when(col("sigma_gap_us").isNotNull && col("mean_gap_us") > 0,
-          round(col("sigma_gap_us") / col("mean_gap_us"), 6)))
+          round(col("sigma_gap_us") / col("mean_gap_us")
+            * lit(1.0e6), 0) / lit(1.0e6)))
       .withColumn("burstiness",
         when(col("sigma_gap_us").isNotNull &&
             col("sigma_gap_us") + col("mean_gap_us") > 0,
           round((col("sigma_gap_us") - col("mean_gap_us")) /
-            (col("sigma_gap_us") + col("mean_gap_us")), 6)))
+            (col("sigma_gap_us") + col("mean_gap_us"))
+            * lit(1.0e6), 0) / lit(1.0e6)))
       .orderBy(col("event_type"))
   }
 

@@ -32,6 +32,12 @@ import graft.functions.TextFunctions
   * so the shuffle carries O(groups · k) rows, not O(distinct values).
   */
 object Sketches {
+  /** Version-safe k-decimal pin (SCALING.md trap #10): both engines
+    * round the SAME IEEE double at scale 0. Oracle twins mirror the
+    * ·10^k association. */
+  private def r4(c: Column): Column = round(c * lit(1.0e4), 0) / lit(1.0e4)
+  private def r6s(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
+
 
   /** 2^60 — the exclusive upper bound of [[TextFunctions.hash60]]. */
   val HashRange: Double = 1152921504606846976.0
@@ -48,7 +54,7 @@ object Sketches {
     val m = count(lit(1))
     val hk = max(col("h"))
     when(m < k, m.cast("double"))
-      .otherwise(round(lit((k - 1).toDouble) * lit(HashRange) / hk.cast("double"), 4))
+      .otherwise(r4(lit((k - 1).toDouble) * lit(HashRange) / hk.cast("double")))
   }
 
   /** Distinct-cardinality sketch report per group:
@@ -68,8 +74,8 @@ object Sketches {
       .agg(count(lit(1)).as("n_exact"))
     exact.join(est, groupCols)
       .select(groupCols.map(col) ++ Seq(col("n_exact"), col("kmv_est"),
-        round(abs(col("kmv_est") - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 4).as("rel_err")): _*)
+        r4(abs(col("kmv_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err")): _*)
       .orderBy(groupCols.map(col): _*)
   }
 
@@ -147,7 +153,7 @@ object Sketches {
     val edge = col("vmin") +
       col("bin").cast("double") * (col("vmax") - col("vmin")) / nBins
     val ests = qs.map { q =>
-      min(when(col("cum") >= ceil(col("n") * q), round(edge, 6))).as(estName(q))
+      min(when(col("cum") >= ceil(col("n") * q), r6s(edge))).as(estName(q))
     }
     val exacts = qs.map { q =>
       expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)").as(exactName(q))
@@ -155,7 +161,7 @@ object Sketches {
     val est = cum.groupBy(col("g")).agg(ests.head, ests.tail: _*)
     val exact = base.groupBy(col("g")).agg(exacts.head, exacts.tail: _*)
     val errs = qs.map { q =>
-      round(abs(col(estName(q)) - col(exactName(q))), 6).as(errName(q))
+      r6s(abs(col(estName(q)) - col(exactName(q)))).as(errName(q))
     }
     exact.join(est, Seq("g"))
       .select(col("g").as(groupCol) +:
@@ -228,11 +234,11 @@ object Sketches {
       .select(col("n_probes"), col("n_true_members"), col("n_bloom_hits"),
         col("n_false_pos"), col("bits_set").cast("long").as("bits_set"),
         when(col("n_probes") > col("n_true_members"),
-          round(col("n_false_pos").cast("double") /
-            (col("n_probes") - col("n_true_members")).cast("double"), 6))
+          r6s(col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_true_members")).cast("double")))
           .otherwise(lit(0.0)).as("fp_rate"),
-        round(pow(lit(1.0) - exp(lit(-1.0 * k) * col("n_hist").cast("double") / mBits),
-          k), 6).as("fp_theoretical"))
+        r6s(pow(lit(1.0) - exp(lit(-1.0 * k) * col("n_hist").cast("double") / mBits),
+          k)).as("fp_theoretical"))
   }
 
   /** Count-Min counter table (Cormode & Muthukrishnan 2005) — the
@@ -362,8 +368,8 @@ object Sketches {
       .groupBy(col("day")).agg(count(lit(1)).as("wau_exact"))
     exact.join(est, Seq("day"))
       .select(col("day"), col("wau_exact"), col("wau_est"),
-        round(abs(col("wau_est") - col("wau_exact").cast("double")) /
-          col("wau_exact").cast("double"), 4).as("rel_err"))
+        r4(abs(col("wau_est") - col("wau_exact").cast("double")) /
+          col("wau_exact").cast("double")).as("rel_err"))
       .orderBy(col("day"))
   }
 
@@ -406,14 +412,14 @@ object Sketches {
       count(lit(1)).as("m"), max(col("h")).as("hk"),
       sum(col("in_a") * col("in_b")).as("n_both"))
     val estUnion = when(col("m") < k, col("m").cast("double"))
-      .otherwise(round(lit((k - 1).toDouble) * lit(HashRange) / col("hk").cast("double"), 4))
+      .otherwise(r4(lit((k - 1).toDouble) * lit(HashRange) / col("hk").cast("double")))
     agg
       .withColumn("est_union", estUnion)
       .withColumn("est_intersection",
         when(col("m") < k, col("n_both").cast("double"))
-          .otherwise(round(col("n_both").cast("double") / k * col("est_union"), 4)))
+          .otherwise(r4(col("n_both").cast("double") / k * col("est_union"))))
       .withColumn("est_jaccard",
-        round(col("est_intersection") / col("est_union"), 6))
+        r6s(col("est_intersection") / col("est_union")))
       .join(pairs, Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
         col("est_union"), col("est_intersection"), col("est_jaccard"))
@@ -482,9 +488,9 @@ object Sketches {
     val raw = lit(HllC256) / col("s_scaled").cast("double")
     agg.select(groupCols.map(col) ++ Seq(
       when(raw <= lit(2.5 * m) && col("v_zero") > 0,
-        round(lit(m.toDouble) *
-          log(lit(m.toDouble) / col("v_zero").cast("double")), 4))
-        .otherwise(round(raw, 4)).as("hll_est"),
+        r4(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v_zero").cast("double"))))
+        .otherwise(r4(raw)).as("hll_est"),
       col("v_zero"), col("s_scaled")): _*)
   }
 
@@ -504,8 +510,8 @@ object Sketches {
       .agg(count(lit(1)).as("n_exact"))
     exact.join(est, groupCols)
       .select(groupCols.map(col) ++ Seq(col("n_exact"), col("hll_est"),
-        round(abs(col("hll_est") - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 4).as("rel_err"),
+        r4(abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"),
         col("v_zero"), col("s_scaled")): _*)
       .orderBy(groupCols.map(col): _*)
   }

@@ -35,7 +35,8 @@ object TextAnalysis {
       size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
         .cast("double") / nTok
     val lengthFactor = least(nTok / lit(50.0), lit(1.0))
-    round(distinctRatio * (lit(1.0) - stopRatio) * lengthFactor, 6)
+    round(distinctRatio * (lit(1.0) - stopRatio) * lengthFactor
+      * lit(1.0e6), 0) / lit(1.0e6)
   }
 
   def stats(docs: DataFrame): DataFrame = {
@@ -55,10 +56,12 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens_re"),
       size(array_distinct(toks)).as("n_distinct_tokens"),
-      round(distinctRatio, 6).as("distinct_ratio"),
-      round((length(col("text")) - (size(toks) - lit(1))).cast("double")
-        / nTok, 6).as("avg_token_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
+      (round(distinctRatio * lit(1.0e6), 0) / lit(1.0e6))
+        .as("distinct_ratio"),
+      (round((length(col("text")) - (size(toks) - lit(1))).cast("double")
+        / nTok * lit(1.0e6), 0) / lit(1.0e6)).as("avg_token_len"),
+      (round(stopRatio * lit(1.0e6), 0) / lit(1.0e6))
+        .as("stopword_ratio"),
       qualityScoreCol.as("quality_score"))
   }
 
