@@ -1589,7 +1589,8 @@ object SparkEntry {
       val bars = Gold.bars(Trades.fromEvents(Tables.events(s, dir)), "1 hour")
       val left = bars.select(col("symbol"), col("bar_start").as("pred_ts"),
         // zero-open guard (ANSI division; same convention as bar_analytics)
-        when(col("open") =!= 0, round(col("close") / col("open") - 1, 6))
+        when(col("open") =!= 0,
+          round((col("close") / col("open") - 1) * lit(1.0e6), 0) / lit(1.0e6))
           .as("label_ret"))
       val right = bars.select(col("symbol"), col("bar_start").as("feat_ts"),
         col("close"), col("volume"), col("vwap"))
@@ -2058,8 +2059,8 @@ object SparkEntry {
        |       WHERE u.w <> '')
        |SELECT doc_id, count(*) AS n_tokens,
        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
-       |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-       |    AS fertility
+       |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 1.0e6, 0) / 1.0e6 AS fertility
        |FROM dt JOIN seg USING (w) GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
@@ -2075,7 +2076,7 @@ object SparkEntry {
        |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
        |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score
        |  FROM t),
        |qp AS (SELECT doc_id FROM q WHERE quality_score >= 0.35),
        |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN qp ON qp.doc_id = s.doc_id),
@@ -2145,7 +2146,7 @@ object SparkEntry {
        |          JOIN $idx s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
        |          GROUP BY c.d1, c.d2),
        |jac AS (SELECT d1, d2,
-       |          round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard
+       |          round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS jaccard
        |        FROM inter
        |        JOIN cnt c1 ON c1.doc_id = d1
        |        JOIN cnt c2 ON c2.doc_id = d2)""".stripMargin
@@ -2935,12 +2936,12 @@ object SparkEntry {
          |  c_micro
          |  FROM j),
          |li AS (SELECT symbol, bar_start, close, prev_c,
-         |  (u - prev_u) // 60000000 AS k_min,
-         |  (next_u - prev_u) // 60000000 AS n_min,
+         |  (CASE WHEN (u - prev_u) < 0 THEN -((-(u - prev_u)) // (60000000)) ELSE (u - prev_u) // (60000000) END) AS k_min,
+         |  (CASE WHEN (next_u - prev_u) < 0 THEN -((-(next_u - prev_u)) // (60000000)) ELSE (next_u - prev_u) // (60000000) END) AS n_min,
          |  prev_m, next_m, c_micro FROM wf),
          |lm AS (SELECT symbol, bar_start, close, prev_c,
          |  CASE WHEN n_min = 0 THEN c_micro
-         |    ELSE (prev_m * (n_min - k_min) + next_m * k_min) // n_min
+         |    ELSE (CASE WHEN (prev_m * (n_min - k_min) + next_m * k_min) < 0 THEN -((-(prev_m * (n_min - k_min) + next_m * k_min)) // (n_min)) ELSE (prev_m * (n_min - k_min) + next_m * k_min) // (n_min) END)
          |  END AS li_micro FROM li)
          |SELECT symbol, bar_start, close IS NOT NULL AS is_real,
          |  prev_c AS close_ff,
@@ -3164,9 +3165,9 @@ object SparkEntry {
         |              THEN epoch_us(ts) END) AS conv_us
         |      FROM events GROUP BY user_id),
         |m AS (SELECT max(last_us) AS corpus_us FROM per),
-        |tm AS (SELECT (conv_us - first_us) // 3600000000 AS t_conv,
-        |         CASE WHEN (corpus_us - first_us) // 3600000000 < 336
-        |              THEN (corpus_us - first_us) // 3600000000
+        |tm AS (SELECT (CASE WHEN (conv_us - first_us) < 0 THEN -((-(conv_us - first_us)) // (3600000000)) ELSE (conv_us - first_us) // (3600000000) END) AS t_conv,
+        |         CASE WHEN (CASE WHEN (corpus_us - first_us) < 0 THEN -((-(corpus_us - first_us)) // (3600000000)) ELSE (corpus_us - first_us) // (3600000000) END) < 336
+        |              THEN (CASE WHEN (corpus_us - first_us) < 0 THEN -((-(corpus_us - first_us)) // (3600000000)) ELSE (corpus_us - first_us) // (3600000000) END)
         |              ELSE 336 END AS obs_h
         |       FROM per, m),
         |uu AS (SELECT (t_conv IS NOT NULL AND t_conv <= 336) AS event,
@@ -3184,7 +3185,7 @@ object SparkEntry {
         |      FROM bt),
         |h AS (SELECT t_hours, n_risk, d_conv,
         |        ended - d_conv AS c_censored,
-        |        CAST((d_conv * 1000000000000) // n_risk AS BIGINT)
+        |        CAST((CASE WHEN (d_conv * 1000000000000) < 0 THEN -((-(d_conv * 1000000000000)) // (n_risk)) ELSE (d_conv * 1000000000000) // (n_risk) END) AS BIGINT)
         |          AS hazard_micro
         |      FROM r)
         |SELECT t_hours, n_risk, d_conv, c_censored, hazard_micro,
@@ -3452,7 +3453,7 @@ object SparkEntry {
          |         ORDER BY bar_start) AS rn, r
          |      FROM r0),
          |sz AS (SELECT r.symbol, r.rn, r.r, u.s,
-         |         (r.rn - 1) // u.s AS chunk
+         |         (CASE WHEN (r.rn - 1) < 0 THEN -((-(r.rn - 1)) // (u.s)) ELSE (r.rn - 1) // (u.s) END) AS chunk
          |       FROM r, unnest([8, 16, 32, 64]) AS u(s)),
          |f AS (SELECT * FROM sz
          |      QUALIFY count(*) OVER (PARTITION BY symbol, s, chunk) = s),
@@ -3741,7 +3742,7 @@ object SparkEntry {
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
 
     // mirrors TextAnalysis.repetitionProfile: n-gram occurrence counts
@@ -4364,9 +4365,9 @@ object SparkEntry {
          |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
          |      ROWS UNBOUNDED PRECEDING) AS cum_tok
          |  FROM d)
-         |SELECT shard, CAST((cum_tok - n_tok) // 512 AS BIGINT) AS pack_id,
+         |SELECT shard, CAST((CASE WHEN (cum_tok - n_tok) < 0 THEN -((-(cum_tok - n_tok)) // (512)) ELSE (cum_tok - n_tok) // (512) END) AS BIGINT) AS pack_id,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-         |FROM c GROUP BY shard, (cum_tok - n_tok) // 512
+         |FROM c GROUP BY shard, (CASE WHEN (cum_tok - n_tok) < 0 THEN -((-(cum_tok - n_tok)) // (512)) ELSE (cum_tok - n_tok) // (512) END)
          |ORDER BY shard, pack_id""".stripMargin,
 
     // mirrors TextAnalysis.epochOrder: salted shard + salted order key,
@@ -4408,9 +4409,9 @@ object SparkEntry {
          |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
          |           ROWS UNBOUNDED PRECEDING) AS cum_tok
          |       FROM d)
-         |SELECT shard, CAST((cum_tok - n_tok) // 512 AS BIGINT) AS pack_id,
+         |SELECT shard, CAST((CASE WHEN (cum_tok - n_tok) < 0 THEN -((-(cum_tok - n_tok)) // (512)) ELSE (cum_tok - n_tok) // (512) END) AS BIGINT) AS pack_id,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-         |FROM cm GROUP BY shard, (cum_tok - n_tok) // 512
+         |FROM cm GROUP BY shard, (CASE WHEN (cum_tok - n_tok) < 0 THEN -((-(cum_tok - n_tok)) // (512)) ELSE (cum_tok - n_tok) // (512) END)
          |ORDER BY shard, pack_id""".stripMargin,
 
     // mirrors TextAnalysis.tokenizeVocab: the greedy longest-match
@@ -4479,7 +4480,7 @@ object SparkEntry {
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score
          |  FROM t)
          |SELECT doc_id, quality_score FROM q WHERE quality_score >= 0.35
          |ORDER BY doc_id""".stripMargin,
@@ -4493,7 +4494,7 @@ object SparkEntry {
         |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score
         |  FROM t),
         |r AS (SELECT *, ntile(10) OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS dec
         |      FROM q)
@@ -4506,7 +4507,7 @@ object SparkEntry {
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score,
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score,
          |  round(CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_en,
          |  round(CAST(len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_es,
          |  round(CAST(len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS score_de,
@@ -4584,7 +4585,7 @@ object SparkEntry {
     // chunk_idx = (start−1)/stride = posexplode ordinal.
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id, CAST((g.s - 1) // 96 AS INT) AS chunk_idx,
+        |SELECT doc_id, CAST((CASE WHEN (g.s - 1) < 0 THEN -((-(g.s - 1)) // (96)) ELSE (g.s - 1) // (96) END) AS INT) AS chunk_idx,
         |  len(list_slice(toks, g.s, g.s + 127)) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, g.s, g.s + 127), ' ')) AS chunk_md5
         |FROM t, unnest(generate_series(1, len(toks), 96)) AS g(s)
@@ -4795,7 +4796,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |ch AS (SELECT doc_id, g.c AS chunk_idx,
         |         toks[g.c * 24 + 1 : least(g.c * 24 + 32, len(toks))] AS ctoks
-        |       FROM t, unnest(generate_series(0, (len(toks) - 1) // 24)) AS g(c)),
+        |       FROM t, unnest(generate_series(0, (CASE WHEN (len(toks) - 1) < 0 THEN -((-(len(toks) - 1)) // (24)) ELSE (len(toks) - 1) // (24) END))) AS g(c)),
         |corpus AS (SELECT count(*) AS n, sum(len(ctoks)) AS tot_len FROM ch),
         |tf AS (SELECT doc_id, chunk_idx, len(ctoks) AS dl, u.t, count(*) AS tf
         |       FROM ch, unnest(ctoks) AS u(t)
@@ -4829,7 +4830,7 @@ object SparkEntry {
         |       WHERE ${h60("'ret_' || doc_id")} % 100 < 90),
         |ch AS (SELECT doc_id, g.c AS chunk_idx,
         |         toks[g.c * 24 + 1 : least(g.c * 24 + 32, len(toks))] AS ctoks
-        |       FROM t, unnest(generate_series(0, (len(toks) - 1) // 24)) AS g(c)),
+        |       FROM t, unnest(generate_series(0, (CASE WHEN (len(toks) - 1) < 0 THEN -((-(len(toks) - 1)) // (24)) ELSE (len(toks) - 1) // (24) END))) AS g(c)),
         |corpus AS (SELECT count(*) AS n, sum(len(ctoks)) AS tot_len FROM ch),
         |tf AS (SELECT doc_id, chunk_idx, len(ctoks) AS dl, u.t, count(*) AS tf
         |       FROM ch, unnest(ctoks) AS u(t)
@@ -4865,7 +4866,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |ch AS (SELECT doc_id, g.c AS chunk_idx,
         |         toks[g.c * 24 + 1 : least(g.c * 24 + 32, len(toks))] AS ctoks
-        |       FROM t, unnest(generate_series(0, (len(toks) - 1) // 24)) AS g(c)),
+        |       FROM t, unnest(generate_series(0, (CASE WHEN (len(toks) - 1) < 0 THEN -((-(len(toks) - 1)) // (24)) ELSE (len(toks) - 1) // (24) END))) AS g(c)),
         |corpus AS (SELECT count(*) AS n, sum(len(ctoks)) AS tot_len FROM ch),
         |tf AS (SELECT doc_id, chunk_idx, len(ctoks) AS dl, u.t, count(*) AS tf
         |       FROM ch, unnest(ctoks) AS u(t)
@@ -4940,7 +4941,7 @@ object SparkEntry {
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score
          |  FROM t),
          |b AS (SELECT source,
          |        ${h60("'drift_' || doc_id")} % 2 AS sp,
@@ -5305,10 +5306,10 @@ object SparkEntry {
         |       GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT item_a, item_b, supp_ab,
         |  sa.supp AS supp_a, sb.supp AS supp_b,
-        |  round(CAST(supp_ab AS DOUBLE) / sa.supp, 6) AS conf_a_b,
-        |  round(CAST(supp_ab AS DOUBLE) / sb.supp, 6) AS conf_b_a,
+        |  round(CAST(supp_ab AS DOUBLE) / sa.supp * 1.0e6, 0) / 1.0e6 AS conf_a_b,
+        |  round(CAST(supp_ab AS DOUBLE) / sb.supp * 1.0e6, 0) / 1.0e6 AS conf_b_a,
         |  round(CAST(supp_ab AS DOUBLE) * n_docs /
-        |        (CAST(sa.supp AS DOUBLE) * sb.supp), 6) AS lift
+        |        (CAST(sa.supp AS DOUBLE) * sb.supp) * 1.0e6, 0) / 1.0e6 AS lift
         |FROM pr
         |JOIN sup sa ON sa.item = pr.item_a
         |JOIN sup sb ON sb.item = pr.item_b, n
@@ -5766,7 +5767,8 @@ object SparkEntry {
          |q AS (SELECT doc_id FROM t
          |  WHERE round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6) >= 0.35),
+         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         |    * 1.0e6, 0) / 1.0e6 >= 0.35),
          |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN q ON q.doc_id = s.doc_id),
          |shc2 AS (SELECT doc_id, shingle FROM shq
          |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
@@ -5847,7 +5849,7 @@ object SparkEntry {
         |nn AS (SELECT count(*) AS n FROM documents),
         |sc AS (SELECT td.doc_id, td.term,
         |         round((CAST(tf_raw AS DOUBLE) / CAST(doc_len AS DOUBLE))
-        |           * ln(CAST(nn.n AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+        |           * ln(CAST(nn.n AS DOUBLE) / CAST(doc_freq AS DOUBLE)) * 1.0e6, 0) / 1.0e6 AS tfidf
         |       FROM td JOIN dfq USING (term), nn),
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
         |      FROM sc)
@@ -5920,20 +5922,20 @@ object SparkEntry {
          |       JOIN sh s2 ON s2.doc_id = t.d2 AND s2.shingle = s1.shingle
          |       GROUP BY t.d1, t.d2),
          |tj AS (SELECT ti.d1, ti.d2,
-         |         round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE), 6) AS jaccard
+         |         round(CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS jaccard
          |       FROM ti JOIN tc c1 ON c1.doc_id = ti.d1
          |       JOIN tc c2 ON c2.doc_id = ti.d2),
          |truth AS (SELECT * FROM tj WHERE jaccard >= 0.05),
          |j AS (SELECT truth.d1, truth.d2, truth.jaccard,
          |        CAST(least(floor(jaccard * 10), 9) AS INT) AS jband,
-         |        CAST(round(1.0 - pow(1.0 - pow(jaccard, 4), 4), 12) AS DECIMAL(24,12)) AS scurve,
+         |        CAST(round((1.0 - pow(1.0 - pow(jaccard, 4), 4)) * 1.0e12, 0) AS BIGINT) AS scurve_u,
          |        c.d1 IS NOT NULL AS hit
          |      FROM truth LEFT JOIN cand c
          |        ON c.d1 = truth.d1 AND c.d2 = truth.d2)
          |SELECT jband, count(*) AS n_truth,
          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
-         |  round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall,
-         |  round(CAST(sum(scurve) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall_theoretical
+         |  round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS recall,
+         |  round(CAST(sum(scurve_u) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1.0e12) * 1.0e6, 0) / 1.0e6 AS recall_theoretical
          |FROM j GROUP BY jband ORDER BY jband""".stripMargin,
 
     // mirrors Dedup.containmentPairs over the capped index: same
@@ -5947,8 +5949,8 @@ object SparkEntry {
          |          GROUP BY 1, 2),
          |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |j AS (SELECT d1, d2, c1.n AS n1, c2.n AS n2,
-         |        round(CAST(inter AS DOUBLE) / CAST(least(c1.n, c2.n) AS DOUBLE), 6) AS containment,
-         |        round(CAST(inter AS DOUBLE) / CAST(c1.n + c2.n - inter AS DOUBLE), 6) AS jaccard
+         |        round(CAST(inter AS DOUBLE) / CAST(least(c1.n, c2.n) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS containment,
+         |        round(CAST(inter AS DOUBLE) / CAST(c1.n + c2.n - inter AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS jaccard
          |      FROM inter
          |      JOIN cnt c1 ON c1.doc_id = d1
          |      JOIN cnt c2 ON c2.doc_id = d2)
@@ -6007,7 +6009,8 @@ object SparkEntry {
         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(
         |        ['the','a','of','and','to','in','is','on','for','with'],
         |        tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6)
+        |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |    * 1.0e6, 0) / 1.0e6
         |    AS quality_score
         |  FROM t),
         |r AS (SELECT *,
@@ -6030,8 +6033,8 @@ object SparkEntry {
         |    AS tokens_selected,
         |  min(CASE WHEN selected THEN quality_score END) AS quality_bar,
         |  round(CAST(sum(CASE WHEN selected THEN n_tok ELSE 0 END)
-        |      AS DOUBLE) / CAST(max(budget_tokens) AS DOUBLE), 6)
-        |    AS utilization
+        |      AS DOUBLE) / CAST(max(budget_tokens) AS DOUBLE)
+        |    * 1.0e6, 0) / 1.0e6 AS utilization
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     // mirrors TextAnalysis.stratifiedSplit: salted-hash rank within
@@ -6308,7 +6311,7 @@ object SparkEntry {
          |        len(a.ss) AS n1, len(b.ss) AS n2
          |      FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
          |j AS (SELECT d1, d2,
-         |        round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE), 6) AS jaccard
+         |        round(CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS jaccard
          |      FROM p)
          |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY d1, d2""".stripMargin,
@@ -6370,7 +6373,7 @@ object SparkEntry {
          |       JOIN cnt2 c1 ON c1.doc_id = i2.d1
          |       JOIN cnt2 c2 ON c2.doc_id = i2.d2
          |       WHERE round(CAST(i2.i AS DOUBLE)
-         |         / CAST(c1.n + c2.n - i2.i AS DOUBLE), 6) >= 0.5),
+         |         / CAST(c1.n + c2.n - i2.i AS DOUBLE) * 1.0e6, 0) / 1.0e6 >= 0.5),
          |lift AS (SELECT coalesce(a1.rep, np.d1) AS e1,
          |                coalesce(a2.rep, np.d2) AS e2
          |         FROM np
@@ -6443,7 +6446,7 @@ object SparkEntry {
          |  round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
          |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-    * 1.0e6, 0) / 1.0e6 AS quality_score
+       |    * 1.0e6, 0) / 1.0e6 AS quality_score
          |  FROM t)
          |SELECT qv.doc_id, qv.quality_score
          |FROM qv
@@ -7285,13 +7288,14 @@ object SparkEntry {
         |      LEFT JOIN counts USING (event_type, digit)
         |      JOIN totals USING (event_type)),
         |t AS (SELECT event_type, n,
-        |        CAST(round(pow(obs - expd, 2) / expd, 12) AS DECIMAL(24,12)) AS chi_term,
-        |        CAST(round(abs(obs - expd), 12) AS DECIMAL(24,12)) AS mad_term
+        |        CAST(round(pow(obs - expd, 2) / expd * 1.0e12, 0) AS BIGINT) AS chi_term_u,
+        |        CAST(round(abs(obs - expd) * 1.0e12, 0) AS BIGINT) AS mad_term_u
         |      FROM j)
         |SELECT event_type, max(n) AS n,
-        |  round(CAST(sum(chi_term) * max(n) AS DOUBLE), 6) AS chi2,
-        |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) AS mad,
-        |  round(CAST(sum(mad_term) AS DOUBLE) / 9, 6) <= 0.015 AS conforms
+        |  round(CAST(sum(chi_term_u) AS DOUBLE) / 1.0e12
+        |    * CAST(max(n) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS chi2,
+        |  round(CAST(sum(mad_term_u) AS DOUBLE) / 1.0e12 / 9 * 1.0e6, 0) / 1.0e6 AS mad,
+        |  round(CAST(sum(mad_term_u) AS DOUBLE) / 1.0e12 / 9 * 1.0e6, 0) / 1.0e6 <= 0.015 AS conforms
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors DataQuality.ksTest twice: the oracle uses the simple
@@ -7389,20 +7393,22 @@ object SparkEntry {
          |  FROM (SELECT DISTINCT user_id, event_type FROM events) ut
          |  JOIN ua USING (user_id) GROUP BY event_type)
          |SELECT event_type, n_a, n_b, x_a, x_b,
-         |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
-         |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |  round(CAST(x_a AS DOUBLE) / n_a * 1.0e6, 0) / 1.0e6 AS rate_a,
+         |  round(CAST(x_b AS DOUBLE) / n_b * 1.0e6, 0) / 1.0e6 AS rate_b,
          |  CASE WHEN (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
          |    round(CAST(x_a * n_b - x_b * n_a AS DOUBLE) /
          |      sqrt(CAST((x_a + x_b) * ((n_a + n_b) - (x_a + x_b))
          |             AS DOUBLE) *
-         |           CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)), 6)
+         |           CAST(n_a * n_b AS DOUBLE) / (n_a + n_b))
+         |      * 1.0e6, 0) / 1.0e6
          |  END AS z,
          |  coalesce(abs(CASE WHEN (x_a + x_b) > 0
          |        AND (x_a + x_b) < (n_a + n_b) THEN
          |      round(CAST(x_a * n_b - x_b * n_a AS DOUBLE) /
          |        sqrt(CAST((x_a + x_b) * ((n_a + n_b) - (x_a + x_b))
          |               AS DOUBLE) *
-         |             CAST(n_a * n_b AS DOUBLE) / (n_a + n_b)), 6)
+         |             CAST(n_a * n_b AS DOUBLE) / (n_a + n_b))
+         |        * 1.0e6, 0) / 1.0e6
          |    END) > 1.96, false) AS significant
          |FROM x, arms ORDER BY event_type""".stripMargin,
 
@@ -7947,7 +7953,7 @@ object SparkEntry {
         |    c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
         |      * 1000000.0, 0) AS BIGINT) AS t6
         |  FROM w),
-        |ue AS (SELECT user_id, (-sum(t6)) // max(n) AS h6
+        |ue AS (SELECT user_id, (CASE WHEN (-sum(t6)) < 0 THEN -((-(-sum(t6))) // (max(n))) ELSE (-sum(t6)) // (max(n)) END) AS h6
         |  FROM t GROUP BY user_id),
         |g AS (SELECT h6 // 250000 AS bin,
         |    CAST(count(*) AS BIGINT) AS n_users,
@@ -8397,7 +8403,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
          |  FROM documents),
          |ct AS (SELECT DISTINCT doc_id,
-         |    CAST((g.i - 1) // 10 AS INT) AS chunk_no, toks[g.i] AS t
+         |    CAST((CASE WHEN (g.i - 1) < 0 THEN -((-(g.i - 1)) // (10)) ELSE (g.i - 1) // (10) END) AS INT) AS chunk_no, toks[g.i] AS t
          |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
          |ch AS (SELECT DISTINCT doc_id, chunk_no FROM ct),
          |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch
@@ -8690,10 +8696,10 @@ object SparkEntry {
         |  LEFT JOIN counts c ON c.event_type = g.event_type
         |    AND c.bin = g.bin AND c.side = 'cur'),
         |terms AS (SELECT r.event_type, r.n_ref, cu.n_cur,
-        |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS DECIMAL(24,12)) AS term
+        |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref) * 1.0e12, 0) AS BIGINT) AS term_u
         |  FROM rf r JOIN cu ON cu.event_type = r.event_type AND cu.bin = r.bin)
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
-        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |  round(CAST(sum(term_u) AS DOUBLE) / 1.0e12 * 1.0e6, 0) / 1.0e6 AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors Similarity.knnTriangles: ordered edge-iterator wedge
@@ -8825,11 +8831,11 @@ object SparkEntry {
          |  FROM h),
          |n AS (SELECT *, round(-1.0 *
          |    (CASE WHEN uu - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
-         |    * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noise
+         |    * ln(1.0 - 2.0 * abs(uu - 0.5)) * 1.0e6, 0) / 1.0e6 AS noise
          |  FROM u)
          |SELECT event_type, day, n_true,
-         |  greatest(0.0, round(n_true + noise, 4)) AS n_released,
-         |  round(abs(noise), 6) AS abs_err
+         |  greatest(0.0, round((n_true + noise) * 1.0e4, 0) / 1.0e4) AS n_released,
+         |  round(abs(noise) * 1.0e6, 0) / 1.0e6 AS abs_err
          |FROM n ORDER BY event_type, day""".stripMargin,
 
     // mirrors psiVsBaseline ∘ referenceHistogram: bounds frozen from
@@ -8861,10 +8867,10 @@ object SparkEntry {
         |  FROM grid g JOIN ct t ON t.event_type = g.event_type
         |  LEFT JOIN cc c ON c.event_type = g.event_type AND c.bin = g.bin),
         |terms AS (SELECT r.event_type, r.n_ref, cu.n_cur,
-        |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS DECIMAL(24,12)) AS term
+        |    CAST(round((p_cur - p_ref) * ln(p_cur / p_ref) * 1.0e12, 0) AS BIGINT) AS term_u
         |  FROM rf r JOIN cu ON cu.event_type = r.event_type AND cu.bin = r.bin)
         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
-        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |  round(CAST(sum(term_u) AS DOUBLE) / 1.0e12 * 1.0e6, 0) / 1.0e6 AS psi
         |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors Analytics.acf (lags 1..5 over minute bars): same decimal
@@ -9056,7 +9062,7 @@ object SparkEntry {
       val hourBars = barsCte.replace("INTERVAL 1 MINUTE", "INTERVAL 1 HOUR")
       s"""$hourBars,
          |b2 AS (SELECT symbol, bar_start,
-         |    CASE WHEN open <> 0 THEN round(close / open - 1, 6) END AS label_ret,
+         |    CASE WHEN open <> 0 THEN round((close / open - 1) * 1.0e6, 0) / 1.0e6 END AS label_ret,
          |    lag(bar_start) OVER w AS asof_feat_ts,
          |    lag(close) OVER w AS asof_close,
          |    lag(volume) OVER w AS asof_volume,

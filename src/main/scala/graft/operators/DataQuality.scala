@@ -146,12 +146,13 @@ object DataQuality {
         ((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
           (col("n") + nBins).cast("double")).as(s"p_$s"))
     sideP("ref").join(sideP("cur"), Seq("event_type", "bin"))
-      .withColumn("term",
-        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12)
-          .cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+      .withColumn("term_u",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))
+          * lit(1.0e12), 0).cast("long"))
       .groupBy(col("event_type"))
       .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
-        round(sum(col("term")).cast("double"), 6).as("psi"))
+        (round(sum(col("term_u")).cast("double") / lit(1.0e12)
+          * lit(1.0e6), 0) / lit(1.0e6)).as("psi"))
       .orderBy(col("event_type"))
   }
 
@@ -237,20 +238,23 @@ object DataQuality {
     val grid = base.select(col("event_type")).distinct()
       .crossJoin(broadcast(events.sparkSession.range(1L, 10L)
         .select(col("id").cast("int").as("digit"))))
-    val dec = org.apache.spark.sql.types.DecimalType(24, 12)
     grid.join(counts, Seq("event_type", "digit"), "left")
       .join(totals, Seq("event_type"))
       .withColumn("obs",
         coalesce(col("cnt"), lit(0L)).cast("double") / col("n").cast("double"))
       .withColumn("expd", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
-      .withColumn("chi_term",
-        round(pow(col("obs") - col("expd"), 2) / col("expd"), 12).cast(dec))
-      .withColumn("mad_term", round(abs(col("obs") - col("expd")), 12).cast(dec))
+      .withColumn("chi_term_u",
+        round(pow(col("obs") - col("expd"), 2) / col("expd")
+          * lit(1.0e12), 0).cast("long"))
+      .withColumn("mad_term_u",
+        round(abs(col("obs") - col("expd")) * lit(1.0e12), 0).cast("long"))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
-        round((sum(col("chi_term")) * max(col("n"))).cast("double"), 6)
+        (round(sum(col("chi_term_u")).cast("double") / lit(1.0e12)
+          * max(col("n")).cast("double") * lit(1.0e6), 0) / lit(1.0e6))
           .as("chi2"),
-        round(sum(col("mad_term")).cast("double") / 9, 6).as("mad"))
+        (round(sum(col("mad_term_u")).cast("double") / lit(1.0e12) / 9
+          * lit(1.0e6), 0) / lit(1.0e6)).as("mad"))
       .withColumn("conforms", col("mad") <= 0.015)
       .orderBy(col("event_type"))
   }
@@ -309,12 +313,13 @@ object DataQuality {
     }
     smooth(baseline, "ref").join(smooth(curCounts, "cur"),
         Seq("event_type", "bin"))
-      .withColumn("term",
-        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 12)
-          .cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+      .withColumn("term_u",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))
+          * lit(1.0e12), 0).cast("long"))
       .groupBy(col("event_type"))
       .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
-        round(sum(col("term")).cast("double"), 6).as("psi"))
+        (round(sum(col("term_u")).cast("double") / lit(1.0e12)
+          * lit(1.0e6), 0) / lit(1.0e6)).as("psi"))
       .orderBy(col("event_type"))
   }
 
@@ -634,11 +639,14 @@ object DataQuality {
           round((col("x_a") * col("n_b") - col("x_b") * col("n_a"))
             .cast("double") /
             sqrt((col("x") * (col("n") - col("x"))).cast("double") *
-              (col("n_a") * col("n_b")).cast("double") / col("n")), 6)))
+              (col("n_a") * col("n_b")).cast("double") / col("n"))
+            * lit(1.0e6), 0) / lit(1.0e6)))
       .select(col("event_type"), col("n_a"), col("n_b"),
         col("x_a"), col("x_b"),
-        round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
-        round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
+        (round(col("x_a").cast("double") / col("n_a") * lit(1.0e6), 0)
+          / lit(1.0e6)).as("rate_a"),
+        (round(col("x_b").cast("double") / col("n_b") * lit(1.0e6), 0)
+          / lit(1.0e6)).as("rate_b"),
         col("z"),
         (col("z").isNotNull && abs(col("z")) > 1.96).as("significant"))
       .orderBy(col("event_type"))

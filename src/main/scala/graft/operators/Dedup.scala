@@ -190,8 +190,9 @@ object Dedup {
       .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
       .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("inter").cast("double")
-          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -407,8 +408,9 @@ object Dedup {
       .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
       .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("inter").cast("double")
-          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
@@ -449,11 +451,13 @@ object Dedup {
       .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
         col("c1.n").as("n1"), col("c2.n").as("n2"),
-        round(col("inter").cast("double")
-          / least(col("c1.n"), col("c2.n")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / least(col("c1.n"), col("c2.n")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("containment"),
-        round(col("inter").cast("double")
-          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("containment") >= threshold)
       .orderBy(col("d1"), col("d2"))
@@ -516,8 +520,9 @@ object Dedup {
         size(col("s1")).cast("long").as("n1"),
         size(col("s2")).cast("long").as("n2"))
       .select(col("d1"), col("d2"),
-        round(col("inter").cast("double")
-          / (col("n1") + col("n2") - col("inter")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy(col("d1"), col("d2"))
@@ -535,28 +540,31 @@ object Dedup {
     * shingle is implied), so the audit needs no all-pairs scan.
     *
     * Determinism: truth pairs and candidates are exact sets; the
-    * theoretical column is a per-pair 12-decimal rounded term summed
-    * as DECIMAL. Output is ≤ 10 rows (one per 0.1 Jaccard band).
+    * theoretical column is a per-pair pico-unit (1e-12) integer pin of
+    * the S-curve (round(v·1e12, 0) — never round(v, 12) of a libm
+    * double, the version-fragile form) summed exactly as longs and
+    * divided once at the output boundary. Output is ≤ 10 rows (one per
+    * 0.1 Jaccard band).
     */
   def lshRecallAudit(docs: DataFrame, minJ: Double = 0.05): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val rowsPerBand = NumHashes / NumBands
     val truth = ngramJaccardPairs(docs, minJ, Int.MaxValue)
     val cand = lshCandidates(minhashSignatures(docs))
       .withColumn("hit", lit(1L))
     truth.join(cand, Seq("d1", "d2"), "left")
       .withColumn("jband", least(floor(col("jaccard") * 10), lit(9)).cast("int"))
-      .withColumn("scurve", round(lit(1.0) -
-        pow(lit(1.0) - pow(col("jaccard"), rowsPerBand), NumBands), 12)
-        .cast(DecimalType(24, 12)))
+      .withColumn("scurve_u", round((lit(1.0) -
+        pow(lit(1.0) - pow(col("jaccard"), rowsPerBand), NumBands))
+        * lit(1.0e12), 0).cast("long"))
       .groupBy(col("jband"))
       .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_detected"),
-        sum(col("scurve")).as("sc"))
+        sum(col("scurve_u")).as("sc_u"))
       .select(col("jband"), col("n_truth"), col("n_detected"),
-        round(col("n_detected").cast("double") / col("n_truth").cast("double"), 6)
-          .as("recall"),
-        round(col("sc").cast("double") / col("n_truth").cast("double"), 6)
-          .as("recall_theoretical"))
+        (round(col("n_detected").cast("double") / col("n_truth").cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("recall"),
+        (round(col("sc_u").cast("double")
+          / (col("n_truth").cast("double") * lit(1.0e12))
+          * lit(1.0e6), 0) / lit(1.0e6)).as("recall_theoretical"))
       .orderBy(col("jband"))
   }
 
@@ -681,8 +689,9 @@ object Dedup {
       .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
       .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("inter").cast("double")
-          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // lift to the contracted cluster graph: history end → its rep,
@@ -1070,8 +1079,9 @@ object Dedup {
       .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
       .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
       .select(col("d1"), col("d2"),
-        round(col("inter").cast("double")
-          / (col("c1.n") + col("c2.n") - col("inter")).cast("double"), 6)
+        (round(col("inter").cast("double")
+          / (col("c1.n") + col("c2.n") - col("inter")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val relabeled = clusters(pairs)

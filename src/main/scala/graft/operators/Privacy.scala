@@ -78,12 +78,15 @@ object Privacy {
       groupCols.flatMap(n => Seq(col(n).cast("string"), lit("|"))): _*)
     df.groupBy(gNames: _*)
       .agg(count(lit(1)).as("n_true"))
-      .withColumn("noise", round(laplaceNoise(seed, eps), 6))
+      .withColumn("noise",
+        round(laplaceNoise(seed, eps) * lit(1.0e6), 0) / lit(1.0e6))
       .select(gNames ++ Seq(
         col("n_true"),
-        greatest(lit(0.0), round(col("n_true") + col("noise"), 4))
+        greatest(lit(0.0),
+          round((col("n_true") + col("noise")) * lit(1.0e4), 0) / lit(1.0e4))
           .as("n_released"),
-        round(abs(col("noise")), 6).as("abs_err")): _*)
+        (round(abs(col("noise")) * lit(1.0e6), 0) / lit(1.0e6))
+          .as("abs_err")): _*)
       .orderBy(gNames: _*)
   }
 }

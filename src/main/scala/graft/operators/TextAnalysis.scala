@@ -1828,8 +1828,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_pieces")).as("n_pieces"))
       .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
-        round(col("n_pieces").cast("double")
-          / col("n_tokens").cast("double"), 6).as("fertility"))
+        (round(col("n_pieces").cast("double")
+          / col("n_tokens").cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("fertility"))
       .orderBy(col("doc_id"))
   }
 
@@ -2515,9 +2516,9 @@ object TextAnalysis {
           .as("tokens_selected"),
         min(when(col("selected"), col("quality_score")))
           .as("quality_bar"),
-        round(sum(when(col("selected"), col("n_tok")).otherwise(0L))
-          .cast("double") / max(col("budget_tokens")).cast("double"), 6)
-          .as("utilization"))
+        (round(sum(when(col("selected"), col("n_tok")).otherwise(0L))
+          .cast("double") / max(col("budget_tokens")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("utilization"))
       .orderBy(col("source"))
   }
 
@@ -2660,12 +2661,13 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .select(col("item_a"), col("item_b"), col("supp_ab"),
         col("supp_a"), col("supp_b"),
-        round(col("supp_ab").cast("double") / col("supp_a"), 6)
-          .as("conf_a_b"),
-        round(col("supp_ab").cast("double") / col("supp_b"), 6)
-          .as("conf_b_a"),
-        round(col("supp_ab").cast("double") * col("n_docs") /
-          (col("supp_a").cast("double") * col("supp_b")), 6).as("lift"))
+        (round(col("supp_ab").cast("double") / col("supp_a")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("conf_a_b"),
+        (round(col("supp_ab").cast("double") / col("supp_b")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("conf_b_a"),
+        (round(col("supp_ab").cast("double") * col("n_docs") /
+          (col("supp_a").cast("double") * col("supp_b"))
+          * lit(1.0e6), 0) / lit(1.0e6)).as("lift"))
       .orderBy(col("supp_ab").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
