@@ -512,8 +512,9 @@ object SparkEntry {
           // exact-decimal sum / count, not bare avg(): double partial
           // sums are order-dependent once |sum| exceeds 2^53 (repo
           // determinism convention, same as q17's avg_qty)
-          round(sum(col("k").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
-            .cast("double") / count(col("k")).cast("double"), 6).as("avg_k"),
+          (round(sum(col("k").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+            .cast("double") / count(col("k")).cast("double")
+            * lit(1.0e6), 0) / lit(1.0e6)).as("avg_k"),
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
@@ -2537,7 +2538,7 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
         |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |      AS DOUBLE), 6) AS mkt_share,
+        |      AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS mkt_share,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
         |    AS DOUBLE) AS total_volume
@@ -2718,7 +2719,7 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) * 100.0
         |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        |      AS DOUBLE), 6) AS promo_revenue_pct,
+        |      AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS promo_revenue_pct,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
         |    AS DOUBLE) AS total_revenue
@@ -2979,7 +2980,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(CAST(sum(CAST(props::JSON ->> 'k' AS DECIMAL(20,0))) AS DOUBLE)
-        |    / CAST(count(props::JSON ->> 'k') AS DOUBLE), 6) AS avg_k,
+        |    / CAST(count(props::JSON ->> 'k') AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS avg_k,
         |  min(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
         |  max(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type
@@ -3823,7 +3824,7 @@ object SparkEntry {
         |cm AS (SELECT lang_true, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
         |tot AS (SELECT lang_true, sum(n) AS n_true FROM cm GROUP BY 1)
         |SELECT cm.lang_true, cm.lang_pred, n,
-        |  round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS share,
+        |  round(CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS share,
         |  cm.lang_true = cm.lang_pred AS correct
         |FROM cm JOIN tot USING (lang_true)
         |ORDER BY lang_true, lang_pred""".stripMargin,
@@ -4540,16 +4541,16 @@ object SparkEntry {
          |  CASE WHEN len(toks) > 0 THEN
          |    round(CAST(list_max(list_transform(list_distinct(toks),
          |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE), 6)
+         |      / CAST(len(toks) AS DOUBLE) * 1.0e6, 0) / 1.0e6
          |    ELSE CAST(0 AS DOUBLE) END AS top_token_frac,
          |  CASE WHEN len(bg) > 0 THEN
          |    round(CAST(list_max(list_transform(list_distinct(bg),
          |      u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
-         |      / CAST(len(bg) AS DOUBLE), 6)
+         |      / CAST(len(bg) AS DOUBLE) * 1.0e6, 0) / 1.0e6
          |    ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
          |  CASE WHEN len(tg) > 0 THEN
-         |    round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE)
-         |      / CAST(len(tg) AS DOUBLE), 6)
+         |    round((CAST(1 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE)
+         |      / CAST(len(tg) AS DOUBLE)) * 1.0e6, 0) / 1.0e6
          |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
          |FROM g ORDER BY doc_id""".stripMargin,
 
@@ -4708,8 +4709,9 @@ object SparkEntry {
          |f AS (SELECT coalesce(lex.query_id, ann.query_id) AS query_id,
          |        coalesce(lex.doc_id, ann.doc_id) AS doc_id,
          |        lex.lex_rank, ann.ann_rank,
-         |        round(coalesce(1.0e0 / (60.0e0 + CAST(lex_rank AS DOUBLE)), 0.0e0)
-         |          + coalesce(1.0e0 / (60.0e0 + CAST(ann_rank AS DOUBLE)), 0.0e0), 6) AS rrf
+         |        round((coalesce(1.0e0 / (60.0e0 + CAST(lex_rank AS DOUBLE)), 0.0e0)
+         |          + coalesce(1.0e0 / (60.0e0 + CAST(ann_rank AS DOUBLE)), 0.0e0))
+         |          * 1.0e6, 0) / 1.0e6 AS rrf
          |      FROM lex FULL JOIN ann
          |        ON lex.query_id = ann.query_id AND lex.doc_id = ann.doc_id)
          |SELECT query_id, doc_id, lex_rank, ann_rank, rrf,
@@ -5224,7 +5226,7 @@ object SparkEntry {
         |tot AS (SELECT sum(c) AS n FROM uni)
         |SELECT pr.t1, pr.t2, pr.n_pair,
         |  round(ln((CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE))
-        |    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+        |    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) * 1.0e6, 0) / 1.0e6 AS pmi
         |FROM pr
         |JOIN uni a ON a.t = pr.t1
         |JOIN uni b ON b.t = pr.t2, tot
@@ -5583,7 +5585,8 @@ object SparkEntry {
         |      * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(
         |          ['the','a','of','and','to','in','is','on','for','with'],
         |          tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-        |      * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0), 6)
+        |      * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+        |      * 1.0e6, 0) / 1.0e6
         |      AS quality_score
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
         |        FROM documents)),
@@ -5597,10 +5600,11 @@ object SparkEntry {
         |    CAST(sum((rq - rl) * (rq - rl)) AS BIGINT) AS sum_d2
         |  FROM r GROUP BY lang)
         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, sum_d2,
-        |  CASE WHEN n_docs > 1 THEN round(1.0
+        |  CASE WHEN n_docs > 1 THEN round((1.0
         |    - 6.0 * CAST(sum_d2 AS DOUBLE)
         |      / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
-        |        * CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)), 6)
+        |        * CAST(n_docs AS DOUBLE) - CAST(n_docs AS DOUBLE)))
+        |    * 1.0e6, 0) / 1.0e6
         |  END AS spearman_rho
         |FROM a ORDER BY lang""".stripMargin,
 
@@ -6187,10 +6191,10 @@ object SparkEntry {
     "target_encode_oof" ->
       s"""WITH t AS (SELECT event_type,
          |        CAST(${h60("'fold_' || user_id")} % 5 AS INT) AS fold,
-         |        CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+         |        CAST(round(value * 1.0e6, 0) AS BIGINT) AS vu
          |      FROM events),
          |pf AS (SELECT event_type, fold,
-         |         CAST(count(*) AS BIGINT) AS n_f, sum(v) AS s_f
+         |         CAST(count(*) AS BIGINT) AS n_f, sum(vu) AS s_f
          |       FROM t GROUP BY event_type, fold),
          |tt AS (SELECT event_type, fold, n_f, s_f,
          |         CAST(sum(n_f) OVER (PARTITION BY event_type)
@@ -6200,8 +6204,8 @@ object SparkEntry {
          |SELECT event_type, fold, n_f AS n_in_fold,
          |  n_tot - n_f AS n_oof,
          |  CASE WHEN n_tot - n_f > 0 THEN
-         |    round(CAST(s_tot - s_f AS DOUBLE)
-         |      / CAST(n_tot - n_f AS DOUBLE), 6) END AS oof_mean
+         |    round(CAST(s_tot - s_f AS DOUBLE) / 1.0e6
+         |      / CAST(n_tot - n_f AS DOUBLE) * 1.0e6, 0) / 1.0e6 END AS oof_mean
          |FROM tt ORDER BY event_type, fold""".stripMargin,
 
     // mirrors TextAnalysis.heapsFit: per-doc token counts + per-token
@@ -6234,29 +6238,29 @@ object SparkEntry {
         |  FROM pts WHERE cum_tokens > 0 AND cum_types > 0),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
         |    max(cum_tokens) AS n_tokens, max(cum_types) AS n_types,
-        |    sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
-        |    sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS sy,
-        |    sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS sxy,
-        |    sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS sxx
-        |  FROM terms)
+        |    sum(CAST(round(x * 1.0e12, 0) AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(round(y * 1.0e12, 0) AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(round(x * y * 1.0e12, 0) AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(round(x * x * 1.0e12, 0) AS DECIMAL(38,0))) AS sxx
+        |  FROM terms),
+        |gd AS (SELECT n_points, n_tokens, n_types,
+        |    CAST(n_points AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 1.0e12 AS sxd,
+        |    CAST(sy AS DOUBLE) / 1.0e12 AS syd,
+        |    CAST(sxy AS DOUBLE) / 1.0e12 AS sxyd,
+        |    CAST(sxx AS DOUBLE) / 1.0e12 AS sxxd
+        |  FROM g)
         |SELECT n_points, n_tokens, n_types,
-        |  CASE WHEN (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        |    THEN round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |      / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  CASE WHEN (nd * sxxd - sxd * sxd) > 0
+        |    THEN round((nd * sxyd - sxd * syd)
+        |      / (nd * sxxd - sxd * sxd) * 1.0e6, 0) / 1.0e6
         |  END AS heaps_beta,
-        |  CASE WHEN (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        |    THEN round((CAST(sy AS DOUBLE)
-        |      - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |        * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE), 6)
+        |  CASE WHEN (nd * sxxd - sxd * sxd) > 0
+        |    THEN round((syd - (nd * sxyd - sxd * syd)
+        |        / (nd * sxxd - sxd * sxd)
+        |        * sxd) / nd * 1.0e6, 0) / 1.0e6
         |  END AS heaps_log10k
-        |FROM g""".stripMargin,
+        |FROM gd""".stripMargin,
 
     // mirrors TextAnalysis.zipfFit: 1e-6-pinned log10 terms, exact
     // integer OLS moments (wide ones in DECIMAL(38,0); envelope:
@@ -6901,7 +6905,7 @@ object SparkEntry {
         |  CAST(32 + (doc_id % 8) * 16 AS INT) AS width,
         |  CAST(32 + (doc_id % 5) * 32 AS INT) AS height,
         |  round(CAST(sum(ascii(substr(text, g.i, 1))) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS mean_intensity
+        |    / CAST(count(*) AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS mean_intensity
         |FROM documents, unnest(generate_series(1, length(text))) AS g(i)
         |GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
@@ -9023,7 +9027,7 @@ object SparkEntry {
     "weighted_sample" ->
       s"""WITH k AS (SELECT doc_id, source, n_chars,
          |    round(ln((CAST(${h60("'ws_' || doc_id")} AS DOUBLE) + 0.5) / 1152921504606846976.0)
-         |      / ln(1.0 + CAST(n_chars AS DOUBLE)), 12) AS samp_key
+         |      / ln(1.0 + CAST(n_chars AS DOUBLE)) * 1.0e12, 0) / 1.0e12 AS samp_key
          |  FROM documents),
          |r AS (SELECT *, row_number() OVER (PARTITION BY source
          |    ORDER BY samp_key DESC, doc_id) AS samp_rank FROM k)

@@ -498,31 +498,31 @@ object DataQuality {
     * construction.
     *
     * The OOF mean is (S_type − S_fold)/(N_type − N_fold) over EXACT
-    * decimal sums (values rounded to 6 then summed as DECIMAL — no
-    * order dependence), with one double division at the boundary; a
+    * integer sums (values pinned to 1e-6-unit longs — round(v·1e6, 0),
+    * never round(v, 6) — then summed exactly; no order dependence),
+    * with one double division at the boundary; a
     * group-total window rides the same (type, fold) aggregation, so
     * nothing rescans the facts.
     */
   def targetEncodeOof(events: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.hash60
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(18, 6)
     val wType = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
     events.select(col("event_type"),
         pmod(hash60(concat(lit("fold_"), col("user_id"))),
           lit(k.toLong)).cast("int").as("fold"),
-        round(col("value"), 6).cast(dec).as("v"))
+        round(col("value") * lit(1.0e6), 0).cast("long").as("vu"))
       .groupBy(col("event_type"), col("fold"))
-      .agg(count(lit(1)).as("n_f"), sum(col("v")).as("s_f"))
+      .agg(count(lit(1)).as("n_f"), sum(col("vu")).as("s_f"))
       .withColumn("n_tot", sum(col("n_f")).over(wType))
       .withColumn("s_tot", sum(col("s_f")).over(wType))
       .select(col("event_type"), col("fold"),
         col("n_f").as("n_in_fold"),
         (col("n_tot") - col("n_f")).as("n_oof"),
         when(col("n_tot") - col("n_f") > 0,
-          round((col("s_tot") - col("s_f")).cast("double") /
-            (col("n_tot") - col("n_f")).cast("double"), 6))
+          round((col("s_tot") - col("s_f")).cast("double") / lit(1.0e6) /
+            (col("n_tot") - col("n_f")).cast("double")
+            * lit(1.0e6), 0) / lit(1.0e6))
           .as("oof_mean"))
       .orderBy(col("event_type"), col("fold"))
   }

@@ -104,8 +104,8 @@ object Multimodal {
         while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
         val mean =
           if (bytes.isEmpty) 0.0
-          else BigDecimal(s.toDouble / bytes.length)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else BigDecimal(s.toDouble / bytes.length * 1.0e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1.0e6
         (id, w, h, mean)
       }
     }.toDF("media_id", "width", "height", "mean_intensity")

@@ -534,10 +534,11 @@ object Relational {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        round(
+        (round(
           sum(when(col("supp_nation") === suppNation, vol).otherwise(zero))
             .cast("double")
-          / sum(vol).cast("double"), 6).as("mkt_share"),
+          / sum(vol).cast("double") * lit(1.0e6), 0) / lit(1.0e6))
+          .as("mkt_share"),
         sum(vol).cast("double").as("total_volume"))
       .orderBy(col("o_year"))
   }
@@ -671,8 +672,8 @@ object Relational {
           .cast("double") * 100.0).as("promo_num"),
         sum(rev).cast("double").as("total_revenue"))
       .select(
-        round(col("promo_num") / col("total_revenue"), 6)
-          .as("promo_revenue_pct"),
+        (round(col("promo_num") / col("total_revenue")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("promo_revenue_pct"),
         col("total_revenue"))
   }
 

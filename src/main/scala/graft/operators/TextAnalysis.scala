@@ -227,8 +227,8 @@ object TextAnalysis {
     val tot = cm.groupBy(col("lang_true")).agg(sum(col("n")).as("n_true"))
     cm.join(tot, Seq("lang_true"))
       .select(col("lang_true"), col("lang_pred"), col("n"),
-        round(col("n").cast("double") / col("n_true").cast("double"), 6)
-          .as("share"),
+        (round(col("n").cast("double") / col("n_true").cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("share"),
         (col("lang_true") === col("lang_pred")).as("correct"))
       .orderBy(col("lang_true"), col("lang_pred"))
   }
@@ -684,10 +684,10 @@ object TextAnalysis {
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"), col("lex_rank"),
         col("ann_rank"),
-        round(
-          coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("lex_rank").cast("double")), lit(0.0d)) +
-            coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("ann_rank").cast("double")), lit(0.0d)),
-          6).as("rrf"))
+        (round(
+          (coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("lex_rank").cast("double")), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("ann_rank").cast("double")), lit(0.0d)))
+          * lit(1.0e6), 0) / lit(1.0e6)).as("rrf"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("rrf").desc, col("doc_id"))))
@@ -772,7 +772,7 @@ object TextAnalysis {
     */
   def heapsFit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(28, 12)
+    val dec0 = DecimalType(38, 0)
     val wDoc = org.apache.spark.sql.expressions.Window
       .orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -791,22 +791,27 @@ object TextAnalysis {
       .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
     val x = log10(col("cum_tokens").cast("double"))
     val y = log10(col("cum_types").cast("double"))
+    // each OLS term pinned to the 1e-12 grid as an INTEGER
+    // (round(v*1e12, 0) — never round(v, 12) of a libm double, the
+    // version-fragile form), summed exactly as DECIMAL(38,0), and
+    // converted back to the SAME double values once at the boundary.
     val g = pts.agg(
       count(lit(1)).as("n_points"),
       max(col("cum_tokens")).as("n_tokens"),
       max(col("cum_types")).as("n_types"),
-      sum(round(x, 12).cast(dec)).as("sx"),
-      sum(round(y, 12).cast(dec)).as("sy"),
-      sum(round(x * y, 12).cast(dec)).as("sxy"),
-      sum(round(x * x, 12).cast(dec)).as("sxx"))
+      sum(round(x * lit(1.0e12), 0).cast(dec0)).as("sx"),
+      sum(round(y * lit(1.0e12), 0).cast(dec0)).as("sy"),
+      sum(round(x * y * lit(1.0e12), 0).cast(dec0)).as("sxy"),
+      sum(round(x * x * lit(1.0e12), 0).cast(dec0)).as("sxx"))
     val n = col("n_points").cast("double")
-    def d(c: String) = col(c).cast("double")
+    def d(c: String) = col(c).cast("double") / lit(1.0e12)
     val den = n * d("sxx") - d("sx") * d("sx")
     g.select(col("n_points"), col("n_tokens"), col("n_types"),
-      when(den > 0, round((n * d("sxy") - d("sx") * d("sy")) / den, 6))
-        .as("heaps_beta"),
+      when(den > 0, round((n * d("sxy") - d("sx") * d("sy")) / den
+        * lit(1.0e6), 0) / lit(1.0e6)).as("heaps_beta"),
       when(den > 0, round((d("sy") - (n * d("sxy") - d("sx") * d("sy"))
-        / den * d("sx")) / n, 6)).as("heaps_log10k"))
+        / den * d("sx")) / n * lit(1.0e6), 0) / lit(1.0e6))
+        .as("heaps_log10k"))
   }
 
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020):
@@ -1592,7 +1597,8 @@ object TextAnalysis {
         g => size(filter(grams, x => x === g)))
       when(size(grams) > 0,
         round(array_max(counts).cast("double")
-          / size(grams).cast("double"), 6)).otherwise(lit(0.0))
+          / size(grams).cast("double") * lit(1.0e6), 0) / lit(1.0e6))
+        .otherwise(lit(0.0))
     }
     val tri = ngrams(3)
     docs.select(
@@ -1601,8 +1607,9 @@ object TextAnalysis {
       topFrac(toks).as("top_token_frac"),
       topFrac(ngrams(2)).as("top_bigram_frac"),
       when(size(tri) > 0,
-        round(lit(1.0) - size(array_distinct(tri)).cast("double")
-          / size(tri).cast("double"), 6)).otherwise(lit(0.0))
+        round((lit(1.0) - size(array_distinct(tri)).cast("double")
+          / size(tri).cast("double")) * lit(1.0e6), 0) / lit(1.0e6))
+        .otherwise(lit(0.0))
         .as("dup_trigram_frac"))
   }
 
@@ -1672,7 +1679,8 @@ object TextAnalysis {
       graft.operators.Sketches.HashRange
     val w = log(lit(1.0) + col("n_chars").cast("double"))
     docs.select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("samp_key", round(log(u) / w, 12))
+      .withColumn("samp_key",
+        round(log(u) / w * lit(1.0e12), 0) / lit(1.0e12))
       .withColumn("samp_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("samp_key").desc, col("doc_id"))))
@@ -2373,9 +2381,9 @@ object TextAnalysis {
       .join(uni.select(col("t").as("t2"), col("c").as("c2")), Seq("t2"))
       .crossJoin(broadcast(total))
       .select(col("t1"), col("t2"), col("n_pair"),
-        round(log((col("n_pair").cast("double") * col("n").cast("double")) /
-          (col("c1").cast("double") * col("c2").cast("double"))), 6)
-          .as("pmi"))
+        (round(log((col("n_pair").cast("double") * col("n").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")))
+          * lit(1.0e6), 0) / lit(1.0e6)).as("pmi"))
       .orderBy(col("pmi").desc, col("t1"), col("t2"))
       .limit(k)
   }
@@ -2746,11 +2754,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("d") * col("d")).as("sum_d2"))
       .select(col("lang"), col("n_docs"), col("sum_d2"),
-        when(col("n_docs") > 1, round(lit(1.0) -
+        when(col("n_docs") > 1, round((lit(1.0) -
           lit(6.0) * col("sum_d2").cast("double") /
             (col("n_docs").cast("double") * col("n_docs").cast("double")
               * col("n_docs").cast("double")
-              - col("n_docs").cast("double")), 6))
+              - col("n_docs").cast("double"))) * lit(1.0e6), 0) / lit(1.0e6))
           .as("spearman_rho"))
       .orderBy(col("lang"))
   }
