@@ -26,6 +26,31 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("oracle SQL carries no version-fragile arithmetic shapes " +
+    "(shape-lint gate)") {
+    // the round-8 incident class: round(e, k>=1) over a double
+    // division / libm call (Spark BigDecimal HALF_UP vs an oracle
+    // engine's multiply-based round), signed `//` (trunc vs floor
+    // across versions), HUGEINT casts. tools/shape_lint.py parses the
+    // dumped oracle SQL with DuckDB's own parser and exits non-zero on
+    // any flagged query outside its written-proof allowlist.
+    import scala.sys.process._
+    val probe = Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3+duckdb unavailable — lint gate skipped " +
+      "(runs on the driver/dev environment)")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lint")
+    val f = tmp.resolve("oracle_sql.json")
+    java.nio.file.Files.writeString(f, Verify.oracleJson(SparkEntry.oracleSql))
+    val out = new StringBuilder
+    val log = ProcessLogger(l => { out.append(l).append('\n'); () },
+      l => { out.append(l).append('\n'); () })
+    val code = Process(Seq("python3", "tools/shape_lint.py", f.toString)).!(log)
+    assert(code == 0,
+      s"shape_lint flagged version-fragile oracle shapes — convert the " +
+      s"pin (safeRound/tdiv/wdivStages) or allowlist WITH a proof:\n$out")
+  }
+
   test("oracle SQL carries no tabs or CRs (driver JSON-escape contract)") {
     // Verify.scala escapes them, but flat SQL keeps the dumped
     // oracle_sql.json readable and diff-able
