@@ -1688,7 +1688,12 @@ object SparkEntry {
     * `pq`/`pd` are the DECIMAL precisions of the quotient cast and
     * the divisor downcast (floored at 19 — see the s0 note) — size
     * them so 10^pq (resp. 10^pd) comfortably exceeds |num/den|
-    * (resp. den) AND pq + max(pd, 19) <= 38:
+    * (resp. den) AND pq + max(pd, 19) <= 38. The quotient ALSO rides
+    * through a CAST(floor(double) AS BIGINT) seed, so |num/den| must
+    * stay below 2^63 (~9.2e18) regardless of pq — pq = 19 call sites
+    * (e.g. the CMH e12 division) satisfy this only because their
+    * actual quotients are far smaller; an out-of-range quotient
+    * aborts the query with a cast error (loud), never a wrong value:
     * the correction products then BIND on engines that reject
     * decimal multiplies wider than 38 instead of clamping (divisors
     * that arrive as SUM-typed DECIMAL(38,0) would otherwise fail

@@ -145,9 +145,16 @@ object Learn {
     // Outputs are ints + doubles only: the usd betas are exact 1e-8
     // unit longs ÷ 1e8 (no DECIMAL columns — the driver-hash
     // envelope; see userEntropy).
-    require(sst > 0, "constant response: sst == 0, R² undefined " +
-      "(mirrors Backtest.pairsTrading's sd6 guard)")
-    val r2mu = BigInt(1000000) - (n * sse * 1000000 / sst)
+    // constant response (sst == 0): R² is undefined — emit a NULL r2
+    // row rather than throwing, mirroring the oracle's wdivStages
+    // den-guard (den <= 0 → NULL quotient), so engine and oracle agree
+    // on degenerate-data behavior.
+    val r2Col =
+      if (sst > 0) {
+        val r2mu = BigInt(1000000) - (n * sse * 1000000 / sst)
+        require(r2mu.isValidLong, s"r2 unit overflow: $r2mu")
+        lit(r2mu.toLong.toDouble / 1.0e6)
+      } else lit(null).cast("double")
     def usd(units: BigInt) = {
       require(units.isValidLong, s"usd unit overflow: $units")
       lit(units.toLong.toDouble / 1.0e8)
@@ -157,8 +164,7 @@ object Learn {
       usd(b0t).as("intercept_usd"),
       usd(b1t).as("beta_qty_usd"),
       usd(b2t).as("beta_disc_pt_usd"),
-      lit({ require(r2mu.isValidLong, s"r2 unit overflow: $r2mu")
-        r2mu.toLong.toDouble / 1.0e6 }).as("r2"))
+      r2Col.as("r2"))
   }
 
   private val dW = DecimalType(14, 12)

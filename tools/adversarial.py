@@ -35,7 +35,7 @@ ROUND_RE = re.compile(r"\bround\s*\(", re.I)
 def _arity(sql, open_idx):
     """Top-level comma count inside the paren starting at open_idx.
     Returns (n_args, close_idx) or (None, None) on unbalanced text."""
-    depth, commas, i, n = 0, 0, open_idx, len(sql)
+    depth, brackets, commas, i, n = 0, 0, 0, open_idx, len(sql)
     in_str = False
     while i < n:
         c = sql[i]
@@ -50,7 +50,13 @@ def _arity(sql, open_idx):
             depth -= 1
             if depth == 0:
                 return commas + 1, i
-        elif c == "," and depth == 1:
+        elif c == "[":
+            brackets += 1
+        elif c == "]":
+            brackets -= 1
+        elif c == "," and depth == 1 and brackets == 0:
+            # a comma inside a ['a','b'] list literal is NOT an
+            # argument separator — track [] depth alongside parens
             commas += 1
         i += 1
     return None, None
