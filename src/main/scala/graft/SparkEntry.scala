@@ -563,6 +563,13 @@ object SparkEntry {
     // against the full-recompute bars oracle.
     "pipeline_restate_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.restateE2E(s, dir)),
+    // streaming takedown e2e: the persisted signature index + add
+    // ledger as nightly state, takedown ids drained through a real
+    // AvailableNow hop appending O(delta) DEL tombstones per
+    // micro-batch, then the as-of reconstruction — must agree with
+    // the batch ledger fold (the merge-on-read twin of index_asof).
+    "pipeline_retire_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.retireE2E(s, dir)),
 
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
@@ -2872,6 +2879,27 @@ object SparkEntry {
     "pipeline_restate_e2e" ->
       s"""$barsCte
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
+
+    // the streamed tombstone ledger folded as of the takedown batch:
+    // identical to index_asof's fold but at batch 4 (post-takedown) —
+    // active docs are everything whose latest op is not the del.
+    "pipeline_retire_e2e" ->
+      s"""$docsCte,
+         |$sigCte,
+         |lg AS (SELECT doc_id,
+         |         CAST(${h60("'b_' || doc_id")} % 4 AS INT) AS batch_id,
+         |         'add' AS op FROM documents
+         |       UNION ALL
+         |       SELECT doc_id, 4, 'del' FROM documents
+         |       WHERE ${h60("'ret_' || doc_id")} % 100 >= 90),
+         |act AS (SELECT doc_id,
+         |          arg_max(CASE WHEN op = 'del' THEN 1 ELSE 0 END,
+         |            batch_id * 2 + CASE WHEN op = 'del' THEN 1 ELSE 0 END)
+         |            AS last_del
+         |        FROM lg WHERE batch_id <= 4 GROUP BY doc_id)
+         |SELECT s.* FROM sig s JOIN act ON act.doc_id = s.doc_id
+         |WHERE act.last_del = 0
+         |ORDER BY s.doc_id""".stripMargin,
 
     "bars_resampled_1h" ->
       s"""$barsCte,

@@ -293,6 +293,71 @@ object Pipeline {
       .orderBy(col("symbol"), col("bar_start"))
   }
 
+  /** Streaming takedown — the tombstone twin of [[restateE2E]]: the
+    * persisted signature index plus its add-ledger are the nightly
+    * state; takedown requests arrive as a REAL file stream and each
+    * AvailableNow micro-batch appends O(delta) DEL tombstones to the
+    * membership ledger ([[graft.operators.Lifecycle]]'s merge-on-read
+    * posture — the payload index is never rewritten on the takedown
+    * path). The `pipeline_retire_e2e` CORRECTNESS entry reconstructs
+    * the index as of the takedown batch and compares it against the
+    * DuckDB ledger fold — the streaming tombstone path must agree with
+    * the batch time-travel semantics exactly.
+    *
+    * All streamed dels carry the same LEDGER batch (4, after the 0–3
+    * add batches): which micro-batch a given request lands in is a
+    * file-assignment accident, while the ledger fold must be
+    * deterministic — at-least-once replay of a tombstone is also
+    * naturally idempotent under the argmax fold (same (doc, batch, op)
+    * row twice folds to the same answer), which is exactly why
+    * takedowns stream safely where [[restateE2E]]'s merge needed its
+    * exactly-once caveat.
+    */
+  def retireE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Lifecycle}
+    val basePath = Files.createTempDirectory("graft_te2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val landing = s"$base/takedowns"
+    val indexDir = s"$base/sig_index"
+    val ledgerDir = s"$base/ledger"
+
+    val docs = Tables.documents(spark, dir)
+    // nightly state: payload index + add-ledger persisted once
+    Dedup.minhashSignatures(docs).write.mode("overwrite").parquet(indexDir)
+    docs.select(col("doc_id"),
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("b_"), col("doc_id"))), lit(4)).cast("int")
+          .as("batch_id"),
+        lit("add").as("op"))
+      .write.mode("overwrite").parquet(ledgerDir)
+    // takedown requests land as files; 2 files → 2 micro-batches
+    val isRet = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+    docs.filter(isRet).select(col("doc_id"))
+      .repartition(2).write.mode("overwrite").parquet(landing)
+
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(idSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        Lifecycle.delBatch(delta, 4)
+          .write.mode("append").parquet(ledgerDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    Lifecycle.indexAsOf(spark.read.parquet(indexDir),
+        spark.read.parquet(ledgerDir), asOfBatch = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** Stream-stream interval join, oracle-gated end to end: buys and
     * sells land as REAL file streams (two sources into one streaming
     * query), flow through [[Streams.matchOppositeSides]] with its
