@@ -46,6 +46,65 @@ object SparkEntry {
   private val testSymbols =
     Seq("XBT/USDT", "ETH-USD", "SOLUSDT", "XDGEUR", "ADA/BTC", "BTCUSDC")
 
+  /** Shared MaxSim oracle chain: the hybrid_search BM25 leg (top-20
+    * candidates per query doc), 24-token-chunk 16-bucket hashed count
+    * vectors, chunk-pair cosines pinned at 1e-6 units, integer
+    * max-per-query-chunk and sum-per-pair, ranked per query (mirrors
+    * TextAnalysis.maxSimRerank).
+    */
+  private lazy val maxSimCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |corpus AS (SELECT count(*) AS cn, sum(len(toks)) AS tot_len FROM t),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, u.t
+         |       FROM t, unnest(toks) AS u(t) WHERE doc_id < 10),
+         |tf AS (SELECT doc_id, len(toks) AS dl, u.t, count(*) AS tf
+         |       FROM t, unnest(toks) AS u(t)
+         |       WHERE u.t IN (SELECT DISTINCT t FROM qt)
+         |       GROUP BY doc_id, len(toks), u.t),
+         |dfq AS (SELECT t, count(*) AS doc_freq FROM tf GROUP BY t),
+         |sc AS (SELECT tf.t, tf.doc_id,
+         |         CAST(round(ln((CAST(cn AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5e0)
+         |             / (CAST(doc_freq AS DOUBLE) + 0.5e0) + 1.0e0)
+         |           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+         |           / (CAST(tf AS DOUBLE) + 1.2e0 * ((1.0e0 - 0.75e0) + 0.75e0
+         |               * CAST(dl AS DOUBLE) / (CAST(tot_len AS DOUBLE) / CAST(cn AS DOUBLE))))
+         |           * 1000000.0, 0) AS BIGINT) AS s6
+         |       FROM tf JOIN dfq USING (t), corpus),
+         |lexs AS (SELECT qt.query_id, sc.doc_id, sum(s6) AS s6
+         |         FROM sc JOIN qt USING (t) WHERE sc.doc_id <> qt.query_id
+         |         GROUP BY qt.query_id, sc.doc_id),
+         |lex AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS lex_rank
+         |        FROM lexs QUALIFY lex_rank <= 20),
+         |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
+         |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |cb AS (SELECT doc_id,
+         |         CAST((CASE WHEN (i - 1) < 0 THEN -((-(i - 1)) // (24)) ELSE (i - 1) // (24) END) AS INT) AS chunk,
+         |         CAST(CAST('0x' || substr(md5('ms_' || tk), 1, 15) AS BIGINT) % 16 AS INT) AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |nr AS (SELECT doc_id, chunk, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+         |       FROM cb GROUP BY doc_id, chunk),
+         |dots AS (SELECT l.query_id, l.doc_id, l.lex_rank,
+         |           q.chunk AS qchunk, d.chunk AS cchunk,
+         |           CAST(sum(q.c * d.c) AS BIGINT) AS dot
+         |         FROM lex l
+         |         JOIN cb q ON q.doc_id = l.query_id
+         |         JOIN cb d ON d.doc_id = l.doc_id AND d.b = q.b
+         |         GROUP BY 1, 2, 3, 4, 5),
+         |cosv AS (SELECT dots.query_id, dots.doc_id, dots.lex_rank, dots.qchunk,
+         |           CAST(round(CAST(dot AS DOUBLE) / (qn.nrm * cn2.nrm)
+         |             * 1.0e6, 0) AS BIGINT) AS cos6u
+         |         FROM dots
+         |         JOIN nr qn ON qn.doc_id = dots.query_id AND qn.chunk = dots.qchunk
+         |         JOIN nr cn2 ON cn2.doc_id = dots.doc_id AND cn2.chunk = dots.cchunk),
+         |mx AS (SELECT query_id, doc_id, lex_rank, qchunk, max(cos6u) AS mxu
+         |       FROM cosv GROUP BY 1, 2, 3, 4),
+         |scv AS (SELECT query_id, doc_id, lex_rank, CAST(sum(mxu) AS BIGINT) AS s6u
+         |        FROM mx GROUP BY 1, 2, 3),
+         |msr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY s6u DESC, doc_id) AS rank FROM scv)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_bars_1m" -> ((s, dir) => goldBars(s, dir)),
@@ -708,6 +767,16 @@ object SparkEntry {
     "hybrid_search" -> ((s, dir) =>
       TextAnalysis.hybridSearch(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // ColBERT-style late interaction: BM25 top-20 candidates reranked
+    // by MaxSim over per-chunk hashed multi-vectors — only candidate
+    // pairs pay the chunk-pair cost (retrieve-then-rerank).
+    "maxsim_topk" -> ((s, dir) =>
+      TextAnalysis.maxSimRerank(Tables.documents(s, dir))),
+    // nDCG/MRR of the MaxSim rerank against BM25-graded truth: the
+    // per-query measure of how much late interaction reorders the
+    // lexical candidates.
+    "maxsim_eval" -> ((s, dir) =>
+      TextAnalysis.maxSimEval(Tables.documents(s, dir))),
     // passage-level BM25, MaxP doc scoring: chunk geometry sized so the
     // test corpus' ~50-token docs actually split into multiple passages.
     "bm25_passages" -> ((s, dir) =>
@@ -4751,6 +4820,64 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
          |FROM f QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors TextAnalysis.maxSimRerank: the hybrid_search BM25 leg
+    // supplies top-20 candidates; per-24-token-chunk 16-bucket hashed
+    // count vectors, each chunk-pair cosine pinned once at 1e-6 units,
+    // integer max per query chunk and integer sum per pair.
+    "maxsim_topk" ->
+      s"""WITH $maxSimCtes
+         |SELECT query_id, doc_id, lex_rank,
+         |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
+         |FROM msr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors TextAnalysis.maxSimEval: BM25-graded truth (rel = 11 -
+    // lex_rank over the top-10), the MaxSim system ranking, DCG
+    // discounts / reciprocal ranks from VALUES tables built from the
+    // SAME Scala sequences the Spark plan embeds.
+    "maxsim_eval" -> {
+      val discVals = Similarity.dcgDiscounts(10).zipWithIndex.map {
+        case (d, i) =>
+          s"(${i + 1}, CAST(${d.toPlainString} AS DECIMAL(14,12)))"
+      }.mkString(", ")
+      val recipVals = Similarity.recipRanks(10).zipWithIndex.map {
+        case (d, i) =>
+          s"(${i + 1}, CAST(${d.toPlainString} AS DECIMAL(14,12)))"
+      }.mkString(", ")
+      s"""WITH $maxSimCtes,
+         |truth AS (SELECT query_id, doc_id,
+         |            CAST(11 - lr AS DECIMAL(4,0)) AS rel, lr
+         |          FROM (SELECT query_id, doc_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY s6 DESC, doc_id) AS lr
+         |                FROM lexs QUALIFY lr <= 10)),
+         |disc AS (SELECT * FROM (VALUES $discVals) AS t(r, d)),
+         |recip AS (SELECT * FROM (VALUES $recipVals) AS t(r, rd)),
+         |idcg AS (SELECT query_id, sum(rel * d.d) AS idcg,
+         |           CAST(count(*) AS BIGINT) AS n_truth
+         |         FROM truth JOIN disc d ON d.r = truth.lr
+         |         GROUP BY query_id),
+         |sys AS (SELECT query_id, doc_id, rank AS sys_rank
+         |        FROM msr WHERE rank <= 10),
+         |hits AS (SELECT s.query_id, t.rel, s.sys_rank
+         |         FROM sys s JOIN truth t ON t.query_id = s.query_id
+         |           AND t.doc_id = s.doc_id),
+         |dcg AS (SELECT query_id, sum(rel * d.d) AS dcg,
+         |          CAST(count(*) AS BIGINT) AS n_hits,
+         |          min(sys_rank) AS first_hit_rank
+         |        FROM hits JOIN disc d ON d.r = hits.sys_rank
+         |        GROUP BY query_id)
+         |SELECT i.query_id, i.n_truth,
+         |  coalesce(g.n_hits, 0) AS n_hits, g.first_hit_rank,
+         |  round(CAST(coalesce(g.dcg, 0) AS DOUBLE)
+         |    / CAST(i.idcg AS DOUBLE) * 1.0e6, 0) / 1.0e6 AS ndcg_vs_bm25,
+         |  coalesce(CAST(r.rd AS DOUBLE), 0.0e0) AS rr
+         |FROM idcg i
+         |LEFT JOIN dcg g ON g.query_id = i.query_id
+         |LEFT JOIN recip r ON r.r = g.first_hit_rank
+         |ORDER BY i.query_id""".stripMargin
+    },
 
     // mirrors TextAnalysis.bm25Prf: seed pass LIMIT 10 (same double
     // ordering), integer-ranked corpus-rare expansion terms, expanded

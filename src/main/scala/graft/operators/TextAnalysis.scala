@@ -656,6 +656,132 @@ object TextAnalysis {
         (col("s6").cast("double") / lit(1e6)).as("bm25"), col("lex_rank"))
   }
 
+  /** ColBERT-style late-interaction rerank (Khattab & Zaharia 2020 —
+    * MaxSim): score(q, d) = Σ over q's token-group vectors of the MAX
+    * cosine against any of d's token-group vectors. Deployment shape is
+    * retrieve-then-rerank: the BM25 leg ([[bm25QueryByDoc]], the
+    * persisted postings index at scale) supplies `legK` candidates per
+    * query and ONLY those pairs pay the late-interaction cost — never
+    * all pairs.
+    *
+    * Token-group vectors here are deterministic text-derived
+    * multi-vectors (a real deployment stores per-token transformer
+    * embeddings in the index; this container has no model, so the
+    * Spark-side plumbing — multi-vector index, bounded chunk-pair
+    * MaxSim, rerank join — is the real artifact): each `chunkTok`-token
+    * chunk gets a `buckets`-dim hashed unigram count vector (exact
+    * integers), the same stand-in discipline as the multimodal decode
+    * stubs.
+    *
+    * Determinism: counts/dots are exact longs; each chunk-pair cosine
+    * is pinned ONCE at 1e-6 units (round(v·1e6, 0)); max and sum then
+    * run on integers, ties break by doc_id. Scale shape: the chunk
+    * vector table is map-side (one groupBy keyed (doc, chunk, bucket));
+    * the MaxSim join touches candidates × chunk-pairs only, with the
+    * tiny candidate and query sides broadcast.
+    */
+  def maxSimRerank(docs: DataFrame, nQueries: Int = 10, legK: Int = 20,
+                   k: Int = 10, chunkTok: Int = 24,
+                   buckets: Int = 16): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val ct = docs.select(col("doc_id"), posexplode(toks).as(Seq("p", "t")))
+      .select(col("doc_id"), expr(s"p div $chunkTok").cast("int").as("chunk"),
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("ms_"), col("t"))), lit(buckets.toLong)).cast("int")
+          .as("b"))
+      .groupBy(col("doc_id"), col("chunk"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val nrm = ct.groupBy(col("doc_id"), col("chunk"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+      .select(col("doc_id"), col("chunk"),
+        sqrt(col("n2").cast("double")).as("nrm"))
+    val cands = bm25QueryByDoc(docs, nQueries, legK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val qids = cands.select(col("query_id")).distinct()
+    val qct = ct.join(broadcast(qids.withColumnRenamed("query_id",
+        "doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("chunk").as("qchunk"),
+        col("b"), col("c").as("qc"))
+    val dots = broadcast(cands)
+      .join(broadcast(qct), Seq("query_id"))
+      .join(ct.select(col("doc_id"), col("chunk").as("cchunk"),
+        col("b"), col("c").as("cc")), Seq("doc_id", "b"))
+      .groupBy(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("qchunk"), col("cchunk"))
+      .agg(sum(col("qc") * col("cc")).as("dot"))
+    val cos = dots
+      .join(broadcast(nrm.select(col("doc_id").as("query_id"),
+        col("chunk").as("qchunk"), col("nrm").as("qnrm"))),
+        Seq("query_id", "qchunk"))
+      .join(nrm.select(col("doc_id"), col("chunk").as("cchunk"),
+        col("nrm").as("cnrm")), Seq("doc_id", "cchunk"))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("qchunk"), col("cchunk"),
+        round(col("dot").cast("double") / (col("qnrm") * col("cnrm"))
+          * lit(1.0e6), 0).cast("long").as("cos6u"))
+    cos.groupBy(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("qchunk"))
+      .agg(max(col("cos6u")).as("mxu"))
+      .groupBy(col("query_id"), col("doc_id"), col("lex_rank"))
+      .agg(sum(col("mxu")).as("s6u"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("s6u").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        (col("s6u").cast("double") / lit(1000000.0)).as("maxsim"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MaxSim vs BM25 agreement eval — [[Similarity.retrievalEval]]'s
+    * harness applied to the late-interaction reranker: truth = the
+    * BM25 top-k with graded relevance (k+1−rank), system =
+    * [[maxSimRerank]]'s top-k, scored by nDCG and reciprocal rank per
+    * query. Low nDCG = the reranker genuinely reorders lexical
+    * candidates (what it is FOR); the row quantifies it per query
+    * instead of asserting it.
+    */
+  def maxSimEval(docs: DataFrame, nQueries: Int = 10,
+                 k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d1412 = DecimalType(14, 12)
+    val discArr = array(
+      Similarity.dcgDiscounts(k).map(d => lit(d).cast(d1412)): _*)
+    val recipArr = array(
+      Similarity.recipRanks(k).map(d => lit(d).cast(d1412)): _*)
+    val truth = bm25QueryByDoc(docs, nQueries, k)
+      .select(col("query_id"), col("doc_id"),
+        (lit(k + 1) - col("lex_rank")).cast(DecimalType(4, 0)).as("rel"),
+        col("lex_rank"))
+    val idcg = truth
+      .select(col("query_id"),
+        (col("rel") * element_at(discArr, col("lex_rank"))).as("t"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).as("idcg"), count(lit(1)).as("n_truth"))
+    val sys = maxSimRerank(docs, nQueries, legK = 20, k = k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("sys_rank"))
+    val hits = sys.join(
+      truth.select(col("query_id"), col("doc_id"), col("rel")),
+      Seq("query_id", "doc_id"))
+    val dcg = hits
+      .select(col("query_id"), col("sys_rank"),
+        (col("rel") * element_at(discArr, col("sys_rank"))).as("t"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("t")).as("dcg"), count(lit(1)).as("n_hits"),
+        min(col("sys_rank")).as("first_hit_rank"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        (round(coalesce(col("dcg"), lit(0)).cast("double") /
+          col("idcg").cast("double") * lit(1.0e6), 0) / lit(1.0e6))
+          .as("ndcg_vs_bm25"),
+        coalesce(element_at(recipArr, col("first_hit_rank"))
+          .cast("double"), lit(0.0)).as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher 2009 — the standard lexical+dense fusion): for each
     * query document, the BM25 query-by-document leg ([[bm25QueryByDoc]])

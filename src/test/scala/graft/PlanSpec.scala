@@ -460,6 +460,9 @@ class PlanSpec extends SparkSpec {
       "retrieval_eval",
       // 1-row CMH totals cross join onto the |strata|-row table
       "ab_test_cmh",
+      // the BM25 leg's 1-row corpus-stats cross join rides through,
+      // same as hybrid_search
+      "maxsim_topk", "maxsim_eval",
       // |channels|+1-row removal-key replication + 1-row base/total
       // cross joins, all onto types^2-sized tables
       "attribution_markov")
@@ -467,7 +470,7 @@ class PlanSpec extends SparkSpec {
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
       .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
-        "pipeline_restate_e2e", "pipeline_join_e2e"))
+        "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e"))
     val offenders = names.filter { n =>
       val p = plan(n)
       (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) &&
