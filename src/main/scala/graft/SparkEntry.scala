@@ -629,6 +629,16 @@ object SparkEntry {
     // the batch ledger fold (the merge-on-read twin of index_asof).
     "pipeline_retire_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.retireE2E(s, dir)),
+    // streaming sketch hop: KMV k-min sets + HLL registers folded per
+    // micro-batch into persisted mergeable state; the final state's
+    // estimates must equal the one-shot batch sketch exactly.
+    "sketch_stream_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.sketchE2E(s, dir)),
+    // live-bars update-mode surface: per-bar dynamic-overwrite upserts
+    // keep in-progress bars queryable; after the drain the sink must
+    // equal the batch recompute bar for bar.
+    "bars_live_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.liveBarsE2E(s, dir)),
 
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
@@ -2949,6 +2959,46 @@ object SparkEntry {
       s"""$barsCte
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 
+    // the stream-folded sketch state vs the direct batch sketch: KMV
+    // k=64 estimate + HLL p=8 registers computed one-shot over events
+    // (merge laws make the stream fold exactly this).
+    "sketch_stream_e2e" ->
+      s"""WITH hk AS (SELECT DISTINCT event_type,
+         |    ${h60("'kmv_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rk AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hk),
+         |ek AS (SELECT event_type,
+         |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |      ELSE round(63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) * 1.0e4, 0) / 1.0e4
+         |    END AS kmv_est
+         |  FROM rk WHERE rn <= 64 GROUP BY event_type),
+         |hh AS (SELECT event_type,
+         |    ${h60("'hll_' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |b AS (SELECT event_type, h // 4503599627370496 AS idx,
+         |    h % 4503599627370496 AS w FROM hh),
+         |r AS (SELECT event_type, idx,
+         |    max(53 - length(ltrim(bin(w), '0'))) AS reg
+         |  FROM b GROUP BY event_type, idx),
+         |a AS (SELECT event_type,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - CAST(reg AS INT)))
+         |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+         |      AS s_scaled,
+         |    CAST(256 - count(*) AS BIGINT) AS v_zero
+         |  FROM r GROUP BY event_type),
+         |e AS (SELECT event_type, v_zero, s_scaled,
+         |    CASE WHEN 4.2399330249068963e20 / CAST(s_scaled AS DOUBLE)
+         |        <= 640.0 AND v_zero > 0
+         |      THEN round(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) * 1.0e4, 0) / 1.0e4
+         |      ELSE round(4.2399330249068963e20
+         |        / CAST(s_scaled AS DOUBLE) * 1.0e4, 0) / 1.0e4 END AS hll_est
+         |  FROM a)
+         |SELECT ek.event_type, kmv_est, hll_est, v_zero, s_scaled
+         |FROM ek JOIN e USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
     // the streamed tombstone ledger folded as of the takedown batch:
     // identical to index_asof's fold but at batch 4 (post-takedown) —
     // active docs are everything whose latest op is not the del.
@@ -3811,6 +3861,19 @@ object SparkEntry {
     // (the wire serializes ms epochs), so the oracle's trades CTE
     // truncates event_time to ms before the SAME bars body.
     "pipeline_gold_e2e" ->
+      s"""WITH trades AS (
+         |  SELECT event_id,
+         |    'SYM_' || CAST(user_id AS VARCHAR) AS symbol,
+         |    make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS event_time,
+         |    value AS price,
+         |    CAST(1 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS size
+         |  FROM events),
+         |$barsBodyCte
+         |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
+
+    // the live update-mode sink must equal the same ms-truncated batch
+    // bars — identical oracle body, different (streaming) engine path.
+    "bars_live_e2e" ->
       s"""WITH trades AS (
          |  SELECT event_id,
          |    'SYM_' || CAST(user_id AS VARCHAR) AS symbol,

@@ -57,6 +57,23 @@ object Sketches {
       .otherwise(r4(lit((k - 1).toDouble) * lit(HashRange) / hk.cast("double")))
   }
 
+  /** k-min STATE fold — the mergeable-state half of KMV for streaming
+    * hops: the k smallest distinct hashes per group of (previous state
+    * ∪ delta hashes). KMV(A ∪ B) = kmin_k(KMV(A) ∪ KMV(B)), so folding
+    * per micro-batch is exact, idempotent (re-folding the same hashes
+    * is a no-op), and keeps ≤ k rows per group of state.
+    */
+  def kmvStateFold(hashes: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    kminRanked(hashes.distinct(), groupCols, k)
+      .select(groupCols.map(col) :+ col("h"): _*)
+
+  /** The KMV estimate read off a persisted k-min state table. */
+  def kmvEstimateFromState(state: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    state.groupBy(groupCols.map(col): _*)
+      .agg(estimate(k).as("kmv_est"))
+
   /** Distinct-cardinality sketch report per group:
     * (group..., n_exact, kmv_est, rel_err). `value` is hashed with a
     * salted hash60 so the sketch is reproducible anywhere md5 exists.

@@ -358,6 +358,140 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** LIVE bars, oracle-gated end to end — the one reference behavior
+    * variant append mode can't serve (silver_to_gold_bars.py's
+    * freshness alternative): [[Streams.silverToGoldLive]] runs
+    * update-mode aggregation + per-bar dynamic-overwrite upserts over a
+    * real silver file stream, so IN-PROGRESS bars are queryable
+    * immediately (append mode publishes a bar only once the watermark
+    * passes bar_end — correct but minutes stale, and the final bars
+    * never publish at all without a flush sentinel). After the drain,
+    * every bar — including the never-finalized last bar per symbol —
+    * must carry exactly the batch-recompute values; the
+    * `bars_live_e2e` CORRECTNESS entry hash-matches the read-back sink
+    * against the ms-truncated bars oracle. StreamingSpec covers the
+    * controlled multi-batch upsert sequence; this entry pins the
+    * whole-corpus values.
+    */
+  def liveBarsE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bronze, Gold, Silver}
+    val basePath = Files.createTempDirectory("graft_le2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val silverDir = s"$base/silver"
+    val goldDir = s"$base/gold"
+
+    val silverBatch = Silver.dedup(Silver.projectToSilver(
+      Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(
+        Tables.events(spark, dir)))))
+    silverBatch.write.mode("overwrite").parquet(silverDir)
+
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Streams.silverToGoldLive(spark, silverDir, goldDir,
+        s"$base/ck", trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
+
+    val cols = Gold.bars(silverBatch).columns
+    spark.read.parquet(goldDir)
+      .select(cols.head, cols.tail: _*)
+      .orderBy(col("symbol"), col("bar_start"))
+  }
+
+  /** Streaming sketch hop — KMV k-min sets and HLL registers folded per
+    * micro-batch into persisted MERGEABLE state, the sketch twin of
+    * [[restateE2E]]'s bar-state discipline: events arrive as a REAL
+    * file stream, each AvailableNow micro-batch computes its delta
+    * sketch and folds it into the state table (register-wise max for
+    * HLL, k-min re-cap for KMV — both exactly associative AND
+    * idempotent, so at-least-once replay is safe without the restate
+    * hop's exactly-once caveat). State is sketch-sized (≤ k + m rows
+    * per group), never corpus-sized — the 100 TB property. The
+    * `sketch_stream_e2e` CORRECTNESS entry reads the final state,
+    * derives both estimates, and compares against the direct batch
+    * sketch oracle — stream-folded state must be bit-identical to the
+    * one-shot sketch (the merge laws sketch_kmv_merge/sketch_hll_merge
+    * assert in batch, proven here through a real streaming hop).
+    */
+  def sketchE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions.hash60
+    val basePath = Files.createTempDirectory("graft_se2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val landing = s"$base/landing"
+    val kmvDir = s"$base/kmv_state"
+    val hllDir = s"$base/hll_state"
+    val k = 64
+
+    Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+      .repartition(3).write.mode("overwrite").parquet(landing)
+
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val kmvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType)))
+    val hllSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("reg",
+        org.apache.spark.sql.types.IntegerType)))
+    // the first fold reads EMPTY state dirs (schema given explicitly):
+    // create them before the stream can fire its first batch
+    new java.io.File(kmvDir).mkdirs()
+    new java.io.File(hllDir).mkdirs()
+    val q = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .writeStream
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        // KMV fold: state ∪ delta hashes → k smallest per group
+        val dHashes = delta.select(col("event_type"),
+          hash60(concat(lit("kmv_"), col("user_id"))).as("h"))
+        val kmvState = spark.read.schema(kmvSchema).parquet(kmvDir)
+        Sketches.kmvStateFold(kmvState.unionByName(dHashes),
+            Seq("event_type"), k)
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(kmvDir)
+        // HLL fold: register-wise max of state ∪ delta registers
+        val dRegs = Sketches.hllRegisters(delta, Seq("event_type"),
+          col("user_id"), 8, "hll_")
+          .select(col("event_type"), col("idx"), col("reg").cast("int")
+            .as("reg"))
+        val hllState = spark.read.schema(hllSchema).parquet(hllDir)
+        hllState.unionByName(dRegs)
+          .groupBy(col("event_type"), col("idx"))
+          .agg(max(col("reg")).as("reg"))
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(hllDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    val kmvEst = Sketches.kmvEstimateFromState(
+      spark.read.schema(kmvSchema).parquet(kmvDir), Seq("event_type"), k)
+    val hllEst = graft.operators.Sketches.hllReport(
+      spark.read.schema(hllSchema).parquet(hllDir)
+        .select(col("event_type"), col("idx"), col("reg")),
+      Seq("event_type"), 8)
+    kmvEst.join(hllEst, Seq("event_type"))
+      .select(col("event_type"), col("kmv_est"), col("hll_est"),
+        col("v_zero"), col("s_scaled"))
+      .orderBy(col("event_type"))
+  }
+
   /** Stream-stream interval join, oracle-gated end to end: buys and
     * sells land as REAL file streams (two sources into one streaming
     * query), flow through [[Streams.matchOppositeSides]] with its
