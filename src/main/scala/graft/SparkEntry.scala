@@ -3871,16 +3871,22 @@ object SparkEntry {
          |$barsBodyCte
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 
-    // the live update-mode sink must equal the same ms-truncated batch
-    // bars — identical oracle body, different (streaming) engine path.
+    // the live update-mode sink must equal the ms-truncated batch bars
+    // over the same 6 h live tail (minute-aligned cut, so the filtered
+    // recompute is exactly the full bars with bar_start >= cut).
     "bars_live_e2e" ->
-      s"""WITH trades AS (
+      s"""WITH raw AS (
          |  SELECT event_id,
          |    'SYM_' || CAST(user_id AS VARCHAR) AS symbol,
          |    make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS event_time,
          |    value AS price,
          |    CAST(1 AS DOUBLE) + CAST(event_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS size
          |  FROM events),
+         |cutoff AS (SELECT make_timestamp(
+         |    ((epoch_ms(max(event_time)) // 60000) * 60000 - 21600000)
+         |      * 1000) AS c
+         |  FROM raw),
+         |trades AS (SELECT raw.* FROM raw, cutoff WHERE event_time >= c),
          |$barsBodyCte
          |SELECT * FROM bars ORDER BY symbol, bar_start""".stripMargin,
 

@@ -381,9 +381,21 @@ object Pipeline {
     val silverDir = s"$base/silver"
     val goldDir = s"$base/gold"
 
-    val silverBatch = Silver.dedup(Silver.projectToSilver(
+    // the LIVE TAIL only — the last 6 h of event time, cut on a minute
+    // boundary so bars-from-filtered-trades ≡ full bars with
+    // bar_start >= cut (every trade of an included bar is >= the cut).
+    // The per-bar upsert sink is the freshness surface for the live
+    // tail; pointing it at the WHOLE corpus means one partition dir per
+    // historical bar (~100k dirs at sf0.1, measured 577 s) — that is
+    // the append table's job. Deployment sizes the tail to the
+    // watermark/consumer lag, not the corpus span.
+    val full = Silver.dedup(Silver.projectToSilver(
       Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(
         Tables.events(spark, dir)))))
+    val maxTs = full.agg(max(col("event_time"))).head.getTimestamp(0)
+    val cutMs = (maxTs.getTime / 60000L) * 60000L - 6L * 3600 * 1000
+    val cut = new java.sql.Timestamp(cutMs)
+    val silverBatch = full.filter(col("event_time") >= lit(cut))
     silverBatch.write.mode("overwrite").parquet(silverDir)
 
     val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
