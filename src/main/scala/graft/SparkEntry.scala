@@ -52,8 +52,8 @@ object SparkEntry {
     * max-per-query-chunk and sum-per-pair, ranked per query (mirrors
     * TextAnalysis.maxSimRerank).
     */
-  private lazy val maxSimCtes =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def maxSimCtes(src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
          |corpus AS (SELECT count(*) AS cn, sum(len(toks)) AS tot_len FROM t),
          |qt AS (SELECT DISTINCT doc_id AS query_id, u.t
          |       FROM t, unnest(toks) AS u(t) WHERE doc_id < 10),
@@ -787,6 +787,20 @@ object SparkEntry {
     // lexical candidates.
     "maxsim_eval" -> ((s, dir) =>
       TextAnalysis.maxSimEval(Tables.documents(s, dir))),
+    // multi-vector index takedown: the per-doc chunk-vector rows drop
+    // by ONE provenance anti join, the rerank serves off the retired
+    // index and surviving queries/corpus stats — same full-recompute-
+    // minus-retired parity as every other index family's retire.
+    "maxsim_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val retired = Dedup.retireRows(
+        TextAnalysis.maxSimChunkVectors(docs),
+        docs.filter(isRet).select(col("doc_id")))
+      TextAnalysis.maxSimRerank(docs.filter(!isRet),
+        index = Some(retired))
+    }),
     // passage-level BM25, MaxP doc scoring: chunk geometry sized so the
     // test corpus' ~50-token docs actually split into multiple passages.
     "bm25_passages" -> ((s, dir) =>
@@ -4895,7 +4909,19 @@ object SparkEntry {
     // count vectors, each chunk-pair cosine pinned once at 1e-6 units,
     // integer max per query chunk and integer sum per pair.
     "maxsim_topk" ->
-      s"""WITH $maxSimCtes
+      s"""WITH ${maxSimCtes()}
+         |SELECT query_id, doc_id, lex_rank,
+         |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
+         |FROM msr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors the maxsim_retire composition: every CTE of the MaxSim
+    // chain over the surviving corpus only (full-recompute-minus-
+    // retired — the retire family's oracle convention).
+    "maxsim_retire" ->
+      s"""WITH surv AS (SELECT * FROM documents
+         |  WHERE ${h60("'ret_' || doc_id")} % 100 < 90),
+         |${maxSimCtes("surv")}
          |SELECT query_id, doc_id, lex_rank,
          |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
          |FROM msr WHERE rank <= 10
@@ -4914,7 +4940,7 @@ object SparkEntry {
         case (d, i) =>
           s"(${i + 1}, CAST(${d.toPlainString} AS DECIMAL(14,12)))"
       }.mkString(", ")
-      s"""WITH $maxSimCtes,
+      s"""WITH ${maxSimCtes()},
          |truth AS (SELECT query_id, doc_id,
          |            CAST(11 - lr AS DECIMAL(4,0)) AS rel, lr
          |          FROM (SELECT query_id, doc_id,

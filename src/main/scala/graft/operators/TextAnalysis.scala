@@ -680,17 +680,27 @@ object TextAnalysis {
     * the MaxSim join touches candidates × chunk-pairs only, with the
     * tiny candidate and query sides broadcast.
     */
-  def maxSimRerank(docs: DataFrame, nQueries: Int = 10, legK: Int = 20,
-                   k: Int = 10, chunkTok: Int = 24,
-                   buckets: Int = 16): DataFrame = {
+  /** The persisted multi-vector index rows behind [[maxSimRerank]]:
+    * one (doc_id, chunk, bucket) → count row per non-empty bucket —
+    * per-doc provenance, so takedown is one anti join
+    * ([[Dedup.retireRows]]), exactly like the other index families.
+    */
+  def maxSimChunkVectors(docs: DataFrame, chunkTok: Int = 24,
+                         buckets: Int = 16): DataFrame = {
     val toks = tokensCol(col("text"))
-    val ct = docs.select(col("doc_id"), posexplode(toks).as(Seq("p", "t")))
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("p", "t")))
       .select(col("doc_id"), expr(s"p div $chunkTok").cast("int").as("chunk"),
         pmod(graft.functions.TextFunctions.hash60(
           concat(lit("ms_"), col("t"))), lit(buckets.toLong)).cast("int")
           .as("b"))
       .groupBy(col("doc_id"), col("chunk"), col("b"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  def maxSimRerank(docs: DataFrame, nQueries: Int = 10, legK: Int = 20,
+                   k: Int = 10, chunkTok: Int = 24, buckets: Int = 16,
+                   index: Option[DataFrame] = None): DataFrame = {
+    val ct = index.getOrElse(maxSimChunkVectors(docs, chunkTok, buckets))
     val nrm = ct.groupBy(col("doc_id"), col("chunk"))
       .agg(sum(col("c") * col("c")).as("n2"))
       .select(col("doc_id"), col("chunk"),

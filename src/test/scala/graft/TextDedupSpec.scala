@@ -276,6 +276,48 @@ class TextDedupSpec extends SparkSpec {
     assert(p.nonEmpty && p == d)
   }
 
+  test("maxSimRerank: identical doc is rank 1 with MaxSim exactly 1.0") {
+    // doc 0 is the query; doc 3 is byte-identical -> every chunk-pair
+    // cosine is exactly 1.0, so the MaxSim sum is n_chunks * 1e6 units
+    val d = docs(
+      "alpha beta gamma delta epsilon",
+      "alpha beta unrelated words here",
+      "totally different tokens everywhere now",
+      "alpha beta gamma delta epsilon")
+    val r = TextAnalysis.maxSimRerank(d, nQueries = 1, legK = 3, k = 3)
+      .collect()
+    val top = r.filter(_.getAs[Long]("doc_id") == 3L).head
+    assert(top.getAs[Int]("rank") == 1)
+    assert(top.getAs[Double]("maxsim") == 1.0)
+  }
+
+  test("maxSimRerank single-chunk geometry = whole-doc cosine ordering") {
+    val d = docs(
+      "alpha beta gamma delta",
+      "alpha beta gamma delta noise1 noise2 noise3 noise4",
+      "alpha noise5 noise6 noise7 noise8 noise9 noise10 noise11")
+    // chunkTok far above every doc length -> one chunk per doc, MaxSim
+    // degenerates to plain cosine of whole-doc hashed count vectors:
+    // the near-copy must outrank the one-shared-token doc
+    val r = TextAnalysis.maxSimRerank(d, nQueries = 1, legK = 3, k = 3,
+      chunkTok = 100000).collect()
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("maxsim")).toMap
+    assert(byDoc(1L) > byDoc(2L))
+    assert(r.filter(_.getAs[Int]("rank") == 1).head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("maxsim retire: anti-joined persisted index == rebuild from survivors") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isRet = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+    val survivors = d.filter(!isRet)
+    val served = TextAnalysis.maxSimRerank(survivors,
+      index = Some(Dedup.retireRows(TextAnalysis.maxSimChunkVectors(d),
+        d.filter(isRet).select(col("doc_id"))))).collect().toSeq
+    val rebuilt = TextAnalysis.maxSimRerank(survivors).collect().toSeq
+    assert(served.nonEmpty && served == rebuilt)
+  }
+
   test("decontaminate flags planted passage overlap, ignores vocab overlap") {
     // find doc_ids on each side of the deterministic split first
     val ids = (0L until 40L)
