@@ -52,7 +52,8 @@ object SparkEntry {
     * max-per-query-chunk and sum-per-pair, ranked per query (mirrors
     * TextAnalysis.maxSimRerank).
     */
-  private def maxSimCtes(src: String = "documents"): String =
+  private def maxSimCtes(src: String = "documents",
+                         legK: Int = 20): String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
          |corpus AS (SELECT count(*) AS cn, sum(len(toks)) AS tot_len FROM t),
          |qt AS (SELECT DISTINCT doc_id AS query_id, u.t
@@ -75,7 +76,7 @@ object SparkEntry {
          |         GROUP BY qt.query_id, sc.doc_id),
          |lex AS (SELECT query_id, doc_id,
          |          row_number() OVER (PARTITION BY query_id ORDER BY s6 DESC, doc_id) AS lex_rank
-         |        FROM lexs QUALIFY lex_rank <= 20),
+         |        FROM lexs QUALIFY lex_rank <= $legK),
          |tok AS (SELECT doc_id, g.i AS i, toks[g.i] AS tk
          |        FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
          |cb AS (SELECT doc_id,
@@ -791,6 +792,26 @@ object SparkEntry {
     // by ONE provenance anti join, the rerank serves off the retired
     // index and surviving queries/corpus stats — same full-recompute-
     // minus-retired parity as every other index family's retire.
+    // multi-vector index refresh: the persisted history chunk-vector
+    // rows plus an idempotent anti-joined delta append; the rerank
+    // (narrower leg: top-15 candidates, top-8 served) off the
+    // refreshed index must equal the full rebuild.
+    "maxsim_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val hist = TextAnalysis.maxSimChunkVectors(docs.filter(isHist))
+      val delta = TextAnalysis.maxSimChunkVectors(
+        docs.filter(!isHist).join(hist.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      TextAnalysis.maxSimRerank(docs, legK = 15, k = 8,
+        index = Some(hist.unionByName(delta)))
+    }),
+    // soft dedup: reweighting instead of removal — every near-dup
+    // cluster member keeps weight 1/cluster_size (exact 1e-6-unit
+    // integer division), eff_tokens is the weighted token budget.
+    "dedup_soft_weights" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir))),
     "maxsim_retire" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val isRet = pmod(graft.functions.TextFunctions.hash60(
@@ -4914,6 +4935,50 @@ object SparkEntry {
          |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
          |FROM msr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors maxsim_incremental: the refreshed index IS the full
+    // per-doc derivation (append-only, idempotent), so the oracle is
+    // the plain MaxSim chain at the narrower leg geometry.
+    "maxsim_incremental" ->
+      s"""WITH ${maxSimCtes("documents", 15)}
+         |SELECT query_id, doc_id, lex_rank,
+         |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
+         |FROM msr WHERE rank <= 8
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Dedup.softDedupWeights: the dedup_clusters chain, then
+    // 1/cluster_size as an exact 1e-6-unit integer division.
+    "dedup_soft_weights" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, count(*) AS n FROM cl GROUP BY rep),
+         |base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |           AS n_tokens FROM documents),
+         |j AS (SELECT b.doc_id,
+         |        coalesce(cl.rep, b.doc_id) AS cluster_rep,
+         |        CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size,
+         |        b.n_tokens
+         |      FROM base b
+         |      LEFT JOIN cl ON cl.doc_id = b.doc_id
+         |      LEFT JOIN sz ON sz.rep = cl.rep),
+         |w AS (SELECT *, 1000000 // cluster_size AS wu FROM j)
+         |SELECT doc_id, cluster_rep, cluster_size, n_tokens,
+         |  CAST(wu AS DOUBLE) / 1000000.0 AS weight,
+         |  CAST(n_tokens * wu AS DOUBLE) / 1000000.0 AS eff_tokens
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     // mirrors the maxsim_retire composition: every CTE of the MaxSim
     // chain over the surviving corpus only (full-recompute-minus-

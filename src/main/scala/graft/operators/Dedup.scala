@@ -779,6 +779,40 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Soft dedup — the REWEIGHTING alternative to removal (SoftDeDup-
+    * style): instead of dropping near-dup cluster members, every doc
+    * keeps a sampling weight 1/cluster_size (singletons weigh 1), so a
+    * text repeated k times contributes ~one copy's worth of gradient
+    * in expectation while rare phrasing variants inside the cluster
+    * are not lost. Weights are exact 1e-6-unit truncating integer
+    * divisions (no float division anywhere); `eff_tokens` = the doc's
+    * weighted token budget, the number a mixture planner actually
+    * sums. Scale shape: the cluster assignment is [[clusters]]'
+    * pointer-jumping CC; everything after is two group-sized joins.
+    */
+  def softDedupWeights(docs: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    val cl = clusters(ngramJaccardPairs(docs, threshold))
+    val sizes = cl.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokensCol(col("text")))
+          .cast("long").as("n_tokens"))
+      .join(cl, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("n_tokens"))
+      .withColumn("wu", expr("1000000 div cluster_size"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("n_tokens"),
+        (col("wu").cast("double") / lit(1000000.0)).as("weight"),
+        ((col("n_tokens") * col("wu")).cast("double") / lit(1000000.0))
+          .as("eff_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs, EXACT and sub-quadratic: pairs with Hamming
     * distance ≤ `maxHamming` between 60-bit simhashes. The 60 bits split
     * into 4 bands of 15; by pigeonhole, ≤ 3 differing bits can touch at

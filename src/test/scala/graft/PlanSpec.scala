@@ -462,7 +462,7 @@ class PlanSpec extends SparkSpec {
       "ab_test_cmh",
       // the BM25 leg's 1-row corpus-stats cross join rides through,
       // same as hybrid_search
-      "maxsim_topk", "maxsim_eval", "maxsim_retire",
+      "maxsim_topk", "maxsim_eval", "maxsim_retire", "maxsim_incremental",
       // |channels|+1-row removal-key replication + 1-row base/total
       // cross joins, all onto types^2-sized tables
       "attribution_markov")
