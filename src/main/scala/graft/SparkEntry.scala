@@ -807,6 +807,11 @@ object SparkEntry {
       TextAnalysis.maxSimRerank(docs, legK = 15, k = 8,
         index = Some(hist.unionByName(delta)))
     }),
+    // T5-style span-corruption plan: deterministic blocked mask spans
+    // (hash-decided presence/length/offset per 16-token block, zero
+    // floats) emitted as the rows a denoising packing job consumes.
+    "span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruption(Tables.documents(s, dir))),
     // soft dedup: reweighting instead of removal — every near-dup
     // cluster member keeps weight 1/cluster_size (exact 1e-6-unit
     // integer division), eff_tokens is the weighted token budget.
@@ -4935,6 +4940,36 @@ object SparkEntry {
          |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
          |FROM msr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors TextAnalysis.spanCorruption: per-block hash decisions in
+    // exact integer arithmetic, spans clipped at doc end, sentinel ids
+    // by start order.
+    "span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |blk AS (SELECT doc_id, toks, len(toks) AS len, g.b AS b,
+         |          ${h60("'sc_' || doc_id || '_' || g.b")} AS h
+         |        FROM t, unnest(generate_series(0,
+         |          (CASE WHEN (len(toks) - 1) < 0 THEN -((-(len(toks) - 1)) // (16)) ELSE (len(toks) - 1) // (16) END))) AS g(b)),
+         |pick AS (SELECT doc_id, toks, len, b, h,
+         |           CAST((h // 2) % 3 + 3 AS INT) AS len0
+         |         FROM blk WHERE h % 2 = 0),
+         |sp AS (SELECT doc_id, toks, len, len0,
+         |         CAST(b * 16 + ((h // 8) % (16 - len0 + 1)) + 1 AS INT)
+         |           AS start_tok
+         |       FROM pick),
+         |cl AS (SELECT doc_id, toks, start_tok,
+         |         CAST(least(len0, len - start_tok + 1) AS INT) AS span_len
+         |       FROM sp WHERE start_tok <= len),
+         |r AS (SELECT doc_id,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY start_tok) AS INT) AS sentinel_id,
+         |        start_tok, span_len,
+         |        array_to_string(list_slice(toks, start_tok,
+         |          start_tok + span_len - 1), ' ') AS span_text
+         |      FROM cl)
+         |SELECT doc_id, sentinel_id, start_tok, span_len, span_text
+         |FROM r ORDER BY doc_id, sentinel_id""".stripMargin,
 
     // mirrors maxsim_incremental: the refreshed index IS the full
     // per-doc derivation (append-only, idempotent), so the oracle is

@@ -656,6 +656,49 @@ object TextAnalysis {
         (col("s6").cast("double") / lit(1e6)).as("bm25"), col("lex_rank"))
   }
 
+  /** T5-style span corruption plan (Raffel et al. 2020 §3.1.4 — the
+    * denoising-pretraining preprocessing step): deterministic mask
+    * spans over each doc's token stream, emitted as (doc, sentinel,
+    * start, len, span text) rows a packing job consumes. BLOCKED
+    * variant so the plan is embarrassingly parallel: the stream splits
+    * into `blockTok`-token blocks, a salted hash decides per block
+    * whether it carries a span (1/2), the span length (3–5) and its
+    * offset — spans never cross block boundaries, so there is no
+    * sequential overlap-resolution dependency (the trick that lets the
+    * corruption plan be a map-only Spark job at corpus scale; expected
+    * mask rate = 4/(2·16) = 12.5%). All decisions are exact integer
+    * hash arithmetic — zero floats anywhere.
+    */
+  def spanCorruption(docs: DataFrame, blockTok: Int = 16): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"),
+        size(toks).as("len"))
+      .select(col("doc_id"), col("toks"), col("len"),
+        explode(sequence(lit(0),
+          expr(s"(len - 1) div $blockTok"))).as("b"))
+    val h = graft.functions.TextFunctions.hash60(
+      concat(lit("sc_"), col("doc_id"), lit("_"), col("b")))
+    val len0 = (expr("h div 2") % 3 + 3).cast("int")
+    val off = (expr("h div 8") % (lit(blockTok) - col("len0") + 1))
+      .cast("int")
+    base.withColumn("h", h)
+      .filter(col("h") % 2 === 0)
+      .withColumn("len0", len0)
+      .withColumn("start_tok",
+        (col("b") * blockTok + off + 1).cast("int"))
+      .filter(col("start_tok") <= col("len"))
+      .withColumn("span_len",
+        least(col("len0"), col("len") - col("start_tok") + 1).cast("int"))
+      .withColumn("sentinel_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("start_tok"))))
+      .select(col("doc_id"), col("sentinel_id"), col("start_tok"),
+        col("span_len"),
+        array_join(slice(col("toks"), col("start_tok"), col("span_len")),
+          " ").as("span_text"))
+      .orderBy(col("doc_id"), col("sentinel_id"))
+  }
+
   /** ColBERT-style late-interaction rerank (Khattab & Zaharia 2020 —
     * MaxSim): score(q, d) = Σ over q's token-group vectors of the MAX
     * cosine against any of d's token-group vectors. Deployment shape is
