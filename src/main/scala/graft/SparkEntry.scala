@@ -106,6 +106,58 @@ object SparkEntry {
          |msr AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |          ORDER BY s6u DESC, doc_id) AS rank FROM scv)""".stripMargin
 
+  /** Unigram-LM oracle: candidate-piece counts with multiplicity,
+    * the capped inventory (top-48 by count + every single char) with
+    * -ln(count/total) pinned at 1e-9 integer units (mirrors
+    * TextAnalysis.unigramPieces).
+    */
+  private val unigramPieceCtes =
+    """occ AS (SELECT u.w FROM
+      |    (SELECT string_split(text, ' ') AS toks FROM documents) t,
+      |    unnest(toks) AS u(w) WHERE u.w <> ''),
+      |pc AS (SELECT substr(w, s.s, l.l) AS piece, count(*) AS n_occ
+      |       FROM occ,
+      |         unnest(generate_series(1, length(w))) AS s(s),
+      |         unnest(generate_series(1,
+      |           least(4, length(w) - s.s + 1))) AS l(l)
+      |       GROUP BY 1),
+      |tot AS (SELECT sum(n_occ) AS tot FROM pc),
+      |rk AS (SELECT piece, n_occ,
+      |         row_number() OVER (ORDER BY n_occ DESC, piece) AS rk
+      |       FROM pc),
+      |kp AS MATERIALIZED (SELECT piece, n_occ,
+      |         CAST(round(-ln(CAST(n_occ AS DOUBLE) / CAST(tot AS DOUBLE))
+      |           * 1.0e9, 0) AS BIGINT) AS cost_n
+      |       FROM rk, tot WHERE rk <= 48 OR length(piece) = 1)""".stripMargin
+
+  /** Unrolled integer Viterbi over the distinct vocabulary (12 stages,
+    * pieces <= 4 chars): stage i holds the min-cost segmentation of
+    * each word's first i chars, key = cost*8 + (4 - L) so ties prefer
+    * the LONGER piece — mirrors the driver DP in
+    * TextAnalysis.unigramSegment value-for-value (all-integer costs).
+    */
+  private val unigramViterbiCtes: String = {
+    val b0 = """b0 AS MATERIALIZED (SELECT DISTINCT w, length(w) AS wl,
+               |         CAST(0 AS BIGINT) AS c, '' AS seg
+               |       FROM occ)""".stripMargin
+    val stages = (1 to 12).map { i =>
+      val branches = (1 to math.min(4, i)).map { l =>
+        s"""SELECT b.w, b.wl, b.c + p.cost_n AS c,
+           |        (b.c + p.cost_n) * 8 + ${4 - l} AS k,
+           |        CASE WHEN b.seg = '' THEN p.piece
+           |             ELSE b.seg || ' ' || p.piece END AS seg
+           |      FROM b${i - l} b JOIN kp p
+           |        ON p.piece = substr(b.w, ${i - l + 1}, $l)
+           |      WHERE b.wl >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""b$i AS MATERIALIZED (SELECT w, wl, arg_min(c, k) AS c, arg_min(seg, k) AS seg
+         |  FROM (
+         |      $branches
+         |  ) GROUP BY w, wl)""".stripMargin
+    }
+    (b0 +: stages).mkString(",\n")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_bars_1m" -> ((s, dir) => goldBars(s, dir)),
@@ -807,6 +859,17 @@ object SparkEntry {
       TextAnalysis.maxSimRerank(docs, legK = 15, k = 8,
         index = Some(hist.unionByName(delta)))
     }),
+    // unigram-LM (SentencePiece-family) tokenizer: candidate-substring
+    // counts -> capped inventory (top-48 + every single char) with
+    // nano-pinned -ln(p) costs; the third subword algorithm beside
+    // greedy-vocab and BPE.
+    "unigram_lm_learn" -> ((s, dir) =>
+      TextAnalysis.unigramPieces(Tables.documents(s, dir))),
+    // per-word integer Viterbi under that model (driver DP over the
+    // vocabulary-sized model, the bpe_learn collect discipline); ties
+    // prefer the longer piece via the packed cost*8+(4-L) key.
+    "unigram_segment" -> ((s, dir) =>
+      TextAnalysis.unigramSegment(Tables.documents(s, dir))),
     // T5-style span-corruption plan: deterministic blocked mask spans
     // (hash-decided presence/length/offset per 16-token block, zero
     // floats) emitted as the rows a denoising packing job consumes.
@@ -4940,6 +5003,27 @@ object SparkEntry {
          |  CAST(s6u AS DOUBLE) / 1000000.0 AS maxsim, rank
          |FROM msr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors TextAnalysis.unigramPieces: occurrence-multiplicity
+    // substring counts, 1-row total, rank-capped inventory, one ln
+    // pinned per piece at 1e-9 integer units.
+    "unigram_lm_learn" ->
+      s"""WITH $unigramPieceCtes
+         |SELECT piece, n_occ, cost_n FROM kp ORDER BY piece""".stripMargin,
+
+    // mirrors TextAnalysis.unigramSegment: the same piece model, then
+    // a 12-stage unrolled integer Viterbi over the distinct vocabulary
+    // (key = cost*8 + (4-L): min cost, ties to the longer piece).
+    "unigram_segment" ->
+      s"""WITH $unigramPieceCtes,
+         |$unigramViterbiCtes,
+         |res AS (${(1 to 12).map(i =>
+             s"SELECT w, c, seg FROM b$i WHERE wl = $i")
+             .mkString("\n         |  UNION ALL ")})
+         |SELECT w, seg,
+         |  CAST(len(string_split(seg, ' ')) AS INT) AS n_pieces,
+         |  c AS cost_n
+         |FROM res ORDER BY w""".stripMargin,
 
     // mirrors TextAnalysis.spanCorruption: per-block hash decisions in
     // exact integer arithmetic, spans clipped at doc end, sentinel ids

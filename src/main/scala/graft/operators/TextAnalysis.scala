@@ -1988,6 +1988,93 @@ object TextAnalysis {
     * Returns (stage, pair, merged, freq) — the ordered merge table a
     * tokenizer ships.
     */
+  /** Unigram-LM tokenizer piece inventory (Kudo 2018, the
+    * SentencePiece model family — the third real-world subword
+    * algorithm beside greedy-vocab and BPE): candidate pieces are all
+    * substrings of length 1..`maxPieceLen` counted over token
+    * OCCURRENCES (multiplicity), the kept inventory is the top-`vocabK`
+    * by count plus every single character (coverage guarantee, the
+    * SentencePiece byte-fallback analogue), and each piece carries
+    * -ln(count/total) pinned ONCE at 1e-9 integer units (the λ
+    * convention — never round(v, k) of a libm double). Frequency-seeded
+    * probabilities, the standard inventory initialization; EM pruning
+    * rounds would shrink it without changing the serving shape.
+    *
+    * Scale shape: one explode + hash agg keyed piece (map-side
+    * combinable), a 1-row total, a vocabK-bounded rank window — the
+    * model is vocabulary-sized by construction.
+    */
+  def unigramPieces(docs: DataFrame, maxPieceLen: Int = 4,
+                    vocabK: Int = 48): DataFrame = {
+    val occ = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cnt = occ.select(explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), s ->
+           | transform(sequence(1, least($maxPieceLen, length(w) - s + 1)),
+           |   l -> substring(w, s, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(false)
+    val tot = cnt.agg(sum(col("n_occ")).as("tot"))
+    val ranked = cnt.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("piece"))))
+    val kept = ranked.filter(col("rk") <= vocabK || length(col("piece")) === 1)
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_occ"),
+        round(-log(col("n_occ").cast("double") / col("tot").cast("double"))
+          * lit(1.0e9), 0).cast("long").as("cost_n"))
+      .orderBy(col("piece"))
+  }
+
+  /** Viterbi segmentation under the [[unigramPieces]] model: per
+    * DISTINCT word, the min-cost split into inventory pieces
+    * (single-char coverage guarantees a path), ties broken toward the
+    * LONGER piece via the packed integer key cost·8 + (maxLen − L) —
+    * all-integer DP, so engine and oracle agree exactly. The DP runs
+    * on the DRIVER over the collected model + vocabulary (both
+    * vocabulary-sized — the bpe_learn collect discipline; SentencePiece
+    * itself ships a tiny model applied distributedly), and the word →
+    * segmentation table broadcasts back for corpus-scale application.
+    */
+  def unigramSegment(docs: DataFrame, maxPieceLen: Int = 4,
+                     vocabK: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    val cost = unigramPieces(docs, maxPieceLen, vocabK).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_n")).toMap
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val rows = words.map { w =>
+      val n = w.length
+      // best(i) = (packed key, cost, seg) for the first i chars
+      val best = new Array[(Long, Long, String)](n + 1)
+      best(0) = (0L, 0L, "")
+      for (i <- 1 to n) {
+        var bk = Long.MaxValue; var bc = 0L; var bs = ""
+        for (l <- 1 to math.min(maxPieceLen, i)) {
+          val piece = w.substring(i - l, i)
+          cost.get(piece).foreach { pc =>
+            if (best(i - l) != null) {
+              val c = best(i - l)._2 + pc
+              val k = c * 8 + (maxPieceLen - l)
+              if (k < bk) {
+                bk = k; bc = c
+                bs = if (best(i - l)._3.isEmpty) piece
+                     else best(i - l)._3 + " " + piece
+              }
+            }
+          }
+        }
+        best(i) = if (bk == Long.MaxValue) null else (bk, bc, bs)
+      }
+      val (_, c, seg) = best(n)
+      (w, seg, seg.split(" ").length, c)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("w", "seg", "n_pieces", "cost_n")
+      .orderBy(col("w"))
+  }
+
   def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._

@@ -318,6 +318,27 @@ class TextDedupSpec extends SparkSpec {
     assert(served.nonEmpty && served == rebuilt)
   }
 
+  test("unigram Viterbi prefers the cheaper multi-char piece") {
+    // 'ab' occurs 3x -> pieces a(3), b(3), ab(3), c(1); tot = 10.
+    // cost(ab) = -ln(0.3) < cost(a)+cost(b) = -2ln(0.3), so the word
+    // "ab" segments as the single piece, and "c" as itself.
+    val d = docs("ab ab ab c")
+    val seg = TextAnalysis.unigramSegment(d).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[String]("seg")).toMap
+    assert(seg("ab") == "ab")
+    assert(seg("c") == "c")
+  }
+
+  test("unigram segmentation covers every word exactly (sf0.001)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextAnalysis.unigramSegment(d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("seg").replace(" ", "") == r.getAs[String]("w"))
+      assert(r.getAs[Int]("n_pieces") >= 1)
+    }
+  }
+
   test("decontaminate flags planted passage overlap, ignores vocab overlap") {
     // find doc_ids on each side of the deterministic split first
     val ids = (0L until 40L)
