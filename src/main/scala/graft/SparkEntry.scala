@@ -870,6 +870,15 @@ object SparkEntry {
     // prefer the longer piece via the packed cost*8+(4-L) key.
     "unigram_segment" -> ((s, dir) =>
       TextAnalysis.unigramSegment(Tables.documents(s, dir))),
+    // corpus-scale unigram-model application: broadcast word->pieces
+    // join, per-doc subword budget + fertility (the serving shape).
+    "unigram_fertility" -> ((s, dir) =>
+      TextAnalysis.unigramFertility(Tables.documents(s, dir))),
+    // reproducible per-epoch global shuffle + same-source adjacency
+    // audit — the trainer-side data-ordering op (position is a pure
+    // function of (epoch, doc), resumable by construction).
+    "epoch_shuffle_audit" -> ((s, dir) =>
+      TextAnalysis.epochShuffleAudit(Tables.documents(s, dir))),
     // T5-style span-corruption plan: deterministic blocked mask spans
     // (hash-decided presence/length/offset per 16-token block, zero
     // floats) emitted as the rows a denoising packing job consumes.
@@ -5024,6 +5033,46 @@ object SparkEntry {
          |  CAST(len(string_split(seg, ' ')) AS INT) AS n_pieces,
          |  c AS cost_n
          |FROM res ORDER BY w""".stripMargin,
+
+    // mirrors TextAnalysis.unigramFertility: the unigram model chain,
+    // then every doc token joins the per-word piece counts.
+    "unigram_fertility" ->
+      s"""WITH $unigramPieceCtes,
+         |$unigramViterbiCtes,
+         |res AS (${(1 to 12).map(i =>
+             s"SELECT w, c, seg FROM b$i WHERE wl = $i")
+             .mkString("\n         |  UNION ALL ")}),
+         |np AS (SELECT w,
+         |         CAST(len(string_split(seg, ' ')) AS INT) AS np
+         |       FROM res),
+         |dt AS (SELECT doc_id, u.w
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |             FROM documents) x, unnest(x.toks) AS u(w)
+         |       WHERE u.w <> '')
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS fertility
+         |FROM dt JOIN np USING (w) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
+    // epoch, lag-based same-source adjacency counts, micro-pinned rate.
+    "epoch_shuffle_audit" ->
+      s"""WITH eph AS (SELECT doc_id, source, CAST(g.e AS INT) AS epoch,
+         |    ${h60("'ep' || g.e || '_' || doc_id")} AS hv
+         |  FROM documents, unnest(generate_series(0, 2)) AS g(e)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY epoch
+         |        ORDER BY hv, doc_id) AS pos FROM eph),
+         |l AS (SELECT *, lag(source) OVER (PARTITION BY epoch
+         |        ORDER BY pos) AS prev_src FROM r)
+         |SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN source = prev_src THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same_adj,
+         |  round(CAST(sum(CASE WHEN source = prev_src THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS same_adj_rate
+         |FROM l GROUP BY epoch ORDER BY epoch""".stripMargin,
 
     // mirrors TextAnalysis.spanCorruption: per-block hash decisions in
     // exact integer arithmetic, spans clipped at doc end, sentinel ids

@@ -1869,6 +1869,41 @@ object TextAnalysis {
       .orderBy(col("source"), col("samp_rank"))
   }
 
+  /** Per-epoch deterministic global shuffle audit: each epoch orders
+    * the corpus by a salted hash (the reproducible shuffle a trainer
+    * needs for resumable runs — position is a pure function of
+    * (epoch, doc)), and the audit measures SAME-SOURCE ADJACENCY per
+    * epoch against the source-sorted worst case: a correct shuffle
+    * breaks source runs, so adjacency should sit near the
+    * sum-of-squares expectation instead of ~1. All counts exact; the
+    * two rates pin as safe micro divisions. Scale shape: one rank
+    * window per epoch over (doc, source) pairs + a lag — no data
+    * movement beyond the sort, model-free.
+    */
+  def epochShuffleAudit(docs: DataFrame, epochs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"))
+    val byEpoch = (0 until epochs).map { e =>
+      base.withColumn("epoch", lit(e))
+        .withColumn("pos", row_number().over(Window
+          .partitionBy(col("epoch"))
+          .orderBy(graft.functions.TextFunctions.hash60(
+            concat(lit(s"ep${e}_"), col("doc_id"))), col("doc_id"))))
+    }.reduce(_.unionByName(_))
+    val wPos = Window.partitionBy(col("epoch")).orderBy(col("pos"))
+    byEpoch
+      .withColumn("prev_src", lag(col("source"), 1).over(wPos))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === col("prev_src"), 1L).otherwise(0L))
+          .as("n_same_adj"))
+      .select(col("epoch"), col("n_docs"), col("n_same_adj"),
+        (round(col("n_same_adj").cast("double")
+          / (col("n_docs") - 1).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("same_adj_rate"))
+      .orderBy(col("epoch"))
+  }
+
   def balancedSample(docs: DataFrame, perSource: Int = 10): DataFrame =
     docs.select(col("doc_id"), col("source"))
       .withColumn("samp_rank", row_number().over(
@@ -2073,6 +2108,27 @@ object TextAnalysis {
     import spark.implicits._
     rows.toSeq.toDF("w", "seg", "n_pieces", "cost_n")
       .orderBy(col("w"))
+  }
+
+  /** Corpus-scale application of the unigram model: every doc token
+    * joins the broadcast word → n_pieces table ([[unigramSegment]] is
+    * vocabulary-sized), per-doc subword budget and fertility alongside
+    * — the serving shape: tiny model, distributed apply.
+    */
+  def unigramFertility(docs: DataFrame): DataFrame = {
+    val seg = unigramSegment(docs)
+      .select(col("w"), col("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces").cast("long")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        (round(col("n_pieces").cast("double")
+          / col("n_tokens").cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("fertility"))
+      .orderBy(col("doc_id"))
   }
 
   def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {
