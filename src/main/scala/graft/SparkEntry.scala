@@ -158,6 +158,33 @@ object SparkEntry {
     (b0 +: stages).mkString(",\n")
   }
 
+  /** Shared span-corruption plan CTEs (mirrors
+    * TextAnalysis.spanCorruption) — ends at `r` = the span rows. */
+  private val spanPlanCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |blk AS (SELECT doc_id, toks, len(toks) AS len, g.b AS b,
+         |          ${h60("'sc_' || doc_id || '_' || g.b")} AS h
+         |        FROM t, unnest(generate_series(0,
+         |          (CASE WHEN (len(toks) - 1) < 0 THEN -((-(len(toks) - 1)) // (16)) ELSE (len(toks) - 1) // (16) END))) AS g(b)),
+         |pick AS (SELECT doc_id, toks, len, b, h,
+         |           CAST((h // 2) % 3 + 3 AS INT) AS len0
+         |         FROM blk WHERE h % 2 = 0),
+         |sp AS (SELECT doc_id, toks, len, len0,
+         |         CAST(b * 16 + ((h // 8) % (16 - len0 + 1)) + 1 AS INT)
+         |           AS start_tok
+         |       FROM pick),
+         |cl AS (SELECT doc_id, toks, start_tok,
+         |         CAST(least(len0, len - start_tok + 1) AS INT) AS span_len
+         |       FROM sp WHERE start_tok <= len),
+         |r AS (SELECT doc_id,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY start_tok) AS INT) AS sentinel_id,
+         |        start_tok, span_len,
+         |        array_to_string(list_slice(toks, start_tok,
+         |          start_tok + span_len - 1), ' ') AS span_text
+         |      FROM cl)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_bars_1m" -> ((s, dir) => goldBars(s, dir)),
@@ -884,6 +911,10 @@ object SparkEntry {
     // floats) emitted as the rows a denoising packing job consumes.
     "span_corruption" -> ((s, dir) =>
       TextAnalysis.spanCorruption(Tables.documents(s, dir))),
+    // the denoising PAIRS from the span plan: input with sentinel
+    // replacements, target = sentinel-prefixed masked spans in order.
+    "span_corruption_pack" -> ((s, dir) =>
+      TextAnalysis.spanCorruptionPack(Tables.documents(s, dir))),
     // soft dedup: reweighting instead of removal — every near-dup
     // cluster member keeps weight 1/cluster_size (exact 1e-6-unit
     // integer division), eff_tokens is the weighted token budget.
@@ -5034,6 +5065,35 @@ object SparkEntry {
          |  c AS cost_n
          |FROM res ORDER BY w""".stripMargin,
 
+    // mirrors TextAnalysis.spanCorruptionPack: the span plan, then
+    // ordered string folds build the (input, target) pair per doc.
+    "span_corruption_pack" ->
+      s"""WITH $spanPlanCtes,
+         |spp AS (SELECT doc_id, sentinel_id, start_tok, g.pos AS pos,
+         |          g.pos = start_tok AS is_start
+         |        FROM r, unnest(generate_series(start_tok,
+         |          start_tok + span_len - 1)) AS g(pos)),
+         |tk AS (SELECT t.doc_id, g.i AS pos, toks[g.i] AS tok
+         |       FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+         |pieces AS (SELECT tk.doc_id, tk.pos,
+         |    CASE WHEN s.sentinel_id IS NULL THEN tk.tok
+         |         WHEN s.is_start
+         |           THEN '<extra_id_' || s.sentinel_id || '>' END AS piece
+         |  FROM tk LEFT JOIN spp s
+         |    ON s.doc_id = tk.doc_id AND s.pos = tk.pos),
+         |inp AS (SELECT doc_id,
+         |    string_agg(piece, ' ' ORDER BY pos)
+         |      FILTER (WHERE piece IS NOT NULL) AS input_text
+         |  FROM pieces GROUP BY doc_id),
+         |tgt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+         |    string_agg('<extra_id_' || sentinel_id || '> ' || span_text,
+         |      ' ' ORDER BY sentinel_id) AS target_text
+         |  FROM r GROUP BY doc_id)
+         |SELECT i.doc_id, coalesce(t2.n_spans, 0) AS n_spans,
+         |  i.input_text, coalesce(t2.target_text, '') AS target_text
+         |FROM inp i LEFT JOIN tgt t2 USING (doc_id)
+         |ORDER BY i.doc_id""".stripMargin,
+
     // mirrors TextAnalysis.unigramFertility: the unigram model chain,
     // then every doc token joins the per-word piece counts.
     "unigram_fertility" ->
@@ -5078,29 +5138,7 @@ object SparkEntry {
     // exact integer arithmetic, spans clipped at doc end, sentinel ids
     // by start order.
     "span_corruption" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |           FROM documents),
-         |blk AS (SELECT doc_id, toks, len(toks) AS len, g.b AS b,
-         |          ${h60("'sc_' || doc_id || '_' || g.b")} AS h
-         |        FROM t, unnest(generate_series(0,
-         |          (CASE WHEN (len(toks) - 1) < 0 THEN -((-(len(toks) - 1)) // (16)) ELSE (len(toks) - 1) // (16) END))) AS g(b)),
-         |pick AS (SELECT doc_id, toks, len, b, h,
-         |           CAST((h // 2) % 3 + 3 AS INT) AS len0
-         |         FROM blk WHERE h % 2 = 0),
-         |sp AS (SELECT doc_id, toks, len, len0,
-         |         CAST(b * 16 + ((h // 8) % (16 - len0 + 1)) + 1 AS INT)
-         |           AS start_tok
-         |       FROM pick),
-         |cl AS (SELECT doc_id, toks, start_tok,
-         |         CAST(least(len0, len - start_tok + 1) AS INT) AS span_len
-         |       FROM sp WHERE start_tok <= len),
-         |r AS (SELECT doc_id,
-         |        CAST(row_number() OVER (PARTITION BY doc_id
-         |          ORDER BY start_tok) AS INT) AS sentinel_id,
-         |        start_tok, span_len,
-         |        array_to_string(list_slice(toks, start_tok,
-         |          start_tok + span_len - 1), ' ') AS span_text
-         |      FROM cl)
+      s"""WITH $spanPlanCtes
          |SELECT doc_id, sentinel_id, start_tok, span_len, span_text
          |FROM r ORDER BY doc_id, sentinel_id""".stripMargin,
 

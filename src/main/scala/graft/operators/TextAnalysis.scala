@@ -699,6 +699,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("sentinel_id"))
   }
 
+  /** The denoising PAIRS built from [[spanCorruption]]'s plan — the
+    * actual (input, target) rows a T5-style pretraining job consumes:
+    * input = the doc with each mask span replaced by its sentinel
+    * token, target = the sentinel-prefixed masked spans in order.
+    * Pure string/integer assembly over the span plan (one ordered
+    * fold per doc) — map-only after the plan join.
+    */
+  def spanCorruptionPack(docs: DataFrame, blockTok: Int = 16): DataFrame = {
+    val spans = spanCorruption(docs, blockTok)
+    val toks = tokensCol(col("text"))
+    val spanPos = spans.select(col("doc_id"), col("sentinel_id"),
+        col("start_tok"),
+        explode(sequence(col("start_tok"),
+          col("start_tok") + col("span_len") - 1)).as("pos"))
+      .withColumn("is_start", col("pos") === col("start_tok"))
+    val tk = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(spanPos.select(col("doc_id"), col("pos"), col("sentinel_id"),
+        col("is_start")), Seq("doc_id", "pos"), "left")
+      .withColumn("piece",
+        when(col("sentinel_id").isNull, col("tok"))
+          .when(col("is_start"),
+            concat(lit("<extra_id_"), col("sentinel_id"), lit(">"))))
+    val input = tk.groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(filter(array_sort(collect_list(" +
+          "struct(pos, piece))), x -> x.piece IS NOT NULL), x -> x.piece)"),
+        " ").as("input_text"))
+    val target = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(sentinel_id, " +
+            "concat('<extra_id_', sentinel_id, '> ', span_text)))), " +
+            "x -> x.col2)"),
+          " ").as("target_text"))
+    input.join(target, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).cast("int").as("n_spans"),
+        col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ColBERT-style late-interaction rerank (Khattab & Zaharia 2020 —
     * MaxSim): score(q, d) = Σ over q's token-group vectors of the MAX
     * cosine against any of d's token-group vectors. Deployment shape is
