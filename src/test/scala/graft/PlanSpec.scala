@@ -449,6 +449,9 @@ class PlanSpec extends SparkSpec {
       "embed_pca_power",
       // 1-row corpus-token-total cross join onto the pair table
       "token_pmi",
+      // 1-row candidate-total cross join onto the vocab-capped
+      // piece inventory
+      "unigram_lm_learn",
       // 1-row corpus-size cross joins (df gate + lift), same pattern
       "assoc_rules",
       // 1-row corpus-end cross join onto the per-user fold
