@@ -318,6 +318,32 @@ class TextDedupSpec extends SparkSpec {
     assert(served.nonEmpty && served == rebuilt)
   }
 
+  test("span corruption pack round-trips: input + target rebuild the doc") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = TextAnalysis.spanCorruptionPack(d).collect()
+    val original = d.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      val spans = r.getAs[String]("target_text").split("<extra_id_")
+        .filter(_.nonEmpty)
+        .map { part =>
+          val Array(id, rest) = part.split("> ", 2)
+          id.toInt -> rest.stripSuffix(" ")
+        }.toMap
+      val rebuilt = r.getAs[String]("input_text").split(" ").flatMap { tok =>
+        if (tok.startsWith("<extra_id_"))
+          spans(tok.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+            .split(" ")
+        else Array(tok)
+      }.mkString(" ")
+      assert(rebuilt == original(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} did not round-trip")
+      assert(r.getAs[Int]("n_spans") ==
+        "<extra_id_".r.findAllIn(r.getAs[String]("input_text")).length)
+    }
+  }
+
   test("unigram Viterbi prefers the cheaper multi-char piece") {
     // 'ab' occurs 3x -> pieces a(3), b(3), ab(3), c(1); tot = 10.
     // cost(ab) = -ln(0.3) < cost(a)+cost(b) = -2ln(0.3), so the word
