@@ -194,6 +194,52 @@ class SketchesSpec extends SparkSpec {
       (1L << (53 - reg)) + 255L * (1L << 53))
   }
 
+  test("streaming fold parity: micro-batch KMV/HLL state folds equal " +
+      "the one-shot sketch, and re-folding a batch is a no-op") {
+    import graft.functions.TextFunctions.hash60
+    val rows = (1 to 900).map(i => ("g1", s"u${i % 300}")) ++
+      (1 to 400).map(i => ("g2", s"u${i % 170}"))
+    val df = rows.toDF("g", "v")
+    val slices = Seq(
+      df.filter(crc32(col("v")) % 3 === 0),
+      df.filter(crc32(col("v")) % 3 === 1),
+      df.filter(crc32(col("v")) % 3 === 2))
+    // KMV: fold k-min state per "micro-batch" exactly like sketchE2E
+    val k = 64
+    def hashes(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("g"), hash60(concat(lit("t_"), col("v"))).as("h"))
+    var kmvState = hashes(slices.head).limit(0)
+    slices.foreach { sl =>
+      kmvState = Sketches.kmvStateFold(
+        kmvState.unionByName(hashes(sl)), Seq("g"), k)
+        .localCheckpoint(true)
+    }
+    // idempotence: re-folding the last batch changes nothing
+    val replayed = Sketches.kmvStateFold(
+      kmvState.unionByName(hashes(slices.last)), Seq("g"), k)
+    assert(replayed.orderBy("g", "h").collect().toSeq ==
+      kmvState.orderBy("g", "h").collect().toSeq)
+    val folded = Sketches.kmvEstimateFromState(kmvState, Seq("g"), k)
+      .orderBy("g").collect().toSeq
+    val direct = Sketches.kmvDistinct(df, Seq("g"), col("v"), k, "t_")
+      .select(col("g"), col("kmv_est")).orderBy("g").collect().toSeq
+    assert(folded == direct)
+    // HLL: register-wise max fold per batch == direct registers
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(d, Seq("g"), col("v"), 8, "t_")
+    var hllState = regs(slices.head).limit(0)
+    slices.foreach { sl =>
+      hllState = hllState.unionByName(regs(sl))
+        .groupBy(col("g"), col("idx")).agg(max(col("reg")).as("reg"))
+        .localCheckpoint(true)
+    }
+    val hFolded = Sketches.hllReport(hllState, Seq("g"), 8)
+      .orderBy("g").collect().toSeq
+    val hDirect = Sketches.hllReport(regs(df), Seq("g"), 8)
+      .orderBy("g").collect().toSeq
+    assert(hFolded == hDirect)
+  }
+
   test("hll merge law: daily register shards re-maxed equal the " +
       "direct sketch, estimates and exact sums both") {
     val rows = for {
