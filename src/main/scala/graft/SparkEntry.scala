@@ -137,7 +137,15 @@ object SparkEntry {
     * TextAnalysis.unigramSegment value-for-value (all-integer costs).
     */
   private val unigramViterbiCtes: String = {
-    val b0 = """b0 AS MATERIALIZED (SELECT DISTINCT w, length(w) AS wl,
+    // the unroll is 12 stages: a word LONGER than 12 chars would fall
+    // out of every `WHERE wl >= i` silently and vanish from the result
+    // (and its tokens from fertility's join) — fail LOUDLY instead so
+    // a longer-word corpus surfaces as an oracle error, not a
+    // confusing hash mismatch. The Spark-side DP is unbounded.
+    val b0 = """b0 AS MATERIALIZED (SELECT DISTINCT w,
+               |         CASE WHEN length(w) > 12 THEN CAST(error(
+               |             'unigram oracle: 12-stage Viterbi unroll exceeded: ' || w) AS INT)
+               |           ELSE length(w) END AS wl,
                |         CAST(0 AS BIGINT) AS c, '' AS seg
                |       FROM occ)""".stripMargin
     val stages = (1 to 12).map { i =>

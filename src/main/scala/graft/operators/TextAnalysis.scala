@@ -2105,73 +2105,67 @@ object TextAnalysis {
       .orderBy(col("piece"))
   }
 
+  /** The learned piece inventory collected to the driver as the
+    * serving model — VOCABULARY-sized by construction (top-`vocabK`
+    * plus single chars; the learner caps it), so this is the bpe_learn
+    * model-pull discipline, never a corpus-scale collect. The word
+    * table the model segments is NOT vocabulary-bounded (Heaps' law)
+    * and never leaves the cluster — see [[unigramSegment]].
+    */
+  private def unigramModel(docs: DataFrame, maxPieceLen: Int,
+                           vocabK: Int): Seq[(String, Long)] =
+    unigramPieces(docs, maxPieceLen, vocabK).collect().toSeq
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_n"))
+
   /** Viterbi segmentation under the [[unigramPieces]] model: per
     * DISTINCT word, the min-cost split into inventory pieces
     * (single-char coverage guarantees a path), ties broken toward the
     * LONGER piece via the packed integer key cost·8 + (maxLen − L) —
-    * all-integer DP, so engine and oracle agree exactly. The DP runs
-    * on the DRIVER over the collected model + vocabulary (both
-    * vocabulary-sized — the bpe_learn collect discipline; SentencePiece
-    * itself ships a tiny model applied distributedly), and the word →
-    * segmentation table broadcasts back for corpus-scale application.
+    * all-integer DP, so engine and oracle agree exactly. The tiny
+    * model broadcasts as a plan reference object and the DP runs
+    * DISTRIBUTED inside the scan (the codegen'd
+    * [[org.apache.spark.sql.graft.UnigramSegment]] expression, the
+    * VocabTokenize pattern) — word types grow with the corpus, so no
+    * word-table collect/broadcast may appear in this plan (PlanSpec
+    * pins it). SentencePiece's own deployment shape: tiny model,
+    * distributed apply.
     */
   def unigramSegment(docs: DataFrame, maxPieceLen: Int = 4,
                      vocabK: Int = 48): DataFrame = {
-    val spark = docs.sparkSession
-    val cost = unigramPieces(docs, maxPieceLen, vocabK).collect()
-      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_n")).toMap
-    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val model = unigramModel(docs, maxPieceLen, vocabK)
+    docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct()
-      .collect().map(_.getString(0)).sorted
-    val rows = words.map { w =>
-      val n = w.length
-      // best(i) = (packed key, cost, seg) for the first i chars
-      val best = new Array[(Long, Long, String)](n + 1)
-      best(0) = (0L, 0L, "")
-      for (i <- 1 to n) {
-        var bk = Long.MaxValue; var bc = 0L; var bs = ""
-        for (l <- 1 to math.min(maxPieceLen, i)) {
-          val piece = w.substring(i - l, i)
-          cost.get(piece).foreach { pc =>
-            if (best(i - l) != null) {
-              val c = best(i - l)._2 + pc
-              val k = c * 8 + (maxPieceLen - l)
-              if (k < bk) {
-                bk = k; bc = c
-                bs = if (best(i - l)._3.isEmpty) piece
-                     else best(i - l)._3 + " " + piece
-              }
-            }
-          }
-        }
-        best(i) = if (bk == Long.MaxValue) null else (bk, bc, bs)
-      }
-      val (_, c, seg) = best(n)
-      (w, seg, seg.split(" ").length, c)
-    }
-    import spark.implicits._
-    rows.toSeq.toDF("w", "seg", "n_pieces", "cost_n")
+      .withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
+        .segmentColumn(col("w"), model, maxPieceLen))
+      .select(col("w"), col("sg.seg").as("seg"),
+        col("sg.n_pieces").as("n_pieces"), col("sg.cost_n").as("cost_n"))
       .orderBy(col("w"))
   }
 
-  /** Corpus-scale application of the unigram model: every doc token
-    * joins the broadcast word → n_pieces table ([[unigramSegment]] is
-    * vocabulary-sized), per-doc subword budget and fertility alongside
-    * — the serving shape: tiny model, distributed apply.
+  /** Corpus-scale application of the unigram model: ONE map-only
+    * compiled pass — per document, the
+    * [[org.apache.spark.sql.graft.UnigramBudget]] expression folds the
+    * same Viterbi DP over every whitespace token against the broadcast
+    * piece model, emitting (n_tokens, n_pieces) with no segmentation
+    * strings, no word-type join, no shuffle at all (the final orderBy
+    * is presentation). Identical values to segment-then-join because
+    * the DP is a pure function of the word. Documents with zero
+    * non-empty tokens are dropped (the explode-join semantics this
+    * replaces).
     */
-  def unigramFertility(docs: DataFrame): DataFrame = {
-    val seg = unigramSegment(docs)
-      .select(col("w"), col("n_pieces"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .join(broadcast(seg), Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("n_pieces").cast("long")).as("n_pieces"))
-      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
-        (round(col("n_pieces").cast("double")
+  def unigramFertility(docs: DataFrame, maxPieceLen: Int = 4,
+                       vocabK: Int = 48): DataFrame = {
+    val model = unigramModel(docs, maxPieceLen, vocabK)
+    docs.select(col("doc_id"), org.apache.spark.sql.graft.UnigramViterbi
+        .budgetColumn(col("text"), model, maxPieceLen).as("b"))
+      .filter(col("b.n_tokens") > 0)
+      .select(col("doc_id"),
+        col("b.n_tokens").cast("long").as("n_tokens"),
+        col("b.n_pieces").as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double")
           / col("n_tokens").cast("double")
-          * lit(1.0e6), 0) / lit(1.0e6)).as("fertility"))
+          * lit(1.0e6), 0) / lit(1.0e6))
       .orderBy(col("doc_id"))
   }
 

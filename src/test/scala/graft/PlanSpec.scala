@@ -53,6 +53,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("unigram apply is distributed: model as plan constant, word table never collected") {
+    // the piece model (vocab-sized) rides as a codegen reference
+    // object; the word-type table (corpus-sized, Heaps' law) must stay
+    // in the cluster — any Join/broadcast of it here is the driver-DP
+    // regression this pins against
+    val pf = plan("unigram_fertility")
+    assert(!pf.contains("Join"), s"fertility must be join-free:\n$pf")
+    assert(pf.contains("unigram_budget"), "compiled budget expression missing")
+    // map-only: the single exchange is the presentation sort
+    assert(pf.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"fertility should be one map pass + output sort:\n$pf")
+    val ps = plan("unigram_segment")
+    assert(!ps.contains("Join"), s"segment must be join-free:\n$ps")
+    assert(ps.contains("unigram_segment"), "compiled segment expression missing")
+  }
+
   test("incremental dedup: rank-capped band join, no nested loop, no sort-agg") {
     val p = plan("dedup_incremental")
     assert(p.contains("WindowGroupLimit")) // history hot-bucket cap

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.UnigramViterbi
+
+import graft.operators.TextAnalysis
+
+/** Unigram-LM Viterbi segmentation — the compiled distributed DP
+  * against a broadcast piece model (the SentencePiece serving shape).
+  */
+class UnigramViterbiSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a hand-sized model: -ln(p) integer costs, 1e-9 units (values only
+  // need to be positive integers for the DP semantics under test)
+  private val model: Seq[(String, Long)] = Seq(
+    "a" -> 900L, "b" -> 900L, "c" -> 900L, "d" -> 900L,
+    "ab" -> 1000L, "bc" -> 1000L, "abc" -> 1700L, "abcd" -> 2000L,
+    "cd" -> 1100L)
+
+  private def seg(w: String, m: Seq[(String, Long)] = model) =
+    Seq(Tuple1(w)).toDF("w")
+      .select(UnigramViterbi.segmentColumn(col("w"), m, 4).as("s"))
+      .select(col("s.seg"), col("s.n_pieces"), col("s.cost_n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).head
+
+  // exhaustive reference: min over ALL segmentations, ties by
+  // lexicographically-latest piece-length tuple compared from the END
+  // (that is what the per-position longer-piece tie-break induces)
+  private def brute(w: String, m: Map[String, Long], maxLen: Int = 4) = {
+    def splits(s: String): Seq[List[String]] =
+      if (s.isEmpty) Seq(Nil)
+      else (1 to math.min(maxLen, s.length)).flatMap { l =>
+        val p = s.take(l)
+        if (m.contains(p)) splits(s.drop(l)).map(p :: _) else Nil
+      }
+    val all = splits(w)
+    assert(all.nonEmpty)
+    // replay the DP's packed-key choice: fold cost*8+(maxLen-L) per
+    // position is equivalent to min cost, then prefer longer last
+    // piece recursively — enumerate and pick via the same packed fold
+    def key(pieces: List[String]): (Long, List[Int]) =
+      (pieces.map(m).sum, pieces.map(p => maxLen - p.length).reverse)
+    val best = all.minBy(key)(Ordering.Tuple2(Ordering.Long,
+      math.Ordering.Implicits.seqOrdering[List, Int]))
+    (best.mkString(" "), best.length, best.map(m).sum)
+  }
+
+  test("min-cost split wins over greedy") {
+    // greedy longest-match would take "abcd" (2000); the DP prefers
+    // "ab cd" only if cheaper — here ab+cd = 2100 > 2000, so abcd wins
+    assert(seg("abcd") == ("abcd", 1, 2000L))
+    // but "bc" + "d" (1900) beats "b c d" (2700)
+    assert(seg("bcd") == ("bc d", 2, 1900L))
+  }
+
+  test("equal-cost ties break toward the longer piece at each position") {
+    val m = Seq("a" -> 500L, "aa" -> 1000L, "aaa" -> 1500L)
+    // every split of "aaa" costs 1500 — the tie-break must pick the
+    // single longest piece
+    assert(seg("aaa", m) == ("aaa", 1, 1500L))
+    // "aaaa": all splits cost 2000; from the end the longer final
+    // piece wins, then recursively → "a aaa"
+    assert(seg("aaaa", m) == ("a aaa", 2, 2000L))
+  }
+
+  test("matches the exhaustive reference on random words") {
+    val mMap = model.toMap
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => "abcd" (rnd.nextInt(4))).mkString
+      val got = seg(w)
+      assert(got == brute(w, mMap), s"word $w")
+    }
+  }
+
+  test("budget fold equals per-word segment sums, empty tokens skipped") {
+    val text = "ab  bcd   abcd a"
+    val words = text.split(" ").filter(_.nonEmpty)
+    val want = words.map(w => seg(w)._2).sum
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(UnigramViterbi.budgetColumn(col("text"), model, 4).as("b"))
+      .select(col("b.n_tokens"), col("b.n_pieces"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).head
+    assert(got == ((words.length, want.toLong)))
+  }
+
+  test("coverage loss fails loudly, never a silent null") {
+    val e = intercept[Exception] { seg("abxd") }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("inventory lost single-char coverage")))
+  }
+
+  test("fertility via the map-only budget pass equals segment-then-join") {
+    val docs = Seq(
+      ("d1", "abc ab a"), ("d2", "bcd bcd"), ("d3", "abcd"),
+      ("d4", "a b c d ab"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val fast = TextAnalysis.unigramFertility(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference: per-word segmentation joined back to the token stream
+    val sg = TextAnalysis.unigramSegment(docs)
+    val slow = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(sg.select(col("w"), col("n_pieces")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces").cast("long")).as("n_pieces"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fast == slow)
+  }
+}
