@@ -75,6 +75,8 @@ object Bench {
     // name-sorted: Map hash order reshuffles whenever the registry grows,
     // which silently changes each query's warmup context round-over-round
     // and confounds cross-round per-query comparison
+    val harnessWarnings = Seq.newBuilder[(String, String)]
+    graft.streaming.HarnessGuard.drain() // clear warmup noise
     val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val nRuns = if (singleRun(name)) 1 else 2
@@ -90,6 +92,12 @@ object Bench {
                   .take(1).mkString.take(300))
           }
         }
+        // failures Spark retried internally (task retries, stage
+        // resubmissions, failed-then-rerun foreachBatch work) don't
+        // surface as query errors but DO distort timings — attribute
+        // them to the query that was running and put them in bench.json
+        harnessWarnings ++=
+          graft.streaming.HarnessGuard.drain().map(name -> _)
         val oks = runs.collect { case Right(t) => t }
         name -> (if (oks.nonEmpty) Right((oks.min, oks.max))
                  else Left(runs.collectFirst { case Left(m) => m }.get))
@@ -98,7 +106,8 @@ object Bench {
     val maxes = results.collect { case (k, Right((_, mx))) => k -> mx }
     val errors = results.collect { case (k, Left(m)) => k -> m }
     // authoritative artifact: file copies survive sbt's stdout prefixing
-    val (fileLine, stdoutLine) = renderLines(timings, maxes, errors, sfDir)
+    val (fileLine, stdoutLine) =
+      renderLines(timings, maxes, errors, sfDir, harnessWarnings.result())
     val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
     val written = outDirs.map { d =>
       try {
@@ -140,7 +149,9 @@ object Bench {
   private[graft] def renderLines(timings: Seq[(String, Double)],
                                  maxes: Seq[(String, Double)],
                                  errors: Seq[(String, String)],
-                                 sfDir: String): (String, String) = {
+                                 sfDir: String,
+                                 harnessWarnings: Seq[(String, String)] =
+                                   Nil): (String, String) = {
     def errJson(maxMsg: Int): String =
       errors.map { case (k, m) =>
         s""""$k":"${jsonEscape(m.take(maxMsg))}""""
@@ -156,14 +167,22 @@ object Bench {
       val eo = if (errsOmitted) s""""errors_omitted":${errors.size},""" else ""
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":$qj,$extra$om"errors":$es,$eo"n_queries":$nAll,""" +
-        s""""n_failed":${errors.size},"sf":"${jsonEscape(sfDir)}"}"""
+        s""""n_failed":${errors.size},""" +
+        s""""n_harness_warnings":${harnessWarnings.size},""" +
+        s""""sf":"${jsonEscape(sfDir)}"}"""
     }
     // bench.json: full precision, full error messages, plus the per-query
     // worst-run map (authoritative; spread lives here, never on stdout)
+    // and any internally-retried failures HarnessGuard captured
     val maxJson = maxes.map { case (k, v) => s""""$k":$v""" }
       .mkString(""""queries_max":{""", ",", "},")
-    val fileLine =
-      render(timings, 0, _.toString, errJson(Int.MaxValue), false, maxJson)
+    val hwJson =
+      if (harnessWarnings.isEmpty) ""
+      else harnessWarnings.map { case (q, m) =>
+        s""""${jsonEscape(s"$q: $m")}""""
+      }.mkString(""""harness_warnings":[""", ",", "],")
+    val fileLine = render(timings, 0, _.toString, errJson(Int.MaxValue),
+      false, maxJson + hwJson)
     // stdout: error messages capped at 80 chars (an unbounded errors map
     // can blow the budget just like the query map did in round 2); if
     // shrinking the query map to 1 entry still doesn't fit, drop the

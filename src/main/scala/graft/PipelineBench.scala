@@ -16,10 +16,24 @@ object PipelineBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional arg selects the harness: default = the three-hop gold
+    // pipeline; "live"/"liveHourly" time the two live-bars upsert
+    // granularities (per-bar vs per-hour sink churn)
+    val run: () => Long = args.headOption match {
+      case Some("live") =>
+        () => graft.streaming.Pipeline.liveBarsE2E(spark, sfDir).count()
+      case Some("liveHourly") =>
+        () => graft.streaming.Pipeline
+          .liveBarsE2E(spark, sfDir, hourly = true).count()
+      case _ => () => graft.streaming.Pipeline.goldE2E(spark, sfDir).count()
+    }
     val t0 = System.nanoTime()
-    val n = graft.streaming.Pipeline.goldE2E(spark, sfDir).count()
+    val n = run()
     System.err.println(
       f"[pipeline] TOTAL: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n bars")
+    val warnings = graft.streaming.HarnessGuard.drain()
+    if (warnings.nonEmpty)
+      System.err.println(s"[pipeline] harness warnings: $warnings")
     spark.stop()
   }
 }

@@ -99,7 +99,7 @@ object Pipeline {
     // cluster this knob is sized to state volume, not CPU count.
     val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try HarnessGuard.scope(spark, "pipeline_gold_e2e") {
       timed("hop1 wire->bronze")(Streams.kafkaLikeToBronze(
         spark.readStream.schema(Schemas.kafka).parquet(landing),
         bronzeDir, s"$base/ck1", trigger = an).awaitTermination())
@@ -170,25 +170,27 @@ object Pipeline {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    // hop 1: landing -> quality-passed silver docs (in-row gate)
-    Streams.parquetSink(
-      spark.readStream.schema(inSchema)
-        .option("maxFilesPerTrigger", 2).parquet(landing)
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.qualityScoreCol.as("quality_score"))
-        .filter(col("quality_score") >= 0.35),
-      silverDir, s"$base/ck1", trigger = an)
-      .start().awaitTermination()
-    // hop 2: silver -> near-dup flags vs the persisted index
     val silverSchema = inSchema.add("quality_score",
       org.apache.spark.sql.types.DoubleType)
-    Streams.parquetSink(
-      Streams.incrementalDedupStream(
-        spark.readStream.schema(silverSchema)
-          .option("maxFilesPerTrigger", 2).parquet(silverDir),
-        histSigsT),
-      flagsDir, s"$base/ck2", trigger = an)
-      .start().awaitTermination()
+    HarnessGuard.scope(spark, "pipeline_corpus_e2e") {
+      // hop 1: landing -> quality-passed silver docs (in-row gate)
+      Streams.parquetSink(
+        spark.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", 2).parquet(landing)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScoreCol.as("quality_score"))
+          .filter(col("quality_score") >= 0.35),
+        silverDir, s"$base/ck1", trigger = an)
+        .start().awaitTermination()
+      // hop 2: silver -> near-dup flags vs the persisted index
+      Streams.parquetSink(
+        Streams.incrementalDedupStream(
+          spark.readStream.schema(silverSchema)
+            .option("maxFilesPerTrigger", 2).parquet(silverDir),
+          histSigsT),
+        flagsDir, s"$base/ck2", trigger = an)
+        .start().awaitTermination()
+    }
     // ship: sink-side compaction — quality survivors minus flagged
     // (explicit schema like the flags read: if no delta doc passed the
     // quality gate the sink has no data files and inference would fail)
@@ -259,30 +261,38 @@ object Pipeline {
     val origMode =
       spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    try HarnessGuard.scope(spark, "pipeline_restate_e2e") {
       val q = spark.readStream.schema(lateCols.schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
         .writeStream
         .option("checkpointLocation", s"$base/ck")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (delta: DataFrame, _: Long) =>
-          val deltaState = Gold.barState(delta)
-          val touchedDates = deltaState
-            .select(to_date(col("bar_start")).as("bar_date")).distinct()
-          val hist = spark.read.parquet(stateDir)
-          val histTouched = hist
-            .join(broadcast(touchedDates), Seq("bar_date"), "left_semi")
-            .drop("bar_date")
-          // materialize off the source files BEFORE overwriting them
-          // (breaks the read-your-own-overwrite lineage)
-          val merged = Gold.normalizeState(
-              Gold.mergeBarStates(histTouched, deltaState))
-            .withColumn("bar_date", to_date(col("bar_start")))
-            .localCheckpoint(true)
-          merged.repartition(col("bar_date"))
-            .write.partitionBy("bar_date").mode("overwrite")
-            .parquet(stateDir)
-          ()
+          try {
+            val deltaState = Gold.barState(delta)
+            val touchedDates = deltaState
+              .select(to_date(col("bar_start")).as("bar_date")).distinct()
+            val hist = spark.read.parquet(stateDir)
+            val histTouched = hist
+              .join(broadcast(touchedDates), Seq("bar_date"), "left_semi")
+              .drop("bar_date")
+            // INVARIANT: the merged state is read FROM stateDir and
+            // written back TO stateDir in this same batch — the EAGER
+            // localCheckpoint(true) must fully materialize the merge
+            // BEFORE mode("overwrite") deletes the files it read, or
+            // the overwrite silently truncates state to the delta.
+            val merged = Gold.normalizeState(
+                Gold.mergeBarStates(histTouched, deltaState))
+              .withColumn("bar_date", to_date(col("bar_start")))
+              .localCheckpoint(true)
+            merged.repartition(col("bar_date"))
+              .write.partitionBy("bar_date").mode("overwrite")
+              .parquet(stateDir)
+            ()
+          } catch { case e: Throwable =>
+            HarnessGuard.record(s"restate foreachBatch failed: $e")
+            throw e
+          }
         }
         .start()
       q.awaitTermination()
@@ -340,18 +350,25 @@ object Pipeline {
     val idSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType)))
-    val q = spark.readStream.schema(idSchema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
-      .writeStream
-      .option("checkpointLocation", s"$base/ck")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (delta: DataFrame, _: Long) =>
-        Lifecycle.delBatch(delta, 4)
-          .write.mode("append").parquet(ledgerDir)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    HarnessGuard.scope(spark, "pipeline_retire_e2e") {
+      val q = spark.readStream.schema(idSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          try {
+            Lifecycle.delBatch(delta, 4)
+              .write.mode("append").parquet(ledgerDir)
+            ()
+          } catch { case e: Throwable =>
+            HarnessGuard.record(s"retire foreachBatch failed: $e")
+            throw e
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
 
     Lifecycle.indexAsOf(spark.read.parquet(indexDir),
         spark.read.parquet(ledgerDir), asOfBatch = 4)
@@ -373,7 +390,8 @@ object Pipeline {
     * controlled multi-batch upsert sequence; this entry pins the
     * whole-corpus values.
     */
-  def liveBarsE2E(spark: SparkSession, dir: String): DataFrame = {
+  def liveBarsE2E(spark: SparkSession, dir: String,
+                  hourly: Boolean = false): DataFrame = {
     import graft.operators.{Bronze, Gold, Silver}
     val basePath = Files.createTempDirectory("graft_le2e_")
     val base = basePath.toString
@@ -400,9 +418,12 @@ object Pipeline {
 
     val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = Streams.silverToGoldLive(spark, silverDir, goldDir,
-        s"$base/ck", trigger = Trigger.AvailableNow())
+    try HarnessGuard.scope(spark, "bars_live_e2e") {
+      val q =
+        if (hourly) Streams.silverToGoldLiveHourly(spark, silverDir,
+          goldDir, s"$base/ck", trigger = Trigger.AvailableNow())
+        else Streams.silverToGoldLive(spark, silverDir, goldDir,
+          s"$base/ck", trigger = Trigger.AvailableNow())
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
 
@@ -468,29 +489,40 @@ object Pipeline {
       .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (delta: DataFrame, _: Long) =>
-        // KMV fold: state ∪ delta hashes → k smallest per group
-        val dHashes = delta.select(col("event_type"),
-          hash60(concat(lit("kmv_"), col("user_id"))).as("h"))
-        val kmvState = spark.read.schema(kmvSchema).parquet(kmvDir)
-        Sketches.kmvStateFold(kmvState.unionByName(dHashes),
-            Seq("event_type"), k)
-          .localCheckpoint(true)
-          .write.mode("overwrite").parquet(kmvDir)
-        // HLL fold: register-wise max of state ∪ delta registers
-        val dRegs = Sketches.hllRegisters(delta, Seq("event_type"),
-          col("user_id"), 8, "hll_")
-          .select(col("event_type"), col("idx"), col("reg").cast("int")
-            .as("reg"))
-        val hllState = spark.read.schema(hllSchema).parquet(hllDir)
-        hllState.unionByName(dRegs)
-          .groupBy(col("event_type"), col("idx"))
-          .agg(max(col("reg")).as("reg"))
-          .localCheckpoint(true)
-          .write.mode("overwrite").parquet(hllDir)
-        ()
+        try {
+          // KMV fold: state ∪ delta hashes → k smallest per group.
+          // INVARIANT (both folds): the new state is read FROM its
+          // state dir and written back TO the same dir within this
+          // batch — the EAGER localCheckpoint(true) must materialize
+          // the fold BEFORE mode("overwrite") deletes the files it
+          // read; dropping the eager flag silently truncates state.
+          val dHashes = delta.select(col("event_type"),
+            hash60(concat(lit("kmv_"), col("user_id"))).as("h"))
+          val kmvState = spark.read.schema(kmvSchema).parquet(kmvDir)
+          Sketches.kmvStateFold(kmvState.unionByName(dHashes),
+              Seq("event_type"), k)
+            .localCheckpoint(true)
+            .write.mode("overwrite").parquet(kmvDir)
+          // HLL fold: register-wise max of state ∪ delta registers
+          // (same read-materialize-then-overwrite invariant as above)
+          val dRegs = Sketches.hllRegisters(delta, Seq("event_type"),
+            col("user_id"), 8, "hll_")
+            .select(col("event_type"), col("idx"), col("reg").cast("int")
+              .as("reg"))
+          val hllState = spark.read.schema(hllSchema).parquet(hllDir)
+          hllState.unionByName(dRegs)
+            .groupBy(col("event_type"), col("idx"))
+            .agg(max(col("reg")).as("reg"))
+            .localCheckpoint(true)
+            .write.mode("overwrite").parquet(hllDir)
+          ()
+        } catch { case e: Throwable =>
+          HarnessGuard.record(s"sketch foreachBatch failed: $e")
+          throw e
+        }
       }
       .start()
-    q.awaitTermination()
+    HarnessGuard.scope(spark, "sketch_stream_e2e")(q.awaitTermination())
 
     val kmvEst = Sketches.kmvEstimateFromState(
       spark.read.schema(kmvSchema).parquet(kmvDir), Seq("event_type"), k)
@@ -549,7 +581,7 @@ object Pipeline {
 
     val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    try HarnessGuard.scope(spark, "pipeline_join_e2e") {
       val bStream = spark.readStream.schema(buys.schema).parquet(buysDir)
       val sStream = spark.readStream.schema(sells.schema)
         .option("maxFilesPerTrigger", 1).parquet(sellsDir)

@@ -389,6 +389,68 @@ object Streams {
     * for the live tail — the finalized append table remains the
     * long-term store (compact the tail into it periodically).
     */
+  /** [[silverToGoldLive]] at per-(bar_date, hour) upsert granularity —
+    * the restate discipline applied to the live sink: each micro-batch
+    * reads the touched HOURS back from the sink, replaces the bars the
+    * batch restates (anti join on (symbol, bar_start)), and rewrites
+    * whole hour partitions. Dir churn drops from bars-touched to
+    * hours-touched per trigger at the cost of a sink read-back and a
+    * full-hour rewrite per touched hour. Measured at sf0.1 (6 h tail,
+    * AvailableNow): see BASELINE.md's bars_live floor note — whichever
+    * granularity wins is recorded there.
+    */
+  def silverToGoldLiveHourly(spark: SparkSession, silverDir: String,
+                             goldDir: String, checkpoint: String,
+                             barWidth: String = "1 minute",
+                             watermark: String = DefaultWatermark,
+                             trigger: Trigger = DefaultTrigger,
+                             maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    goldBarsStream(silverStream(spark, silverDir, maxFilesPerTrigger),
+        barWidth, watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val ss = batch.sparkSession
+        val b = batch.withColumn("bar_hour", hour(col("bar_start")))
+        val touched = b.select(col("bar_date"), col("bar_hour")).distinct()
+        // first batch: no sink yet (schema inference fails) → empty
+        val existing =
+          try ss.read.parquet(goldDir)
+            .join(broadcast(touched), Seq("bar_date", "bar_hour"),
+              "left_semi")
+            .join(b.select(col("symbol"), col("bar_start")),
+              Seq("symbol", "bar_start"), "left_anti")
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => b.limit(0)
+          }
+        // INVARIANT: `existing` is read FROM goldDir and written back
+        // TO goldDir below — the EAGER localCheckpoint(true) must
+        // materialize the merge before the dynamic overwrite deletes
+        // the hour dirs it read.
+        val merged = existing.unionByName(b).localCheckpoint(true)
+        val prev = ss.conf
+          .getOption("spark.sql.sources.partitionOverwriteMode")
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode("overwrite")
+          .partitionBy("bar_date", "bar_hour")
+          .option("compression", "snappy").parquet(goldDir)
+        catch { case e: Throwable =>
+          HarnessGuard.record(s"live-bars hourly upsert batch failed: $e")
+          throw e
+        }
+        finally prev match {
+          case Some(v) => ss.conf
+            .set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => ss.conf
+            .unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
+  }
+
   def silverToGoldLive(spark: SparkSession, silverDir: String, goldDir: String,
                        checkpoint: String, barWidth: String = "1 minute",
                        watermark: String = DefaultWatermark,
@@ -406,6 +468,10 @@ object Streams {
         try batch.write.mode("overwrite")
           .partitionBy("bar_date", "symbol", "bar_start")
           .option("compression", "snappy").parquet(goldDir)
+        catch { case e: Throwable =>
+          HarnessGuard.record(s"live-bars upsert batch failed: $e")
+          throw e
+        }
         finally prev match {
           case Some(v) => batch.sparkSession.conf
             .set("spark.sql.sources.partitionOverwriteMode", v)

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.HarnessGuard
+
+/** Failure surfacing for the e2e harnesses: what Spark retries
+  * internally must land in the captured-event queue, attributed to the
+  * active scope.
+  */
+class HarnessGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a failing job inside a scope is captured and attributed") {
+    HarnessGuard.drain() // isolate from other suites
+    val boom = udf((i: Long) =>
+      if (i == 3L) throw new RuntimeException("guard-spec-boom") else i)
+    intercept[Exception] {
+      HarnessGuard.scope(spark, "guard_spec") {
+        // spark.range, not a LocalRelation: ConvertToLocalRelation would
+        // evaluate the udf on the driver and no task would ever run
+        spark.range(8).select(boom(col("id"))).collect()
+      }
+    }
+    // the listener bus delivers asynchronously — poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var got = Seq.empty[String]
+    while (got.isEmpty && System.nanoTime() < deadline) {
+      got = HarnessGuard.drain()
+      if (got.isEmpty) Thread.sleep(50)
+    }
+    assert(got.nonEmpty, "no failure captured")
+    assert(got.exists(_.contains("[guard_spec]")),
+      s"missing scope attribution: $got")
+    assert(got.exists(m => m.contains("failed")), s"unexpected events: $got")
+  }
+
+  test("record + drain round-trips and clears") {
+    HarnessGuard.drain()
+    HarnessGuard.record("first\nsecond line ignored")
+    val got = HarnessGuard.drain()
+    assert(got == Seq("first"))
+    assert(HarnessGuard.drain().isEmpty)
+  }
+}

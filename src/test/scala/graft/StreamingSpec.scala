@@ -206,6 +206,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hourly live sink: multi-batch read-merge-write equals batch recompute") {
+    val silverDir = tmpDir("graft_silver_liveh")
+    val goldDir = tmpDir("graft_gold_liveh")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val silverBatch = Silver.dedup(Silver.projectToSilver(
+      Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events))))
+    // 3 files -> 3 micro-batches: batch N+1 must merge into hour dirs
+    // batch N wrote (replacing restated bars, keeping siblings). The
+    // watermark is wider than the corpus span so no batch's rows are
+    // late (files split randomly): late-data EVICTION is the
+    // complementary semantics, tested above — this test isolates the
+    // sink's cross-batch read-merge-write.
+    silverBatch.repartition(3).write.mode("overwrite").parquet(silverDir)
+
+    val q = Streams.silverToGoldLiveHourly(spark, silverDir, goldDir,
+      tmpDir("graft_ck_liveh"), watermark = "45 days",
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+
+    val expected = Gold.bars(silverBatch)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    val cols = Gold.bars(silverBatch).columns
+    val got = spark.read.parquet(goldDir)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    assert(got.size == expected.size)
+    assert(got == expected)
+    // and the dir churn is hour-granular: leaf dirs = touched
+    // (bar_date, bar_hour) pairs, NOT one per bar
+    val hourDirs = new java.io.File(goldDir).listFiles()
+      .filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.isDirectory)
+    val nBars = expected.size
+    assert(hourDirs < nBars, s"hour dirs $hourDirs vs bars $nBars")
+  }
+
   test("compaction rewrites many small files into few, preserving rows") {
     val dir = tmpDir("graft_compact_in")
     val out = tmpDir("graft_compact_out")
