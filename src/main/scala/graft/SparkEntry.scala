@@ -722,11 +722,13 @@ object SparkEntry {
     // estimates must equal the one-shot batch sketch exactly.
     "sketch_stream_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.sketchE2E(s, dir)),
-    // live-bars update-mode surface: per-bar dynamic-overwrite upserts
-    // keep in-progress bars queryable; after the drain the sink must
-    // equal the batch recompute bar for bar.
+    // live-bars update-mode surface: dynamic-overwrite upserts keep
+    // in-progress bars queryable; after the drain the sink must equal
+    // the batch recompute bar for bar. Hourly upsert granularity (the
+    // restate-style read-merge-write) measured FASTER than per-bar
+    // dirs at sf0.1 (11.7 vs 16.7 s) — see BASELINE.md.
     "bars_live_e2e" -> ((s, dir) =>
-      graft.streaming.Pipeline.liveBarsE2E(s, dir)),
+      graft.streaming.Pipeline.liveBarsE2E(s, dir, hourly = true)),
 
     // Sessionization (gap-based session windows, batch shape).
     "trade_sessions" -> ((s, dir) =>
@@ -900,15 +902,22 @@ object SparkEntry {
     // greedy-vocab and BPE.
     "unigram_lm_learn" -> ((s, dir) =>
       TextAnalysis.unigramPieces(Tables.documents(s, dir))),
-    // per-word integer Viterbi under that model (driver DP over the
-    // vocabulary-sized model, the bpe_learn collect discipline); ties
-    // prefer the longer piece via the packed cost*8+(4-L) key.
+    // per-word integer Viterbi under that model — the DP runs
+    // DISTRIBUTED as a compiled expression against the broadcast
+    // vocabulary-sized model (ties prefer the longer piece via the
+    // packed cost*8+(4-L) key); the word table never leaves the cluster.
     "unigram_segment" -> ((s, dir) =>
       TextAnalysis.unigramSegment(Tables.documents(s, dir))),
-    // corpus-scale unigram-model application: broadcast word->pieces
-    // join, per-doc subword budget + fertility (the serving shape).
+    // corpus-scale unigram-model application: ONE map-only compiled
+    // pass folding the per-word DP into per-doc subword budget +
+    // fertility (the serving shape: tiny model, distributed apply).
     "unigram_fertility" -> ((s, dir) =>
       TextAnalysis.unigramFertility(Tables.documents(s, dir))),
+    // one hard-EM round on the unigram model: Viterbi-segment under
+    // model0, recount pieces weighted by word frequency, re-pin costs
+    // — the SentencePiece trainer step, unused candidates pruned.
+    "unigram_lm_em" -> ((s, dir) =>
+      TextAnalysis.unigramLmEm(Tables.documents(s, dir))),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -5123,6 +5132,27 @@ object SparkEntry {
          |    * 1.0e6, 0) / 1.0e6 AS fertility
          |FROM dt JOIN np USING (w) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.unigramLmEm: the model0 chain + Viterbi
+    // segmentations, then piece counts re-estimated from the
+    // segmentations weighted by word frequency, costs re-pinned at
+    // 1e-9 (one hard-EM round, unused candidates pruned).
+    "unigram_lm_em" ->
+      s"""WITH $unigramPieceCtes,
+         |$unigramViterbiCtes,
+         |res AS (${(1 to 12).map(i =>
+             s"SELECT w, c, seg FROM b$i WHERE wl = $i")
+             .mkString("\n         |  UNION ALL ")}),
+         |wf AS (SELECT w, count(*) AS f FROM occ GROUP BY w),
+         |su AS (SELECT r.w, u.p AS piece
+         |       FROM res r, unnest(string_split(r.seg, ' ')) AS u(p)),
+         |c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n_occ
+         |       FROM su JOIN wf USING (w) GROUP BY piece),
+         |t1 AS (SELECT sum(n_occ) AS tot FROM c1)
+         |SELECT piece, n_occ,
+         |  CAST(round(-ln(CAST(n_occ AS DOUBLE) / CAST(tot AS DOUBLE))
+         |    * 1.0e9, 0) AS BIGINT) AS cost_n
+         |FROM c1, t1 ORDER BY piece""".stripMargin,
 
     // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
     // epoch, lag-based same-source adjacency counts, micro-pinned rate.

@@ -768,9 +768,14 @@ object TextAnalysis {
     * tiny candidate and query sides broadcast.
     */
   /** The persisted multi-vector index rows behind [[maxSimRerank]]:
-    * one (doc_id, chunk, bucket) → count row per non-empty bucket —
-    * per-doc provenance, so takedown is one anti join
-    * ([[Dedup.retireRows]]), exactly like the other index families.
+    * one (doc_id, chunk, bucket) → count row per non-empty bucket,
+    * PLUS the chunk's L2 norm precomputed on every row — a real
+    * multi-vector index stores per-chunk norms alongside the vectors
+    * so serving never re-aggregates them. The norm is per (doc, chunk)
+    * only (a key-partitioned window at build time), so retire = the
+    * same one anti join ([[Dedup.retireRows]]) and refresh = the same
+    * per-doc idempotent append as every other index family — a doc's
+    * norms never depend on other docs.
     */
   def maxSimChunkVectors(docs: DataFrame, chunkTok: Int = 24,
                          buckets: Int = 16): DataFrame = {
@@ -782,36 +787,41 @@ object TextAnalysis {
           .as("b"))
       .groupBy(col("doc_id"), col("chunk"), col("b"))
       .agg(count(lit(1)).as("c"))
+      .withColumn("nrm", sqrt(sum(col("c") * col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("chunk"))).cast("double")))
   }
 
+  /** Candidates whose chunks share NO hash bucket with any query chunk
+    * are omitted from the reranked output (the dot/cos chain inner-
+    * joins on bucket), so a query's result can carry fewer than `k`
+    * rows — bucket-disjoint means MaxSim 0 under this vector family,
+    * and a zero-scoring candidate is not served. The oracle mirrors
+    * the same inner joins.
+    */
   def maxSimRerank(docs: DataFrame, nQueries: Int = 10, legK: Int = 20,
                    k: Int = 10, chunkTok: Int = 24, buckets: Int = 16,
                    index: Option[DataFrame] = None): DataFrame = {
     val ct = index.getOrElse(maxSimChunkVectors(docs, chunkTok, buckets))
-    val nrm = ct.groupBy(col("doc_id"), col("chunk"))
-      .agg(sum(col("c") * col("c")).as("n2"))
-      .select(col("doc_id"), col("chunk"),
-        sqrt(col("n2").cast("double")).as("nrm"))
     val cands = bm25QueryByDoc(docs, nQueries, legK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
     val qids = cands.select(col("query_id")).distinct()
     val qct = ct.join(broadcast(qids.withColumnRenamed("query_id",
         "doc_id")), Seq("doc_id"))
       .select(col("doc_id").as("query_id"), col("chunk").as("qchunk"),
-        col("b"), col("c").as("qc"))
+        col("b"), col("c").as("qc"), col("nrm").as("qnrm"))
+    // norms ride the index rows (constant within each chunk-pair
+    // group), so no norm re-aggregation and no norm joins at serve time
     val dots = broadcast(cands)
       .join(broadcast(qct), Seq("query_id"))
       .join(ct.select(col("doc_id"), col("chunk").as("cchunk"),
-        col("b"), col("c").as("cc")), Seq("doc_id", "b"))
+        col("b"), col("c").as("cc"), col("nrm").as("cnrm")),
+        Seq("doc_id", "b"))
       .groupBy(col("query_id"), col("doc_id"), col("lex_rank"),
         col("qchunk"), col("cchunk"))
-      .agg(sum(col("qc") * col("cc")).as("dot"))
+      .agg(sum(col("qc") * col("cc")).as("dot"),
+        max(col("qnrm")).as("qnrm"), max(col("cnrm")).as("cnrm"))
     val cos = dots
-      .join(broadcast(nrm.select(col("doc_id").as("query_id"),
-        col("chunk").as("qchunk"), col("nrm").as("qnrm"))),
-        Seq("query_id", "qchunk"))
-      .join(nrm.select(col("doc_id"), col("chunk").as("cchunk"),
-        col("nrm").as("cnrm")), Seq("doc_id", "cchunk"))
       .select(col("query_id"), col("doc_id"), col("lex_rank"),
         col("qchunk"), col("cchunk"),
         round(col("dot").cast("double") / (col("qnrm") * col("cnrm"))
@@ -1920,28 +1930,49 @@ object TextAnalysis {
     * epoch against the source-sorted worst case: a correct shuffle
     * breaks source runs, so adjacency should sit near the
     * sum-of-squares expectation instead of ~1. All counts exact; the
-    * two rates pin as safe micro divisions. Scale shape: one rank
-    * window per epoch over (doc, source) pairs + a lag — no data
-    * movement beyond the sort, model-free.
+    * two rates pin as safe micro divisions.
+    *
+    * Scale shape: a `Window.partitionBy(epoch)` rank would hash the
+    * whole corpus onto ONE reducer per epoch (epochs is tiny) — the
+    * classic global-rank scale-killer. Instead: range-partition on
+    * (epoch, hash, doc_id), sort within partitions, and assign global
+    * positions with `zipWithIndex` (per-partition sizes + offsets — one
+    * extra count job, every partition corpus/N-sized). Adjacency is
+    * then a self-join on the unique position key (hash-partitioned,
+    * no single-task stage anywhere). Epoch boundaries are excluded by
+    * the same-epoch filter; positions never leave the plan, so range
+    * boundary sampling cannot affect the output — only the total order
+    * does, and that is fully tie-broken.
     */
   def epochShuffleAudit(docs: DataFrame, epochs: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val base = docs.select(col("doc_id"), col("source"))
     val byEpoch = (0 until epochs).map { e =>
       base.withColumn("epoch", lit(e))
-        .withColumn("pos", row_number().over(Window
-          .partitionBy(col("epoch"))
-          .orderBy(graft.functions.TextFunctions.hash60(
-            concat(lit(s"ep${e}_"), col("doc_id"))), col("doc_id"))))
+        .withColumn("hkey", graft.functions.TextFunctions.hash60(
+          concat(lit(s"ep${e}_"), col("doc_id"))))
     }.reduce(_.unionByName(_))
-    val wPos = Window.partitionBy(col("epoch")).orderBy(col("pos"))
-    byEpoch
-      .withColumn("prev_src", lag(col("source"), 1).over(wPos))
+    val sorted = byEpoch
+      .repartitionByRange(col("epoch"), col("hkey"), col("doc_id"))
+      .sortWithinPartitions(col("epoch"), col("hkey"), col("doc_id"))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      sorted.schema.add("gpos", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val nxt = indexed.select((col("gpos") - 1).as("gpos"),
+      col("epoch").as("nxt_epoch"), col("source").as("nxt_src"))
+    val adj = indexed.join(nxt, Seq("gpos"))
+      .filter(col("epoch") === col("nxt_epoch"))
       .groupBy(col("epoch"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("source") === col("prev_src"), 1L).otherwise(0L))
-          .as("n_same_adj"))
-      .select(col("epoch"), col("n_docs"), col("n_same_adj"),
+      .agg(sum(when(col("source") === col("nxt_src"), 1L).otherwise(0L))
+        .as("n_same_adj"))
+    // the corpus row count is ONE scalar (every epoch carries the whole
+    // corpus) — a 1-row aggregate fold, the moment-collect discipline
+    val nDocs = base.count()
+    adj
+      .select(col("epoch"), lit(nDocs).as("n_docs"), col("n_same_adj"),
         (round(col("n_same_adj").cast("double")
           / (col("n_docs") - 1).cast("double")
           * lit(1.0e6), 0) / lit(1.0e6)).as("same_adj_rate"))
@@ -2167,6 +2198,43 @@ object TextAnalysis {
           / col("n_tokens").cast("double")
           * lit(1.0e6), 0) / lit(1.0e6))
       .orderBy(col("doc_id"))
+  }
+
+  /** One hard-EM re-estimation round over the [[unigramPieces]] model
+    * (Kudo 2018 §3.2, the SentencePiece trainer loop, Viterbi-hardened
+    * for determinism): segment every distinct word under model₀ (the
+    * same compiled distributed DP as [[unigramSegment]]), recount
+    * pieces from the segmentations weighted by word occurrence
+    * frequency, and re-pin -ln(count/total) at 1e-9 integer units —
+    * model₁ is the USED-piece inventory with EM-updated costs. Unused
+    * candidates drop out (the EM prune); every piece of every Viterbi
+    * path survives, so coverage is preserved by construction and the
+    * corpus Viterbi cost is non-increasing under the step (Gibbs; the
+    * spec asserts it). Iteration count is fixed at one — the
+    * unrolled-CTE oracle convention for iterative algorithms.
+    *
+    * Scale shape: word-frequency agg (map-side combinable) + the
+    * map-only DP over distinct words + one piece-keyed agg + a 1-row
+    * total — the same linear shapes as learn + segment; nothing new
+    * shuffles.
+    */
+  def unigramLmEm(docs: DataFrame, maxPieceLen: Int = 4,
+                  vocabK: Int = 48): DataFrame = {
+    val model0 = unigramModel(docs, maxPieceLen, vocabK)
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val used = wf
+      .withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
+        .segmentColumn(col("w"), model0, maxPieceLen))
+      .select(col("f"), explode(split(col("sg.seg"), " ")).as("piece"))
+    val c1 = used.groupBy(col("piece")).agg(sum(col("f")).as("n_occ"))
+    val tot = c1.agg(sum(col("n_occ")).as("tot"))
+    c1.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_occ"),
+        round(-log(col("n_occ").cast("double") / col("tot").cast("double"))
+          * lit(1.0e9), 0).cast("long").as("cost_n"))
+      .orderBy(col("piece"))
   }
 
   def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {

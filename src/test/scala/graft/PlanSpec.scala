@@ -466,8 +466,8 @@ class PlanSpec extends SparkSpec {
       // 1-row corpus-token-total cross join onto the pair table
       "token_pmi",
       // 1-row candidate-total cross join onto the vocab-capped
-      // piece inventory
-      "unigram_lm_learn",
+      // piece inventory (the EM round re-pins costs the same way)
+      "unigram_lm_learn", "unigram_lm_em",
       // 1-row corpus-size cross joins (df gate + lift), same pattern
       "assoc_rules",
       // 1-row corpus-end cross join onto the per-user fold

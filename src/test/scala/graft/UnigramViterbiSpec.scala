@@ -94,6 +94,30 @@ class UnigramViterbiSpec extends SparkSpec {
       m.contains("inventory lost single-char coverage")))
   }
 
+  test("one EM round never increases the corpus Viterbi cost") {
+    // Gibbs: re-estimating piece probabilities from the model0
+    // segmentation counts can only lower the corpus cost of those
+    // segmentations (model0's inventory is subnormalized, model1 is
+    // the MLE of the usage counts); re-Viterbi under model1 lowers it
+    // further. Every seg0 piece survives the prune, so paths exist.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def modelOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r =>
+        r.getAs[String]("piece") -> r.getAs[Long]("cost_n"))
+    val m0 = modelOf(TextAnalysis.unigramPieces(docs))
+    val m1 = modelOf(TextAnalysis.unigramLmEm(docs))
+    def corpusCost(m: Seq[(String, Long)]): Long = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(UnigramViterbi.segmentColumn(col("w"), m, 4)
+        .getField("cost_n").as("c"))
+      .agg(sum(col("c"))).collect().head.getLong(0)
+    val (c0, c1) = (corpusCost(m0), corpusCost(m1))
+    assert(c1 <= c0, s"EM step raised corpus cost: $c0 -> $c1")
+    // and the EM model genuinely changed something (prune or re-weight)
+    assert(m1 != m0)
+  }
+
   test("fertility via the map-only budget pass equals segment-then-join") {
     val docs = Seq(
       ("d1", "abc ab a"), ("d2", "bcd bcd"), ("d3", "abcd"),
