@@ -32,32 +32,40 @@ object Rebase {
       "pipeline_restate_e2e", "pipeline_join_e2e", "pipeline_retire_e2e",
       "sketch_stream_e2e", "bars_live_e2e")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    // pass 1: warm (e2e timed here, once — their warm pass IS the run)
+    // pass 1: warm (e2e timed here, once — their warm pass IS the run);
+    // a FAILED query records no time — a failure duration written as a
+    // steady-state number would silently pollute BASELINE.md
     val e2eTimes = qs.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
-      catch { case e: Throwable =>
-        System.err.println(s"[rebase] warm $name FAILED: $e") }
-      if (oneShot(name)) Some(name -> (System.nanoTime() - t0) / 1e9)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[rebase] warm $name FAILED: $e"); false }
+      if (oneShot(name) && ok) Some(name -> (System.nanoTime() - t0) / 1e9)
       else None
     }.toMap
-    // pass 2: timed, min of 2
-    val timed = qs.map { case (name, fn) =>
-      if (oneShot(name)) name -> e2eTimes.getOrElse(name, Double.NaN)
+    // pass 2: timed, min of 2; failures excluded for the same reason
+    // (and must not abort the remaining suite)
+    val timed = qs.flatMap { case (name, fn) =>
+      if (oneShot(name)) e2eTimes.get(name).map(name -> _)
       else {
-        val ts = (1 to 2).map { _ =>
+        val ts = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[rebase] timed $name FAILED: $e"); None }
         }
-        name -> ts.min
+        if (ts.isEmpty) None else Some(name -> ts.min)
       }
     }
     val json = timed.map { case (k, v) => s""""$k": $v""" }
       .mkString("{", ", ", "}")
     Files.write(Paths.get(out), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    val nFailed = qs.size - timed.size
     println(s"[rebase] ${timed.size} queries -> $out " +
-      f"(sum ${timed.map(_._2).sum}%.1f s)")
+      f"(sum ${timed.map(_._2).sum}%.1f s" +
+      (if (nFailed > 0) s", $nFailed FAILED/excluded)" else ")"))
     spark.stop()
   }
 }

@@ -37,8 +37,12 @@ class ContractSpec extends AnyFunSuite {
     import scala.sys.process._
     val probe = Process(Seq("python3", "-c", "import duckdb"))
       .!(ProcessLogger(_ => (), _ => ()))
-    assume(probe == 0, "python3+duckdb unavailable — lint gate skipped " +
-      "(runs on the driver/dev environment)")
+    // a broken interpreter FAILS the gate (assert, not assume): an
+    // `assume` here would silently cancel the lint on exactly the
+    // environments where oracle drift goes unnoticed longest
+    assert(probe == 0, "python3+duckdb unavailable — the shape-lint " +
+      "gate cannot run; fix the environment (the driver/dev harness " +
+      "ships both) rather than skipping the gate")
     val tmp = java.nio.file.Files.createTempDirectory("graft_lint")
     val f = tmp.resolve("oracle_sql.json")
     java.nio.file.Files.writeString(f, Verify.oracleJson(SparkEntry.oracleSql))
@@ -49,6 +53,35 @@ class ContractSpec extends AnyFunSuite {
     assert(code == 0,
       s"shape_lint flagged version-fragile oracle shapes — convert the " +
       s"pin (safeRound/tdiv/wdivStages) or allowlist WITH a proof:\n$out")
+  }
+
+  test("driver-side collect() budget: every site is a model-sized or 1-row fold") {
+    // the round-11 incident class: a corpus-scale .collect() (word
+    // types, index rows) compiles, passes small-SF correctness, and
+    // OOMs the driver at 100 TB. Every allowed site below is a
+    // vocabulary-capped model pull or a 1-row moment/argmax fold —
+    // adding a new collect means consciously updating this ledger
+    // with the same proof.
+    val allowed = Map(
+      "graft/CodegenAudit.scala" -> 1, // dev tool: plan-string probe
+      "graft/operators/Backtest.scala" -> 2, // 1-row moment folds
+      "graft/operators/Learn.scala" -> 9, // 1-row/model-sized GD folds
+      "graft/operators/Similarity.scala" -> 1, // 1-row PCA moment
+      // vocab-capped unigram model pull + a limit(1) argmax
+      "graft/operators/TextAnalysis.scala" -> 2)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File("src/main/scala")
+    val found = walk(root).filter(_.getName.endsWith(".scala")).flatMap { f =>
+      val n = java.nio.file.Files.readString(f.toPath)
+        .sliding(".collect()".length).count(_ == ".collect()")
+      if (n > 0) Some(f.toPath.toString
+        .stripPrefix("src/main/scala/") -> n)
+      else None
+    }.toMap
+    assert(found == allowed,
+      s"driver collect() ledger drifted.\n  found:   $found\n" +
+      s"  allowed: $allowed\nEvery new site needs a bounded-size proof here.")
   }
 
   test("oracle SQL carries no tabs or CRs (driver JSON-escape contract)") {
