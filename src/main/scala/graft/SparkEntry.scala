@@ -136,13 +136,18 @@ object SparkEntry {
     * the LONGER piece — mirrors the driver DP in
     * TextAnalysis.unigramSegment value-for-value (all-integer costs).
     */
-  private val unigramViterbiCtes: String = {
+  /** Parameterized builder: `pfx` names the stage tables (so two
+    * unrolls — e.g. under model₀ and the EM-updated model₁ — can
+    * coexist in one query), `model` names the (piece, cost_n) CTE the
+    * DP prices against.
+    */
+  private def viterbiCtes(pfx: String, model: String): String = {
     // the unroll is 12 stages: a word LONGER than 12 chars would fall
     // out of every `WHERE wl >= i` silently and vanish from the result
     // (and its tokens from fertility's join) — fail LOUDLY instead so
     // a longer-word corpus surfaces as an oracle error, not a
     // confusing hash mismatch. The Spark-side DP is unbounded.
-    val b0 = """b0 AS MATERIALIZED (SELECT DISTINCT w,
+    val b0 = s"""${pfx}0 AS MATERIALIZED (SELECT DISTINCT w,
                |         CASE WHEN length(w) > 12 THEN CAST(error(
                |             'unigram oracle: 12-stage Viterbi unroll exceeded: ' || w) AS INT)
                |           ELSE length(w) END AS wl,
@@ -154,17 +159,42 @@ object SparkEntry {
            |        (b.c + p.cost_n) * 8 + ${4 - l} AS k,
            |        CASE WHEN b.seg = '' THEN p.piece
            |             ELSE b.seg || ' ' || p.piece END AS seg
-           |      FROM b${i - l} b JOIN kp p
+           |      FROM $pfx${i - l} b JOIN $model p
            |        ON p.piece = substr(b.w, ${i - l + 1}, $l)
            |      WHERE b.wl >= $i""".stripMargin
       }.mkString("\n      UNION ALL\n      ")
-      s"""b$i AS MATERIALIZED (SELECT w, wl, arg_min(c, k) AS c, arg_min(seg, k) AS seg
+      s"""$pfx$i AS MATERIALIZED (SELECT w, wl, arg_min(c, k) AS c, arg_min(seg, k) AS seg
          |  FROM (
          |      $branches
          |  ) GROUP BY w, wl)""".stripMargin
     }
     (b0 +: stages).mkString(",\n")
   }
+
+  private val unigramViterbiCtes: String = viterbiCtes("b", "kp")
+
+  /** `res` rows (w, c, seg) = each word's final Viterbi stage. */
+  private def viterbiRes(pfx: String): String =
+    (1 to 12).map(i => s"SELECT w, c, seg FROM $pfx$i WHERE wl = $i")
+      .mkString("\n  UNION ALL ")
+
+  /** The hard-EM recount chain (mirrors TextAnalysis.unigramLmEm):
+    * from the model₀ segmentations (`res` over prefix `b`) to the
+    * re-estimated model CTE `kp2` — shared by `unigram_lm_em` (which
+    * outputs it) and `unigram_em_gain` (which re-segments under it).
+    */
+  private val unigramEmCtes: String =
+    """wf AS (SELECT w, count(*) AS f FROM occ GROUP BY w),
+      |res AS (%s),
+      |su AS (SELECT r.w, u.p AS piece
+      |       FROM res r, unnest(string_split(r.seg, ' ')) AS u(p)),
+      |c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n_occ
+      |       FROM su JOIN wf USING (w) GROUP BY piece),
+      |t1 AS (SELECT sum(n_occ) AS tot FROM c1),
+      |kp2 AS MATERIALIZED (SELECT piece, n_occ,
+      |         CAST(round(-ln(CAST(n_occ AS DOUBLE) / CAST(tot AS DOUBLE))
+      |           * 1.0e9, 0) AS BIGINT) AS cost_n
+      |       FROM c1, t1)""".stripMargin.format(viterbiRes("b"))
 
   /** Shared span-corruption plan CTEs (mirrors
     * TextAnalysis.spanCorruption) — ends at `r` = the span rows. */
@@ -918,6 +948,11 @@ object SparkEntry {
     // — the SentencePiece trainer step, unused candidates pruned.
     "unigram_lm_em" -> ((s, dir) =>
       TextAnalysis.unigramLmEm(Tables.documents(s, dir))),
+    // EM gain audit: corpus cost / subword budget / fertility under
+    // model0 vs the EM model — the accept-the-new-tokenizer check
+    // (cost non-increasing, inventory pruned), one row per stage.
+    "unigram_em_gain" -> ((s, dir) =>
+      TextAnalysis.unigramEmGain(Tables.documents(s, dir))),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -5140,19 +5175,38 @@ object SparkEntry {
     "unigram_lm_em" ->
       s"""WITH $unigramPieceCtes,
          |$unigramViterbiCtes,
-         |res AS (${(1 to 12).map(i =>
-             s"SELECT w, c, seg FROM b$i WHERE wl = $i")
-             .mkString("\n         |  UNION ALL ")}),
-         |wf AS (SELECT w, count(*) AS f FROM occ GROUP BY w),
-         |su AS (SELECT r.w, u.p AS piece
-         |       FROM res r, unnest(string_split(r.seg, ' ')) AS u(p)),
-         |c1 AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n_occ
-         |       FROM su JOIN wf USING (w) GROUP BY piece),
-         |t1 AS (SELECT sum(n_occ) AS tot FROM c1)
-         |SELECT piece, n_occ,
-         |  CAST(round(-ln(CAST(n_occ AS DOUBLE) / CAST(tot AS DOUBLE))
-         |    * 1.0e9, 0) AS BIGINT) AS cost_n
-         |FROM c1, t1 ORDER BY piece""".stripMargin,
+         |$unigramEmCtes
+         |SELECT piece, n_occ, cost_n FROM kp2 ORDER BY piece""".stripMargin,
+
+    // mirrors TextAnalysis.unigramEmGain: a SECOND 12-stage Viterbi
+    // unroll under the EM model (prefix d over kp2), then per-stage
+    // corpus cost / subword budget / fertility from the
+    // frequency-weighted word segmentations.
+    "unigram_em_gain" ->
+      s"""WITH $unigramPieceCtes,
+         |$unigramViterbiCtes,
+         |$unigramEmCtes,
+         |${viterbiCtes("d", "kp2")},
+         |res1 AS (${viterbiRes("d")}),
+         |g0 AS (SELECT 0 AS stage,
+         |        (SELECT CAST(count(*) AS INT) FROM kp) AS inventory,
+         |        CAST(sum(f) AS BIGINT) AS n_tokens,
+         |        CAST(sum(f * len(string_split(r.seg, ' '))) AS BIGINT)
+         |          AS n_subwords,
+         |        CAST(sum(f * r.c) AS BIGINT) AS corpus_cost_n
+         |       FROM res r JOIN wf USING (w)),
+         |g1 AS (SELECT 1 AS stage,
+         |        (SELECT CAST(count(*) AS INT) FROM kp2) AS inventory,
+         |        CAST(sum(f) AS BIGINT) AS n_tokens,
+         |        CAST(sum(f * len(string_split(r.seg, ' '))) AS BIGINT)
+         |          AS n_subwords,
+         |        CAST(sum(f * r.c) AS BIGINT) AS corpus_cost_n
+         |       FROM res1 r JOIN wf USING (w))
+         |SELECT stage, inventory, n_tokens, n_subwords, corpus_cost_n,
+         |  round(CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS fertility
+         |FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+         |ORDER BY stage""".stripMargin,
 
     // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
     // epoch, lag-based same-source adjacency counts, micro-pinned rate.

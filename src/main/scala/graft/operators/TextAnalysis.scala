@@ -2237,6 +2237,41 @@ object TextAnalysis {
       .orderBy(col("piece"))
   }
 
+  /** EM gain audit: what did the [[unigramLmEm]] round buy? One row per
+    * model stage (0 = frequency-seeded inventory, 1 = after the hard-EM
+    * re-estimation) with the inventory size and the CORPUS-level
+    * segmentation quality under that model — total Viterbi cost and
+    * subword budget over all token occurrences (distinct words
+    * segmented once, weighted by frequency), fertility micro-pinned.
+    * The EM monotonicity (corpus_cost_n non-increasing, here visible
+    * in the data) is what a tokenizer-training pipeline checks before
+    * accepting a new model; the inventory shrink is the EM prune.
+    * Both models are vocabulary-sized collects (the model-pull
+    * discipline); the corpus-scale work is the two compiled DP passes
+    * over the word-frequency table.
+    */
+  def unigramEmGain(docs: DataFrame, maxPieceLen: Int = 4,
+                    vocabK: Int = 48): DataFrame = {
+    val m0 = unigramModel(docs, maxPieceLen, vocabK)
+    val m1 = unigramLmEm(docs, maxPieceLen, vocabK).collect().toSeq
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_n"))
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    def stage(i: Int, m: Seq[(String, Long)]): DataFrame =
+      wf.withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
+          .segmentColumn(col("w"), m, maxPieceLen))
+        .agg(sum(col("f")).as("n_tokens"),
+          sum(col("f") * col("sg.n_pieces").cast("long")).as("n_subwords"),
+          sum(col("f") * col("sg.cost_n")).as("corpus_cost_n"))
+        .select(lit(i).as("stage"), lit(m.size).as("inventory"),
+          col("n_tokens"), col("n_subwords"), col("corpus_cost_n"),
+          (round(col("n_subwords").cast("double")
+            / col("n_tokens").cast("double")
+            * lit(1.0e6), 0) / lit(1.0e6)).as("fertility"))
+    stage(0, m0).unionByName(stage(1, m1)).orderBy(col("stage"))
+  }
+
   def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._

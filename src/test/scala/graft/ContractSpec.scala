@@ -67,8 +67,9 @@ class ContractSpec extends AnyFunSuite {
       "graft/operators/Backtest.scala" -> 2, // 1-row moment folds
       "graft/operators/Learn.scala" -> 9, // 1-row/model-sized GD folds
       "graft/operators/Similarity.scala" -> 1, // 1-row PCA moment
-      // vocab-capped unigram model pull + a limit(1) argmax
-      "graft/operators/TextAnalysis.scala" -> 2)
+      // two vocab-capped unigram model pulls (model0 + EM model1)
+      // and a limit(1) argmax
+      "graft/operators/TextAnalysis.scala" -> 3)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val root = new java.io.File("src/main/scala")
