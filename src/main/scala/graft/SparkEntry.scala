@@ -953,6 +953,27 @@ object SparkEntry {
     // (cost non-increasing, inventory pruned), one row per stage.
     "unigram_em_gain" -> ((s, dir) =>
       TextAnalysis.unigramEmGain(Tables.documents(s, dir))),
+    // margin-based bitext mining (Artetxe & Schwenk): LSH-bucketed
+    // src×tgt language candidates, ratio margin over per-side k-NN
+    // means, rank-1 + margin>1 mined pairs — the parallel-corpus op.
+    "bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
+    // bitext index takedown: the persisted banded-vector rows drop by
+    // ONE provenance anti join and the miner serves off the retired
+    // index — retired docs vanish from candidates AND from every
+    // neighborhood mean (margins re-normalize), full-recompute-minus-
+    // retired parity like every other index family's retire.
+    "bitext_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val isRet = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("ret_"), col("doc_id"))), lit(100)) >= 90
+      val retired = Dedup.retireRows(
+        Similarity.bitextBands(docs, emb),
+        docs.filter(isRet).select(col("doc_id")), idCol = "vec_id")
+      Similarity.bitextMine(docs, emb, bandIndex = Some(retired))
+    }),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -2456,6 +2477,81 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  /** The full bitext-mining oracle (mirrors Similarity.bitextMine)
+    * over `docsRel` as the documents relation — shared by the plain
+    * miner and the retire composition (which passes the surviving
+    * slice; all sides derive from the banded index, so filtering the
+    * docs relation retires candidates AND re-normalizes the k-NN
+    * neighborhood means, exactly like serving off the anti-joined
+    * index).
+    */
+  private def bitextMineSql(docsRel: String): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |nl AS (SELECT n.vec_id, n.v, n.nrm, d.lang
+       |       FROM n JOIN $docsRel d ON d.doc_id = n.vec_id),
+       |hp AS (SELECT gb.b, gj.j,
+       |         CASE WHEN CAST('0x' || substr(md5('hp' || gb.b || '_' || gj.j), 1, 15) AS BIGINT) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END AS r
+       |       FROM generate_series(0, 63) gb(b), generate_series(0, 63) gj(j)),
+       |hpl AS (SELECT b, list(r ORDER BY j) AS hv FROM hp GROUP BY b),
+       |bits AS (SELECT nl.vec_id, hpl.b,
+       |           CASE WHEN list_sum(list_transform(list_zip(nl.v, hpl.hv), z -> z[1] * z[2])) >= 0
+       |                THEN '1' ELSE '0' END AS bit
+       |         FROM nl, hpl),
+       |bandk AS (SELECT vec_id, b // 4 AS band,
+       |            string_agg(bit, '' ORDER BY b) AS bkey
+       |          FROM bits GROUP BY vec_id, b // 4),
+       |srcb AS (SELECT band, bkey, vec_id AS src_id FROM (
+       |           SELECT bk.band, bk.bkey, bk.vec_id,
+       |             row_number() OVER (PARTITION BY bk.band, bk.bkey
+       |               ORDER BY bk.vec_id) AS rk
+       |           FROM bandk bk JOIN nl ON nl.vec_id = bk.vec_id
+       |           WHERE nl.lang = 'en')
+       |         WHERE rk <= ${graft.operators.Dedup.MaxBucketSize}),
+       |tgtb AS (SELECT band, bkey, vec_id AS tgt_id FROM (
+       |           SELECT bk.band, bk.bkey, bk.vec_id,
+       |             row_number() OVER (PARTITION BY bk.band, bk.bkey
+       |               ORDER BY bk.vec_id) AS rk
+       |           FROM bandk bk JOIN nl ON nl.vec_id = bk.vec_id
+       |           WHERE nl.lang = 'es')
+       |         WHERE rk <= ${graft.operators.Dedup.MaxBucketSize}),
+       |cand AS (SELECT DISTINCT src_id, tgt_id
+       |         FROM srcb JOIN tgtb USING (band, bkey)),
+       |c6t AS (SELECT * FROM (
+       |          SELECT cand.src_id, cand.tgt_id,
+       |            CAST(round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+       |              * 1.0e6, 0) AS BIGINT) AS c6
+       |          FROM cand JOIN n x ON x.vec_id = cand.src_id
+       |                    JOIN n y ON y.vec_id = cand.tgt_id)
+       |        WHERE c6 > 0),
+       |kn AS (SELECT *,
+       |         row_number() OVER (PARTITION BY src_id
+       |           ORDER BY c6 DESC, tgt_id) AS rs,
+       |         row_number() OVER (PARTITION BY tgt_id
+       |           ORDER BY c6 DESC, src_id) AS rt
+       |       FROM c6t),
+       |sa AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS s_sum6,
+       |         count(*) AS s_cnt FROM kn WHERE rs <= 4 GROUP BY src_id),
+       |ta AS (SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS t_sum6,
+       |         count(*) AS t_cnt FROM kn WHERE rt <= 4 GROUP BY tgt_id),
+       |mg AS (SELECT c.src_id, c.tgt_id, c.c6,
+       |         CAST(round(2.0 * c.c6 * sa.s_cnt * ta.t_cnt
+       |           / (sa.s_sum6 * ta.t_cnt + ta.t_sum6 * sa.s_cnt)
+       |           * 1.0e6, 0) AS BIGINT) AS m6
+       |       FROM c6t c JOIN sa USING (src_id) JOIN ta USING (tgt_id)),
+       |mr AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |         ORDER BY m6 DESC, tgt_id) AS rank FROM mg)
+       |SELECT src_id AS src_doc, tgt_id AS tgt_doc,
+       |  CAST(c6 AS DOUBLE) / 1000000.0 AS cosine,
+       |  CAST(m6 AS DOUBLE) / 1000000.0 AS margin
+       |FROM mr WHERE rank = 1 AND m6 > 1000000
+       |ORDER BY src_doc""".stripMargin
+
 
   /** Hyperplane-LSH candidate chain (mirrors Similarity.cosineNearDupLsh):
     * 64 md5-seeded hyperplane bits → 16 bands of 4 bits → capped bucket
@@ -5207,6 +5303,21 @@ object SparkEntry {
          |    * 1.0e6, 0) / 1.0e6 AS fertility
          |FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
          |ORDER BY stage""".stripMargin,
+
+    // mirrors Similarity.bitextMine: the hyperplane-LSH chain over the
+    // lang-joined vectors, per-side capped bucket membership, bipartite
+    // candidates, 1e-6-pinned cosines (positive only), per-side k-NN
+    // sums, the ratio margin as ONE double division of exact integers,
+    // rank-1 + margin>1 mined pairs.
+    "bitext_mine" -> bitextMineSql("documents"),
+
+    // mirrors the bitext_retire composition: the identical chain over
+    // the SURVIVING corpus only (full-recompute-minus-retired — the
+    // retire family's oracle convention; neighborhood means
+    // re-normalize because the k-NN sums see only survivors).
+    "bitext_retire" -> bitextMineSql(
+      s"""(SELECT * FROM documents
+         |   WHERE ${h60("'ret_' || doc_id")} % 100 < 90)""".stripMargin),
 
     // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
     // epoch, lag-based same-source adjacency counts, micro-pinned rate.

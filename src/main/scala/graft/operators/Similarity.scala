@@ -235,6 +235,109 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus recipe): candidate translation
+    * pairs between two LANGUAGE slices of the corpus, scored by the
+    * RATIO margin — cos(x,y) normalized by the mean of each side's
+    * k-NN cosines — instead of raw cosine, which the paper shows is
+    * what kills hub targets (a vector globally similar to everything
+    * scores high cosine against every source but low margin against
+    * all of them). A pair is mined when the target is the source's
+    * rank-1 margin match AND the margin clears `marginThreshold`
+    * (margin > 1 ⇔ the pair is closer than its neighborhoods).
+    *
+    * Scale shape: candidates come from the SAME hyperplane-LSH banding
+    * as [[cosineNearDupLsh]] restricted to the bipartite (src, tgt)
+    * cross — per-side hot-bucket rank caps keep bucket joins linear;
+    * the k-NN means are computed over the retrieved candidate set (the
+    * standard implementation — FAISS-retrieved neighborhoods, never
+    * all pairs); two key-partitioned rank windows + two group-sized
+    * aggs. Determinism: cosines pinned ONCE at 1e-6 integer units
+    * (negative-cosine candidates dropped — the margin denominator must
+    * be positive), the margin is one double ratio of exact integers
+    * pinned at 1e-6, ties break on doc id.
+    */
+  /** The persisted banded-vector index rows behind [[bitextMine]] —
+    * one (vec_id, lang, band, bkey) row per band per vector, per-doc
+    * provenance like every other index family: takedown = one anti
+    * join ([[Dedup.retireRows]]), refresh = an idempotent per-doc
+    * append, and the miner serves off whatever index it is given.
+    */
+  def bitextBands(docs: DataFrame, embeddings: DataFrame,
+                  nBands: Int = 16, bitsPerBand: Int = 4,
+                  dims: Int = 64): DataFrame = {
+    val n = normed(embeddings)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val bitCols = (0 until nBands * bitsPerBand).map { b =>
+      val hp = typedLit((0 until dims).map(j => hyperplane(b, j)))
+      when(vecDot(col("v"), hp) >= 0, "1").otherwise("0")
+    }
+    val bandKeyCols = (0 until nBands).map { band =>
+      concat((0 until bitsPerBand).map(i => bitCols(band * bitsPerBand + i)): _*)
+    }
+    n.select(col("vec_id"), col("lang"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
+  }
+
+  def bitextMine(docs: DataFrame, embeddings: DataFrame,
+                 srcLang: String = "en", tgtLang: String = "es",
+                 k: Int = 4, nBands: Int = 16, bitsPerBand: Int = 4,
+                 dims: Int = 64, maxBucket: Int = Dedup.MaxBucketSize,
+                 marginThreshold: Double = 1.0,
+                 bandIndex: Option[DataFrame] = None): DataFrame = {
+    val n = normed(embeddings)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val bands = bandIndex.getOrElse(
+      bitextBands(docs, embeddings, nBands, bitsPerBand, dims))
+    // per-SIDE hot-bucket cap (rank by vec_id): the bipartite analogue
+    // of SortedPairs' cap — bounds each bucket's pair fan-out at
+    // maxBucket², keeping candidate generation linear in the corpus
+    def side(lang: String, asName: String) = bands
+      .filter(col("lang") === lang)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("bkey"))
+          .orderBy(col("vec_id"))))
+      .filter(col("rk") <= maxBucket)
+      .select(col("band"), col("bkey"), col("vec_id").as(asName))
+    val cand = side(srcLang, "src_id")
+      .join(side(tgtLang, "tgt_id"), Seq("band", "bkey"))
+      .select(col("src_id"), col("tgt_id")).distinct()
+    val cos6 = cand
+      .join(n.select(col("vec_id").as("src_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("src_id"))
+      .join(n.select(col("vec_id").as("tgt_id"), col("v"), col("nrm")),
+        Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+          * lit(1.0e6), 0).cast("long").as("c6"))
+      .filter(col("c6") > 0)
+    val knn = cos6
+      .withColumn("rs", row_number().over(Window.partitionBy(col("src_id"))
+        .orderBy(col("c6").desc, col("tgt_id"))))
+      .withColumn("rt", row_number().over(Window.partitionBy(col("tgt_id"))
+        .orderBy(col("c6").desc, col("src_id"))))
+    val sAvg = knn.filter(col("rs") <= k).groupBy(col("src_id"))
+      .agg(sum(col("c6")).as("s_sum6"), count(lit(1)).as("s_cnt"))
+    val tAvg = knn.filter(col("rt") <= k).groupBy(col("tgt_id"))
+      .agg(sum(col("c6")).as("t_sum6"), count(lit(1)).as("t_cnt"))
+    cos6.join(sAvg, Seq("src_id")).join(tAvg, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("c6"),
+        round(lit(2.0) * col("c6") * col("s_cnt") * col("t_cnt")
+          / (col("s_sum6") * col("t_cnt") + col("t_sum6") * col("s_cnt"))
+          * lit(1.0e6), 0).cast("long").as("m6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("m6").desc, col("tgt_id"))))
+      .filter(col("rank") === 1 &&
+        col("m6") > lit((marginThreshold * 1e6).toLong))
+      .select(col("src_id").as("src_doc"), col("tgt_id").as("tgt_doc"),
+        (col("c6").cast("double") / lit(1.0e6)).as("cosine"),
+        (col("m6").cast("double") / lit(1.0e6)).as("margin"))
+      .orderBy(col("src_doc"))
+  }
+
   /** Near-dup graph threshold sweep: edge/node/degree counts of the
     * LSH near-neighbor graph at each candidate cosine threshold — the
     * KNOB audit for the whole graph family ([[knnPagerank]],
