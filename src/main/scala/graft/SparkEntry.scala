@@ -974,6 +974,22 @@ object SparkEntry {
         docs.filter(isRet).select(col("doc_id")), idCol = "vec_id")
       Similarity.bitextMine(docs, emb, bandIndex = Some(retired))
     }),
+    // bitext index refresh: history band rows + an idempotent
+    // anti-joined delta append (per-doc provenance — a doc's band rows
+    // depend on nothing else), then the miner serves off the refreshed
+    // index; must equal the full rebuild exactly.
+    "bitext_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val hist = Similarity.bitextBands(docs.filter(isHist), emb)
+      val delta = Similarity.bitextBands(
+        docs.filter(!isHist).join(hist.select(col("vec_id")).distinct(),
+          col("doc_id") === col("vec_id"), "left_anti"), emb)
+      Similarity.bitextMine(docs, emb,
+        bandIndex = Some(hist.unionByName(delta)))
+    }),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -5318,6 +5334,11 @@ object SparkEntry {
     "bitext_retire" -> bitextMineSql(
       s"""(SELECT * FROM documents
          |   WHERE ${h60("'ret_' || doc_id")} % 100 < 90)""".stripMargin),
+
+    // mirrors bitext_incremental: the refreshed index IS the full
+    // per-doc derivation (append-only, idempotent), so the oracle is
+    // the plain mining chain — the maxsim_incremental convention.
+    "bitext_incremental" -> bitextMineSql("documents"),
 
     // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
     // epoch, lag-based same-source adjacency counts, micro-pinned rate.

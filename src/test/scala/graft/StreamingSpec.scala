@@ -242,6 +242,34 @@ class StreamingSpec extends SparkSpec {
     assert(hourDirs < nBars, s"hour dirs $hourDirs vs bars $nBars")
   }
 
+  test("hourly live sink: full replay over existing state is a no-op") {
+    // at-least-once discipline: re-draining the SAME silver with a
+    // FRESH checkpoint (every batch replays) must leave the sink
+    // bit-identical — the read-merge-write replaces each restated bar
+    // with the same values, so replay is idempotent (the property the
+    // tombstone/sketch hops pin for their state folds)
+    val silverDir = tmpDir("graft_silver_liver")
+    val goldDir = tmpDir("graft_gold_liver")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val silverBatch = Silver.dedup(Silver.projectToSilver(
+      Bronze.fromKafkaLike(Bronze.kafkaWireFromEvents(events))))
+    silverBatch.repartition(2).write.mode("overwrite").parquet(silverDir)
+
+    def drain(ck: String): Unit =
+      Streams.silverToGoldLiveHourly(spark, silverDir, goldDir,
+        tmpDir(ck), watermark = "45 days",
+        trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+    drain("graft_ck_livera")
+    val cols = Gold.bars(silverBatch).columns
+    def sink() = spark.read.parquet(goldDir)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("symbol", "bar_start").collect().toSeq
+    val first = sink()
+    drain("graft_ck_liverb") // fresh checkpoint => every batch replays
+    assert(sink() == first)
+  }
+
   test("compaction rewrites many small files into few, preserving rows") {
     val dir = tmpDir("graft_compact_in")
     val out = tmpDir("graft_compact_out")
