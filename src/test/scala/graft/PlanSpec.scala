@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("unigram_segment"), "compiled segment expression missing")
   }
 
+  test("epoch shuffle audit: no single-task global rank window") {
+    // the round-11 shape hashed the whole corpus onto one reducer per
+    // epoch via Window.partitionBy(epoch) rank + lag; the rebuilt
+    // operator uses range-partition + zipWithIndex + a position-key
+    // self-join — NO window operator may reappear in this plan
+    val p = plan("epoch_shuffle_audit")
+    assert(!p.contains("() Window") && !p.matches("(?s).*\\(\\d+\\) Window.*"),
+      s"epoch audit plans a window:\n$p")
+    assert(p.contains("Join"), "adjacency self-join missing")
+  }
+
   test("incremental dedup: rank-capped band join, no nested loop, no sort-agg") {
     val p = plan("dedup_incremental")
     assert(p.contains("WindowGroupLimit")) // history hot-bucket cap
