@@ -75,6 +75,29 @@ class UnigramViterbiSpec extends SparkSpec {
     }
   }
 
+  test("matches the exhaustive reference under random MODELS too") {
+    // random cost structures exercise tie-break paths a fixed model
+    // can't (equal-cost splits at interior positions, cheap singles
+    // beating long pieces, ...)
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { trial =>
+      val pieces = scala.collection.mutable.LinkedHashMap[String, Long]()
+      "ab".foreach(c => pieces(c.toString) = (1 + rnd.nextInt(40)) * 50L)
+      (1 to 6).foreach { _ =>
+        val len = 2 + rnd.nextInt(3)
+        val p = (1 to len).map(_ => "ab" (rnd.nextInt(2))).mkString
+        if (!pieces.contains(p)) pieces(p) = (1 + rnd.nextInt(80)) * 50L
+      }
+      val m = pieces.toSeq
+      val mMap = m.toMap
+      (1 to 8).foreach { _ =>
+        val w = (1 to (1 + rnd.nextInt(8)))
+          .map(_ => "ab" (rnd.nextInt(2))).mkString
+        assert(seg(w, m) == brute(w, mMap), s"trial $trial word $w model $m")
+      }
+    }
+  }
+
   test("budget fold equals per-word segment sums, empty tokens skipped") {
     val text = "ab  bcd   abcd a"
     val words = text.split(" ").filter(_.nonEmpty)
