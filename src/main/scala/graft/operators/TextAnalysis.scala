@@ -2111,8 +2111,16 @@ object TextAnalysis {
     * rounds would shrink it without changing the serving shape.
     *
     * Scale shape: one explode + hash agg keyed piece (map-side
-    * combinable), a 1-row total, a vocabK-bounded rank window — the
-    * model is vocabulary-sized by construction.
+    * combinable), a 1-row total, then the top-`vocabK` via
+    * `orderBy().limit(vocabK)` — which plans as TakeOrderedAndProject
+    * (per-partition partial top-K, vocabK-bounded merge; the same
+    * distributed shape as `bars_last_k`) — unioned with the single
+    * chars and deduplicated over a model-sized set. The distinct
+    * candidate-substring table is unbounded (byte-level/CJK corpora),
+    * so no stage may sort or rank it on a single partition: an
+    * unpartitioned rank window here was the round-12 scale defect
+    * (`Exchange SinglePartition → Sort → Window` over every distinct
+    * substring; PlanSpec pins its absence).
     */
   def unigramPieces(docs: DataFrame, maxPieceLen: Int = 4,
                     vocabK: Int = 48): DataFrame = {
@@ -2125,10 +2133,14 @@ object TextAnalysis {
       .groupBy(col("piece")).agg(count(lit(1)).as("n_occ"))
       .localCheckpoint(false)
     val tot = cnt.agg(sum(col("n_occ")).as("tot"))
-    val ranked = cnt.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_occ").desc, col("piece"))))
-    val kept = ranked.filter(col("rk") <= vocabK || length(col("piece")) === 1)
+    // kept set = top-vocabK over ALL pieces ∪ every single char — the
+    // same set the old rank-filter selected, now without a global sort:
+    // singles inside the top-K appear in both legs with identical
+    // counts, so the max() dedup is value-preserving
+    val top = cnt.orderBy(col("n_occ").desc, col("piece")).limit(vocabK)
+    val singles = cnt.filter(length(col("piece")) === 1)
+    val kept = top.unionByName(singles)
+      .groupBy(col("piece")).agg(max(col("n_occ")).as("n_occ"))
     kept.crossJoin(broadcast(tot))
       .select(col("piece"), col("n_occ"),
         round(-log(col("n_occ").cast("double") / col("tot").cast("double"))
@@ -2145,8 +2157,27 @@ object TextAnalysis {
     */
   private def unigramModel(docs: DataFrame, maxPieceLen: Int,
                            vocabK: Int): Seq[(String, Long)] =
-    unigramPieces(docs, maxPieceLen, vocabK).collect().toSeq
+    modelOf(unigramPieces(docs, maxPieceLen, vocabK))
+
+  /** Model pull over an already-built (piece, cost_n) inventory frame —
+    * the hoist point for compositions that need several models off ONE
+    * learn scan ([[unigramEmGain]], [[unigramPrune]]): the scan behind
+    * `pieces` runs once, each stage's pull is vocabulary-sized.
+    */
+  private def modelOf(pieces: DataFrame): Seq[(String, Long)] =
+    pieces.collect().toSeq
       .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_n"))
+
+  /** Word-type frequency table (w, f) — the corpus-scale input every
+    * unigram EM/audit pass segments; compositions compute it once and
+    * thread it through (it is word-type-sized, Heaps' law: never
+    * collected, shared via a lazy localCheckpoint by callers that reuse
+    * it across stages).
+    */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
 
   /** Viterbi segmentation under the [[unigramPieces]] model: per
     * DISTINCT word, the min-cost split into inventory pieces
@@ -2219,11 +2250,18 @@ object TextAnalysis {
     * shuffles.
     */
   def unigramLmEm(docs: DataFrame, maxPieceLen: Int = 4,
-                  vocabK: Int = 48): DataFrame = {
-    val model0 = unigramModel(docs, maxPieceLen, vocabK)
-    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+                  vocabK: Int = 48): DataFrame =
+    unigramLmEmFrom(wordFreq(docs), unigramModel(docs, maxPieceLen, vocabK),
+      maxPieceLen)
+
+  /** [[unigramLmEm]] against a precomputed word-frequency table and
+    * model₀ — the hoisted form compositions call so the learn scan and
+    * the word-frequency pass each run ONCE per query, not once per
+    * stage (the round-12 `unigram_em_gain` paid the candidate-substring
+    * scan three times through the convenience wrappers).
+    */
+  private def unigramLmEmFrom(wf: DataFrame, model0: Seq[(String, Long)],
+                              maxPieceLen: Int): DataFrame = {
     val used = wf
       .withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
         .segmentColumn(col("w"), model0, maxPieceLen))
@@ -2252,12 +2290,23 @@ object TextAnalysis {
     */
   def unigramEmGain(docs: DataFrame, maxPieceLen: Int = 4,
                     vocabK: Int = 48): DataFrame = {
-    val m0 = unigramModel(docs, maxPieceLen, vocabK)
-    val m1 = unigramLmEm(docs, maxPieceLen, vocabK).collect().toSeq
-      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_n"))
-    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // hoisted: ONE candidate-substring learn scan and ONE
+    // word-frequency pass feed every stage (the wf checkpoint is
+    // word-type-sized; each model pull is vocabulary-sized)
+    val m0 = modelOf(unigramPieces(docs, maxPieceLen, vocabK))
+    val wf = wordFreq(docs).localCheckpoint(false)
+    val m1 = modelOf(unigramLmEmFrom(wf, m0, maxPieceLen))
+    unigramStageStats(wf, maxPieceLen, Seq(m0, m1))
+  }
+
+  /** Per-stage corpus segmentation stats under a model lineage — one
+    * row per model: inventory size, token/subword budgets, total
+    * Viterbi cost, fertility micro-pinned ([[unigramEmGain]] and
+    * [[unigramPruneCurve]] share this audit shape).
+    */
+  private def unigramStageStats(wf: DataFrame, maxPieceLen: Int,
+                                models: Seq[Seq[(String, Long)]])
+      : DataFrame = {
     def stage(i: Int, m: Seq[(String, Long)]): DataFrame =
       wf.withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
           .segmentColumn(col("w"), m, maxPieceLen))
@@ -2269,7 +2318,116 @@ object TextAnalysis {
           (round(col("n_subwords").cast("double")
             / col("n_tokens").cast("double")
             * lit(1.0e6), 0) / lit(1.0e6)).as("fertility"))
-    stage(0, m0).unionByName(stage(1, m1)).orderBy(col("stage"))
+    models.zipWithIndex.map { case (m, i) => stage(i, m) }
+      .reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  /** One EM+prune round (Kudo 2018 §3.2 trainer loop, the step
+    * [[unigramLmEm]] stops before): segment the word-frequency table
+    * under `model` (compiled distributed DP), recount pieces
+    * freq-weighted, then PRUNE to the top-`cap` by recount — keeping
+    * every single char of the charset unconditionally (the coverage
+    * guarantee; an unused single gets the Laplace floor count 1 so its
+    * cost stays finite), costs re-pinned at 1e-9 over the kept
+    * inventory. The kept set is built join-free: top-cap via
+    * `orderBy().limit(cap)` (TakeOrderedAndProject — never a global
+    * rank window over the unbounded recount table) unioned with the
+    * recount's own singles slice and the charset floor literal, deduped
+    * by max(n_occ) over a model-sized set (the floor 1 never beats a
+    * real count, so the dedup is value-preserving). `charset` MUST be
+    * the SEED model's singles (every corpus char by construction) —
+    * flooring from the previous stage's model loses chars the pure-EM
+    * round already dropped as unused, and one pruned multi-char piece
+    * later strands a word with no path (caught live: 'join' under a
+    * kp2-floored lineage).
+    */
+  private def unigramPruneStage(wf: DataFrame, model: Seq[(String, Long)],
+                                charset: Seq[String], cap: Int,
+                                maxPieceLen: Int): DataFrame = {
+    val rec = wf
+      .withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
+        .segmentColumn(col("w"), model, maxPieceLen))
+      .select(col("f"), explode(split(col("sg.seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("n_occ"))
+      .localCheckpoint(false)
+    val top = rec.orderBy(col("n_occ").desc, col("piece")).limit(cap)
+    val recSingles = rec.filter(length(col("piece")) === 1)
+    val charsetFloor = wf.sparkSession.createDataFrame(
+        charset.map(p => (p, 1L)))
+      .toDF("piece", "n_occ")
+    val kept = top.unionByName(recSingles).unionByName(charsetFloor)
+      .groupBy(col("piece")).agg(max(col("n_occ")).as("n_occ"))
+    val tot = kept.agg(sum(col("n_occ")).as("tot"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n_occ"),
+        round(-log(col("n_occ").cast("double") / col("tot").cast("double"))
+          * lit(1.0e9), 0).cast("long").as("cost_n"))
+      .orderBy(col("piece"))
+  }
+
+  /** Linear prune schedule: cap for prune round `j` of `rounds`,
+    * stepping from `vocabK` to exactly `target` (integer arithmetic —
+    * fixed and engine-independent, the unrolled-oracle convention).
+    */
+  private def pruneCaps(vocabK: Int, target: Int, rounds: Int): Seq[Int] =
+    (1 to rounds).map(j => vocabK - ((vocabK - target) * j) / rounds)
+
+  /** The model lineage behind [[unigramPrune]]/[[unigramPruneCurve]]:
+    * m₀ = frequency-seeded inventory, m₁ = one pure hard-EM round
+    * (exactly `unigram_lm_em`'s model), then `rounds` EM+prune rounds
+    * with caps stepping linearly down to `target`. ONE learn scan and
+    * ONE word-frequency pass feed the whole chain (the wf checkpoint);
+    * each stage's model pull is vocabulary-sized (bpe_learn's
+    * bounded-driver-loop discipline — `rounds` is a small fixed
+    * constant, never data-dependent).
+    */
+  private def unigramPruneLineage(docs: DataFrame, maxPieceLen: Int,
+                                  vocabK: Int, target: Int, rounds: Int)
+      : (DataFrame, Seq[Seq[(String, Long)]], Seq[DataFrame]) = {
+    val wf = wordFreq(docs).localCheckpoint(false)
+    val m0 = modelOf(unigramPieces(docs, maxPieceLen, vocabK))
+    val charset = m0.collect { case (p, _) if p.length == 1 => p }
+    val em1 = unigramLmEmFrom(wf, m0, maxPieceLen)
+    var models = Seq(m0, modelOf(em1))
+    var frames = Seq(em1)
+    pruneCaps(vocabK, target, rounds).foreach { cap =>
+      val st = unigramPruneStage(wf, models.last, charset, cap, maxPieceLen)
+      frames :+= st
+      models :+= modelOf(st)
+    }
+    (wf, models, frames)
+  }
+
+  /** Staged EM+prune to a target inventory (the loop Kudo's trainer
+    * runs until the vocabulary reaches its configured size —
+    * [[unigramLmEm]] is one iteration of its EM half): k fixed
+    * EM+prune rounds after the pure-EM accept round, caps stepping
+    * linearly to `target`. Returns the FINAL model (piece, n_occ,
+    * cost_n) — the serving artifact a tokenizer ships. Iteration
+    * count and schedule are fixed, per the unrolled-CTE oracle
+    * convention for iterative algorithms.
+    */
+  def unigramPrune(docs: DataFrame, maxPieceLen: Int = 4,
+                   vocabK: Int = 48, target: Int = 24,
+                   rounds: Int = 2): DataFrame =
+    unigramPruneLineage(docs, maxPieceLen, vocabK, target, rounds)._3.last
+
+  /** Per-stage audit curve over the full prune lineage — the
+    * [[unigramEmGain]] accept audit EXTENDED through the prune rounds:
+    * stage 0 = seed, stage 1 = pure hard-EM, stages 2..k+1 = EM+prune
+    * at the shrinking caps. The curve makes the trade visible in data:
+    * the EM step is corpus-cost-non-increasing (Gibbs; spec-asserted),
+    * the prune steps buy inventory shrink at a measured cost/fertility
+    * price, and n_tokens constant across stages IS the coverage
+    * guarantee (every word stays segmentable under every stage's
+    * model).
+    */
+  def unigramPruneCurve(docs: DataFrame, maxPieceLen: Int = 4,
+                        vocabK: Int = 48, target: Int = 24,
+                        rounds: Int = 2): DataFrame = {
+    val (wf, models, _) =
+      unigramPruneLineage(docs, maxPieceLen, vocabK, target, rounds)
+    unigramStageStats(wf, maxPieceLen, models)
   }
 
   def bpeLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {

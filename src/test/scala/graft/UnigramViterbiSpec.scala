@@ -141,6 +141,35 @@ class UnigramViterbiSpec extends SparkSpec {
     assert(m1 != m0)
   }
 
+  test("staged EM+prune: coverage preserved, target reached, EM monotone") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val curve = TextAnalysis.unigramPruneCurve(docs)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(curve.map(_._1) == Seq(0, 1, 2, 3))
+    // coverage preservation: the compiled DP throws on a coverage hole
+    // (see the loud-failure test above), and the token budget is
+    // byte-identical across every stage — no word ever drops out
+    assert(curve.map(_._3).distinct.size == 1,
+      s"token coverage changed across stages: $curve")
+    // the pure-EM accept round never raises the corpus cost (Gibbs);
+    // the prune rounds may — that trade is exactly what the curve
+    // measures, so only the EM half-step is asserted monotone
+    assert(curve(1)._5 <= curve(0)._5,
+      s"EM step raised corpus cost: ${curve(0)._5} -> ${curve(1)._5}")
+    // prune shrinks monotonically and lands on the target budget:
+    // final inventory <= target multi-char cap + the charset floor
+    val inv = curve.map(_._2)
+    assert(inv(2) >= inv(3), s"prune grew the inventory: $inv")
+    val finalModel = TextAnalysis.unigramPrune(docs)
+      .collect().map(r => (r.getAs[String]("piece"),
+        r.getAs[Long]("cost_n")))
+    val nSingles = finalModel.count(_._1.length == 1)
+    assert(finalModel.size <= 24 + nSingles,
+      s"final inventory ${finalModel.size} exceeds 24 + $nSingles singles")
+    assert(finalModel.size == inv(3))
+  }
+
   test("fertility via the map-only budget pass equals segment-then-join") {
     val docs = Seq(
       ("d1", "abc ab a"), ("d2", "bcd bcd"), ("d3", "abcd"),
