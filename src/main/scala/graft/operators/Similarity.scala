@@ -265,10 +265,29 @@ object Similarity {
     */
   def bitextBands(docs: DataFrame, embeddings: DataFrame,
                   nBands: Int = 16, bitsPerBand: Int = 4,
-                  dims: Int = 64): DataFrame = {
-    val n = normed(embeddings)
-      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
-        Seq("vec_id"))
+                  dims: Int = 64): DataFrame =
+    bitextBandKeys(normed(embeddings)
+        .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+          Seq("vec_id")),
+      nBands, bitsPerBand, dims)
+
+  /** [[bitextBands]] for a self-contained (vec_id, lang, embedding)
+    * frame — the STREAMING delta shape, where lang rides the row so
+    * the band hashing is stateless per-row map work (the
+    * minhashSignaturesRowwise analogue for this family).
+    */
+  def bitextBandsRowwise(vecs: DataFrame, nBands: Int = 16,
+                         bitsPerBand: Int = 4, dims: Int = 64): DataFrame =
+    bitextBandKeys(vecs.select(col("vec_id"), col("lang"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")),
+      nBands, bitsPerBand, dims)
+
+  /** Per-row hyperplane band keys over a frame carrying (vec_id, lang,
+    * v) — all map-only expressions, shared by the batch index build
+    * and the streaming rowwise variant.
+    */
+  private def bitextBandKeys(n: DataFrame, nBands: Int, bitsPerBand: Int,
+                             dims: Int): DataFrame = {
     val bitCols = (0 until nBands * bitsPerBand).map { b =>
       val hp = typedLit((0 until dims).map(j => hyperplane(b, j)))
       when(vecDot(col("v"), hp) >= 0, "1").otherwise("0")
@@ -279,6 +298,34 @@ object Similarity {
     n.select(col("vec_id"), col("lang"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band", "bkey")))
   }
+
+  /** Per-side capped bucket membership of a banded index — the
+    * bipartite analogue of SortedPairs' hot-bucket cap: rank by vec_id
+    * within (band, bkey), keep `maxBucket` per side, bounding each
+    * bucket's pair fan-out at maxBucket² and keeping candidate
+    * generation linear in the corpus. Shared by the batch miner, the
+    * recall audit, and the streaming candidate twin (where it caps the
+    * STATIC history side, planned per micro-batch).
+    */
+  def bitextCappedSide(bands: DataFrame, lang: String, asName: String,
+                       maxBucket: Int = Dedup.MaxBucketSize): DataFrame =
+    bands.filter(col("lang") === lang)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("bkey"))
+          .orderBy(col("vec_id"))))
+      .filter(col("rk") <= maxBucket)
+      .select(col("band"), col("bkey"), col("vec_id").as(asName))
+
+  /** Distinct LSH bipartite (src_id, tgt_id) candidates off a banded
+    * index — the retrieval half of [[bitextMine]], factored so the
+    * recall audit and the streaming twin share it.
+    */
+  def bitextCandidates(bands: DataFrame, srcLang: String, tgtLang: String,
+                       maxBucket: Int = Dedup.MaxBucketSize): DataFrame =
+    bitextCappedSide(bands, srcLang, "src_id", maxBucket)
+      .join(bitextCappedSide(bands, tgtLang, "tgt_id", maxBucket),
+        Seq("band", "bkey"))
+      .select(col("src_id"), col("tgt_id")).distinct()
 
   def bitextMine(docs: DataFrame, embeddings: DataFrame,
                  srcLang: String = "en", tgtLang: String = "es",
@@ -291,19 +338,19 @@ object Similarity {
         Seq("vec_id"))
     val bands = bandIndex.getOrElse(
       bitextBands(docs, embeddings, nBands, bitsPerBand, dims))
-    // per-SIDE hot-bucket cap (rank by vec_id): the bipartite analogue
-    // of SortedPairs' cap — bounds each bucket's pair fan-out at
-    // maxBucket², keeping candidate generation linear in the corpus
-    def side(lang: String, asName: String) = bands
-      .filter(col("lang") === lang)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("band"), col("bkey"))
-          .orderBy(col("vec_id"))))
-      .filter(col("rk") <= maxBucket)
-      .select(col("band"), col("bkey"), col("vec_id").as(asName))
-    val cand = side(srcLang, "src_id")
-      .join(side(tgtLang, "tgt_id"), Seq("band", "bkey"))
-      .select(col("src_id"), col("tgt_id")).distinct()
+    bitextMarginScore(n,
+      bitextCandidates(bands, srcLang, tgtLang, maxBucket),
+      k, marginThreshold)
+  }
+
+  /** The scoring half of [[bitextMine]]: ratio-margin over whatever
+    * candidate set it is given (LSH-retrieved for the miner,
+    * exhaustive bipartite for the recall audit's truth) — k-NN means
+    * computed over that same candidate set, the standard
+    * retrieved-neighborhood implementation.
+    */
+  private def bitextMarginScore(n: DataFrame, cand: DataFrame, k: Int,
+                                marginThreshold: Double): DataFrame = {
     val cos6 = cand
       .join(n.select(col("vec_id").as("src_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("src_id"))
@@ -336,6 +383,63 @@ object Similarity {
         (col("c6").cast("double") / lit(1.0e6)).as("cosine"),
         (col("m6").cast("double") / lit(1.0e6)).as("margin"))
       .orderBy(col("src_doc"))
+  }
+
+  /** Brute-force bitext truth: the full bipartite src×tgt candidate
+    * set fed to the SAME margin scorer — no banding, no caps, so its
+    * mined pairs are the exact rank-1 margin ranking the LSH miner
+    * approximates. Quadratic in the language-slice sizes BY DEFINITION
+    * (it is the audit's ground truth, the `lsh_recall_audit` role for
+    * this family); a 100 TB deployment runs it on a deterministic
+    * sample of sources, never the full corpus — the production path is
+    * [[bitextMine]], which is what this exists to measure.
+    */
+  def bitextBrute(docs: DataFrame, embeddings: DataFrame,
+                  srcLang: String = "en", tgtLang: String = "es",
+                  k: Int = 4, marginThreshold: Double = 1.0): DataFrame = {
+    val n = normed(embeddings)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val cand = n.filter(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"))
+      .crossJoin(n.filter(col("lang") === tgtLang)
+        .select(col("vec_id").as("tgt_id")))
+    bitextMarginScore(n, cand, k, marginThreshold)
+  }
+
+  /** Recall audit for the bitext miner — the knob audit SCALING.md's
+    * prose promised made into data: LSH-mined pairs vs the brute-force
+    * bipartite margin ranking, as one row of counts plus recall@1
+    * (fraction of true rank-1 pairs the miner found) and the mined-pair
+    * Jaccard. This is what decides when the corpus has outgrown the
+    * band geometry: as buckets saturate into the per-side cap regime,
+    * recall drops here first — the remedy is raising `bitsPerBand`
+    * (measured at 10× in SCALING.md), not raising the cap.
+    */
+  def bitextRecallAudit(docs: DataFrame, embeddings: DataFrame,
+                        srcLang: String = "en", tgtLang: String = "es",
+                        k: Int = 4, nBands: Int = 16, bitsPerBand: Int = 4,
+                        dims: Int = 64,
+                        maxBucket: Int = Dedup.MaxBucketSize,
+                        marginThreshold: Double = 1.0): DataFrame = {
+    val lsh = bitextMine(docs, embeddings, srcLang, tgtLang, k, nBands,
+        bitsPerBand, dims, maxBucket, marginThreshold)
+      .select(col("src_doc"), col("tgt_doc"))
+    val truth = bitextBrute(docs, embeddings, srcLang, tgtLang, k,
+        marginThreshold)
+      .select(col("src_doc"), col("tgt_doc"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nh = truth.join(lsh, Seq("src_doc", "tgt_doc"))
+      .agg(count(lit(1)).as("n_hit"))
+    nt.crossJoin(nl).crossJoin(nh)
+      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+        (round(col("n_hit").cast("double")
+          / col("n_truth").cast("double") * lit(1.0e6), 0)
+          / lit(1.0e6)).as("recall_at1"),
+        (round(col("n_hit").cast("double")
+          / (col("n_truth") + col("n_lsh") - col("n_hit")).cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("pair_jaccard"))
   }
 
   /** Near-dup graph threshold sweep: edge/node/degree counts of the

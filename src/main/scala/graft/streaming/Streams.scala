@@ -286,6 +286,38 @@ object Streams {
         coalesce(col("cluster_rep"), col("hist_doc")).as("cluster_rep"),
         col("est_jaccard"))
 
+  /** Stream-static bitext candidate retrieval: each STREAMING delta of
+    * source-language vectors is band-hashed per row (map-only —
+    * [[graft.operators.Similarity.bitextBandsRowwise]], the
+    * minhashSignaturesRowwise analogue) and joined against the
+    * persisted TARGET-side band index — the streaming twin of
+    * [[graft.operators.Similarity.bitextMine]]'s retrieval half, and
+    * the last index family to get one. Fully stateless: the history
+    * side's hot-bucket rank cap is planned per micro-batch against the
+    * index table (like [[incrementalDedupStream]]); the delta side
+    * explodes statelessly. Margin scoring + rank-1 selection need each
+    * source's COMPLETE candidate neighborhood (the k-NN means), so
+    * they are a sink-side batch compaction over the landed candidates
+    * (parity with the full batch retrieval asserted in StreamingSpec)
+    * — never stream state, exactly like the span family's
+    * maximal-span merge. Emits (src_id, tgt_id) in append mode; a pair
+    * colliding in k bands appears k times — distinct at the sink.
+    */
+  def bitextCandidateStream(deltaVecs: DataFrame, histBands: DataFrame,
+                            srcLang: String = "en",
+                            tgtLang: String = "es",
+                            nBands: Int = 16, bitsPerBand: Int = 4,
+                            dims: Int = 64,
+                            maxBucket: Int = Dedup.MaxBucketSize)
+      : DataFrame =
+    graft.operators.Similarity
+      .bitextBandsRowwise(deltaVecs, nBands, bitsPerBand, dims)
+      .filter(col("lang") === srcLang)
+      .select(col("band"), col("bkey"), col("vec_id").as("src_id"))
+      .join(graft.operators.Similarity.bitextCappedSide(
+        histBands, tgtLang, "tgt_id", maxBucket), Seq("band", "bkey"))
+      .select(col("src_id"), col("tgt_id"))
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition
@@ -389,6 +421,18 @@ object Streams {
     * for the live tail — the finalized append table remains the
     * long-term store (compact the tail into it periodically).
     */
+  /** True iff `e` is the missing/empty-sink analysis error a FIRST
+    * micro-batch legitimately hits reading its own output dir back:
+    * the path doesn't exist yet, or exists with no parquet footers to
+    * infer a schema from. Everything else is a REAL failure of an
+    * existing sink and must propagate loudly (the read-merge-overwrite
+    * upsert would otherwise truncate state it failed to read).
+    */
+  private[graft] def isMissingSinkError(
+      e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(c =>
+      c == "PATH_NOT_FOUND" || c.startsWith("UNABLE_TO_INFER_SCHEMA"))
+
   /** [[silverToGoldLive]] at per-(bar_date, hour) upsert granularity —
     * the restate discipline applied to the live sink: each micro-batch
     * reads the touched HOURS back from the sink, replaces the bars the
@@ -416,7 +460,12 @@ object Streams {
         val ss = batch.sparkSession
         val b = batch.withColumn("bar_hour", hour(col("bar_start")))
         val touched = b.select(col("bar_date"), col("bar_hour")).distinct()
-        // first batch: no sink yet (schema inference fails) → empty
+        // first batch: no sink yet (schema inference fails) → empty.
+        // ONLY the missing/empty-sink condition may fall back: any
+        // other AnalysisException (schema drift, a sink left
+        // inconsistent by a failed overwrite) must propagate, or the
+        // dynamic overwrite below would silently truncate every
+        // touched hour partition to just the delta bars.
         val existing =
           try ss.read.parquet(goldDir)
             .join(broadcast(touched), Seq("bar_date", "bar_hour"),
@@ -424,7 +473,8 @@ object Streams {
             .join(b.select(col("symbol"), col("bar_start")),
               Seq("symbol", "bar_start"), "left_anti")
           catch {
-            case _: org.apache.spark.sql.AnalysisException => b.limit(0)
+            case e: org.apache.spark.sql.AnalysisException
+                if isMissingSinkError(e) => b.limit(0)
           }
         // INVARIANT: `existing` is read FROM goldDir and written back
         // TO goldDir below — the EAGER localCheckpoint(true) must

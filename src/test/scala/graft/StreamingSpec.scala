@@ -649,6 +649,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourly live sink: fallback classifier accepts ONLY missing/empty sink") {
+    import org.apache.spark.sql.AnalysisException
+    // first-batch shapes: path not there yet / dir with no footers
+    val missing = intercept[AnalysisException] {
+      spark.read.parquet(s"/tmp/graft_not_here_${System.nanoTime()}")
+    }
+    assert(Streams.isMissingSinkError(missing), missing.getCondition)
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft_empty_sink_").toString
+    val empty = intercept[AnalysisException] {
+      spark.read.parquet(emptyDir).collect()
+    }
+    assert(Streams.isMissingSinkError(empty), empty.getCondition)
+    // a REAL analysis failure on an existing sink must PROPAGATE —
+    // falling back to empty there would let the dynamic overwrite
+    // silently truncate every touched hour partition to just the delta
+    val real = intercept[AnalysisException] {
+      spark.range(1).select(org.apache.spark.sql.functions
+        .col("no_such_column")).collect()
+    }
+    assert(!Streams.isMissingSinkError(real), real.getCondition)
+  }
+
+  test("stream-static bitext candidates: batch parity, merge at sink") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    val dims = 4
+    // history: two es targets + one en source already indexed
+    val histDocs = Seq(("h1", "es"), ("h2", "es"), ("h3", "en"))
+      .toDF("doc_id", "lang")
+    val histEmbs = Seq(
+      ("h1", Seq(1.0f, 0.1f, 0.0f, 0.0f), 0),
+      ("h2", Seq(0.0f, 0.1f, 1.0f, 0.0f), 1),
+      ("h3", Seq(0.9f, 0.2f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val histBands = Similarity.bitextBands(histDocs, histEmbs, dims = dims)
+      .localCheckpoint(true) // the frozen persisted index
+    // delta: two en sources near the two targets + one fr doc the
+    // src-lang filter must drop
+    val delta = Seq(
+      ("d1", "en", Seq(0.95f, 0.1f, 0.05f, 0.0f)),
+      ("d2", "en", Seq(0.05f, 0.1f, 0.9f, 0.1f)),
+      ("d3", "fr", Seq(0.5f, 0.5f, 0.5f, 0.0f)))
+
+    val in = MemoryStream[(String, String, Seq[Float])]
+    val q = Streams.bitextCandidateStream(
+        in.toDF.toDF("vec_id", "lang", "embedding"), histBands,
+        dims = dims)
+      .writeStream.format("memory").queryName("bitext_cand_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val landed = spark.table("bitext_cand_stream").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // merge-at-sink parity: history candidates ∪ landed delta
+      // candidates == candidates off the refreshed (hist + delta
+      // rowwise-banded) index — the same full-rebuild equivalence the
+      // batch bitext_incremental query pins for the miner
+      val refreshed = histBands.unionByName(Similarity.bitextBandsRowwise(
+        delta.toDF("vec_id", "lang", "embedding"), dims = dims))
+      val full = Similarity.bitextCandidates(refreshed, "en", "es")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val histOnly = Similarity.bitextCandidates(histBands, "en", "es")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(landed.nonEmpty)
+      assert(landed.forall(_._1.startsWith("d")), s"non-delta src: $landed")
+      assert(histOnly.union(landed) == full,
+        s"merge-at-sink != full rebuild:\n  hist=$histOnly\n" +
+        s"  landed=$landed\n  full=$full")
+    } finally q.stop()
+  }
+
   test("stream-static span dedup: flagged windows match batch, merge at sink") {
     import graft.operators.TextAnalysis
     implicit val ctx = spark.sqlContext
