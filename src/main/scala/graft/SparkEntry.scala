@@ -196,6 +196,65 @@ object SparkEntry {
       |           * 1.0e9, 0) AS BIGINT) AS cost_n
       |       FROM c1, t1)""".stripMargin.format(viterbiRes("b"))
 
+  /** One EM+prune oracle stage (mirrors TextAnalysis.unigramPruneStage):
+    * recount pieces freq-weighted from the `srcPfx` Viterbi unroll,
+    * keep top-`cap` by (n_occ DESC, piece) ∪ the recount's singles ∪
+    * the charset floor (count 1) from the SEED model `kp` (which holds
+    * every corpus char by construction — flooring from the previous
+    * stage would lose chars the pure-EM round dropped as unused),
+    * max-dedup the model-sized union, re-pin costs at 1e-9 — ends at
+    * model CTE `out`.
+    */
+  private def unigramPruneStageCtes(srcPfx: String,
+                                    out: String, cap: Int): String =
+    s"""${out}_res AS (${viterbiRes(srcPfx)}),
+       |${out}_su AS (SELECT r.w, u.p AS piece
+       |       FROM ${out}_res r, unnest(string_split(r.seg, ' ')) AS u(p)),
+       |${out}_rc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n_occ
+       |       FROM ${out}_su JOIN wf USING (w) GROUP BY piece),
+       |${out}_kept AS (SELECT piece, max(n_occ) AS n_occ FROM (
+       |    SELECT piece, n_occ FROM (SELECT piece, n_occ FROM ${out}_rc
+       |      ORDER BY n_occ DESC, piece LIMIT $cap)
+       |    UNION ALL
+       |    SELECT piece, n_occ FROM ${out}_rc WHERE length(piece) = 1
+       |    UNION ALL
+       |    SELECT piece, CAST(1 AS BIGINT) AS n_occ FROM kp
+       |      WHERE length(piece) = 1) GROUP BY piece),
+       |${out}_tot AS (SELECT sum(n_occ) AS tot FROM ${out}_kept),
+       |$out AS MATERIALIZED (SELECT piece, n_occ,
+       |    CAST(round(-ln(CAST(n_occ AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      * 1.0e9, 0) AS BIGINT) AS cost_n
+       |  FROM ${out}_kept, ${out}_tot)""".stripMargin
+
+  /** The shared prune-lineage oracle chain (mirrors
+    * TextAnalysis.unigramPruneLineage at the default vocabK=48 →
+    * target=24 in 2 rounds, caps 36 then 24): seed model `kp`, pure-EM
+    * model `kp2`, prune models `pm1`/`pm2`, with Viterbi unrolls under
+    * prefixes b/d/va (and vb under pm2 for the curve's final stage).
+    */
+  private val unigramPruneCtes: String =
+    s"""$unigramPieceCtes,
+       |$unigramViterbiCtes,
+       |$unigramEmCtes,
+       |${viterbiCtes("d", "kp2")},
+       |${unigramPruneStageCtes("d", "pm1", 36)},
+       |${viterbiCtes("va", "pm1")},
+       |${unigramPruneStageCtes("va", "pm2", 24)}""".stripMargin
+
+  /** One per-stage audit row (mirrors TextAnalysis.unigramStageStats):
+    * inventory from the stage's model CTE, corpus budgets from the
+    * freq-weighted Viterbi results of its unroll prefix.
+    */
+  private def unigramStageStatSql(i: Int, resPfx: String,
+                                  model: String): String =
+    s"""SELECT $i AS stage,
+       |  (SELECT CAST(count(*) AS INT) FROM $model) AS inventory,
+       |  CAST(sum(f) AS BIGINT) AS n_tokens,
+       |  CAST(sum(f * len(string_split(r.seg, ' '))) AS BIGINT)
+       |    AS n_subwords,
+       |  CAST(sum(f * r.c) AS BIGINT) AS corpus_cost_n
+       |FROM (${viterbiRes(resPfx)}) r JOIN wf USING (w)""".stripMargin
+
   /** Shared span-corruption plan CTEs (mirrors
     * TextAnalysis.spanCorruption) — ends at `r` = the span rows. */
   private val spanPlanCtes =
@@ -953,6 +1012,16 @@ object SparkEntry {
     // (cost non-increasing, inventory pruned), one row per stage.
     "unigram_em_gain" -> ((s, dir) =>
       TextAnalysis.unigramEmGain(Tables.documents(s, dir))),
+    // Kudo's trainer loop to a target inventory: the pure-EM accept
+    // round, then 2 EM+prune rounds (caps 36 → 24) — the final pruned
+    // model a tokenizer ships (single-char coverage floor preserved)
+    "unigram_lm_prune" -> ((s, dir) =>
+      TextAnalysis.unigramPrune(Tables.documents(s, dir))),
+    // the em_gain audit EXTENDED through the prune rounds: one row per
+    // lineage stage (seed, EM, prune@36, prune@24) — inventory shrink
+    // vs corpus-cost/fertility price, n_tokens constant = coverage
+    "unigram_prune_curve" -> ((s, dir) =>
+      TextAnalysis.unigramPruneCurve(Tables.documents(s, dir))),
     // margin-based bitext mining (Artetxe & Schwenk): LSH-bucketed
     // src×tgt language candidates, ratio margin over per-side k-NN
     // means, rank-1 + margin>1 mined pairs — the parallel-corpus op.
@@ -990,6 +1059,13 @@ object SparkEntry {
       Similarity.bitextMine(docs, emb,
         bandIndex = Some(hist.unionByName(delta)))
     }),
+    // bitext recall audit: LSH-mined pairs vs the brute-force bipartite
+    // margin ranking — recall@1 + mined-pair Jaccard as data, the knob
+    // audit that says when the corpus has outgrown the band geometry
+    // (lsh_recall_audit's role for this family).
+    "bitext_recall_audit" -> ((s, dir) =>
+      Similarity.bitextRecallAudit(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -2502,15 +2578,58 @@ object SparkEntry {
     * neighborhood means, exactly like serving off the anti-joined
     * index).
     */
-  private def bitextMineSql(docsRel: String): String =
-    s"""WITH e AS (SELECT vec_id,
+  /** The shared (e, n, nl) normalized lang-joined vector CTEs. */
+  private def bitextCommonCtes(docsRel: String): String =
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |nl AS (SELECT n.vec_id, n.v, n.nrm, d.lang
-       |       FROM n JOIN $docsRel d ON d.doc_id = n.vec_id),
-       |hp AS (SELECT gb.b, gj.j,
+       |       FROM n JOIN $docsRel d ON d.doc_id = n.vec_id)""".stripMargin
+
+  /** The margin-scoring chain over candidate relation `cand(src_id,
+    * tgt_id)` (mirrors Similarity.bitextMarginScore), CTE names
+    * prefixed `pfx` so the recall audit can score TWO candidate sets
+    * (LSH-retrieved and exhaustive) in one query — ends at `${pfx}mr`
+    * (the rank column); mined pairs are `rank = 1 AND m6 > 1000000`.
+    */
+  private def bitextScoreCtes(cand: String, pfx: String): String =
+    s"""${pfx}c6t AS (SELECT * FROM (
+       |          SELECT $cand.src_id, $cand.tgt_id,
+       |            CAST(round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
+       |              * 1.0e6, 0) AS BIGINT) AS c6
+       |          FROM $cand JOIN n x ON x.vec_id = $cand.src_id
+       |                    JOIN n y ON y.vec_id = $cand.tgt_id)
+       |        WHERE c6 > 0),
+       |${pfx}kn AS (SELECT *,
+       |         row_number() OVER (PARTITION BY src_id
+       |           ORDER BY c6 DESC, tgt_id) AS rs,
+       |         row_number() OVER (PARTITION BY tgt_id
+       |           ORDER BY c6 DESC, src_id) AS rt
+       |       FROM ${pfx}c6t),
+       |${pfx}sa AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS s_sum6,
+       |         count(*) AS s_cnt FROM ${pfx}kn WHERE rs <= 4
+       |       GROUP BY src_id),
+       |${pfx}ta AS (SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS t_sum6,
+       |         count(*) AS t_cnt FROM ${pfx}kn WHERE rt <= 4
+       |       GROUP BY tgt_id),
+       |${pfx}mg AS (SELECT c.src_id, c.tgt_id, c.c6,
+       |         CAST(round(2.0 * c.c6 * sa.s_cnt * ta.t_cnt
+       |           / (sa.s_sum6 * ta.t_cnt + ta.t_sum6 * sa.s_cnt)
+       |           * 1.0e6, 0) AS BIGINT) AS m6
+       |       FROM ${pfx}c6t c JOIN ${pfx}sa sa USING (src_id)
+       |                        JOIN ${pfx}ta ta USING (tgt_id)),
+       |${pfx}mr AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |         ORDER BY m6 DESC, tgt_id) AS rank FROM ${pfx}mg)"""
+      .stripMargin
+
+  /** The LSH retrieval chain (mirrors Similarity.bitextCandidates over
+    * a bitextBands index): hyperplane bits → band keys → per-side
+    * rank-capped bucket membership → bipartite candidates as `cand`.
+    */
+  private val bitextLshCandCtes: String =
+    s"""hp AS (SELECT gb.b, gj.j,
        |         CASE WHEN CAST('0x' || substr(md5('hp' || gb.b || '_' || gj.j), 1, 15) AS BIGINT) % 2 = 0
        |              THEN 1.0 ELSE -1.0 END AS r
        |       FROM generate_series(0, 63) gb(b), generate_series(0, 63) gj(j)),
@@ -2537,36 +2656,46 @@ object SparkEntry {
        |           WHERE nl.lang = 'es')
        |         WHERE rk <= ${graft.operators.Dedup.MaxBucketSize}),
        |cand AS (SELECT DISTINCT src_id, tgt_id
-       |         FROM srcb JOIN tgtb USING (band, bkey)),
-       |c6t AS (SELECT * FROM (
-       |          SELECT cand.src_id, cand.tgt_id,
-       |            CAST(round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm)
-       |              * 1.0e6, 0) AS BIGINT) AS c6
-       |          FROM cand JOIN n x ON x.vec_id = cand.src_id
-       |                    JOIN n y ON y.vec_id = cand.tgt_id)
-       |        WHERE c6 > 0),
-       |kn AS (SELECT *,
-       |         row_number() OVER (PARTITION BY src_id
-       |           ORDER BY c6 DESC, tgt_id) AS rs,
-       |         row_number() OVER (PARTITION BY tgt_id
-       |           ORDER BY c6 DESC, src_id) AS rt
-       |       FROM c6t),
-       |sa AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS s_sum6,
-       |         count(*) AS s_cnt FROM kn WHERE rs <= 4 GROUP BY src_id),
-       |ta AS (SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS t_sum6,
-       |         count(*) AS t_cnt FROM kn WHERE rt <= 4 GROUP BY tgt_id),
-       |mg AS (SELECT c.src_id, c.tgt_id, c.c6,
-       |         CAST(round(2.0 * c.c6 * sa.s_cnt * ta.t_cnt
-       |           / (sa.s_sum6 * ta.t_cnt + ta.t_sum6 * sa.s_cnt)
-       |           * 1.0e6, 0) AS BIGINT) AS m6
-       |       FROM c6t c JOIN sa USING (src_id) JOIN ta USING (tgt_id)),
-       |mr AS (SELECT *, row_number() OVER (PARTITION BY src_id
-       |         ORDER BY m6 DESC, tgt_id) AS rank FROM mg)
+       |         FROM srcb JOIN tgtb USING (band, bkey))""".stripMargin
+
+  private def bitextMineSql(docsRel: String): String =
+    s"""WITH ${bitextCommonCtes(docsRel)},
+       |$bitextLshCandCtes,
+       |${bitextScoreCtes("cand", "")}
        |SELECT src_id AS src_doc, tgt_id AS tgt_doc,
        |  CAST(c6 AS DOUBLE) / 1000000.0 AS cosine,
        |  CAST(m6 AS DOUBLE) / 1000000.0 AS margin
        |FROM mr WHERE rank = 1 AND m6 > 1000000
        |ORDER BY src_doc""".stripMargin
+
+  /** The bitext recall-audit oracle (mirrors
+    * Similarity.bitextRecallAudit): the SAME common vectors feed BOTH
+    * the LSH chain (scored under prefix "") and the exhaustive
+    * bipartite cross (prefix "b"); mined-pair sets compared as one
+    * summary row.
+    */
+  private def bitextRecallAuditSql(docsRel: String): String =
+    s"""WITH ${bitextCommonCtes(docsRel)},
+       |$bitextLshCandCtes,
+       |${bitextScoreCtes("cand", "")},
+       |bcand AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id
+       |          FROM nl s, nl t
+       |          WHERE s.lang = 'en' AND t.lang = 'es'),
+       |${bitextScoreCtes("bcand", "b")},
+       |lshp AS (SELECT src_id, tgt_id FROM mr
+       |         WHERE rank = 1 AND m6 > 1000000),
+       |trup AS (SELECT src_id, tgt_id FROM bmr
+       |         WHERE rank = 1 AND m6 > 1000000)
+       |SELECT nt.n AS n_truth, nl2.n AS n_lsh, nh.n AS n_hit,
+       |  round(CAST(nh.n AS DOUBLE) / CAST(nt.n AS DOUBLE)
+       |    * 1.0e6, 0) / 1.0e6 AS recall_at1,
+       |  round(CAST(nh.n AS DOUBLE)
+       |    / CAST(nt.n + nl2.n - nh.n AS DOUBLE)
+       |    * 1.0e6, 0) / 1.0e6 AS pair_jaccard
+       |FROM (SELECT count(*) AS n FROM trup) nt,
+       |     (SELECT count(*) AS n FROM lshp) nl2,
+       |     (SELECT count(*) AS n
+       |      FROM trup JOIN lshp USING (src_id, tgt_id)) nh""".stripMargin
 
 
   /** Hyperplane-LSH candidate chain (mirrors Similarity.cosineNearDupLsh):
@@ -5320,6 +5449,27 @@ object SparkEntry {
          |FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
          |ORDER BY stage""".stripMargin,
 
+    // mirrors TextAnalysis.unigramPrune: the full prune-lineage chain
+    // (seed → EM → prune@36 → prune@24), output = the final model.
+    "unigram_lm_prune" ->
+      s"""WITH $unigramPruneCtes
+         |SELECT piece, n_occ, cost_n FROM pm2 ORDER BY piece""".stripMargin,
+
+    // mirrors TextAnalysis.unigramPruneCurve: the same lineage plus a
+    // FOURTH Viterbi unroll under the final model, one audit row per
+    // stage (budgets freq-weighted over the word-type table).
+    "unigram_prune_curve" ->
+      s"""WITH $unigramPruneCtes,
+         |${viterbiCtes("vb", "pm2")},
+         |stg AS (${unigramStageStatSql(0, "b", "kp")}
+         |  UNION ALL ${unigramStageStatSql(1, "d", "kp2")}
+         |  UNION ALL ${unigramStageStatSql(2, "va", "pm1")}
+         |  UNION ALL ${unigramStageStatSql(3, "vb", "pm2")})
+         |SELECT stage, inventory, n_tokens, n_subwords, corpus_cost_n,
+         |  round(CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS fertility
+         |FROM stg ORDER BY stage""".stripMargin,
+
     // mirrors Similarity.bitextMine: the hyperplane-LSH chain over the
     // lang-joined vectors, per-side capped bucket membership, bipartite
     // candidates, 1e-6-pinned cosines (positive only), per-side k-NN
@@ -5339,6 +5489,11 @@ object SparkEntry {
     // per-doc derivation (append-only, idempotent), so the oracle is
     // the plain mining chain — the maxsim_incremental convention.
     "bitext_incremental" -> bitextMineSql("documents"),
+
+    // mirrors Similarity.bitextRecallAudit: the LSH chain and the
+    // exhaustive bipartite cross scored by the SAME margin chain,
+    // mined-pair sets compared as one summary row.
+    "bitext_recall_audit" -> bitextRecallAuditSql("documents"),
 
     // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
     // epoch, lag-based same-source adjacency counts, micro-pinned rate.

@@ -69,6 +69,29 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("unigram_segment"), "compiled segment expression missing")
   }
 
+  test("unigram learn top-K is distributed: partial top-K, no rank window") {
+    // the round-12 shape ranked EVERY distinct <=4-char substring of
+    // the corpus on one reducer (Exchange SinglePartition -> Sort ->
+    // Window, with the OR-filter defeating WindowGroupLimit pushdown);
+    // the kept set is now top-vocabK via orderBy().limit() — planned as
+    // TakeOrderedAndProject, a per-partition partial top-K — unioned
+    // with the singles slice. No Window operator may reappear in the
+    // learn pass (the only SinglePartition exchange left is the 1-row
+    // total fold).
+    val p = plan("unigram_lm_learn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K not planned as TakeOrderedAndProject:\n$p")
+    assert(!p.matches("(?s).*\\(\\d+\\) Window.*"),
+      s"learn pass plans a rank window:\n$p")
+    // the prune stages inherit the same discipline: each EM recount's
+    // cap is a TakeOrderedAndProject too, never a global rank
+    val pp = plan("unigram_lm_prune")
+    assert(pp.contains("TakeOrderedAndProject"),
+      s"prune cap not planned as TakeOrderedAndProject:\n$pp")
+    assert(!pp.matches("(?s).*\\(\\d+\\) Window.*"),
+      s"prune pass plans a rank window:\n$pp")
+  }
+
   test("epoch shuffle audit: no single-task global rank window") {
     // the round-11 shape hashed the whole corpus onto one reducer per
     // epoch via Window.partitionBy(epoch) rank + lag; the rebuilt
@@ -479,6 +502,14 @@ class PlanSpec extends SparkSpec {
       // 1-row candidate-total cross join onto the vocab-capped
       // piece inventory (the EM round re-pins costs the same way)
       "unigram_lm_learn", "unigram_lm_em",
+      // the same 1-row total cross joins, once per prune stage
+      "unigram_lm_prune", "unigram_prune_curve",
+      // the brute-force TRUTH side is the exhaustive bipartite cross —
+      // quadratic BY DEFINITION (it is the audit's ground truth, like
+      // lsh_recall_audit's uncapped truth); the production path is the
+      // LSH miner being audited, and a 100 TB deployment samples the
+      // source side. Plus the three 1-row count cross joins.
+      "bitext_recall_audit",
       // 1-row corpus-size cross joins (df gate + lift), same pattern
       "assoc_rules",
       // 1-row corpus-end cross join onto the per-user fold
