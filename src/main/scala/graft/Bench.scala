@@ -20,15 +20,20 @@ import org.apache.spark.sql.SparkSession
   * the process exits non-zero so a broken bench can't masquerade as a
   * fast one.
   *
-  * Known benign stderr noise: `DAGScheduler ... attempted to access
-  * non-existent accumulator N`. The iterative queries use
-  * `localCheckpoint`, and when the ContextCleaner garbage-collects a
-  * finished query's SQL-metric accumulators while a straggler task of a
-  * checkpointed stage is still reporting, the DAGScheduler logs this
-  * ERROR and continues — task results are unaffected (the accumulators
-  * in question are display metrics, not data), the job completes, and
-  * the bench exit code stays 0. This was the `[error]` stack that broke
-  * round 1's stdout parsing — hence the file artifact.
+  * Known benign stderr noise: the DAGScheduler `Failed to update
+  * accumulator N` ERROR. The iterative queries use `localCheckpoint`,
+  * and when the ContextCleaner garbage-collects a finished query's
+  * SQL-metric accumulators while a straggler task of a checkpointed
+  * stage is still reporting, the DAGScheduler logs this ERROR and
+  * continues — task results are unaffected (the accumulators in
+  * question are display metrics, not data), the job completes, and the
+  * bench exit code stays 0. This was the `[error]` stack that broke
+  * round 1's stdout parsing and rode every bench tail r9-r12. Since
+  * round 13 [[graft.streaming.BenignLogGuard]] suppresses EXACTLY this
+  * event and counts it into `n_benign_suppressed` in bench.json —
+  * attributed, not hidden; every other ERROR still prints with its
+  * full stack, and HarnessGuard captures real task/job failures
+  * independently of logging.
   */
 object Bench {
   /** Shortest JSON number within 0.005 s of `v` (2-decimal rounding,
@@ -62,6 +67,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // counted suppression of the ONE named-benign ERROR stack (the
+    // accumulator-GC DAGScheduler event — see BenignLogGuard): the
+    // bench tail stays parseable and the count lands in bench.json
+    graft.streaming.BenignLogGuard.install()
     // JIT/codegen warmup outside the timed region: a small representative
     // query so the first measured query doesn't absorb JVM startup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -76,7 +85,14 @@ object Bench {
     // which silently changes each query's warmup context round-over-round
     // and confounds cross-round per-query comparison
     val harnessWarnings = Seq.newBuilder[(String, String)]
-    graft.streaming.HarnessGuard.drain() // clear warmup noise
+    // the listener bus is ASYNC: flush it before every drain so each
+    // failure event lands in the query that produced it, not the next
+    // one (and the post-suite drain below catches the stragglers)
+    def flushedDrain(): Seq[String] = {
+      org.apache.spark.sql.graft.ListenerFlush.flush(spark)
+      graft.streaming.HarnessGuard.drain()
+    }
+    flushedDrain() // clear warmup noise
     val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val nRuns = if (singleRun(name)) 1 else 2
@@ -96,18 +112,19 @@ object Bench {
         // resubmissions, failed-then-rerun foreachBatch work) don't
         // surface as query errors but DO distort timings — attribute
         // them to the query that was running and put them in bench.json
-        harnessWarnings ++=
-          graft.streaming.HarnessGuard.drain().map(name -> _)
+        harnessWarnings ++= flushedDrain().map(name -> _)
         val oks = runs.collect { case Right(t) => t }
         name -> (if (oks.nonEmpty) Right((oks.min, oks.max))
                  else Left(runs.collectFirst { case Left(m) => m }.get))
       }
+    harnessWarnings ++= flushedDrain().map("post-suite" -> _)
     val timings = results.collect { case (k, Right((mn, _))) => k -> mn }
     val maxes = results.collect { case (k, Right((_, mx))) => k -> mx }
     val errors = results.collect { case (k, Left(m)) => k -> m }
     // authoritative artifact: file copies survive sbt's stdout prefixing
     val (fileLine, stdoutLine) =
-      renderLines(timings, maxes, errors, sfDir, harnessWarnings.result())
+      renderLines(timings, maxes, errors, sfDir, harnessWarnings.result(),
+        graft.streaming.BenignLogGuard.drainCount())
     val outDirs = Seq(sys.env.get("SPARK_GRAFT_OUT"), Some(".")).flatten
     val written = outDirs.map { d =>
       try {
@@ -151,7 +168,9 @@ object Bench {
                                  errors: Seq[(String, String)],
                                  sfDir: String,
                                  harnessWarnings: Seq[(String, String)] =
-                                   Nil): (String, String) = {
+                                   Nil,
+                                 nBenignSuppressed: Long = 0L)
+      : (String, String) = {
     def errJson(maxMsg: Int): String =
       errors.map { case (k, m) =>
         s""""$k":"${jsonEscape(m.take(maxMsg))}""""
@@ -169,6 +188,7 @@ object Bench {
         s""""queries":$qj,$extra$om"errors":$es,$eo"n_queries":$nAll,""" +
         s""""n_failed":${errors.size},""" +
         s""""n_harness_warnings":${harnessWarnings.size},""" +
+        s""""n_benign_suppressed":$nBenignSuppressed,""" +
         s""""sf":"${jsonEscape(sfDir)}"}"""
     }
     // bench.json: full precision, full error messages, plus the per-query

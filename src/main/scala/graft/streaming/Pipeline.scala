@@ -483,6 +483,11 @@ object Pipeline {
     // create them before the stream can fire its first batch
     new java.io.File(kmvDir).mkdirs()
     new java.io.File(hllDir).mkdirs()
+    // the whole start+drive runs INSIDE the guard scope (like every
+    // other e2e here): with AvailableNow the first micro-batch can
+    // fire before awaitTermination, and starting outside the scope
+    // would miss or mis-label its failures in a fresh JVM
+    HarnessGuard.scope(spark, "sketch_stream_e2e") {
     val q = spark.readStream.schema(inSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
       .writeStream
@@ -522,7 +527,8 @@ object Pipeline {
         }
       }
       .start()
-    HarnessGuard.scope(spark, "sketch_stream_e2e")(q.awaitTermination())
+    q.awaitTermination()
+    }
 
     val kmvEst = Sketches.kmvEstimateFromState(
       spark.read.schema(kmvSchema).parquet(kmvDir), Seq("event_type"), k)

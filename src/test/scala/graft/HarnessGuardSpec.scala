@@ -42,4 +42,21 @@ class HarnessGuardSpec extends SparkSpec {
     assert(got == Seq("first"))
     assert(HarnessGuard.drain().isEmpty)
   }
+
+  test("BenignLogGuard counts+suppresses ONLY the accumulator-GC ERROR") {
+    import org.apache.logging.log4j.LogManager
+    import graft.streaming.BenignLogGuard
+    BenignLogGuard.install()
+    BenignLogGuard.drainCount()
+    val dag = LogManager.getLogger("org.apache.spark.scheduler.DAGScheduler")
+    dag.error("Failed to update accumulator 42 (display metric)")
+    assert(BenignLogGuard.drainCount() == 1)
+    // a DIFFERENT DAGScheduler error must pass through uncounted
+    dag.error("guard-spec: a real scheduler error (must not be eaten)")
+    assert(BenignLogGuard.drainCount() == 0)
+    // the benign message on a DIFFERENT logger must pass through too
+    LogManager.getLogger("graft.test.NotTheScheduler")
+      .error("Failed to update accumulator 7")
+    assert(BenignLogGuard.drainCount() == 0)
+  }
 }
