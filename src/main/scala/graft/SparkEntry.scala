@@ -1066,6 +1066,41 @@ object SparkEntry {
     "bitext_recall_audit" -> ((s, dir) =>
       Similarity.bitextRecallAudit(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),
+    // ---- entity resolution (record linkage) family: source A =
+    // customer verbatim, source B = deterministic corrupted
+    // re-observation (known true links) — block, Fellegi–Sunter
+    // score, evaluate the operating curve, close into entities.
+    "er_candidates" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      EntityResolution.candidates(
+          EntityResolution.sourceA(c), EntityResolution.sourceB(c))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "er_match" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      EntityResolution.matchScores(
+          EntityResolution.sourceA(c), EntityResolution.sourceB(c))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    "er_eval" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      EntityResolution.erEval(
+        EntityResolution.sourceA(c), EntityResolution.sourceB(c))
+    }),
+    "er_entities" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      EntityResolution.entities(
+        EntityResolution.sourceA(c), EntityResolution.sourceB(c))
+    }),
+    // ---- data valuation: exact KNN-Shapley (closed form, no Monte
+    // Carlo) over the embedding corpus vs a held-out test panel, its
+    // truncated two-stage top-R scale twin, and the per-label audit.
+    "shapley_knn" -> ((s, dir) =>
+      Valuation.shapleyKnn(Tables.embeddings(s, dir))),
+    "shapley_knn_trunc" -> ((s, dir) =>
+      Valuation.shapleyKnnTruncated(Tables.embeddings(s, dir))),
+    "shapley_label_audit" -> ((s, dir) =>
+      Valuation.shapleyLabelAudit(Tables.embeddings(s, dir))),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -2290,6 +2325,126 @@ object SparkEntry {
        |         ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
        |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
 
+  /** Entity-resolution oracle CTEs (mirror EntityResolution.{sourceA,
+    * sourceB,candidates,uProbabilities,matchScores}): A = customer in
+    * integer cents, B = the deterministic corrupted re-observation,
+    * two capped blocking passes, data-driven u probabilities, and the
+    * 1e-6-pinned Fellegi–Sunter score. m-priors and the dissent
+    * priors are interpolated from the Scala constants so both engines
+    * parse the EXACT same doubles (1.0−0.9 is not 0.1 in IEEE).
+    */
+  private val erCte = {
+    import EntityResolution._
+    val segList =
+      "['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']"
+    def cap(side: String) =
+      s"""SELECT rec_id, bkey FROM k$side QUALIFY row_number() OVER (
+         |  PARTITION BY bkey
+         |  ORDER BY ${h60(s"'er_cap${side}_' || rec_id")}, rec_id)
+         |  <= $MaxBlockSize""".stripMargin
+    def keys(src: String) =
+      s"""SELECT rec_id, 's|' || nat || '|' || seg AS bkey FROM $src
+         |UNION ALL
+         |SELECT rec_id, 'b|' || nat || '|' ||
+         |  CAST(floor((ab_c + 100000) / 50000.0) AS BIGINT) AS bkey
+         |FROM $src""".stripMargin
+    val wName =
+      s"""CASE WHEN gamma_name = 2
+         |       THEN ln($MNameExact / u_name_exact) / ln(2.0)
+         |     WHEN gamma_name = 1
+         |       THEN ln($MNameClose / greatest(u_name_close, 1.0e-9)) / ln(2.0)
+         |     ELSE ln(${1.0 - MNameExact - MNameClose} /
+         |       greatest(1.0 - u_name_exact - u_name_close, 1.0e-9)) / ln(2.0)
+         |END""".stripMargin
+    val wSeg =
+      s"""CASE WHEN seg_agree THEN ln($MSeg / u_seg) / ln(2.0)
+         |     ELSE ln(${1.0 - MSeg} / (1.0 - u_seg)) / ln(2.0) END""".stripMargin
+    val wAb =
+      s"""CASE WHEN ab_agree THEN ln($MAb / u_ab) / ln(2.0)
+         |     ELSE ln(${1.0 - MAb} / (1.0 - u_ab)) / ln(2.0) END""".stripMargin
+    s"""era AS (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+       |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS ab_c
+       |  FROM customer),
+       |erb AS (SELECT rec_id + $BIdOffset AS rec_id,
+       |    CASE WHEN ${h60("'er_nm_' || rec_id")} % 10 IN (0, 1) THEN
+       |           substr(name, 1, CAST(${h60("'er_pos_' || rec_id")}
+       |             % length(name) AS INT)) ||
+       |           substr(name, CAST(${h60("'er_pos_' || rec_id")}
+       |             % length(name) AS INT) + 2, 200)
+       |         WHEN ${h60("'er_nm_' || rec_id")} % 10 = 2 THEN upper(name)
+       |         WHEN ${h60("'er_nm_' || rec_id")} % 10 = 3 THEN name || ' '
+       |         ELSE name END AS name,
+       |    CASE WHEN ${h60("'er_nat_' || rec_id")} % 50 = 0
+       |         THEN (nat + 1) % 25 ELSE nat END AS nat,
+       |    CASE WHEN ${h60("'er_seg_' || rec_id")} % 20 = 0
+       |         THEN ($segList)[CAST(${h60("'er_seg2_' || rec_id")} % 5
+       |           AS INT) + 1]
+       |         ELSE seg END AS seg,
+       |    CASE WHEN ${h60("'er_ab_' || rec_id")} % 4 = 0
+       |         THEN ab_c + (${h60("'er_ab2_' || rec_id")} % 199) - 99
+       |         ELSE ab_c END AS ab_c
+       |  FROM era WHERE ${h60("'er_drop_' || rec_id")} % 10 <> 0),
+       |kA AS (${keys("era")}),
+       |kB AS (${keys("erb")}),
+       |kac AS (${cap("A")}),
+       |kbc AS (${cap("B")}),
+       |ercand AS (SELECT a_id, b_id,
+       |    CAST(max(CASE WHEN bkey LIKE 's|%' THEN 1 ELSE 0 END)
+       |      AS BOOLEAN) AS via_attr,
+       |    CAST(max(CASE WHEN bkey LIKE 'b|%' THEN 1 ELSE 0 END)
+       |      AS BOOLEAN) AS via_band
+       |  FROM (SELECT x.rec_id AS a_id, y.rec_id AS b_id, x.bkey
+       |        FROM kac x JOIN kbc y USING (bkey))
+       |  GROUP BY a_id, b_id),
+       |erna AS (SELECT count(*) AS n_a FROM era),
+       |ernb AS (SELECT count(*) AS n_b FROM erb),
+       |ersegu AS (SELECT sum(ca * cb) AS seg_hits FROM
+       |    (SELECT seg AS v, count(*) AS ca FROM era GROUP BY 1) x
+       |    JOIN (SELECT seg AS v, count(*) AS cb FROM erb GROUP BY 1) y
+       |      USING (v)),
+       |ernameu AS (SELECT coalesce(sum(ca * cb), 0) AS name_hits FROM
+       |    (SELECT lower(trim(name)) AS v, count(*) AS ca FROM era
+       |     GROUP BY 1) x
+       |    JOIN (SELECT lower(trim(name)) AS v, count(*) AS cb FROM erb
+       |          GROUP BY 1) y USING (v)),
+       |ersv AS (SELECT greatest(1, CAST(floor(n_b / $UPairsPerA.0)
+       |    AS BIGINT)) AS sv FROM ernb),
+       |erpa AS (SELECT ${h60("'er_u_' || rec_id")} % (SELECT sv FROM ersv)
+       |    AS uk, lower(trim(name)) AS nm_a, ab_c AS ab_a FROM era),
+       |erpb AS (SELECT ${h60("'er_u2_' || rec_id")} % (SELECT sv FROM ersv)
+       |    AS uk, lower(trim(name)) AS nm_b, ab_c AS ab_b FROM erb),
+       |ersamp AS (SELECT count(*) AS n_pairs,
+       |    sum(CASE WHEN nm_a = nm_b THEN 1 ELSE 0 END) AS n_exact,
+       |    sum(CASE WHEN nm_a <> nm_b
+       |             AND levenshtein(nm_a, nm_b) <= 2 THEN 1 ELSE 0 END)
+       |      AS n_close,
+       |    sum(CASE WHEN abs(ab_a - ab_b) <= 100 THEN 1 ELSE 0 END) AS n_ab
+       |  FROM erpa JOIN erpb USING (uk)),
+       |eru AS (SELECT
+       |    greatest(name_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9)
+       |      AS u_name_exact,
+       |    greatest(n_close / CAST(n_pairs AS DOUBLE), 1.0e-9)
+       |      AS u_name_close,
+       |    greatest(seg_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9) AS u_seg,
+       |    greatest(n_ab / CAST(n_pairs AS DOUBLE), 1.0e-9) AS u_ab
+       |  FROM ersamp, erna, ernb, ersegu, ernameu),
+       |erg AS (SELECT c.a_id, c.b_id,
+       |    CASE WHEN x.nm_a = y.nm_b THEN 2
+       |         WHEN levenshtein(x.nm_a, y.nm_b) <= 2 THEN 1
+       |         ELSE 0 END AS gamma_name,
+       |    x.seg_a = y.seg_b AS seg_agree,
+       |    abs(x.ab_a - y.ab_b) <= 100 AS ab_agree
+       |  FROM ercand c
+       |  JOIN (SELECT rec_id, lower(trim(name)) AS nm_a, seg AS seg_a,
+       |          ab_c AS ab_a FROM era) x ON x.rec_id = c.a_id
+       |  JOIN (SELECT rec_id, lower(trim(name)) AS nm_b, seg AS seg_b,
+       |          ab_c AS ab_b FROM erb) y ON y.rec_id = c.b_id),
+       |ersc AS (SELECT a_id, b_id, gamma_name, seg_agree, ab_agree,
+       |    ${safe6(s"($wName) + ($wSeg) + ($wAb)")} AS score
+       |  FROM erg, eru)""".stripMargin
+  }
+
   /** Distinct 8-gram shingle index (mirrors the decontamination ngram;
     * long shingles = shared passages, not shared vocabulary).
     */
@@ -2569,6 +2724,44 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  /** KNN-Shapley oracle CTEs (mirror Valuation.{pairs,exactS12}):
+    * broadcast-shaped test panel × train fan-out with 1e-6-pinned
+    * cosines, then the exact closed-form recursion as 1e-12-integer
+    * increments suffix-summed in BIGINTs.
+    */
+  private val shapPairsCte =
+    s"""sq AS (SELECT vec_id AS test_id, label AS test_label, v AS qv,
+       |         nrm AS qn FROM n
+       |       WHERE vec_id % 50 = 7 AND vec_id < 50000),
+       |st AS (SELECT vec_id AS train_id, label AS train_label, v, nrm
+       |       FROM n WHERE NOT (vec_id % 50 = 7 AND vec_id < 50000)),
+       |sp AS (SELECT q.test_id, t.train_id, t.train_label,
+       |         CAST(round((${dotSql("q.qv", "t.v")} / (q.qn * t.nrm))
+       |           * 1.0e6, 0) AS BIGINT) AS cos6,
+       |         CASE WHEN t.train_label = q.test_label THEN 1 ELSE 0 END
+       |           AS a
+       |       FROM st t, sq q)""".stripMargin
+
+  private val shapExactCte =
+    s"""sr AS (SELECT *, row_number() OVER w AS rk,
+       |         count(*) OVER (PARTITION BY test_id) AS n_train,
+       |         coalesce(lead(a) OVER w, 0) AS a_nx
+       |       FROM sp WINDOW w AS (PARTITION BY test_id
+       |         ORDER BY cos6 DESC, train_id)),
+       |sterm AS (SELECT *, CAST(CASE WHEN rk < n_train
+       |    THEN round((CAST((a - a_nx) * least(5, rk) AS DOUBLE)
+       |         / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
+       |    ELSE round((CAST(a AS DOUBLE) / CAST(n_train AS DOUBLE))
+       |         * 1.0e12, 0)
+       |  END AS BIGINT) AS t12 FROM sr),
+       |ss AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
+       |         ORDER BY cos6 DESC, train_id
+       |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |         AS s12 FROM sterm),
+       |sagg AS (SELECT train_id, train_label AS label,
+       |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
+       |         FROM ss GROUP BY 1, 2)""".stripMargin
 
   /** The full bitext-mining oracle (mirrors Similarity.bitextMine)
     * over `docsRel` as the documents relation — shared by the plain
@@ -5494,6 +5687,129 @@ object SparkEntry {
     // exhaustive bipartite cross scored by the SAME margin chain,
     // mined-pair sets compared as one summary row.
     "bitext_recall_audit" -> bitextRecallAuditSql("documents"),
+
+    // mirrors EntityResolution.candidates: two capped blocking passes
+    // over the A/B record sets, bipartite equi-join, pass provenance.
+    "er_candidates" ->
+      s"""WITH $erCte
+         |SELECT a_id, b_id, via_attr, via_band FROM ercand
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors EntityResolution.matchScores: Fellegi–Sunter agreement
+    // levels + data-driven u + pinned log2-likelihood score.
+    "er_match" ->
+      s"""WITH $erCte
+         |SELECT a_id, b_id, gamma_name, seg_agree, ab_agree, score,
+         |  CASE WHEN score >= ${EntityResolution.ThMatch} THEN 'match'
+         |       WHEN score >= ${EntityResolution.ThPossible} THEN 'possible'
+         |       ELSE 'nonmatch' END AS verdict
+         |FROM ersc ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors EntityResolution.erEval: per-threshold operating points
+    // against the construction ground truth + blocking recall.
+    "er_eval" ->
+      s"""WITH $erCte,
+         |ev AS (SELECT ersc.*, (b_id - ${EntityResolution.BIdOffset}
+         |         = a_id) AS is_true FROM ersc),
+         |th AS (SELECT * FROM (VALUES (0.0), (2.0), (4.0), (6.0), (8.0),
+         |        (10.0), (12.0)) t(threshold)),
+         |ntrue AS (SELECT count(*) AS n_true_links FROM erb),
+         |base AS (SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+         |           AS n_true_blocked FROM ev),
+         |pt AS (SELECT threshold, count(*) AS n_pred,
+         |         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_tp
+         |       FROM ev JOIN th ON ev.score >= th.threshold
+         |       GROUP BY threshold)
+         |SELECT threshold, n_pred, n_tp, n_true_links,
+         |  ${safe6("n_tp / CAST(n_pred AS DOUBLE)")} AS prec,
+         |  ${safe6("n_tp / CAST(n_true_links AS DOUBLE)")} AS rec,
+         |  ${safe6("(2.0 * n_tp) / CAST(n_pred + n_true_links AS DOUBLE)")}
+         |    AS f1,
+         |  ${safe6("n_true_blocked / CAST(n_true_links AS DOUBLE)")}
+         |    AS blocking_recall
+         |FROM pt, ntrue, base ORDER BY threshold""".stripMargin,
+
+    // mirror Valuation.{shapleyKnn,shapleyKnnTruncated,
+    // shapleyLabelAudit}: 1e-6-pinned cosine ranking per test point,
+    // exact 1e-12-integer recursion increments, BIGINT suffix sums,
+    // one final division.
+    "shapley_knn" ->
+      s"""$embCte,
+         |$shapPairsCte,
+         |$shapExactCte
+         |SELECT train_id, label, n_tests,
+         |  ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
+         |FROM sagg ORDER BY train_id""".stripMargin,
+
+    "shapley_knn_trunc" ->
+      s"""$embCte,
+         |$shapPairsCte,
+         |spb AS (SELECT *, CAST(floor((cos6 + 1000000) / 8192.0)
+         |          AS BIGINT) AS bkt FROM sp),
+         |sl AS (SELECT * FROM spb QUALIFY row_number() OVER (
+         |        PARTITION BY test_id, bkt
+         |        ORDER BY cos6 DESC, train_id) <= 64),
+         |sr2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY test_id ORDER BY cos6 DESC, train_id)
+         |          AS rk FROM sl) z WHERE rk <= 64),
+         |sr3 AS (SELECT *, coalesce(lead(a) OVER (
+         |          PARTITION BY test_id ORDER BY cos6 DESC, train_id), 0)
+         |          AS a_nx FROM sr2),
+         |sterm AS (SELECT *, CAST(round((CAST((a - a_nx) * least(5, rk)
+         |            AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
+         |            AS BIGINT) AS t12 FROM sr3),
+         |ss AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
+         |         ORDER BY cos6 DESC, train_id
+         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |         AS s12 FROM sterm),
+         |sagg AS (SELECT train_id, train_label AS label,
+         |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
+         |         FROM ss GROUP BY 1, 2)
+         |SELECT train_id, label, n_tests,
+         |  ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
+         |FROM sagg ORDER BY train_id""".stripMargin,
+
+    "shapley_label_audit" ->
+      s"""$embCte,
+         |$shapPairsCte,
+         |$shapExactCte,
+         |sv2 AS (SELECT label, n_tests, s12sum,
+         |          ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
+         |        FROM sagg)
+         |SELECT label, count(*) AS n_points,
+         |  CAST(sum(CASE WHEN shapley < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_negative,
+         |  ${safe6("CAST(sum(s12sum) AS BIGINT) / (max(n_tests) * 1.0e12)")}
+         |    AS total_value,
+         |  ${safe6("CAST(sum(s12sum) AS BIGINT) / " +
+            "((count(*) * max(n_tests)) * 1.0e12)")} AS mean_value
+         |FROM sv2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // mirrors EntityResolution.entities: transitive closure of the
+    // match-verdict pairs + survivorship per entity.
+    "er_entities" ->
+      s"""WITH RECURSIVE $erCte,
+         |p AS (SELECT a_id AS d1, b_id AS d2 FROM ersc
+         |      WHERE score >= ${EntityResolution.ThMatch}),
+         |e AS (SELECT d1 AS ex, d2 AS ey FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT ex AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.ex AS id, reach.r FROM e JOIN reach ON reach.id = e.ey
+         |),
+         |assign AS (SELECT id AS rec_id, min(r) AS entity_id
+         |           FROM reach GROUP BY id),
+         |recs AS (SELECT rec_id, name, ab_c, 'A' AS src FROM era
+         |         UNION ALL
+         |         SELECT rec_id, name, ab_c, 'B' AS src FROM erb)
+         |SELECT entity_id, count(*) AS n_records,
+         |  count(DISTINCT src) AS n_sources,
+         |  min_by(name, rec_id) AS canonical_name,
+         |  max(ab_c) - min(ab_c) AS ab_spread_c
+         |FROM assign JOIN recs USING (rec_id)
+         |GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 
     // mirrors TextAnalysis.epochShuffleAudit: salted-hash position per
     // epoch, lag-based same-source adjacency counts, micro-pinned rate.

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors.vecDot
+
+/** Data valuation for a training corpus — exact KNN-Shapley (Jia et
+  * al. 2019, "Efficient Task-Specific Data Valuation for Nearest
+  * Neighbor Algorithms") plus its truncated scale twin. The Shapley
+  * value of a training point under the K-NN utility has a closed
+  * form over the distance ranking per test point:
+  *
+  *   s_(N) = 1[y_(N) = y_t] / N
+  *   s_(i) = s_(i+1) + (1[y_(i)=y_t] − 1[y_(i+1)=y_t]) · min(K,i) / (K·i)
+  *
+  * so a full fan-out (test × train), one ranking per test point, and
+  * a suffix sum compute EXACT Shapley values — no Monte Carlo. This
+  * is the pipeline's "which training points help, which hurt" signal:
+  * negative values flag mislabeled/poisoned points, the per-label
+  * audit flags systematically harmful slices.
+  *
+  * Determinism: cosines are pinned once at 1e-6 integer units and
+  * ranked with id tie-breaks (total order); each recursion INCREMENT
+  * is one exact integer-over-integer double division pinned at 1e-12
+  * integer units, so the suffix sums and the cross-test average are
+  * pure BIGINT arithmetic — order-free, bit-equal on any engine.
+  *
+  * Scale shape: the pair fan-out is |test|·|train| with the test
+  * panel broadcast (a bounded audit panel, like the retrieval-eval
+  * query set); work is embarrassingly parallel ACROSS test points.
+  * The exact form ranks the full corpus per test point (a per-test
+  * corpus-sized sort — fine for panel-scale tests, wrong at 100 TB),
+  * so [[shapleyKnnTruncated]] is the scale path: per-test top-R by a
+  * two-stage bucketed rank (per-(test, cosine-bucket) partial top-R,
+  * then top-R of the ≤ buckets·R survivors — the distributed
+  * partial-top-K discipline, no corpus-sized window partition), with
+  * the recursion truncated below rank R (s_(R+1) := 0, the TKNN
+  * estimator — the tail's |s| is bounded by 1/(K·R) per step and
+  * decays harmonically, which is why truncation is the standard
+  * production form).
+  */
+object Valuation {
+
+  /** K of the KNN utility. */
+  val K = 5
+
+  /** Test-panel selector: vec_id ≡ TestRes (mod TestMod), capped at
+    * [[MaxPanel]] members (vec_id < TestMod·MaxPanel) so the
+    * broadcast side stays parameter-bounded at any corpus size — a
+    * production valuation run scores against a FIXED eval panel, not
+    * a corpus fraction.
+    */
+  val TestMod = 50
+  val TestRes = 7
+  val MaxPanel = 1000
+
+  /** Truncation rank of the scale twin. */
+  val TruncR = 64
+
+  /** Cosine-bucket width (1e-6 units) for the two-stage top-R. */
+  val BucketWidth = 8192L
+
+  private def r6(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
+
+  private def widened(embeddings: DataFrame): DataFrame = embeddings
+    .select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+
+  /** (test_id, test_label, train_id, train_label, cos6, a): the
+    * broadcast test panel fanned out against the train side, cosine
+    * pinned at 1e-6 integers, a = 1[labels agree].
+    */
+  private def pairs(embeddings: DataFrame): DataFrame = {
+    val n = widened(embeddings)
+    val isTest = pmod(col("vec_id"), lit(TestMod)) === TestRes &&
+      col("vec_id") < lit(TestMod.toLong * MaxPanel)
+    val test = n.filter(isTest).select(col("vec_id").as("test_id"),
+      col("label").as("test_label"), col("v").as("qv"), col("nrm").as("qn"))
+    val train = n.filter(!isTest).select(col("vec_id").as("train_id"),
+      col("label").as("train_label"), col("v"), col("nrm"))
+    train.join(broadcast(test), lit(true))
+      .select(col("test_id"), col("train_id"), col("train_label"),
+        round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+          * lit(1.0e6), 0).cast("long").as("cos6"),
+        when(col("train_label") === col("test_label"), 1)
+          .otherwise(0).as("a"))
+  }
+
+  private val byCos = Window.partitionBy(col("test_id"))
+    .orderBy(col("cos6").desc, col("train_id"))
+
+  /** One recursion increment in 1e-12 integer units: exact integer
+    * numerator/denominator, ONE double division, one pin. `aNx` is
+    * 1[y_(rk+1) = y_t] (0 past the end), `last` marks the deepest
+    * ranked row (where the exact form's base term 1[y_(N)=y_t]/N
+    * applies — the truncated form passes lastBase = false and lets
+    * the generic increment with aNx = 0 realize s_(R) exactly).
+    */
+  private def term12(nTrain: Column, lastBase: Boolean): Column = {
+    val num = ((col("a") - col("a_nx")) * least(lit(K), col("rk")))
+      .cast("double")
+    val den = (lit(K) * col("rk")).cast("double")
+    val inc = round(num / den * lit(1.0e12), 0)
+    if (lastBase)
+      when(col("rk") < nTrain, inc)
+        .otherwise(round(col("a").cast("double") / nTrain.cast("double")
+          * lit(1.0e12), 0)).cast("long")
+    else inc.cast("long")
+  }
+
+  /** (train_id, label, n_tests, s12sum): cross-test total in exact
+    * 1e-12 integer units — every aggregation upstream of the single
+    * final division stays in BIGINTs.
+    */
+  private def exactS12(embeddings: DataFrame): DataFrame = {
+    val ranked = pairs(embeddings)
+      .withColumn("rk", row_number().over(byCos))
+      .withColumn("n_train", count(lit(1)).over(
+        Window.partitionBy(col("test_id"))))
+      .withColumn("a_nx", lead(col("a"), 1, 0).over(byCos))
+    ranked
+      .withColumn("t12", term12(col("n_train"), lastBase = true))
+      .withColumn("s12", sum(col("t12")).over(
+        byCos.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .groupBy(col("train_id"), col("train_label").as("label"))
+      .agg(count(lit(1)).as("n_tests"), sum(col("s12")).as("s12sum"))
+  }
+
+  /** Exact KNN-Shapley value per training point, averaged over the
+    * test panel: (train_id, label, n_tests, shapley). Ranks the full
+    * train side per test point — the harness-exact form.
+    */
+  def shapleyKnn(embeddings: DataFrame): DataFrame =
+    exactS12(embeddings)
+      .select(col("train_id"), col("label"), col("n_tests"),
+        r6(col("s12sum").cast("double") /
+          (col("n_tests") * lit(1.0e12))).as("shapley"))
+      .orderBy(col("train_id"))
+
+  /** Truncated KNN-Shapley (rank ≤ [[TruncR]], s_(R+1) := 0) with the
+    * two-stage bucketed top-R — the 100 TB form: stage 1 ranks within
+    * (test, cosine bucket) partitions (bounded by bucket occupancy),
+    * stage 2 ranks the ≤ buckets·R survivors per test. No
+    * corpus-sized window partition anywhere in the plan.
+    */
+  def shapleyKnnTruncated(embeddings: DataFrame): DataFrame = {
+    val p = pairs(embeddings)
+      .withColumn("bkt", floor((col("cos6") + lit(1000000L))
+        / lit(BucketWidth.toDouble)).cast("long"))
+    val local = p.withColumn("lrk", row_number().over(
+        Window.partitionBy(col("test_id"), col("bkt"))
+          .orderBy(col("cos6").desc, col("train_id"))))
+      .filter(col("lrk") <= TruncR)
+    val ranked = local
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= TruncR)
+      .withColumn("a_nx", lead(col("a"), 1, 0).over(byCos))
+    val s = ranked
+      .withColumn("t12", term12(lit(0L), lastBase = false))
+      .withColumn("s12", sum(col("t12")).over(
+        byCos.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    s.groupBy(col("train_id"), col("train_label").as("label"))
+      .agg(count(lit(1)).as("n_tests"), sum(col("s12")).as("s12sum"))
+      .select(col("train_id"), col("label"), col("n_tests"),
+        r6(col("s12sum").cast("double") /
+          (col("n_tests") * lit(1.0e12))).as("shapley"))
+      .orderBy(col("train_id"))
+  }
+
+  /** Per-label valuation audit: member count, harmful count (negative
+    * PINNED value — the user-facing sign), total/mean value — the "is
+    * one label slice poisoning the panel" roll-up. Totals aggregate
+    * the exact 1e-12 integers (order-free) and divide ONCE at the
+    * end; summing the pinned per-point doubles instead would reorder
+    * a float sum across partitions.
+    */
+  def shapleyLabelAudit(embeddings: DataFrame): DataFrame =
+    exactS12(embeddings)
+      .withColumn("shapley", r6(col("s12sum").cast("double") /
+        (col("n_tests") * lit(1.0e12))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("shapley") < 0, 1L).otherwise(0L)).as("n_negative"),
+        sum(col("s12sum")).as("t12"), max(col("n_tests")).as("nt"))
+      .select(col("label"), col("n_points"), col("n_negative"),
+        r6(col("t12").cast("double") / (col("nt") * lit(1.0e12)))
+          .as("total_value"),
+        r6(col("t12").cast("double") /
+          (col("n_points") * col("nt") * lit(1.0e12))).as("mean_value"))
+      .orderBy(col("label"))
+}

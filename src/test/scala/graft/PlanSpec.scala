@@ -526,7 +526,13 @@ class PlanSpec extends SparkSpec {
       "maxsim_topk", "maxsim_eval", "maxsim_retire", "maxsim_incremental",
       // |channels|+1-row removal-key replication + 1-row base/total
       // cross joins, all onto types^2-sized tables
-      "attribution_markov")
+      "attribution_markov",
+      // 1-row u-probability stats cross joins (plus er_eval's 7-row
+      // literal threshold theta join) — bounded by construction
+      "er_match", "er_eval", "er_entities",
+      // the MaxPanel-capped test-panel broadcast (parameter-bounded
+      // like ann_topk's query set)
+      "shapley_knn", "shapley_knn_trunc", "shapley_label_audit")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
