@@ -1092,6 +1092,29 @@ object SparkEntry {
       EntityResolution.entities(
         EntityResolution.sourceA(c), EntityResolution.sourceB(c))
     }),
+    // incremental twin: delta B records blocked against the persisted
+    // master index, scored with u probabilities FROZEN on the history.
+    "er_incremental" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = EntityResolution.sourceA(c)
+      val b = EntityResolution.sourceB(c)
+      val splitH = graft.functions.TextFunctions.hash60(
+        concat(lit("er_inc_"), col("rec_id").cast("string"))) % 100
+      EntityResolution.incrementalMatches(a,
+          b.filter(splitH < 80), b.filter(splitH >= 80))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    // takedown twin: retired master records anti-joined out of the
+    // frozen match index, entity graph re-closed over survivors.
+    "er_retire" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = EntityResolution.sourceA(c)
+      val retired = a.filter(graft.functions.TextFunctions.hash60(
+          concat(lit("er_ret_"), col("rec_id").cast("string"))) % 10 === 3)
+        .select(col("rec_id"))
+      EntityResolution.entitiesAfterRetire(a,
+        EntityResolution.sourceB(c), retired)
+    }),
     // ---- data valuation: exact KNN-Shapley (closed form, no Monte
     // Carlo) over the embedding corpus vs a held-out test panel, its
     // truncated two-stage top-R scale twin, and the per-label audit.
@@ -2333,7 +2356,7 @@ object SparkEntry {
     * priors are interpolated from the Scala constants so both engines
     * parse the EXACT same doubles (1.0−0.9 is not 0.1 in IEEE).
     */
-  private val erCte = {
+  private object ErOracle {
     import EntityResolution._
     val segList =
       "['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']"
@@ -2362,88 +2385,115 @@ object SparkEntry {
     val wAb =
       s"""CASE WHEN ab_agree THEN ln($MAb / u_ab) / ln(2.0)
          |     ELSE ln(${1.0 - MAb} / (1.0 - u_ab)) / ln(2.0) END""".stripMargin
-    s"""era AS (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
-       |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
-       |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS ab_c
-       |  FROM customer),
-       |erb AS (SELECT rec_id + $BIdOffset AS rec_id,
-       |    CASE WHEN ${h60("'er_nm_' || rec_id")} % 10 IN (0, 1) THEN
-       |           substr(name, 1, CAST(${h60("'er_pos_' || rec_id")}
-       |             % length(name) AS INT)) ||
-       |           substr(name, CAST(${h60("'er_pos_' || rec_id")}
-       |             % length(name) AS INT) + 2, 200)
-       |         WHEN ${h60("'er_nm_' || rec_id")} % 10 = 2 THEN upper(name)
-       |         WHEN ${h60("'er_nm_' || rec_id")} % 10 = 3 THEN name || ' '
-       |         ELSE name END AS name,
-       |    CASE WHEN ${h60("'er_nat_' || rec_id")} % 50 = 0
-       |         THEN (nat + 1) % 25 ELSE nat END AS nat,
-       |    CASE WHEN ${h60("'er_seg_' || rec_id")} % 20 = 0
-       |         THEN ($segList)[CAST(${h60("'er_seg2_' || rec_id")} % 5
-       |           AS INT) + 1]
-       |         ELSE seg END AS seg,
-       |    CASE WHEN ${h60("'er_ab_' || rec_id")} % 4 = 0
-       |         THEN ab_c + (${h60("'er_ab2_' || rec_id")} % 199) - 99
-       |         ELSE ab_c END AS ab_c
-       |  FROM era WHERE ${h60("'er_drop_' || rec_id")} % 10 <> 0),
-       |kA AS (${keys("era")}),
-       |kB AS (${keys("erb")}),
-       |kac AS (${cap("A")}),
-       |kbc AS (${cap("B")}),
-       |ercand AS (SELECT a_id, b_id,
-       |    CAST(max(CASE WHEN bkey LIKE 's|%' THEN 1 ELSE 0 END)
-       |      AS BOOLEAN) AS via_attr,
-       |    CAST(max(CASE WHEN bkey LIKE 'b|%' THEN 1 ELSE 0 END)
-       |      AS BOOLEAN) AS via_band
-       |  FROM (SELECT x.rec_id AS a_id, y.rec_id AS b_id, x.bkey
-       |        FROM kac x JOIN kbc y USING (bkey))
-       |  GROUP BY a_id, b_id),
-       |erna AS (SELECT count(*) AS n_a FROM era),
-       |ernb AS (SELECT count(*) AS n_b FROM erb),
-       |ersegu AS (SELECT sum(ca * cb) AS seg_hits FROM
-       |    (SELECT seg AS v, count(*) AS ca FROM era GROUP BY 1) x
-       |    JOIN (SELECT seg AS v, count(*) AS cb FROM erb GROUP BY 1) y
-       |      USING (v)),
-       |ernameu AS (SELECT coalesce(sum(ca * cb), 0) AS name_hits FROM
-       |    (SELECT lower(trim(name)) AS v, count(*) AS ca FROM era
-       |     GROUP BY 1) x
-       |    JOIN (SELECT lower(trim(name)) AS v, count(*) AS cb FROM erb
-       |          GROUP BY 1) y USING (v)),
-       |ersv AS (SELECT greatest(1, CAST(floor(n_b / $UPairsPerA.0)
-       |    AS BIGINT)) AS sv FROM ernb),
-       |erpa AS (SELECT ${h60("'er_u_' || rec_id")} % (SELECT sv FROM ersv)
-       |    AS uk, lower(trim(name)) AS nm_a, ab_c AS ab_a FROM era),
-       |erpb AS (SELECT ${h60("'er_u2_' || rec_id")} % (SELECT sv FROM ersv)
-       |    AS uk, lower(trim(name)) AS nm_b, ab_c AS ab_b FROM erb),
-       |ersamp AS (SELECT count(*) AS n_pairs,
-       |    sum(CASE WHEN nm_a = nm_b THEN 1 ELSE 0 END) AS n_exact,
-       |    sum(CASE WHEN nm_a <> nm_b
-       |             AND levenshtein(nm_a, nm_b) <= 2 THEN 1 ELSE 0 END)
-       |      AS n_close,
-       |    sum(CASE WHEN abs(ab_a - ab_b) <= 100 THEN 1 ELSE 0 END) AS n_ab
-       |  FROM erpa JOIN erpb USING (uk)),
-       |eru AS (SELECT
-       |    greatest(name_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9)
-       |      AS u_name_exact,
-       |    greatest(n_close / CAST(n_pairs AS DOUBLE), 1.0e-9)
-       |      AS u_name_close,
-       |    greatest(seg_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9) AS u_seg,
-       |    greatest(n_ab / CAST(n_pairs AS DOUBLE), 1.0e-9) AS u_ab
-       |  FROM ersamp, erna, ernb, ersegu, ernameu),
-       |erg AS (SELECT c.a_id, c.b_id,
-       |    CASE WHEN x.nm_a = y.nm_b THEN 2
-       |         WHEN levenshtein(x.nm_a, y.nm_b) <= 2 THEN 1
-       |         ELSE 0 END AS gamma_name,
-       |    x.seg_a = y.seg_b AS seg_agree,
-       |    abs(x.ab_a - y.ab_b) <= 100 AS ab_agree
-       |  FROM ercand c
-       |  JOIN (SELECT rec_id, lower(trim(name)) AS nm_a, seg AS seg_a,
-       |          ab_c AS ab_a FROM era) x ON x.rec_id = c.a_id
-       |  JOIN (SELECT rec_id, lower(trim(name)) AS nm_b, seg AS seg_b,
-       |          ab_c AS ab_b FROM erb) y ON y.rec_id = c.b_id),
-       |ersc AS (SELECT a_id, b_id, gamma_name, seg_agree, ab_agree,
-       |    ${safe6(s"($wName) + ($wSeg) + ($wAb)")} AS score
-       |  FROM erg, eru)""".stripMargin
+
+    /** The A/B record sets (era, erb). */
+    val base =
+      s"""era AS (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS name,
+         |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS ab_c
+         |  FROM customer),
+         |erb AS (SELECT rec_id + $BIdOffset AS rec_id,
+         |    CASE WHEN ${h60("'er_nm_' || rec_id")} % 10 IN (0, 1) THEN
+         |           substr(name, 1, CAST(${h60("'er_pos_' || rec_id")}
+         |             % length(name) AS INT)) ||
+         |           substr(name, CAST(${h60("'er_pos_' || rec_id")}
+         |             % length(name) AS INT) + 2, 200)
+         |         WHEN ${h60("'er_nm_' || rec_id")} % 10 = 2 THEN upper(name)
+         |         WHEN ${h60("'er_nm_' || rec_id")} % 10 = 3 THEN name || ' '
+         |         ELSE name END AS name,
+         |    CASE WHEN ${h60("'er_nat_' || rec_id")} % 50 = 0
+         |         THEN (nat + 1) % 25 ELSE nat END AS nat,
+         |    CASE WHEN ${h60("'er_seg_' || rec_id")} % 20 = 0
+         |         THEN ($segList)[CAST(${h60("'er_seg2_' || rec_id")} % 5
+         |           AS INT) + 1]
+         |         ELSE seg END AS seg,
+         |    CASE WHEN ${h60("'er_ab_' || rec_id")} % 4 = 0
+         |         THEN ab_c + (${h60("'er_ab2_' || rec_id")} % 199) - 99
+         |         ELSE ab_c END AS ab_c
+         |  FROM era WHERE ${h60("'er_drop_' || rec_id")} % 10 <> 0)""".stripMargin
+
+    /** Blocking + u-estimation + Fellegi-Sunter scoring CTEs.
+      * `bu` = the B relation the u probabilities see (frozen history
+      * in the incremental twin); `bc` = the B relation blocked and
+      * scored (the delta). The plain family passes erb for both.
+      */
+    def scoring(bu: String, bc: String) =
+      s"""kA AS (${keys("era")}),
+         |kB AS (${keys(bc)}),
+         |kac AS (${cap("A")}),
+         |kbc AS (${cap("B")}),
+         |ercand AS (SELECT a_id, b_id,
+         |    CAST(max(CASE WHEN bkey LIKE 's|%' THEN 1 ELSE 0 END)
+         |      AS BOOLEAN) AS via_attr,
+         |    CAST(max(CASE WHEN bkey LIKE 'b|%' THEN 1 ELSE 0 END)
+         |      AS BOOLEAN) AS via_band
+         |  FROM (SELECT x.rec_id AS a_id, y.rec_id AS b_id, x.bkey
+         |        FROM kac x JOIN kbc y USING (bkey))
+         |  GROUP BY a_id, b_id),
+         |erna AS (SELECT count(*) AS n_a FROM era),
+         |ernb AS (SELECT count(*) AS n_b FROM $bu),
+         |ersegu AS (SELECT sum(ca * cb) AS seg_hits FROM
+         |    (SELECT seg AS v, count(*) AS ca FROM era GROUP BY 1) x
+         |    JOIN (SELECT seg AS v, count(*) AS cb FROM $bu GROUP BY 1) y
+         |      USING (v)),
+         |ernameu AS (SELECT coalesce(sum(ca * cb), 0) AS name_hits FROM
+         |    (SELECT lower(trim(name)) AS v, count(*) AS ca FROM era
+         |     GROUP BY 1) x
+         |    JOIN (SELECT lower(trim(name)) AS v, count(*) AS cb FROM $bu
+         |          GROUP BY 1) y USING (v)),
+         |ersv AS (SELECT greatest(1, CAST(floor(n_b / $UPairsPerA.0)
+         |    AS BIGINT)) AS sv FROM ernb),
+         |erpa AS (SELECT ${h60("'er_u_' || rec_id")} % (SELECT sv FROM ersv)
+         |    AS uk, lower(trim(name)) AS nm_a, ab_c AS ab_a FROM era),
+         |erpb AS (SELECT ${h60("'er_u2_' || rec_id")} % (SELECT sv FROM ersv)
+         |    AS uk, lower(trim(name)) AS nm_b, ab_c AS ab_b FROM $bu),
+         |ersamp AS (SELECT count(*) AS n_pairs,
+         |    sum(CASE WHEN nm_a = nm_b THEN 1 ELSE 0 END) AS n_exact,
+         |    sum(CASE WHEN nm_a <> nm_b
+         |             AND levenshtein(nm_a, nm_b) <= 2 THEN 1 ELSE 0 END)
+         |      AS n_close,
+         |    sum(CASE WHEN abs(ab_a - ab_b) <= 100 THEN 1 ELSE 0 END) AS n_ab
+         |  FROM erpa JOIN erpb USING (uk)),
+         |eru AS (SELECT
+         |    greatest(name_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9)
+         |      AS u_name_exact,
+         |    greatest(n_close / CAST(n_pairs AS DOUBLE), 1.0e-9)
+         |      AS u_name_close,
+         |    greatest(seg_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9) AS u_seg,
+         |    greatest(n_ab / CAST(n_pairs AS DOUBLE), 1.0e-9) AS u_ab
+         |  FROM ersamp, erna, ernb, ersegu, ernameu),
+         |erg AS (SELECT c.a_id, c.b_id,
+         |    CASE WHEN x.nm_a = y.nm_b THEN 2
+         |         WHEN levenshtein(x.nm_a, y.nm_b) <= 2 THEN 1
+         |         ELSE 0 END AS gamma_name,
+         |    x.seg_a = y.seg_b AS seg_agree,
+         |    abs(x.ab_a - y.ab_b) <= 100 AS ab_agree
+         |  FROM ercand c
+         |  JOIN (SELECT rec_id, lower(trim(name)) AS nm_a, seg AS seg_a,
+         |          ab_c AS ab_a FROM era) x ON x.rec_id = c.a_id
+         |  JOIN (SELECT rec_id, lower(trim(name)) AS nm_b, seg AS seg_b,
+         |          ab_c AS ab_b FROM $bc) y ON y.rec_id = c.b_id),
+         |ersc AS (SELECT a_id, b_id, gamma_name, seg_agree, ab_agree,
+         |    ${safe6(s"($wName) + ($wSeg) + ($wAb)")} AS score
+         |  FROM erg, eru)""".stripMargin
   }
+
+  private val erCte =
+    s"""${ErOracle.base},
+       |${ErOracle.scoring("erb", "erb")}""".stripMargin
+
+  /** Incremental-ER oracle: B split 80/20 into history/delta; the u
+    * probabilities are FROZEN on the history and only the delta is
+    * blocked and scored (delta-local B-side caps — the batch is what
+    * the nightly job sees).
+    */
+  private val erIncCte =
+    s"""${ErOracle.base},
+       |erbh AS (SELECT * FROM erb
+       |         WHERE ${h60("'er_inc_' || rec_id")} % 100 < 80),
+       |erbd AS (SELECT * FROM erb
+       |         WHERE ${h60("'er_inc_' || rec_id")} % 100 >= 80),
+       |${ErOracle.scoring("erbh", "erbd")}""".stripMargin
 
   /** Distinct 8-gram shingle index (mirrors the decontamination ngram;
     * long shingles = shared passages, not shared vocabulary).
@@ -2756,8 +2806,8 @@ object SparkEntry {
        |         * 1.0e12, 0)
        |  END AS BIGINT) AS t12 FROM sr),
        |ss AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
-       |         ORDER BY cos6 DESC, train_id
-       |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |         ORDER BY cos6 ASC, train_id DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |         AS s12 FROM sterm),
        |sagg AS (SELECT train_id, train_label AS label,
        |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
@@ -5760,8 +5810,8 @@ object SparkEntry {
          |            AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
          |            AS BIGINT) AS t12 FROM sr3),
          |ss AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
-         |         ORDER BY cos6 DESC, train_id
-         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |         ORDER BY cos6 ASC, train_id DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |         AS s12 FROM sterm),
          |sagg AS (SELECT train_id, train_label AS label,
          |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
@@ -5785,6 +5835,46 @@ object SparkEntry {
          |  ${safe6("CAST(sum(s12sum) AS BIGINT) / " +
             "((count(*) * max(n_tests)) * 1.0e12)")} AS mean_value
          |FROM sv2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // mirrors EntityResolution.incrementalMatches: frozen-history u,
+    // delta-only blocking and scoring.
+    "er_incremental" ->
+      s"""WITH $erIncCte
+         |SELECT a_id, b_id, gamma_name, seg_agree, ab_agree, score,
+         |  CASE WHEN score >= ${EntityResolution.ThMatch} THEN 'match'
+         |       WHEN score >= ${EntityResolution.ThPossible} THEN 'possible'
+         |       ELSE 'nonmatch' END AS verdict
+         |FROM ersc ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors EntityResolution.entitiesAfterRetire: retired master
+    // records anti-joined out of the frozen match index, transitive
+    // closure over the survivors.
+    "er_retire" ->
+      s"""WITH RECURSIVE $erCte,
+         |ret AS (SELECT rec_id FROM era
+         |        WHERE ${h60("'er_ret_' || rec_id")} % 10 = 3),
+         |p AS (SELECT a_id AS d1, b_id AS d2 FROM ersc
+         |      WHERE score >= ${EntityResolution.ThMatch}
+         |        AND a_id NOT IN (SELECT rec_id FROM ret)),
+         |e AS (SELECT d1 AS ex, d2 AS ey FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT ex AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.ex AS id, reach.r FROM e JOIN reach ON reach.id = e.ey
+         |),
+         |assign AS (SELECT id AS rec_id, min(r) AS entity_id
+         |           FROM reach GROUP BY id),
+         |recs AS (SELECT rec_id, name, ab_c, 'A' AS src FROM era
+         |         WHERE rec_id NOT IN (SELECT rec_id FROM ret)
+         |         UNION ALL
+         |         SELECT rec_id, name, ab_c, 'B' AS src FROM erb)
+         |SELECT entity_id, count(*) AS n_records,
+         |  count(DISTINCT src) AS n_sources,
+         |  min_by(name, rec_id) AS canonical_name,
+         |  max(ab_c) - min(ab_c) AS ab_spread_c
+         |FROM assign JOIN recs USING (rec_id)
+         |GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 
     // mirrors EntityResolution.entities: transitive closure of the
     // match-verdict pairs + survivorship per entity.

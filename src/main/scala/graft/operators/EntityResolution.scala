@@ -132,7 +132,8 @@ object EntityResolution {
     * shift keeps the band dividend non-negative (floor ≡ truncate in
     * every engine only above zero).
     */
-  private def blocked(recs: DataFrame, side: String): DataFrame = {
+  private def blocked(recs: DataFrame, side: String,
+                      cap: Int = MaxBlockSize): DataFrame = {
     val band = floor((col("ab_c") + lit(100000L)) / lit(50000.0)).cast("long")
     val keyed = recs
       .select(col("rec_id"),
@@ -142,17 +143,39 @@ object EntityResolution {
     keyed.withColumn("brk", row_number().over(
         Window.partitionBy(col("bkey"))
           .orderBy(h(s"er_cap${side}_", col("rec_id")), col("rec_id"))))
-      .filter(col("brk") <= MaxBlockSize)
+      .filter(col("brk") <= cap)
       .select(col("rec_id"), col("bkey"))
   }
+
+  /** Row-wise blocking keys — the STREAMING-safe variant of [[blocked]]
+    * (one map-only explode per record, no window, no cap: a streaming
+    * delta is batch-bounded by construction; the cap lives on the
+    * persisted master side). Same (rec_id, bkey) multiset as
+    * [[blocked]]'s key-union, minus the rank cut.
+    */
+  def blockKeysRowwise(recs: DataFrame): DataFrame = {
+    val band = floor((col("ab_c") + lit(100000L)) / lit(50000.0)).cast("long")
+    recs.select(col("rec_id"), explode(array(
+      concat(lit("s|"), col("nat"), lit("|"), col("seg")),
+      concat(lit("b|"), col("nat"), lit("|"), band))).as("bkey"))
+  }
+
+  /** The persisted master-side blocking index a production deployment
+    * keeps on disk: the capped (bkey, a_id) postings of source A —
+    * what the incremental and streaming twins join deltas against.
+    */
+  def masterIndex(a: DataFrame, cap: Int = MaxBlockSize): DataFrame =
+    blocked(a, "A", cap).select(col("bkey"), col("rec_id").as("a_id"))
 
   /** Candidate pairs: bipartite equi-join of the two capped key sets,
     * one row per (a, b) with which pass(es) produced it. Output:
     * (a_id, b_id, via_attr, via_band).
     */
-  def candidates(a: DataFrame, b: DataFrame): DataFrame =
-    blocked(a, "A").select(col("rec_id").as("a_id"), col("bkey"))
-      .join(blocked(b, "B").select(col("rec_id").as("b_id"), col("bkey")),
+  def candidates(a: DataFrame, b: DataFrame,
+                 cap: Int = MaxBlockSize): DataFrame =
+    blocked(a, "A", cap).select(col("rec_id").as("a_id"), col("bkey"))
+      .join(
+        blocked(b, "B", cap).select(col("rec_id").as("b_id"), col("bkey")),
         "bkey")
       .groupBy(col("a_id"), col("b_id"))
       .agg(
@@ -225,15 +248,33 @@ object EntityResolution {
     * Output: (a_id, b_id, gamma_name, seg_agree, ab_agree, score,
     * verdict).
     */
-  def matchScores(a: DataFrame, b: DataFrame): DataFrame = {
-    val cand = candidates(a, b)
+  def matchScores(a: DataFrame, b: DataFrame,
+                  cap: Int = MaxBlockSize): DataFrame =
+    scoreCandidates(candidates(a, b, cap), a, b, uProbabilities(a, b))
+
+  /** Incremental ER — the nightly-delta twin (the lifecycle discipline
+    * every index family carries): the master A's blocking index is
+    * what production persists (re-derived here from the same rows),
+    * the u probabilities are FROZEN on the already-resolved history
+    * batch (chance agreement is a corpus property — re-estimating it
+    * per delta would make yesterday's verdicts irreproducible), and
+    * only the DELTA is keyed, capped (delta-local B-side caps: the
+    * batch is what the job sees), joined, and scored. Work scales
+    * with the delta, never the history.
+    */
+  def incrementalMatches(a: DataFrame, bHist: DataFrame,
+                         bDelta: DataFrame): DataFrame =
+    scoreCandidates(candidates(a, bDelta), a, bDelta,
+      uProbabilities(a, bHist))
+
+  private def scoreCandidates(cand: DataFrame, a: DataFrame,
+                              b: DataFrame, u: DataFrame): DataFrame = {
     val an = a.select(col("rec_id").as("a_id"),
       lower(trim(col("name"))).as("nm_a"), col("seg").as("seg_a"),
       col("ab_c").as("ab_a"))
     val bn = b.select(col("rec_id").as("b_id"),
       lower(trim(col("name"))).as("nm_b"), col("seg").as("seg_b"),
       col("ab_c").as("ab_b"))
-    val u = uProbabilities(a, b)
     val g = cand.join(an, "a_id").join(bn, "b_id")
       .withColumn("gamma_name",
         when(col("nm_a") === col("nm_b"), 2)
@@ -269,9 +310,9 @@ object EntityResolution {
     * table is scanned once per output row set, not per threshold.
     */
   def erEval(a: DataFrame, b: DataFrame,
-             thresholds: Seq[Double] = Seq(0, 2, 4, 6, 8, 10, 12))
-      : DataFrame = {
-    val scores = matchScores(a, b)
+             thresholds: Seq[Double] = Seq(0, 2, 4, 6, 8, 10, 12),
+             cap: Int = MaxBlockSize): DataFrame = {
+    val scores = matchScores(a, b, cap)
       .withColumn("is_true", col("b_id") - lit(BIdOffset) === col("a_id"))
     val spark = a.sparkSession
     import spark.implicits._
@@ -306,10 +347,33 @@ object EntityResolution {
   def entities(a: DataFrame, b: DataFrame): DataFrame = {
     val matched = matchScores(a, b).filter(col("verdict") === "match")
       .select(col("a_id").as("d1"), col("b_id").as("d2"))
-    val assign = Dedup.clusters(matched)
-      .select(col("doc_id").as("rec_id"), col("cluster_rep").as("entity_id"))
-    val recs = a.withColumn("src", lit("A"))
+    entityRollup(matched,
+      a.withColumn("src", lit("A")).unionByName(b.withColumn("src", lit("B"))))
+  }
+
+  /** Takedown (right-to-be-forgotten) twin: retired master records are
+    * ANTI-JOINED out of the persisted match-pair index and the entity
+    * graph is re-closed over the survivors — match SCORES are served
+    * frozen (the bitext_retire discipline: takedown must not force a
+    * re-estimation pass over 100 TB). B observations whose A twin
+    * retired keep any OTHER surviving matches or silently drop out of
+    * the entity table.
+    */
+  def entitiesAfterRetire(a: DataFrame, b: DataFrame,
+                          retired: DataFrame): DataFrame = {
+    val surviving = matchScores(a, b).filter(col("verdict") === "match")
+      .join(broadcast(retired), col("a_id") === retired("rec_id"),
+        "left_anti")
+      .select(col("a_id").as("d1"), col("b_id").as("d2"))
+    val recs = a.join(broadcast(retired), Seq("rec_id"), "left_anti")
+      .withColumn("src", lit("A"))
       .unionByName(b.withColumn("src", lit("B")))
+    entityRollup(surviving, recs)
+  }
+
+  private def entityRollup(pairs: DataFrame, recs: DataFrame): DataFrame = {
+    val assign = Dedup.clusters(pairs)
+      .select(col("doc_id").as("rec_id"), col("cluster_rep").as("entity_id"))
     assign.join(recs, "rec_id")
       .groupBy(col("entity_id"))
       .agg(count(lit(1)).as("n_records"),

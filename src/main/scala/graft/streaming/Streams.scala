@@ -318,6 +318,28 @@ object Streams {
         histBands, tgtLang, "tgt_id", maxBucket), Seq("band", "bkey"))
       .select(col("src_id"), col("tgt_id"))
 
+  /** Stream-static entity-resolution candidate retrieval: each
+    * STREAMING delta of B-side records is block-keyed per row
+    * (map-only — [[graft.operators.EntityResolution.blockKeysRowwise]],
+    * no window, no cap: the delta is batch-bounded) and joined against
+    * the PERSISTED capped master index
+    * ([[graft.operators.EntityResolution.masterIndex]]) — the
+    * streaming twin of [[graft.operators.EntityResolution
+    * .incrementalMatches]]' retrieval half. Fully stateless.
+    * Fellegi–Sunter scoring needs the frozen u probabilities and both
+    * records' fields, so scoring is the sink-side batch compaction
+    * over the landed pairs (the bitext/margin discipline — parity
+    * with the batch incremental candidates asserted in
+    * StreamingSpec). Emits (a_id, b_id) in append mode; a pair
+    * colliding on both blocking passes appears twice — distinct at
+    * the sink.
+    */
+  def erCandidateStream(deltaB: DataFrame, masterIdx: DataFrame)
+      : DataFrame =
+    graft.operators.EntityResolution.blockKeysRowwise(deltaB)
+      .join(masterIdx, "bkey")
+      .select(col("a_id"), col("rec_id").as("b_id"))
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition

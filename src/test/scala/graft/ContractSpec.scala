@@ -65,6 +65,7 @@ class ContractSpec extends AnyFunSuite {
     val allowed = Map(
       "graft/CodegenAudit.scala" -> 1, // dev tool: plan-string probe
       "graft/BitextKnob.scala" -> 1, // dev tool: 1-row audit summary
+      "graft/ErKnob.scala" -> 1, // dev tool: 1-row eval-threshold row
       "graft/operators/Backtest.scala" -> 2, // 1-row moment folds
       "graft/operators/Learn.scala" -> 9, // 1-row/model-sized GD folds
       "graft/operators/Similarity.scala" -> 1, // 1-row PCA moment

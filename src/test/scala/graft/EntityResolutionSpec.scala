@@ -67,6 +67,75 @@ class EntityResolutionSpec extends SparkSpec {
     assert(at6.getDouble(4) >= 0.8, s"precision ${at6.getDouble(4)}")
   }
 
+  test("incremental: delta candidates equal the full run's delta slice " +
+      "when caps don't bind") {
+    val splitH = graft.functions.TextFunctions.hash60(
+      concat(lit("er_inc_"), col("rec_id").cast("string"))) % 100
+    val bHist = b.filter(splitH < 80)
+    val bDelta = b.filter(splitH >= 80)
+    val deltaIds = bDelta.select("rec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty && deltaIds.size < b.count())
+    val inc = EntityResolution.incrementalMatches(a, bHist, bDelta)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val full = EntityResolution.matchScores(a, b)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds(p._2))
+    assert(inc == full, s"inc ${inc.size} vs full-slice ${full.size}")
+    // frozen-history u: the true twins in the delta still classify
+    val incMatch = EntityResolution.incrementalMatches(a, bHist, bDelta)
+      .filter(col("verdict") === "match")
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+      .count(p => p._2 - EntityResolution.BIdOffset == p._1)
+    assert(incMatch >= (deltaIds.size * 0.7).toInt,
+      s"$incMatch of ${deltaIds.size} delta twins matched")
+  }
+
+  test("retire: empty takedown is identity; full takedown empties the table") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rec_id",
+          org.apache.spark.sql.types.LongType))))
+    val base = EntityResolution.entities(a, b).collect().toSeq
+    val idem = EntityResolution.entitiesAfterRetire(a, b, empty)
+      .collect().toSeq
+    assert(base == idem)
+    val all = a.select(col("rec_id"))
+    assert(EntityResolution.entitiesAfterRetire(a, b, all).isEmpty)
+  }
+
+  test("stream-static ER candidates: batch parity against the master index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val splitH = graft.functions.TextFunctions.hash60(
+      concat(lit("er_inc_"), col("rec_id").cast("string"))) % 100
+    val bDelta = b.filter(splitH >= 80)
+    val masterIdx = EntityResolution.masterIndex(a).localCheckpoint(true)
+    val deltaRows = bDelta
+      .select(col("rec_id"), col("name"), col("nat"), col("seg"),
+        col("ab_c"))
+      .as[(Long, String, Long, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, Long, String, Long)]
+    val q = graft.streaming.Streams.erCandidateStream(
+        in.toDF.toDF("rec_id", "name", "nat", "seg", "ab_c"), masterIdx)
+      .writeStream.format("memory").queryName("er_cand_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(deltaRows: _*)
+      q.processAllAvailable()
+      val landed = spark.table("er_cand_stream").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch parity: the fixture is far below the caps, so the
+      // streamed candidates equal the batch incremental candidates
+      val batch = EntityResolution.candidates(a, bDelta)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)]
+        .collect().toSet
+      assert(landed.nonEmpty)
+      assert(landed == batch,
+        s"stream != batch:\n  landed=$landed\n  batch=$batch")
+    } finally q.stop()
+  }
+
   test("entities: clean-source survivorship and pair provenance") {
     val ents = EntityResolution.entities(a, b)
     val rows = ents.collect()

@@ -420,6 +420,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("unboundedfollowing"))
   }
 
+  test("shapley family: suffix sums run as REVERSED running frames, " +
+      "never [current row, unbounded following] (O(n^2) per-row " +
+      "re-aggregation; measured 198 s vs 20 s at 10x before the frame " +
+      "flip). The whole-partition [unbounded, unbounded] count frame " +
+      "is fine (computed once per partition).") {
+    Seq("shapley_knn", "shapley_knn_trunc", "shapley_label_audit")
+      .foreach { q =>
+        val p = plan(q).toLowerCase
+        assert(!p.contains("currentrow$(), unboundedfollowing"), s"$q:\n$p")
+      }
+  }
+
   test("suite-wide: nested-loop joins only where the build side is parameter-bounded") {
     // A BroadcastNestedLoopJoin over a DATA-scale side is the #1
     // silent 100 TB killer. The only ones allowed are those whose
@@ -529,7 +541,7 @@ class PlanSpec extends SparkSpec {
       "attribution_markov",
       // 1-row u-probability stats cross joins (plus er_eval's 7-row
       // literal threshold theta join) — bounded by construction
-      "er_match", "er_eval", "er_entities",
+      "er_match", "er_eval", "er_entities", "er_incremental", "er_retire",
       // the MaxPanel-capped test-panel broadcast (parameter-bounded
       // like ann_topk's query set)
       "shapley_knn", "shapley_knn_trunc", "shapley_label_audit")
