@@ -1124,6 +1124,10 @@ object SparkEntry {
       Valuation.shapleyKnnTruncated(Tables.embeddings(s, dir))),
     "shapley_label_audit" -> ((s, dir) =>
       Valuation.shapleyLabelAudit(Tables.embeddings(s, dir))),
+    // truncation-fidelity audit: TKNN-vs-exact value error per label,
+    // in exact 1e-6 integer units (the lsh_recall_audit discipline).
+    "shapley_trunc_fidelity" -> ((s, dir) =>
+      Valuation.shapleyTruncFidelity(Tables.embeddings(s, dir))),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -5835,6 +5839,52 @@ object SparkEntry {
          |  ${safe6("CAST(sum(s12sum) AS BIGINT) / " +
             "((count(*) * max(n_tests)) * 1.0e12)")} AS mean_value
          |FROM sv2 GROUP BY label ORDER BY label""".stripMargin,
+
+    // mirrors Valuation.shapleyTruncFidelity: both value chains (the
+    // trunc CTEs renamed with a t suffix), deltas in 1e-6 integers.
+    "shapley_trunc_fidelity" ->
+      s"""$embCte,
+         |$shapPairsCte,
+         |$shapExactCte,
+         |sve AS (SELECT train_id, label,
+         |          CAST(round((${safe6("s12sum / (n_tests * 1.0e12)")})
+         |            * 1.0e6, 0) AS BIGINT) AS e6
+         |        FROM sagg),
+         |spbt AS (SELECT *, CAST(floor((cos6 + 1000000) / 8192.0)
+         |           AS BIGINT) AS bkt FROM sp),
+         |slt AS (SELECT * FROM spbt QUALIFY row_number() OVER (
+         |         PARTITION BY test_id, bkt
+         |         ORDER BY cos6 DESC, train_id) <= 64),
+         |sr2t AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |           PARTITION BY test_id ORDER BY cos6 DESC, train_id)
+         |           AS rk FROM slt) z WHERE rk <= 64),
+         |sr3t AS (SELECT *, coalesce(lead(a) OVER (
+         |           PARTITION BY test_id ORDER BY cos6 DESC, train_id), 0)
+         |           AS a_nx FROM sr2t),
+         |stermt AS (SELECT *, CAST(round((CAST((a - a_nx) * least(5, rk)
+         |             AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
+         |             AS BIGINT) AS t12 FROM sr3t),
+         |sst AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
+         |          ORDER BY cos6 ASC, train_id DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS s12 FROM stermt),
+         |saggt AS (SELECT train_id, count(*) AS n_tests,
+         |            CAST(sum(s12) AS BIGINT) AS s12sum
+         |          FROM sst GROUP BY 1),
+         |svt AS (SELECT train_id,
+         |          CAST(round((${safe6("s12sum / (n_tests * 1.0e12)")})
+         |            * 1.0e6, 0) AS BIGINT) AS t6
+         |        FROM saggt),
+         |sj AS (SELECT sve.label, sve.e6, svt.t6,
+         |         abs(sve.e6 - coalesce(svt.t6, 0)) AS d6
+         |       FROM sve LEFT JOIN svt USING (train_id))
+         |SELECT label, count(*) AS n_points,
+         |  CAST(sum(CASE WHEN t6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_topr,
+         |  max(d6) AS max_delta6,
+         |  ${safe6("CAST(sum(d6) AS BIGINT) / (count(*) * 1.0e6)")}
+         |    AS mean_abs_delta
+         |FROM sj GROUP BY label ORDER BY label""".stripMargin,
 
     // mirrors EntityResolution.incrementalMatches: frozen-history u,
     // delta-only blocking and scoring.

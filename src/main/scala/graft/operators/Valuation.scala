@@ -180,6 +180,31 @@ object Valuation {
       .orderBy(col("train_id"))
   }
 
+  /** Truncation-fidelity audit — the TKNN approximation error as DATA
+    * (the lsh_recall_audit discipline): per label, how far the
+    * truncated values sit from the exact ones. Points absent from the
+    * truncated output carry its implicit 0. Deltas are compared in
+    * exact 1e-6 integer units (both sides' pinned grids), so max/mean
+    * are order-free; the harmonic tail bound says |Δ| ≲ ln(N/R)/K per
+    * test — the audit shows the realized error beside it.
+    */
+  def shapleyTruncFidelity(embeddings: DataFrame): DataFrame = {
+    val e6 = round(col("shapley") * lit(1.0e6), 0).cast("long")
+    val exact = shapleyKnn(embeddings)
+      .select(col("train_id"), col("label"), e6.as("e6"))
+    val trunc = shapleyKnnTruncated(embeddings)
+      .select(col("train_id"), e6.as("t6"))
+    exact.join(trunc, Seq("train_id"), "left")
+      .withColumn("d6", abs(col("e6") - coalesce(col("t6"), lit(0L))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("t6").isNotNull, 1L).otherwise(0L)).as("n_in_topr"),
+        max(col("d6")).as("max_delta6"),
+        r6(sum(col("d6")).cast("double") /
+          (count(lit(1)) * lit(1.0e6))).as("mean_abs_delta"))
+      .orderBy(col("label"))
+  }
+
   /** Per-label valuation audit: member count, harmful count (negative
     * PINNED value — the user-facing sign), total/mean value — the "is
     * one label slice poisoning the panel" roll-up. Totals aggregate

@@ -425,7 +425,8 @@ class PlanSpec extends SparkSpec {
       "re-aggregation; measured 198 s vs 20 s at 10x before the frame " +
       "flip). The whole-partition [unbounded, unbounded] count frame " +
       "is fine (computed once per partition).") {
-    Seq("shapley_knn", "shapley_knn_trunc", "shapley_label_audit")
+    Seq("shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
+        "shapley_trunc_fidelity")
       .foreach { q =>
         val p = plan(q).toLowerCase
         assert(!p.contains("currentrow$(), unboundedfollowing"), s"$q:\n$p")
@@ -544,7 +545,8 @@ class PlanSpec extends SparkSpec {
       "er_match", "er_eval", "er_entities", "er_incremental", "er_retire",
       // the MaxPanel-capped test-panel broadcast (parameter-bounded
       // like ann_topk's query set)
-      "shapley_knn", "shapley_knn_trunc", "shapley_label_audit")
+      "shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
+      "shapley_trunc_fidelity")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -84,6 +84,15 @@ class ValuationSpec extends SparkSpec {
     assert(exact.toSeq == trunc.toSeq)
   }
 
+  test("truncation fidelity reads zero error when R >= N") {
+    val fid = Valuation.shapleyTruncFidelity(embeddings).collect()
+    assert(fid.nonEmpty)
+    fid.foreach { r =>
+      assert(r.getLong(3) == 0L, s"max_delta6 nonzero: $r")
+      assert(r.getDouble(4) == 0.0, s"mean_abs_delta nonzero: $r")
+    }
+  }
+
   test("a mislabeled nearest neighbor values negative; label audit flags it") {
     val got = Valuation.shapleyKnn(embeddings)
       .select(col("train_id"), col("shapley")).as[(Long, Double)]
