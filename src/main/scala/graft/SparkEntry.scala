@@ -1288,6 +1288,15 @@ object SparkEntry {
     // vocab broadcast-joined to the corpus token stream.
     "bpe_segment" -> ((s, dir) =>
       TextAnalysis.bpeSegment(Tables.documents(s, dir))),
+    // WordPiece merge learning (BERT's trainer): likelihood-scored
+    // merges freq(ab)/(count(a)*count(b)) at the ## convention — the
+    // fourth subword algorithm, rare-but-correlated where BPE is
+    // frequency-greedy.
+    "wordpiece_learn" -> ((s, dir) =>
+      TextAnalysis.wordpieceLearn(Tables.documents(s, dir))),
+    // per-doc subword budgets under the learned WordPiece merges.
+    "wordpiece_segment" -> ((s, dir) =>
+      TextAnalysis.wordpieceSegment(Tables.documents(s, dir))),
     // tokenizer-sizing curve: top-k tokens with cumulative corpus share.
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
@@ -2646,6 +2655,74 @@ object SparkEntry {
     }.mkString
     head + stages
   }
+
+  /** WordPiece stage chain (mirrors TextAnalysis.wordpieceTrain): the
+    * bpeStagesSql structure at the ## convention with the likelihood
+    * score freq(ab)/(count(a)·count(b)) — per stage a symbol-count
+    * agg, a pair-count agg, the scored 1-row argmax, and the same
+    * left-to-right list_reduce merge walk.
+    */
+  private def wordpieceStagesSql(k: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT u.w AS w, count(*) AS freq
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents) tt,
+        |       unnest(tt.toks) AS u(w)
+        |  WHERE u.w <> '' GROUP BY u.w),
+        |t1 AS MATERIALIZED (SELECT w, list_transform(generate_series(1, len(w)),
+        |         i -> CASE WHEN i = 1 THEN substr(w, i, 1)
+        |              ELSE '##' || substr(w, i, 1) END) AS syms, freq
+        |       FROM w0)""".stripMargin
+    val stages = (1 to k).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT u.sym AS sym, sum(s.freq) AS c
+         |  FROM t$i s, unnest(s.syms) AS u(sym) GROUP BY 1),
+         |p$i AS (SELECT s.syms[g.j] || ' ' || s.syms[g.j + 1] AS pair,
+         |    sum(s.freq) AS f
+         |  FROM t$i s,
+         |       unnest(generate_series(1, len(s.syms) - 1)) AS g(j)
+         |  GROUP BY 1),
+         |b$i AS (SELECT pp.pair, pp.pa, pp.pb,
+         |    pp.pa || (CASE WHEN pp.pb LIKE '##%' THEN substr(pp.pb, 3)
+         |              ELSE pp.pb END) AS merged,
+         |    pp.f, pp.f / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+         |      AS score
+         |  FROM (SELECT pair, string_split(pair, ' ')[1] AS pa,
+         |          string_split(pair, ' ')[2] AS pb, f FROM p$i) pp
+         |  JOIN c$i ca ON ca.sym = pp.pa
+         |  JOIN c$i cb ON cb.sym = pp.pb
+         |  ORDER BY score DESC, pp.pair LIMIT 1),
+         |t${i + 1} AS MATERIALIZED (SELECT t.w, list_reduce(list_transform(t.syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN acc[-1] = b.pa AND x[1] = b.pb
+         |                THEN list_append(acc[:-2], b.merged)
+         |                ELSE list_concat(acc, x) END) AS syms, t.freq
+         |  FROM t$i t, b$i b)""".stripMargin
+    }.mkString
+    head + stages
+  }
+
+  private def wordpieceOracleSql(k: Int): String = {
+    val unions = (1 to k).map(i =>
+      s"SELECT $i AS stage, pair, merged, CAST(f AS BIGINT) AS freq, " +
+        s"CAST(round(score * 1.0e12, 0) AS BIGINT) AS score12 FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"${wordpieceStagesSql(k)}\n" +
+      s"SELECT CAST(stage AS INT) AS stage, pair, merged, freq, score12 " +
+      s"FROM (\n$unions\n) ORDER BY stage"
+  }
+
+  private def wordpieceSegmentOracleSql(k: Int): String =
+    s"""${wordpieceStagesSql(k)},
+       |seg AS (SELECT w, len(syms) AS n_pieces FROM t${k + 1}),
+       |dt AS (SELECT x.doc_id, u.w AS w
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |             FROM documents) x, unnest(x.toks) AS u(w)
+       |       WHERE u.w <> '')
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 1.0e6, 0) / 1.0e6 AS fertility
+       |FROM dt JOIN seg USING (w) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   private def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map(i =>
@@ -5181,6 +5258,10 @@ object SparkEntry {
     "bpe_learn" -> bpeOracleSql(8),
 
     "bpe_segment" -> bpeSegmentOracleSql(8),
+
+    "wordpiece_learn" -> wordpieceOracleSql(8),
+
+    "wordpiece_segment" -> wordpieceSegmentOracleSql(8),
 
     "vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

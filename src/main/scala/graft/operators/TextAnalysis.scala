@@ -2463,6 +2463,123 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece merge learning (Schuster & Nakajima 2012; the BERT
+    * tokenizer's trainer) — the FOURTH subword algorithm beside
+    * greedy-vocab, BPE and unigram-LM, and the likelihood-scored
+    * complement of BPE's frequency-scored merges: each stage merges
+    * the adjacent symbol pair maximizing score = freq(ab) /
+    * (count(a)·count(b)) — the pair whose fusion most raises the
+    * corpus likelihood under a unigram symbol model, which prefers
+    * RARE-but-correlated pairs where BPE takes the most frequent.
+    * Symbols carry the ## continuation convention (word-initial bare,
+    * continuations ##-prefixed; a merge strips the right side's ##).
+    *
+    * Scale/determinism discipline = [[bpeTrain]]'s: a FIXED small
+    * stage count (never data-dependent), per-stage work = two
+    * map-side-combinable aggregations over the word-TYPE table plus a
+    * 1-row argmax collect, the merge applied as the same codegen'd
+    * left-to-right `aggregate()` walk. The score denominator
+    * multiplies counts as DOUBLES (exact up to 2^53 tokens — at
+    * larger corpora the long product would overflow where the double
+    * stays exact-enough and cross-engine identical: one IEEE multiply
+    * + one divide). Ties break on the pair string. Returns
+    * (stage, pair, merged, freq, score12) with the score pinned at
+    * 1e-12 integer units.
+    */
+  def wordpieceLearn(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    wordpieceTrain(docs, numMerges)._1
+      .toDF("stage", "pair", "merged", "freq", "score12")
+      .orderBy(col("stage"))
+  }
+
+  /** Per-doc subword budgets under the learned WordPiece merges — the
+    * [[bpeSegment]] twin at the ## convention: segment the word-TYPE
+    * table with the trained merges, broadcast-join the corpus token
+    * stream, emit (n_tokens, n_pieces, fertility) per document.
+    */
+  def wordpieceSegment(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val seg = wordpieceTrain(docs, numMerges)._2
+      .select(col("w"), size(col("syms")).as("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        (round(col("n_pieces").cast("double")
+          / col("n_tokens").cast("double")
+          * lit(1.0e6), 0) / lit(1.0e6)).as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared WordPiece training loop: ordered merge table + the final
+    * segmented vocabulary (w, syms, freq). Structure mirrors
+    * [[bpeTrain]]; the differences are the ## initialization, the
+    * likelihood score, and the ##-stripping merge.
+    */
+  private def wordpieceTrain(docs: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> " +
+          "IF(i = 1, substring(w, i, 1), " +
+          "concat('##', substring(w, i, 1))))").as("syms"),
+        col("freq"))
+      .localCheckpoint(false)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var exhausted = false
+    for (i <- 1 to numMerges if !exhausted) {
+      val symCounts = vocab
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("c"))
+      val pairCounts = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), j -> concat(syms[j], ' ', syms[j + 1]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+        .select(col("pair"), col("f"),
+          split(col("pair"), " ", 2).getItem(0).as("pa"),
+          split(col("pair"), " ", 2).getItem(1).as("pb"))
+      val best = pairCounts
+        .join(symCounts.select(col("sym").as("pa"), col("c").as("ca")), "pa")
+        .join(symCounts.select(col("sym").as("pb"), col("c").as("cb")), "pb")
+        .select(col("pair"), col("pa"), col("pb"), col("f"),
+          (col("f").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best(0)
+        val (pair, pa, pb) =
+          (row.getString(0), row.getString(1), row.getString(2))
+        val merged = pa + pb.stripPrefix("##")
+        merges += ((i, pair, merged, row.getLong(3),
+          math.round(row.getDouble(4) * 1e12)))
+        vocab = vocab.select(col("w"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                  size(acc) > 0 &&
+                    element_at(acc, -1) === lit(pa) && x === lit(pb),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(merged))))
+                .otherwise(concat(acc, array(x))))
+              .as("syms"),
+            col("freq"))
+          .localCheckpoint(false)
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
   /** Shared BPE training loop: returns the ordered merge table and the
     * final segmented vocabulary (w, syms, freq).
     */

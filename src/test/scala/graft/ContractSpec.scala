@@ -70,8 +70,8 @@ class ContractSpec extends AnyFunSuite {
       "graft/operators/Learn.scala" -> 9, // 1-row/model-sized GD folds
       "graft/operators/Similarity.scala" -> 1, // 1-row PCA moment
       // ONE vocab-capped unigram model pull (modelOf — the hoist point
-      // every stage shares) and a limit(1) argmax
-      "graft/operators/TextAnalysis.scala" -> 2)
+      // every stage shares) and the BPE + WordPiece limit(1) argmaxes
+      "graft/operators/TextAnalysis.scala" -> 3)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val root = new java.io.File("src/main/scala")

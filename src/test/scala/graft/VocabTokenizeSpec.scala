@@ -167,6 +167,37 @@ class VocabTokenizeSpec extends SparkSpec {
     assert(a == b && a.length == 4)
   }
 
+  test("WordPiece picks the correlated pair where BPE picks the frequent one") {
+    // 'xq' occurs 6 times but x and q occur ONLY together (likelihood
+    // ratio 6/(6*6)=0.167); 'ab' occurs 10 times but a and b are
+    // everywhere (10/(24*24)~0.017). BPE must merge (a ##b) first
+    // (frequency); WordPiece must merge (x ##q) first (likelihood).
+    val docs = Seq(
+      (1L, ("ab " * 10 + "xq " * 6 + "a " * 14 + "b " * 14).trim))
+      .toDF("doc_id", "text")
+    val wp = TextAnalysis.wordpieceLearn(docs, numMerges = 1).collect()
+    assert(wp.head.getString(1) == "x ##q" && wp.head.getString(2) == "xq",
+      s"wordpiece picked ${wp.head.getString(1)}")
+    val bpe = TextAnalysis.bpeLearn(docs, numMerges = 1).collect()
+    assert(bpe.head.getString(1) == "a b",
+      s"bpe picked ${bpe.head.getString(1)}")
+  }
+
+  test("WordPiece ## convention: initial symbols bare, merges strip the marker") {
+    val docs = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val m = TextAnalysis.wordpieceLearn(docs, numMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    m.foreach { case (pair, merged) =>
+      val Array(pa, pb) = pair.split(" ", 2)
+      assert(pb.startsWith("##"), s"continuation side unmarked: $pair")
+      assert(merged == pa + pb.stripPrefix("##"), s"merge kept ##: $merged")
+    }
+    // segmentation coverage: every token segments, fertility >= 1
+    val seg = TextAnalysis.wordpieceSegment(docs, numMerges = 2).collect()
+    assert(seg.head.getLong(1) == 3 &&
+      seg.head.getLong(2) >= seg.head.getLong(1))
+  }
+
   test("piece frequencies reconcile with per-doc budgets on the corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val freq = TextAnalysis.tokenizeVocab(docs)
