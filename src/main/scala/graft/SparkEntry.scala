@@ -1128,6 +1128,19 @@ object SparkEntry {
     // in exact 1e-6 integer units (the lsh_recall_audit discipline).
     "shapley_trunc_fidelity" -> ((s, dir) =>
       Valuation.shapleyTruncFidelity(Tables.embeddings(s, dir))),
+    // incremental twin: delta train points merged with the persisted
+    // per-test top-R index — full-rebuild parity at delta cost.
+    "shapley_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val isPanel = pmod(col("vec_id"), lit(Valuation.TestMod))
+        .===(Valuation.TestRes) &&
+        col("vec_id") < lit(Valuation.TestMod.toLong * Valuation.MaxPanel)
+      val isHist = graft.functions.TextFunctions.hash60(
+        concat(lit("shap_inc_"), col("vec_id").cast("string"))) % 100 < 80
+      Valuation.shapleyIncremental(
+        Valuation.topRIndex(emb.filter(isPanel || isHist)),
+        emb.filter(isPanel || !isHist))
+    }),
     // reproducible per-epoch global shuffle + same-source adjacency
     // audit — the trainer-side data-ordering op (position is a pure
     // function of (epoch, doc), resumable by construction).
@@ -2873,6 +2886,34 @@ object SparkEntry {
        |         CASE WHEN t.train_label = q.test_label THEN 1 ELSE 0 END
        |           AS a
        |       FROM st t, sq q)""".stripMargin
+
+  private lazy val shapTruncSql: String =
+    s"""$embCte,
+         |$shapPairsCte,
+         |spb AS (SELECT *, CAST(floor((cos6 + 1000000) / 8192.0)
+         |          AS BIGINT) AS bkt FROM sp),
+         |sl AS (SELECT * FROM spb QUALIFY row_number() OVER (
+         |        PARTITION BY test_id, bkt
+         |        ORDER BY cos6 DESC, train_id) <= 64),
+         |sr2 AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY test_id ORDER BY cos6 DESC, train_id)
+         |          AS rk FROM sl) z WHERE rk <= 64),
+         |sr3 AS (SELECT *, coalesce(lead(a) OVER (
+         |          PARTITION BY test_id ORDER BY cos6 DESC, train_id), 0)
+         |          AS a_nx FROM sr2),
+         |sterm AS (SELECT *, CAST(round((CAST((a - a_nx) * least(5, rk)
+         |            AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
+         |            AS BIGINT) AS t12 FROM sr3),
+         |ss AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
+         |         ORDER BY cos6 ASC, train_id DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS s12 FROM sterm),
+         |sagg AS (SELECT train_id, train_label AS label,
+         |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
+         |         FROM ss GROUP BY 1, 2)
+         |SELECT train_id, label, n_tests,
+         |  ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
+         |FROM sagg ORDER BY train_id""".stripMargin
 
   private val shapExactCte =
     s"""sr AS (SELECT *, row_number() OVER w AS rk,
@@ -5877,33 +5918,14 @@ object SparkEntry {
          |  ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
          |FROM sagg ORDER BY train_id""".stripMargin,
 
-    "shapley_knn_trunc" ->
-      s"""$embCte,
-         |$shapPairsCte,
-         |spb AS (SELECT *, CAST(floor((cos6 + 1000000) / 8192.0)
-         |          AS BIGINT) AS bkt FROM sp),
-         |sl AS (SELECT * FROM spb QUALIFY row_number() OVER (
-         |        PARTITION BY test_id, bkt
-         |        ORDER BY cos6 DESC, train_id) <= 64),
-         |sr2 AS (SELECT * FROM (SELECT *, row_number() OVER (
-         |          PARTITION BY test_id ORDER BY cos6 DESC, train_id)
-         |          AS rk FROM sl) z WHERE rk <= 64),
-         |sr3 AS (SELECT *, coalesce(lead(a) OVER (
-         |          PARTITION BY test_id ORDER BY cos6 DESC, train_id), 0)
-         |          AS a_nx FROM sr2),
-         |sterm AS (SELECT *, CAST(round((CAST((a - a_nx) * least(5, rk)
-         |            AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
-         |            AS BIGINT) AS t12 FROM sr3),
-         |ss AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
-         |         ORDER BY cos6 ASC, train_id DESC
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |         AS s12 FROM sterm),
-         |sagg AS (SELECT train_id, train_label AS label,
-         |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
-         |         FROM ss GROUP BY 1, 2)
-         |SELECT train_id, label, n_tests,
-         |  ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
-         |FROM sagg ORDER BY train_id""".stripMargin,
+    "shapley_knn_trunc" -> shapTruncSql,
+
+    // mirrors Valuation.shapleyIncremental: full-rebuild parity — the
+    // incremental merge of (persisted top-R index + delta pairs) must
+    // equal the truncated chain over the whole corpus, so the oracle
+    // IS the shapley_knn_trunc chain (the bitext_incremental
+    // convention).
+    "shapley_incremental" -> shapTruncSql,
 
     "shapley_label_audit" ->
       s"""$embCte,

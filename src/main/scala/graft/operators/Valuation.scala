@@ -157,28 +157,67 @@ object Valuation {
     * stage 2 ranks the ≤ buckets·R survivors per test. No
     * corpus-sized window partition anywhere in the plan.
     */
-  def shapleyKnnTruncated(embeddings: DataFrame): DataFrame = {
-    val p = pairs(embeddings)
-      .withColumn("bkt", floor((col("cos6") + lit(1000000L))
+  def shapleyKnnTruncated(embeddings: DataFrame): DataFrame =
+    tknnValues(bucketPruned(pairs(embeddings)))
+
+  /** Stage-1 bucket prune: per-(test, cosine-bucket) partial top-R —
+    * any global-top-R row has local rank ≤ R, so the survivors are a
+    * bounded superset of the per-test top-R. */
+  private def bucketPruned(p: DataFrame): DataFrame =
+    p.withColumn("bkt", floor((col("cos6") + lit(1000000L))
         / lit(BucketWidth.toDouble)).cast("long"))
-    val local = p.withColumn("lrk", row_number().over(
+      .withColumn("lrk", row_number().over(
         Window.partitionBy(col("test_id"), col("bkt"))
           .orderBy(col("cos6").desc, col("train_id"))))
       .filter(col("lrk") <= TruncR)
-    val ranked = local
+      .drop("bkt", "lrk")
+
+  /** The TKNN value chain over a bounded per-test candidate superset:
+    * final top-R rank, truncated recursion, exact-integer suffix sums,
+    * one division. */
+  private def tknnValues(candidates: DataFrame): DataFrame = {
+    val ranked = candidates
       .withColumn("rk", row_number().over(byCos))
       .filter(col("rk") <= TruncR)
       .withColumn("a_nx", lead(col("a"), 1, 0).over(byCos))
-    val s = ranked
+    ranked
       .withColumn("t12", term12(lit(0L), lastBase = false))
       .withColumn("s12", sum(col("t12")).over(suffixFrame))
-    s.groupBy(col("train_id"), col("train_label").as("label"))
+      .groupBy(col("train_id"), col("train_label").as("label"))
       .agg(count(lit(1)).as("n_tests"), sum(col("s12")).as("s12sum"))
       .select(col("train_id"), col("label"), col("n_tests"),
         r6(col("s12sum").cast("double") /
           (col("n_tests") * lit(1.0e12))).as("shapley"))
       .orderBy(col("train_id"))
   }
+
+  /** The persisted valuation index a production run keeps: each test
+    * point's top-R candidate rows (test_id, train_id, train_label,
+    * cos6, a) over the given embedding slice (panel rows are selected
+    * out as tests automatically) — R·|panel| rows, corpus-independent
+    * size.
+    */
+  def topRIndex(embeddings: DataFrame): DataFrame =
+    bucketPruned(pairs(embeddings))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= TruncR)
+      .drop("rk")
+
+  /** Incremental TKNN-Shapley — the valuation family's delta twin:
+    * new training points are scored against the broadcast panel
+    * (`deltaWithPanel` = the panel rows + ONLY the delta training
+    * rows — the history corpus is never rescanned) and merged with
+    * the PERSISTED top-R index; per-test top-R of the union == top-R
+    * of (top-R(history) ∪ delta), so the truncated value chain over
+    * the ≤ (R + |delta|)-row per-test candidate sets is EQUAL BY
+    * CONSTRUCTION to the full [[shapleyKnnTruncated]] rebuild over
+    * history∪delta (the oracle; spec-asserted), at delta-bounded
+    * cost. Existing points' values refresh too when a delta point
+    * displaces them from a top-R.
+    */
+  def shapleyIncremental(histIdx: DataFrame,
+                         deltaWithPanel: DataFrame): DataFrame =
+    tknnValues(histIdx.unionByName(pairs(deltaWithPanel)))
 
   /** Truncation-fidelity audit — the TKNN approximation error as DATA
     * (the lsh_recall_audit discipline): per label, how far the

@@ -546,7 +546,7 @@ class PlanSpec extends SparkSpec {
       // the MaxPanel-capped test-panel broadcast (parameter-bounded
       // like ann_topk's query set)
       "shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
-      "shapley_trunc_fidelity")
+      "shapley_trunc_fidelity", "shapley_incremental")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys

@@ -93,6 +93,19 @@ class ValuationSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge of (top-R index + delta) equals the full " +
+      "truncated rebuild") {
+    val isPanel = col("vec_id") === 7L
+    val isHist = col("vec_id") % 3 =!= 0 // arbitrary deterministic split
+    val inc = Valuation.shapleyIncremental(
+        Valuation.topRIndex(embeddings.filter(isPanel || isHist)),
+        embeddings.filter(isPanel || !isHist))
+      .collect().map(_.toSeq)
+    val full = Valuation.shapleyKnnTruncated(embeddings)
+      .collect().map(_.toSeq)
+    assert(inc.toSeq == full.toSeq)
+  }
+
   test("a mislabeled nearest neighbor values negative; label audit flags it") {
     val got = Valuation.shapleyKnn(embeddings)
       .select(col("train_id"), col("shapley")).as[(Long, Double)]
