@@ -1291,6 +1291,11 @@ object SparkEntry {
     "mixture_sample" -> ((s, dir) =>
       TextAnalysis.mixtureSample(Tables.documents(s, dir))),
     // α-sampling: keep rates computed in-plan from source sizes.
+    // DoReMi-style loss-driven mixture tilt: per-source weight =
+    // token share exponentially tilted by excess LM loss (one-shot
+    // closed form under the fixed reference model).
+    "mixture_reweight" -> ((s, dir) =>
+      TextAnalysis.mixtureReweight(Tables.documents(s, dir))),
     "mixture_temperature" -> ((s, dir) =>
       TextAnalysis.mixtureTemperature(Tables.documents(s, dir))),
     // BPE merge learning: 8 merges trained on the word-type table
@@ -5275,6 +5280,48 @@ object SparkEntry {
 
     // mirrors TextAnalysis.mixtureTemperature: α=0.5 keep rates from
     // source sizes, 6-decimal rounded before the hash-fraction compare.
+    // mirrors TextAnalysis.mixtureReweight: lm_score's token-score
+    // stream rolled up per SOURCE, the exp tilt pinned at 1e-9,
+    // numerators at 1e-12 integers, one normalizing division.
+    "mixture_reweight" ->
+      """WITH k AS (SELECT doc_id, source, lang,
+        |       unnest(string_split(text, ' ')) AS t
+        |     FROM documents),
+        |tr AS (SELECT t, count(*) AS c FROM k WHERE lang = 'en' GROUP BY t),
+        |m AS (SELECT CAST(sum(c) AS DOUBLE) AS tt,
+        |        CAST(count(*) AS DOUBLE) AS vv FROM tr),
+        |sc AS (SELECT k.source,
+        |         CAST(round(ln((CAST(coalesce(tr.c, 0) AS DOUBLE) + 1.0)
+        |           / (m.tt + m.vv + 1.0)) * 1000000.0, 0) AS BIGINT) AS lp6
+        |       FROM k LEFT JOIN tr ON k.t = tr.t, m),
+        |per AS (SELECT source, count(*) AS n_tokens,
+        |          CAST(sum(lp6) AS BIGINT) AS s6 FROM sc GROUP BY source),
+        |perl AS (SELECT *, (-(CAST(s6 AS DOUBLE) / 1.0e6))
+        |           / CAST(n_tokens AS DOUBLE) AS loss FROM per),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents
+        |       GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+        |        FROM perl),
+        |ml AS (SELECT min(loss) AS min_loss FROM perl),
+        |pre AS (SELECT perl.source, nd.n_docs, perl.n_tokens,
+        |          CAST(perl.n_tokens AS DOUBLE)
+        |            / CAST(tot.tot_tokens AS DOUBLE) AS share,
+        |          perl.loss, perl.loss - ml.min_loss AS excess,
+        |          CAST(round(exp(1.0 * (perl.loss - ml.min_loss))
+        |            * 1.0e9, 0) AS BIGINT) AS exp9
+        |        FROM perl JOIN nd ON nd.source = perl.source, tot, ml),
+        |pre2 AS (SELECT *, CAST(round(share
+        |           * (CAST(exp9 AS DOUBLE) / 1.0e9) * 1.0e12, 0)
+        |           AS BIGINT) AS num12 FROM pre),
+        |z AS (SELECT CAST(sum(num12) AS BIGINT) AS z12 FROM pre2)
+        |SELECT source, n_docs, n_tokens,
+        |  round(share * 1.0e6, 0) / 1.0e6 AS token_share,
+        |  round(loss * 1.0e6, 0) / 1.0e6 AS loss,
+        |  round(excess * 1.0e6, 0) / 1.0e6 AS excess_loss,
+        |  round((CAST(num12 AS DOUBLE) / CAST(z.z12 AS DOUBLE))
+        |    * 1.0e6, 0) / 1.0e6 AS weight
+        |FROM pre2, z ORDER BY source""".stripMargin,
+
     "mixture_temperature" ->
       s"""WITH s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
          |t AS (SELECT CAST(sum(n_s) AS DOUBLE) AS nn,

@@ -1118,6 +1118,66 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("doc_id"))
 
+  /** DoReMi-style mixture reweighting (Xie et al. 2023, the
+    * exponentiated-gradient tilt reduced to its one-shot form): each
+    * SOURCE's sampling weight is its token share exponentially tilted
+    * by its EXCESS loss under the reference LM — w_s ∝ share_s ·
+    * exp(η·(L_s − min_t L_t)), where L_s is the source's mean token
+    * negative log-probability ([[lmTokenScores]]' pinned integers, so
+    * L is one exact division). Hard-for-the-reference-model domains
+    * get upweighted, the DoReMi direction (the full algorithm
+    * re-trains a proxy model per round; with a FIXED reference model
+    * the multiplicative loop collapses to this closed form — one
+    * honest tilt, not a cosmetically unrolled loop).
+    *
+    * Determinism: per-token log-probs pinned at 1e-6 (shared stream),
+    * the tilt exp() pinned at 1e-9 (the logit-σ discipline — the one
+    * libm call), per-source numerators pinned at 1e-12 integers so
+    * the normalizer is an exact BIGINT sum, one final division.
+    * Scale: one corpus scan (the token-score stream), everything
+    * after is |sources|-row arithmetic with 1-row broadcast folds.
+    */
+  private def r6c(c: Column): Column =
+    round(c * lit(1.0e6), 0) / lit(1.0e6)
+
+  def mixtureReweight(docs: DataFrame, trainLang: String = "en",
+                      eta: Double = 1.0): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+      explode(tokensCol(col("text"))).as("t"))
+    val train = toks.filter(col("lang") === trainLang)
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val per = lmTokenScores(toks.select(col("source"), col("t")), train)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("s6"))
+      .withColumn("loss",
+        -(col("s6").cast("double") / lit(1.0e6))
+          / col("n_tokens").cast("double"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val minLoss = per.agg(min(col("loss")).as("min_loss"))
+    val share =
+      col("n_tokens").cast("double") / col("tot_tokens").cast("double")
+    val excess = col("loss") - col("min_loss")
+    val exp9 = round(exp(lit(eta) * excess) * lit(1.0e9), 0).cast("long")
+    val pre = per.join(nDocs, "source")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(minLoss))
+      .withColumn("share", share)
+      .withColumn("excess", excess)
+      .withColumn("exp9", exp9)
+      .withColumn("num12", round(col("share")
+        * (col("exp9").cast("double") / lit(1.0e9)) * lit(1.0e12), 0)
+        .cast("long"))
+    val z = pre.agg(sum(col("num12")).as("z12"))
+    pre.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r6c(col("share")).as("token_share"),
+        r6c(col("loss")).as("loss"),
+        r6c(col("excess")).as("excess_loss"),
+        r6c(col("num12").cast("double") / col("z12").cast("double"))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** [[lmScore]] served off the persisted postings index instead of an
     * ad-hoc corpus scan — the LM family joining the incremental-index
     * club: the SAME `(doc_id, dl, t, tf)` postings table that serves

@@ -454,7 +454,8 @@ class PlanSpec extends SparkSpec {
       "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
       "lm_score", "dedup_semantic", "embed_hard_negatives",
       // 1-row normalizer / corpus-total cross joins, same pattern
-      "mixture_temperature", "vocab_coverage", "index_compact_stats",
+      "mixture_temperature", "mixture_reweight", "vocab_coverage",
+      "index_compact_stats",
       "retire_audit",
       // packed-centroid broadcast, same as dedup_semantic
       "cluster_profile", "ann_incremental", "ivf_drift_audit", "ann_retire",

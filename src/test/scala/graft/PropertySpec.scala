@@ -377,4 +377,26 @@ class PropertySpec extends SparkSpec {
     }
     assert(r.map(_.getAs[Long]("n_total")).sum == sizes.map(_.toLong).sum)
   }
+
+  test("mixtureReweight: the hard source tilts above its token share, " +
+      "weights normalize") {
+    // three sources with equal token mass; srcC is OOV-heavy vs the
+    // en reference slice -> highest loss -> weight > token share
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "srcA"),
+      (2L, "the dog sat on the rug", "en", "srcB"),
+      (3L, "zq xv qj wk pf zz", "fr", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.mixtureReweight(docs).collect()
+      .map(row => row.getString(0) -> (row.getAs[Double]("token_share"),
+        row.getAs[Double]("excess_loss"), row.getAs[Double]("weight")))
+      .toMap
+    assert(r.size == 3)
+    val (shareC, excessC, wC) = r("srcC")
+    assert(excessC > 0, s"srcC excess $excessC")
+    assert(wC > shareC, s"srcC not upweighted: w=$wC share=$shareC")
+    assert(math.abs(r.values.map(_._3).sum - 1.0) < 3e-6)
+    // the reference-like sources give up the mass
+    assert(r("srcA")._3 <= r("srcA")._1 + 1e-9)
+  }
 }
