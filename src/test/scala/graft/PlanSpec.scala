@@ -420,6 +420,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("unboundedfollowing"))
   }
 
+  test("ER blocking: capped equi-join passes — WindowGroupLimit cap " +
+      "pushdown, hash-agg pair dedup, never a nested loop") {
+    val p = plan("er_candidates")
+    // the per-(key, side) cap's rank filter must push into the sort
+    // as a WindowGroupLimit (per-partition partial top-cap), the
+    // bipartite join is an equi-join on bkey, and the pair dedup is a
+    // HashAggregate — the shapes that keep one hot blocking key from
+    // exploding the shuffle at corpus scale
+    assert(p.contains("WindowGroupLimit"), s"cap not pushed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested loop in blocking:\n$p")
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("shapley family: suffix sums run as REVERSED running frames, " +
       "never [current row, unbounded following] (O(n^2) per-row " +
       "re-aggregation; measured 198 s vs 20 s at 10x before the frame " +
