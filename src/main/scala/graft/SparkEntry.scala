@@ -1115,6 +1115,12 @@ object SparkEntry {
       EntityResolution.entitiesAfterRetire(a,
         EntityResolution.sourceB(c), retired)
     }),
+    // 1-row audit of the data-derived chance-agreement parameters.
+    "er_u_audit" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      EntityResolution.uAudit(
+        EntityResolution.sourceA(c), EntityResolution.sourceB(c))
+    }),
     // ---- data valuation: exact KNN-Shapley (closed form, no Monte
     // Carlo) over the embedding corpus vs a held-out test panel, its
     // truncated two-stage top-R scale twin, and the per-label audit.
@@ -2491,7 +2497,8 @@ object SparkEntry {
          |    greatest(n_close / CAST(n_pairs AS DOUBLE), 1.0e-9)
          |      AS u_name_close,
          |    greatest(seg_hits / CAST(n_a * n_b AS DOUBLE), 1.0e-9) AS u_seg,
-         |    greatest(n_ab / CAST(n_pairs AS DOUBLE), 1.0e-9) AS u_ab
+         |    greatest(n_ab / CAST(n_pairs AS DOUBLE), 1.0e-9) AS u_ab,
+         |    n_a, n_b, n_pairs
          |  FROM ersamp, erna, ernb, ersegu, ernameu),
          |erg AS (SELECT c.a_id, c.b_id,
          |    CASE WHEN x.nm_a = y.nm_b THEN 2
@@ -5952,6 +5959,17 @@ object SparkEntry {
          |  ${safe6("n_true_blocked / CAST(n_true_links AS DOUBLE)")}
          |    AS blocking_recall
          |FROM pt, ntrue, base ORDER BY threshold""".stripMargin,
+
+    // mirrors EntityResolution.uAudit: the eru CTE's parameters,
+    // 1e-9-pinned for the report.
+    "er_u_audit" ->
+      s"""WITH $erCte
+         |SELECT n_a, n_b, n_pairs,
+         |  (round(u_name_exact * 1.0e9, 0) / 1.0e9) AS u_name_exact,
+         |  (round(u_name_close * 1.0e9, 0) / 1.0e9) AS u_name_close,
+         |  (round(u_seg * 1.0e9, 0) / 1.0e9) AS u_seg,
+         |  (round(u_ab * 1.0e9, 0) / 1.0e9) AS u_ab
+         |FROM eru""".stripMargin,
 
     // mirror Valuation.{shapleyKnn,shapleyKnnTruncated,
     // shapleyLabelAudit}: 1e-6-pinned cosine ranking per test point,

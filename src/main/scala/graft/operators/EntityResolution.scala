@@ -236,7 +236,25 @@ object EntityResolution {
         greatest(col("seg_hits") / (col("n_a") * col("n_b")
           ).cast("double"), lit(1.0e-9)).as("u_seg"),
         greatest(col("n_ab") / col("n_pairs").cast("double"),
-          lit(1.0e-9)).as("u_ab"))
+          lit(1.0e-9)).as("u_ab"),
+        col("n_a"), col("n_b"), col("n_pairs"))
+  }
+
+  /** The model's data-derived parameters as a 1-row audit: the four
+    * chance-agreement probabilities (1e-9-pinned for the report — the
+    * scoring path consumes them unpinned) beside the populations and
+    * the non-match sample size that estimated the fuzzy ones. The
+    * first thing to read when the match curve moves between runs: did
+    * the DATA's chance-agreement structure change, or the code?
+    */
+  def uAudit(a: DataFrame, b: DataFrame): DataFrame = {
+    def r9(c: Column): Column = round(c * lit(1.0e9), 0) / lit(1.0e9)
+    uProbabilities(a, b).select(
+      col("n_a"), col("n_b"), col("n_pairs"),
+      r9(col("u_name_exact")).as("u_name_exact"),
+      r9(col("u_name_close")).as("u_name_close"),
+      r9(col("u_seg")).as("u_seg"),
+      r9(col("u_ab")).as("u_ab"))
   }
 
   private def log2(c: Column): Column = log(c) / log(lit(2.0))
