@@ -2922,10 +2922,11 @@ object SparkEntry {
          |         AS s12 FROM sterm),
          |sagg AS (SELECT train_id, train_label AS label,
          |           count(*) AS n_tests, CAST(sum(s12) AS BIGINT) AS s12sum
-         |         FROM ss GROUP BY 1, 2)
+         |         FROM ss GROUP BY 1, 2),
+         |pnl AS (SELECT count(*) AS n_panel FROM sq)
          |SELECT train_id, label, n_tests,
-         |  ${safe6("s12sum / (n_tests * 1.0e12)")} AS shapley
-         |FROM sagg ORDER BY train_id""".stripMargin
+         |  ${safe6("s12sum / (n_panel * 1.0e12)")} AS shapley
+         |FROM sagg, pnl ORDER BY train_id""".stripMargin
 
   private val shapExactCte =
     s"""sr AS (SELECT *, row_number() OVER w AS rk,
@@ -6039,10 +6040,11 @@ object SparkEntry {
          |saggt AS (SELECT train_id, count(*) AS n_tests,
          |            CAST(sum(s12) AS BIGINT) AS s12sum
          |          FROM sst GROUP BY 1),
+         |pnl AS (SELECT count(*) AS n_panel FROM sq),
          |svt AS (SELECT train_id,
-         |          CAST(round((${safe6("s12sum / (n_tests * 1.0e12)")})
+         |          CAST(round((${safe6("s12sum / (n_panel * 1.0e12)")})
          |            * 1.0e6, 0) AS BIGINT) AS t6
-         |        FROM saggt),
+         |        FROM saggt, pnl),
          |sj AS (SELECT sve.label, sve.e6, svt.t6,
          |         abs(sve.e6 - coalesce(svt.t6, 0)) AS d6
          |       FROM sve LEFT JOIN svt USING (train_id))

@@ -64,6 +64,24 @@ object Valuation {
 
   private def r6(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
 
+  /** The deterministic panel-membership predicate over a vec_id. */
+  private def isTest(id: Column): Column =
+    pmod(id, lit(TestMod)) === TestRes &&
+      id < lit(TestMod.toLong * MaxPanel)
+
+  /** 1-row (n_panel) — the test-panel size, from a narrow id-only
+    * scan of the embedding slice (no pair fan-out). The TRUNCATED
+    * estimator averages over the PANEL, not over per-point top-R
+    * appearance counts: a point absent from a test's top-R carries
+    * that test's implicit 0, so the denominator must be \|panel\|
+    * (dividing by the appearance count would inflate a point seen by
+    * 1 of 1000 tests 1000×, breaking the harmonic tail bound and the
+    * negative-value poisoning signal).
+    */
+  private def panelCount(embeddings: DataFrame): DataFrame =
+    embeddings.filter(isTest(col("vec_id")))
+      .agg(count(lit(1)).as("n_panel"))
+
   private def widened(embeddings: DataFrame): DataFrame = embeddings
     .select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -75,11 +93,11 @@ object Valuation {
     */
   private def pairs(embeddings: DataFrame): DataFrame = {
     val n = widened(embeddings)
-    val isTest = pmod(col("vec_id"), lit(TestMod)) === TestRes &&
-      col("vec_id") < lit(TestMod.toLong * MaxPanel)
-    val test = n.filter(isTest).select(col("vec_id").as("test_id"),
-      col("label").as("test_label"), col("v").as("qv"), col("nrm").as("qn"))
-    val train = n.filter(!isTest).select(col("vec_id").as("train_id"),
+    val test = n.filter(isTest(col("vec_id")))
+      .select(col("vec_id").as("test_id"),
+        col("label").as("test_label"), col("v").as("qv"), col("nrm").as("qn"))
+    val train = n.filter(!isTest(col("vec_id")))
+      .select(col("vec_id").as("train_id"),
       col("label").as("train_label"), col("v"), col("nrm"))
     train.join(broadcast(test), lit(true))
       .select(col("test_id"), col("train_id"), col("train_label"),
@@ -158,7 +176,7 @@ object Valuation {
     * corpus-sized window partition anywhere in the plan.
     */
   def shapleyKnnTruncated(embeddings: DataFrame): DataFrame =
-    tknnValues(bucketPruned(pairs(embeddings)))
+    tknnValues(bucketPruned(pairs(embeddings)), panelCount(embeddings))
 
   /** Stage-1 bucket prune: per-(test, cosine-bucket) partial top-R —
     * any global-top-R row has local rank ≤ R, so the survivors are a
@@ -174,8 +192,14 @@ object Valuation {
 
   /** The TKNN value chain over a bounded per-test candidate superset:
     * final top-R rank, truncated recursion, exact-integer suffix sums,
-    * one division. */
-  private def tknnValues(candidates: DataFrame): DataFrame = {
+    * one division. `nPanel` is the 1-row panel-size frame
+    * ([[panelCount]]): the estimator averages over the PANEL (tests
+    * whose top-R a point misses contribute its implicit 0), so the
+    * divisor is \|panel\|; `n_tests` stays as the informational
+    * appearance count.
+    */
+  private def tknnValues(candidates: DataFrame,
+                         nPanel: DataFrame): DataFrame = {
     val ranked = candidates
       .withColumn("rk", row_number().over(byCos))
       .filter(col("rk") <= TruncR)
@@ -185,9 +209,10 @@ object Valuation {
       .withColumn("s12", sum(col("t12")).over(suffixFrame))
       .groupBy(col("train_id"), col("train_label").as("label"))
       .agg(count(lit(1)).as("n_tests"), sum(col("s12")).as("s12sum"))
+      .join(broadcast(nPanel), lit(true))
       .select(col("train_id"), col("label"), col("n_tests"),
         r6(col("s12sum").cast("double") /
-          (col("n_tests") * lit(1.0e12))).as("shapley"))
+          (col("n_panel") * lit(1.0e12))).as("shapley"))
       .orderBy(col("train_id"))
   }
 
@@ -217,7 +242,8 @@ object Valuation {
     */
   def shapleyIncremental(histIdx: DataFrame,
                          deltaWithPanel: DataFrame): DataFrame =
-    tknnValues(histIdx.unionByName(pairs(deltaWithPanel)))
+    tknnValues(histIdx.unionByName(pairs(deltaWithPanel)),
+      panelCount(deltaWithPanel))
 
   /** Truncation-fidelity audit — the TKNN approximation error as DATA
     * (the lsh_recall_audit discipline): per label, how far the

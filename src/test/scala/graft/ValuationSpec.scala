@@ -93,6 +93,68 @@ class ValuationSpec extends SparkSpec {
     }
   }
 
+  // 140 vectors spread over a circle: tests are ids ≡ 7 (mod 50) →
+  // {7, 57, 107} (panel of 3), 137 train points >> TruncR = 64 — the
+  // regime where a train point survives SOME tests' top-R but not
+  // others', so the panel divisor and the appearance-count divisor
+  // genuinely differ.
+  private val bigEmbeddings = (0 until 140).map { i =>
+    val ang = 2.0 * math.Pi * i / 140.0
+    (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.5f),
+      i % 3)
+  }.toDF("vec_id", "embedding", "label")
+
+  /** Brute TKNN over the WHOLE panel: per test, rank all train by the
+    * pinned cosine, truncate at R (s_(R+1) := 0), recurse, then
+    * average each point's per-test values — implicit 0 for tests
+    * whose top-R it misses — over the PANEL size.
+    */
+  private def bruteTrunc(): Map[Long, Double] = {
+    val rows = bigEmbeddings.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+    }
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    def nrm(x: Array[Double]) = math.sqrt(dot(x, x))
+    val tests = rows.filter(t => t._1 % 50 == 7)
+    val train = rows.filter(t => t._1 % 50 != 7)
+    val k = Valuation.K
+    val r = Valuation.TruncR
+    val acc = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    tests.foreach { case (_, tv, tl) =>
+      val ranked = train.map { case (id, v, l) =>
+        (id, l, math.round(dot(tv, v) / (nrm(tv) * nrm(v)) * 1e6))
+      }.sortBy { case (id, _, c6) => (-c6, id) }.take(r)
+      val a = ranked.map { case (_, l, _) => if (l == tl) 1.0 else 0.0 }
+      val s = new Array[Double](r)
+      var suffix = 0.0 // s_(R+1) := 0
+      for (i <- r - 1 to 0 by -1) {
+        val aNx = if (i == r - 1) 0.0 else a(i + 1)
+        suffix += (a(i) - aNx) / k * math.min(k, i + 1) / (i + 1)
+        s(i) = suffix
+      }
+      ranked.map(_._1).zip(s).foreach { case (id, v) => acc(id) += v }
+    }
+    acc.map { case (id, v) => id -> v / tests.length }.toMap
+  }
+
+  test("truncated values with R < N and a multi-test panel match the " +
+      "whole-panel brute force (panel divisor, not appearance count)") {
+    val got = Valuation.shapleyKnnTruncated(bigEmbeddings)
+      .select(col("train_id"), col("n_tests"), col("shapley"))
+      .as[(Long, Long, Double)].collect()
+    val want = bruteTrunc()
+    assert(got.map(_._1).toSet == want.keySet)
+    // the scenario must actually exercise the divergence: at least one
+    // surviving point misses at least one test's top-R
+    assert(got.exists(_._2 < 3),
+      "every point appeared in every test's top-R — R < N not exercised")
+    got.foreach { case (id, _, v) =>
+      assert(math.abs(v - want(id)) < 2e-6, s"vec $id: $v vs ${want(id)}")
+    }
+  }
+
   test("incremental merge of (top-R index + delta) equals the full " +
       "truncated rebuild") {
     val isPanel = col("vec_id") === 7L
