@@ -306,11 +306,54 @@ object Learn {
     * the [[logitFit]] weight discipline.
     *
     * Scale shape: the rank statistic is computed from the per-SCORE
-    * aggregate, not a per-row global sort — the shuffle and the one
-    * unpartitioned cumulative window are bounded by distinct σ values
-    * on the 1e-9 grid, not by test rows; training is [[logitFit]]'s
-    * map-side passes.
+    * aggregate (bounded by distinct σ values on the 1e-9 grid, not by
+    * test rows), and the cumulative sums over that aggregate run in
+    * the [[DataQuality.ksTest]] PARALLEL-PREFIX form: fixed-width
+    * σ-buckets (σ ∈ [0, 1e9] by construction, so no min/max pass is
+    * needed), per-bucket totals cumulated on the 256-row bucket
+    * table, then within-bucket cumulative windows offset by the
+    * broadcast bucket prefix. At 100× the distinct-σ table approaches
+    * the holdout size; partitioning the fact-sized window by bucket
+    * keeps every fact-scale pass hash-distributed — the only ordered
+    * single-task scan left is 256 rows.
     */
+  /** The cumulative rank frame over the per-score aggregate
+    * `byScore(sg, pos, neg)` — (pos, neg, cneg, cpos, cnegi) where
+    * cneg is the exclusive and cpos/cnegi the inclusive running sums
+    * in σ order — in the [[DataQuality.ksTest]] bucketed
+    * parallel-prefix shape: σ ∈ [0, 1e9] nano-units → 256 fixed-width
+    * buckets (width 3906251 = ceil((1e9+1)/256), so sg = 1e9 lands in
+    * bucket 255), per-bucket totals cumulated on the 256-row bucket
+    * table, within-bucket windows offset by the broadcast prefix.
+    * (bucket, sg)-order ≡ sg-order and integer sums associate, so
+    * offset + within-bucket running sum ≡ the global running sum.
+    * Package-visible so PlanSpec can pin the no-fact-scale-
+    * single-partition-window shape (the frame itself is consumed
+    * eagerly inside [[rocAuc]]).
+    */
+  private[graft] def cumRank(byScore: DataFrame): DataFrame = {
+    val bucketed = byScore
+      .withColumn("bucket", expr("CAST(sg div 3906251 AS INT)"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")).rowsBetween(Long.MinValue, -1)
+    val bucketPrefix = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("pos")).as("bp"), sum(col("neg")).as("bn"))
+      .select(col("bucket"),
+        coalesce(sum(col("bp")).over(wB), lit(0L)).as("off_pos"),
+        coalesce(sum(col("bn")).over(wB), lit(0L)).as("off_neg"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("sg"))
+    bucketed.join(broadcast(bucketPrefix), Seq("bucket"))
+      .select(col("pos"), col("neg"),
+        (col("off_neg") + coalesce(sum(col("neg"))
+          .over(wIn.rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .as("cneg"),
+        (col("off_pos") + sum(col("pos"))
+          .over(wIn.rowsBetween(Long.MinValue, 0))).as("cpos"),
+        (col("off_neg") + sum(col("neg"))
+          .over(wIn.rowsBetween(Long.MinValue, 0))).as("cnegi"))
+  }
+
   def rocAuc(events: DataFrame, convType: String = "purchase",
              iterations: Int = 8, heavyK: Int = 13): DataFrame = {
     val feats = logitFeatures(events, convType, heavyK)
@@ -341,14 +384,7 @@ object Learn {
       val na = lit(null).cast("double")
       Seq(na.as("auc"), na.as("gini"), na.as("ks"))
     } else {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("sg"))
-      val r = byScore.select(col("pos"), col("neg"),
-          coalesce(sum(col("neg"))
-            .over(w.rowsBetween(Long.MinValue, -1)), lit(0L)).as("cneg"),
-          sum(col("pos")).over(w.rowsBetween(Long.MinValue, 0))
-            .as("cpos"),
-          sum(col("neg")).over(w.rowsBetween(Long.MinValue, 0))
-            .as("cnegi"))
+      val r = cumRank(byScore)
         .agg(
           sum(col("pos") * (lit(2L) * col("cneg") + col("neg")))
             .as("u2"),

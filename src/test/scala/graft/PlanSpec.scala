@@ -434,6 +434,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("roc_auc rank statistic: cumulative windows partitioned by " +
+      "sigma-bucket, never an unpartitioned fact-scale window") {
+    // the round-13 shape ran Window.orderBy(sg) with no partitionBy —
+    // one task sorts every distinct holdout score (≈ holdout size at
+    // 100×). The rebuilt frame is the ks_drift parallel prefix:
+    // 256-row bucket-prefix window (single-partition but parameter-
+    // bounded) + within-bucket windows partitioned by bucket. The
+    // frame is consumed eagerly inside rocAuc, so pin its builder.
+    import spark.implicits._
+    val byScore = Seq((100000000L, 3L, 1L), (900000000L, 1L, 4L))
+      .toDF("sg", "pos", "neg")
+    val p = graft.operators.Learn.cumRank(byScore)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // no window may order by sg without the bucket partition key
+    assert(!p.contains("windowspecdefinition(sg#"),
+      s"unpartitioned window over sg:\n$p")
+    assert(p.contains("windowspecdefinition(bucket#"),
+      s"bucket-partitioned window missing:\n$p")
+    // the bucket prefix rides as a broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"prefix not broadcast:\n$p")
+  }
+
   test("shapley family: suffix sums run as REVERSED running frames, " +
       "never [current row, unbounded following] (O(n^2) per-row " +
       "re-aggregation; measured 198 s vs 20 s at 10x before the frame " +
