@@ -23,18 +23,33 @@ object Verify {
     // dev mode: `Verify <sfDir> <outDir> ORACLE_ONLY` dumps the full
     // oracle_sql.json without executing any query (shape-lint loop)
     val oracleOnly = only.exists(_("ORACLE_ONLY"))
+    // self-reported run manifest: per-query ok/failed + seconds, so a
+    // lost downstream artifact (round 13's empty CORRECTNESS json)
+    // never erases the round's hard signal — the Spark half of the
+    // gate is recoverable from the dump dir itself
+    val manifest = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => !oracleOnly && only.forall(_(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          manifest(name) =
+            f""""ok", "sec": ${(System.nanoTime() - t0) / 1e9}%.2f"""
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          manifest(name) = s""""failed", "error": ${q(
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}"""
         }
       }
     val json = oracleJson(SparkEntry.oracleSql
       .filter { case (k, _) => oracleOnly || only.forall(_(k)) })
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (!oracleOnly)
+      Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+        manifest.map { case (k, v) => s"""${q(k)}: {"status": $v}""" }
+          .mkString("{", ",\n ", "}"))
     spark.stop()
   }
 

@@ -8,6 +8,11 @@ Usage: python3 tools/compare.py <sfDir> <outDir>
 Compares each <outDir>/<name> parquet (Spark result) against the oracle SQL
 from <outDir>/oracle_sql.json run in DuckDB over the sfDir tables.
 Exact value comparison after sorting columns by name (like the driver).
+
+Also writes the per-query verdict set to <repo>/verify_correctness.json
+(3rd arg overrides the path) so the round keeps a hard, committable
+correctness artifact even if the driver-side CORRECTNESS_r{N}.json is
+lost (round 13 came back `{}`).
 """
 import sys, json, glob, os
 import duckdb
@@ -21,23 +26,35 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report_path = sys.argv[3] if len(sys.argv) > 3 else "verify_correctness.json"
+    verdicts = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         spark_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
-            print(f"[FAIL] {name}: no spark output"); n_fail += 1; continue
+            print(f"[FAIL] {name}: no spark output"); n_fail += 1
+            verdicts[name] = {"status": "fail", "detail": "no spark output"}
+            continue
         try:
             got = con.execute(f"SELECT * FROM '{spark_glob}'").fetchdf()
             want = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"[FAIL] {name}: {str(e)[:200]}"); n_fail += 1; continue
+            print(f"[FAIL] {name}: {str(e)[:200]}"); n_fail += 1
+            verdicts[name] = {"status": "fail", "detail": str(e)[:200]}
+            continue
         got = got.reindex(sorted(got.columns), axis=1)
         want = want.reindex(sorted(want.columns), axis=1)
         if list(got.columns) != list(want.columns):
             print(f"[FAIL] {name}: columns {list(got.columns)} != {list(want.columns)}")
-            n_fail += 1; continue
+            n_fail += 1
+            verdicts[name] = {"status": "fail",
+                "detail": f"columns {list(got.columns)} != {list(want.columns)}"}
+            continue
         if len(got) != len(want):
-            print(f"[FAIL] {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+            print(f"[FAIL] {name}: rows {len(got)} != {len(want)}"); n_fail += 1
+            verdicts[name] = {"status": "fail",
+                "detail": f"rows {len(got)} != {len(want)}"}
+            continue
         # exact compare, row by row in given order
         mism = []
         for c in got.columns:
@@ -63,10 +80,16 @@ def main():
         if mism:
             print(f"[FAIL] {name}: {len(mism)}+ mismatches, first: {mism[:3]}")
             n_fail += 1
+            verdicts[name] = {"status": "fail",
+                "detail": f"value mismatch, first: {repr(mism[:3])[:200]}"}
         else:
             print(f"[ok]   {name}: {len(got)} rows exact-match")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+            verdicts[name] = {"status": "pass", "rows": len(got)}
+    with open(report_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": verdicts}, f, indent=1, sort_keys=True)
+    print(f"== {n_pass} pass / {n_fail} fail == (report: {report_path})")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
