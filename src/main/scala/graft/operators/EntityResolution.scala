@@ -329,24 +329,42 @@ object EntityResolution {
     */
   def erEval(a: DataFrame, b: DataFrame,
              thresholds: Seq[Double] = Seq(0, 2, 4, 6, 8, 10, 12),
-             cap: Int = MaxBlockSize): DataFrame = {
-    val scores = matchScores(a, b, cap)
+             cap: Int = MaxBlockSize): DataFrame =
+    erEvalFromIndex(matchScores(a, b, cap), b, thresholds)
+
+  /** [[erEval]] served off the PERSISTED match index (the production
+    * deployment keeps the scored-pair table on disk — evaluation must
+    * not re-pay blocking + u-estimation + scoring; the
+    * bm25_incremental discipline). Every requested threshold emits a
+    * row even when no pair reaches it (n_pred = 0, prec NULL) — an
+    * inner theta-join would silently thin the operating curve and
+    * starve a regression gate reading a fixed threshold row.
+    */
+  def erEvalFromIndex(idx: DataFrame, b: DataFrame,
+                      thresholds: Seq[Double] = Seq(0, 2, 4, 6, 8, 10, 12)
+                     ): DataFrame = {
+    val scores = idx
       .withColumn("is_true", col("b_id") - lit(BIdOffset) === col("a_id"))
-    val spark = a.sparkSession
+    val spark = idx.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
     val nTrue = b.agg(count(lit(1)).as("n_true_links"))
     val base = scores.agg(
       sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true_blocked"))
-    val perTh = scores.join(broadcast(th),
+    val perTh0 = scores.join(broadcast(th),
         col("score") >= col("threshold"))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pred"),
         sum(when(col("is_true"), 1L).otherwise(0L)).as("n_tp"))
+    val perTh = th.join(perTh0, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
     perTh.crossJoin(broadcast(nTrue)).crossJoin(broadcast(base))
       .select(col("threshold"), col("n_pred"), col("n_tp"),
         col("n_true_links"),
-        r6(col("n_tp") / col("n_pred").cast("double")).as("prec"),
+        when(col("n_pred") > 0,
+          r6(col("n_tp") / col("n_pred").cast("double"))).as("prec"),
         r6(col("n_tp") / col("n_true_links").cast("double")).as("rec"),
         r6(lit(2.0) * col("n_tp") /
           (col("n_pred") + col("n_true_links")).cast("double")).as("f1"),
@@ -362,8 +380,14 @@ object EntityResolution {
     * the balance spread left unresolved inside the entity. Singleton
     * records (no match) stay out, as in the dedup cluster family.
     */
-  def entities(a: DataFrame, b: DataFrame): DataFrame = {
-    val matched = matchScores(a, b).filter(col("verdict") === "match")
+  def entities(a: DataFrame, b: DataFrame): DataFrame =
+    entitiesFromIndex(matchScores(a, b), a, b)
+
+  /** [[entities]] served off the persisted match index — the CC and
+    * survivorship rollup never re-pay the scored-pair build. */
+  def entitiesFromIndex(idx: DataFrame, a: DataFrame,
+                        b: DataFrame): DataFrame = {
+    val matched = idx.filter(col("verdict") === "match")
       .select(col("a_id").as("d1"), col("b_id").as("d2"))
     entityRollup(matched,
       a.withColumn("src", lit("A")).unionByName(b.withColumn("src", lit("B"))))
@@ -378,8 +402,15 @@ object EntityResolution {
     * the entity table.
     */
   def entitiesAfterRetire(a: DataFrame, b: DataFrame,
-                          retired: DataFrame): DataFrame = {
-    val surviving = matchScores(a, b).filter(col("verdict") === "match")
+                          retired: DataFrame): DataFrame =
+    entitiesAfterRetireFromIndex(matchScores(a, b), a, b, retired)
+
+  /** [[entitiesAfterRetire]] served off the persisted match index —
+    * takedown anti-joins the FROZEN scored pairs, never re-scores. */
+  def entitiesAfterRetireFromIndex(idx: DataFrame, a: DataFrame,
+                                   b: DataFrame,
+                                   retired: DataFrame): DataFrame = {
+    val surviving = idx.filter(col("verdict") === "match")
       .join(broadcast(retired), col("a_id") === retired("rec_id"),
         "left_anti")
       .select(col("a_id").as("d1"), col("b_id").as("d2"))

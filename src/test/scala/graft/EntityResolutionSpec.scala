@@ -136,6 +136,35 @@ class EntityResolutionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index consumers: eval/entities/retire served off a persisted " +
+      "parquet match index equal the self-contained forms") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("er_idx_spec").toString
+    EntityResolution.matchScores(a, b)
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    assert(EntityResolution.erEvalFromIndex(idx, b).collect().toSeq ==
+      EntityResolution.erEval(a, b).collect().toSeq)
+    assert(
+      EntityResolution.entitiesFromIndex(idx, a, b).collect().toSeq ==
+        EntityResolution.entities(a, b).collect().toSeq)
+    val retired = a.filter(col("rec_id") % 7 === 3).select(col("rec_id"))
+    assert(EntityResolution
+      .entitiesAfterRetireFromIndex(idx, a, b, retired).collect().toSeq ==
+      EntityResolution.entitiesAfterRetire(a, b, retired).collect().toSeq)
+  }
+
+  test("eval emits a row for EVERY requested threshold, zero-pair " +
+      "thresholds included (n_pred 0, prec NULL)") {
+    // threshold 99 is unreachable (3-field FS score tops out ~13)
+    val ev = EntityResolution.erEval(a, b, Seq(0, 6, 99)).collect()
+    assert(ev.length == 3, s"curve thinned: ${ev.length} rows")
+    val z = ev.find(_.getDouble(0) == 99.0).get
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L)
+    assert(z.isNullAt(4), "prec must be NULL at a zero-pair threshold")
+    assert(z.getDouble(5) == 0.0) // rec
+  }
+
   test("entities: clean-source survivorship and pair provenance") {
     val ents = EntityResolution.entities(a, b)
     val rows = ents.collect()
