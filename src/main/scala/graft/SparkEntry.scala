@@ -3089,10 +3089,12 @@ object SparkEntry {
        |${bitextScoreCtes("cand", "")},
        |bcand AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id
        |          FROM nl s, nl t
-       |          WHERE s.lang = 'en' AND t.lang = 'es'),
+       |          WHERE s.lang = 'en' AND t.lang = 'es'
+       |            AND ${h60("'btxsmp_' || s.vec_id")} % 100 < 25),
        |${bitextScoreCtes("bcand", "b")},
        |lshp AS (SELECT src_id, tgt_id FROM mr
-       |         WHERE rank = 1 AND m6 > 1000000),
+       |         WHERE rank = 1 AND m6 > 1000000
+       |           AND ${h60("'btxsmp_' || src_id")} % 100 < 25),
        |trup AS (SELECT src_id, tgt_id FROM bmr
        |         WHERE rank = 1 AND m6 > 1000000)
        |SELECT nt.n AS n_truth, nl2.n AS n_lsh, nh.n AS n_hit,

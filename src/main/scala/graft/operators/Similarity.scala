@@ -391,21 +391,37 @@ object Similarity {
     * approximates. Quadratic in the language-slice sizes BY DEFINITION
     * (it is the audit's ground truth, the `lsh_recall_audit` role for
     * this family); a 100 TB deployment runs it on a deterministic
-    * sample of sources, never the full corpus — the production path is
-    * [[bitextMine]], which is what this exists to measure.
+    * hash sample of SOURCES, never the full corpus — `srcSamplePct`
+    * is that contract (the embed_pca_power discipline: the salted
+    * sample is oracle-pinned data, not an approximation knob), making
+    * the truth leg \|src\|·pct/100 × \|tgt\| instead of unboundedly
+    * quadratic. Per-source margin ranking is independent across
+    * sources, so the sampled truth is the exact truth restricted to
+    * the sampled sub-universe — recall over it is an unbiased
+    * estimate. The production path is [[bitextMine]], which is what
+    * this exists to measure.
     */
   def bitextBrute(docs: DataFrame, embeddings: DataFrame,
                   srcLang: String = "en", tgtLang: String = "es",
-                  k: Int = 4, marginThreshold: Double = 1.0): DataFrame = {
+                  k: Int = 4, marginThreshold: Double = 1.0,
+                  srcSamplePct: Int = 100): DataFrame = {
     val n = normed(embeddings)
       .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
         Seq("vec_id"))
-    val cand = n.filter(col("lang") === srcLang)
+    val src = n.filter(col("lang") === srcLang)
+      .filter(srcSample(srcSamplePct, col("vec_id")))
       .select(col("vec_id").as("src_id"))
-      .crossJoin(n.filter(col("lang") === tgtLang)
-        .select(col("vec_id").as("tgt_id")))
+    val cand = src.crossJoin(n.filter(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id")))
     bitextMarginScore(n, cand, k, marginThreshold)
   }
+
+  /** The deterministic source-sample predicate shared by the brute
+    * truth and the audit's LSH-side restriction. */
+  private def srcSample(pct: Int, id: Column): Column =
+    if (pct >= 100) lit(true)
+    else pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("btxsmp_"), id)), lit(100)) < pct
 
   /** Recall audit for the bitext miner — the knob audit SCALING.md's
     * prose promised made into data: LSH-mined pairs vs the brute-force
@@ -415,18 +431,28 @@ object Similarity {
     * band geometry: as buckets saturate into the per-side cap regime,
     * recall drops here first — the remedy is raising `bitsPerBand`
     * (measured at 10× in SCALING.md), not raising the cap.
+    *
+    * The truth leg runs on the `srcSamplePct` deterministic source
+    * sample (default 25% — the embed_pca_power contract) and the
+    * LSH side is restricted to the SAME sampled sources, so every
+    * count compares like-for-like inside the sampled sub-universe and
+    * the audit stays runnable at any corpus size (the truth cross is
+    * \|src\|/4 × \|tgt\|, and a deployment dials pct down as the
+    * corpus grows).
     */
   def bitextRecallAudit(docs: DataFrame, embeddings: DataFrame,
                         srcLang: String = "en", tgtLang: String = "es",
                         k: Int = 4, nBands: Int = 16, bitsPerBand: Int = 4,
                         dims: Int = 64,
                         maxBucket: Int = Dedup.MaxBucketSize,
-                        marginThreshold: Double = 1.0): DataFrame = {
+                        marginThreshold: Double = 1.0,
+                        srcSamplePct: Int = 25): DataFrame = {
     val lsh = bitextMine(docs, embeddings, srcLang, tgtLang, k, nBands,
         bitsPerBand, dims, maxBucket, marginThreshold)
+      .filter(srcSample(srcSamplePct, col("src_doc")))
       .select(col("src_doc"), col("tgt_doc"))
     val truth = bitextBrute(docs, embeddings, srcLang, tgtLang, k,
-        marginThreshold)
+        marginThreshold, srcSamplePct)
       .select(col("src_doc"), col("tgt_doc"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
     val nl = lsh.agg(count(lit(1)).as("n_lsh"))
