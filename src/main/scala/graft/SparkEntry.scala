@@ -1352,6 +1352,12 @@ object SparkEntry {
     // per-doc subword budgets under the learned WordPiece merges.
     "wordpiece_segment" -> ((s, dir) =>
       TextAnalysis.wordpieceSegment(Tables.documents(s, dir))),
+    // the WordPiece training-budget row (the token_budget_stats
+    // serving surface for the fourth tokenizer): per-doc word count
+    // (empty-token convention), piece count, exact fertility, and
+    // 512-piece training sequences billed.
+    "wordpiece_budget_stats" -> ((s, dir) =>
+      TextAnalysis.wordpieceBudgetStats(Tables.documents(s, dir))),
     // tokenizer-sizing curve: top-k tokens with cumulative corpus share.
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
@@ -2717,6 +2723,15 @@ object SparkEntry {
     * score freq(ab)/(count(a)·count(b)) — per stage a symbol-count
     * agg, a pair-count agg, the scored 1-row argmax, and the same
     * left-to-right list_reduce merge walk.
+    *
+    * PRECONDITION (shared with the pre-existing bpeStagesSql shape):
+    * every stage must find a mergeable pair — `t{i+1}` is built as
+    * `FROM t$i t, b$i b`, so an empty `b$i` (merges exhausted before
+    * stage k: no word has ≥2 symbols left) would empty every
+    * subsequent t table, where the Scala trainer's `exhausted` flag
+    * keeps the last vocab. Holds on the harness corpus by a wide
+    * margin (k = 8 merges vs thousands of multi-symbol word types);
+    * a degenerate corpus needs k lowered, not a silent guard.
     */
   private def wordpieceStagesSql(k: Int): String = {
     val head =
@@ -2779,6 +2794,30 @@ object SparkEntry {
        |    * 1.0e6, 0) / 1.0e6 AS fertility
        |FROM dt JOIN seg USING (w) GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-doc WordPiece training budget (mirrors
+    * TextAnalysis.wordpieceBudgetStats): word count with the
+    * empty-token convention, piece count off the segmented
+    * vocabulary, exact fertility quotient, integer-ceil sequence
+    * count at 512 pieces.
+    */
+  private def wordpieceBudgetOracleSql(k: Int, packTokens: Int): String =
+    s"""${wordpieceStagesSql(k)},
+       |seg AS (SELECT w, len(syms) AS n_pieces FROM t${k + 1}),
+       |dts AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents),
+       |dt AS (SELECT x.doc_id, u.w AS w
+       |       FROM dts x, unnest(x.toks) AS u(w) WHERE u.w <> ''),
+       |per AS (SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_subtokens
+       |        FROM dt JOIN seg USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_words,
+       |  coalesce(per.n_subtokens, 0) AS n_subtokens,
+       |  CAST(coalesce(per.n_subtokens, 0) AS DOUBLE)
+       |    / CAST(len(d.toks) AS DOUBLE) AS fertility,
+       |  (coalesce(per.n_subtokens, 0) + ${packTokens - 1})
+       |    // $packTokens AS n_seq
+       |FROM dts d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map(i =>
@@ -5391,6 +5430,8 @@ object SparkEntry {
     "wordpiece_learn" -> wordpieceOracleSql(8),
 
     "wordpiece_segment" -> wordpieceSegmentOracleSql(8),
+
+    "wordpiece_budget_stats" -> wordpieceBudgetOracleSql(8, 512),
 
     "vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

@@ -2575,6 +2575,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus training-budget roll-up under the learned WordPiece
+    * tokenizer — the budget serving row the other three tokenizers
+    * expose (the `token_budget_stats` discipline): per document, the
+    * whitespace word count (EMPTY split tokens included — the
+    * corpus-wide convention, unlike [[wordpieceSegment]]'s non-empty
+    * token count), the WordPiece piece count, the exact fertility
+    * quotient, and the number of `packTokens`-sized training
+    * sequences the document bills (ceil in exact integer `div`
+    * arithmetic) — the unit a pretraining budget is quoted in. The
+    * segmented vocabulary is broadcast (vocab-scale at any corpus
+    * size); the corpus pass is map-only + one per-doc agg.
+    */
+  def wordpieceBudgetStats(docs: DataFrame, numMerges: Int = 8,
+                           packTokens: Int = 512): DataFrame = {
+    val seg = wordpieceTrain(docs, numMerges)._2
+      .select(col("w"), size(col("syms")).as("n_pieces"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).as("n_subtokens"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_subtokens"), lit(0L)).as("n_subtokens"))
+      .withColumn("fertility",
+        col("n_subtokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("n_seq",
+        expr(s"(n_subtokens + ${packTokens - 1}) div $packTokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared WordPiece training loop: ordered merge table + the final
     * segmented vocabulary (w, syms, freq). Structure mirrors
     * [[bpeTrain]]; the differences are the ## initialization, the
