@@ -522,4 +522,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(!r(4).getAs[Boolean]("spiked"))
     assert(r.count(_.getAs[Boolean]("spiked")) == 1)
   }
+
+  test("streamToDriver (O4): partition-at-a-time iteration preserves " +
+      "lastK's ascending order and full contents") {
+    // the reference N5 plotting loop: lastK (top-k desc, re-sorted
+    // asc) pulled to the driver via toLocalIterator — the iterator
+    // must yield the SAME rows in the SAME ascending order as a
+    // collect, across multiple output partitions
+    val bars = (0 until 97).map(i => bar("S", i % 60, 100.0 + i))
+      .zipWithIndex.map { case (b, i) =>
+        b.copy(bar_start = new Timestamp(b.bar_start.getTime + i * 60000L))
+      }.toDS.toDF
+    val viaIterator = Analytics.streamToDriver(
+      Analytics.lastK(bars, k = 25)).toSeq
+    val viaCollect = Analytics.lastK(bars, k = 25).collect().toSeq
+    assert(viaIterator == viaCollect)
+    assert(viaIterator.size == 25)
+    val starts = viaIterator.map(_.getAs[Timestamp]("bar_start").getTime)
+    assert(starts == starts.sorted, "ascending bar_start contract broken")
+    // and the streamed rows are exactly the k most recent
+    assert(starts.head > bars.orderBy(col("bar_start"))
+      .limit(1).collect().head.getAs[Timestamp]("bar_start").getTime)
+  }
 }
