@@ -1931,6 +1931,13 @@ object SparkEntry {
     // shape — the streaming join must equal the banded batch join.
     "pipeline_join_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.joinE2E(s, dir)),
+    // ER delta hop oracle-gated end to end: B-delta file stream
+    // joined stream-static against the persisted master blocking
+    // index through a real AvailableNow lifecycle, candidates landed
+    // in an append sink, scored sink-side with frozen-history u —
+    // must hash-match the batch er_incremental oracle.
+    "pipeline_er_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.erE2E(s, dir)),
     // pairwise audience overlap (union/intersection/Jaccard) between
     // event types, estimated from the partial KMV sketches alone —
     // no raw-data rescan per pair.
@@ -6149,6 +6156,18 @@ object SparkEntry {
     // mirrors EntityResolution.incrementalMatches: frozen-history u,
     // delta-only blocking and scoring.
     "er_incremental" ->
+      s"""WITH $erIncCte
+         |SELECT a_id, b_id, gamma_name, seg_agree, ab_agree, score,
+         |  CASE WHEN score >= ${EntityResolution.ThMatch} THEN 'match'
+         |       WHEN score >= ${EntityResolution.ThPossible} THEN 'possible'
+         |       ELSE 'nonmatch' END AS verdict
+         |FROM ersc ORDER BY a_id, b_id""".stripMargin,
+
+    // the streamed delta hop must land exactly the batch incremental
+    // result — the oracle IS the er_incremental chain (the
+    // pipeline_gold_e2e convention: streaming-vs-batch drift is a
+    // correctness failure, not a tolerance).
+    "pipeline_er_e2e" ->
       s"""WITH $erIncCte
          |SELECT a_id, b_id, gamma_name, seg_agree, ab_agree, score,
          |  CASE WHEN score >= ${EntityResolution.ThMatch} THEN 'match'

@@ -285,6 +285,19 @@ object EntityResolution {
     scoreCandidates(candidates(a, bDelta), a, bDelta,
       uProbabilities(a, bHist))
 
+  /** Sink-side scoring of a LANDED candidate-pair table (a_id, b_id)
+    * — the batch compaction that closes the streaming hop
+    * ([[graft.streaming.Streams.erCandidateStream]] emits
+    * retrieval-only pairs; Fellegi–Sunter needs both records' fields
+    * plus the frozen u, so scoring happens over the landed sink):
+    * exactly [[incrementalMatches]]' scoring half, u frozen on the
+    * resolved history.
+    */
+  def scoreDeltaCandidates(cand: DataFrame, a: DataFrame,
+                           bDelta: DataFrame,
+                           bHist: DataFrame): DataFrame =
+    scoreCandidates(cand, a, bDelta, uProbabilities(a, bHist))
+
   private def scoreCandidates(cand: DataFrame, a: DataFrame,
                               b: DataFrame, u: DataFrame): DataFrame = {
     val an = a.select(col("rec_id").as("a_id"),

@@ -567,6 +567,61 @@ object Pipeline {
     * watermark is the knob that bounds join state, sized to the
     * real-world disorder bound, not the corpus span.
     */
+  /** ER nightly-delta hop, oracle-gated end to end: the B-side delta
+    * lands as a REAL file stream (2 files drained one per micro-batch
+    * via `maxFilesPerTrigger` — real multi-batch execution), joins the
+    * PERSISTED master blocking index stream-static
+    * ([[Streams.erCandidateStream]], fully stateless), and the
+    * candidate pairs stream into an append parquet sink through a
+    * real AvailableNow lifecycle. The sink is read back,
+    * de-duplicated (a pair colliding on both blocking passes lands
+    * twice), and scored with u probabilities FROZEN on the resolved
+    * history — the sink-side compaction. The result hash-matches the
+    * batch `er_incremental` oracle exactly (same CTE chain), because
+    * the delta's rowwise keys joined against the capped master
+    * postings retrieve the same pairs as the batch blocking whenever
+    * the delta-side caps don't bind (they are delta-batch-local by
+    * construction).
+    */
+  def erE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EntityResolution
+    val basePath = Files.createTempDirectory("graft_ere2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val deltaDir = s"$base/delta"
+    val candDir = s"$base/cand"
+
+    val c = Tables.customer(spark, dir)
+    val a = EntityResolution.sourceA(c)
+    val b = EntityResolution.sourceB(c)
+    val splitH = graft.functions.TextFunctions.hash60(
+      concat(lit("er_inc_"), col("rec_id").cast("string"))) % 100
+    val bHist = b.filter(splitH < 80)
+    val bDelta = b.filter(splitH >= 80)
+    bDelta.repartition(2).write.mode("overwrite").parquet(deltaDir)
+    val masterIdx = EntityResolution.masterIndex(a).localCheckpoint(true)
+
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try HarnessGuard.scope(spark, "pipeline_er_e2e") {
+      val dStream = spark.readStream.schema(bDelta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      val q = Streams.erCandidateStream(dStream, masterIdx)
+        .writeStream
+        .format("parquet")
+        .option("path", candDir)
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
+
+    EntityResolution.scoreDeltaCandidates(
+        spark.read.parquet(candDir).distinct(), a, bDelta, bHist)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def joinE2E(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Trades
     val basePath = Files.createTempDirectory("graft_je2e_")
