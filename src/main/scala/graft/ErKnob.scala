@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
 object ErKnob {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val caps = if (args.length > 1) args.toSeq.tail.map(_.toInt)
-               else Seq(64, 256)
+    // optional literal arg "finer" switches on the third
+    // (nation, name-digit) blocking pass — the remedy under test
+    val finer = args.contains("finer")
+    val caps = args.toSeq.tail.filterNot(_ == "finer") match {
+      case Nil => Seq(64, 256)
+      case cs  => cs.map(_.toInt)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,12 +37,14 @@ object ErKnob {
     val b = EntityResolution.sourceB(customer)
     caps.foreach { cap =>
       val t0 = System.nanoTime()
-      val row = EntityResolution.erEval(a, b, cap = cap)
+      val row = EntityResolution.erEval(a, b, cap = cap,
+          finerKeys = finer)
         .filter(org.apache.spark.sql.functions.col("threshold")
           === EntityResolution.ThMatch)
         .collect().head
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"cap=$cap%-5d n_pred=${row.getAs[Long]("n_pred")}%-8d " +
+      println(f"finer=$finer cap=$cap%-5d " +
+        f"n_pred=${row.getAs[Long]("n_pred")}%-8d " +
         f"n_tp=${row.getAs[Long]("n_tp")}%-8d " +
         f"blocking_recall=${row.getAs[Double]("blocking_recall")}%.6f " +
         f"prec=${row.getAs[Double]("prec")}%.6f " +

@@ -1118,6 +1118,14 @@ object SparkEntry {
       EntityResolution.erEvalFromIndex(erMatchIndex(s, dir),
         EntityResolution.sourceB(c))
     }),
+    // the finer-keys remedy measured as a query: third
+    // (nation, name-digit-bucket) blocking pass at cap 64 — the
+    // operating curve the 2-pass key set only reaches at cap 256.
+    "er_eval_finer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      EntityResolution.erEval(EntityResolution.sourceA(c),
+        EntityResolution.sourceB(c), cap = 64, finerKeys = true)
+    }),
     "er_entities" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       EntityResolution.entitiesFromIndex(erMatchIndex(s, dir),
@@ -2441,17 +2449,26 @@ object SparkEntry {
     import EntityResolution._
     val segList =
       "['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']"
-    def cap(side: String) =
+    def cap(side: String, capN: Int = MaxBlockSize) =
       s"""SELECT rec_id, bkey FROM k$side QUALIFY row_number() OVER (
          |  PARTITION BY bkey
          |  ORDER BY ${h60(s"'er_cap${side}_' || rec_id")}, rec_id)
-         |  <= $MaxBlockSize""".stripMargin
-    def keys(src: String) =
-      s"""SELECT rec_id, 's|' || nat || '|' || seg AS bkey FROM $src
-         |UNION ALL
-         |SELECT rec_id, 'b|' || nat || '|' ||
-         |  CAST(floor((ab_c + 100000) / 50000.0) AS BIGINT) AS bkey
-         |FROM $src""".stripMargin
+         |  <= $capN""".stripMargin
+    def keys(src: String, finer: Boolean = false) = {
+      val twoPass =
+        s"""SELECT rec_id, 's|' || nat || '|' || seg AS bkey FROM $src
+           |UNION ALL
+           |SELECT rec_id, 'b|' || nat || '|' ||
+           |  CAST(floor((ab_c + 100000) / 50000.0) AS BIGINT) AS bkey
+           |FROM $src""".stripMargin
+      if (!finer) twoPass
+      else twoPass +
+        s"""
+           |UNION ALL
+           |SELECT rec_id, 'n|' || nat || '|' ||
+           |  right(regexp_extract(name, '[0-9]+'), 2) AS bkey
+           |FROM $src""".stripMargin
+    }
     val wName =
       s"""CASE WHEN gamma_name = 2
          |       THEN ln($MNameExact / u_name_exact) / ln(2.0)
@@ -2498,11 +2515,12 @@ object SparkEntry {
       * in the incremental twin); `bc` = the B relation blocked and
       * scored (the delta). The plain family passes erb for both.
       */
-    def scoring(bu: String, bc: String) =
-      s"""kA AS (${keys("era")}),
-         |kB AS (${keys(bc)}),
-         |kac AS (${cap("A")}),
-         |kbc AS (${cap("B")}),
+    def scoring(bu: String, bc: String, finer: Boolean = false,
+                capN: Int = MaxBlockSize) =
+      s"""kA AS (${keys("era", finer)}),
+         |kB AS (${keys(bc, finer)}),
+         |kac AS (${cap("A", capN)}),
+         |kbc AS (${cap("B", capN)}),
          |ercand AS (SELECT a_id, b_id,
          |    CAST(max(CASE WHEN bkey LIKE 's|%' THEN 1 ELSE 0 END)
          |      AS BOOLEAN) AS via_attr,
@@ -2563,6 +2581,42 @@ object SparkEntry {
   private val erCte =
     s"""${ErOracle.base},
        |${ErOracle.scoring("erb", "erb")}""".stripMargin
+
+  /** The finer-keys variant chain: third (nation, name-digit) blocking
+    * pass at cap 64 — the remedy-as-data oracle. */
+  private val erCteFiner =
+    s"""${ErOracle.base},
+       |${ErOracle.scoring("erb", "erb", finer = true, capN = 64)}""".stripMargin
+
+  /** The er_eval operating-curve SELECT over any scored chain (shared
+    * by the default and finer-keys variants). */
+  private def erEvalSqlOver(cte: String): String =
+    s"""WITH $cte,
+       |ev AS (SELECT ersc.*, (b_id - ${EntityResolution.BIdOffset}
+       |         = a_id) AS is_true FROM ersc),
+       |th AS (SELECT * FROM (VALUES (0.0), (2.0), (4.0), (6.0), (8.0),
+       |        (10.0), (12.0)) t(threshold)),
+       |ntrue AS (SELECT count(*) AS n_true_links FROM erb),
+       |base AS (SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+       |           AS n_true_blocked FROM ev),
+       |pt0 AS (SELECT threshold, count(*) AS n_pred,
+       |         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_tp
+       |       FROM ev JOIN th ON ev.score >= th.threshold
+       |       GROUP BY threshold),
+       |pt AS (SELECT th.threshold,
+       |         coalesce(n_pred, 0) AS n_pred,
+       |         coalesce(n_tp, 0) AS n_tp
+       |       FROM th LEFT JOIN pt0 USING (threshold))
+       |SELECT threshold, n_pred, n_tp, n_true_links,
+       |  CASE WHEN n_pred > 0
+       |    THEN ${safe6("n_tp / CAST(n_pred AS DOUBLE)")} END AS prec,
+       |  ${safe6("n_tp / CAST(n_true_links AS DOUBLE)")} AS rec,
+       |  ${safe6("(2.0 * n_tp) / CAST(n_pred + n_true_links AS DOUBLE)")}
+       |    AS f1,
+       |  ${safe6("n_true_blocked / CAST(n_true_links AS DOUBLE)")}
+       |    AS blocking_recall
+       |FROM pt, ntrue, base ORDER BY threshold""".stripMargin
 
   /** Incremental-ER oracle: B split 80/20 into history/delta; the u
     * probabilities are FROZEN on the history and only the delta is
@@ -6030,33 +6084,12 @@ object SparkEntry {
 
     // mirrors EntityResolution.erEval: per-threshold operating points
     // against the construction ground truth + blocking recall.
-    "er_eval" ->
-      s"""WITH $erCte,
-         |ev AS (SELECT ersc.*, (b_id - ${EntityResolution.BIdOffset}
-         |         = a_id) AS is_true FROM ersc),
-         |th AS (SELECT * FROM (VALUES (0.0), (2.0), (4.0), (6.0), (8.0),
-         |        (10.0), (12.0)) t(threshold)),
-         |ntrue AS (SELECT count(*) AS n_true_links FROM erb),
-         |base AS (SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END)
-         |           AS n_true_blocked FROM ev),
-         |pt0 AS (SELECT threshold, count(*) AS n_pred,
-         |         CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS n_tp
-         |       FROM ev JOIN th ON ev.score >= th.threshold
-         |       GROUP BY threshold),
-         |pt AS (SELECT th.threshold,
-         |         coalesce(n_pred, 0) AS n_pred,
-         |         coalesce(n_tp, 0) AS n_tp
-         |       FROM th LEFT JOIN pt0 USING (threshold))
-         |SELECT threshold, n_pred, n_tp, n_true_links,
-         |  CASE WHEN n_pred > 0
-         |    THEN ${safe6("n_tp / CAST(n_pred AS DOUBLE)")} END AS prec,
-         |  ${safe6("n_tp / CAST(n_true_links AS DOUBLE)")} AS rec,
-         |  ${safe6("(2.0 * n_tp) / CAST(n_pred + n_true_links AS DOUBLE)")}
-         |    AS f1,
-         |  ${safe6("n_true_blocked / CAST(n_true_links AS DOUBLE)")}
-         |    AS blocking_recall
-         |FROM pt, ntrue, base ORDER BY threshold""".stripMargin,
+    "er_eval" -> erEvalSqlOver(erCte),
+
+    // the finer-keys remedy as data: third (nation, name-digit)
+    // blocking pass at cap 64 — recall must hold where the 2-pass
+    // key set needs cap 256.
+    "er_eval_finer" -> erEvalSqlOver(erCteFiner),
 
     // mirrors EntityResolution.uAudit: the eru CTE's parameters,
     // 1e-9-pinned for the report.

@@ -133,19 +133,40 @@ object EntityResolution {
     * every engine only above zero).
     */
   private def blocked(recs: DataFrame, side: String,
-                      cap: Int = MaxBlockSize): DataFrame = {
+                      cap: Int = MaxBlockSize,
+                      finerKeys: Boolean = false): DataFrame = {
     val band = floor((col("ab_c") + lit(100000L)) / lit(50000.0)).cast("long")
-    val keyed = recs
+    val twoPass = recs
       .select(col("rec_id"),
         concat(lit("s|"), col("nat"), lit("|"), col("seg")).as("bkey"))
       .union(recs.select(col("rec_id"),
         concat(lit("b|"), col("nat"), lit("|"), band).as("bkey")))
+    val keyed =
+      if (!finerKeys) twoPass
+      else twoPass.union(recs.select(col("rec_id"),
+        concat(lit("n|"), col("nat"), lit("|"), nameBucket).as("bkey")))
     keyed.withColumn("brk", row_number().over(
         Window.partitionBy(col("bkey"))
           .orderBy(h(s"er_cap${side}_", col("rec_id")), col("rec_id"))))
       .filter(col("brk") <= cap)
       .select(col("rec_id"), col("bkey"))
   }
+
+  /** The FINER third-pass key: (nation, last-2 digits of the name's
+    * first digit run) — SCALING.md's documented remedy for
+    * fixed-cardinality blocking, as a key instead of prose. ~100
+    * buckets per nation (vs 5 segments / ~20 bands), and
+    * corruption-robust where it counts: upper-casing, trailing
+    * spaces, and balance perturbation don't touch digits at all; a
+    * dropped character hits the last-2 digit window rarely (~2/len of
+    * the 20% channel), and those residual losses are what the OTHER
+    * two passes still catch. Per-block membership under this key
+    * grows ~1/100th as fast as the (nation, segment) blocks, so the
+    * cap stops binding at much larger corpora — measured in
+    * SCALING.md's round-14 table.
+    */
+  private def nameBucket: Column =
+    substring(regexp_extract(col("name"), "[0-9]+", 0), -2, 2)
 
   /** Row-wise blocking keys — the STREAMING-safe variant of [[blocked]]
     * (one map-only explode per record, no window, no cap: a streaming
@@ -172,10 +193,13 @@ object EntityResolution {
     * (a_id, b_id, via_attr, via_band).
     */
   def candidates(a: DataFrame, b: DataFrame,
-                 cap: Int = MaxBlockSize): DataFrame =
-    blocked(a, "A", cap).select(col("rec_id").as("a_id"), col("bkey"))
+                 cap: Int = MaxBlockSize,
+                 finerKeys: Boolean = false): DataFrame =
+    blocked(a, "A", cap, finerKeys)
+      .select(col("rec_id").as("a_id"), col("bkey"))
       .join(
-        blocked(b, "B", cap).select(col("rec_id").as("b_id"), col("bkey")),
+        blocked(b, "B", cap, finerKeys)
+          .select(col("rec_id").as("b_id"), col("bkey")),
         "bkey")
       .groupBy(col("a_id"), col("b_id"))
       .agg(
@@ -267,8 +291,10 @@ object EntityResolution {
     * verdict).
     */
   def matchScores(a: DataFrame, b: DataFrame,
-                  cap: Int = MaxBlockSize): DataFrame =
-    scoreCandidates(candidates(a, b, cap), a, b, uProbabilities(a, b))
+                  cap: Int = MaxBlockSize,
+                  finerKeys: Boolean = false): DataFrame =
+    scoreCandidates(candidates(a, b, cap, finerKeys), a, b,
+      uProbabilities(a, b))
 
   /** Incremental ER — the nightly-delta twin (the lifecycle discipline
     * every index family carries): the master A's blocking index is
@@ -342,8 +368,9 @@ object EntityResolution {
     */
   def erEval(a: DataFrame, b: DataFrame,
              thresholds: Seq[Double] = Seq(0, 2, 4, 6, 8, 10, 12),
-             cap: Int = MaxBlockSize): DataFrame =
-    erEvalFromIndex(matchScores(a, b, cap), b, thresholds)
+             cap: Int = MaxBlockSize,
+             finerKeys: Boolean = false): DataFrame =
+    erEvalFromIndex(matchScores(a, b, cap, finerKeys), b, thresholds)
 
   /** [[erEval]] served off the PERSISTED match index (the production
     * deployment keeps the scored-pair table on disk — evaluation must

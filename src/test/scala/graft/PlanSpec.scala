@@ -580,8 +580,8 @@ class PlanSpec extends SparkSpec {
       "attribution_markov",
       // 1-row u-probability stats cross joins (plus er_eval's 7-row
       // literal threshold theta join) — bounded by construction
-      "er_match", "er_eval", "er_entities", "er_incremental", "er_retire",
-      "er_u_audit",
+      "er_match", "er_eval", "er_eval_finer", "er_entities",
+      "er_incremental", "er_retire", "er_u_audit",
       // the MaxPanel-capped test-panel broadcast (parameter-bounded
       // like ann_topk's query set)
       "shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
