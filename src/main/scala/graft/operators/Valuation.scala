@@ -175,19 +175,20 @@ object Valuation {
     * stage 2 ranks the ≤ buckets·R survivors per test. No
     * corpus-sized window partition anywhere in the plan.
     */
-  def shapleyKnnTruncated(embeddings: DataFrame): DataFrame =
-    tknnValues(bucketPruned(pairs(embeddings)), panelCount(embeddings))
+  def shapleyKnnTruncated(embeddings: DataFrame,
+                          r: Int = TruncR): DataFrame =
+    tknnValues(bucketPruned(pairs(embeddings), r), panelCount(embeddings), r)
 
   /** Stage-1 bucket prune: per-(test, cosine-bucket) partial top-R —
     * any global-top-R row has local rank ≤ R, so the survivors are a
     * bounded superset of the per-test top-R. */
-  private def bucketPruned(p: DataFrame): DataFrame =
+  private def bucketPruned(p: DataFrame, r: Int = TruncR): DataFrame =
     p.withColumn("bkt", floor((col("cos6") + lit(1000000L))
         / lit(BucketWidth.toDouble)).cast("long"))
       .withColumn("lrk", row_number().over(
         Window.partitionBy(col("test_id"), col("bkt"))
           .orderBy(col("cos6").desc, col("train_id"))))
-      .filter(col("lrk") <= TruncR)
+      .filter(col("lrk") <= r)
       .drop("bkt", "lrk")
 
   /** The TKNN value chain over a bounded per-test candidate superset:
@@ -199,10 +200,11 @@ object Valuation {
     * appearance count.
     */
   private def tknnValues(candidates: DataFrame,
-                         nPanel: DataFrame): DataFrame = {
+                         nPanel: DataFrame,
+                         r: Int = TruncR): DataFrame = {
     val ranked = candidates
       .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") <= TruncR)
+      .filter(col("rk") <= r)
       .withColumn("a_nx", lead(col("a"), 1, 0).over(byCos))
     ranked
       .withColumn("t12", term12(lit(0L), lastBase = false))
@@ -253,11 +255,12 @@ object Valuation {
     * are order-free; the harmonic tail bound says |Δ| ≲ ln(N/R)/K per
     * test — the audit shows the realized error beside it.
     */
-  def shapleyTruncFidelity(embeddings: DataFrame): DataFrame = {
+  def shapleyTruncFidelity(embeddings: DataFrame,
+                           r: Int = TruncR): DataFrame = {
     val e6 = round(col("shapley") * lit(1.0e6), 0).cast("long")
     val exact = shapleyKnn(embeddings)
       .select(col("train_id"), col("label"), e6.as("e6"))
-    val trunc = shapleyKnnTruncated(embeddings)
+    val trunc = shapleyKnnTruncated(embeddings, r)
       .select(col("train_id"), e6.as("t6"))
     exact.join(trunc, Seq("train_id"), "left")
       .withColumn("d6", abs(col("e6") - coalesce(col("t6"), lit(0L))))

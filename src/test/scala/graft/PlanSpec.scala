@@ -432,6 +432,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), s"nested loop in blocking:\n$p")
     assert(!p.contains("SortAggregate"))
+    // the finer 3-pass key set inherits the same blocking shapes (its
+    // only nested-loop joins are the allowlisted 1-row u-stat crosses)
+    val pf = plan("er_eval_finer")
+    assert(pf.contains("WindowGroupLimit"), s"finer cap not pushed:\n$pf")
+    assert(!pf.contains("CartesianProduct"))
   }
 
   test("roc_auc rank statistic: cumulative windows partitioned by " +
