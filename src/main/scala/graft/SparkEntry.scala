@@ -1173,6 +1173,10 @@ object SparkEntry {
     // in exact 1e-6 integer units (the lsh_recall_audit discipline).
     "shapley_trunc_fidelity" -> ((s, dir) =>
       Valuation.shapleyTruncFidelity(Tables.embeddings(s, dir))),
+    // the truncation-rank knob as an oracle-verified curve (ShapKnob
+    // is the wide dev sweep): fidelity rows at R = 16 and 64.
+    "shapley_r_curve" -> ((s, dir) =>
+      Valuation.shapleyRCurve(Tables.embeddings(s, dir))),
     // incremental twin: delta train points merged with the persisted
     // per-test top-R index — full-rebuild parity at delta cost.
     "shapley_incremental" -> ((s, dir) => {
@@ -3058,6 +3062,50 @@ object SparkEntry {
          |SELECT train_id, label, n_tests,
          |  ${safe6("s12sum / (n_panel * 1.0e12)")} AS shapley
          |FROM sagg, pnl ORDER BY train_id""".stripMargin
+
+  /** Shared fidelity-oracle scaffolding: pairs + exact chain + exact
+    * pinned values (sve) + the panel count. */
+  private lazy val shapFidPrefix: String =
+    s"""$embCte,
+       |$shapPairsCte,
+       |$shapExactCte,
+       |sve AS (SELECT train_id, label,
+       |          CAST(round((${safe6("s12sum / (n_tests * 1.0e12)")})
+       |            * 1.0e6, 0) AS BIGINT) AS e6
+       |        FROM sagg),
+       |pnl AS (SELECT count(*) AS n_panel FROM sq)""".stripMargin
+
+  /** One truncated-value chain at rank `r`, CTE names suffixed `sfx`,
+    * ending at sj$sfx = per-train exact-vs-truncated deltas (d6). */
+  private def shapFidChain(r: Int, sfx: String): String =
+    s"""spb$sfx AS (SELECT *, CAST(floor((cos6 + 1000000) / 8192.0)
+       |           AS BIGINT) AS bkt FROM sp),
+       |sl$sfx AS (SELECT * FROM spb$sfx QUALIFY row_number() OVER (
+       |         PARTITION BY test_id, bkt
+       |         ORDER BY cos6 DESC, train_id) <= $r),
+       |sr2$sfx AS (SELECT * FROM (SELECT *, row_number() OVER (
+       |           PARTITION BY test_id ORDER BY cos6 DESC, train_id)
+       |           AS rk FROM sl$sfx) z WHERE rk <= $r),
+       |sr3$sfx AS (SELECT *, coalesce(lead(a) OVER (
+       |           PARTITION BY test_id ORDER BY cos6 DESC, train_id), 0)
+       |           AS a_nx FROM sr2$sfx),
+       |sterm$sfx AS (SELECT *, CAST(round((CAST((a - a_nx) * least(5, rk)
+       |             AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
+       |             AS BIGINT) AS t12 FROM sr3$sfx),
+       |ss$sfx AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
+       |          ORDER BY cos6 ASC, train_id DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS s12 FROM sterm$sfx),
+       |sagg$sfx AS (SELECT train_id, count(*) AS n_tests,
+       |            CAST(sum(s12) AS BIGINT) AS s12sum
+       |          FROM ss$sfx GROUP BY 1),
+       |sv$sfx AS (SELECT train_id,
+       |          CAST(round((${safe6("s12sum / (n_panel * 1.0e12)")})
+       |            * 1.0e6, 0) AS BIGINT) AS t6
+       |        FROM sagg$sfx, pnl),
+       |sj$sfx AS (SELECT sve.label, sve.e6, sv$sfx.t6,
+       |         abs(sve.e6 - coalesce(sv$sfx.t6, 0)) AS d6
+       |       FROM sve LEFT JOIN sv$sfx USING (train_id))""".stripMargin
 
   private val shapExactCte =
     s"""sr AS (SELECT *, row_number() OVER w AS rk,
@@ -6140,51 +6188,41 @@ object SparkEntry {
          |FROM sv2 GROUP BY label ORDER BY label""".stripMargin,
 
     // mirrors Valuation.shapleyTruncFidelity: both value chains (the
-    // trunc CTEs renamed with a t suffix), deltas in 1e-6 integers.
+    // trunc CTEs suffixed), deltas in 1e-6 integers.
     "shapley_trunc_fidelity" ->
-      s"""$embCte,
-         |$shapPairsCte,
-         |$shapExactCte,
-         |sve AS (SELECT train_id, label,
-         |          CAST(round((${safe6("s12sum / (n_tests * 1.0e12)")})
-         |            * 1.0e6, 0) AS BIGINT) AS e6
-         |        FROM sagg),
-         |spbt AS (SELECT *, CAST(floor((cos6 + 1000000) / 8192.0)
-         |           AS BIGINT) AS bkt FROM sp),
-         |slt AS (SELECT * FROM spbt QUALIFY row_number() OVER (
-         |         PARTITION BY test_id, bkt
-         |         ORDER BY cos6 DESC, train_id) <= 64),
-         |sr2t AS (SELECT * FROM (SELECT *, row_number() OVER (
-         |           PARTITION BY test_id ORDER BY cos6 DESC, train_id)
-         |           AS rk FROM slt) z WHERE rk <= 64),
-         |sr3t AS (SELECT *, coalesce(lead(a) OVER (
-         |           PARTITION BY test_id ORDER BY cos6 DESC, train_id), 0)
-         |           AS a_nx FROM sr2t),
-         |stermt AS (SELECT *, CAST(round((CAST((a - a_nx) * least(5, rk)
-         |             AS DOUBLE) / CAST(5 * rk AS DOUBLE)) * 1.0e12, 0)
-         |             AS BIGINT) AS t12 FROM sr3t),
-         |sst AS (SELECT *, sum(t12) OVER (PARTITION BY test_id
-         |          ORDER BY cos6 ASC, train_id DESC
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |          AS s12 FROM stermt),
-         |saggt AS (SELECT train_id, count(*) AS n_tests,
-         |            CAST(sum(s12) AS BIGINT) AS s12sum
-         |          FROM sst GROUP BY 1),
-         |pnl AS (SELECT count(*) AS n_panel FROM sq),
-         |svt AS (SELECT train_id,
-         |          CAST(round((${safe6("s12sum / (n_panel * 1.0e12)")})
-         |            * 1.0e6, 0) AS BIGINT) AS t6
-         |        FROM saggt, pnl),
-         |sj AS (SELECT sve.label, sve.e6, svt.t6,
-         |         abs(sve.e6 - coalesce(svt.t6, 0)) AS d6
-         |       FROM sve LEFT JOIN svt USING (train_id))
+      s"""$shapFidPrefix,
+         |${shapFidChain(64, "t")}
          |SELECT label, count(*) AS n_points,
          |  CAST(sum(CASE WHEN t6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_in_topr,
          |  max(d6) AS max_delta6,
          |  ${safe6("CAST(sum(d6) AS BIGINT) / (count(*) * 1.0e6)")}
          |    AS mean_abs_delta
-         |FROM sj GROUP BY label ORDER BY label""".stripMargin,
+         |FROM sjt GROUP BY label ORDER BY label""".stripMargin,
+
+    // mirrors Valuation.shapleyRCurve: the fidelity chain at each
+    // truncation rank, stacked with the rank as a column.
+    "shapley_r_curve" ->
+      s"""$shapFidPrefix,
+         |${shapFidChain(16, "a")},
+         |${shapFidChain(64, "b")}
+         |SELECT * FROM (
+         |  SELECT CAST(16 AS INT) AS r, label, count(*) AS n_points,
+         |    CAST(sum(CASE WHEN t6 IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in_topr,
+         |    max(d6) AS max_delta6,
+         |    ${safe6("CAST(sum(d6) AS BIGINT) / (count(*) * 1.0e6)")}
+         |      AS mean_abs_delta
+         |  FROM sja GROUP BY label
+         |  UNION ALL
+         |  SELECT CAST(64 AS INT) AS r, label, count(*) AS n_points,
+         |    CAST(sum(CASE WHEN t6 IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in_topr,
+         |    max(d6) AS max_delta6,
+         |    ${safe6("CAST(sum(d6) AS BIGINT) / (count(*) * 1.0e6)")}
+         |      AS mean_abs_delta
+         |  FROM sjb GROUP BY label)
+         |ORDER BY r, label""".stripMargin,
 
     // mirrors EntityResolution.incrementalMatches: frozen-history u,
     // delta-only blocking and scoring.

@@ -273,6 +273,23 @@ object Valuation {
       .orderBy(col("label"))
   }
 
+  /** The truncation-rank knob as an ORACLE-VERIFIED curve (the
+    * unigram_prune_curve discipline; `graft.ShapKnob` is the wide dev
+    * sweep): [[shapleyTruncFidelity]] rows at each rank, stacked with
+    * the rank as a column — per (R, label), top-R coverage and the
+    * max/mean |exact − truncated| envelope, so the R a deployment
+    * picks is a regression-gated number, not prose. Max error decays
+    * ~1/R (the harmonic tail bound); measured at 10× the MEAN error
+    * also drops ~6× for fixed R (SCALING.md round-14).
+    */
+  def shapleyRCurve(embeddings: DataFrame,
+                    rs: Seq[Int] = Seq(16, 64)): DataFrame =
+    rs.map(r => shapleyTruncFidelity(embeddings, r)
+        .select(lit(r).as("r"), col("label"), col("n_points"),
+          col("n_in_topr"), col("max_delta6"), col("mean_abs_delta")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("r"), col("label"))
+
   /** Per-label valuation audit: member count, harmful count (negative
     * PINNED value — the user-facing sign), total/mean value — the "is
     * one label slice poisoning the panel" roll-up. Totals aggregate

@@ -468,7 +468,7 @@ class PlanSpec extends SparkSpec {
       "flip). The whole-partition [unbounded, unbounded] count frame " +
       "is fine (computed once per partition).") {
     Seq("shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
-        "shapley_trunc_fidelity")
+        "shapley_trunc_fidelity", "shapley_r_curve")
       .foreach { q =>
         val p = plan(q).toLowerCase
         assert(!p.contains("currentrow$(), unboundedfollowing"), s"$q:\n$p")
@@ -590,7 +590,7 @@ class PlanSpec extends SparkSpec {
       // the MaxPanel-capped test-panel broadcast (parameter-bounded
       // like ann_topk's query set)
       "shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
-      "shapley_trunc_fidelity", "shapley_incremental")
+      "shapley_trunc_fidelity", "shapley_incremental", "shapley_r_curve")
     // the e2e pipelines execute real streaming hops at construction —
     // they are execution harnesses, not plan shapes
     val names = SparkEntry.queries.keys
