@@ -55,6 +55,9 @@ object ColdAudit {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // registry-sized generated-class cache (the round-8 lesson:
+      // the 100-entry default thrashes past ~100 distinct plans)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // absorb JVM startup so the first audited query isn't charged for it

@@ -26,6 +26,9 @@ object Rebase {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // registry-sized generated-class cache (the round-8 lesson:
+      // the 100-entry default thrashes past ~100 distinct plans)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val oneShot = Set("pipeline_gold_e2e", "pipeline_corpus_e2e",

@@ -16,6 +16,9 @@ object Time {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // registry-sized generated-class cache (the round-8 lesson:
+      // the 100-entry default thrashes past ~100 distinct plans)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
