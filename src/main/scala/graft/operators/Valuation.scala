@@ -256,10 +256,19 @@ object Valuation {
     * test — the audit shows the realized error beside it.
     */
   def shapleyTruncFidelity(embeddings: DataFrame,
-                           r: Int = TruncR): DataFrame = {
-    val e6 = round(col("shapley") * lit(1.0e6), 0).cast("long")
-    val exact = shapleyKnn(embeddings)
+                           r: Int = TruncR): DataFrame =
+    fidelityAgainst(exactE6(embeddings), embeddings, r)
+
+  private def e6 = round(col("shapley") * lit(1.0e6), 0).cast("long")
+
+  /** The exact values pinned to the 1e-6 grid — the truth side every
+    * fidelity row compares against. */
+  private def exactE6(embeddings: DataFrame): DataFrame =
+    shapleyKnn(embeddings)
       .select(col("train_id"), col("label"), e6.as("e6"))
+
+  private def fidelityAgainst(exact: DataFrame, embeddings: DataFrame,
+                              r: Int): DataFrame = {
     val trunc = shapleyKnnTruncated(embeddings, r)
       .select(col("train_id"), e6.as("t6"))
     exact.join(trunc, Seq("train_id"), "left")
@@ -283,12 +292,19 @@ object Valuation {
     * also drops ~6× for fixed R (SCALING.md round-14).
     */
   def shapleyRCurve(embeddings: DataFrame,
-                    rs: Seq[Int] = Seq(16, 64)): DataFrame =
-    rs.map(r => shapleyTruncFidelity(embeddings, r)
+                    rs: Seq[Int] = Seq(16, 64)): DataFrame = {
+    // one plan, one exact subtree instance per rank — Catalyst's
+    // ReuseExchange dedups the identical exact fan-outs inside the
+    // union (measured at 10×: 137.8 MB shuffle either way, and a
+    // localCheckpoint here made it SLOWER by splitting the shared
+    // pairs exchange across jobs; the oracle shares via its sve CTE)
+    val exact = exactE6(embeddings)
+    rs.map(r => fidelityAgainst(exact, embeddings, r)
         .select(lit(r).as("r"), col("label"), col("n_points"),
           col("n_in_topr"), col("max_delta6"), col("mean_abs_delta")))
       .reduce(_.unionByName(_))
       .orderBy(col("r"), col("label"))
+  }
 
   /** Per-label valuation audit: member count, harmful count (negative
     * PINNED value — the user-facing sign), total/mean value — the "is
