@@ -1444,6 +1444,15 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.ngramJaccardPairs(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
+    // near-dup-aware train/test split: each near-dup cluster lands
+    // whole on one side (group-keyed salted hash), closing the
+    // within-corpus eval-contamination channel a per-doc split leaks.
+    "cluster_safe_split" -> ((s, dir) =>
+      Dedup.clusterSafeSplit(Tables.documents(s, dir))),
+    // 1-row audit: near-dup pairs straddling the fold boundary under
+    // the naive per-doc hash vs the cluster-safe assignment.
+    "split_leak_audit" -> ((s, dir) =>
+      Dedup.splitLeakAudit(Tables.documents(s, dir))),
     // incremental exact dedup: delta fingerprints vs the persisted
     // (fp, rep) index — the byte-identical twin of dedup_incremental.
     "dedup_exact_incremental" -> ((s, dir) => {
@@ -8048,6 +8057,69 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.clusterSafeSplit: the dedup_clusters chain, then
+    // group_key = cluster rep (own id for singletons) and the salted
+    // group-keyed fold hash.
+    "cluster_safe_split" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |assign AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id)
+         |SELECT t.doc_id, coalesce(a.rep, t.doc_id) AS group_key,
+         |  CASE WHEN ${h60("'csplit_' || coalesce(a.rep, t.doc_id)")}
+         |         % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS fold
+         |FROM t LEFT JOIN assign a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // mirrors Dedup.splitLeakAudit: the near-dup pairs annotated with
+    // naive per-doc folds and cluster-safe group folds, rolled up.
+    "split_leak_audit" ->
+      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |assign AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |sp AS (SELECT p.d1, p.d2,
+         |         coalesce(a1.rep, p.d1) AS g1, coalesce(a2.rep, p.d2) AS g2
+         |       FROM p LEFT JOIN assign a1 ON a1.doc_id = p.d1
+         |              LEFT JOIN assign a2 ON a2.doc_id = p.d2),
+         |sf AS (SELECT
+         |         CASE WHEN (${h60("'csplit_' || d1")} % 100 < 80)
+         |                <> (${h60("'csplit_' || d2")} % 100 < 80)
+         |              THEN 1 ELSE 0 END AS ns,
+         |         CASE WHEN (${h60("'csplit_' || g1")} % 100 < 80)
+         |                <> (${h60("'csplit_' || g2")} % 100 < 80)
+         |              THEN 1 ELSE 0 END AS ss
+         |       FROM sp)
+         |SELECT count(*) AS n_dup_pairs,
+         |  CAST(sum(ns) AS BIGINT) AS naive_straddle,
+         |  CAST(sum(ss) AS BIGINT) AS safe_straddle,
+         |  round(CAST(sum(ns) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    * 1.0e6, 0) / 1.0e6 AS naive_leak_frac
+         |FROM sf""".stripMargin,
 
     // mirrors Dedup.incrementalClusters: history (80%) clustered over
     // its own capped index, then the delta's new pairs (combined capped

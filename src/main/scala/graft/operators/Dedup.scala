@@ -624,6 +624,69 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Near-dup-aware train/test split — the leakage channel a naive
+    * per-doc hash split CANNOT close: when two near-duplicate documents
+    * land on opposite sides of an eval split, the held-out fold is
+    * contaminated by training content ([[graft.operators.TextAnalysis
+    * .decontaminate]] guards this ACROSS corpora; this guards it WITHIN
+    * one). Every near-dup cluster ([[ngramJaccardPairs]] ≥ 0.5 over the
+    * capped shingle index, closed by [[clusters]]' CC) is assigned as a
+    * UNIT by the salted hash of its group key (cluster rep for
+    * clustered docs, own doc_id for singletons), so the split is
+    * content-stable, partitioning-independent (the stratified_split
+    * discipline) AND leak-free by construction. Output: (doc_id,
+    * group_key, fold).
+    *
+    * Scale shape: the cluster build is the dedup family's own (capped
+    * postings, pointer-jumping CC); on top of it the split is one
+    * broadcast-scale left join + a map-side hash — a pipeline that
+    * already maintains [[incrementalClusters]]' persisted assignment
+    * pays ONLY the join.
+    */
+  def clusterSafeSplit(docs: DataFrame, trainPct: Int = 80): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters(ngramJaccardPairs(docs))
+        .select(col("doc_id"), col("cluster_rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("group_key"))
+      .withColumn("fold", splitFold(col("group_key"), trainPct))
+      .orderBy(col("doc_id"))
+
+  private def splitFold(key: org.apache.spark.sql.Column, trainPct: Int) =
+    when(pmod(hash60(concat(lit("csplit_"), key)), lit(100)) < trainPct,
+      "train").otherwise("test")
+
+  /** The split-leakage audit as ONE ROW OF DATA (the er_u_audit
+    * discipline): over the near-dup pairs, how many straddle the fold
+    * boundary under the NAIVE per-doc hash (same salt) vs the
+    * cluster-safe assignment — safe_straddle is 0 by CC construction,
+    * but the audit measures it rather than asserting it, and
+    * naive_leak_frac is the contamination rate a per-doc split would
+    * have shipped.
+    */
+  def splitLeakAudit(docs: DataFrame, trainPct: Int = 80): DataFrame = {
+    val safe = clusterSafeSplit(docs, trainPct)
+      .select(col("doc_id"), col("fold"))
+    def straddle(f1: org.apache.spark.sql.Column,
+                 f2: org.apache.spark.sql.Column) =
+      when(f1 =!= f2, 1L).otherwise(0L)
+    ngramJaccardPairs(docs).select(col("d1"), col("d2"))
+      .join(safe.select(col("doc_id").as("d1"), col("fold").as("f1")),
+        Seq("d1"))
+      .join(safe.select(col("doc_id").as("d2"), col("fold").as("f2")),
+        Seq("d2"))
+      .select(
+        straddle(splitFold(col("d1"), trainPct),
+          splitFold(col("d2"), trainPct)).as("ns"),
+        straddle(col("f1"), col("f2")).as("ss"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        sum(col("ns")).as("naive_straddle"),
+        sum(col("ss")).as("safe_straddle"),
+        (round(sum(col("ns")).cast("double")
+          / count(lit(1)).cast("double") * lit(1.0e6), 0) / lit(1.0e6))
+          .as("naive_leak_frac"))
+  }
+
   /** Incremental near-dup CLUSTERING — [[clusters]]'s daily-delta twin,
     * closing the last gap in the incremental-form family (pairs, spans,
     * chunks, BM25 and ANN all have one; cluster maintenance was the

@@ -157,6 +157,40 @@ class TextDedupSpec extends SparkSpec {
     assert(ng == lsh)
   }
 
+  test("cluster-safe split: near-dup clusters land whole on one side; " +
+      "the audit measures the naive split's leak") {
+    // 3 near-dup families of 2-3 members + 2 singletons — enough
+    // members that at least one family's naive per-doc hashes disagree
+    val fams = Seq(
+      (1 to 30).map(i => s"alpha$i"),
+      (200 to 230).map(i => s"beta$i"),
+      (400 to 430).map(i => s"gam$i"))
+    val texts = fams.flatMap { toks =>
+      Seq(toks.mkString(" "),
+        toks.updated(3, "CHANGED").mkString(" "),
+        toks.updated(7, "ALTERED").mkString(" "))
+    } ++ Seq("lonely one off text completely different",
+      "another unrelated singleton entirely")
+    val d = docs(texts: _*)
+    val split = Dedup.clusterSafeSplit(d).collect()
+    assert(split.length == texts.length)
+    // every doc in a group shares the group's fold
+    val byGroup = split.groupBy(_.getAs[Long]("group_key"))
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.map(_.getAs[String]("fold")).distinct.length == 1,
+        s"group $g split across folds")
+    }
+    // the three families really did cluster (group sizes 3,3,3,1,1)
+    assert(byGroup.values.map(_.length).toSeq.sorted == Seq(1, 1, 3, 3, 3))
+    val audit = Dedup.splitLeakAudit(d).collect().head
+    assert(audit.getAs[Long]("n_dup_pairs") == 9) // 3 pairs per family
+    assert(audit.getAs[Long]("safe_straddle") == 0L)
+    // naive_leak_frac is exactly naive_straddle / n_dup_pairs
+    assert(audit.getAs[Double]("naive_leak_frac") ==
+      BigDecimal(audit.getAs[Long]("naive_straddle") / 9.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("docs shorter than the shingle size still dedup (whole-doc shingle)") {
     val d = docs("one two", "one two", "three")
     val sigs = Dedup.minhashSignatures(d).collect()
