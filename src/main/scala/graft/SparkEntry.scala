@@ -1453,6 +1453,21 @@ object SparkEntry {
     // the naive per-doc hash vs the cluster-safe assignment.
     "split_leak_audit" -> ((s, dir) =>
       Dedup.splitLeakAudit(Tables.documents(s, dir))),
+    // eval-integrity under corpus growth: the delta folds into the
+    // persisted split via incremental clusters; merges promote groups
+    // into train, never into test (trained docs can never re-enter
+    // eval), new-only groups hash.
+    "cluster_safe_split_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val hist = docs.filter(isHist)
+      Dedup.clusterSafeSplitIncremental(
+        Dedup.shingled(hist),
+        Dedup.clusters(Dedup.ngramJaccardPairs(hist)),
+        Dedup.clusterSafeSplit(hist),
+        docs.filter(!isHist))
+    }),
     // incremental exact dedup: delta fingerprints vs the persisted
     // (fp, rep) index — the byte-identical twin of dedup_incremental.
     "dedup_exact_incremental" -> ((s, dir) => {
@@ -2590,6 +2605,67 @@ object SparkEntry {
          |    ${safe6(s"($wName) + ($wSeg) + ($wAb)")} AS score
          |  FROM erg, eru)""".stripMargin
   }
+
+  /** Shared incremental-cluster oracle chain (hist CC `assign`, the
+    * delta-lifted second CC, and the updated full assignment as
+    * hist_out/new_out) - reused by the incremental clusters oracle
+    * and the incremental cluster-safe split.
+    */
+  private lazy val dedupIncAssignCtes: String =
+    s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |shh AS (SELECT * FROM sh WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |shhc AS (SELECT doc_id, shingle FROM shh
+         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shhc x JOIN shhc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shhc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+         |),
+         |assign AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |$shCappedCte,
+         |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM shc x JOIN shc y
+         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          WHERE ${h60("'inc_' || x.doc_id")} % 100 >= 80
+         |             OR ${h60("'inc_' || y.doc_id")} % 100 >= 80),
+         |cnt2 AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |inter2 AS (SELECT c.d1, c.d2, count(*) AS i
+         |           FROM cand2 c
+         |           JOIN shc s1 ON s1.doc_id = c.d1
+         |           JOIN shc s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+         |           GROUP BY c.d1, c.d2),
+         |np AS (SELECT i2.d1, i2.d2
+         |       FROM inter2 i2
+         |       JOIN cnt2 c1 ON c1.doc_id = i2.d1
+         |       JOIN cnt2 c2 ON c2.doc_id = i2.d2
+         |       WHERE round(CAST(i2.i AS DOUBLE)
+         |         / CAST(c1.n + c2.n - i2.i AS DOUBLE) * 1.0e6, 0) / 1.0e6 >= 0.5),
+         |lift AS (SELECT coalesce(a1.rep, np.d1) AS e1,
+         |                coalesce(a2.rep, np.d2) AS e2
+         |         FROM np
+         |         LEFT JOIN assign a1 ON a1.doc_id = np.d1
+         |         LEFT JOIN assign a2 ON a2.doc_id = np.d2),
+         |ce AS (SELECT least(e1, e2) AS a, greatest(e1, e2) AS b
+         |       FROM lift WHERE e1 <> e2),
+         |ce2 AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+         |nodes2 AS (SELECT DISTINCT a AS id FROM ce2),
+         |reach2 AS (
+         |  SELECT id, id AS r FROM nodes2
+         |  UNION
+         |  SELECT ce2.a AS id, reach2.r FROM ce2 JOIN reach2 ON reach2.id = ce2.b
+         |),
+         |newrep AS (SELECT id, min(r) AS nr FROM reach2 GROUP BY id),
+         |hist_out AS (SELECT a.doc_id, coalesce(n.nr, a.rep) AS cluster_rep
+         |             FROM assign a LEFT JOIN newrep n ON n.id = a.rep),
+         |new_out AS (SELECT n.id AS doc_id, n.nr AS cluster_rep FROM newrep n
+         |            WHERE n.id NOT IN (SELECT doc_id FROM assign))""".stripMargin
 
   private val erCte =
     s"""${ErOracle.base},
@@ -8126,63 +8202,43 @@ object SparkEntry {
     // index, >=1 delta end, exact jaccard) lifted to the contracted
     // cluster graph, a second CC over that graph, reps remapped.
     "dedup_clusters_incremental" ->
-      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |shh AS (SELECT * FROM sh WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
-         |shhc AS (SELECT doc_id, shingle FROM shh
-         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM shhc x JOIN shhc y
-         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
-         |${jaccardCte("shhc")},
-         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
-         |nodes AS (SELECT DISTINCT a AS id FROM e),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
-         |),
-         |assign AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
-         |$shCappedCte,
-         |cand2 AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |          FROM shc x JOIN shc y
-         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |          WHERE ${h60("'inc_' || x.doc_id")} % 100 >= 80
-         |             OR ${h60("'inc_' || y.doc_id")} % 100 >= 80),
-         |cnt2 AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-         |inter2 AS (SELECT c.d1, c.d2, count(*) AS i
-         |           FROM cand2 c
-         |           JOIN shc s1 ON s1.doc_id = c.d1
-         |           JOIN shc s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-         |           GROUP BY c.d1, c.d2),
-         |np AS (SELECT i2.d1, i2.d2
-         |       FROM inter2 i2
-         |       JOIN cnt2 c1 ON c1.doc_id = i2.d1
-         |       JOIN cnt2 c2 ON c2.doc_id = i2.d2
-         |       WHERE round(CAST(i2.i AS DOUBLE)
-         |         / CAST(c1.n + c2.n - i2.i AS DOUBLE) * 1.0e6, 0) / 1.0e6 >= 0.5),
-         |lift AS (SELECT coalesce(a1.rep, np.d1) AS e1,
-         |                coalesce(a2.rep, np.d2) AS e2
-         |         FROM np
-         |         LEFT JOIN assign a1 ON a1.doc_id = np.d1
-         |         LEFT JOIN assign a2 ON a2.doc_id = np.d2),
-         |ce AS (SELECT least(e1, e2) AS a, greatest(e1, e2) AS b
-         |       FROM lift WHERE e1 <> e2),
-         |ce2 AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
-         |nodes2 AS (SELECT DISTINCT a AS id FROM ce2),
-         |reach2 AS (
-         |  SELECT id, id AS r FROM nodes2
-         |  UNION
-         |  SELECT ce2.a AS id, reach2.r FROM ce2 JOIN reach2 ON reach2.id = ce2.b
-         |),
-         |newrep AS (SELECT id, min(r) AS nr FROM reach2 GROUP BY id),
-         |hist_out AS (SELECT a.doc_id, coalesce(n.nr, a.rep) AS cluster_rep
-         |             FROM assign a LEFT JOIN newrep n ON n.id = a.rep),
-         |new_out AS (SELECT n.id AS doc_id, n.nr AS cluster_rep FROM newrep n
-         |            WHERE n.id NOT IN (SELECT doc_id FROM assign))
+      s"""$dedupIncAssignCtes
          |SELECT doc_id, cluster_rep FROM hist_out
          |UNION ALL SELECT doc_id, cluster_rep FROM new_out
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.clusterSafeSplitIncremental: the updated cluster
+    // assignment (shared chain above), yesterday's hist folds from the
+    // hist-only CC, the train-wins / test-holds / hash-else group rule.
+    "cluster_safe_split_incremental" ->
+      s"""$dedupIncAssignCtes,
+         |th AS (SELECT doc_id FROM t
+         |       WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |upd AS (SELECT doc_id, cluster_rep FROM hist_out
+         |        UNION ALL SELECT doc_id, cluster_rep FROM new_out),
+         |gk AS (SELECT t.doc_id, coalesce(u.cluster_rep, t.doc_id)
+         |         AS group_key
+         |       FROM t LEFT JOIN upd u ON u.doc_id = t.doc_id),
+         |hfold AS (SELECT th.doc_id,
+         |            CASE WHEN ${h60(
+                        "'csplit_' || coalesce(a.rep, th.doc_id)")}
+         |                   % 100 < 80
+         |                 THEN 'train' ELSE 'test' END AS hf
+         |          FROM th LEFT JOIN assign a ON a.doc_id = th.doc_id),
+         |gfold AS (SELECT g.group_key,
+         |            CASE WHEN max(CASE WHEN h.hf = 'train'
+         |                          THEN 1 ELSE 0 END) = 1 THEN 'train'
+         |                 WHEN max(CASE WHEN h.hf = 'test'
+         |                          THEN 1 ELSE 0 END) = 1 THEN 'test'
+         |            END AS gf
+         |          FROM gk g LEFT JOIN hfold h ON h.doc_id = g.doc_id
+         |          GROUP BY g.group_key)
+         |SELECT g.doc_id, g.group_key,
+         |  coalesce(gf.gf,
+         |    CASE WHEN ${h60("'csplit_' || g.group_key")} % 100 < 80
+         |         THEN 'train' ELSE 'test' END) AS fold
+         |FROM gk g JOIN gfold gf ON gf.group_key = g.group_key
+         |ORDER BY g.doc_id""".stripMargin,
 
     "dedup_keep_reps" ->
       s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -687,6 +687,58 @@ object Dedup {
           .as("naive_leak_frac"))
   }
 
+  /** [[clusterSafeSplit]]'s corpus-growth twin — the EVAL-INTEGRITY
+    * rule an incremental pipeline needs: when the delta's near-dups
+    * merge yesterday's clusters, fold assignments may move documents
+    * INTO train, NEVER into test (a doc that trained yesterday and
+    * lands in today's eval fold is contamination; the reverse only
+    * shrinks eval). Per updated group ([[incrementalClusters]] over
+    * the persisted postings + assignment):
+    *
+    *  - any member trained yesterday        → the whole group is train
+    *  - else any member was in eval         → the whole group stays test
+    *  - else (every member is new)          → the salted group-key hash
+    *
+    * so yesterday's folds are STABLE except for the one forced
+    * promotion, and the new fold function remains content-derived.
+    * NOT equal to a from-scratch [[clusterSafeSplit]] rebuild BY
+    * DESIGN: a rebuild re-hashes merged group keys and can flip a
+    * trained doc into eval — exactly the bug this twin exists to
+    * prevent (spec-asserted: zero train→test transitions).
+    *
+    * `histSplit` = yesterday's (doc_id, group_key, fold) table;
+    * `histPostings`/`histAssign` = the dedup family's persisted index
+    * and cluster assignment (shared infrastructure — a pipeline
+    * maintaining incremental clusters pays only joins for the split).
+    */
+  def clusterSafeSplitIncremental(histPostings: DataFrame,
+                                  histAssign: DataFrame,
+                                  histSplit: DataFrame,
+                                  deltaDocs: DataFrame,
+                                  trainPct: Int = 80): DataFrame = {
+    val updated = incrementalClusters(histPostings, histAssign, deltaDocs)
+      .select(col("doc_id"), col("cluster_rep"))
+    val universe = histSplit.select(col("doc_id"))
+      .unionByName(deltaDocs.select(col("doc_id")))
+    val gk = universe.join(updated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("group_key"))
+    val groupFold = gk
+      .join(histSplit.select(col("doc_id"), col("fold").as("hfold")),
+        Seq("doc_id"), "left")
+      .groupBy(col("group_key"))
+      .agg(max(when(col("hfold") === "train", 1).otherwise(0)).as("any_tr"),
+        max(when(col("hfold") === "test", 1).otherwise(0)).as("any_te"))
+      .select(col("group_key"),
+        when(col("any_tr") === 1, "train")
+          .when(col("any_te") === 1, "test").as("gfold"))
+    gk.join(groupFold, Seq("group_key"))
+      .select(col("doc_id"), col("group_key"),
+        coalesce(col("gfold"), splitFold(col("group_key"), trainPct))
+          .as("fold"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental near-dup CLUSTERING — [[clusters]]'s daily-delta twin,
     * closing the last gap in the incremental-form family (pairs, spans,
     * chunks, BM25 and ANN all have one; cluster maintenance was the

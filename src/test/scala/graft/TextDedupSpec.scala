@@ -191,6 +191,66 @@ class TextDedupSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("incremental cluster-safe split: merges promote into train, " +
+      "never into test; untouched folds are stable") {
+    // 6 chains T -> D1..D4 -> S where adjacent docs are near-dups
+    // (~0.6 shingle jaccard) but T and S are not (~0.33): hist holds
+    // every T and S (unclustered singletons), the delta holds the
+    // bridge docs — folding the delta in merges each chain's T and S
+    // groups, and whenever their hist folds DIFFER the group must
+    // promote to train.
+    def chain(v: Int): Seq[String] = {
+      val a = (1 to 30).map(i => s"v${v}a$i")
+      val b = (1 to 30).map(i => s"v${v}b$i")
+      (0 to 5).map(k => (a.drop(0).take(30 - 6 * k) ++ b.take(6 * k))
+        .mkString(" "))
+    }
+    val chains = (0 until 6).map(chain)
+    // ids: doc 12*v + j lays hist (j=0 -> T, j=1 -> S) and delta
+    // (j=2..5 -> D1..D4) per chain — built as ONE docs() frame so ids
+    // are stable, then split by position
+    val all = chains.zipWithIndex.flatMap { case (c, v) =>
+      Seq(c.head, c.last) ++ c.slice(1, 5)
+    }
+    val d = docs(all: _*)
+    val isHist = col("doc_id") % 6 < 2 // T and S of each chain
+    val hist = d.filter(isHist)
+    val delta = d.filter(!isHist)
+    val histSplit = Dedup.clusterSafeSplit(hist)
+    val updated = Dedup.clusterSafeSplitIncremental(
+      Dedup.shingled(hist),
+      Dedup.clusters(Dedup.ngramJaccardPairs(hist)),
+      histSplit, delta)
+    val before = histSplit.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val after = updated.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 1. one fold per group
+    after.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"group $g mixed folds")
+    }
+    // 2. NO train -> test transition, ever
+    after.foreach { case (id, _, f) =>
+      if (before.get(id).contains("train"))
+        assert(f == "train", s"doc $id trained yesterday, now $f")
+    }
+    // 3. test -> train only under a train-member merge
+    val groupHasTrain = after.groupBy(_._2).map { case (g, rows) =>
+      g -> rows.exists(r => before.get(r._1).contains("train"))
+    }
+    after.foreach { case (id, g, f) =>
+      if (before.get(id).contains("test") && f == "train")
+        assert(groupHasTrain(g), s"doc $id promoted without a train member")
+    }
+    // 4. the fixture actually exercises the promotion: at least one
+    // chain's T and S started on different folds and merged
+    val promoted = after.count { case (id, _, f) =>
+      before.get(id).contains("test") && f == "train"
+    }
+    assert(promoted > 0, "no cross-fold merge in the fixture - " +
+      "recut the chain vocab")
+  }
+
   test("docs shorter than the shingle size still dedup (whole-doc shingle)") {
     val d = docs("one two", "one two", "three")
     val sigs = Dedup.minhashSignatures(d).collect()
