@@ -66,6 +66,7 @@ class ContractSpec extends AnyFunSuite {
       "graft/CodegenAudit.scala" -> 1, // dev tool: plan-string probe
       "graft/BitextKnob.scala" -> 1, // dev tool: 1-row audit summary
       "graft/ErKnob.scala" -> 1, // dev tool: 1-row eval-threshold row
+      "graft/ShapKnob.scala" -> 1, // dev tool: 1-row fidelity fold
       "graft/operators/Backtest.scala" -> 2, // 1-row moment folds
       "graft/operators/Learn.scala" -> 9, // 1-row/model-sized GD folds
       "graft/operators/Similarity.scala" -> 1, // 1-row PCA moment
