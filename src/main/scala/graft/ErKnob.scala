@@ -20,7 +20,7 @@ object ErKnob {
     // optional literal arg "finer" switches on the third
     // (nation, name-digit) blocking pass — the remedy under test
     val finer = args.contains("finer")
-    val caps = args.toSeq.tail.filterNot(_ == "finer") match {
+    val caps = args.toSeq.drop(1).filterNot(_ == "finer") match {
       case Nil => Seq(64, 256)
       case cs  => cs.map(_.toInt)
     }

@@ -48,6 +48,17 @@ object SparkEntry {
     * read-back is hash-identical to an inline rebuild.
     */
   private val erIdxPaths = scala.collection.mutable.Map[String, String]()
+  locally { // one JVM-exit sweep for every staged index dir
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      erIdxPaths.synchronized {
+        erIdxPaths.values.foreach(p => rm(new java.io.File(p)))
+      }
+    }
+    ()
+  }
   private def erMatchIndex(s: SparkSession, dir: String): DataFrame = {
     val path = erIdxPaths.synchronized {
       erIdxPaths.getOrElseUpdate(dir, {
@@ -1462,10 +1473,13 @@ object SparkEntry {
       val isHist = pmod(graft.functions.TextFunctions.hash60(
         concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
       val hist = docs.filter(isHist)
+      // ONE hist pair/CC build feeds both the persisted assignment
+      // and yesterday's split (clusters() checkpoints internally, so
+      // the shared frame materializes once)
+      val histAssign = Dedup.clusters(Dedup.ngramJaccardPairs(hist))
       Dedup.clusterSafeSplitIncremental(
-        Dedup.shingled(hist),
-        Dedup.clusters(Dedup.ngramJaccardPairs(hist)),
-        Dedup.clusterSafeSplit(hist),
+        Dedup.shingled(hist), histAssign,
+        Dedup.clusterSafeSplitFromAssign(hist, histAssign),
         docs.filter(!isHist))
     }),
     // incremental exact dedup: delta fingerprints vs the persisted
@@ -3269,8 +3283,11 @@ object SparkEntry {
   /** The LSH retrieval chain (mirrors Similarity.bitextCandidates over
     * a bitextBands index): hyperplane bits → band keys → per-side
     * rank-capped bucket membership → bipartite candidates as `cand`.
+    * `srcExtra` injects a source-side membership restriction (the
+    * recall audit's sampled sub-corpus) BEFORE the rank cap — exactly
+    * what mining a restricted docs frame does.
     */
-  private val bitextLshCandCtes: String =
+  private def bitextLshCandCtes(srcExtra: String = ""): String =
     s"""hp AS (SELECT gb.b, gj.j,
        |         CASE WHEN CAST('0x' || substr(md5('hp' || gb.b || '_' || gj.j), 1, 15) AS BIGINT) % 2 = 0
        |              THEN 1.0 ELSE -1.0 END AS r
@@ -3288,7 +3305,7 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY bk.band, bk.bkey
        |               ORDER BY bk.vec_id) AS rk
        |           FROM bandk bk JOIN nl ON nl.vec_id = bk.vec_id
-       |           WHERE nl.lang = 'en')
+       |           WHERE nl.lang = 'en'$srcExtra)
        |         WHERE rk <= ${graft.operators.Dedup.MaxBucketSize}),
        |tgtb AS (SELECT band, bkey, vec_id AS tgt_id FROM (
        |           SELECT bk.band, bk.bkey, bk.vec_id,
@@ -3302,7 +3319,7 @@ object SparkEntry {
 
   private def bitextMineSql(docsRel: String): String =
     s"""WITH ${bitextCommonCtes(docsRel)},
-       |$bitextLshCandCtes,
+       |${bitextLshCandCtes()},
        |${bitextScoreCtes("cand", "")}
        |SELECT src_id AS src_doc, tgt_id AS tgt_doc,
        |  CAST(c6 AS DOUBLE) / 1000000.0 AS cosine,
@@ -3318,7 +3335,8 @@ object SparkEntry {
     */
   private def bitextRecallAuditSql(docsRel: String): String =
     s"""WITH ${bitextCommonCtes(docsRel)},
-       |$bitextLshCandCtes,
+       |${bitextLshCandCtes(
+            s" AND ${h60("'btxsmp_' || bk.vec_id")} % 100 < 25")},
        |${bitextScoreCtes("cand", "")},
        |bcand AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id
        |          FROM nl s, nl t
@@ -3326,8 +3344,7 @@ object SparkEntry {
        |            AND ${h60("'btxsmp_' || s.vec_id")} % 100 < 25),
        |${bitextScoreCtes("bcand", "b")},
        |lshp AS (SELECT src_id, tgt_id FROM mr
-       |         WHERE rank = 1 AND m6 > 1000000
-       |           AND ${h60("'btxsmp_' || src_id")} % 100 < 25),
+       |         WHERE rank = 1 AND m6 > 1000000),
        |trup AS (SELECT src_id, tgt_id FROM bmr
        |         WHERE rank = 1 AND m6 > 1000000)
        |SELECT nt.n AS n_truth, nl2.n AS n_lsh, nh.n AS n_hit,

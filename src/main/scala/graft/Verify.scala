@@ -38,8 +38,11 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          manifest(name) =
-            f""""ok", "sec": ${(System.nanoTime() - t0) / 1e9}%.2f"""
+          // Locale.ROOT: the f-interpolator uses the default locale,
+          // whose comma decimal separator would break the JSON
+          manifest(name) = String.format(java.util.Locale.ROOT,
+            """"ok", "sec": %.2f""",
+            Double.box((System.nanoTime() - t0) / 1e9))
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           manifest(name) = s""""failed", "error": ${q(

@@ -644,9 +644,19 @@ object Dedup {
     * pays ONLY the join.
     */
   def clusterSafeSplit(docs: DataFrame, trainPct: Int = 80): DataFrame =
+    clusterSafeSplitFromAssign(docs, clusters(ngramJaccardPairs(docs)),
+      trainPct)
+
+  /** [[clusterSafeSplit]] served off an already-computed cluster
+    * assignment (the persisted table [[incrementalClusters]]
+    * maintains) — one left join + a map-side hash; callers that hold
+    * the assignment must not pay the pair/CC build twice.
+    */
+  def clusterSafeSplitFromAssign(docs: DataFrame, assign: DataFrame,
+                                 trainPct: Int = 80): DataFrame =
     docs.select(col("doc_id"))
-      .join(clusters(ngramJaccardPairs(docs))
-        .select(col("doc_id"), col("cluster_rep")), Seq("doc_id"), "left")
+      .join(assign.select(col("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("group_key"))
       .withColumn("fold", splitFold(col("group_key"), trainPct))

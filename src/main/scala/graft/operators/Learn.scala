@@ -21,42 +21,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Learn {
 
-  /** Deterministic full-batch logistic regression on per-user
-    * activity features: y = converted (emitted `convType`),
-    * x₁ = round(ln(1 + non-conversion events), 6),
-    * x₂ = round(active days / 30, 6), plus a bias.
-    *
-    * `iterations` fixed gradient steps (the unrolled-CTE oracle
-    * convention — no convergence test). The numerics are built so the
-    * ONLY cross-engine rounding of a libm result is σ itself
-    * (round 9 after exp — a 1e-9 grid leaves ~1e8 ulps between
-    * boundaries, so a last-ulp exp difference cannot flip it):
-    *  - weights are EXACT integers in 1e-12 units (driver-held, the
-    *    1-row-collect-per-round discipline of `bpe_learn`);
-    *  - the margin w·x is EXACT decimal arithmetic (weights
-    *    DECIMAL(14,12) × features DECIMAL(8,6)) — no FMA can touch
-    *    it, no round() of a raw double anywhere;
-    *  - gradient terms (σ − y)·x are exact decimals at scale 15,
-    *    summed as decimals;
-    *  - the update w ← w − lr·g/n happens in INTEGER units with
-    *    TRUNCATING division — Scala's BigInt `/` truncates toward
-    *    zero and so does DuckDB's `//` on negatives (measured:
-    *    −7 // 2 = −3, truncation, NOT floor — a first cut assumed
-    *    floor and split by one unit on the first negative gradient;
-    *    a second cut that rounded doubles at 12 split on a rounding
-    *    boundary; exact integer truncation cannot).
-    *
-    * Output: one row — n_users, the three 12-decimal weights,
-    * training accuracy (decision at σ ≥ 0.5 on the exact decimal σ)
-    * and mean log loss (σ clamped to [1e−12, 1−1e−12], ln terms
-    * rounded 9, decimal-summed).
-    *
-    * Scale shape: one events scan folds to per-user features
-    * (checkpointed once, reused by every step); each step is ONE
-    * map-side pass + a 1-row aggregate. Gradient descent over exact
-    * decimal sums is embarrassingly parallel and
-    * partitioning-invariant — the determinism is the contribution.
-    */
   /** Deterministic two-feature OLS by exact normal equations —
     * [[logitFit]]'s closed-form sibling: z = β₀ + β₁·x + β₂·y fit to
     * lineitem (x = quantity, y = discount in points, z = extended
@@ -250,6 +214,42 @@ object Learn {
     (w0, w1, w2)
   }
 
+  /** Deterministic full-batch logistic regression on per-user
+    * activity features: y = converted (emitted `convType`),
+    * x₁ = round(ln(1 + non-conversion events), 6),
+    * x₂ = round(active days / 30, 6), plus a bias.
+    *
+    * `iterations` fixed gradient steps (the unrolled-CTE oracle
+    * convention — no convergence test). The numerics are built so the
+    * ONLY cross-engine rounding of a libm result is σ itself
+    * (round 9 after exp — a 1e-9 grid leaves ~1e8 ulps between
+    * boundaries, so a last-ulp exp difference cannot flip it):
+    *  - weights are EXACT integers in 1e-12 units (driver-held, the
+    *    1-row-collect-per-round discipline of `bpe_learn`);
+    *  - the margin w·x is EXACT decimal arithmetic (weights
+    *    DECIMAL(14,12) × features DECIMAL(8,6)) — no FMA can touch
+    *    it, no round() of a raw double anywhere;
+    *  - gradient terms (σ − y)·x are exact decimals at scale 15,
+    *    summed as decimals;
+    *  - the update w ← w − lr·g/n happens in INTEGER units with
+    *    TRUNCATING division — Scala's BigInt `/` truncates toward
+    *    zero and so does DuckDB's `//` on negatives (measured:
+    *    −7 // 2 = −3, truncation, NOT floor — a first cut assumed
+    *    floor and split by one unit on the first negative gradient;
+    *    a second cut that rounded doubles at 12 split on a rounding
+    *    boundary; exact integer truncation cannot).
+    *
+    * Output: one row — n_users, the three 12-decimal weights,
+    * training accuracy (decision at σ ≥ 0.5 on the exact decimal σ)
+    * and mean log loss (σ clamped to [1e−12, 1−1e−12], ln terms
+    * rounded 9, decimal-summed).
+    *
+    * Scale shape: one events scan folds to per-user features
+    * (checkpointed once, reused by every step); each step is ONE
+    * map-side pass + a 1-row aggregate. Gradient descent over exact
+    * decimal sums is embarrassingly parallel and
+    * partitioning-invariant — the determinism is the contribution.
+    */
   def logitFit(events: DataFrame, convType: String = "purchase",
                iterations: Int = 8, heavyK: Int = 0): DataFrame = {
     val feats = logitFeatures(events, convType, heavyK)
@@ -290,33 +290,6 @@ object Learn {
     pmod(graft.functions.TextFunctions.hash60(
       concat(lit("eval_"), col("user_id"))), lit(100)) >= 80
 
-  /** Held-out ROC evaluation of the [[logitFit]] model — the missing
-    * half of the in-engine training loop: train on the 80% hash fold,
-    * score the 20% holdout, and compute the exact Mann–Whitney AUC
-    * with midrank tie handling, plus Gini (2·AUC−1) and the
-    * Kolmogorov–Smirnov statistic.
-    *
-    * Numerics: σ lands on the 1e-9 grid (the one libm rounding), so
-    * ties are well-defined; everything after is INTEGER arithmetic —
-    * 2·U = Σ_s pos_s·(2·cumneg_<s + neg_s) over per-score counts,
-    * KS numerator = max |cumpos_≤s·N − cumneg_≤s·P| (the exact-
-    * integer form of max |TPR−FPR|), and the three outputs are
-    * truncated 1e-6-unit integers (BigInt `/` ≡ DuckDB `//`, both
-    * toward zero — Gini can be negative) emitted as driver literals,
-    * the [[logitFit]] weight discipline.
-    *
-    * Scale shape: the rank statistic is computed from the per-SCORE
-    * aggregate (bounded by distinct σ values on the 1e-9 grid, not by
-    * test rows), and the cumulative sums over that aggregate run in
-    * the [[DataQuality.ksTest]] PARALLEL-PREFIX form: fixed-width
-    * σ-buckets (σ ∈ [0, 1e9] by construction, so no min/max pass is
-    * needed), per-bucket totals cumulated on the 256-row bucket
-    * table, then within-bucket cumulative windows offset by the
-    * broadcast bucket prefix. At 100× the distinct-σ table approaches
-    * the holdout size; partitioning the fact-sized window by bucket
-    * keeps every fact-scale pass hash-distributed — the only ordered
-    * single-task scan left is 256 rows.
-    */
   /** The cumulative rank frame over the per-score aggregate
     * `byScore(sg, pos, neg)` — (pos, neg, cneg, cpos, cnegi) where
     * cneg is the exclusive and cpos/cnegi the inclusive running sums
@@ -354,6 +327,33 @@ object Learn {
           .over(wIn.rowsBetween(Long.MinValue, 0))).as("cnegi"))
   }
 
+  /** Held-out ROC evaluation of the [[logitFit]] model — the missing
+    * half of the in-engine training loop: train on the 80% hash fold,
+    * score the 20% holdout, and compute the exact Mann–Whitney AUC
+    * with midrank tie handling, plus Gini (2·AUC−1) and the
+    * Kolmogorov–Smirnov statistic.
+    *
+    * Numerics: σ lands on the 1e-9 grid (the one libm rounding), so
+    * ties are well-defined; everything after is INTEGER arithmetic —
+    * 2·U = Σ_s pos_s·(2·cumneg_<s + neg_s) over per-score counts,
+    * KS numerator = max |cumpos_≤s·N − cumneg_≤s·P| (the exact-
+    * integer form of max |TPR−FPR|), and the three outputs are
+    * truncated 1e-6-unit integers (BigInt `/` ≡ DuckDB `//`, both
+    * toward zero — Gini can be negative) emitted as driver literals,
+    * the [[logitFit]] weight discipline.
+    *
+    * Scale shape: the rank statistic is computed from the per-SCORE
+    * aggregate (bounded by distinct σ values on the 1e-9 grid, not by
+    * test rows), and the cumulative sums over that aggregate run in
+    * the [[DataQuality.ksTest]] PARALLEL-PREFIX form: fixed-width
+    * σ-buckets (σ ∈ [0, 1e9] by construction, so no min/max pass is
+    * needed), per-bucket totals cumulated on the 256-row bucket
+    * table, then within-bucket cumulative windows offset by the
+    * broadcast bucket prefix. At 100× the distinct-σ table approaches
+    * the holdout size; partitioning the fact-sized window by bucket
+    * keeps every fact-scale pass hash-distributed — the only ordered
+    * single-task scan left is 256 rows.
+    */
   def rocAuc(events: DataFrame, convType: String = "purchase",
              iterations: Int = 8, heavyK: Int = 13): DataFrame = {
     val feats = logitFeatures(events, convType, heavyK)

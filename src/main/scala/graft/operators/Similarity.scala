@@ -395,11 +395,13 @@ object Similarity {
     * is that contract (the embed_pca_power discipline: the salted
     * sample is oracle-pinned data, not an approximation knob), making
     * the truth leg \|src\|·pct/100 × \|tgt\| instead of unboundedly
-    * quadratic. Per-source margin ranking is independent across
-    * sources, so the sampled truth is the exact truth restricted to
-    * the sampled sub-universe — recall over it is an unbiased
-    * estimate. The production path is [[bitextMine]], which is what
-    * this exists to measure.
+    * quadratic. NOTE the margin scores are CSLS-normalized by kNN
+    * means over the candidate set, so the sampled result is the exact
+    * truth OF THE SAMPLED SUB-CORPUS (sampled sources × all targets)
+    * — not a row-filter of the full-corpus truth; an audit comparing
+    * against it must mine the SAME sub-corpus
+    * ([[bitextRecallAudit]] does). The production path is
+    * [[bitextMine]], which is what this exists to measure.
     */
   def bitextBrute(docs: DataFrame, embeddings: DataFrame,
                   srcLang: String = "en", tgtLang: String = "es",
@@ -432,13 +434,16 @@ object Similarity {
     * recall drops here first — the remedy is raising `bitsPerBand`
     * (measured at 10× in SCALING.md), not raising the cap.
     *
-    * The truth leg runs on the `srcSamplePct` deterministic source
-    * sample (default 25% — the embed_pca_power contract) and the
-    * LSH side is restricted to the SAME sampled sources, so every
-    * count compares like-for-like inside the sampled sub-universe and
-    * the audit stays runnable at any corpus size (the truth cross is
-    * \|src\|/4 × \|tgt\|, and a deployment dials pct down as the
-    * corpus grows).
+    * Both legs run on the SAME sampled sub-corpus (the `srcSamplePct`
+    * deterministic source sample, default 25% — the embed_pca_power
+    * contract — × all targets): the LSH leg MINES the sampled docs
+    * (banding, caps and CSLS margin normalization all see the same
+    * universe as the brute leg — a post-hoc filter of full-corpus
+    * mined pairs would compare margins normalized over different kNN
+    * means and bias recall), so every count is like-for-like and the
+    * audit stays runnable at any corpus size (the truth cross is
+    * \|src\|/4 × \|tgt\|; a deployment dials pct down as the corpus
+    * grows).
     */
   def bitextRecallAudit(docs: DataFrame, embeddings: DataFrame,
                         srcLang: String = "en", tgtLang: String = "es",
@@ -447,9 +452,10 @@ object Similarity {
                         maxBucket: Int = Dedup.MaxBucketSize,
                         marginThreshold: Double = 1.0,
                         srcSamplePct: Int = 25): DataFrame = {
-    val lsh = bitextMine(docs, embeddings, srcLang, tgtLang, k, nBands,
-        bitsPerBand, dims, maxBucket, marginThreshold)
-      .filter(srcSample(srcSamplePct, col("src_doc")))
+    val sampledDocs = docs.filter(col("lang") =!= srcLang ||
+      srcSample(srcSamplePct, col("doc_id")))
+    val lsh = bitextMine(sampledDocs, embeddings, srcLang, tgtLang, k,
+        nBands, bitsPerBand, dims, maxBucket, marginThreshold)
       .select(col("src_doc"), col("tgt_doc"))
     val truth = bitextBrute(docs, embeddings, srcLang, tgtLang, k,
         marginThreshold, srcSamplePct)
