@@ -57,6 +57,49 @@ object Layout {
       s"(($a // $p) % 2) * ${1L << (2 * i)} + (($b // $p) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
 
+  /** Exact distributed `ntile(n)` over a totally-ordered frame — the
+    * bucketed parallel-prefix discipline ([[graft.operators.Learn]]
+    * `cumRank`, `epoch_shuffle_audit`): `bucket` must be a MONOTONE
+    * non-decreasing integer function of the order key (equal keys →
+    * equal bucket), so (bucket, order) ≡ order. Per-bucket counts fold
+    * to a ≤`buckets`-row table whose exclusive prefix (a parameter-
+    * bounded single-partition window) broadcasts back as per-bucket
+    * row-number offsets; the fact-scale window is PARTITIONED by
+    * bucket. `file_id` then applies the standard-SQL ntile cut from the
+    * exact global row number rn and total N: the first N mod n tiles
+    * get ceil(N/n) rows, the rest floor(N/n) — bit-identical to any
+    * engine's `ntile` (the DuckDB oracle keeps the plain window form).
+    * Never an `Exchange SinglePartition → Sort → Window` over the fact
+    * table (the round-14 verdict's last registry-wide instance).
+    */
+  private[graft] def ntileDistributed(df: DataFrame, bucket: Column,
+      n: Int, order: Column*): DataFrame = {
+    val b = df.withColumn("lb", bucket)
+    val wPre = Window.orderBy(col("lb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("lb"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prefix = b.groupBy(col("lb")).agg(count(lit(1)).as("lb_c"))
+      .select(col("lb"),
+        coalesce(sum(col("lb_c")).over(wPre), lit(0L)).as("lb_off"),
+        sum(col("lb_c")).over(wAll).as("lb_n"))
+    val wIn = Window.partitionBy(col("lb")).orderBy(order: _*)
+    b.join(broadcast(prefix), Seq("lb"))
+      .withColumn("lb_rn", col("lb_off") + row_number().over(wIn))
+      .withColumn("lb_base", expr(s"lb_n div $n"))
+      .withColumn("lb_rem", col("lb_n") % n)
+      .withColumn("file_id",
+        when(col("lb_rn") <= (col("lb_base") + 1) * col("lb_rem"),
+          expr("(lb_rn - 1) div (lb_base + 1)") + 1)
+        .otherwise(col("lb_rem") +
+          // greatest(,1) is inert: this branch is only selected when
+          // lb_base >= 1 (CaseWhen is lazy, the guard just keeps the
+          // ANSI div total)
+          expr("(lb_rn - lb_rem * (lb_base + 1) - 1) div greatest(lb_base, 1L)")
+          + 1))
+      .drop("lb", "lb_off", "lb_n", "lb_rn", "lb_base", "lb_rem")
+  }
+
   /** Runs the skipping audit over the events table. Returns one row per
     * layout: (layout, n_files, n_probes, files_hit, rows_scanned,
     * rows_total) — files_hit/rows_scanned summed over the probe set.
@@ -69,7 +112,9 @@ object Layout {
       floor(col("value") * 100).cast("long").as("vcents"))
     val bounds = base.agg(
       min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
-      min(col("vcents")).as("vmin"), max(col("vcents")).as("vmax"))
+      min(col("vcents")).as("vmin"), max(col("vcents")).as("vmax"),
+      min(unix_micros(col("ts"))).as("tmin"),
+      max(unix_micros(col("ts"))).as("tmax"))
     // 1-row build side; every row needs the global bounds
     val withB = base.crossJoin(broadcast(bounds))
       .withColumn("uspan", col("umax") - col("umin") + 1)
@@ -79,16 +124,23 @@ object Layout {
       .withColumn("vb",
         floor((col("vcents") - col("vmin")) * nb / col("vspan")))
       .withColumn("z", zValue(col("ub"), col("vb"), zBits))
-    def files(layout: String, order: Column*) =
-      withB.withColumn("file_id",
-          ntile(nFiles).over(Window.orderBy(order: _*)))
+      // per-layout prefix buckets, each monotone in its layout's sort
+      // key (exact long `div` arithmetic — no double rounding):
+      //   time:   256 equal-width epoch-micro slices of [tmin, tmax]
+      //   user:   ub itself (monotone floor of user_id, 256 buckets)
+      //   zorder: the z value's high zBits bits (z div 2^zBits)
+      .withColumn("tbucket", expr(
+        s"((unix_micros(ts) - tmin) * $nb) div (tmax - tmin + 1)"))
+      .withColumn("zbucket", shiftright(col("z"), zBits))
+    def files(layout: String, bucket: Column, order: Column*) =
+      ntileDistributed(withB, bucket, nFiles, order: _*)
         .groupBy(lit(layout).as("layout"), col("file_id"))
         .agg(min(col("user_id")).as("f_umin"), max(col("user_id")).as("f_umax"),
           min(col("vcents")).as("f_vmin"), max(col("vcents")).as("f_vmax"),
           count(lit(1)).as("f_rows"))
-    val stats = files("time", col("ts"), col("event_id"))
-      .unionByName(files("user", col("user_id"), col("event_id")))
-      .unionByName(files("zorder", col("z"), col("event_id")))
+    val stats = files("time", col("tbucket"), col("ts"), col("event_id"))
+      .unionByName(files("user", col("ub"), col("user_id"), col("event_id")))
+      .unionByName(files("zorder", col("zbucket"), col("z"), col("event_id")))
     // probe workload: half-step-offset rectangles, each spanning
     // 1/nProbes of a dimension (integer grid arithmetic so the oracle
     // is exact); half-offset keeps them from snapping to file

@@ -997,30 +997,51 @@ object TextAnalysis {
     *
     * The cumulative-type curve needs no rescan: a type's contribution
     * is its FIRST document (min doc_id per token — one
-    * vocabulary-sized agg), and both cumulatives are prefix windows
-    * over the doc-count-sized point table. The global ordered prefix
-    * is the same parallel-prefix shape as `ks_drift` (bucket offsets +
-    * within-bucket windows) when the doc count is itself data-scale;
-    * at that size you also thin to log-spaced sample points.
+    * vocabulary-sized agg). The point table is doc-count-sized — DATA
+    * scale at 100 TB — so the cumulatives run as the `ks_drift` /
+    * `layout_zorder` bucketed parallel prefix: 256 equal-width doc_id
+    * slices (exact integer `div` of the broadcast id bounds — monotone,
+    * so (bucket, doc_id)-order ≡ doc_id-order), per-bucket totals fold
+    * to a ≤257-row prefix table whose exclusive running sums broadcast
+    * back as offsets, and the fact-scale windows are PARTITIONED by
+    * bucket. Integer sums associate, so offset + within-bucket running
+    * sum ≡ the global running sum, bit-identical to the single-sort
+    * form. (At 100 TB you also thin to log-spaced sample points.)
     */
   def heapsFit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec0 = DecimalType(38, 0)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val perDoc = docs.select(col("doc_id"),
       size(tokensCol(col("text"))).cast("long").as("n_tok"))
     val newTypes = docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("t"))
       .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
-    val pts = perDoc.join(newTypes, Seq("doc_id"), "left")
-      .withColumn("cum_tokens", sum(col("n_tok")).over(wDoc))
-      .withColumn("cum_types",
-        sum(coalesce(col("new_types"), lit(0L))).over(wDoc))
+    val joined = perDoc.join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("new_types"), lit(0L)).as("nt"))
+    val bounds = joined.agg(
+      min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+    val b = joined.crossJoin(broadcast(bounds))
+      .withColumn("hb",
+        expr("((doc_id - dmin) * 256) div (dmax - dmin + 1)"))
+    val wPre = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val prefix = b.groupBy(col("hb"))
+      .agg(sum(col("n_tok")).as("bc_tok"), sum(col("nt")).as("bc_nt"))
+      .select(col("hb"),
+        coalesce(sum(col("bc_tok")).over(wPre), lit(0L)).as("off_tok"),
+        coalesce(sum(col("bc_nt")).over(wPre), lit(0L)).as("off_nt"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hb")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pts = b.join(broadcast(prefix), Seq("hb"))
+      .withColumn("cum_tokens", col("off_tok") + sum(col("n_tok")).over(wIn))
+      .withColumn("cum_types", col("off_nt") + sum(col("nt")).over(wIn))
       .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
     val x = log10(col("cum_tokens").cast("double"))
     val y = log10(col("cum_types").cast("double"))

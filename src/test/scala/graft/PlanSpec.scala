@@ -570,6 +570,8 @@ class PlanSpec extends SparkSpec {
       "assoc_rules",
       // 1-row corpus-end cross join onto the per-user fold
       "conversion_survival",
+      // 1-row doc_id-bounds cross join (the bucketed-prefix bucket key)
+      "heaps_fit",
       // 1-row arm-count cross join onto the |types|-row table
       "ab_test_z",
       // composes ann_topk (truth) + ann_ivf (system): both sides'
@@ -603,5 +605,86 @@ class PlanSpec extends SparkSpec {
         !allowed(n)
     }
     assert(offenders.isEmpty, s"data-scale nested-loop joins in: $offenders")
+  }
+
+  test("layout_zorder: ntile cuts distributed — bucket-partitioned " +
+      "fact windows, never an unpartitioned fact-scale sort") {
+    // the round-8..14 shape ran ntile(64).over(Window.orderBy(...))
+    // over the FULL events table, once per layout — three Exchange
+    // SinglePartition → Sort → Window fact scans per run. The rebuilt
+    // form is the cumRank/epoch_shuffle discipline: a monotone 256-way
+    // bucket key per layout, per-bucket counts folded to a ≤256-row
+    // prefix table (its windows are the only unpartitioned ones left),
+    // broadcast back as row-number offsets, and the exact ntile cut
+    // computed from (global rn, N) in integer arithmetic.
+    val p = plan("layout_zorder")
+    assert(!p.contains("ntile("), s"raw ntile window resurfaced:\n$p")
+    // every fact-scale row_number is partitioned by the layout bucket
+    assert(p.contains("windowspecdefinition(lb#"),
+      s"bucket-partitioned row_number missing:\n$p")
+    assert(!p.contains("windowspecdefinition(ts#") &&
+      !p.contains("windowspecdefinition(user_id#") &&
+      !p.contains("windowspecdefinition(z#"),
+      s"unpartitioned window over a layout sort key:\n$p")
+    // the prefix tables ride as broadcasts, not shuffle joins
+    assert(p.contains("BroadcastHashJoin"), s"prefix not broadcast:\n$p")
+  }
+
+  test("suite-wide: unpartitioned windows only over parameter-bounded " +
+      "tables (the WindowExec single-partition ledger)") {
+    // An unpartitioned Window moves EVERY row of its input to one task
+    // — fine on a 256-row bucket-prefix table, fatal on a fact table
+    // (layout_zorder carried exactly that shape unnoticed for six
+    // rounds because its OUTPUT is tiny). This ledger is the collect()
+    // ledger's sibling: every query whose plan contains Window nodes
+    // with an empty partition spec must appear below with its count
+    // and a bounded-size proof; exact-match both ways, so a new
+    // unpartitioned window — or one silently optimized away — is a
+    // conscious ledger edit, not ambient noise.
+    val allowed = Map[String, Int](
+      // ks_drift: the 256-fixed-bucket prefix table — two frames
+      // (exclusive + inclusive) over ≤256 rows
+      "ks_drift" -> 2,
+      // layout_zorder: 3 layouts × (exclusive prefix + total) over the
+      // ≤257-row per-layout bucket-count tables (ntileDistributed)
+      "layout_zorder" -> 6,
+      // heaps_fit: the ≤257-row doc_id-bucket prefix table (the
+      // fact-scale cumulatives are partitioned by bucket)
+      "heaps_fit" -> 1,
+      // conversion_survival: risk-set suffix + cumulative-hazard prefix
+      // over the t_hours life table — ≤ windowHours+1 (337) rows
+      "conversion_survival" -> 2,
+      // momentum_backtest: cumulative log-return over the per-DATE
+      // portfolio table — calendar-bounded (≤ days in the corpus)
+      "momentum_backtest" -> 1,
+      // vocab_coverage: rank + cumulative share AFTER .limit(k=50)
+      "vocab_coverage" -> 1,
+      // dsir_select: partitionBy(lit(1)) over the B-row hash grid
+      // (buckets=64); the optimizer folds the literal partition key
+      // away, leaving an empty spec over a parameter-bounded table
+      "dsir_select" -> 1,
+      // attribution_last_touch: conversion-share normalizer over the
+      // credited-type table — type-vocabulary-bounded
+      "attribution_last_touch" -> 1)
+    val names = SparkEntry.queries.keys
+      .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
+        "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e",
+        "pipeline_er_e2e", "sketch_stream_e2e", "bars_live_e2e"))
+    val found = names.flatMap { n =>
+      val c = SparkEntry.queries(n)(spark, dir).queryExecution.optimizedPlan
+        .collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.size
+      if (c > 0) Some(n -> c) else None
+    }.toMap
+    val drift = (found.keySet ++ allowed.keySet)
+      .filter(k => found.getOrElse(k, 0) != allowed.getOrElse(k, 0))
+      .toList.sorted
+      .map(k => s"$k: found ${found.getOrElse(k, 0)}, " +
+        s"allowed ${allowed.getOrElse(k, 0)}")
+    assert(drift.isEmpty,
+      s"unpartitioned-window ledger drifted — every site needs a " +
+      s"bounded-size proof here:\n  ${drift.mkString("\n  ")}")
   }
 }
