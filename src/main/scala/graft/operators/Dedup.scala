@@ -675,12 +675,18 @@ object Dedup {
     * have shipped.
     */
   def splitLeakAudit(docs: DataFrame, trainPct: Int = 80): DataFrame = {
-    val safe = clusterSafeSplit(docs, trainPct)
+    // the ER build-once lesson: ONE checkpointed pairs frame feeds both
+    // the cluster assignment (hence the safe folds) and the straddle
+    // join — a clusterSafeSplit(docs) call here would re-shingle and
+    // re-pair the whole corpus a second time in the same query
+    val pairs = ngramJaccardPairs(docs).select(col("d1"), col("d2"))
+      .localCheckpoint(false)
+    val safe = clusterSafeSplitFromAssign(docs, clusters(pairs), trainPct)
       .select(col("doc_id"), col("fold"))
     def straddle(f1: org.apache.spark.sql.Column,
                  f2: org.apache.spark.sql.Column) =
       when(f1 =!= f2, 1L).otherwise(0L)
-    ngramJaccardPairs(docs).select(col("d1"), col("d2"))
+    pairs
       .join(safe.select(col("doc_id").as("d1"), col("fold").as("f1")),
         Seq("d1"))
       .join(safe.select(col("doc_id").as("d2"), col("fold").as("f2")),
