@@ -350,8 +350,8 @@ object Similarity {
     * retrieved-neighborhood implementation.
     */
   private def bitextMarginScore(n: DataFrame, cand: DataFrame, k: Int,
-                                marginThreshold: Double): DataFrame = {
-    val cos6 = cand
+                                marginThreshold: Double): DataFrame =
+    bitextMarginFromCos6(cand
       .join(n.select(col("vec_id").as("src_id"), col("v").as("qv"),
         col("nrm").as("qn")), Seq("src_id"))
       .join(n.select(col("vec_id").as("tgt_id"), col("v"), col("nrm")),
@@ -359,7 +359,16 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))
           * lit(1.0e6), 0).cast("long").as("c6"))
-      .filter(col("c6") > 0)
+      .filter(col("c6") > 0), k, marginThreshold)
+
+  /** The CSLS ratio-margin ranking over an already-scored (src_id,
+    * tgt_id, c6) cosine frame — factored from [[bitextMarginScore]] so
+    * the brute truth can score AT the cross join (vectors never enter a
+    * shuffle; only 3-long rows reach the kNN windows) while the LSH
+    * miner keeps the candidate→vector-join form.
+    */
+  private def bitextMarginFromCos6(cos6: DataFrame, k: Int,
+                                   marginThreshold: Double): DataFrame = {
     val knn = cos6
       .withColumn("rs", row_number().over(Window.partitionBy(col("src_id"))
         .orderBy(col("c6").desc, col("tgt_id"))))
@@ -410,12 +419,23 @@ object Similarity {
     val n = normed(embeddings)
       .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
         Seq("vec_id"))
+    // vectors ride the cross join itself and the cosine is computed IN
+    // the cartesian stage, so the quadratic candidate set reaches the
+    // downstream kNN shuffles as (src_id, tgt_id, c6) long triples —
+    // never as vector-carrying rows (the 10× 4.2 GB sort-spill shape:
+    // cand ⋈ vectors ⋈ vectors materialized the full bipartite set
+    // through two SortMergeJoins with 64-float payloads)
     val src = n.filter(col("lang") === srcLang)
       .filter(srcSample(srcSamplePct, col("vec_id")))
-      .select(col("vec_id").as("src_id"))
-    val cand = src.crossJoin(n.filter(col("lang") === tgtLang)
-      .select(col("vec_id").as("tgt_id")))
-    bitextMarginScore(n, cand, k, marginThreshold)
+      .select(col("vec_id").as("src_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cos6 = src.crossJoin(n.filter(col("lang") === tgtLang)
+        .select(col("vec_id").as("tgt_id"), col("v"), col("nrm")))
+      .select(col("src_id"), col("tgt_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+          * lit(1.0e6), 0).cast("long").as("c6"))
+      .filter(col("c6") > 0)
+    bitextMarginFromCos6(cos6, k, marginThreshold)
   }
 
   /** The deterministic source-sample predicate shared by the brute
