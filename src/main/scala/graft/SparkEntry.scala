@@ -66,7 +66,8 @@ object SparkEntry {
         val p = java.nio.file.Files
           .createTempDirectory("graft_er_match_index").toString
         EntityResolution.matchScores(
-            EntityResolution.sourceA(c), EntityResolution.sourceB(c))
+            EntityResolution.sourceA(c), EntityResolution.sourceB(c),
+            cap = EntityResolution.MasterCap, finerKeys = true)
           .write.mode("overwrite").parquet(p)
         p
       })
@@ -2685,6 +2686,14 @@ object SparkEntry {
     s"""${ErOracle.base},
        |${ErOracle.scoring("erb", "erb")}""".stripMargin
 
+  /** The PRODUCTION key-set chain the persisted index family serves
+    * under: finer 3-pass blocking at [[EntityResolution.MasterCap]]
+    * (er_match_index / er_eval / er_entities / er_retire). */
+  private val erCteMaster =
+    s"""${ErOracle.base},
+       |${ErOracle.scoring("erb", "erb", finer = true,
+          capN = EntityResolution.MasterCap)}""".stripMargin
+
   /** The finer-keys variant chain: third (nation, name-digit) blocking
     * pass at cap 64 — the remedy-as-data oracle. */
   private val erCteFiner =
@@ -2732,7 +2741,8 @@ object SparkEntry {
        |         WHERE ${h60("'er_inc_' || rec_id")} % 100 < 80),
        |erbd AS (SELECT * FROM erb
        |         WHERE ${h60("'er_inc_' || rec_id")} % 100 >= 80),
-       |${ErOracle.scoring("erbh", "erbd")}""".stripMargin
+       |${ErOracle.scoring("erbh", "erbd", finer = true,
+          capN = EntityResolution.MasterCap)}""".stripMargin
 
   /** Distinct 8-gram shingle index (mirrors the decontamination ngram;
     * long shingles = shared passages, not shared vocabulary).
@@ -6221,20 +6231,21 @@ object SparkEntry {
          |       ELSE 'nonmatch' END AS verdict
          |FROM ersc ORDER BY a_id, b_id""".stripMargin,
 
-    // the persisted index holds exactly the matchScores rows (the
-    // parquet round-trip is content-neutral), so its oracle is the
-    // er_match chain verbatim.
+    // the persisted index holds exactly the matchScores rows under the
+    // production key set (finer 3-pass at MasterCap; the parquet
+    // round-trip is content-neutral).
     "er_match_index" ->
-      s"""WITH $erCte
+      s"""WITH $erCteMaster
          |SELECT a_id, b_id, gamma_name, seg_agree, ab_agree, score,
          |  CASE WHEN score >= ${EntityResolution.ThMatch} THEN 'match'
          |       WHEN score >= ${EntityResolution.ThPossible} THEN 'possible'
          |       ELSE 'nonmatch' END AS verdict
          |FROM ersc ORDER BY a_id, b_id""".stripMargin,
 
-    // mirrors EntityResolution.erEval: per-threshold operating points
-    // against the construction ground truth + blocking recall.
-    "er_eval" -> erEvalSqlOver(erCte),
+    // mirrors EntityResolution.erEval off the persisted index (the
+    // production 3-pass/MasterCap key set): per-threshold operating
+    // points against the construction ground truth + blocking recall.
+    "er_eval" -> erEvalSqlOver(erCteMaster),
 
     // the finer-keys remedy as data: third (nation, name-digit)
     // blocking pass at cap 64 — recall must hold where the 2-pass
@@ -6352,7 +6363,7 @@ object SparkEntry {
     // records anti-joined out of the frozen match index, transitive
     // closure over the survivors.
     "er_retire" ->
-      s"""WITH RECURSIVE $erCte,
+      s"""WITH RECURSIVE $erCteMaster,
          |ret AS (SELECT rec_id FROM era
          |        WHERE ${h60("'er_ret_' || rec_id")} % 10 = 3),
          |p AS (SELECT a_id AS d1, b_id AS d2 FROM ersc
@@ -6381,7 +6392,7 @@ object SparkEntry {
     // mirrors EntityResolution.entities: transitive closure of the
     // match-verdict pairs + survivorship per entity.
     "er_entities" ->
-      s"""WITH RECURSIVE $erCte,
+      s"""WITH RECURSIVE $erCteMaster,
          |p AS (SELECT a_id AS d1, b_id AS d2 FROM ersc
          |      WHERE score >= ${EntityResolution.ThMatch}),
          |e AS (SELECT d1 AS ex, d2 AS ey FROM p UNION SELECT d2, d1 FROM p),

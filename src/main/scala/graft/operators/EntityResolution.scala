@@ -59,6 +59,15 @@ object EntityResolution {
     * kept subset is deterministic and unbiased. */
   val MaxBlockSize = 256
 
+  /** The PRODUCTION key-set cap: the persisted master index, the
+    * incremental path and the streaming hop all block with the finer
+    * 3-pass keys at this cap — measured dominant over 2-pass at
+    * [[MaxBlockSize]] (SCALING.md round-14 table: blocking recall
+    * 0.964 vs 0.833 at 10×, wall 21.9 vs 54.6 s). The 2-pass/256 form
+    * stays as `er_match`/`er_candidates`' self-contained cross-check.
+    */
+  val MasterCap = 128
+
   /** Target sampled non-match partners per A record for fuzzy-field
     * u estimation (bucket count = max(1, |B| / this)). */
   val UPairsPerA = 20
@@ -172,21 +181,28 @@ object EntityResolution {
     * (one map-only explode per record, no window, no cap: a streaming
     * delta is batch-bounded by construction; the cap lives on the
     * persisted master side). Same (rec_id, bkey) multiset as
-    * [[blocked]]'s key-union, minus the rank cut.
+    * [[blocked]]'s FINER 3-pass key-union (the production key set —
+    * must stay in lockstep with [[masterIndex]], or the streamed
+    * candidates silently diverge from the batch incremental's), minus
+    * the rank cut.
     */
   def blockKeysRowwise(recs: DataFrame): DataFrame = {
     val band = floor((col("ab_c") + lit(100000L)) / lit(50000.0)).cast("long")
     recs.select(col("rec_id"), explode(array(
       concat(lit("s|"), col("nat"), lit("|"), col("seg")),
-      concat(lit("b|"), col("nat"), lit("|"), band))).as("bkey"))
+      concat(lit("b|"), col("nat"), lit("|"), band),
+      concat(lit("n|"), col("nat"), lit("|"), nameBucket))).as("bkey"))
   }
 
   /** The persisted master-side blocking index a production deployment
     * keeps on disk: the capped (bkey, a_id) postings of source A —
     * what the incremental and streaming twins join deltas against.
+    * Carries the finer 3-pass key set at [[MasterCap]] (round-14's
+    * measured remedy, wired into the path that persists).
     */
-  def masterIndex(a: DataFrame, cap: Int = MaxBlockSize): DataFrame =
-    blocked(a, "A", cap).select(col("bkey"), col("rec_id").as("a_id"))
+  def masterIndex(a: DataFrame, cap: Int = MasterCap): DataFrame =
+    blocked(a, "A", cap, finerKeys = true)
+      .select(col("bkey"), col("rec_id").as("a_id"))
 
   /** Candidate pairs: bipartite equi-join of the two capped key sets,
     * one row per (a, b) with which pass(es) produced it. Output:
@@ -303,13 +319,15 @@ object EntityResolution {
     * batch (chance agreement is a corpus property — re-estimating it
     * per delta would make yesterday's verdicts irreproducible), and
     * only the DELTA is keyed, capped (delta-local B-side caps: the
-    * batch is what the job sees), joined, and scored. Work scales
-    * with the delta, never the history.
+    * batch is what the job sees), joined, and scored — under the
+    * production 3-pass key set at [[MasterCap]], matching the
+    * persisted [[masterIndex]]. Work scales with the delta, never the
+    * history.
     */
   def incrementalMatches(a: DataFrame, bHist: DataFrame,
                          bDelta: DataFrame): DataFrame =
-    scoreCandidates(candidates(a, bDelta), a, bDelta,
-      uProbabilities(a, bHist))
+    scoreCandidates(candidates(a, bDelta, MasterCap, finerKeys = true),
+      a, bDelta, uProbabilities(a, bHist))
 
   /** Sink-side scoring of a LANDED candidate-pair table (a_id, b_id)
     * — the batch compaction that closes the streaming hop

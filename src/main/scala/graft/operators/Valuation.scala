@@ -241,11 +241,23 @@ object Valuation {
     * history∪delta (the oracle; spec-asserted), at delta-bounded
     * cost. Existing points' values refresh too when a delta point
     * displaces them from a top-R.
+    *
+    * The panel divisor is derived from the UNION of test ids seen in
+    * the persisted index and in the delta frame — not from the delta
+    * frame alone, whose caller could legally pass only the panel
+    * members the delta touches; a delta-only count would then silently
+    * inflate every value by \|panel\|/\|passed panel\| (the round-14
+    * divisor-coupling advisory). Equal to \|panel\| whenever either
+    * side has seen the full panel, which the index has by
+    * construction.
     */
   def shapleyIncremental(histIdx: DataFrame,
                          deltaWithPanel: DataFrame): DataFrame =
     tknnValues(histIdx.unionByName(pairs(deltaWithPanel)),
-      panelCount(deltaWithPanel))
+      histIdx.select(col("test_id"))
+        .unionByName(deltaWithPanel.filter(isTest(col("vec_id")))
+          .select(col("vec_id").as("test_id")))
+        .agg(count_distinct(col("test_id")).as("n_panel")))
 
   /** Truncation-fidelity audit — the TKNN approximation error as DATA
     * (the lsh_recall_audit discipline): per label, how far the

@@ -598,6 +598,19 @@ object Pipeline {
       concat(lit("er_inc_"), col("rec_id").cast("string"))) % 100
     val bHist = b.filter(splitH < 80)
     val bDelta = b.filter(splitH >= 80)
+    // equality with the er_incremental oracle requires the batch
+    // oracle's delta-local B-side caps NOT to bind (the streamed leg
+    // applies rowwise keys with no delta-side cap) — assert the
+    // precondition so a corpus-size bump fails with a diagnosable
+    // message instead of a hash mismatch (1-row max fold)
+    val maxBlock = EntityResolution.blockKeysRowwise(bDelta)
+      .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(maxBlock <= EntityResolution.MasterCap,
+      s"er e2e precondition broken: delta-side block size $maxBlock " +
+        s"exceeds MasterCap ${EntityResolution.MasterCap} — the batch " +
+        "oracle's delta-local cap would bind and the streamed (uncapped " +
+        "rowwise) leg would diverge; shrink the delta split or raise the cap")
     bDelta.repartition(2).write.mode("overwrite").parquet(deltaDir)
     val masterIdx = EntityResolution.masterIndex(a).localCheckpoint(true)
 

@@ -77,7 +77,11 @@ class EntityResolutionSpec extends SparkSpec {
     assert(deltaIds.nonEmpty && deltaIds.size < b.count())
     val inc = EntityResolution.incrementalMatches(a, bHist, bDelta)
       .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
-    val full = EntityResolution.matchScores(a, b)
+    // the incremental path blocks under the production key set (finer
+    // 3-pass at MasterCap) — compare against the full run under the
+    // SAME keys
+    val full = EntityResolution.matchScores(a, b,
+        cap = EntityResolution.MasterCap, finerKeys = true)
       .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
       .filter(p => deltaIds(p._2))
     assert(inc == full, s"inc ${inc.size} vs full-slice ${full.size}")
@@ -127,7 +131,9 @@ class EntityResolutionSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // batch parity: the fixture is far below the caps, so the
       // streamed candidates equal the batch incremental candidates
-      val batch = EntityResolution.candidates(a, bDelta)
+      // (both sides block under the production 3-pass key set)
+      val batch = EntityResolution.candidates(a, bDelta,
+          cap = EntityResolution.MasterCap, finerKeys = true)
         .select(col("a_id"), col("b_id")).as[(Long, Long)]
         .collect().toSet
       assert(landed.nonEmpty)

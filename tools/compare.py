@@ -26,7 +26,12 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    report_path = sys.argv[3] if len(sys.argv) > 3 else "verify_correctness.json"
+    # default report anchored to the repo root (this file's parent dir's
+    # parent), not the cwd — running from elsewhere must still drop the
+    # committable artifact where the round loop looks for it
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report_path = (sys.argv[3] if len(sys.argv) > 3
+                   else os.path.join(repo_root, "verify_correctness.json"))
     verdicts = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
