@@ -1989,6 +1989,15 @@ object SparkEntry {
     // must hash-match the batch er_incremental oracle.
     "pipeline_er_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.erE2E(s, dir)),
+    // split-family delta hop oracle-gated end to end: delta docs land
+    // as a file stream, a real AvailableNow ingest hop shingles them
+    // into the delta posting sink, a stream-static hop retrieves
+    // co-shingle candidates against the persisted capped history
+    // postings, and the sink-side fold into the persisted split
+    // (promotion rule: merges move groups into train, never test)
+    // must hash-match the batch cluster_safe_split_incremental oracle.
+    "pipeline_split_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.splitE2E(s, dir)),
     // pairwise audience overlap (union/intersection/Jaccard) between
     // event types, estimated from the partial KMV sketches alone —
     // no raw-data rescan per pair.
@@ -8239,6 +8248,39 @@ object SparkEntry {
     // assignment (shared chain above), yesterday's hist folds from the
     // hist-only CC, the train-wins / test-holds / hash-else group rule.
     "cluster_safe_split_incremental" ->
+      s"""$dedupIncAssignCtes,
+         |th AS (SELECT doc_id FROM t
+         |       WHERE ${h60("'inc_' || doc_id")} % 100 < 80),
+         |upd AS (SELECT doc_id, cluster_rep FROM hist_out
+         |        UNION ALL SELECT doc_id, cluster_rep FROM new_out),
+         |gk AS (SELECT t.doc_id, coalesce(u.cluster_rep, t.doc_id)
+         |         AS group_key
+         |       FROM t LEFT JOIN upd u ON u.doc_id = t.doc_id),
+         |hfold AS (SELECT th.doc_id,
+         |            CASE WHEN ${h60(
+                        "'csplit_' || coalesce(a.rep, th.doc_id)")}
+         |                   % 100 < 80
+         |                 THEN 'train' ELSE 'test' END AS hf
+         |          FROM th LEFT JOIN assign a ON a.doc_id = th.doc_id),
+         |gfold AS (SELECT g.group_key,
+         |            CASE WHEN max(CASE WHEN h.hf = 'train'
+         |                          THEN 1 ELSE 0 END) = 1 THEN 'train'
+         |                 WHEN max(CASE WHEN h.hf = 'test'
+         |                          THEN 1 ELSE 0 END) = 1 THEN 'test'
+         |            END AS gf
+         |          FROM gk g LEFT JOIN hfold h ON h.doc_id = g.doc_id
+         |          GROUP BY g.group_key)
+         |SELECT g.doc_id, g.group_key,
+         |  coalesce(gf.gf,
+         |    CASE WHEN ${h60("'csplit_' || g.group_key")} % 100 < 80
+         |         THEN 'train' ELSE 'test' END) AS fold
+         |FROM gk g JOIN gfold gf ON gf.group_key = g.group_key
+         |ORDER BY g.doc_id""".stripMargin,
+
+    // the streamed split hop must land exactly the batch incremental
+    // fold — the oracle IS the cluster_safe_split_incremental chain
+    // (the pipeline_er_e2e convention).
+    "pipeline_split_e2e" ->
       s"""$dedupIncAssignCtes,
          |th AS (SELECT doc_id FROM t
          |       WHERE ${h60("'inc_' || doc_id")} % 100 < 80),

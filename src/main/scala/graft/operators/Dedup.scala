@@ -384,7 +384,18 @@ object Dedup {
     * faster at sf0.1).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        maxDf: Int = MaxShingleDf): DataFrame = {
+                        maxDf: Int = MaxShingleDf): DataFrame =
+    ngramJaccardPairsFromPostings(shingled(docs), threshold, maxDf)
+
+  /** [[ngramJaccardPairs]] off an already-materialized (doc_id,
+    * shingle) posting index — the nightly-rebuild form: a deployment
+    * that persists its shingle index (and the streaming ingest hop
+    * that maintains it) re-derives pairs from the index, never from
+    * text.
+    */
+  def ngramJaccardPairsFromPostings(shingleRows: DataFrame,
+                                    threshold: Double = 0.5,
+                                    maxDf: Int = MaxShingleDf): DataFrame = {
     // co-shingled pairs WITHOUT a self-join: group the inverted index by
     // shingle once (one shuffle of the index instead of two), drop stop
     // shingles (df > maxDf), generate each posting list's ordered pairs
@@ -392,7 +403,7 @@ object Dedup {
     // shingle counts derive from the SAME capped posting lists (jaccard
     // over the capped index is internally consistent), materialized once
     // (localCheckpoint) since they are two downstream consumers.
-    val postings = shingled(docs)
+    val postings = shingleRows
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
@@ -731,11 +742,26 @@ object Dedup {
                                   histAssign: DataFrame,
                                   histSplit: DataFrame,
                                   deltaDocs: DataFrame,
-                                  trainPct: Int = 80): DataFrame = {
-    val updated = incrementalClusters(histPostings, histAssign, deltaDocs)
+                                  trainPct: Int = 80): DataFrame =
+    clusterSafeSplitIncrementalFromPostings(histPostings, histAssign,
+      histSplit, shingled(deltaDocs), deltaDocs.select(col("doc_id")),
+      trainPct)
+
+  /** [[clusterSafeSplitIncremental]] off an already-landed delta
+    * posting index ([[incrementalClustersFromPostings]]'s contract) —
+    * the sink-side fold of the streaming split hop. */
+  def clusterSafeSplitIncrementalFromPostings(histPostings: DataFrame,
+                                              histAssign: DataFrame,
+                                              histSplit: DataFrame,
+                                              deltaPostings: DataFrame,
+                                              deltaDocIds: DataFrame,
+                                              trainPct: Int = 80
+                                             ): DataFrame = {
+    val updated = incrementalClustersFromPostings(histPostings,
+        histAssign, deltaPostings, deltaDocIds)
       .select(col("doc_id"), col("cluster_rep"))
     val universe = histSplit.select(col("doc_id"))
-      .unionByName(deltaDocs.select(col("doc_id")))
+      .unionByName(deltaDocIds.select(col("doc_id")))
     val gk = universe.join(updated, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("group_key"))
@@ -794,12 +820,28 @@ object Dedup {
     */
   def incrementalClusters(histPostings: DataFrame, histAssign: DataFrame,
                           deltaDocs: DataFrame, threshold: Double = 0.5,
-                          maxDf: Int = MaxShingleDf): DataFrame = {
-    val deltaIds = deltaDocs.select(col("doc_id").as("delta_id"))
+                          maxDf: Int = MaxShingleDf): DataFrame =
+    incrementalClustersFromPostings(histPostings, histAssign,
+      shingled(deltaDocs), deltaDocs.select(col("doc_id")), threshold,
+      maxDf)
+
+  /** [[incrementalClusters]] off an ALREADY-SHINGLED delta posting
+    * index — the form the streaming twin folds from: a continuous
+    * ingest hop lands (doc_id, shingle) rows as they arrive (text is
+    * shingled exactly once, at ingest), and the nightly fold reads the
+    * landed index back instead of re-shingling the delta text.
+    */
+  def incrementalClustersFromPostings(histPostings: DataFrame,
+                                      histAssign: DataFrame,
+                                      deltaPostings: DataFrame,
+                                      deltaDocIds: DataFrame,
+                                      threshold: Double = 0.5,
+                                      maxDf: Int = MaxShingleDf): DataFrame = {
+    val deltaIds = deltaDocIds.select(col("doc_id").as("delta_id"))
     // collect_SET (not list): a rerun against an index that already
     // absorbed this delta sees each delta posting twice; the set makes
     // the union idempotent with no extra dedup shuffle
-    val postings = histPostings.unionByName(shingled(deltaDocs))
+    val postings = histPostings.unionByName(deltaPostings)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
@@ -849,6 +891,22 @@ object Dedup {
       .select(col("node").as("doc_id"), col("new_rep").as("cluster_rep"))
     histOut.unionByName(newOut).orderBy(col("doc_id"))
   }
+
+  /** The history postings restricted to shingles whose df is within
+    * the stop-shingle cap, keyed for the stream-static candidate join
+    * ([[graft.streaming.Streams.splitCandidateStream]]'s static side).
+    * Computed once when the nightly state is persisted — a shingle
+    * over the cap in history alone is over it in every superset, so
+    * the static cut is lossless for the fold's combined-cap candidate
+    * set while bounding the streamed join's per-shingle fan-out.
+    */
+  def cappedPostings(histPostings: DataFrame,
+                     maxDf: Int = MaxShingleDf): DataFrame =
+    histPostings
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"), col("doc_id").as("hist_doc"))
 
   /** The index-append closing [[incrementalClusters]]' daily loop: the
     * posting index after ingesting the delta (distinct guards make the

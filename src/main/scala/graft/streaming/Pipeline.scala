@@ -635,6 +635,117 @@ object Pipeline {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Split-family nightly-delta hop, oracle-gated end to end — the one
+    * lifecycle hop the newest (round-14) family lacked: a delta of raw
+    * documents lands as a REAL file stream (2 files drained one per
+    * micro-batch) and flows through TWO AvailableNow hops —
+    *
+    *  1. ingest: delta text → (doc_id, shingle) rows
+    *     ([[graft.operators.Dedup.shingled]], map-only) appended to
+    *     the delta posting sink — text is shingled exactly once, at
+    *     ingest, never again;
+    *  2. retrieval: the landed delta postings stream-static joined
+    *     against the persisted DF-CAPPED history postings
+    *     ([[Streams.splitCandidateStream]]) — the co-shingle candidate
+    *     hits a monitoring/triage consumer reads continuously.
+    *
+    * The sink-side compaction
+    * ([[graft.operators.Dedup.clusterSafeSplitIncrementalFromPostings]])
+    * folds the LANDED delta postings into the persisted
+    * postings/assignment/split tables under the eval-integrity
+    * promotion rule (merged groups move into train, never into test)
+    * and must hash-match the batch `cluster_safe_split_incremental`
+    * oracle exactly — streaming ingest must not change a single fold.
+    * Two cheap landed-state gates make drift diagnosable before the
+    * hash: ingest completeness (the landed posting multiset equals a
+    * direct shingle pass over the delta) and non-empty retrieval.
+    */
+  def splitE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val basePath = Files.createTempDirectory("graft_se2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val landing = s"$base/landing"
+    val postDir = s"$base/hist_postings"
+    val cappedDir = s"$base/hist_capped"
+    val assignDir = s"$base/hist_assign"
+    val splitDir = s"$base/hist_split"
+    val deltaPostDir = s"$base/delta_postings"
+    val candDir = s"$base/cand"
+
+    val docs = Tables.documents(spark, dir)
+    val isHist = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+    val hist = docs.filter(isHist)
+    val delta = docs.filter(!isHist).select(col("doc_id"), col("text"))
+    // the "nightly" state, persisted once: shingle postings (history
+    // text is never re-read), the df-capped join side, the cluster
+    // assignment (derived FROM the persisted postings), and the split
+    Dedup.shingled(hist).write.mode("overwrite").parquet(postDir)
+    val histPostings = spark.read.parquet(postDir)
+    Dedup.cappedPostings(histPostings)
+      .write.mode("overwrite").parquet(cappedDir)
+    Dedup.clusters(Dedup.ngramJaccardPairsFromPostings(histPostings))
+      .write.mode("overwrite").parquet(assignDir)
+    val histAssign = spark.read.parquet(assignDir)
+    Dedup.clusterSafeSplitFromAssign(hist, histAssign)
+      .write.mode("overwrite").parquet(splitDir)
+    delta.repartition(2).write.mode("overwrite").parquet(landing)
+
+    val an = Trigger.AvailableNow()
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val postSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shingle",
+        org.apache.spark.sql.types.LongType)))
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try HarnessGuard.scope(spark, "pipeline_split_e2e") {
+      // hop 1: landing docs -> delta shingle postings (index append)
+      Streams.parquetSink(
+        Dedup.shingled(spark.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)),
+        deltaPostDir, s"$base/ck1", trigger = an)
+        .start().awaitTermination()
+      // hop 2: landed postings -> stream-static co-shingle hits
+      // against the persisted capped history postings
+      Streams.parquetSink(
+        Streams.splitCandidateStream(
+          spark.readStream.schema(postSchema)
+            .option("maxFilesPerTrigger", 2).parquet(deltaPostDir),
+          spark.read.parquet(cappedDir)),
+        candDir, s"$base/ck2", trigger = an)
+        .start().awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
+
+    val deltaPost = spark.read.schema(postSchema).parquet(deltaPostDir)
+    // landed-state gates (1-row folds): the streamed index must carry
+    // exactly the delta's shingle multiset, and retrieval must have
+    // fired (the fixture's delta always shares shingles with history)
+    val landedN = deltaPost.count()
+    val directN = Dedup.shingled(delta).count()
+    require(landedN == directN,
+      s"split e2e ingest drift: $landedN landed postings vs $directN " +
+        "from a direct shingle pass over the delta")
+    require(!spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("delta_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hist_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("shingle",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(candDir).isEmpty,
+      "split e2e retrieval landed zero co-shingle hits")
+    Dedup.clusterSafeSplitIncrementalFromPostings(
+      histPostings, histAssign, spark.read.parquet(splitDir),
+      deltaPost, delta.select(col("doc_id")))
+  }
+
   def joinE2E(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Trades
     val basePath = Files.createTempDirectory("graft_je2e_")

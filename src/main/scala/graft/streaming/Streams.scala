@@ -340,6 +340,28 @@ object Streams {
       .join(masterIdx, "bkey")
       .select(col("a_id"), col("rec_id").as("b_id"))
 
+  /** Stream-static split-family candidate retrieval: a STREAMING
+    * delta-doc shingle index (each micro-batch's (doc_id, shingle)
+    * rows — [[graft.operators.Dedup.shingled]], map-only) joined
+    * against the PERSISTED df-capped history postings
+    * ([[graft.operators.Dedup.cappedPostings]] — the cap is applied
+    * ONCE at persist time, never re-planned per micro-batch: a
+    * shingle whose history df already exceeds the cap can never
+    * survive the fold's combined-df cap, so dropping it statically
+    * loses no candidate while bounding per-row fan-out, the
+    * erCandidateStream discipline). Fully stateless; emits
+    * (delta_doc, hist_doc, shingle) co-shingle hits in append mode —
+    * the retrieval half of the nightly split fold
+    * ([[graft.operators.Dedup.clusterSafeSplitIncrementalFromPostings]]
+    * is the sink-side compaction; exact Jaccard needs the COMBINED
+    * capped lists, so verification never lives in stream state).
+    */
+  def splitCandidateStream(deltaPostings: DataFrame,
+                           histCapped: DataFrame): DataFrame =
+    deltaPostings.select(col("doc_id").as("delta_doc"), col("shingle"))
+      .join(histCapped, "shingle")
+      .select(col("delta_doc"), col("hist_doc"), col("shingle"))
+
   // ---- sinks (K1-K3) ----
 
   /** Append-mode snappy-parquet streaming sink with optional partition

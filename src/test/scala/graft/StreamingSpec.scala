@@ -558,6 +558,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static split candidates: in-flight shingle + capped-" +
+      "postings join matches the batch co-shingle hit set") {
+    implicit val ctx = spark.sqlContext
+    val hist = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "some other historical content entirely unlike the rest here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "completely novel streaming content sharing nothing with history"))
+    val histCapped = Dedup.cappedPostings(Dedup.shingled(hist))
+      .localCheckpoint(true) // the frozen persisted join side
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.splitCandidateStream(
+        Dedup.shingled(in.toDF.toDF("doc_id", "text")), histCapped)
+      .writeStream.format("memory").queryName("split_cand_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(delta: _*)
+      q.processAllAvailable()
+      val got = spark.table("split_cand_stream")
+        .select("delta_doc", "hist_doc").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Streams.splitCandidateStream(
+          Dedup.shingled(delta.toDF("doc_id", "text")), histCapped)
+        .select("delta_doc", "hist_doc").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty && got == want)
+      // the near-dup delta doc hits its history twin, the novel one is
+      // retrieval-silent
+      assert(got.forall(_._1 == 10L) && got.exists(_._2 == 0L))
+    } finally q.stop()
+  }
+
   test("stream-static ANN assignment: streamed delta lands in the same cells as batch") {
     import graft.operators.Similarity
     implicit val ctx = spark.sqlContext
