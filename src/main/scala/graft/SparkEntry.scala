@@ -1330,6 +1330,19 @@ object SparkEntry {
       TextAnalysis.balancedSample(Tables.documents(s, dir))),
     "corpus_curate" -> ((s, dir) =>
       TextAnalysis.curate(Tables.documents(s, dir))),
+    // per-domain (host-keyed; `source` stands in for the URL host)
+    // profile: doc/token shares, exact- and near-dup participation
+    // rates, mean quality — the C4/RefinedWeb domain signal table.
+    "domain_profile" -> ((s, dir) =>
+      TextAnalysis.domainProfile(Tables.documents(s, dir))),
+    // the curate cascade behind a domain deny/allow gate: domains
+    // admitted on integer quality/near-dup thresholds over the raw
+    // corpus, minus the explicit denylist (src19 stands in for a
+    // listed host), then the same 4-stage chain over the admitted
+    // slice.
+    "corpus_curate_gated" -> ((s, dir) =>
+      TextAnalysis.curateGated(Tables.documents(s, dir),
+        denyDomains = Seq("src19"))),
     // per-doc audit ledger for the same cascade: every stage's verdict
     // + the first dropping stage, one row per INPUT doc (shipped set
     // == corpus_curate's output).
@@ -2488,6 +2501,75 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id,
        |         ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
        |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
+
+  /** The pinned per-doc quality score over a relation exposing `toks`
+    * (mirrors TextAnalysis.qualityScoreCol — shared by the quality
+    * gate, the curation chain, and the domain profile so the formula
+    * cannot diverge between oracles). */
+  private val curateQualitySql =
+    """round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+      |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+      |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+      |    * 1.0e6, 0) / 1.0e6""".stripMargin
+
+  /** The corpus_curate 4-stage chain over an arbitrary document
+    * relation `rel` (doc_id, text, source, …) — quality gate, capped
+    * near-dup CC keep-representatives, 8-gram decontamination, and the
+    * balanced per-source sample. Shared verbatim by `corpus_curate`
+    * (rel = documents) and `corpus_curate_gated` (rel = the
+    * domain-admitted slice), so the cascade cannot drift between the
+    * two. Caller supplies the WITH RECURSIVE prefix.
+    */
+  private def curateSqlOver(rel: String): String =
+    s"""ct AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $rel),
+       |csh AS (SELECT DISTINCT doc_id,
+       |          ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
+       |        FROM ct, unnest(generate_series(1, len(toks) - 2)) AS g(i)),
+       |csh8 AS (SELECT DISTINCT doc_id,
+       |          ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7])")} AS shingle
+       |        FROM ct, unnest(generate_series(1, len(toks) - 7)) AS g(i)),
+       |q AS (SELECT doc_id FROM ct
+       |  WHERE $curateQualitySql >= 0.35),
+       |shq AS (SELECT s.doc_id, s.shingle FROM csh s JOIN q ON q.doc_id = s.doc_id),
+       |shc2 AS (SELECT doc_id, shingle FROM shq
+       |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM shc2 x JOIN shc2 y
+       |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+       |${jaccardCte("shc2")},
+       |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+       |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+       |),
+       |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+       |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep),
+       |kept AS (SELECT q.doc_id FROM q
+       |         WHERE q.doc_id NOT IN (SELECT doc_id FROM dropd)),
+       |f AS (SELECT s.doc_id, s.shingle,
+       |        (${h60("'split_' || s.doc_id")} % 100) < 10 AS is_test
+       |      FROM csh8 s JOIN kept k ON k.doc_id = s.doc_id),
+       |pp AS (SELECT shingle,
+       |         count(*) FILTER (WHERE is_test) AS nt,
+       |         count(*) FILTER (WHERE NOT is_test) AS nr
+       |       FROM f GROUP BY shingle
+       |       HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf}),
+       |flag AS (SELECT DISTINCT r0.doc_id FROM f r0
+       |         JOIN pp ON pp.shingle = r0.shingle
+       |         WHERE NOT r0.is_test),
+       |fin AS (SELECT k.doc_id FROM kept k
+       |        WHERE (${h60("'split_' || k.doc_id")} % 100) >= 10
+       |          AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
+       |rs AS (SELECT d.doc_id, d.source,
+       |         CAST(row_number() OVER (PARTITION BY d.source
+       |           ORDER BY md5('bs_' || d.doc_id), d.doc_id) AS INT) AS samp_rank
+       |       FROM $rel d JOIN fin ON fin.doc_id = d.doc_id)
+       |SELECT doc_id, source, samp_rank FROM rs
+       |WHERE samp_rank <= 10
+       |ORDER BY source, samp_rank""".stripMargin
 
   /** Entity-resolution oracle CTEs (mirror EntityResolution.{sourceA,
     * sourceB,candidates,uProbabilities,matchScores}): A = customer in
@@ -7597,55 +7679,106 @@ object SparkEntry {
     // the composed 4-stage pipeline: quality gate -> near-dup removal
     // (over the filtered corpus) -> decontamination (over the kept
     // corpus) -> balanced per-source sample. Stage order is semantic
-    // and pinned here.
+    // and pinned here (chain shared with corpus_curate_gated, which
+    // runs it over the domain-admitted slice).
     "corpus_curate" ->
-      s"""${docsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$sh8Cte,
-         |q AS (SELECT doc_id FROM t
-         |  WHERE round((CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * (1.0 - CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','in','is','on','for','with'], tk))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-         |    * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-         |    * 1.0e6, 0) / 1.0e6 >= 0.35),
-         |shq AS (SELECT s.doc_id, s.shingle FROM sh s JOIN q ON q.doc_id = s.doc_id),
-         |shc2 AS (SELECT doc_id, shingle FROM shq
-         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+      s"""WITH RECURSIVE ${curateSqlOver("documents")}""".stripMargin,
+
+    // mirrors TextAnalysis.domainProfile: per-source doc/token shares,
+    // exact-fingerprint and capped-near-dup participation rates, mean
+    // quality from the exact 1e-6-integer sum.
+    "domain_profile" ->
+      s"""$docsCte,
+         |$shCappedCte,
          |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM shc2 x JOIN shc2 y
+         |         FROM shc x JOIN shc y
          |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
-         |${jaccardCte("shc2")},
+         |${jaccardCte("shc")},
          |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
-         |nodes AS (SELECT DISTINCT a AS id FROM e),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
-         |),
-         |cl AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
-         |dropd AS (SELECT doc_id FROM cl WHERE doc_id <> rep),
-         |kept AS (SELECT q.doc_id FROM q
-         |         WHERE q.doc_id NOT IN (SELECT doc_id FROM dropd)),
-         |f AS (SELECT s.doc_id, s.shingle,
-         |        (${h60("'split_' || s.doc_id")} % 100) < 10 AS is_test
-         |      FROM sh8 s JOIN kept k ON k.doc_id = s.doc_id),
-         |pp AS (SELECT shingle,
-         |         count(*) FILTER (WHERE is_test) AS nt,
-         |         count(*) FILTER (WHERE NOT is_test) AS nr
-         |       FROM f GROUP BY shingle
-         |       HAVING nt > 0 AND nr > 0 AND nt + nr <= ${Dedup.MaxShingleDf}),
-         |flag AS (SELECT DISTINCT r0.doc_id FROM f r0
-         |         JOIN pp ON pp.shingle = r0.shingle
-         |         WHERE NOT r0.is_test),
-         |fin AS (SELECT k.doc_id FROM kept k
-         |        WHERE (${h60("'split_' || k.doc_id")} % 100) >= 10
-         |          AND k.doc_id NOT IN (SELECT doc_id FROM flag)),
-         |rs AS (SELECT d.doc_id, d.source,
-         |         CAST(row_number() OVER (PARTITION BY d.source
-         |           ORDER BY md5('bs_' || d.doc_id), d.doc_id) AS INT) AS samp_rank
-         |       FROM documents d JOIN fin ON fin.doc_id = d.doc_id)
-         |SELECT doc_id, source, samp_rank FROM rs
-         |WHERE samp_rank <= 10
-         |ORDER BY source, samp_rank""".stripMargin,
+         |nd AS (SELECT DISTINCT doc_id FROM
+         |        (SELECT d1 AS doc_id FROM p UNION ALL SELECT d2 FROM p)),
+         |pd0 AS (SELECT doc_id, source, text,
+         |          string_split(text, ' ') AS toks FROM documents),
+         |pd AS (SELECT doc_id, source,
+         |         CAST(len(toks) AS BIGINT) AS n_tok,
+         |         CAST(round($curateQualitySql * 1.0e6, 0) AS BIGINT) AS q6,
+         |         md5(text) AS fp
+         |       FROM pd0),
+         |fpdf AS (SELECT fp, count(*) AS fp_df FROM pd GROUP BY fp),
+         |byd AS (SELECT source, count(*) AS n_docs,
+         |          sum(n_tok) AS n_tokens,
+         |          sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS n_exact_dup,
+         |          sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS n_neardup,
+         |          sum(q6) AS q6_sum
+         |        FROM pd JOIN fpdf USING (fp)
+         |        LEFT JOIN nd USING (doc_id)
+         |        GROUP BY source),
+         |tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_toks
+         |        FROM byd)
+         |SELECT source, n_docs,
+         |  ${safe6("CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE)")}
+         |    AS doc_share,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ${safe6("CAST(n_tokens AS DOUBLE) / CAST(t_toks AS DOUBLE)")}
+         |    AS token_share,
+         |  CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+         |  ${safe6("CAST(n_exact_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS exact_dup_rate,
+         |  CAST(n_neardup AS BIGINT) AS n_neardup,
+         |  ${safe6("CAST(n_neardup AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS neardup_rate,
+         |  ${safe6("CAST(q6_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e6)")}
+         |    AS mean_quality
+         |FROM byd, tot ORDER BY source""".stripMargin,
+
+    // mirrors TextAnalysis.curateGated: the domain gate (integer
+    // threshold comparisons over the RAW-corpus per-source profile +
+    // the explicit denylist) admits sources, then the corpus_curate
+    // chain runs over the admitted slice only.
+    "corpus_curate_gated" ->
+      s"""WITH RECURSIVE
+         |gt AS (SELECT doc_id, source, text,
+         |         string_split(text, ' ') AS toks FROM documents),
+         |gq AS (SELECT doc_id, source,
+         |         CAST(round($curateQualitySql * 1.0e6, 0) AS BIGINT) AS q6
+         |       FROM gt),
+         |gsh AS (SELECT DISTINCT doc_id,
+         |          ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")}
+         |            AS shingle
+         |        FROM gt, unnest(generate_series(1, len(toks) - 2)) AS g(i)),
+         |gshc AS (SELECT doc_id, shingle FROM gsh
+         |         QUALIFY count(*) OVER (PARTITION BY shingle)
+         |           <= ${Dedup.MaxShingleDf}),
+         |gcand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |          FROM gshc x JOIN gshc y
+         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |gcnt AS (SELECT doc_id, count(*) AS n FROM gshc GROUP BY doc_id),
+         |ginter AS (SELECT c.d1, c.d2, count(*) AS i
+         |           FROM gcand c
+         |           JOIN gshc s1 ON s1.doc_id = c.d1
+         |           JOIN gshc s2 ON s2.doc_id = c.d2
+         |             AND s2.shingle = s1.shingle
+         |           GROUP BY c.d1, c.d2),
+         |gp AS (SELECT d1, d2 FROM ginter
+         |       JOIN gcnt c1 ON c1.doc_id = d1
+         |       JOIN gcnt c2 ON c2.doc_id = d2
+         |       WHERE round(CAST(i AS DOUBLE)
+         |         / CAST(c1.n + c2.n - i AS DOUBLE) * 1.0e6, 0) / 1.0e6
+         |         >= 0.5),
+         |gnd AS (SELECT DISTINCT doc_id FROM
+         |         (SELECT d1 AS doc_id FROM gp
+         |          UNION ALL SELECT d2 FROM gp)),
+         |gs AS (SELECT source, count(*) AS n_docs, sum(q6) AS q6_sum,
+         |         sum(CASE WHEN gnd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS n_nd
+         |       FROM gq LEFT JOIN gnd USING (doc_id) GROUP BY source),
+         |gallow AS (SELECT source FROM gs
+         |           WHERE q6_sum >= 330000 * n_docs
+         |             AND n_nd * 100 <= 16 * n_docs
+         |             AND source NOT IN ('src19')),
+         |docs_g AS (SELECT d.* FROM documents d JOIN gallow USING (source)),
+         |${curateSqlOver("docs_g")}""".stripMargin,
 
     // per-doc ledger over the same cascade: stage CTEs identical to
     // corpus_curate's, re-emitted per input doc with NULL verdicts for

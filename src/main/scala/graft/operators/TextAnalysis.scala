@@ -2085,6 +2085,97 @@ object TextAnalysis {
     * is a materialized table between jobs; this single-query form is
     * the semantic contract.
     */
+  /** Shared per-domain aggregate behind [[domainProfile]] and
+    * [[curateGated]]'s gate: (source, n_docs, n_tokens, n_exact_dup,
+    * n_neardup, q6_sum) — one token scan, one md5-fingerprint df agg
+    * (exact-dup participation), the dedup family's own capped
+    * near-dup pair build (near-dup participation), and the
+    * 1e-6-integer quality sum (exact, order-free). Every join is
+    * doc- or fingerprint-keyed; output is domain-cardinality.
+    */
+  private def domainStats(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(tokensCol(col("text"))).cast("long").as("n_tok"),
+      round(qualityScoreCol * lit(1.0e6), 0).cast("long").as("q6"),
+      md5(col("text")).as("fp"))
+    val fpDf = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+    val ndDocs = Dedup.ngramJaccardPairs(docs)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_nd", lit(1L))
+    perDoc.join(fpDf, Seq("fp"))
+      .join(ndDocs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("fp_df") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(coalesce(col("is_nd"), lit(0L))).as("n_neardup"),
+        sum(col("q6")).as("q6_sum"))
+  }
+
+  /** Per-domain (host-keyed — the fixture's `source` column stands in
+    * for the URL host) corpus profile: doc/token shares, exact- and
+    * near-duplicate participation rates, and mean quality — the
+    * C4/RefinedWeb-style signal table a crawl-scale curation run
+    * consults BEFORE document-level decisions (a domain that is 40%
+    * near-duplicate is a mirror farm; one whose mean quality sits on
+    * the floor is template noise — both are cheaper to gate at the
+    * domain level than to re-discover doc by doc).
+    *
+    * Determinism: counts are exact; the four rates divide exact
+    * integers once and pin at 1e-6; mean quality divides the exact
+    * per-doc 1e-6-integer sum once (order-free).
+    */
+  def domainProfile(docs: DataFrame): DataFrame = {
+    val base = domainStats(docs)
+    val tot = base.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_tokens")).as("t_toks"))
+    def r6(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
+    base.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"),
+      r6(col("n_docs").cast("double") / col("t_docs").cast("double"))
+        .as("doc_share"),
+      col("n_tokens"),
+      r6(col("n_tokens").cast("double") / col("t_toks").cast("double"))
+        .as("token_share"),
+      col("n_exact_dup"),
+      r6(col("n_exact_dup").cast("double") / col("n_docs").cast("double"))
+        .as("exact_dup_rate"),
+      col("n_neardup"),
+      r6(col("n_neardup").cast("double") / col("n_docs").cast("double"))
+        .as("neardup_rate"),
+      r6(col("q6_sum").cast("double") / (col("n_docs").cast("double")
+        * lit(1.0e6))).as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** [[curate]] behind a DOMAIN gate — the deny/allow stage a
+    * crawl-scale pipeline runs first (C4's blocklist, RefinedWeb's
+    * URL filtering): a domain is admitted when its mean quality and
+    * near-dup participation clear thresholds AND it is not on the
+    * explicit denylist; the 4-stage document cascade then runs over
+    * the admitted domains only. Thresholds compare exact integers
+    * (q6_sum ≥ minQ6·n_docs; n_neardup·100 ≤ maxNearDupPct·n_docs) so
+    * the gate is bit-portable. The gate is computed on the RAW corpus
+    * (the profile a crawler sees), not post-filter.
+    */
+  def curateGated(docs: DataFrame, minQ6: Long = 330000L,
+                  maxNearDupPct: Int = 16,
+                  denyDomains: Seq[String] = Nil,
+                  minScore: Double = 0.35, threshold: Double = 0.5,
+                  testPct: Int = 10, perSource: Int = 10): DataFrame = {
+    val allowed0 = domainStats(docs)
+      .filter(col("q6_sum") >= lit(minQ6) * col("n_docs") &&
+        col("n_neardup") * lit(100L)
+          <= lit(maxNearDupPct.toLong) * col("n_docs"))
+      .select(col("source"))
+    val allowed =
+      if (denyDomains.isEmpty) allowed0
+      else allowed0.filter(!col("source").isInCollection(denyDomains))
+    curate(docs.join(allowed, Seq("source"), "left_semi"),
+      minScore, threshold, testPct, perSource)
+  }
+
   def curate(docs: DataFrame, minScore: Double = 0.35,
              threshold: Double = 0.5, testPct: Int = 10,
              perSource: Int = 10): DataFrame = {

@@ -511,6 +511,67 @@ class TextDedupSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("domain profile: one row per source, shares sum to 1, rates bounded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val prof = TextAnalysis.domainProfile(docs).collect()
+    assert(prof.length ==
+      docs.select("source").distinct().count())
+    // 1e-6-pinned shares: each sums to 1 within one pin per row
+    val docShare = prof.map(_.getDouble(2)).sum
+    val tokShare = prof.map(_.getDouble(4)).sum
+    assert(math.abs(docShare - 1.0) < 1e-6 * prof.length)
+    assert(math.abs(tokShare - 1.0) < 1e-6 * prof.length)
+    prof.foreach { r =>
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1) // exact_dup_rate
+      assert(r.getDouble(8) >= 0 && r.getDouble(8) <= 1) // neardup_rate
+      assert(r.getDouble(9) >= 0 && r.getDouble(9) <= 1) // mean_quality
+    }
+    // near-dup participation matches the pair build it derives from
+    val ndTotal = prof.map(_.getLong(7)).sum
+    val ndDirect = graft.operators.Dedup
+      .ngramJaccardPairs(docs)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("d1"),
+          org.apache.spark.sql.functions.col("d2"))).as("doc_id"))
+      .distinct().count()
+    assert(ndTotal == ndDirect)
+  }
+
+  test("gated curate: denied and threshold-failing domains never ship; " +
+      "admitted-domain cascade is the plain curate over the slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val gated = TextAnalysis.curateGated(docs, denyDomains = Seq("src19"))
+      .collect()
+    assert(gated.nonEmpty)
+    val shippedSources = gated.map(_.getString(1)).toSet
+    assert(!shippedSources.contains("src19"), "denied domain shipped")
+    // recompute the gate's admitted set independently and check both
+    // directions: no shipped doc outside it, and the gated output
+    // equals plain curate over exactly the admitted slice
+    // mirror the gate's exact integer inputs: per-source pinned-q6 sum
+    // recomputed directly, near-dup counts from the profile
+    import org.apache.spark.sql.functions.{col, round, lit, sum, count}
+    val q6BySrc = docs.groupBy(col("source"))
+      .agg(sum(round(TextAnalysis.qualityScoreCol * lit(1.0e6), 0)
+        .cast("long")).as("q6_sum"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val prof = TextAnalysis.domainProfile(docs).collect()
+    val admitted = prof.filter { r =>
+      val (q6sum, nDocs) = q6BySrc(r.getString(0))
+      val nNd = r.getLong(7)
+      q6sum >= 330000L * nDocs && nNd * 100 <= 16 * nDocs &&
+        r.getString(0) != "src19"
+    }.map(_.getString(0)).toSet
+    assert(shippedSources.subsetOf(admitted))
+    val slice = docs.filter(org.apache.spark.sql.functions.col("source")
+      .isInCollection(admitted))
+    val plain = TextAnalysis.curate(slice).collect()
+    assert(gated.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      == plain.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+  }
+
   test("curation ledger: one row per input doc, shipped set == curate output, cascade consistent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val ledger = TextAnalysis.curationLedger(docs).collect()
