@@ -2172,7 +2172,13 @@ object TextAnalysis {
     val allowed =
       if (denyDomains.isEmpty) allowed0
       else allowed0.filter(!col("source").isInCollection(denyDomains))
-    curate(docs.join(allowed, Seq("source"), "left_semi"),
+    // the admitted-domain table is domain-cardinality (tiny) but its
+    // lineage is the full gate build (token scan + pair chain) — and
+    // the curate cascade references the gated corpus at every stage.
+    // Materialize the VERDICT, not the corpus, so the gate is paid
+    // once (the split_leak_audit build-once lesson).
+    curate(docs.join(allowed.localCheckpoint(false), Seq("source"),
+        "left_semi"),
       minScore, threshold, testPct, perSource)
   }
 
