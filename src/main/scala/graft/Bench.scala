@@ -83,7 +83,7 @@ object Bench {
     // checkpoints), so re-running them buys no timing stability — once.
     val singleRun = Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
       "pipeline_restate_e2e", "pipeline_join_e2e", "pipeline_retire_e2e",
-      "pipeline_er_e2e",
+      "pipeline_er_e2e", "pipeline_split_e2e",
       "sketch_stream_e2e", "bars_live_e2e")
     // name-sorted: Map hash order reshuffles whenever the registry grows,
     // which silently changes each query's warmup context round-over-round

@@ -33,7 +33,7 @@ object Rebase {
     spark.sparkContext.setLogLevel("ERROR")
     val oneShot = Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
       "pipeline_restate_e2e", "pipeline_join_e2e", "pipeline_retire_e2e",
-      "pipeline_er_e2e",
+      "pipeline_er_e2e", "pipeline_split_e2e",
       "sketch_stream_e2e", "bars_live_e2e")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     // pass 1: warm (e2e timed here, once — their warm pass IS the run);
