@@ -27,6 +27,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("ntileDistributed == single-partition ntile on every edge shape") {
+    // the distributed cut must be BIT-identical to the window ntile it
+    // replaces: fewer rows than tiles, uneven remainders, skewed and
+    // degenerate (constant) bucket keys, empty bucket ranges
+    val cases = Seq(
+      (5, 64, 1),    // N < n: first N tiles get one row each
+      (1000, 64, 100), // even-ish buckets, remainder 40
+      (257, 7, 50),  // prime N, coarse buckets
+      (100, 3, 1000000) // constant bucket (all rows in one bucket)
+    )
+    for ((nRows, nTiles, bucketWidth) <- cases) {
+      val df = spark.range(nRows.toLong)
+        .select(col("id"), (col("id") * 37 % 1000).as("k"))
+      val got = Layout.ntileDistributed(
+          df, (col("k") / bucketWidth).cast("long"), nTiles, col("k"),
+          col("id"))
+        .select(col("id"), col("file_id").cast("int").as("file_id"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df
+        .withColumn("file_id", ntile(nTiles).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("k"), col("id"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got == want, s"N=$nRows n=$nTiles width=$bucketWidth")
+    }
+  }
+
   test("aligned power-of-2 squares are contiguous z-ranges") {
     // the property that makes rectangles cheap: an aligned 2^k x 2^k
     // square of bucket space maps to ONE contiguous morton interval
