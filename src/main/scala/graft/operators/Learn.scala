@@ -664,4 +664,96 @@ object Learn {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
   }
+
+  /** Bradley–Terry preference-strength fit (Hunter 2004's MM
+    * iteration) — the rating model behind pairwise PREFERENCE data
+    * (RLHF comparison datasets, response A-vs-B judgments, arena
+    * rankings): items compared in pairs, strengths w with
+    * P(i beats j) = w_i/(w_i+w_j), fit by the closed-form
+    * minorize-maximize update w_i ← W_i / Σ_j n_ij/(w_i+w_j)
+    * (W_i = i's total wins, n_ij = comparisons between i and j),
+    * sum-normalized each round for identifiability.
+    *
+    * Harness comparisons are derived deterministically from events:
+    * within each user's (ts, event_id)-ordered stream, consecutive
+    * DISTINCT event types form one comparison decided by the higher
+    * `value` (exact double compare; ties go to the lexicographically
+    * smaller type — total and portable). The derivation is the
+    * fact-scale pass (user-partitioned window, type-vocabulary
+    * output); the `iterations` MM rounds run on the |types|²-row
+    * count table — vocabulary arithmetic, never a corpus rescan.
+    *
+    * Determinism (the knn_pagerank/logit discipline): strengths live
+    * on a 1e-9 integer grid; each MM denominator term is pinned at
+    * 1e-6 integer units and summed exactly; the update and the
+    * normalization each do ONE double division before re-pinning, so
+    * every iteration is order-free and the DuckDB oracle (the same
+    * chain unrolled) matches bit for bit.
+    */
+  def btStrengths(events: DataFrame, iterations: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cmp = events
+      .withColumn("nt", lead(col("event_type"), 1).over(w))
+      .withColumn("nv", lead(col("value"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+      .select(
+        when(col("value") > col("nv"), col("event_type"))
+          .when(col("value") < col("nv"), col("nt"))
+          .otherwise(least(col("event_type"), col("nt"))).as("winner"),
+        when(col("value") > col("nv"), col("nt"))
+          .when(col("value") < col("nv"), col("event_type"))
+          .otherwise(greatest(col("event_type"), col("nt"))).as("loser"))
+    val wins = cmp.groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("nw"))
+      // EAGER: one fact pass feeds every MM round, and the iteration
+      // below must start from a materialized table (see cur)
+      .localCheckpoint(true)
+    // symmetric per-directed-pair comparison totals + per-item wins
+    val nij = wins.select(col("winner").as("i"), col("loser").as("j"),
+        col("nw"))
+      .unionByName(wins.select(col("loser").as("i"),
+        col("winner").as("j"), col("nw")))
+      .groupBy(col("i"), col("j")).agg(sum(col("nw")).as("n"))
+    val wtot = wins.groupBy(col("winner").as("i"))
+      .agg(sum(col("nw")).as("wi"))
+    var cur = nij.select(col("i")).distinct()
+      .withColumn("w9", lit(1000000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val d = nij
+        .join(cur.select(col("i"), col("w9").as("wi9")), Seq("i"))
+        .join(cur.select(col("i").as("j"), col("w9").as("wj9")), Seq("j"))
+        .select(col("i"),
+          // greatest(,1) keeps the term total if two zero-win items
+          // ever meet (disconnected comparison graphs)
+          round(col("n") * lit(1.0e9)
+            / greatest(col("wi9") + col("wj9"), lit(1L)).cast("double")
+            * lit(1.0e6), 0).cast("long").as("t6"))
+        .groupBy(col("i")).agg(sum(col("t6")).as("d6"))
+      val unnorm = d.join(wtot, Seq("i"), "left")
+        .select(col("i"),
+          round(coalesce(col("wi"), lit(0L)).cast("double") * lit(1.0e6)
+            / col("d6").cast("double") * lit(1.0e9), 0)
+            .cast("long").as("u9"))
+      val s = unnorm.agg(sum(col("u9")).as("s"))
+      // per-round EAGER checkpoint (the Dedup.clusters CC-loop
+      // discipline): cur is referenced twice per round, so without the
+      // cut its lineage doubles every iteration — 2^8 plan leaves by
+      // round 8, which is a Catalyst-analysis heap blowup, not a data
+      // problem (the table is |types| rows)
+      cur = unnorm.crossJoin(broadcast(s))
+        .select(col("i"),
+          round(col("u9") * lit(1.0e9) / col("s").cast("double"), 0)
+            .cast("long").as("w9"))
+        .localCheckpoint(true)
+    }
+    val ncmp = nij.groupBy(col("i")).agg(sum(col("n")).as("n_comparisons"))
+    cur.join(ncmp, Seq("i"))
+      .join(wtot, Seq("i"), "left")
+      .select(col("i").as("event_type"),
+        coalesce(col("wi"), lit(0L)).as("n_wins"), col("n_comparisons"),
+        (col("w9").cast("double") / lit(1.0e9)).as("bt_strength"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -238,6 +238,40 @@ class DataQualitySpec extends SparkSpec {
     assert(means.filter(_ != 1.0).forall(_ > 1.0))
   }
 
+  test("btStrengths: MM strengths order by win rate, normalize, and " +
+      "recover the pairwise odds on a clean 2-item design") {
+    import graft.operators.Learn
+    // one user, alternating A/B events where A's value is higher in
+    // 3 of every 4 consecutive comparisons -> A beats B 3:1
+    var eid = 0L
+    val rows = (0 until 160).map { i =>
+      eid += 1
+      val t = if (i % 2 == 0) "A" else "B"
+      // comparison k = (events 2k, 2k+1): A wins unless k % 4 == 3
+      val aWins = (i / 2) % 4 != 3
+      val v = (t, aWins) match {
+        case ("A", true) => 10.0; case ("A", false) => 1.0
+        case ("B", true) => 5.0;  case ("B", false) => 7.0
+      }
+      (eid, 1L, t, v,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = Learn.btStrengths(rows).collect()
+    assert(r.length == 2)
+    val byT = r.map(x => x.getString(0) -> x).toMap
+    val (wA, wB) = (byT("A").getDouble(3), byT("B").getDouble(3))
+    // strengths are sum-normalized and ordered by the win record
+    assert(math.abs(wA + wB - 1.0) < 1e-6)
+    assert(wA > wB)
+    // 2-item BT has a closed form: w_A/(w_A+w_B) = A's win rate.
+    // Consecutive-pair comparisons include (B, next A) pairs too, so
+    // derive the realized win rate from the output's own counts
+    val winRate = byT("A").getLong(1).toDouble / byT("A").getLong(2)
+    assert(math.abs(wA - winRate) < 1e-3, s"wA=$wA rate=$winRate")
+    // deterministic rerun
+    assert(Learn.btStrengths(rows).collect().toSeq == r.toSeq)
+  }
+
   test("logitFit: separable activity data learns a positive volume " +
       "weight and beats the uninformed log loss, deterministically") {
     import graft.operators.Learn
