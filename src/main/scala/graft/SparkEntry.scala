@@ -2054,6 +2054,24 @@ object SparkEntry {
     // scored with.
     "bt_strengths" -> ((s, dir) =>
       Learn.btStrengths(Tables.events(s, dir))),
+    // lifecycle twin: the last ~6 days of events fold into the
+    // persisted win-count table; each user's last pre-cutoff event
+    // rides along as the carry row so the boundary comparison lands in
+    // the delta fold. Counts are additive -> equals the full rebuild
+    // (the oracle is the bt_strengths chain).
+    "bt_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+      val hist = ev.filter(col("ts") < cutoff)
+      val carry = hist.withColumn("bt_rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("bt_rn") === 1).drop("bt_rn")
+      Learn.btIncremental(Learn.btWins(hist),
+        carry.unionByName(ev.filter(col("ts") >= cutoff)))
+    }),
     // Goh-Barabasi inter-arrival burstiness + CV per event type.
     "event_burstiness" -> ((s, dir) =>
       Sessions.burstiness(Tables.events(s, dir))),
@@ -2507,6 +2525,65 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id,
        |         ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
        |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
+
+  /** The Bradley-Terry oracle chain (shared verbatim by `bt_strengths`
+    * and `bt_incremental` — the incremental fold is count-additive, so the
+    * full-rebuild chain IS its oracle). */
+  private lazy val btOracleSql: String = {
+      val base =
+        s"""WITH btc AS (SELECT event_type, value,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nt,
+           |    lead(value) OVER (PARTITION BY user_id
+           |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nv
+           |  FROM events),
+           |btw AS MATERIALIZED (SELECT winner, loser, count(*) AS nw FROM (
+           |    SELECT CASE WHEN value > nv THEN event_type
+           |             WHEN value < nv THEN nt
+           |             ELSE least(event_type, nt) END AS winner,
+           |           CASE WHEN value > nv THEN nt
+           |             WHEN value < nv THEN event_type
+           |             ELSE greatest(event_type, nt) END AS loser
+           |    FROM btc WHERE nt IS NOT NULL AND nt <> event_type)
+           |  GROUP BY winner, loser),
+           |btn AS MATERIALIZED (SELECT i, j, CAST(sum(nw) AS BIGINT) AS n FROM (
+           |    SELECT winner AS i, loser AS j, nw FROM btw
+           |    UNION ALL SELECT loser, winner, nw FROM btw)
+           |  GROUP BY i, j),
+           |btwt AS MATERIALIZED (SELECT winner AS i, CAST(sum(nw) AS BIGINT) AS wi
+           |  FROM btw GROUP BY winner),
+           |btw0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS w9
+           |  FROM btn)""".stripMargin
+      val iters = (1 to 8).map { k =>
+        val prev = s"btw${k - 1}"
+        s"""btd$k AS MATERIALIZED (SELECT btn.i,
+           |    sum(CAST(round(btn.n * 1.0e9
+           |      / CAST(greatest(wi.w9 + wj.w9, 1) AS DOUBLE)
+           |      * 1.0e6, 0) AS BIGINT)) AS d6
+           |  FROM btn JOIN $prev wi ON wi.i = btn.i
+           |  JOIN $prev wj ON wj.i = btn.j GROUP BY btn.i),
+           |btu$k AS (SELECT d.i,
+           |    CAST(round(CAST(coalesce(wt.wi, 0) AS DOUBLE) * 1.0e6
+           |      / CAST(d6 AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS u9
+           |  FROM btd$k d LEFT JOIN btwt wt ON wt.i = d.i),
+           |bts$k AS (SELECT CAST(sum(u9) AS BIGINT) AS s FROM btu$k),
+           |btw$k AS MATERIALIZED (SELECT i,
+           |    CAST(round(u9 * 1.0e9 / CAST(s AS DOUBLE), 0) AS BIGINT)
+           |      AS w9
+           |  FROM btu$k, bts$k)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$iters
+         |SELECT w.i AS event_type,
+         |  CAST(coalesce(wt.wi, 0) AS BIGINT) AS n_wins,
+         |  nc.n_comparisons,
+         |  CAST(w.w9 AS DOUBLE) / 1.0e9 AS bt_strength
+         |FROM btw8 w
+         |JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS n_comparisons
+         |      FROM btn GROUP BY i) nc ON nc.i = w.i
+         |LEFT JOIN btwt wt ON wt.i = w.i
+         |ORDER BY event_type""".stripMargin
+    }
 
   /** The pinned per-doc quality score over a relation exposing `toks`
     * (mirrors TextAnalysis.qualityScoreCol — shared by the quality
@@ -9877,69 +9954,21 @@ object SparkEntry {
         |  END AS avg_mins
         |FROM g, t ORDER BY credited_type""".stripMargin,
 
-    // mirrors Sessions.eventTransitions: lead over (user, time) order,
-    // transition counts + within-from-type shares.
     // mirrors Learn.btStrengths: per-user consecutive-event
     // comparisons (higher value wins, ties to the smaller type), then
     // 8 unrolled MM rounds — denominator terms pinned at 1e-6
     // integers and summed exactly, strengths re-pinned to the 1e-9
     // grid after the update and after the sum-normalization.
-    "bt_strengths" -> {
-      val base =
-        s"""WITH btc AS (SELECT event_type, value,
-           |    lead(event_type) OVER (PARTITION BY user_id
-           |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nt,
-           |    lead(value) OVER (PARTITION BY user_id
-           |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nv
-           |  FROM events),
-           |btw AS MATERIALIZED (SELECT winner, loser, count(*) AS nw FROM (
-           |    SELECT CASE WHEN value > nv THEN event_type
-           |             WHEN value < nv THEN nt
-           |             ELSE least(event_type, nt) END AS winner,
-           |           CASE WHEN value > nv THEN nt
-           |             WHEN value < nv THEN event_type
-           |             ELSE greatest(event_type, nt) END AS loser
-           |    FROM btc WHERE nt IS NOT NULL AND nt <> event_type)
-           |  GROUP BY winner, loser),
-           |btn AS MATERIALIZED (SELECT i, j, CAST(sum(nw) AS BIGINT) AS n FROM (
-           |    SELECT winner AS i, loser AS j, nw FROM btw
-           |    UNION ALL SELECT loser, winner, nw FROM btw)
-           |  GROUP BY i, j),
-           |btwt AS MATERIALIZED (SELECT winner AS i, CAST(sum(nw) AS BIGINT) AS wi
-           |  FROM btw GROUP BY winner),
-           |btw0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS w9
-           |  FROM btn)""".stripMargin
-      val iters = (1 to 8).map { k =>
-        val prev = s"btw${k - 1}"
-        s"""btd$k AS MATERIALIZED (SELECT btn.i,
-           |    sum(CAST(round(btn.n * 1.0e9
-           |      / CAST(greatest(wi.w9 + wj.w9, 1) AS DOUBLE)
-           |      * 1.0e6, 0) AS BIGINT)) AS d6
-           |  FROM btn JOIN $prev wi ON wi.i = btn.i
-           |  JOIN $prev wj ON wj.i = btn.j GROUP BY btn.i),
-           |btu$k AS (SELECT d.i,
-           |    CAST(round(CAST(coalesce(wt.wi, 0) AS DOUBLE) * 1.0e6
-           |      / CAST(d6 AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS u9
-           |  FROM btd$k d LEFT JOIN btwt wt ON wt.i = d.i),
-           |bts$k AS (SELECT CAST(sum(u9) AS BIGINT) AS s FROM btu$k),
-           |btw$k AS MATERIALIZED (SELECT i,
-           |    CAST(round(u9 * 1.0e9 / CAST(s AS DOUBLE), 0) AS BIGINT)
-           |      AS w9
-           |  FROM btu$k, bts$k)""".stripMargin
-      }.mkString(",\n")
-      s"""$base,
-         |$iters
-         |SELECT w.i AS event_type,
-         |  CAST(coalesce(wt.wi, 0) AS BIGINT) AS n_wins,
-         |  nc.n_comparisons,
-         |  CAST(w.w9 AS DOUBLE) / 1.0e9 AS bt_strength
-         |FROM btw8 w
-         |JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS n_comparisons
-         |      FROM btn GROUP BY i) nc ON nc.i = w.i
-         |LEFT JOIN btwt wt ON wt.i = w.i
-         |ORDER BY event_type""".stripMargin
-    },
+    "bt_strengths" -> btOracleSql,
 
+    // Learn.btIncremental folds the delta's comparisons (with per-user
+    // carry rows for the boundary pairs) into the persisted win-count
+    // table; counts are additive, so the refreshed strengths equal the
+    // full rebuild — the oracle is the bt_strengths chain verbatim.
+    "bt_incremental" -> btOracleSql,
+
+    // mirrors Sessions.eventTransitions: lead over (user, time) order,
+    // transition counts + within-from-type shares.
     "event_transitions" ->
       """WITH tr AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

@@ -690,10 +690,18 @@ object Learn {
     * every iteration is order-free and the DuckDB oracle (the same
     * chain unrolled) matches bit for bit.
     */
-  def btStrengths(events: DataFrame, iterations: Int = 8): DataFrame = {
+  def btStrengths(events: DataFrame, iterations: Int = 8): DataFrame =
+    mmFit(btWins(events), iterations)
+
+  /** The persisted preference-state table: directed win counts
+    * (winner, loser, nw) from per-user consecutive-event comparisons —
+    * what a production deployment keeps on disk and folds deltas into
+    * (counts are additive). Pairs attribute to their EARLIER event.
+    */
+  def btWins(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val cmp = events
+    events
       .withColumn("nt", lead(col("event_type"), 1).over(w))
       .withColumn("nv", lead(col("value"), 1).over(w))
       .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
@@ -704,11 +712,36 @@ object Learn {
         when(col("value") > col("nv"), col("nt"))
           .when(col("value") < col("nv"), col("event_type"))
           .otherwise(greatest(col("event_type"), col("nt"))).as("loser"))
-    val wins = cmp.groupBy(col("winner"), col("loser"))
+      .groupBy(col("winner"), col("loser"))
       .agg(count(lit(1)).as("nw"))
-      // EAGER: one fact pass feeds every MM round, and the iteration
-      // below must start from a materialized table (see cur)
-      .localCheckpoint(true)
+  }
+
+  /** [[btStrengths]]' nightly-delta twin (the lifecycle discipline
+    * every stateful family carries): the persisted win-count table is
+    * refreshed by the DELTA's comparisons and the MM rounds re-run on
+    * the vocabulary-sized fold — the historical event stream is never
+    * rescanned. `deltaWithCarry` must be the delta events PLUS each
+    * user's single last-before-cutoff event (the carry row): pairs
+    * attribute to their earlier event, so history-internal pairs were
+    * counted last run, the boundary pair (carry, first delta event)
+    * belongs to this fold, and carry rows alone (users with no delta
+    * activity) produce nothing. Counts are additive, so the refreshed
+    * strengths EQUAL a full rebuild by construction — the oracle is
+    * [[btStrengths]]' own chain over the full stream.
+    */
+  def btIncremental(histWins: DataFrame, deltaWithCarry: DataFrame,
+                    iterations: Int = 8): DataFrame =
+    mmFit(histWins.unionByName(btWins(deltaWithCarry))
+        .groupBy(col("winner"), col("loser"))
+        .agg(sum(col("nw")).as("nw")),
+      iterations)
+
+  /** The MM rounds over a (winner, loser, nw) count table. */
+  private def mmFit(winCounts: DataFrame, iterations: Int): DataFrame = {
+    // EAGER: one pass over the count-table lineage feeds every MM
+    // round, and the iteration below must start from a materialized
+    // table (see cur)
+    val wins = winCounts.localCheckpoint(true)
     // symmetric per-directed-pair comparison totals + per-item wins
     val nij = wins.select(col("winner").as("i"), col("loser").as("j"),
         col("nw"))

@@ -270,6 +270,20 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(wA - winRate) < 1e-3, s"wA=$wA rate=$winRate")
     // deterministic rerun
     assert(Learn.btStrengths(rows).collect().toSeq == r.toSeq)
+
+    // incremental fold == full rebuild, and the carry row is what
+    // makes it so: split the stream at event 120, carry the user's
+    // last pre-cutoff event into the delta leg
+    val hist = rows.filter(col("event_id") <= 120)
+    val delta = rows.filter(col("event_id") > 120)
+    val carry = hist.orderBy(col("event_id").desc).limit(1)
+    val inc = Learn.btIncremental(Learn.btWins(hist),
+      carry.unionByName(delta)).collect()
+    assert(inc.toSeq == r.toSeq, "incremental != full rebuild")
+    // WITHOUT the carry row the boundary comparison is lost and the
+    // counts (column 2) drop — the contract the harness split encodes
+    val noCarry = Learn.btIncremental(Learn.btWins(hist), delta).collect()
+    assert(noCarry.map(_.getLong(2)).sum < r.map(_.getLong(2)).sum)
   }
 
   test("logitFit: separable activity data learns a positive volume " +

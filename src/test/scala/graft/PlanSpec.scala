@@ -583,7 +583,7 @@ class PlanSpec extends SparkSpec {
       "ab_test_cmh",
       // 8 MM rounds x 1-row normalizer cross join onto the |types|-row
       // strength table
-      "bt_strengths",
+      "bt_strengths", "bt_incremental",
       // the BM25 leg's 1-row corpus-stats cross join rides through,
       // same as hybrid_search
       "maxsim_topk", "maxsim_eval", "maxsim_retire", "maxsim_incremental",
