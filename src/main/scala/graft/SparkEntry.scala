@@ -2070,7 +2070,19 @@ object SparkEntry {
               .orderBy(col("ts").desc, col("event_id").desc)))
         .filter(col("bt_rn") === 1).drop("bt_rn")
       Learn.btIncremental(Learn.btWins(hist),
-        carry.unionByName(ev.filter(col("ts") >= cutoff)))
+        carry.unionByName(ev.filter(col("ts") >= cutoff)), cutoff)
+    }),
+    // user takedown over the BT state (ret_ salt, 10%): retired users'
+    // win contributions SUBTRACTED from the persisted counts via the
+    // per-user provenance table — the event stream is never rescanned;
+    // pairs netting to zero drop so wholly-retired-supported items
+    // vanish. Oracle = the bt_strengths chain over surviving users.
+    "bt_retire" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val retired = ev.select(col("user_id")).distinct()
+        .filter(pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("ret_"), col("user_id"))), lit(100)) >= 90)
+      Learn.btRetire(Learn.btWins(ev), Learn.btWinsByUser(ev), retired)
     }),
     // Goh-Barabasi inter-arrival burstiness + CV per event type.
     "event_burstiness" -> ((s, dir) =>
@@ -2526,17 +2538,19 @@ object SparkEntry {
        |         ${h60("concat_ws(' ', toks[i], toks[i+1], toks[i+2])")} AS shingle
        |       FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i))""".stripMargin
 
-  /** The Bradley-Terry oracle chain (shared verbatim by `bt_strengths`
-    * and `bt_incremental` — the incremental fold is count-additive, so the
-    * full-rebuild chain IS its oracle). */
-  private lazy val btOracleSql: String = {
+  /** The Bradley-Terry oracle chain over an arbitrary event relation
+    * (shared verbatim by `bt_strengths` and `bt_incremental` over the
+    * full stream — the incremental fold is count-additive, so the
+    * full-rebuild chain IS its oracle — and by `bt_retire` over the
+    * surviving users' stream: full-rebuild-minus-retired parity). */
+  private def btOracleSqlOver(rel: String): String = {
       val base =
         s"""WITH btc AS (SELECT event_type, value,
            |    lead(event_type) OVER (PARTITION BY user_id
            |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nt,
            |    lead(value) OVER (PARTITION BY user_id
            |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nv
-           |  FROM events),
+           |  FROM $rel),
            |btw AS MATERIALIZED (SELECT winner, loser, count(*) AS nw FROM (
            |    SELECT CASE WHEN value > nv THEN event_type
            |             WHEN value < nv THEN nt
@@ -2566,7 +2580,7 @@ object SparkEntry {
            |    CAST(round(CAST(coalesce(wt.wi, 0) AS DOUBLE) * 1.0e6
            |      / CAST(d6 AS DOUBLE) * 1.0e9, 0) AS BIGINT) AS u9
            |  FROM btd$k d LEFT JOIN btwt wt ON wt.i = d.i),
-           |bts$k AS (SELECT CAST(sum(u9) AS BIGINT) AS s FROM btu$k),
+           |bts$k AS (SELECT sum(u9) AS s FROM btu$k),
            |btw$k AS MATERIALIZED (SELECT i,
            |    CAST(round(u9 * 1.0e9 / CAST(s AS DOUBLE), 0) AS BIGINT)
            |      AS w9
@@ -2584,6 +2598,8 @@ object SparkEntry {
          |LEFT JOIN btwt wt ON wt.i = w.i
          |ORDER BY event_type""".stripMargin
     }
+
+  private lazy val btOracleSql: String = btOracleSqlOver("events")
 
   /** The pinned per-doc quality score over a relation exposing `toks`
     * (mirrors TextAnalysis.qualityScoreCol — shared by the quality
@@ -9966,6 +9982,13 @@ object SparkEntry {
     // table; counts are additive, so the refreshed strengths equal the
     // full rebuild — the oracle is the bt_strengths chain verbatim.
     "bt_incremental" -> btOracleSql,
+
+    // Learn.btRetire subtracts the retired users' provenance counts
+    // from the persisted win table (never rescanning events), so the
+    // oracle is the bt_strengths chain over the SURVIVING users'
+    // events — full-rebuild-minus-retired parity, pinned in SQL.
+    "bt_retire" -> btOracleSqlOver(
+      s"(SELECT * FROM events WHERE ${h60("'ret_' || user_id")} % 100 < 90)"),
 
     // mirrors Sessions.eventTransitions: lead over (user, time) order,
     // transition counts + within-from-type shares.

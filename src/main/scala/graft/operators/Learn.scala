@@ -693,28 +693,48 @@ object Learn {
   def btStrengths(events: DataFrame, iterations: Int = 8): DataFrame =
     mmFit(btWins(events), iterations)
 
-  /** The persisted preference-state table: directed win counts
-    * (winner, loser, nw) from per-user consecutive-event comparisons —
-    * what a production deployment keeps on disk and folds deltas into
-    * (counts are additive). Pairs attribute to their EARLIER event.
+  /** The decided comparisons (user_id, winner, loser) extracted from
+    * the event stream — ONE user-partitioned lead window over the
+    * facts, shared by every BT state derivation. Pairs attribute to
+    * their EARLIER event.
     */
-  def btWins(events: DataFrame): DataFrame = {
+  private def btComparisons(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("nt", lead(col("event_type"), 1).over(w))
       .withColumn("nv", lead(col("value"), 1).over(w))
       .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
-      .select(
+      .select(col("user_id"),
         when(col("value") > col("nv"), col("event_type"))
           .when(col("value") < col("nv"), col("nt"))
           .otherwise(least(col("event_type"), col("nt"))).as("winner"),
         when(col("value") > col("nv"), col("nt"))
           .when(col("value") < col("nv"), col("event_type"))
           .otherwise(greatest(col("event_type"), col("nt"))).as("loser"))
+  }
+
+  /** The persisted preference-state table: directed win counts
+    * (winner, loser, nw) from per-user consecutive-event comparisons —
+    * what a production deployment keeps on disk and folds deltas into
+    * (counts are additive). Pairs attribute to their EARLIER event.
+    */
+  def btWins(events: DataFrame): DataFrame =
+    btComparisons(events)
       .groupBy(col("winner"), col("loser"))
       .agg(count(lit(1)).as("nw"))
-  }
+
+  /** The per-user win-count PROVENANCE table (user_id, winner, loser,
+    * nw) — what a production preference store persists alongside the
+    * aggregate [[btWins]] so user deletion never rescans the event
+    * stream. Bounded by the comparison count (in practice far smaller:
+    * distinct (user, ordered type pair) triples), additive like the
+    * aggregate, and partitionable by user for takedown pruning.
+    */
+  def btWinsByUser(events: DataFrame): DataFrame =
+    btComparisons(events)
+      .groupBy(col("user_id"), col("winner"), col("loser"))
+      .agg(count(lit(1)).as("nw"))
 
   /** [[btStrengths]]' nightly-delta twin (the lifecycle discipline
     * every stateful family carries): the persisted win-count table is
@@ -728,13 +748,62 @@ object Learn {
     * activity) produce nothing. Counts are additive, so the refreshed
     * strengths EQUAL a full rebuild by construction — the oracle is
     * [[btStrengths]]' own chain over the full stream.
+    *
+    * The carry contract is ENFORCED, not prose (the Valuation-divisor
+    * lesson): `cutoff` is the fold boundary, and any user carrying
+    * MORE than one pre-cutoff row fails diagnosably — two carry rows
+    * per user would silently double-count a boundary comparison
+    * (history-internal pairs re-derived this fold on top of last
+    * run's counts). A MISSING carry is legal degraded input (the user
+    * genuinely had no pre-cutoff activity, or the caller accepts
+    * losing that boundary pair — count-visible, not silent).
     */
   def btIncremental(histWins: DataFrame, deltaWithCarry: DataFrame,
-                    iterations: Int = 8): DataFrame =
+                    cutoff: Column, iterations: Int = 8): DataFrame = {
+    // delta-sized eager check (the frame is a nightly delta by
+    // contract); limit(3) bounds the driver fetch to a diagnostic
+    // sample
+    val offending = deltaWithCarry.filter(col("ts") < cutoff)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_carry"))
+      .filter(col("n_carry") > 1)
+      .select(col("user_id")).limit(3).collect()
+    require(offending.isEmpty,
+      "btIncremental: carry contract violated — users " +
+        offending.map(_.get(0)).mkString(", ") +
+        " (sample) carry >1 pre-cutoff row; pass exactly ONE " +
+        "last-before-cutoff event per historical user or boundary " +
+        "comparisons double-count")
     mmFit(histWins.unionByName(btWins(deltaWithCarry))
         .groupBy(col("winner"), col("loser"))
         .agg(sum(col("nw")).as("nw")),
       iterations)
+  }
+
+  /** User takedown over the persisted BT state — the `exact_retire`
+    * discipline applied to preference data, where deletion requests
+    * are USER-keyed (comparisons are derived from user activity).
+    * Win counts are additive, so retire = SUBTRACT the retired users'
+    * contributions (read from the [[btWinsByUser]] provenance table,
+    * pruned by the broadcast retired set) from the aggregate
+    * [[btWins]] state and re-run the vocabulary-sized MM — the event
+    * stream is never rescanned. Pairs whose every comparison came
+    * from retired users net to zero and are DROPPED, so items wholly
+    * supported by retired users vanish exactly as a full rebuild
+    * would have them vanish; the oracle is [[btStrengths]]' chain
+    * over the surviving users' events.
+    */
+  def btRetire(wins: DataFrame, winsByUser: DataFrame,
+               retiredUsers: DataFrame, iterations: Int = 8): DataFrame = {
+    val removed = winsByUser
+      .join(broadcast(retiredUsers.select(col("user_id"))), Seq("user_id"))
+      .groupBy(col("winner"), col("loser"))
+      .agg((-sum(col("nw"))).as("nw"))
+    mmFit(wins.unionByName(removed)
+        .groupBy(col("winner"), col("loser"))
+        .agg(sum(col("nw")).as("nw"))
+        .filter(col("nw") > 0),
+      iterations)
+  }
 
   /** The MM rounds over a (winner, loser, nw) count table. */
   private def mmFit(winCounts: DataFrame, iterations: Int): DataFrame = {
@@ -763,13 +832,20 @@ object Learn {
           round(col("n") * lit(1.0e9)
             / greatest(col("wi9") + col("wj9"), lit(1L)).cast("double")
             * lit(1.0e6), 0).cast("long").as("t6"))
-        .groupBy(col("i")).agg(sum(col("t6")).as("d6"))
+        // DECIMAL(38,0) sums (the heapsFit dec0 discipline): the
+        // oracle sums into HUGEINT, and a long sum here would WRAP
+        // silently under non-ANSI mode when huge comparison counts
+        // meet near-zero pinned strengths (t6 ~ n·1e15) — decimal
+        // overflows to null → loud divide-by-null, never a silent
+        // divergence
+        .groupBy(col("i"))
+        .agg(sum(col("t6").cast(DecimalType(38, 0))).as("d6"))
       val unnorm = d.join(wtot, Seq("i"), "left")
         .select(col("i"),
           round(coalesce(col("wi"), lit(0L)).cast("double") * lit(1.0e6)
             / col("d6").cast("double") * lit(1.0e9), 0)
             .cast("long").as("u9"))
-      val s = unnorm.agg(sum(col("u9")).as("s"))
+      val s = unnorm.agg(sum(col("u9").cast(DecimalType(38, 0))).as("s"))
       // per-round EAGER checkpoint (the Dedup.clusters CC-loop
       // discipline): cur is referenced twice per round, so without the
       // cut its lineage doubles every iteration — 2^8 plan leaves by

@@ -68,7 +68,9 @@ class ContractSpec extends AnyFunSuite {
       "graft/ErKnob.scala" -> 1, // dev tool: 1-row eval-threshold row
       "graft/ShapKnob.scala" -> 1, // dev tool: 1-row fidelity fold
       "graft/operators/Backtest.scala" -> 2, // 1-row moment folds
-      "graft/operators/Learn.scala" -> 9, // 1-row/model-sized GD folds
+      // 1-row/model-sized GD folds + btIncremental's limit(3)-bounded
+      // carry-contract diagnostic sample
+      "graft/operators/Learn.scala" -> 10,
       "graft/operators/Similarity.scala" -> 1, // 1-row PCA moment
       // ONE vocab-capped unigram model pull (modelOf — the hoist point
       // every stage shares) and the BPE + WordPiece limit(1) argmaxes

@@ -277,13 +277,78 @@ class DataQualitySpec extends SparkSpec {
     val hist = rows.filter(col("event_id") <= 120)
     val delta = rows.filter(col("event_id") > 120)
     val carry = hist.orderBy(col("event_id").desc).limit(1)
+    // event 120 is i=119 (ts 00:01:59); the delta starts at 00:02:00
+    val cutoff = lit("2024-01-01 00:02:00").cast("timestamp")
     val inc = Learn.btIncremental(Learn.btWins(hist),
-      carry.unionByName(delta)).collect()
+      carry.unionByName(delta), cutoff).collect()
     assert(inc.toSeq == r.toSeq, "incremental != full rebuild")
     // WITHOUT the carry row the boundary comparison is lost and the
     // counts (column 2) drop — the contract the harness split encodes
-    val noCarry = Learn.btIncremental(Learn.btWins(hist), delta).collect()
+    val noCarry =
+      Learn.btIncremental(Learn.btWins(hist), delta, cutoff).collect()
     assert(noCarry.map(_.getLong(2)).sum < r.map(_.getLong(2)).sum)
+    // a DUPLICATED carry row double-counts a boundary comparison —
+    // the contract is a require, not scaladoc: it fails loudly and
+    // names the offending user
+    val dup = intercept[IllegalArgumentException] {
+      Learn.btIncremental(Learn.btWins(hist),
+        carry.unionByName(carry).unionByName(delta), cutoff)
+    }
+    assert(dup.getMessage.contains("carry contract"))
+  }
+
+  test("btRetire: provenance subtraction equals full-rebuild-minus-" +
+      "retired, flips a ranking, and drops wholly-retired pairs") {
+    import graft.operators.Learn
+    // 3 items, 3 users. User 1 gives C a big head-to-head record over
+    // A and B; users 2-3 give A a modest record over B and C. With
+    // user 1 present C ranks first; retiring user 1 removes EVERY
+    // (C, A) and (C, B) comparison the C-dominant user produced and A
+    // takes the top rank — and the (A,C)/(B,C) pairs from users 2-3
+    // keep C alive (it must not vanish, only fall).
+    var eid = 0L
+    def stream(u: Long, types: Seq[(String, Double)], day: Int) =
+      types.zipWithIndex.map { case ((t, v), i) =>
+        eid += 1
+        (eid, u, t, v,
+          java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:${i / 60}%02d:${i % 60}%02d"))
+      }
+    // user 1: C beats A then C beats B, 10 times each (alternating)
+    val u1 = stream(1L, (0 until 10).flatMap(_ =>
+      Seq("C" -> 9.0, "A" -> 1.0, "C" -> 9.0, "B" -> 1.0)), 1)
+    // users 2-3: A beats B, A beats C, 3 times each
+    val u23 = Seq(2L, 3L).flatMap(u => stream(u, (0 until 3).flatMap(_ =>
+      Seq("A" -> 8.0, "B" -> 2.0, "A" -> 8.0, "C" -> 2.0)), 2))
+    val events = (u1 ++ u23)
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val retired = Seq(Tuple1(1L)).toDF("user_id")
+
+    val ret = Learn.btRetire(Learn.btWins(events),
+      Learn.btWinsByUser(events), retired).collect()
+    val full = Learn.btStrengths(events).collect()
+    val rebuilt =
+      Learn.btStrengths(events.filter(col("user_id") =!= 1L)).collect()
+    assert(ret.toSeq == rebuilt.toSeq,
+      "retire != full rebuild over surviving users")
+    def top(rs: Array[org.apache.spark.sql.Row]) =
+      rs.maxBy(_.getDouble(3)).getString(0)
+    assert(top(full) == "C" && top(ret) == "A",
+      s"retiring user 1 must flip the top rank: full=${top(full)} ret=${top(ret)}")
+
+    // wholly-retired-supported pairs DROP: retire users 2 and 3 and
+    // item-pair (A,C)'s surviving comparisons all come from user 1 —
+    // but retire ALL of A's supporters entirely: a stream where only
+    // retired users ever compared item D removes D from the output
+    val d4 = stream(4L, Seq("D" -> 5.0, "E" -> 1.0, "D" -> 5.0), 3)
+    val ev2 = (u1 ++ u23 ++ d4)
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val ret2 = Learn.btRetire(Learn.btWins(ev2),
+      Learn.btWinsByUser(ev2), Seq(Tuple1(4L)).toDF("user_id")).collect()
+    assert(!ret2.map(_.getString(0)).contains("D") &&
+      !ret2.map(_.getString(0)).contains("E"),
+      "items supported only by retired users must vanish")
+    assert(ret2.toSeq == full.toSeq,
+      "retiring user 4 must restore the 3-item result exactly")
   }
 
   test("logitFit: separable activity data learns a positive volume " +

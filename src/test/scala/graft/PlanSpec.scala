@@ -582,8 +582,9 @@ class PlanSpec extends SparkSpec {
       // 1-row CMH totals cross join onto the |strata|-row table
       "ab_test_cmh",
       // 8 MM rounds x 1-row normalizer cross join onto the |types|-row
-      // strength table
-      "bt_strengths", "bt_incremental",
+      // strength table (bt_retire adds only a broadcast-pruned
+      // provenance join ahead of the same MM chain)
+      "bt_strengths", "bt_incremental", "bt_retire",
       // the BM25 leg's 1-row corpus-stats cross join rides through,
       // same as hybrid_search
       "maxsim_topk", "maxsim_eval", "maxsim_retire", "maxsim_incremental",
