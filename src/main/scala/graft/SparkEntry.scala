@@ -1335,6 +1335,24 @@ object SparkEntry {
     // rates, mean quality — the C4/RefinedWeb domain signal table.
     "domain_profile" -> ((s, dir) =>
       TextAnalysis.domainProfile(Tables.documents(s, dir))),
+    // domain_profile's nightly-delta twin (inc_ salt, 80/20): additive
+    // stats + fingerprint provenance fold in; near-dup participation
+    // refreshed over the delta's blast radius via the persisted
+    // posting index — history text never rescanned. Oracle = the full
+    // rebuild, verbatim.
+    "domain_profile_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isHist = pmod(graft.functions.TextFunctions.hash60(
+        concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      val hist = docs.filter(isHist)
+      TextAnalysis.domainProfileIncremental(
+        TextAnalysis.domainAdditiveStats(hist),
+        TextAnalysis.fpDomainIndex(hist),
+        Dedup.shingled(hist),
+        TextAnalysis.ndParticipants(hist),
+        hist.select(col("doc_id"), col("source")),
+        docs.filter(!isHist))
+    }),
     // the curate cascade behind a domain deny/allow gate: domains
     // admitted on integer quality/near-dup thresholds over the raw
     // corpus, minus the explicit denylist (src19 stands in for a
@@ -2600,6 +2618,54 @@ object SparkEntry {
     }
 
   private lazy val btOracleSql: String = btOracleSqlOver("events")
+
+  /** The domain_profile oracle chain — shared verbatim by
+    * `domain_profile` and `domain_profile_incremental` (the fold is
+    * exact full-rebuild parity, so the rebuild chain IS its oracle). */
+  private lazy val domainProfileOracleSql: String =
+      s"""$docsCte,
+         |$shCappedCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM shc x JOIN shc y
+         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |${jaccardCte("shc")},
+         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+         |nd AS (SELECT DISTINCT doc_id FROM
+         |        (SELECT d1 AS doc_id FROM p UNION ALL SELECT d2 FROM p)),
+         |pd0 AS (SELECT doc_id, source, text,
+         |          string_split(text, ' ') AS toks FROM documents),
+         |pd AS (SELECT doc_id, source,
+         |         CAST(len(toks) AS BIGINT) AS n_tok,
+         |         CAST(round($curateQualitySql * 1.0e6, 0) AS BIGINT) AS q6,
+         |         md5(text) AS fp
+         |       FROM pd0),
+         |fpdf AS (SELECT fp, count(*) AS fp_df FROM pd GROUP BY fp),
+         |byd AS (SELECT source, count(*) AS n_docs,
+         |          sum(n_tok) AS n_tokens,
+         |          sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS n_exact_dup,
+         |          sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS n_neardup,
+         |          sum(q6) AS q6_sum
+         |        FROM pd JOIN fpdf USING (fp)
+         |        LEFT JOIN nd USING (doc_id)
+         |        GROUP BY source),
+         |tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_toks
+         |        FROM byd)
+         |SELECT source, n_docs,
+         |  ${safe6("CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE)")}
+         |    AS doc_share,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ${safe6("CAST(n_tokens AS DOUBLE) / CAST(t_toks AS DOUBLE)")}
+         |    AS token_share,
+         |  CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+         |  ${safe6("CAST(n_exact_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS exact_dup_rate,
+         |  CAST(n_neardup AS BIGINT) AS n_neardup,
+         |  ${safe6("CAST(n_neardup AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |    AS neardup_rate,
+         |  ${safe6("CAST(q6_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e6)")}
+         |    AS mean_quality
+         |FROM byd, tot ORDER BY source""".stripMargin
 
   /** The pinned per-doc quality score over a relation exposing `toks`
     * (mirrors TextAnalysis.qualityScoreCol — shared by the quality
@@ -7786,50 +7852,14 @@ object SparkEntry {
     // mirrors TextAnalysis.domainProfile: per-source doc/token shares,
     // exact-fingerprint and capped-near-dup participation rates, mean
     // quality from the exact 1e-6-integer sum.
-    "domain_profile" ->
-      s"""$docsCte,
-         |$shCappedCte,
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM shc x JOIN shc y
-         |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
-         |${jaccardCte("shc")},
-         |p AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-         |nd AS (SELECT DISTINCT doc_id FROM
-         |        (SELECT d1 AS doc_id FROM p UNION ALL SELECT d2 FROM p)),
-         |pd0 AS (SELECT doc_id, source, text,
-         |          string_split(text, ' ') AS toks FROM documents),
-         |pd AS (SELECT doc_id, source,
-         |         CAST(len(toks) AS BIGINT) AS n_tok,
-         |         CAST(round($curateQualitySql * 1.0e6, 0) AS BIGINT) AS q6,
-         |         md5(text) AS fp
-         |       FROM pd0),
-         |fpdf AS (SELECT fp, count(*) AS fp_df FROM pd GROUP BY fp),
-         |byd AS (SELECT source, count(*) AS n_docs,
-         |          sum(n_tok) AS n_tokens,
-         |          sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS n_exact_dup,
-         |          sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-         |            AS n_neardup,
-         |          sum(q6) AS q6_sum
-         |        FROM pd JOIN fpdf USING (fp)
-         |        LEFT JOIN nd USING (doc_id)
-         |        GROUP BY source),
-         |tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_toks
-         |        FROM byd)
-         |SELECT source, n_docs,
-         |  ${safe6("CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE)")}
-         |    AS doc_share,
-         |  CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  ${safe6("CAST(n_tokens AS DOUBLE) / CAST(t_toks AS DOUBLE)")}
-         |    AS token_share,
-         |  CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
-         |  ${safe6("CAST(n_exact_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
-         |    AS exact_dup_rate,
-         |  CAST(n_neardup AS BIGINT) AS n_neardup,
-         |  ${safe6("CAST(n_neardup AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
-         |    AS neardup_rate,
-         |  ${safe6("CAST(q6_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e6)")}
-         |    AS mean_quality
-         |FROM byd, tot ORDER BY source""".stripMargin,
+    "domain_profile" -> domainProfileOracleSql,
+
+    // TextAnalysis.domainProfileIncremental folds the delta into the
+    // persisted additive stats / fingerprint provenance / participant
+    // set (near-dup blast radius via the posting index) — exact
+    // full-rebuild parity, so the oracle is domain_profile verbatim.
+    "domain_profile_incremental" -> domainProfileOracleSql,
+
 
     // mirrors TextAnalysis.curateGated: the domain gate (integer
     // threshold comparisons over the RAW-corpus per-source profile +

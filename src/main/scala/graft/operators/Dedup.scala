@@ -825,18 +825,20 @@ object Dedup {
       shingled(deltaDocs), deltaDocs.select(col("doc_id")), threshold,
       maxDf)
 
-  /** [[incrementalClusters]] off an ALREADY-SHINGLED delta posting
-    * index — the form the streaming twin folds from: a continuous
-    * ingest hop lands (doc_id, shingle) rows as they arrive (text is
-    * shingled exactly once, at ingest), and the nightly fold reads the
-    * landed index back instead of re-shingling the delta text.
+  /** The DELTA-TOUCHING near-dup pairs (d1, d2, jaccard) from the
+    * combined df-capped posting lists — the shared pair-discovery core
+    * of [[incrementalClustersFromPostings]] and
+    * [[TextAnalysis.domainProfileIncremental]]'s blast-radius refresh.
+    * Edge definition is identical to [[ngramJaccardPairs]] over the
+    * union (exact whenever the df cap is inactive, as at the test SFs;
+    * under an active cap the contract is "history-history pairs are
+    * immutable" — a daily pipeline's property). History-history pairs
+    * are dropped: they were settled when their documents arrived.
     */
-  def incrementalClustersFromPostings(histPostings: DataFrame,
-                                      histAssign: DataFrame,
-                                      deltaPostings: DataFrame,
-                                      deltaDocIds: DataFrame,
-                                      threshold: Double = 0.5,
-                                      maxDf: Int = MaxShingleDf): DataFrame = {
+  private[graft] def incrementalPairsFromPostings(
+      histPostings: DataFrame, deltaPostings: DataFrame,
+      deltaDocIds: DataFrame, threshold: Double = 0.5,
+      maxDf: Int = MaxShingleDf): DataFrame = {
     val deltaIds = deltaDocIds.select(col("doc_id").as("delta_id"))
     // collect_SET (not list): a rerun against an index that already
     // absorbed this delta sees each delta posting twice; the set makes
@@ -855,7 +857,7 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     // keep only pairs touching the delta (history-history pairs were
     // settled last run); the delta id set is small → broadcast flags
-    val newPairs = inter
+    inter
       .join(deltaIds.as("x1"), col("d1") === col("x1.delta_id"), "left")
       .join(deltaIds.as("x2"), col("d2") === col("x2.delta_id"), "left")
       .filter(col("x1.delta_id").isNotNull || col("x2.delta_id").isNotNull)
@@ -867,6 +869,22 @@ object Dedup {
           * lit(1.0e6), 0) / lit(1.0e6))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[incrementalClusters]] off an ALREADY-SHINGLED delta posting
+    * index — the form the streaming twin folds from: a continuous
+    * ingest hop lands (doc_id, shingle) rows as they arrive (text is
+    * shingled exactly once, at ingest), and the nightly fold reads the
+    * landed index back instead of re-shingling the delta text.
+    */
+  def incrementalClustersFromPostings(histPostings: DataFrame,
+                                      histAssign: DataFrame,
+                                      deltaPostings: DataFrame,
+                                      deltaDocIds: DataFrame,
+                                      threshold: Double = 0.5,
+                                      maxDf: Int = MaxShingleDf): DataFrame = {
+    val newPairs = incrementalPairsFromPostings(histPostings,
+      deltaPostings, deltaDocIds, threshold, maxDf)
     // lift to the contracted cluster graph: history end → its rep,
     // unassigned end → itself; drop edges internal to one cluster
     val a1 = histAssign.select(col("doc_id").as("a1_id"), col("cluster_rep").as("r1"))

@@ -2126,8 +2126,14 @@ object TextAnalysis {
     * integers once and pin at 1e-6; mean quality divides the exact
     * per-doc 1e-6-integer sum once (order-free).
     */
-  def domainProfile(docs: DataFrame): DataFrame = {
-    val base = domainStats(docs)
+  def domainProfile(docs: DataFrame): DataFrame =
+    profileFrom(domainStats(docs))
+
+  /** The rate/share projection over a per-domain stats table (source,
+    * n_docs, n_tokens, n_exact_dup, n_neardup, q6_sum) — shared by
+    * [[domainProfile]] and [[domainProfileIncremental]] so the output
+    * contract cannot drift between the full rebuild and the fold. */
+  private def profileFrom(base: DataFrame): DataFrame = {
     val tot = base.agg(sum(col("n_docs")).as("t_docs"),
       sum(col("n_tokens")).as("t_toks"))
     def r6(c: Column): Column = round(c * lit(1.0e6), 0) / lit(1.0e6)
@@ -2147,6 +2153,108 @@ object TextAnalysis {
       r6(col("q6_sum").cast("double") / (col("n_docs").cast("double")
         * lit(1.0e6))).as("mean_quality"))
       .orderBy(col("source"))
+  }
+
+  /** The purely ADDITIVE per-domain slice of [[domainStats]] — (source,
+    * n_docs, n_tokens, q6_sum) — the persisted table a nightly
+    * [[domainProfileIncremental]] fold adds a delta's counts into.
+    * Everything here is a sum of per-document values, so folding is
+    * exact by construction. One token scan per batch, domain-
+    * cardinality output. */
+  def domainAdditiveStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(tokensCol(col("text"))).cast("long").as("n_tok"),
+        round(qualityScoreCol * lit(1.0e6), 0).cast("long").as("q6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("q6")).as("q6_sum"))
+
+  /** The exact-dup PROVENANCE index — (fp, source, n): per-domain doc
+    * counts keyed by content fingerprint. Exact-dup participation is
+    * NOT domain-additive (a delta doc can turn a historical unique doc
+    * into a duplicate), so the persisted state must keep fingerprint
+    * granularity: n_exact_dup(domain) = Σ over fp with CORPUS-total
+    * df > 1 of n(fp, domain) — pure arithmetic over the index, never a
+    * text re-hash. Counts are additive per (fp, source), so folding a
+    * delta is a sum. */
+  def fpDomainIndex(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"), col("source"))
+      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("n"))
+
+  /** The near-dup PARTICIPANT set (doc_id) — every doc appearing in ≥1
+    * [[Dedup.ngramJaccardPairs]] pair; what last run persisted so the
+    * incremental fold only has to ADD the delta's blast radius. */
+  def ndParticipants(docs: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairs(docs)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+
+  /** [[domainProfile]]'s nightly-delta twin — the lifecycle leg the
+    * domain-curation family was missing: the persisted per-domain
+    * stats absorb the delta WITHOUT rescanning history text.
+    *
+    *  - `histStats` ([[domainAdditiveStats]]), `histFpIdx`
+    *    ([[fpDomainIndex]]): additive folds — delta counts sum in.
+    *  - Exact-dup participation re-derives from the FOLDED fingerprint
+    *    index (fingerprint-granular because a delta doc can flip a
+    *    historical doc's dup status) — index arithmetic, no text.
+    *  - Near-dup participation: history participants
+    *    ([[ndParticipants]], persisted) UNION the endpoints of the
+    *    delta-touching pairs from
+    *    [[Dedup.incrementalPairsFromPostings]] over the persisted
+    *    posting index — only the delta is shingled; the blast radius
+    *    (history docs a delta doc newly pairs with) is attributed to
+    *    its domain via the (doc_id, source) metadata table. Exact
+    *    full-rebuild parity whenever the df cap is inactive (the test
+    *    SFs); under an active cap history-history pairs are immutable
+    *    (the [[Dedup.incrementalClusters]] contract).
+    *
+    * The delta text is scanned twice (per-doc stats + shingles) — it
+    * is the small side by contract; a pipeline that cares lands the
+    * per-doc scan once (the splitE2E posting-index discipline).
+    * Oracle = [[domainProfile]] over the full corpus, verbatim.
+    */
+  def domainProfileIncremental(histStats: DataFrame, histFpIdx: DataFrame,
+                               histPostings: DataFrame,
+                               histParticipants: DataFrame,
+                               histDocSources: DataFrame,
+                               deltaDocs: DataFrame): DataFrame = {
+    val deltaPerDoc = deltaDocs.select(col("doc_id"), col("source"),
+      size(tokensCol(col("text"))).cast("long").as("n_tok"),
+      round(qualityScoreCol * lit(1.0e6), 0).cast("long").as("q6"),
+      md5(col("text")).as("fp"))
+    val stats = histStats.unionByName(
+        deltaPerDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            sum(col("q6")).as("q6_sum")))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("q6_sum")).as("q6_sum"))
+    val fpIdx = histFpIdx.unionByName(
+        deltaPerDoc.groupBy(col("fp"), col("source"))
+          .agg(count(lit(1)).as("n")))
+      .groupBy(col("fp"), col("source")).agg(sum(col("n")).as("n"))
+    val fpTot = fpIdx.groupBy(col("fp")).agg(sum(col("n")).as("tot"))
+    val exactDup = fpIdx.join(fpTot, Seq("fp")).filter(col("tot") > 1)
+      .groupBy(col("source")).agg(sum(col("n")).as("n_exact_dup"))
+    val participants = histParticipants.select(col("doc_id"))
+      .unionByName(
+        Dedup.incrementalPairsFromPostings(histPostings,
+            Dedup.shingled(deltaDocs), deltaDocs.select(col("doc_id")))
+          .select(explode(array(col("d1"), col("d2"))).as("doc_id")))
+      .distinct()
+    val srcMap = histDocSources.select(col("doc_id"), col("source"))
+      .unionByName(deltaDocs.select(col("doc_id"), col("source")))
+    val nd = participants.join(srcMap, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_neardup"))
+    profileFrom(stats
+      .join(exactDup, Seq("source"), "left")
+      .join(nd, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_exact_dup"), lit(0L)).as("n_exact_dup"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        col("q6_sum")))
   }
 
   /** [[curate]] behind a DOMAIN gate — the deny/allow stage a

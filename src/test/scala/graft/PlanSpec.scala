@@ -573,7 +573,7 @@ class PlanSpec extends SparkSpec {
       // 1-row doc_id-bounds cross join (the bucketed-prefix bucket key)
       "heaps_fit",
       // 1-row corpus-totals cross join onto the domain-cardinality table
-      "domain_profile",
+      "domain_profile", "domain_profile_incremental",
       // 1-row arm-count cross join onto the |types|-row table
       "ab_test_z",
       // composes ann_topk (truth) + ann_ivf (system): both sides'

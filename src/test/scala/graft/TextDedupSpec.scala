@@ -538,6 +538,50 @@ class TextDedupSpec extends SparkSpec {
     assert(ndTotal == ndDirect)
   }
 
+  test("domain profile incremental: fold == full rebuild, exact-dup flips " +
+      "and near-dup blast radius land in the right domains") {
+    // history: doc0 unique in src1; doc1/doc2 a near-dup pair in src2
+    // (jaccard 0.5); doc3 a lone src1 doc the DELTA will near-dup.
+    // delta: doc10 byte-duplicates doc0 (flips doc0's exact-dup status
+    // — the non-additive case); doc11 near-dups doc3 (pulls a HISTORY
+    // doc into participation — the blast radius case); doc12 fresh
+    // unique text in a NEW domain src3.
+    val hist = Seq(
+      (0L, "alpha beta gamma delta epsilon", "src1"),
+      (1L, "one two three four five", "src2"),
+      (2L, "one two three four six", "src2"),
+      (3L, "red green blue cyan magenta", "src1"))
+      .toDF("doc_id", "text", "source")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon", "src1"),
+      (11L, "red green blue cyan yellow", "src1"),
+      (12L, "totally fresh unrelated words here", "src3"))
+      .toDF("doc_id", "text", "source")
+    val union = hist.unionByName(delta)
+    val inc = TextAnalysis.domainProfileIncremental(
+      TextAnalysis.domainAdditiveStats(hist),
+      TextAnalysis.fpDomainIndex(hist),
+      Dedup.shingled(hist),
+      TextAnalysis.ndParticipants(hist),
+      hist.select(col("doc_id"), col("source")),
+      delta).collect()
+    val full = TextAnalysis.domainProfile(union).collect()
+    assert(inc.toSeq == full.toSeq, "incremental != full rebuild")
+    val bySrc = inc.map(r => r.getString(0) -> r).toMap
+    // exact-dup flip: doc0 AND doc10 both count in src1
+    assert(bySrc("src1").getLong(5) == 2L,
+      s"src1 n_exact_dup: ${bySrc("src1").getLong(5)}")
+    // blast radius: doc3 (history) + doc11 (delta) participate in src1,
+    // and the byte-identical doc0/doc10 pair (jaccard 1.0) adds both;
+    // the history-only pair doc1/doc2 persists in src2
+    assert(bySrc("src1").getLong(7) == 4L,
+      s"src1 n_neardup: ${bySrc("src1").getLong(7)}")
+    assert(bySrc("src2").getLong(7) == 2L)
+    // the new domain appears with clean counts
+    assert(bySrc("src3").getLong(1) == 1L &&
+      bySrc("src3").getLong(5) == 0L && bySrc("src3").getLong(7) == 0L)
+  }
+
   test("gated curate: denied and threshold-failing domains never ship; " +
       "admitted-domain cascade is the plain curate over the slice") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
