@@ -1378,6 +1378,16 @@ object SparkEntry {
     "scrub_denylist" -> ((s, dir) =>
       TextAnalysis.scrubDenylist(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    // the phrase-capable form at a conflict-rich term list: multi-word
+    // phrases, shared prefixes ("sort agg"/"sort", "merge slow join"/
+    // "merge slow") — leftmost-longest, oracle = the longest-first
+    // alternation regex (the trie is what runs; the regex is the
+    // oracle-sized mirror).
+    "scrub_denylist_phrases" -> ((s, dir) =>
+      TextAnalysis.scrubDenylist(Tables.documents(s, dir), Seq(
+        "merge slow join", "batch batch", "merge slow", "table scan",
+        "sort agg", "stream", "vector", "sort"))
+        .orderBy(col("doc_id"))),
     "doc_shards" -> ((s, dir) =>
       TextAnalysis.docShards(Tables.documents(s, dir))),
     "mixture_sample" -> ((s, dir) =>
@@ -5825,6 +5835,19 @@ object SparkEntry {
         |    AS INT) AS n_hits,
         |  md5(regexp_replace(text, '\b(customer|vector)\b', '[REDACTED]',
         |    'g')) AS scrub_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors the DenylistScrub trie's leftmost-longest contract: the
+    // alternation is ordered LONGEST-FIRST so RE2's leftmost-first
+    // backtracking picks the longest boundary-valid branch.
+    "scrub_denylist_phrases" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(merge slow join|batch batch|merge slow|table scan|sort agg|stream|vector|sort)\b'))
+        |    AS INT) AS n_hits,
+        |  md5(regexp_replace(text,
+        |    '\b(merge slow join|batch batch|merge slow|table scan|sort agg|stream|vector|sort)\b',
+        |    '[REDACTED]', 'g')) AS scrub_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mixture_sample" ->

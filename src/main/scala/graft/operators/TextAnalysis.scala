@@ -3012,26 +3012,33 @@ object TextAnalysis {
       .as("fp_roll"))
 
   /** Denylist scrub: redact every whole-word occurrence of the listed
-    * terms and count the hits — the dictionary-based removal step of a
-    * privacy/contamination pass (PII name lists, known-leaked strings,
-    * eval-set markers). Regex is anchored with `\b` word boundaries so
-    * substrings inside longer tokens survive. Map-only, codegen'd; the
-    * md5 of the scrubbed text lets the oracle verify the REPLACEMENT
+    * terms/phrases and count the hits — the dictionary-based removal
+    * step of a privacy/contamination pass (PII name lists,
+    * known-leaked strings, eval-set markers). Word-boundary-anchored
+    * (substrings inside longer tokens survive), leftmost-LONGEST
+    * non-overlapping — bit-equal to
+    * `regexp_replace(text, "\\b(t1|…|tn)\\b", "[REDACTED]")` with the
+    * alternation ordered longest-first (the DuckDB oracle keeps that
+    * regex form at oracle-sized lists; RegexSpec proves the
+    * equivalence on adversarial fixtures).
+    *
+    * Matching runs in the [[org.apache.spark.sql.graft.DenylistScrub]]
+    * trie expression, NOT an alternation regex: a production denylist
+    * is 10⁴–10⁵ phrases, where the regex is O(text·patterns) per doc
+    * and unusable (measured — SCALING.md) while the broadcast-trie
+    * walk is pattern-count-independent. Map-only, codegen'd; the md5
+    * of the scrubbed text lets the oracle verify the REPLACEMENT
     * byte-for-byte without shipping full redacted bodies around.
     */
   def scrubDenylist(docs: DataFrame,
                     terms: Seq[String] = Seq("customer", "vector"))
       : DataFrame = {
-    // plain-word terms only: metacharacters would change the regex (and
-    // Java-vs-RE2 escaping rules differ, breaking oracle parity)
-    require(terms.nonEmpty && terms.forall(_.matches("\\w+")),
-      s"scrubDenylist terms must be non-empty \\w+ words, got: $terms")
-    val pattern = terms.mkString("\\b(", "|", ")\\b")
+    val s = org.apache.spark.sql.graft.DenylistScrub
+      .column(col("text"), terms)
     docs.select(
       col("doc_id"),
-      regexp_count(col("text"), lit(pattern)).as("n_hits"),
-      md5(regexp_replace(col("text"), pattern, "[REDACTED]"))
-        .as("scrub_md5"))
+      s.getField("n_hits").as("n_hits"),
+      md5(s.getField("scrubbed")).as("scrub_md5"))
   }
 
   /** PII scrub: redact the three machine-recognizable identifier shapes

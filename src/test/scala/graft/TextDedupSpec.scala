@@ -686,6 +686,54 @@ class TextDedupSpec extends SparkSpec {
       Seq("x").toDF("x").select(md5(lit("[REDACTED] one"))).collect().head.getString(0))
   }
 
+  test("DenylistScrub trie equals the longest-first alternation regex " +
+      "on adversarial prefix/phrase/boundary fixtures and the corpus") {
+    // the regex mirror the oracle keeps at oracle-sized lists: one
+    // \b-anchored alternation ordered longest-first, so leftmost-first
+    // backtracking picks the longest boundary-valid branch — exactly
+    // the trie's leftmost-longest contract
+    def regexForm(d: org.apache.spark.sql.DataFrame,
+                  terms: Seq[String]) = {
+      val pattern = terms.sortBy(t => (-t.length, t))
+        .mkString("\\b(", "|", ")\\b")
+      d.select($"doc_id",
+        regexp_count($"text", lit(pattern)).cast("int").as("n_hits"),
+        md5(regexp_replace($"text", pattern, "[REDACTED]"))
+          .as("scrub_md5"))
+    }
+    def check(d: org.apache.spark.sql.DataFrame, terms: Seq[String]) =
+      assert(TextAnalysis.scrubDenylist(d, terms)
+          .orderBy("doc_id").collect().toSeq ==
+        regexForm(d, terms).orderBy("doc_id").collect().toSeq)
+
+    val terms = Seq("sort agg", "sort", "merge slow join", "merge slow",
+      "batch batch", "a")
+    val adversarial = Seq(
+      "sort aggx sort agg sort",      // phrase end-boundary fails -> word
+      "merge slow joint merge slow join", // ditto at 3-word depth
+      "batch batch batch",            // overlap consumed left-to-right
+      "_sort sort_ sort_agg",         // underscore is a word char: 0 hits
+      "über sort café",               // multibyte neighbors are non-word
+      "sort",                         // whole text is one term
+      "a a aa a",                     // 1-char term, repeated + embedded
+      "",                             // empty text
+      "SORT agg")                     // case-sensitive: no hit
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    check(adversarial, terms)
+    // the real corpus against the registered phrase list
+    check(Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", $"text"),
+      Seq("merge slow join", "batch batch", "merge slow", "table scan",
+        "sort agg", "stream", "vector", "sort"))
+    // misuse fails at plan time: empty list, regex metacharacters,
+    // double spaces
+    for (bad <- Seq(Seq.empty[String], Seq("bad-term!"), Seq("two  gaps")))
+      intercept[IllegalArgumentException] {
+        TextAnalysis.scrubDenylist(adversarial, bad)
+      }
+  }
+
   test("scrubPii: planted identifiers redacted in order, counts exact, clean text untouched") {
     val d = Seq(
       (0L, "contact me at john.doe+spam@example.co.uk today"),
