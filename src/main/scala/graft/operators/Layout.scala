@@ -74,6 +74,14 @@ object Layout {
     */
   private[graft] def ntileDistributed(df: DataFrame, bucket: Column,
       n: Int, order: Column*): DataFrame = {
+    // the six working columns are injected by name; an input already
+    // carrying one would be silently clobbered (withColumn replaces)
+    // or turn ambiguous downstream — fail diagnosably instead
+    val clash = df.columns.toSet.intersect(
+      Set("lb", "lb_off", "lb_n", "lb_rn", "lb_base", "lb_rem"))
+    require(clash.isEmpty,
+      s"ntileDistributed: input schema carries reserved working " +
+        s"column(s) $clash — rename them before the ntile cut")
     val b = df.withColumn("lb", bucket)
     val wPre = Window.orderBy(col("lb"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -727,11 +727,21 @@ object Pipeline {
     // landed-state gates (1-row folds): the streamed index must carry
     // exactly the delta's shingle multiset, and retrieval must have
     // fired (the fixture's delta always shares shingles with history)
+    val direct = Dedup.shingled(delta)
     val landedN = deltaPost.count()
-    val directN = Dedup.shingled(delta).count()
+    val directN = direct.count()
     require(landedN == directN,
       s"split e2e ingest drift: $landedN landed postings vs $directN " +
         "from a direct shingle pass over the delta")
+    // count equality alone would pass a compensating drift (equal
+    // cardinality, different shingles); with equal counts, one-sided
+    // multiset difference emptiness == multiset equality, so the gate
+    // really is "the landed index IS the delta's shingle multiset"
+    // (delta-sized, one extra hash-agg)
+    require(deltaPost.exceptAll(direct).isEmpty,
+      "split e2e ingest drift: landed postings differ from a direct " +
+        "shingle pass over the delta at equal cardinality " +
+        "(compensating drift)")
     require(!spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("delta_doc",
           org.apache.spark.sql.types.LongType),

@@ -2,8 +2,11 @@
 """Local dev harness mimicking the driver's correctness gate.
 
 NOT part of the library (driver-side python is allowed for dev tooling).
-Usage: python3 tools/compare.py <sfDir> <outDir>
+Usage: python3 tools/compare.py <sfDir> <outDir> [reportPath] [--gate]
   after: sbt "runMain graft.Verify <sfDir> <outDir>"
+  --gate: this is a FULL-suite correctness gate run — append the
+  one-line summary to PROGRESS.jsonl (never passed on subset dev runs,
+  so the durable round record only carries real gates)
 
 Compares each <outDir>/<name> parquet (Spark result) against the oracle SQL
 from <outDir>/oracle_sql.json run in DuckDB over the sfDir tables.
@@ -18,7 +21,9 @@ import sys, json, glob, os
 import duckdb
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    gate = "--gate" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--gate"]
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -30,7 +35,7 @@ def main():
     # parent), not the cwd — running from elsewhere must still drop the
     # committable artifact where the round loop looks for it
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    report_path = (sys.argv[3] if len(sys.argv) > 3
+    report_path = (args[2] if len(args) > 2
                    else os.path.join(repo_root, "verify_correctness.json"))
     verdicts = {}
     n_pass = n_fail = 0
@@ -94,11 +99,12 @@ def main():
     with open(report_path, "w") as f:
         json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
                    "queries": verdicts}, f, indent=1, sort_keys=True)
-    # FULL-suite gate runs also append a one-line summary to
-    # PROGRESS.jsonl so the round's correctness record survives even if
-    # every JSON artifact is lost (the driver CORRECTNESS file came back
-    # empty two rounds running); subset dev runs stay out of the log
-    if len(oracles) >= 100:
+    # FULL-suite gate runs (explicit --gate flag — a >=100 heuristic
+    # would log big subset dev runs as gates) also append a one-line
+    # summary to PROGRESS.jsonl so the round's correctness record
+    # survives even if every JSON artifact is lost (the driver
+    # CORRECTNESS file came back empty three rounds running)
+    if gate:
         import time
         try:
             with open(os.path.join(repo_root, "PROGRESS.jsonl"), "a") as f:
