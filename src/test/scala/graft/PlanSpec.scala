@@ -599,8 +599,10 @@ class PlanSpec extends SparkSpec {
       // like ann_topk's query set)
       "shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
       "shapley_trunc_fidelity", "shapley_incremental", "shapley_r_curve")
-    // the e2e pipelines execute real streaming hops at construction —
-    // they are execution harnesses, not plan shapes
+    // the e2e pipelines execute real streaming hops at construction,
+    // so they can't be swept here — E2ePlanLedgerSpec runs the SAME
+    // gate over their executed batch subplans via a
+    // QueryExecutionListener
     val names = SparkEntry.queries.keys
       .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
         "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e",
@@ -673,6 +675,8 @@ class PlanSpec extends SparkSpec {
       // attribution_last_touch: conversion-share normalizer over the
       // credited-type table — type-vocabulary-bounded
       "attribution_last_touch" -> 1)
+    // e2e queries launch streams at construction; their executed batch
+    // subplans get this same sweep in E2ePlanLedgerSpec
     val names = SparkEntry.queries.keys
       .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
         "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e",
