@@ -2039,6 +2039,16 @@ object SparkEntry {
     // must hash-match the batch cluster_safe_split_incremental oracle.
     "pipeline_split_e2e" -> ((s, dir) =>
       graft.streaming.Pipeline.splitE2E(s, dir)),
+    // BT preference delta hop oracle-gated end to end: delta events
+    // land as a time-ordered file stream and flow through a stateful
+    // flatMapGroupsWithState comparison machine seeded with the carry
+    // table as INITIAL STATE (per-user O(1) state: the most recent
+    // event); landed comparisons fold sink-side into the persisted
+    // win counts and the MM re-runs on the vocabulary fold — counts
+    // are additive, so the result must hash-match the bt_strengths
+    // full-rebuild oracle.
+    "pipeline_bt_e2e" -> ((s, dir) =>
+      graft.streaming.Pipeline.btE2E(s, dir)),
     // pairwise audience overlap (union/intersection/Jaccard) between
     // event types, estimated from the partial KMV sketches alone —
     // no raw-data rescan per pair.
@@ -2091,14 +2101,9 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
       val hist = ev.filter(col("ts") < cutoff)
-      val carry = hist.withColumn("bt_rn",
-          org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("user_id"))
-              .orderBy(col("ts").desc, col("event_id").desc)))
-        .filter(col("bt_rn") === 1).drop("bt_rn")
       Learn.btIncremental(Learn.btWins(hist),
-        carry.unionByName(ev.filter(col("ts") >= cutoff)), cutoff)
+        Learn.btCarry(hist)
+          .unionByName(ev.filter(col("ts") >= cutoff)), cutoff)
     }),
     // user takedown over the BT state (ret_ salt, 10%): retired users'
     // win contributions SUBTRACTED from the persisted counts via the
@@ -10035,6 +10040,14 @@ object SparkEntry {
     // table; counts are additive, so the refreshed strengths equal the
     // full rebuild — the oracle is the bt_strengths chain verbatim.
     "bt_incremental" -> btOracleSql,
+
+    // the streamed delta hop must land exactly the batch comparisons
+    // (gated in-pipeline by a multiset compare against the lead
+    // window) and the sink-side fold is count-additive — so the
+    // bt_strengths full-rebuild chain IS the oracle (the
+    // pipeline_er_e2e convention: streaming-vs-batch drift is a
+    // correctness failure, not a tolerance).
+    "pipeline_bt_e2e" -> btOracleSql,
 
     // Learn.btRetire subtracts the retired users' provenance counts
     // from the persisted win table (never rescanning events), so the

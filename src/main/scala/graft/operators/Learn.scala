@@ -736,6 +736,62 @@ object Learn {
       .groupBy(col("user_id"), col("winner"), col("loser"))
       .agg(count(lit(1)).as("nw"))
 
+  /** Event projection the BT STREAMING hop keys its state machine on —
+    * ts as a µs epoch long so the per-user state is flat scalars (the
+    * Sessions.SessionState discipline).
+    */
+  case class BtEvent(user_id: Long, ts_us: Long, event_id: Long,
+                     event_type: String, value: Double)
+
+  /** One decided comparison emitted by the streaming state machine. */
+  case class BtCmp(user_id: Long, winner: String, loser: String)
+
+  /** One [[btComparisons]] decision in executor-side Scala — the
+    * streaming state machine's step function, kept HERE beside the
+    * Column form it mirrors so the two stay one diff apart: the
+    * earlier event wins on higher `value` (Catalyst double compare —
+    * `==` first so -0.0 equals 0.0 exactly as SQLOrderingUtil does),
+    * ties go to the lexicographically smaller type (ASCII vocabulary,
+    * so String order == UTF8String binary order). Parity with the
+    * window form is machine-checked: `pipeline_bt_e2e`'s landed-state
+    * gate multiset-compares the streamed output against
+    * [[btWinsByUser]] over the same rows before any oracle hash.
+    */
+  private[graft] def btDecide(earlier: BtEvent, later: BtEvent): BtCmp = {
+    val c = if (earlier.value == later.value) 0
+            else java.lang.Double.compare(earlier.value, later.value)
+    val (w, l) =
+      if (c > 0) (earlier.event_type, later.event_type)
+      else if (c < 0) (later.event_type, earlier.event_type)
+      else if (earlier.event_type <= later.event_type)
+        (earlier.event_type, later.event_type)
+      else (later.event_type, earlier.event_type)
+    BtCmp(earlier.user_id, w, l)
+  }
+
+  /** Each user's single last-before-cutoff event — the carry row
+    * [[btIncremental]]'s fold input and the streaming hop's INITIAL
+    * STATE share (pairs attribute to their earlier event, so the
+    * boundary pair (carry, first delta event) belongs to the next
+    * fold; one row per user by construction here, and both consumers
+    * enforce it loudly — the require in btIncremental, the
+    * initial-state API's duplicate-key error in the stream).
+    */
+  def btCarry(hist: DataFrame): DataFrame =
+    hist.withColumn("bt_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("bt_rn") === 1).drop("bt_rn")
+
+  /** The MM fit over an ALREADY-FOLDED (winner, loser, nw) state table
+    * — the entry the streaming hop's sink-side compaction shares with
+    * [[btIncremental]]/[[btRetire]]: every lifecycle leg is "refresh
+    * the additive counts, re-run the vocabulary-sized MM".
+    */
+  def btFromWins(winCounts: DataFrame, iterations: Int = 8): DataFrame =
+    mmFit(winCounts, iterations)
+
   /** [[btStrengths]]' nightly-delta twin (the lifecycle discipline
     * every stateful family carries): the persisted win-count table is
     * refreshed by the DELTA's comparisons and the MM rounds re-run on

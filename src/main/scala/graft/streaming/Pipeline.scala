@@ -756,6 +756,100 @@ object Pipeline {
       deltaPost, delta.select(col("doc_id")))
   }
 
+  /** BT preference-family nightly-delta hop, oracle-gated end to end —
+    * the streaming twin completing the family's lifecycle (strengths /
+    * incremental / retire / stream): the post-cutoff delta events land
+    * as a REAL time-ordered file stream (2 time-split files drained
+    * one per micro-batch) and flow through the stateful
+    * [[Streams.btComparisonStream]] machine whose INITIAL STATE is the
+    * persisted carry table — the boundary comparison (carry, first
+    * delta event) is derived IN-STREAM, with cross-batch pairs carried
+    * by per-user O(1) state. The landed comparisons are the fold's
+    * input: sink-side compaction counts them into (winner, loser, nw),
+    * folds additively into the persisted pre-cutoff win table, and
+    * re-runs the vocabulary-sized MM ([[graft.operators.Learn
+    * .btFromWins]]) — which must hash-match the `bt_strengths`
+    * FULL-REBUILD oracle, because counts are additive.
+    *
+    * Two delta-sized landed-state gates fire before any oracle hash
+    * (the splitE2E discipline): the streamed machine's per-user
+    * comparison counts must BE the batch lead-window's counts over
+    * carry ∪ delta (count equality + one-sided exceptAll emptiness ==
+    * multiset equality), and retrieval must be non-empty. A drift in
+    * the state machine, the file-order contract, or the initial-state
+    * seeding is diagnosed here, not as a hash mismatch.
+    */
+  def btE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Learn
+    val basePath = Files.createTempDirectory("graft_bte2e_")
+    val base = basePath.toString
+    stagingDirs.add(basePath)
+    val landing = s"$base/landing"
+    val cmpDir = s"$base/cmp"
+
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    val hist = ev.filter(col("ts") < cutoff)
+    val delta = ev.filter(col("ts") >= cutoff)
+    // the "nightly" persisted state: additive win counts + carry rows
+    val histWins = Learn.btWins(hist).localCheckpoint(true)
+    val carry = Learn.btCarry(hist).localCheckpoint(true)
+    // time-split the delta into two landing files: the file stream
+    // processes files oldest-mtime-first, so cross-batch per-user
+    // order respects event time exactly when file drops do (the
+    // btComparisonStream ordering contract; strict < keeps equal-ts
+    // events in one file)
+    val bnds = delta.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val midUs = bnds.getLong(0) / 2 + bnds.getLong(1) / 2
+    delta.filter(unix_micros(col("ts")) <= midUs)
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    Thread.sleep(20) // distinct mtimes -> deterministic oldest-first
+    delta.filter(unix_micros(col("ts")) > midUs)
+      .coalesce(1).write.mode("append").parquet(landing)
+
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try HarnessGuard.scope(spark, "pipeline_bt_e2e") {
+      val dStream = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      Streams.parquetSink(
+          Streams.btComparisonStream(spark, dStream, carry).toDF(),
+          cmpDir, s"$base/ck", trigger = Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
+
+    val cmpSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("winner",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("loser",
+        org.apache.spark.sql.types.StringType)))
+    val landed = spark.read.schema(cmpSchema).parquet(cmpDir)
+    val landedWU = landed
+      .groupBy(col("user_id"), col("winner"), col("loser"))
+      .agg(count(lit(1)).as("nw"))
+    val directWU = Learn.btWinsByUser(carry.unionByName(delta))
+    val (ln, dn) = (landedWU.count(), directWU.count())
+    require(ln == dn,
+      s"bt e2e comparison drift: $ln landed (user, winner, loser) " +
+        s"count groups vs $dn from the batch lead window")
+    // grouped keys are unique, so at equal cardinality one-sided
+    // difference emptiness == multiset equality (splitE2E pattern)
+    require(landedWU.exceptAll(directWU).isEmpty,
+      "bt e2e comparison drift: landed per-user counts differ from " +
+        "the batch lead window at equal cardinality (compensating drift)")
+    require(ln > 0, "bt e2e landed zero comparisons")
+    Learn.btFromWins(
+      histWins.unionByName(
+          landed.groupBy(col("winner"), col("loser"))
+            .agg(count(lit(1)).as("nw")))
+        .groupBy(col("winner"), col("loser"))
+        .agg(sum(col("nw")).as("nw")))
+  }
+
   def joinE2E(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Trades
     val basePath = Files.createTempDirectory("graft_je2e_")

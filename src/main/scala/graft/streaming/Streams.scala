@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.Schemas
@@ -361,6 +361,61 @@ object Streams {
     deltaPostings.select(col("doc_id").as("delta_doc"), col("shingle"))
       .join(histCapped, "shingle")
       .select(col("delta_doc"), col("hist_doc"), col("shingle"))
+
+  /** Streaming Bradley–Terry comparison derivation: a stateful
+    * `flatMapGroupsWithState` machine over the DELTA event stream,
+    * keyed by user, whose per-user state is the single most-recent
+    * event (O(1), |users|-bounded — never a history buffer) and whose
+    * INITIAL STATE is the carry table ([[graft.operators.Learn
+    * .btCarry]]: each user's last pre-cutoff event). Each arriving
+    * event emits at most one decided comparison against the carried
+    * predecessor ([[graft.operators.Learn.btDecide]] — the executor
+    * twin of the batch lead-window decision) and replaces the state,
+    * so the boundary pair (carry, first delta event) is produced
+    * IN-STREAM — the carry contract btIncremental enforces with a
+    * require is enforced here by the initial-state API itself, which
+    * makes a duplicate carry key a loud runtime error.
+    *
+    * Ordering contract: the batch twin orders each user by
+    * (ts, event_id). Within a micro-batch the machine sorts the
+    * group's rows by that key; ACROSS micro-batches the order is the
+    * arrival order, so the landing files must be time-split (a file
+    * drop never contains an event earlier than a previous drop's for
+    * the same user) — the real deployment contract for nightly/hourly
+    * drops, asserted end to end by `pipeline_bt_e2e`'s landed-state
+    * gate. NoTimeout: comparisons are emitted as soon as the successor
+    * arrives, and leftover state (each user's last event) is exactly
+    * next fold's carry — nothing to flush.
+    */
+  def btComparisonStream(spark: SparkSession, deltaEvents: DataFrame,
+                         carry: DataFrame)
+      : Dataset[graft.operators.Learn.BtCmp] = {
+    import spark.implicits._
+    import graft.operators.Learn
+    import graft.operators.Learn.{BtCmp, BtEvent}
+    def toEv(df: DataFrame): Dataset[BtEvent] = df.select(
+      col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"),
+      col("value").cast("double").as("value")).as[BtEvent]
+    toEv(deltaEvents).groupByKey(_.user_id)
+      .flatMapGroupsWithState[BtEvent, BtCmp](OutputMode.Append,
+        GroupStateTimeout.NoTimeout, toEv(carry).groupByKey(_.user_id)) {
+        (_: Long, rows: Iterator[BtEvent], state: GroupState[BtEvent]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[BtCmp]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach { p =>
+              if (p.event_type != e.event_type) out += Learn.btDecide(p, e)
+            }
+            prev = Some(e)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   // ---- sinks (K1-K3) ----
 

@@ -25,7 +25,7 @@ class E2ePlanLedgerSpec extends SparkSpec {
   private val e2eNames = Seq("pipeline_gold_e2e", "pipeline_corpus_e2e",
     "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e",
     "pipeline_er_e2e", "pipeline_split_e2e", "sketch_stream_e2e",
-    "bars_live_e2e")
+    "bars_live_e2e", "pipeline_bt_e2e")
 
   test("e2e pipelines: every executed batch subplan passes the BNLJ " +
       "and unpartitioned-window sweeps") {
@@ -77,7 +77,12 @@ class E2ePlanLedgerSpec extends SparkSpec {
     val bnljAllowed = Map[String, Int](
       // the ER e2e's delta-cap gate crossJoins the 1-row master-cap
       // aggregate before the require (Pipeline.erE2E) — 1-row build
-      "pipeline_er_e2e" -> 1)
+      "pipeline_er_e2e" -> 1,
+      // the BT e2e's sink-side fold is the MM chain: 8 rounds × one
+      // 1-row normalizer crossJoin(broadcast(s)) onto the |types|-row
+      // strength table, each its own checkpointed execution
+      // (Learn.mmFit — the same proof as PlanSpec's bt_strengths row)
+      "pipeline_bt_e2e" -> 8)
     val bnljFound = perQuery.flatMap { case (n, qes) =>
       val hits = qes.map(_.executedPlan.toString).count(p =>
         p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))

@@ -607,7 +607,7 @@ class PlanSpec extends SparkSpec {
       .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
         "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e",
         "pipeline_er_e2e", "pipeline_split_e2e", "sketch_stream_e2e",
-        "bars_live_e2e"))
+        "bars_live_e2e", "pipeline_bt_e2e"))
     val offenders = names.filter { n =>
       val p = plan(n)
       (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) &&
@@ -681,7 +681,7 @@ class PlanSpec extends SparkSpec {
       .filterNot(Set("pipeline_gold_e2e", "pipeline_corpus_e2e",
         "pipeline_restate_e2e", "pipeline_retire_e2e", "pipeline_join_e2e",
         "pipeline_er_e2e", "pipeline_split_e2e", "sketch_stream_e2e",
-        "bars_live_e2e"))
+        "bars_live_e2e", "pipeline_bt_e2e"))
     val found = names.flatMap { n =>
       val c = SparkEntry.queries(n)(spark, dir).queryExecution.optimizedPlan
         .collect {

@@ -843,4 +843,71 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(spark.read.parquet(silverDir).count() == n1)
   }
+
+  test("bt comparison stream: carry initial state is load-bearing and " +
+      "per-user state spans micro-batches") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    implicit val ctx = spark.sqlContext
+    def run(carryRows: Seq[BtInRow]): Map[(Long, String, String), Int] = {
+      val carry = spark.createDataFrame(carryRows)
+      val in = MemoryStream[BtInRow]
+      val name = s"bt_cmp_test_${System.nanoTime()}"
+      val q = Streams.btComparisonStream(spark, in.toDF(), carry)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: u10 sees (b, 2.0) — pairs with the CARRY (a, 1.0);
+        //          u20 opens with (a, 1.0), no carry
+        in.addData(BtInRow(2L, ts(1), 10L, "b", 2.0),
+          BtInRow(3L, ts(1), 20L, "a", 1.0))
+        q.processAllAvailable()
+        // batch 2: u10 (a, 0.5) pairs with batch-1 state (b, 2.0);
+        //          u20 (b, 1.0) ties with (a, 1.0) -> smaller type wins
+        in.addData(BtInRow(4L, ts(2), 10L, "a", 0.5),
+          BtInRow(5L, ts(2), 20L, "b", 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val withCarry = run(Seq(BtInRow(1L, ts(0), 10L, "a", 1.0)))
+    // boundary pair (carry a,1.0 vs b,2.0) + cross-batch pair + tie
+    assert(withCarry == Map((10L, "b", "a") -> 2, (20L, "a", "b") -> 1),
+      s"with carry: $withCarry")
+    // dropping the carry loses EXACTLY the boundary comparison — the
+    // initial state is load-bearing, not decorative
+    val noCarry = run(Seq.empty)
+    assert(noCarry == Map((10L, "b", "a") -> 1, (20L, "a", "b") -> 1),
+      s"without carry: $noCarry")
+  }
+
+  test("bt comparison stream: a duplicate carry row fails loudly") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    implicit val ctx = spark.sqlContext
+    val dup = spark.createDataFrame(Seq(
+      BtInRow(1L, ts(0), 10L, "a", 1.0), BtInRow(2L, ts(0), 10L, "b", 2.0)))
+    val in = MemoryStream[BtInRow]
+    val q = Streams.btComparisonStream(spark, in.toDF(), dup)
+      .writeStream.format("memory")
+      .queryName(s"bt_cmp_dup_${System.nanoTime()}")
+      .outputMode("append").start()
+    try {
+      in.addData(BtInRow(3L, ts(1), 10L, "c", 3.0))
+      // two initial-state rows for one key: the API itself refuses —
+      // the streaming mirror of btIncremental's carry require
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      ()
+    } finally q.stop()
+  }
 }
+
+/** Input row shape for the BT comparison-stream specs (file-scope: a
+  * spec-class-nested case class would capture an outer pointer and
+  * break the product encoder).
+  */
+case class BtInRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
