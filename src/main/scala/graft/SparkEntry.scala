@@ -1819,6 +1819,26 @@ object SparkEntry {
 
     "ann_topk" -> ((s, dir) =>
       Similarity.annBruteForce(Tables.embeddings(s, dir))),
+    // k-center greedy coreset (Gonzalez/Sener-Savarese farthest-point
+    // selection): 8 centers with the k-center radius at each pick —
+    // per round ONE map-only least-fold over the corpus state + a
+    // 1-row argmax; distances on the 1e-6 integer grid.
+    "coreset_kcenter" -> ((s, dir) =>
+      Coreset.kcenter(Tables.embeddings(s, dir))),
+    // coverage audit: every point assigned to its nearest selected
+    // center (broadcast-K fan-out), per-center count + max/mean radius.
+    "coreset_assign" -> ((s, dir) =>
+      Coreset.assign(Tables.embeddings(s, dir))),
+    // append-only lifecycle: the persisted (centers, dmin6) state
+    // absorbs a delta with one broadcast-K pass and the greedy
+    // CONTINUES (4 more picks) — history never rescanned against
+    // centers it already reflects; phased semantics pinned by the
+    // oracle's identical phased chain.
+    "coreset_extend" -> ((s, dir) =>
+      Coreset.extend(Tables.embeddings(s, dir),
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("cs_"), col("vec_id").cast("string"))),
+          lit(100)) < 80)),
     // graded rank-quality eval of IVF vs exact: nDCG@10, first-hit
     // rank, reciprocal rank — the ordering companion of recall audits.
     "retrieval_eval" -> ((s, dir) =>
@@ -3395,6 +3415,57 @@ object SparkEntry {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+
+  /** k-center greedy oracle base: seed = min-vec_id row (payload
+    * carried so no stage rescans the corpus for center vectors) +
+    * initial 1e-6-integer distance state s1 over `rel` (mirrors
+    * Coreset.seeded).
+    */
+  private def kcBaseSql(rel: String): String =
+    s"""seed AS MATERIALIZED (SELECT vec_id, v, nrm FROM $rel
+       |  ORDER BY vec_id LIMIT 1),
+       |s1 AS MATERIALIZED (SELECT x.vec_id, x.v, x.nrm,
+       |    1000000 - CAST(round(${dotSql("x.v", "c.v")}
+       |      / (x.nrm * c.nrm) * 1.0e6, 0) AS BIGINT) AS dmin6
+       |  FROM $rel x JOIN seed c ON x.vec_id <> c.vec_id)""".stripMargin
+
+  /** Greedy stages i = from..to: pick p_i (1-row argmax — ORDER BY
+    * dmin6 DESC, vec_id LIMIT 1, the exact integer tie-break) from
+    * state s_i, then state s_{i+1} = least-fold of s_i against the
+    * pick (mirrors Coreset.greedy's per-round update), MATERIALIZED
+    * per stage (the BT-oracle lesson).
+    */
+  private def kcStagesSql(from: Int, to: Int): String =
+    (from to to).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT vec_id, v, nrm, dmin6 FROM s$i
+         |  ORDER BY dmin6 DESC, vec_id LIMIT 1),
+         |s${i + 1} AS MATERIALIZED (SELECT x.vec_id, x.v, x.nrm,
+         |    least(x.dmin6, 1000000 - CAST(round(${dotSql("x.v", "c.v")}
+         |      / (x.nrm * c.nrm) * 1.0e6, 0) AS BIGINT)) AS dmin6
+         |  FROM s$i x JOIN p$i c ON x.vec_id <> c.vec_id)""".stripMargin
+    }.mkString(",\n")
+
+  /** The selected-centers union: seed as rank 1, then each pick in
+    * order — rank is positional over the concatenated pick index
+    * lists (mirrors Coreset.picksToDf).
+    */
+  private def kcPicksUnionSql(picks: Seq[Int]): String = {
+    val head = "SELECT CAST(1 AS INTEGER) AS rank, " +
+      "(SELECT vec_id FROM seed) AS vec_id, " +
+      "CAST(NULL AS DOUBLE) AS radius"
+    val rest = picks.zipWithIndex.map { case (p, j) =>
+      s"UNION ALL SELECT CAST(${j + 2} AS INTEGER), " +
+        s"(SELECT vec_id FROM p$p), (SELECT dmin6 FROM p$p) / 1.0e6"
+    }
+    (head +: rest).mkString("\n")
+  }
+
+  private lazy val kcenterSelectSql: String =
+    s"""$embCte,
+       |${kcBaseSql("n")},
+       |${kcStagesSql(1, 7)}
+       |SELECT rank, vec_id, radius FROM (
+       |${kcPicksUnionSql(1 to 7)}) ORDER BY rank""".stripMargin
 
   /** KNN-Shapley oracle CTEs (mirror Valuation.{pairs,exactS12}):
     * broadcast-shaped test panel × train fan-out with 1e-6-pinned
@@ -8785,6 +8856,61 @@ object SparkEntry {
          |FROM scand JOIN shh x ON x.doc_id = d1 JOIN shh y ON y.doc_id = d2
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
+
+    // mirrors Coreset.kcenter: seed = min vec_id, then 7 unrolled
+    // greedy stages (1-row pick ORDER BY dmin6 DESC, vec_id LIMIT 1;
+    // least-fold state update), distances 1e-6-pinned BIGINTs,
+    // MATERIALIZED per stage (the BT-oracle lesson).
+    "coreset_kcenter" -> kcenterSelectSql,
+
+    // mirrors Coreset.assign: the same 8 selected centers, every point
+    // assigned to its nearest center (integer distance, ties to the
+    // smaller center id), per-center count + max/mean radius.
+    "coreset_assign" ->
+      s"""$embCte,
+         |${kcBaseSql("n")},
+         |${kcStagesSql(1, 7)},
+         |ctr AS MATERIALIZED (SELECT vec_id, v, nrm FROM seed
+         |${(1 to 7).map(i =>
+             s"  UNION ALL SELECT vec_id, v, nrm FROM p$i").mkString("\n")}),
+         |sc AS (SELECT x.vec_id, c.vec_id AS cid,
+         |    1000000 - CAST(round(${dotSql("x.v", "c.v")}
+         |      / (x.nrm * c.nrm) * 1.0e6, 0) AS BIGINT) AS d6
+         |  FROM n x, ctr c),
+         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d6, cid) AS rn FROM sc)
+         |SELECT cid AS center_id, CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(max(d6) AS DOUBLE) / 1.0e6 AS max_radius,
+         |  round(CAST(sum(d6) AS DOUBLE) / count(*), 0) / 1.0e6
+         |    AS mean_radius
+         |FROM a WHERE rn = 1 GROUP BY cid ORDER BY center_id""".stripMargin,
+
+    // mirrors Coreset.extend: the 8-stage history chain, the delta's
+    // min-over-centers entry fold, then 4 more stages over the union —
+    // the PHASED chain, pinned exactly (append-only selection is the
+    // production contract; it differs from a fresh 12-center run by
+    // construction).
+    "coreset_extend" ->
+      s"""$embCte,
+         |h AS MATERIALIZED (SELECT vec_id, v, nrm FROM n
+         |  WHERE ${h60("'cs_' || vec_id")} % 100 < 80),
+         |${kcBaseSql("h")},
+         |${kcStagesSql(1, 7)},
+         |ctr AS MATERIALIZED (SELECT vec_id, v, nrm FROM seed
+         |${(1 to 7).map(i =>
+             s"  UNION ALL SELECT vec_id, v, nrm FROM p$i").mkString("\n")}),
+         |d0 AS MATERIALIZED (SELECT x.vec_id, x.v, x.nrm,
+         |    min(1000000 - CAST(round(${dotSql("x.v", "c.v")}
+         |      / (x.nrm * c.nrm) * 1.0e6, 0) AS BIGINT)) AS dmin6
+         |  FROM (SELECT vec_id, v, nrm FROM n
+         |        WHERE ${h60("'cs_' || vec_id")} % 100 >= 80) x, ctr c
+         |  GROUP BY x.vec_id, x.v, x.nrm),
+         |s9 AS MATERIALIZED (SELECT * FROM s8 UNION ALL SELECT * FROM d0),
+         |${kcStagesSql(9, 12)}
+         |SELECT rank, vec_id, radius,
+         |  CASE WHEN rank <= 8 THEN 'base' ELSE 'extend' END AS phase
+         |FROM (${kcPicksUnionSql(Seq(1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 12))}
+         |) ORDER BY rank""".stripMargin,
 
     "ann_topk" ->
       s"""$embCte,

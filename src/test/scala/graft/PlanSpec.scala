@@ -595,6 +595,11 @@ class PlanSpec extends SparkSpec {
       // literal threshold theta join) — bounded by construction
       "er_match", "er_eval", "er_eval_finer", "er_entities",
       "er_incremental", "er_retire", "er_u_audit",
+      // the K-row (8) selected-center broadcast fan-out — the
+      // intentional assignment scan, parameter-bounded like ann_topk's
+      // query set (kcenter/extend return driver-built K-row frames
+      // with no join at all)
+      "coreset_assign",
       // the MaxPanel-capped test-panel broadcast (parameter-bounded
       // like ann_topk's query set)
       "shapley_knn", "shapley_knn_trunc", "shapley_label_audit",
