@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *    multiply (more parallelism, same per-user work) and the BT/
   *    session vocabularies stay fixed while fact mass scales N×.
   *
-  * Only the two fact-scale tables the heavy families read are built;
-  * repartition happens BEFORE the explode so row fan-out runs wide.
+  * Only the three fact-scale tables the heavy families read are
+  * built; repartition happens BEFORE the explode so row fan-out runs
+  * wide.
   */
 object Replicate {
   def main(args: Array[String]): Unit = {
@@ -50,6 +51,23 @@ object Replicate {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    // embeddings: disjoint vec_ids (stride 10⁵); each replica's copy
+    // of a vector is perturbed deterministically in dimension 0 by
+    // r·1e-3 — replicas are DISTINCT vectors (no exact cross-replica
+    // duplicates) but sit at near-1 cosine to their siblings, i.e.
+    // every vector gains ~(n−1) near-duplicate copies: the crawl-like
+    // worst case for the LSH/near-dup legs, which the bucket caps must
+    // bound (that stress IS what the 100× measurement checks).
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.repartition(32).withColumn("r", rep)
+      .select(
+        (col("vec_id") + col("r") * 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 " +
+          "THEN CAST(x + r * 0.001 AS FLOAT) ELSE x END)")
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
     val ev = spark.read.parquet(s"$src/events.parquet")
     ev.repartition(64).withColumn("r", rep)
       .select(
@@ -59,7 +77,7 @@ object Replicate {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    println(s"[replicate] wrote ${n}x documents+events from $src to $dst")
+    println(s"[replicate] wrote ${n}x documents+embeddings+events from $src to $dst")
     spark.stop()
   }
 }
