@@ -72,11 +72,16 @@ object Coreset {
     val sel = Seq.newBuilder[Pick]
     for (r <- 0 until picks) {
       // 1-row argmax: (dmin6, -vec_id) is unique, so the struct
-      // ordering never reaches the payload fields
+      // ordering never reaches the payload fields. A corpus smaller
+      // than the requested k fails diagnosably (max over an empty
+      // state is a NULL struct), never with a bare NPE.
       val m = state.agg(max(struct(col("dmin6"),
           (-col("vec_id")).as("nid"), col("v"), col("nrm"))).as("m"))
         .select(col("m.dmin6"), col("m.nid"), col("m.v"), col("m.nrm"))
         .head()
+      require(!m.isNullAt(0),
+        s"kcenter greedy exhausted the corpus after $r of $picks picks" +
+          " — requested more centers than remaining points")
       val (dm, id) = (m.getLong(0), -m.getLong(1))
       val (pv, pn) = (m.getSeq[Double](2), m.getDouble(3))
       sel += Pick(rank0 + r, id, Some(dm), pv, pn)

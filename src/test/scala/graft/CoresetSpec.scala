@@ -91,6 +91,15 @@ class CoresetSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(3) <= r.getDouble(2) + 1e-12))
   }
 
+  test("requesting more centers than points fails diagnosably") {
+    val tiny = vecs.take(3).map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Coreset.kcenter(tiny, k = 10).collect()
+    }
+    assert(e.getMessage.contains("exhausted the corpus"))
+  }
+
   test("extend: history phase bit-identical to a history-only run; " +
       "extend radii non-increasing") {
     val isHist = col("vec_id") < 15
