@@ -2094,10 +2094,14 @@ object TextAnalysis {
     * doc- or fingerprint-keyed; output is domain-cardinality.
     */
   private def domainStats(docs: DataFrame): DataFrame = {
+    // perDoc is referenced twice (fingerprint-df agg + the join below);
+    // it is narrow (no text) but its lineage is the quality token scan —
+    // materialize so the scan runs once (the curate discipline)
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(tokensCol(col("text"))).cast("long").as("n_tok"),
       round(qualityScoreCol * lit(1.0e6), 0).cast("long").as("q6"),
       md5(col("text")).as("fp"))
+      .localCheckpoint(false)
     val fpDf = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
     val ndDocs = Dedup.ngramJaccardPairs(docs)
       .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
@@ -2293,10 +2297,23 @@ object TextAnalysis {
   def curate(docs: DataFrame, minScore: Double = 0.35,
              threshold: Double = 0.5, testPct: Int = 10,
              perSource: Int = 10): DataFrame = {
-    val d1 = docs.join(
-      qualityFilter(docs, minScore).select(col("doc_id")), Seq("doc_id"))
-    val d2 = Dedup.keepRepresentatives(d1, threshold)
+    // Materialize each stage's VERDICT (bare doc_id sets — the narrow
+    // tables, never the corpus): every later stage references the
+    // previous stage's corpus, and without the checkpoint each
+    // reference re-expands the full upstream chain in one physical
+    // plan (the quality token scan ran 3×, the survivor join subtree
+    // 2× — measured; curateGated paid it all twice more through the
+    // gate). Same discipline as curateGated's admitted-domain table.
+    val qIds = qualityFilter(docs, minScore).select(col("doc_id"))
+      .localCheckpoint(false)
+    val d1 = docs.join(qIds, Seq("doc_id"), "left_semi")
+    val d2Ids = Dedup.keepRepresentatives(d1, threshold)
+      .select(col("doc_id")).localCheckpoint(false)
+    // d2Ids already passed the quality gate — re-deriving d2 from the
+    // raw corpus keeps each reuse a scan + one semi join, no re-scoring
+    val d2 = docs.join(d2Ids, Seq("doc_id"), "left_semi")
     val flagged = decontaminate(d2, testPct).select(col("doc_id"))
+      .localCheckpoint(false)
     val isTest =
       pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100)) < testPct
     val d3 = d2.filter(!isTest).join(flagged, Seq("doc_id"), "left_anti")
@@ -2325,13 +2342,22 @@ object TextAnalysis {
   def curationLedger(docs: DataFrame, minScore: Double = 0.35,
                      threshold: Double = 0.5, testPct: Int = 10,
                      perSource: Int = 10): DataFrame = {
+    // the same verdict-materialization discipline as [[curate]]: scored
+    // (one quality token scan), keptIds (the near-dup pair chain) and
+    // flagged (the contamination shingle pass) are each referenced
+    // twice — once to advance the cascade, once in the final ledger
+    // assembly — and without the checkpoints each reference re-runs
+    // the whole upstream chain inside one plan
     val scored = stats(docs).select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(false)
     val d1 = docs.join(
       scored.filter(col("quality_score") >= minScore).select(col("doc_id")),
       Seq("doc_id"))
-    val keptIds = Dedup.keepRepresentatives(d1, threshold).select(col("doc_id"))
-    val d2 = d1.join(keptIds, Seq("doc_id"))
+    val keptIds = Dedup.keepRepresentatives(d1, threshold)
+      .select(col("doc_id")).localCheckpoint(false)
+    val d2 = docs.join(keptIds, Seq("doc_id"), "left_semi")
     val flagged = decontaminate(d2, testPct).select(col("doc_id"))
+      .localCheckpoint(false)
     val isTest =
       pmod(hash60(concat(lit("split_"), col("doc_id"))), lit(100)) < testPct
     val d3 = d2.filter(!isTest).join(flagged, Seq("doc_id"), "left_anti")
