@@ -1453,10 +1453,17 @@ object Similarity {
           |  cast((cast(round(cast(x as double) * 1.0e6, 0) / 1.0e6
           |          as decimal(18,6)) - m)
           |       * 1000000 as bigint))""".stripMargin).as("u"))
-    val gram = xcu.select(explode(expr(
+    // symmetry: emit only the upper triangle (j >= i) per vector —
+    // 2080 products instead of 4096 — and mirror the off-diagonal
+    // cells AFTER the aggregation (dims²-sized). c_ij = c_ji exactly
+    // (identical integer products, identical sums), so the mirrored
+    // matrix is bit-equal to the full-fanout build; the corpus-scale
+    // explode+agg stage does half the work.
+    val gramUpper = xcu.select(explode(expr(
         """flatten(transform(u, (xi, i) ->
-          |  transform(u, (xj, j) ->
-          |    named_struct('i', i, 'j', j, 'p', xi * xj))))""".stripMargin))
+          |  transform(slice(u, i + 1, size(u) - i), (xj, j) ->
+          |    named_struct('i', i, 'j', i + j, 'p', xi * xj))))"""
+          .stripMargin))
         .as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       // scale synthesis stays in DECIMAL end to end: unit-sum x 1e-12
@@ -1468,7 +1475,11 @@ object Similarity {
           .cast(DecimalType(20, 0)) *
           lit(BigDecimal("0.000000000001")).cast(DecimalType(13, 12)), 6)
         .cast(d6).as("c"))
+      // pin the triangle BEFORE the mirror union references it twice
+      // (both branches would otherwise re-run the corpus pass)
       .localCheckpoint(true)
+    val gram = gramUpper.unionByName(gramUpper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c")))
     val v0 = mu.select(col("pos"), lit(BigDecimal("0.125")).cast(d6).as("v"))
     val vK = (1 to iters).foldLeft(v0) { (vPrev, _) =>
       val v = vPrev.localCheckpoint(true)
