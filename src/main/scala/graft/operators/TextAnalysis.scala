@@ -2435,14 +2435,26 @@ object TextAnalysis {
     * substring; PlanSpec pins its absence).
     */
   def unigramPieces(docs: DataFrame, maxPieceLen: Int = 4,
-                    vocabK: Int = 48): DataFrame = {
-    val occ = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    val cnt = occ.select(explode(expr(
+                    vocabK: Int = 48): DataFrame =
+    unigramPiecesFromWf(wordFreq(docs), maxPieceLen, vocabK)
+
+  /** [[unigramPieces]] off a precomputed word-frequency table — the
+    * word-TYPE form of the candidate-substring count: substrings are
+    * generated once per DISTINCT word and weighted by its occurrence
+    * frequency (sum(f) ≡ the per-occurrence count exactly, including
+    * within-word multiplicity), so the explode touches word types
+    * (Heaps' law), not token occurrences. Compositions that already
+    * hold a wf checkpoint ([[unigramPruneLineage]], [[unigramEmGain]],
+    * [[unigramLmEm]]) thread it through so the corpus is tokenized
+    * once per query.
+    */
+  private def unigramPiecesFromWf(wf: DataFrame, maxPieceLen: Int,
+                                  vocabK: Int): DataFrame = {
+    val cnt = wf.select(col("f"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), s ->
            | transform(sequence(1, least($maxPieceLen, length(w) - s + 1)),
            |   l -> substring(w, s, l))))""".stripMargin)).as("piece"))
-      .groupBy(col("piece")).agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("n_occ"))
       .localCheckpoint(false)
     val tot = cnt.agg(sum(col("n_occ")).as("tot"))
     // kept set = top-vocabK over ALL pieces ∪ every single char — the
@@ -2506,9 +2518,11 @@ object TextAnalysis {
     */
   def unigramSegment(docs: DataFrame, maxPieceLen: Int = 4,
                      vocabK: Int = 48): DataFrame = {
-    val model = unigramModel(docs, maxPieceLen, vocabK)
-    docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
+    // one word-frequency pass: its keys ARE the distinct-word table,
+    // and the learn scan reads the same checkpoint (word-TYPE counts)
+    val wf = wordFreq(docs).localCheckpoint(false)
+    val model = modelOf(unigramPiecesFromWf(wf, maxPieceLen, vocabK))
+    wf.select(col("w"))
       .withColumn("sg", org.apache.spark.sql.graft.UnigramViterbi
         .segmentColumn(col("w"), model, maxPieceLen))
       .select(col("w"), col("sg.seg").as("seg"),
@@ -2562,9 +2576,12 @@ object TextAnalysis {
     * shuffles.
     */
   def unigramLmEm(docs: DataFrame, maxPieceLen: Int = 4,
-                  vocabK: Int = 48): DataFrame =
-    unigramLmEmFrom(wordFreq(docs), unigramModel(docs, maxPieceLen, vocabK),
+                  vocabK: Int = 48): DataFrame = {
+    // one word-frequency pass feeds both the seed learn and the EM round
+    val wf = wordFreq(docs).localCheckpoint(false)
+    unigramLmEmFrom(wf, modelOf(unigramPiecesFromWf(wf, maxPieceLen, vocabK)),
       maxPieceLen)
+  }
 
   /** [[unigramLmEm]] against a precomputed word-frequency table and
     * model₀ — the hoisted form compositions call so the learn scan and
@@ -2602,11 +2619,11 @@ object TextAnalysis {
     */
   def unigramEmGain(docs: DataFrame, maxPieceLen: Int = 4,
                     vocabK: Int = 48): DataFrame = {
-    // hoisted: ONE candidate-substring learn scan and ONE
-    // word-frequency pass feed every stage (the wf checkpoint is
-    // word-type-sized; each model pull is vocabulary-sized)
-    val m0 = modelOf(unigramPieces(docs, maxPieceLen, vocabK))
+    // hoisted: ONE word-frequency pass feeds the learn scan (word-TYPE
+    // substring counts off the wf checkpoint) and every stage; each
+    // model pull is vocabulary-sized
     val wf = wordFreq(docs).localCheckpoint(false)
+    val m0 = modelOf(unigramPiecesFromWf(wf, maxPieceLen, vocabK))
     val m1 = modelOf(unigramLmEmFrom(wf, m0, maxPieceLen))
     unigramStageStats(wf, maxPieceLen, Seq(m0, m1))
   }
@@ -2697,7 +2714,7 @@ object TextAnalysis {
                                   vocabK: Int, target: Int, rounds: Int)
       : (DataFrame, Seq[Seq[(String, Long)]], Seq[DataFrame]) = {
     val wf = wordFreq(docs).localCheckpoint(false)
-    val m0 = modelOf(unigramPieces(docs, maxPieceLen, vocabK))
+    val m0 = modelOf(unigramPiecesFromWf(wf, maxPieceLen, vocabK))
     val charset = m0.collect { case (p, _) if p.length == 1 => p }
     val em1 = unigramLmEmFrom(wf, m0, maxPieceLen)
     var models = Seq(m0, modelOf(em1))
