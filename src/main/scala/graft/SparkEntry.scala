@@ -1088,7 +1088,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val isHist = pmod(graft.functions.TextFunctions.hash60(
         concat(lit("inc_"), col("doc_id"))), lit(100)) < 80
+      // hist is referenced by the delta's already-indexed anti join AND
+      // the serving union — pin it so the 16-hyperplane build runs once
       val hist = Similarity.bitextBands(docs.filter(isHist), emb)
+        .localCheckpoint(false)
       val delta = Similarity.bitextBands(
         docs.filter(!isHist).join(hist.select(col("vec_id")).distinct(),
           col("doc_id") === col("vec_id"), "left_anti"), emb)

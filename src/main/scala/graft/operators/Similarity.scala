@@ -336,8 +336,14 @@ object Similarity {
     val n = normed(embeddings)
       .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
         Seq("vec_id"))
+    // the band index feeds BOTH capped sides of the candidate join,
+    // whose per-side lang filters push below the exchange and defeat
+    // reuse — without the pin the 16-hyperplane band build runs once
+    // per side (and the incremental wiring's history/delta union twice
+    // more). It IS the persisted index a deployment serves from.
     val bands = bandIndex.getOrElse(
-      bitextBands(docs, embeddings, nBands, bitsPerBand, dims))
+        bitextBands(docs, embeddings, nBands, bitsPerBand, dims))
+      .localCheckpoint(false)
     bitextMarginScore(n,
       bitextCandidates(bands, srcLang, tgtLang, maxBucket),
       k, marginThreshold)
