@@ -140,6 +140,9 @@ object Layout {
       .withColumn("tbucket", expr(
         s"((unix_micros(ts) - tmin) * $nb) div (tmax - tmin + 1)"))
       .withColumn("zbucket", shiftright(col("z"), zBits))
+      // referenced once per layout leg (time/user/zorder): pin so the
+      // scan + bounds cross + bit-interleave runs once, not three times
+      .localCheckpoint(false)
     def files(layout: String, bucket: Column, order: Column*) =
       ntileDistributed(withB, bucket, nFiles, order: _*)
         .groupBy(lit(layout).as("layout"), col("file_id"))
@@ -172,15 +175,18 @@ object Layout {
           .as("p_vlo"),
         (col("vmin") + floor(col("vspan") * (lit(2) * col("p") + 3) / (2 * nProbes)) - 1)
           .as("p_vhi"))
-    // per-layout totals stay in-plan (no driver-side count action)
-    val totals = stats.groupBy(col("layout"))
-      .agg(sum(col("f_rows")).as("rows_total"))
+    // per-layout totals stay in-plan (no driver-side count action).
+    // rows_total is layout-INDEPENDENT — every layout partitions all of
+    // withB's rows into files, so Σ f_rows per layout == count(withB)
+    // exactly; deriving it from the pinned withB keeps `stats` (three
+    // fact-scale ntile legs) referenced exactly once instead of twice
+    val totals = withB.agg(count(lit(1)).as("rows_total"))
     stats.join(broadcast(probes),
         col("f_umin") <= col("p_uhi") && col("f_umax") >= col("p_ulo") &&
           col("f_vmin") <= col("p_vhi") && col("f_vmax") >= col("p_vlo"))
       .groupBy(col("layout"))
       .agg(count(lit(1)).as("files_hit"), sum(col("f_rows")).as("rows_scanned"))
-      .join(totals, Seq("layout"))
+      .crossJoin(broadcast(totals))
       .select(col("layout"), lit(nFiles).as("n_files"),
         lit(nProbes).as("n_probes"), col("files_hit"),
         col("rows_scanned"), col("rows_total"))

@@ -659,9 +659,13 @@ class PlanSpec extends SparkSpec {
       // ks_drift: the 256-fixed-bucket prefix table — two frames
       // (exclusive + inclusive) over ≤256 rows
       "ks_drift" -> 2,
-      // layout_zorder: 3 layouts × (exclusive prefix + total) over the
-      // ≤257-row per-layout bucket-count tables (ntileDistributed)
-      "layout_zorder" -> 6,
+      // layout_zorder: one prefix Window per layout (exclusive prefix +
+      // total as two frames in one node) over the ≤257-row per-layout
+      // bucket-count tables (ntileDistributed). Was 6 when the stats
+      // union was referenced twice (totals + probe join); rows_total
+      // now derives from the pinned withB, so the three ntile legs —
+      // and their prefix windows — appear exactly once.
+      "layout_zorder" -> 3,
       // heaps_fit: the ≤257-row doc_id-bucket prefix table (the
       // fact-scale cumulatives are partitioned by bucket)
       "heaps_fit" -> 1,
